@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+
+/** Scalar expression surface mirroring the reference's expression factories
+  * (supersonic/expression/core — see SURVEY.md §2.7), each returning an
+  * `org.apache.spark.sql.Column` so the whole tree stays inside Catalyst
+  * codegen (no UDFs anywhere in this file).
+  *
+  * Error-policy triples (reference: Signaling / Nulling / Quiet, e.g.
+  * arithmetic_expressions.h:31-101): with ANSI off, Spark's built-ins are
+  * the Nulling/Quiet behavior; Signaling variants raise via `raise_error`.
+  */
+object Exprs {
+
+  // ===== Error policies =====
+  /** Nulling: NULL on error — Spark default with ANSI off. */
+  def nulling(c: Column): Column = c
+  /** Signaling: fail the query on error (error == NULL result of `c` while
+    * inputs were non-null). */
+  def signaling(c: Column, inputs: Seq[Column], name: String): Column =
+    when(c.isNull.and(inputs.map(_.isNotNull).reduce(_ && _)),
+      raise_error(lit(s"$name: evaluation error"))).otherwise(c)
+
+  // ===== Arithmetic (arithmetic_expressions.h:31-101) =====
+  def plus(a: Column, b: Column): Column = a + b
+  def minus(a: Column, b: Column): Column = a - b
+  def multiply(a: Column, b: Column): Column = a * b
+  /** Divide promotes ints to double (arithmetic_expressions.h:64-66). */
+  def divide(a: Column, b: Column): Column = a.cast(DoubleType) / b.cast(DoubleType)
+  def divideNulling(a: Column, b: Column): Column = when(b === 0, lit(null)).otherwise(divide(a, b))
+  def divideSignaling(a: Column, b: Column): Column =
+    signaling(divideNulling(a, b), Seq(a, b), "DivideSignaling")
+  /** C++ integer division (CppDivide). */
+  def cppDivide(a: Column, b: Column): Column = try_divide(a, b).cast(LongType)
+  def modulus(a: Column, b: Column): Column = a % b
+  def modulusNulling(a: Column, b: Column): Column = when(b === 0, lit(null)).otherwise(a % b)
+  def negate(a: Column): Column = -a
+  def isOdd(a: Column): Column = pmod(a, lit(2)) === 1
+  def isEven(a: Column): Column = pmod(a, lit(2)) === 0
+
+  // ===== Comparison (comparison_expressions.h:34-88) =====
+  def equal(a: Column, b: Column): Column = a === b
+  def notEqual(a: Column, b: Column): Column = a =!= b
+  def less(a: Column, b: Column): Column = a < b
+  def lessOrEqual(a: Column, b: Column): Column = a <= b
+  def greater(a: Column, b: Column): Column = a > b
+  def greaterOrEqual(a: Column, b: Column): Column = a >= b
+  /** SQL 3-valued IN incl. NULL-in-list (comparison_expressions.h:75-83). */
+  def in(needle: Column, haystack: Column*): Column = needle.isin(haystack: _*)
+
+  // ===== Logic / control (elementary_expressions.h:31-119) =====
+  def castTo(t: DataType)(c: Column): Column = c.cast(t)
+  def parseStringQuiet(t: DataType)(c: Column): Column = c.try_cast(t)
+  def parseStringNulling(t: DataType)(c: Column): Column = c.try_cast(t)
+  def ifExpr(cond: Column, t: Column, f: Column): Column = when(cond, t).otherwise(f)
+  /** NullingIf: NULL when condition is NULL (3-valued IF). */
+  def nullingIf(cond: Column, t: Column, f: Column): Column =
+    when(cond.isNull, lit(null)).when(cond, t).otherwise(f)
+  def and(a: Column, b: Column): Column = a && b
+  def or(a: Column, b: Column): Column = a || b
+  def andNot(a: Column, b: Column): Column = !a && b
+  def xor(a: Column, b: Column): Column = a =!= b
+  def not(a: Column): Column = !a
+  def isNull(a: Column): Column = a.isNull
+  def ifNull(a: Column, b: Column): Column = coalesce(a, b)
+  def caseExpr(scrutinee: Column, pairs: Seq[(Column, Column)], default: Column): Column =
+    pairs.foldRight(default) { case ((k, v), acc) => when(scrutinee === k, v).otherwise(acc) }
+  def bitwiseNot(a: Column): Column = bitwise_not(a)
+  def bitwiseAnd(a: Column, b: Column): Column = a.bitwiseAND(b)
+  def bitwiseAndNot(a: Column, b: Column): Column = bitwise_not(a).bitwiseAND(b)
+  def bitwiseOr(a: Column, b: Column): Column = a.bitwiseOR(b)
+  def bitwiseXor(a: Column, b: Column): Column = a.bitwiseXOR(b)
+  def shiftLeftE(a: Column, n: Int): Column = shiftleft(a, n)
+  def shiftRightE(a: Column, n: Int): Column = shiftright(a, n)
+
+  // ===== Math (math_expressions.h:37-138) =====
+  def expE(c: Column): Column = exp(c)
+  def ln(c: Column): Column = log(c)
+  def lnNulling(c: Column): Column = when(c <= 0, lit(null)).otherwise(log(c))
+  def log10E(c: Column): Column = log10(c)
+  def log2E(c: Column): Column = log2(c)
+  def logBase(base: Double, c: Column): Column = log(base, c)
+  def sinE(c: Column): Column = sin(c)
+  def cosE(c: Column): Column = cos(c)
+  def tanE(c: Column): Column = tan(c)
+  def cotE(c: Column): Column = cos(c) / sin(c)
+  def asinE(c: Column): Column = asin(c)
+  def acosE(c: Column): Column = acos(c)
+  def atanE(c: Column): Column = atan(c)
+  def atan2E(y: Column, x: Column): Column = atan2(y, x)
+  def sinhE(c: Column): Column = sinh(c)
+  def coshE(c: Column): Column = cosh(c)
+  def tanhE(c: Column): Column = tanh(c)
+  def asinhE(c: Column): Column = asinh(c)
+  def acoshE(c: Column): Column = acosh(c)
+  def atanhE(c: Column): Column = atanh(c)
+  def toDegrees(c: Column): Column = degrees(c)
+  def toRadians(c: Column): Column = radians(c)
+  def piE: Column = lit(math.Pi)
+  def absE(c: Column): Column = abs(c)
+  def roundE(c: Column): Column = round(c, 0)
+  def roundWithPrecision(c: Column, p: Int): Column = round(c, p)
+  def ceilE(c: Column): Column = ceil(c)
+  def floorE(c: Column): Column = floor(c)
+  /** Trunc toward zero (reference Trunc on doubles). */
+  def truncE(c: Column): Column = when(c >= 0, floor(c)).otherwise(ceil(c)).cast(DoubleType)
+  def roundToInt(c: Column): Column = round(c, 0).cast(LongType)
+  def ceilToInt(c: Column): Column = ceil(c)
+  def floorToInt(c: Column): Column = floor(c)
+  def sqrtE(c: Column): Column = sqrt(c)
+  def sqrtNulling(c: Column): Column = when(c < 0, lit(null)).otherwise(sqrt(c))
+  def powerE(a: Column, b: Column): Column = pow(a, b)
+  def format(c: Column, digits: Int): Column = format_number(c, digits)
+  def isNaNE(c: Column): Column = isnan(c)
+  def isInf(c: Column): Column = c === Double.PositiveInfinity || c === Double.NegativeInfinity
+  def isFinite(c: Column): Column = !isnan(c) && !isInf(c)
+  def isNormal(c: Column): Column =
+    isFinite(c) && (c === 0.0 || abs(c) >= lit(java.lang.Double.MIN_NORMAL))
+  def randomDouble: Column = rand()
+
+  // ===== String (string_expressions.h:29-102) =====
+  def toStringE(c: Column): Column = c.cast(StringType)
+  def concatE(cs: Column*): Column = concat(cs: _*)
+  def concatWithSeparator(sep: String, cs: Column*): Column = concat_ws(sep, cs: _*)
+  def lengthE(c: Column): Column = length(c)
+  def ltrimE(c: Column): Column = ltrim(c)
+  def rtrimE(c: Column): Column = rtrim(c)
+  def trimE(c: Column): Column = trim(c)
+  def toUpper(c: Column): Column = upper(c)
+  def toLower(c: Column): Column = lower(c)
+  /** 1-based; negative pos counts from the end (string_expressions.h:70-85)
+    * — Spark substring agrees. */
+  def substringE(c: Column, pos: Column, len: Column): Column = c.substr(pos, len)
+  def trailingSubstring(c: Column, pos: Column): Column = c.substr(pos, length(c))
+  /** 1-based offset of needle, 0 if absent — matches Spark instr. */
+  def stringOffset(c: Column, needle: Column): Column = instr(c, needle.toString)
+  def stringContains(c: Column, needle: String): Column = c.contains(needle)
+  def stringContainsCI(c: Column, needle: String): Column = lower(c).contains(needle.toLowerCase)
+  def stringReplace(c: Column, search: String, repl: String): Column =
+    replace(c, lit(search), lit(repl))
+
+  // ===== Regexp (regexp_expressions.h:34-76; Java regex vs reference RE2 —
+  // dialect delta documented in SURVEY §7) =====
+  def regexpPartialMatch(c: Column, pattern: String): Column = c.rlike(pattern)
+  def regexpFullMatch(c: Column, pattern: String): Column = c.rlike("^(?:" + pattern + ")$")
+  def regexpReplaceE(c: Column, pattern: String, rewrite: String): Column =
+    regexp_replace(c, pattern, rewrite)
+  def regexpExtractE(c: Column, pattern: String, group: Int = 1): Column =
+    regexp_extract(c, pattern, group)
+
+  // ===== Date/time (date_expressions.h:31-175; non-Local = UTC and the
+  // session runs UTC, so Local variants coincide unless a tz is given) =====
+  def now(): Column = current_timestamp()
+  def unixTimestampE(c: Column): Column = unix_timestamp(c)
+  def fromUnixTime(c: Column): Column = timestamp_seconds(c)
+  def makeDateE(y: Column, m: Column, d: Column): Column = make_date(y, m, d)
+  def makeDatetime(y: Column, mo: Column, d: Column, h: Column, mi: Column, s: Column): Column =
+    make_timestamp(y, mo, d, h, mi, s)
+  def parseDateTime(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+  def yearE(c: Column): Column = year(c)
+  def quarterE(c: Column): Column = quarter(c)
+  def monthE(c: Column): Column = month(c)
+  def dayE(c: Column): Column = dayofmonth(c)
+  def weekdayE(c: Column): Column = dayofweek(c) // 1=Sunday..7=Saturday
+  def yearDay(c: Column): Column = dayofyear(c)
+  def hourE(c: Column): Column = hour(c)
+  def minuteE(c: Column): Column = minute(c)
+  def secondE(c: Column): Column = second(c)
+  def microsecondE(c: Column): Column = (c.cast(LongType) % 1000000L).cast("int")
+  def addDays(c: Column, n: Column): Column = date_add(c.cast("date"), n)
+  def addMonths(c: Column, n: Column): Column = add_months(c.cast("date"), n)
+  def addMinutes(c: Column, n: Column): Column =
+    timestamp_seconds(c.cast(LongType) + n * 60)
+  def dateFormat(c: Column, fmt: String): Column = date_format(c, fmt)
+  def dateFormatLocal(c: Column, fmt: String, tz: String): Column =
+    date_format(from_utc_timestamp(c, tz), fmt)
+
+  // ===== Hashing (hashing_expressions.h:28-35) — 64-bit deterministic hash;
+  // values intentionally differ from the reference's farmhash (SURVEY §7f) =====
+  def fingerprint(c: Column): Column = xxhash64(c)
+  def hashWithSeed(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+
+  // ===== Terminal (terminal_expressions.h:36-71) =====
+  def nullOf(t: DataType): Column = lit(null).cast(t)
+  def const[T](v: T): Column = lit(v)
+  /** Sequence() — consecutive int64 per row; pair with Generate. */
+  def sequence(idCol: Column): Column = idCol
+  def randInt32(seed: Long): Column = (rand(seed) * Int.MaxValue).cast("int")
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Aggregation layer mirroring the reference's `AggregationSpecification`
+  * (supersonic/cursor/core/aggregate.h:47-158) and its aggregate operator
+  * family (GroupAggregate / BestEffortGroupAggregate / AggregateClusters /
+  * HybridGroupAggregate / ScalarAggregate / BoundGroupAggregateWithLimit).
+  *
+  * Functions: SUM MIN MAX COUNT CONCAT FIRST LAST (+ DISTINCT variants)
+  * (supersonic/proto/supersonic.proto:91-99). Null rules match the
+  * reference (column_aggregator.h:37-42): all ignore NULLs; an all-NULL /
+  * empty group yields NULL except COUNT which yields 0.
+  *
+  * Ordering-dependent aggregations (CONCAT in input order, FIRST, LAST) take
+  * an explicit order column because a distributed engine has no stream order
+  * — documented semantic gap vs the single-threaded reference (SURVEY §7).
+  *
+  * At scale: all of these compile to Spark's partial/final HashAggregate —
+  * map-side combine happens before the shuffle, exactly the reference's
+  * BestEffortGroupAggregate → shuffle → final design (aggregate.h:232-250),
+  * and multi-DISTINCT uses Catalyst's Expand rewrite, the same algorithm as
+  * the reference's hybrid_group_utils.h NULL-expansion.
+  */
+object Aggregates {
+
+  sealed trait AggFn
+  case object SUM extends AggFn
+  case object MIN extends AggFn
+  case object MAX extends AggFn
+  case object COUNT extends AggFn
+  case object CONCAT extends AggFn
+  case object FIRST extends AggFn
+  case object LAST extends AggFn
+
+  /** One aggregation: fn(input) AS output.
+    * @param input     input column; None only for COUNT (row count)
+    * @param distinct  DISTINCT variant (aggregate.h:118-123)
+    * @param outType   explicit output type override (aggregate.h:127-145)
+    * @param order     explicit order for CONCAT/FIRST/LAST
+    * @param sep       CONCAT separator (reference uses ",")
+    */
+  final case class Agg(fn: AggFn, input: Option[String], output: String,
+                       distinct: Boolean = false, outType: Option[DataType] = None,
+                       order: Option[Column] = None, sep: String = ",") {
+    def toColumn: Column = {
+      val in = input.map(col)
+      val c = fn match {
+        case SUM => if (distinct) sum_distinct(in.get) else sum(in.get)
+        case MIN => min(in.get)
+        case MAX => max(in.get)
+        case COUNT => (in, distinct) match {
+          case (Some(i), true)  => count_distinct(i)
+          case (Some(i), false) => count(i)
+          case (None, _)        => count(lit(1))
+        }
+        case CONCAT =>
+          // Input-order concat: sort (order, value) pairs inside the
+          // aggregation buffer, then join — deterministic under shuffle,
+          // unlike bare collect_list.
+          val ord = order.getOrElse(in.get)
+          val v = in.get.cast("string")
+          val paired = collect_list(struct(ord.as("o"), v.as("v")))
+          val sorted = array_sort(if (distinct) array_distinct(paired) else paired)
+          array_join(transform(sorted, x => x.getField("v")), sep)
+        case FIRST =>
+          val ord = order.getOrElse(in.get)
+          min_by(in.get, when(in.get.isNotNull, ord)) // ignore-null FIRST
+        case LAST =>
+          val ord = order.getOrElse(in.get)
+          max_by(in.get, when(in.get.isNotNull, ord))
+      }
+      outType.map(c.cast).getOrElse(c).as(output)
+    }
+  }
+
+  /** GroupAggregate — hash aggregation by key columns
+    * (reference: aggregate.h:224-228). Empty input ⇒ 0 rows. */
+  def groupAggregate(keys: Seq[String], specs: Seq[Agg])(df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(specs.head.toColumn, specs.tail.map(_.toColumn): _*)
+
+  /** BestEffortGroupAggregate — partial aggregation feeding a final merge
+    * (reference: aggregate.h:232-250). Spark's HashAggregate already splits
+    * partial/final around the shuffle; the user-visible result is identical
+    * to groupAggregate, so this is an alias kept for API parity. */
+  def bestEffortGroupAggregate(keys: Seq[String], specs: Seq[Agg])(df: DataFrame): DataFrame =
+    groupAggregate(keys, specs)(df)
+
+  /** AggregateClusters — streaming aggregation of key-clustered (sorted)
+    * input (reference: aggregate.h:279-295). Catalyst picks SortAggregate
+    * when the child ordering allows; result is identical. */
+  def aggregateClusters(keys: Seq[String], specs: Seq[Agg])(df: DataFrame): DataFrame =
+    groupAggregate(keys, specs)(df)
+
+  /** HybridGroupAggregate — external/spillable aggregation incl.
+    * multi-DISTINCT (reference: aggregate.h:320-336). Spark's spillable
+    * hash agg + RewriteDistinctAggregates(Expand) is the same algorithm. */
+  def hybridGroupAggregate(keys: Seq[String], specs: Seq[Agg])(df: DataFrame): DataFrame =
+    groupAggregate(keys, specs)(df)
+
+  /** ScalarAggregate — whole-input aggregation, exactly one row even on
+    * empty input (reference: aggregate.h:341-345). */
+  def scalarAggregate(specs: Seq[Agg])(df: DataFrame): DataFrame =
+    df.agg(specs.head.toColumn, specs.tail.map(_.toColumn): _*)
+
+  /** BoundGroupAggregateWithLimit — aggregate the first `limit` unique keys
+    * (in key order) individually; all remaining rows fold into a single
+    * overflow group with NULL keys (reference: aggregate.h:264-276).
+    *
+    * Distributed: dense_rank over the key (single window over keys only —
+    * the ranks are computed on the distinct key set, then broadcast-joined
+    * back) keeps the heavy fact-side aggregation fully parallel.
+    */
+  def groupAggregateWithLimit(key: String, specs: Seq[Agg], limit: Int)
+                             (df: DataFrame): DataFrame = {
+    val ranked = df.select(col(key)).distinct()
+      .withColumn("__rk", dense_rank().over(Window.orderBy(col(key))))
+    val tagged = df.join(broadcast(ranked), Seq(key), "inner")
+      .withColumn("__k", when(col("__rk") <= limit, col(key)))
+    tagged.groupBy(col("__k").as(key))
+      .agg(specs.head.toColumn, specs.tail.map(_.toColumn): _*)
+  }
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Relational operator surface mirroring the reference engine's operator
+  * inventory (supersonic cursor/core, see SURVEY.md §2.1–2.6), expressed
+  * as pure `DataFrame => DataFrame` combinators so Catalyst plans and
+  * optimizes the whole tree (predicate pushdown, column pruning, partial
+  * aggregation, broadcast-vs-shuffle join selection are all automatic).
+  *
+  * Scale notes: every combinator is shuffle-aware — joins take a
+  * `broadcastRight` hint for dimension tables, row-id assignment uses
+  * distributed `zipWithIndex` (contiguous ids without a single-partition
+  * window), and nothing collects to the driver.
+  */
+object Relational {
+
+  // ===== Sources (reference: cursor/core/scan_view.h:33, generate.h:33,
+  // cursor/infrastructure/table.h:49, file_io.h:64) =====
+
+  /** ScanView — cursor over data; canonical source is a parquet scan. */
+  def scanParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Table + TableRowWriter — appendable in-memory materialization
+    * (reference: cursor/infrastructure/table.h:49). */
+  def table(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+
+  /** Generate — N rows, zero data columns; pair with sequence()/consts
+    * (reference: cursor/core/generate.h:33-36). */
+  def generate(spark: SparkSession, n: Long): DataFrame = spark.range(n).toDF("seq")
+
+  /** FileOutput sink (reference: cursor/infrastructure/file_io.h:64) —
+    * parquet is our on-disk format. */
+  def fileOutput(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  // ===== Projection / compute / filter (reference: cursor/core/project.h:31,
+  // compute.h:33, filter.h:36) =====
+
+  /** Project — reorder/drop/rename columns. */
+  def project(cols: Column*)(df: DataFrame): DataFrame = df.select(cols: _*)
+
+  /** Compute — evaluate expression tree per row block. */
+  def compute(exprs: Column*)(df: DataFrame): DataFrame = df.select(exprs: _*)
+
+  /** Filter — predicate + projection (reference evaluates the predicate into
+    * a selection vector then compacts; Tungsten does the same internally). */
+  def filter(cond: Column, proj: Seq[Column] = Nil)(df: DataFrame): DataFrame = {
+    val f = df.filter(cond)
+    if (proj.isEmpty) f else f.select(proj: _*)
+  }
+
+  // ===== Row-ids (reference rowid_t, types.h:252-256) =====
+
+  /** Attach a contiguous 0-based rowid. Distributed two-pass zipWithIndex —
+    * unlike a global `row_number()` window this does NOT funnel the data
+    * through one partition, so it survives 100 TB inputs.
+    */
+  def withRowid(df: DataFrame, col: String = "rowid"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(col, LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
+  /** Rowid in a given total order (sort first, then contiguous ids). */
+  def withRowidOrdered(df: DataFrame, order: Seq[Column], col: String = "rowid"): DataFrame =
+    withRowid(df.orderBy(order: _*), col)
+
+  // ===== Joins (reference: cursor/core/hash_join.h:35, rowid_merge_join.h:28,
+  // foreign_filter.h:22) =====
+
+  /** HashJoinOperation — equi-join, INNER or LEFT_OUTER; NULL keys never
+    * match (Spark equi-join semantics agree). `broadcastRight` maps the
+    * reference's "rhs fully materialized in memory" (hash_join.cc:91-95) to
+    * a broadcast-hash join; otherwise Catalyst/AQE picks shuffle-hash vs
+    * sort-merge from stats.
+    */
+  def hashJoin(lhs: DataFrame, rhs: DataFrame, joinExpr: Column,
+               joinType: String = "inner", broadcastRight: Boolean = false,
+               proj: Seq[Column] = Nil): DataFrame = {
+    val r = if (broadcastRight) broadcast(rhs) else rhs
+    val j = lhs.join(r, joinExpr, joinType)
+    if (proj.isEmpty) j else j.select(proj: _*)
+  }
+
+  /** LookupIndex.MultiLookup (reference: cursor/base/lookup_index.h:33-80) —
+    * a join IS the multi-lookup; expose for API parity. Always broadcasts the
+    * index side (reference requires it to fit in memory too).
+    */
+  def lookup(queries: DataFrame, index: DataFrame, keys: Seq[String]): DataFrame =
+    queries.join(broadcast(index), keys, "inner")
+
+  /** RowidMergeJoin — inner join of lhs's sorted NOT NULL int64 key against
+    * rhs's 0-based row-id; errors if a key has no matching rhs row
+    * (referential integrity, reference: rowid_merge_join.h:28-44).
+    */
+  def rowidMergeJoin(lhs: DataFrame, keyCol: String, rhs: DataFrame,
+                     rhsOrder: Seq[Column], checkIntegrity: Boolean = false): DataFrame = {
+    val indexed = withRowidOrdered(rhs, rhsOrder, "__rid")
+    if (checkIntegrity) {
+      val missing = lhs.join(indexed, col(keyCol) === col("__rid"), "left_anti").limit(1).count()
+      require(missing == 0, s"RowidMergeJoin: key $keyCol references missing row-id")
+    }
+    lhs.join(indexed, col(keyCol) === col("__rid"), "inner").drop("__rid")
+  }
+
+  /** ForeignFilter — semi-join of input's fk against a key list, rewriting
+    * the fk to the filter's row-id (reference: foreign_filter.h:22-47).
+    */
+  def foreignFilter(input: DataFrame, fkCol: String, filterDf: DataFrame,
+                    keyCol: String): DataFrame = {
+    val keyed = withRowidOrdered(filterDf.select(col(keyCol)), Seq(col(keyCol)), "__newid")
+    input.join(keyed, col(fkCol) === col(keyCol), "inner")
+      .drop(fkCol, keyCol)
+      .withColumnRenamed("__newid", fkCol)
+  }
+
+  // ===== Sort / limit / merge (reference: cursor/core/sort.h:89,
+  // limit.h:30, merge_union_all.h:33) =====
+
+  /** Sort — full sort; reference NULL ordering is nulls-smallest which is
+    * Spark's default (asc_nulls_first / desc_nulls_last). */
+  def sort(order: Column*)(df: DataFrame): DataFrame = df.orderBy(order: _*)
+
+  /** ExtendedSort — sort with optional case-insensitive keys and LIMIT
+    * (top-k) (reference: sort.h:103-106, proto/specification.proto:13-31).
+    * Catalyst compiles orderBy+limit into TakeOrderedAndProject — a true
+    * distributed top-k, no global sort. */
+  def extendedSort(order: Seq[Column], limit: Option[Int] = None)(df: DataFrame): DataFrame = {
+    val s = df.orderBy(order: _*)
+    limit.map(s.limit).getOrElse(s)
+  }
+
+  def caseInsensitive(c: Column): Column = lower(c)
+
+  /** Limit — offset + limit (reference: cursor/core/limit.h:30-33). */
+  def limitOffset(offset: Int, limit: Int)(df: DataFrame): DataFrame =
+    df.offset(offset).limit(limit)
+
+  /** MergeUnionAll — k-way merge of same-schema sorted inputs; sortedness of
+    * the result is the contract (reference: merge_union_all.h:33-46). */
+  def mergeUnionAll(inputs: Seq[DataFrame], order: Seq[Column]): DataFrame =
+    inputs.reduce(_.unionAll(_)).orderBy(order: _*)
+
+  // ===== Set ops / DAG plumbing (§2.6) =====
+
+  def unionAll(a: DataFrame, b: DataFrame): DataFrame = a.unionAll(b)
+  def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  /** BufferedSplitter — share one stream among N consumers (reference:
+    * splitter.h:79-120). In Spark, DAG reuse is native; cache() makes the
+    * shared scan explicit. */
+  def splitter(df: DataFrame): DataFrame = df.cache()
+
+  /** Coalesce — zip columns of N equal-length inputs side by side; fails on
+    * duplicate names (reference: cursor/core/coalesce.h:36-44 — NOT SQL
+    * COALESCE). Implemented as a rowid zip-join; inputs derived from the
+    * same parent with aligned ordering zip exactly. */
+  def coalesceColumns(inputs: Seq[DataFrame]): DataFrame = {
+    val all = inputs.flatMap(_.columns)
+    require(all.distinct.size == all.size,
+      s"Coalesce: duplicate column names in ${all.mkString(",")}")
+    inputs.map(withRowid(_, "__zip")).reduce(_.join(_, "__zip")).drop("__zip")
+  }
+
+  /** SpyOperation / ViewPrinter — debug tee (reference: cursor/core/spy.h).
+    * `observe` attaches metrics without breaking the plan. */
+  def spy(df: DataFrame, name: String, metrics: Column*): DataFrame =
+    if (metrics.isEmpty) df.observe(name, count(lit(1)).as("rows"))
+    else df.observe(name, metrics.head, metrics.tail: _*)
+}

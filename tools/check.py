@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Local emulation of the driver's correctness gate: run graft.Verify at a
+scale factor, then replay each oracle_sql.json query in DuckDB over the same
+parquet tables and compare (columns sorted by name, rows sorted, exact).
+
+Usage: python tools/check.py [sfDir] [outDir] [--skip-verify] [only_query ...]
+Driver-side tooling only (duckdb/pandas/pyarrow) — the Scala library never
+depends on this.
+"""
+import sys, os, json, glob, subprocess
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+rest = sys.argv[3:]
+skip = "--skip-verify" in rest
+only = [a for a in rest if not a.startswith("--")]
+
+if not skip:
+    r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+                       cwd="/root/repo", capture_output=True, text=True)
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:]); sys.exit(1)
+
+import duckdb, pandas as pd, numpy as np
+con = duckdb.connect()
+for t in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(t).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = []
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    pdir = f"{out}/{name}"
+    if not os.path.isdir(pdir):
+        print(f"FAIL {name}: no spark output"); fails.append(name); continue
+    try:
+        got = pd.read_parquet(pdir)
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails.append(name); continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}")
+        fails.append(name); continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails.append(name); continue
+    g = got.sort_values(by=list(got.columns), ignore_index=True)
+    e = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    ok = True
+    for c in g.columns:
+        a, b = g[c], e[c]
+        try:
+            a = a.astype(b.dtype)
+        except Exception:
+            pass
+        eq = (a.isna() & b.isna()) | (a == b)
+        if not eq.all():
+            bad = (~eq).idxmax()
+            print(f"FAIL {name}: col {c} row {bad}: spark={a[bad]!r} duck={b[bad]!r} "
+                  f"(dtype {a.dtype}/{b.dtype}, {int((~eq).sum())} diffs)")
+            ok = False
+    if ok:
+        print(f"PASS {name} ({len(got)} rows)")
+    else:
+        fails.append(name)
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass" + (f"; FAILING: {fails}" if fails else ""))
+sys.exit(1 if fails else 0)
