@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Aggregates._
+import org.apache.spark.sql.functions._
+
+/** Aggregation semantics from the reference (column_aggregator.h:37-42):
+  * all aggregations ignore NULLs; empty/all-NULL group → NULL except
+  * COUNT → 0; ScalarAggregate returns exactly one row on empty input.
+  */
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def data = Seq(
+    ("a", Some(1)), ("a", Some(3)), ("a", None),
+    ("b", None), ("b", None),
+    ("c", Some(7))
+  ).toDF("k", "v")
+
+  test("groupAggregate: nulls ignored; all-null group sums to NULL, counts 0") {
+    withPartitionings(data) { df =>
+      val out = groupAggregate(Seq("k"), Seq(
+        Agg(SUM, Some("v"), "s"),
+        Agg(COUNT, Some("v"), "c"),
+        Agg(COUNT, None, "n"),
+        Agg(MIN, Some("v"), "mn"),
+        Agg(MAX, Some("v"), "mx")))(df).orderBy("k")
+      assert(rows(out) == Seq(
+        Seq("a", 4L, 2L, 3L, 1, 3),
+        Seq("b", null, 0L, 2L, null, null),
+        Seq("c", 7L, 1L, 1L, 7, 7)))
+    }
+  }
+
+  test("groupAggregate: empty input yields zero rows") {
+    val out = groupAggregate(Seq("k"), Seq(Agg(COUNT, None, "n")))(
+      data.filter(lit(false)))
+    assert(out.count() == 0)
+  }
+
+  test("scalarAggregate: exactly one row even on empty input") {
+    val out = scalarAggregate(Seq(
+      Agg(COUNT, None, "n"), Agg(SUM, Some("v"), "s")))(data.filter(lit(false)))
+    assert(rows(out) == Seq(Seq(0L, null)))
+  }
+
+  test("DISTINCT variants") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 2)).toDF("k", "v")
+    val out = groupAggregate(Seq("k"), Seq(
+      Agg(SUM, Some("v"), "sd", distinct = true),
+      Agg(COUNT, Some("v"), "cd", distinct = true)))(df).orderBy("k")
+    assert(rows(out) == Seq(Seq("a", 3L, 2L), Seq("b", 2L, 1L)))
+  }
+
+  test("CONCAT aggregates in explicit order with separator, skipping NULLs") {
+    val df = Seq((1, Some("x")), (3, Some("z")), (2, Some("y")), (4, None))
+      .toDF("ord", "s")
+    withPartitionings(df) { d =>
+      val out = scalarAggregate(Seq(
+        Agg(CONCAT, Some("s"), "cat", order = Some(col("ord")))))(d)
+      assert(rows(out).head.head == "x,y,z")
+    }
+  }
+
+  test("FIRST/LAST take explicit order and ignore NULLs") {
+    val df = Seq((1, None), (2, Some("b")), (3, Some("c")), (4, None))
+      .toDF("ord", "s")
+    withPartitionings(df) { d =>
+      val out = scalarAggregate(Seq(
+        Agg(FIRST, Some("s"), "f", order = Some(col("ord"))),
+        Agg(LAST, Some("s"), "l", order = Some(col("ord")))))(d)
+      assert(rows(out).head == Seq("b", "c"))
+    }
+  }
+
+  test("explicit output type override") {
+    val df = Seq(1, 2).toDF("v")
+    val out = scalarAggregate(Seq(
+      Agg(SUM, Some("v"), "s", outType = Some(org.apache.spark.sql.types.DoubleType))))(df)
+    assert(rows(out).head.head == 3.0)
+  }
+
+  test("groupAggregateWithLimit: first K keys individual, rest in overflow row") {
+    val df = Seq(("a", 1), ("b", 2), ("c", 4), ("d", 8), ("c", 16)).toDF("k", "v")
+    val out = groupAggregateWithLimit("k", Seq(
+      Agg(SUM, Some("v"), "s"), Agg(COUNT, None, "n")), limit = 2)(df)
+      .orderBy(col("k").asc_nulls_last)
+    assert(rows(out) == Seq(
+      Seq("a", 1L, 1L), Seq("b", 2L, 1L), Seq(null, 28L, 3L)))
+  }
+}

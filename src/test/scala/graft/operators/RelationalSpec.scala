@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Per-operator specs mirroring the reference's unit tests (filter_test.cc,
+  * hash_join_test.cc, sort_test.cc, …) with NULL-bearing hand-built inputs.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def employees = Seq(
+    // name, age, salary, department (FIXTURES.md A3-style, with NULLs)
+    ("Alice", 30, Some(100), "eng"),
+    ("Bob", 40, Some(80), "eng"),
+    ("Carl", 25, None, "sales"),
+    ("Dora", 35, Some(120), "sales"),
+    ("Eve", 28, Some(90), "eng")
+  ).toDF("name", "age", "salary", "department")
+
+  test("project reorders/renames/drops") {
+    val out = Relational.project(col("age").as("years"), col("name"))(employees)
+    assert(out.columns.toSeq == Seq("years", "name"))
+    assert(out.count() == 5)
+  }
+
+  test("compute evaluates expressions per row") {
+    val out = Relational.compute(col("name"), (col("age") * 2).as("dbl"))(employees)
+    assert(rows(out.orderBy("name")).map(_(1)) == Seq(60, 80, 50, 70, 56))
+  }
+
+  test("filter with projection compacts matching rows") {
+    withPartitionings(employees) { df =>
+      val out = Relational.filter(col("age") > 28, Seq(col("name")))(df)
+      assert(rows(out.orderBy("name")).flatten == Seq("Alice", "Bob", "Dora"))
+    }
+  }
+
+  test("hash join inner drops non-matching and NULL keys never match") {
+    val l = Seq((Some(1), "a"), (Some(2), "b"), (None, "c")).toDF("k", "lv")
+    val r = Seq((Some(1), "x"), (None, "y")).toDF("k", "rv")
+    val out = Relational.hashJoin(l, r, l("k") <=> r("k") && l("k").isNotNull, "inner")
+    // explicit equi-join via === : NULL keys never match
+    val out2 = Relational.hashJoin(l, r, l("k") === r("k"), "inner")
+    assert(out2.count() == 1)
+    assert(rows(out2.select("lv", "rv")).head == Seq("a", "x"))
+    assert(out.count() == 1)
+  }
+
+  test("hash join left_outer keeps unmatched lhs with NULL rhs") {
+    val l = Seq((1, "a"), (2, "b")).toDF("k", "lv")
+    val r = Seq((1, "x")).toDF("j", "rv")
+    val out = Relational.hashJoin(l, r, col("k") === col("j"), "left_outer")
+      .orderBy("k")
+    assert(rows(out.select("lv", "rv")) == Seq(Seq("a", "x"), Seq("b", null)))
+  }
+
+  test("rowidMergeJoin joins key against rhs row-id and checks integrity") {
+    val rhs = Seq(("r0", 10), ("r1", 11), ("r2", 12)).toDF("tag", "ord")
+    val lhs = Seq(0L, 1L, 1L, 2L).toDF("rid")
+    val out = Relational.rowidMergeJoin(lhs, "rid", rhs, Seq(col("ord")),
+      checkIntegrity = true)
+    assert(rows(out.orderBy("rid").select("tag")).flatten == Seq("r0", "r1", "r1", "r2"))
+    val bad = Seq(0L, 5L).toDF("rid")
+    intercept[IllegalArgumentException] {
+      Relational.rowidMergeJoin(bad, "rid", rhs, Seq(col("ord")), checkIntegrity = true)
+    }
+  }
+
+  test("foreignFilter semi-joins and rewrites fk to filter row-id") {
+    val input = Seq((10L, "x"), (20L, "y"), (30L, "z"), (20L, "w")).toDF("fk", "v")
+    val filter = Seq(20L, 30L).toDF("key")
+    val out = Relational.foreignFilter(input, "fk", filter, "key")
+    // key 20 -> rowid 0, key 30 -> rowid 1; fk 10 dropped
+    assert(rows(out.orderBy("v").select("fk", "v")) ==
+      Seq(Seq(0L, "w"), Seq(0L, "y"), Seq(1L, "z")))
+  }
+
+  test("coalesceColumns zips columns side-by-side and rejects dup names") {
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")
+    val left = base.select(col("id"))
+    val right = base.select(col("s").as("t"))
+    val out = Relational.coalesceColumns(Seq(left, right))
+    assert(rows(out.orderBy("id")) == Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    intercept[IllegalArgumentException] {
+      Relational.coalesceColumns(Seq(left, left))
+    }
+  }
+
+  test("sort: nulls sort first ascending (reference nulls-smallest)") {
+    val df = Seq(Some(3), None, Some(1)).toDF("x")
+    assert(rows(Relational.sort(col("x").asc)(df)).flatten == Seq(null, 1, 3))
+  }
+
+  test("extendedSort: case-insensitive key + top-k") {
+    val df = Seq("b", "A", "C", "a").toDF("s")
+    val out = Relational.extendedSort(
+      Seq(Relational.caseInsensitive(col("s")), col("s")), Some(3))(df)
+    assert(rows(out).flatten == Seq("A", "a", "b"))
+  }
+
+  test("limitOffset skips then takes") {
+    val df = spark.range(10).toDF("i")
+    val out = Relational.limitOffset(3, 4)(Relational.sort(col("i"))(df))
+    assert(rows(out).flatten == Seq(3L, 4L, 5L, 6L))
+  }
+
+  test("mergeUnionAll merges same-schema sorted inputs deterministically") {
+    val a = Seq(1, 3, 5).toDF("x")
+    val b = Seq(2, 3, 6).toDF("x")
+    val out = Relational.mergeUnionAll(Seq(a, b), Seq(col("x")))
+    assert(rows(out).flatten == Seq(1, 2, 3, 3, 5, 6))
+  }
+
+  test("generate produces n rows with a contiguous sequence") {
+    val out = Relational.generate(spark, 5)
+    assert(rows(out.orderBy("seq")).flatten == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("withRowid assigns contiguous 0-based ids across partitions") {
+    withPartitionings(spark.range(100).toDF("i")) { df =>
+      val out = Relational.withRowid(df)
+      val ids = rows(out.select("rowid")).flatten.map(_.asInstanceOf[Long]).sorted
+      assert(ids == (0L until 100L))
+    }
+  }
+
+  test("table builds a DataFrame from rows + schema") {
+    val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val out = Relational.table(spark, schema, Seq(Row(1, "x"), Row(2, null)))
+    assert(rows(out.orderBy("a")) == Seq(Seq(1, "x"), Seq(2, null)))
+  }
+
+  test("set ops: intersect and except are distinct set semantics") {
+    val a = Seq(1, 1, 2, 3).toDF("x")
+    val b = Seq(2, 4).toDF("x")
+    assert(rows(Relational.intersect(a, b)).flatten == Seq(2))
+    assert(rows(Relational.except(a, b).orderBy("x")).flatten == Seq(1, 3))
+  }
+
+  test("lookup is a broadcast multi-lookup join") {
+    val queries = Seq(1, 2, 2, 9).toDF("k")
+    val index = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val out = Relational.lookup(queries, index, Seq("k"))
+    assert(rows(out.orderBy("k", "v")) == Seq(Seq(1, "a"), Seq(2, "b"), Seq(2, "b")))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "completely different words entirely unrelated content here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(rows(out.select("doc_id").orderBy("doc_id")).flatten == Seq(1L, 2L, 4L))
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(rows(groups.filter(col("n_copies") === 2).select("keeper")).flatten == Seq(1L))
+  }
+
+  test("shingles builds word n-grams; short docs degrade to whole text") {
+    val out = Seq("a b c d").toDF("t").select(Dedup.shingles(col("t"), 3).as("s"))
+    assert(rows(out).head.head == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t").select(Dedup.shingles(col("t"), 3).as("s"))
+    assert(rows(short).head.head == Seq("a b"))
+  }
+
+  test("jaccard on shingle sets") {
+    val df = Seq(("a b", "a c")).toDF("x", "y")
+      .select(Dedup.jaccard(split(col("x"), " "), split(col("y"), " ")).as("j"))
+    assert(rows(df).head.head == 1.0 / 3.0)
+  }
+
+  test("minhash near-dups find the planted near-duplicate, not the unrelated doc") {
+    withPartitionings(docs) { d =>
+      val pairs = rows(Dedup.minhashNearDups(d, "doc_id", "text",
+        threshold = 0.3, numHashes = 16, bands = 8, shingleLen = 2)
+        .select("id1", "id2").orderBy("id1", "id2")).map(r => (r(0), r(1)))
+      assert(pairs.contains((1L, 3L))) // exact dup always survives
+      assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 3L))) // near-dup
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    }
+  }
+
+  test("simhash: identical docs have hamming 0, unrelated docs differ") {
+    val out = Dedup.simhashCandidates(docs, "doc_id", "text")
+    val m = rows(out.select("id1", "id2", "hamming"))
+      .map(r => (r(0), r(1)) -> r(2)).toMap
+    assert(m((1L, 3L)) == 0L)
+    assert(!m.contains((1L, 4L)) || m((1L, 4L)).asInstanceOf[Long] > 0)
+  }
+
+  test("cosine and brute-force top-k") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qv", 3)
+    assert(rows(out.orderBy("rank").select("vec_id")).flatten == Seq(1L, 2L, 3L))
+  }
+
+  test("lsh signature buckets equal vectors together") {
+    val emb = Seq.tabulate(6)(i => (i.toLong, Array.fill(64)(if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val cand = Similarity.lshCandidates(emb, "vec_id", "embedding", nPlanes = 8)
+    val pairs = rows(cand.select("id1", "id2")).map(r => (r(0), r(1))).toSet
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((0L, 1L)))
+  }
+
+  test("text analysis: tokens, bpe-ish, punct, langid, fingerprint") {
+    val df = Seq("The cat and the dog!  Extra   spaces.").toDF("t")
+    assert(rows(df.select(TextAnalysis.tokenCount(col("t")))).head.head == 7)
+    assert(rows(df.select(TextAnalysis.punctCount(col("t")))).head.head == 2)
+    assert(rows(df.select(TextAnalysis.bpeishTokenCount(col("t")))).head.head == 9)
+    assert(rows(df.select(TextAnalysis.langId(col("t")))).head.head == "en")
+    val de = Seq("der hund und die katze das ist gut").toDF("t")
+    assert(rows(de.select(TextAnalysis.langId(col("t")))).head.head == "de")
+    // fingerprint is whitespace/case-insensitive
+    val fp = Seq(("A  b", "a b")).toDF("x", "y")
+      .select(TextAnalysis.fingerprint(col("x")) === TextAnalysis.fingerprint(col("y")))
+    assert(rows(fp).head.head == true)
+  }
+
+  test("multimodal: binary plumbing, frame sampling, stubbed decode") {
+    val df = Seq((1L, "hello world this is binary payload content")).toDF("doc_id", "text")
+    val b = Multimodal.asBinary(df, "text", "payload")
+    val meta = Multimodal.decodeMeta(b, "payload")
+    val r = rows(meta.select("media_format", "width", "height", "n_bytes")).head
+    assert(r(0) == "fake/raw" && r(3) == 42L)
+    assert(r(1) == ('h'.toInt % 64) + 1 && r(2) == ('e'.toInt % 64) + 1)
+    val framed = Multimodal.frameSample(b, "payload", n = 3, frameBytes = 10, out = "fr")
+    val frames = rows(framed.select(col("fr"))).head.head.asInstanceOf[scala.collection.Seq[Array[Byte]]]
+    assert(frames.length == 3 && frames.head.length == 10)
+    val feats = Multimodal.extractFeatures(b, "payload", dim = 8, out = "f")
+    assert(rows(feats.select(size(col("f")))).head.head == 8)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def sampleEvents = Seq(
+    Streams.Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0, "{}"),
+    Streams.Event(2, ts("2024-01-01 10:20:00"), 1, "view", 2.0, "{}"),
+    Streams.Event(3, ts("2024-01-01 11:10:00"), 1, "click", 3.0, "{}"), // new hour, same session? gap 50min
+    Streams.Event(4, ts("2024-01-01 15:00:00"), 1, "click", 4.0, "{}"), // gap > 1h => new session
+    Streams.Event(5, ts("2024-01-01 10:30:00"), 2, "view", 5.0, "{}")
+  )
+
+  test("windowedStats on a stream: watermarked tumbling windows via MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    mem.addData(sampleEvents: _*)
+    val q = Streams.windowedStats(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val out = rows(spark.table("win_out")
+        .orderBy("window_start", "event_type")
+        .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"),
+          col("n_events"), col("value_cents")))
+      assert(out == Seq(
+        Seq("10:00", "click", 1L, 100L),
+        Seq("10:00", "view", 2L, 700L),
+        Seq("11:00", "click", 1L, 300L),
+        Seq("15:00", "click", 1L, 400L)))
+    } finally q.stop()
+  }
+
+  test("windowedStats batch mode gives the same aggregation semantics") {
+    val out = Streams.windowedStats(sampleEvents.toDF())
+    assert(out.count() == 4)
+  }
+
+  test("sessionize: gap-based sessions with stateful processing (stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    mem.addData(sampleEvents: _*)
+    val q = Streams.sessionize(mem.toDS(), gapMs = 60 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // closed sessions only (append mode): user 1's first session
+      // (10:05-11:10, 3 events) closes when the 15:00 event arrives.
+      val out = rows(spark.table("sess_out")
+        .select("user_id", "n_events", "value_cents").orderBy("user_id"))
+      assert(out == Seq(Seq(1L, 3L, 600L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch matches the stateful semantics on closed sessions") {
+    val out = Streams.sessionizeBatch(sampleEvents.toDF(), gapMs = 60 * 60 * 1000)
+      .orderBy("user_id", "start_ms")
+    val got = rows(out.select("user_id", "n_events", "value_cents"))
+    assert(got == Seq(Seq(1L, 3L, 600L), Seq(1L, 1L, 400L), Seq(2L, 1L, 500L)))
+  }
+
+  test("file-source streaming over the events parquet directory") {
+    // readEvents wires schema+source; smoke only (ns-parquet needs the
+    // nanosAsLong session flag and a ts cast, exercised via batch path).
+    val streamDf = Streams.readEvents(spark, sf() )
+    assert(streamDf.isStreaming)
+  }
+}
