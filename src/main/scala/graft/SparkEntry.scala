@@ -390,13 +390,13 @@ object SparkEntry {
     Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id").orderBy("keeper")
 
   private def qDedupNgram(s: SparkSession, d: String): DataFrame =
-    Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      Seq("lang"), threshold = 0.5, shingleLen = 2)
+    Dedup.lengthBucketJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.5, bucketWidth = 8, shingleLen = 2)
       .orderBy("id1", "id2")
 
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-      threshold = 0.2, numHashes = 32, bands = 16, shingleLen = 2)
+      threshold = 0.7, numHashes = 48, bands = 8, shingleLen = 3)
       .orderBy("id1", "id2")
 
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame =
@@ -711,15 +711,19 @@ object SparkEntry {
         |MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
     "q_dedup_ngram" ->
-      """WITH t AS (SELECT doc_id, lang, source,
+      """WITH t AS (SELECT doc_id, length(text) AS ln,
         |(CASE WHEN len(toks) >= 2
         |  THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
         |  ELSE [array_to_string(toks, ' ')] END) AS sh
-        |FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS toks FROM documents))
-        |SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / greatest(len(list_distinct(a.sh || b.sh)), 1) AS jac
-        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.5
+        |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |e AS (SELECT doc_id, CAST(ln // 8 AS BIGINT) AS b FROM t
+        |UNION ALL SELECT doc_id, CAST(ln // 8 AS BIGINT) + 1 AS b FROM t),
+        |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |FROM e a JOIN e b ON a.b = b.b AND a.doc_id < b.doc_id)
+        |SELECT p.id1, p.id2,
+        |CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) / greatest(len(list_distinct(t1.sh || t2.sh)), 1) AS jac
+        |FROM p JOIN t t1 ON p.id1 = t1.doc_id JOIN t t2 ON p.id2 = t2.doc_id
+        |WHERE CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) / greatest(len(list_distinct(t1.sh || t2.sh)), 1) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),

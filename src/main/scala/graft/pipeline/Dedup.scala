@@ -32,14 +32,38 @@ object Dedup {
 
   // ===== Shingles =====
 
-  /** Word n-gram shingles (distinct), e.g. n=3 → all consecutive
-    * 3-token windows. Documents shorter than n tokens yield the whole
-    * document as one shingle. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = TextAnalysis.tokens(text)
+  /** Word n-gram shingles from a pre-tokenized array column. Taking the
+    * token ARRAY (not the raw text) matters for performance: the shingle
+    * windows reference the token array ~n_tokens times, and higher-order
+    * lambdas are interpreted without common-subexpression elimination — a
+    * raw split() here would re-tokenize once per shingle. */
+  def shinglesFromTokens(t: Column, n: Int): Column = {
     val wins = transform(sequence(lit(1), size(t) - (n - 1)),
       i => array_join(slice(t, i, lit(n)), " "))
     array_distinct(when(size(t) >= n, wins).otherwise(array(array_join(t, " "))))
+  }
+
+  /** Word n-gram shingles (distinct), e.g. n=3 → all consecutive
+    * 3-token windows. Documents shorter than n tokens yield the whole
+    * document as one shingle. Column-level API; pipelines should stage
+    * tokenization behind a barrier (withShingleSet) instead. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), n)
+
+  /** Materialization barrier: a cheap hash exchange that stops Catalyst's
+    * CollapseProject from inlining an expensive array-producing projection
+    * into its many downstream references. At cluster scale this exchange
+    * is the same shuffle the subsequent bucket/band key join needs anyway. */
+  private def barrier(df: DataFrame, key: String): DataFrame =
+    df.repartition(col(key))
+
+  /** id + distinct shingle set, with tokenization staged behind a barrier
+    * so split() runs once per document, not once per shingle. */
+  def withShingleSet(df: DataFrame, idCol: String, textCol: String,
+                     shingleLen: Int, out: String): DataFrame = {
+    val toks = barrier(
+      df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks")), idCol)
+    toks.select(col(idCol), shinglesFromTokens(col("__toks"), shingleLen).as(out))
   }
 
   /** Jaccard similarity of the two columns' element sets (exact division of
@@ -50,13 +74,31 @@ object Dedup {
 
   // ===== MinHash + LSH =====
 
-  /** MinHash signature: k hash functions simulated by seeding xxhash64 with
-    * the function index; signature element j = min over shingles of
-    * hash_j(shingle). All inside codegen — no UDF. */
+  /** MinHash signature: k hash functions simulated by re-mixing a
+    * per-shingle base hash with the function index.
+    *
+    * PERFORMANCE: higher-order-function lambdas are interpreted (no
+    * whole-stage codegen, no common-subexpression elimination), so an
+    * expression that references the shingle array k times would rebuild it
+    * k times per row. The signature is therefore computed in two staged
+    * projections: (1) hash every shingle once into a long array, (2) take
+    * k mins over that cheap array. Shingle strings are built exactly once.
+    */
+  def withMinhashSignature(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int, shingleLen: Int, out: String): DataFrame = {
+    val shh = barrier(
+      withShingleSet(df, idCol, textCol, shingleLen, "__sh")
+        .select(col(idCol), transform(col("__sh"), s => xxhash64(s)).as("__shh")), idCol)
+    barrier(shh.select(col(idCol), transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(col("__shh"), h => xxhash64(j, h)))).as(out)), idCol)
+  }
+
+  /** Column-level signature (reference-style API; prefer
+    * withMinhashSignature in pipelines — see performance note above). */
   def minhashSignature(text: Column, numHashes: Int, shingleLen: Int = 3): Column = {
-    val sh = shingles(text, shingleLen)
+    val sh = transform(shingles(text, shingleLen), s => xxhash64(s))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(sh, s => xxhash64(j, s))))
+      j => array_min(transform(sh, h => xxhash64(j, h))))
   }
 
   /** LSH banding: split the signature into `bands` rows of r = k/bands
@@ -67,8 +109,7 @@ object Dedup {
                      shingleLen: Int = 3): DataFrame = {
     val r = numHashes / bands
     require(bands * r == numHashes, "bands must divide numHashes")
-    val sig = minhashSignature(col(textCol), numHashes, shingleLen)
-    df.select(col(idCol), sig.as("sig"))
+    withMinhashSignature(df, idCol, textCol, numHashes, shingleLen, "sig")
       .select(col(idCol), explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string")).as("bh")))).as("bucket"))
       .select(col(idCol), col("bucket.band"), col("bucket.bh"))
@@ -92,7 +133,7 @@ object Dedup {
                       threshold: Double, numHashes: Int = 32, bands: Int = 8,
                       shingleLen: Int = 3): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleLen)
-    val docs = df.select(col(idCol), shingles(col(textCol), shingleLen).as("sh"))
+    val docs = withShingleSet(df, idCol, textCol, shingleLen, "sh")
     cand.join(docs.withColumnRenamed(idCol, "id1").withColumnRenamed("sh", "sh1"), "id1")
       .join(docs.withColumnRenamed(idCol, "id2").withColumnRenamed("sh", "sh2"), "id2")
       .withColumn("jac", jaccard(col("sh1"), col("sh2")))
@@ -103,20 +144,35 @@ object Dedup {
   // ===== SimHash =====
 
   /** 64-bit SimHash over word tokens: bit k of the fingerprint is the sign
-    * of the sum over tokens of ±1 depending on bit k of the token hash. */
+    * of the sum over tokens of ±1 depending on bit k of the token hash.
+    * Tokens are hashed ONCE into a long array; the 64 bit-sums then fold
+    * over cheap shift/mask ops — O(tokens + 64·tokens) cheap ops instead of
+    * O(64·tokens) rehashes. */
   def simhash64(text: Column): Column = {
-    val t = array_distinct(TextAnalysis.tokens(text))
+    val th = transform(array_distinct(TextAnalysis.tokens(text)), tok => xxhash64(tok))
     val bits = transform(sequence(lit(0), lit(63)), k =>
-      when(aggregate(t, lit(0),
-        (acc, tok) => acc + when(call_function("shiftright", xxhash64(tok), k).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+      when(aggregate(th, lit(0),
+        (acc, h) => acc + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
         call_function("shiftleft", lit(1L), k)).otherwise(0L))
     aggregate(bits, lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** Staged simhash (token hashes materialized once — same HOF-lambda
+    * performance rationale as withMinhashSignature). */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String, out: String): DataFrame =
+    barrier(df.select(col(idCol),
+      transform(array_distinct(TextAnalysis.tokens(col(textCol))), tok => xxhash64(tok)).as("__th")), idCol)
+      .select(col(idCol), aggregate(
+        transform(sequence(lit(0), lit(63)), k =>
+          when(aggregate(col("__th"), lit(0),
+            (acc, h) => acc + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+            call_function("shiftleft", lit(1L), k)).otherwise(0L)),
+        lit(0L), (acc, v) => acc.bitwiseOR(v)).as(out))
+
   /** SimHash near-dup candidates: 4 bands of 16 bits — any pair within
     * Hamming distance 3 shares at least one exact band (pigeonhole). */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withSig = df.select(col(idCol), simhash64(col(textCol)).as("sig"))
+    val withSig = withSimhash(df, idCol, textCol, "sig")
     val banded = withSig.select(col(idCol), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"), call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFF).as("bh")))).as("bk"))
@@ -128,6 +184,34 @@ object Dedup {
       .distinct()
   }
 
+  // ===== Length-bucket blocked n-gram Jaccard =====
+
+  /** Pairwise n-gram Jaccard with double length-bucket blocking: each doc
+    * lands in buckets floor(len/W) and floor(len/W)+1, so any pair whose
+    * lengths differ by < W shares at least one bucket — near-dups (which
+    * differ by a few tokens) are guaranteed candidates without any
+    * quadratic cross-corpus join. Candidate pairs are deduped BEFORE the
+    * Jaccard verify so each pair is scored once. */
+  def lengthBucketJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               threshold: Double, bucketWidth: Int = 8,
+                               shingleLen: Int = 2): DataFrame = {
+    val base = df.select(col(idCol), length(col(textCol)).as("__len"))
+    val b0 = base.select(col(idCol), (col("__len") / bucketWidth).cast("long").as("__b"))
+    val b1 = base.select(col(idCol), ((col("__len") / bucketWidth).cast("long") + 1).as("__b"))
+    val buckets = b0.unionAll(b1)
+    val pairs = buckets.select(col("__b"), col(idCol).as("id1"))
+      .join(buckets.select(col("__b"), col(idCol).as("id2")), Seq("__b"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val docs = withShingleSet(df, idCol, textCol, shingleLen, "sh")
+    pairs
+      .join(docs.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(docs.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jac", jaccard(col("sh1"), col("sh2")))
+      .where(col("jac") >= threshold)
+      .select("id1", "id2", "jac")
+  }
+
   // ===== Blocked n-gram Jaccard =====
 
   /** Pairwise token n-gram Jaccard within blocks (e.g. same source+lang).
@@ -136,8 +220,10 @@ object Dedup {
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], threshold: Double,
                           shingleLen: Int = 2): DataFrame = {
-    val keyed = df.select((blockCols.map(col) :+ col(idCol) :+
-      shingles(col(textCol), shingleLen).as("sh")): _*)
+    val toks = df.select((blockCols.map(col) :+ col(idCol) :+
+      TextAnalysis.tokens(col(textCol)).as("__toks")): _*).repartition(col(idCol))
+    val keyed = toks.select((blockCols.map(col) :+ col(idCol) :+
+      shinglesFromTokens(col("__toks"), shingleLen).as("sh")): _*)
     val l = keyed.select((blockCols.map(col) :+ col(idCol).as("id1") :+ col("sh").as("sh1")): _*)
     val r = keyed.select((blockCols.map(col) :+ col(idCol).as("id2") :+ col("sh").as("sh2")): _*)
     l.join(r, blockCols).where(col("id1") < col("id2"))

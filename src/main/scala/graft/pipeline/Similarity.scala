@@ -69,6 +69,8 @@ object Similarity {
                     nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
     val dim = 64 // embeddings table vector length (TESTDATA.md)
     val keyed = df.select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
+      .repartition(col(idCol)) // barrier: keep the cast vector from being
+      // re-materialized once per hyperplane inside the signature lambda
       .withColumn("__sig", lshSignature(col("__v"), nPlanes, dim, seed))
     val l = keyed.select(col("__sig"), col(idCol).as("id1"), col("__v").as("v1"))
     val r = keyed.select(col("__sig"), col(idCol).as("id2"), col("__v").as("v2"))
