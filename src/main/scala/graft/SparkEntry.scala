@@ -460,6 +460,68 @@ object SparkEntry {
   }
 
   // =========================================================================
+  // Lookup / aggregate aliases / enum / policies / streaming-batch (§2 tail)
+  // =========================================================================
+
+  private def qLookup(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p_partkey"), dec(col("l_quantity")).as("qty"))
+    val idx = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    Relational.sort(col("p_brand"))(
+      asDouble("sum_qty")(Aggregates.groupAggregate(Seq("p_brand"), Seq(
+        Agg(COUNT, None, "n_items"),
+        Agg(SUM, Some("qty"), "sum_qty")))(
+        Relational.lookup(li, idx, Seq("p_partkey")))))
+  }
+
+  private def qBestEffortAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).withColumn("price_dec", dec(col("l_extendedprice")))
+    Relational.sort(col("l_linestatus"))(
+      asDouble("sum_price")(Aggregates.bestEffortGroupAggregate(Seq("l_linestatus"), Seq(
+        Agg(SUM, Some("price_dec"), "sum_price"),
+        Agg(COUNT, None, "n")))(li)))
+  }
+
+  private def qAggClusters(s: SparkSession, d: String): DataFrame = {
+    // AggregateClusters contract: input clustered by the key (sorted).
+    val li = Tables.lineitem(s, d).orderBy("l_returnflag")
+    Relational.sort(col("l_returnflag"))(
+      Aggregates.aggregateClusters(Seq("l_returnflag"), Seq(
+        Agg(MIN, Some("l_quantity"), "mn"),
+        Agg(MAX, Some("l_quantity"), "mx"),
+        Agg(COUNT, None, "n")))(li))
+  }
+
+  private def qSessionize(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.sessionizeBatch(Tables.events(s, d), gapMs = 30 * 60 * 1000)
+      .orderBy("user_id", "start_ms")
+
+  private def qSlidingWindow(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.slidingStats(Tables.events(s, d), "1 hour", "15 minutes")
+      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("window_start", "event_type")
+
+  private def qEnum(s: SparkSession, d: String): DataFrame = {
+    val e = graft.types.GraftTypes.EnumDefinition(Seq(
+      1 -> "1-URGENT", 2 -> "2-HIGH", 3 -> "3-MEDIUM",
+      4 -> "4-NOT SPECIFIED", 5 -> "5-LOW"))
+    Tables.orders(s, d).select(col("o_orderkey"),
+      e.encode(col("o_orderpriority")).as("prio_code"),
+      e.decode(e.encode(col("o_orderpriority"))).as("prio_name"),
+      e.decode(lit(99)).as("undefined_code")
+    ).orderBy("o_orderkey")
+  }
+
+  private def qExprPolicy(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Exprs => EP}
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      EP.divideNulling(col("l_quantity"), col("l_linenumber") - col("l_linenumber")).as("p_nulling"),
+      EP.divide(col("l_quantity"), lit(2)).as("p_quiet"),
+      EP.divideSignaling(col("l_quantity"), lit(2)).as("p_signal")
+    ).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // =========================================================================
   // Registry
   // =========================================================================
 
@@ -508,6 +570,13 @@ object SparkEntry {
     "q_multimodal" -> (qMultimodal _),
     "q_events_window" -> (qEventsWindow _),
     "q_window_rank" -> (qWindowRank _),
+    "q_lookup" -> (qLookup _),
+    "q_best_effort_agg" -> (qBestEffortAgg _),
+    "q_agg_clusters" -> (qAggClusters _),
+    "q_sessionize" -> (qSessionize _),
+    "q_sliding_window" -> (qSlidingWindow _),
+    "q_enum" -> (qEnum _),
+    "q_expr_policy" -> (qExprPolicy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -783,5 +852,47 @@ object SparkEntry {
         |row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
         |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_lookup" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_best_effort_agg" ->
+      """SELECT l_linestatus,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |COUNT(*) AS n FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_agg_clusters" ->
+      """SELECT l_returnflag, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sessionize" ->
+      """WITH t AS (SELECT user_id, event_id, ts,
+        |CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS brk
+        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)
+        |SELECT user_id, MIN(epoch_ms(ts)) AS start_ms, MAX(epoch_ms(ts)) AS end_ms,
+        |COUNT(*) AS n_events, SUM(v) AS value_cents
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, start_ms""".stripMargin,
+    "q_sliding_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+        |  - to_minutes(CAST(15 * i.i AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |event_type, COUNT(*) AS n_events
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_enum" ->
+      """SELECT o_orderkey,
+        |CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+        |WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 END AS prio_code,
+        |o_orderpriority AS prio_name,
+        |CAST(NULL AS VARCHAR) AS undefined_code
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_expr_policy" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(NULL AS DOUBLE) AS p_nulling,
+        |CAST(l_quantity AS DOUBLE) / 2 AS p_quiet,
+        |CAST(l_quantity AS DOUBLE) / 2 AS p_signal
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

@@ -19,7 +19,16 @@ object Similarity {
   /** Cast a float vector column to double for stable arithmetic. */
   def asDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Codegen'd native dot product (graft.functions.VectorDot) — sequential
+    * left-to-right double accumulation, bit-identical to the interpreted
+    * HOF fold `aggregate(zip_with(a,b,_*_), 0d, _+_)` it replaces, but it
+    * stays inside whole-stage codegen (HOF lambdas do not). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vec_dot(a, b)
+
+  /** Interpreted HOF formulation, kept as the composable reference
+    * implementation (SURVEY preference order: compose built-ins first). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -23,9 +23,16 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of parquet events. */
+  /** On-disk schema: ts is parquet TIMESTAMP(NANOS), read as a nanos long
+    * (requires spark.sql.legacy.parquet.nanosAsLong). */
+  val EventSchemaRaw: StructType = StructType(
+    EventSchema.fields.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+
+  /** File-source stream over the events parquet, converting the nanosecond
+    * timestamp to Spark's microsecond TimestampType. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(EventSchema).parquet(dir)
+    spark.readStream.schema(EventSchemaRaw).parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Tumbling-window counts+sums per event type, tolerating `lateness` of
     * out-of-order data. Works identically on a batch frame (minus the
@@ -96,12 +103,12 @@ object Streams {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          (col("ts").cast("double") - col("prev_ts").cast("double")) * 1000 > gapMs, 1)
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs, 1)
           .otherwise(0))
       .withColumn("sess_id", sum(col("new_sess")).over(wRun))
       .groupBy(col("user_id"), col("sess_id"))
-      .agg((min(col("ts")).cast("double") * 1000).cast("long").as("start_ms"),
-        (max(col("ts")).cast("double") * 1000).cast("long").as("end_ms"),
+      .agg(min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
         count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .drop("sess_id")
