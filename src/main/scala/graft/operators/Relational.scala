@@ -72,6 +72,16 @@ object Relational {
   def withRowidOrdered(df: DataFrame, order: Seq[Column], col: String = "rowid"): DataFrame =
     withRowid(df.orderBy(order: _*), col)
 
+  /** ScanViewWithSelection — scan through a rowid selection vector; rows may
+    * repeat or drop, output follows selection order (reference:
+    * scan_view.h:42-47, view_cursor.h:36-43). The selection is a DataFrame
+    * of (position, rowid) pairs so the "vector" itself is distributed. */
+  def scanWithSelection(df: DataFrame, selection: DataFrame,
+                        posCol: String = "pos", ridCol: String = "rowid"): DataFrame =
+    selection.join(withRowid(df, "__rid"), col(ridCol) === col("__rid"), "inner")
+      .orderBy(posCol)
+      .drop("__rid", posCol, ridCol)
+
   // ===== Joins (reference: cursor/core/hash_join.h:35, rowid_merge_join.h:28,
   // foreign_filter.h:22) =====
 
