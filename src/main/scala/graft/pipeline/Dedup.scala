@@ -68,9 +68,13 @@ object Dedup {
 
   /** Jaccard similarity of the two columns' element sets (exact division of
     * integer set sizes — cross-engine deterministic). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      greatest(size(array_union(a, b)), lit(1)).cast("double")
+  def jaccard(a: Column, b: Column): Column = {
+    // Inputs are distinct sets (shingles are array_distinct'ed), so
+    // |A∪B| = |A|+|B|-|A∩B| — avoids materializing the union array for
+    // every candidate pair.
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / greatest(size(a) + size(b) - inter, lit(1)).cast("double")
+  }
 
   // ===== MinHash + LSH =====
 
@@ -160,14 +164,9 @@ object Dedup {
   /** Staged simhash (token hashes materialized once — same HOF-lambda
     * performance rationale as withMinhashSignature). */
   def withSimhash(df: DataFrame, idCol: String, textCol: String, out: String): DataFrame =
-    barrier(df.select(col(idCol),
-      transform(array_distinct(TextAnalysis.tokens(col(textCol))), tok => xxhash64(tok)).as("__th")), idCol)
-      .select(col(idCol), aggregate(
-        transform(sequence(lit(0), lit(63)), k =>
-          when(aggregate(col("__th"), lit(0),
-            (acc, h) => acc + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-            call_function("shiftleft", lit(1L), k)).otherwise(0L)),
-        lit(0L), (acc, v) => acc.bitwiseOR(v)).as(out))
+    df.select(col(idCol),
+      graft.functions.SimHashExpression.simhash64_native(
+        transform(array_distinct(TextAnalysis.tokens(col(textCol))), tok => xxhash64(tok))).as(out))
 
   /** SimHash near-dup candidates: 4 bands of 16 bits — any pair within
     * Hamming distance 3 shares at least one exact band (pigeonhole). */
