@@ -521,6 +521,17 @@ object SparkEntry {
     ).orderBy("l_orderkey", "l_linenumber")
   }
 
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("sv"))
+    Relational.asOfJoin(clicks, signups, Seq("user_id"), "ts", "ts", Seq("sv"))
+      .select(col("user_id"), col("event_id"), col("sv"))
+      .orderBy("user_id", "event_id")
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -577,6 +588,7 @@ object SparkEntry {
     "q_sliding_window" -> (qSlidingWindow _),
     "q_enum" -> (qEnum _),
     "q_expr_policy" -> (qExprPolicy _),
+    "q_asof_join" -> (qAsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -894,5 +906,13 @@ object SparkEntry {
         |CAST(l_quantity AS DOUBLE) / 2 AS p_quiet,
         |CAST(l_quantity AS DOUBLE) / 2 AS p_signal
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_asof_join" ->
+      """SELECT c.user_id, c.event_id, s.sv
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS sv
+        |      FROM events WHERE event_type = 'signup') s
+        |ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
   )
 }

@@ -131,6 +131,41 @@ object Relational {
       .withColumnRenamed("__newid", fkCol)
   }
 
+  /** As-of join (capability superset; the reference has no temporal joins,
+    * SURVEY §2.3): for each left row, attach the latest right row whose
+    * time ≤ the left row's time, per key.
+    *
+    * Spark-first design: instead of a range join (which Catalyst plans as
+    * a broadcast nested loop), the two sides are UNIONed and a single
+    * window pass per key carries the last-seen right values forward — one
+    * shuffle on the key, linear work, no quadratic candidate pairs. This
+    * is the standard distributed as-of formulation.
+    *
+    * @param valueCols right-side columns to attach (must not clash with
+    *                  left column names)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lTagged = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    val rTagged = right.select((keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side")) ++
+      valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val lAligned = lTagged.select((lTagged.columns.filterNot(c => c.startsWith("__v_")).map(col) ++
+      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c"))): _*)
+    val unioned = lAligned.unionByName(rTagged, allowMissingColumns = true)
+    // right rows sort before left rows at equal time (tag 0 < 1) so a
+    // same-instant right row IS visible to the left row (ASOF <= semantics)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1)
+      .drop((valueCols.map(c => s"__v_$c") :+ "__t" :+ "__side"): _*)
+  }
+
   // ===== Sort / limit / merge (reference: cursor/core/sort.h:89,
   // limit.h:30, merge_union_all.h:33) =====
 

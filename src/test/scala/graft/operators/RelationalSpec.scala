@@ -140,6 +140,20 @@ class RelationalSpec extends SparkSpec {
     assert(rows(Relational.except(a, b).orderBy("x")).flatten == Seq(1, 3))
   }
 
+  test("asOfJoin attaches latest right value at-or-before left time, per key") {
+    val trades = Seq(("a", 10, 1), ("a", 25, 2), ("b", 5, 3)).toDF("k", "t", "id")
+    val quotes = Seq(("a", 8, 100.0), ("a", 20, 110.0), ("a", 30, 120.0), ("c", 1, 999.0))
+      .toDF("k", "t", "px")
+    val out = Relational.asOfJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"))
+      .orderBy("id").select("id", "px")
+    // trade(a,10)→quote(a,8)=100; trade(a,25)→quote(a,20)=110; trade(b,5)→none
+    assert(rows(out) == Seq(Seq(1, 100.0), Seq(2, 110.0), Seq(3, null)))
+    // equal-instant: right row at the same time IS visible (<= semantics)
+    val eq = Relational.asOfJoin(
+      Seq(("a", 20, 9)).toDF("k", "t", "id"), quotes, Seq("k"), "t", "t", Seq("px"))
+    assert(rows(eq.select("px")).head.head == 110.0)
+  }
+
   test("lookup is a broadcast multi-lookup join") {
     val queries = Seq(1, 2, 2, 9).toDF("k")
     val index = Seq((1, "a"), (2, "b")).toDF("k", "v")
