@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{SimHash64, VectorDot}
+
+/** SQL registration of graft's native Catalyst expressions.
+  *
+  * Two entry points:
+  *  - `.withExtensions(new GraftExtensions)` / `spark.sql.extensions=
+  *    graft.GraftExtensions` at session build time (standard plugin path);
+  *  - `GraftExtensions.register(spark)` on an already-running session
+  *    (temp-function path, e.g. notebooks/tests).
+  * Both share the same builders, so `spark.sql("SELECT vec_dot(a,b)")`
+  * behaves identically.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> { children =>
+      require(children.length == 2, "vec_dot(a, b) takes 2 arguments")
+      VectorDot(children.head, children(1))
+    },
+    "simhash64" -> { children =>
+      require(children.length == 1, "simhash64(tokenHashes) takes 1 argument")
+      SimHash64(children.head)
+    })
+
+  /** Register as session-scoped temp functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -412,6 +412,16 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 5, nCells = 16, nprobe = 4)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("qid", "rank")
+  }
+
   private def qAnnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
       .withColumn("cosine", round(col("cosine"), 6))
@@ -589,6 +599,7 @@ object SparkEntry {
     "q_enum" -> (qEnum _),
     "q_expr_policy" -> (qExprPolicy _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_ann_ivf" -> (qAnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -106,6 +106,37 @@ object Aggregates {
   def scalarAggregate(specs: Seq[Agg])(df: DataFrame): DataFrame =
     df.agg(specs.head.toColumn, specs.tail.map(_.toColumn): _*)
 
+  /** Skew-resistant two-phase aggregation: rows are first aggregated under
+    * (keys, random salt ∈ [0, saltBuckets)), spreading a hot key over
+    * saltBuckets reducers, then the partials are merged by the bare keys.
+    * Correct for the decomposable aggregations (SUM/MIN/MAX/COUNT — the
+    * partial of a COUNT is a SUM of partial counts, handled here); CONCAT/
+    * FIRST/LAST/DISTINCT are not salt-decomposable and are rejected.
+    *
+    * At 100 TB this is the difference between one straggler reducer pinned
+    * on a hot key and even distribution; AQE's skew handling covers joins,
+    * but a skewed groupBy still needs salting.
+    */
+  def saltedGroupAggregate(keys: Seq[String], specs: Seq[Agg], saltBuckets: Int = 16)
+                          (df: DataFrame): DataFrame = {
+    require(specs.forall(a => Set[AggFn](SUM, MIN, MAX, COUNT).contains(a.fn) && !a.distinct),
+      "saltedGroupAggregate supports non-distinct SUM/MIN/MAX/COUNT only")
+    val salted = df.withColumn("__salt",
+      (rand(42L) * saltBuckets).cast("int"))
+    val partial = groupAggregate(keys :+ "__salt", specs)(salted)
+    val merge = specs.map { a =>
+      val c = a.fn match {
+        case SUM | COUNT => sum(col(a.output))
+        case MIN => min(col(a.output))
+        case MAX => max(col(a.output))
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      c.as(a.output)
+    }
+    partial.groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
   /** BoundGroupAggregateWithLimit — aggregate the first `limit` unique keys
     * (in key order) individually; all remaining rows fold into a single
     * overflow group with NULL keys (reference: aggregate.h:264-276).

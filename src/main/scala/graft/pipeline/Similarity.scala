@@ -88,6 +88,71 @@ object Similarity {
       .select("id1", "id2", "cosine")
   }
 
+  // ===== IVF (inverted-file) ANN =====
+
+  /** Deterministic k-means-lite coarse quantizer: seeds are the k vectors
+    * with the smallest xxhash64(id) (a deterministic uniform sample), then
+    * `iters` Lloyd rounds computed with distributed aggregations
+    * (posexplode → per-dimension mean). Returns the centroids as
+    * driver-side index metadata (k × dim doubles — IVF centroids are
+    * by construction small enough to broadcast).
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 2): Array[Array[Double]] = {
+    val vecs = df.select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(xxhash64(col(idCol))).limit(k)
+      .select("__v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    (1 to iters).foreach { _ =>
+      val assigned = assignCells(vecs, centroids, "__v", "__cell")
+      val means = assigned
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos").agg(avg("__x").as("__m"))
+        .groupBy("__cell").agg(sort_array(collect_list(struct(col("__pos"), col("__m")))).as("__mv"))
+        .select(col("__cell"), transform(col("__mv"), s => s.getField("__m")).as("__c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine) — a fold over
+    * k codegen'd vec_dot calls, no shuffle. */
+  private def assignCells(df: DataFrame, centroids: Array[Array[Double]],
+                          vecCol: String, out: String): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val lit_c = array(c.map(lit): _*)
+      struct(cosine(col(vecCol), lit_c).as("s"), lit(i).as("i"))
+    }
+    df.withColumn(out, greatest(scored: _*).getField("i"))
+  }
+
+  /** IVF top-k: corpus bucketed by nearest centroid; each query probes its
+    * `nprobe` nearest cells and ranks exactly within them. The candidate
+    * join is cell-equi — the shuffle moves each corpus vector once.
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nCells: Int = 16, nprobe: Int = 3): DataFrame = {
+    val cents = ivfCentroids(corpus, corpusId, corpusVec, nCells)
+    val cell = assignCells(
+      corpus.select(col(corpusId), asDoubleVec(col(corpusVec)).as("__cv")), cents, "__cv", "__cell")
+    // each query expands to its nprobe closest cells
+    val qScored = queries.select(col(queryId), asDoubleVec(col(queryVec)).as("__qv"))
+      .withColumn("__cells", sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+        struct((-cosine(col("__qv"), array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+      }: _*)))
+      .withColumn("__cell", explode(slice(col("__cells"), 1, nprobe)))
+      .select(col(queryId), col("__qv"), col("__cell.i").as("__cell"))
+    val cand = qScored.join(cell, Seq("__cell"))
+      .where(col(corpusId) =!= col(queryId))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
   /** ANN top-k via multi-probe LSH: exact within-bucket ranking. Falls back
     * to fewer than k results when a bucket is small — the documented
     * approximate trade-off vs bruteForceTopK. */

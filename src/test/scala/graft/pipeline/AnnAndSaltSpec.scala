@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.operators.Aggregates
+import graft.operators.Aggregates._
+import org.apache.spark.sql.functions._
+
+class AnnAndSaltSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF top-k achieves high recall vs brute force on the embeddings table") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select("qid", "vec_id")).map(r => (r(0), r(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qv", 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+      k = 5, nCells = 8, nprobe = 4))
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (nprobe=4 of 8 cells)")
+    assert(ivf.size <= brute.size)
+  }
+
+  test("saltedGroupAggregate matches plain groupAggregate for SUM/MIN/MAX/COUNT") {
+    val df = (1 to 500).map(i => (if (i % 10 == 0) "cold" + i else "hot", i)).toDF("k", "v")
+    withPartitionings(df) { d =>
+      val salted = rows(Aggregates.saltedGroupAggregate(Seq("k"), Seq(
+        Agg(SUM, Some("v"), "s"), Agg(MIN, Some("v"), "mn"),
+        Agg(MAX, Some("v"), "mx"), Agg(COUNT, None, "n")), saltBuckets = 8)(d)
+        .orderBy("k"))
+      val plain = rows(Aggregates.groupAggregate(Seq("k"), Seq(
+        Agg(SUM, Some("v"), "s"), Agg(MIN, Some("v"), "mn"),
+        Agg(MAX, Some("v"), "mx"), Agg(COUNT, None, "n")))(d).orderBy("k"))
+      assert(salted == plain)
+    }
+    intercept[IllegalArgumentException] {
+      Aggregates.saltedGroupAggregate(Seq("k"), Seq(
+        Agg(COUNT, Some("v"), "n", distinct = true)))(df)
+    }
+  }
+
+  test("GraftExtensions registers vec_dot and simhash64 for SQL") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS r")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+    val sh = spark.sql("SELECT simhash64(array(xxhash64('a'), xxhash64('b'))) AS h")
+      .collect().head.getLong(0)
+    val sh2 = spark.sql("SELECT simhash64(array(xxhash64('a'), xxhash64('b'))) AS h")
+      .collect().head.getLong(0)
+    assert(sh == sh2)
+  }
+}
