@@ -111,7 +111,10 @@ object Similarity {
         .groupBy("__cell", "__pos").agg(avg("__x").as("__m"))
         .groupBy("__cell").agg(sort_array(collect_list(struct(col("__pos"), col("__m")))).as("__mv"))
         .select(col("__cell"), transform(col("__mv"), s => s.getField("__m")).as("__c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .collect().map(r => r.getInt(0) ->
+          // round: distributed double sums are order-sensitive at the last
+          // bit; rounding makes the index identical across runs/partitionings
+          r.getSeq[Double](1).map(x => math.rint(x * 1e6) / 1e6).toArray).toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
     }
     centroids
