@@ -808,10 +808,11 @@ object SparkEntry {
         |  THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
         |  ELSE [array_to_string(toks, ' ')] END) AS sh
         |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
-        |e AS (SELECT doc_id, CAST(ln // 8 AS BIGINT) AS b FROM t
-        |UNION ALL SELECT doc_id, CAST(ln // 8 AS BIGINT) + 1 AS b FROM t),
+        |e AS (SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) AS b FROM t
+        |UNION ALL SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) + 1 AS b FROM t),
         |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |FROM e a JOIN e b ON a.b = b.b AND a.doc_id < b.doc_id)
+        |FROM e a JOIN e b ON a.b = b.b AND a.doc_id < b.doc_id
+        |AND abs(a.ln - b.ln) <= 8)
         |SELECT p.id1, p.id2,
         |CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) / greatest(len(list_distinct(t1.sh || t2.sh)), 1) AS jac
         |FROM p JOIN t t1 ON p.id1 = t1.doc_id JOIN t t2 ON p.id2 = t2.doc_id

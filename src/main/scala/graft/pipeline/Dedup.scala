@@ -195,12 +195,14 @@ object Dedup {
                                threshold: Double, bucketWidth: Int = 8,
                                shingleLen: Int = 2): DataFrame = {
     val base = df.select(col(idCol), length(col(textCol)).as("__len"))
-    val b0 = base.select(col(idCol), (col("__len") / bucketWidth).cast("long").as("__b"))
-    val b1 = base.select(col(idCol), ((col("__len") / bucketWidth).cast("long") + 1).as("__b"))
+    val b0 = base.select(col(idCol), col("__len"), (col("__len") / bucketWidth).cast("long").as("__b"))
+    val b1 = base.select(col(idCol), col("__len"), ((col("__len") / bucketWidth).cast("long") + 1).as("__b"))
     val buckets = b0.unionAll(b1)
-    val pairs = buckets.select(col("__b"), col(idCol).as("id1"))
-      .join(buckets.select(col("__b"), col(idCol).as("id2")), Seq("__b"))
-      .where(col("id1") < col("id2"))
+    val pairs = buckets.select(col("__b"), col(idCol).as("id1"), col("__len").as("__l1"))
+      .join(buckets.select(col("__b"), col(idCol).as("id2"), col("__len").as("__l2")), Seq("__b"))
+      // exact length gate: the two-bucket trick admits pairs up to 2W apart;
+      // re-checking |Δlen| ≤ W here halves the pairs the Jaccard pass scores
+      .where(col("id1") < col("id2") && abs(col("__l1") - col("__l2")) <= bucketWidth)
       .select("id1", "id2").distinct()
     val docs = withShingleSet(df, idCol, textCol, shingleLen, "sh")
     pairs

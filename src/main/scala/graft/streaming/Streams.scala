@@ -31,7 +31,11 @@ object Streams {
   /** File-source stream over the events parquet, converting the nanosecond
     * timestamp to Spark's microsecond TimestampType. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(EventSchemaRaw).parquet(s"$dir/events.parquet")
+    // streaming file sources take a directory; glob-filter down to the
+    // events table inside the scale-factor dir
+    spark.readStream.schema(EventSchemaRaw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Tumbling-window counts+sums per event type, tolerating `lateness` of

@@ -68,10 +68,20 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(Seq(1L, 3L, 600L), Seq(1L, 1L, 400L), Seq(2L, 1L, 500L)))
   }
 
-  test("file-source streaming over the events parquet directory") {
-    // readEvents wires schema+source; smoke only (ns-parquet needs the
-    // nanosAsLong session flag and a ts cast, exercised via batch path).
-    val streamDf = Streams.readEvents(spark, sf() )
+  test("file-source streaming over the real ns-timestamp events parquet") {
+    val streamDf = Streams.readEvents(spark, sf())
     assert(streamDf.isStreaming)
+    val q = Streams.windowedStats(streamDf, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("file_win_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_win_out")
+      val batch = Streams.windowedStats(graft.Tables.events(spark, sf()))
+      // stream over the file source == batch over the same file
+      assert(got.count() == batch.count())
+      assert(rows(got.orderBy("window_start", "event_type")) ==
+        rows(batch.orderBy("window_start", "event_type")))
+    } finally q.stop()
   }
 }
