@@ -173,8 +173,11 @@ object SparkEntry {
   }
 
   private def qFirstLast(s: SparkSession, d: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+    // order key folds the quantity in as a deterministic tie-break — rows
+    // tying on (ord, qty) are interchangeable for FIRST/LAST-of-qty.
     val li = Tables.lineitem(s, d)
-      .withColumn("ord", col("l_orderkey") * 10 + col("l_linenumber"))
+      .withColumn("ord", (col("l_orderkey") * 10 + col("l_linenumber")) * 100 + col("l_quantity"))
     Relational.sort(col("l_returnflag"))(
       Aggregates.groupAggregate(Seq("l_returnflag"), Seq(
         Agg(FIRST, Some("l_quantity"), "first_qty", order = Some(col("ord"))),
@@ -669,8 +672,8 @@ object SparkEntry {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_first_last" ->
       """SELECT l_returnflag,
-        |min_by(l_quantity, l_orderkey * 10 + l_linenumber) AS first_qty,
-        |max_by(l_quantity, l_orderkey * 10 + l_linenumber) AS last_qty
+        |min_by(l_quantity, (l_orderkey * 10 + l_linenumber) * 100 + l_quantity) AS first_qty,
+        |max_by(l_quantity, (l_orderkey * 10 + l_linenumber) * 100 + l_quantity) AS last_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_limit" ->
       """WITH rk AS (SELECT l_suppkey AS k, dense_rank() OVER (ORDER BY l_suppkey) AS r
