@@ -60,12 +60,14 @@ object Aggregates {
         case CONCAT =>
           // Input-order concat: sort (order, value) pairs inside the
           // aggregation buffer, then join — deterministic under shuffle,
-          // unlike bare collect_list.
+          // unlike bare collect_list. DISTINCT dedupes VALUES (reference
+          // DistinctAggregator, column_aggregator.cc:308), keeping each
+          // value's first occurrence in the explicit order.
           val ord = order.getOrElse(in.get)
           val v = in.get.cast("string")
           val paired = collect_list(struct(ord.as("o"), v.as("v")))
-          val sorted = array_sort(if (distinct) array_distinct(paired) else paired)
-          array_join(transform(sorted, x => x.getField("v")), sep)
+          val values = transform(array_sort(paired), x => x.getField("v"))
+          array_join(if (distinct) array_distinct(values) else values, sep)
         case FIRST =>
           val ord = order.getOrElse(in.get)
           min_by(in.get, when(in.get.isNotNull, ord)) // ignore-null FIRST

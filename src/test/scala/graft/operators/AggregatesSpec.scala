@@ -62,6 +62,15 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("CONCAT DISTINCT dedupes values, keeping first occurrence in order") {
+    val df = Seq((1, "x"), (2, "y"), (3, "x"), (4, "z")).toDF("ord", "s")
+    withPartitionings(df) { d =>
+      val out = scalarAggregate(Seq(
+        Agg(CONCAT, Some("s"), "cat", distinct = true, order = Some(col("ord")))))(d)
+      assert(rows(out).head.head == "x,y,z")
+    }
+  }
+
   test("FIRST/LAST take explicit order and ignore NULLs") {
     val df = Seq((1, None), (2, Some("b")), (3, Some("c")), (4, None))
       .toDF("ord", "s")
