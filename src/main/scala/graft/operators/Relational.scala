@@ -39,6 +39,19 @@ object Relational {
   def fileOutput(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Bucketed table write: pre-shuffles the data into `numBuckets` by the
+    * join keys at write time, so later equi-joins/aggregations on those
+    * keys run with NO exchange — the 100 TB co-located-join strategy
+    * (pay the shuffle once at ingest, not per query). Requires a saved
+    * table (bucketing metadata lives in the catalog). */
+  def bucketedWrite(df: DataFrame, table: String, keys: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   // ===== Projection / compute / filter (reference: cursor/core/project.h:31,
   // compute.h:33, filter.h:36) =====
 
