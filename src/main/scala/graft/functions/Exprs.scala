@@ -169,7 +169,7 @@ object Exprs {
   def hourE(c: Column): Column = hour(c)
   def minuteE(c: Column): Column = minute(c)
   def secondE(c: Column): Column = second(c)
-  def microsecondE(c: Column): Column = (c.cast(LongType) % 1000000L).cast("int")
+  def microsecondE(c: Column): Column = (unix_micros(c) % 1000000L).cast("int")
   def addDays(c: Column, n: Column): Column = date_add(c.cast("date"), n)
   def addMonths(c: Column, n: Column): Column = add_months(c.cast("date"), n)
   def addMinutes(c: Column, n: Column): Column =

@@ -28,11 +28,8 @@ final class Cursor(df: DataFrame) {
   val defaultRowCount = 1024
 
   private val groupId = s"graft-cursor-${java.util.UUID.randomUUID}"
-  private lazy val it: Iterator[Row] = {
-    df.sparkSession.sparkContext.setJobGroup(groupId, "graft cursor", true)
-    df.toLocalIterator().asInstanceOf[java.util.Iterator[Row]]
-      .asScala
-  }
+  private lazy val it: Iterator[Row] =
+    df.toLocalIterator().asInstanceOf[java.util.Iterator[Row]].asScala
   private implicit class JIter[A](j: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = j.hasNext; def next() = j.next()
@@ -41,17 +38,29 @@ final class Cursor(df: DataFrame) {
 
   def schema = df.schema
 
+  /** Scope Spark jobs submitted by `body` to this cursor's job group, then
+    * restore the thread's previous group — without the restore, unrelated
+    * jobs submitted later on this thread would inherit the cursor's group
+    * and be killed by interrupt(). */
+  private def inGroup[A](body: => A): A = {
+    val sc = df.sparkSession.sparkContext
+    sc.setJobGroup(groupId, "graft cursor", interruptOnCancel = true)
+    try body finally sc.clearJobGroup()
+  }
+
   /** Pull the next block of up to maxRows rows; empty Seq = EOS
     * (reference ResultView EOS, cursor.h:42-122). */
-  def next(maxRows: Int = defaultRowCount): Seq[Row] = {
+  def next(maxRows: Int = defaultRowCount): Seq[Row] = inGroup {
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     while (out.length < maxRows && it.hasNext) out += it.next()
     out.toSeq
   }
 
-  def hasNext: Boolean = it.hasNext
+  def hasNext: Boolean = inGroup { it.hasNext }
 
-  /** Async cancellation (reference Interrupt, cursor.h:150-186). */
+  /** Async cancellation (reference Interrupt, cursor.h:150-186). A no-op
+    * if no pull is in flight — like the reference, interruption takes
+    * effect at the next processing boundary. */
   def interrupt(): Unit =
     df.sparkSession.sparkContext.cancelJobGroup(groupId)
 }

@@ -66,8 +66,11 @@ object Aggregates {
           val ord = order.getOrElse(in.get)
           val v = in.get.cast("string")
           val paired = collect_list(struct(ord.as("o"), v.as("v")))
-          val values = transform(array_sort(paired), x => x.getField("v"))
-          array_join(if (distinct) array_distinct(values) else values, sep)
+          val values = filter(
+            transform(array_sort(paired), x => x.getField("v")), _.isNotNull)
+          val deduped = if (distinct) array_distinct(values) else values
+          // all-NULL / empty group yields NULL, not "" (column_aggregator.h:37-42)
+          when(size(deduped) === 0, lit(null)).otherwise(array_join(deduped, sep))
         case FIRST =>
           val ord = order.getOrElse(in.get)
           min_by(in.get, when(in.get.isNotNull, ord)) // ignore-null FIRST
@@ -149,9 +152,11 @@ object Aggregates {
     */
   def groupAggregateWithLimit(key: String, specs: Seq[Agg], limit: Int)
                              (df: DataFrame): DataFrame = {
-    val ranked = df.select(col(key)).distinct()
-      .withColumn("__rk", dense_rank().over(Window.orderBy(col(key))))
-    val tagged = df.join(broadcast(ranked), Seq(key), "inner")
+    val ranked = df.select(col(key).as("__rkey")).distinct()
+      .withColumn("__rk", dense_rank().over(Window.orderBy(col("__rkey"))))
+    // null-safe join: a NULL group key is a real group in the reference's
+    // hash aggregation, and (nulls-smallest) it ranks first
+    val tagged = df.join(broadcast(ranked), col(key) <=> col("__rkey"), "inner")
       .withColumn("__k", when(col("__rk") <= limit, col(key)))
     tagged.groupBy(col("__k").as(key))
       .agg(specs.head.toColumn, specs.tail.map(_.toColumn): _*)

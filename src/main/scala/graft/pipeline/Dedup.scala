@@ -238,7 +238,8 @@ object Dedup {
   /** Embedding-cosine near-duplicates via LSH bucketing + exact verify —
     * see Similarity.lshCandidates. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, nPlanes: Int = 12, seed: Long = 42L): DataFrame =
-    Similarity.lshCandidates(df, idCol, vecCol, nPlanes, seed)
+                        threshold: Double, nPlanes: Int = 12, seed: Long = 42L,
+                        dim: Int = 64): DataFrame =
+    Similarity.lshCandidates(df, idCol, vecCol, nPlanes, seed, dim)
       .where(col("cosine") >= threshold)
 }

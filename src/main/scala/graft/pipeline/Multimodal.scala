@@ -18,10 +18,10 @@ object Multimodal {
 
   /** Metadata schema attached to decoded media. */
   val MediaMetaSchema: StructType = StructType(Seq(
-    StructField("media_format", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false)))
+    StructField("media_format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true)))
 
   /** Wrap a column as an opaque binary payload (here: UTF-8 bytes; in a
     * real pipeline this column comes from the storage layer as-is). */
@@ -62,8 +62,11 @@ object Multimodal {
       // per-partition codec init would happen HERE (once, not per row)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val (fmt, w, h) = fakeDecode(bytes) // STUB decode
-        Row.fromSeq(r.toSeq ++ Seq(fmt, w, h, bytes.length.toLong))
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        else {
+          val (fmt, w, h) = fakeDecode(bytes) // STUB decode
+          Row.fromSeq(r.toSeq ++ Seq(fmt, w, h, bytes.length.toLong))
+        }
       }
     }(enc)
   }

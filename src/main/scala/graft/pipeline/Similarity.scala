@@ -75,8 +75,8 @@ object Similarity {
     * self-join: the shuffle moves (signature, id, vec) once; the quadratic
     * verify runs per bucket. */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
-                    nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
-    val dim = 64 // embeddings table vector length (TESTDATA.md)
+                    nPlanes: Int = 12, seed: Long = 42L,
+                    dim: Int = 64): DataFrame = {
     val keyed = df.select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
       .repartition(col(idCol)) // barrier: keep the cast vector from being
       // re-materialized once per hyperplane inside the signature lambda
@@ -160,8 +160,8 @@ object Similarity {
     * to fewer than k results when a bucket is small — the documented
     * approximate trade-off vs bruteForceTopK. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val cand = lshCandidates(df, idCol, vecCol, nPlanes, seed)
+              nPlanes: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val cand = lshCandidates(df, idCol, vecCol, nPlanes, seed, dim)
     val sym = cand.select(col("id1").as("qid"), col("id2").as("nid"), col("cosine"))
       .unionAll(cand.select(col("id2").as("qid"), col("id1").as("nid"), col("cosine")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))

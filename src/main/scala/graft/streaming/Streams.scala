@@ -85,7 +85,10 @@ object Streams {
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
           sorted.foreach { e =>
             val t = e.ts.getTime
-            val cents = math.round(e.value * 100)
+            // HALF_UP (away from zero) to match Spark's round() in the
+            // batch path — math.round would differ on negative half-cents
+            val cents = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
             if (st == null) st = SessionState(t, t, 1, cents)
             else if (t - st.lastSeen > gapMs) {
               out += Session(user, st.start, st.lastSeen, st.n, st.sumCents)

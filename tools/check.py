@@ -30,9 +30,11 @@ for t in glob.glob(f"{sf}/*.parquet"):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
+checked = 0
 for name in sorted(oracle):
     if only and name not in only:
         continue
+    checked += 1
     pdir = f"{out}/{name}"
     if not os.path.isdir(pdir):
         print(f"FAIL {name}: no spark output"); fails.append(name); continue
@@ -67,5 +69,7 @@ for name in sorted(oracle):
         print(f"PASS {name} ({len(got)} rows)")
     else:
         fails.append(name)
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass" + (f"; FAILING: {fails}" if fails else ""))
-sys.exit(1 if fails else 0)
+print(f"\n{checked - len(fails)}/{checked} pass"
+      + (f" (of {len(oracle)} oracles)" if checked != len(oracle) else "")
+      + (f"; FAILING: {fails}" if fails else ""))
+sys.exit(1 if fails or checked == 0 else 0)
