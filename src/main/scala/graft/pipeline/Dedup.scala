@@ -66,6 +66,15 @@ object Dedup {
     toks.select(col(idCol), shinglesFromTokens(col("__toks"), shingleLen).as(out))
   }
 
+  /** id + distinct shingle-HASH set (64-bit): set operations on long arrays
+    * shuffle ~8 bytes per shingle instead of the string and compare
+    * integers — Jaccard over hash sets equals Jaccard over the strings up
+    * to negligible 64-bit collision probability. */
+  def withShingleHashSet(df: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int, out: String): DataFrame =
+    withShingleSet(df, idCol, textCol, shingleLen, "__sh")
+      .select(col(idCol), transform(col("__sh"), sh => xxhash64(sh)).as(out))
+
   /** Jaccard similarity of the two columns' element sets (exact division of
     * integer set sizes — cross-engine deterministic). */
   def jaccard(a: Column, b: Column): Column = {
@@ -137,7 +146,7 @@ object Dedup {
                       threshold: Double, numHashes: Int = 32, bands: Int = 8,
                       shingleLen: Int = 3): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleLen)
-    val docs = withShingleSet(df, idCol, textCol, shingleLen, "sh")
+    val docs = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
     cand.join(docs.withColumnRenamed(idCol, "id1").withColumnRenamed("sh", "sh1"), "id1")
       .join(docs.withColumnRenamed(idCol, "id2").withColumnRenamed("sh", "sh2"), "id2")
       .withColumn("jac", jaccard(col("sh1"), col("sh2")))
@@ -204,7 +213,7 @@ object Dedup {
       // re-checking |Δlen| ≤ W here halves the pairs the Jaccard pass scores
       .where(col("id1") < col("id2") && abs(col("__l1") - col("__l2")) <= bucketWidth)
       .select("id1", "id2").distinct()
-    val docs = withShingleSet(df, idCol, textCol, shingleLen, "sh")
+    val docs = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
     pairs
       .join(docs.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(docs.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
