@@ -183,6 +183,24 @@ object Exprs {
   def fingerprint(c: Column): Column = xxhash64(c)
   def hashWithSeed(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 
+  // ===== Additional Signaling variants (policy triple completeness) =====
+  def modulusSignaling(a: Column, b: Column): Column =
+    signaling(modulusNulling(a, b), Seq(a, b), "ModulusSignaling")
+  def sqrtSignaling(c: Column): Column = signaling(sqrtNulling(c), Seq(c), "SqrtSignaling")
+  def lnSignaling(c: Column): Column = signaling(lnNulling(c), Seq(c), "LnSignaling")
+
+  // ===== Const datetime factories (date_expressions.h:31-60) =====
+  def constDateTime(iso: String): Column = lit(iso).cast("timestamp")
+  def constDateTimeFromMicrosecondsSinceEpoch(us: Long): Column = timestamp_micros(lit(us))
+  def constDateTimeFromSecondsSinceEpoch(s: Long): Column = timestamp_seconds(lit(s))
+
+  // ===== Projecting expressions (projecting_expressions.h:46-73) =====
+  def namedAttribute(name: String): Column = col(name)
+  def attributeAt(df: org.apache.spark.sql.DataFrame, i: Int): Column = col(df.columns(i))
+  def aliasE(c: Column, name: String): Column = c.as(name)
+  /** CompoundExpression — multi-column result = a list of Columns. */
+  def compound(cs: Column*): Seq[Column] = cs
+
   // ===== Terminal (terminal_expressions.h:36-71) =====
   def nullOf(t: DataType): Column = lit(null).cast(t)
   def const[T](v: T): Column = lit(v)

@@ -114,6 +114,27 @@ class ExprsSpec extends SparkSpec {
       Seq(42, null))
   }
 
+  test("const datetime factories and projecting expressions") {
+    val df = Seq((1, "a")).toDF("x", "s")
+    assert(rows(df.select(E.dateFormat(E.constDateTime("2024-03-05 10:00:00"), "yyyy-MM-dd HH")))
+      .head.head == "2024-03-05 10")
+    assert(rows(df.select(E.unixTimestampE(E.constDateTimeFromSecondsSinceEpoch(1704067200L))))
+      .head.head == 1704067200L)
+    assert(rows(df.select(E.microsecondE(E.constDateTimeFromMicrosecondsSinceEpoch(1704067200123456L))))
+      .head.head == 123456)
+    assert(rows(df.select(E.attributeAt(df, 1))).head.head == "a")
+    assert(df.select(E.compound(E.aliasE(col("x"), "y"), E.namedAttribute("s")): _*)
+      .columns.toSeq == Seq("y", "s"))
+  }
+
+  test("signaling variants raise only on actual domain errors") {
+    val df = Seq(4.0).toDF("x")
+    assert(rows(df.select(E.sqrtSignaling(col("x")))).head.head == 2.0)
+    intercept[Exception] { Seq(-4.0).toDF("x").select(E.sqrtSignaling(col("x"))).collect() }
+    intercept[Exception] { Seq((-1.0, 0.0)).toDF("a", "b")
+      .select(E.modulusSignaling(col("a"), col("b"))).collect() }
+  }
+
   test("hashing: deterministic, seed changes value") {
     val df = Seq("x").toDF("s")
     val h1 = rows(df.select(E.fingerprint(col("s")))).head.head
