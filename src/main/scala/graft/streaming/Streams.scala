@@ -63,6 +63,16 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon — the streaming face of Dedup.exact (state is
+    * bounded by the watermark; without it, dedup state grows forever). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     lateness: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    withWm.dropDuplicatesWithinWatermark(keyCols)
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class SessionState(start: Long, lastSeen: Long, n: Long, sumCents: Long)

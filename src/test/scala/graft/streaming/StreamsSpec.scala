@@ -68,6 +68,23 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(Seq(1L, 3L, 600L), Seq(1L, 1L, 400L), Seq(2L, 1L, 500L)))
   }
 
+  test("streamingDedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    mem.addData(
+      Streams.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+      Streams.Event(1, ts("2024-01-01 10:01:00"), 1, "click", 1.0, "{}"), // dup id
+      Streams.Event(2, ts("2024-01-01 10:02:00"), 1, "view", 2.0, "{}"))
+    val q = Streams.streamingDedup(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = rows(spark.table("dedup_out").select("event_id").orderBy("event_id")).flatten
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("file-source streaming over the real ns-timestamp events parquet") {
     val streamDf = Streams.readEvents(spark, sf())
     assert(streamDf.isStreaming)
