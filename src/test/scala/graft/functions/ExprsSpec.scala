@@ -114,6 +114,19 @@ class ExprsSpec extends SparkSpec {
       Seq(42, null))
   }
 
+  test("remaining math/logic surface: cot, logBase, format, andNot, bitwiseAndNot") {
+    val df = Seq(1.0).toDF("x")
+    assert(math.abs(rows(df.select(E.cotE(lit(math.Pi / 4)))).head.head
+      .asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(rows(df.select(E.logBase(3.0, lit(27.0)))).head.head
+      .asInstanceOf[Double] - 3.0) < 1e-12)
+    assert(rows(df.select(E.format(lit(1234.5678), 2))).head.head == "1,234.57")
+    val b = Seq((true, true), (false, true)).toDF("a", "b")
+    assert(rows(b.select(E.andNot(col("a"), col("b")))).map(_.head) == Seq(false, true))
+    val i = Seq((6, 3)).toDF("a", "b") // ~6 & 3 = ...11111001 & 011 = 1
+    assert(rows(i.select(E.bitwiseAndNot(col("a"), col("b")))).head.head == 1)
+  }
+
   test("const datetime factories and projecting expressions") {
     val df = Seq((1, "a")).toDF("x", "s")
     assert(rows(df.select(E.dateFormat(E.constDateTime("2024-03-05 10:00:00"), "yyyy-MM-dd HH")))
