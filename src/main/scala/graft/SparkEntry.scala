@@ -22,6 +22,14 @@ object SparkEntry {
 
   /** money-exact decimal cast */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** DuckDB VALUES rows `(i, [plane doubles...])` for the LSH oracle —
+    * the exact constants Similarity.lshSignature uses (Double.toString is
+    * shortest-roundtrip, so DuckDB parses bit-identical values). */
+  private def lshPlanesValues(nPlanes: Int, dim: Int, seed: Long): String =
+    graft.pipeline.Similarity.planes(nPlanes, dim, seed).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+      .mkString(", ")
   private def asDouble(names: String*)(df: DataFrame): DataFrame =
     names.foldLeft(df)((d, n) => d.withColumn(n, col(n).cast("double")))
 
@@ -97,6 +105,36 @@ object SparkEntry {
       Agg(SUM, Some("o_totalprice_dec"), "sum_price")))(
       j.withColumn("o_totalprice_dec", dec(col("o_totalprice"))))
     Relational.sort(col("c_custkey"))(asDouble("sum_price")(agg))
+  }
+
+  private def qHashJoinRight(s: SparkSession, d: String): DataFrame = {
+    // RIGHT_OUTER superset (reference declares it in the JoinType enum,
+    // supersonic.proto:108-113, without implementing it). rhs = customer,
+    // whose key is unique — exercises the KeyUniqueness=UNIQUE contract.
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val j = Relational.hashJoin(o, c, col("o_custkey") === col("c_custkey"),
+      "right_outer", rhsUniqueness = Relational.UniqueKey, rhsKeyCols = Seq("c_custkey"))
+    val agg = Aggregates.groupAggregate(Seq("c_custkey"), Seq(
+      Agg(COUNT, Some("o_orderkey"), "n_orders"),
+      Agg(SUM, Some("o_totalprice_dec"), "sum_price")))(
+      j.withColumn("o_totalprice_dec", dec(col("o_totalprice"))))
+    Relational.sort(col("c_custkey"))(asDouble("sum_price")(agg))
+  }
+
+  private def qHashJoinFull(s: SparkSession, d: String): DataFrame = {
+    // FULL_OUTER superset: restrict customers so both sides contribute
+    // unmatched rows (orders with c_custkey > 750 have no customer row).
+    val c = Tables.customer(s, d).where(col("c_custkey") <= 750)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"))
+    val j = Relational.hashJoin(c, o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .withColumn("custkey", coalesce(col("c_custkey"), col("o_custkey")))
+    val agg = Aggregates.groupAggregate(Seq("custkey"), Seq(
+      Agg(COUNT, Some("o_orderkey"), "n_orders"),
+      Agg(MAX, Some("c_mktsegment"), "seg")))(j)
+    Relational.sort(col("custkey"))(agg)
   }
 
   private def qForeignFilter(s: SparkSession, d: String): DataFrame = {
@@ -336,7 +374,17 @@ object SparkEntry {
       E.dateFormat(E.addMonths(col("o_orderdate"), lit(2)), "yyyy-MM-dd").as("d_plus2m"),
       E.dateFormat(E.addMinutes(col("o_orderdate"), lit(90)), "yyyy-MM-dd HH:mm").as("d_plus90m"),
       E.dateFormat(E.makeDateE(lit(2024), lit(3), lit(5)), "yyyy-MM-dd").as("d_make"),
-      E.hourE(E.fromUnixTime(lit(3600L * 5 + 90))).as("d_hour")
+      E.hourE(E.fromUnixTime(lit(3600L * 5 + 90))).as("d_hour"),
+      // *Local variants at a fixed +05:30 offset (engine-independent of DST
+      // tables): midnight UTC -> 05:30 local, so hour/minute actually move
+      E.yearLocal(col("o_orderdate"), "+05:30").as("d_year_loc"),
+      E.quarterLocal(col("o_orderdate"), "+05:30").as("d_quarter_loc"),
+      E.monthLocal(col("o_orderdate"), "+05:30").as("d_month_loc"),
+      E.dayLocal(col("o_orderdate"), "+05:30").as("d_day_loc"),
+      E.weekdayLocal(col("o_orderdate"), "+05:30").as("d_dow_loc"),
+      E.yearDayLocal(col("o_orderdate"), "+05:30").as("d_yday_loc"),
+      E.hourLocal(col("o_orderdate"), "+05:30").as("d_hour_loc"),
+      E.minuteLocal(col("o_orderdate"), "+05:30").as("d_min_loc")
     ).orderBy("o_orderkey")
 
   private def qExprCast(s: SparkSession, d: String): DataFrame =
@@ -347,7 +395,13 @@ object SparkEntry {
       E.parseStringNulling(org.apache.spark.sql.types.IntegerType)(lit("abc")).as("c_bad"),
       E.parseStringQuiet(org.apache.spark.sql.types.IntegerType)(lit("42")).as("c_good"),
       E.castTo(org.apache.spark.sql.types.DoubleType)(col("o_orderkey")).as("c_dbl"),
-      floor(col("o_totalprice")).cast("long").as("c_floor")
+      floor(col("o_totalprice")).cast("long").as("c_floor"),
+      // ParseStringQuiet = longest-valid-prefix (strtol/strtod) semantics
+      E.parseStringQuiet(org.apache.spark.sql.types.IntegerType)(
+        concat(col("o_orderkey").cast("string"), lit("abc"))).as("c_quiet_partial"),
+      E.parseStringQuiet(org.apache.spark.sql.types.DoubleType)(
+        lit(" 3.5e2xyz")).as("c_quiet_dbl"),
+      E.castSignaling(org.apache.spark.sql.types.IntegerType)(lit("7")).as("c_sig")
     ).orderBy("o_orderkey")
 
   private def qExprHash(s: SparkSession, d: String): DataFrame =
@@ -402,6 +456,12 @@ object SparkEntry {
       threshold = 0.7, numHashes = 48, bands = 8, shingleLen = 3)
       .orderBy("id1", "id2")
 
+  // No DuckDB oracle: the signature is built from Spark's xxhash64, which
+  // DuckDB cannot reproduce (unlike the LSH hyperplanes, the constants
+  // cannot be embedded — the hash runs per token). Gated instead by the
+  // rows-only determinism check + DedupSpec's planted-pair recall spec.
+  // Output is "candidates found by 16-bit banding" (guaranteed complete
+  // only for Hamming ≤ 3 — see Dedup.simhashCandidates contract).
   private def qDedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
       .where(col("hamming") <= 16).orderBy("id1", "id2")
@@ -416,11 +476,16 @@ object SparkEntry {
   }
 
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    // Gate config probes ALL cells (nprobe = nCells): the full IVF
+    // machinery runs — centroid build, cell assignment, multi-probe cell
+    // ranking — and the result is provably the exact top-k, so the
+    // brute-force DuckDB oracle is a true gate. Approximate-nprobe recall
+    // (the 100 TB operating point) is gated separately in SimilaritySpec.
     val emb = Tables.embeddings(s, d)
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
-      k = 5, nCells = 16, nprobe = 4)
+      k = 5, nCells = 16, nprobe = 16)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("qid", "rank")
   }
@@ -527,10 +592,21 @@ object SparkEntry {
 
   private def qExprPolicy(s: SparkSession, d: String): DataFrame = {
     import graft.functions.{Exprs => EP}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
       EP.divideNulling(col("l_quantity"), col("l_linenumber") - col("l_linenumber")).as("p_nulling"),
       EP.divide(col("l_quantity"), lit(2)).as("p_quiet"),
-      EP.divideSignaling(col("l_quantity"), lit(2)).as("p_signal")
+      EP.divideSignaling(col("l_quantity"), lit(2)).as("p_signal"),
+      EP.cppDivide(col("l_quantity"), lit(3)).as("p_cppdiv"),
+      EP.cppDivideNulling(col("l_quantity"), col("l_linenumber") - col("l_linenumber")).as("p_cppdiv0"),
+      round(EP.log10Nulling(col("l_quantity") - 30), 6).as("p_log10n"),
+      round(EP.log2Signaling(col("l_quantity")), 6).as("p_log2s"),
+      EP.powNulling(EP.negate(col("l_quantity")), lit(0.5)).as("p_pow_null"),
+      EP.powSignaling(col("l_quantity"), lit(2.0)).as("p_pow_sig"),
+      EP.formatSignaling(col("l_quantity"), lit(2)).as("p_fmt_sig"),
+      EP.parseStringQuiet(IntegerType)(
+        concat(col("l_orderkey").cast("string"), lit("pc"))).as("p_parse_q"),
+      EP.castSignaling(LongType)(col("l_linenumber").cast("string")).as("p_cast_sig")
     ).orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -557,6 +633,8 @@ object SparkEntry {
     "q_sort_topk" -> (qSortTopK _),
     "q_hash_join_inner" -> (qHashJoinInner _),
     "q_hash_join_left" -> (qHashJoinLeft _),
+    "q_hash_join_right" -> (qHashJoinRight _),
+    "q_hash_join_full" -> (qHashJoinFull _),
     "q_foreign_filter" -> (qForeignFilter _),
     "q_rowid_merge_join" -> (qRowidMergeJoin _),
     "q_coalesce" -> (qCoalesce _),
@@ -637,6 +715,17 @@ object SparkEntry {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_hash_join_right" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_hash_join_full" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |COUNT(o_orderkey) AS n_orders, MAX(c_mktsegment) AS seg
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 750) c
+        |FULL JOIN (SELECT o_custkey, o_orderkey FROM orders) o ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_foreign_filter" ->
       """WITH f AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS new_id
         |FROM orders WHERE o_totalprice > 150000.0)
@@ -664,7 +753,7 @@ object SparkEntry {
         |MIN(l_quantity) AS mn FROM lineitem WHERE l_quantity < 0""".stripMargin,
     "q_group_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd_supp,
-        |SUM(DISTINCT l_linenumber) AS sd_ln, COUNT(DISTINCT l_orderkey) AS nd_ord
+        |CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sd_ln, COUNT(DISTINCT l_orderkey) AS nd_ord
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_concat" ->
       """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_custkey) AS names, COUNT(*) AS cnt
@@ -764,14 +853,25 @@ object SparkEntry {
         |strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS d_plus2m,
         |strftime(o_orderdate + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M') AS d_plus90m,
         |strftime(DATE '2024-03-05', '%Y-%m-%d') AS d_make,
-        |hour(TIMESTAMP '1970-01-01 05:01:30') AS d_hour
+        |hour(TIMESTAMP '1970-01-01 05:01:30') AS d_hour,
+        |year(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 330 MINUTE) AS d_year_loc,
+        |quarter(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 330 MINUTE) AS d_quarter_loc,
+        |month(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 330 MINUTE) AS d_month_loc,
+        |dayofmonth(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 330 MINUTE) AS d_day_loc,
+        |dayofweek(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 330 MINUTE) + 1 AS d_dow_loc,
+        |dayofyear(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 330 MINUTE) AS d_yday_loc,
+        |hour(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 330 MINUTE) AS d_hour_loc,
+        |minute(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 330 MINUTE) AS d_min_loc
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_expr_cast" ->
       """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS c_str,
         |CAST(substr(o_orderpriority, 1, 1) AS INT) AS c_int,
         |TRY_CAST('abc' AS INT) AS c_bad, TRY_CAST('42' AS INT) AS c_good,
         |CAST(o_orderkey AS DOUBLE) AS c_dbl,
-        |CAST(floor(o_totalprice) AS BIGINT) AS c_floor
+        |CAST(floor(o_totalprice) AS BIGINT) AS c_floor,
+        |CAST(o_orderkey AS INT) AS c_quiet_partial,
+        |350.0 AS c_quiet_dbl,
+        |7 AS c_sig
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_expr_hash" ->
       """SELECT COUNT(DISTINCT c_name) AS nd_hash, COUNT(DISTINCT md5(c_name)) AS nd_md5,
@@ -780,7 +880,7 @@ object SparkEntry {
       """WITH t AS (SELECT user_id, event_id, event_type,
         |CAST(round(value * 100, 0) AS BIGINT) AS cents,
         |CASE WHEN event_type = 'click' THEN value END AS click_val FROM events)
-        |SELECT user_id, event_id, SUM(cents) OVER w AS run_sum,
+        |SELECT user_id, event_id, CAST(SUM(cents) OVER w AS BIGINT) AS run_sum,
         |(row_number() OVER w = 1 OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg,
         |last_value(click_val IGNORE NULLS) OVER w AS locf
         |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY event_id
@@ -821,6 +921,23 @@ object SparkEntry {
         |FROM p JOIN t t1 ON p.id1 = t1.doc_id JOIN t t2 ON p.id2 = t2.doc_id
         |WHERE CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) / greatest(len(list_distinct(t1.sh || t2.sh)), 1) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
+    // ALL-pairs exact 3-shingle Jaccard >= 0.7 — a hard LSH recall gate:
+    // the Spark side only scores LSH candidate pairs, so any banding miss
+    // shows up as a missing row here.
+    "q_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id,
+        |(CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |  ELSE [array_to_string(toks, ' ')] END) AS sh
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |j AS (SELECT id1, id2,
+        |CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
+        |  / greatest(len(sh1) + len(sh2) - len(list_intersect(sh1, sh2)), 1) AS jac
+        |FROM p)
+        |SELECT id1, id2, jac FROM j WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -831,6 +948,39 @@ object SparkEntry {
         |row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, vec_id) AS rank FROM s)
         |SELECT qid, vec_id, round(cos_exact, 6) AS cosine, rank FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // IVF gate probes all cells (see qAnnIvf) => result is exactly the
+    // brute-force top-k, so the same exact oracle applies.
+    "q_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, vec_id, list_inner_product(qv, cv) /
+        |  (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos_exact
+        |FROM q CROSS JOIN c WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id, cos_exact,
+        |row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, vec_id) AS rank FROM s)
+        |SELECT qid, vec_id, round(cos_exact, 6) AS cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // Independent DuckDB reimplementation of the LSH algorithm itself: the
+    // hyperplanes are data-independent seed-derived constants, embedded as
+    // literals, so the signatures / buckets / per-bucket exact ranking are
+    // re-derived end to end in SQL.
+    "q_ann_lsh" ->
+      s"""WITH pl(i, p) AS (VALUES ${lshPlanesValues(8, 64, 42L)}),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sg AS (SELECT c.vec_id, CAST(SUM(CASE WHEN list_inner_product(c.v, pl.p) >= 0
+         |  THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS s
+         |  FROM c CROSS JOIN pl GROUP BY c.vec_id),
+         |k AS (SELECT c.vec_id, c.v, sg.s FROM c JOIN sg USING (vec_id)),
+         |cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  list_inner_product(a.v, b.v) /
+         |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+         |  FROM k a JOIN k b ON a.s = b.s AND a.vec_id < b.vec_id),
+         |sym AS (SELECT id1 AS qid, id2 AS nid, cos FROM cand
+         |  UNION ALL SELECT id2 AS qid, id1 AS nid, cos FROM cand),
+         |r AS (SELECT qid, nid, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sym)
+         |SELECT qid, nid, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -872,7 +1022,7 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |event_type, COUNT(*) AS n_events,
-        |SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+        |CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_window_rank" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -900,7 +1050,7 @@ object SparkEntry {
         |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)
         |SELECT user_id, MIN(epoch_ms(ts)) AS start_ms, MAX(epoch_ms(ts)) AS end_ms,
-        |COUNT(*) AS n_events, SUM(v) AS value_cents
+        |COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS value_cents
         |FROM g GROUP BY user_id, sess ORDER BY user_id, start_ms""".stripMargin,
     "q_sliding_window" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
@@ -919,7 +1069,17 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |CAST(NULL AS DOUBLE) AS p_nulling,
         |CAST(l_quantity AS DOUBLE) / 2 AS p_quiet,
-        |CAST(l_quantity AS DOUBLE) / 2 AS p_signal
+        |CAST(l_quantity AS DOUBLE) / 2 AS p_signal,
+        |CAST(trunc(l_quantity / 3.0) AS BIGINT) AS p_cppdiv,
+        |CAST(NULL AS BIGINT) AS p_cppdiv0,
+        |CASE WHEN l_quantity - 30 <= 0 THEN NULL
+        |  ELSE round(log10(l_quantity - 30), 6) END AS p_log10n,
+        |round(log2(l_quantity), 6) AS p_log2s,
+        |CAST(NULL AS DOUBLE) AS p_pow_null,
+        |pow(l_quantity, 2.0) AS p_pow_sig,
+        |printf('%.2f', CAST(l_quantity AS DOUBLE)) AS p_fmt_sig,
+        |CAST(l_orderkey AS INT) AS p_parse_q,
+        |CAST(l_linenumber AS BIGINT) AS p_cast_sig
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_asof_join" ->
       """SELECT c.user_id, c.event_id, s.sv

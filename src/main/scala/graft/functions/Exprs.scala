@@ -35,6 +35,10 @@ object Exprs {
     signaling(divideNulling(a, b), Seq(a, b), "DivideSignaling")
   /** C++ integer division (CppDivide). */
   def cppDivide(a: Column, b: Column): Column = try_divide(a, b).cast(LongType)
+  def cppDivideNulling(a: Column, b: Column): Column =
+    when(b === 0, lit(null)).otherwise(cppDivide(a, b))
+  def cppDivideSignaling(a: Column, b: Column): Column =
+    signaling(cppDivideNulling(a, b), Seq(a, b), "CppDivideSignaling")
   def modulus(a: Column, b: Column): Column = a % b
   def modulusNulling(a: Column, b: Column): Column = when(b === 0, lit(null)).otherwise(a % b)
   def negate(a: Column): Column = -a
@@ -53,8 +57,26 @@ object Exprs {
 
   // ===== Logic / control (elementary_expressions.h:31-119) =====
   def castTo(t: DataType)(c: Column): Column = c.cast(t)
-  def parseStringQuiet(t: DataType)(c: Column): Column = c.try_cast(t)
+  /** ParseStringQuiet — C++ strtol/strtod semantics: parse the longest valid
+    * numeric prefix ("123abc" → 123), unlike Nulling which rejects any
+    * trailing garbage (reference: OPERATOR_PARSE_STRING_QUIET,
+    * operators.proto:437; elementary_expressions.h). Empty prefix → NULL
+    * (the reference leaves the value unspecified there; NULL is the safe
+    * Spark rendering). */
+  def parseStringQuiet(t: DataType)(c: Column): Column = t match {
+    case LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+      regexp_extract(c, "^\\s*([+-]?\\d+)", 1).try_cast(t)
+    case DoubleType | org.apache.spark.sql.types.FloatType =>
+      regexp_extract(c, "^\\s*([+-]?(?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][+-]?\\d+)?)", 1)
+        .try_cast(t)
+    case _ => c.try_cast(t)
+  }
   def parseStringNulling(t: DataType)(c: Column): Column = c.try_cast(t)
+  /** CastSignaling (OPERATOR_CAST_SIGNALING, operators.proto:267): error on
+    * an unparseable value instead of NULL. */
+  def castSignaling(t: DataType)(c: Column): Column =
+    signaling(c.try_cast(t), Seq(c), "CastSignaling")
   def ifExpr(cond: Column, t: Column, f: Column): Column = when(cond, t).otherwise(f)
   /** NullingIf: NULL when condition is NULL (3-valued IF). */
   def nullingIf(cond: Column, t: Column, f: Column): Column =
@@ -81,8 +103,18 @@ object Exprs {
   def ln(c: Column): Column = log(c)
   def lnNulling(c: Column): Column = when(c <= 0, lit(null)).otherwise(log(c))
   def log10E(c: Column): Column = log10(c)
+  def log10Nulling(c: Column): Column = when(c <= 0, lit(null)).otherwise(log10(c))
+  def log10Signaling(c: Column): Column =
+    signaling(log10Nulling(c), Seq(c), "Log10Signaling")
   def log2E(c: Column): Column = log2(c)
+  def log2Nulling(c: Column): Column = when(c <= 0, lit(null)).otherwise(log2(c))
+  def log2Signaling(c: Column): Column =
+    signaling(log2Nulling(c), Seq(c), "Log2Signaling")
   def logBase(base: Double, c: Column): Column = log(base, c)
+  def logBaseNulling(base: Double, c: Column): Column =
+    when(c <= 0, lit(null)).otherwise(log(base, c))
+  def logBaseSignaling(base: Double, c: Column): Column =
+    signaling(logBaseNulling(base, c), Seq(c), "LogSignaling")
   def sinE(c: Column): Column = sin(c)
   def cosE(c: Column): Column = cos(c)
   def tanE(c: Column): Column = tan(c)
@@ -113,7 +145,20 @@ object Exprs {
   def sqrtE(c: Column): Column = sqrt(c)
   def sqrtNulling(c: Column): Column = when(c < 0, lit(null)).otherwise(sqrt(c))
   def powerE(a: Column, b: Column): Column = pow(a, b)
+  /** PowNulling: NULL where the result is domain-invalid (negative base
+    * with non-integer exponent → NaN in the Quiet variant). */
+  def powNulling(a: Column, b: Column): Column = {
+    val p = pow(a, b)
+    when(isnan(p), lit(null)).otherwise(p)
+  }
+  def powSignaling(a: Column, b: Column): Column =
+    signaling(powNulling(a, b), Seq(a, b), "PowSignaling")
   def format(c: Column, digits: Int): Column = format_number(c, digits)
+  /** FormatSignaling — fails on negative precision (reference:
+    * expression_traits.h:1628-1642, SecondColumnNegativeFailer). */
+  def formatSignaling(c: Column, digits: Column): Column =
+    when(digits < 0, raise_error(lit("FormatSignaling: negative precision")))
+      .otherwise(call_function("format_number", c, digits))
   def isNaNE(c: Column): Column = isnan(c)
   def isInf(c: Column): Column = c === Double.PositiveInfinity || c === Double.NegativeInfinity
   def isFinite(c: Column): Column = !isnan(c) && !isInf(c)
@@ -134,6 +179,11 @@ object Exprs {
   /** 1-based; negative pos counts from the end (string_expressions.h:70-85)
     * — Spark substring agrees. */
   def substringE(c: Column, pos: Column, len: Column): Column = c.substr(pos, len)
+  /** SUBSTRING_SIGNALING (operators.proto:427) — in the reference the
+    * "signaling" marker flags C++ memory-unsafety (can_fail = false,
+    * expression_traits.h:1609-1625), not a runtime error path; Spark's
+    * substring is bounds-safe, so this is the same operation. */
+  def substringSignaling(c: Column, pos: Column, len: Column): Column = c.substr(pos, len)
   def trailingSubstring(c: Column, pos: Column): Column = c.substr(pos, length(c))
   /** 1-based offset of needle, 0 if absent — matches Spark instr. */
   def stringOffset(c: Column, needle: String): Column = instr(c, needle)
@@ -177,6 +227,20 @@ object Exprs {
   def dateFormat(c: Column, fmt: String): Column = date_format(c, fmt)
   def dateFormatLocal(c: Column, fmt: String, tz: String): Column =
     date_format(from_utc_timestamp(c, tz), fmt)
+
+  // ===== `*Local` datetime variants (operators.proto:604-644): the field
+  // extractors re-read in a caller-supplied timezone. The non-Local surface
+  // is UTC (session tz is UTC), so Local(tz = "UTC") coincides — the tz
+  // argument is the whole point of the variant. =====
+  private def atTz(c: Column, tz: String): Column = from_utc_timestamp(c, tz)
+  def yearLocal(c: Column, tz: String): Column = year(atTz(c, tz))
+  def quarterLocal(c: Column, tz: String): Column = quarter(atTz(c, tz))
+  def monthLocal(c: Column, tz: String): Column = month(atTz(c, tz))
+  def dayLocal(c: Column, tz: String): Column = dayofmonth(atTz(c, tz))
+  def weekdayLocal(c: Column, tz: String): Column = dayofweek(atTz(c, tz))
+  def yearDayLocal(c: Column, tz: String): Column = dayofyear(atTz(c, tz))
+  def hourLocal(c: Column, tz: String): Column = hour(atTz(c, tz))
+  def minuteLocal(c: Column, tz: String): Column = minute(atTz(c, tz))
 
   // ===== Hashing (hashing_expressions.h:28-35) — 64-bit deterministic hash;
   // values intentionally differ from the reference's farmhash (SURVEY §7f) =====

@@ -146,18 +146,27 @@ object Aggregates {
     * (in key order) individually; all remaining rows fold into a single
     * overflow group with NULL keys (reference: aggregate.h:264-276).
     *
-    * Distributed: dense_rank over the key (single window over keys only —
-    * the ranks are computed on the distinct key set, then broadcast-joined
-    * back) keeps the heavy fact-side aggregation fully parallel.
+    * Distributed and bounded: only the K-th smallest key matters, so we take
+    * the first `limit` keys via distinct → orderBy → limit (Spark plans this
+    * as TakeOrderedAndProject over a partial/final distinct — no global sort,
+    * no unpartitioned Window) and broadcast exactly `limit` keys, never the
+    * full distinct-key set. At 100 TB / high-cardinality keys the previous
+    * dense_rank-over-everything design funnelled all keys through one task
+    * and broadcast them all; this version is O(limit) driver-side.
     */
   def groupAggregateWithLimit(key: String, specs: Seq[Agg], limit: Int)
                              (df: DataFrame): DataFrame = {
-    val ranked = df.select(col(key).as("__rkey")).distinct()
-      .withColumn("__rk", dense_rank().over(Window.orderBy(col("__rkey"))))
-    // null-safe join: a NULL group key is a real group in the reference's
-    // hash aggregation, and (nulls-smallest) it ranks first
-    val tagged = df.join(broadcast(ranked), col(key) <=> col("__rkey"), "inner")
-      .withColumn("__k", when(col("__rk") <= limit, col(key)))
+    // First `limit` unique keys in key order, nulls smallest (a NULL group
+    // key is a real group in the reference's hash aggregation and sorts
+    // first, so it is kept whenever limit >= 1).
+    val kept = df.select(col(key).as("__rkey")).distinct()
+      .orderBy(col("__rkey").asc_nulls_first).limit(limit)
+      .withColumn("__keep", lit(true))
+    // Null-safe left join against the bounded kept-set; rows whose key was
+    // not kept fold into the single overflow group (NULL key), matching the
+    // reference's "rest -> one row with NULL keys" output.
+    val tagged = df.join(broadcast(kept), col(key) <=> col("__rkey"), "left")
+      .withColumn("__k", when(col("__keep"), col(key)))
     tagged.groupBy(col("__k").as(key))
       .agg(specs.head.toColumn, specs.tail.map(_.toColumn): _*)
   }

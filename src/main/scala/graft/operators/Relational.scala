@@ -73,7 +73,13 @@ object Relational {
   /** Attach a contiguous 0-based rowid. Distributed two-pass zipWithIndex —
     * unlike a global `row_number()` window this does NOT funnel the data
     * through one partition, so it survives 100 TB inputs.
-    */
+    *
+    * COST: dropping to `df.rdd` leaves columnar execution — the extra
+    * count job of zipWithIndex plus Row conversion and loss of
+    * whole-stage codegen downstream. That is the price of globally
+    * contiguous ids; callers that only need uniqueness should use
+    * `monotonically_increasing_id()` instead (stays in codegen, no extra
+    * job, ids sparse). */
   def withRowid(df: DataFrame, col: String = "rowid"): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(col, LongType, nullable = false))
     df.sparkSession.createDataFrame(
@@ -98,15 +104,47 @@ object Relational {
   // ===== Joins (reference: cursor/core/hash_join.h:35, rowid_merge_join.h:28,
   // foreign_filter.h:22) =====
 
-  /** HashJoinOperation — equi-join, INNER or LEFT_OUTER; NULL keys never
-    * match (Spark equi-join semantics agree). `broadcastRight` maps the
-    * reference's "rhs fully materialized in memory" (hash_join.cc:91-95) to
-    * a broadcast-hash join; otherwise Catalyst/AQE picks shuffle-hash vs
-    * sort-merge from stats.
+  /** KeyUniqueness hint on the hash-join build side (reference:
+    * proto/supersonic.proto:115-118). In Spark the hash table handles
+    * duplicate keys natively, so the hint carries no planning meaning —
+    * UNIQUE is an assertable CONTRACT instead: `hashJoin` verifies it when
+    * key columns are supplied, failing fast where the reference would
+    * silently rely on the caller's claim. */
+  sealed trait KeyUniqueness
+  case object UniqueKey extends KeyUniqueness
+  case object NotUniqueKey extends KeyUniqueness
+
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "right", "right_outer", "full", "full_outer", "outer")
+
+  /** HashJoinOperation — equi-join, INNER / LEFT_OUTER / RIGHT_OUTER /
+    * FULL_OUTER (the reference's JoinType enum declares all four,
+    * proto/supersonic.proto:108-113, though its own hash join implements
+    * only the first two, hash_join.h:37-38 — RIGHT/FULL here are a
+    * documented superset). NULL keys never match (Spark equi-join
+    * semantics agree). `broadcastRight` maps the reference's "rhs fully
+    * materialized in memory" (hash_join.cc:91-95) to a broadcast-hash
+    * join; otherwise Catalyst/AQE picks shuffle-hash vs sort-merge from
+    * stats. Note broadcast is ignored by Spark for RIGHT/FULL outer (the
+    * build side must see all rows) — AQE falls back to shuffle.
+    *
+    * @param rhsUniqueness UNIQUE asserts rhs `rhsKeyCols` are unique
+    *                      (runs one small verification job, like
+    *                      rowidMergeJoin's integrity check)
     */
   def hashJoin(lhs: DataFrame, rhs: DataFrame, joinExpr: Column,
                joinType: String = "inner", broadcastRight: Boolean = false,
-               proj: Seq[Column] = Nil): DataFrame = {
+               proj: Seq[Column] = Nil,
+               rhsUniqueness: KeyUniqueness = NotUniqueKey,
+               rhsKeyCols: Seq[String] = Nil): DataFrame = {
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"hashJoin: unsupported join type '$joinType'")
+    if (rhsUniqueness == UniqueKey && rhsKeyCols.nonEmpty) {
+      val dups = rhs.groupBy(rhsKeyCols.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dups == 0,
+        s"hashJoin: KeyUniqueness=UNIQUE violated on (${rhsKeyCols.mkString(", ")})")
+    }
     val r = if (broadcastRight) broadcast(rhs) else rhs
     val j = lhs.join(r, joinExpr, joinType)
     if (proj.isEmpty) j else j.select(proj: _*)
@@ -135,7 +173,12 @@ object Relational {
 
   /** ForeignFilter — semi-join of input's fk against a key list, rewriting
     * the fk to the filter's row-id (reference: foreign_filter.h:22-47).
-    */
+    *
+    * SCALE CONTRACT: the filter side pays `withRowidOrdered` (a full sort
+    * plus the zipWithIndex de-columnarization, see withRowid) because the
+    * fk→rowid rewrite demands globally contiguous ids. Keep the FILTER
+    * side the small side — mirroring the reference, whose filter list is
+    * an in-memory view; `input` streams through a plain equi-join. */
   def foreignFilter(input: DataFrame, fkCol: String, filterDf: DataFrame,
                     keyCol: String): DataFrame = {
     val keyed = withRowidOrdered(filterDf.select(col(keyCol)), Seq(col(keyCol)), "__newid")
@@ -154,29 +197,37 @@ object Relational {
     * shuffle on the key, linear work, no quadratic candidate pairs. This
     * is the standard distributed as-of formulation.
     *
+    * All right values are carried as ONE struct so `last(ignoreNulls)` is
+    * non-null whenever ANY right row matched: a matched right row whose
+    * value column happens to be NULL correctly yields NULL instead of
+    * falling back to an older non-null row. Same-timestamp right rows get
+    * a deterministic tiebreak (xxhash64 of the value struct — the largest
+    * hash wins), so the carried value is stable run to run.
+    *
     * @param valueCols right-side columns to attach (must not clash with
     *                  left column names)
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                valueCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val vStructType = StructType(valueCols.map(c => right.schema(c)))
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__vals")): _*)
+      .withColumn("__tie", xxhash64(col("__vals")))
     val lTagged = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-    val rTagged = right.select((keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side")) ++
-      valueCols.map(c => col(c).as(s"__v_$c")): _*)
-    val lAligned = lTagged.select((lTagged.columns.filterNot(c => c.startsWith("__v_")).map(col) ++
-      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c"))): _*)
-    val unioned = lAligned.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__vals", lit(null).cast(vStructType))
+      .withColumn("__tie", lit(0L))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right rows sort before left rows at equal time (tag 0 < 1) so a
     // same-instant right row IS visible to the left row (ASOF <= semantics)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__side") === 1)
-      .drop((valueCols.map(c => s"__v_$c") :+ "__t" :+ "__side"): _*)
+    val carried = unioned.withColumn("__c", last(col("__vals"), ignoreNulls = true).over(w))
+    val outCols = left.columns.map(col) ++
+      valueCols.map(c => col("__c").getField(c).as(c))
+    carried.where(col("__side") === 1).select(outCols.toSeq: _*)
   }
 
   // ===== Sort / limit / merge (reference: cursor/core/sort.h:89,

@@ -178,7 +178,14 @@ object Dedup {
         transform(array_distinct(TextAnalysis.tokens(col(textCol))), tok => xxhash64(tok))).as(out))
 
   /** SimHash near-dup candidates: 4 bands of 16 bits — any pair within
-    * Hamming distance 3 shares at least one exact band (pigeonhole). */
+    * Hamming distance 3 shares at least one exact band (pigeonhole).
+    *
+    * CONTRACT: the banding only GUARANTEES recall for Hamming ≤ 3. A
+    * caller filtering the output at a larger radius (e.g. `hamming <= 16`)
+    * gets "candidates found by banding", not "all pairs within 16" — pairs
+    * at distance 4..16 whose differing bits span all four bands are never
+    * candidates. That is the standard SimHash candidate-generator trade;
+    * use more/narrower bands for a larger guaranteed radius. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withSig = withSimhash(df, idCol, textCol, "sig")
     val banded = withSig.select(col(idCol), col("sig"),

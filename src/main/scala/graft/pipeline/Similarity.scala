@@ -54,8 +54,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (library-side
-    * constant, broadcast as a literal — nPlanes × dim doubles). */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    * constant, broadcast as a literal — nPlanes × dim doubles). Public so
+    * the correctness oracle can embed the identical constants and
+    * re-derive the signatures independently. */
+  def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }

@@ -81,32 +81,49 @@ object Streams {
 
   /** Gap-based sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): a session closes when
-    * no event arrives within `gapMs` (processing-time timeout drives
-    * emission of the final open session). State is per-user — shards across
-    * executors, nothing global. */
+    * no event arrives within `gapMs`. In streaming mode an EVENT-TIME
+    * timeout (watermark-driven, deterministic — no wall-clock dependence)
+    * emits the open session once the watermark passes lastSeen + gap and
+    * evicts its state, so per-user state is bounded. State is per-user —
+    * shards across executors, nothing global. In batch mode timeouts never
+    * fire; the final open session per user is emitted by the batch's
+    * closing logic either way. */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val wm = if (streaming) events.withWatermark("ts", s"$gapMs milliseconds")
+             else events
+    wm.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            // HALF_UP (away from zero) to match Spark's round() in the
-            // batch path — math.round would differ on negative half-cents
-            val cents = BigDecimal(e.value * 100)
-              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-            if (st == null) st = SessionState(t, t, 1, cents)
-            else if (t - st.lastSeen > gapMs) {
-              out += Session(user, st.start, st.lastSeen, st.n, st.sumCents)
-              st = SessionState(t, t, 1, cents)
-            } else st = SessionState(st.start, t, st.n + 1, st.sumCents + cents)
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + gap: emit the open session, evict
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(user, st.start, st.lastSeen, st.n, st.sumCents))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              // HALF_UP (away from zero) to match Spark's round() in the
+              // batch path — math.round would differ on negative half-cents
+              val cents = BigDecimal(e.value * 100)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              if (st == null) st = SessionState(t, t, 1, cents)
+              else if (t - st.lastSeen > gapMs) {
+                out += Session(user, st.start, st.lastSeen, st.n, st.sumCents)
+                st = SessionState(t, t, 1, cents)
+              } else st = SessionState(st.start, t, st.n + 1, st.sumCents + cents)
+            }
+            if (st != null) {
+              state.update(st)
+              if (streaming) state.setTimeoutTimestamp(st.lastSeen + gapMs)
+            } else state.remove()
+            out.iterator
           }
-          if (st != null) state.update(st) else state.remove()
-          out.iterator
       }
   }
 

@@ -114,6 +114,62 @@ class ExprsSpec extends SparkSpec {
       Seq(42, null))
   }
 
+  test("parseStringQuiet parses the longest valid prefix (strtol/strtod)") {
+    // Nulling rejects trailing garbage; Quiet takes the C++ partial parse
+    val df = Seq("123abc", " -7x", "abc", "42").toDF("s")
+    assert(rows(df.select(E.parseStringQuiet(IntegerType)(col("s")))).map(_.head) ==
+      Seq(123, -7, null, 42))
+    assert(rows(df.select(E.parseStringNulling(IntegerType)(col("s")))).map(_.head) ==
+      Seq(null, null, null, 42))
+    val d = Seq("3.5e2xyz", ".25rest", "nope").toDF("s")
+    assert(rows(d.select(E.parseStringQuiet(DoubleType)(col("s")))).map(_.head) ==
+      Seq(350.0, 0.25, null))
+  }
+
+  test("completed policy triples: log10/log2/pow/cppDivide nulling+signaling, castSignaling") {
+    val df = Seq(-5.0).toDF("x")
+    assert(rows(df.select(E.log10Nulling(col("x")))).head.head == null)
+    assert(rows(df.select(E.log2Nulling(col("x")))).head.head == null)
+    assert(rows(df.select(E.logBaseNulling(3.0, col("x")))).head.head == null)
+    intercept[Exception] { df.select(E.log10Signaling(col("x"))).collect() }
+    assert(rows(Seq(100.0).toDF("x").select(E.log10Signaling(col("x")))).head.head == 2.0)
+    // pow: negative base, fractional exponent -> NaN -> NULL / error
+    assert(rows(df.select(E.powNulling(col("x"), lit(0.5)))).head.head == null)
+    intercept[Exception] { df.select(E.powSignaling(col("x"), lit(0.5))).collect() }
+    assert(rows(df.select(E.powSignaling(col("x"), lit(2.0)))).head.head == 25.0)
+    val z = Seq((10, 0)).toDF("a", "b")
+    assert(rows(z.select(E.cppDivideNulling(col("a"), col("b")))).head.head == null)
+    intercept[Exception] { z.select(E.cppDivideSignaling(col("a"), col("b"))).collect() }
+    intercept[Exception] { Seq("abc").toDF("s")
+      .select(E.castSignaling(IntegerType)(col("s"))).collect() }
+    assert(rows(Seq("12").toDF("s").select(E.castSignaling(IntegerType)(col("s")))).head.head == 12)
+  }
+
+  test("formatSignaling errors on negative precision, substringSignaling is bounds-safe") {
+    val df = Seq(1234.5678).toDF("x")
+    assert(rows(df.select(E.formatSignaling(col("x"), lit(2)))).head.head == "1,234.57")
+    intercept[Exception] { df.select(E.formatSignaling(col("x"), lit(-1))).collect() }
+    assert(rows(Seq("Cow").toDF("s")
+      .select(E.substringSignaling(col("s"), lit(2), lit(99)))).head.head == "ow")
+  }
+
+  test("*Local datetime variants re-read fields in the given timezone") {
+    val df = Seq("2024-03-05 23:40:00").toDF("s")
+    val ts = to_timestamp(col("s"))
+    // UTC 23:40 on Mar 5 -> +05:30 = Mar 6 05:10
+    assert(rows(df.select(E.dayLocal(ts, "+05:30"))).head.head == 6)
+    assert(rows(df.select(E.hourLocal(ts, "+05:30"))).head.head == 5)
+    assert(rows(df.select(E.minuteLocal(ts, "+05:30"))).head.head == 10)
+    assert(rows(df.select(E.yearLocal(ts, "+05:30"))).head.head == 2024)
+    assert(rows(df.select(E.quarterLocal(ts, "+05:30"))).head.head == 1)
+    assert(rows(df.select(E.monthLocal(ts, "+05:30"))).head.head == 3)
+    assert(rows(df.select(E.yearDayLocal(ts, "+05:30"))).head.head == 66)
+    // Tue Mar 5 -> Wed Mar 6 local; dayofweek: 1=Sunday..7=Saturday
+    assert(rows(df.select(E.weekdayLocal(ts, "+05:30"))).head.head == 4)
+    // UTC is the identity: Local("UTC") == the non-Local extractor
+    assert(rows(df.select(E.hourLocal(ts, "UTC"))).head.head == 23)
+  }
+
   test("remaining math/logic surface: cot, logBase, format, andNot, bitwiseAndNot") {
     val df = Seq(1.0).toDF("x")
     assert(math.abs(rows(df.select(E.cotE(lit(math.Pi / 4)))).head.head

@@ -154,6 +154,42 @@ class RelationalSpec extends SparkSpec {
     assert(rows(eq.select("px")).head.head == 110.0)
   }
 
+  test("asOfJoin: matched right row with NULL value yields NULL, not an older value") {
+    val trades = Seq(("a", 25, 1)).toDF("k", "t", "id")
+    val quotes = Seq(("a", 8, Some(100.0)), ("a", 20, None: Option[Double]))
+      .toDF("k", "t", "px")
+    // the latest right row at-or-before t=25 is (a,20,NULL): the struct
+    // carry must surface that NULL instead of falling back to (a,8,100)
+    val out = Relational.asOfJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"))
+    assert(rows(out.select("px")) == Seq(Seq(null)))
+  }
+
+  test("hashJoin RIGHT_OUTER and FULL_OUTER supersets") {
+    val l = Seq((1, "a"), (2, "b")).toDF("lk", "lv")
+    val r = Seq((2, "x"), (3, "y")).toDF("rk", "rv")
+    val right = Relational.hashJoin(l, r, col("lk") === col("rk"), "right_outer")
+    assert(rows(right.orderBy("rk").select("lv", "rv")) ==
+      Seq(Seq("b", "x"), Seq(null, "y")))
+    val full = Relational.hashJoin(l, r, col("lk") === col("rk"), "full_outer")
+    assert(rows(full.orderBy(coalesce(col("lk"), col("rk"))).select("lv", "rv")) ==
+      Seq(Seq("a", null), Seq("b", "x"), Seq(null, "y")))
+    intercept[IllegalArgumentException] {
+      Relational.hashJoin(l, r, col("lk") === col("rk"), "cross_apply")
+    }
+  }
+
+  test("hashJoin KeyUniqueness=UNIQUE asserts the build-side contract") {
+    val l = Seq((1, "a")).toDF("lk", "lv")
+    val unique = Seq((1, "x"), (2, "y")).toDF("rk", "rv")
+    val dup = Seq((1, "x"), (1, "y")).toDF("rk", "rv")
+    assert(Relational.hashJoin(l, unique, col("lk") === col("rk"),
+      rhsUniqueness = Relational.UniqueKey, rhsKeyCols = Seq("rk")).count() == 1)
+    intercept[IllegalArgumentException] {
+      Relational.hashJoin(l, dup, col("lk") === col("rk"),
+        rhsUniqueness = Relational.UniqueKey, rhsKeyCols = Seq("rk")).count()
+    }
+  }
+
   test("lookup is a broadcast multi-lookup join") {
     val queries = Seq(1, 2, 2, 9).toDF("k")
     val index = Seq((1, "a"), (2, "b")).toDF("k", "v")

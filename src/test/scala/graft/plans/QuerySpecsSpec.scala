@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Aggregates
+import graft.operators.Aggregates._
+import org.apache.spark.sql.functions._
+
+/** §3.3 serialization parity: specs survive a JSON round-trip and the
+  * reconstituted spec produces the same result as the in-process DSL
+  * (reference ships these as protos —
+  * serialization/build_expression_from_proto.h:31-33). */
+class QuerySpecsSpec extends SparkSpec {
+  import QuerySpecs._
+  import spark.implicits._
+
+  private def sales = Seq(
+    ("eng", "alice", 100), ("eng", "bob", 80),
+    ("sales", "carl", 50), ("sales", "dora", 120), ("eng", "eve", 90)
+  ).toDF("dept", "who", "amt")
+
+  test("AggSpec JSON round-trip is lossless") {
+    val spec = AggSpec(List("dept"), List(
+      AggFieldSpec("SUM", Some("amt"), "total"),
+      AggFieldSpec("COUNT", None, "n"),
+      AggFieldSpec("CONCAT", Some("who"), "names",
+        orderBy = Some(SortKeySpec("who")), sep = "|"),
+      AggFieldSpec("MIN", Some("amt"), "lo", outType = Some("BIGINT"))))
+    val json = writeAggSpec(spec)
+    assert(readAggSpec(json) == spec)
+    // the wire format is plain JSON another process can produce
+    assert(json.contains("\"fn\":\"SUM\""))
+  }
+
+  test("buildAggregate(readAggSpec(json)) matches the in-process DSL") {
+    val json = writeAggSpec(AggSpec(List("dept"), List(
+      AggFieldSpec("SUM", Some("amt"), "total"),
+      AggFieldSpec("COUNT", None, "n"),
+      AggFieldSpec("CONCAT", Some("who"), "names", orderBy = Some(SortKeySpec("who"))))))
+    val viaJson = buildAggregate(readAggSpec(json))(sales).orderBy("dept")
+    val direct = Aggregates.groupAggregate(Seq("dept"), Seq(
+      Agg(SUM, Some("amt"), "total"),
+      Agg(COUNT, None, "n"),
+      Agg(CONCAT, Some("who"), "names", order = Some(col("who")))))(sales).orderBy("dept")
+    assert(rows(viaJson) == rows(direct))
+  }
+
+  test("empty groupBy reconstitutes as ScalarAggregate (1 row on empty input)") {
+    val spec = readAggSpec(writeAggSpec(AggSpec(Nil, List(
+      AggFieldSpec("COUNT", None, "n"), AggFieldSpec("SUM", Some("amt"), "s")))))
+    val out = buildAggregate(spec)(sales.where(col("amt") < 0))
+    assert(rows(out) == Seq(Seq(0L, null)))
+  }
+
+  test("SortSpec round-trips and builds a case-insensitive top-k sort") {
+    val spec = SortSpec(List(SortKeySpec("who", ascending = false, caseInsensitive = true)),
+      limit = Some(2))
+    assert(readSortSpec(writeSortSpec(spec)) == spec)
+    val df = Seq("alice", "Eve", "BOB").toDF("who")
+    assert(rows(buildSort(spec)(df)).flatten == Seq("Eve", "BOB"))
+  }
+
+  test("unknown aggregate fn fails fast") {
+    intercept[IllegalArgumentException] {
+      toAgg(AggFieldSpec("MEDIAN", Some("amt"), "m"))
+    }
+  }
+}

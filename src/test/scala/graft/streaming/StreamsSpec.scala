@@ -53,11 +53,14 @@ class StreamsSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      // closed sessions only (append mode): user 1's first session
-      // (10:05-11:10, 3 events) closes when the 15:00 event arrives.
+      // user 1's first session (10:05-11:10, 3 events) closes when the
+      // 15:00 event arrives; user 2's idle session (last seen 10:30) is
+      // closed by the EVENT-TIME timeout once the watermark (15:00 - 1h =
+      // 14:00) passes its 11:30 deadline. User 1's 15:00 session stays
+      // open (deadline 16:00 > watermark).
       val out = rows(spark.table("sess_out")
         .select("user_id", "n_events", "value_cents").orderBy("user_id"))
-      assert(out == Seq(Seq(1L, 3L, 600L)))
+      assert(out == Seq(Seq(1L, 3L, 600L), Seq(2L, 1L, 500L)))
     } finally q.stop()
   }
 

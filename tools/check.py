@@ -55,10 +55,14 @@ for name in sorted(oracle):
     ok = True
     for c in g.columns:
         a, b = g[c], e[c]
-        try:
-            a = a.astype(b.dtype)
-        except Exception:
-            pass
+        # Dtype-STRICT: the driver's hash is dtype/format-sensitive (int64 "5"
+        # vs float64 "5.0" hash differently), so a kind mismatch is a failure
+        # here too — no astype coercion (it masked the round-1 HUGEINT fails).
+        if a.dtype.kind != b.dtype.kind:
+            print(f"FAIL {name}: col {c} dtype kind mismatch "
+                  f"spark={a.dtype} duck={b.dtype}")
+            ok = False
+            continue
         eq = (a.isna() & b.isna()) | (a == b)
         if not eq.all():
             bad = (~eq).idxmax()
