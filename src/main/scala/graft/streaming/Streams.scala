@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table — a capability superset of
@@ -147,4 +147,31 @@ object Streams {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .drop("sess_id")
   }
+
+  // ===== Sinks (reference Sink/Writer, cursor/infrastructure/writer.h —
+  // the streaming faces of Relational.fileOutput) =====
+
+  /** foreachBatch writer facade: run an arbitrary batch writer per
+    * micro-batch. Spark re-delivers a batch on failure, so the writer gets
+    * (batch, batchId) and must commit idempotently by batchId — the
+    * standard exactly-once recipe for non-transactional sinks (JDBC,
+    * key-value stores, multi-table fan-out). */
+  def foreachBatchSink(df: DataFrame, checkpoint: String,
+                       outputMode: String = "update")
+                      (writer: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(writer)
+      .start()
+
+  /** Parquet file sink — append-only, exactly-once via the file-sink
+    * manifest log (readers see only committed files). The distributed
+    * analog of the reference's FileOutput sink. */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 }

@@ -88,6 +88,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatchSink delivers (batch, batchId) pairs to the writer") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    mem.addData(sampleEvents: _*)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    val q = Streams.foreachBatchSink(
+      mem.toDF().groupBy("user_id").count(), ckpt) { (batch, id) =>
+      ids.add(id)
+      batch.collect().foreach(r => seen.add(r.getAs[Long]("count")))
+    }
+    try {
+      q.processAllAvailable()
+      // update-mode aggregate over one batch: user1=4 events, user2=1;
+      // the writer saw the batchId it must use for idempotent commits
+      assert(seen.toArray.map(_.asInstanceOf[Long]).sorted.toSeq == Seq(1L, 4L))
+      assert(ids.toArray.map(_.asInstanceOf[Long]).toSeq == Seq(0L))
+    } finally q.stop()
+  }
+
+  test("parquetSink commits exactly the streamed rows to files") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    mem.addData(sampleEvents: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pq_ckpt").toString
+    val q = Streams.parquetSink(mem.toDF().select("event_id", "user_id"), dir, ckpt)
+    try {
+      q.processAllAvailable()
+      val back = spark.read.parquet(dir)
+      assert(rows(back.orderBy("event_id").select("event_id")).flatten ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("file-source streaming over the real ns-timestamp events parquet") {
     val streamDf = Streams.readEvents(spark, sf())
     assert(streamDf.isStreaming)
