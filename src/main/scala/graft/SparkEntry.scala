@@ -137,6 +137,29 @@ object SparkEntry {
     Relational.sort(col("custkey"))(agg)
   }
 
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    // Keyless interval join (the hard case — with an equi key Catalyst
+    // already hash-joins): lineitems shipped within 30 days of any
+    // high-value order's date, aggregated per interval. Exercises the
+    // bucketized plan, not BroadcastNestedLoop (asserted in spec).
+    val day = 86400000L
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+    val big = Tables.orders(s, d).where(col("o_totalprice") > 495000.0)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // parquet timestamps read as TIMESTAMP_NTZ; UTC session makes the
+    // cast to instant-typed TIMESTAMP an identity
+    val j = Relational.rangeJoin(li, big, Nil,
+      unix_millis(col("l_shipdate").cast("timestamp")),
+      unix_millis(col("o_orderdate").cast("timestamp")),
+      unix_millis(col("o_orderdate").cast("timestamp")) + 30L * day,
+      bucketWidth = 30L * day)
+    j.groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   private def qForeignFilter(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val big = Relational.filter(col("o_totalprice") > 150000.0)(Tables.orders(s, d))
@@ -466,6 +489,15 @@ object SparkEntry {
     Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
       .where(col("hamming") <= 16).orderBy("id1", "id2")
 
+  private def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
+    // Embedding-cosine near-dup: LSH-bucketed candidates (8 hyperplanes,
+    // same constants as q_ann_lsh) verified at cosine >= 0.25. True oracle:
+    // the algorithm is reimplemented in DuckDB with the planes embedded.
+    Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.25, nPlanes = 8, seed = 42L, dim = 64)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id1", "id2")
+
   private def qAnnBrute(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val queries = emb.where(col("vec_id") < 10)
@@ -635,6 +667,7 @@ object SparkEntry {
     "q_hash_join_left" -> (qHashJoinLeft _),
     "q_hash_join_right" -> (qHashJoinRight _),
     "q_hash_join_full" -> (qHashJoinFull _),
+    "q_range_join" -> (qRangeJoin _),
     "q_foreign_filter" -> (qForeignFilter _),
     "q_rowid_merge_join" -> (qRowidMergeJoin _),
     "q_coalesce" -> (qCoalesce _),
@@ -664,6 +697,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_text_stats" -> (qTextStats _),
@@ -726,6 +760,14 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 750) c
         |FULL JOIN (SELECT o_custkey, o_orderkey FROM orders) o ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_shipped,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN
+        |(SELECT o_orderkey, o_orderdate FROM orders WHERE o_totalprice > 495000.0) o
+        |ON epoch_ms(l_shipdate) >= epoch_ms(o_orderdate)
+        |AND epoch_ms(l_shipdate) <= epoch_ms(o_orderdate) + 2592000000
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q_foreign_filter" ->
       """WITH f AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS new_id
         |FROM orders WHERE o_totalprice > 150000.0)
@@ -960,6 +1002,19 @@ object SparkEntry {
         |row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, vec_id) AS rank FROM s)
         |SELECT qid, vec_id, round(cos_exact, 6) AS cosine, rank FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH pl(i, p) AS (VALUES ${lshPlanesValues(8, 64, 42L)}),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sg AS (SELECT c.vec_id, CAST(SUM(CASE WHEN list_inner_product(c.v, pl.p) >= 0
+         |  THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS s
+         |  FROM c CROSS JOIN pl GROUP BY c.vec_id),
+         |k AS (SELECT c.vec_id, c.v, sg.s FROM c JOIN sg USING (vec_id)),
+         |cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  list_inner_product(a.v, b.v) /
+         |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+         |  FROM k a JOIN k b ON a.s = b.s AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, round(cos, 6) AS cosine FROM cand WHERE cos >= 0.25
+         |ORDER BY id1, id2""".stripMargin,
     // Independent DuckDB reimplementation of the LSH algorithm itself: the
     // hyperplanes are data-independent seed-derived constants, embedded as
     // literals, so the signatures / buckets / per-bucket exact ranking are

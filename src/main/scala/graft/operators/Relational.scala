@@ -187,6 +187,41 @@ object Relational {
       .withColumnRenamed("__newid", fkCol)
   }
 
+  /** Range (interval-containment) join — capability superset: attach each
+    * left "point" row to every right interval row containing it
+    * (pointExpr ∈ [startExpr, endExpr]), plus optional equi `keys`.
+    *
+    * A raw inequality join plans as BroadcastNestedLoopJoin — all-pairs
+    * work and build-side-in-memory, which dies at scale. This bucketizes
+    * the domain instead: each interval explodes into the buckets it
+    * covers (len/bucketWidth + 1 copies), each point lands in exactly one
+    * bucket, the join is equi on (keys :+ bucket), and the exact
+    * containment predicate filters afterwards. The shuffle moves each
+    * point once and each interval O(len/bucketWidth) times — never the
+    * cross product — and a point meets an interval in exactly one bucket,
+    * so no dedup pass is needed. Pick bucketWidth ≈ the typical interval
+    * length (fewer interval copies, small per-bucket candidate sets).
+    *
+    * All three expressions must share one numeric domain (e.g.
+    * `unix_millis` of a timestamp); column names must not clash across
+    * the two inputs. Degenerate intervals (end < start) are dropped, as
+    * in SQL BETWEEN semantics.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                pointExpr: Column, startExpr: Column, endExpr: Column,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "rangeJoin: bucketWidth must be positive")
+    val p = points.withColumn("__b", floor(pointExpr / bucketWidth).cast("long"))
+    val i = intervals
+      .where(endExpr >= startExpr) // sequence() would run backwards otherwise
+      .withColumn("__b", explode(sequence(
+        floor(startExpr / bucketWidth).cast("long"),
+        floor(endExpr / bucketWidth).cast("long"))))
+    p.join(i, (keys :+ "__b").toSeq, "inner")
+      .where(pointExpr >= startExpr && pointExpr <= endExpr)
+      .drop("__b")
+  }
+
   /** As-of join (capability superset; the reference has no temporal joins,
     * SURVEY §2.3): for each left row, attach the latest right row whose
     * time ≤ the left row's time, per key.

@@ -190,6 +190,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin: containment incl. boundaries, multi-bucket intervals, no BNL plan") {
+    val pts = Seq((1, 5L), (2, 10L), (3, 25L), (4, 99L)).toDF("pid", "t")
+    val ivs = Seq((100, 5L, 10L), (200, 8L, 31L), (300, 40L, 41L)).toDF("iid", "s", "e")
+    val out = Relational.rangeJoin(pts, ivs, Nil, col("t"), col("s"), col("e"),
+      bucketWidth = 10L)
+    // boundaries inclusive (t=5 and t=10 in [5,10]); interval 200 spans
+    // buckets 0..3 yet each pair appears once; t=99 matches nothing
+    assert(rows(out.select("pid", "iid").orderBy("pid", "iid")) ==
+      Seq(Seq(1, 100), Seq(2, 100), Seq(2, 200), Seq(3, 200)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), s"range join fell back to BNL:\n$plan")
+    // degenerate interval (e < s) drops instead of exploding backwards
+    val deg = Relational.rangeJoin(pts, Seq((9, 10L, 5L)).toDF("iid", "s", "e"),
+      Nil, col("t"), col("s"), col("e"), 10L)
+    assert(deg.count() == 0)
+    // with an equi key, only same-key intervals match
+    val kp = Seq(("a", 1, 5L), ("b", 2, 5L)).toDF("k", "pid", "t")
+    val ki = Seq(("a", 100, 0L, 9L)).toDF("k", "iid", "s", "e")
+    assert(rows(Relational.rangeJoin(kp, ki, Seq("k"), col("t"), col("s"), col("e"), 10L)
+      .select("pid")).flatten == Seq(1))
+  }
+
   test("lookup is a broadcast multi-lookup join") {
     val queries = Seq(1, 2, 2, 9).toDF("k")
     val index = Seq((1, "a"), (2, "b")).toDF("k", "v")
