@@ -137,6 +137,34 @@ object SparkEntry {
     Relational.sort(col("custkey"))(agg)
   }
 
+  private def qSaltedAgg(s: SparkSession, d: String): DataFrame = {
+    // Skew-salted two-phase aggregation must be value-identical to the
+    // plain GROUP BY the oracle runs: exactness holds because the partial
+    // sums run over DECIMAL, so merge order cannot perturb the result.
+    val li = Tables.lineitem(s, d).withColumn("qty_dec", dec(col("l_quantity")))
+    val agg = Aggregates.saltedGroupAggregate(Seq("l_suppkey"), Seq(
+      Agg(SUM, Some("qty_dec"), "sum_qty"),
+      Agg(COUNT, None, "n"),
+      Agg(MIN, Some("l_quantity"), "mn"),
+      Agg(MAX, Some("l_quantity"), "mx")), saltBuckets = 8)(li)
+    Relational.sort(col("l_suppkey"))(asDouble("sum_qty")(agg))
+  }
+
+  private def qScanSelection(s: SparkSession, d: String): DataFrame = {
+    // Selection vector semantics (reference scan_view.h:42-47): rows may
+    // repeat and drop. Selection = every 7th customer, with keys < 70
+    // selected twice (duplicate rowids). c_custkey is 0-based contiguous,
+    // so rowid-over-key-order == c_custkey and the oracle can reproduce
+    // the selection in SQL.
+    val c = Tables.customer(s, d).orderBy("c_custkey")
+    val base = Tables.customer(s, d).where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("rowid"))
+    val sel = base.unionAll(base.where(col("rowid") < 70))
+      .withColumn("pos", -col("rowid"))
+    Relational.scanWithSelection(c, sel)
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
   private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
     // Keyless interval join (the hard case — with an equi key Catalyst
     // already hash-joins): lineitems shipped within 30 days of any
@@ -668,6 +696,8 @@ object SparkEntry {
     "q_hash_join_right" -> (qHashJoinRight _),
     "q_hash_join_full" -> (qHashJoinFull _),
     "q_range_join" -> (qRangeJoin _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_scan_selection" -> (qScanSelection _),
     "q_foreign_filter" -> (qForeignFilter _),
     "q_rowid_merge_join" -> (qRowidMergeJoin _),
     "q_coalesce" -> (qCoalesce _),
@@ -760,6 +790,16 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 750) c
         |FULL JOIN (SELECT o_custkey, o_orderkey FROM orders) o ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_scan_selection" ->
+      """WITH sel AS (SELECT c_custkey AS rid FROM customer WHERE c_custkey % 7 = 0
+        |UNION ALL SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0 AND c_custkey < 70)
+        |SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        |FROM sel JOIN customer c ON c.c_custkey = sel.rid
+        |ORDER BY c.c_custkey""".stripMargin,
     "q_range_join" ->
       """SELECT o_orderkey, COUNT(*) AS n_shipped,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -211,15 +211,23 @@ object Relational {
                 pointExpr: Column, startExpr: Column, endExpr: Column,
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "rangeJoin: bucketWidth must be positive")
-    val p = points.withColumn("__b", floor(pointExpr / bucketWidth).cast("long"))
-    val i = intervals
-      .where(endExpr >= startExpr) // sequence() would run backwards otherwise
+    // Materialize the domain expressions once (the join would otherwise
+    // re-evaluate them per candidate comparison), and repartition the
+    // point side on the bucket key: the candidate probe is the expensive
+    // step (per-bucket points × intervals), and this exchange spreads it
+    // across the cluster even when the upstream scan has few tasks — it is
+    // the same exchange a shuffle-hash join on the bucket would need.
+    val p = points.withColumn("__pt", pointExpr)
+      .withColumn("__b", floor(col("__pt") / bucketWidth).cast("long"))
+      .repartition((keys.map(col) :+ col("__b")): _*)
+    val i = intervals.withColumn("__s", startExpr).withColumn("__e", endExpr)
+      .where(col("__e") >= col("__s")) // sequence() would run backwards otherwise
       .withColumn("__b", explode(sequence(
-        floor(startExpr / bucketWidth).cast("long"),
-        floor(endExpr / bucketWidth).cast("long"))))
+        floor(col("__s") / bucketWidth).cast("long"),
+        floor(col("__e") / bucketWidth).cast("long"))))
     p.join(i, (keys :+ "__b").toSeq, "inner")
-      .where(pointExpr >= startExpr && pointExpr <= endExpr)
-      .drop("__b")
+      .where(col("__pt") >= col("__s") && col("__pt") <= col("__e"))
+      .drop("__b", "__pt", "__s", "__e")
   }
 
   /** As-of join (capability superset; the reference has no temporal joins,
