@@ -578,8 +578,13 @@ object SparkEntry {
       "text", "payload").drop("text")
     val meta = Multimodal.decodeMeta(b, "payload")
     val framed = Multimodal.frameSample(meta, "payload", n = 4, frameBytes = 64, out = "frames")
-    framed.select(col("doc_id"), col("media_format"), col("width"), col("height"),
-      col("n_bytes"), octet_length(element_at(col("frames"), 1)).as("first_frame_len"))
+    val resized = Multimodal.resizeStub(framed, "payload", dstLen = 16, out = "thumb")
+    resized.select(col("doc_id"), col("media_format"), col("width"), col("height"),
+      col("n_bytes"), octet_length(element_at(col("frames"), 1)).as("first_frame_len"),
+      octet_length(col("thumb")).as("thumb_len"),
+      // 9th sampled byte = in[floor(8·n/16)] = the middle byte — verifies
+      // the nearest-neighbor sampling positions, not just the length
+      ascii(substring(col("thumb").cast("string"), 9, 1)).as("thumb_mid"))
       .orderBy("doc_id")
   }
 
@@ -1112,7 +1117,9 @@ object SparkEntry {
         |(ascii(substr(text, 1, 1)) % 64) + 1 AS width,
         |(ascii(substr(text, 2, 1)) % 64) + 1 AS height,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |least(64, octet_length(encode(text))) AS first_frame_len
+        |least(64, octet_length(encode(text))) AS first_frame_len,
+        |16 AS thumb_len,
+        |ascii(substr(text, CAST(octet_length(encode(text)) // 2 AS INT) + 1, 1)) AS thumb_mid
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -39,6 +39,19 @@ object Multimodal {
     df.withColumn(out, transform(sequence(lit(0), lit(n - 1)),
       i => substring(col(binCol), i * frameBytes + 1, lit(frameBytes))))
 
+  /** STUB resize — nearest-neighbor byte sampling down to `dstLen` bytes:
+    * out[i] = in[floor(i·srcLen/dstLen)]. A real implementation would be a
+    * pixel-space resample inside the decode kernel; the plumbing shown here
+    * (pure binary-slicing expressions, stays in codegen, no UDF) is what a
+    * real one plugs into. Empty payloads stay empty. */
+  def resizeStub(df: DataFrame, binCol: String, dstLen: Int, out: String): DataFrame = {
+    val srcLen = octet_length(col(binCol))
+    val sampled = concat((0 until dstLen).map { i =>
+      substring(col(binCol), (floor(lit(i) * srcLen / dstLen) + 1).cast("int"), lit(1))
+    }: _*)
+    df.withColumn(out, when(srcLen === 0, col(binCol)).otherwise(sampled))
+  }
+
   /** STUB image decode — a real implementation would call an image codec on
     * each binary payload inside mapPartitions (one codec instance per
     * partition, streaming batches). The fake derives deterministic

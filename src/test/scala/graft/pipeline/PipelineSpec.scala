@@ -99,4 +99,14 @@ class PipelineSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(b, "payload", dim = 8, out = "f")
     assert(rows(feats.select(size(col("f")))).head.head == 8)
   }
+
+  test("multimodal resize: nearest-neighbor byte sampling to target length") {
+    val df = Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text")
+    val b = Multimodal.asBinary(df, "text", "payload")
+    val out = Multimodal.resizeStub(b, "payload", dstLen = 4, out = "thumb")
+      .select(col("doc_id"), col("thumb").cast("string"))
+    // src 8 bytes -> dst 4: positions floor(i*8/4) = 0,2,4,6 -> "aceg";
+    // empty payload stays empty
+    assert(rows(out.orderBy("doc_id")) == Seq(Seq(1L, "aceg"), Seq(2L, "")))
+  }
 }
