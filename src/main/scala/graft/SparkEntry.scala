@@ -30,6 +30,36 @@ object SparkEntry {
     graft.pipeline.Similarity.planes(nPlanes, dim, seed).zipWithIndex
       .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
       .mkString(", ")
+
+  /** Shared LSH oracle prelude (planes → signatures → same-signature
+    * candidate pairs with exact cosine) — used verbatim by q_ann_lsh and
+    * q_dedup_embedding so the two gates provably run one algorithm. */
+  private def lshCandidateCtes: String =
+    s"""WITH pl(i, p) AS (VALUES ${lshPlanesValues(8, 64, 42L)}),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sg AS (SELECT c.vec_id, CAST(SUM(CASE WHEN list_inner_product(c.v, pl.p) >= 0
+       |  THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS s
+       |  FROM c CROSS JOIN pl GROUP BY c.vec_id),
+       |k AS (SELECT c.vec_id, c.v, sg.s FROM c JOIN sg USING (vec_id)),
+       |cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  list_inner_product(a.v, b.v) /
+       |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+       |  FROM k a JOIN k b ON a.s = b.s AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Exact cosine top-k oracle — shared verbatim by q_ann_brute and
+    * q_ann_ivf: the IVF gate probes ALL cells, so its expected output IS
+    * the brute-force result; one binding makes that equivalence
+    * structural rather than copy-paste. */
+  private val annExactTopKOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (SELECT qid, vec_id, list_inner_product(qv, cv) /
+      |  (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos_exact
+      |FROM q CROSS JOIN c WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id, cos_exact,
+      |row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, vec_id) AS rank FROM s)
+      |SELECT qid, vec_id, round(cos_exact, 6) AS cosine, rank FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
   private def asDouble(names: String*)(df: DataFrame): DataFrame =
     names.foldLeft(df)((d, n) => d.withColumn(n, col(n).cast("double")))
 
@@ -583,8 +613,10 @@ object SparkEntry {
       col("n_bytes"), octet_length(element_at(col("frames"), 1)).as("first_frame_len"),
       octet_length(col("thumb")).as("thumb_len"),
       // 9th sampled byte = in[floor(8·n/16)] = the middle byte — verifies
-      // the nearest-neighbor sampling positions, not just the length
-      ascii(substring(col("thumb").cast("string"), 9, 1)).as("thumb_mid"))
+      // the nearest-neighbor sampling positions, not just the length.
+      // Compared as hex of the raw byte (a string cast would re-decode
+      // UTF-8 and count characters, wrong for any non-ASCII payload).
+      hex(substring(col("thumb"), 9, 1)).as("thumb_mid"))
       .orderBy("doc_id")
   }
 
@@ -1025,56 +1057,20 @@ object SparkEntry {
         |  / greatest(len(sh1) + len(sh2) - len(list_intersect(sh1, sh2)), 1) AS jac
         |FROM p)
         |SELECT id1, id2, jac FROM j WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
-    "q_ann_brute" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT qid, vec_id, list_inner_product(qv, cv) /
-        |  (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos_exact
-        |FROM q CROSS JOIN c WHERE vec_id <> qid),
-        |r AS (SELECT qid, vec_id, cos_exact,
-        |row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, vec_id) AS rank FROM s)
-        |SELECT qid, vec_id, round(cos_exact, 6) AS cosine, rank FROM r WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin,
+    "q_ann_brute" -> annExactTopKOracle,
     // IVF gate probes all cells (see qAnnIvf) => result is exactly the
-    // brute-force top-k, so the same exact oracle applies.
-    "q_ann_ivf" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT qid, vec_id, list_inner_product(qv, cv) /
-        |  (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos_exact
-        |FROM q CROSS JOIN c WHERE vec_id <> qid),
-        |r AS (SELECT qid, vec_id, cos_exact,
-        |row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, vec_id) AS rank FROM s)
-        |SELECT qid, vec_id, round(cos_exact, 6) AS cosine, rank FROM r WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin,
+    // brute-force top-k, so the identical oracle binding applies.
+    "q_ann_ivf" -> annExactTopKOracle,
     "q_dedup_embedding" ->
-      s"""WITH pl(i, p) AS (VALUES ${lshPlanesValues(8, 64, 42L)}),
-         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |sg AS (SELECT c.vec_id, CAST(SUM(CASE WHEN list_inner_product(c.v, pl.p) >= 0
-         |  THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS s
-         |  FROM c CROSS JOIN pl GROUP BY c.vec_id),
-         |k AS (SELECT c.vec_id, c.v, sg.s FROM c JOIN sg USING (vec_id)),
-         |cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |  list_inner_product(a.v, b.v) /
-         |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
-         |  FROM k a JOIN k b ON a.s = b.s AND a.vec_id < b.vec_id)
+      s"""$lshCandidateCtes
          |SELECT id1, id2, round(cos, 6) AS cosine FROM cand WHERE cos >= 0.25
          |ORDER BY id1, id2""".stripMargin,
     // Independent DuckDB reimplementation of the LSH algorithm itself: the
     // hyperplanes are data-independent seed-derived constants, embedded as
-    // literals, so the signatures / buckets / per-bucket exact ranking are
-    // re-derived end to end in SQL.
+    // literals (lshCandidateCtes), so the signatures / buckets /
+    // per-bucket exact ranking are re-derived end to end in SQL.
     "q_ann_lsh" ->
-      s"""WITH pl(i, p) AS (VALUES ${lshPlanesValues(8, 64, 42L)}),
-         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |sg AS (SELECT c.vec_id, CAST(SUM(CASE WHEN list_inner_product(c.v, pl.p) >= 0
-         |  THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS s
-         |  FROM c CROSS JOIN pl GROUP BY c.vec_id),
-         |k AS (SELECT c.vec_id, c.v, sg.s FROM c JOIN sg USING (vec_id)),
-         |cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |  list_inner_product(a.v, b.v) /
-         |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
-         |  FROM k a JOIN k b ON a.s = b.s AND a.vec_id < b.vec_id),
+      s"""$lshCandidateCtes,
          |sym AS (SELECT id1 AS qid, id2 AS nid, cos FROM cand
          |  UNION ALL SELECT id2 AS qid, id1 AS nid, cos FROM cand),
          |r AS (SELECT qid, nid, cos,
@@ -1119,7 +1115,7 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |least(64, octet_length(encode(text))) AS first_frame_len,
         |16 AS thumb_len,
-        |ascii(substr(text, CAST(octet_length(encode(text)) // 2 AS INT) + 1, 1)) AS thumb_mid
+        |substring(hex(encode(text)), 2 * CAST(octet_length(encode(text)) // 2 AS INT) + 1, 2) AS thumb_mid
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -60,9 +60,10 @@ object Exprs {
   /** ParseStringQuiet — C++ strtol/strtod semantics: parse the longest valid
     * numeric prefix ("123abc" → 123), unlike Nulling which rejects any
     * trailing garbage (reference: OPERATOR_PARSE_STRING_QUIET,
-    * operators.proto:437; elementary_expressions.h). Empty prefix → NULL
-    * (the reference leaves the value unspecified there; NULL is the safe
-    * Spark rendering). */
+    * operators.proto:437; elementary_expressions.h). Documented deltas vs
+    * C++: an empty prefix yields NULL (the reference leaves the value
+    * unspecified), and a prefix that overflows the target type yields NULL
+    * (strtol clamps to the type bound with ERANGE instead). */
   def parseStringQuiet(t: DataType)(c: Column): Column = t match {
     case LongType | org.apache.spark.sql.types.IntegerType |
          org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>

@@ -140,8 +140,11 @@ object Relational {
     require(SupportedJoinTypes.contains(joinType.toLowerCase),
       s"hashJoin: unsupported join type '$joinType'")
     if (rhsUniqueness == UniqueKey && rhsKeyCols.nonEmpty) {
-      val dups = rhs.groupBy(rhsKeyCols.map(col): _*).count()
-        .where(col("count") > 1).limit(1).count()
+      // reserved output name: a bare .count() would collide with an rhs
+      // key column itself named "count"
+      val dups = rhs.groupBy(rhsKeyCols.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+        .where(col("__cnt") > 1).limit(1).count()
       require(dups == 0,
         s"hashJoin: KeyUniqueness=UNIQUE violated on (${rhsKeyCols.mkString(", ")})")
     }

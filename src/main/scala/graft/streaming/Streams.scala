@@ -87,12 +87,21 @@ object Streams {
     * evicts its state, so per-user state is bounded. State is per-user —
     * shards across executors, nothing global. In batch mode timeouts never
     * fire; the final open session per user is emitted by the batch's
-    * closing logic either way. */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    * closing logic either way.
+    *
+    * `latenessMs` is the out-of-order tolerance (watermark delay) and is
+    * an INDEPENDENT knob from the session gap: events arriving more than
+    * `latenessMs` behind the stream's max event time are dropped by the
+    * engine, which the batch path (which sees everything) never does. It
+    * defaults to the gap, a common operating point, but latency-sensitive
+    * pipelines shrink it and very-late-data pipelines grow it. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 latenessMs: Option[Long] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
-    val wm = if (streaming) events.withWatermark("ts", s"$gapMs milliseconds")
-             else events
+    val wm = if (streaming)
+      events.withWatermark("ts", s"${latenessMs.getOrElse(gapMs)} milliseconds")
+    else events
     wm.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

@@ -16,7 +16,9 @@ skip = "--skip-verify" in rest
 only = [a for a in rest if not a.startswith("--")]
 
 if not skip:
-    r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+    # forward query-name filters so Verify dumps only the requested queries
+    names = (" " + " ".join(only)) if only else ""
+    r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf} {out}{names}'],
                        cwd="/root/repo", capture_output=True, text=True)
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:
