@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Aggregates, Relational}
+import graft.operators.{Aggregates, Relational, Sketches}
 import graft.operators.Aggregates._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -166,6 +166,31 @@ object SparkEntry {
       Agg(MAX, Some("c_mktsegment"), "seg")))(j)
     Relational.sort(col("custkey"))(agg)
   }
+
+  // Sketch gates: the sketch estimate itself is implementation-defined, so
+  // the gate outputs the EXACT value + a tolerance boolean on the estimate
+  // and the oracle recomputes the exact value and asserts the boolean —
+  // verifying the accuracy contract without cross-engine sketch parity.
+  private def qSketchDistinct(s: SparkSession, d: String): DataFrame =
+    Relational.sort(col("l_returnflag"))(
+      Sketches.approxDistinctWithCheck(Tables.lineitem(s, d),
+        Seq("l_returnflag"), "l_suppkey")
+        .select("l_returnflag", "nd_exact", "nd_ok"))
+
+  private def qSketchQuantiles(s: SparkSession, d: String): DataFrame =
+    Relational.sort(col("l_returnflag"))(
+      Sketches.approxQuantilesWithCheck(Tables.lineitem(s, d),
+        Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75))
+        .select(col("l_returnflag"),
+          round(element_at(col("q_exact"), 1), 6).as("q25"),
+          round(element_at(col("q_exact"), 2), 6).as("q50"),
+          round(element_at(col("q_exact"), 3), 6).as("q75"),
+          col("q_ok")))
+
+  private def qSketchFreq(s: SparkSession, d: String): DataFrame =
+    Relational.sort(col("l_suppkey"))(
+      Sketches.topKFrequencyWithCheck(Tables.lineitem(s, d), "l_suppkey", k = 10)
+        .select("l_suppkey", "n_exact", "freq_ok"))
 
   private def qSaltedAgg(s: SparkSession, d: String): DataFrame = {
     // Skew-salted two-phase aggregation must be value-identical to the
@@ -735,6 +760,9 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_scan_selection" -> (qScanSelection _),
+    "q_sketch_distinct" -> (qSketchDistinct _),
+    "q_sketch_quantiles" -> (qSketchQuantiles _),
+    "q_sketch_freq" -> (qSketchFreq _),
     "q_foreign_filter" -> (qForeignFilter _),
     "q_rowid_merge_join" -> (qRowidMergeJoin _),
     "q_coalesce" -> (qCoalesce _),
@@ -827,6 +855,21 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 750) c
         |FULL JOIN (SELECT o_custkey, o_orderkey FROM orders) o ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sketch_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd_exact, TRUE AS nd_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sketch_quantiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        |round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+        |round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+        |TRUE AS q_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sketch_freq" ->
+      """SELECT l_suppkey, n_exact, TRUE AS freq_ok FROM (
+        |SELECT l_suppkey, COUNT(*) AS n_exact FROM lineitem
+        |GROUP BY l_suppkey ORDER BY n_exact DESC, l_suppkey LIMIT 10)
+        |ORDER BY l_suppkey""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |COUNT(*) AS n, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
