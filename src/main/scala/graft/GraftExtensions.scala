@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{SimHash64, VectorDot}
+import graft.functions.{ParseLongPrefix, SimHash64, VectorDot}
 
 /** SQL registration of graft's native Catalyst expressions.
   *
@@ -34,6 +34,10 @@ object GraftExtensions {
     "simhash64" -> { children =>
       require(children.length == 1, "simhash64(tokenHashes) takes 1 argument")
       SimHash64(children.head)
+    },
+    "parse_long_prefix" -> { children =>
+      require(children.length == 1, "parse_long_prefix(s) takes 1 argument")
+      ParseLongPrefix(children.head)
     })
 
   /** Register as session-scoped temp functions on a live session. */

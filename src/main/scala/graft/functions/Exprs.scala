@@ -67,7 +67,10 @@ object Exprs {
   def parseStringQuiet(t: DataType)(c: Column): Column = t match {
     case LongType | org.apache.spark.sql.types.IntegerType |
          org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
-      regexp_extract(c, "^\\s*([+-]?\\d+)", 1).try_cast(t)
+      // native codegen'd byte loop (ParseLongPrefix) — the regex
+      // formulation walks the regex engine and allocates the match per
+      // row; try_cast narrows with NULL-on-overflow for sub-long types
+      graft.functions.ParsePrefixExpression.parse_long_prefix(c).try_cast(t)
     case DoubleType | org.apache.spark.sql.types.FloatType =>
       regexp_extract(c, "^\\s*([+-]?(?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][+-]?\\d+)?)", 1)
         .try_cast(t)

@@ -114,6 +114,20 @@ class ExprsSpec extends SparkSpec {
       Seq(42, null))
   }
 
+  test("parse_long_prefix native expression: prefix, sign, whitespace, overflow, SQL") {
+    import graft.functions.{ParsePrefixExpression => PP}
+    val df = Seq("123abc", "  -45xy", "+7", "abc", "", "9223372036854775807",
+      "9223372036854775808", "12.5").toDF("s")
+    assert(rows(df.select(PP.parse_long_prefix(col("s")))).map(_.head) ==
+      Seq(123L, -45L, 7L, null, null, Long.MaxValue, null, 12L))
+    // interpreted path (eval) must agree with codegen: force via filter on
+    // a literal (constant folding runs the interpreted eval)
+    assert(rows(Seq(1).toDF("x").select(PP.parse_long_prefix(lit(" 88z")))).head.head == 88L)
+    // SQL registration
+    graft.GraftExtensions.register(spark)
+    assert(rows(spark.sql("SELECT parse_long_prefix('42abc')")).head.head == 42L)
+  }
+
   test("parseStringQuiet parses the longest valid prefix (strtol/strtod)") {
     // Nulling rejects trailing garbage; Quiet takes the C++ partial parse
     val df = Seq("123abc", " -7x", "abc", "42").toDF("s")
