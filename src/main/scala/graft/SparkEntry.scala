@@ -659,6 +659,27 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  private def qWindowAnalytics(s: SparkSession, d: String): DataFrame = {
+    // Full analytic-window surface (lead/lag/ntile/percent_rank/cume_dist/
+    // nth_value/first/last) — the distributed generalization of the
+    // reference's single-stream stateful expressions (SURVEY §2.7): an
+    // explicit partition key shards state; explicit order keys replace
+    // stream order.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      lead(col("c_custkey"), 1).over(w).as("next_key"),
+      lag(col("c_custkey"), 1).over(w).as("prev_key"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      nth_value(col("c_custkey"), 2).over(wRows).as("second_key"),
+      first(col("c_custkey")).over(wRows).as("top_key"))
+      .orderBy("c_custkey")
+  }
+
   // =========================================================================
   // Lookup / aggregate aliases / enum / policies / streaming-batch (§2 tail)
   // =========================================================================
@@ -801,6 +822,7 @@ object SparkEntry {
     "q_multimodal" -> (qMultimodal _),
     "q_events_window" -> (qEventsWindow _),
     "q_window_rank" -> (qWindowRank _),
+    "q_window_analytics" -> (qWindowAnalytics _),
     "q_lookup" -> (qLookup _),
     "q_best_effort_agg" -> (qBestEffortAgg _),
     "q_agg_clusters" -> (qAggClusters _),
@@ -1169,6 +1191,20 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
         |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT c_custkey, c_mktsegment,
+        |lead(c_custkey, 1) OVER w AS next_key,
+        |lag(c_custkey, 1) OVER w AS prev_key,
+        |ntile(4) OVER w AS quartile,
+        |round(percent_rank() OVER w, 6) AS pct_rank,
+        |round(cume_dist() OVER w, 6) AS cume,
+        |nth_value(c_custkey, 2) OVER wr AS second_key,
+        |first_value(c_custkey) OVER wr AS top_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+        |wr AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY c_custkey""".stripMargin,
     "q_lookup" ->
       """SELECT p_brand, COUNT(*) AS n_items,
