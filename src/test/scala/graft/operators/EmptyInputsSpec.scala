@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Aggregates._
+import org.apache.spark.sql.functions._
+
+/** Empty-input behavior across the operator surface — mirrors the
+  * reference's explicit empty-side tests (hash_join_test.cc:430-466
+  * EmptyLhsSkipsRhs/EmptyRhsSkipsLhs, aggregate_scalar empty-group rules).
+  */
+class EmptyInputsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def empty = Seq.empty[(Int, String)].toDF("k", "v")
+  private def some = Seq((1, "a"), (2, "b")).toDF("k2", "v2")
+
+  test("hashJoin: empty lhs or rhs yields empty inner result; outer keeps the other side") {
+    assert(Relational.hashJoin(empty, some, col("k") === col("k2")).count() == 0)
+    assert(Relational.hashJoin(some.toDF("k", "v"), empty.toDF("k2", "v2"),
+      col("k") === col("k2")).count() == 0)
+    assert(Relational.hashJoin(empty, some, col("k") === col("k2"), "right_outer").count() == 2)
+    assert(Relational.hashJoin(some.toDF("k", "v"), empty.toDF("k2", "v2"),
+      col("k") === col("k2"), "full_outer").count() == 2)
+  }
+
+  test("asOfJoin: empty right carries NULLs; empty left yields empty") {
+    val left = Seq((1, 10L)).toDF("k", "t")
+    val emptyRight = Seq.empty[(Int, Long, Double)].toDF("k", "t2", "px")
+      .select(col("k"), col("t2").as("rt"), col("px"))
+    val out = Relational.asOfJoin(left, emptyRight, Seq("k"), "t", "rt", Seq("px"))
+    assert(rows(out.select("px")) == Seq(Seq(null)))
+    val emptyLeft = Seq.empty[(Int, Long)].toDF("k", "t")
+    assert(Relational.asOfJoin(emptyLeft, emptyRight, Seq("k"), "t", "rt", Seq("px")).count() == 0)
+  }
+
+  test("rangeJoin: empty intervals or points yield empty") {
+    val pts = Seq((1, 5L)).toDF("pid", "t")
+    val noIv = Seq.empty[(Int, Long, Long)].toDF("iid", "s", "e")
+    assert(Relational.rangeJoin(pts, noIv, Nil, col("t"), col("s"), col("e"), 10L).count() == 0)
+    val noPts = Seq.empty[(Int, Long)].toDF("pid", "t")
+    val iv = Seq((9, 0L, 9L)).toDF("iid", "s", "e")
+    assert(Relational.rangeJoin(noPts, iv, Nil, col("t"), col("s"), col("e"), 10L).count() == 0)
+  }
+
+  test("aggregation: group agg of empty input is 0 rows; scalar agg is 1 row") {
+    val e = Seq.empty[(String, Int)].toDF("g", "x")
+    assert(Aggregates.groupAggregate(Seq("g"), Seq(Agg(COUNT, None, "n")))(e).count() == 0)
+    assert(rows(Aggregates.scalarAggregate(Seq(
+      Agg(COUNT, None, "n"), Agg(SUM, Some("x"), "s"), Agg(MIN, Some("x"), "mn")))(e)) ==
+      Seq(Seq(0L, null, null)))
+    // group-with-limit on empty input: no kept keys, no overflow row
+    assert(Aggregates.groupAggregateWithLimit("g", Seq(Agg(COUNT, None, "n")), 3)(e).count() == 0)
+  }
+
+  test("sort / limit / set ops on empty inputs") {
+    val e = Seq.empty[(Int, String)].toDF("k", "v")
+    assert(Relational.sort(col("k"))(e).count() == 0)
+    assert(Relational.limitOffset(5, 2)(e).count() == 0)
+    assert(Relational.extendedSort(Seq(col("k")), Some(3))(e).count() == 0)
+    assert(Relational.intersect(e, some.toDF("k", "v")).count() == 0)
+    assert(Relational.except(some.toDF("k", "v"), e).count() == 2)
+    assert(Relational.mergeUnionAll(Seq(e, e), Seq(col("k"))).count() == 0)
+  }
+
+  test("dedup / sketches on empty inputs") {
+    val e = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(graft.pipeline.Dedup.exactGroups(e, "text", "id").count() == 0)
+    val en = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(Sketches.approxDistinctWithCheck(en, Seq("g"), "v").count() == 0)
+    assert(Sketches.topKFrequencyWithCheck(en, "v", k = 3).count() == 0)
+  }
+}
