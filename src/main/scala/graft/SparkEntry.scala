@@ -192,6 +192,32 @@ object SparkEntry {
       Sketches.topKFrequencyWithCheck(Tables.lineitem(s, d), "l_suppkey", k = 10)
         .select("l_suppkey", "n_exact", "freq_ok"))
 
+  private def qFileRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // FileOutput → FileInput round-trip (reference file_io.h:64): write a
+    // directory-partitioned projection with size-targeted files, scan it
+    // back, aggregate — gates that the storage round-trip preserves
+    // values exactly (and exercises the 100 TB writer shape: partition
+    // pruning + bounded file sizes).
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    Relational.fileOutputPartitioned(o, out, Seq("o_orderstatus"),
+      targetRowsPerFile = 5000L)
+    val back = Relational.scanParquet(s, out)
+    Relational.sort(col("o_orderstatus"))(asDouble("sum_price")(
+      Aggregates.groupAggregate(Seq("o_orderstatus"), Seq(
+        Agg(COUNT, None, "n"),
+        Agg(SUM, Some("price_dec"), "sum_price")))(
+        back.withColumn("price_dec", dec(col("o_totalprice"))))))
+  }
+
+  private def qSpy(s: SparkSession, d: String): DataFrame =
+    // SpyOperation passthrough (reference spy.h): observed metrics attach
+    // to the plan without changing the data — the gate asserts identity.
+    Relational.sort(col("n_nationkey"))(
+      Relational.spy(Tables.nation(s, d), "spy_nation")
+        .select(col("n_nationkey"), col("n_name")))
+
   private def qSaltedAgg(s: SparkSession, d: String): DataFrame = {
     // Skew-salted two-phase aggregation must be value-identical to the
     // plain GROUP BY the oracle runs: exactness holds because the partial
@@ -781,6 +807,8 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_scan_selection" -> (qScanSelection _),
+    "q_file_roundtrip" -> (qFileRoundtrip _),
+    "q_spy" -> (qSpy _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_sketch_freq" -> (qSketchFreq _),
@@ -877,6 +905,12 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 750) c
         |FULL JOIN (SELECT o_custkey, o_orderkey FROM orders) o ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_file_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_spy" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "q_sketch_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS nd_exact, TRUE AS nd_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

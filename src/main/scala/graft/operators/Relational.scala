@@ -39,6 +39,24 @@ object Relational {
   def fileOutput(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Partitioned, size-targeted file output — the 100 TB writer shape:
+    * directory-partition by low-cardinality columns (partition pruning on
+    * read) and repartition so each partition directory gets
+    * ceil(rows/targetRowsPerFile) files of roughly even size instead of
+    * one file per upstream task (the small-files problem) or one giant
+    * file per partition value (no read parallelism).
+    */
+  def fileOutputPartitioned(df: DataFrame, path: String,
+                            partitionCols: Seq[String],
+                            targetRowsPerFile: Long): Unit = {
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    df.repartition(files, partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Bucketed table write: pre-shuffles the data into `numBuckets` by the
     * join keys at write time, so later equi-joins/aggregations on those
     * keys run with NO exchange — the 100 TB co-located-join strategy

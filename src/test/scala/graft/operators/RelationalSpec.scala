@@ -212,6 +212,19 @@ class RelationalSpec extends SparkSpec {
       .select("pid")).flatten == Seq(1))
   }
 
+  test("fileOutputPartitioned writes partition dirs with bounded file counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fop").toString
+    val df = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("k", "par")
+    Relational.fileOutputPartitioned(df, dir, Seq("par"), targetRowsPerFile = 25L)
+    val back = Relational.scanParquet(spark, dir)
+    assert(back.count() == 100)
+    assert(rows(back.groupBy("par").count().orderBy("par")) ==
+      Seq(Seq("even", 50L), Seq("odd", 50L)))
+    // directory-partitioned layout exists for both values
+    assert(new java.io.File(s"$dir/par=even").isDirectory)
+    assert(new java.io.File(s"$dir/par=odd").isDirectory)
+  }
+
   test("lookup is a broadcast multi-lookup join") {
     val queries = Seq(1, 2, 2, 9).toDF("k")
     val index = Seq((1, "a"), (2, "b")).toDF("k", "v")
