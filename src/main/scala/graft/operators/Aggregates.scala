@@ -143,8 +143,19 @@ object Aggregates {
   }
 
   /** BoundGroupAggregateWithLimit — aggregate the first `limit` unique keys
-    * (in key order) individually; all remaining rows fold into a single
-    * overflow group with NULL keys (reference: aggregate.h:264-276).
+    * individually; all remaining rows fold into a single overflow group
+    * (reference: aggregate.h:264-276).
+    *
+    * Documented deltas vs the reference (aggregate_groups.cc:326,
+    * row_hash_set.cc:501-510): (a) "first" there means INPUT order — a
+    * single-stream notion with no distributed analog — so this takes the
+    * first `limit` keys in KEY order, the deterministic reading; (b) the
+    * reference renders the overflow row's key columns with the
+    * (limit+1)-th unique key's value (an artifact of reusing that hash-set
+    * row), which misleadingly looks like a real group — here the overflow
+    * key is NULL instead. Consequence: an input that has a genuine NULL
+    * key group (kept; NULL sorts first) AND overflow rows merges both into
+    * one NULL-keyed output row.
     *
     * Distributed and bounded: only the K-th smallest key matters, so we take
     * the first `limit` keys via distinct → orderBy → limit (Spark plans this
