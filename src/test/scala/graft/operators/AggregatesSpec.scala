@@ -97,4 +97,17 @@ class AggregatesSpec extends SparkSpec {
     assert(rows(out) == Seq(
       Seq("a", 1L, 1L), Seq("b", 2L, 1L), Seq(null, 28L, 3L)))
   }
+
+  test("groupAggregateWithLimit: NULL key is kept (sorts first) and merges with overflow") {
+    // documented contract (see scaladoc): a genuine NULL-key group is one
+    // of the kept keys, and since the overflow row also renders NULL, the
+    // two merge when overflow exists
+    val df = Seq((None, 1), (Some("a"), 2), (Some("b"), 4), (Some("c"), 8))
+      .toDF("k", "v")
+    val out = groupAggregateWithLimit("k", Seq(
+      Agg(SUM, Some("v"), "s"), Agg(COUNT, None, "n")), limit = 2)(df)
+      .orderBy(col("k").asc_nulls_last)
+    // kept: NULL and "a"; overflow: b+c merges into the NULL output row
+    assert(rows(out) == Seq(Seq("a", 2L, 1L), Seq(null, 13L, 3L)))
+  }
 }
