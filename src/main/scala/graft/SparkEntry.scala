@@ -198,7 +198,9 @@ object SparkEntry {
     // back, aggregate — gates that the storage round-trip preserves
     // values exactly (and exercises the 100 TB writer shape: partition
     // pruning + bounded file sizes).
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+    // per-process path: concurrent Verify/Bench runs on one machine must
+    // not interleave overwrites of a shared directory
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}"
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       col("o_totalprice"))
     Relational.fileOutputPartitioned(o, out, Seq("o_orderstatus"),
@@ -360,7 +362,7 @@ object SparkEntry {
       Aggregates.groupAggregateWithLimit("l_suppkey", Seq(
         Agg(SUM, Some("qty_dec"), "sum_qty"),
         Agg(COUNT, None, "cnt")), limit = 5)(li))
-      .orderBy(col("l_suppkey").asc_nulls_last)
+      .orderBy(col("l_suppkey").asc_nulls_last, col("overflow"))
   }
 
   private def qSetIntersect(s: SparkSession, d: String): DataFrame =
@@ -985,10 +987,12 @@ object SparkEntry {
     "q_agg_limit" ->
       """WITH rk AS (SELECT l_suppkey AS k, dense_rank() OVER (ORDER BY l_suppkey) AS r
         |FROM (SELECT DISTINCT l_suppkey FROM lineitem)),
-        |t AS (SELECT CASE WHEN rk.r <= 5 THEN l.l_suppkey END AS l_suppkey, l.l_quantity
+        |t AS (SELECT CASE WHEN rk.r <= 5 THEN l.l_suppkey END AS l_suppkey,
+        |rk.r > 5 AS overflow, l.l_quantity
         |FROM lineitem l JOIN rk ON l.l_suppkey = rk.k)
-        |SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |COUNT(*) AS cnt FROM t GROUP BY l_suppkey ORDER BY l_suppkey NULLS LAST""".stripMargin,
+        |SELECT l_suppkey, overflow, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS cnt FROM t GROUP BY l_suppkey, overflow
+        |ORDER BY l_suppkey NULLS LAST, overflow""".stripMargin,
     "q_set_intersect" ->
       """SELECT nk FROM (SELECT c_nationkey AS nk FROM customer INTERSECT
         |SELECT s_nationkey AS nk FROM supplier) ORDER BY nk""".stripMargin,

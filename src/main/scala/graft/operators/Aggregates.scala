@@ -153,9 +153,10 @@ object Aggregates {
     * reference renders the overflow row's key columns with the
     * (limit+1)-th unique key's value (an artifact of reusing that hash-set
     * row), which misleadingly looks like a real group — here the overflow
-    * key is NULL instead. Consequence: an input that has a genuine NULL
-    * key group (kept; NULL sorts first) AND overflow rows merges both into
-    * one NULL-keyed output row.
+    * row carries a NULL key plus `overflowCol` = true. The marker keeps a
+    * genuine NULL-key group (kept: NULL sorts first, overflowCol = false)
+    * DISTINCT from the overflow row, matching the reference's two-row
+    * output where both exist.
     *
     * Distributed and bounded: only the K-th smallest key matters, so we take
     * the first `limit` keys via distinct → orderBy → limit (Spark plans this
@@ -165,7 +166,8 @@ object Aggregates {
     * dense_rank-over-everything design funnelled all keys through one task
     * and broadcast them all; this version is O(limit) driver-side.
     */
-  def groupAggregateWithLimit(key: String, specs: Seq[Agg], limit: Int)
+  def groupAggregateWithLimit(key: String, specs: Seq[Agg], limit: Int,
+                              overflowCol: String = "overflow")
                              (df: DataFrame): DataFrame = {
     // First `limit` unique keys in key order, nulls smallest (a NULL group
     // key is a real group in the reference's hash aggregation and sorts
@@ -174,11 +176,13 @@ object Aggregates {
       .orderBy(col("__rkey").asc_nulls_first).limit(limit)
       .withColumn("__keep", lit(true))
     // Null-safe left join against the bounded kept-set; rows whose key was
-    // not kept fold into the single overflow group (NULL key), matching the
-    // reference's "rest -> one row with NULL keys" output.
+    // not kept fold into the single overflow group (NULL key + marker),
+    // matching the reference's "rest -> one overflow row" output while
+    // keeping a kept NULL-key group distinguishable.
     val tagged = df.join(broadcast(kept), col(key) <=> col("__rkey"), "left")
-      .withColumn("__k", when(col("__keep"), col(key)))
-    tagged.groupBy(col("__k").as(key))
+      .withColumn("__ov", col("__keep").isNull)
+      .withColumn("__k", when(!col("__ov"), col(key)))
+    tagged.groupBy(col("__k").as(key), col("__ov").as(overflowCol))
       .agg(specs.head.toColumn, specs.tail.map(_.toColumn): _*)
   }
 }

@@ -49,10 +49,32 @@ object Relational {
   def fileOutputPartitioned(df: DataFrame, path: String,
                             partitionCols: Seq[String],
                             targetRowsPerFile: Long): Unit = {
-    val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    df.repartition(files, partitionCols.map(col): _*)
+    require(partitionCols.nonEmpty, "fileOutputPartitioned: need partition columns")
+    require(targetRowsPerFile > 0, "fileOutputPartitioned: targetRowsPerFile must be positive")
+    // Per-partition-value row counts (map-side combined aggregation over the
+    // low-cardinality partition columns — tiny result). Repartitioning by the
+    // partition columns alone would funnel each value into ONE task → one
+    // file per directory regardless of size; instead each value gets a salt
+    // in [0, ceil(n_value/target)) so its rows spread over that many shuffle
+    // buckets and each directory receives ≈ that many similarly-sized files.
+    val perValue = df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__files",
+        greatest(lit(1L), ceil(col("__n") / lit(targetRowsPerFile.toDouble))).cast("int"))
+      .drop("__n")
+    val totalFiles = perValue.agg(sum(col("__files"))).head().getLong(0).toInt
+    // The salt provides WRITE PARALLELISM (≈ one task per target file);
+    // `maxRecordsPerFile` provides the hard SIZE BOUND — even when two salt
+    // buckets of one value hash into the same task, the writer rolls to a
+    // new file every targetRowsPerFile rows, so no directory ever gets one
+    // giant file. 2x task head-room keeps bucket collisions rare.
+    val shufflePartitions = math.max(1, totalFiles * 2)
+    df.join(broadcast(perValue), partitionCols, "left")
+      .withColumn("__salt", (rand(42L) * col("__files")).cast("int"))
+      .repartition(shufflePartitions, (partitionCols.map(col) :+ col("__salt")): _*)
+      .drop("__files", "__salt")
       .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }

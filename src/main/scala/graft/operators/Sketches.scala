@@ -64,19 +64,37 @@ object Sketches {
     * key list are index-sized; the counting itself is distributed). */
   def topKFrequencyWithCheck(df: DataFrame, keyCol: String, k: Int,
                              eps: Double = 0.0001): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
     import org.apache.spark.util.sketch.CountMinSketch
     val spark = df.sparkSession
-    import spark.implicits._
     val n = df.count()
     val sketch = CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(countMinSketch(df, keyCol, eps)))
-    val top = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
-      .orderBy(col("n_exact").desc, col(keyCol)).limit(k)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // NULL keys are invisible to the sketch (the aggregate skips them, the
+    // standard sketch contract), so they are excluded from the top-k too.
+    val top = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col(keyCol)).limit(k).collect()
     val bound = (eps * n).ceil.toLong
-    top.toSeq.map { case (key, exact) =>
-      val est = sketch.estimateCount(key)
-      (key, exact, est, est >= exact && est <= exact + bound)
-    }.toDF(keyCol, "n_exact", "n_est", "freq_ok")
+    // Probe with the SAME runtime shape the aggregate hashed: integral types
+    // hash as long, strings as their UTF-8 bytes — estimateCount dispatches
+    // on the probe's runtime class, so an Int probe must widen to Long.
+    val out = top.toSeq.map { r =>
+      val key = r.get(0)
+      val exact = r.getLong(1)
+      val est = key match {
+        case s: String => sketch.estimateCount(s)
+        case i: java.lang.Number => sketch.estimateCount(java.lang.Long.valueOf(i.longValue()))
+        case other => sketch.estimateCount(other) // binary etc. — sketch's own dispatch
+      }
+      Row(key, exact, est, est >= exact && est <= exact + bound)
+    }
+    val schema = StructType(Seq(
+      df.schema(keyCol),
+      StructField("n_exact", LongType, nullable = false),
+      StructField("n_est", LongType, nullable = false),
+      StructField("freq_ok", BooleanType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 }

@@ -94,7 +94,17 @@ object Streams {
     * `latenessMs` behind the stream's max event time are dropped by the
     * engine, which the batch path (which sees everything) never does. It
     * defaults to the gap, a common operating point, but latency-sensitive
-    * pipelines shrink it and very-late-data pipelines grow it. */
+    * pipelines shrink it and very-late-data pipelines grow it.
+    *
+    * Out-of-order handling across micro-batches: a late event that sorts
+    * before the state's lastSeen merges with min/max bounds (start can move
+    * BACK, lastSeen never does), so session bounds stay monotone correct.
+    * Residual approximation, bounded by `latenessMs`: an admitted event
+    * older than start - gap extends the open session backwards instead of
+    * reconstructing a separate earlier session (exact splitting would need
+    * the full event history in state; the batch path, which sorts globally,
+    * has no such approximation). The registered timeout is clamped strictly
+    * above the current watermark — setTimeoutTimestamp throws otherwise. */
   def sessionize(events: Dataset[Event], gapMs: Long,
                  latenessMs: Option[Long] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -125,11 +135,16 @@ object Streams {
               else if (t - st.lastSeen > gapMs) {
                 out += Session(user, st.start, st.lastSeen, st.n, st.sumCents)
                 st = SessionState(t, t, 1, cents)
-              } else st = SessionState(st.start, t, st.n + 1, st.sumCents + cents)
+              } else st = SessionState(math.min(st.start, t), math.max(st.lastSeen, t),
+                st.n + 1, st.sumCents + cents)
             }
             if (st != null) {
               state.update(st)
-              if (streaming) state.setTimeoutTimestamp(st.lastSeen + gapMs)
+              // clamp: a late merge can leave lastSeen + gap at or behind
+              // the watermark, and setTimeoutTimestamp rejects non-future
+              // timestamps (the timeout then fires on the next batch)
+              if (streaming) state.setTimeoutTimestamp(
+                math.max(st.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
             } else state.remove()
             out.iterator
           }

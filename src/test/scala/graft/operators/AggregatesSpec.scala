@@ -93,21 +93,22 @@ class AggregatesSpec extends SparkSpec {
     val df = Seq(("a", 1), ("b", 2), ("c", 4), ("d", 8), ("c", 16)).toDF("k", "v")
     val out = groupAggregateWithLimit("k", Seq(
       Agg(SUM, Some("v"), "s"), Agg(COUNT, None, "n")), limit = 2)(df)
-      .orderBy(col("k").asc_nulls_last)
+      .orderBy(col("k").asc_nulls_last, col("overflow"))
     assert(rows(out) == Seq(
-      Seq("a", 1L, 1L), Seq("b", 2L, 1L), Seq(null, 28L, 3L)))
+      Seq("a", false, 1L, 1L), Seq("b", false, 2L, 1L), Seq(null, true, 28L, 3L)))
   }
 
-  test("groupAggregateWithLimit: NULL key is kept (sorts first) and merges with overflow") {
-    // documented contract (see scaladoc): a genuine NULL-key group is one
-    // of the kept keys, and since the overflow row also renders NULL, the
-    // two merge when overflow exists
+  test("groupAggregateWithLimit: kept NULL-key group stays distinct from overflow row") {
+    // the overflow marker keeps the reference's two-row output: a genuine
+    // NULL-key group (kept: NULL sorts first) and the overflow group are
+    // separate rows, distinguished by `overflow`
     val df = Seq((None, 1), (Some("a"), 2), (Some("b"), 4), (Some("c"), 8))
       .toDF("k", "v")
     val out = groupAggregateWithLimit("k", Seq(
       Agg(SUM, Some("v"), "s"), Agg(COUNT, None, "n")), limit = 2)(df)
-      .orderBy(col("k").asc_nulls_last)
-    // kept: NULL and "a"; overflow: b+c merges into the NULL output row
-    assert(rows(out) == Seq(Seq("a", 2L, 1L), Seq(null, 13L, 3L)))
+      .orderBy(col("k").asc_nulls_last, col("overflow"))
+    // kept: NULL and "a"; overflow: b+c in its own marked row
+    assert(rows(out) == Seq(
+      Seq("a", false, 2L, 1L), Seq(null, false, 1L, 1L), Seq(null, true, 12L, 2L)))
   }
 }

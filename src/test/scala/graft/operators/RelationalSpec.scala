@@ -223,6 +223,18 @@ class RelationalSpec extends SparkSpec {
     // directory-partitioned layout exists for both values
     assert(new java.io.File(s"$dir/par=even").isDirectory)
     assert(new java.io.File(s"$dir/par=odd").isDirectory)
+    // size targeting: 50 rows per value at target 25 ⇒ each directory is
+    // SPLIT (≥ 2 files — never one giant file per partition value) and no
+    // single file exceeds the row target (the salt splits ~evenly; the
+    // writer's maxRecordsPerFile enforces the hard cap)
+    for (sub <- Seq("par=even", "par=odd")) {
+      val files = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(files.length >= 2, s"$sub should be split into multiple files")
+      for (f <- files)
+        assert(spark.read.parquet(f.getAbsolutePath).count() <= 25L,
+          s"${f.getName} exceeds targetRowsPerFile")
+    }
   }
 
   test("lookup is a broadcast multi-lookup join") {

@@ -26,6 +26,19 @@ class SketchesSpec extends SparkSpec {
     assert(out(1) == true)
   }
 
+  test("topKFrequencyWithCheck handles string and int keys (generic key types)") {
+    // non-Long keys must probe the sketch with the runtime type the
+    // aggregate hashed: ints widen to long, strings hash their UTF-8 bytes
+    val strDf = (Seq.fill(5)("hot") ++ Seq("a", "b", "c", null)).toDF("s")
+    val strOut = rows(Sketches.topKFrequencyWithCheck(strDf, "s", k = 2)
+      .orderBy(col("n_exact").desc, col("s")))
+    assert(strOut.head == Seq("hot", 5L, 5L, true))
+    assert(strOut.forall(_(3) == true) && strOut.length == 2) // null key excluded
+    val intDf = (Seq.fill(4)(9) ++ Seq(1, 2)).toDF("i")
+    val intOut = rows(Sketches.topKFrequencyWithCheck(intDf, "i", k = 1))
+    assert(intOut == Seq(Seq(9, 4L, 4L, true)))
+  }
+
   test("topKFrequencyWithCheck: CMS estimates bound the exact counts from above") {
     val df = skewed.toDF("g", "v")
     val out = Sketches.topKFrequencyWithCheck(df, "v", k = 3)

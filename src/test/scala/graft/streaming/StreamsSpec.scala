@@ -64,6 +64,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize merges a cross-batch late event with min/max session bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 60 * 60 * 1000)
+      .writeStream.format("memory").queryName("late_sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 at 10:20 → watermark after batch = 09:20
+      mem.addData(Streams.Event(1, ts("2024-01-01 10:20:00"), 1, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: LATE event at 10:05 (admitted: above the 09:20 watermark,
+      // but BEFORE the state's lastSeen) — must extend start backwards, not
+      // drag lastSeen back / throw on setTimeoutTimestamp
+      mem.addData(Streams.Event(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      // batch 3: 13:00 event (gap > 1h) closes the merged session
+      mem.addData(Streams.Event(3, ts("2024-01-01 13:00:00"), 1, "click", 4.0, "{}"))
+      q.processAllAvailable()
+      val out = rows(spark.table("late_sess_out")
+        .select("user_id", "start_ms", "end_ms", "n_events", "value_cents"))
+      assert(out == Seq(Seq(1L, ts("2024-01-01 10:05:00").getTime,
+        ts("2024-01-01 10:20:00").getTime, 2L, 300L)))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches the stateful semantics on closed sessions") {
     val out = Streams.sessionizeBatch(sampleEvents.toDF(), gapMs = 60 * 60 * 1000)
       .orderBy("user_id", "start_ms")
