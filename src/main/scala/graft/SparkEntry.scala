@@ -399,7 +399,7 @@ object SparkEntry {
   // =========================================================================
 
   import graft.functions.{Exprs => E, Stateful}
-  import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => T}
+  import graft.pipeline.{Contamination, Dedup, Multimodal, Profile, Sampling, Scoring, Similarity, TextAnalysis => T}
 
   private def qExprArith(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d).select(col("p_partkey"),
@@ -656,6 +656,64 @@ object SparkEntry {
     Tables.documents(s, d).select(col("doc_id"),
       T.fingerprint(col("text")).as("fp")).orderBy("doc_id")
 
+  private def qSampleBernoulli(s: SparkSession, d: String): DataFrame =
+    // hash-based sampling: the kept set is a pure function of the keys, so
+    // DuckDB reproduces the EXACT sample from the portable-hash formula
+    Sampling.bernoulli(Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_linenumber"), rate = 0.25)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  private def qSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val sampled = Sampling.stratified(Tables.lineitem(s, d), "l_returnflag",
+      Map("A" -> 0.5, "N" -> 0.1), defaultRate = 0.25,
+      keyCols = Seq("l_orderkey", "l_linenumber"))
+    Relational.sort(col("l_returnflag"))(asDouble("sum_qty")(
+      Aggregates.groupAggregate(Seq("l_returnflag"), Seq(
+        Agg(COUNT, None, "n"),
+        Agg(SUM, Some("qty_dec"), "sum_qty")))(
+        sampled.withColumn("qty_dec", dec(col("l_quantity"))))))
+  }
+
+  private def qTfidf(s: SparkSession, d: String): DataFrame = {
+    // corpus stats over ALL documents; top-3 BM25 terms for the first docs
+    // (ranking on the ROUNDED score so a last-ulp ln() difference between
+    // engines cannot flip ranks; term is the tiebreak)
+    val scored = Scoring.tfidfBm25(Tables.documents(s, d), "doc_id", "text")
+    Scoring.topTerms(scored.where(col("doc_id") < 40), "doc_id", "bm25", k = 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), round(col("bm25"), 6).as("bm25"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private def qTextRedact(s: SparkSession, d: String): DataFrame = {
+    // deterministic synthetic PII spans appended per doc so the scrub has
+    // real work at every row; n_pii counts the spans each pattern removes
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-123-4567 ssn 123-45-6789")).as("t"))
+    docs.select(col("doc_id"),
+      T.piiCount(col("t")).cast("long").as("n_pii"),
+      T.redact(col("t")).as("redacted"))
+      .select(col("doc_id"), col("n_pii"), expr("right(redacted, 64)").as("tail_redacted"))
+      .orderBy("doc_id")
+  }
+
+  private def qProfile(s: SparkSession, d: String): DataFrame =
+    Profile.profileColumns(Tables.customer(s, d),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      .withColumn("avg_len", round(col("avg_len"), 6))
+      .orderBy("col_name")
+
+  private def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.where(col("doc_id") % 10 =!= 0)
+    val test = docs.where(col("doc_id") % 10 === 0)
+    Contamination.ngramContamination(train, test, "doc_id", "text", n = 5)
+      .withColumn("rate", round(col("rate"), 6))
+      .orderBy("doc_id")
+  }
+
   private def qMultimodal(s: SparkSession, d: String): DataFrame = {
     val b = Multimodal.asBinary(Tables.documents(s, d).select("doc_id", "text"),
       "text", "payload").drop("text")
@@ -849,6 +907,12 @@ object SparkEntry {
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_sample_bernoulli" -> (qSampleBernoulli _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_tfidf" -> (qTfidf _),
+    "q_text_redact" -> (qTextRedact _),
+    "q_profile" -> (qProfile _),
+    "q_contamination" -> (qContamination _),
     "q_multimodal" -> (qMultimodal _),
     "q_events_window" -> (qEventsWindow _),
     "q_window_rank" -> (qWindowRank _),
@@ -1211,6 +1275,100 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The sampling oracles replay the portable hash (Sampling.portableBucket)
+    // in plain integer arithmetic: same keys -> same buckets -> the EXACT
+    // same sample rows in both engines.
+    "q_sample_bernoulli" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE ((((l_orderkey % 2147483648) * 2654435761) % 2147483648
+        |      + ((l_linenumber % 2147483648) * 2246822519) % 2147483648)
+        |      % 2147483648) % 1000000 < 250000
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE ((((l_orderkey % 2147483648) * 2654435761) % 2147483648
+        |      + ((l_linenumber % 2147483648) * 2246822519) % 2147483648)
+        |      % 2147483648) % 1000000
+        |  < (CASE l_returnflag WHEN 'A' THEN 500000 WHEN 'N' THEN 100000 ELSE 250000 END)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  round(tf.tf * (ln((st.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf,
+        |  round(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |        tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS bm25
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rank
+        |  FROM sc WHERE doc_id < 40)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf, bm25
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_text_redact" ->
+      """WITH t0 AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or 555-123-4567 ssn 123-45-6789' AS t
+        |  FROM documents),
+        |r1 AS (SELECT doc_id, t,
+        |  regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t1 FROM t0),
+        |r2 AS (SELECT doc_id, t, t1,
+        |  regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS t2 FROM r1),
+        |r3 AS (SELECT doc_id, t, t1, t2,
+        |  regexp_replace(t2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g') AS t3 FROM r2)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+        |     + len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+        |     + len(regexp_extract_all(t2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_pii,
+        |  right(t3, 64) AS tail_redacted
+        |FROM r3 ORDER BY doc_id""".stripMargin,
+    "q_profile" ->
+      """SELECT 'c_custkey' AS col_name, COUNT(c_custkey) AS n_nonnull,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(DISTINCT c_custkey) AS n_distinct,
+        |  CAST(MIN(c_custkey) AS DOUBLE) AS min_num, CAST(MAX(c_custkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS DOUBLE) AS avg_len FROM customer
+        |UNION ALL
+        |SELECT 'c_name', COUNT(c_name),
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_name), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  round(AVG(length(c_name)), 6) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', COUNT(c_nationkey),
+        |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_nationkey),
+        |  CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE),
+        |  CAST(NULL AS DOUBLE) FROM customer
+        |UNION ALL
+        |SELECT 'c_acctbal', COUNT(c_acctbal),
+        |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_acctbal),
+        |  CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE),
+        |  CAST(NULL AS DOUBLE) FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', COUNT(c_mktsegment),
+        |  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  round(AVG(length(c_mktsegment)), 6) FROM customer
+        |ORDER BY col_name""".stripMargin,
+    "q_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, (CASE WHEN len(w) >= 5
+        |  THEN list_distinct(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')))
+        |  ELSE [array_to_string(w, ' ')] END) AS shs FROM tok),
+        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |te AS (SELECT doc_id, s FROM ex WHERE doc_id % 10 = 0),
+        |tr AS (SELECT DISTINCT s FROM ex WHERE doc_id % 10 <> 0),
+        |agg AS (SELECT te.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM te LEFT JOIN tr ON te.s = tr.s GROUP BY te.doc_id)
+        |SELECT doc_id, n_shingles, n_hit,
+        |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS rate
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id, 'fake/raw' AS media_format,
         |(ascii(substr(text, 1, 1)) % 64) + 1 AS width,

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines
+  * (beyond-reference surface; the reference's only randomness is
+  * RandInt32, supersonic/expression/core/elementary_expressions.h).
+  *
+  * Everything here is HASH-based, never `rand()`-based: a row's fate is a
+  * pure function of its key, so samples are reproducible across runs,
+  * retries, and engines — the property a 100 TB pipeline needs for
+  * train/eval splits that survive recomputation (a task retry under
+  * `rand()` silently changes the sample). All expressions are codegen'd
+  * built-ins; filters push down to the scan where the format allows.
+  */
+object Sampling {
+
+  /** Bucket count of the portable hash: rates resolve to 1/Buckets
+    * granularity. */
+  val Buckets: Long = 1000000L
+
+  private val Mod: Long = 2147483648L // 2^31
+  private val Primes: Seq[Long] =
+    Seq(2654435761L, 2246822519L, 3266489917L, 668265263L, 374761393L)
+
+  /** Portable hash bucket in [0, Buckets): a weighted polynomial over the
+    * (non-negative integer) key columns in plain int64 arithmetic — each
+    * key is reduced mod 2^31 before its prime multiply so no term can
+    * overflow under ANSI arithmetic, and the odd-prime multiply mod 2^31
+    * is a bijection that scatters consecutive keys far apart.
+    *
+    * "Portable" is the point: any SQL engine reproduces it with `%` and
+    * `*` (see the q_sample_* oracles), unlike xxhash64 whose exact values
+    * are engine-internal. For adversarial inputs prefer
+    * [[xxhashBucket]] — better mixing, same distribution contract. */
+  def portableBucket(keys: Seq[Column]): Column = {
+    require(keys.nonEmpty, "portableBucket: need at least one key column")
+    val mixed = keys.zipWithIndex.map { case (k, i) =>
+      pmod(pmod(k.cast("long"), lit(Mod)) * lit(Primes(i % Primes.size)), lit(Mod))
+    }.reduce(_ + _)
+    pmod(pmod(mixed, lit(Mod)), lit(Buckets))
+  }
+
+  /** Engine-internal bucket (xxhash64 — stronger mixing, arbitrary key
+    * types, not reproducible outside Spark). */
+  def xxhashBucket(keys: Seq[Column]): Column =
+    pmod(xxhash64(keys: _*), lit(Buckets))
+
+  /** Deterministic Bernoulli sample: keep a row iff its key bucket falls
+    * below rate·Buckets. Same key ⇒ same decision, always — duplicates of
+    * a key are kept or dropped together. */
+  def bernoulli(df: DataFrame, keyCols: Seq[String], rate: Double,
+                bucket: Option[Column] = None): DataFrame = {
+    require(rate >= 0 && rate <= 1, "bernoulli: rate must be in [0, 1]")
+    val b = bucket.getOrElse(portableBucket(keyCols.map(col)))
+    df.where(b < lit((rate * Buckets).toLong))
+  }
+
+  /** Deterministic stratified sample: per-stratum keep rates (e.g. flatten
+    * a skewed language mix), unlisted strata fall back to `defaultRate`.
+    * The rate lookup is a compiled CASE chain — no join, no shuffle; the
+    * whole operator is a single codegen'd filter over the scan. */
+  def stratified(df: DataFrame, strataCol: String, rates: Map[String, Double],
+                 defaultRate: Double, keyCols: Seq[String],
+                 bucket: Option[Column] = None): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "stratified: rates must be in [0, 1]")
+    val b = bucket.getOrElse(portableBucket(keyCols.map(col)))
+    val threshold = rates.foldRight(lit((defaultRate * Buckets).toLong): Column) {
+      case ((stratum, r), acc) =>
+        when(col(strataCol) === lit(stratum), lit((r * Buckets).toLong)).otherwise(acc)
+    }
+    df.where(b < threshold)
+  }
+
+  /** Exactly-N-per-stratum sample: rank each stratum's rows by hash bucket
+    * (deterministic pseudo-random order, key tiebreak) and keep the first
+    * `n`.
+    *
+    * SCALE CONTRACT: the rank window partitions by the stratum column, so
+    * one reducer sees each stratum — fine for many modest strata, a
+    * funnel for few huge ones. For huge strata pre-thin with
+    * [[bernoulli]]/[[stratified]] to ~10·n survivors first (hash-rank is
+    * stable under thinning: the global top-n by bucket survives any
+    * bucket-prefix filter), then take the exact n from the survivors. */
+  def exactPerStratum(df: DataFrame, strataCol: String, n: Int,
+                      keyCols: Seq[String]): DataFrame = {
+    val b = portableBucket(keyCols.map(col))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy((b.asc +: keyCols.map(col)): _*)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
+  }
+}

@@ -85,4 +85,28 @@ object TextAnalysis {
     * xxhash64, not portable across engines — documented like the
     * reference's SupersonicFingerprint, hashing_expressions.h:28-35). */
   def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+
+  // ===== PII redaction (training-data scrubbing; codegen'd regexp_replace
+  // chain — zero shuffle, linear scan) =====
+
+  /** Default scrub patterns, ordered most-specific first (SSN before phone
+    * — both are digit-dash shapes and replacement is sequential). The
+    * regexes stay inside the RE2 ∩ Java-regex common dialect, so any
+    * engine reproduces the scrub byte-for-byte. */
+  val RedactionPatterns: Seq[(String, String)] = Seq(
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "[SSN]",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "[PHONE]",
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "[EMAIL]")
+
+  /** Replace every match of every pattern (applied in order) with its tag. */
+  def redact(text: Column, patterns: Seq[(String, String)] = RedactionPatterns): Column =
+    patterns.foldLeft(text) { case (t, (pat, tag)) => regexp_replace(t, pat, tag) }
+
+  /** How many PII spans the default patterns would scrub (counted on the
+    * progressively-redacted text, so overlapping pattern classes — SSN vs
+    * phone — never double-count one span). */
+  def piiCount(text: Column, patterns: Seq[(String, String)] = RedactionPatterns): Column =
+    patterns.foldLeft((text, lit(0L))) { case ((t, n), (pat, tag)) =>
+      (regexp_replace(t, pat, tag), n + regexp_count(t, lit(pat)))
+    }._2
 }

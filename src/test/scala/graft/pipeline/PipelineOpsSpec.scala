@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline operators: deterministic sampling, corpus scoring,
+  * profiling, PII redaction, and train/eval contamination. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ===== Sampling =====
+
+  test("portableBucket is in range and deterministic across evaluations") {
+    val df = (0L until 1000L).toDF("k")
+    val b = Sampling.portableBucket(Seq(col("k")))
+    val stats = rows(df.select(min(b), max(b), count_distinct(b))).head
+    assert(stats(0).asInstanceOf[Long] >= 0L)
+    assert(stats(1).asInstanceOf[Long] < Sampling.Buckets)
+    // scatters: 1000 consecutive keys land in ~1000 distinct buckets
+    assert(stats(2).asInstanceOf[Long] > 950L)
+  }
+
+  test("bernoulli keeps ≈rate of the rows, deterministically") {
+    val df = (0L until 10000L).toDF("k")
+    val kept = Sampling.bernoulli(df, Seq("k"), 0.3)
+    val n = kept.count()
+    assert(n > 2700 && n < 3300, s"expected ~3000 kept, got $n")
+    // same call -> the same exact sample (hash-based, not rand()-based)
+    assert(rows(kept.orderBy("k")) == rows(Sampling.bernoulli(df, Seq("k"), 0.3).orderBy("k")))
+    assert(Sampling.bernoulli(df, Seq("k"), 0.0).count() == 0)
+    assert(Sampling.bernoulli(df, Seq("k"), 1.0).count() == 10000)
+    // rate monotonicity: the 0.1 sample is a subset of the 0.3 sample
+    assert(Sampling.bernoulli(df, Seq("k"), 0.1)
+      .except(kept).count() == 0)
+  }
+
+  test("stratified applies per-stratum rates with a default fallback") {
+    val df = (0L until 9000L).map(k => (k, if (k < 3000) "a" else if (k < 6000) "b" else "c"))
+      .toDF("k", "g")
+    val out = Sampling.stratified(df, "g", Map("a" -> 0.5, "b" -> 0.1),
+      defaultRate = 0.9, keyCols = Seq("k"))
+    val byG = rows(out.groupBy("g").count().orderBy("g")).map(r => r(0) -> r(1)).toMap
+    assert(byG("a").asInstanceOf[Long] > 1350 && byG("a").asInstanceOf[Long] < 1650)
+    assert(byG("b").asInstanceOf[Long] > 200 && byG("b").asInstanceOf[Long] < 400)
+    assert(byG("c").asInstanceOf[Long] > 2550 && byG("c").asInstanceOf[Long] < 3000)
+  }
+
+  test("exactPerStratum takes exactly n per stratum, stable under hash-thinning") {
+    val df = (0L until 200L).map(k => (k, if (k % 2 == 0) "x" else "y")).toDF("k", "g")
+    val top = Sampling.exactPerStratum(df, "g", n = 5, keyCols = Seq("k"))
+    assert(rows(top.groupBy("g").count().orderBy("g")).map(_(1)) == Seq(5L, 5L))
+    // the documented scale recipe: pre-thinning with a bucket-prefix filter
+    // (bernoulli) preserves the exact top-n per stratum
+    val thinned = Sampling.exactPerStratum(
+      Sampling.bernoulli(df, Seq("k"), 0.5), "g", n = 5, keyCols = Seq("k"))
+    assert(rows(top.orderBy("g", "k")) == rows(thinned.orderBy("g", "k")))
+  }
+
+  // ===== Scoring =====
+
+  test("tfidfBm25 matches hand-computed scores on a tiny corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val got = rows(Scoring.tfidfBm25(docs, "id", "text")
+      .orderBy("id", "term").select("id", "term", "tf", "df", "dl", "tfidf", "bm25"))
+    // N=2, avgdl=2.5; d1: a->2 b->1 (dl 3); d2: b->1 c->1 (dl 2)
+    def tfidf(tf: Long, df: Long) = tf * (math.log(3.0 / (df + 1)) + 1)
+    def bm25(tf: Long, df: Long, dl: Long) =
+      math.log(1 + (2 - df + 0.5) / (df + 0.5)) *
+        tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.5))
+    val expect = Seq(
+      (1L, "a", 2L, 1L, 3L), (1L, "b", 1L, 2L, 3L),
+      (2L, "b", 1L, 2L, 2L), (2L, "c", 1L, 1L, 2L))
+    assert(got.map(r => (r(0), r(1), r(2), r(3), r(4))) == expect)
+    got.zip(expect).foreach { case (r, (_, _, tf, df, dl)) =>
+      assert(math.abs(r(5).asInstanceOf[Double] - tfidf(tf, df)) < 1e-9)
+      assert(math.abs(r(6).asInstanceOf[Double] - bm25(tf, df, dl)) < 1e-9)
+    }
+  }
+
+  test("topTerms ranks by rounded score with term tiebreak") {
+    val scored = Seq((1L, "zz", 5.0), (1L, "aa", 5.0), (1L, "mm", 7.0), (1L, "qq", 1.0))
+      .toDF("id", "term", "s")
+    val got = rows(Scoring.topTerms(scored, "id", "s", k = 3)
+      .select("term", "rank").orderBy("rank"))
+    assert(got == Seq(Seq("mm", 1), Seq("aa", 2), Seq("zz", 3)))
+  }
+
+  // ===== Profile =====
+
+  test("profileColumns: one row per column with type-appropriate metrics") {
+    val df = Seq((Option(1), Option("x")), (None, Option("yy")), (Option(1), None))
+      .toDF("id", "s")
+    val got = rows(Profile.profileColumns(df, Seq("id", "s")).orderBy("col_name"))
+    assert(got == Seq(
+      Seq("id", 2L, 1L, 1L, 1.0, 1.0, null),
+      Seq("s", 2L, 1L, 2L, null, null, 1.5)))
+    // approx mode stays within HLL tolerance on a wider input
+    val wide = (0 until 1000).map(i => (i, s"v$i")).toDF("id", "s")
+    val approx = rows(Profile.profileColumns(wide, Seq("id"), exactDistinct = false))
+    val nd = approx.head(3).asInstanceOf[Long]
+    assert(math.abs(nd - 1000L) <= 100L)
+  }
+
+  // ===== Redaction =====
+
+  test("redact scrubs SSN/phone/email; piiCount counts each span once") {
+    val df = Seq(
+      "call 555-123-4567 or mail bob.smith+x@corp.example.org ssn 123-45-6789",
+      "clean text, no pii at all").toDF("t")
+    val got = rows(df.select(
+      TextAnalysis.redact(col("t")).as("r"),
+      TextAnalysis.piiCount(col("t")).as("n")))
+    assert(got(0)(0) == "call [PHONE] or mail [EMAIL] ssn [SSN]")
+    assert(got(0)(1) == 3L)
+    assert(got(1)(0) == "clean text, no pii at all")
+    assert(got(1)(1) == 0L)
+  }
+
+  // ===== Contamination =====
+
+  test("ngramContamination: full, partial, and zero overlap") {
+    val train = Seq((10L, "w1 w2 w3 w4 w5 w6")).toDF("id", "text")
+    val test = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), // identical -> all 4 tri-gram shingles hit
+      (2L, "w1 w2 w3 zz qq pp"), // only the first shingle hits
+      (3L, "x1 x2 x3 x4")).toDF("id", "text") // no overlap
+    val got = rows(Contamination.ngramContamination(train, test, "id", "text", n = 3)
+      .orderBy("id").select("id", "n_shingles", "n_hit", "rate"))
+    assert(got == Seq(
+      Seq(1L, 4L, 4L, 1.0),
+      Seq(2L, 4L, 1L, 0.25),
+      Seq(3L, 2L, 0L, 0.0)))
+  }
+}
