@@ -20,7 +20,11 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     // noop sink: full plan executes (no count()-driven column pruning).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args filter to the named queries (local A/B timing).
+    val only = args.toSet
+    val picked =
+      if (only.isEmpty) SparkEntry.queries.toSeq else SparkEntry.queries.filter(kv => only(kv._1)).toSeq
+    val results = picked.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

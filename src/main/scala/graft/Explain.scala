@@ -12,7 +12,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_join5", "q_filter_project", "q_hash_join_inner",
         "q_sort_topk", "q_dedup_minhash", "q_ann_brute",
-        "q_agg_limit", "q_range_join", "q_hash_join_full", "q_dedup_embedding")
+        "q_agg_limit", "q_range_join", "q_hash_join_full", "q_dedup_embedding",
+        "q_sample_bernoulli", "q_tfidf", "q_contamination", "q_profile")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

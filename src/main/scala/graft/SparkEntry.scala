@@ -706,10 +706,14 @@ object SparkEntry {
       .orderBy("col_name")
 
   private def qContamination(s: SparkSession, d: String): DataFrame = {
+    // two-table join variant: measured fastest at this doc size (the
+    // reduce-by-hash Split variant trades a second tokenization pass for an
+    // object-hash collect_list aggregate, which loses here — see
+    // Contamination scaladocs for when each shape wins)
     val docs = Tables.documents(s, d)
-    val train = docs.where(col("doc_id") % 10 =!= 0)
-    val test = docs.where(col("doc_id") % 10 === 0)
-    Contamination.ngramContamination(train, test, "doc_id", "text", n = 5)
+    Contamination.ngramContamination(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 5)
       .withColumn("rate", round(col("rate"), 6))
       .orderBy("doc_id")
   }

@@ -57,12 +57,20 @@ object Relational {
     // file per directory regardless of size; instead each value gets a salt
     // in [0, ceil(n_value/target)) so its rows spread over that many shuffle
     // buckets and each directory receives ≈ that many similarly-sized files.
-    val perValue = df.groupBy(partitionCols.map(col): _*)
+    // Collected to the driver: cardinality = distinct partition-value
+    // combinations, low by the directory-partitioning contract (each value
+    // is a directory) — index-sized metadata, like IVF centroids. Collecting
+    // once costs ONE pre-pass scan; keeping it distributed would scan the
+    // input twice (totalFiles action + salt join).
+    val perValueRows = df.groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .withColumn("__files",
         greatest(lit(1L), ceil(col("__n") / lit(targetRowsPerFile.toDouble))).cast("int"))
       .drop("__n")
-    val totalFiles = perValue.agg(sum(col("__files"))).head().getLong(0).toInt
+    val collected = perValueRows.collect().toSeq
+    val totalFiles = collected.map(_.getAs[Int]("__files")).sum
+    val perValue = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(collected, 1), perValueRows.schema)
     // The salt provides WRITE PARALLELISM (≈ one task per target file);
     // `maxRecordsPerFile` provides the hard SIZE BOUND — even when two salt
     // buckets of one value hash into the same task, the writer rolls to a

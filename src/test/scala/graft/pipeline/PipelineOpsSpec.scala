@@ -130,5 +130,10 @@ class PipelineOpsSpec extends SparkSpec {
       Seq(1L, 4L, 4L, 1.0),
       Seq(2L, 4L, 1L, 0.25),
       Seq(3L, 2L, 0L, 0.0)))
+    // the single-scan split variant computes the identical report
+    val both = train.unionByName(test)
+    val split = rows(Contamination.ngramContaminationSplit(both, "id", "text",
+      col("id") < 10, n = 3).orderBy("id").select("id", "n_shingles", "n_hit", "rate"))
+    assert(split == got)
   }
 }
