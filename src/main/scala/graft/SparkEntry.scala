@@ -656,6 +656,13 @@ object SparkEntry {
     Tables.documents(s, d).select(col("doc_id"),
       T.fingerprint(col("text")).as("fp")).orderBy("doc_id")
 
+  private def qDedupSimhashPortable(s: SparkSession, d: String): DataFrame =
+    // EXACT semantics (all pairs within the banding-guaranteed Hamming
+    // radius) over the md5-derived portable signature — the full
+    // cross-engine simhash oracle that the xxhash64 variant cannot have
+    Dedup.simhashPortablePairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id1", "id2")
+
   private def qSampleBernoulli(s: SparkSession, d: String): DataFrame =
     // hash-based sampling: the kept set is a pure function of the keys, so
     // DuckDB reproduces the EXACT sample from the portable-hash formula
@@ -911,6 +918,7 @@ object SparkEntry {
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_dedup_simhash_portable" -> (qDedupSimhashPortable _),
     "q_sample_bernoulli" -> (qSampleBernoulli _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_tfidf" -> (qTfidf _),
@@ -1279,6 +1287,24 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Full SimHash reimplementation: md5-prefix feature hashes (parsed
+    // base-16), 60 bit-votes, sign fold, then ALL-pairs exact Hamming —
+    // the banded Spark join has identical output for radius <= 3
+    // (pigeonhole over 4x15-bit bands), so this is an exact-semantics
+    // oracle, not a recall spot-check.
+    "q_dedup_simhash_portable" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, (CASE WHEN len(w) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
+        |  ELSE [array_to_string(w, ' ')] END) AS shs FROM tok),
+        |f AS (SELECT doc_id, ('0x' || substr(md5(unnest(shs)), 1, 15))::BIGINT AS h FROM sh),
+        |bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM f, (SELECT unnest(range(60)) AS j) t GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sg
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, bit_count(xor(a.sg, b.sg)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sg, b.sg)) <= 3 ORDER BY id1, id2""".stripMargin,
     // The sampling oracles replay the portable hash (Sampling.portableBucket)
     // in plain integer arithmetic: same keys -> same buckets -> the EXACT
     // same sample rows in both engines.

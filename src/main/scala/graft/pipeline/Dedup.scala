@@ -199,6 +199,68 @@ object Dedup {
       .distinct()
   }
 
+  /** PORTABLE SimHash signature: like [[withSimhash]] but the per-feature
+    * hash is the top 60 bits of md5 (15 hex chars parsed base-16) over
+    * 3-gram SHINGLES, and the bit-vote fold runs as a codegen'd 60-column
+    * aggregate over exploded (id, hash) pairs instead of a native
+    * expression. Two deliberate differences from the xxhash64 variant:
+    * (a) md5 + hex-parse is reproducible in ANY engine, so a DuckDB
+    * oracle can replay the whole algorithm (xxhash64's exact values are
+    * Spark-internal — the reason q_dedup_simhash is rows-only);
+    * (b) shingles, not distinct tokens: on a shared-vocabulary corpus the
+    * distinct-token SETS of unrelated docs coincide, collapsing every
+    * token-level signature to the same value — shingle features keep
+    * unrelated docs far apart while near-dups stay close.
+    * Shuffle shape: explode moves (id, 8-byte hash); the 60 bit-sums are
+    * partial/final HashAggregate — map-side combined, one shuffle. */
+  def withSimhashPortable(df: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int = 3, out: String = "sig"): DataFrame = {
+    val Bits = 60
+    val hashed = withShingleSet(df, idCol, textCol, shingleLen, "__sh")
+      .select(col(idCol), explode(col("__sh")).as("__s"))
+      .select(col(idCol),
+        conv(substring(md5(col("__s")), 1, 15), 16, 10).cast("long").as("__h"))
+    val votes = (0 until Bits).map { j =>
+      sum(when(call_function("shiftright", col("__h"), lit(j)).bitwiseAND(1) === 1,
+        1).otherwise(-1)).as(s"__b$j")
+    }
+    val agg = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    // positive vote -> bit set; disjoint powers of two sum to the OR
+    val sig = (0 until Bits).map(j =>
+      when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col(idCol), sig.as(out))
+  }
+
+  /** All document pairs within `maxHamming` of each other's portable
+    * SimHash — EXACT semantics (not "candidates found"): 4 bands of 15
+    * bits guarantee every pair with Hamming ≤ 3 shares a band
+    * (pigeonhole), so for maxHamming ≤ 3 the banded join finds exactly
+    * the pairs an all-pairs scan would — which is what makes a full
+    * cross-engine oracle possible (q_dedup_simhash_portable). */
+  def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3, shingleLen: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"simhashPortablePairs: banding guarantees recall only for Hamming <= 3, got $maxHamming")
+    // persist the signature frame: both sides of the band self-join read
+    // it, and without materialization Catalyst recomputes the whole
+    // scan→shingle→hash→60-vote pipeline per side (measured 2x). One
+    // (id, long) row per document — index-sized, like IVF centroids.
+    val withSig = withSimhashPortable(df, idCol, textCol, shingleLen, "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = withSig.select(col(idCol), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sig"), b * 15).bitwiseAND(0x7FFF).as("bh")))).as("bk"))
+      .select(col(idCol), col("sig"), col("bk.band"), col("bk.bh"))
+    val l = banded.select(col("band"), col("bh"), col(idCol).as("id1"), col("sig").as("sig1"))
+    val r = banded.select(col("band"), col("bh"), col(idCol).as("id2"), col("sig").as("sig2"))
+    l.join(r, Seq("band", "bh")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   // ===== Length-bucket blocked n-gram Jaccard =====
 
   /** Pairwise n-gram Jaccard with double length-bucket blocking: each doc

@@ -52,6 +52,21 @@ class PipelineSpec extends SparkSpec {
     assert(!m.contains((1L, 4L)) || m((1L, 4L)).asInstanceOf[Long] > 0)
   }
 
+  test("portable simhash: exact pairs within the guaranteed radius") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // identical
+      (3L, "completely different words entirely unrelated content here now")).toDF("doc_id", "text")
+    val got = rows(Dedup.simhashPortablePairs(d, "doc_id", "text")
+      .orderBy("id1", "id2").select("id1", "id2", "hamming"))
+    // identical docs: hamming 0; the unrelated doc pairs with neither
+    assert(got == Seq(Seq(1L, 2L, 0)))
+    // radius > 3 is rejected: banding cannot guarantee exact semantics there
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPortablePairs(d, "doc_id", "text", maxHamming = 5)
+    }
+  }
+
   test("cosine and brute-force top-k") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
