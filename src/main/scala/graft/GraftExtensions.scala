@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ParseLongPrefix, SimHash64, VectorDot}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{MinhashSignature, ParseLongPrefix, ShingleHashSorted, SimHash64, SortedLongIntersectCount, VectorDot}
 
 /** SQL registration of graft's native Catalyst expressions.
   *
@@ -38,6 +39,28 @@ object GraftExtensions {
     "parse_long_prefix" -> { children =>
       require(children.length == 1, "parse_long_prefix(s) takes 1 argument")
       ParseLongPrefix(children.head)
+    },
+    "sorted_intersect_count" -> { children =>
+      require(children.length == 2, "sorted_intersect_count(a, b) takes 2 arguments")
+      SortedLongIntersectCount(children.head, children(1))
+    },
+    "minhash_signature" -> { children =>
+      require(children.length == 2, "minhash_signature(hashes, k) takes 2 arguments")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_signature: k must be an int literal, got $other")
+      }
+      MinhashSignature(children.head, k)
+    },
+    "shingle_hash_sorted" -> { children =>
+      require(children.length == 2, "shingle_hash_sorted(tokens, n) takes 2 arguments")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"shingle_hash_sorted: n must be an int literal, got $other")
+      }
+      ShingleHashSorted(children.head, n)
     })
 
   /** Register as session-scoped temp functions on a live session. */

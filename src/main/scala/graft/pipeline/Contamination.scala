@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * shipping an eval set. Beyond-reference surface.
   *
   * Scale shape: shingles are 64-bit hashes the moment they leave the
-  * per-document projection (Dedup.withShingleSet machinery — tokenization
-  * staged behind a repartition barrier so split() runs once per doc, not
-  * once per shingle), so the join shuffles (id, 8-byte hash) pairs, never
-  * text. The train side dedupes to DISTINCT hashes first — the heavy
-  * reduction happens map-side before the join — and the final counts are
-  * a per-test-doc aggregation. No driver collect anywhere.
+  * per-document projection (Dedup.withShingleHashSet — one native codegen
+  * loop per document, no staging barrier), so the join shuffles
+  * (id, 8-byte hash) pairs, never text. The train side dedupes to
+  * DISTINCT hashes first — the heavy reduction happens map-side before
+  * the join — and the final counts are a per-test-doc aggregation. No
+  * driver collect anywhere.
   */
 object Contamination {
 
@@ -29,8 +29,8 @@ object Contamination {
   def ngramContamination(train: DataFrame, test: DataFrame,
                          idCol: String, textCol: String, n: Int): DataFrame =
     overlap(
-      Dedup.withShingleSet(test, idCol, textCol, n, "__sh"),
-      Dedup.withShingleSet(train, idCol, textCol, n, "__sh"), idCol)
+      Dedup.withShingleHashSet(test, idCol, textCol, n, "__sh"),
+      Dedup.withShingleHashSet(train, idCol, textCol, n, "__sh"), idCol)
 
   /** Split variant for the common "one corpus, a predicate marks the eval
     * slice" case: shingles the corpus ONCE (one scan, one tokenization
@@ -50,10 +50,9 @@ object Contamination {
     * or an expensive upstream (decompression, decode). */
   def ngramContaminationSplit(docs: DataFrame, idCol: String, textCol: String,
                               testPred: org.apache.spark.sql.Column, n: Int): DataFrame = {
-    val ex = Dedup.withShingleSet(docs, idCol, textCol, n, "__sh")
+    val ex = Dedup.withShingleHashSet(docs, idCol, textCol, n, "__sh")
       .withColumn("__is_test", testPred)
-      .select(col(idCol), col("__is_test"), explode(col("__sh")).as("__s"))
-      .select(col(idCol), col("__is_test"), xxhash64(col("__s")).as("__h"))
+      .select(col(idCol), col("__is_test"), explode(col("__sh")).as("__h"))
     val perShingle = ex.groupBy(col("__h")).agg(
       max(when(!col("__is_test"), 1L).otherwise(0L)).as("__in_train"),
       collect_list(when(col("__is_test"), col(idCol))).as("__tids"))
@@ -65,10 +64,8 @@ object Contamination {
   }
 
   private def overlap(testSh: DataFrame, trainSh: DataFrame, idCol: String): DataFrame = {
-    val te = testSh.select(col(idCol), explode(col("__sh")).as("__s"))
-      .select(col(idCol), xxhash64(col("__s")).as("__h"))
-    val tr = trainSh.select(explode(col("__sh")).as("__s"))
-      .select(xxhash64(col("__s")).as("__h")).distinct()
+    val te = testSh.select(col(idCol), explode(col("__sh")).as("__h"))
+    val tr = trainSh.select(explode(col("__sh")).as("__h")).distinct()
       .withColumn("__hit", lit(1L))
     te.join(tr, Seq("__h"), "left")
       .groupBy(col(idCol))

@@ -66,14 +66,24 @@ object Dedup {
     toks.select(col(idCol), shinglesFromTokens(col("__toks"), shingleLen).as(out))
   }
 
-  /** id + distinct shingle-HASH set (64-bit): set operations on long arrays
-    * shuffle ~8 bytes per shingle instead of the string and compare
-    * integers — Jaccard over hash sets equals Jaccard over the strings up
-    * to negligible 64-bit collision probability. */
+  /** id + distinct shingle-HASH set (64-bit, SORTED ascending): set
+    * operations on long arrays shuffle ~8 bytes per shingle instead of
+    * the string and compare integers — Jaccard over hash sets equals
+    * Jaccard over the strings up to negligible 64-bit collision
+    * probability. Sorting costs O(s log s) once per DOCUMENT and buys the
+    * zero-allocation merge-walk intersection ([[jaccardSortedLong]]) on
+    * every candidate PAIR the document participates in.
+    *
+    * Native single-projection path (ShingleHashSorted): window-concat,
+    * hash, sort and dedup run in one generated loop per document, and the
+    * single reference to the token array needs NO materialization barrier
+    * — the interpreted-HOF formulation this replaces forced an exchange
+    * of the full token arrays here. */
   def withShingleHashSet(df: DataFrame, idCol: String, textCol: String,
                          shingleLen: Int, out: String): DataFrame =
-    withShingleSet(df, idCol, textCol, shingleLen, "__sh")
-      .select(col(idCol), transform(col("__sh"), sh => xxhash64(sh)).as(out))
+    df.select(col(idCol),
+      graft.functions.ShingleHashExpression.shingle_hash_sorted(
+        TextAnalysis.tokens(col(textCol)), shingleLen).as(out))
 
   /** Jaccard similarity of the two columns' element sets (exact division of
     * integer set sizes — cross-engine deterministic). */
@@ -82,6 +92,16 @@ object Dedup {
     // |A∪B| = |A|+|B|-|A∩B| — avoids materializing the union array for
     // every candidate pair.
     val inter = size(array_intersect(a, b)).cast("double")
+    inter / greatest(size(a) + size(b) - inter, lit(1)).cast("double")
+  }
+
+  /** Jaccard over SORTED distinct long arrays ([[withShingleHashSet]]
+    * output): the codegen'd merge-walk intersection count replaces
+    * array_intersect's per-pair hash-set build — this is the hot loop of
+    * every blocked-pair verify (it runs per candidate pair, while
+    * everything upstream runs per document). */
+  def jaccardSortedLong(a: Column, b: Column): Column = {
+    val inter = graft.functions.SetExpressions.sorted_intersect_count(a, b).cast("double")
     inter / greatest(size(a) + size(b) - inter, lit(1)).cast("double")
   }
 
@@ -99,11 +119,15 @@ object Dedup {
     */
   def withMinhashSignature(df: DataFrame, idCol: String, textCol: String,
                            numHashes: Int, shingleLen: Int, out: String): DataFrame = {
-    val shh = barrier(
-      withShingleSet(df, idCol, textCol, shingleLen, "__sh")
-        .select(col(idCol), transform(col("__sh"), s => xxhash64(s)).as("__shh")), idCol)
-    barrier(shh.select(col(idCol), transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(col("__shh"), h => xxhash64(j, h)))).as(out)), idCol)
+    // both stages are native codegen (shingle-hash set, then the k×s
+    // min-fold — bit-identical XXH64 kernels, see the expression docs), so
+    // no staging barrier is needed between them; the one barrier left
+    // protects the SIGNATURE from per-band recompute in minhashBuckets'
+    // interpreted explode lambda.
+    val shh = withShingleHashSet(df, idCol, textCol, shingleLen, "__shh")
+    barrier(shh.select(col(idCol),
+      graft.functions.MinhashExpression.minhash_signature(col("__shh"), numHashes).as(out)),
+      idCol)
   }
 
   /** Column-level signature (reference-style API; prefer
@@ -149,7 +173,7 @@ object Dedup {
     val docs = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
     cand.join(docs.withColumnRenamed(idCol, "id1").withColumnRenamed("sh", "sh1"), "id1")
       .join(docs.withColumnRenamed(idCol, "id2").withColumnRenamed("sh", "sh2"), "id2")
-      .withColumn("jac", jaccard(col("sh1"), col("sh2")))
+      .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
       .where(col("jac") >= threshold)
       .select("id1", "id2", "jac")
   }
@@ -286,7 +310,7 @@ object Dedup {
     pairs
       .join(docs.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(docs.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("jac", jaccard(col("sh1"), col("sh2")))
+      .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
       .where(col("jac") >= threshold)
       .select("id1", "id2", "jac")
   }
@@ -301,12 +325,15 @@ object Dedup {
                           shingleLen: Int = 2): DataFrame = {
     val toks = df.select((blockCols.map(col) :+ col(idCol) :+
       TextAnalysis.tokens(col(textCol)).as("__toks")): _*).repartition(col(idCol))
+    // sorted hash sets: the block join fans out per pair, so the verify
+    // uses the merge-walk Jaccard (and the join shuffles longs, not text)
     val keyed = toks.select((blockCols.map(col) :+ col(idCol) :+
-      shinglesFromTokens(col("__toks"), shingleLen).as("sh")): _*)
+      sort_array(transform(shinglesFromTokens(col("__toks"), shingleLen),
+        sh => xxhash64(sh))).as("sh")): _*)
     val l = keyed.select((blockCols.map(col) :+ col(idCol).as("id1") :+ col("sh").as("sh1")): _*)
     val r = keyed.select((blockCols.map(col) :+ col(idCol).as("id2") :+ col("sh").as("sh2")): _*)
     l.join(r, blockCols).where(col("id1") < col("id2"))
-      .withColumn("jac", jaccard(col("sh1"), col("sh2")))
+      .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
       .where(col("jac") >= threshold)
       .select("id1", "id2", "jac")
   }

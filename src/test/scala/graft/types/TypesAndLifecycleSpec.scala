@@ -77,4 +77,63 @@ class TypesAndLifecycleSpec extends SparkSpec {
     val df = Seq((1, 2)).toDF("a", "b")
     intercept[Exception] { df.select(vec_dot(col("a"), col("b"))).collect() }
   }
+
+  test("minhash_signature native expression is bit-identical to the HOF fold") {
+    import graft.functions.MinhashExpression.minhash_signature
+    val df = Seq(
+      Array(7L, -42L, 123456789L, 0L),
+      Array(1L),
+      Array(Long.MinValue, Long.MaxValue)).toDF("h")
+    val k = 8
+    val native = rows(df.select(minhash_signature(col("h"), k)))
+    val hof = rows(df.select(transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(col("h"), x => xxhash64(j, x))))))
+    assert(native == hof)
+    // SQL registration with a literal k
+    graft.GraftExtensions.register(spark)
+    val viaSql = rows(spark.sql(
+      "SELECT minhash_signature(array(7L, -42L, 123456789L, 0L), 8) AS s")).head.head
+    assert(viaSql == native.head.head)
+  }
+
+  test("shingle_hash_sorted is value-identical to the HOF shingle pipeline") {
+    import graft.functions.ShingleHashExpression.shingle_hash_sorted
+    val df = Seq(
+      "the quick brown fox jumps over the quick brown fox", // repeated shingles
+      "one two",                                            // shorter than n=3
+      "x").toDF("text")
+    val toks = split(trim(col("text")), "\\s+")
+    val native = rows(df.select(shingle_hash_sorted(toks, 3)))
+    val hof = rows(df.select(sort_array(transform(
+      graft.pipeline.Dedup.shinglesFromTokens(toks, 3), s => xxhash64(s)))))
+    assert(native == hof)
+    // SQL registration with a literal n: 4 tokens, n=3 -> 2 windows
+    graft.GraftExtensions.register(spark)
+    val viaSql = rows(spark.sql(
+      "SELECT shingle_hash_sorted(array('a','b','c','d'), 3) AS s")).head.head
+    assert(viaSql.asInstanceOf[scala.collection.Seq[Long]].length == 2)
+  }
+
+  test("sorted_intersect_count matches array_intersect on sorted distinct sets") {
+    import graft.functions.SetExpressions.sorted_intersect_count
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)), // overlap {3, 9}
+      (Array(1L, 2L), Array(3L, 4L)),                  // disjoint
+      (Array.empty[Long], Array(1L)),                  // empty side
+      (Array(-5L, 0L, 7L), Array(-5L, 0L, 7L))         // identical incl. negatives
+    ).toDF("a", "b")
+    val native = rows(df.select(sorted_intersect_count(col("a"), col("b")))).map(_.head)
+    val builtin = rows(df.select(size(array_intersect(col("a"), col("b"))))).map(_.head)
+    assert(native == builtin)
+    assert(native == Seq(2, 0, 0, 3))
+    // SQL registration
+    graft.GraftExtensions.register(spark)
+    assert(rows(spark.sql(
+      "SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,4L)) AS c")).head.head == 2)
+    // type check rejects non-long arrays
+    intercept[Exception] {
+      Seq((Array("x"), Array("y"))).toDF("a", "b")
+        .select(sorted_intersect_count(col("a"), col("b"))).collect()
+    }
+  }
 }
