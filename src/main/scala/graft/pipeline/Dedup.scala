@@ -194,8 +194,14 @@ object Dedup {
     aggregate(bits, lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** Staged simhash (token hashes materialized once — same HOF-lambda
-    * performance rationale as withMinhashSignature). */
+  /** Staged simhash (token hashes materialized once, native fold).
+    *
+    * Deliberately NOT ShingleHashSorted(tokens, 1): that expression hashes
+    * every window THEN dedupes, the right order for n-gram windows (which
+    * rarely repeat); token-level signatures want array_distinct FIRST —
+    * on repetitive text the distinct set is far smaller than the token
+    * stream, so dedup-before-hash does a fraction of the hash work
+    * (measured 3.9 s vs 4.2 s at sf0.1). Both produce identical values. */
   def withSimhash(df: DataFrame, idCol: String, textCol: String, out: String): DataFrame =
     df.select(col(idCol),
       graft.functions.SimHashExpression.simhash64_native(
