@@ -50,6 +50,27 @@ object SparkEntry {
     * q_ann_ivf: the IVF gate probes ALL cells, so its expected output IS
     * the brute-force result; one binding makes that equivalence
     * structural rather than copy-paste. */
+  /** Shared CTE chain: length-bucket-blocked 2-shingle Jaccard pairs over
+    * `documents` at threshold 0.5 (mirrors Dedup.lengthBucketJaccardPairs
+    * with bucketWidth 8) — final CTE `jp` has columns (id1, id2, jac).
+    * Used by the q_dedup_ngram and q_dedup_clusters oracles so the pair
+    * definition cannot drift between them. */
+  private val NgramPairsCte: String =
+    """t AS (SELECT doc_id, length(text) AS ln,
+      |(CASE WHEN len(toks) >= 2
+      |  THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+      |  ELSE [array_to_string(toks, ' ')] END) AS sh
+      |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+      |e AS (SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) AS b FROM t
+      |UNION ALL SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) + 1 AS b FROM t),
+      |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |FROM e a JOIN e b ON a.b = b.b AND a.doc_id < b.doc_id
+      |AND abs(a.ln - b.ln) <= 8),
+      |jp AS (SELECT * FROM (SELECT p.id1, p.id2,
+      |CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) / greatest(len(list_distinct(t1.sh || t2.sh)), 1) AS jac
+      |FROM p JOIN t t1 ON p.id1 = t1.doc_id JOIN t t2 ON p.id2 = t2.doc_id)
+      |WHERE jac >= 0.5)""".stripMargin
+
   private val annExactTopKOracle: String =
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -585,6 +606,15 @@ object SparkEntry {
       threshold = 0.5, bucketWidth = 8, shingleLen = 2)
       .orderBy("id1", "id2")
 
+  private def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    // pairs -> transitive clusters (iterative min-label propagation);
+    // canonical member = smallest id, verified against a recursive-CTE
+    // reachability fixpoint in DuckDB
+    Dedup.duplicateClusters(
+      Dedup.lengthBucketJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, bucketWidth = 8, shingleLen = 2))
+      .orderBy("id")
+
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
       threshold = 0.7, numHashes = 48, bands = 8, shingleLen = 3)
@@ -711,6 +741,23 @@ object SparkEntry {
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
       .withColumn("avg_len", round(col("avg_len"), 6))
       .orderBy("col_name")
+
+  private def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    // clamp to [p05, p95] then aggregate; every emitted double goes
+    // through round(.,2)->DECIMAL so an ulp of cross-engine percentile-
+    // interpolation difference cannot leak into the hash
+    val w = Profile.winsorize(
+      Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+      "l_extendedprice", pLo = 0.05, pHi = 0.95)
+    Relational.sort(col("l_returnflag"))(asDouble("sum_w")(
+      Aggregates.groupAggregate(Seq("l_returnflag"), Seq(
+        Agg(COUNT, None, "n"),
+        Agg(MIN, Some("w2"), "mn"),
+        Agg(MAX, Some("w2"), "mx"),
+        Agg(SUM, Some("w_dec"), "sum_w")))(
+        w.withColumn("w2", round(col("l_extendedprice"), 2))
+          .withColumn("w_dec", dec(round(col("l_extendedprice"), 2))))))
+  }
 
   private def qContamination(s: SparkSession, d: String): DataFrame = {
     // two-table join variant: measured fastest at this doc size (the
@@ -910,6 +957,7 @@ object SparkEntry {
     "q_stateful_flush" -> (qStatefulFlush _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -924,6 +972,7 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_text_redact" -> (qTextRedact _),
     "q_profile" -> (qProfile _),
+    "q_winsorize" -> (qWinsorize _),
     "q_contamination" -> (qContamination _),
     "q_multimodal" -> (qMultimodal _),
     "q_events_window" -> (qEventsWindow _),
@@ -1204,21 +1253,20 @@ object SparkEntry {
         |MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
     "q_dedup_ngram" ->
-      """WITH t AS (SELECT doc_id, length(text) AS ln,
-        |(CASE WHEN len(toks) >= 2
-        |  THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
-        |  ELSE [array_to_string(toks, ' ')] END) AS sh
-        |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
-        |e AS (SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) AS b FROM t
-        |UNION ALL SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) + 1 AS b FROM t),
-        |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |FROM e a JOIN e b ON a.b = b.b AND a.doc_id < b.doc_id
-        |AND abs(a.ln - b.ln) <= 8)
-        |SELECT p.id1, p.id2,
-        |CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) / greatest(len(list_distinct(t1.sh || t2.sh)), 1) AS jac
-        |FROM p JOIN t t1 ON p.id1 = t1.doc_id JOIN t t2 ON p.id2 = t2.doc_id
-        |WHERE CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) / greatest(len(list_distinct(t1.sh || t2.sh)), 1) >= 0.5
-        |ORDER BY id1, id2""".stripMargin,
+      s"WITH $NgramPairsCte\nSELECT id1, id2, jac FROM jp ORDER BY id1, id2",
+    // pairs -> connected components: recursive-CTE reachability fixpoint
+    // (each node collects every label reachable over the undirected pair
+    // edges; MIN per node = the component's canonical id) — the oracle for
+    // the iterative min-label-propagation clustering on the Spark side.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $NgramPairsCte,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM jp
+         |UNION SELECT id2, id1 FROM jp),
+         |reach(id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b)
+         |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
     // ALL-pairs exact 3-shingle Jaccard >= 0.7 — a hard LSH recall gate:
     // the Spark side only scores LSH candidate pairs, so any banding miss
     // shows up as a missing row here.
@@ -1385,6 +1433,15 @@ object SparkEntry {
         |  COUNT(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         |  round(AVG(length(c_mktsegment)), 6) FROM customer
         |ORDER BY col_name""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+        |quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem),
+        |w AS (SELECT l_returnflag,
+        |round(least(greatest(l_extendedprice, b.lo), b.hi), 2) AS wv
+        |FROM lineitem, b)
+        |SELECT l_returnflag, COUNT(*) AS n, MIN(wv) AS mn, MAX(wv) AS mx,
+        |CAST(SUM(CAST(wv AS DECIMAL(18,2))) AS DOUBLE) AS sum_w
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_contamination" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, (CASE WHEN len(w) >= 5

@@ -30,6 +30,64 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  // ===== Duplicate clustering (connected components) =====
+
+  /** Connected components over near-dup PAIRS: production dedup needs
+    * CLUSTERS, not pairs — transitively-linked documents form one group
+    * and a single canonical survivor is kept per group. Returns
+    * (idCol, cluster) where cluster = the smallest id in the component
+    * (the canonical doc), one row per id that appears in any pair.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels — one
+    * shuffle-join + one aggregation per round over (id, label) longs —
+    * until a round changes nothing. Rounds needed = component diameter;
+    * near-dup clusters are small and dense (a handful of rounds), and the
+    * check is a distributed count, not a collect. This is the standard
+    * large-scale formulation (label propagation / repeated Small-Star);
+    * no driver-side graph ever materializes.
+    *
+    * `maxIters` caps runaway chains (a path graph of n nodes needs n
+    * rounds); hitting the cap throws rather than returning a silently
+    * half-merged clustering. */
+  def duplicateClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+                        maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
+      .unionAll(pairs.select(col(id2).as("a"), col(id1).as("b")))
+      .distinct()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // neighbor-min pass: each node adopts min(own, neighbors') label
+      val next = edges.join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("lbl")).as("nlbl"))
+        .join(labels, "id")
+        .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"duplicateClusters: not converged after $maxIters rounds — raise maxIters")
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Deduplicated corpus from near-dup pairs: drop every doc that sits in
+    * a cluster with a smaller-id member (the canonical survivor stays). */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val losers = duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ===== Shingles =====
 
   /** Word n-gram shingles from a pre-tokenized array column. Taking the

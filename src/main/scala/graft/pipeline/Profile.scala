@@ -36,7 +36,9 @@ object Profile {
                else approx_count_distinct(col(c), rsd)
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"),
+        // coalesce: SUM over zero rows is NULL, but "0 nulls" is the
+        // truthful report for an empty input
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nl_$c"),
         nd.as(s"__nd_$c"),
         (if (isNum) min(col(c)).cast("double") else lit(null).cast("double")).as(s"__mn_$c"),
         (if (isNum) max(col(c)).cast("double") else lit(null).cast("double")).as(s"__mx_$c"),
@@ -51,5 +53,28 @@ object Profile {
         col(s"__al_$c").as("avg_len"))
     }
     wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Winsorize: clamp a numeric column to its [pLo, pHi] exact
+    * interpolated percentiles — the outlier-capping step before training
+    * on heavy-tailed features. The two percentiles ride a broadcast 1-row
+    * aggregate (one extra pass; `percentile` is the exact interpolating
+    * aggregate, cross-engine-identical to DuckDB's quantile_cont), then
+    * the clamp itself is a pure codegen projection. Output replaces
+    * `valueCol` with the clamped value (NULLs pass through unclamped). */
+  def winsorize(df: DataFrame, valueCol: String,
+                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "winsorize: need 0 <= pLo <= pHi <= 1")
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, $pLo)").as("__lo"),
+      expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    // NULL guard: Spark's greatest/least SKIP nulls (they don't propagate
+    // them), so an unguarded clamp would silently turn NULL into the lower
+    // bound — NULLs must pass through as NULLs
+    val clamped = when(col(valueCol).isNotNull,
+      least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(valueCol, clamped)
+      .drop("__lo", "__hi")
   }
 }

@@ -69,4 +69,20 @@ class EmptyInputsSpec extends SparkSpec {
     assert(Sketches.approxDistinctWithCheck(en, Seq("g"), "v").count() == 0)
     assert(Sketches.topKFrequencyWithCheck(en, "v", k = 3).count() == 0)
   }
+
+  test("round-3 pipeline ops on empty inputs") {
+    import graft.pipeline.{Contamination, Profile, Sampling, Scoring}
+    val e = Seq.empty[(Long, String)].toDF("id", "text")
+    val en = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(Sampling.bernoulli(en, Seq("k"), 0.5).count() == 0)
+    assert(Sampling.exactPerStratum(e, "text", 3, Seq("id")).count() == 0)
+    assert(Scoring.tfidfBm25(e, "id", "text").count() == 0)
+    assert(Contamination.ngramContamination(e, e, "id", "text", 3).count() == 0)
+    // profile of an empty frame still reports one row per column (zeros/NULLs)
+    assert(rows(Profile.profileColumns(en, Seq("k", "v")).orderBy("col_name")) == Seq(
+      Seq("k", 0L, 0L, 0L, null, null, null),
+      Seq("v", 0L, 0L, 0L, null, null, null)))
+    // winsorize of empty input: no rows, no NPE from NULL bounds
+    assert(Profile.winsorize(en, "v").count() == 0)
+  }
 }

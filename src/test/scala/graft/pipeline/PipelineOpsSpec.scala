@@ -116,6 +116,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1)(1) == 0L)
   }
 
+  // ===== Duplicate clustering =====
+
+  test("duplicateClusters: min-label propagation finds transitive components") {
+    // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {10,11}, singleton pairs none
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id1", "id2")
+    val got = rows(Dedup.duplicateClusters(pairs).orderBy("id"))
+    assert(got == Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(7L, 1L),
+      Seq(10L, 10L), Seq(11L, 10L)))
+    // empty pair set -> empty clustering
+    assert(Dedup.duplicateClusters(Seq.empty[(Long, Long)].toDF("id1", "id2")).count() == 0)
+  }
+
+  test("dropNearDuplicates keeps exactly one canonical doc per cluster") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val kept = rows(Dedup.dropNearDuplicates(docs, pairs, "id").orderBy("id").select("id")).flatten
+    assert(kept == Seq(1L, 9L)) // 2 and 3 fold into 1's cluster; 9 untouched
+  }
+
+  // ===== Winsorize =====
+
+  test("winsorize clamps to interpolated percentiles, NULLs pass through") {
+    val df = ((1 to 100).map(i => Some(i.toDouble)) :+ None).toDF("v")
+    val w = Profile.winsorize(df, "v", 0.1, 0.9)
+    val got = rows(w.agg(min("v"), max("v"), count(lit(1)),
+      sum(when(col("v").isNull, 1).otherwise(0)))).head
+    // exact interpolated percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert(math.abs(got(0).asInstanceOf[Double] - 10.9) < 1e-9)
+    assert(math.abs(got(1).asInstanceOf[Double] - 90.1) < 1e-9)
+    assert(got(2) == 101L && got(3) == 1L) // the NULL row survived as NULL
+  }
+
   // ===== Contamination =====
 
   test("ngramContamination: full, partial, and zero overlap") {
