@@ -712,6 +712,16 @@ object SparkEntry {
         sampled.withColumn("qty_dec", dec(col("l_quantity"))))))
   }
 
+  private def qSampleSplit(s: SparkSession, d: String): DataFrame =
+    // deterministic 80/10/10 split; the gate aggregates per (split, flag)
+    // so disjointness + exhaustiveness are hash-checked, not just counted
+    Relational.sort(col("split"), col("l_returnflag"))(
+      Sampling.assignSplit(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "l_returnflag")
+        .agg(count(lit(1)).as("n")))
+
   private def qTfidf(s: SparkSession, d: String): DataFrame = {
     // corpus stats over ALL documents; top-3 BM25 terms for the first docs
     // (ranking on the ROUNDED score so a last-ulp ln() difference between
@@ -969,6 +979,7 @@ object SparkEntry {
     "q_dedup_simhash_portable" -> (qDedupSimhashPortable _),
     "q_sample_bernoulli" -> (qSampleBernoulli _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_split" -> (qSampleSplit _),
     "q_tfidf" -> (qTfidf _),
     "q_text_redact" -> (qTextRedact _),
     "q_profile" -> (qProfile _),
@@ -1371,6 +1382,18 @@ object SparkEntry {
         |      % 2147483648) % 1000000
         |  < (CASE l_returnflag WHEN 'A' THEN 500000 WHEN 'N' THEN 100000 ELSE 250000 END)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sample_split" ->
+      """SELECT CASE
+        |  WHEN bkt < 800000 THEN 'train'
+        |  WHEN bkt < 900000 THEN 'val'
+        |  WHEN bkt < 1000000 THEN 'test'
+        |  ELSE 'rest' END AS split,
+        |l_returnflag, COUNT(*) AS n
+        |FROM (SELECT l_returnflag,
+        |((((l_orderkey % 2147483648) * 2654435761) % 2147483648
+        |+ ((l_linenumber % 2147483648) * 2246822519) % 2147483648)
+        |% 2147483648) % 1000000 AS bkt FROM lineitem)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term

@@ -75,6 +75,30 @@ object Sampling {
     df.where(b < threshold)
   }
 
+  /** Deterministic multi-way split (train/val/test): assign each row a
+    * split label from contiguous bucket ranges of its key hash. Fractions
+    * must sum to ≤ 1 (any remainder falls into `restLabel`). Same keys ⇒
+    * same split, forever — the reproducibility contract an ML data split
+    * needs across pipeline re-runs, and disjointness + exhaustiveness hold
+    * by construction (ranges partition the bucket space). Splits is an
+    * ORDERED seq: range layout follows its order, so label/fraction pairs
+    * must not be reordered between runs. */
+  def assignSplit(df: DataFrame, keyCols: Seq[String],
+                  splits: Seq[(String, Double)], outCol: String = "split",
+                  restLabel: String = "rest",
+                  bucket: Option[Column] = None): DataFrame = {
+    require(splits.nonEmpty, "assignSplit: need at least one split")
+    require(splits.forall(_._2 >= 0), "assignSplit: fractions must be >= 0")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "assignSplit: fractions must sum to <= 1")
+    val b = bucket.getOrElse(portableBucket(keyCols.map(col)))
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + (f * Buckets).toLong }.tail
+    val label = splits.map(_._1).zip(cuts).foldRight(lit(restLabel): Column) {
+      case ((name, hi), acc) => when(b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, label)
+  }
+
   /** Exactly-N-per-stratum sample: rank each stratum's rows by hash bucket
     * (deterministic pseudo-random order, key tiebreak) and keep the first
     * `n`.

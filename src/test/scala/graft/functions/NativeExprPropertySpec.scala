@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property-style randomized equivalence tests for the native codegen
+  * expressions: each must agree with the composable (built-in / HOF)
+  * formulation it replaces on a seeded random corpus — the same
+  * role as the reference's random-input operator tests
+  * (testing/operation_testing.h), here pinning native-vs-interpreted
+  * parity rather than block-size invariance. Seeded ⇒ deterministic. */
+class NativeExprPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260812L)
+
+  test("property: sorted_intersect_count == size(array_intersect) on 200 random set pairs") {
+    import graft.functions.SetExpressions.sorted_intersect_count
+    val cases = Seq.fill(200) {
+      def randSet() = rng.nextInt(50) match {
+        case 0 => Array.empty[Long]
+        case n => Array.fill(n)(rng.nextLong() % 64).distinct.sorted
+      }
+      (randSet(), randSet())
+    }
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      sorted_intersect_count(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+    assert(got.where(col("native") =!= col("builtin")).count() == 0)
+  }
+
+  test("property: minhash_signature == HOF k-min fold on 100 random hash arrays") {
+    import graft.functions.MinhashExpression.minhash_signature
+    val cases = Seq.fill(100)(Array.fill(1 + rng.nextInt(80))(rng.nextLong()))
+    val df = cases.toDF("h")
+    val k = 16
+    val native = rows(df.select(minhash_signature(col("h"), k)))
+    val hof = rows(df.select(transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(col("h"), x => xxhash64(j, x))))))
+    assert(native == hof)
+  }
+
+  test("property: shingle_hash_sorted == HOF shingle pipeline on 100 random token arrays") {
+    import graft.functions.ShingleHashExpression.shingle_hash_sorted
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "longertoken", "θ", "1")
+    val cases = Seq.fill(100)(
+      Seq.fill(rng.nextInt(30))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    val df = cases.toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val toks = split(trim(col("text")), "\\s+")
+      val native = rows(df.select(shingle_hash_sorted(toks, n)))
+      val hof = rows(df.select(sort_array(transform(
+        graft.pipeline.Dedup.shinglesFromTokens(toks, n), s => xxhash64(s)))))
+      assert(native == hof, s"mismatch at shingle length $n")
+    }
+  }
+
+  test("property: portableBucket stays in range and is key-deterministic for any sign") {
+    import graft.pipeline.Sampling
+    val keys = Seq.fill(500)((rng.nextLong(), rng.nextLong())).toDF("k1", "k2")
+    val b = Sampling.portableBucket(Seq(col("k1"), col("k2")))
+    val stats = rows(keys.select(min(b), max(b))).head
+    assert(stats(0).asInstanceOf[Long] >= 0L)
+    assert(stats(1).asInstanceOf[Long] < Sampling.Buckets)
+    // same keys, separate evaluation -> same buckets
+    assert(rows(keys.select(b)) == rows(keys.select(b)))
+  }
+}

@@ -45,6 +45,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byG("c").asInstanceOf[Long] > 2550 && byG("c").asInstanceOf[Long] < 3000)
   }
 
+  test("assignSplit: disjoint exhaustive deterministic train/val/test") {
+    val df = (0L until 10000L).toDF("k")
+    val out = Sampling.assignSplit(df, Seq("k"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byS = rows(out.groupBy("split").count().orderBy("split"))
+      .map(r => r(0) -> r(1).asInstanceOf[Long]).toMap
+    assert(byS.keySet == Set("train", "val", "test")) // exhaustive, no "rest"
+    assert(byS("train") > 7700 && byS("train") < 8300)
+    assert(byS("val") > 800 && byS("val") < 1200)
+    // deterministic: identical assignment on re-run
+    assert(rows(out.orderBy("k")) == rows(Sampling.assignSplit(df, Seq("k"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).orderBy("k")))
+    // remainder flows to restLabel when fractions sum below 1
+    val withRest = Sampling.assignSplit(df, Seq("k"), Seq("train" -> 0.5))
+    assert(rows(withRest.groupBy("split").count())
+      .map(r => r(0)).toSet == Set("train", "rest"))
+  }
+
   test("exactPerStratum takes exactly n per stratum, stable under hash-thinning") {
     val df = (0L until 200L).map(k => (k, if (k % 2 == 0) "x" else "y")).toDF("k", "g")
     val top = Sampling.exactPerStratum(df, "g", n = 5, keyCols = Seq("k"))
