@@ -55,19 +55,28 @@ object Profile {
     wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }
 
-  /** Winsorize: clamp a numeric column to its [pLo, pHi] exact
-    * interpolated percentiles — the outlier-capping step before training
-    * on heavy-tailed features. The two percentiles ride a broadcast 1-row
-    * aggregate (one extra pass; `percentile` is the exact interpolating
-    * aggregate, cross-engine-identical to DuckDB's quantile_cont), then
-    * the clamp itself is a pure codegen projection. Output replaces
-    * `valueCol` with the clamped value (NULLs pass through unclamped). */
+  /** Winsorize: clamp a numeric column to its [pLo, pHi] percentiles —
+    * the outlier-capping step before training on heavy-tailed features.
+    * The two percentiles ride a broadcast 1-row aggregate (one extra
+    * pass), then the clamp itself is a pure codegen projection. Output
+    * replaces `valueCol` with the clamped value (NULLs pass through
+    * unclamped).
+    *
+    * `exact = true` uses the exact interpolating `percentile` aggregate
+    * (cross-engine-identical to DuckDB's quantile_cont — what the gate
+    * verifies) — but it BUFFERS every value in the aggregation state, so
+    * at 100 TB pass false for the GK-sketch `approx_percentile`
+    * (`accuracy` = 1/eps): fixed memory, mergeable partials, bounds off
+    * by at most the rank error — harmless for outlier capping. */
   def winsorize(df: DataFrame, valueCol: String,
-                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+                pLo: Double = 0.01, pHi: Double = 0.99,
+                exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "winsorize: need 0 <= pLo <= pHi <= 1")
+    val fn = if (exact) "percentile" else s"approx_percentile"
+    val acc = if (exact) "" else s", $accuracy"
     val bounds = df.agg(
-      expr(s"percentile($valueCol, $pLo)").as("__lo"),
-      expr(s"percentile($valueCol, $pHi)").as("__hi"))
+      expr(s"$fn($valueCol, $pLo$acc)").as("__lo"),
+      expr(s"$fn($valueCol, $pHi$acc)").as("__hi"))
     // NULL guard: Spark's greatest/least SKIP nulls (they don't propagate
     // them), so an unguarded clamp would silently turn NULL into the lower
     // bound — NULLs must pass through as NULLs

@@ -136,14 +136,19 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ===== Duplicate clustering =====
 
-  test("duplicateClusters: min-label propagation finds transitive components") {
-    // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {10,11}, singleton pairs none
+  test("duplicateClusters: both paths find the same transitive components") {
+    // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {10,11}
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("id1", "id2")
-    val got = rows(Dedup.duplicateClusters(pairs).orderBy("id"))
-    assert(got == Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(7L, 1L),
-      Seq(10L, 10L), Seq(11L, 10L)))
-    // empty pair set -> empty clustering
-    assert(Dedup.duplicateClusters(Seq.empty[(Long, Long)].toDF("id1", "id2")).count() == 0)
+    val expect = Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(7L, 1L),
+      Seq(10L, 10L), Seq(11L, 10L))
+    // small-graph fast path (driver union-find)
+    assert(rows(Dedup.duplicateClusters(pairs).orderBy("id")) == expect)
+    // distributed min-label-propagation path (force with limit 0)
+    assert(rows(Dedup.duplicateClusters(pairs, smallGraphLimit = 0).orderBy("id")) == expect)
+    // empty pair set -> empty clustering on both paths
+    val e = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.duplicateClusters(e).count() == 0)
+    assert(Dedup.duplicateClusters(e, smallGraphLimit = -1).count() == 0)
   }
 
   test("dropNearDuplicates keeps exactly one canonical doc per cluster") {
