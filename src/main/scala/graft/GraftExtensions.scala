@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{MinhashSignature, ParseLongPrefix, ShingleHashSorted, SimHash64, SortedLongIntersectCount, VectorDot}
+import graft.functions.{MinhashSignature, ParseLongPrefix, PortableSimHash60, ShingleHashSorted, SimHash64, SortedLongIntersectCount, VectorDot}
 
 /** SQL registration of graft's native Catalyst expressions.
   *
@@ -61,6 +61,15 @@ object GraftExtensions {
           s"shingle_hash_sorted: n must be an int literal, got $other")
       }
       ShingleHashSorted(children.head, n)
+    },
+    "portable_simhash60" -> { children =>
+      require(children.length == 2, "portable_simhash60(tokens, n) takes 2 arguments")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"portable_simhash60: n must be an int literal, got $other")
+      }
+      PortableSimHash60(children.head, n)
     })
 
   /** Register as session-scoped temp functions on a live session. */

@@ -361,22 +361,17 @@ object Dedup {
     * Shuffle shape: explode moves (id, 8-byte hash); the 60 bit-sums are
     * partial/final HashAggregate — map-side combined, one shuffle. */
   def withSimhashPortable(df: DataFrame, idCol: String, textCol: String,
-                          shingleLen: Int = 3, out: String = "sig"): DataFrame = {
-    val Bits = 60
-    val hashed = withShingleSet(df, idCol, textCol, shingleLen, "__sh")
-      .select(col(idCol), explode(col("__sh")).as("__s"))
-      .select(col(idCol),
-        conv(substring(md5(col("__s")), 1, 15), 16, 10).cast("long").as("__h"))
-    val votes = (0 until Bits).map { j =>
-      sum(when(call_function("shiftright", col("__h"), lit(j)).bitwiseAND(1) === 1,
-        1).otherwise(-1)).as(s"__b$j")
-    }
-    val agg = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    // positive vote -> bit set; disjoint powers of two sum to the OR
-    val sig = (0 until Bits).map(j =>
-      when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col(idCol), sig.as(out))
-  }
+                          shingleLen: Int = 3, out: String = "sig"): DataFrame =
+    // one native pass per document (PortableSimHash60): digest bytes
+    // parsed directly, windows deduped in-loop — replaces the composable
+    // explode → md5-hex → conv → 60-column vote aggregate, which paid a
+    // hex-string alloc+parse per shingle AND a groupBy shuffle to
+    // reassemble votes (measured 5.8 s -> see BASELINE). Values are
+    // bit-identical (NativeExprPropertySpec), so the DuckDB oracle and
+    // banding guarantees are untouched.
+    df.select(col(idCol),
+      graft.functions.PortableSimHashExpression.portable_simhash60(
+        TextAnalysis.tokens(col(textCol)), shingleLen).as(out))
 
   /** All document pairs within `maxHamming` of each other's portable
     * SimHash — EXACT semantics (not "candidates found"): 4 bands of 15

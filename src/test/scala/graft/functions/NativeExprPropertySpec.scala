@@ -56,6 +56,30 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: portable_simhash60 == composable md5-hex bit-vote pipeline") {
+    import graft.functions.PortableSimHashExpression.portable_simhash60
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "ζήτα", "x9")
+    val cases = (1 to 60).map(i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(40))(vocab(rng.nextInt(vocab.size))).mkString(" ")))
+    val df = cases.toDF("id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    val native = rows(df.select(col("id"), portable_simhash60(toks, 3)).orderBy("id"))
+    // the composable formulation the expression replaced: distinct shingle
+    // strings -> md5 hex prefix -> conv -> 60 bit-vote sums -> sign fold
+    val hashed = df
+      .select(col("id"), explode(graft.pipeline.Dedup.shinglesFromTokens(toks, 3)).as("s"))
+      .select(col("id"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until 60).map { j =>
+      sum(when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(1) === 1,
+        1).otherwise(-1)).as(s"b$j")
+    }
+    val sig = (0 until 60).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val hof = rows(hashed.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), sig).orderBy("id"))
+    assert(native == hof)
+  }
+
   test("property: portableBucket stays in range and is key-deterministic for any sign") {
     import graft.pipeline.Sampling
     val keys = Seq.fill(500)((rng.nextLong(), rng.nextLong())).toDF("k1", "k2")
