@@ -752,6 +752,14 @@ object SparkEntry {
       .withColumn("avg_len", round(col("avg_len"), 6))
       .orderBy("col_name")
 
+  private def qZorder(s: SparkSession, d: String): DataFrame =
+    // z-order curve values: pure bit arithmetic, replayed exactly in SQL;
+    // ties at the limit boundary are identical rows, so the cut is stable
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey"),
+        Relational.zorderValue(col("l_suppkey"), col("l_partkey")).as("z"))
+      .orderBy("z", "l_suppkey", "l_partkey").limit(200)
+
   private def qWinsorize(s: SparkSession, d: String): DataFrame = {
     // clamp to [p05, p95] then aggregate; every emitted double goes
     // through round(.,2)->DECIMAL so an ulp of cross-engine percentile-
@@ -984,6 +992,7 @@ object SparkEntry {
     "q_text_redact" -> (qTextRedact _),
     "q_profile" -> (qProfile _),
     "q_winsorize" -> (qWinsorize _),
+    "q_zorder" -> (qZorder _),
     "q_contamination" -> (qContamination _),
     "q_multimodal" -> (qMultimodal _),
     "q_events_window" -> (qEventsWindow _),
@@ -1456,6 +1465,14 @@ object SparkEntry {
         |  COUNT(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         |  round(AVG(length(c_mktsegment)), 6) FROM customer
         |ORDER BY col_name""".stripMargin,
+    "q_zorder" -> {
+      val z = (0 until 21).map(k =>
+        s"(((l_suppkey % 2097152) >> $k) & 1) * ${1L << (2 * k)}" +
+          s" + (((l_partkey % 2097152) >> $k) & 1) * ${1L << (2 * k + 1)}")
+        .mkString(" + ")
+      s"""SELECT l_suppkey, l_partkey, $z AS z FROM lineitem
+         |ORDER BY z, l_suppkey, l_partkey LIMIT 200""".stripMargin
+    },
     "q_winsorize" ->
       """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
         |quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem),

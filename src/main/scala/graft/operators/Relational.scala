@@ -87,6 +87,42 @@ object Relational {
       .parquet(path)
   }
 
+  /** Z-order (Morton) value of two non-negative integer keys: their bits
+    * interleaved (x in even positions, y in odd), 21 bits each ⇒ a 42-bit
+    * long. Sorting by this value clusters rows that are close in BOTH
+    * dimensions, so parquet row-group min/max stats become selective for
+    * predicates on EITHER column — the standard lakehouse data-skipping
+    * layout for two frequent filter columns, where a plain sort only
+    * serves its leading column. Pure integer arithmetic (shift/mask/sum
+    * of disjoint powers), so it is codegen'd AND replayable in any SQL
+    * engine (see the q_zorder oracle). Keys wider than 21 bits fold via
+    * their low bits (locality degrades gracefully; full range needs a
+    * wider curve). */
+  def zorderValue(x: Column, y: Column, bits: Int = 21): Column = {
+    require(bits > 0 && bits <= 31, "zorderValue: bits must be in [1, 31]")
+    val xs = pmod(x.cast("long"), lit(1L << bits))
+    val ys = pmod(y.cast("long"), lit(1L << bits))
+    (0 until bits).map { k =>
+      (shiftright(xs, k).bitwiseAND(1) * lit(1L << (2 * k))) +
+        (shiftright(ys, k).bitwiseAND(1) * lit(1L << (2 * k + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Write parquet laid out along the z-order curve of two keys:
+    * repartitionByRange on the curve value (contiguous curve segments per
+    * file ⇒ tight per-file min/max on both dimensions) with a sort inside
+    * each partition. One range shuffle — the same cost as a plain sorted
+    * write. */
+  def zorderWrite(df: DataFrame, path: String, x: Column, y: Column,
+                  numFiles: Int): Unit = {
+    val z = zorderValue(x, y)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed table write: pre-shuffles the data into `numBuckets` by the
     * join keys at write time, so later equi-joins/aggregations on those
     * keys run with NO exchange — the 100 TB co-located-join strategy

@@ -237,6 +237,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("zorderValue interleaves bits; zorderWrite tightens per-file ranges") {
+    // hand-checked interleavings: x bits even positions, y bits odd
+    val vals = rows(Seq((1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L)).toDF("x", "y")
+      .select(Relational.zorderValue(col("x"), col("y")))).flatten
+    assert(vals == Seq(1L, 2L, 15L, 6L)) // z(2,1)=x bit1->pos2(4) + y bit0->pos1(2)
+    // layout: a 64x64 grid written along the curve has per-file x AND y
+    // spans far below the global span (a plain single-column sort keeps
+    // the full span of the OTHER column in every file)
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Relational.zorderWrite(grid, dir, col("x"), col("y"), numFiles = 16)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length >= 8)
+    val spans = files.map { f =>
+      val r = rows(spark.read.parquet(f.getAbsolutePath)
+        .agg(max("x") - min("x"), max("y") - min("y"))).head
+      (r(0).asInstanceOf[Int], r(1).asInstanceOf[Int])
+    }
+    val avgX = spans.map(_._1).sum.toDouble / spans.length
+    val avgY = spans.map(_._2).sum.toDouble / spans.length
+    // global span is 63 in both dimensions; curve segments stay local
+    assert(avgX < 32 && avgY < 32, s"avg spans ($avgX, $avgY) not local")
+    assert(spark.read.parquet(dir).count() == 64 * 64)
+  }
+
   test("lookup is a broadcast multi-lookup join") {
     val queries = Seq(1, 2, 2, 9).toDF("k")
     val index = Seq((1, "a"), (2, "b")).toDF("k", "v")

@@ -173,6 +173,29 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ===== Contamination =====
 
+  test("round-3 ops are partitioning-invariant (reference block-size analog)") {
+    // same results regardless of how the input is split into partitions —
+    // the Spark analog of the reference's block-size-variation harness
+    val docs = (0L until 40L).map(i =>
+      (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w${i % 5} w${(i * 3) % 11}"))
+      .toDF("id", "text")
+    val expectedContam = rows(Contamination.ngramContamination(
+      docs.where(col("id") >= 10), docs.where(col("id") < 10), "id", "text", 2)
+      .orderBy("id"))
+    val expectedSample = rows(Sampling.bernoulli(docs, Seq("id"), 0.4).orderBy("id"))
+    withPartitionings(docs) { d =>
+      assert(rows(Contamination.ngramContamination(
+        d.where(col("id") >= 10), d.where(col("id") < 10), "id", "text", 2)
+        .orderBy("id")) == expectedContam)
+      assert(rows(Sampling.bernoulli(d, Seq("id"), 0.4).orderBy("id")) == expectedSample)
+    }
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id1", "id2")
+    val expectedCc = rows(Dedup.duplicateClusters(pairs, smallGraphLimit = 0).orderBy("id"))
+    withPartitionings(pairs) { p =>
+      assert(rows(Dedup.duplicateClusters(p, smallGraphLimit = 0).orderBy("id")) == expectedCc)
+    }
+  }
+
   test("ngramContamination: full, partial, and zero overlap") {
     val train = Seq((10L, "w1 w2 w3 w4 w5 w6")).toDF("id", "text")
     val test = Seq(

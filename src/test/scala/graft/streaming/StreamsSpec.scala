@@ -149,6 +149,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hash sampling and split are stateless stream transforms") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Sampling
+    val mem = MemoryStream[Streams.Event]
+    mem.addData(sampleEvents: _*)
+    // deterministic hash filters need no state/watermark — they run on a
+    // stream exactly as on a batch (the reproducible-split property makes
+    // the same event land in the same split in BOTH modes)
+    val q = Sampling.assignSplit(
+      Sampling.bernoulli(mem.toDF(), Seq("event_id"), 1.0),
+      Seq("event_id"), Seq("train" -> 0.5))
+      .writeStream.format("memory").queryName("split_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = rows(spark.table("split_out").select("event_id", "split").orderBy("event_id"))
+      val batch = rows(Sampling.assignSplit(sampleEvents.toDF(), Seq("event_id"),
+        Seq("train" -> 0.5)).select("event_id", "split").orderBy("event_id"))
+      assert(streamed == batch && streamed.size == 5)
+    } finally q.stop()
+  }
+
   test("file-source streaming over the real ns-timestamp events parquet") {
     val streamDf = Streams.readEvents(spark, sf())
     assert(streamDf.isStreaming)
