@@ -752,6 +752,10 @@ object SparkEntry {
       .withColumn("avg_len", round(col("avg_len"), 6))
       .orderBy("col_name")
 
+  private def qTextRepetition(s: SparkSession, d: String): DataFrame =
+    Scoring.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   private def qZorder(s: SparkSession, d: String): DataFrame =
     // z-order curve values: pure bit arithmetic, replayed exactly in SQL;
     // ties at the limit boundary are identical rows, so the cut is stable
@@ -993,6 +997,7 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_winsorize" -> (qWinsorize _),
     "q_zorder" -> (qZorder _),
+    "q_text_repetition" -> (qTextRepetition _),
     "q_contamination" -> (qContamination _),
     "q_multimodal" -> (qMultimodal _),
     "q_events_window" -> (qEventsWindow _),
@@ -1465,6 +1470,21 @@ object SparkEntry {
         |  COUNT(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         |  round(AVG(length(c_mktsegment)), 6) FROM customer
         |ORDER BY col_name""".stripMargin,
+    "q_text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |tc AS (SELECT doc_id, w, COUNT(*) AS n
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM tok) GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, MAX(n) AS top FROM tc GROUP BY 1),
+        |gr AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+        |  THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |  ELSE [] END) AS g FROM tok),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS n FROM gr GROUP BY 1, 2),
+        |gs AS (SELECT doc_id, SUM(n) AS ng,
+        |  SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS dup FROM gc GROUP BY 1)
+        |SELECT ts.doc_id, ts.n_tokens,
+        |round(CAST(ts.top AS DOUBLE) / ts.n_tokens, 6) AS top_token_frac,
+        |coalesce(round(CAST(gs.dup AS DOUBLE) / gs.ng, 6), 0.0) AS dup_bigram_frac
+        |FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id ORDER BY ts.doc_id""".stripMargin,
     "q_zorder" -> {
       val z = (0 until 21).map(k =>
         s"(((l_suppkey % 2097152) >> $k) & 1) * ${1L << (2 * k)}" +

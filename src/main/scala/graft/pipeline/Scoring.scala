@@ -61,6 +61,41 @@ object Scoring {
         (idfBm25 * tfNorm).as("bm25"))
   }
 
+  /** Gopher-style repetition report per document:
+    * (idCol, n_tokens, top_token_frac, dup_bigram_frac) where
+    * top_token_frac = share of tokens held by the single most frequent
+    * token and dup_bigram_frac = share of word bigrams occurring more
+    * than once — the standard degenerate/boilerplate-document signals.
+    *
+    * Shape: linear window-build per document (a transform over the token
+    * array — same class as the shingle pipelines), then two (id, gram)
+    * count aggregations; every shuffle is keyed by (id, token), so hot
+    * documents spread across reducers. Documents with zero tokens are
+    * absent; < 2 tokens ⇒ dup_bigram_frac 0. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val base = docs.select(col(idCol), t.as("__t"))
+    val tokCounts = base.select(col(idCol), explode(col("__t")).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__n"))
+    val tokStats = tokCounts.groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_tokens"), max(col("__n")).as("__top"))
+    val grams = base.select(col(idCol), explode(
+      when(size(col("__t")) >= 2,
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          i => concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1))))
+        .otherwise(array())).as("__g"))
+    val gramStats = grams.groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("__ng"),
+        sum(when(col("__n") > 1, col("__n")).otherwise(0L)).as("__dup"))
+    tokStats.join(gramStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(col("__top").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_token_frac"),
+        coalesce(round(col("__dup").cast("double") / col("__ng").cast("double"), 6),
+          lit(0.0)).as("dup_bigram_frac"))
+  }
+
   /** Top-k terms per document by a score column, deterministic: ranking
     * uses the score ROUNDED to `roundScale` decimals (so a last-ulp
     * cross-engine double difference cannot flip ranks) with the term as

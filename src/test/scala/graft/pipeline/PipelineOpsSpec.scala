@@ -95,6 +95,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetitionStats: hand-checked top-token and duplicate-bigram fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),      // top token a: 3/4; bigrams: "a a"x2,"a b" -> dup 2/3
+      (2L, "x y z"),        // all unique: top 1/3; bigrams unique -> 0
+      (3L, "w")).toDF("id", "text") // single token: top 1.0, no bigrams
+    val got = rows(Scoring.repetitionStats(docs, "id", "text").orderBy("id"))
+    assert(got == Seq(
+      Seq(1L, 4L, 0.75, 0.666667),
+      Seq(2L, 3L, 0.333333, 0.0),
+      Seq(3L, 1L, 1.0, 0.0)))
+  }
+
   test("topTerms ranks by rounded score with term tiebreak") {
     val scored = Seq((1L, "zz", 5.0), (1L, "aa", 5.0), (1L, "mm", 7.0), (1L, "qq", 1.0))
       .toDF("id", "term", "s")
