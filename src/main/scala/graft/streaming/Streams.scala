@@ -73,6 +73,17 @@ object Streams {
     withWm.dropDuplicatesWithinWatermark(keyCols)
   }
 
+  /** Stream-static anti-join: drop stream rows whose key appears in a
+    * STATIC reference frame (known-duplicate fingerprints, a blocklist,
+    * an already-ingested corpus) — the streaming face of incremental
+    * dedup against history. The static side is re-planned per micro-batch
+    * (Spark's stream-static join contract), so a refreshed parquet
+    * blocklist is picked up without restarting the query; no state store
+    * is involved, unlike streamingDedup's within-stream dedup. */
+  def filterAgainstStatic(stream: DataFrame, static: DataFrame,
+                          keyCols: Seq[String]): DataFrame =
+    stream.join(static, keyCols, "left_anti")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class SessionState(start: Long, lastSeen: Long, n: Long, sumCents: Long)

@@ -149,6 +149,21 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("filterAgainstStatic drops stream rows present in the static side") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    mem.addData(sampleEvents: _*)
+    val blocklist = Seq(2L, 4L).toDF("event_id")
+    val q = Streams.filterAgainstStatic(mem.toDF(), blocklist, Seq("event_id"))
+      .writeStream.format("memory").queryName("anti_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = rows(spark.table("anti_out").select("event_id").orderBy("event_id")).flatten
+      assert(ids == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("hash sampling and split are stateless stream transforms") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Sampling
