@@ -33,9 +33,9 @@ object Contamination {
       Dedup.withShingleHashSet(train, idCol, textCol, n, "__sh"), idCol)
 
   /** Split variant for the common "one corpus, a predicate marks the eval
-    * slice" case: shingles the corpus ONCE (one scan, one tokenization
-    * barrier — filtering two views of the table would tokenize everything
-    * twice) and reduces BY SHINGLE HASH instead of joining: per hash, a
+    * slice" case: shingles the corpus ONCE (filtering two views of the
+    * table would tokenize everything twice)
+    * and reduces BY SHINGLE HASH instead of joining: per hash, a
     * flag for "any train doc has it" plus the list of test docs carrying
     * it, then a re-group by test doc. Two shuffles, both moving
     * (8-byte hash, id) pairs. The per-hash test-doc list is bounded by the

@@ -35,7 +35,7 @@ object Dedup {
   /** Connected components over near-dup PAIRS: production dedup needs
     * CLUSTERS, not pairs — transitively-linked documents form one group
     * and a single canonical survivor is kept per group. Returns
-    * (idCol, cluster) where cluster = the smallest id in the component
+    * (id, cluster) where cluster = the smallest id in the component
     * (the canonical doc), one row per id that appears in any pair.
     *
     * Algorithm: iterative min-label propagation. Each round every node

@@ -72,11 +72,11 @@ object Profile {
                 pLo: Double = 0.01, pHi: Double = 0.99,
                 exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "winsorize: need 0 <= pLo <= pHi <= 1")
-    val fn = if (exact) "percentile" else s"approx_percentile"
+    val fn = if (exact) "percentile" else "approx_percentile"
     val acc = if (exact) "" else s", $accuracy"
     val bounds = df.agg(
-      expr(s"$fn($valueCol, $pLo$acc)").as("__lo"),
-      expr(s"$fn($valueCol, $pHi$acc)").as("__hi"))
+      expr(s"$fn(`$valueCol`, $pLo$acc)").as("__lo"),
+      expr(s"$fn(`$valueCol`, $pHi$acc)").as("__hi"))
     // NULL guard: Spark's greatest/least SKIP nulls (they don't propagate
     // them), so an unguarded clamp would silently turn NULL into the lower
     // bound — NULLs must pass through as NULLs
