@@ -752,6 +752,36 @@ object SparkEntry {
       .withColumn("avg_len", round(col("avg_len"), 6))
       .orderBy("col_name")
 
+  private def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // text-format FileOutput/FileInput face: write CSV, read back with an
+    // explicit schema, aggregate — the oracle recomputes from the source
+    // parquet, so any value corruption in the text round-trip mismatches
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${ProcessHandle.current().pid()}"
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    Relational.csvOutput(c, out)
+    val back = Relational.csvInput(s, out, c.schema)
+    Relational.sort(col("c_mktsegment"))(asDouble("sum_bal")(
+      Aggregates.groupAggregate(Seq("c_mktsegment"), Seq(
+        Agg(COUNT, None, "n"),
+        Agg(MIN, Some("c_name"), "first_name"),
+        Agg(SUM, Some("bal_dec"), "sum_bal")))(
+        back.withColumn("bal_dec", dec(col("c_acctbal"))))))
+  }
+
+  private def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_${ProcessHandle.current().pid()}"
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"), col("p_size"))
+    Relational.jsonOutput(p, out)
+    val back = Relational.jsonInput(s, out, p.schema)
+    Relational.sort(col("p_type"))(
+      Aggregates.groupAggregate(Seq("p_type"), Seq(
+        Agg(COUNT, None, "n"),
+        Agg(SUM, Some("p_size"), "sum_size",
+          outType = Some(org.apache.spark.sql.types.LongType)),
+        Agg(MAX, Some("p_partkey"), "max_key")))(back))
+  }
+
   private def qTextRepetition(s: SparkSession, d: String): DataFrame =
     Scoring.repetitionStats(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
@@ -998,6 +1028,8 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_zorder" -> (qZorder _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_contamination" -> (qContamination _),
     "q_multimodal" -> (qMultimodal _),
     "q_events_window" -> (qEventsWindow _),
@@ -1470,6 +1502,14 @@ object SparkEntry {
         |  COUNT(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         |  round(AVG(length(c_mktsegment)), 6) FROM customer
         |ORDER BY col_name""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n, MIN(c_name) AS first_name,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT p_type, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size,
+        |MAX(p_partkey) AS max_key
+        |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
     "q_text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
         |tc AS (SELECT doc_id, w, COUNT(*) AS n

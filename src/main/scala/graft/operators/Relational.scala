@@ -87,6 +87,25 @@ object Relational {
       .parquet(path)
   }
 
+  /** CSV sink/source pair (reference FileOutput/FileInput's text-format
+    * face, file_io.h:64): header row, explicit schema on read (inference
+    * would re-scan and can widen types). Standard quoting/escaping —
+    * commas and quotes in string fields survive the round trip. */
+  def csvOutput(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def csvInput(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines sink/source pair. NOTE: Spark omits NULL-valued fields
+    * from written JSON objects (standard JSON-lines convention); the
+    * explicit read schema restores them as NULLs. */
+  def jsonOutput(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def jsonInput(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Z-order (Morton) value of two non-negative integer keys: their bits
     * interleaved (x in even positions, y in odd), 21 bits each ⇒ a 42-bit
     * long. Sorting by this value clusters rows that are close in BOTH

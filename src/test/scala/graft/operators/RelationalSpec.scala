@@ -237,6 +237,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("csv/json round-trips preserve quoting, commas, and NULLs") {
+    val df = Seq(
+      (1L, Some("a,b \"quoted\" c"), Some(1.5)),
+      (2L, Some("plain"), None),
+      (3L, None, Some(-0.25))).toDF("k", "s", "v")
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Relational.csvOutput(df, csvDir)
+    assert(rows(Relational.csvInput(spark, csvDir, df.schema).orderBy("k")) ==
+      rows(df.orderBy("k")))
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Relational.jsonOutput(df, jsonDir)
+    assert(rows(Relational.jsonInput(spark, jsonDir, df.schema).orderBy("k")) ==
+      rows(df.orderBy("k")))
+  }
+
   test("zorderValue interleaves bits; zorderWrite tightens per-file ranges") {
     // hand-checked interleavings: x bits even positions, y bits odd
     val vals = rows(Seq((1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L)).toDF("x", "y")
