@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants on SparkEntry: the correctness gate only
+  * checks queries that have BOTH a `queries` entry and an `oracleSql`
+  * entry, so silent key drift (a renamed query, a forgotten oracle) would
+  * weaken the gate without failing anything — this spec makes drift fail
+  * loudly. */
+class EntryContractSpec extends AnyFunSuite {
+
+  /** Queries deliberately without a DuckDB oracle, each with a recorded
+    * reason. Growing this set should be a conscious decision. */
+  private val RowsOnly = Set(
+    "q_dedup_simhash" // xxhash64 signature values are Spark-internal; the
+                      // portable md5 twin q_dedup_simhash_portable carries
+                      // the full algorithm-replay oracle
+  )
+
+  test("every query has an oracle unless explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == RowsOnly,
+      s"queries without oracle SQL beyond the documented rows-only set: ${missing -- RowsOnly}")
+  }
+
+  test("no orphaned oracle SQL (oracle without a query never runs)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
+  }
+
+  test("no scratch/AB queries leak into the driver contract") {
+    assert(!SparkEntry.queries.keySet.exists(_.contains("_ab_")),
+      "temporary A/B queries must be removed before shipping")
+  }
+}
