@@ -73,6 +73,32 @@ object Streams {
     withWm.dropDuplicatesWithinWatermark(keyCols)
   }
 
+  /** Stream-stream interval join: correlate two event streams on a key,
+    * attaching right rows whose event time falls within
+    * [left.ts - lookback, left.ts]. Both sides carry watermarks and the
+    * time-bound condition, which is what lets Spark BOUND the join state:
+    * each side buffers only rows inside the watermark+lookback horizon,
+    * then evicts — without the interval bound the state grows forever
+    * (Spark rejects some unbounded shapes outright). The same call on
+    * batch frames degenerates to a plain interval equi-join, which is how
+    * the semantics are cross-checked in the spec.
+    *
+    * Column names must be disjoint apart from `key`; `leftTs`/`rightTs`
+    * name each side's event-time column. */
+  def streamStreamCorrelate(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String,
+                            lookback: String = "10 minutes",
+                            lateness: String = "10 minutes"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, lateness) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, lateness) else right
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs),
+      "inner")
+      .drop(r(key))
+  }
+
   /** Stream-static anti-join: drop stream rows whose key appears in a
     * STATIC reference frame (known-duplicate fingerprints, a blocklist,
     * an already-ingested corpus) — the streaming face of incremental

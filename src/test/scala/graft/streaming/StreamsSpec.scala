@@ -149,6 +149,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamStreamCorrelate: interval join with bounded state, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Streams.Event(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0, "{}"),
+      Streams.Event(2, ts("2024-01-01 10:30:00"), 1, "click", 2.0, "{}"),
+      Streams.Event(3, ts("2024-01-01 10:10:00"), 2, "click", 3.0, "{}"))
+    val views = Seq(
+      Streams.Event(11, ts("2024-01-01 10:05:00"), 1, "view", 0.0, "{}"), // 5min before click 1
+      Streams.Event(12, ts("2024-01-01 10:29:00"), 1, "view", 0.0, "{}"), // 1min before click 2
+      Streams.Event(13, ts("2024-01-01 09:00:00"), 2, "view", 0.0, "{}")) // outside lookback
+    def prep(s: Seq[Streams.Event], side: String) =
+      (df: org.apache.spark.sql.DataFrame) => df.select(
+        col("user_id"), col("event_id").as(s"${side}_id"), col("ts").as(s"${side}_ts"))
+    val memC = MemoryStream[Streams.Event]; memC.addData(clicks: _*)
+    val memV = MemoryStream[Streams.Event]; memV.addData(views: _*)
+    val q = Streams.streamStreamCorrelate(
+      prep(clicks, "c")(memC.toDF()), prep(views, "v")(memV.toDF()),
+      "user_id", "c_ts", "v_ts").writeStream
+      .format("memory").queryName("corr_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = rows(spark.table("corr_out")
+        .select("user_id", "c_id", "v_id").orderBy("c_id", "v_id"))
+      // click 1 <- view 11 (5min); click 2 <- view 12 (1min); user 2's view
+      // is 70min stale -> no match for click 3
+      assert(streamed == Seq(Seq(1L, 1L, 11L), Seq(1L, 2L, 12L)))
+      // batch face computes the identical correlation
+      val batch = rows(Streams.streamStreamCorrelate(
+        prep(clicks, "c")(clicks.toDF()), prep(views, "v")(views.toDF()),
+        "user_id", "c_ts", "v_ts")
+        .select("user_id", "c_id", "v_id").orderBy("c_id", "v_id"))
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("filterAgainstStatic drops stream rows present in the static side") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
