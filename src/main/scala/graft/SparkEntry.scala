@@ -752,6 +752,13 @@ object SparkEntry {
       .withColumn("avg_len", round(col("avg_len"), 6))
       .orderBy("col_name")
 
+  private def qPack(s: SparkSession, d: String): DataFrame =
+    // bucketed sequence layout; oracle replays bucket + per-bucket window
+    // cumsum + boundary division in plain SQL
+    graft.pipeline.Packing.layoutOffsets(Tables.documents(s, d),
+      "doc_id", "text", budget = 2048, buckets = 16)
+      .orderBy("doc_id")
+
   private def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     // text-format FileOutput/FileInput face: write CSV, read back with an
     // explicit schema, aggregate — the oracle recomputes from the source
@@ -1028,6 +1035,7 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_zorder" -> (qZorder _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_pack" -> (qPack _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_contamination" -> (qContamination _),
@@ -1502,6 +1510,16 @@ object SparkEntry {
         |  COUNT(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         |  round(AVG(length(c_mktsegment)), 6) FROM customer
         |ORDER BY col_name""".stripMargin,
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 16 AS bucket,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, bucket, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset" FROM t)
+        |SELECT doc_id, bucket, n_tokens, "offset",
+        |CAST(FLOOR(CAST("offset" AS DOUBLE) / 2048) AS BIGINT) AS seq
+        |FROM o ORDER BY doc_id""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n, MIN(c_name) AS first_name,
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

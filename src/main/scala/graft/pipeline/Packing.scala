@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: lay documents out into fixed token-budget training
+  * sequences — the step between a curated corpus and a token pipeline.
+  * Beyond-reference surface.
+  *
+  * Scale design: packing is BUCKETED, not global — documents spread over
+  * `buckets` independent lanes (deterministic `pmod` of the id) and each
+  * lane packs in id order. A single global layout would funnel the
+  * cumulative sum through one task; per-bucket windows parallelize, and
+  * training shards don't need one global order — they need deterministic,
+  * reproducible shard contents, which the bucketed layout gives. */
+object Packing {
+
+  /** Offset layout: each document gets its start offset in its bucket's
+    * token stream and the sequence index that offset falls in
+    * (documents may straddle a boundary — consumers chunk at token level
+    * anyway; use [[packGreedy]] for whole-document atomicity). Output:
+    * (idCol, bucket, n_tokens, offset, seq). One window aggregation per
+    * bucket — expressible in plain SQL, which is what the q_pack oracle
+    * replays. */
+  def layoutOffsets(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int, buckets: Int): DataFrame = {
+    require(budget > 0 && buckets > 0, "layoutOffsets: budget and buckets must be positive")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol),
+      pmod(col(idCol).cast("long"), lit(buckets.toLong)).as("bucket"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq", floor(col("offset") / lit(budget)).cast("long"))
+  }
+
+  final case class PackedDoc(id: Long, bucket: Long, n_tokens: Long, seq: Long)
+
+  /** Greedy whole-document packing per bucket: a sequence takes documents
+    * in id order until the next one would exceed `budget`, then a new
+    * sequence starts (a document longer than the budget gets its own
+    * sequence). The greedy fold is inherently sequential PER LANE — the
+    * same per-key stateful shape as sessionization — so it runs as
+    * flatMapGroups over the bucket lanes: `buckets` controls parallelism.
+    * Long ids only (typed Dataset path). */
+  def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+                 budget: Int, buckets: Int): Dataset[PackedDoc] = {
+    require(budget > 0 && buckets > 0, "packGreedy: budget and buckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+      pmod(col(idCol).cast("long"), lit(buckets.toLong)).as("bucket"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (bucket: Long, rows: Iterator[(Long, Long, Long)]) =>
+        val sorted = rows.toSeq.sortBy(_._1)
+        var seq = 0L
+        var used = 0L
+        sorted.map { case (id, _, n) =>
+          if (used > 0 && used + n > budget) { seq += 1; used = 0 }
+          used += n
+          PackedDoc(id, bucket, n, seq)
+        }
+      }
+  }
+}

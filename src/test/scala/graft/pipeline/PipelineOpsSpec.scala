@@ -183,6 +183,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) == 101L && got(3) == 1L) // the NULL row survived as NULL
   }
 
+  // ===== Sequence packing =====
+
+  test("packGreedy: whole docs, budget respected, oversize doc gets own sequence") {
+    // one bucket so the greedy order is fully specified
+    val docs = Seq(
+      (0L, "a b c"),            // 3 tokens -> seq 0 (used 3)
+      (16L, "d e"),             // 2 tokens -> seq 0 (used 5)
+      (32L, "f g h i j k l m"), // 8 > remaining 3 -> seq 1 (used 8, full)
+      (48L, "n o p q r s t u v w x y z a b c"), // 16 > budget -> own seq 2
+      (64L, "zz")).toDF("id", "text") // seq 3
+    val got = rows(Packing.packGreedy(docs, "id", "text", budget = 8, buckets = 16)
+      .toDF().orderBy("id").select("id", "seq"))
+    assert(got == Seq(Seq(0L, 0L), Seq(16L, 0L), Seq(32L, 1L), Seq(48L, 2L), Seq(64L, 3L)))
+    // no sequence except oversize-singletons exceeds the budget
+    val sums = rows(Packing.packGreedy(docs, "id", "text", 8, 16).toDF()
+      .groupBy("bucket", "seq").agg(sum("n_tokens").as("s"), count(lit(1)).as("k")))
+    assert(sums.forall(r => r(2).asInstanceOf[Long] <= 8 || r(3) == 1L))
+  }
+
+  test("layoutOffsets: per-bucket offsets are contiguous and seq matches boundaries") {
+    val docs = Seq((0L, "a b c"), (16L, "d e"), (1L, "x y z w")).toDF("id", "text")
+    val got = rows(Packing.layoutOffsets(docs, "id", "text", budget = 4, buckets = 16)
+      .orderBy("id").select("id", "bucket", "n_tokens", "offset", "seq"))
+    assert(got == Seq(
+      Seq(0L, 0L, 3L, 0L, 0L),   // bucket 0 starts at 0
+      Seq(1L, 1L, 4L, 0L, 0L),   // bucket 1 independent
+      Seq(16L, 0L, 2L, 3L, 0L))) // follows doc 0 in bucket 0
+  }
+
   // ===== Contamination =====
 
   test("round-3 ops are partitioning-invariant (reference block-size analog)") {
