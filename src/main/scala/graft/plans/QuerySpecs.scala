@@ -46,12 +46,28 @@ object QuerySpecs {
     * empty groupBy = ScalarAggregate). */
   final case class AggSpec(groupBy: List[String], aggs: List[AggFieldSpec])
 
+  /** One split label + fraction (ordered — range layout follows list
+    * order, see Sampling.assignSplit). */
+  final case class SplitFraction(label: String, fraction: Double)
+
+  /** Deterministic-sampling specification (beyond-reference surface):
+    * `kind` = "bernoulli" (rate), "stratified" (strataCol + rates +
+    * defaultRate), or "split" (splits). Hash keys in `keyCols`. */
+  final case class SampleSpec(kind: String, keyCols: List[String],
+                              rate: Option[Double] = None,
+                              strataCol: Option[String] = None,
+                              rates: Option[Map[String, Double]] = None,
+                              defaultRate: Option[Double] = None,
+                              splits: Option[List[SplitFraction]] = None)
+
   implicit private val formats: Formats = DefaultFormats
 
   def writeAggSpec(spec: AggSpec): String = Serialization.write(spec)
   def readAggSpec(json: String): AggSpec = Serialization.read[AggSpec](json)
   def writeSortSpec(spec: SortSpec): String = Serialization.write(spec)
   def readSortSpec(json: String): SortSpec = Serialization.read[SortSpec](json)
+  def writeSampleSpec(spec: SampleSpec): String = Serialization.write(spec)
+  def readSampleSpec(json: String): SampleSpec = Serialization.read[SampleSpec](json)
 
   private val fnByName: Map[String, AggFn] = Map(
     "SUM" -> SUM, "MIN" -> MIN, "MAX" -> MAX, "COUNT" -> COUNT,
@@ -88,4 +104,28 @@ object QuerySpecs {
     * optional distributed top-k). */
   def buildSort(spec: SortSpec)(df: DataFrame): DataFrame =
     Relational.extendedSort(spec.keys.map(sortKeyColumn), spec.limit)(df)
+
+  /** Reconstitute + run a sampling spec. */
+  def buildSample(spec: SampleSpec)(df: DataFrame): DataFrame = {
+    import graft.pipeline.Sampling
+    spec.kind match {
+      case "bernoulli" =>
+        Sampling.bernoulli(df, spec.keyCols, spec.rate.getOrElse(
+          throw new IllegalArgumentException("bernoulli spec needs rate")))
+      case "stratified" =>
+        Sampling.stratified(df,
+          spec.strataCol.getOrElse(throw new IllegalArgumentException(
+            "stratified spec needs strataCol")),
+          spec.rates.getOrElse(Map.empty),
+          spec.defaultRate.getOrElse(throw new IllegalArgumentException(
+            "stratified spec needs defaultRate")),
+          spec.keyCols)
+      case "split" =>
+        Sampling.assignSplit(df, spec.keyCols,
+          spec.splits.getOrElse(throw new IllegalArgumentException(
+            "split spec needs splits")).map(s => s.label -> s.fraction))
+      case other =>
+        throw new IllegalArgumentException(s"unknown sample kind '$other'")
+    }
+  }
 }

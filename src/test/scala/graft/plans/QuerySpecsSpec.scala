@@ -59,6 +59,27 @@ class QuerySpecsSpec extends SparkSpec {
     assert(rows(buildSort(spec)(df)).flatten == Seq("Eve", "BOB"))
   }
 
+  test("SampleSpec round-trips and rebuilds the exact same sample") {
+    import graft.pipeline.Sampling
+    val rows10k = (0L until 5000L).toDF("k")
+    val bSpec = SampleSpec("bernoulli", List("k"), rate = Some(0.3))
+    assert(readSampleSpec(writeSampleSpec(bSpec)) == bSpec)
+    assert(rows(buildSample(readSampleSpec(writeSampleSpec(bSpec)))(rows10k).orderBy("k")) ==
+      rows(Sampling.bernoulli(rows10k, Seq("k"), 0.3).orderBy("k")))
+    val sSpec = SampleSpec("split", List("k"),
+      splits = Some(List(SplitFraction("train", 0.8), SplitFraction("test", 0.2))))
+    assert(readSampleSpec(writeSampleSpec(sSpec)) == sSpec)
+    assert(rows(buildSample(sSpec)(rows10k).orderBy("k")) ==
+      rows(Sampling.assignSplit(rows10k, Seq("k"),
+        Seq("train" -> 0.8, "test" -> 0.2)).orderBy("k")))
+    intercept[IllegalArgumentException] {
+      buildSample(SampleSpec("nope", List("k")))(rows10k)
+    }
+    intercept[IllegalArgumentException] { // kind/field mismatch fails fast
+      buildSample(SampleSpec("bernoulli", List("k")))(rows10k)
+    }
+  }
+
   test("unknown aggregate fn fails fast") {
     intercept[IllegalArgumentException] {
       toAgg(AggFieldSpec("MEDIAN", Some("amt"), "m"))
