@@ -60,7 +60,7 @@ object SparkEntry {
       |(CASE WHEN len(toks) >= 2
       |  THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
       |  ELSE [array_to_string(toks, ' ')] END) AS sh
-      |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+      |FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents)),
       |e AS (SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) AS b FROM t
       |UNION ALL SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) + 1 AS b FROM t),
       |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -1341,7 +1341,7 @@ object SparkEntry {
         |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
         |  ELSE [array_to_string(toks, ' ')] END) AS sh
-        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents)),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
         |FROM t a JOIN t b ON a.doc_id < b.doc_id),
         |j AS (SELECT id1, id2,
@@ -1371,12 +1371,12 @@ object SparkEntry {
          |ORDER BY qid, rank""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
-        |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
         |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish,
         |len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
         |length(text) AS n_len,
         |CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-        |  / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_tok_len,
+        |  / greatest(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), 1) AS mean_tok_len,
         |(length(text) BETWEEN 50 AND 10000 AND
         | CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) <= 0.2) AS quality_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1406,7 +1406,7 @@ object SparkEntry {
     // (pigeonhole over 4x15-bit bands), so this is an exact-semantics
     // oracle, not a recall spot-check.
     "q_dedup_simhash_portable" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w FROM documents),
         |sh AS (SELECT doc_id, (CASE WHEN len(w) >= 3
         |  THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
         |  ELSE [array_to_string(w, ' ')] END) AS shs FROM tok),
@@ -1512,7 +1512,7 @@ object SparkEntry {
         |ORDER BY col_name""".stripMargin,
     "q_pack" ->
       """WITH t AS (SELECT doc_id, doc_id % 16 AS bucket,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |o AS (SELECT doc_id, bucket, n_tokens,
         |  CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
@@ -1529,7 +1529,7 @@ object SparkEntry {
         |MAX(p_partkey) AS max_key
         |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
     "q_text_repetition" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
         |tc AS (SELECT doc_id, w, COUNT(*) AS n
         |  FROM (SELECT doc_id, unnest(ws) AS w FROM tok) GROUP BY 1, 2),
         |ts AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, MAX(n) AS top FROM tc GROUP BY 1),
@@ -1561,7 +1561,7 @@ object SparkEntry {
         |CAST(SUM(CAST(wv AS DECIMAL(18,2))) AS DOUBLE) AS sum_w
         |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_contamination" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w FROM documents),
         |sh AS (SELECT doc_id, (CASE WHEN len(w) >= 5
         |  THEN list_distinct(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' ')))
         |  ELSE [array_to_string(w, ' ')] END) AS shs FROM tok),

@@ -48,7 +48,8 @@ object Relational {
     */
   def fileOutputPartitioned(df: DataFrame, path: String,
                             partitionCols: Seq[String],
-                            targetRowsPerFile: Long): Unit = {
+                            targetRowsPerFile: Long,
+                            maxPartitionValues: Int = 10000): Unit = {
     require(partitionCols.nonEmpty, "fileOutputPartitioned: need partition columns")
     require(targetRowsPerFile > 0, "fileOutputPartitioned: targetRowsPerFile must be positive")
     // Per-partition-value row counts (map-side combined aggregation over the
@@ -67,7 +68,15 @@ object Relational {
       .withColumn("__files",
         greatest(lit(1L), ceil(col("__n") / lit(targetRowsPerFile.toDouble))).cast("int"))
       .drop("__n")
-    val collected = perValueRows.collect().toSeq
+    // Cardinality guard: the low-cardinality contract is ENFORCED, not
+    // assumed — collect is capped at maxPartitionValues + 1 rows (one job,
+    // bounded driver memory) and overflow fails loudly instead of OOMing
+    // the driver on a mistakenly high-cardinality partition column.
+    val collected = perValueRows.limit(maxPartitionValues + 1).collect().toSeq
+    require(collected.size <= maxPartitionValues,
+      s"fileOutputPartitioned: more than $maxPartitionValues distinct partition values for " +
+        s"${partitionCols.mkString(",")} — directory-partitioning needs a low-cardinality " +
+        "column (raise maxPartitionValues only if you really want that many directories)")
     val totalFiles = collected.map(_.getAs[Int]("__files")).sum
     val perValue = df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.parallelize(collected, 1), perValueRows.schema)

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
 object Contamination {
 
   /** Per-test-document n-gram overlap with the training corpus.
-    * Output: (idCol, n_shingles, n_hit, rate) — one row per test doc with
-    * ≥ 1 shingle (docs shorter than `n` tokens have no n-grams and are
-    * absent, mirroring "nothing to leak").
+    * Output: (idCol, n_shingles, n_hit, rate) — one row per test doc.
+    * Docs shorter than `n` tokens (including zero-token docs) fall back
+    * to ONE whole-document shingle (Dedup.shinglesFromTokens semantics),
+    * so every test doc is present with n_shingles ≥ 1; a short doc
+    * "hits" only when its exact whole text also occurs as a train-side
+    * shingle.
     *
     * Hash-join caveat (shared with Dedup): shingles compare by xxhash64,
     * so a 2^-64 collision could count a false hit — the standard

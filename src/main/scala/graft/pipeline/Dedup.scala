@@ -56,20 +56,28 @@ object Dedup {
     * distributed loop pays several shuffle jobs per round — so when the
     * pair count (already computed for the cache fill) is at most
     * `smallGraphLimit`, the clustering runs as driver-side union-find
-    * over the collected (long, long) pairs: exact same output, one job.
-    * The limit bounds driver memory explicitly (16 bytes/pair: the
-    * default 10M ≈ 160 MB); above it the convergence-checked distributed
-    * loop runs. This is the ONE deliberate driver-side data path in the
-    * library, and it is size-gated. */
+    * over pairs streamed into primitive long arrays: exact same output,
+    * one extra job. The limit bounds driver memory by the REAL footprint:
+    * 16 bytes/pair of primitive edge arrays plus the boxed parent map at
+    * ~80 bytes per DISTINCT node (≤ 2 per pair worst case) — the default
+    * 1M pairs is ≲ 200 MB worst-case, comfortably inside a default
+    * driver. Above it the convergence-checked distributed loop runs.
+    * This is the ONE deliberate driver-side data path in the library,
+    * and it is size-gated.
+    *
+    * NULL ids are dropped up front (both paths): a NULL id cannot name a
+    * document, and letting Row.getLong unbox it to 0 would silently fold
+    * null-keyed pairs into node 0. */
   def duplicateClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                         maxIters: Int = 20,
-                        smallGraphLimit: Long = 10000000L): DataFrame = {
+                        smallGraphLimit: Long = 1000000L): DataFrame = {
     // persist the PAIR projection, not the edge union: the union references
     // `pairs` twice (forward + swapped), so persisting only downstream of
     // it would still run the expensive candidate-pair lineage twice; and
     // the edge list is re-joined EVERY propagation round on top of that.
     // (id, id) long pairs only — cache footprint is tiny.
     val p = pairs.select(col(id1).as("a"), col(id2).as("b"))
+      .where(col(id1).isNotNull && col(id2).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // force the cache fill with a single-scan action BEFORE the plan fans
     // out: lazily, the union's two branches land in one job and BOTH
@@ -86,13 +94,27 @@ object Dedup {
         while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
         r
       }
-      p.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      // stream pairs into primitive arrays (no Array[Row] of boxed
+      // GenericRows on the driver — toLocalIterator holds one partition's
+      // decoded rows at a time; p is cached, so this is cache reads)
+      val as = new scala.collection.mutable.ArrayBuilder.ofLong
+      val bs = new scala.collection.mutable.ArrayBuilder.ofLong
+      as.sizeHint(nPairs.toInt); bs.sizeHint(nPairs.toInt)
+      val it = p.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        as += row.getLong(0); bs += row.getLong(1)
+      }
+      val aArr = as.result(); val bArr = bs.result()
+      var i = 0
+      while (i < aArr.length) {
+        val a = aArr(i); val b = bArr(i)
         parent.getOrElseUpdate(a, a)
         parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
+        val ra = find(a); val rb = find(b)
         // union to the smaller root so the root IS the canonical min id
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        i += 1
       }
       p.unpersist()
       val out = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
@@ -387,6 +409,12 @@ object Dedup {
     // it, and without materialization Catalyst recomputes the whole
     // scan→shingle→hash→60-vote pipeline per side (measured 2x). One
     // (id, long) row per document — index-sized, like IVF centroids.
+    // Lifetime: the RESULT is materialized (cached + counted) before
+    // returning so this intermediate can be unpersisted here rather than
+    // leaking one cached frame per call into a long-lived session; the
+    // returned (id1, id2, hamming) frame is itself cached — far smaller
+    // than the per-doc signature lineage — and the caller may .unpersist()
+    // it when done.
     val withSig = withSimhashPortable(df, idCol, textCol, shingleLen, "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col(idCol), col("sig"),
@@ -396,11 +424,15 @@ object Dedup {
       .select(col(idCol), col("sig"), col("bk.band"), col("bk.bh"))
     val l = banded.select(col("band"), col("bh"), col(idCol).as("id1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bh"), col(idCol).as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("band", "bh")).where(col("id1") < col("id2"))
+    val out = l.join(r, Seq("band", "bh")).where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the pair set, then release the sig cache
+    withSig.unpersist()
+    out
   }
 
   // ===== Length-bucket blocked n-gram Jaccard =====

@@ -11,9 +11,27 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization (after trim, so edge whitespace never yields
-    * empty tokens). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization. Edge whitespace is stripped with a REGEXP
+    * trim first — Spark's trim() removes only ASCII spaces, so a
+    * tab/newline-edged document would otherwise emit phantom empty
+    * tokens — and an empty or whitespace-only document yields ZERO
+    * tokens (split("", ...) returns [""], which would otherwise count
+    * one phantom token and leak an empty token into every downstream
+    * stats/shingle pipeline). NULL text stays NULL. Trim-then-split
+    * means interior runs collapse and no other input can produce an
+    * empty fragment, so the single guard is exhaustive (no interpreted
+    * array-filter needed — the whole expression stays codegen).
+    * Equivalent DuckDB form (used by the oracles):
+    * list_filter(string_split_regex(text, '\s+'), t -> t <> ''). */
+  def tokens(text: Column): Column = {
+    val t = wsTrim(text)
+    when(length(t) > 0, split(t, "\\s+"))
+      .otherwise(when(text.isNotNull, lit(Array.empty[String])))
+  }
+
+  /** Full-whitespace edge trim (tabs/newlines included, unlike trim()). */
+  private def wsTrim(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -99,7 +99,9 @@ class PipelineOpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a a a b"),      // top token a: 3/4; bigrams: "a a"x2,"a b" -> dup 2/3
       (2L, "x y z"),        // all unique: top 1/3; bigrams unique -> 0
-      (3L, "w")).toDF("id", "text") // single token: top 1.0, no bigrams
+      (3L, "w"),            // single token: top 1.0, no bigrams
+      (4L, ""),             // zero tokens -> absent from the report
+      (5L, "  \t ")).toDF("id", "text") // whitespace-only -> absent too
     val got = rows(Scoring.repetitionStats(docs, "id", "text").orderBy("id"))
     assert(got == Seq(
       Seq(1L, 4L, 0.75, 0.666667),
@@ -203,13 +205,15 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("layoutOffsets: per-bucket offsets are contiguous and seq matches boundaries") {
-    val docs = Seq((0L, "a b c"), (16L, "d e"), (1L, "x y z w")).toDF("id", "text")
+    val docs = Seq((0L, "a b c"), (16L, "d e"), (1L, "x y z w"), (17L, ""))
+      .toDF("id", "text")
     val got = rows(Packing.layoutOffsets(docs, "id", "text", budget = 4, buckets = 16)
       .orderBy("id").select("id", "bucket", "n_tokens", "offset", "seq"))
     assert(got == Seq(
       Seq(0L, 0L, 3L, 0L, 0L),   // bucket 0 starts at 0
       Seq(1L, 1L, 4L, 0L, 0L),   // bucket 1 independent
-      Seq(16L, 0L, 2L, 3L, 0L))) // follows doc 0 in bucket 0
+      Seq(16L, 0L, 2L, 3L, 0L),  // follows doc 0 in bucket 0
+      Seq(17L, 1L, 0L, 4L, 1L))) // empty doc: 0 tokens, consumes no budget
   }
 
   // ===== Contamination =====

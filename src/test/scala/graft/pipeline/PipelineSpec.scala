@@ -101,6 +101,22 @@ class PipelineSpec extends SparkSpec {
     assert(rows(fp).head.head == true)
   }
 
+  test("empty and whitespace-only documents yield zero tokens") {
+    // split("", ...) returns [""] in Spark — TextAnalysis.tokens guards
+    // this so no phantom empty token reaches stats/shingle pipelines
+    val df = Seq(("", 0), ("   \t \n ", 1), ("one two", 2)).toDF("t", "i")
+    assert(rows(df.orderBy("i").select(TextAnalysis.tokenCount(col("t"))))
+      .flatten == Seq(0, 0, 2))
+    assert(rows(df.orderBy("i").select(size(TextAnalysis.tokens(col("t")))))
+      .flatten == Seq(0, 0, 2))
+    // NULL text stays NULL tokens
+    val n = Seq(Option.empty[String]).toDF("t")
+    assert(rows(n.select(TextAnalysis.tokens(col("t")))).head.head == null)
+    // meanTokenLen of a zero-token doc is 0, not NaN
+    assert(rows(df.where(col("i") === 0)
+      .select(TextAnalysis.meanTokenLen(col("t")))).head.head == 0.0)
+  }
+
   test("multimodal: binary plumbing, frame sampling, stubbed decode") {
     val df = Seq((1L, "hello world this is binary payload content")).toDF("doc_id", "text")
     val b = Multimodal.asBinary(df, "text", "payload")
