@@ -626,9 +626,37 @@ object SparkEntry {
   // rows-only determinism check + DedupSpec's planted-pair recall spec.
   // Output is "candidates found by 16-bit banding" (guaranteed complete
   // only for Hamming ≤ 3 — see Dedup.simhashCandidates contract).
-  private def qDedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
-      .where(col("hamming") <= 16).orderBy("id1", "id2")
+  private def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // RECALL GATE with a full oracle for the Spark-internal-hash simhash
+    // (the signature values themselves are xxhash64-derived and cannot be
+    // replayed in DuckDB — but the banding CONTRACT can still be proved):
+    // pairs whose DISTINCT token sets are EQUAL are SQL-expressible, and
+    // equal sets => identical bit votes => identical signature =>
+    // Hamming 0 => the 4x16-bit banding MUST emit them (pigeonhole, for
+    // any radius >= 0). The query runs the entire native pipeline
+    // (simhash64_native, banding explode, band self-join, bit_count) and
+    // emits one row per provably-required pair with its observed hamming
+    // and a found flag; a recall regression anywhere in the native path
+    // turns a row into (-1, false) and hash-mismatches the oracle.
+    // Precision-side semantics (the exact pair set at Hamming <= 3) are
+    // gated by the portable twin q_dedup_simhash_portable, whose whole
+    // algorithm DuckDB replays. The expected-pair join runs on a 16-byte
+    // md5 of the sorted distinct token set — same shuffle shape as the
+    // banding join itself (hashes, never text), so the gate scales.
+    val docs = Tables.documents(s, d)
+    val cand = Dedup.simhashCandidates(docs, "doc_id", "text")
+      .where(col("hamming") <= 3)
+    val keyed = docs.select(col("doc_id"),
+      md5(concat_ws(" ", sort_array(array_distinct(T.tokens(col("text")))))).as("__tk"))
+    val expected = keyed.as("a").join(keyed.as("b"),
+      col("a.__tk") === col("b.__tk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    expected.join(cand, Seq("id1", "id2"), "left")
+      .select(col("id1"), col("id2"),
+        coalesce(col("hamming"), lit(-1)).as("hamming"),
+        col("hamming").isNotNull.as("found"))
+      .orderBy("id1", "id2")
+  }
 
   private def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
     // Embedding-cosine near-dup: LSH-bucketed candidates (8 hyperplanes,
@@ -1418,6 +1446,20 @@ object SparkEntry {
         |SELECT a.doc_id AS id1, b.doc_id AS id2, bit_count(xor(a.sg, b.sg)) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sg, b.sg)) <= 3 ORDER BY id1, id2""".stripMargin,
+    // Recall contract of the xxhash64 simhash banding (see qDedupSimhash):
+    // the EXPECTED pair set — equal distinct-token sets — is re-derived
+    // independently here; the Spark side must have found every such pair
+    // at Hamming 0. (Signature VALUES are Spark-internal and not
+    // replayable; the portable twin above oracles those end to end.)
+    "q_dedup_simhash" ->
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> ''))), ' ')) AS tk
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM k a JOIN k b ON a.tk = b.tk AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, CAST(0 AS INTEGER) AS hamming, TRUE AS found
+        |FROM p ORDER BY id1, id2""".stripMargin,
     // The sampling oracles replay the portable hash (Sampling.portableBucket)
     // in plain integer arithmetic: same keys -> same buckets -> the EXACT
     // same sample rows in both engines.
