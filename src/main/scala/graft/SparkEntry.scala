@@ -846,6 +846,53 @@ object SparkEntry {
           .withColumn("w_dec", dec(round(col("l_extendedprice"), 2))))))
   }
 
+  private def qWinsorizeApprox(s: SparkSession, d: String): DataFrame = {
+    // The 100 TB winsorize path (approx_percentile — fixed memory,
+    // mergeable partials; exact `percentile` buffers every value), gated
+    // with the Sketches accuracy-contract pattern: the approx bounds the
+    // OPERATOR actually applied (they surface as min/max of the clamped
+    // output — 5% of the data sits at each bound) must land inside the
+    // exact-percentile band at p ± 4·(1/accuracy) rank error, asserted
+    // in-engine as booleans the DuckDB oracle expects to be TRUE; the
+    // row count and a zero out-of-band count ride along exact.
+    val acc = 10000
+    val eps = 4.0 / acc
+    val li = Tables.lineitem(s, d).select("l_extendedprice")
+    val w = Profile.winsorize(li, "l_extendedprice", pLo = 0.05, pHi = 0.95,
+      exact = false, accuracy = acc)
+    val band = li.agg(
+      expr(s"percentile(l_extendedprice, ${0.05 - eps})").as("__lo_lo"),
+      expr(s"percentile(l_extendedprice, ${0.05 + eps})").as("__lo_hi"),
+      expr(s"percentile(l_extendedprice, ${0.95 - eps})").as("__hi_lo"),
+      expr(s"percentile(l_extendedprice, ${0.95 + eps})").as("__hi_hi"))
+    w.agg(count(lit(1)).as("n"),
+      min("l_extendedprice").as("__wmn"), max("l_extendedprice").as("__wmx"))
+      .crossJoin(broadcast(band))
+      .select(col("n"),
+        (col("__wmn") >= col("__lo_lo") && col("__wmn") <= col("__lo_hi")).as("lo_in_tol"),
+        (col("__wmx") >= col("__hi_lo") && col("__wmx") <= col("__hi_hi")).as("hi_in_tol"))
+  }
+
+  private def qProfileHll(s: SparkSession, d: String): DataFrame = {
+    // The 100 TB profiling breadth path (HyperLogLog++ distinct counts —
+    // single pass, no multi-distinct input expansion): every exact metric
+    // hash-matches the oracle; the approx n_distinct is gated by its
+    // accuracy contract (within 4·rsd of the exact count, computed
+    // in-engine) as a boolean the oracle expects TRUE.
+    val c = Tables.customer(s, d)
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val approx = Profile.profileColumns(c, cols, exactDistinct = false, rsd = 0.02)
+      .withColumnRenamed("n_distinct", "__nd_approx")
+    val exact = Profile.profileColumns(c, cols)
+      .select(col("col_name"), col("n_distinct").as("__nd_exact"))
+    approx.join(exact, "col_name")
+      .select(col("col_name"), col("n_nonnull"), col("n_null"),
+        col("min_num"), col("max_num"), round(col("avg_len"), 6).as("avg_len"),
+        (abs(col("__nd_approx") - col("__nd_exact")) <=
+          greatest(lit(1.0), lit(0.08) * col("__nd_exact"))).as("nd_ok"))
+      .orderBy("col_name")
+  }
+
   private def qContamination(s: SparkSession, d: String): DataFrame = {
     // two-table join variant: measured fastest at this doc size (the
     // reduce-by-hash Split variant trades a second tokenization pass for an
@@ -1060,7 +1107,9 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_text_redact" -> (qTextRedact _),
     "q_profile" -> (qProfile _),
+    "q_profile_hll" -> (qProfileHll _),
     "q_winsorize" -> (qWinsorize _),
+    "q_winsorize_approx" -> (qWinsorizeApprox _),
     "q_zorder" -> (qZorder _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_pack" -> (qPack _),
@@ -1552,6 +1601,41 @@ object SparkEntry {
         |  COUNT(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         |  round(AVG(length(c_mktsegment)), 6) FROM customer
         |ORDER BY col_name""".stripMargin,
+    // Accuracy-contract gate for the HLL profiling path: exact metrics
+    // hash-match; the approx distinct count is asserted within tolerance
+    // in-engine (nd_ok), which the oracle expects to be TRUE.
+    "q_profile_hll" ->
+      """SELECT 'c_custkey' AS col_name, COUNT(c_custkey) AS n_nonnull,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(MIN(c_custkey) AS DOUBLE) AS min_num, CAST(MAX(c_custkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS DOUBLE) AS avg_len, TRUE AS nd_ok FROM customer
+        |UNION ALL
+        |SELECT 'c_name', COUNT(c_name),
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  round(AVG(length(c_name)), 6), TRUE FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', COUNT(c_nationkey),
+        |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), TRUE FROM customer
+        |UNION ALL
+        |SELECT 'c_acctbal', COUNT(c_acctbal),
+        |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), TRUE FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', COUNT(c_mktsegment),
+        |  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  round(AVG(length(c_mktsegment)), 6), TRUE FROM customer
+        |ORDER BY col_name""".stripMargin,
+    // Accuracy-contract gate for the approx_percentile winsorize path:
+    // the applied bounds must sit inside the exact-percentile band at
+    // p ± 4/accuracy rank error.
+    "q_winsorize_approx" ->
+      """SELECT COUNT(*) AS n, TRUE AS lo_in_tol, TRUE AS hi_in_tol
+        |FROM lineitem""".stripMargin,
     "q_pack" ->
       """WITH t AS (SELECT doc_id, doc_id % 16 AS bucket,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
