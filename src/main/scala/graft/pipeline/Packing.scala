@@ -41,9 +41,16 @@ object Packing {
     * in id order until the next one would exceed `budget`, then a new
     * sequence starts (a document longer than the budget gets its own
     * sequence). The greedy fold is inherently sequential PER LANE — the
-    * same per-key stateful shape as sessionization — so it runs as
-    * flatMapGroups over the bucket lanes: `buckets` controls parallelism.
-    * Long ids only (typed Dataset path). */
+    * same per-key stateful shape as sessionization — so it runs as a
+    * STREAMING fold: hash-repartition on the bucket, Tungsten
+    * sort-within-partition on (bucket, id) — spill-safe external sort,
+    * never an in-memory lane — then one mapPartitions pass holding three
+    * longs of state that resets at each bucket boundary. Per-task memory
+    * is CONSTANT regardless of lane size (the earlier flatMapGroups
+    * formulation buffered a whole lane — corpus/buckets rows — per
+    * group, which a small `buckets` on a huge corpus could OOM);
+    * `buckets` now only controls parallelism. Long ids only (typed
+    * Dataset path). */
   def packGreedy(docs: DataFrame, idCol: String, textCol: String,
                  budget: Int, buckets: Int): Dataset[PackedDoc] = {
     require(budget > 0 && buckets > 0, "packGreedy: budget and buckets must be positive")
@@ -52,13 +59,17 @@ object Packing {
     docs.select(col(idCol).cast("long").as("id"),
       pmod(col(idCol).cast("long"), lit(buckets.toLong)).as("bucket"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
       .as[(Long, Long, Long)]
-      .groupByKey(_._2)
-      .flatMapGroups { (bucket: Long, rows: Iterator[(Long, Long, Long)]) =>
-        val sorted = rows.toSeq.sortBy(_._1)
+      .mapPartitions { it =>
+        // several buckets may share a partition; the fold state resets at
+        // every bucket boundary (rows arrive sorted by bucket, then id)
+        var curBucket = Long.MinValue
         var seq = 0L
         var used = 0L
-        sorted.map { case (id, _, n) =>
+        it.map { case (id, bucket, n) =>
+          if (bucket != curBucket) { curBucket = bucket; seq = 0L; used = 0L }
           if (used > 0 && used + n > budget) { seq += 1; used = 0 }
           used += n
           PackedDoc(id, bucket, n, seq)

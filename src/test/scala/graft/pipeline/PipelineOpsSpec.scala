@@ -204,6 +204,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sums.forall(r => r(2).asInstanceOf[Long] <= 8 || r(3) == 1L))
   }
 
+  test("packGreedy: deliberately few buckets on a larger corpus (streaming lanes)") {
+    // 500 docs into 2 lanes — each lane is far bigger than any sane
+    // buffer, exercising the constant-memory streaming fold and the
+    // bucket-boundary state reset (both lanes share partitions)
+    val docs = (0L until 500L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("t").mkString(" ")))
+      .toDF("id", "text")
+    val got = rows(Packing.packGreedy(docs, "id", "text", budget = 10, buckets = 2)
+      .toDF().orderBy("id").select("id", "bucket", "n_tokens", "seq"))
+    // driver-side reference greedy over the same lanes
+    val expect = (0L until 500L).map(i => (i, i % 2, i % 7 + 1))
+      .groupBy(_._2).toSeq.flatMap { case (b, lane) =>
+        var seq = 0L; var used = 0L
+        lane.sortBy(_._1).map { case (id, _, n) =>
+          if (used > 0 && used + n > 10) { seq += 1; used = 0 }
+          used += n
+          (id, b, n, seq)
+        }
+      }.sortBy(_._1).map { case (id, b, n, q) => Seq(id, b, n, q) }
+    assert(got == expect)
+  }
+
   test("layoutOffsets: per-bucket offsets are contiguous and seq matches boundaries") {
     val docs = Seq((0L, "a b c"), (16L, "d e"), (1L, "x y z w"), (17L, ""))
       .toDF("id", "text")
