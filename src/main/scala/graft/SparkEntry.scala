@@ -84,6 +84,15 @@ object SparkEntry {
   private def asDouble(names: String*)(df: DataFrame): DataFrame =
     names.foldLeft(df)((d, n) => d.withColumn(n, col(n).cast("double")))
 
+  /** Shared by q_skew_agg_plain and q_skew_agg_salted — the same skewed
+    * hot-key aggregate, so the two strategies are provably one query. */
+  private val SkewAggOracle: String =
+    """SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_partkey END AS k1,
+      |CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_suppkey END AS k2,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |COUNT(*) AS n, MAX(l_quantity) AS mx
+      |FROM lineitem GROUP BY 1, 2 ORDER BY k1, k2""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -253,6 +262,38 @@ object SparkEntry {
       Agg(MAX, Some("l_quantity"), "mx")), saltBuckets = 8)(li)
     Relational.sort(col("l_suppkey"))(asDouble("sum_qty")(agg))
   }
+
+  /** Hot-key projection for the skew A/B gates: ~30% of lineitem rows
+    * (l_orderkey % 10 < 3) fold onto the single compound key (0, 0); the
+    * tail stays high-cardinality (l_partkey, l_suppkey — ~1 group per 3
+    * rows), which keeps map-side partial aggregation from collapsing the
+    * hot key early. This is the regime where one reducer receives ~30%
+    * of the shuffle while the rest share the tail — the skew that kills
+    * a 1000-executor job. */
+  private def skewedKeys(s: SparkSession, d: String): DataFrame = {
+    val hot = pmod(col("l_orderkey"), lit(10)) < 3
+    Tables.lineitem(s, d).select(
+      when(hot, lit(0L)).otherwise(col("l_partkey")).as("k1"),
+      when(hot, lit(0L)).otherwise(col("l_suppkey")).as("k2"),
+      dec(col("l_quantity")).as("qty_dec"), col("l_quantity"))
+  }
+
+  private val skewAggs = Seq(
+    Agg(SUM, Some("qty_dec"), "sum_qty"),
+    Agg(COUNT, None, "n"),
+    Agg(MAX, Some("l_quantity"), "mx"))
+
+  // Plain vs salted on the SAME skewed input + the SAME oracle: the
+  // correctness rows prove value-identity, the bench rows record the
+  // skew cost and the salting win at sf0.1 (see BASELINE.md).
+  private def qSkewAggPlain(s: SparkSession, d: String): DataFrame =
+    Relational.sort(col("k1"), col("k2"))(asDouble("sum_qty")(
+      Aggregates.groupAggregate(Seq("k1", "k2"), skewAggs)(skewedKeys(s, d))))
+
+  private def qSkewAggSalted(s: SparkSession, d: String): DataFrame =
+    Relational.sort(col("k1"), col("k2"))(asDouble("sum_qty")(
+      Aggregates.saltedGroupAggregate(Seq("k1", "k2"), skewAggs,
+        saltBuckets = 16)(skewedKeys(s, d))))
 
   private def qScanSelection(s: SparkSession, d: String): DataFrame = {
     // Selection vector semantics (reference scan_view.h:42-47): rows may
@@ -1058,6 +1099,8 @@ object SparkEntry {
     "q_hash_join_full" -> (qHashJoinFull _),
     "q_range_join" -> (qRangeJoin _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_skew_agg_plain" -> (qSkewAggPlain _),
+    "q_skew_agg_salted" -> (qSkewAggSalted _),
     "q_scan_selection" -> (qScanSelection _),
     "q_file_roundtrip" -> (qFileRoundtrip _),
     "q_spy" -> (qSpy _),
@@ -1199,6 +1242,11 @@ object SparkEntry {
       """SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |COUNT(*) AS n, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // One oracle, two physical strategies: the salted variant must be
+    // value-identical to the plain GROUP BY (DECIMAL partials make merge
+    // order irrelevant).
+    "q_skew_agg_plain" -> SkewAggOracle,
+    "q_skew_agg_salted" -> SkewAggOracle,
     "q_scan_selection" ->
       """WITH sel AS (SELECT c_custkey AS rid FROM customer WHERE c_custkey % 7 = 0
         |UNION ALL SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0 AND c_custkey < 70)
