@@ -964,6 +964,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qMultimodalBmp(s: SparkSession, d: String): DataFrame = {
+    // REAL codec gate: a genuine 24-bit BMP file is built per document
+    // (dimensions derived from doc_id, pixel bytes seeded from the text),
+    // then decodeMeta's magic-byte dispatch routes it through the real
+    // BMP header parser. The oracle recomputes width/height/file-size
+    // from doc_id arithmetic alone (54-byte header + 4-byte-padded rows),
+    // so any off-by-one in the little-endian header layout, the row
+    // padding, or the parse mismatches. roundtrip_ok additionally pins
+    // decode(encode(w, h)) == (w, h) in-engine.
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
+      (pmod(floor(col("doc_id") / 64).cast("long"), lit(64)) + 1).cast("int").as("h"),
+      col("text").cast("binary").as("seed"))
+    val enc = Multimodal.encodeBmp(docs, "w", "h", "seed", "payload")
+    val meta = Multimodal.decodeMeta(enc, "payload")
+    meta.select(col("doc_id"), col("media_format"), col("width"), col("height"),
+      col("n_bytes"),
+      (col("width") === col("w") && col("height") === col("h")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   private def qEventsWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.windowedStats(Tables.events(s, d))
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -1160,6 +1181,7 @@ object SparkEntry {
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_contamination" -> (qContamination _),
     "q_multimodal" -> (qMultimodal _),
+    "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_events_window" -> (qEventsWindow _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_analytics" -> (qWindowAnalytics _),
@@ -1756,6 +1778,17 @@ object SparkEntry {
         |least(64, octet_length(encode(text))) AS first_frame_len,
         |16 AS thumb_len,
         |substring(hex(encode(text)), 2 * CAST(octet_length(encode(text)) // 2 AS INT) + 1, 2) AS thumb_mid
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Real-codec round trip: expected metadata re-derived from doc_id
+    // arithmetic (BMP file size = 54-byte header + 4-byte-padded
+    // 3-byte-per-pixel rows), independent of the encoder/decoder.
+    "q_multimodal_bmp" ->
+      """SELECT doc_id, 'image/bmp' AS media_format,
+        |CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+        |CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS height,
+        |CAST(54 + (3 * (doc_id % 64 + 1)
+        |  + (4 - (3 * (doc_id % 64 + 1)) % 4) % 4) * ((doc_id // 64) % 64 + 1) AS BIGINT) AS n_bytes,
+        |TRUE AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns plus typed metadata, with decode / feature-extraction /
   * frame-sampling plumbing.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels are STUBS — deterministic fakes clearly marked below. The
-  * Spark-side plumbing (schemas, binary slicing, mapPartitions batch shape,
-  * partition-parallel execution) is real and tested; swapping the stub for
-  * a real decoder is a one-function change.
+  * Codec status: BMP (24-bit uncompressed, BITMAPINFOHEADER) and binary
+  * PPM (P6) are REAL pure-JVM header codecs — no image library needed —
+  * and decodeMeta dispatches on the payload's magic bytes. Compressed
+  * formats (JPEG/PNG/audio/video) need codec libraries this environment
+  * does not have, so payloads that match no real codec fall through to
+  * the clearly-marked deterministic STUB. The Spark-side plumbing
+  * (schemas, binary slicing, mapPartitions batch shape, partition-parallel
+  * execution) is shared by both paths.
   */
 object Multimodal {
 
@@ -52,11 +55,83 @@ object Multimodal {
     df.withColumn(out, when(srcLen === 0, col(binCol)).otherwise(sampled))
   }
 
-  /** STUB image decode — a real implementation would call an image codec on
-    * each binary payload inside mapPartitions (one codec instance per
-    * partition, streaming batches). The fake derives deterministic
-    * dimensions from the payload bytes so tests are stable.
-    */
+  // ===== REAL codecs (pure JVM, header-level) =====
+
+  /** REAL encoder: minimal 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, bottom-up, rows padded to 4 bytes). Pixel bytes
+    * cycle through `pixelSeed` (all-zero when empty). Every field a BMP
+    * reader checks — magic, file size, data offset 54, header size 40,
+    * planes 1, bpp 24, image size — is written for real. */
+  def encodeBmp24(width: Int, height: Int, pixelSeed: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "encodeBmp24: need positive dimensions")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imgSize = (rowBytes + pad) * height
+    val buf = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    var i = 0
+    while (y < height) {
+      var x = 0
+      while (x < rowBytes) {
+        buf.put(if (pixelSeed.isEmpty) 0.toByte else pixelSeed(i % pixelSeed.length))
+        i += 1; x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** REAL decoder: BMP header parse — 'BM' magic, little-endian int32
+    * width at offset 18 / height at 22 (negative height = top-down rows;
+    * dimensions reported as magnitudes). */
+  def decodeBmp(bytes: Array[Byte]): Option[(String, Int, Int)] =
+    if (bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = bb.getInt(18)
+      val h = math.abs(bb.getInt(22))
+      if (w > 0 && h > 0) Some(("image/bmp", w, h)) else None
+    } else None
+
+  /** REAL decoder: binary PPM (P6) ASCII header — "P6", then
+    * whitespace-separated width, height, maxval (comment lines
+    * starting '#' between tokens are skipped, per the netpbm spec). */
+  def decodePpm(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes.length < 2 || bytes(0) != 'P'.toByte || bytes(1) != '6'.toByte) return None
+    var i = 2
+    def skipSeparators(): Unit = {
+      var more = true
+      while (more && i < bytes.length) {
+        val c = bytes(i).toChar
+        if (c.isWhitespace) i += 1
+        else if (c == '#') { while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1 }
+        else more = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipSeparators()
+      var v = 0L
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) {
+        v = v * 10 + (bytes(i) - '0'.toByte); any = true; i += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    for { w <- readInt(); h <- readInt(); _ <- readInt(); if w > 0 && h > 0 }
+      yield ("image/ppm", w, h)
+  }
+
+  /** STUB image decode — the fallback for formats whose codecs this
+    * environment lacks (JPEG/PNG/audio/video). Derives deterministic
+    * dimensions from the payload bytes so tests are stable; a real
+    * codec library call goes here. */
   def fakeDecode(bytes: Array[Byte]): (String, Int, Int) = {
     // STUB: pretend the first bytes are a header; a real decoder goes here.
     val w = if (bytes.isEmpty) 0 else ((bytes(0) & 0xff) % 64) + 1
@@ -64,9 +139,37 @@ object Multimodal {
     ("fake/raw", w, h)
   }
 
+  /** Magic-byte dispatch: real codecs first (BMP, PPM), stub fallback. */
+  def decodeAny(bytes: Array[Byte]): (String, Int, Int) =
+    decodeBmp(bytes).orElse(decodePpm(bytes)).getOrElse(fakeDecode(bytes))
+
+  /** Encode (width, height, seed-bytes) columns into a REAL BMP payload
+    * via mapPartitions — same plumbing shape as decodeMeta. NULL
+    * width/height rows produce a NULL payload. */
+  def encodeBmp(df: DataFrame, widthCol: String, heightCol: String,
+                seedCol: String, out: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, BinaryType, nullable = true))
+    val wi = df.schema.fieldIndex(widthCol)
+    val hi = df.schema.fieldIndex(heightCol)
+    val si = df.schema.fieldIndex(seedCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(wi) || r.isNullAt(hi)) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val seed = if (r.isNullAt(si)) Array.empty[Byte] else r.getAs[Array[Byte]](si)
+          Row.fromSeq(r.toSeq :+ encodeBmp24(r.getInt(wi), r.getInt(hi), seed))
+        }
+      }
+    }(enc)
+  }
+
   /** Decode a binary column into media metadata via mapPartitions — the
     * real plumbing a codec needs: per-partition setup, row-iterator batch
-    * shape, explicit output schema. */
+    * shape, explicit output schema. Dispatches to the REAL header codecs
+    * (BMP/PPM) by magic bytes; unrecognized payloads go through the
+    * marked stub. */
   def decodeMeta(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ MediaMetaSchema.fields)
     val binIdx = df.schema.fieldIndex(binCol)
@@ -77,7 +180,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         else {
-          val (fmt, w, h) = fakeDecode(bytes) // STUB decode
+          val (fmt, w, h) = decodeAny(bytes)
           Row.fromSeq(r.toSeq ++ Seq(fmt, w, h, bytes.length.toLong))
         }
       }

@@ -131,6 +131,36 @@ class PipelineSpec extends SparkSpec {
     assert(rows(feats.select(size(col("f")))).head.head == 8)
   }
 
+  test("multimodal: REAL BMP codec round trip and magic-byte dispatch") {
+    // encode -> decode recovers exact dimensions; file size matches the
+    // BMP layout (54-byte header + 4-byte-padded 3-byte-pixel rows)
+    val bmp = Multimodal.encodeBmp24(5, 3, Array[Byte](1, 2, 3))
+    assert(bmp.length == 54 + (15 + 1) * 3) // rowBytes 15, pad 1
+    assert(Multimodal.decodeBmp(bmp).contains(("image/bmp", 5, 3)))
+    assert(Multimodal.decodeAny(bmp) == ("image/bmp", 5, 3))
+    // negative (top-down) height reads as magnitude
+    val td = bmp.clone()
+    val bb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -3)
+    assert(Multimodal.decodeBmp(td).contains(("image/bmp", 5, 3)))
+    // corrupting the magic falls back to the stub, not a misparse
+    val bad = bmp.clone(); bad(0) = 'X'.toByte
+    assert(Multimodal.decodeAny(bad)._1 == "fake/raw")
+    // PPM P6 header with a comment line parses for real
+    val ppm = "P6\n# a comment\n640 480\n255\n".getBytes ++ Array[Byte](0, 0, 0)
+    assert(Multimodal.decodePpm(ppm).contains(("image/ppm", 640, 480)))
+    assert(Multimodal.decodePpm("P6\nnope".getBytes).isEmpty)
+    // dataframe path: encodeBmp column -> decodeMeta dispatch
+    val df = Seq((7L, 5, 3, "seed"), (8L, 2, 2, "x")).toDF("id", "w", "h", "t")
+      .withColumn("seed", col("t").cast("binary"))
+    val enc = Multimodal.encodeBmp(df, "w", "h", "seed", "payload")
+    val meta = Multimodal.decodeMeta(enc, "payload")
+      .select("id", "media_format", "width", "height", "n_bytes")
+    assert(rows(meta.orderBy("id")) == Seq(
+      Seq(7L, "image/bmp", 5, 3, 54L + 48L),
+      Seq(8L, "image/bmp", 2, 2, 54L + 16L)))
+  }
+
   test("multimodal resize: nearest-neighbor byte sampling to target length") {
     val df = Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text")
     val b = Multimodal.asBinary(df, "text", "payload")
