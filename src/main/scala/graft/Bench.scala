@@ -36,6 +36,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Optional per-operator stats dump (reference benchmark-framework
+    // analog): SPARK_GRAFT_STATS=<path> re-runs each picked query UNTIMED
+    // and writes one JSON line of per-node SQLMetric stats per query.
+    sys.env.get("SPARK_GRAFT_STATS").foreach { path =>
+      val w = new java.io.PrintWriter(path)
+      try picked.sortBy(_._1).foreach { case (name, fn) =>
+        try w.println(Instrument.toJson(name, Instrument.stats(fn(spark, sfDir))))
+        catch { case e: Throwable => System.err.println(s"[stats] $name: $e") }
+      } finally w.close()
+      System.err.println(s"[stats] per-operator stats written to $path")
+    }
     spark.stop()
   }
 }

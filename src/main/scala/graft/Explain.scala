@@ -4,10 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan-inspection utility: prints the formatted physical plan for the
   * given queries (or a default set) so pushdown/broadcast/shuffle shape
-  * can be reviewed. Usage: runMain graft.Explain [sfDir] [query ...]
+  * can be reviewed. Usage: runMain graft.Explain [--stats] [sfDir] [query ...]
+  * With --stats, each query is also EXECUTED and its per-operator runtime
+  * stats (rows, time, throughput, return rate — see [[Instrument]]) are
+  * rendered under the plan, mirroring the reference's benchmark tree
+  * drawer (benchmark/dot/dot_drawer.cc:208-284).
   */
 object Explain {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val withStats = rawArgs.contains("--stats")
+    val args = rawArgs.filterNot(_ == "--stats")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_join5", "q_filter_project", "q_hash_join_inner",
@@ -28,6 +34,10 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      if (withStats) {
+        println("---------- runtime stats ----------")
+        println(Instrument.render(Instrument.stats(SparkEntry.queries(n)(spark, sfDir))))
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,138 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Per-operator runtime statistic for one executed query — the Spark
+  * analog of the reference's per-cursor benchmark record
+  * (benchmark/proto/benchmark.proto:11-60, cursor_statistics.h:108-121):
+  * `operator` ~ cursor_name, `rowsProcessed` ~ rows_processed,
+  * `processingTimeUs` ~ processing_time (microseconds), `throughput` ~
+  * rows per microsecond, `returnRate` ~ output rows / MAX input rows,
+  * `relativeTime` ~ share of the total instrumented time.
+  *
+  * Semantics delta vs the reference (documented, inherent to the
+  * execution model): supersonic instruments every cursor's Next() pull,
+  * so processing_time exists for every node; Tungsten fuses operators
+  * into generated loops, so per-node time exists only where Spark keeps
+  * an SQLMetric timer (aggregates, sorts, exchanges, scans, codegen
+  * pipelines) — nodes without one report None rather than a fake 0, and
+  * relativeTime is computed against the SUM of instrumented node times,
+  * not wall clock.
+  */
+final case class OperatorStat(
+    nodeId: Int,
+    parentId: Int,
+    depth: Int,
+    operator: String,
+    rowsProcessed: Option[Long],
+    processingTimeUs: Option[Long],
+    throughput: Option[Double],
+    returnRate: Option[Double],
+    relativeTime: Option[Double])
+
+/** Post-execution plan instrumentation: walks the (AQE-finalized)
+  * physical plan and turns each node's SQLMetric accumulators into an
+  * [[OperatorStat]] row. SQLMetrics are Spark's own per-node counters —
+  * collecting them costs nothing at execution time (they ride the
+  * task-completion accumulator channel), which is the same design as the
+  * reference's spy-based benchmark listeners
+  * (benchmark/infrastructure/benchmark_listener.h) rather than a
+  * wrap-every-row profiler.
+  */
+object Instrument {
+
+  /** Children across the wrapper nodes a finalized AQE plan contains
+    * (query stages and reused exchanges hide their subtree from
+    * `children`). */
+  private def childPlans(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec => Seq(q.plan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case other => other.children
+  }
+
+  /** Best-effort per-node processing time in µs: the sum of the node's
+    * timing metrics (Spark records "timing" in ms, "nsTiming" in ns). */
+  private def timeUs(p: SparkPlan): Option[Long] = {
+    val parts = p.metrics.values.toSeq.collect {
+      case m if m.metricType == "timing" && m.value > 0 => m.value * 1000L
+      case m if m.metricType == "nsTiming" && m.value > 0 => m.value / 1000L
+    }
+    if (parts.isEmpty) None else Some(parts.sum)
+  }
+
+  private def rowsOf(p: SparkPlan): Option[Long] =
+    p.metrics.get("numOutputRows").map(_.value)
+
+  /** Row count of a subtree's output: the node's own counter, or — for
+    * wrapper/exchange nodes that keep no numOutputRows (AQE shuffle
+    * reads, InputAdapter, exchanges) — the nearest counted descendant.
+    * This is what return_rate's "input rows" means through fused plans. */
+  private def subtreeRows(p: SparkPlan): Option[Long] =
+    rowsOf(p).orElse(childPlans(p).flatMap(subtreeRows).maxOption)
+
+  /** Collect stats from an ALREADY-EXECUTED physical plan (e.g. inside a
+    * QueryExecutionListener, or after [[stats]] ran the action). */
+  def fromPlan(root: SparkPlan): Seq[OperatorStat] = {
+    val out = mutable.ArrayBuffer.empty[OperatorStat]
+    var nextId = 0
+    def walk(p: SparkPlan, parent: Int, depth: Int): Unit = {
+      val id = nextId
+      nextId += 1
+      val rows = rowsOf(p)
+      val t = timeUs(p)
+      val childRowMax = childPlans(p).flatMap(subtreeRows).maxOption
+      out += OperatorStat(id, parent, depth, p.nodeName,
+        rows, t,
+        for (r <- rows; us <- t if us > 0) yield r.toDouble / us,
+        for (r <- rows; c <- childRowMax if c > 0) yield r.toDouble / c,
+        None)
+      childPlans(p).foreach(walk(_, id, depth + 1))
+    }
+    walk(root, parent = -1, depth = 0)
+    val total = out.flatMap(_.processingTimeUs).sum
+    if (total <= 0) out.toSeq
+    else out.toSeq.map(s =>
+      s.copy(relativeTime = s.processingTimeUs.map(_.toDouble / total)))
+  }
+
+  /** Execute `df` (discarding rows) and return per-operator stats.
+    * Pass a freshly-built DataFrame: SQLMetrics are accumulators, so
+    * executing the same QueryExecution twice double-counts. */
+  def stats(df: DataFrame): Seq[OperatorStat] = {
+    val qe = df.queryExecution
+    qe.executedPlan.execute().foreach(_ => ())
+    fromPlan(qe.executedPlan)
+  }
+
+  /** Text rendering (the DOT-drawer analog, benchmark/dot/dot_drawer.cc:
+    * 208-284): one indented line per operator with its metrics. */
+  def render(stats: Seq[OperatorStat]): String =
+    stats.map { s =>
+      val parts = Seq(
+        s.rowsProcessed.map(r => s"rows=$r"),
+        s.processingTimeUs.map(t => s"time_us=$t"),
+        s.throughput.map(t => f"throughput=$t%.3f rows/us"),
+        s.returnRate.map(r => f"return_rate=$r%.4f"),
+        s.relativeTime.map(r => f"rel_time=${100 * r}%.1f%%")).flatten
+      ("  " * s.depth) + s.operator +
+        (if (parts.isEmpty) "" else parts.mkString(" [", " ", "]"))
+    }.mkString("\n")
+
+  /** One-line JSON per operator (Bench's optional stats dump). */
+  def toJson(name: String, stats: Seq[OperatorStat]): String = {
+    def opt[A](v: Option[A]): String = v.map(_.toString).getOrElse("null")
+    val nodes = stats.map { s =>
+      s"""{"id":${s.nodeId},"parent":${s.parentId},"op":"${s.operator}",""" +
+        s""""rows":${opt(s.rowsProcessed)},"time_us":${opt(s.processingTimeUs)},""" +
+        s""""throughput":${opt(s.throughput)},"return_rate":${opt(s.returnRate)},""" +
+        s""""rel_time":${opt(s.relativeTime)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"query":"$name","operators":$nodes}"""
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator instrumentation facade ([[Instrument]]) — the Spark
+  * analog of the reference's per-cursor benchmark framework
+  * (benchmark/proto/benchmark.proto:11-60): verified on a join+agg query
+  * whose exact per-node row counts are known.
+  */
+class InstrumentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats for a join+agg query report per-node rows, rates and times") {
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "tag")
+    val fact = (0L until 1000L).map(i => (i % 2 + 1, i)).toDF("k", "v")
+    val q = fact.join(dim, "k").groupBy("tag").agg(sum("v").as("s"))
+    val stats = Instrument.stats(q)
+
+    // every operator in the executed plan is present exactly once, ids
+    // form a tree rooted at 0
+    assert(stats.nonEmpty && stats.head.parentId == -1)
+    assert(stats.map(_.nodeId).distinct.size == stats.size)
+    val byId = stats.map(s => s.nodeId -> s).toMap
+    assert(stats.tail.forall(s => byId.contains(s.parentId)))
+
+    // the final aggregate produced exactly the 2 groups
+    val aggs = stats.filter(_.operator.contains("HashAggregate"))
+    assert(aggs.nonEmpty, s"no aggregate node in:\n${Instrument.render(stats)}")
+    assert(aggs.map(_.rowsProcessed.get).min == 2L)
+
+    // the join produced all 1000 matched rows
+    val joins = stats.filter(_.operator.toLowerCase.contains("join"))
+    assert(joins.nonEmpty && joins.exists(_.rowsProcessed.contains(1000L)))
+
+    // return_rate: the partial->final aggregate path reduces rows, so some
+    // aggregate reports a rate < 1 (reference return_rate semantics:
+    // output rows / max input rows)
+    assert(aggs.flatMap(_.returnRate).exists(_ <= 1.0))
+
+    // at least one node carries a real timing metric, and relativeTime
+    // sums to ~1 over the nodes that have it
+    val timed = stats.flatMap(_.processingTimeUs)
+    assert(timed.nonEmpty && timed.forall(_ >= 0))
+    val rel = stats.flatMap(_.relativeTime)
+    assert(rel.nonEmpty && math.abs(rel.sum - 1.0) < 1e-6)
+
+    // throughput is rows/us wherever both inputs exist
+    stats.foreach { s =>
+      (s.rowsProcessed, s.processingTimeUs, s.throughput) match {
+        case (Some(r), Some(t), Some(th)) if t > 0 =>
+          assert(math.abs(th - r.toDouble / t) < 1e-9)
+        case _ => ()
+      }
+    }
+
+    // render and JSON are well-formed (smoke: every operator name appears)
+    val rendered = Instrument.render(stats)
+    assert(stats.forall(s => rendered.contains(s.operator)))
+    val json = Instrument.toJson("probe", stats)
+    assert(json.startsWith("""{"query":"probe","operators":[""") && json.endsWith("]}"))
+  }
+
+  test("stats walk through AQE query stages and reused exchanges") {
+    // self-join of an aggregate reuses the exchange; the walker must
+    // descend into query stages rather than stopping at stage boundaries
+    val base = (0L until 100L).map(i => (i % 5, i)).toDF("k", "v")
+    val agg = base.groupBy("k").agg(sum("v").as("s"))
+    val q = agg.as("a").join(agg.as("b"), "k")
+    val stats = Instrument.stats(q)
+    assert(stats.exists(_.operator.contains("Scan")) ||
+      stats.exists(_.operator.toLowerCase.contains("localtablescan")))
+    assert(stats.exists(_.rowsProcessed.contains(5L)),
+      s"expected a 5-row aggregate node:\n${Instrument.render(stats)}")
+  }
+}
