@@ -990,6 +990,18 @@ object SparkEntry {
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("window_start", "event_type")
 
+  private def qStreamWindow(s: SparkSession, d: String): DataFrame = {
+    // The TRUE streaming face of q_events_window: readStream → watermark →
+    // window agg → parquet sink with checkpoint (AvailableNow), committed
+    // files read back through the sink manifest — gated against the SAME
+    // oracle as the batch face, so exactly-once sink semantics (no dupes,
+    // no losses) are hash-checked, not just spec-checked.
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${ProcessHandle.current().pid()}"
+    graft.streaming.Streams.windowedStreamGate(s, d, work)
+      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("window_start", "event_type")
+  }
+
   private def qWindowRank(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("c_mktsegment"))
@@ -1183,6 +1195,7 @@ object SparkEntry {
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_events_window" -> (qEventsWindow _),
+    "q_stream_window" -> (qStreamWindow _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_lookup" -> (qLookup _),
@@ -1791,6 +1804,13 @@ object SparkEntry {
         |TRUE AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |event_type, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // The streaming face must commit EXACTLY the batch face's rows — one
+    // oracle text shared verbatim with q_events_window.
+    "q_stream_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |event_type, COUNT(*) AS n_events,
         |CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents

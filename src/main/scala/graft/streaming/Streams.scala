@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table — a capability superset of
@@ -30,11 +30,12 @@ object Streams {
 
   /** File-source stream over the events parquet, converting the nanosecond
     * timestamp to Spark's microsecond TimestampType. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  def readEvents(spark: SparkSession, dir: String,
+                 glob: String = "events.parquet"): DataFrame =
     // streaming file sources take a directory; glob-filter down to the
     // events table inside the scale-factor dir
     spark.readStream.schema(EventSchemaRaw)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
@@ -229,10 +230,63 @@ object Streams {
   /** Parquet file sink — append-only, exactly-once via the file-sink
     * manifest log (readers see only committed files). The distributed
     * analog of the reference's FileOutput sink. */
-  def parquetSink(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
-    df.writeStream.format("parquet")
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+                  trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = df.writeStream.format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** End-to-end STREAMING run of the windowed-stats pipeline, suitable for
+    * the driver's DuckDB gate (q_stream_window): a real
+    * `readStream → watermark → window agg → parquet file sink` execution
+    * with a checkpoint, whose committed output is read back and returned.
+    *
+    * Mechanics (all deterministic — AvailableNow triggers, no wall-clock):
+    * 1. the events parquet is staged into a fresh input dir and the query
+    *    runs to completion; the no-data batch after the watermark advance
+    *    flushes every window older than maxTs - lateness;
+    * 2. a single SENTINEL event far past every real event is appended to
+    *    the input and the SAME query resumes from its checkpoint — the
+    *    watermark jumps past every real window, so append mode emits the
+    *    remaining ones; the sentinel's own window can never be flushed
+    *    (nothing later exists) and stays absent, which is exactly the
+    *    append-mode contract a production stream operates under;
+    * 3. the sink directory is read back through its manifest log, so only
+    *    COMMITTED files count — the exactly-once face the oracle hashes.
+    * Resulting rows = every real (window, event_type) group = the batch
+    * face (q_events_window), which is what the shared oracle asserts. */
+  def windowedStreamGate(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val work = Paths.get(workDir)
+    if (Files.exists(work)) {
+      Files.walk(work).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val in = work.resolve("in")
+    Files.createDirectories(in)
+    Files.copy(Paths.get(sfDir, "events.parquet"), in.resolve("events.parquet"))
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    def runToCompletion(): Unit =
+      parquetSink(windowedStats(readEvents(spark, in.toString, glob = "events*.parquet")),
+        outDir, ckpt, trigger = Some(Trigger.AvailableNow())).awaitTermination()
+    runToCompletion()
+    // sentinel: 30 days after the newest real event (ts is raw nanos here)
+    val maxNs = spark.read.schema(EventSchemaRaw)
+      .parquet(in.resolve("events.parquet").toString)
+      .agg(max("ts")).head.getLong(0)
+    val sentinel = Row(-1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "sentinel", 0.0, "{}")
+    val staging = work.resolve("staging")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(sentinel), 1), EventSchemaRaw)
+      .write.parquet(staging.toString)
+    val part = Files.list(staging).filter(_.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow()
+    Files.move(part, in.resolve("events_zz_sentinel.parquet"))
+    runToCompletion()
+    spark.read.parquet(outDir)
+  }
 }
