@@ -188,11 +188,15 @@ object Multimodal {
   }
 
   /** Feature extraction stub: fixed-size feature vector per payload
-    * (deterministic byte-histogram projection — a real extractor would run
-    * a model here, batched per partition). */
+    * (deterministic byte projection — a real extractor would run a model
+    * here, batched per partition). Reads RAW bytes via hex parse — a
+    * string cast would re-decode UTF-8 and corrupt positions/values on
+    * any non-ASCII payload — and positions past the payload end read 0. */
   def extractFeatures(df: DataFrame, binCol: String, dim: Int, out: String): DataFrame = {
     df.withColumn(out, transform(sequence(lit(0), lit(dim - 1)), i =>
       // STUB feature: byte at stride position, normalized to [0,1)
-      (ascii(substring(col(binCol).cast("string"), i + 1, lit(1))) % 256).cast("double") / 256.0))
+      coalesce(
+        conv(hex(substring(col(binCol), i + 1, lit(1))), 16, 10).cast("double"),
+        lit(0.0)) / 256.0))
   }
 }

@@ -10,12 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class EntryContractSpec extends AnyFunSuite {
 
   /** Queries deliberately without a DuckDB oracle, each with a recorded
-    * reason. Growing this set should be a conscious decision. */
-  private val RowsOnly = Set(
-    "q_dedup_simhash" // xxhash64 signature values are Spark-internal; the
-                      // portable md5 twin q_dedup_simhash_portable carries
-                      // the full algorithm-replay oracle
-  )
+    * reason. Growing this set should be a conscious decision. EMPTY since
+    * round 4: q_dedup_simhash (the one xxhash64-internal case) became a
+    * provable recall gate — equal distinct-token-set pairs must surface
+    * at Hamming 0 — with a full oracle. */
+  private val RowsOnly = Set.empty[String]
 
   test("every query has an oracle unless explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -129,6 +129,12 @@ class PipelineSpec extends SparkSpec {
     assert(frames.length == 3 && frames.head.length == 10)
     val feats = Multimodal.extractFeatures(b, "payload", dim = 8, out = "f")
     assert(rows(feats.select(size(col("f")))).head.head == 8)
+    // features read RAW bytes (0xFF stays 255 — a string cast would
+    // mangle non-UTF8 payloads) and zero-fill past the payload end
+    val bin = Seq(Tuple1(Array[Byte](-1, 0, 65))).toDF("payload")
+    val f = rows(Multimodal.extractFeatures(bin, "payload", dim = 4, out = "f")
+      .select(col("f"))).head.head.asInstanceOf[scala.collection.Seq[Double]]
+    assert(f == Seq(255.0 / 256, 0.0, 65.0 / 256, 0.0))
   }
 
   test("multimodal: REAL BMP codec round trip and magic-byte dispatch") {
