@@ -901,17 +901,18 @@ object SparkEntry {
     val li = Tables.lineitem(s, d).select("l_extendedprice")
     val w = Profile.winsorize(li, "l_extendedprice", pLo = 0.05, pHi = 0.95,
       exact = false, accuracy = acc)
+    // one ARRAY-percentile aggregate: a single value buffer serves all
+    // four band points (four scalar percentile aggs would buffer the
+    // column four times — measured 11.6 s vs ~4 s at sf0.1)
     val band = li.agg(
-      expr(s"percentile(l_extendedprice, ${0.05 - eps})").as("__lo_lo"),
-      expr(s"percentile(l_extendedprice, ${0.05 + eps})").as("__lo_hi"),
-      expr(s"percentile(l_extendedprice, ${0.95 - eps})").as("__hi_lo"),
-      expr(s"percentile(l_extendedprice, ${0.95 + eps})").as("__hi_hi"))
+      expr(s"percentile(l_extendedprice, array(${0.05 - eps}, ${0.05 + eps}, " +
+        s"${0.95 - eps}, ${0.95 + eps}))").as("__b"))
     w.agg(count(lit(1)).as("n"),
       min("l_extendedprice").as("__wmn"), max("l_extendedprice").as("__wmx"))
       .crossJoin(broadcast(band))
       .select(col("n"),
-        (col("__wmn") >= col("__lo_lo") && col("__wmn") <= col("__lo_hi")).as("lo_in_tol"),
-        (col("__wmx") >= col("__hi_lo") && col("__wmx") <= col("__hi_hi")).as("hi_in_tol"))
+        (col("__wmn") >= col("__b")(0) && col("__wmn") <= col("__b")(1)).as("lo_in_tol"),
+        (col("__wmx") >= col("__b")(2) && col("__wmx") <= col("__b")(3)).as("hi_in_tol"))
   }
 
   private def qProfileHll(s: SparkSession, d: String): DataFrame = {
