@@ -93,6 +93,18 @@ object SparkEntry {
       |COUNT(*) AS n, MAX(l_quantity) AS mx
       |FROM lineitem GROUP BY 1, 2 ORDER BY k1, k2""".stripMargin
 
+  /** Shared by q_skew_collect_plain and q_skew_collect_salted: sorted
+    * per-key value lists, pinned by size + md5 of the joined values. */
+  private val SkewCollectOracle: String =
+    """WITH b AS (SELECT
+      |  CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_partkey END AS k1,
+      |  CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_suppkey END AS k2,
+      |  CAST(round(l_quantity, 0) AS INTEGER) AS q FROM lineitem),
+      |g AS (SELECT k1, k2, list(q ORDER BY q) AS l FROM b GROUP BY 1, 2)
+      |SELECT k1, k2, CAST(len(l) AS INTEGER) AS n,
+      |md5(array_to_string(l, ',')) AS fp
+      |FROM g ORDER BY k1, k2""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -294,6 +306,30 @@ object SparkEntry {
     Relational.sort(col("k1"), col("k2"))(asDouble("sum_qty")(
       Aggregates.saltedGroupAggregate(Seq("k1", "k2"), skewAggs,
         saltBuckets = 16)(skewedKeys(s, d))))
+
+  // Collect-per-key is the aggregation class where salting genuinely
+  // matters (no map-side combine — see saltedCollectSorted). Same skewed
+  // fixture, same oracle; the array content is pinned via size + md5 of
+  // the sorted joined values (the array itself stays in-engine so the
+  // compare layer never handles multi-MB cells).
+  private def skewedQty(s: SparkSession, d: String): DataFrame =
+    skewedKeys(s, d).withColumn("q", round(col("l_quantity")).cast("int"))
+
+  private def collectFingerprint(arr: Column): Column =
+    md5(concat_ws(",", transform(arr, v => v.cast("string"))))
+
+  private def qSkewCollectPlain(s: SparkSession, d: String): DataFrame =
+    skewedQty(s, d).groupBy("k1", "k2")
+      .agg(sort_array(collect_list(col("q"))).as("vals"))
+      .select(col("k1"), col("k2"), size(col("vals")).as("n"),
+        collectFingerprint(col("vals")).as("fp"))
+      .orderBy("k1", "k2")
+
+  private def qSkewCollectSalted(s: SparkSession, d: String): DataFrame =
+    Aggregates.saltedCollectSorted(Seq("k1", "k2"), "q", "vals")(skewedQty(s, d))
+      .select(col("k1"), col("k2"), size(col("vals")).as("n"),
+        collectFingerprint(col("vals")).as("fp"))
+      .orderBy("k1", "k2")
 
   private def qScanSelection(s: SparkSession, d: String): DataFrame = {
     // Selection vector semantics (reference scan_view.h:42-47): rows may
@@ -1135,6 +1171,8 @@ object SparkEntry {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_skew_agg_plain" -> (qSkewAggPlain _),
     "q_skew_agg_salted" -> (qSkewAggSalted _),
+    "q_skew_collect_plain" -> (qSkewCollectPlain _),
+    "q_skew_collect_salted" -> (qSkewCollectSalted _),
     "q_scan_selection" -> (qScanSelection _),
     "q_file_roundtrip" -> (qFileRoundtrip _),
     "q_spy" -> (qSpy _),
@@ -1283,6 +1321,8 @@ object SparkEntry {
     // order irrelevant).
     "q_skew_agg_plain" -> SkewAggOracle,
     "q_skew_agg_salted" -> SkewAggOracle,
+    "q_skew_collect_plain" -> SkewCollectOracle,
+    "q_skew_collect_salted" -> SkewCollectOracle,
     "q_scan_selection" ->
       """WITH sel AS (SELECT c_custkey AS rid FROM customer WHERE c_custkey % 7 = 0
         |UNION ALL SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0 AND c_custkey < 70)

@@ -142,6 +142,30 @@ object Aggregates {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Skew-resistant per-key value collection (SORTED output) — the
+    * aggregation class where salting GENUINELY matters, unlike the
+    * decomposable SUM/MIN/MAX/COUNT family (see BASELINE.md's skew A/B):
+    * collect_list has no map-side reduction — every row of a hot key
+    * travels to, and folds inside, ONE reducer's object-hash buffer.
+    * Stage 1 collects per (keys, salt), spreading a hot key's rows over
+    * `saltBuckets` reducers; stage 2 flattens the ≤ saltBuckets partial
+    * arrays per key and sorts. Output equals sort_array(collect_list(v))
+    * — SORTED, because arrival order is nondeterministic in any
+    * distributed plan, so a sorted contract is also what makes the
+    * result reproducible/testable. The hot key's final row still holds
+    * all its values (that is the operator's semantics); what salting
+    * fixes is the per-row aggregation funnel, which is where the reducer
+    * time goes. */
+  def saltedCollectSorted(keys: Seq[String], valueCol: String, out: String,
+                          saltBuckets: Int = 16)(df: DataFrame): DataFrame = {
+    require(saltBuckets > 0, "saltedCollectSorted: saltBuckets must be positive")
+    df.withColumn("__salt", (rand(42L) * saltBuckets).cast("int"))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(collect_list(col(valueCol)).as("__part"))
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(flatten(collect_list(col("__part")))).as(out))
+  }
+
   /** BoundGroupAggregateWithLimit — aggregate the first `limit` unique keys
     * individually; all remaining rows fold into a single overflow group
     * (reference: aggregate.h:264-276).

@@ -40,6 +40,18 @@ class AnnAndSaltSpec extends SparkSpec {
     }
   }
 
+  test("saltedCollectSorted equals sort_array(collect_list) per key") {
+    val df = (1 to 500).map(i => (if (i % 10 == 0) "cold" + i else "hot", i % 37))
+      .toDF("k", "v")
+    withPartitionings(df) { d =>
+      val salted = rows(Aggregates.saltedCollectSorted(Seq("k"), "v", "vals",
+        saltBuckets = 8)(d).orderBy("k"))
+      val plain = rows(d.groupBy("k")
+        .agg(sort_array(collect_list(col("v"))).as("vals")).orderBy("k"))
+      assert(salted == plain)
+    }
+  }
+
   test("GraftExtensions registers vec_dot and simhash64 for SQL") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS r")
