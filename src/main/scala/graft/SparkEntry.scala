@@ -1106,6 +1106,19 @@ object SparkEntry {
     graft.streaming.Streams.sessionizeBatch(Tables.events(s, d), gapMs = 30 * 60 * 1000)
       .orderBy("user_id", "start_ms")
 
+  private def qStreamSessionize(s: SparkSession, d: String): DataFrame = {
+    // TRUE streaming run of the STATEFUL path — flatMapGroupsWithState
+    // with event-time timeouts — under the same oracle as the batch face:
+    // the sentinel-advanced watermark times out every real session, which
+    // is emitted exactly once into the checkpointed parquet sink (the
+    // sentinel user's own open session can never time out and stays
+    // absent). Complements q_stream_window, which gates the built-in
+    // windowed-aggregation state; this gates CUSTOM state + timeouts.
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_${ProcessHandle.current().pid()}"
+    graft.streaming.Streams.sessionizeStreamGate(s, d, work, gapMs = 30 * 60 * 1000)
+      .orderBy("user_id", "start_ms")
+  }
+
   private def qSlidingWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.slidingStats(Tables.events(s, d), "1 hour", "15 minutes")
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -1241,6 +1254,7 @@ object SparkEntry {
     "q_best_effort_agg" -> (qBestEffortAgg _),
     "q_agg_clusters" -> (qAggClusters _),
     "q_sessionize" -> (qSessionize _),
+    "q_stream_sessionize" -> (qStreamSessionize _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_enum" -> (qEnum _),
     "q_expr_policy" -> (qExprPolicy _),
@@ -1888,6 +1902,19 @@ object SparkEntry {
       """SELECT l_returnflag, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sessionize" ->
+      """WITH t AS (SELECT user_id, event_id, ts,
+        |CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+        |s AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS brk
+        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s)
+        |SELECT user_id, MIN(epoch_ms(ts)) AS start_ms, MAX(epoch_ms(ts)) AS end_ms,
+        |COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS value_cents
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, start_ms""".stripMargin,
+    // The stateful streaming face must emit EXACTLY the batch sessions —
+    // same oracle text as q_sessionize.
+    "q_stream_sessionize" ->
       """WITH t AS (SELECT user_id, event_id, ts,
         |CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
         |s AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL

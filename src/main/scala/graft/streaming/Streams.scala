@@ -258,7 +258,28 @@ object Streams {
     *    COMMITTED files count — the exactly-once face the oracle hashes.
     * Resulting rows = every real (window, event_type) group = the batch
     * face (q_events_window), which is what the shared oracle asserts. */
-  def windowedStreamGate(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+  def windowedStreamGate(spark: SparkSession, sfDir: String, workDir: String): DataFrame =
+    streamGate(spark, sfDir, workDir)(windowedStats(_))
+
+  /** Sessionization under the same harness: the stateful
+    * flatMapGroupsWithState path runs as a TRUE streaming query — the
+    * sentinel advances the watermark past every real session's
+    * lastSeen + gap, so the event-time timeouts fire and emit them; the
+    * sentinel user's own open session can never time out and stays
+    * absent. Output = every real session = the batch face
+    * (q_sessionize's oracle). */
+  def sessionizeStreamGate(spark: SparkSession, sfDir: String, workDir: String,
+                           gapMs: Long): DataFrame = {
+    import spark.implicits._
+    streamGate(spark, sfDir, workDir)(df => sessionize(df.as[Event], gapMs).toDF())
+  }
+
+  /** Shared gate harness (see [[windowedStreamGate]] scaladoc for the
+    * mechanics): stage input → run to completion → append a sentinel
+    * event 30 days past the newest real one → resume from checkpoint →
+    * read the committed sink back through the manifest log. */
+  def streamGate(spark: SparkSession, sfDir: String, workDir: String)
+                (pipeline: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val work = Paths.get(workDir)
     if (Files.exists(work)) {
@@ -271,7 +292,7 @@ object Streams {
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
     def runToCompletion(): Unit =
-      parquetSink(windowedStats(readEvents(spark, in.toString, glob = "events*.parquet")),
+      parquetSink(pipeline(readEvents(spark, in.toString, glob = "events*.parquet")),
         outDir, ckpt, trigger = Some(Trigger.AvailableNow())).awaitTermination()
     runToCompletion()
     // sentinel: 30 days after the newest real event (ts is raw nanos here)
