@@ -13,7 +13,9 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * `operator` ~ cursor_name, `rowsProcessed` ~ rows_processed,
   * `processingTimeUs` ~ processing_time (microseconds), `throughput` ~
   * rows per microsecond, `returnRate` ~ output rows / MAX input rows,
-  * `relativeTime` ~ share of the total instrumented time.
+  * `rowProcessingRate` ~ input rows per microsecond (benchmark.proto:
+  * 54-60 — characterizes selective operators whose throughput plummets
+  * by design), `relativeTime` ~ share of the total instrumented time.
   *
   * Semantics delta vs the reference (documented, inherent to the
   * execution model): supersonic instruments every cursor's Next() pull,
@@ -33,6 +35,7 @@ final case class OperatorStat(
     processingTimeUs: Option[Long],
     throughput: Option[Double],
     returnRate: Option[Double],
+    rowProcessingRate: Option[Double],
     relativeTime: Option[Double])
 
 /** Post-execution plan instrumentation: walks the (AQE-finalized)
@@ -91,6 +94,7 @@ object Instrument {
         rows, t,
         for (r <- rows; us <- t if us > 0) yield r.toDouble / us,
         for (r <- rows; c <- childRowMax if c > 0) yield r.toDouble / c,
+        for (c <- childRowMax; us <- t if us > 0) yield c.toDouble / us,
         None)
       childPlans(p).foreach(walk(_, id, depth + 1))
     }
@@ -119,6 +123,7 @@ object Instrument {
         s.processingTimeUs.map(t => s"time_us=$t"),
         s.throughput.map(t => f"throughput=$t%.3f rows/us"),
         s.returnRate.map(r => f"return_rate=$r%.4f"),
+        s.rowProcessingRate.map(r => f"row_rate=$r%.3f rows/us"),
         s.relativeTime.map(r => f"rel_time=${100 * r}%.1f%%")).flatten
       ("  " * s.depth) + s.operator +
         (if (parts.isEmpty) "" else parts.mkString(" [", " ", "]"))
@@ -131,7 +136,7 @@ object Instrument {
       s"""{"id":${s.nodeId},"parent":${s.parentId},"op":"${s.operator}",""" +
         s""""rows":${opt(s.rowsProcessed)},"time_us":${opt(s.processingTimeUs)},""" +
         s""""throughput":${opt(s.throughput)},"return_rate":${opt(s.returnRate)},""" +
-        s""""rel_time":${opt(s.relativeTime)}}"""
+        s""""row_rate":${opt(s.rowProcessingRate)},"rel_time":${opt(s.relativeTime)}}"""
     }.mkString("[", ",", "]")
     s"""{"query":"$name","operators":$nodes}"""
   }

@@ -85,4 +85,21 @@ class EmptyInputsSpec extends SparkSpec {
     // winsorize of empty input: no rows, no NPE from NULL bounds
     assert(Profile.winsorize(en, "v").count() == 0)
   }
+
+  test("round-4 ops on empty inputs") {
+    import graft.pipeline.{Multimodal, Packing}
+    val e = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Packing.packGreedy(e, "id", "text", budget = 8, buckets = 4).count() == 0)
+    assert(Aggregates.saltedCollectSorted(Seq("id"), "text", "vals")(e).count() == 0)
+    // decodeMeta on an empty frame and on a NULL payload row
+    val nullPayload = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("payload")
+    assert(rows(Multimodal.decodeMeta(nullPayload, "payload")
+      .select("media_format", "width", "n_bytes")) == Seq(Seq(null, null, null)))
+    val eb = Seq.empty[Tuple1[Array[Byte]]].toDF("payload")
+    assert(Multimodal.decodeMeta(eb, "payload").count() == 0)
+    // the stream-gate transforms run on empty batch frames
+    val ev = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(graft.streaming.Streams.windowedStats(ev).count() == 0)
+  }
 }
