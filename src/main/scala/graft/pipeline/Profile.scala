@@ -74,9 +74,12 @@ object Profile {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "winsorize: need 0 <= pLo <= pHi <= 1")
     val fn = if (exact) "percentile" else "approx_percentile"
     val acc = if (exact) "" else s", $accuracy"
+    // ONE array-percentile aggregate: both bounds share a single value
+    // buffer / sketch — two scalar percentile aggs each buffer the whole
+    // column independently (measured ~2x on the exact path at sf0.1)
     val bounds = df.agg(
-      expr(s"$fn(`$valueCol`, $pLo$acc)").as("__lo"),
-      expr(s"$fn(`$valueCol`, $pHi$acc)").as("__hi"))
+      expr(s"$fn(`$valueCol`, array($pLo, $pHi)$acc)").as("__b"))
+      .select(col("__b")(0).as("__lo"), col("__b")(1).as("__hi"))
     // NULL guard: Spark's greatest/least SKIP nulls (they don't propagate
     // them), so an unguarded clamp would silently turn NULL into the lower
     // bound — NULLs must pass through as NULLs
