@@ -894,6 +894,18 @@ object SparkEntry {
         Agg(MAX, Some("p_partkey"), "max_key")))(back))
   }
 
+  private def qTextPerplexity(s: SparkSession, d: String): DataFrame = {
+    // Trigram-LM quality scoring: fit on the train slice (doc_id % 10 <> 0,
+    // the contamination split), score the eval slice. Full DuckDB replay:
+    // counts and vocabulary are exact integers, per-trigram log-probs are
+    // rounded then summed as DECIMAL, one exp at the edge.
+    val docs = Tables.documents(s, d)
+    Scoring.trigramPerplexity(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   private def qTextRepetition(s: SparkSession, d: String): DataFrame =
     Scoring.repetitionStats(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
@@ -1240,6 +1252,7 @@ object SparkEntry {
     "q_winsorize_approx" -> (qWinsorizeApprox _),
     "q_zorder" -> (qZorder _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_text_perplexity" -> (qTextPerplexity _),
     "q_pack" -> (qPack _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
@@ -1792,6 +1805,29 @@ object SparkEntry {
       """SELECT p_type, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size,
         |MAX(p_partkey) AS max_key
         |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // Full trigram-LM replay: same tokenization as q_tfidf, lead() windows
+    // for trigrams, add-k smoothing with exact integer counts, and the
+    // DECIMAL-summed rounded log-prob recipe for cross-engine exactness.
+    "q_text_perplexity" ->
+      """WITH tok AS (SELECT doc_id, unnest(ws) AS tw, generate_subscripts(ws, 1) AS pos
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |        FROM documents)),
+        |tri AS (SELECT * FROM (
+        |  SELECT doc_id, tw || ' ' || lead(tw, 1) OVER win AS ctx, lead(tw, 2) OVER win AS nw
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+        |  WHERE nw IS NOT NULL),
+        |trn AS (SELECT ctx, nw FROM tri WHERE doc_id % 10 <> 0),
+        |c3 AS (SELECT ctx, nw, COUNT(*) AS c3 FROM trn GROUP BY 1, 2),
+        |c2 AS (SELECT ctx, COUNT(*) AS c2 FROM trn GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tw) AS v FROM tok WHERE doc_id % 10 <> 0),
+        |sc AS (SELECT t.doc_id,
+        |  CAST(round(ln((coalesce(c3.c3, 0) + 0.5) / (coalesce(c2.c2, 0) + 0.5 * v.v)), 9) AS DECIMAL(20,9)) AS lp
+        |  FROM tri t LEFT JOIN c3 ON t.ctx = c3.ctx AND t.nw = c3.nw
+        |  LEFT JOIN c2 ON t.ctx = c2.ctx CROSS JOIN v
+        |  WHERE t.doc_id % 10 = 0)
+        |SELECT doc_id, COUNT(*) AS n_trigrams,
+        |round(exp(CAST(-SUM(lp) AS DOUBLE) / COUNT(*)), 6) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_repetition" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
         |tc AS (SELECT doc_id, w, COUNT(*) AS n

@@ -96,6 +96,55 @@ object Scoring {
           lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** Trigram language-model perplexity per document — the CCNet-style
+    * quality signal: fit an add-k-smoothed trigram LM on the TRAIN
+    * corpus, score each SCORE document with
+    * ppl = exp(−mean ln P(w₃ | w₁ w₂)) over its trigrams (lower = more
+    * train-like; boilerplate and gibberish both stand out). Documents
+    * with fewer than 3 tokens have no trigrams and are absent.
+    *
+    * Cross-engine determinism: per-trigram log-probabilities are rounded
+    * to 9 decimals and summed as DECIMAL — double summation order across
+    * partitions would otherwise perturb the mean — then one exp at the
+    * end (same recipe as the tfidf gate's rounded scores).
+    *
+    * Shape at 100 TB: trigrams are built with posexplode + per-document
+    * lead() windows (id-partitioned — high cardinality, shards; no
+    * interpreted array lambdas), counts are partial/final aggregations
+    * keyed by (ctx, w), and the probability join fans the score side out
+    * by ctx — AQE's skew split handles stop-bigram contexts. The
+    * vocabulary size rides a broadcast 1-row aggregate. Shuffle keys are
+    * short gram strings; a production variant would dictionary-encode or
+    * 64-bit-hash them (the oracle needs replayable keys, so the gate
+    * keeps strings). */
+  def trigramPerplexity(train: DataFrame, score: DataFrame, idCol: String,
+                        textCol: String, k: Double = 0.5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val toks = df.select(col(idCol),
+        posexplode(tokenize(col(textCol))).as(Seq("__pos", "__w")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      toks.select(col(idCol),
+          concat_ws(" ", col("__w"), lead(col("__w"), 1).over(w)).as("ctx"),
+          lead(col("__w"), 2).over(w).as("w"))
+        .where(col("w").isNotNull)
+    }
+    val trainG = grams(train)
+    val c3 = trainG.groupBy("ctx", "w").agg(count(lit(1)).as("__c3"))
+    val c2 = trainG.groupBy("ctx").agg(count(lit(1)).as("__c2"))
+    val vocab = train.select(explode(tokenize(col(textCol))).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+    grams(score)
+      .join(c3, Seq("ctx", "w"), "left")
+      .join(c2, Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__p", (coalesce(col("__c3"), lit(0L)) + k) /
+        (coalesce(col("__c2"), lit(0L)) + lit(k) * col("__v")))
+      .withColumn("__lp", round(log(col("__p")), 9).cast("decimal(20,9)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(exp((-sum(col("__lp"))).cast("double") / count(lit(1))), 6).as("ppl"))
+  }
+
   /** Top-k terms per document by a score column, deterministic: ranking
     * uses the score ROUNDED to `roundScale` decimals (so a last-ulp
     * cross-engine double difference cannot flip ranks) with the term as

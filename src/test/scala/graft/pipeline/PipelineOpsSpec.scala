@@ -109,6 +109,20 @@ class PipelineOpsSpec extends SparkSpec {
       Seq(3L, 1L, 1.0, 0.0)))
   }
 
+  test("trigramPerplexity: hand-checked add-k trigram LM scores") {
+    // train "a b c a b c": trigrams (a b→c)x2, (b c→a), (c a→b); V = 3
+    val train = Seq((1L, "a b c a b c")).toDF("id", "text")
+    val score = Seq(
+      (10L, "a b c"),  // P = (2+.5)/(2+3·.5) = 5/7 -> ppl = 7/5 = 1.4
+      (11L, "x y z"),  // unseen: P = .5/1.5 -> ppl = 3.0
+      (12L, "a b")     // < 3 tokens -> absent
+    ).toDF("id", "text")
+    val got = rows(Scoring.trigramPerplexity(train, score, "id", "text").orderBy("id"))
+    assert(got.map(r => (r(0), r(1))) == Seq((10L, 1L), (11L, 1L)))
+    assert(math.abs(got(0)(2).asInstanceOf[Double] - 1.4) < 1e-6)
+    assert(math.abs(got(1)(2).asInstanceOf[Double] - 3.0) < 1e-6)
+  }
+
   test("topTerms ranks by rounded score with term tiebreak") {
     val scored = Seq((1L, "zz", 5.0), (1L, "aa", 5.0), (1L, "mm", 7.0), (1L, "qq", 1.0))
       .toDF("id", "term", "s")
