@@ -1034,6 +1034,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qMultimodalPpm(s: SparkSession, d: String): DataFrame = {
+    // Same round-trip gate for the SECOND real codec: PPM's header is
+    // ASCII with variable-width dimension digits, so the expected file
+    // size is 9 fixed header bytes + the digit counts + 3wh — all
+    // re-derivable in SQL. Exercises the netpbm parser's whitespace/
+    // token scanning rather than BMP's fixed-offset binary fields.
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
+      (pmod(floor(col("doc_id") / 64).cast("long"), lit(64)) + 1).cast("int").as("h"),
+      col("text").cast("binary").as("seed"))
+    val enc = Multimodal.encodePpm(docs, "w", "h", "seed", "payload")
+    val meta = Multimodal.decodeMeta(enc, "payload")
+    meta.select(col("doc_id"), col("media_format"), col("width"), col("height"),
+      col("n_bytes"),
+      (col("width") === col("w") && col("height") === col("h")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   private def qEventsWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.windowedStats(Tables.events(s, d))
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -1259,6 +1277,7 @@ object SparkEntry {
     "q_contamination" -> (qContamination _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
+    "q_multimodal_ppm" -> (qMultimodalPpm _),
     "q_events_window" -> (qEventsWindow _),
     "q_stream_window" -> (qStreamWindow _),
     "q_window_rank" -> (qWindowRank _),
@@ -1892,6 +1911,17 @@ object SparkEntry {
         |CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS height,
         |CAST(54 + (3 * (doc_id % 64 + 1)
         |  + (4 - (3 * (doc_id % 64 + 1)) % 4) % 4) * ((doc_id // 64) % 64 + 1) AS BIGINT) AS n_bytes,
+        |TRUE AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // PPM file size = "P6\n" + w + " " + h + "\n255\n" (9 bytes + digit
+    // counts) + 3wh pixel bytes.
+    "q_multimodal_ppm" ->
+      """SELECT doc_id, 'image/ppm' AS media_format,
+        |CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+        |CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS height,
+        |CAST(9 + length(CAST(doc_id % 64 + 1 AS VARCHAR))
+        |  + length(CAST((doc_id // 64) % 64 + 1 AS VARCHAR))
+        |  + 3 * (doc_id % 64 + 1) * ((doc_id // 64) % 64 + 1) AS BIGINT) AS n_bytes,
         |TRUE AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_events_window" ->

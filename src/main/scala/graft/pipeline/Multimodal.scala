@@ -143,27 +143,52 @@ object Multimodal {
   def decodeAny(bytes: Array[Byte]): (String, Int, Int) =
     decodeBmp(bytes).orElse(decodePpm(bytes)).getOrElse(fakeDecode(bytes))
 
-  /** Encode (width, height, seed-bytes) columns into a REAL BMP payload
-    * via mapPartitions — same plumbing shape as decodeMeta. NULL
-    * width/height rows produce a NULL payload. */
-  def encodeBmp(df: DataFrame, widthCol: String, heightCol: String,
-                seedCol: String, out: String): DataFrame = {
+  /** REAL encoder: binary PPM (P6) — ASCII header "P6\n{w} {h}\n255\n"
+    * followed by w·h RGB byte triples cycling through `pixelSeed`. */
+  def encodePpm6(width: Int, height: Int, pixelSeed: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "encodePpm6: need positive dimensions")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val n = width * height * 3
+    val out = java.util.Arrays.copyOf(header, header.length + n)
+    var i = 0
+    while (i < n) {
+      out(header.length + i) = if (pixelSeed.isEmpty) 0 else pixelSeed(i % pixelSeed.length)
+      i += 1
+    }
+    out
+  }
+
+  /** Shared encoder plumbing (mapPartitions, same shape as decodeMeta):
+    * NULL width/height rows produce a NULL payload. */
+  private def encodeWith(df: DataFrame, widthCol: String, heightCol: String,
+                         seedCol: String, out: String)
+                        (enc: (Int, Int, Array[Byte]) => Array[Byte]): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField(out, BinaryType, nullable = true))
     val wi = df.schema.fieldIndex(widthCol)
     val hi = df.schema.fieldIndex(heightCol)
     val si = df.schema.fieldIndex(seedCol)
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
         if (r.isNullAt(wi) || r.isNullAt(hi)) Row.fromSeq(r.toSeq :+ null)
         else {
           val seed = if (r.isNullAt(si)) Array.empty[Byte] else r.getAs[Array[Byte]](si)
-          Row.fromSeq(r.toSeq :+ encodeBmp24(r.getInt(wi), r.getInt(hi), seed))
+          Row.fromSeq(r.toSeq :+ enc(r.getInt(wi), r.getInt(hi), seed))
         }
       }
-    }(enc)
+    }(rowEnc)
   }
+
+  /** Encode (width, height, seed-bytes) columns into REAL BMP payloads. */
+  def encodeBmp(df: DataFrame, widthCol: String, heightCol: String,
+                seedCol: String, out: String): DataFrame =
+    encodeWith(df, widthCol, heightCol, seedCol, out)(encodeBmp24)
+
+  /** Encode (width, height, seed-bytes) columns into REAL PPM payloads. */
+  def encodePpm(df: DataFrame, widthCol: String, heightCol: String,
+                seedCol: String, out: String): DataFrame =
+    encodeWith(df, widthCol, heightCol, seedCol, out)(encodePpm6)
 
   /** Decode a binary column into media metadata via mapPartitions — the
     * real plumbing a codec needs: per-partition setup, row-iterator batch
