@@ -20,7 +20,9 @@ object Explain {
         "q_sort_topk", "q_dedup_minhash", "q_ann_brute",
         "q_agg_limit", "q_range_join", "q_hash_join_full", "q_dedup_embedding",
         "q_sample_bernoulli", "q_tfidf", "q_contamination", "q_profile",
-        "q_dedup_clusters", "q_winsorize", "q_zorder", "q_text_repetition")
+        "q_dedup_clusters", "q_winsorize", "q_zorder", "q_text_repetition",
+        "q_dedup_simhash", "q_skew_collect_salted", "q_text_perplexity",
+        "q_winsorize_approx")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
