@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import graft.operators.Aggregates
 import org.apache.spark.sql.functions._
 
 /** Round-3 pipeline operators: deterministic sampling, corpus scoring,
@@ -273,6 +274,28 @@ class PipelineOpsSpec extends SparkSpec {
     val expectedCc = rows(Dedup.duplicateClusters(pairs, smallGraphLimit = 0).orderBy("id"))
     withPartitionings(pairs) { p =>
       assert(rows(Dedup.duplicateClusters(p, smallGraphLimit = 0).orderBy("id")) == expectedCc)
+    }
+  }
+
+  test("round-4 ops are partitioning-invariant (reference block-size analog)") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w${i % 5} w${(i * 3) % 11}"))
+      .toDF("id", "text")
+    val expectedPpl = rows(Scoring.trigramPerplexity(
+      docs.where(col("id") >= 10), docs.where(col("id") < 10), "id", "text")
+      .orderBy("id"))
+    val expectedPack = rows(Packing.packGreedy(docs, "id", "text", 8, 4)
+      .toDF().orderBy("id"))
+    val expectedCollect = rows(Aggregates.saltedCollectSorted(
+      Seq("text"), "id", "vals")(docs).orderBy("text"))
+    withPartitionings(docs) { d =>
+      assert(rows(Scoring.trigramPerplexity(
+        d.where(col("id") >= 10), d.where(col("id") < 10), "id", "text")
+        .orderBy("id")) == expectedPpl)
+      assert(rows(Packing.packGreedy(d, "id", "text", 8, 4)
+        .toDF().orderBy("id")) == expectedPack)
+      assert(rows(Aggregates.saltedCollectSorted(
+        Seq("text"), "id", "vals")(d).orderBy("text")) == expectedCollect)
     }
   }
 
