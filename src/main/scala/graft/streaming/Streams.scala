@@ -283,8 +283,10 @@ object Streams {
     import java.nio.file.{Files, Paths}
     val work = Paths.get(workDir)
     if (Files.exists(work)) {
-      Files.walk(work).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(work)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally walk.close()
     }
     val in = work.resolve("in")
     Files.createDirectories(in)
@@ -304,8 +306,10 @@ object Streams {
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(sentinel), 1), EventSchemaRaw)
       .write.parquet(staging.toString)
-    val part = Files.list(staging).filter(_.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow()
+    val listing = Files.list(staging)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().orElseThrow()
+      finally listing.close()
     Files.move(part, in.resolve("events_zz_sentinel.parquet"))
     runToCompletion()
     spark.read.parquet(outDir)
