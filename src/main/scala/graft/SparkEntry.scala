@@ -894,6 +894,18 @@ object SparkEntry {
         Agg(MAX, Some("p_partkey"), "max_key")))(back))
   }
 
+  private def qShardManifest(s: SparkSession, d: String): DataFrame =
+    // Content-addressed shard manifest over integer/string columns only
+    // (double/timestamp-to-string rendering is the one encoding step
+    // engines may disagree on, so the canonical encoding contract keeps
+    // to exactly-rendered types; the md5-prefix fingerprint and BIT_XOR
+    // fold are replayed verbatim in DuckDB).
+    graft.pipeline.Shards.shardManifest(Tables.lineitem(s, d),
+      keyCols = Seq("l_orderkey", "l_linenumber"),
+      valueCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag"),
+      nShards = 8)
+      .orderBy("shard")
+
   private def qTextPerplexity(s: SparkSession, d: String): DataFrame = {
     // Trigram-LM quality scoring: fit on the train slice (doc_id % 10 <> 0,
     // the contamination split), score the eval slice. Full DuckDB replay:
@@ -1271,6 +1283,7 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_perplexity" -> (qTextPerplexity _),
+    "q_shard_manifest" -> (qShardManifest _),
     "q_pack" -> (qPack _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
@@ -1824,6 +1837,21 @@ object SparkEntry {
       """SELECT p_type, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size,
         |MAX(p_partkey) AS max_key
         |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // Shard-manifest replay: same canonical encoding (chr(1) separator),
+    // md5-prefix 60-bit fingerprint, shard = fp % nShards, BIT_XOR fold.
+    "q_shard_manifest" ->
+      """WITH e AS (SELECT
+        |  ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || chr(1)
+        |    || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS kfp,
+        |  ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || chr(1)
+        |    || CAST(l_linenumber AS VARCHAR) || chr(1)
+        |    || CAST(l_partkey AS VARCHAR) || chr(1)
+        |    || CAST(l_suppkey AS VARCHAR) || chr(1)
+        |    || l_returnflag), 1, 15))::BIGINT AS vfp
+        |  FROM lineitem)
+        |SELECT CAST(kfp % 8 AS INTEGER) AS shard, COUNT(*) AS n_rows,
+        |CAST(bit_xor(vfp) AS BIGINT) AS content_fp
+        |FROM e GROUP BY 1 ORDER BY shard""".stripMargin,
     // Full trigram-LM replay: same tokenization as q_tfidf, lead() windows
     // for trigrams, add-k smoothing with exact integer counts, and the
     // DECIMAL-summed rounded log-prob recipe for cross-engine exactness.

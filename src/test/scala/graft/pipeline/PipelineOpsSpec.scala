@@ -252,6 +252,40 @@ class PipelineOpsSpec extends SparkSpec {
       Seq(17L, 1L, 0L, 4L, 1L))) // empty doc: 0 tokens, consumes no budget
   }
 
+  // ===== Shard manifests =====
+
+  test("shardManifest: order-independent, detects loss/corruption, NULL-safe") {
+    val df = (0L until 200L).map(i => (i, s"v$i", if (i == 7) None else Some(i * 3)))
+      .toDF("id", "s", "x")
+    val base = rows(Shards.shardManifest(df, Seq("id"), Seq("id", "s", "x"), 4)
+      .orderBy("shard"))
+    assert(base.map(_(1).asInstanceOf[Long]).sum == 200L)
+    // partition order cannot perturb the xor fold
+    withPartitionings(df) { d =>
+      assert(rows(Shards.shardManifest(d, Seq("id"), Seq("id", "s", "x"), 4)
+        .orderBy("shard")) == base)
+    }
+    // a lost row flips its shard's count and fingerprint
+    val lost = rows(Shards.shardManifest(df.where(col("id") =!= 13),
+      Seq("id"), Seq("id", "s", "x"), 4).orderBy("shard"))
+    assert(lost != base)
+    // a corrupted value flips the fingerprint but not the count
+    val corrupt = rows(Shards.shardManifest(
+      df.withColumn("s", when(col("id") === 13, "vXX").otherwise(col("s"))),
+      Seq("id"), Seq("id", "s", "x"), 4).orderBy("shard"))
+    assert(corrupt.map(_(1)) == base.map(_(1)) && corrupt != base)
+    // NULL is distinguished from the empty string; the documented
+    // sentinel contract is that NULL encodes as the U+0000 marker (so
+    // only a literal U+0000 value would collide — excluded by contract)
+    val nul = rows(Shards.shardManifest(Seq((1L, Option.empty[String])).toDF("id", "s"),
+      Seq("id"), Seq("s"), 1))
+    val emp = rows(Shards.shardManifest(Seq((1L, Option(""))).toDF("id", "s"),
+      Seq("id"), Seq("s"), 1))
+    val mark = rows(Shards.shardManifest(Seq((1L, Option("\u0000"))).toDF("id", "s"),
+      Seq("id"), Seq("s"), 1))
+    assert(nul != emp && nul == mark)
+  }
+
   // ===== Contamination =====
 
   test("round-3 ops are partitioning-invariant (reference block-size analog)") {
