@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.operators.Aggregates
+import org.apache.spark.sql.functions._
+
+/** Property-style randomized tests for the round-4 operators — seeded
+  * random inputs pinning the operators' LAWS (codec round trips, greedy
+  * budget bound, manifest permutation-invariance), the same role as the
+  * reference's random-input operator tests
+  * (testing/operation_testing.h). Seeded ⇒ deterministic. */
+class Round4PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260812L)
+
+  test("property: BMP and PPM decode(encode(w, h)) == (w, h) for 150 random dims") {
+    (1 to 150).foreach { _ =>
+      val w = 1 + rng.nextInt(300)
+      val h = 1 + rng.nextInt(300)
+      val seed = Array.fill(1 + rng.nextInt(32))(rng.nextInt().toByte)
+      val bmp = Multimodal.encodeBmp24(w, h, seed)
+      assert(Multimodal.decodeBmp(bmp).contains(("image/bmp", w, h)), s"bmp $w x $h")
+      // file size law: 54-byte header + 4-byte-padded 3-byte-pixel rows
+      assert(bmp.length == 54 + (3 * w + (4 - (3 * w) % 4) % 4) * h)
+      val ppm = Multimodal.encodePpm6(w, h, seed)
+      assert(Multimodal.decodePpm(ppm).contains(("image/ppm", w, h)), s"ppm $w x $h")
+      assert(ppm.length == 9 + w.toString.length + h.toString.length + 3 * w * h)
+      // dispatch routes each format to its own decoder
+      assert(Multimodal.decodeAny(bmp)._1 == "image/bmp")
+      assert(Multimodal.decodeAny(ppm)._1 == "image/ppm")
+    }
+  }
+
+  test("property: packGreedy never exceeds the budget except oversize singletons") {
+    // random corpus, random budget/bucket combinations
+    (1 to 5).foreach { _ =>
+      val budget = 4 + rng.nextInt(40)
+      val buckets = 1 + rng.nextInt(6)
+      val docs = (0L until 300L)
+        .map(i => (i, Seq.fill(1 + rng.nextInt(25))("t").mkString(" ")))
+        .toDF("id", "text")
+      val packed = Packing.packGreedy(docs, "id", "text", budget, buckets).toDF()
+      val perSeq = rows(packed.groupBy("bucket", "seq")
+        .agg(sum("n_tokens").as("s"), count(lit(1)).as("k")))
+      assert(perSeq.forall(r =>
+        r(2).asInstanceOf[Long] <= budget || r(3) == 1L),
+        s"budget $budget buckets $buckets violated")
+      // every doc appears exactly once
+      assert(packed.count() == 300L && packed.select("id").distinct().count() == 300L)
+    }
+  }
+
+  test("property: shardManifest is invariant under row permutation and union order") {
+    val base = (0L until 300L).map(i => (i, s"v${rng.nextInt(1000)}")).toDF("id", "s")
+    val manifest = rows(Shards.shardManifest(base, Seq("id"), Seq("id", "s"), 8)
+      .orderBy("shard"))
+    // shuffled row order (orderBy a random-ish expression then drop it)
+    val shuffled = base.orderBy(md5(concat(col("s"), col("id").cast("string"))))
+    assert(rows(Shards.shardManifest(shuffled, Seq("id"), Seq("id", "s"), 8)
+      .orderBy("shard")) == manifest)
+    // reversed union order
+    val reunioned = base.where(col("id") >= 150).unionAll(base.where(col("id") < 150))
+    assert(rows(Shards.shardManifest(reunioned, Seq("id"), Seq("id", "s"), 8)
+      .orderBy("shard")) == manifest)
+    // shards partition the data: counts sum to the corpus
+    assert(manifest.map(_(1).asInstanceOf[Long]).sum == 300L)
+  }
+
+  test("property: saltedCollectSorted == sorted plain collect on random multisets") {
+    val df = (0 until 400)
+      .map(_ => (s"k${rng.nextInt(8)}", rng.nextInt(20))).toDF("k", "v")
+    val salted = rows(Aggregates.saltedCollectSorted(Seq("k"), "v", "vals",
+      saltBuckets = 4)(df).orderBy("k"))
+    val plain = rows(df.groupBy("k")
+      .agg(sort_array(collect_list(col("v"))).as("vals")).orderBy("k"))
+    assert(salted == plain)
+  }
+}
