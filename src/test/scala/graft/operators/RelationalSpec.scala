@@ -237,6 +237,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("fileOutputPartitioned enforces the low-cardinality partition contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fop_guard").toString
+    val df = (1 to 50).map(i => (i, s"val$i")).toDF("k", "par") // 50 distinct values
+    val e = intercept[IllegalArgumentException] {
+      Relational.fileOutputPartitioned(df, dir, Seq("par"),
+        targetRowsPerFile = 10L, maxPartitionValues = 10)
+    }
+    assert(e.getMessage.contains("low-cardinality"))
+    // raising the cap lets the same write through
+    Relational.fileOutputPartitioned(df, dir, Seq("par"),
+      targetRowsPerFile = 10L, maxPartitionValues = 64)
+    assert(Relational.scanParquet(spark, dir).count() == 50)
+  }
+
   test("csv/json round-trips preserve quoting, commas, and NULLs") {
     val df = Seq(
       (1L, Some("a,b \"quoted\" c"), Some(1.5)),
