@@ -129,15 +129,29 @@ object Instrument {
         (if (parts.isEmpty) "" else parts.mkString(" [", " ", "]"))
     }.mkString("\n")
 
+  /** Minimal JSON string escape: \, ", and control chars — node names can
+    * carry quoted identifiers or paths (scan nodes), which would otherwise
+    * break the stats dump's line-per-query JSON. */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.result()
+  }
+
   /** One-line JSON per operator (Bench's optional stats dump). */
   def toJson(name: String, stats: Seq[OperatorStat]): String = {
     def opt[A](v: Option[A]): String = v.map(_.toString).getOrElse("null")
     val nodes = stats.map { s =>
-      s"""{"id":${s.nodeId},"parent":${s.parentId},"op":"${s.operator}",""" +
+      s"""{"id":${s.nodeId},"parent":${s.parentId},"op":"${jstr(s.operator)}",""" +
         s""""rows":${opt(s.rowsProcessed)},"time_us":${opt(s.processingTimeUs)},""" +
         s""""throughput":${opt(s.throughput)},"return_rate":${opt(s.returnRate)},""" +
         s""""row_rate":${opt(s.rowProcessingRate)},"rel_time":${opt(s.relativeTime)}}"""
     }.mkString("[", ",", "]")
-    s"""{"query":"$name","operators":$nodes}"""
+    s"""{"query":"${jstr(name)}","operators":$nodes}"""
   }
 }

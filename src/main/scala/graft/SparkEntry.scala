@@ -723,8 +723,13 @@ object SparkEntry {
     val docs = Tables.documents(s, d)
     val cand = Dedup.simhashCandidates(docs, "doc_id", "text")
       .where(col("hamming") <= 3)
+    // NULL-text guard: concat_ws would collapse a NULL token array to ""
+    // and pair NULL-text docs with empty-text docs, while the DuckDB
+    // oracle's array_to_string(NULL) yields a NULL key (no pair). A NULL
+    // key on both engines means NULL text never joins — same semantics.
     val keyed = docs.select(col("doc_id"),
-      md5(concat_ws(" ", sort_array(array_distinct(T.tokens(col("text")))))).as("__tk"))
+      when(col("text").isNotNull,
+        md5(concat_ws(" ", sort_array(array_distinct(T.tokens(col("text"))))))).as("__tk"))
     val expected = keyed.as("a").join(keyed.as("b"),
       col("a.__tk") === col("b.__tk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))

@@ -76,8 +76,11 @@ object Dedup {
     // it would still run the expensive candidate-pair lineage twice; and
     // the edge list is re-joined EVERY propagation round on top of that.
     // (id, id) long pairs only — cache footprint is tiny.
-    val p = pairs.select(col(id1).as("a"), col(id2).as("b"))
-      .where(col(id1).isNotNull && col(id2).isNotNull)
+    // filter BEFORE the aliasing select: after it, col(id1)/col(id2) only
+    // resolve through Spark's missing-reference fallback and would bind to
+    // a shadowing input column if the source ever carries literal a/b.
+    val p = pairs.where(col(id1).isNotNull && col(id2).isNotNull)
+      .select(col(id1).as("a"), col(id2).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // force the cache fill with a single-scan action BEFORE the plan fans
     // out: lazily, the union's two branches land in one job and BOTH
@@ -433,7 +436,25 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize the pair set, then release the sig cache
     withSig.unpersist()
+    leasedPairFrames.add(out)
     out
+  }
+
+  /** Pair frames returned (cached) by [[simhashPortablePairs]], so a
+    * long-lived session has a defined release point instead of relying on
+    * every caller to `.unpersist()`: call [[releaseCachedPairs]] at a
+    * batch boundary (Bench does, between timed attempts, via
+    * `spark.catalog.clearCache()` — this API is the targeted equivalent
+    * that does not drop unrelated caches). */
+  private val leasedPairFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist (non-blocking) every pair frame handed out by
+    * [[simhashPortablePairs]] since the last release. Frames already
+    * unpersisted by their caller are a no-op. */
+  def releaseCachedPairs(): Unit = {
+    var df = leasedPairFrames.poll()
+    while (df != null) { df.unpersist(blocking = false); df = leasedPairFrames.poll() }
   }
 
   // ===== Length-bucket blocked n-gram Jaccard =====

@@ -290,7 +290,25 @@ object Streams {
     }
     val in = work.resolve("in")
     Files.createDirectories(in)
-    Files.copy(Paths.get(sfDir, "events.parquet"), in.resolve("events.parquet"))
+    val src = Paths.get(sfDir, "events.parquet")
+    // fail loudly rather than streaming over zero events: Files.copy on a
+    // directory copies only an empty dir entry, so a scale factor that
+    // stores events as a parquet DIRECTORY must be staged file-by-file
+    if (Files.isRegularFile(src)) {
+      Files.copy(src, in.resolve("events.parquet"))
+    } else if (Files.isDirectory(src)) {
+      val listing = Files.list(src)
+      val parts =
+        try listing.filter(_.toString.endsWith(".parquet"))
+          .sorted().toArray(new Array[java.nio.file.Path](_))
+        finally listing.close()
+      require(parts.nonEmpty, s"streamGate: no parquet parts under $src")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.copy(p, in.resolve(f"events_$i%05d.parquet"))
+      }
+    } else {
+      throw new IllegalArgumentException(s"streamGate: $src does not exist")
+    }
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
     def runToCompletion(): Unit =
