@@ -1069,6 +1069,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qMultimodalPng(s: SparkSession, d: String): DataFrame = {
+    // Round-trip gate for the THIRD real codec — the first COMPRESSED
+    // one: a spec-conformant PNG is built per document (signature, IHDR,
+    // a zlib stream assembled from stored deflate blocks with real
+    // CRC32/Adler32 checksums, IEND), and decodeMeta's dispatch routes it
+    // through the real PNG parser, which verifies the IHDR CRC and
+    // INFLATES the IDAT with java.util.zip.Inflater before trusting the
+    // geometry. Stored-block deflate keeps the file size a closed form of
+    // (w, h) — 63 + raw + 5*ceil(raw/65535), raw = h*(1+3w) — so the
+    // oracle pins the exact byte size like the BMP/PPM gates do.
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
+      (pmod(floor(col("doc_id") / 64).cast("long"), lit(64)) + 1).cast("int").as("h"),
+      col("text").cast("binary").as("seed"))
+    val enc = Multimodal.encodePngCol(docs, "w", "h", "seed", "payload")
+    val meta = Multimodal.decodeMeta(enc, "payload")
+    meta.select(col("doc_id"), col("media_format"), col("width"), col("height"),
+      col("n_bytes"),
+      (col("width") === col("w") && col("height") === col("h")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   private def qEventsWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.windowedStats(Tables.events(s, d))
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -1213,6 +1235,48 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  private def qSpecRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // §3.3 serialization gate (reference ships proto-serialized sample/
+    // aggregation/sort specs across process boundaries,
+    // serialization/build_expression_from_proto.h:31-33): every spec kind
+    // QuerySpecs serializes is written to its JSON wire form, read BACK
+    // from that JSON, structurally compared to the original (lossless
+    // round-trip is a hard require, not just "runs"), and the pipeline the
+    // driver gates is built ONLY from the deserialized copies — a field
+    // dropped or re-typed anywhere in the wire format changes the output
+    // and hash-mismatches the DuckDB oracle.
+    import graft.plans.QuerySpecs
+    import graft.plans.QuerySpecs._
+    val sampleSpec = SampleSpec("bernoulli",
+      List("l_orderkey", "l_linenumber"), rate = Some(0.01))
+    val aggSpec = AggSpec(List("l_returnflag"), List(
+      AggFieldSpec("COUNT", None, "n"),
+      AggFieldSpec("SUM", Some("qty_dec"), "sum_qty"),
+      AggFieldSpec("MIN", Some("l_quantity"), "min_qty"),
+      AggFieldSpec("SUM", Some("l_linenumber"), "sum_ln", distinct = true,
+        outType = Some("BIGINT")),
+      AggFieldSpec("CONCAT", Some("l_linestatus"), "statuses",
+        orderBy = Some(SortKeySpec("ok_ln")))))
+    val sortSpec = SortSpec(
+      List(SortKeySpec("l_returnflag", caseInsensitive = true)), limit = Some(2))
+    val sampleJson = QuerySpecs.writeSampleSpec(sampleSpec)
+    val aggJson = QuerySpecs.writeAggSpec(aggSpec)
+    val sortJson = QuerySpecs.writeSortSpec(sortSpec)
+    val sample2 = QuerySpecs.readSampleSpec(sampleJson)
+    val agg2 = QuerySpecs.readAggSpec(aggJson)
+    val sort2 = QuerySpecs.readSortSpec(sortJson)
+    require(sample2 == sampleSpec && agg2 == aggSpec && sort2 == sortSpec,
+      "spec JSON round-trip is lossy")
+    val sampled = QuerySpecs.buildSample(sample2)(Tables.lineitem(s, d))
+      .withColumn("qty_dec", dec(col("l_quantity")))
+      // the testdata carries duplicate (orderkey, linenumber) rows, so the
+      // concat order key folds the VALUE in as a tiebreak — remaining ties
+      // are between identical contributions and cannot change the output
+      .withColumn("ok_ln", (col("l_orderkey") * 10 + col("l_linenumber")) * 2 +
+        when(col("l_linestatus") === "O", 1).otherwise(0))
+    asDouble("sum_qty")(QuerySpecs.buildSort(sort2)(QuerySpecs.buildAggregate(agg2)(sampled)))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -1277,6 +1341,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_simhash_portable" -> (qDedupSimhashPortable _),
     "q_sample_bernoulli" -> (qSampleBernoulli _),
+    "q_spec_roundtrip" -> (qSpecRoundtrip _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_split" -> (qSampleSplit _),
     "q_tfidf" -> (qTfidf _),
@@ -1296,6 +1361,7 @@ object SparkEntry {
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_multimodal_ppm" -> (qMultimodalPpm _),
+    "q_multimodal_png" -> (qMultimodalPng _),
     "q_events_window" -> (qEventsWindow _),
     "q_stream_window" -> (qStreamWindow _),
     "q_window_rank" -> (qWindowRank _),
@@ -1700,6 +1766,22 @@ object SparkEntry {
     // The sampling oracles replay the portable hash (Sampling.portableBucket)
     // in plain integer arithmetic: same keys -> same buckets -> the EXACT
     // same sample rows in both engines.
+    // Spec-serialization round-trip: the Spark side builds its whole
+    // pipeline from JSON-deserialized specs; the oracle replays the same
+    // sample-hash + aggregate + case-insensitive top-k sort directly.
+    "q_spec_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |MIN(l_quantity) AS min_qty,
+        |CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sum_ln,
+        |string_agg(l_linestatus, ',' ORDER BY (l_orderkey * 10 + l_linenumber) * 2
+        |  + CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS statuses
+        |FROM lineitem
+        |WHERE ((((l_orderkey % 2147483648) * 2654435761) % 2147483648
+        |      + ((l_linenumber % 2147483648) * 2246822519) % 2147483648)
+        |      % 2147483648) % 1000000 < 10000
+        |GROUP BY l_returnflag
+        |ORDER BY lower(l_returnflag) LIMIT 2""".stripMargin,
     "q_sample_bernoulli" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE ((((l_orderkey % 2147483648) * 2654435761) % 2147483648
@@ -1955,6 +2037,18 @@ object SparkEntry {
         |CAST(9 + length(CAST(doc_id % 64 + 1 AS VARCHAR))
         |  + length(CAST((doc_id // 64) % 64 + 1 AS VARCHAR))
         |  + 3 * (doc_id % 64 + 1) * ((doc_id // 64) % 64 + 1) AS BIGINT) AS n_bytes,
+        |TRUE AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // PNG file size (stored-block deflate): raw = h*(1+3w) filtered
+    // scanline bytes; 8 signature + 25 IHDR + 12 IDAT framing + 12 IEND
+    // + zlib (2 header + 5/block + raw + 4 adler) = 63 + raw + 5*blocks.
+    "q_multimodal_png" ->
+      """SELECT doc_id, 'image/png' AS media_format,
+        |CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+        |CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS height,
+        |CAST(63 + ((doc_id // 64) % 64 + 1) * (1 + 3 * (doc_id % 64 + 1))
+        |  + 5 * CEIL((((doc_id // 64) % 64 + 1) * (1 + 3 * (doc_id % 64 + 1))) / 65535.0)
+        |  AS BIGINT) AS n_bytes,
         |TRUE AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_events_window" ->

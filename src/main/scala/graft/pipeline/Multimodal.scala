@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns plus typed metadata, with decode / feature-extraction /
   * frame-sampling plumbing.
   *
-  * Codec status: BMP (24-bit uncompressed, BITMAPINFOHEADER) and binary
-  * PPM (P6) are REAL pure-JVM header codecs — no image library needed —
-  * and decodeMeta dispatches on the payload's magic bytes. Compressed
-  * formats (JPEG/PNG/audio/video) need codec libraries this environment
-  * does not have, so payloads that match no real codec fall through to
-  * the clearly-marked deterministic STUB. The Spark-side plumbing
+  * Codec status: BMP (24-bit uncompressed, BITMAPINFOHEADER), binary
+  * PPM (P6) and PNG (8-bit RGB, real zlib stream + CRC32/Adler32,
+  * IDAT verified by actual Inflater decompression) are REAL pure-JVM
+  * codecs — no image library needed — and decodeMeta dispatches on the
+  * payload's magic bytes. Remaining formats (JPEG/audio/video) need
+  * codec libraries this environment does not have, so payloads that
+  * match no real codec fall through to the clearly-marked deterministic
+  * STUB. The Spark-side plumbing
   * (schemas, binary slicing, mapPartitions batch shape, partition-parallel
   * execution) is shared by both paths.
   */
@@ -128,8 +130,119 @@ object Multimodal {
       yield ("image/ppm", w, h)
   }
 
+  // ===== PNG (real, pure JVM: zlib stored-block stream + CRC32/Adler32) ==
+
+  /** REAL encoder: spec-conformant PNG — 8-byte signature, IHDR (8-bit
+    * RGB, color type 2, no interlace), one IDAT carrying a zlib stream
+    * built here from STORED deflate blocks (BTYPE=00 — valid deflate any
+    * decoder inflates; chosen over Deflater so the byte size is an exact
+    * closed-form function of the dimensions), IEND. Chunk CRC32s and the
+    * zlib Adler-32 are computed for real. Scanlines are filter-type-0
+    * rows of RGB triples cycling through `pixelSeed`.
+    * File size = 63 + raw + 5*ceil(raw/65535), raw = height*(1+3*width). */
+  def encodePng(width: Int, height: Int, pixelSeed: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "encodePng: need positive dimensions")
+    val rowBytes = 1 + 3 * width
+    val raw = new Array[Byte](height * rowBytes)
+    var y = 0
+    var i = 0
+    while (y < height) {
+      raw(y * rowBytes) = 0 // filter type None
+      var x = 1
+      while (x < rowBytes) {
+        raw(y * rowBytes + x) =
+          if (pixelSeed.isEmpty) 0 else pixelSeed(i % pixelSeed.length)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    // zlib stream: 0x78 0x01 header, stored blocks of <= 65535, Adler-32
+    val nBlocks = (raw.length + 65534) / 65535
+    val zlib = java.nio.ByteBuffer.allocate(2 + raw.length + 5 * nBlocks + 4)
+    zlib.put(0x78.toByte).put(0x01.toByte)
+    var off = 0
+    while (off < raw.length) {
+      val len = math.min(65535, raw.length - off)
+      val fin = if (off + len >= raw.length) 1 else 0
+      zlib.put(fin.toByte) // BFINAL + BTYPE=00 (stored)
+      zlib.put((len & 0xff).toByte).put(((len >> 8) & 0xff).toByte)
+      zlib.put((~len & 0xff).toByte).put(((~len >> 8) & 0xff).toByte)
+      zlib.put(raw, off, len)
+      off += len
+    }
+    val adler = new java.util.zip.Adler32
+    adler.update(raw)
+    zlib.putInt(adler.getValue.toInt)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    def chunk(name: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(name.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(out.array(), 4, 4 + data.length)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+    sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", zlib.array()) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** REAL decoder: PNG signature + IHDR parse with chunk-CRC verification,
+    * then the IDAT chunks are concatenated and INFLATED (java.util.zip
+    * Inflater — the real decompressor) and, for the 8-bit RGB layout, the
+    * decompressed length is checked against height*(1+3*width). A bad
+    * signature, a corrupt IHDR CRC, or an IDAT that does not inflate to
+    * the advertised geometry all reject the payload. */
+  def decodePng(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+    if (bytes.length < 33 || !bytes.take(8).sameElements(sig)) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    if (bb.getInt(8) != 13 || new String(bytes, 12, 4, "US-ASCII") != "IHDR") return None
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, 12, 17)
+    if (crc.getValue.toInt != bb.getInt(29)) return None
+    val w = bb.getInt(16)
+    val h = bb.getInt(20)
+    val depth = bytes(24)
+    val colorType = bytes(25)
+    if (w <= 0 || h <= 0) return None
+    // walk the chunk list and inflate the IDAT payload
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 33
+    var ok = true
+    while (ok && pos + 8 <= bytes.length) {
+      val len = bb.getInt(pos)
+      val name = new String(bytes, pos + 4, 4, "US-ASCII")
+      if (len < 0 || pos + 12 + len > bytes.length) ok = false
+      else {
+        if (name == "IDAT") idat.write(bytes, pos + 8, len)
+        pos += 12 + len
+      }
+    }
+    if (!ok) return None
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val buf = new Array[Byte](65536)
+    var total = 0L
+    try {
+      while (!inf.finished() && !inf.needsInput()) total += inf.inflate(buf)
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // geometry check only where the layout is known (8-bit RGB, filter
+    // byte per row); other color types pass on header + CRC alone
+    if (depth == 8 && colorType == 2 && total != h.toLong * (1L + 3L * w)) None
+    else Some(("image/png", w, h))
+  }
+
+  /** Encode (width, height, seed-bytes) columns into REAL PNG payloads. */
+  def encodePngCol(df: DataFrame, widthCol: String, heightCol: String,
+                   seedCol: String, out: String): DataFrame =
+    encodeWith(df, widthCol, heightCol, seedCol, out)(encodePng)
+
   /** STUB image decode — the fallback for formats whose codecs this
-    * environment lacks (JPEG/PNG/audio/video). Derives deterministic
+    * environment lacks (JPEG/audio/video). Derives deterministic
     * dimensions from the payload bytes so tests are stable; a real
     * codec library call goes here. */
   def fakeDecode(bytes: Array[Byte]): (String, Int, Int) = {
@@ -139,9 +252,11 @@ object Multimodal {
     ("fake/raw", w, h)
   }
 
-  /** Magic-byte dispatch: real codecs first (BMP, PPM), stub fallback. */
+  /** Magic-byte dispatch: real codecs first (BMP, PPM, PNG), stub
+    * fallback. */
   def decodeAny(bytes: Array[Byte]): (String, Int, Int) =
-    decodeBmp(bytes).orElse(decodePpm(bytes)).getOrElse(fakeDecode(bytes))
+    decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
+      .getOrElse(fakeDecode(bytes))
 
   /** REAL encoder: binary PPM (P6) — ASCII header "P6\n{w} {h}\n255\n"
     * followed by w·h RGB byte triples cycling through `pixelSeed`. */

@@ -32,6 +32,24 @@ class Round4PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: PNG decode(encode(w, h)) == (w, h) + ImageIO accepts, 60 random dims") {
+    (1 to 60).foreach { _ =>
+      val w = 1 + rng.nextInt(300)
+      val h = 1 + rng.nextInt(300)
+      val seed = Array.fill(1 + rng.nextInt(32))(rng.nextInt().toByte)
+      val png = Multimodal.encodePng(w, h, seed)
+      // size law: 63 + raw + 5*ceil(raw/65535), raw = h*(1+3w) — the
+      // closed form the q_multimodal_png oracle replays in SQL
+      val raw = h.toLong * (1L + 3L * w)
+      assert(png.length == 63 + raw + 5 * ((raw + 65534) / 65535), s"png $w x $h size")
+      assert(Multimodal.decodePng(png).contains(("image/png", w, h)), s"png $w x $h")
+      assert(Multimodal.decodeAny(png)._1 == "image/png")
+      // independent decoder: the JDK's ImageIO reads the same geometry
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"ImageIO $w x $h")
+    }
+  }
+
   test("property: packGreedy never exceeds the budget except oversize singletons") {
     // random corpus, random budget/bucket combinations
     (1 to 5).foreach { _ =>
