@@ -69,8 +69,39 @@ object Instrument {
     if (parts.isEmpty) None else Some(parts.sum)
   }
 
+  /** Output rows of a node. Three tiers, most direct first:
+    * 1. the node's own `numOutputRows` SQLMetric (scans, filters, joins,
+    *    aggregates — Spark measures these);
+    * 2. for exchanges, `shuffleRecordsWritten` — the shuffle write path's
+    *    own record counter, which IS the exchange's output cardinality;
+    * 3. for nodes that provably PRESERVE row count (Sort, Project, the
+    *    codegen/AQE/query-stage wrappers), the nearest counted
+    *    descendant — derived, not fabricated: output rows equal input
+    *    rows for these by construction. (AQE skew-join replicated reads
+    *    are the one case where a shuffle-read count can exceed the
+    *    writer's; the skew A/B gates keep explicit metrics for that.)
+    * Everything else stays None — a fused node with no counter reports
+    * honestly rather than guessing. */
   private def rowsOf(p: SparkPlan): Option[Long] =
     p.metrics.get("numOutputRows").map(_.value)
+      .orElse(p.metrics.get("shuffleRecordsWritten").map(_.value))
+      .orElse(if (preservesRows(p)) childPlans(p).flatMap(subtreeRows).maxOption
+              else None)
+
+  /** Nodes whose output row count equals their (single effective) child's:
+    * sorts and projections are 1:1 on rows; the wrapper nodes forward
+    * their subtree's output unchanged. */
+  private def preservesRows(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.SortExec => true
+    case _: org.apache.spark.sql.execution.ProjectExec => true
+    case _: org.apache.spark.sql.execution.InputAdapter => true
+    case _: org.apache.spark.sql.execution.WholeStageCodegenExec => true
+    case _: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => true
+    case _: QueryStageExec => true
+    case _: ReusedExchangeExec => true
+    case _: AdaptiveSparkPlanExec => true
+    case _ => false
+  }
 
   /** Row count of a subtree's output: the node's own counter, or — for
     * wrapper/exchange nodes that keep no numOutputRows (AQE shuffle

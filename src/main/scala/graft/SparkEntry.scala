@@ -1188,6 +1188,20 @@ object SparkEntry {
       .orderBy("user_id", "start_ms")
   }
 
+  private def qStreamDedup(s: SparkSession, d: String): DataFrame = {
+    // TRUE streaming run of the stateful dedup operator
+    // (dropDuplicatesWithinWatermark) under the sentinel harness: emits
+    // exactly one row per distinct key into the checkpointed sink, and
+    // the checkpoint-resumed second run must NOT re-emit seen keys (a
+    // re-emission becomes a duplicate row and hash-mismatches the
+    // SELECT DISTINCT oracle). The sentinel row is the one arrival the
+    // harness itself injects — filtered here by its -1 user_id.
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup_${ProcessHandle.current().pid()}"
+    graft.streaming.Streams.dedupStreamGate(s, d, work)
+      .where(col("user_id") =!= -1)
+      .orderBy("user_id", "event_type")
+  }
+
   private def qSlidingWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.slidingStats(Tables.events(s, d), "1 hour", "15 minutes")
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -1371,6 +1385,7 @@ object SparkEntry {
     "q_agg_clusters" -> (qAggClusters _),
     "q_sessionize" -> (qSessionize _),
     "q_stream_sessionize" -> (qStreamSessionize _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_enum" -> (qEnum _),
     "q_expr_policy" -> (qExprPolicy _),
@@ -2118,6 +2133,13 @@ object SparkEntry {
         |SELECT user_id, MIN(epoch_ms(ts)) AS start_ms, MAX(epoch_ms(ts)) AS end_ms,
         |COUNT(*) AS n_events, CAST(SUM(v) AS BIGINT) AS value_cents
         |FROM g GROUP BY user_id, sess ORDER BY user_id, start_ms""".stripMargin,
+    // Streaming stateful dedup: key-projected rows make every duplicate
+    // identical and the un-evictable watermark horizon makes the emitted
+    // set exactly the distinct keys — any checkpoint-resume re-emission
+    // would duplicate a row and break the hash.
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_sliding_window" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
         |  - to_minutes(CAST(15 * i.i AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -274,6 +274,28 @@ object Streams {
     streamGate(spark, sfDir, workDir)(df => sessionize(df.as[Event], gapMs).toDF())
   }
 
+  /** Streaming exact dedup under the same harness (q_stream_dedup): the
+    * stateful dropDuplicatesWithinWatermark operator runs as a TRUE
+    * streaming query. Two determinism choices make a full cross-engine
+    * oracle possible: (1) the stream is projected to the KEY columns
+    * before dedup, so every duplicate row is identical and it cannot
+    * matter which arrival survives; (2) `lateness` is far longer than the
+    * event span, so no dedup state is evicted mid-run and the emitted set
+    * is exactly one row per distinct key — SELECT DISTINCT in the oracle.
+    * Unlike the window/session gates, this operator EMITS first arrivals
+    * immediately (append mode holds nothing back), so the sentinel row
+    * itself lands in the sink; callers filter its -1 user_id out, which
+    * the gate query does visibly. What the sentinel run still proves
+    * here: checkpoint resume with a populated state store, and that the
+    * resumed query does NOT re-emit already-seen keys. */
+  def dedupStreamGate(spark: SparkSession, sfDir: String, workDir: String,
+                      keyCols: Seq[String] = Seq("user_id", "event_type"),
+                      lateness: String = "365 days"): DataFrame =
+    streamGate(spark, sfDir, workDir) { df =>
+      streamingDedup(df.select("ts", keyCols: _*), keyCols, lateness)
+        .select(keyCols.map(col): _*)
+    }
+
   /** Shared gate harness (see [[windowedStreamGate]] scaladoc for the
     * mechanics): stage input → run to completion → append a sentinel
     * event 30 days past the newest real one → resume from checkpoint →

@@ -61,6 +61,31 @@ class InstrumentSpec extends SparkSpec {
     assert(json.startsWith("""{"query":"probe","operators":[""") && json.endsWith("]}"))
   }
 
+  test("gate-query plan reports rows on scan, exchange, aggregate and sort nodes") {
+    // the round-4 stats sample had rows=null on most nodes; plan audits
+    // need quantitative counts on the load-bearing operators: measured
+    // numOutputRows on scans/aggregates, the shuffle writer's record
+    // counter on exchanges, derived (provably row-preserving) counts on
+    // sorts and codegen/AQE wrappers
+    val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    val stats = Instrument.stats(df)
+    def nodes(sub: String) =
+      stats.filter(_.operator.toLowerCase.contains(sub))
+    def allCounted(sub: String): Boolean = {
+      val ns = nodes(sub)
+      ns.nonEmpty && ns.forall(_.rowsProcessed.nonEmpty)
+    }
+    assert(allCounted("scan"), s"scan rows:\n${Instrument.render(stats)}")
+    assert(allCounted("exchange"), s"exchange rows:\n${Instrument.render(stats)}")
+    assert(allCounted("hashaggregate"), s"agg rows:\n${Instrument.render(stats)}")
+    assert(allCounted("sort"), s"sort rows:\n${Instrument.render(stats)}")
+    assert(allCounted("wholestagecodegen"), s"codegen rows:\n${Instrument.render(stats)}")
+    // the exchange count is the real shuffle-write record counter, so it
+    // must equal its child subtree's aggregate output (partial agg rows)
+    val ex = nodes("exchange").flatMap(_.rowsProcessed)
+    assert(ex.forall(_ > 0))
+  }
+
   test("stats walk through AQE query stages and reused exchanges") {
     // self-join of an aggregate reuses the exchange; the walker must
     // descend into query stages rather than stopping at stage boundaries
