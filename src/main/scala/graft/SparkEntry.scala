@@ -1202,6 +1202,19 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  private def qStreamJoin(s: SparkSession, d: String): DataFrame = {
+    // TRUE stream-stream interval self-join under the sentinel harness:
+    // purchases correlated with same-user clicks in the prior 12 hours,
+    // per-side watermarks bounding the join state. The oracle replays the
+    // exact interval join — at MICROSECOND precision, because the events
+    // table's raw nanosecond timestamps are not µs-aligned and Spark's
+    // TimestampType truncates to µs; the DuckDB side mirrors that with
+    // epoch_ns // 1000 arithmetic.
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_${ProcessHandle.current().pid()}"
+    graft.streaming.Streams.correlateStreamGate(s, d, work)
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   private def qSlidingWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.slidingStats(Tables.events(s, d), "1 hour", "15 minutes")
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -1386,6 +1399,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_enum" -> (qEnum _),
     "q_expr_policy" -> (qExprPolicy _),
@@ -2140,6 +2154,16 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // Stream-stream interval join, replayed at µs precision (Spark
+    // TimestampType truncates the ns-precision raw values; 12 h =
+    // 43_200_000_000 µs).
+    "q_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |  AND epoch_ns(c.ts) // 1000 >= epoch_ns(p.ts) // 1000 - 43200000000
+        |  AND epoch_ns(c.ts) // 1000 <= epoch_ns(p.ts) // 1000
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
     "q_sliding_window" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
         |  - to_minutes(CAST(15 * i.i AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -296,6 +296,28 @@ object Streams {
         .select(keyCols.map(col): _*)
     }
 
+  /** Stream-stream interval join under the harness (q_stream_join): the
+    * events stream is split into two filtered faces — purchases (left)
+    * and clicks (right) — and correlated per user within `lookback`, a
+    * TRUE stream-stream self-join whose per-side watermarks bound the
+    * buffered state. Inner interval joins emit matches eagerly (the
+    * watermark only evicts state), so the committed set is exactly the
+    * batch interval join the oracle replays; the sentinel row matches
+    * neither face, and the checkpoint-resumed run must commit nothing
+    * new. */
+  def correlateStreamGate(spark: SparkSession, sfDir: String, workDir: String,
+                          lookback: String = "12 hours",
+                          lateness: String = "10 minutes"): DataFrame =
+    streamGate(spark, sfDir, workDir) { df =>
+      val purchases = df.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      val clicks = df.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      streamStreamCorrelate(purchases, clicks, "user_id", "p_ts", "c_ts",
+        lookback, lateness)
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+    }
+
   /** Shared gate harness (see [[windowedStreamGate]] scaladoc for the
     * mechanics): stage input → run to completion → append a sentinel
     * event 30 days past the newest real one → resume from checkpoint →
