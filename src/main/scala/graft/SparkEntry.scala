@@ -255,6 +255,47 @@ object SparkEntry {
         back.withColumn("price_dec", dec(col("o_totalprice"))))))
   }
 
+  private def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    // Co-located join via bucketed tables (the pay-once 100 TB ingest
+    // strategy, Relational.bucketedWrite): both sides are written
+    // bucketBy(join key) + sortBy, so the repeated equi-join runs with
+    // ZERO shuffle exchange — require()d on the planned join below with
+    // broadcast disabled, so the gate fails loudly if the bucketed plan
+    // ever regresses to a shuffle. The oracle replays the plain join:
+    // values prove the bucketed storage round-trip is lossless.
+    // pid-suffixed table names: concurrent Verify/Bench sessions share
+    // one warehouse directory.
+    val pid = ProcessHandle.current().pid()
+    val liT = s"graft_li_bkt_$pid"
+    val oT = s"graft_o_bkt_$pid"
+    Relational.bucketedWrite(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+      liT, Seq("l_orderkey"), numBuckets = 8)
+    Relational.bucketedWrite(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+      oT, Seq("o_orderkey"), numBuckets = 8)
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val joined =
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = s.table(liT)
+          .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must not shuffle:\n$plan")
+        j
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    Relational.sort(col("bucket"))(asDouble("sum_qty", "sum_price")(
+      Aggregates.groupAggregate(Seq("bucket"), Seq(
+        Agg(COUNT, None, "n"),
+        Agg(SUM, Some("qty_dec"), "sum_qty"),
+        Agg(SUM, Some("price_dec"), "sum_price")))(
+        joined.select(
+          pmod(col("l_orderkey"), lit(10)).cast("long").as("bucket"),
+          dec(col("l_quantity")).as("qty_dec"),
+          dec(col("o_totalprice")).as("price_dec")))))
+  }
+
   private def qSpy(s: SparkSession, d: String): DataFrame =
     // SpyOperation passthrough (reference spy.h): observed metrics attach
     // to the plan without changing the data — the gate asserts identity.
@@ -1326,6 +1367,7 @@ object SparkEntry {
     "q_skew_collect_salted" -> (qSkewCollectSalted _),
     "q_scan_selection" -> (qScanSelection _),
     "q_file_roundtrip" -> (qFileRoundtrip _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_spy" -> (qSpy _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
@@ -1454,6 +1496,12 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT CAST(l_orderkey % 10 AS BIGINT) AS bucket, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_spy" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "q_sketch_distinct" ->
