@@ -39,6 +39,29 @@ object Relational {
   def fileOutput(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Total on-disk (compressed) bytes of ONE column across every parquet
+    * file in a directory, summed from the column-chunk metadata in the
+    * file footers — a driver-side metadata walk, no data pages read.
+    * This is how a storage-side claim ("int codes are smaller than the
+    * strings they replace") gets MEASURED instead of asserted. */
+  def parquetColumnBytes(spark: SparkSession, dir: String, column: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).iterator
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try r.getFooter.getBlocks.asScala.iterator
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == column)
+          .map(_.getTotalSize).sum
+        finally r.close()
+      }.sum
+  }
+
   /** Partitioned, size-targeted file output — the 100 TB writer shape:
     * directory-partition by low-cardinality columns (partition pruning on
     * read) and repartition so each partition directory gets
@@ -321,28 +344,81 @@ object Relational {
     * `unix_millis` of a timestamp); column names must not clash across
     * the two inputs. Degenerate intervals (end < start) are dropped, as
     * in SQL BETWEEN semantics.
+    *
+    * Scale note — the KEYLESS case: with no equi keys the shuffle key is
+    * `__b` alone, whose cardinality is time-domain ÷ bucketWidth —
+    * INDEPENDENT of data size (e.g. ~85 thirty-day buckets over a 7-year
+    * domain), so at 100 TB the probe would run at most that many tasks
+    * wide with hot-bucket skew. `saltBuckets` restores parallelism: each
+    * point gets a deterministic salt in [0, S) and each interval copy is
+    * exploded across ALL S salts, so the join key becomes (__b, __salt) —
+    * S× more partitions at the price of S× interval duplication (cheap
+    * when the interval side is the small one, the common shape). A point
+    * still meets an interval in exactly one (bucket, salt) pair, so
+    * results are identical and no dedup pass is needed.
+    *
+    * @param saltBuckets 0 (default) = auto: `spark.sql.shuffle.partitions`
+    *                    when `keys` is empty, no salting otherwise;
+    *                    1 = never salt; >1 = explicit salt fan-out.
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
                 pointExpr: Column, startExpr: Column, endExpr: Column,
-                bucketWidth: Long): DataFrame = {
+                bucketWidth: Long, saltBuckets: Int = 0): DataFrame = {
     require(bucketWidth > 0, "rangeJoin: bucketWidth must be positive")
+    require(saltBuckets >= 0, "rangeJoin: saltBuckets must be >= 0")
+    val salts =
+      if (saltBuckets > 0) saltBuckets
+      else if (keys.nonEmpty) 1
+      else math.max(1,
+        points.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     // Materialize the domain expressions once (the join would otherwise
     // re-evaluate them per candidate comparison), and repartition the
-    // point side on the bucket key: the candidate probe is the expensive
-    // step (per-bucket points × intervals), and this exchange spreads it
-    // across the cluster even when the upstream scan has few tasks — it is
-    // the same exchange a shuffle-hash join on the bucket would need.
-    val p = points.withColumn("__pt", pointExpr)
+    // point side on the bucket (+salt) key: the candidate probe is the
+    // expensive step (per-bucket points × intervals), and this exchange
+    // spreads it across the cluster even when the upstream scan has few
+    // tasks — it is the same exchange a shuffle-hash join on the bucket
+    // would need. The salt hashes ALL point columns, so identical buckets
+    // spread evenly and deterministically.
+    val p0 = points.withColumn("__pt", pointExpr)
       .withColumn("__b", floor(col("__pt") / bucketWidth).cast("long"))
-      .repartition((keys.map(col) :+ col("__b")): _*)
-    val i = intervals.withColumn("__s", startExpr).withColumn("__e", endExpr)
+    val p1 = if (salts > 1)
+      p0.withColumn("__salt",
+        pmod(xxhash64(points.columns.map(col) :+ col("__pt"): _*), lit(salts)))
+    else p0
+    val saltKeys = if (salts > 1) Seq("__salt") else Nil
+    val joinKeys = (keys ++ Seq("__b") ++ saltKeys).toSeq
+    val p = p1.repartition(joinKeys.map(col): _*)
+    val i0 = intervals.withColumn("__s", startExpr).withColumn("__e", endExpr)
       .where(col("__e") >= col("__s")) // sequence() would run backwards otherwise
       .withColumn("__b", explode(sequence(
         floor(col("__s") / bucketWidth).cast("long"),
         floor(col("__e") / bucketWidth).cast("long"))))
-    p.join(i, (keys :+ "__b").toSeq, "inner")
+    val i = if (salts > 1)
+      i0.withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    else i0
+    p.join(i, joinKeys, "inner")
       .where(col("__pt") >= col("__s") && col("__pt") <= col("__e"))
-      .drop("__b", "__pt", "__s", "__e")
+      .drop((Seq("__b", "__pt", "__s", "__e") ++ saltKeys): _*)
+  }
+
+  /** Pick a [[rangeJoin]] bucketWidth from the interval-length
+    * distribution instead of by hand (a 100 TB user who guesses the width
+    * wrong either explodes every interval into thousands of copies —
+    * width too small — or funnels all points into a handful of buckets —
+    * width too big). One `approxQuantile` pass over the computed length:
+    * width = the `percentile`-th length + 1, so at least that fraction of
+    * intervals lands in at most 2 buckets and total duplication is
+    * bounded by the tail above the percentile. */
+  def chooseRangeBucketWidth(intervals: DataFrame, startExpr: Column,
+                             endExpr: Column,
+                             percentile: Double = 0.9): Long = {
+    require(percentile > 0 && percentile <= 1,
+      "chooseRangeBucketWidth: percentile must be in (0, 1]")
+    val len = intervals
+      .select((endExpr.cast("double") - startExpr.cast("double")).as("__len"))
+      .where(col("__len") >= 0)
+    val q = len.stat.approxQuantile("__len", Array(percentile), 0.01)
+    math.max(1L, q.headOption.map(_.toLong + 1L).getOrElse(1L))
   }
 
   /** As-of join (capability superset; the reference has no temporal joins,

@@ -436,7 +436,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize the pair set, then release the sig cache
     withSig.unpersist()
-    leasedPairFrames.add(out)
+    leasePairFrame(out)
     out
   }
 
@@ -445,9 +445,27 @@ object Dedup {
     * every caller to `.unpersist()`: call [[releaseCachedPairs]] at a
     * batch boundary (Bench does, between timed attempts, via
     * `spark.catalog.clearCache()` — this API is the targeted equivalent
-    * that does not drop unrelated caches). */
+    * that does not drop unrelated caches). The queue is BOUNDED at
+    * [[MaxLeasedPairFrames]]: leasing one more unpersists the oldest, so
+    * an uncooperative caller that never releases cannot accumulate
+    * MEMORY_AND_DISK frames without limit. */
   private val leasedPairFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Cap on concurrently cached pair frames (recent leases a caller is
+    * plausibly still consuming); beyond it the oldest is evicted. */
+  val MaxLeasedPairFrames = 4
+
+  /** Number of pair frames currently leased (visible for specs/monitors). */
+  def leasedPairCount: Int = leasedPairFrames.size
+
+  private[pipeline] def leasePairFrame(df: DataFrame): Unit = {
+    leasedPairFrames.add(df)
+    while (leasedPairFrames.size > MaxLeasedPairFrames) {
+      val oldest = leasedPairFrames.poll()
+      if (oldest != null) oldest.unpersist(blocking = false)
+    }
+  }
 
   /** Unpersist (non-blocking) every pair frame handed out by
     * [[simhashPortablePairs]] since the last release. Frames already

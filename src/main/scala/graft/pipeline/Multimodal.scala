@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * frame-sampling plumbing.
   *
   * Codec status: BMP (24-bit uncompressed, BITMAPINFOHEADER), binary
-  * PPM (P6) and PNG (8-bit RGB, real zlib stream + CRC32/Adler32,
-  * IDAT verified by actual Inflater decompression) are REAL pure-JVM
-  * codecs — no image library needed — and decodeMeta dispatches on the
-  * payload's magic bytes. Remaining formats (JPEG/audio/video) need
-  * codec libraries this environment does not have, so payloads that
-  * match no real codec fall through to the clearly-marked deterministic
-  * STUB. The Spark-side plumbing
+  * PPM (P6), PNG (8-bit RGB, real zlib stream + CRC32/Adler32, IDAT
+  * verified by actual Inflater decompression) and JPEG (marker-segment
+  * walk to SOF0/SOF2 — header-level, no entropy decode) are REAL
+  * pure-JVM codecs — no image library needed — and decodeMeta
+  * dispatches on the payload's magic bytes. Remaining formats
+  * (audio/video, full JPEG pixel decode) need codec libraries this
+  * environment does not have, so payloads that match no real codec
+  * fall through to the clearly-marked deterministic STUB. The
+  * Spark-side plumbing
   * (schemas, binary slicing, mapPartitions batch shape, partition-parallel
   * execution) is shared by both paths.
   */
@@ -241,10 +243,97 @@ object Multimodal {
                    seedCol: String, out: String): DataFrame =
     encodeWith(df, widthCol, heightCol, seedCol, out)(encodePng)
 
+  // ===== JPEG (real, pure JVM, header-level: marker-segment stream) =====
+
+  /** REAL encoder: structurally valid baseline JPEG/JFIF marker stream —
+    * SOI, APP0 (JFIF 1.1), DQT (one 8-bit table), SOF0 (8-bit precision,
+    * 3 components, 1x1 sampling), SOS, `width*height` scan bytes cycling
+    * through `pixelSeed` (0xFF mapped to 0xFE so no byte-stuffing is
+    * needed and the size stays a closed form), EOI. Every length field a
+    * marker walker checks is written for real; entropy data is raw seed
+    * bytes (header-level codec — no Huffman coding, same fidelity tier
+    * as the BMP/PPM header parse). File size = 124 + width*height. */
+  def encodeJpegHeader(width: Int, height: Int, pixelSeed: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      "encodeJpegHeader: dimensions must be in [1, 65535]")
+    val scan = new Array[Byte](width * height)
+    var i = 0
+    while (i < scan.length) {
+      val b = if (pixelSeed.isEmpty) 0 else pixelSeed(i % pixelSeed.length) & 0xff
+      scan(i) = (if (b == 0xff) 0xfe else b).toByte
+      i += 1
+    }
+    val out = java.nio.ByteBuffer.allocate(124 + scan.length) // big-endian, as JPEG is
+    out.putShort(0xffd8.toShort) // SOI
+    out.putShort(0xffe0.toShort).putShort(16) // APP0, length 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(1.toByte) // version 1.1
+      .put(0.toByte).putShort(1).putShort(1) // aspect-ratio units, 1:1 density
+      .put(0.toByte).put(0.toByte) // no thumbnail
+    out.putShort(0xffdb.toShort).putShort(67).put(0.toByte) // DQT, table 0, 8-bit
+    var q = 0
+    while (q < 64) { out.put((16 + q % 8).toByte); q += 1 }
+    out.putShort(0xffc0.toShort).putShort(17).put(8.toByte) // SOF0, length 8+3*3
+      .putShort(height.toShort).putShort(width.toShort).put(3.toByte)
+    var c = 1
+    while (c <= 3) { out.put(c.toByte).put(0x11.toByte).put(0.toByte); c += 1 }
+    out.putShort(0xffda.toShort).putShort(12).put(3.toByte) // SOS, length 6+2*3
+    c = 1
+    while (c <= 3) { out.put(c.toByte).put(0.toByte); c += 1 }
+    out.put(0.toByte).put(0x3f.toByte).put(0.toByte) // spectral 0..63, no approx
+    out.put(scan)
+    out.putShort(0xffd9.toShort) // EOI
+    out.array()
+  }
+
+  /** REAL decoder: JPEG marker-segment walk — SOI, then skip each
+    * variable-length segment by its big-endian length field until a
+    * frame header (SOF0–SOF15, excluding DHT/JPG/DAC which share the
+    * 0xC0 block) yields height/width/components; fill bytes and
+    * standalone markers (TEM, RSTn) are stepped over per the spec. A
+    * stream that hits SOS or EOI before any SOF, or whose lengths run
+    * past the payload, is rejected. Works on real camera files (SOF0
+    * baseline and SOF2 progressive alike) — only the header is parsed,
+    * no entropy decode. */
+  def decodeJpeg(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes.length < 4 ||
+      (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    while (pos + 1 < bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      var p = pos + 1
+      while (p < bytes.length && (bytes(p) & 0xff) == 0xff) p += 1 // fill bytes
+      if (p >= bytes.length) return None
+      val m = bytes(p) & 0xff
+      p += 1
+      if (m == 0xd9 || m == 0xda) return None // EOI / SOS before any SOF
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos = p } // standalone
+      else {
+        if (p + 1 >= bytes.length) return None
+        val len = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+        if (len < 2 || p + len > bytes.length) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 8) return None
+          val h = ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
+          val w = ((bytes(p + 5) & 0xff) << 8) | (bytes(p + 6) & 0xff)
+          return if (w > 0 && h > 0) Some(("image/jpeg", w, h)) else None
+        }
+        pos = p + len
+      }
+    }
+    None
+  }
+
+  /** Encode (width, height, seed-bytes) columns into REAL JPEG payloads. */
+  def encodeJpegCol(df: DataFrame, widthCol: String, heightCol: String,
+                    seedCol: String, out: String): DataFrame =
+    encodeWith(df, widthCol, heightCol, seedCol, out)(encodeJpegHeader)
+
   /** STUB image decode — the fallback for formats whose codecs this
-    * environment lacks (JPEG/audio/video). Derives deterministic
-    * dimensions from the payload bytes so tests are stable; a real
-    * codec library call goes here. */
+    * environment lacks (audio/video; JPEG headers now parse for real).
+    * Derives deterministic dimensions from the payload bytes so tests
+    * are stable; a real codec library call goes here. */
   def fakeDecode(bytes: Array[Byte]): (String, Int, Int) = {
     // STUB: pretend the first bytes are a header; a real decoder goes here.
     val w = if (bytes.isEmpty) 0 else ((bytes(0) & 0xff) % 64) + 1
@@ -252,10 +341,11 @@ object Multimodal {
     ("fake/raw", w, h)
   }
 
-  /** Magic-byte dispatch: real codecs first (BMP, PPM, PNG), stub
+  /** Magic-byte dispatch: real codecs first (BMP, PPM, PNG, JPEG), stub
     * fallback. */
   def decodeAny(bytes: Array[Byte]): (String, Int, Int) =
     decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
+      .orElse(decodeJpeg(bytes))
       .getOrElse(fakeDecode(bytes))
 
   /** REAL encoder: binary PPM (P6) — ASCII header "P6\n{w} {h}\n255\n"

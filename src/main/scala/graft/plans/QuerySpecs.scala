@@ -19,12 +19,92 @@ import graft.operators.Aggregates._
   * round-trips losslessly, and the `build*` functions reconstitute
   * runnable operators on the receiving side.
   *
-  * Full expression trees are NOT re-serialized here by design: SQL text is
+  * FULL expression trees are NOT re-serialized here by design: SQL text is
   * Spark's canonical cross-process query serialization (SURVEY §3.3), and
   * `spark.sql(...)` already ships arbitrary expressions. This module covers
-  * the structured specs the reference serializes as protos.
+  * the structured specs the reference serializes as protos, plus the
+  * [[ExprSpec]] subset (column refs, typed literals, comparisons, boolean
+  * connectives, IS NULL, add/sub/mul) matching the shapes
+  * build_expression_from_proto.h reconstitutes — enough for serialized
+  * Filter/Project stages without re-inventing a SQL parser.
   */
 object QuerySpecs {
+
+  /** One expression-tree node, JSON-encoded as a single recursive record:
+    * `op` selects the node kind; `column` (op=col), `value`+`valueType`
+    * (op=lit — the literal is carried as its string form and CAST to the
+    * DDL type on rebuild, so the wire format has no engine-specific value
+    * encoding), `children` (everything else). Ops: col, lit, eq, neq, lt,
+    * le, gt, ge, and, or, not, isnull, add, sub, mul. */
+  final case class ExprSpec(op: String,
+                            column: Option[String] = None,
+                            value: Option[String] = None,
+                            valueType: Option[String] = None,
+                            children: List[ExprSpec] = Nil)
+
+  /** Filter stage: keep rows where the predicate is true (reference
+    * cursor/core/filter.h — predicate shipped as an expression proto). */
+  final case class FilterSpec(predicate: ExprSpec)
+
+  /** One projected column: expression + optional output name. */
+  final case class ProjectField(expr: ExprSpec, as: Option[String] = None)
+
+  /** Projection stage (reference cursor/core/project.h): the output has
+    * EXACTLY these columns, in order. */
+  final case class ProjectSpec(columns: List[ProjectField])
+
+  object ExprSpec {
+    def colRef(name: String): ExprSpec = ExprSpec("col", column = Some(name))
+    def literal(value: String, ddlType: String): ExprSpec =
+      ExprSpec("lit", value = Some(value), valueType = Some(ddlType))
+    private def node(op: String, cs: ExprSpec*): ExprSpec =
+      ExprSpec(op, children = cs.toList)
+    def eq(a: ExprSpec, b: ExprSpec): ExprSpec = node("eq", a, b)
+    def neq(a: ExprSpec, b: ExprSpec): ExprSpec = node("neq", a, b)
+    def lt(a: ExprSpec, b: ExprSpec): ExprSpec = node("lt", a, b)
+    def le(a: ExprSpec, b: ExprSpec): ExprSpec = node("le", a, b)
+    def gt(a: ExprSpec, b: ExprSpec): ExprSpec = node("gt", a, b)
+    def ge(a: ExprSpec, b: ExprSpec): ExprSpec = node("ge", a, b)
+    def and(a: ExprSpec, b: ExprSpec): ExprSpec = node("and", a, b)
+    def or(a: ExprSpec, b: ExprSpec): ExprSpec = node("or", a, b)
+    def not(a: ExprSpec): ExprSpec = node("not", a)
+    def isNull(a: ExprSpec): ExprSpec = node("isnull", a)
+    def add(a: ExprSpec, b: ExprSpec): ExprSpec = node("add", a, b)
+    def sub(a: ExprSpec, b: ExprSpec): ExprSpec = node("sub", a, b)
+    def mul(a: ExprSpec, b: ExprSpec): ExprSpec = node("mul", a, b)
+  }
+
+  /** Reconstitute an [[ExprSpec]] tree as a Catalyst Column. */
+  def toColumn(e: ExprSpec): Column = {
+    def child(i: Int): Column = toColumn(e.children(i))
+    def binary(f: (Column, Column) => Column): Column = {
+      require(e.children.size == 2, s"'${e.op}' expects 2 children")
+      f(child(0), child(1))
+    }
+    e.op match {
+      case "col" => col(e.column.getOrElse(
+        throw new IllegalArgumentException("col node needs 'column'")))
+      case "lit" =>
+        val t = DataType.fromDDL(e.valueType.getOrElse("STRING"))
+        lit(e.value.orNull).cast(t)
+      case "eq" => binary(_ === _)
+      case "neq" => binary(_ =!= _)
+      case "lt" => binary(_ < _)
+      case "le" => binary(_ <= _)
+      case "gt" => binary(_ > _)
+      case "ge" => binary(_ >= _)
+      case "and" => binary(_ && _)
+      case "or" => binary(_ || _)
+      case "not" =>
+        require(e.children.size == 1, "'not' expects 1 child"); !child(0)
+      case "isnull" =>
+        require(e.children.size == 1, "'isnull' expects 1 child"); child(0).isNull
+      case "add" => binary(_ + _)
+      case "sub" => binary(_ - _)
+      case "mul" => binary(_ * _)
+      case other => throw new IllegalArgumentException(s"unknown expr op '$other'")
+    }
+  }
 
   /** One sort key (reference: proto/specification.proto SortSpecification —
     * column, direction, case sensitivity). */
@@ -64,6 +144,10 @@ object QuerySpecs {
 
   def writeAggSpec(spec: AggSpec): String = Serialization.write(spec)
   def readAggSpec(json: String): AggSpec = Serialization.read[AggSpec](json)
+  def writeFilterSpec(spec: FilterSpec): String = Serialization.write(spec)
+  def readFilterSpec(json: String): FilterSpec = Serialization.read[FilterSpec](json)
+  def writeProjectSpec(spec: ProjectSpec): String = Serialization.write(spec)
+  def readProjectSpec(json: String): ProjectSpec = Serialization.read[ProjectSpec](json)
   def writeSortSpec(spec: SortSpec): String = Serialization.write(spec)
   def readSortSpec(json: String): SortSpec = Serialization.read[SortSpec](json)
   def writeSampleSpec(spec: SampleSpec): String = Serialization.write(spec)
@@ -99,6 +183,19 @@ object QuerySpecs {
   def buildAggregate(spec: AggSpec)(df: DataFrame): DataFrame =
     if (spec.groupBy.isEmpty) Aggregates.scalarAggregate(spec.aggs.map(toAgg))(df)
     else Aggregates.groupAggregate(spec.groupBy, spec.aggs.map(toAgg))(df)
+
+  /** Reconstitute + run a filter spec (predicate-true rows kept, standard
+    * SQL three-valued semantics — NULL predicate drops the row). */
+  def buildFilter(spec: FilterSpec)(df: DataFrame): DataFrame =
+    Relational.filter(toColumn(spec.predicate))(df)
+
+  /** Reconstitute + run a projection spec (exact output columns, in
+    * order; unnamed computed fields keep Spark's derived name). */
+  def buildProject(spec: ProjectSpec)(df: DataFrame): DataFrame =
+    df.select(spec.columns.map { f =>
+      val c = toColumn(f.expr)
+      f.as.fold(c)(c.as)
+    }: _*)
 
   /** Reconstitute + run a sort spec (ExtendedSort: case-insensitive keys,
     * optional distributed top-k). */

@@ -318,6 +318,80 @@ object Streams {
         .select(col("user_id"), col("purchase_id"), col("click_id"))
     }
 
+  /** Stream-static anti-join under a two-phase harness
+    * (q_stream_static_filter): the daily incremental-ingest shape — an
+    * event stream filtered against a STATIC parquet blocklist that is
+    * REFRESHED between runs. Phase 1: the even-event_id half of events
+    * streams against blocklist V1 (user_id % 10 == 0). Phase 2: the
+    * blocklist directory gains the user_id % 10 == 1 keys, the odd half
+    * plus the sentinel arrives, and the SAME query resumes from its
+    * checkpoint — the static side is re-planned on (re)start, so phase-2
+    * rows must be filtered by the UPDATED list. A stale static side
+    * would leak user_id%10==1 rows from phase 2 into the sink and
+    * hash-mismatch the oracle, which encodes the phase split explicitly;
+    * phase-1 rows with user_id%10==1 stay committed (already ingested —
+    * exactly the production contract: a blocklist refresh is not
+    * retroactive over committed output). No state store is involved:
+    * the anti-join re-executes per micro-batch. */
+  def staticFilterStreamGate(spark: SparkSession, sfDir: String,
+                             workDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val work = Paths.get(workDir)
+    if (Files.exists(work)) {
+      val walk = Files.walk(work)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+    val in = work.resolve("in")
+    val block = work.resolve("block")
+    Files.createDirectories(in)
+    Files.createDirectories(block)
+    // stage a frame's parquet parts into a live source directory under a
+    // distinct prefix (the file source tracks seen files by name)
+    def stage(df: DataFrame, dir: java.nio.file.Path, prefix: String): Unit = {
+      val staging = work.resolve(s"${prefix}_staging")
+      df.write.parquet(staging.toString)
+      val listing = Files.list(staging)
+      val parts =
+        try listing.filter(_.toString.endsWith(".parquet"))
+          .sorted().toArray(new Array[java.nio.file.Path](_))
+        finally listing.close()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, dir.resolve(f"${prefix}_$i%05d.parquet"))
+      }
+    }
+    val ev = spark.read.schema(EventSchemaRaw)
+      .parquet(Paths.get(sfDir, "events.parquet").toString)
+    stage(ev.where(col("event_id") % 2 === 0), in, "events_a")
+    stage(ev.where(col("user_id") % 10 === 0).select("user_id").distinct(),
+      block, "block_v1")
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val blockSchema = StructType(Seq(StructField("user_id", LongType)))
+    def runToCompletion(): Unit = {
+      val stream = readEvents(spark, in.toString, glob = "events*.parquet")
+      val static = spark.read.schema(blockSchema).parquet(block.toString)
+      parquetSink(
+        filterAgainstStatic(stream, static, Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("event_type")),
+        outDir, ckpt, trigger = Some(Trigger.AvailableNow())).awaitTermination()
+    }
+    runToCompletion()
+    // refresh the blocklist, then deliver phase 2 + the sentinel
+    stage(ev.where(col("user_id") % 10 === 1).select("user_id").distinct(),
+      block, "block_v2")
+    stage(ev.where(col("event_id") % 2 === 1), in, "events_b")
+    val maxNs = ev.agg(max("ts")).head.getLong(0)
+    val sentinel = Row(-1L, maxNs + 30L * 24 * 3600 * 1000000000L,
+      -1L, "sentinel", 0.0, "{}")
+    stage(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(sentinel), 1), EventSchemaRaw),
+      in, "events_zz")
+    runToCompletion()
+    spark.read.parquet(outDir)
+  }
+
   /** Shared gate harness (see [[windowedStreamGate]] scaladoc for the
     * mechanics): stage input → run to completion → append a sentinel
     * event 30 days past the newest real one → resume from checkpoint →

@@ -212,6 +212,51 @@ class RelationalSpec extends SparkSpec {
       .select("pid")).flatten == Seq(1))
   }
 
+  test("rangeJoin keyless path salts the shuffle key (parallelism at scale)") {
+    val pts = Seq((1, 5L), (2, 10L), (3, 25L), (4, 99L)).toDF("pid", "t")
+    val ivs = Seq((100, 5L, 10L), (200, 8L, 31L), (300, 40L, 41L)).toDF("iid", "s", "e")
+    val unsalted = Relational.rangeJoin(pts, ivs, Nil, col("t"), col("s"), col("e"),
+      bucketWidth = 10L, saltBuckets = 1)
+    val salted = Relational.rangeJoin(pts, ivs, Nil, col("t"), col("s"), col("e"),
+      bucketWidth = 10L, saltBuckets = 8)
+    // identical results: a point meets an interval in exactly one
+    // (bucket, salt) pair, intervals are replicated across all salts
+    assert(rows(salted.select("pid", "iid").orderBy("pid", "iid")) ==
+      rows(unsalted.select("pid", "iid").orderBy("pid", "iid")))
+    // the exchange hashes (__b, __salt): partitioning cardinality is no
+    // longer capped at the raw bucket count (the named 100 TB scale-killer)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(__b") && plan.contains("__salt"),
+      s"keyless range join must salt its exchange:\n$plan")
+    // keys empty + default saltBuckets=0 auto-salts too
+    val auto = Relational.rangeJoin(pts, ivs, Nil, col("t"), col("s"), col("e"), 10L)
+    assert(auto.queryExecution.executedPlan.toString.contains("__salt"))
+    // with equi keys the shuffle key is already high-cardinality — no salt
+    val kp = Seq(("a", 1, 5L)).toDF("k", "pid", "t")
+    val ki = Seq(("a", 100, 0L, 9L)).toDF("k", "iid", "s", "e")
+    val keyed = Relational.rangeJoin(kp, ki, Seq("k"), col("t"), col("s"), col("e"), 10L)
+    assert(!keyed.queryExecution.executedPlan.toString.contains("__salt"))
+  }
+
+  test("chooseRangeBucketWidth bounds interval duplication on mixed lengths") {
+    // 95 short intervals (len 10) and 5 long tails (len 1000): a naive
+    // hand-picked width of 1 would explode them into ~6000 copies
+    val ivs = ((1 to 95).map(i => (i, i * 2000L, i * 2000L + 10L)) ++
+      (96 to 100).map(i => (i, i * 2000L, i * 2000L + 1000L))).toDF("iid", "s", "e")
+    val w = Relational.chooseRangeBucketWidth(ivs, col("s"), col("e"))
+    assert(w >= 10L && w <= 1001L, s"width $w outside the length domain")
+    // the p90 width keeps the BULK at <= 2 bucket copies each; only the
+    // 5% tail explodes proportionally to its own length
+    val perIv = ivs.select(
+      (floor(col("e") / w) - floor(col("s") / w) + 1).as("copies"))
+    assert(perIv.where(col("copies") <= 2).count() >= 90)
+    // total duplication obeys the closed-form bound n + sum(len)/w
+    val total = perIv.agg(sum("copies")).head.getLong(0)
+    val sumLen = ivs.select(sum(col("e") - col("s"))).head.getLong(0)
+    assert(total <= 100 + sumLen / w + 1,
+      s"total copies $total exceed the n + sum(len)/w bound")
+  }
+
   test("fileOutputPartitioned writes partition dirs with bounded file counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fop").toString
     val df = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("k", "par")

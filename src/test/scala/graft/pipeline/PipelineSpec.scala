@@ -198,6 +198,44 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodePng(png.take(40)).isEmpty)
   }
 
+  test("multimodal: REAL JPEG header codec — marker walk, ImageIO cross-check") {
+    val jpg = Multimodal.encodeJpegHeader(33, 21, Array[Byte](1, 2, 0xff.toByte))
+    // size law: 124 framing bytes (SOI+APP0+DQT+SOF0+SOS+EOI) + w*h scan
+    assert(jpg.length == 124 + 33 * 21)
+    // the decoder must SKIP APP0 and DQT by their big-endian length
+    // fields to reach the SOF0 geometry — offsets are walked, not fixed
+    assert(Multimodal.decodeJpeg(jpg).contains(("image/jpeg", 33, 21)))
+    assert(Multimodal.decodeAny(jpg) == ("image/jpeg", 33, 21))
+    // the JDK's OWN JPEG reader agrees on the header geometry — the
+    // marker stream is spec-conformant, not just self-consistent
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+    assert(it.hasNext, "JDK JPEG reader missing")
+    val reader = it.next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(jpg)))
+    assert(reader.getWidth(0) == 33 && reader.getHeight(0) == 21)
+    reader.dispose()
+    // 0xFF seed bytes are mapped away, so scan data needs no byte
+    // stuffing and the size law above holds for any seed
+    assert(!jpg.slice(122, jpg.length - 2).contains(0xff.toByte))
+    // truncation, SOS/EOI-before-SOF, and bad magic all reject (fall
+    // through to the stub rather than misparse)
+    assert(Multimodal.decodeJpeg(jpg.take(20)).isEmpty)
+    assert(Multimodal.decodeJpeg(jpg.take(100)).isEmpty)
+    assert(Multimodal.decodeJpeg(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    assert(Multimodal.decodeJpeg("not a jpeg".getBytes).isEmpty)
+    // dataframe path: encodeJpegCol -> decodeMeta dispatch
+    val df = Seq((7L, 5, 3, "seed"), (8L, 2, 2, "x")).toDF("id", "w", "h", "t")
+      .withColumn("seed", col("t").cast("binary"))
+    val meta = Multimodal.decodeMeta(
+      Multimodal.encodeJpegCol(df, "w", "h", "seed", "payload"), "payload")
+      .select("id", "media_format", "width", "height", "n_bytes")
+    assert(rows(meta.orderBy("id")) == Seq(
+      Seq(7L, "image/jpeg", 5, 3, 124L + 15L),
+      Seq(8L, "image/jpeg", 2, 2, 124L + 4L)))
+  }
+
   test("multimodal resize: nearest-neighbor byte sampling to target length") {
     val df = Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text")
     val b = Multimodal.asBinary(df, "text", "payload")

@@ -85,4 +85,43 @@ class QuerySpecsSpec extends SparkSpec {
       toAgg(AggFieldSpec("MEDIAN", Some("amt"), "m"))
     }
   }
+
+  test("FilterSpec expression tree round-trips and matches the Column DSL") {
+    import ExprSpec._
+    // every node kind in one predicate: and/or/not/isnull/comparison,
+    // typed literal, column ref
+    val spec = FilterSpec(
+      and(gt(colRef("amt"), literal("60", "INT")),
+        not(or(ExprSpec.eq(colRef("dept"), literal("sales", "STRING")),
+          isNull(colRef("dept"))))))
+    val json = writeFilterSpec(spec)
+    assert(readFilterSpec(json) == spec)
+    // the wire format is plain JSON another process can produce
+    assert(json.contains("\"op\":\"and\"") && json.contains("\"valueType\":\"INT\""))
+    val viaJson = buildFilter(readFilterSpec(json))(sales).orderBy("who")
+    val direct = sales.where(col("amt") > 60 &&
+      !(col("dept") === "sales" || col("dept").isNull)).orderBy("who")
+    assert(rows(viaJson) == rows(direct))
+    assert(rows(viaJson).map(_(1)) == Seq("alice", "bob", "eve"))
+  }
+
+  test("ProjectSpec round-trips; rename and computed columns rebuild") {
+    import ExprSpec._
+    val spec = ProjectSpec(List(
+      ProjectField(colRef("who")),
+      ProjectField(mul(colRef("amt"), literal("2", "INT")), as = Some("amt2")),
+      ProjectField(add(sub(colRef("amt"), literal("1", "INT")),
+        literal("1", "INT")), as = Some("amt_again")),
+      ProjectField(colRef("dept"), as = Some("team"))))
+    assert(readProjectSpec(writeProjectSpec(spec)) == spec)
+    val out = buildProject(readProjectSpec(writeProjectSpec(spec)))(sales).orderBy("who")
+    assert(out.columns.toSeq == Seq("who", "amt2", "amt_again", "team"))
+    assert(rows(out).head == Seq("alice", 200, 100, "eng"))
+  }
+
+  test("malformed expression nodes fail fast, not silently") {
+    intercept[IllegalArgumentException] { toColumn(ExprSpec("frobnicate")) }
+    intercept[IllegalArgumentException] { toColumn(ExprSpec("eq")) } // no children
+    intercept[IllegalArgumentException] { toColumn(ExprSpec("col")) } // no column
+  }
 }

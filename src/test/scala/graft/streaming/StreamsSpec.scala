@@ -221,6 +221,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("staticFilterStreamGate: resumed run filters by the REFRESHED blocklist") {
+    val work = java.nio.file.Files.createTempDirectory("graft_ssf_spec").toString
+    val out = Streams.staticFilterStreamGate(spark, sf(), work)
+      .where(col("user_id") =!= -1)
+      .select("event_id", "user_id", "event_type")
+    // expected = the two-phase split: even event_ids filtered by V1
+    // (user%10=0), odd event_ids by the refreshed V2 (user%10 in 0,1)
+    val ev = spark.read.schema(Streams.EventSchemaRaw)
+      .parquet(sf() + "/events.parquet")
+    val expected = ev.where(
+      (col("event_id") % 2 === 0 && col("user_id") % 10 =!= 0) ||
+        (col("event_id") % 2 === 1 && col("user_id") % 10 =!= 0 &&
+          col("user_id") % 10 =!= 1))
+      .select("event_id", "user_id", "event_type")
+    assert(rows(out.orderBy("event_id")) == rows(expected.orderBy("event_id")))
+    // the refresh is load-bearing: a stale V1 on resume would have kept
+    // odd-event_id rows of user%10=1 users — assert none leaked and the
+    // corresponding EVEN rows (committed before the refresh) are present
+    assert(out.where(col("event_id") % 2 === 1 && col("user_id") % 10 === 1).count() == 0)
+    assert(out.where(col("event_id") % 2 === 0 && col("user_id") % 10 === 1).count() ==
+      ev.where(col("event_id") % 2 === 0 && col("user_id") % 10 === 1).count())
+  }
+
   test("file-source streaming over the real ns-timestamp events parquet") {
     val streamDf = Streams.readEvents(spark, sf())
     assert(streamDf.isStreaming)
