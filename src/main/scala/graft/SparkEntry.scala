@@ -448,12 +448,17 @@ object SparkEntry {
     val big = Tables.orders(s, d).where(col("o_totalprice") > 495000.0)
       .select(col("o_orderkey"), col("o_orderdate"))
     // parquet timestamps read as TIMESTAMP_NTZ; UTC session makes the
-    // cast to instant-typed TIMESTAMP an identity
+    // cast to instant-typed TIMESTAMP an identity. The bucket width is
+    // CHOSEN from the interval-length distribution (here every interval
+    // is exactly 30 days, so the p90 chooser lands on ~30 days) — the
+    // driver gate exercises the auto-width path end-to-end; width cannot
+    // change the result set, only the explode/probe balance.
+    val start = unix_millis(col("o_orderdate").cast("timestamp"))
+    val end = unix_millis(col("o_orderdate").cast("timestamp")) + 30L * day
+    val width = Relational.chooseRangeBucketWidth(big, start, end)
     val j = Relational.rangeJoin(li, big, Nil,
       unix_millis(col("l_shipdate").cast("timestamp")),
-      unix_millis(col("o_orderdate").cast("timestamp")),
-      unix_millis(col("o_orderdate").cast("timestamp")) + 30L * day,
-      bucketWidth = 30L * day)
+      start, end, bucketWidth = width)
     j.groupBy("o_orderkey")
       .agg(count(lit(1)).as("n_shipped"),
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
@@ -1203,6 +1208,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qMultimodalWav(s: SparkSession, d: String): DataFrame = {
+    // AUDIO round-trip gate — the RIFF/WAVE chunk walk: a canonical
+    // 16-bit PCM WAV is built per document (true RIFF sizes, fmt chunk
+    // with derived byte-rate/block-align, data chunk cycling the text
+    // bytes), and decodeAudioMeta recovers channels/rate/bits and derives
+    // the sample count from the data-chunk size. File size is closed-form
+    // (44 header bytes + samples*channels*2), pinned by the oracle like
+    // the image gates.
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(2)) + 1).cast("int").as("ch"),
+      (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("int").as("rate"),
+      (pmod(col("doc_id"), lit(500)) + 1).cast("int").as("ns"),
+      col("text").cast("binary").as("seed"))
+    val enc = Multimodal.encodeWavCol(docs, "ch", "rate", "ns", "seed", "payload")
+    Multimodal.decodeAudioMeta(enc, "payload")
+      .select(col("doc_id"), col("media_format"), col("channels"),
+        col("sample_rate"), col("bits_per_sample"), col("n_samples"), col("n_bytes"),
+        (col("channels") === col("ch") && col("sample_rate") === col("rate") &&
+          col("n_samples") === col("ns")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  private def qMultimodalMp4(s: SparkSession, d: String): DataFrame = {
+    // VIDEO round-trip gate — the ISO-BMFF box walk: a minimal MP4
+    // (ftyp + moov>mvhd with real timescale/duration + mdat payload) is
+    // built per document; decodeVideoMeta must descend the box tree to
+    // mvhd and convert duration units to milliseconds through the
+    // per-document timescale — the oracle replays that integer
+    // arithmetic, so a misread offset or wrong division breaks the hash.
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      (lit(600) + pmod(col("doc_id"), lit(5)) * 100).cast("int").as("tsc"),
+      pmod(col("doc_id"), lit(100000)).cast("long").as("dur"),
+      pmod(col("doc_id"), lit(256)).cast("int").as("len"),
+      col("text").cast("binary").as("seed"))
+    val enc = Multimodal.encodeMp4Col(docs, "tsc", "dur", "len", "seed", "payload")
+    Multimodal.decodeVideoMeta(enc, "payload")
+      .select(col("doc_id"), col("media_format"), col("timescale"),
+        col("duration_units"), col("duration_ms"), col("n_bytes"),
+        (col("timescale") === col("tsc") &&
+          col("duration_units") === col("dur")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   private def qEventsWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.windowedStats(Tables.events(s, d))
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -1580,6 +1628,8 @@ object SparkEntry {
     "q_multimodal_ppm" -> (qMultimodalPpm _),
     "q_multimodal_png" -> (qMultimodalPng _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
+    "q_multimodal_wav" -> (qMultimodalWav _),
+    "q_multimodal_mp4" -> (qMultimodalMp4 _),
     "q_events_window" -> (qEventsWindow _),
     "q_stream_window" -> (qStreamWindow _),
     "q_window_rank" -> (qWindowRank _),
@@ -2288,6 +2338,27 @@ object SparkEntry {
         |CAST(doc_id % 64 + 1 AS INTEGER) AS width,
         |CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS height,
         |CAST(124 + (doc_id % 64 + 1) * ((doc_id // 64) % 64 + 1) AS BIGINT) AS n_bytes,
+        |TRUE AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // WAV file size = 44 (RIFF+fmt+data headers) + samples*channels*2
+    // (16-bit PCM frames).
+    "q_multimodal_wav" ->
+      """SELECT doc_id, 'audio/wav' AS media_format,
+        |CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+        |CAST(16 AS INTEGER) AS bits_per_sample,
+        |CAST(doc_id % 500 + 1 AS BIGINT) AS n_samples,
+        |CAST(44 + (doc_id % 500 + 1) * (doc_id % 2 + 1) * 2 AS BIGINT) AS n_bytes,
+        |TRUE AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // MP4 file size = 144 (ftyp 20 + moov/mvhd 116 + mdat header 8) +
+    // payload bytes; duration_ms replays the units*1000/timescale floor.
+    "q_multimodal_mp4" ->
+      """SELECT doc_id, 'video/mp4' AS media_format,
+        |CAST(600 + (doc_id % 5) * 100 AS INTEGER) AS timescale,
+        |CAST(doc_id % 100000 AS BIGINT) AS duration_units,
+        |CAST((doc_id % 100000) * 1000 // (600 + (doc_id % 5) * 100) AS BIGINT) AS duration_ms,
+        |CAST(144 + doc_id % 256 AS BIGINT) AS n_bytes,
         |TRUE AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_events_window" ->

@@ -8,15 +8,18 @@ import org.apache.spark.sql.types._
   * `binary` columns plus typed metadata, with decode / feature-extraction /
   * frame-sampling plumbing.
   *
-  * Codec status: BMP (24-bit uncompressed, BITMAPINFOHEADER), binary
-  * PPM (P6), PNG (8-bit RGB, real zlib stream + CRC32/Adler32, IDAT
-  * verified by actual Inflater decompression) and JPEG (marker-segment
-  * walk to SOF0/SOF2 — header-level, no entropy decode) are REAL
-  * pure-JVM codecs — no image library needed — and decodeMeta
-  * dispatches on the payload's magic bytes. Remaining formats
-  * (audio/video, full JPEG pixel decode) need codec libraries this
-  * environment does not have, so payloads that match no real codec
-  * fall through to the clearly-marked deterministic STUB. The
+  * Codec status — all REAL pure-JVM codecs, no media library needed:
+  * image: BMP (24-bit uncompressed, BITMAPINFOHEADER), binary PPM (P6),
+  * PNG (8-bit RGB, real zlib stream + CRC32/Adler32, IDAT verified by
+  * actual Inflater decompression), JPEG (marker-segment walk to
+  * SOF0/SOF2 — header-level, no entropy decode); audio: WAV
+  * (RIFF/WAVE chunk walk, PCM fmt + data); video: MP4 (ISO-BMFF box
+  * walk to moov>mvhd, v0 and v1). decodeMeta dispatches images on
+  * magic bytes; decodeAudioMeta / decodeVideoMeta are the typed audio/
+  * video faces. Full PIXEL/SAMPLE decompression for lossy formats
+  * (JPEG entropy decode, AAC/H.264) needs codec libraries this
+  * environment does not have, so only payloads that match no real
+  * codec fall through to the clearly-marked deterministic STUB. The
   * Spark-side plumbing
   * (schemas, binary slicing, mapPartitions batch shape, partition-parallel
   * execution) is shared by both paths.
@@ -329,6 +332,257 @@ object Multimodal {
   def encodeJpegCol(df: DataFrame, widthCol: String, heightCol: String,
                     seedCol: String, out: String): DataFrame =
     encodeWith(df, widthCol, heightCol, seedCol, out)(encodeJpegHeader)
+
+  // ===== WAV / audio (real, pure JVM: RIFF chunk stream) =====
+
+  /** Metadata schema for decoded audio payloads. */
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("media_format", StringType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true)))
+
+  /** REAL encoder: canonical 16-bit PCM WAV — RIFF header with true
+    * sizes, `fmt ` chunk (PCM, channels, sample rate, derived
+    * byte-rate/block-align), `data` chunk of nSamples frames cycling
+    * through `pixelSeed`. File size = 44 + nSamples*channels*2. */
+  def encodeWavPcm16(channels: Int, sampleRate: Int, nSamples: Int,
+                     seed: Array[Byte]): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && nSamples >= 0,
+      "encodeWavPcm16: need positive channels/rate and nSamples >= 0")
+    val blockAlign = channels * 2
+    val dataSize = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN) // RIFF is little-endian
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) {
+      buf.put(if (seed.isEmpty) 0.toByte else seed(i % seed.length))
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL decoder: RIFF/WAVE chunk walk — verifies the RIFF+WAVE magic,
+    * steps chunks by their little-endian size fields (word-aligned, per
+    * the RIFF spec), reads channels/rate/bits from `fmt ` and derives
+    * the sample count from the `data` chunk size. Rejects payloads
+    * missing either chunk or whose sizes run past the buffer. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes.length < 44 ||
+      new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var dataSize = -1L
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        val ch = bb.getShort(pos + 10) & 0xffff
+        val rate = bb.getInt(pos + 12)
+        val bits = bb.getShort(pos + 22) & 0xffff
+        if (ch == 0 || rate <= 0 || bits == 0) return None
+        fmt = Some((ch, rate, bits))
+      } else if (id == "data") dataSize = size.toLong
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    fmt.collect {
+      case (ch, rate, bits) if dataSize >= 0 && ch * bits / 8 > 0 =>
+        (ch, rate, bits, dataSize / (ch * bits / 8))
+    }
+  }
+
+  /** Encode (channels, sampleRate, nSamples, seed) columns into REAL WAV
+    * payloads; NULL in any parameter column yields a NULL payload. */
+  def encodeWavCol(df: DataFrame, channelsCol: String, rateCol: String,
+                   samplesCol: String, seedCol: String, out: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, BinaryType, nullable = true))
+    val ci = df.schema.fieldIndex(channelsCol)
+    val ri = df.schema.fieldIndex(rateCol)
+    val ni = df.schema.fieldIndex(samplesCol)
+    val si = df.schema.fieldIndex(seedCol)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(ci) || r.isNullAt(ri) || r.isNullAt(ni))
+          Row.fromSeq(r.toSeq :+ null)
+        else {
+          val seed = if (r.isNullAt(si)) Array.empty[Byte] else r.getAs[Array[Byte]](si)
+          Row.fromSeq(r.toSeq :+
+            encodeWavPcm16(r.getInt(ci), r.getInt(ri), r.getInt(ni), seed))
+        }
+      }
+    }(rowEnc)
+  }
+
+  /** Decode a binary column into AUDIO metadata (the audio face of
+    * [[decodeMeta]] — same mapPartitions plumbing, audio-typed fields). */
+  def decodeAudioMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ AudioMetaSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val decoded = Option(bytes).flatMap(decodeWav)
+        decoded match {
+          case Some((ch, rate, bits, n)) => Row.fromSeq(r.toSeq ++
+            Seq("audio/wav", ch, rate, bits, n, bytes.length.toLong))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null,
+            Option(bytes).map(_.length.toLong).orNull))
+        }
+      }
+    }(enc)
+  }
+
+  // ===== MP4 / video (real, pure JVM: ISO-BMFF box walk) =====
+
+  /** Metadata schema for decoded video payloads. */
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("media_format", StringType, nullable = true),
+    StructField("timescale", IntegerType, nullable = true),
+    StructField("duration_units", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true)))
+
+  /** REAL encoder: minimal ISO-BMFF (MP4) box stream — `ftyp` (isom),
+    * `moov` containing a version-0 `mvhd` with real timescale/duration,
+    * and an `mdat` carrying `payloadLen` seed bytes. All box sizes are
+    * true big-endian values. File size = 144 + payloadLen
+    * (ftyp 20 + moov 8+108 + mdat 8+len). */
+  def encodeMp4Header(timescale: Int, durationUnits: Long, payloadLen: Int,
+                      seed: Array[Byte]): Array[Byte] = {
+    require(timescale > 0 && durationUnits >= 0 && payloadLen >= 0,
+      "encodeMp4Header: need positive timescale, non-negative duration/len")
+    require(durationUnits <= 0xffffffffL, "encodeMp4Header: v0 mvhd duration is 32-bit")
+    val buf = java.nio.ByteBuffer.allocate(144 + payloadLen) // BE, as ISO-BMFF is
+    buf.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      .put("isom".getBytes("US-ASCII"))
+    buf.putInt(116).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation/modification time
+      .putInt(timescale).putInt(durationUnits.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      .putShort(0).putLong(0L) // reserved(2) + reserved2(8)
+    // unity matrix
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    var p = 0
+    while (p < 6) { buf.putInt(0); p += 1 } // pre_defined(24)
+    buf.putInt(2) // next_track_ID
+    buf.putInt(8 + payloadLen).put("mdat".getBytes("US-ASCII"))
+    var i = 0
+    while (i < payloadLen) {
+      buf.put(if (seed.isEmpty) 0.toByte else seed(i % seed.length))
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL decoder: ISO-BMFF box walk — requires a leading `ftyp`, steps
+    * top-level boxes by their big-endian sizes (64-bit largesize
+    * handled), descends into `moov` to find `mvhd`, and reads
+    * timescale/duration for both version 0 (32-bit) and version 1
+    * (64-bit) layouts. Truncated/over-running box sizes reject. */
+  def decodeMp4(bytes: Array[Byte]): Option[(Int, Long)] = {
+    if (bytes.length < 16 || new String(bytes, 4, 4, "US-ASCII") != "ftyp") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    def boxes(from: Long, until: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] { // (type, contentStart, contentEnd)
+        private var pos = from
+        def hasNext: Boolean = pos + 8 <= until
+        def next(): (String, Long, Long) = {
+          val size32 = bb.getInt(pos.toInt).toLong & 0xffffffffL
+          val tp = new String(bytes, pos.toInt + 4, 4, "US-ASCII")
+          val (size, hdr) =
+            if (size32 == 1 && pos + 16 <= until) (bb.getLong(pos.toInt + 8), 16L)
+            else (size32, 8L)
+          val start = pos + hdr
+          val end = pos + size
+          pos = if (size < hdr || end > until) until else end // malformed: stop
+          (tp, start, math.min(end, until))
+        }
+      }
+    boxes(0, bytes.length.toLong)
+      .collectFirst { case ("moov", s, e) => (s, e) }
+      .flatMap { case (s, e) =>
+        boxes(s, e).collectFirst { case ("mvhd", ms, me) => (ms, me) }
+      }
+      .flatMap { case (ms, me) =>
+        if (me - ms < 20) None
+        else {
+          val version = bytes(ms.toInt) & 0xff
+          if (version == 0) {
+            val timescale = bb.getInt(ms.toInt + 12)
+            val duration = bb.getInt(ms.toInt + 16).toLong & 0xffffffffL
+            if (timescale > 0) Some((timescale, duration)) else None
+          } else if (version == 1 && me - ms >= 32) {
+            val timescale = bb.getInt(ms.toInt + 20)
+            val duration = bb.getLong(ms.toInt + 24)
+            if (timescale > 0 && duration >= 0) Some((timescale, duration)) else None
+          } else None
+        }
+      }
+  }
+
+  /** Encode (timescale, durationUnits, payloadLen, seed) columns into
+    * REAL MP4 payloads; NULL in any parameter column yields NULL. */
+  def encodeMp4Col(df: DataFrame, timescaleCol: String, durationCol: String,
+                   lenCol: String, seedCol: String, out: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, BinaryType, nullable = true))
+    val ti = df.schema.fieldIndex(timescaleCol)
+    val di = df.schema.fieldIndex(durationCol)
+    val li = df.schema.fieldIndex(lenCol)
+    val si = df.schema.fieldIndex(seedCol)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(ti) || r.isNullAt(di) || r.isNullAt(li))
+          Row.fromSeq(r.toSeq :+ null)
+        else {
+          val seed = if (r.isNullAt(si)) Array.empty[Byte] else r.getAs[Array[Byte]](si)
+          Row.fromSeq(r.toSeq :+
+            encodeMp4Header(r.getInt(ti), r.getLong(di), r.getInt(li), seed))
+        }
+      }
+    }(rowEnc)
+  }
+
+  /** Decode a binary column into VIDEO metadata (ISO-BMFF face of
+    * [[decodeMeta]]); duration_ms = floor(units * 1000 / timescale). */
+  def decodeVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ VideoMetaSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        Option(bytes).flatMap(decodeMp4) match {
+          case Some((ts, dur)) => Row.fromSeq(r.toSeq ++
+            Seq("video/mp4", ts, dur, dur * 1000L / ts, bytes.length.toLong))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null,
+            Option(bytes).map(_.length.toLong).orNull))
+        }
+      }
+    }(enc)
+  }
 
   /** STUB image decode — the fallback for formats whose codecs this
     * environment lacks (audio/video; JPEG headers now parse for real).

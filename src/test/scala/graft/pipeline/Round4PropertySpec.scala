@@ -50,6 +50,54 @@ class Round4PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: JPEG/WAV/MP4 decode(encode(params)) == params for 100 random cases") {
+    (1 to 100).foreach { _ =>
+      val seed = Array.fill(1 + rng.nextInt(32))(rng.nextInt().toByte)
+      val w = 1 + rng.nextInt(4000)
+      val h = 1 + rng.nextInt(40)
+      assert(Multimodal.decodeJpeg(Multimodal.encodeJpegHeader(w, h, seed))
+        .contains(("image/jpeg", w, h)), s"jpeg $w x $h")
+      val ch = 1 + rng.nextInt(8)
+      val rate = 1 + rng.nextInt(192000)
+      val ns = rng.nextInt(2000)
+      assert(Multimodal.decodeWav(Multimodal.encodeWavPcm16(ch, rate, ns, seed))
+        .contains((ch, rate, 16, ns.toLong)), s"wav $ch/$rate/$ns")
+      val tsc = 1 + rng.nextInt(1000000)
+      val dur = math.abs(rng.nextLong()) % 0xffffffffL
+      val len = rng.nextInt(500)
+      assert(Multimodal.decodeMp4(Multimodal.encodeMp4Header(tsc, dur, len, seed))
+        .contains((tsc, dur)), s"mp4 $tsc/$dur")
+      assert(Multimodal.encodeMp4Header(tsc, dur, len, seed).length == 144 + len)
+    }
+  }
+
+  test("property: no decoder ever throws on arbitrary/truncated bytes") {
+    // fuzz: random garbage, truncated REAL payloads, and bit-flipped REAL
+    // payloads must all return None/stub — never an exception (a decoder
+    // that throws inside mapPartitions kills the whole task at scale)
+    val real: Seq[Array[Byte]] = Seq(
+      Multimodal.encodeBmp24(7, 5, Array[Byte](1)),
+      Multimodal.encodePpm6(7, 5, Array[Byte](2)),
+      Multimodal.encodePng(7, 5, Array[Byte](3)),
+      Multimodal.encodeJpegHeader(7, 5, Array[Byte](4)),
+      Multimodal.encodeWavPcm16(2, 8000, 9, Array[Byte](5)),
+      Multimodal.encodeMp4Header(600, 1234L, 16, Array[Byte](6)))
+    def noThrow(b: Array[Byte]): Unit = {
+      Multimodal.decodeAny(b)
+      Multimodal.decodeWav(b)
+      Multimodal.decodeMp4(b)
+    }
+    (1 to 300).foreach { _ =>
+      noThrow(Array.fill(rng.nextInt(200))(rng.nextInt().toByte))
+      val base = real(rng.nextInt(real.length))
+      noThrow(base.take(rng.nextInt(base.length + 1)))
+      val flipped = base.clone()
+      val at = rng.nextInt(flipped.length)
+      flipped(at) = (flipped(at) ^ (1 << rng.nextInt(8))).toByte
+      noThrow(flipped)
+    }
+  }
+
   test("property: packGreedy never exceeds the budget except oversize singletons") {
     // random corpus, random budget/bucket combinations
     (1 to 5).foreach { _ =>

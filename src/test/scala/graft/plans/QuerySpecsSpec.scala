@@ -119,6 +119,32 @@ class QuerySpecsSpec extends SparkSpec {
     assert(rows(out).head == Seq("alice", 200, 100, "eng"))
   }
 
+  test("property: random ExprSpec trees survive the JSON round-trip losslessly") {
+    import ExprSpec._
+    val rng = new scala.util.Random(20260812L)
+    val leaves = Vector(
+      () => colRef("amt"), () => colRef("dept"), () => colRef("who"),
+      () => literal(rng.nextInt(200).toString, "INT"),
+      () => literal(s"s${rng.nextInt(10)}", "STRING"))
+    def tree(depth: Int): ExprSpec =
+      if (depth == 0) leaves(rng.nextInt(leaves.length))()
+      else rng.nextInt(7) match {
+        case 0 => and(tree(depth - 1), tree(depth - 1))
+        case 1 => or(tree(depth - 1), tree(depth - 1))
+        case 2 => not(tree(depth - 1))
+        case 3 => isNull(tree(depth - 1))
+        case 4 => ExprSpec.eq(tree(depth - 1), tree(depth - 1))
+        case 5 => lt(add(tree(depth - 1), tree(depth - 1)), tree(depth - 1))
+        case 6 => ge(mul(tree(depth - 1), tree(depth - 1)), sub(tree(depth - 1), tree(depth - 1)))
+      }
+    (1 to 200).foreach { i =>
+      val t = FilterSpec(tree(1 + rng.nextInt(4)))
+      assert(readFilterSpec(writeFilterSpec(t)) == t, s"tree #$i")
+      // the rebuilt Column must be constructible (no op lost in transit)
+      toColumn(readFilterSpec(writeFilterSpec(t)).predicate)
+    }
+  }
+
   test("malformed expression nodes fail fast, not silently") {
     intercept[IllegalArgumentException] { toColumn(ExprSpec("frobnicate")) }
     intercept[IllegalArgumentException] { toColumn(ExprSpec("eq")) } // no children
