@@ -72,12 +72,15 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     // stdout line is rounded to 4 decimals to stay inside the driver's
-    // captured tail; the full-precision copy goes to BENCH_LAST.json.
+    // captured tail; the full-precision copy goes to BENCH_LAST.json —
+    // but ONLY for full-suite runs: a filtered A/B run must not
+    // overwrite the committed full-suite snapshot with a partial total.
     println(line(v => f"$v%.4f"))
+    val lastPath = if (only.isEmpty) "BENCH_LAST.json" else "BENCH_FILTERED_LAST.json"
     try {
-      val w = new java.io.PrintWriter("BENCH_LAST.json")
+      val w = new java.io.PrintWriter(lastPath)
       try w.println(line(_.toString)) finally w.close()
-    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LAST.json: $e") }
+    } catch { case e: Throwable => System.err.println(s"[bench] $lastPath: $e") }
     // Optional per-operator stats dump (reference benchmark-framework
     // analog): SPARK_GRAFT_STATS=<path> re-runs each picked query UNTIMED
     // and writes one JSON line of per-node SQLMetric stats per query.
