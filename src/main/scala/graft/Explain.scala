@@ -22,7 +22,8 @@ object Explain {
         "q_sample_bernoulli", "q_tfidf", "q_contamination", "q_profile",
         "q_dedup_clusters", "q_winsorize", "q_zorder", "q_text_repetition",
         "q_dedup_simhash", "q_skew_collect_salted", "q_text_perplexity",
-        "q_winsorize_approx")
+        "q_winsorize_approx", "q_bucketed_join", "q_enum_storage",
+        "q_multimodal_wav", "q_multimodal_mp4", "q_spec_roundtrip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -42,6 +42,42 @@ class EmptyInputsSpec extends SparkSpec {
     assert(Relational.rangeJoin(noPts, iv, Nil, col("t"), col("s"), col("e"), 10L).count() == 0)
   }
 
+  test("chooseRangeBucketWidth: empty or all-degenerate intervals give width 1") {
+    val noIv = Seq.empty[(Int, Long, Long)].toDF("iid", "s", "e")
+    assert(Relational.chooseRangeBucketWidth(noIv, col("s"), col("e")) == 1L)
+    // degenerate (e < s) intervals are excluded from the length sample
+    val deg = Seq((1, 10L, 5L)).toDF("iid", "s", "e")
+    assert(Relational.chooseRangeBucketWidth(deg, col("s"), col("e")) == 1L)
+    // zero-length intervals are valid and give the minimum width
+    val zero = Seq((1, 5L, 5L)).toDF("iid", "s", "e")
+    assert(Relational.chooseRangeBucketWidth(zero, col("s"), col("e")) == 1L)
+  }
+
+  test("media encoders: NULL parameter columns yield NULL payloads, not crashes") {
+    import graft.pipeline.Multimodal
+    val df = Seq((1L, Some(2), Some(8000), Some(4), Some("x")),
+                 (2L, None, Some(8000), Some(4), Some("x")))
+      .toDF("id", "ch", "rate", "ns", "t")
+      .withColumn("seed", col("t").cast("binary"))
+    val wav = Multimodal.encodeWavCol(df, "ch", "rate", "ns", "seed", "p")
+    assert(rows(wav.select(col("p").isNull).orderBy("id")).flatten ==
+      Seq(false, true))
+    // decode of the NULL payload row yields NULL metadata
+    val meta = Multimodal.decodeAudioMeta(wav, "p")
+      .select("id", "media_format", "n_samples")
+    assert(rows(meta.orderBy("id")) ==
+      Seq(Seq(1L, "audio/wav", 4L), Seq(2L, null, null)))
+    val mp4in = Seq((1L, Some(600), Some(42L), Some(3), Some("x")),
+                    (2L, Some(600), None, Some(3), Some("x")))
+      .toDF("id", "tsc", "dur", "len", "t")
+      .withColumn("seed", col("t").cast("binary"))
+    val mp4 = Multimodal.encodeMp4Col(mp4in, "tsc", "dur", "len", "seed", "p")
+    val vmeta = Multimodal.decodeVideoMeta(mp4, "p")
+      .select("id", "media_format", "duration_ms")
+    assert(rows(vmeta.orderBy("id")) ==
+      Seq(Seq(1L, "video/mp4", 42L * 1000 / 600), Seq(2L, null, null)))
+  }
+
   test("aggregation: group agg of empty input is 0 rows; scalar agg is 1 row") {
     val e = Seq.empty[(String, Int)].toDF("g", "x")
     assert(Aggregates.groupAggregate(Seq("g"), Seq(Agg(COUNT, None, "n")))(e).count() == 0)
