@@ -1423,9 +1423,9 @@ object SparkEntry {
       4 -> "4-NOT SPECIFIED", 5 -> "5-LOW"))
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_enum_${ProcessHandle.current().pid()}"
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-    Relational.fileOutput(
-      o.select(col("o_orderkey"),
-        e.encode(col("o_orderpriority")).as("prio_code")), s"$base/coded")
+    val codedDf = o.select(col("o_orderkey"),
+      e.encode(col("o_orderpriority")).as("prio_code"))
+    Relational.fileOutput(codedDf, s"$base/coded")
     import s.implicits._
     Relational.fileOutput(e.entries.toDF("code", "name"), s"$base/dict")
     Relational.fileOutput(o, s"$base/strings")
@@ -1433,6 +1433,18 @@ object SparkEntry {
     val stringBytes = Relational.parquetColumnBytes(s, s"$base/strings", "o_orderpriority")
     require(codedBytes > 0 && codedBytes < stringBytes,
       s"enum int-code storage must beat strings on disk: $codedBytes vs $stringBytes bytes")
+    // The other storage win: the int code is a natural PARTITION key (5
+    // directories), so an enum predicate prunes 4/5 of the data before
+    // any IO — written via the size-targeted partitioned writer and
+    // require()d on the scan's PartitionFilters plus the pruned count.
+    Relational.fileOutputPartitioned(codedDf, s"$base/coded_parts",
+      Seq("prio_code"), targetRowsPerFile = 100000L)
+    val pruned = Relational.scanParquet(s, s"$base/coded_parts")
+      .where(col("prio_code") === 1)
+    require(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(prio_code"),
+      "enum-partitioned scan must prune on the code partition column")
+    require(pruned.count() == codedDf.where(col("prio_code") === 1).count(),
+      "partition-pruned read must return exactly the code-1 rows")
     val coded = Relational.scanParquet(s, s"$base/coded")
     val dict = Relational.scanParquet(s, s"$base/dict")
     coded.join(broadcast(dict), col("prio_code") === col("code"), "left")
