@@ -1208,6 +1208,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qVocabEncode(s: SparkSession, d: String): DataFrame = {
+    // Tokenizer-prep: corpus word counts → top-40 vocabulary with
+    // contiguous ids (count desc, token asc — deterministic tie-break) →
+    // every document re-encoded as an id sequence via the broadcast
+    // vocabulary map, OOV → -1. The oracle replays the whole chain
+    // (counts, ranked cut, per-position id join) in DuckDB; the id
+    // STRING carries order, so a transposed or mis-assigned id anywhere
+    // breaks the hash. V=40 sits below this corpus's distinct-token
+    // count, so the OOV path is exercised for real.
+    import graft.pipeline.Vocab
+    val docs = Tables.documents(s, d)
+    val vocab = Vocab.build(docs, "text", size = 40)
+    val enc = Vocab.encode(docs, "text", vocab, "ids")
+    enc.select(col("doc_id"),
+      coalesce(array_join(transform(col("ids"), _.cast("string")), " "), lit(""))
+        .as("ids_str"),
+      coalesce(size(col("ids")), lit(0)).cast("long").as("n_tokens"),
+      coalesce(size(filter(col("ids"), _ === -1)), lit(0)).cast("long").as("n_oov"))
+      .orderBy("doc_id")
+  }
+
   private def qMultimodalWav(s: SparkSession, d: String): DataFrame = {
     // AUDIO round-trip gate — the RIFF/WAVE chunk walk: a canonical
     // 16-bit PCM WAV is built per document (true RIFF sizes, fmt chunk
@@ -1641,6 +1662,7 @@ object SparkEntry {
     "q_multimodal_png" -> (qMultimodalPng _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_wav" -> (qMultimodalWav _),
+    "q_vocab_encode" -> (qVocabEncode _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
     "q_events_window" -> (qEventsWindow _),
     "q_stream_window" -> (qStreamWindow _),
@@ -2352,6 +2374,30 @@ object SparkEntry {
         |CAST(124 + (doc_id % 64 + 1) * ((doc_id // 64) % 64 + 1) AS BIGINT) AS n_bytes,
         |TRUE AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Full replay of the vocabulary chain: same tokenization as the
+    // text-analysis oracles, counts, ranked top-40 cut (count desc,
+    // token asc), per-position id join, OOV -> -1.
+    "q_vocab_encode" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS lst
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(lst) AS tok,
+        |  unnest(range(len(lst))) AS pos FROM d),
+        |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |voc AS (SELECT tok,
+        |  CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS INTEGER) AS id
+        |  FROM cnt ORDER BY c DESC, tok LIMIT 40),
+        |enc AS (SELECT toks.doc_id,
+        |  array_to_string(array_agg(CAST(coalesce(voc.id, -1) AS VARCHAR)
+        |    ORDER BY toks.pos), ' ') AS ids_str,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN voc.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM toks LEFT JOIN voc USING (tok) GROUP BY toks.doc_id)
+        |SELECT d.doc_id, coalesce(enc.ids_str, '') AS ids_str,
+        |  coalesce(enc.n_tokens, 0) AS n_tokens,
+        |  coalesce(enc.n_oov, 0) AS n_oov
+        |FROM d LEFT JOIN enc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // WAV file size = 44 (RIFF+fmt+data headers) + samples*channels*2
     // (16-bit PCM frames).
     "q_multimodal_wav" ->

@@ -352,6 +352,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(split == got)
   }
 
+  // ===== Vocabulary build + corpus encoding =====
+
+  test("Vocab.build: top-V ids ordered by (count desc, token asc); minCount drops tail") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b  d"), // double space: tokenizer must not emit a phantom token
+      (3L, "")).toDF("doc_id", "text")
+    // counts: b=4, a=3, c=1, d=1 -> ids b=0, a=1, c=2, d=3 (c before d: tie on token)
+    val v = Vocab.build(docs, "text", size = 10)
+    assert(rows(v.select("token", "id", "n").orderBy("id")) == Seq(
+      Seq("b", 0, 4L), Seq("a", 1, 3L), Seq("c", 2, 1L), Seq("d", 3, 1L)))
+    // size cut keeps the TOP of the ranking
+    assert(rows(Vocab.build(docs, "text", size = 2).select("token").orderBy("id"))
+      .flatten == Seq("b", "a"))
+    // minCount drops the hapax tail before the cut
+    assert(rows(Vocab.build(docs, "text", size = 10, minCount = 2L)
+      .select("token").orderBy("id")).flatten == Seq("b", "a"))
+  }
+
+  test("Vocab.encode: id sequences preserve order; OOV -> unkId; empty text -> []") {
+    val docs = Seq((1L, "b a zzz b"), (2L, "")).toDF("doc_id", "text")
+    val corpus = Seq((10L, "b b a")).toDF("doc_id", "text") // vocab source: b=0, a=1
+    val v = Vocab.build(corpus, "text", size = 10)
+    val enc = Vocab.encode(docs, "text", v, "ids", unkId = -1)
+    assert(rows(enc.select("doc_id", "ids").orderBy("doc_id")) == Seq(
+      Seq(1L, Seq(0, 1, -1, 0)), Seq(2L, Seq.empty)))
+    // empty vocabulary: everything is OOV, nothing throws
+    val emptyV = Vocab.build(corpus.where(lit(false)), "text", size = 5)
+    assert(rows(Vocab.encode(docs, "text", emptyV, "ids")
+      .select("ids").orderBy("doc_id")) == Seq(Seq(Seq(-1, -1, -1, -1)), Seq(Seq())))
+  }
+
   // ===== Cached-pair lease bounding =====
 
   test("leased pair frames are bounded: the N+1th lease evicts the oldest") {
