@@ -1208,6 +1208,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qShuffle(s: SparkSession, d: String): DataFrame = {
+    // Deterministic training-order shuffle: the row's POSITION in the
+    // seeded order is materialized (distributed zipWithIndex, not a
+    // global window) and hash-compared against DuckDB's row_number over
+    // the replayed key formula — the driver's compare sorts rows before
+    // hashing, so carrying the position as DATA is what makes the order
+    // itself gate-visible. Same seed ⇒ same order on any engine.
+    import graft.pipeline.Sampling
+    val o = Tables.orders(s, d).select(col("o_orderkey"))
+    val skey = Sampling.shuffleKey(Seq(col("o_orderkey")), seed = 42L)
+    val withKey = o.withColumn("skey", skey)
+    Relational.withRowidOrdered(withKey, Seq(col("skey"), col("o_orderkey")), "pos")
+      .select(col("o_orderkey"), col("skey"), col("pos"))
+      .orderBy("o_orderkey")
+  }
+
   private def qVocabEncode(s: SparkSession, d: String): DataFrame = {
     // Tokenizer-prep: corpus word counts → top-40 vocabulary with
     // contiguous ids (count desc, token asc — deterministic tie-break) →
@@ -1663,6 +1679,7 @@ object SparkEntry {
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_vocab_encode" -> (qVocabEncode _),
+    "q_shuffle" -> (qShuffle _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
     "q_events_window" -> (qEventsWindow _),
     "q_stream_window" -> (qStreamWindow _),
@@ -2374,6 +2391,18 @@ object SparkEntry {
         |CAST(124 + (doc_id % 64 + 1) * ((doc_id // 64) % 64 + 1) AS BIGINT) AS n_bytes,
         |TRUE AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Seeded portable shuffle key replayed verbatim: seed-dependent odd
+    // multiplier (2·42+1)·prime mod 2^31 on the key, additive seed term,
+    // all mod 2^31; the position is row_number over that order.
+    "q_shuffle" ->
+      """WITH k AS (SELECT o_orderkey,
+        |  (((o_orderkey % 2147483648) * ((85 * 2654435761) % 2147483648))
+        |     % 2147483648
+        |   + (42 * 2246822519) % 2147483648) % 2147483648 AS skey
+        |  FROM orders)
+        |SELECT o_orderkey, skey,
+        |  row_number() OVER (ORDER BY skey, o_orderkey) - 1 AS pos
+        |FROM k ORDER BY o_orderkey""".stripMargin,
     // Full replay of the vocabulary chain: same tokenization as the
     // text-analysis oracles, counts, ranked top-40 cut (count desc,
     // token asc), per-position id join, OOV -> -1.

@@ -48,6 +48,39 @@ object Sampling {
   def xxhashBucket(keys: Seq[Column]): Column =
     pmod(xxhash64(keys: _*), lit(Buckets))
 
+  /** Seeded portable shuffle key in [0, 2^31): each key term is
+    * multiplied by a SEED-DEPENDENT odd multiplier ((2s+1)·prime mod
+    * 2^31 — odd, hence a bijection mod 2^31). The seed must multiply the
+    * key, not offset the sum: any affine-in-seed form ((x+s)·P = x·P +
+    * CONST) only shifts every key's value by the same constant, which
+    * cyclically ROTATES the sort order — seeds would produce correlated
+    * shuffles (the spec asserts non-rotation explicitly). A modular
+    * multiply by a different odd constant is a genuinely different
+    * permutation. Same seed ⇒ identical order on any SQL engine
+    * (`%` and `*` only, no int64 overflow: each factor is reduced mod
+    * 2^31 before multiplying). */
+  def shuffleKey(keys: Seq[Column], seed: Long): Column = {
+    require(keys.nonEmpty, "shuffleKey: need at least one key column")
+    val s = ((seed % Mod) + Mod) % Mod
+    val mixed = keys.zipWithIndex.map { case (k, i) =>
+      val mult = ((2 * s + 1) % Mod) * Primes(i % Primes.size) % Mod
+      pmod(pmod(k.cast("long"), lit(Mod)) * lit(mult), lit(Mod))
+    }.reduce(_ + _)
+    pmod(mixed + lit(s * Primes(1) % Mod), lit(Mod))
+  }
+
+  /** Deterministic global shuffle — the training-order randomization a
+    * 100 TB pipeline needs WITHOUT `rand()`: rows sort by
+    * (shuffleKey(keys, seed), keys), a total order that is a pure
+    * function of key and seed, so the same seed replays the identical
+    * order across runs, task retries, and engines, and a new epoch is
+    * just a new seed. One range exchange — the cost of any global sort;
+    * at cluster scale the sorted output feeds the sharded writer
+    * directly (Relational.fileOutputPartitioned). */
+  def deterministicShuffle(df: DataFrame, keyCols: Seq[String],
+                           seed: Long): DataFrame =
+    df.orderBy((shuffleKey(keyCols.map(col), seed) +: keyCols.map(col)): _*)
+
   /** Deterministic Bernoulli sample: keep a row iff its key bucket falls
     * below rate·Buckets. Same key ⇒ same decision, always — duplicates of
     * a key are kept or dropped together. */

@@ -352,6 +352,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(split == got)
   }
 
+  test("deterministicShuffle: same seed replays the order; new seeds scramble, not rotate") {
+    val df = (0L until 500L).toDF("k")
+    val a = rows(Sampling.deterministicShuffle(df, Seq("k"), 7L)).flatten.map(_.asInstanceOf[Long])
+    val b = rows(Sampling.deterministicShuffle(df, Seq("k"), 7L)).flatten.map(_.asInstanceOf[Long])
+    assert(a == b, "same seed must replay the identical order")
+    val c = rows(Sampling.deterministicShuffle(df, Seq("k"), 8L)).flatten.map(_.asInstanceOf[Long])
+    assert(a != c && a.toSet == c.toSet, "new seed permutes the same rows differently")
+    // the seed re-multiply SCRAMBLES the order — a purely additive seed
+    // would make every seed a cyclic rotation of one master order
+    val shift = c.indexOf(a.head)
+    assert(c.drop(shift) ++ c.take(shift) != a, "seeded orders must not be rotations")
+    // and the order is not the identity (it actually shuffles)
+    assert(a != (0L until 500L).toSeq)
+  }
+
   // ===== Vocabulary build + corpus encoding =====
 
   test("Vocab.build: top-V ids ordered by (count desc, token asc); minCount drops tail") {
