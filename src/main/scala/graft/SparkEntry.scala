@@ -311,6 +311,27 @@ object SparkEntry {
       (liT, oT)
     }
 
+  private def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // ORC storage face (FileOutput/FileInput over Spark's second
+    // built-in columnar format): write a projection, read it back
+    // FILTERED — the predicate reaches the ORC reader as a pushed
+    // filter, require()d on the scan plan — and aggregate. The oracle
+    // replays the filter+aggregate from the raw table, so a lossy ORC
+    // round trip (values OR the filter contract) hash-mismatches.
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${ProcessHandle.current().pid()}"
+    Relational.orcOutput(Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")), out)
+    val back = Relational.orcInput(s, out).where(col("o_totalprice") > 100000.0)
+    val plan = back.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"ORC scan must push the price filter down:\n$plan")
+    Relational.sort(col("o_orderpriority"))(asDouble("sum_price")(
+      Aggregates.groupAggregate(Seq("o_orderpriority"), Seq(
+        Agg(COUNT, None, "n"),
+        Agg(SUM, Some("price_dec"), "sum_price")))(
+        back.withColumn("price_dec", dec(col("o_totalprice"))))))
+  }
+
   private def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
     // Co-located join via bucketed tables (the pay-once 100 TB ingest
     // strategy, Relational.bucketedWrite): both sides are written
@@ -1613,6 +1634,7 @@ object SparkEntry {
     "q_scan_selection" -> (qScanSelection _),
     "q_file_roundtrip" -> (qFileRoundtrip _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_spy" -> (qSpy _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
@@ -1748,6 +1770,11 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice > 100000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_bucketed_join" ->
       """SELECT CAST(l_orderkey % 10 AS BIGINT) AS bucket, COUNT(*) AS n,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

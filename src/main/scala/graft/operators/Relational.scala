@@ -39,6 +39,16 @@ object Relational {
   def fileOutput(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC face of the FileOutput/FileInput pair — Spark's second built-in
+    * columnar format: same predicate-pushdown + column-pruning contract
+    * as parquet (the spec asserts PushedFilters on the ORC scan), so a
+    * deployment already standardized on ORC plugs in with two lines. */
+  def orcOutput(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def orcInput(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Total on-disk (compressed) bytes of ONE column across every parquet
     * file in a directory, summed from the column-chunk metadata in the
     * file footers — a driver-side metadata walk, no data pages read.
