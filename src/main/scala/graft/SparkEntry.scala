@@ -311,6 +311,23 @@ object SparkEntry {
       (liT, oT)
     }
 
+  private def qUpsert(s: SparkSession, d: String): DataFrame = {
+    // Keyed upsert (MERGE latest-wins): every 7th order arrives
+    // re-priced (doubled — exact in FP) plus one brand-new key; the
+    // merged corpus must show updated rows replacing, untouched rows
+    // surviving, and the new key appended. The oracle replays the CASE
+    // + the synthetic new row directly from the raw table.
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val maxKey = 1000000000L // above any generated o_orderkey at every SF
+    val repriced = o.where(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val newRow = s.range(1).select(lit(maxKey).as("o_orderkey"),
+      lit("N").as("o_orderstatus"), lit(1.5).as("o_totalprice"))
+    val merged = Relational.upsert(o, repriced.unionByName(newRow), Seq("o_orderkey"))
+    merged.orderBy("o_orderkey")
+  }
+
   private def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
     // ORC storage face (FileOutput/FileInput over Spark's second
     // built-in columnar format): write a projection, read it back
@@ -1635,6 +1652,7 @@ object SparkEntry {
     "q_file_roundtrip" -> (qFileRoundtrip _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_upsert" -> (qUpsert _),
     "q_spy" -> (qSpy _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
@@ -1770,6 +1788,14 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_upsert" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |     ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(1000000000 AS BIGINT), 'N', CAST(1.5 AS DOUBLE)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -39,6 +39,22 @@ object Relational {
   def fileOutput(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Keyed upsert (MERGE latest-wins): rows from `updates` replace
+    * same-key rows in `base`; new keys append. The incremental
+    * corpus-refresh face a training-data pipeline runs daily (re-crawled
+    * documents supersede stale ones). Built as
+    * `updates ∪ (base ANTI-JOIN updates)` — one hash exchange per side
+    * on the key, never a full-outer join (no wide coalesce row, half the
+    * shuffled width), and both inputs must share a schema, checked up
+    * front. Multi-row keys inside `updates` are the caller's contract
+    * (dedup first — this operator does not pick among them). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert: need at least one key column")
+    require(base.columns.toSeq == updates.columns.toSeq,
+      s"upsert: schemas must match: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
+    updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+  }
+
   /** ORC face of the FileOutput/FileInput pair — Spark's second built-in
     * columnar format: same predicate-pushdown + column-pruning contract
     * as parquet (the spec asserts PushedFilters on the ORC scan), so a

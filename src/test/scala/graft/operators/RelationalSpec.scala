@@ -257,6 +257,23 @@ class RelationalSpec extends SparkSpec {
       s"total copies $total exceed the n + sum(len)/w bound")
   }
 
+  test("upsert: updates replace same-key rows, new keys append, schema checked") {
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val updates = Seq((2, "B"), (4, "D")).toDF("k", "v")
+    assert(rows(Relational.upsert(base, updates, Seq("k")).orderBy("k")) ==
+      Seq(Seq(1, "a"), Seq(2, "B"), Seq(3, "c"), Seq(4, "D")))
+    // empty updates = identity; empty base = updates
+    val none = base.where(lit(false))
+    assert(rows(Relational.upsert(base, none, Seq("k")).orderBy("k")) ==
+      rows(base.orderBy("k")))
+    assert(rows(Relational.upsert(none, updates, Seq("k")).orderBy("k")) ==
+      rows(updates.orderBy("k")))
+    // schema mismatch fails fast, not silently
+    intercept[IllegalArgumentException] {
+      Relational.upsert(base, updates.toDF("k", "w"), Seq("k"))
+    }
+  }
+
   test("fileOutputPartitioned writes partition dirs with bounded file counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fop").toString
     val df = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("k", "par")
