@@ -242,7 +242,7 @@ object SparkEntry {
     // pruning + bounded file sizes).
     // per-process path: concurrent Verify/Bench runs on one machine must
     // not interleave overwrites of a shared directory
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}"
+    val out = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${ProcessHandle.current().pid()}")
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       col("o_totalprice"))
     Relational.fileOutputPartitioned(o, out, Seq("o_orderstatus"),
@@ -262,21 +262,27 @@ object SparkEntry {
     * catalog and skip straight to the join. */
   private val bucketedIngestDir = scala.collection.mutable.Map.empty[String, String]
 
-  /** Table directories to delete at JVM exit: the in-memory catalog dies
-    * with the session, but saveAsTable's parquet files would otherwise
-    * leak into the shared warehouse directory per Bench/Verify process. */
-  private val bucketedTableDirs =
+  /** Directories to delete at JVM exit: bucketed-table data in the
+    * shared warehouse (the in-memory catalog dies with the session) and
+    * every pid-suffixed scratch dir a gate writes under java.io.tmpdir —
+    * without this, repeated Bench/Verify processes accumulate unbounded
+    * parquet/ORC scratch in /tmp. */
+  private val exitCleanupDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-  private lazy val bucketedCleanupHook: Unit =
+  private lazy val exitCleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      bucketedTableDirs.forEach { p =>
-        try if (java.nio.file.Files.exists(p)) {
-          val walk = java.nio.file.Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(java.nio.file.Files.delete(_))
-          finally walk.close()
-        } catch { case _: Throwable => () }
+      exitCleanupDirs.forEach { p =>
+        try graft.streaming.Streams.deleteRecursively(p)
+        catch { case _: Throwable => () }
       }))
+
+  /** Register a gate scratch path for deletion at JVM exit (returns it
+    * for inline use at the call site). */
+  private def cleanupAtExit(path: String): String = {
+    exitCleanupDirs.add(java.nio.file.Paths.get(path))
+    exitCleanupHook
+    path
+  }
 
   /** Default warehouse layout for a database-less table: <warehouse>/<name>. */
   private def warehousePath(s: SparkSession, table: String): java.nio.file.Path = {
@@ -305,9 +311,9 @@ object SparkEntry {
           oT, Seq("o_orderkey"), numBuckets = 8)
         bucketedIngestDir(oT) = d
       }
-      bucketedTableDirs.add(warehousePath(s, liT))
-      bucketedTableDirs.add(warehousePath(s, oT))
-      bucketedCleanupHook
+      exitCleanupDirs.add(warehousePath(s, liT))
+      exitCleanupDirs.add(warehousePath(s, oT))
+      exitCleanupHook
       (liT, oT)
     }
 
@@ -335,7 +341,7 @@ object SparkEntry {
     // filter, require()d on the scan plan — and aggregate. The oracle
     // replays the filter+aggregate from the raw table, so a lossy ORC
     // round trip (values OR the filter contract) hash-mismatches.
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${ProcessHandle.current().pid()}"
+    val out = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_orc_${ProcessHandle.current().pid()}")
     Relational.orcOutput(Tables.orders(s, d).select(
       col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")), out)
     val back = Relational.orcInput(s, out).where(col("o_totalprice") > 100000.0)
@@ -1007,7 +1013,7 @@ object SparkEntry {
     // text-format FileOutput/FileInput face: write CSV, read back with an
     // explicit schema, aggregate — the oracle recomputes from the source
     // parquet, so any value corruption in the text round-trip mismatches
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${ProcessHandle.current().pid()}"
+    val out = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_csv_${ProcessHandle.current().pid()}")
     val c = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
     Relational.csvOutput(c, out)
@@ -1021,7 +1027,7 @@ object SparkEntry {
   }
 
   private def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_${ProcessHandle.current().pid()}"
+    val out = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_json_${ProcessHandle.current().pid()}")
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"), col("p_size"))
     Relational.jsonOutput(p, out)
     val back = Relational.jsonInput(s, out, p.schema)
@@ -1337,7 +1343,7 @@ object SparkEntry {
     // files read back through the sink manifest — gated against the SAME
     // oracle as the batch face, so exactly-once sink semantics (no dupes,
     // no losses) are hash-checked, not just spec-checked.
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_${ProcessHandle.current().pid()}"
+    val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_stream_${ProcessHandle.current().pid()}")
     graft.streaming.Streams.windowedStreamGate(s, d, work)
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("window_start", "event_type")
@@ -1418,7 +1424,7 @@ object SparkEntry {
     // sentinel user's own open session can never time out and stays
     // absent). Complements q_stream_window, which gates the built-in
     // windowed-aggregation state; this gates CUSTOM state + timeouts.
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_${ProcessHandle.current().pid()}"
+    val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_${ProcessHandle.current().pid()}")
     graft.streaming.Streams.sessionizeStreamGate(s, d, work, gapMs = 30 * 60 * 1000)
       .orderBy("user_id", "start_ms")
   }
@@ -1431,7 +1437,7 @@ object SparkEntry {
     // re-emission becomes a duplicate row and hash-mismatches the
     // SELECT DISTINCT oracle). The sentinel row is the one arrival the
     // harness itself injects — filtered here by its -1 user_id.
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup_${ProcessHandle.current().pid()}"
+    val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup_${ProcessHandle.current().pid()}")
     graft.streaming.Streams.dedupStreamGate(s, d, work)
       .where(col("user_id") =!= -1)
       .orderBy("user_id", "event_type")
@@ -1447,7 +1453,7 @@ object SparkEntry {
     // side (and already-committed phase-1 rows were not retroactively
     // touched). The sentinel row is the harness's own arrival — filtered
     // here by its -1 user_id, like q_stream_dedup.
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_static_${ProcessHandle.current().pid()}"
+    val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_stream_static_${ProcessHandle.current().pid()}")
     graft.streaming.Streams.staticFilterStreamGate(s, d, work)
       .where(col("user_id") =!= -1)
       .orderBy("user_id", "event_id")
@@ -1461,7 +1467,7 @@ object SparkEntry {
     // table's raw nanosecond timestamps are not µs-aligned and Spark's
     // TimestampType truncates to µs; the DuckDB side mirrors that with
     // epoch_ns // 1000 arithmetic.
-    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_${ProcessHandle.current().pid()}"
+    val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_stream_join_${ProcessHandle.current().pid()}")
     graft.streaming.Streams.correlateStreamGate(s, d, work)
       .orderBy("user_id", "purchase_id", "click_id")
   }
@@ -1496,7 +1502,7 @@ object SparkEntry {
     val e = graft.types.GraftTypes.EnumDefinition(Seq(
       1 -> "1-URGENT", 2 -> "2-HIGH", 3 -> "3-MEDIUM",
       4 -> "4-NOT SPECIFIED", 5 -> "5-LOW"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_enum_${ProcessHandle.current().pid()}"
+    val base = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_enum_${ProcessHandle.current().pid()}")
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
     val codedDf = o.select(col("o_orderkey"),
       e.encode(col("o_orderpriority")).as("prio_code"))

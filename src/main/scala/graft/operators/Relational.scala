@@ -47,12 +47,21 @@ object Relational {
     * on the key, never a full-outer join (no wide coalesce row, half the
     * shuffled width), and both inputs must share a schema, checked up
     * front. Multi-row keys inside `updates` are the caller's contract
-    * (dedup first — this operator does not pick among them). */
+    * (dedup first — this operator does not pick among them). The anti
+    * join is NULL-SAFE (`<=>`): a NULL-key update row replaces NULL-key
+    * base rows instead of silently coexisting with them, so latest-wins
+    * holds for every key value. */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert: need at least one key column")
     require(base.columns.toSeq == updates.columns.toSeq,
       s"upsert: schemas must match: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
-    updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+    // explicit aliases: `updates` commonly DERIVES from `base` (re-priced
+    // rows of the same table), and an unaliased self-join condition would
+    // hit Spark's ambiguous-attribute resolution
+    val b = base.alias("__ups_b")
+    val u = updates.select(keys.map(col): _*).alias("__ups_u")
+    val cond = keys.map(k => col(s"__ups_b.$k") <=> col(s"__ups_u.$k")).reduce(_ && _)
+    updates.unionByName(b.join(u, cond, "left_anti"))
   }
 
   /** ORC face of the FileOutput/FileInput pair — Spark's second built-in
@@ -383,8 +392,13 @@ object Relational {
     * still meets an interval in exactly one (bucket, salt) pair, so
     * results are identical and no dedup pass is needed.
     *
-    * @param saltBuckets 0 (default) = auto: `spark.sql.shuffle.partitions`
-    *                    when `keys` is empty, no salting otherwise;
+    * @param saltBuckets 0 (default) = auto: min(spark.sql.shuffle
+    *                    .partitions, 64) when `keys` is empty, no salting
+    *                    otherwise — capped because auto-salting multiplies
+    *                    the INTERVAL side's shuffle volume by S, and a
+    *                    2000-partition cluster conf must not silently
+    *                    2000× a large interval side; raise it explicitly
+    *                    when the interval side is known-small;
     *                    1 = never salt; >1 = explicit salt fan-out.
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
@@ -395,8 +409,8 @@ object Relational {
     val salts =
       if (saltBuckets > 0) saltBuckets
       else if (keys.nonEmpty) 1
-      else math.max(1,
-        points.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      else math.min(64, math.max(1,
+        points.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt))
     // Materialize the domain expressions once (the join would otherwise
     // re-evaluate them per candidate comparison), and repartition the
     // point side on the bucket (+salt) key: the candidate probe is the

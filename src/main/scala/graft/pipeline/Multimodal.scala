@@ -259,6 +259,8 @@ object Multimodal {
   def encodeJpegHeader(width: Int, height: Int, pixelSeed: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
       "encodeJpegHeader: dimensions must be in [1, 65535]")
+    require(width.toLong * height <= Int.MaxValue - 124,
+      "encodeJpegHeader: width*height scan bytes exceed a single buffer")
     val scan = new Array[Byte](width * height)
     var i = 0
     while (i < scan.length) {
@@ -352,6 +354,8 @@ object Multimodal {
                      seed: Array[Byte]): Array[Byte] = {
     require(channels > 0 && sampleRate > 0 && nSamples >= 0,
       "encodeWavPcm16: need positive channels/rate and nSamples >= 0")
+    require(nSamples.toLong * channels * 2 <= Int.MaxValue - 44,
+      "encodeWavPcm16: nSamples*channels*2 data bytes exceed a single buffer")
     val blockAlign = channels * 2
     val dataSize = nSamples * blockAlign
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -382,20 +386,24 @@ object Multimodal {
       new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
       new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var pos = 12
+    // the walk runs in LONG: a crafted chunk size near Int.MaxValue would
+    // overflow an Int `pos + 8 + size` guard to negative, slip past it,
+    // and crash a decoder that is contractually never allowed to throw
+    var pos = 12L
     var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
     var dataSize = -1L
     while (pos + 8 <= bytes.length && (fmt.isEmpty || dataSize < 0)) {
-      val id = new String(bytes, pos, 4, "US-ASCII")
-      val size = bb.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      val p = pos.toInt
+      val id = new String(bytes, p, 4, "US-ASCII")
+      val size = bb.getInt(p + 4).toLong & 0xffffffffL
+      if (pos + 8 + size > bytes.length) return None
       if (id == "fmt " && size >= 16) {
-        val ch = bb.getShort(pos + 10) & 0xffff
-        val rate = bb.getInt(pos + 12)
-        val bits = bb.getShort(pos + 22) & 0xffff
+        val ch = bb.getShort(p + 10) & 0xffff
+        val rate = bb.getInt(p + 12)
+        val bits = bb.getShort(p + 22) & 0xffff
         if (ch == 0 || rate <= 0 || bits == 0) return None
         fmt = Some((ch, rate, bits))
-      } else if (id == "data") dataSize = size.toLong
+      } else if (id == "data") dataSize = size
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
     fmt.collect {

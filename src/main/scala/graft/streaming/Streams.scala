@@ -333,34 +333,48 @@ object Streams {
     * exactly the production contract: a blocklist refresh is not
     * retroactive over committed output). No state store is involved:
     * the anti-join re-executes per micro-batch. */
-  def staticFilterStreamGate(spark: SparkSession, sfDir: String,
-                             workDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val work = Paths.get(workDir)
-    if (Files.exists(work)) {
-      val walk = Files.walk(work)
+  /** Recursively delete a directory tree if present — shared by the gate
+    * harnesses so a fix to the walk applies everywhere at once. */
+  private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
       finally walk.close()
     }
+  }
+
+  /** Stage a frame's parquet parts into a live source directory under a
+    * distinct ordered prefix (file sources track seen files by name) —
+    * shared by the gate harnesses. */
+  private[graft] def stageParquetParts(df: DataFrame, work: java.nio.file.Path,
+                                       dir: java.nio.file.Path,
+                                       prefix: String): Unit = {
+    import java.nio.file.Files
+    val staging = work.resolve(s"${prefix}_staging")
+    df.write.parquet(staging.toString)
+    val listing = Files.list(staging)
+    val parts =
+      try listing.filter(_.toString.endsWith(".parquet"))
+        .sorted().toArray(new Array[java.nio.file.Path](_))
+      finally listing.close()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, dir.resolve(f"${prefix}_$i%05d.parquet"))
+    }
+  }
+
+  def staticFilterStreamGate(spark: SparkSession, sfDir: String,
+                             workDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val work = Paths.get(workDir)
+    deleteRecursively(work)
     val in = work.resolve("in")
     val block = work.resolve("block")
     Files.createDirectories(in)
     Files.createDirectories(block)
-    // stage a frame's parquet parts into a live source directory under a
-    // distinct prefix (the file source tracks seen files by name)
-    def stage(df: DataFrame, dir: java.nio.file.Path, prefix: String): Unit = {
-      val staging = work.resolve(s"${prefix}_staging")
-      df.write.parquet(staging.toString)
-      val listing = Files.list(staging)
-      val parts =
-        try listing.filter(_.toString.endsWith(".parquet"))
-          .sorted().toArray(new Array[java.nio.file.Path](_))
-        finally listing.close()
-      parts.zipWithIndex.foreach { case (p, i) =>
-        Files.move(p, dir.resolve(f"${prefix}_$i%05d.parquet"))
-      }
-    }
+    def stage(df: DataFrame, dir: java.nio.file.Path, prefix: String): Unit =
+      stageParquetParts(df, work, dir, prefix)
     val ev = spark.read.schema(EventSchemaRaw)
       .parquet(Paths.get(sfDir, "events.parquet").toString)
     stage(ev.where(col("event_id") % 2 === 0), in, "events_a")
@@ -400,12 +414,7 @@ object Streams {
                 (pipeline: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val work = Paths.get(workDir)
-    if (Files.exists(work)) {
-      val walk = Files.walk(work)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-      finally walk.close()
-    }
+    deleteRecursively(work)
     val in = work.resolve("in")
     Files.createDirectories(in)
     val src = Paths.get(sfDir, "events.parquet")
@@ -438,15 +447,9 @@ object Streams {
       .parquet(in.resolve("events.parquet").toString)
       .agg(max("ts")).head.getLong(0)
     val sentinel = Row(-1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "sentinel", 0.0, "{}")
-    val staging = work.resolve("staging")
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(sentinel), 1), EventSchemaRaw)
-      .write.parquet(staging.toString)
-    val listing = Files.list(staging)
-    val part =
-      try listing.filter(_.toString.endsWith(".parquet")).findFirst().orElseThrow()
-      finally listing.close()
-    Files.move(part, in.resolve("events_zz_sentinel.parquet"))
+    stageParquetParts(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(sentinel), 1), EventSchemaRaw),
+      work, in, "events_zz")
     runToCompletion()
     spark.read.parquet(outDir)
   }

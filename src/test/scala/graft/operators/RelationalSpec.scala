@@ -272,6 +272,11 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Relational.upsert(base, updates.toDF("k", "w"), Seq("k"))
     }
+    // NULL keys are latest-wins too (null-safe anti join), not duplicated
+    val nb = Seq((Some(1), "a"), (None, "x")).toDF("k", "v")
+    val nu = Seq((Option.empty[Int], "X")).toDF("k", "v")
+    assert(rows(Relational.upsert(nb, nu, Seq("k")).orderBy("k")) ==
+      Seq(Seq(null, "X"), Seq(1, "a")))
   }
 
   test("fileOutputPartitioned writes partition dirs with bounded file counts") {

@@ -67,10 +67,12 @@ def mutate_documents(i, cols):
     # for dedup benchmarks; the doc_id token makes each text unique.
     if i == 0:
         return
+    # join separator ' tk' contributes 3 chars: appended text is
+    # text + ' tk' + tag, i.e. len(tag) + 3 extra characters
     tag = pc.cast(cols["doc_id"], pa.string())
     cols["text"] = pc.binary_join_element_wise(cols["text"], tag, " tk")
     cols["n_chars"] = pc.add(cols["n_chars"],
-                             pc.add(pc.utf8_length(tag), pa.scalar(4, type=pa.int64())))
+                             pc.add(pc.utf8_length(tag), pa.scalar(3, type=pa.int64())))
 
 
 # dimension tables: nation/region stay as-is (real TPC-H keeps 25/5 rows
