@@ -96,6 +96,13 @@ class Round4PropertySpec extends SparkSpec {
       flipped(at) = (flipped(at) ^ (1 << rng.nextInt(8))).toByte
       noThrow(flipped)
     }
+    // regression pin: a RIFF chunk size near Int.MaxValue overflowed the
+    // Int bounds guard and crashed the walk (review finding, round 6) —
+    // the Long-arithmetic walk must REJECT it
+    val evil = Multimodal.encodeWavPcm16(1, 8000, 4, Array[Byte](1)).clone()
+    java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0x7FFFFFF8) // fmt chunk length field
+    assert(Multimodal.decodeWav(evil).isEmpty)
   }
 
   test("property: packGreedy never exceeds the budget except oversize singletons") {
