@@ -409,8 +409,8 @@ object Relational {
     val salts =
       if (saltBuckets > 0) saltBuckets
       else if (keys.nonEmpty) 1
-      else math.min(64, math.max(1,
-        points.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt))
+      else autoSaltFromConf(
+        points.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     // Materialize the domain expressions once (the join would otherwise
     // re-evaluate them per candidate comparison), and repartition the
     // point side on the bucket (+salt) key: the candidate probe is the
@@ -440,6 +440,14 @@ object Relational {
       .where(col("__pt") >= col("__s") && col("__pt") <= col("__e"))
       .drop((Seq("__b", "__pt", "__s", "__e") ++ saltKeys): _*)
   }
+
+  /** Auto-salt fan-out from the session's shuffle-partition conf value,
+    * capped at 64 (see [[rangeJoin]]'s saltBuckets doc). Stock Spark
+    * type-checks this conf as an int, but some vendor distros accept
+    * sentinels like "auto" — a non-numeric value must degrade to the cap,
+    * not throw inside the planner. */
+  private[operators] def autoSaltFromConf(confValue: String): Int =
+    math.min(64, math.max(1, scala.util.Try(confValue.toInt).getOrElse(64)))
 
   /** Pick a [[rangeJoin]] bucketWidth from the interval-length
     * distribution instead of by hand (a 100 TB user who guesses the width
@@ -544,13 +552,41 @@ object Relational {
 
   /** Coalesce — zip columns of N equal-length inputs side by side; fails on
     * duplicate names (reference: cursor/core/coalesce.h:36-44 — NOT SQL
-    * COALESCE). Implemented as a rowid zip-join; inputs derived from the
-    * same parent with aligned ordering zip exactly. */
+    * COALESCE).
+    *
+    * FAST PATH: when every input is a deterministic projection of the SAME
+    * analyzed parent plan (the common shape — the reference's Coalesce
+    * zips projections of one cursor), the zip IS a single select on that
+    * parent: the merged Project plans zero extra jobs, stays columnar and
+    * inside whole-stage codegen. General fallback: rowid zip-join (N
+    * zipWithIndex passes + N−1 joins) for inputs with unrelated lineage,
+    * where only a positional id can align rows. */
   def coalesceColumns(inputs: Seq[DataFrame]): DataFrame = {
     val all = inputs.flatMap(_.columns)
     require(all.distinct.size == all.size,
       s"Coalesce: duplicate column names in ${all.mkString(",")}")
-    inputs.map(withRowid(_, "__zip")).reduce(_.join(_, "__zip")).drop("__zip")
+    sameParentProjection(inputs).getOrElse(
+      inputs.map(withRowid(_, "__zip")).reduce(_.join(_, "__zip")).drop("__zip"))
+  }
+
+  /** The zero-job Coalesce rewrite: if every input's analyzed plan is a
+    * Project over one IDENTICAL child plan (attribute ids included — plan
+    * object equality, not just sameResult, so no attribute remapping is
+    * ever needed) and every projected expression is deterministic (a
+    * nondeterministic projection — rand() — must NOT collapse from N
+    * evaluations to one shared row stream), splice the project lists into
+    * one Project over the shared parent. */
+  private def sameParentProjection(inputs: Seq[DataFrame]): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val plans = inputs.map(_.queryExecution.analyzed)
+    val projs = plans.collect { case p: Project => p }
+    if (projs.size != plans.size) return None
+    val parent = projs.head.child
+    if (!projs.tail.forall(_.child == parent)) return None
+    if (!projs.forall(_.projectList.forall(_.deterministic))) return None
+    Some(ColumnBridge.ofRows(inputs.head.sparkSession,
+      Project(projs.flatMap(_.projectList), parent)))
   }
 
   /** SpyOperation / ViewPrinter — debug tee (reference: cursor/core/spy.h).

@@ -238,6 +238,54 @@ class RelationalSpec extends SparkSpec {
     assert(!keyed.queryExecution.executedPlan.toString.contains("__salt"))
   }
 
+  test("rangeJoin auto-salt survives a non-numeric shuffle.partitions conf") {
+    // stock Spark type-checks the conf (spark.conf.set("...", "auto")
+    // throws INVALID_CONF_VALUE here), but vendor distros accept sentinels
+    // like "auto" — the salt heuristic parses the STRING value, so it must
+    // degrade to the cap, not throw inside the planner
+    assert(Relational.autoSaltFromConf("auto") == 64)
+    assert(Relational.autoSaltFromConf("") == 64)
+    assert(Relational.autoSaltFromConf("16") == 16)
+    assert(Relational.autoSaltFromConf("2000") == 64, "cap at 64")
+    assert(Relational.autoSaltFromConf("0") == 1, "floor at 1")
+    // and the conf-wired path still auto-salts under the session default
+    val pts = Seq((1, 5L), (2, 10L)).toDF("pid", "t")
+    val ivs = Seq((100, 5L, 10L)).toDF("iid", "s", "e")
+    val out = Relational.rangeJoin(pts, ivs, Nil, col("t"), col("s"), col("e"), 10L)
+    assert(rows(out.select("pid", "iid").orderBy("pid")) ==
+      Seq(Seq(1, 100), Seq(2, 100)))
+    assert(out.queryExecution.executedPlan.toString.contains("__salt"))
+  }
+
+  test("coalesceColumns same-parent projections take the zero-job select path") {
+    val base = Seq((1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)).toDF("id", "s", "v")
+    val left = base.select(col("id"), (col("v") * 2).as("v2"))
+    val right = base.select(col("s").as("t"))
+    val out = Relational.coalesceColumns(Seq(left, right))
+    assert(out.columns.toSeq == Seq("id", "v2", "t"))
+    assert(rows(out.orderBy("id")) ==
+      Seq(Seq(1, 3.0, "a"), Seq(2, 5.0, "b"), Seq(3, 7.0, "c")))
+    // fast path: ONE merged Project over the shared parent — no
+    // zipWithIndex job, which would surface as an ExistingRDD scan
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    assert(out.queryExecution.analyzed.isInstanceOf[Project],
+      "same-parent coalesce must splice into a single Project")
+    assert(!out.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "fast path must not plan the rowid zip")
+    // a nondeterministic projection must NOT collapse to a shared select
+    // (rand() would change from N independent draws to one)
+    val nd = base.select(col("id"), rand(7).as("r"))
+    val fb = Relational.coalesceColumns(Seq(nd, right))
+    assert(fb.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "nondeterministic projection must use the rowid-zip fallback")
+    assert(fb.count() == 3)
+    // unrelated lineage still zips positionally via the fallback
+    val other = Seq("x", "y", "z").toDF("u")
+    val fb2 = Relational.coalesceColumns(Seq(base.select(col("id")), other))
+    assert(fb2.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    assert(rows(fb2.orderBy("id")) == Seq(Seq(1, "x"), Seq(2, "y"), Seq(3, "z")))
+  }
+
   test("chooseRangeBucketWidth bounds interval duplication on mixed lengths") {
     // 95 short intervals (len 10) and 5 long tails (len 1000): a naive
     // hand-picked width of 1 would explode them into ~6000 copies
