@@ -1075,6 +1075,16 @@ object SparkEntry {
         Relational.zorderValue(col("l_suppkey"), col("l_partkey")).as("z"))
       .orderBy("z", "l_suppkey", "l_partkey").limit(200)
 
+  private def qZorder3d(s: SparkSession, d: String): DataFrame =
+    // 3-dimensional Morton curve (zorderValueN, 21 bits per key — bit j of
+    // key i at curve position 3j+i): the same disjoint-powers arithmetic
+    // as q_zorder, replayed bit-for-bit by the DuckDB oracle
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey"), col("l_linenumber"),
+        Relational.zorderValueN(Seq(
+          col("l_suppkey"), col("l_partkey"), col("l_linenumber"))).as("z"))
+      .orderBy("z", "l_suppkey", "l_partkey", "l_linenumber").limit(200)
+
   private def qWinsorize(s: SparkSession, d: String): DataFrame = {
     // clamp to [p05, p95] then aggregate; every emitted double goes
     // through round(.,2)->DECIMAL so an ulp of cross-engine percentile-
@@ -1711,6 +1721,7 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_winsorize_approx" -> (qWinsorizeApprox _),
     "q_zorder" -> (qZorder _),
+    "q_zorder_3d" -> (qZorder3d _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_perplexity" -> (qTextPerplexity _),
     "q_shard_manifest" -> (qShardManifest _),
@@ -2374,6 +2385,15 @@ object SparkEntry {
         .mkString(" + ")
       s"""SELECT l_suppkey, l_partkey, $z AS z FROM lineitem
          |ORDER BY z, l_suppkey, l_partkey LIMIT 200""".stripMargin
+    },
+    "q_zorder_3d" -> {
+      val z = (0 until 21).map(j =>
+        s"(((l_suppkey % 2097152) >> $j) & 1) * ${1L << (3 * j)}" +
+          s" + (((l_partkey % 2097152) >> $j) & 1) * ${1L << (3 * j + 1)}" +
+          s" + (((l_linenumber % 2097152) >> $j) & 1) * ${1L << (3 * j + 2)}")
+        .mkString(" + ")
+      s"""SELECT l_suppkey, l_partkey, l_linenumber, $z AS z FROM lineitem
+         |ORDER BY z, l_suppkey, l_partkey, l_linenumber LIMIT 200""".stripMargin
     },
     "q_winsorize" ->
       """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,

@@ -186,12 +186,27 @@ object Relational {
     * wider curve). */
   def zorderValue(x: Column, y: Column, bits: Int = 21): Column = {
     require(bits > 0 && bits <= 31, "zorderValue: bits must be in [1, 31]")
-    val xs = pmod(x.cast("long"), lit(1L << bits))
-    val ys = pmod(y.cast("long"), lit(1L << bits))
-    (0 until bits).map { k =>
-      (shiftright(xs, k).bitwiseAND(1) * lit(1L << (2 * k))) +
-        (shiftright(ys, k).bitwiseAND(1) * lit(1L << (2 * k + 1)))
-    }.reduce(_ + _)
+    zorderValueN(Seq(x, y), bits)
+  }
+
+  /** N-dimensional z-order (Morton) value: bit j of key i lands at curve
+    * position j·k + i, so the k keys' bits interleave round-robin — the
+    * k-dim generalization of [[zorderValue]] (lakehouse users routinely
+    * z-order 3-4 filter columns). Default bit width 63/k keeps the curve
+    * value inside a positive long (k=3 → 21 bits each, same per-key range
+    * as the 2-D default). Same arithmetic contract as the 2-D face: pure
+    * shift/mask/sum of disjoint powers — codegen'd, and replayable in any
+    * SQL engine for a cross-engine oracle. Keys wider than `bits` fold via
+    * their low bits (locality degrades gracefully). */
+  def zorderValueN(keys: Seq[Column], bits: Int = 0): Column = {
+    val k = keys.size
+    require(k >= 2, s"zorderValueN: need at least 2 key columns, got $k")
+    val b = if (bits > 0) bits else 63 / k
+    require(b * k <= 63, s"zorderValueN: $k keys x $b bits overflow a long")
+    val folded = keys.map(c => pmod(c.cast("long"), lit(1L << b)))
+    (for { j <- 0 until b; i <- 0 until k } yield
+      shiftright(folded(i), j).bitwiseAND(1) * lit(1L << (j * k + i)))
+      .reduce(_ + _)
   }
 
   /** Write parquet laid out along the z-order curve of two keys:
@@ -200,9 +215,16 @@ object Relational {
     * each partition. One range shuffle — the same cost as a plain sorted
     * write. */
   def zorderWrite(df: DataFrame, path: String, x: Column, y: Column,
-                  numFiles: Int): Unit = {
-    val z = zorderValue(x, y)
-    df.withColumn("__z", z)
+                  numFiles: Int): Unit =
+    zorderWriteN(df, path, Seq(x, y), numFiles, bits = 21)
+
+  /** N-dimensional [[zorderWrite]]: range-partition + sort on the k-dim
+    * curve value — contiguous curve segments per file ⇒ tight per-file
+    * min/max on ALL k dimensions. One range shuffle, the cost of a plain
+    * sorted write. */
+  def zorderWriteN(df: DataFrame, path: String, keys: Seq[Column],
+                   numFiles: Int, bits: Int = 0): Unit = {
+    df.withColumn("__z", zorderValueN(keys, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

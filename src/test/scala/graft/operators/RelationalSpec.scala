@@ -406,6 +406,44 @@ class RelationalSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 64 * 64)
   }
 
+  test("zorderValueN interleaves k dims round-robin; 3-D write localizes all spans") {
+    // hand-checked 3-D interleavings (bit j of key i -> position 3j+i):
+    // z(1,0,0)=1, z(0,1,0)=2, z(0,0,1)=4, z(1,1,1)=7,
+    // z(2,0,0)=bit1 of x -> pos 3 = 8, z(3,3,3)=0b111111=63
+    val vals = rows(Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (1L, 1L, 1L),
+      (2L, 0L, 0L), (3L, 3L, 3L)).toDF("x", "y", "w")
+      .select(Relational.zorderValueN(Seq(col("x"), col("y"), col("w"))))).flatten
+    assert(vals == Seq(1L, 2L, 4L, 7L, 8L, 63L))
+    // 2-D face delegates to the same arithmetic (regression pin)
+    assert(rows(Seq((2L, 1L)).toDF("x", "y")
+      .select(Relational.zorderValue(col("x"), col("y")))).flatten == Seq(6L))
+    // width guard: 4 keys at default 15 bits fit; 4 keys at 16 overflow
+    intercept[IllegalArgumentException] {
+      Relational.zorderValueN(Seq(col("a"), col("b"), col("c"), col("d")), bits = 16)
+    }
+    // layout: a 16x16x16 cube written along the 3-D curve keeps per-file
+    // spans of ALL THREE dims below the global span (a plain sort keeps
+    // the full span of the two non-leading columns in every file)
+    val cube = (for (x <- 0 until 16; y <- 0 until 16; w <- 0 until 16)
+      yield (x, y, w)).toDF("x", "y", "w")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder3").toString
+    Relational.zorderWriteN(cube, dir, Seq(col("x"), col("y"), col("w")), numFiles = 16)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length >= 8)
+    val spans = files.map { f =>
+      val r = rows(spark.read.parquet(f.getAbsolutePath)
+        .agg(max("x") - min("x"), max("y") - min("y"), max("w") - min("w"))).head
+      (r(0).asInstanceOf[Int], r(1).asInstanceOf[Int], r(2).asInstanceOf[Int])
+    }
+    val avgX = spans.map(_._1).sum.toDouble / spans.length
+    val avgY = spans.map(_._2).sum.toDouble / spans.length
+    val avgW = spans.map(_._3).sum.toDouble / spans.length
+    // global span is 15 in every dimension; curve segments stay local
+    assert(avgX < 8 && avgY < 8 && avgW < 8,
+      s"avg spans ($avgX, $avgY, $avgW) not local on all three dims")
+    assert(spark.read.parquet(dir).count() == 16 * 16 * 16)
+  }
+
   test("lookup is a broadcast multi-lookup join") {
     val queries = Seq(1, 2, 2, 9).toDF("k")
     val index = Seq((1, "a"), (2, "b")).toDF("k", "v")
