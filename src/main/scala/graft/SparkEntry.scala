@@ -1598,8 +1598,13 @@ object SparkEntry {
           isNull(colRef("l_returnflag"))))))
     // Projection wire form: pass-throughs, a RENAME (qty_for_min feeds
     // MIN below — dropping the rename in the wire format breaks the
-    // build) and a COMPUTED column (ln2 = l_linenumber * 2 feeds the
-    // DISTINCT sum — a mis-rebuilt arithmetic node changes the hash).
+    // build), a COMPUTED column (ln2 = l_linenumber * 2 feeds the
+    // DISTINCT sum — a mis-rebuilt arithmetic node changes the hash),
+    // plus one field per remaining operator family of the reference's
+    // expression enum (operators.proto:17-182): div (double division —
+    // IEEE-exact, MIN'd so order cannot matter), mod, string
+    // concat/substr/lower, and CASE over an IN — every one rebuilt from
+    // the wire form and hash-gated through an aggregate.
     val projectSpec = ProjectSpec(List(
       ProjectField(colRef("l_returnflag")),
       ProjectField(colRef("l_quantity")),
@@ -1608,7 +1613,20 @@ object SparkEntry {
       ProjectField(colRef("qty_dec")),
       ProjectField(colRef("ok_ln")),
       ProjectField(mul(colRef("l_linenumber"), literal("2", "INT")),
-        as = Some("ln2"))))
+        as = Some("ln2")),
+      ProjectField(ExprSpec.div(colRef("l_quantity"), literal("4.0", "DOUBLE")),
+        as = Some("qty_div")),
+      ProjectField(ExprSpec.mod(colRef("l_linenumber"), literal("3", "INT")),
+        as = Some("ln_mod")),
+      ProjectField(ExprSpec.concat(
+        ExprSpec.lower(colRef("l_returnflag")), literal("_", "STRING"),
+        ExprSpec.substr(colRef("l_linestatus"), literal("1", "INT"),
+          literal("1", "INT"))), as = Some("tag")),
+      ProjectField(caseWhen(
+        Seq(ExprSpec.in(colRef("l_returnflag"),
+          literal("A", "STRING"), literal("R", "STRING")) ->
+          literal("ret", "STRING")),
+        otherwise = Some(literal("keep", "STRING"))), as = Some("flag_class"))))
     val aggSpec = AggSpec(List("l_returnflag"), List(
       AggFieldSpec("COUNT", None, "n"),
       AggFieldSpec("SUM", Some("qty_dec"), "sum_qty"),
@@ -1616,7 +1634,11 @@ object SparkEntry {
       AggFieldSpec("SUM", Some("ln2"), "sum_ln", distinct = true,
         outType = Some("BIGINT")),
       AggFieldSpec("CONCAT", Some("l_linestatus"), "statuses",
-        orderBy = Some(SortKeySpec("ok_ln")))))
+        orderBy = Some(SortKeySpec("ok_ln"))),
+      AggFieldSpec("MIN", Some("qty_div"), "min_qdiv"),
+      AggFieldSpec("MAX", Some("ln_mod"), "max_lnmod"),
+      AggFieldSpec("MIN", Some("tag"), "min_tag"),
+      AggFieldSpec("MIN", Some("flag_class"), "flag_class")))
     val sortSpec = SortSpec(
       List(SortKeySpec("l_returnflag", caseInsensitive = true)), limit = Some(2))
     val sampleJson = QuerySpecs.writeSampleSpec(sampleSpec)
@@ -2174,7 +2196,12 @@ object SparkEntry {
         |MIN(l_quantity) AS min_qty,
         |CAST(SUM(DISTINCT l_linenumber * 2) AS BIGINT) AS sum_ln,
         |string_agg(l_linestatus, ',' ORDER BY (l_orderkey * 10 + l_linenumber) * 2
-        |  + CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS statuses
+        |  + CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS statuses,
+        |MIN(l_quantity / 4.0) AS min_qdiv,
+        |MAX(l_linenumber % 3) AS max_lnmod,
+        |MIN(lower(l_returnflag) || '_' || substr(l_linestatus, 1, 1)) AS min_tag,
+        |MIN(CASE WHEN l_returnflag IN ('A', 'R') THEN 'ret' ELSE 'keep' END)
+        |  AS flag_class
         |FROM lineitem
         |WHERE ((((l_orderkey % 2147483648) * 2654435761) % 2147483648
         |      + ((l_linenumber % 2147483648) * 2246822519) % 2147483648)

@@ -24,7 +24,8 @@ import graft.operators.Aggregates._
   * `spark.sql(...)` already ships arbitrary expressions. This module covers
   * the structured specs the reference serializes as protos, plus the
   * [[ExprSpec]] subset (column refs, typed literals, comparisons, boolean
-  * connectives, IS NULL, add/sub/mul) matching the shapes
+  * connectives, IS NULL, full arithmetic incl. div/mod, string
+  * concat/substr/case-folding, CASE, IN) matching the operator families
   * build_expression_from_proto.h reconstitutes — enough for serialized
   * Filter/Project stages without re-inventing a SQL parser.
   */
@@ -35,7 +36,13 @@ object QuerySpecs {
     * (op=lit — the literal is carried as its string form and CAST to the
     * DDL type on rebuild, so the wire format has no engine-specific value
     * encoding), `children` (everything else). Ops: col, lit, eq, neq, lt,
-    * le, gt, ge, and, or, not, isnull, add, sub, mul. */
+    * le, gt, ge, and, or, not, isnull, add, sub, mul, div, mod, concat
+    * (variadic), substr (str, pos, len — SQL 1-based), lower, upper, in
+    * (needle then values, SQL 3-valued semantics), case (alternating
+    * when/then children, optional trailing else — no else yields NULL,
+    * as in SQL) — the operator families of the reference's expression
+    * proto enum (supersonic/expression/proto/operators.proto:17-182)
+    * that serialized Filter/Project stages actually use. */
   final case class ExprSpec(op: String,
                             column: Option[String] = None,
                             value: Option[String] = None,
@@ -72,6 +79,20 @@ object QuerySpecs {
     def add(a: ExprSpec, b: ExprSpec): ExprSpec = node("add", a, b)
     def sub(a: ExprSpec, b: ExprSpec): ExprSpec = node("sub", a, b)
     def mul(a: ExprSpec, b: ExprSpec): ExprSpec = node("mul", a, b)
+    def div(a: ExprSpec, b: ExprSpec): ExprSpec = node("div", a, b)
+    def mod(a: ExprSpec, b: ExprSpec): ExprSpec = node("mod", a, b)
+    def concat(cs: ExprSpec*): ExprSpec = node("concat", cs: _*)
+    def substr(str: ExprSpec, pos: ExprSpec, len: ExprSpec): ExprSpec =
+      node("substr", str, pos, len)
+    def lower(a: ExprSpec): ExprSpec = node("lower", a)
+    def upper(a: ExprSpec): ExprSpec = node("upper", a)
+    def in(needle: ExprSpec, values: ExprSpec*): ExprSpec =
+      node("in", needle +: values: _*)
+    /** CASE WHEN b1 THEN v1 [WHEN b2 THEN v2 ...] [ELSE e] END. */
+    def caseWhen(branches: Seq[(ExprSpec, ExprSpec)],
+                 otherwise: Option[ExprSpec] = None): ExprSpec =
+      node("case",
+        branches.flatMap { case (c, v) => Seq(c, v) } ++ otherwise.toSeq: _*)
   }
 
   /** Reconstitute an [[ExprSpec]] tree as a Catalyst Column. */
@@ -102,6 +123,29 @@ object QuerySpecs {
       case "add" => binary(_ + _)
       case "sub" => binary(_ - _)
       case "mul" => binary(_ * _)
+      case "div" => binary(_ / _)
+      case "mod" => binary(_ % _)
+      case "concat" =>
+        require(e.children.nonEmpty, "'concat' expects at least 1 child")
+        concat(e.children.map(toColumn): _*)
+      case "substr" =>
+        require(e.children.size == 3, "'substr' expects 3 children (str, pos, len)")
+        child(0).substr(child(1), child(2))
+      case "lower" =>
+        require(e.children.size == 1, "'lower' expects 1 child"); lower(child(0))
+      case "upper" =>
+        require(e.children.size == 1, "'upper' expects 1 child"); upper(child(0))
+      case "in" =>
+        require(e.children.size >= 2, "'in' expects a needle plus values")
+        child(0).isin(e.children.tail.map(toColumn): _*)
+      case "case" =>
+        require(e.children.size >= 2, "'case' expects at least one (when, then) pair")
+        val cs = e.children.map(toColumn)
+        val nPairs = e.children.size / 2
+        val w = (1 until nPairs).foldLeft(when(cs(0), cs(1))) { (acc, i) =>
+          acc.when(cs(2 * i), cs(2 * i + 1))
+        }
+        if (e.children.size % 2 == 1) w.otherwise(cs.last) else w
       case other => throw new IllegalArgumentException(s"unknown expr op '$other'")
     }
   }

@@ -119,6 +119,50 @@ class QuerySpecsSpec extends SparkSpec {
     assert(rows(out).head == Seq("alice", 200, 100, "eng"))
   }
 
+  test("div/mod/concat/substr/lower/upper/case/in rebuild from the wire form") {
+    import ExprSpec._
+    // arithmetic: amt/4 (div), amt%3 (mod)
+    val arith = ProjectSpec(List(
+      ProjectField(colRef("who")),
+      ProjectField(ExprSpec.div(colRef("amt"), literal("4.0", "DOUBLE")),
+        as = Some("q")),
+      ProjectField(ExprSpec.mod(colRef("amt"), literal("3", "INT")),
+        as = Some("m"))))
+    assert(readProjectSpec(writeProjectSpec(arith)) == arith)
+    val a = buildProject(readProjectSpec(writeProjectSpec(arith)))(sales).orderBy("who")
+    assert(rows(a).head == Seq("alice", 25.0, 1)) // 100/4.0, 100%3
+    // strings: upper(dept) || '_' || substr(who, 1, 2), lower round-trip
+    val str = ProjectSpec(List(
+      ProjectField(ExprSpec.concat(upper(colRef("dept")), literal("_", "STRING"),
+        substr(colRef("who"), literal("1", "INT"), literal("2", "INT"))),
+        as = Some("tag")),
+      ProjectField(lower(upper(colRef("who"))), as = Some("lo"))))
+    assert(readProjectSpec(writeProjectSpec(str)) == str)
+    val sOut = buildProject(readProjectSpec(writeProjectSpec(str)))(sales).orderBy("lo")
+    assert(rows(sOut).head == Seq("ENG_al", "alice"))
+    // CASE over IN, with and without ELSE (no else -> NULL, as in SQL)
+    val cased = ProjectSpec(List(
+      ProjectField(colRef("who")),
+      ProjectField(caseWhen(
+        Seq(in(colRef("dept"), literal("eng", "STRING"),
+          literal("ops", "STRING")) -> literal("tech", "STRING")),
+        otherwise = Some(literal("biz", "STRING"))), as = Some("k")),
+      ProjectField(caseWhen(
+        Seq(gt(colRef("amt"), literal("100", "INT")) ->
+          literal("big", "STRING"))), as = Some("noelse"))))
+    assert(readProjectSpec(writeProjectSpec(cased)) == cased)
+    val c = buildProject(readProjectSpec(writeProjectSpec(cased)))(sales)
+    assert(rows(c.orderBy("who")) == Seq(
+      Seq("alice", "tech", null), Seq("bob", "tech", null),
+      Seq("carl", "biz", null), Seq("dora", "biz", "big"),
+      Seq("eve", "tech", null)))
+    // IN keeps SQL 3-valued semantics through the wire form: NULL needle
+    // drops the row in a filter
+    val f = FilterSpec(in(colRef("dept"), literal("eng", "STRING")))
+    val withNull = sales.union(Seq((null.asInstanceOf[String], "zed", 10)).toDF)
+    assert(buildFilter(readFilterSpec(writeFilterSpec(f)))(withNull).count() == 3)
+  }
+
   test("property: random ExprSpec trees survive the JSON round-trip losslessly") {
     import ExprSpec._
     val rng = new scala.util.Random(20260812L)
@@ -128,7 +172,7 @@ class QuerySpecsSpec extends SparkSpec {
       () => literal(s"s${rng.nextInt(10)}", "STRING"))
     def tree(depth: Int): ExprSpec =
       if (depth == 0) leaves(rng.nextInt(leaves.length))()
-      else rng.nextInt(7) match {
+      else rng.nextInt(11) match {
         case 0 => and(tree(depth - 1), tree(depth - 1))
         case 1 => or(tree(depth - 1), tree(depth - 1))
         case 2 => not(tree(depth - 1))
@@ -136,6 +180,14 @@ class QuerySpecsSpec extends SparkSpec {
         case 4 => ExprSpec.eq(tree(depth - 1), tree(depth - 1))
         case 5 => lt(add(tree(depth - 1), tree(depth - 1)), tree(depth - 1))
         case 6 => ge(mul(tree(depth - 1), tree(depth - 1)), sub(tree(depth - 1), tree(depth - 1)))
+        case 7 => neq(ExprSpec.div(tree(depth - 1), tree(depth - 1)),
+          ExprSpec.mod(tree(depth - 1), tree(depth - 1)))
+        case 8 => ExprSpec.eq(ExprSpec.concat(lower(tree(depth - 1)),
+          upper(tree(depth - 1))), tree(depth - 1))
+        case 9 => in(tree(depth - 1), tree(depth - 1), tree(depth - 1))
+        case 10 => ExprSpec.eq(caseWhen(
+          Seq(isNull(tree(depth - 1)) -> tree(depth - 1)),
+          otherwise = Some(tree(depth - 1))), tree(depth - 1))
       }
     (1 to 200).foreach { i =>
       val t = FilterSpec(tree(1 + rng.nextInt(4)))
