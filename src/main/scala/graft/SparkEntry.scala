@@ -1233,12 +1233,66 @@ object SparkEntry {
       (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
       (pmod(floor(col("doc_id") / 64).cast("long"), lit(64)) + 1).cast("int").as("h"),
       col("text").cast("binary").as("seed"))
+    // Round 7: the decoder no longer discards the inflated pixels — the
+    // per-channel sums/means come from the REAL decompressed+defiltered
+    // IDAT bytes, and the oracle re-derives them from the seed-cycling
+    // arithmetic (pixel byte j = seed[j % len], channel = j % 3), so a
+    // wrong filter reconstruction or channel order breaks the hash.
     val enc = Multimodal.encodePngCol(docs, "w", "h", "seed", "payload")
-    val meta = Multimodal.decodeMeta(enc, "payload")
-    meta.select(col("doc_id"), col("media_format"), col("width"), col("height"),
+    val feat = Multimodal.decodeImageFeatures(enc, "payload")
+    feat.select(col("doc_id"), col("media_format"), col("width"), col("height"),
       col("n_bytes"),
-      (col("width") === col("w") && col("height") === col("h")).as("roundtrip_ok"))
+      (col("width") === col("w") && col("height") === col("h")).as("roundtrip_ok"),
+      col("sum_r"), col("sum_g"), col("sum_b"),
+      col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy("doc_id")
+  }
+
+  private def qImagePhash(s: SparkSession, d: String): DataFrame = {
+    // IMAGE-CONTENT near-dup (the multimodal counterpart of q_dedup_*):
+    // a three-part corpus — (A) every document rendered as a PNG;
+    // (B) every 5th document's image RE-ENCODED AS PPM — zero shared
+    // payload bytes with its PNG twin, identical pixels, so byte-level
+    // dedup can never pair them but the dHash matches exactly;
+    // (C) every 7th document's PPM with ONE pixel byte nudged (+1 mod
+    // 256) — a near-identical image. dHashes come from the REAL decode
+    // path (PNG: inflate + defilter; PPM: header walk), pairs from the
+    // Hamming-banded self-join (Dedup.hammingPairs64 — exact for radius
+    // <= 3 by pigeonhole). Geometry is >= 16x16 so the perturbed pixel
+    // is sampled by at most one 9x8 grid point => the planted near-twin
+    // is GUARANTEED within Hamming 1; both plantings are require()d
+    // found in-engine, and the oracle replays hash + all-pairs in full.
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(16)) + 16).cast("int").as("w"),
+      (pmod(floor(col("doc_id") / 16).cast("long"), lit(16)) + 16).cast("int").as("h"),
+      col("text").cast("binary").as("seed"))
+    val a = Multimodal.encodePngCol(base, "w", "h", "seed", "payload")
+      .select(col("doc_id").as("img_id"), col("payload"))
+    val bSrc = base.where(pmod(col("doc_id"), lit(5)) === 0)
+    val b = Multimodal.encodePpm(bSrc, "w", "h", "seed", "payload")
+      .select((col("doc_id") + 100000000L).as("img_id"), col("payload"))
+    val cSrc = base.where(pmod(col("doc_id"), lit(7)) === 0)
+    val c = Multimodal.perturbPpmPixel(
+      Multimodal.encodePpm(cSrc, "w", "h", "seed", "p0"), "p0", 0, "payload")
+      .select((col("doc_id") + 200000000L).as("img_id"), col("payload"))
+    val corpus = a.unionByName(b).unionByName(c)
+    val sig = Multimodal.decodeImageFeatures(corpus, "payload")
+      .select(col("img_id"), col("dhash"))
+    val pairs = Dedup.hammingPairs64(sig, "img_id", "dhash", maxHamming = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // planted twins MUST pair: cross-format at Hamming 0, perturbed
+    // within the banding guarantee
+    val nB = bSrc.count()
+    val foundB = pairs.where(col("id1") < 100000000L &&
+      col("id2") === col("id1") + 100000000L && col("hamming") === 0).count()
+    require(foundB == nB,
+      s"image dedup: $foundB of $nB cross-format twins paired at Hamming 0")
+    val nC = cSrc.count()
+    val foundC = pairs.where(col("id1") < 100000000L &&
+      col("id2") === col("id1") + 200000000L).count()
+    require(foundC == nC,
+      s"image dedup: $foundC of $nC perturbed near-twins paired within the band radius")
+    pairs.orderBy("id1", "id2")
   }
 
   private def qMultimodalJpeg(s: SparkSession, d: String): DataFrame = {
@@ -1755,6 +1809,7 @@ object SparkEntry {
     "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_multimodal_ppm" -> (qMultimodalPpm _),
     "q_multimodal_png" -> (qMultimodalPng _),
+    "q_image_phash" -> (qImagePhash _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_vocab_encode" -> (qVocabEncode _),
@@ -2491,15 +2546,70 @@ object SparkEntry {
     // PNG file size (stored-block deflate): raw = h*(1+3w) filtered
     // scanline bytes; 8 signature + 25 IHDR + 12 IDAT framing + 12 IEND
     // + zlib (2 header + 5/block + raw + 4 adler) = 63 + raw + 5*blocks.
+    // Pixel stats replay the seed-cycling arithmetic: pixel byte j =
+    // seed byte (j mod len), channel = j mod 3 (RGB triples) — the text
+    // is ASCII, so ord() IS the byte the encoder cycled. The engine side
+    // computes the same sums from the actually-inflated+defiltered IDAT.
     "q_multimodal_png" ->
-      """SELECT doc_id, 'image/png' AS media_format,
-        |CAST(doc_id % 64 + 1 AS INTEGER) AS width,
-        |CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS height,
-        |CAST(63 + ((doc_id // 64) % 64 + 1) * (1 + 3 * (doc_id % 64 + 1))
-        |  + 5 * CEIL((((doc_id // 64) % 64 + 1) * (1 + 3 * (doc_id % 64 + 1))) / 65535.0)
-        |  AS BIGINT) AS n_bytes,
-        |TRUE AS roundtrip_ok
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH geo AS (SELECT doc_id, text,
+        |  CAST(doc_id % 64 + 1 AS INTEGER) AS w,
+        |  CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS h FROM documents),
+        |px AS (SELECT doc_id, CAST(j % 3 AS INTEGER) AS c,
+        |  ord(substr(text, CAST(j % strlen(text) AS INTEGER) + 1, 1)) AS v
+        |  FROM (SELECT doc_id, text, unnest(range(3 * w * h)) AS j FROM geo)),
+        |st AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY doc_id)
+        |SELECT g.doc_id, 'image/png' AS media_format, g.w AS width, g.h AS height,
+        |CAST(63 + g.h * (1 + 3 * g.w)
+        |  + 5 * CEIL((g.h * (1 + 3 * g.w)) / 65535.0) AS BIGINT) AS n_bytes,
+        |TRUE AS roundtrip_ok,
+        |st.sum_r, st.sum_g, st.sum_b,
+        |CAST(st.sum_r AS DOUBLE) / (g.w * g.h) AS mean_r,
+        |CAST(st.sum_g AS DOUBLE) / (g.w * g.h) AS mean_g,
+        |CAST(st.sum_b AS DOUBLE) / (g.w * g.h) AS mean_b
+        |FROM geo g JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Full dHash replay: 9x8 nearest-neighbor grayscale grid (gray =
+    // r+g+b of source pixel ((y*h)//8, (x*w)//9)), bit y*8+x set iff
+    // grid(y,x) > grid(y,x+1) — bit 63 added as min-long (DuckDB rejects
+    // 1<<63) — then ALL-pairs Hamming <= 3 (the banded Spark join is
+    // exact at that radius by pigeonhole). Pixel bytes replay the same
+    // seed-cycling arithmetic as the PNG oracle; the C-corpus twin
+    // applies the planted +1 (mod 256) at pixel byte 0.
+    "q_image_phash" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  CAST(16 + doc_id % 16 AS INTEGER) AS w,
+        |  CAST(16 + (doc_id // 16) % 16 AS INTEGER) AS h FROM documents),
+        |imgs AS (
+        |  SELECT doc_id AS img_id, text, w, h, -1 AS pert FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, text, w, h, -1 FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000000, text, w, h, 0 FROM base WHERE doc_id % 7 = 0),
+        |gpk AS (SELECT img_id, y, x, pert, text,
+        |  3 * (((y * h) // 8) * w + ((x * w) // 9)) + k AS j
+        |  FROM imgs, (SELECT unnest(range(8)) AS y),
+        |    (SELECT unnest(range(9)) AS x), (SELECT unnest(range(3)) AS k)),
+        |gpv AS (SELECT img_id, y, x,
+        |  SUM(CASE WHEN j = pert
+        |    THEN (ord(substr(text, CAST(j % strlen(text) AS INTEGER) + 1, 1)) + 1) % 256
+        |    ELSE ord(substr(text, CAST(j % strlen(text) AS INTEGER) + 1, 1)) END) AS gray
+        |  FROM gpk GROUP BY img_id, y, x),
+        |bits AS (SELECT a.img_id, a.y, a.x,
+        |  CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+        |  FROM gpv a JOIN gpv b ON a.img_id = b.img_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |hs AS (SELECT img_id,
+        |  CAST(SUM(CASE WHEN bit = 0 THEN 0
+        |    WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
+        |    ELSE (1::BIGINT << CAST(y * 8 + x AS INTEGER)) END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY img_id)
+        |SELECT a.img_id AS id1, b.img_id AS id2,
+        |  bit_count(xor(a.dhash, b.dhash)) AS hamming
+        |FROM hs a JOIN hs b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3 ORDER BY id1, id2""".stripMargin,
     // JPEG file size = 124 marker/framing bytes (SOI 2 + APP0 18 + DQT 69
     // + SOF0 19 + SOS 14 + EOI 2) + w*h raw scan bytes.
     "q_multimodal_jpeg" ->

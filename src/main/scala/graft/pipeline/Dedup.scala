@@ -475,6 +475,32 @@ object Dedup {
     while (df != null) { df.unpersist(blocking = false); df = leasedPairFrames.poll() }
   }
 
+  /** All item pairs within `maxHamming` of each other's 64-bit signature —
+    * the signature-agnostic face of the Hamming-banded self-join
+    * ([[simhashPortablePairs]] is the text-SimHash instance; image dHash
+    * from Multimodal.decodeImageFeatures plugs in here for image-content
+    * near-dup). 4 bands of 16 bits: every pair with Hamming ≤ 3 shares a
+    * band (pigeonhole), so for maxHamming ≤ 3 the result is EXACT — what
+    * an all-pairs scan would find, at banded-join cost. Shuffles move
+    * (band, 16-bit key, id, sig) tuples only. */
+  def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"hammingPairs64: 4x16-bit banding guarantees recall only for Hamming <= 3, got $maxHamming")
+    val banded = sigs.select(col(idCol), col(sigCol).as("__sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col(sigCol), b * 16).bitwiseAND(0xFFFF).as("bh")))).as("bk"))
+      .select(col(idCol), col("__sig"), col("bk.band"), col("bk.bh"))
+    val l = banded.select(col("band"), col("bh"), col(idCol).as("id1"), col("__sig").as("sig1"))
+    val r = banded.select(col("band"), col("bh"), col(idCol).as("id2"), col("__sig").as("sig2"))
+    l.join(r, Seq("band", "bh")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   // ===== Length-bucket blocked n-gram Jaccard =====
 
   /** Pairwise n-gram Jaccard with double length-bucket blocking: each doc

@@ -592,6 +592,254 @@ object Multimodal {
     }(enc)
   }
 
+  // ===== Pixel decode (real, pure JVM) + perceptual hash =====
+
+  /** REAL pixel decoder: 24-bit BMP — walks to the pixel array via the
+    * header's data offset, un-pads rows, flips bottom-up storage, and
+    * swaps BGR to RGB. Returns top-down row-major RGB triples. */
+  def decodeBmpPixels(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val w = bb.getInt(18)
+    val hRaw = bb.getInt(22)
+    val h = math.abs(hRaw)
+    val bpp = bb.getShort(28).toInt
+    if (w <= 0 || h == 0 || bpp != 24 || dataOff < 54) return None
+    val stride = w * 3 + (4 - (w * 3) % 4) % 4
+    if (dataOff.toLong + stride.toLong * h > bytes.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      // positive height = bottom-up rows (the BMP default)
+      val srcRow = if (hRaw > 0) h - 1 - y else y
+      val base = dataOff + srcRow * stride
+      var x = 0
+      while (x < w) {
+        out(3 * (y * w + x)) = bytes(base + 3 * x + 2)     // R (stored BGR)
+        out(3 * (y * w + x) + 1) = bytes(base + 3 * x + 1) // G
+        out(3 * (y * w + x) + 2) = bytes(base + 3 * x)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(("image/bmp", w, h, out))
+  }
+
+  /** Offset of the first pixel byte in a P6 payload (after the single
+    * whitespace that terminates maxval), with the parsed (w, h, maxval);
+    * shared by the pixel decoder and the near-dup planting helper. */
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (bytes.length < 2 || bytes(0) != 'P'.toByte || bytes(1) != '6'.toByte) return None
+    var i = 2
+    def skipSeparators(): Unit = {
+      var more = true
+      while (more && i < bytes.length) {
+        val c = bytes(i).toChar
+        if (c.isWhitespace) i += 1
+        else if (c == '#') { while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1 }
+        else more = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipSeparators()
+      var v = 0L
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) {
+        v = v * 10 + (bytes(i) - '0'.toByte); any = true; i += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    for { w <- readInt(); h <- readInt(); mx <- readInt()
+          if w > 0 && h > 0 && i < bytes.length && bytes(i).toChar.isWhitespace }
+      yield (w, h, mx, i + 1) // exactly ONE whitespace after maxval, per spec
+  }
+
+  /** REAL pixel decoder: binary PPM (P6, maxval 255) — pixels are stored
+    * as top-down RGB triples already; slice them out. */
+  def decodePpmPixels(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
+    ppmHeader(bytes).collect {
+      case (w, h, 255, off)
+        if w.toLong * h * 3 + off <= bytes.length && w.toLong * h * 3 <= Int.MaxValue =>
+        ("image/ppm", w, h,
+          java.util.Arrays.copyOfRange(bytes, off, off + w * h * 3))
+    }
+
+  /** REAL pixel decoder: PNG (8-bit RGB, color type 2) — inflates the
+    * IDAT stream and applies the full scanline filter reconstruction of
+    * the PNG spec (None/Sub/Up/Average/Paeth), so real-world RGB PNGs
+    * decode, not just the stored-block ones our encoder writes. Geometry
+    * and checksums are re-verified via [[decodePng]] first. */
+  def decodePngPixels(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    decodePng(bytes) match {
+      case Some((fmt, w, h)) if bytes(24) == 8 && bytes(25) == 2 =>
+        // re-inflate to a buffer (decodePng only counted the length)
+        val idat = new java.io.ByteArrayOutputStream()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        var pos = 33
+        while (pos + 8 <= bytes.length) {
+          val len = bb.getInt(pos)
+          val name = new String(bytes, pos + 4, 4, "US-ASCII")
+          if (len < 0 || pos + 12 + len > bytes.length) return None
+          if (name == "IDAT") idat.write(bytes, pos + 8, len)
+          pos += 12 + len
+        }
+        val rowBytes = 1 + 3 * w
+        val raw = new Array[Byte](h * rowBytes)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        var total = 0
+        try {
+          while (!inf.finished() && !inf.needsInput() && total < raw.length)
+            total += inf.inflate(raw, total, raw.length - total)
+        } catch { case _: java.util.zip.DataFormatException => return None }
+        finally inf.end()
+        if (total != raw.length) return None
+        // scanline filter reconstruction (PNG spec §6): bpp = 3
+        val out = new Array[Byte](w * h * 3)
+        def paeth(a: Int, b: Int, c: Int): Int = {
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        var y = 0
+        while (y < h) {
+          val f = raw(y * rowBytes) & 0xff
+          if (f > 4) return None
+          var i = 0
+          while (i < 3 * w) {
+            val x = raw(y * rowBytes + 1 + i) & 0xff
+            val left = if (i >= 3) out(y * 3 * w + i - 3) & 0xff else 0
+            val up = if (y > 0) out((y - 1) * 3 * w + i) & 0xff else 0
+            val upLeft = if (y > 0 && i >= 3) out((y - 1) * 3 * w + i - 3) & 0xff else 0
+            val v = f match {
+              case 0 => x
+              case 1 => x + left
+              case 2 => x + up
+              case 3 => x + (left + up) / 2
+              case 4 => x + paeth(left, up, upLeft)
+            }
+            out(y * 3 * w + i) = (v & 0xff).toByte
+            i += 1
+          }
+          y += 1
+        }
+        Some((fmt, w, h, out))
+      case _ => None
+    }
+  }
+
+  /** Magic-byte dispatch over the pixel-level decoders (BMP, PPM, PNG —
+    * JPEG stays header-only: entropy decode needs a codec library). */
+  def decodePixelsRgb(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
+    decodeBmpPixels(bytes).orElse(decodePpmPixels(bytes)).orElse(decodePngPixels(bytes))
+
+  /** 64-bit difference hash (dHash) over decoded RGB pixels — the standard
+    * perceptual fingerprint: nearest-neighbor-sample a 9x8 grayscale grid
+    * (gray = r+g+b, integer — no luma weights, so any SQL engine replays
+    * it exactly), set bit y*8+x iff grid(y, x) > grid(y, x+1). Images that
+    * differ by small pixel perturbations land within a few bits, so the
+    * existing Hamming-banded join machinery turns this into IMAGE-content
+    * near-dup — the pass a multimodal training pipeline runs first, and
+    * one that byte-level dedup cannot do (the same picture re-encoded in
+    * another format shares no payload bytes but has the SAME dHash). */
+  def dhash64(width: Int, height: Int, rgb: Array[Byte]): Long = {
+    require(width > 0 && height > 0 && rgb.length >= 3 * width * height,
+      "dhash64: need a full RGB buffer")
+    def gray(gx: Int, gy: Int): Int = {
+      val p = 3 * (gy * width + gx)
+      (rgb(p) & 0xff) + (rgb(p + 1) & 0xff) + (rgb(p + 2) & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * height / 8
+      var x = 0
+      while (x < 8) {
+        if (gray(x * width / 9, sy) > gray((x + 1) * width / 9, sy))
+          hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Pixel-level image features, decoded per partition like [[decodeMeta]]:
+    * per-channel byte sums (exact — integer) and means, plus the [[dhash64]]
+    * perceptual fingerprint. Payloads without a pixel-decodable format
+    * (JPEG/WAV/MP4/garbage) get NULL features but keep their header-level
+    * media_format when one parses. */
+  val ImageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true),
+    StructField("dhash", LongType, nullable = true)))
+
+  def decodeImageFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ ImageFeatureSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val decoded = Option(bytes).flatMap(decodePixelsRgb)
+        decoded match {
+          case Some((fmt, w, h, rgb)) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < 3 * w * h) {
+              sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff; sb += rgb(i + 2) & 0xff
+              i += 3
+            }
+            val n = w.toLong * h
+            Row.fromSeq(r.toSeq ++ Seq(fmt, w, h, bytes.length.toLong,
+              sr, sg, sb, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+              dhash64(w, h, rgb)))
+          case None =>
+            val fmt = Option(bytes).map(decodeAny).map(_._1).filter(_ != "fake/raw").orNull
+            Row.fromSeq(r.toSeq ++ Seq(fmt, null, null,
+              Option(bytes).map(_.length.toLong).orNull,
+              null, null, null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Near-dup PLANTING tool for image-dedup gates: add 1 (mod 256) to ONE
+    * pixel byte of a P6 payload (header located by its parsed length).
+    * Payloads that are not P6 or too short pass through unchanged. */
+  def perturbPpmPixel(df: DataFrame, binCol: String, pixelIndex: Int,
+                      out: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val perturbed = Option(bytes).map { b =>
+          ppmHeader(b) match {
+            case Some((_, _, _, off)) if off + pixelIndex < b.length =>
+              val c = b.clone()
+              c(off + pixelIndex) = (((c(off + pixelIndex) & 0xff) + 1) % 256).toByte
+              c
+            case _ => b
+          }
+        }.orNull
+        Row.fromSeq(r.toSeq :+ perturbed)
+      }
+    }(enc)
+  }
+
   /** STUB image decode — the fallback for formats whose codecs this
     * environment lacks (audio/video; JPEG headers now parse for real).
     * Derives deterministic dimensions from the payload bytes so tests

@@ -236,6 +236,131 @@ class PipelineSpec extends SparkSpec {
       Seq(8L, "image/jpeg", 2, 2, 124L + 4L)))
   }
 
+  test("multimodal: pixel decode — PNG defilter (all 5 types) vs ImageIO; formats agree") {
+    // the three pixel decoders must return the SAME top-down RGB array
+    // for identically-seeded images, regardless of on-disk layout (PNG
+    // filtered scanlines, PPM raw, BMP bottom-up BGR + row padding)
+    val seed = Array[Byte](10, 20, 30, 40, 50, 60, 70)
+    val w = 5; val h = 3
+    val Some((_, _, _, pngPx)) = Multimodal.decodePngPixels(Multimodal.encodePng(w, h, seed))
+    val Some((_, _, _, ppmPx)) = Multimodal.decodePpmPixels(Multimodal.encodePpm6(w, h, seed))
+    val Some((_, _, _, bmpPx)) = Multimodal.decodeBmpPixels(Multimodal.encodeBmp24(w, h, seed))
+    assert(pngPx.toSeq == ppmPx.toSeq, "PNG and PPM pixels must agree")
+    assert(pngPx.toSeq == (0 until 3 * w * h).map(i => seed(i % seed.length)),
+      "pixels must be the cycled seed, top-down RGB")
+    // BMP stores BOTTOM-UP BGR: the cycled seed lands in reversed row
+    // order AND reversed channel order per pixel; the decoder undoes both
+    val rowLen = 3 * w
+    val expectedBmp = (0 until h).flatMap { y =>
+      val srcRow = h - 1 - y
+      (0 until w).flatMap { x =>
+        Seq(2, 1, 0).map(c => seed((srcRow * rowLen + 3 * x + c) % seed.length))
+      }
+    }
+    assert(bmpPx.toSeq == expectedBmp)
+    // full scanline-filter reconstruction: craft a PNG whose four rows use
+    // filters Sub/Up/Average/Paeth with a REAL Deflater stream, and check
+    // our defilter against BOTH a hand computation and the JDK's own
+    // decoder reading the very same file
+    val raw = Array[Byte](
+      1, 10, 20, 30, 5, 5, 5, // Sub
+      2, 1, 1, 1, 2, 2, 2, // Up
+      3, 4, 4, 4, 6, 6, 6, // Average
+      4, 7, 7, 7, 8, 8, 8) // Paeth
+    def chunk(name: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(name.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(out.array(), 4, 4 + data.length)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](1024)
+    val zlen = defl.deflate(zbuf)
+    defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(4)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val filtered = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte) ++
+      chunk("IHDR", ihdr.array()) ++ chunk("IDAT", zbuf.take(zlen)) ++
+      chunk("IEND", Array.empty[Byte])
+    val Some((_, 2, 4, fpx)) = Multimodal.decodePngPixels(filtered)
+    val hand = Seq(
+      10, 20, 30, 15, 25, 35, // Sub: second pixel adds left
+      11, 21, 31, 17, 27, 37, // Up: adds row above
+      9, 14, 19, 19, 26, 34, // Average: floor((left+up)/2)
+      16, 21, 26, 27, 34, 42) // Paeth: nearest-of-three predictor
+    assert(fpx.map(_ & 0xff).toSeq == hand)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(filtered))
+    for (y <- 0 until 4; x <- 0 until 2) {
+      val rgb = img.getRGB(x, y)
+      val p = 3 * (y * 2 + x)
+      assert(((rgb >> 16) & 0xff) == (fpx(p) & 0xff) &&
+        ((rgb >> 8) & 0xff) == (fpx(p + 1) & 0xff) &&
+        (rgb & 0xff) == (fpx(p + 2) & 0xff),
+        s"JDK decoder disagrees at ($x,$y)")
+    }
+    // JPEG stays header-only (entropy decode needs a codec library)
+    assert(Multimodal.decodePixelsRgb(
+      Multimodal.encodeJpegHeader(5, 3, seed)).isEmpty)
+  }
+
+  test("multimodal: dHash — format-invariant, 1-pixel perturbation stays within Hamming 1") {
+    val seed = "the quick brown fox jumps over the lazy dog".getBytes
+    val w = 20; val h = 17
+    val Some((_, _, _, png)) = Multimodal.decodePngPixels(Multimodal.encodePng(w, h, seed))
+    val Some((_, _, _, ppm)) = Multimodal.decodePpmPixels(Multimodal.encodePpm6(w, h, seed))
+    val hPng = Multimodal.dhash64(w, h, png)
+    val hPpm = Multimodal.dhash64(w, h, ppm)
+    assert(hPng == hPpm, "same image, different format => same dHash")
+    // a flat image has no gradient anywhere => hash 0
+    assert(Multimodal.dhash64(4, 4, Array.fill[Byte](48)(7)) == 0L)
+    // nudging ONE pixel byte moves the hash by at most 1 bit when every
+    // source pixel is sampled by at most one 9x8 grid point (w,h >= 16)
+    for (p <- Seq(0, 3, 3 * (5 * w + 7))) {
+      val mut = ppm.clone()
+      mut(p) = (((mut(p) & 0xff) + 1) % 256).toByte
+      val ham = java.lang.Long.bitCount(hPpm ^ Multimodal.dhash64(w, h, mut))
+      assert(ham <= 1, s"perturbation at $p moved $ham bits")
+    }
+    // perturbPpmPixel plants exactly that: one pixel byte, +1 mod 256
+    val df = Seq((1L, w, h)).toDF("id", "w", "h")
+      .withColumn("seed", lit(seed))
+    val enc = Multimodal.encodePpm(df, "w", "h", "seed", "payload")
+    val pert = Multimodal.perturbPpmPixel(enc, "payload", 0, "p2")
+    val r = pert.select("payload", "p2").head()
+    val orig = r.getAs[Array[Byte]](0); val mod = r.getAs[Array[Byte]](1)
+    val diffs = orig.indices.filter(i => orig(i) != mod(i))
+    val hdrLen = s"P6\n$w $h\n255\n".length
+    assert(diffs == Seq(hdrLen) &&
+      ((mod(hdrLen) & 0xff) == ((orig(hdrLen) & 0xff) + 1) % 256))
+    // non-PPM payloads pass through unchanged
+    val rawDf = Seq(Tuple1("not a ppm".getBytes)).toDF("payload")
+    val same = Multimodal.perturbPpmPixel(rawDf, "payload", 0, "p2").head()
+    assert(java.util.Arrays.equals(same.getAs[Array[Byte]](0), same.getAs[Array[Byte]](1)))
+  }
+
+  test("hammingPairs64: exact pairs at radius <= 3, banded — and radius > 3 rejects") {
+    val sigs = Seq(
+      (1L, 0L), (2L, 1L), // hamming 1
+      (3L, 0x0FL), // hamming(1,3)=3, hamming(2,3)=3... vs id1: 4 bits
+      (4L, -1L), // far from everything
+      (5L, -1L ^ (1L << 63))) // hamming(4,5)=1 across the sign bit
+      .toDF("id", "sig")
+    val pairs = rows(Dedup.hammingPairs64(sigs, "id", "sig").orderBy("id1", "id2"))
+    // brute-force expectation over all 10 pairs at radius <= 3
+    val m = Map(1L -> 0L, 2L -> 1L, 3L -> 0x0FL, 4L -> -1L, 5L -> (-1L ^ (1L << 63)))
+    val expect = (for {
+      a <- m.keys; b <- m.keys if a < b
+      ham = java.lang.Long.bitCount(m(a) ^ m(b)) if ham <= 3
+    } yield Seq(a, b, ham)).toSeq.sortBy(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long]))
+    assert(pairs == expect)
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs64(sigs, "id", "sig", maxHamming = 4)
+    }
+  }
+
   test("multimodal resize: nearest-neighbor byte sampling to target length") {
     val df = Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text")
     val b = Multimodal.asBinary(df, "text", "payload")
