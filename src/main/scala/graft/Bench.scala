@@ -93,8 +93,15 @@ object Bench {
     sys.env.get("SPARK_GRAFT_STATS").foreach { path =>
       val w = new java.io.PrintWriter(path)
       try picked.sortBy(_._1).foreach { case (name, fn) =>
-        try w.println(Instrument.toJson(name, Instrument.stats(fn(spark, sfDir))))
-        catch { case e: Throwable => System.err.println(s"[stats] $name: $e") }
+        try {
+          Instrument.drainStreamStats() // discard progress left by timed runs
+          w.println(Instrument.toJson(name, Instrument.stats(fn(spark, sfDir))))
+          // streaming gates also publish per-batch rows/state progress —
+          // one extra JSON line per streaming run inside the query
+          Instrument.drainStreamStats().foreach { case (label, batches) =>
+            w.println(Instrument.streamToJson(name, label, batches))
+          }
+        } catch { case e: Throwable => System.err.println(s"[stats] $name: $e") }
       } finally w.close()
       System.err.println(s"[stats] per-operator stats written to $path")
     }

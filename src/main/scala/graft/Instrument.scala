@@ -185,4 +185,78 @@ object Instrument {
     }.mkString("[", ",", "]")
     s"""{"query":"${jstr(name)}","operators":$nodes}"""
   }
+
+  // ===== Streaming observability (per-batch progress, the streaming face
+  // of the per-operator stats above) =====
+
+  /** Per-micro-batch statistics of a streaming query, from Spark's own
+    * StreamingQueryProgress — the streaming analog of [[OperatorStat]]:
+    * rows in, processing rate, trigger wall time, and the STATE the batch
+    * left behind (total state rows / bytes across stateful operators —
+    * the number that must stay watermark-bounded for a stream to survive
+    * at 100 TB; an unbounded climb here is the streaming version of a
+    * skewed reducer). `watermark` is the event-time watermark after the
+    * batch, when the query tracks one. */
+  final case class StreamBatchStat(
+      batchId: Long,
+      numInputRows: Long,
+      processedRowsPerSecond: Double,
+      batchDurationMs: Long,
+      stateRows: Option[Long],
+      stateMemoryBytes: Option[Long],
+      watermark: Option[String])
+
+  def fromProgress(p: org.apache.spark.sql.streaming.StreamingQueryProgress): StreamBatchStat =
+    StreamBatchStat(
+      p.batchId,
+      p.numInputRows,
+      p.processedRowsPerSecond,
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L),
+      if (p.stateOperators.isEmpty) None
+      else Some(p.stateOperators.map(_.numRowsTotal).sum),
+      if (p.stateOperators.isEmpty) None
+      else Some(p.stateOperators.map(_.memoryUsedBytes).sum),
+      Option(p.eventTime.get("watermark")))
+
+  /** Stats for every batch a (finished or running) streaming query
+    * retains in its progress buffer. */
+  def streamStats(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[StreamBatchStat] =
+    q.recentProgress.toSeq.map(fromProgress)
+
+  /** Progress recorded by the streaming gate harnesses, keyed by gate
+    * label — a query's StreamingQuery handle lives inside the gate
+    * function, so the harness publishes its progress here for Bench's
+    * stats dump to drain (multiple runs of one label — checkpoint
+    * resume — append). */
+  private val recordedStreams =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[StreamBatchStat]]()
+
+  def recordStreamProgress(label: String,
+                           q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    recordedStreams.merge(label, streamStats(q), (a, b) => a ++ b)
+
+  /** Snapshot-and-clear the recorded stream progress (Bench drains after
+    * each query so stream stats attach to the gate that produced them). */
+  def drainStreamStats(): Map[String, Seq[StreamBatchStat]] = {
+    import scala.jdk.CollectionConverters._
+    val snap = recordedStreams.asScala.toMap
+    recordedStreams.clear()
+    snap
+  }
+
+  /** One JSON line for a gate's streaming batches (NaN/Infinity rates —
+    * empty batches — serialize as null; JSON has no non-finite numbers). */
+  def streamToJson(query: String, label: String,
+                   batches: Seq[StreamBatchStat]): String = {
+    def num(d: Double): String = if (java.lang.Double.isFinite(d)) d.toString else "null"
+    def opt[A](v: Option[A]): String = v.map(_.toString).getOrElse("null")
+    val bs = batches.map { b =>
+      s"""{"batch":${b.batchId},"rows":${b.numInputRows},""" +
+        s""""rows_per_sec":${num(b.processedRowsPerSecond)},""" +
+        s""""duration_ms":${b.batchDurationMs},"state_rows":${opt(b.stateRows)},""" +
+        s""""state_bytes":${opt(b.stateMemoryBytes)},""" +
+        b.watermark.map(w => s""""watermark":"${jstr(w)}"}""").getOrElse(""""watermark":null}""")
+    }.mkString("[", ",", "]")
+    s"""{"query":"${jstr(query)}","stream":"${jstr(label)}","batches":$bs}"""
+  }
 }

@@ -386,10 +386,12 @@ object Streams {
     def runToCompletion(): Unit = {
       val stream = readEvents(spark, in.toString, glob = "events*.parquet")
       val static = spark.read.schema(blockSchema).parquet(block.toString)
-      parquetSink(
+      val q = parquetSink(
         filterAgainstStatic(stream, static, Seq("user_id"))
           .select(col("event_id"), col("user_id"), col("event_type")),
-        outDir, ckpt, trigger = Some(Trigger.AvailableNow())).awaitTermination()
+        outDir, ckpt, trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination()
+      graft.Instrument.recordStreamProgress(work.getFileName.toString, q)
     }
     runToCompletion()
     // refresh the blocklist, then deliver phase 2 + the sentinel
@@ -438,9 +440,14 @@ object Streams {
     }
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
-    def runToCompletion(): Unit =
-      parquetSink(pipeline(readEvents(spark, in.toString, glob = "events*.parquet")),
-        outDir, ckpt, trigger = Some(Trigger.AvailableNow())).awaitTermination()
+    def runToCompletion(): Unit = {
+      val q = parquetSink(pipeline(readEvents(spark, in.toString, glob = "events*.parquet")),
+        outDir, ckpt, trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination()
+      // per-batch rows/state metrics for Bench's stats dump (the
+      // streaming face of the per-operator SQLMetric stats)
+      graft.Instrument.recordStreamProgress(work.getFileName.toString, q)
+    }
     runToCompletion()
     // sentinel: 30 days after the newest real event (ts is raw nanos here)
     val maxNs = spark.read.schema(EventSchemaRaw)

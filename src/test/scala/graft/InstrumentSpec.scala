@@ -98,4 +98,57 @@ class InstrumentSpec extends SparkSpec {
     assert(stats.exists(_.rowsProcessed.contains(5L)),
       s"expected a 5-row aggregate node:\n${Instrument.render(stats)}")
   }
+
+  test("streaming stats: per-batch rows + state from a MemoryStream query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Int]
+    // a stateful aggregate so stateOperators is populated
+    val counts = src.toDF().groupBy(col("value") % 3).count()
+    val q = counts.writeStream.outputMode("update").format("noop").start()
+    try {
+      src.addData(1 to 100: _*)
+      q.processAllAvailable()
+      src.addData(101 to 150: _*)
+      q.processAllAvailable()
+      val stats = Instrument.streamStats(q).filter(_.numInputRows > 0)
+      assert(stats.map(_.numInputRows).sum == 150L,
+        s"expected 150 input rows across batches, got $stats")
+      // the state store holds the 3 running groups after every batch
+      assert(stats.forall(_.stateRows.contains(3L)), s"state rows off in $stats")
+      assert(stats.forall(_.stateMemoryBytes.exists(_ > 0L)))
+      assert(stats.forall(_.batchDurationMs >= 0L))
+      // registry: record -> drain attaches progress to a gate label, and
+      // draining clears it
+      Instrument.drainStreamStats()
+      Instrument.recordStreamProgress("mem_gate", q)
+      val drained = Instrument.drainStreamStats()
+      assert(drained.keySet == Set("mem_gate") &&
+        drained("mem_gate").map(_.numInputRows).sum == 150L)
+      assert(Instrument.drainStreamStats().isEmpty)
+      // JSON line is well-formed-ish: no NaN/Infinity leaks, label quoted
+      val json = Instrument.streamToJson("q_x", "mem_gate", drained("mem_gate"))
+      assert(json.contains("\"stream\":\"mem_gate\"") &&
+        !json.contains("NaN") && !json.contains("Infinity"))
+    } finally q.stop()
+  }
+
+  test("streaming gate harnesses publish per-batch progress for the stats dump") {
+    // the real file-source gate records its two checkpointed runs under
+    // the workDir label; batches across runs accumulate
+    val work = java.nio.file.Files.createTempDirectory("graft_instr_stream")
+    Instrument.drainStreamStats()
+    val out = graft.streaming.Streams.windowedStreamGate(
+      spark, "/root/testdata/sf0.001", work.toString)
+    assert(out.count() > 0)
+    val drained = Instrument.drainStreamStats()
+    val label = work.getFileName.toString
+    assert(drained.contains(label), s"expected $label in ${drained.keySet}")
+    val batches = drained(label)
+    assert(batches.exists(_.numInputRows > 0))
+    // the windowed aggregate is stateful: some batch must report state
+    assert(batches.exists(_.stateRows.exists(_ > 0L)),
+      s"no state rows in $batches")
+    graft.streaming.Streams.deleteRecursively(work)
+  }
 }
