@@ -1375,6 +1375,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qAudioStats(s: SparkSession, d: String): DataFrame = {
+    // Per-channel SAMPLE statistics from the REAL decoded PCM frames —
+    // the audio counterpart of q_multimodal_png's pixel stats: the WAV
+    // payload is built by cycling text bytes into little-endian int16
+    // frames, decodeAudioFeatures re-reads the data chunk as SIGNED
+    // samples and folds per-channel sums/means/|amplitude|, and the
+    // oracle replays the byte-pair arithmetic (value = hi*256+lo,
+    // sign-folded) from the text. One row per (doc, channel) — array
+    // columns stay engine-side; the gate surface is plain scalars.
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(2)) + 1).cast("int").as("ch"),
+      (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("int").as("rate"),
+      (pmod(col("doc_id"), lit(500)) + 1).cast("int").as("ns"),
+      col("text").cast("binary").as("seed"))
+    val enc = Multimodal.encodeWavCol(docs, "ch", "rate", "ns", "seed", "payload")
+    val feat = Multimodal.decodeAudioFeatures(enc, "payload")
+    feat.select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        posexplode(arrays_zip(col("sum_ch"), col("mean_ch"), col("sum_abs_ch")))
+          .as(Seq("channel", "z")))
+      .select(col("doc_id"), col("channel").cast("int").as("channel"),
+        col("sample_rate"), col("n_samples"),
+        col("z.sum_ch").as("sum_s"), col("z.mean_ch").as("mean_s"),
+        col("z.sum_abs_ch").as("sum_abs"))
+      .orderBy("doc_id", "channel")
+  }
+
   private def qMultimodalMp4(s: SparkSession, d: String): DataFrame = {
     // VIDEO round-trip gate — the ISO-BMFF box walk: a minimal MP4
     // (ftyp + moov>mvhd with real timescale/duration + mdat payload) is
@@ -1812,6 +1838,7 @@ object SparkEntry {
     "q_image_phash" -> (qImagePhash _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_wav" -> (qMultimodalWav _),
+    "q_audio_stats" -> (qAudioStats _),
     "q_vocab_encode" -> (qVocabEncode _),
     "q_shuffle" -> (qShuffle _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
@@ -2666,6 +2693,30 @@ object SparkEntry {
         |CAST(44 + (doc_id % 500 + 1) * (doc_id % 2 + 1) * 2 AS BIGINT) AS n_bytes,
         |TRUE AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Per-channel PCM sample stats replayed from the byte-pair
+    // arithmetic: interleaved sample i (channel = i mod ch) is the
+    // little-endian int16 of seed bytes (2i, 2i+1) cycling the ASCII
+    // text; sign folded via (+32768) % 65536 - 32768 (identity for
+    // ASCII hi-bytes, kept for form). Means divide the exact sum by
+    // frames-per-channel, a deterministic double division.
+    "q_audio_stats" ->
+      """WITH geo AS (SELECT doc_id, text,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS rate,
+        |  CAST(doc_id % 500 + 1 AS BIGINT) AS n FROM documents),
+        |sm AS (SELECT doc_id, CAST(i % ch AS INTEGER) AS channel,
+        |  ((ord(substr(text, CAST((2 * i + 1) % strlen(text) AS INTEGER) + 1, 1)) * 256
+        |    + ord(substr(text, CAST((2 * i) % strlen(text) AS INTEGER) + 1, 1))
+        |    + 32768) % 65536) - 32768 AS v
+        |  FROM (SELECT doc_id, text, ch, unnest(range(n * ch)) AS i FROM geo)),
+        |ag AS (SELECT doc_id, channel,
+        |  CAST(SUM(v) AS BIGINT) AS sum_s,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+        |  FROM sm GROUP BY doc_id, channel)
+        |SELECT g.doc_id, a.channel, g.rate AS sample_rate, g.n AS n_samples,
+        |  a.sum_s, CAST(a.sum_s AS DOUBLE) / g.n AS mean_s, a.sum_abs
+        |FROM geo g JOIN ag a USING (doc_id)
+        |ORDER BY doc_id, channel""".stripMargin,
     // MP4 file size = 144 (ftyp 20 + moov/mvhd 116 + mdat header 8) +
     // payload bytes; duration_ms replays the units*1000/timescale floor.
     "q_multimodal_mp4" ->

@@ -456,6 +456,89 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL sample decoder: 16-bit PCM WAV — locates the `data` chunk via
+    * the same RIFF walk as [[decodeWav]] and returns the interleaved
+    * little-endian signed samples. Only PCM-16 layouts decode (other
+    * bit depths report metadata only). */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (bytes.length < 44 ||
+      new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12L
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataOff = -1L
+    var dataSize = -1L
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || dataOff < 0)) {
+      val p = pos.toInt
+      val id = new String(bytes, p, 4, "US-ASCII")
+      val size = bb.getInt(p + 4).toLong & 0xffffffffL
+      if (pos + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        val ch = bb.getShort(p + 10) & 0xffff
+        val rate = bb.getInt(p + 12)
+        val bits = bb.getShort(p + 22) & 0xffff
+        if (ch == 0 || rate <= 0 || bits == 0) return None
+        fmt = Some((ch, rate, bits))
+      } else if (id == "data") { dataOff = pos + 8; dataSize = size }
+      pos += 8 + size + (size & 1)
+    }
+    fmt.collect {
+      case (ch, rate, 16) if dataOff >= 0 =>
+        val n = (dataSize / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = bb.getShort(dataOff.toInt + 2 * i); i += 1 }
+        (ch, rate, out)
+    }
+  }
+
+  /** Audio feature schema: per-channel sample sums (exact), means, and
+    * total absolute amplitude — the audio face of [[ImageFeatureSchema]].
+    * `sum_ch` / `mean_ch` / `sum_abs_ch` are arrays indexed by channel. */
+  val AudioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_format", StringType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("sum_ch", ArrayType(LongType), nullable = true),
+    StructField("mean_ch", ArrayType(DoubleType), nullable = true),
+    StructField("sum_abs_ch", ArrayType(LongType), nullable = true)))
+
+  /** Per-channel SAMPLE statistics from the REAL decoded PCM frames —
+    * the audio counterpart of decodeImageFeatures' pixel stats: exact
+    * per-channel sums/means and summed |amplitude| (the loudness proxy a
+    * silence/clipping filter needs). Same mapPartitions kernel shape;
+    * non-PCM-16 payloads get NULL features. */
+  def decodeAudioFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ AudioFeatureSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        Option(bytes).flatMap(decodeWavSamples) match {
+          case Some((ch, rate, samples)) =>
+            val sums = new Array[Long](ch)
+            val abs = new Array[Long](ch)
+            var i = 0
+            while (i < samples.length) {
+              val c = i % ch
+              sums(c) += samples(i)
+              abs(c) += math.abs(samples(i).toLong)
+              i += 1
+            }
+            val frames = if (ch > 0) samples.length / ch else 0
+            val means = sums.map(s => if (frames > 0) s.toDouble / frames else 0.0)
+            Row.fromSeq(r.toSeq ++ Seq("audio/wav", ch, rate, frames.toLong,
+              sums.toSeq, means.toSeq, abs.toSeq))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
   // ===== MP4 / video (real, pure JVM: ISO-BMFF box walk) =====
 
   /** Metadata schema for decoded video payloads. */

@@ -341,6 +341,37 @@ class PipelineSpec extends SparkSpec {
     assert(java.util.Arrays.equals(same.getAs[Array[Byte]](0), same.getAs[Array[Byte]](1)))
   }
 
+  test("multimodal: WAV sample decode — signed LE int16 frames, per-channel stats") {
+    // seed with a high bit set exercises the signed reconstruction:
+    // frame bytes (lo, hi) cycle the seed, so sample 0 = (0x90 << 8) | 0x01
+    // = 0x9001 = -28671 signed
+    val seed = Array[Byte](0x01, 0x90.toByte, 0x02, 0x03)
+    val wav = Multimodal.encodeWavPcm16(2, 8000, 3, seed)
+    val Some((ch, rate, samples)) = Multimodal.decodeWavSamples(wav)
+    assert(ch == 2 && rate == 8000 && samples.length == 6)
+    val expected = (0 until 6).map { i =>
+      val lo = seed((2 * i) % 4) & 0xff
+      val hi = seed((2 * i + 1) % 4) & 0xff
+      ((hi << 8) | lo).toShort
+    }
+    assert(samples.toSeq == expected)
+    assert(samples(0) == -28671) // the signed case, pinned
+    // non-PCM16 and garbage reject
+    assert(Multimodal.decodeWavSamples("RIFFnope".getBytes).isEmpty)
+    // dataframe path: per-channel sums/means/|amplitude| over real frames
+    val df = Seq((1L, 2, 8000, 3)).toDF("id", "ch", "rate", "ns")
+      .withColumn("seed", lit(seed))
+    val feat = Multimodal.decodeAudioFeatures(
+      Multimodal.encodeWavCol(df, "ch", "rate", "ns", "seed", "payload"), "payload")
+    val r = feat.select("channels", "n_samples", "sum_ch", "mean_ch", "sum_abs_ch").head()
+    assert(r.getInt(0) == 2 && r.getLong(1) == 3L)
+    val byCh = expected.zipWithIndex.groupBy(_._2 % 2)
+    val sums = (0 to 1).map(c => byCh(c).map(_._1.toLong).sum)
+    assert(r.getSeq[Long](2) == sums)
+    assert(r.getSeq[Double](3) == sums.map(_.toDouble / 3))
+    assert(r.getSeq[Long](4) == (0 to 1).map(c => byCh(c).map(x => math.abs(x._1.toLong)).sum))
+  }
+
   test("hammingPairs64: exact pairs at radius <= 3, banded — and radius > 3 rejects") {
     val sigs = Seq(
       (1L, 0L), (2L, 1L), // hamming 1
