@@ -1248,6 +1248,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qMultimodalGif(s: SparkSession, d: String): DataFrame = {
+    // Round-trip gate for the FIFTH real image codec — the LZW one: a
+    // spec-conformant GIF89a is built per document (grayscale palette,
+    // 9-bit literal-stream LZW with periodic CLEARs so the byte size is
+    // a closed form of w·h), and the FULL LZW decompressor + palette map
+    // recovers the pixels; per-channel sums come from the decoded RGB
+    // (all three equal — the palette is gray), replayed by the oracle
+    // from the seed-cycling arithmetic like the PNG gate.
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
+      (pmod(floor(col("doc_id") / 64).cast("long"), lit(64)) + 1).cast("int").as("h"),
+      col("text").cast("binary").as("seed"))
+    val enc = Multimodal.encodeGifCol(docs, "w", "h", "seed", "payload")
+    val feat = Multimodal.decodeImageFeatures(enc, "payload")
+    feat.select(col("doc_id"), col("media_format"), col("width"), col("height"),
+      col("n_bytes"),
+      (col("width") === col("w") && col("height") === col("h")).as("roundtrip_ok"),
+      col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("doc_id")
+  }
+
   private def qImagePhash(s: SparkSession, d: String): DataFrame = {
     // IMAGE-CONTENT near-dup (the multimodal counterpart of q_dedup_*):
     // a three-part corpus — (A) every document rendered as a PNG;
@@ -1836,6 +1857,7 @@ object SparkEntry {
     "q_multimodal_ppm" -> (qMultimodalPpm _),
     "q_multimodal_png" -> (qMultimodalPng _),
     "q_image_phash" -> (qImagePhash _),
+    "q_multimodal_gif" -> (qMultimodalGif _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_audio_stats" -> (qAudioStats _),
@@ -2598,6 +2620,29 @@ object SparkEntry {
         |CAST(st.sum_g AS DOUBLE) / (g.w * g.h) AS mean_g,
         |CAST(st.sum_b AS DOUBLE) / (g.w * g.h) AS mean_b
         |FROM geo g JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // GIF file size: 794 fixed bytes (6 header + 7 LSD + 768 gray GCT +
+    // 10 image descriptor + 1 min-code + 1 terminator + 1 trailer) + db
+    // data bytes + 1 length byte per 255-byte sub-block, where db =
+    // ceil(9*C/8), C = n + (n-1)//254 + 2 LZW codes (literals + periodic
+    // CLEARs + initial CLEAR/EOI). The gray palette makes all three
+    // channel sums equal the seed-cycled byte sum over n = w*h pixels.
+    "q_multimodal_gif" ->
+      """WITH geo AS (SELECT doc_id, text,
+        |  CAST(doc_id % 64 + 1 AS INTEGER) AS w,
+        |  CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS h FROM documents),
+        |sz AS (SELECT doc_id, w, h,
+        |  (9 * (w * h + (w * h - 1) // 254 + 2) + 7) // 8 AS db FROM geo),
+        |st AS (SELECT doc_id,
+        |  CAST(SUM(ord(substr(text, CAST(j % strlen(text) AS INTEGER) + 1, 1)))
+        |    AS BIGINT) AS s
+        |  FROM (SELECT doc_id, text, unnest(range(w * h)) AS j FROM geo)
+        |  GROUP BY doc_id)
+        |SELECT g.doc_id, 'image/gif' AS media_format, g.w AS width, g.h AS height,
+        |CAST(794 + z.db + (z.db + 254) // 255 AS BIGINT) AS n_bytes,
+        |TRUE AS roundtrip_ok,
+        |st.s AS sum_r, st.s AS sum_g, st.s AS sum_b
+        |FROM geo g JOIN sz z USING (doc_id) JOIN st USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Full dHash replay: 9x8 nearest-neighbor grayscale grid (gray =
     // r+g+b of source pixel ((y*h)//8, (x*w)//9)), bit y*8+x set iff
     // grid(y,x) > grid(y,x+1) — bit 63 added as min-long (DuckDB rejects

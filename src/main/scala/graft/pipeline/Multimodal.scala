@@ -11,16 +11,21 @@ import org.apache.spark.sql.types._
   * Codec status — all REAL pure-JVM codecs, no media library needed:
   * image: BMP (24-bit uncompressed, BITMAPINFOHEADER), binary PPM (P6),
   * PNG (8-bit RGB, real zlib stream + CRC32/Adler32, IDAT verified by
-  * actual Inflater decompression), JPEG (marker-segment walk to
-  * SOF0/SOF2 — header-level, no entropy decode); audio: WAV
-  * (RIFF/WAVE chunk walk, PCM fmt + data); video: MP4 (ISO-BMFF box
-  * walk to moov>mvhd, v0 and v1). decodeMeta dispatches images on
-  * magic bytes; decodeAudioMeta / decodeVideoMeta are the typed audio/
-  * video faces. Full PIXEL/SAMPLE decompression for lossy formats
-  * (JPEG entropy decode, AAC/H.264) needs codec libraries this
-  * environment does not have, so only payloads that match no real
-  * codec fall through to the clearly-marked deterministic STUB. The
-  * Spark-side plumbing
+  * actual Inflater decompression), GIF (FULL LZW decompressor —
+  * variable code width, CLEAR/EOI, interlace — plus palette map), JPEG
+  * (marker-segment walk to SOF0/SOF2 — header-level, no entropy
+  * decode); audio: WAV (RIFF/WAVE chunk walk, PCM fmt + data, signed
+  * 16-bit sample decode); video: MP4 (ISO-BMFF box walk to moov>mvhd,
+  * v0 and v1). PIXEL-level decode (decodePixelsRgb → decodeImageFeatures
+  * with per-channel stats + dHash) covers BMP/PPM/PNG/GIF — every
+  * LOSSLESS format end to end; SAMPLE-level decode
+  * (decodeWavSamples → decodeAudioFeatures) covers PCM-16 WAV.
+  * decodeMeta dispatches images on magic bytes; decodeAudioMeta /
+  * decodeVideoMeta are the typed audio/video faces. Full pixel/sample
+  * decompression for LOSSY formats (JPEG entropy decode, AAC/H.264)
+  * needs codec libraries this environment does not have, so only
+  * payloads that match no real codec fall through to the
+  * clearly-marked deterministic STUB. The Spark-side plumbing
   * (schemas, binary slicing, mapPartitions batch shape, partition-parallel
   * execution) is shared by both paths.
   */
@@ -675,6 +680,238 @@ object Multimodal {
     }(enc)
   }
 
+  // ===== GIF (real, pure JVM: LZW codec) =====
+
+  /** REAL encoder: GIF89a — logical screen descriptor, 256-entry
+    * grayscale global color table (palette[i] = (i,i,i), so the indexed
+    * pixel IS its gray value), one image block whose pixel indices cycle
+    * `pixelSeed`, LZW-compressed with the standard literal-stream form:
+    * min-code-size 8, an initial CLEAR, a CLEAR after every 254 literals
+    * (so the dictionary never reaches the 512-entry 10-bit boundary and
+    * every code is exactly 9 bits — valid LZW any decoder accepts, with a
+    * byte size that stays a closed form of w·h), EOI, sub-block framing,
+    * trailer. File size = 794 + db + ceil(db/255), where db =
+    * ceil(9·C/8), C = w·h + floor((w·h−1)/254) + 2. */
+  def encodeGif(width: Int, height: Int, pixelSeed: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      "encodeGif: dimensions must be in [1, 65535]")
+    val n = width * height
+    val out = new java.io.ByteArrayOutputStream(820 + n * 9 / 8)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    out.write(0xf7) // GCT present, 8 bits/channel, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(width); le16(height)
+    out.write(0) // no LCT, not interlaced
+    out.write(8) // LZW min code size
+    // 9-bit code stream, LSB-first bit packing (the GIF convention)
+    val data = new java.io.ByteArrayOutputStream(n * 9 / 8 + 16)
+    var acc = 0L
+    var bits = 0
+    def emit(code: Int): Unit = {
+      acc |= (code.toLong & 0x1ff) << bits
+      bits += 9
+      while (bits >= 8) { data.write((acc & 0xff).toInt); acc >>= 8; bits -= 8 }
+    }
+    emit(256) // initial CLEAR
+    i = 0
+    while (i < n) {
+      emit(if (pixelSeed.isEmpty) 0 else pixelSeed(i % pixelSeed.length) & 0xff)
+      if (i % 254 == 253 && i < n - 1) emit(256) // keep every code 9-bit
+      i += 1
+    }
+    emit(257) // EOI
+    if (bits > 0) data.write((acc & 0xff).toInt)
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) { // <=255-byte sub-blocks
+      val len = math.min(255, bytes.length - off)
+      out.write(len); out.write(bytes, off, len)
+      off += len
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL decoder: GIF header + logical-screen parse ('GIF87a'/'GIF89a'
+    * magic, little-endian u16 dimensions). */
+  def decodeGif(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes.length < 13) return None
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val w = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+    val h = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    if (w > 0 && h > 0) Some(("image/gif", w, h)) else None
+  }
+
+  /** REAL pixel decoder: GIF — global/local color tables, extension-block
+    * skipping, and a FULL LZW decompressor (variable code width 3..12
+    * bits, CLEAR/EOI, dictionary rebuild, the KwKwK case) plus 4-pass
+    * de-interlace; the first image frame's indices map through the active
+    * palette to top-down RGB. This is the whole format for lossless GIFs
+    * — nothing stubbed. */
+  def decodeGifPixels(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    if (decodeGif(bytes).isEmpty) return None
+    try {
+      var pos = 10
+      val packed = bytes(pos) & 0xff
+      pos += 3 // packed, background, aspect
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val sz = 3 * (1 << ((packed & 7) + 1))
+        gct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
+        pos += sz
+      }
+      while (pos < bytes.length) {
+        (bytes(pos) & 0xff) match {
+          case 0x3b => return None // trailer before any image
+          case 0x21 => // extension: label + sub-blocks
+            pos += 2
+            while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+            pos += 1
+          case 0x2c =>
+            val iw = (bytes(pos + 5) & 0xff) | ((bytes(pos + 6) & 0xff) << 8)
+            val ih = (bytes(pos + 7) & 0xff) | ((bytes(pos + 8) & 0xff) << 8)
+            val ip = bytes(pos + 9) & 0xff
+            pos += 10
+            var palette = gct
+            if ((ip & 0x80) != 0) {
+              val sz = 3 * (1 << ((ip & 7) + 1))
+              palette = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
+              pos += sz
+            }
+            if (palette == null || iw <= 0 || ih <= 0) return None
+            val interlaced = (ip & 0x40) != 0
+            val minCode = bytes(pos) & 0xff
+            pos += 1
+            if (minCode < 2 || minCode > 11) return None
+            // concatenate the LZW sub-blocks
+            val lzw = new java.io.ByteArrayOutputStream()
+            while ((bytes(pos) & 0xff) != 0) {
+              val len = bytes(pos) & 0xff
+              lzw.write(bytes, pos + 1, len)
+              pos += 1 + len
+            }
+            val indices = lzwDecode(lzw.toByteArray, minCode, iw * ih)
+              .getOrElse(return None)
+            // de-interlace (4 passes: rows 0/8, 4/8, 2/4, 1/2)
+            val rows =
+              if (!interlaced) indices
+              else {
+                val outRows = new Array[Byte](iw * ih)
+                val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+                var src = 0
+                for ((start, step) <- passes; y <- start until ih by step) {
+                  System.arraycopy(indices, src * iw, outRows, y * iw, iw)
+                  src += 1
+                }
+                outRows
+              }
+            val rgb = new Array[Byte](iw * ih * 3)
+            var k = 0
+            while (k < iw * ih) {
+              val idx = (rows(k) & 0xff) * 3
+              if (idx + 2 >= palette.length) return None
+              rgb(3 * k) = palette(idx)
+              rgb(3 * k + 1) = palette(idx + 1)
+              rgb(3 * k + 2) = palette(idx + 2)
+              k += 1
+            }
+            return Some(("image/gif", iw, ih, rgb))
+          case _ => return None
+        }
+      }
+      None
+      // truncated payloads surface as out-of-bounds reads anywhere in the
+      // walk (sub-block lengths are attacker-controlled); reject, never throw
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** GIF-flavor LZW decompression: LSB-first bit stream, initial width
+    * minCode+1, dictionary of (prefix, suffix) chains, width grows at
+    * 2^width entries up to 12 bits, CLEAR resets, EOI or `expect` output
+    * pixels ends. Returns None on a corrupt stream. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expect: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expect)
+    var outLen = 0
+    var dictSize = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L
+    var bits = 0
+    var pos = 0
+    val stack = new Array[Byte](4096)
+    def emitChain(code: Int): Option[Byte] = {
+      var c = code
+      var sp = 0
+      while (c >= clear) { // walk the chain (codes < clear are literals)
+        if (sp >= stack.length || c >= dictSize) return None
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      val first = c.toByte
+      if (outLen + sp + 1 > out.length) return None
+      out(outLen) = first; outLen += 1
+      while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+      Some(first)
+    }
+    while (outLen < expect) {
+      while (bits < width) {
+        if (pos >= data.length) return None
+        acc |= (data(pos) & 0xffL) << bits
+        bits += 8; pos += 1
+      }
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>= width; bits -= width
+      if (code == clear) {
+        dictSize = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outLen == expect) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code after clear must be literal
+        out(outLen) = code.toByte; outLen += 1
+        prev = code
+      } else {
+        val first =
+          if (code < dictSize) emitChain(code).getOrElse(return None)
+          else if (code == dictSize) { // KwKwK: prev + first(prev)
+            var c = prev
+            while (c >= clear) c = prefix(c)
+            val f = c.toByte
+            // emit prev chain then f
+            val before = outLen
+            emitChain(prev).getOrElse(return None)
+            if (outLen >= out.length) return None
+            out(outLen) = f; outLen += 1
+            if (before == outLen) return None
+            f
+          } else return None
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** Encode (width, height, seed-bytes) columns into REAL GIF payloads. */
+  def encodeGifCol(df: DataFrame, widthCol: String, heightCol: String,
+                   seedCol: String, out: String): DataFrame =
+    encodeWith(df, widthCol, heightCol, seedCol, out)(encodeGif)
+
   // ===== Pixel decode (real, pure JVM) + perceptual hash =====
 
   /** REAL pixel decoder: 24-bit BMP — walks to the pixel array via the
@@ -813,10 +1050,12 @@ object Multimodal {
     }
   }
 
-  /** Magic-byte dispatch over the pixel-level decoders (BMP, PPM, PNG —
-    * JPEG stays header-only: entropy decode needs a codec library). */
+  /** Magic-byte dispatch over the pixel-level decoders (BMP, PPM, PNG,
+    * GIF — JPEG stays header-only: entropy decode needs a codec
+    * library). */
   def decodePixelsRgb(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
     decodeBmpPixels(bytes).orElse(decodePpmPixels(bytes)).orElse(decodePngPixels(bytes))
+      .orElse(decodeGifPixels(bytes))
 
   /** 64-bit difference hash (dHash) over decoded RGB pixels — the standard
     * perceptual fingerprint: nearest-neighbor-sample a 9x8 grayscale grid
@@ -934,11 +1173,11 @@ object Multimodal {
     ("fake/raw", w, h)
   }
 
-  /** Magic-byte dispatch: real codecs first (BMP, PPM, PNG, JPEG), stub
-    * fallback. */
+  /** Magic-byte dispatch: real codecs first (BMP, PPM, PNG, JPEG, GIF),
+    * stub fallback. */
   def decodeAny(bytes: Array[Byte]): (String, Int, Int) =
     decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
-      .orElse(decodeJpeg(bytes))
+      .orElse(decodeJpeg(bytes)).orElse(decodeGif(bytes))
       .getOrElse(fakeDecode(bytes))
 
   /** REAL encoder: binary PPM (P6) — ASCII header "P6\n{w} {h}\n255\n"

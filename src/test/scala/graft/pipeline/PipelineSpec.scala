@@ -341,6 +341,58 @@ class PipelineSpec extends SparkSpec {
     assert(java.util.Arrays.equals(same.getAs[Array[Byte]](0), same.getAs[Array[Byte]](1)))
   }
 
+  test("multimodal: REAL GIF codec — LZW both ways, ImageIO cross-validation") {
+    val seed = Array[Byte](5, 200.toByte, 33, 90, 7)
+    val w = 9; val h = 4
+    val gif = Multimodal.encodeGif(w, h, seed)
+    // size law: 794 fixed + db + ceil(db/255), db = ceil(9*C/8),
+    // C = n + (n-1)/254 + 2 literal/clear/EOI codes
+    val n = w * h
+    val c = n + (n - 1) / 254 + 2
+    val db = (9 * c + 7) / 8
+    assert(gif.length == 794 + db + (db + 254) / 255)
+    assert(Multimodal.decodeGif(gif).contains(("image/gif", w, h)))
+    assert(Multimodal.decodeAny(gif) == ("image/gif", w, h))
+    // our own decode: grayscale palette makes pixel (r,g,b) = seed byte x3
+    val Some((_, _, _, px)) = Multimodal.decodeGifPixels(gif)
+    assert(px.toSeq == (0 until n).flatMap(i => Seq.fill(3)(seed(i % seed.length))))
+    // the JDK's OWN GIF reader accepts the file and agrees on every pixel
+    // — the emitted LZW stream and palette are spec-conformant
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = seed((y * w + x) % seed.length) & 0xff
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == v && ((rgb >> 8) & 0xff) == v && (rgb & 0xff) == v,
+        s"JDK GIF reader disagrees at ($x,$y)")
+    }
+    // the OTHER direction: the JDK's GIF WRITER produces real
+    // variable-width LZW (growing dictionary, not our 9-bit literal
+    // stream) — our full LZW decoder must reproduce the JDK's own
+    // read-back byte for byte
+    val src = new java.awt.image.BufferedImage(40, 25,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 25; x <- 0 until 40)
+      src.setRGB(x, y, ((x * 6) << 16) | ((y * 10) << 8) | ((x + y) * 3))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "gif", bos), "JDK GIF writer missing")
+    val jdkGif = bos.toByteArray
+    val Some((_, 40, 25, ours)) = Multimodal.decodeGifPixels(jdkGif)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jdkGif))
+    for (y <- 0 until 25; x <- 0 until 40) {
+      val rgb = theirs.getRGB(x, y)
+      val p = 3 * (y * 40 + x)
+      assert(((rgb >> 16) & 0xff) == (ours(p) & 0xff) &&
+        ((rgb >> 8) & 0xff) == (ours(p + 1) & 0xff) &&
+        (rgb & 0xff) == (ours(p + 2) & 0xff),
+        s"LZW decode disagrees with the JDK at ($x,$y)")
+    }
+    // garbage and truncation reject instead of misparsing
+    assert(Multimodal.decodeGif("GIF89a".getBytes).isEmpty)
+    assert(Multimodal.decodeGifPixels(gif.take(800)).isEmpty)
+    assert(Multimodal.decodeGifPixels("not a gif at all".getBytes).isEmpty)
+  }
+
   test("multimodal: WAV sample decode — signed LE int16 frames, per-channel stats") {
     // seed with a high bit set exercises the signed reconstruction:
     // frame bytes (lo, hi) cycle the seed, so sample 0 = (0x90 << 8) | 0x01

@@ -81,11 +81,17 @@ class Round4PropertySpec extends SparkSpec {
       Multimodal.encodePng(7, 5, Array[Byte](3)),
       Multimodal.encodeJpegHeader(7, 5, Array[Byte](4)),
       Multimodal.encodeWavPcm16(2, 8000, 9, Array[Byte](5)),
-      Multimodal.encodeMp4Header(600, 1234L, 16, Array[Byte](6)))
+      Multimodal.encodeMp4Header(600, 1234L, 16, Array[Byte](6)),
+      Multimodal.encodeGif(7, 5, Array[Byte](7)))
     def noThrow(b: Array[Byte]): Unit = {
       Multimodal.decodeAny(b)
       Multimodal.decodeWav(b)
       Multimodal.decodeMp4(b)
+      // round 7: the pixel-level decoders (PNG inflate+defilter, GIF LZW,
+      // BMP/PPM slicing) and the PCM sample reader share the same
+      // never-throw contract — they run inside the same mapPartitions
+      Multimodal.decodePixelsRgb(b)
+      Multimodal.decodeWavSamples(b)
     }
     (1 to 300).foreach { _ =>
       noThrow(Array.fill(rng.nextInt(200))(rng.nextInt().toByte))
