@@ -71,6 +71,45 @@ object SparkEntry {
       |FROM p JOIN t t1 ON p.id1 = t1.doc_id JOIN t t2 ON p.id2 = t2.doc_id)
       |WHERE jac >= 0.5)""".stripMargin
 
+  /** Shared dHash-pair CTE (q_image_phash + q_image_dedup): the full
+    * perceptual-hash replay — three-part image corpus, 9x8 grayscale
+    * grid from the seed-cycling pixel arithmetic, 64-bit difference hash
+    * (bit 63 added as min-long — DuckDB rejects 1<<63), then ALL-pairs
+    * Hamming ≤ 3 as `ip` (the banded Spark join is exact at that radius
+    * by pigeonhole). */
+  private val ImageDhashPairsCte: String =
+    """base AS (SELECT doc_id, text,
+      |  CAST(16 + doc_id % 16 AS INTEGER) AS w,
+      |  CAST(16 + (doc_id // 16) % 16 AS INTEGER) AS h FROM documents),
+      |imgs AS (
+      |  SELECT doc_id AS img_id, text, w, h, -1 AS pert FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 100000000, text, w, h, -1 FROM base WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000000, text, w, h, 0 FROM base WHERE doc_id % 7 = 0),
+      |gpk AS (SELECT img_id, y, x, pert, text,
+      |  3 * (((y * h) // 8) * w + ((x * w) // 9)) + k AS j
+      |  FROM imgs, (SELECT unnest(range(8)) AS y),
+      |    (SELECT unnest(range(9)) AS x), (SELECT unnest(range(3)) AS k)),
+      |gpv AS (SELECT img_id, y, x,
+      |  SUM(CASE WHEN j = pert
+      |    THEN (ord(substr(text, CAST(j % strlen(text) AS INTEGER) + 1, 1)) + 1) % 256
+      |    ELSE ord(substr(text, CAST(j % strlen(text) AS INTEGER) + 1, 1)) END) AS gray
+      |  FROM gpk GROUP BY img_id, y, x),
+      |bits AS (SELECT a.img_id, a.y, a.x,
+      |  CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+      |  FROM gpv a JOIN gpv b ON a.img_id = b.img_id AND a.y = b.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hs AS (SELECT img_id,
+      |  CAST(SUM(CASE WHEN bit = 0 THEN 0
+      |    WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
+      |    ELSE (1::BIGINT << CAST(y * 8 + x AS INTEGER)) END) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY img_id),
+      |ip AS (SELECT a.img_id AS id1, b.img_id AS id2,
+      |  bit_count(xor(a.dhash, b.dhash)) AS hamming
+      |FROM hs a JOIN hs b ON a.img_id < b.img_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)""".stripMargin
+
   private val annExactTopKOracle: String =
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -1269,7 +1308,10 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  private def qImagePhash(s: SparkSession, d: String): DataFrame = {
+  private def qImagePhash(s: SparkSession, d: String): DataFrame =
+    qImagePhashPairs(s, d).orderBy("id1", "id2")
+
+  private def qImagePhashPairs(s: SparkSession, d: String): DataFrame = {
     // IMAGE-CONTENT near-dup (the multimodal counterpart of q_dedup_*):
     // a three-part corpus — (A) every document rendered as a PNG;
     // (B) every 5th document's image RE-ENCODED AS PPM — zero shared
@@ -1313,8 +1355,17 @@ object SparkEntry {
       col("id2") === col("id1") + 200000000L).count()
     require(foundC == nC,
       s"image dedup: $foundC of $nC perturbed near-twins paired within the band radius")
-    pairs.orderBy("id1", "id2")
+    pairs
   }
+
+  private def qImageDedup(s: SparkSession, d: String): DataFrame =
+    // the full image-dedup pipeline: dHash pairs -> transitive clusters
+    // (the same min-label machinery as text dedup, q_dedup_clusters) —
+    // canonical member = smallest img_id, so the original PNG survives
+    // and its cross-format/perturbed twins collapse onto it; verified
+    // against the recursive-CTE reachability fixpoint over the replayed
+    // dHash pairs in DuckDB
+    Dedup.duplicateClusters(qImagePhashPairs(s, d)).orderBy("id")
 
   private def qMultimodalJpeg(s: SparkSession, d: String): DataFrame = {
     // Round-trip gate for the FOURTH real codec — the marker-stream one:
@@ -1857,6 +1908,7 @@ object SparkEntry {
     "q_multimodal_ppm" -> (qMultimodalPpm _),
     "q_multimodal_png" -> (qMultimodalPng _),
     "q_image_phash" -> (qImagePhash _),
+    "q_image_dedup" -> (qImageDedup _),
     "q_multimodal_gif" -> (qMultimodalGif _),
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_wav" -> (qMultimodalWav _),
@@ -2651,37 +2703,20 @@ object SparkEntry {
     // seed-cycling arithmetic as the PNG oracle; the C-corpus twin
     // applies the planted +1 (mod 256) at pixel byte 0.
     "q_image_phash" ->
-      """WITH base AS (SELECT doc_id, text,
-        |  CAST(16 + doc_id % 16 AS INTEGER) AS w,
-        |  CAST(16 + (doc_id // 16) % 16 AS INTEGER) AS h FROM documents),
-        |imgs AS (
-        |  SELECT doc_id AS img_id, text, w, h, -1 AS pert FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 100000000, text, w, h, -1 FROM base WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 200000000, text, w, h, 0 FROM base WHERE doc_id % 7 = 0),
-        |gpk AS (SELECT img_id, y, x, pert, text,
-        |  3 * (((y * h) // 8) * w + ((x * w) // 9)) + k AS j
-        |  FROM imgs, (SELECT unnest(range(8)) AS y),
-        |    (SELECT unnest(range(9)) AS x), (SELECT unnest(range(3)) AS k)),
-        |gpv AS (SELECT img_id, y, x,
-        |  SUM(CASE WHEN j = pert
-        |    THEN (ord(substr(text, CAST(j % strlen(text) AS INTEGER) + 1, 1)) + 1) % 256
-        |    ELSE ord(substr(text, CAST(j % strlen(text) AS INTEGER) + 1, 1)) END) AS gray
-        |  FROM gpk GROUP BY img_id, y, x),
-        |bits AS (SELECT a.img_id, a.y, a.x,
-        |  CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
-        |  FROM gpv a JOIN gpv b ON a.img_id = b.img_id AND a.y = b.y AND b.x = a.x + 1
-        |  WHERE a.x < 8),
-        |hs AS (SELECT img_id,
-        |  CAST(SUM(CASE WHEN bit = 0 THEN 0
-        |    WHEN y * 8 + x = 63 THEN (-9223372036854775807 - 1)
-        |    ELSE (1::BIGINT << CAST(y * 8 + x AS INTEGER)) END) AS BIGINT) AS dhash
-        |  FROM bits GROUP BY img_id)
-        |SELECT a.img_id AS id1, b.img_id AS id2,
-        |  bit_count(xor(a.dhash, b.dhash)) AS hamming
-        |FROM hs a JOIN hs b ON a.img_id < b.img_id
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3 ORDER BY id1, id2""".stripMargin,
+      s"""WITH $ImageDhashPairsCte
+         |SELECT id1, id2, hamming FROM ip ORDER BY id1, id2""".stripMargin,
+    // The image-dedup CLUSTER face: same replayed pairs, recursive-CTE
+    // reachability fixpoint, min label = canonical member (the same
+    // oracle shape as q_dedup_clusters over text pairs).
+    "q_image_dedup" ->
+      s"""WITH RECURSIVE $ImageDhashPairsCte,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ip
+         |UNION SELECT id2, id1 FROM ip),
+         |reach(id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b)
+         |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
     // JPEG file size = 124 marker/framing bytes (SOI 2 + APP0 18 + DQT 69
     // + SOF0 19 + SOS 14 + EOI 2) + w*h raw scan bytes.
     "q_multimodal_jpeg" ->
