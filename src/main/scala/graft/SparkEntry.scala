@@ -1473,6 +1473,52 @@ object SparkEntry {
       .orderBy("doc_id", "channel")
   }
 
+  private def qAudioPhash(s: SparkSession, d: String): DataFrame = {
+    // AUDIO-content near-dup, completing the cross-modality dedup story
+    // (text: q_dedup_*, image: q_image_phash): a three-part corpus —
+    // (A) every document rendered as PCM WAV (>= 200 frames so the
+    // 65-window envelope is stable); (B) every 5th doc's SAMPLES
+    // re-encoded under a DIFFERENT header (2x sample rate — different
+    // payload bytes, same samples, so the envelope hash is IDENTICAL:
+    // the re-encoded-container case byte dedup cannot pair);
+    // (C) every 7th doc's WAV with the first data byte nudged (+1 mod
+    // 256) — one sample changes, one envelope window moves, at most ONE
+    // comparison bit flips. Pairs from the same Hamming-banded join as
+    // images; both plantings require()d found; the oracle replays
+    // samples, windows (k = 65i/n integer division), hash and all-pairs.
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(2)) + 1).cast("int").as("ch"),
+      (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("int").as("rate"),
+      (lit(16000)).cast("int").as("rate2"),
+      (pmod(col("doc_id"), lit(300)) + 200).cast("int").as("ns"),
+      col("text").cast("binary").as("seed"))
+    val a = Multimodal.encodeWavCol(docs, "ch", "rate", "ns", "seed", "payload")
+      .select(col("doc_id").as("aud_id"), col("payload"))
+    val bSrc = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val b = Multimodal.encodeWavCol(bSrc, "ch", "rate2", "ns", "seed", "payload")
+      .select((col("doc_id") + 100000000L).as("aud_id"), col("payload"))
+    val cSrc = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    val c = Multimodal.perturbWavSample(
+      Multimodal.encodeWavCol(cSrc, "ch", "rate", "ns", "seed", "p0"), "p0", "payload")
+      .select((col("doc_id") + 200000000L).as("aud_id"), col("payload"))
+    val corpus = a.unionByName(b).unionByName(c)
+    val sig = Multimodal.decodeAudioFeatures(corpus, "payload")
+      .select(col("aud_id"), col("ahash"))
+    val pairs = Dedup.hammingPairs64(sig, "aud_id", "ahash", maxHamming = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nB = bSrc.count()
+    val foundB = pairs.where(col("id1") < 100000000L &&
+      col("id2") === col("id1") + 100000000L && col("hamming") === 0).count()
+    require(foundB == nB,
+      s"audio dedup: $foundB of $nB re-encoded twins paired at Hamming 0")
+    val nC = cSrc.count()
+    val foundC = pairs.where(col("id1") < 100000000L &&
+      col("id2") === col("id1") + 200000000L).count()
+    require(foundC == nC,
+      s"audio dedup: $foundC of $nC perturbed near-twins paired within the band radius")
+    pairs.orderBy("id1", "id2")
+  }
+
   private def qMultimodalMp4(s: SparkSession, d: String): DataFrame = {
     // VIDEO round-trip gate — the ISO-BMFF box walk: a minimal MP4
     // (ftyp + moov>mvhd with real timescale/duration + mdat payload) is
@@ -1913,6 +1959,7 @@ object SparkEntry {
     "q_multimodal_jpeg" -> (qMultimodalJpeg _),
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_audio_stats" -> (qAudioStats _),
+    "q_audio_phash" -> (qAudioPhash _),
     "q_vocab_encode" -> (qVocabEncode _),
     "q_shuffle" -> (qShuffle _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
@@ -2797,6 +2844,44 @@ object SparkEntry {
         |  a.sum_s, CAST(a.sum_s AS DOUBLE) / g.n AS mean_s, a.sum_abs
         |FROM geo g JOIN ag a USING (doc_id)
         |ORDER BY doc_id, channel""".stripMargin,
+    // Full audio-fingerprint replay: samples from the byte-pair
+    // arithmetic (as q_audio_stats), 65 envelope windows by integer
+    // division k = 65i/n, summed |amplitude| per window, bit k set iff
+    // env(k) > env(k+1) (bit 63 as min-long), then ALL-pairs Hamming
+    // <= 3. The C-corpus twin applies the planted +1 (mod 256) to the
+    // low byte of sample 0; the B twin has a different rate header but
+    // identical samples, so it never appears here — only ids differ.
+    "q_audio_phash" ->
+      """WITH geo AS (SELECT doc_id, text,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |  CAST(doc_id % 300 + 200 AS BIGINT) AS ns FROM documents),
+        |auds AS (
+        |  SELECT doc_id AS aud_id, text, ns * ch AS n, -1 AS pert FROM geo
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, text, ns * ch, -1 FROM geo WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000000, text, ns * ch, 0 FROM geo WHERE doc_id % 7 = 0),
+        |sm AS (SELECT aud_id, n, i,
+        |  ((ord(substr(text, CAST((2 * i + 1) % strlen(text) AS INTEGER) + 1, 1)) * 256
+        |    + (ord(substr(text, CAST((2 * i) % strlen(text) AS INTEGER) + 1, 1))
+        |       + CASE WHEN i = pert THEN 1 ELSE 0 END) % 256
+        |    + 32768) % 65536) - 32768 AS v
+        |  FROM (SELECT aud_id, text, n, pert, unnest(range(n)) AS i FROM auds)),
+        |env AS (SELECT aud_id, CAST((65 * i) // n AS INTEGER) AS k, SUM(ABS(v)) AS e
+        |  FROM sm GROUP BY aud_id, CAST((65 * i) // n AS INTEGER)),
+        |bits AS (SELECT a.aud_id, a.k,
+        |  CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+        |  FROM env a JOIN env b ON a.aud_id = b.aud_id AND b.k = a.k + 1
+        |  WHERE a.k < 64),
+        |hs AS (SELECT aud_id,
+        |  CAST(SUM(CASE WHEN bit = 0 THEN 0
+        |    WHEN k = 63 THEN (-9223372036854775807 - 1)
+        |    ELSE (1::BIGINT << k) END) AS BIGINT) AS ahash
+        |  FROM bits GROUP BY aud_id)
+        |SELECT a.aud_id AS id1, b.aud_id AS id2,
+        |  bit_count(xor(a.ahash, b.ahash)) AS hamming
+        |FROM hs a JOIN hs b ON a.aud_id < b.aud_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3 ORDER BY id1, id2""".stripMargin,
     // MP4 file size = 144 (ftyp 20 + moov/mvhd 116 + mdat header 8) +
     // payload bytes; duration_ms replays the units*1000/timescale floor.
     "q_multimodal_mp4" ->

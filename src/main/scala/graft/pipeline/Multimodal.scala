@@ -508,7 +508,8 @@ object Multimodal {
     StructField("n_samples", LongType, nullable = true),
     StructField("sum_ch", ArrayType(LongType), nullable = true),
     StructField("mean_ch", ArrayType(DoubleType), nullable = true),
-    StructField("sum_abs_ch", ArrayType(LongType), nullable = true)))
+    StructField("sum_abs_ch", ArrayType(LongType), nullable = true),
+    StructField("ahash", LongType, nullable = true)))
 
   /** Per-channel SAMPLE statistics from the REAL decoded PCM frames —
     * the audio counterpart of decodeImageFeatures' pixel stats: exact
@@ -536,10 +537,80 @@ object Multimodal {
             val frames = if (ch > 0) samples.length / ch else 0
             val means = sums.map(s => if (frames > 0) s.toDouble / frames else 0.0)
             Row.fromSeq(r.toSeq ++ Seq("audio/wav", ch, rate, frames.toLong,
-              sums.toSeq, means.toSeq, abs.toSeq))
+              sums.toSeq, means.toSeq, abs.toSeq, audioHash64(samples)))
           case None =>
-            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null, null))
         }
+      }
+    }(enc)
+  }
+
+  /** 64-bit audio difference hash over decoded PCM samples — the audio
+    * analog of [[dhash64]]: the (channel-interleaved) sample stream is
+    * cut into 65 near-equal windows by per-sample integer arithmetic
+    * (sample i belongs to window ⌊65·i/n⌋), each window folds to its
+    * summed |amplitude| (the envelope), and bit k is set iff envelope(k)
+    * > envelope(k+1). Integer-only — any SQL engine replays it — and
+    * invariant to container/rate metadata: the same samples in a
+    * different WAV header hash identically, so near-dup audio pairs the
+    * way re-encoded images do. A single perturbed sample touches one
+    * window ⇒ at most one comparison bit per adjacent pair. */
+  def audioHash64(samples: Array[Short]): Long = {
+    val n = samples.length
+    if (n < 65) return 0L // fewer samples than windows: no stable envelope
+    val env = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      env((65L * i / n).toInt) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (env(k) > env(k + 1)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Near-dup PLANTING tool for audio-dedup gates: add 1 (mod 256) to the
+    * FIRST byte of the `data` chunk of a PCM WAV (the low byte of sample
+    * 0 — located by the real RIFF walk, not a fixed offset). Non-WAV or
+    * chunk-less payloads pass through unchanged. */
+  def perturbWavSample(df: DataFrame, binCol: String, out: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    def dataOffset(bytes: Array[Byte]): Option[Int] = {
+      if (bytes.length < 44 ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12L
+      while (pos + 8 <= bytes.length) {
+        val p = pos.toInt
+        val id = new String(bytes, p, 4, "US-ASCII")
+        val size = bb.getInt(p + 4).toLong & 0xffffffffL
+        if (pos + 8 + size > bytes.length) return None
+        if (id == "data" && size > 0) return Some(p + 8)
+        pos += 8 + size + (size & 1)
+      }
+      None
+    }
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val perturbed = Option(bytes).map { b =>
+          dataOffset(b) match {
+            case Some(off) =>
+              val c = b.clone()
+              c(off) = (((c(off) & 0xff) + 1) % 256).toByte
+              c
+            case None => b
+          }
+        }.orNull
+        Row.fromSeq(r.toSeq :+ perturbed)
       }
     }(enc)
   }

@@ -424,6 +424,39 @@ class PipelineSpec extends SparkSpec {
     assert(r.getSeq[Long](4) == (0 to 1).map(c => byCh(c).map(x => math.abs(x._1.toLong)).sum))
   }
 
+  test("multimodal: audioHash64 — header-invariant, 1-sample perturbation stays local") {
+    val seed = "some seed text for pcm frames with varied bytes".getBytes
+    // same samples under different rate headers hash identically
+    val w1 = Multimodal.encodeWavPcm16(2, 8000, 150, seed)
+    val w2 = Multimodal.encodeWavPcm16(2, 44100, 150, seed)
+    val Some((_, _, s1)) = Multimodal.decodeWavSamples(w1)
+    val Some((_, _, s2)) = Multimodal.decodeWavSamples(w2)
+    val h1 = Multimodal.audioHash64(s1)
+    assert(h1 == Multimodal.audioHash64(s2), "rate header must not change the hash")
+    // fewer samples than windows: defined zero, not garbage
+    assert(Multimodal.audioHash64(s1.take(64)) == 0L)
+    // one perturbed sample moves at most 1 comparison bit
+    val mut = s1.clone()
+    mut(0) = (mut(0) + 1).toShort
+    assert(java.lang.Long.bitCount(h1 ^ Multimodal.audioHash64(mut)) <= 1)
+    // perturbWavSample nudges exactly the first data byte via the RIFF walk
+    val df = Seq((1L, 2, 8000, 150)).toDF("id", "ch", "rate", "ns")
+      .withColumn("seed", lit(seed))
+    val enc = Multimodal.encodeWavCol(df, "ch", "rate", "ns", "seed", "payload")
+    val pert = Multimodal.perturbWavSample(enc, "payload", "p2")
+    val r = pert.select("payload", "p2").head()
+    val orig = r.getAs[Array[Byte]](0); val mod = r.getAs[Array[Byte]](1)
+    val diffs = orig.indices.filter(i => orig(i) != mod(i))
+    assert(diffs == Seq(44), s"expected only the first data byte to change, got $diffs")
+    // non-WAV passes through unchanged
+    val same = Multimodal.perturbWavSample(
+      Seq(Tuple1("not a wav".getBytes)).toDF("payload"), "payload", "p2").head()
+    assert(java.util.Arrays.equals(same.getAs[Array[Byte]](0), same.getAs[Array[Byte]](1)))
+    // decodeAudioFeatures surfaces the hash
+    val feat = Multimodal.decodeAudioFeatures(enc, "payload").select("ahash").head()
+    assert(feat.getLong(0) == h1)
+  }
+
   test("hammingPairs64: exact pairs at radius <= 3, banded — and radius > 3 rejects") {
     val sigs = Seq(
       (1L, 0L), (2L, 1L), // hamming 1
