@@ -1011,6 +1011,22 @@ object SparkEntry {
         .groupBy("split", "l_returnflag")
         .agg(count(lit(1)).as("n")))
 
+  private def qMixCorpora(s: SparkSession, d: String): DataFrame = {
+    // Domain mixing (the LLM data-recipe step): three corpus faces
+    // (doc_id mod 3 ~ web/code/books) mixed at 6:3:1 toward 200 rows —
+    // exact-integer thresholds from per-source counts, hash membership,
+    // and the seeded interleave position all replayed verbatim by the
+    // oracle, so a wrong count, a float-rounded rate, or an unstable
+    // order all hash-mismatch.
+    import graft.pipeline.Sampling
+    val docs = Tables.documents(s, d).select("doc_id")
+    def face(m: Int) = docs.where(pmod(col("doc_id"), lit(3)) === m)
+    val mixed = Sampling.mixCorpora(
+      Seq(("web", face(0), 6L), ("code", face(1), 3L), ("books", face(2), 1L)),
+      Seq("doc_id"), targetRows = 200, seed = 42L)
+    mixed.select(col("pos"), col("source"), col("doc_id")).orderBy("pos")
+  }
+
   private def qTfidf(s: SparkSession, d: String): DataFrame = {
     // corpus stats over ALL documents; top-3 BM25 terms for the first docs
     // (ranking on the ROUNDED score so a last-ulp ln() difference between
@@ -1934,6 +1950,7 @@ object SparkEntry {
     "q_spec_roundtrip" -> (qSpecRoundtrip _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_split" -> (qSampleSplit _),
+    "q_mix_corpora" -> (qMixCorpora _),
     "q_tfidf" -> (qTfidf _),
     "q_text_redact" -> (qTextRedact _),
     "q_profile" -> (qProfile _),
@@ -2452,6 +2469,27 @@ object SparkEntry {
         |+ ((l_linenumber % 2147483648) * 2246822519) % 2147483648)
         |% 2147483648) % 1000000 AS bkt FROM lineitem)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Domain-mix replay: per-source counts, exact-integer thresholds
+    // least(B, w*T*B // (sumW*n)), the portable key hash for membership,
+    // and the seeded shuffle key (as q_shuffle) for the interleave
+    // position — the full mixing pipeline recomputed from scratch.
+    "q_mix_corpora" ->
+      """WITH src AS (
+        |  SELECT doc_id, 'web' AS source, 6 AS w FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'code', 3 FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'books', 1 FROM documents WHERE doc_id % 3 = 2),
+        |thr AS (SELECT source, LEAST(1000000, (MAX(w) * 200 * 1000000) // (10 * COUNT(*))) AS t
+        |  FROM src GROUP BY source),
+        |kept AS (SELECT s.doc_id, s.source,
+        |  (((s.doc_id % 2147483648) * ((85 * 2654435761) % 2147483648)) % 2147483648
+        |   + (42 * 2246822519) % 2147483648) % 2147483648 AS skey
+        |  FROM src s JOIN thr USING (source)
+        |  WHERE (((s.doc_id % 2147483648) * 2654435761) % 2147483648) % 1000000 < thr.t)
+        |SELECT row_number() OVER (ORDER BY skey, doc_id, source) - 1 AS pos,
+        |  source, doc_id
+        |FROM kept ORDER BY pos""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term

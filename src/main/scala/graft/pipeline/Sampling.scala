@@ -132,6 +132,59 @@ object Sampling {
     df.withColumn(outCol, label)
   }
 
+  /** Deterministic corpus MIXING — the domain-weighting step of an LLM
+    * data recipe (web : code : books at some ratio): each source corpus
+    * is hash-sampled at the rate that makes its EXPECTED contribution
+    * `targetRows · w_s / Σw`, then the union is assigned a seeded global
+    * interleave position, so one sequential read of the output IS the
+    * mixed training order.
+    *
+    * Determinism contract (the whole point, as with every operator
+    * here): thresholds are exact integer arithmetic — BigInt
+    * `w·T·Buckets / (Σw·n_s)`, never a float rate — and membership +
+    * position are pure functions of key and seed, so the same mix
+    * replays bit-identically across runs, retries, and engines (the
+    * q_mix_corpora oracle recomputes counts, thresholds, hash and order
+    * in DuckDB). A source whose weight asks for MORE rows than it has
+    * caps at keeping everything (threshold clamps to Buckets) — the
+    * standard behavior when a small high-weight domain runs dry;
+    * up-sampling beyond 1× is epoch repetition, a separate concern.
+    *
+    * Cost: one count job per source (scalar metadata), one codegen'd
+    * hash filter per source (pushes to the scan), one union, and the
+    * range exchange of the final order — no joins, no driver data.
+    *
+    * @param sources (label, corpus, integer weight) triples; schemas
+    *                must match (checked) so the union is positional-safe
+    */
+  def mixCorpora(sources: Seq[(String, DataFrame, Long)], keyCols: Seq[String],
+                 targetRows: Long, seed: Long = 42L,
+                 sourceCol: String = "source", posCol: String = "pos"): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora: need at least one source")
+    require(sources.forall(_._3 > 0), "mixCorpora: weights must be positive")
+    require(targetRows > 0, "mixCorpora: targetRows must be positive")
+    val cols = sources.head._2.columns.toSeq
+    require(sources.forall(_._2.columns.toSeq == cols),
+      s"mixCorpora: source schemas must match: ${sources.map(_._2.columns.mkString("(", ",", ")"))}")
+    require(!cols.contains(sourceCol) && !cols.contains(posCol),
+      s"mixCorpora: output columns $sourceCol/$posCol collide with the input schema")
+    val sumW = sources.map(_._3).sum
+    val tagged = sources.map { case (label, df, w) =>
+      val n = df.count()
+      val thr =
+        if (n == 0) 0L
+        else (BigInt(w) * targetRows * Buckets / (BigInt(sumW) * n))
+          .min(BigInt(Buckets)).toLong
+      df.where(portableBucket(keyCols.map(col)) < lit(thr))
+        .withColumn(sourceCol, lit(label))
+    }
+    val unioned = tagged.reduce(_.unionByName(_))
+    graft.operators.Relational.withRowidOrdered(
+      unioned.withColumn("__skey", shuffleKey(keyCols.map(col), seed)),
+      (col("__skey") +: keyCols.map(col)) :+ col(sourceCol), posCol)
+      .drop("__skey")
+  }
+
   /** Exactly-N-per-stratum sample: rank each stratum's rows by hash bucket
     * (deterministic pseudo-random order, key tiebreak) and keep the first
     * `n`.

@@ -64,6 +64,50 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r(0)).toSet == Set("train", "rest"))
   }
 
+  test("mixCorpora: weighted deterministic mix with seeded interleave") {
+    val all = spark.range(3000).toDF("id")
+    def face(m: Int) = all.where(col("id") % 3 === m)
+    val mixed = Sampling.mixCorpora(
+      Seq(("a", face(0), 3L), ("b", face(1), 1L)), Seq("id"),
+      targetRows = 400, seed = 7L)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected contributions 300 / 100 — hash granularity keeps it close
+    assert(math.abs(bySrc("a") - 300L) < 60, s"a: ${bySrc("a")}")
+    assert(math.abs(bySrc("b") - 100L) < 40, s"b: ${bySrc("b")}")
+    // positions are a contiguous 0-based total order
+    val n = mixed.count()
+    assert(rows(mixed.agg(min("pos"), max("pos"))).head == Seq(0L, n - 1))
+    // same seed replays the identical mix; a new seed interleaves anew
+    val again = Sampling.mixCorpora(
+      Seq(("a", face(0), 3L), ("b", face(1), 1L)), Seq("id"),
+      targetRows = 400, seed = 7L)
+    assert(rows(mixed.orderBy("pos")) == rows(again.orderBy("pos")))
+    val other = Sampling.mixCorpora(
+      Seq(("a", face(0), 3L), ("b", face(1), 1L)), Seq("id"),
+      targetRows = 400, seed = 8L)
+    // membership is seed-independent (hash thresholds), order is not
+    assert(rows(other.select("id").orderBy("id")) ==
+      rows(mixed.select("id").orderBy("id")))
+    assert(rows(other.orderBy("pos").select("id")) !=
+      rows(mixed.orderBy("pos").select("id")))
+    // a small high-weight source caps at keeping EVERYTHING (no up-sample)
+    val tiny = all.where(col("id") < 10)
+    val capped = Sampling.mixCorpora(
+      Seq(("tiny", tiny, 9L), ("big", face(1), 1L)), Seq("id"),
+      targetRows = 1000, seed = 7L)
+    assert(capped.where(col("source") === "tiny").count() == 10)
+    // schema mismatch and colliding output columns fail fast
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpora(Seq(("a", all, 1L),
+        ("b", all.withColumnRenamed("id", "id2"), 1L)), Seq("id"), 10)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpora(Seq(("a", all.withColumn("source", lit("x")), 1L)),
+        Seq("id"), 10)
+    }
+  }
+
   test("exactPerStratum takes exactly n per stratum, stable under hash-thinning") {
     val df = (0L until 200L).map(k => (k, if (k % 2 == 0) "x" else "y")).toDF("k", "g")
     val top = Sampling.exactPerStratum(df, "g", n = 5, keyCols = Seq("k"))
