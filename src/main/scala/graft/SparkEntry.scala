@@ -1027,6 +1027,19 @@ object SparkEntry {
     mixed.select(col("pos"), col("source"), col("doc_id")).orderBy("pos")
   }
 
+  private def qEpochRepeat(s: SparkSession, d: String): DataFrame = {
+    // Epoch repetition (up-sampling a small domain 2.25x): whole copies
+    // + hash-gated fractional epoch + per-epoch seeded permutation key.
+    // 2.25 is binary-exact, so the fractional threshold (0.25 * 1e6) is
+    // the same integer in both engines; the oracle replays membership,
+    // epoch fan-out and the epoch-seeded key arithmetic verbatim.
+    import graft.pipeline.Sampling
+    val docs = Tables.documents(s, d).select("doc_id")
+    Sampling.withEpochs(docs, Seq("doc_id"), epochs = 2.25, seed = 42L)
+      .select(col("doc_id"), col("epoch"), col("epoch_key"))
+      .orderBy("doc_id", "epoch")
+  }
+
   private def qTfidf(s: SparkSession, d: String): DataFrame = {
     // corpus stats over ALL documents; top-3 BM25 terms for the first docs
     // (ranking on the ROUNDED score so a last-ulp ln() difference between
@@ -1951,6 +1964,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_split" -> (qSampleSplit _),
     "q_mix_corpora" -> (qMixCorpora _),
+    "q_epoch_repeat" -> (qEpochRepeat _),
     "q_tfidf" -> (qTfidf _),
     "q_text_redact" -> (qTextRedact _),
     "q_profile" -> (qProfile _),
@@ -2490,6 +2504,22 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY skey, doc_id, source) - 1 AS pos,
         |  source, doc_id
         |FROM kept ORDER BY pos""".stripMargin,
+    // Epoch-repetition replay: 2 whole copies + the 0.25-gated extra
+    // epoch (threshold 250000 — 2.25 is binary-exact), then the
+    // epoch-seeded permutation key ((2(42+7e)+1)-odd-multiplier form).
+    "q_epoch_repeat" ->
+      """WITH c AS (SELECT doc_id,
+        |  2 + CASE WHEN (((doc_id % 2147483648) * 2654435761) % 2147483648)
+        |      % 1000000 < 250000 THEN 1 ELSE 0 END AS nc
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(range(nc)) AS epoch FROM c),
+        |k AS (SELECT doc_id, epoch,
+        |  (42 + epoch * 7) % 2147483648 AS eseed FROM e)
+        |SELECT doc_id, epoch,
+        |  (((doc_id % 2147483648) * ((((eseed * 2 + 1) % 2147483648)
+        |     * 2654435761) % 2147483648)) % 2147483648
+        |   + (eseed * 2246822519) % 2147483648) % 2147483648 AS epoch_key
+        |FROM k ORDER BY doc_id, epoch""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term

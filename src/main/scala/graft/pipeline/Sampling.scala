@@ -185,6 +185,57 @@ object Sampling {
       .drop("__skey")
   }
 
+  /** Deterministic epoch REPETITION — the up-sampling half of a data
+    * recipe ([[mixCorpora]] clamps at 1×; repeating a small high-value
+    * domain `epochs` times is this operator): every row appears
+    * ⌊epochs⌋ times plus once more in the fractional last epoch iff its
+    * hash bucket falls under the fraction — so expected output is
+    * exactly `epochs · n`, membership is a pure function of key, and
+    * each copy carries its `epoch` index (0-based) plus an
+    * epoch-SEEDED shuffle key, so a downstream sort on it interleaves
+    * epochs as independent permutations instead of replaying the same
+    * order back to back. Fraction granularity is 1/[[Buckets]], exact-integer
+    * (floor(frac·Buckets)) — replayable in any SQL engine.
+    *
+    * Plan shape: one `explode(sequence(...))` over a codegen'd literal
+    * range — no join, no shuffle beyond what the caller orders by. */
+  def withEpochs(df: DataFrame, keyCols: Seq[String], epochs: Double,
+                 seed: Long = 42L, epochCol: String = "epoch",
+                 orderCol: String = "epoch_key"): DataFrame = {
+    require(epochs > 0, "withEpochs: epochs must be positive")
+    require(!df.columns.contains(epochCol) && !df.columns.contains(orderCol),
+      s"withEpochs: output columns $epochCol/$orderCol collide with the input schema")
+    val whole = math.floor(epochs).toLong
+    val fracThr = ((epochs - whole) * Buckets).toLong
+    val b = portableBucket(keyCols.map(col))
+    // rows under the fractional threshold get one extra (last) epoch
+    val nCopies = lit(whole) + when(b < lit(fracThr), 1L).otherwise(0L)
+    // epochs < 1: rows outside the fraction get ZERO copies — they must
+    // be filtered before the explode (sequence(0, -1) with no step is
+    // Spark's DESCENDING [0,-1], not empty), and the explicit +1 step
+    // pins the ascending contract for every row
+    df.where(nCopies > 0)
+      .withColumn(epochCol,
+        explode(sequence(lit(0L), nCopies - 1, lit(1L))))
+      .withColumn(orderCol,
+        shuffleKeyPerEpoch(keyCols.map(col), col(epochCol), seed))
+  }
+
+  /** Epoch-dependent shuffle key: the per-term multiplier folds BOTH the
+    * seed and the epoch index ((2(s + 7e) + 1)·prime mod 2^31 — odd, a
+    * bijection per epoch), so each epoch is an independent deterministic
+    * permutation of the same rows — replayable in SQL with % and *. */
+  def shuffleKeyPerEpoch(keys: Seq[Column], epoch: Column, seed: Long): Column = {
+    require(keys.nonEmpty, "shuffleKeyPerEpoch: need at least one key column")
+    val s = ((seed % Mod) + Mod) % Mod
+    val eseed = pmod(lit(s) + epoch.cast("long") * 7L, lit(Mod))
+    val mixed = keys.zipWithIndex.map { case (k, i) =>
+      val mult = pmod(pmod(eseed * 2 + 1, lit(Mod)) * lit(Primes(i % Primes.size)), lit(Mod))
+      pmod(pmod(k.cast("long"), lit(Mod)) * mult, lit(Mod))
+    }.reduce(_ + _)
+    pmod(mixed + pmod(eseed * lit(Primes(1)), lit(Mod)), lit(Mod))
+  }
+
   /** Exactly-N-per-stratum sample: rank each stratum's rows by hash bucket
     * (deterministic pseudo-random order, key tiebreak) and keep the first
     * `n`.

@@ -108,6 +108,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("withEpochs: whole copies + hash-gated fraction, per-epoch permutations") {
+    val docs = spark.range(1000).toDF("id")
+    val out = Sampling.withEpochs(docs, Seq("id"), epochs = 2.25, seed = 5L)
+    // every row appears 2 or 3 times; expected total 2250
+    val perId = out.groupBy("id").count()
+    assert(rows(perId.agg(min("count"), max("count"))).head == Seq(2L, 3L))
+    val total = out.count()
+    assert(math.abs(total - 2250L) < 120, s"total $total")
+    // membership of the fractional epoch is deterministic (same call twice)
+    val again = Sampling.withEpochs(docs, Seq("id"), epochs = 2.25, seed = 5L)
+    assert(rows(out.orderBy("id", "epoch")) == rows(again.orderBy("id", "epoch")))
+    // epochs are DIFFERENT permutations: order of epoch 0 by key differs
+    // from epoch 1's (the whole point of the per-epoch seed)
+    def orderOf(e: Int) = rows(out.where(col("epoch") === e)
+      .orderBy("epoch_key", "id").select("id")).flatten
+    assert(orderOf(0) != orderOf(1))
+    assert(orderOf(0).toSet == orderOf(1).toSet) // same rows, new order
+    // epochs < 1 behave as a plain fractional sample with epoch 0 only
+    val frac = Sampling.withEpochs(docs, Seq("id"), epochs = 0.5, seed = 5L)
+    assert(frac.where(col("epoch") =!= 0).count() == 0)
+    assert(math.abs(frac.count() - 500L) < 80)
+    intercept[IllegalArgumentException] {
+      Sampling.withEpochs(docs.withColumn("epoch", lit(1)), Seq("id"), 2.0)
+    }
+  }
+
   test("exactPerStratum takes exactly n per stratum, stable under hash-thinning") {
     val df = (0L until 200L).map(k => (k, if (k % 2 == 0) "x" else "y")).toDF("k", "g")
     val top = Sampling.exactPerStratum(df, "g", n = 5, keyCols = Seq("k"))
