@@ -1011,6 +1011,16 @@ object SparkEntry {
         .groupBy("split", "l_returnflag")
         .agg(count(lit(1)).as("n")))
 
+  private def qChunk(s: SparkSession, d: String): DataFrame =
+    // Context-window chunking (40-token windows, 8-token overlap): every
+    // document splits into stride-32 windows; the oracle replays the
+    // token list, chunk-count formula and 1-based slices with DuckDB
+    // list arithmetic, so an off-by-one in stride/overlap or a dropped
+    // short tail breaks the hash.
+    graft.pipeline.Packing.chunkTokens(
+      Tables.documents(s, d), "doc_id", "text", maxTokens = 40, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+
   private def qMixCorpora(s: SparkSession, d: String): DataFrame = {
     // Domain mixing (the LLM data-recipe step): three corpus faces
     // (doc_id mod 3 ~ web/code/books) mixed at 6:3:1 toward 200 rows —
@@ -1965,6 +1975,7 @@ object SparkEntry {
     "q_sample_split" -> (qSampleSplit _),
     "q_mix_corpora" -> (qMixCorpora _),
     "q_epoch_repeat" -> (qEpochRepeat _),
+    "q_chunk" -> (qChunk _),
     "q_tfidf" -> (qTfidf _),
     "q_text_redact" -> (qTextRedact _),
     "q_profile" -> (qProfile _),
@@ -2504,6 +2515,21 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY skey, doc_id, source) - 1 AS pos,
         |  source, doc_id
         |FROM kept ORDER BY pos""".stripMargin,
+    // Chunking replay: same tokenization as the text oracles, chunk
+    // count 1 + ceil(max(0, n-40)/32), 1-based inclusive list slices.
+    "q_chunk" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |  1 + CAST(CEIL(GREATEST(0, len(toks) - 40) / 32.0) AS BIGINT) AS nc
+        |  FROM tok),
+        |e AS (SELECT doc_id, toks, unnest(range(nc)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |  len(toks[chunk_id * 32 + 1 : chunk_id * 32 + 40]) AS n_tokens,
+        |  array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 40], ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     // Epoch-repetition replay: 2 whole copies + the 0.25-gated extra
     // epoch (threshold 250000 — 2.25 is binary-exact), then the
     // epoch-seeded permutation key ((2(42+7e)+1)-odd-multiplier form).

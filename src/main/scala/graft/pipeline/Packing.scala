@@ -35,6 +35,38 @@ object Packing {
       .withColumn("seq", floor(col("offset") / lit(budget)).cast("long"))
   }
 
+  /** Fixed-window document CHUNKING with overlap — the context-window
+    * splitter every training/RAG pipeline runs on long documents: the
+    * token stream is cut into windows of `maxTokens` at stride
+    * `maxTokens - overlap`, so consecutive chunks share `overlap`
+    * tokens and no token is dropped (the last window may be shorter).
+    * Chunk count = 1 + ceil(max(0, n - maxTokens) / stride); documents
+    * that fit in one window (including empty ones) yield exactly one
+    * chunk, preserving corpus membership through the transform.
+    *
+    * Pure codegen'd expressions — tokens / explode(sequence) / slice /
+    * concat_ws — no UDF, no shuffle beyond the caller's; replayable in
+    * any SQL engine with list slicing (the q_chunk oracle). Output:
+    * (idCol, chunk_id, n_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0, "chunkTokens: maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "chunkTokens: overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    // nChunks binds to the PROJECTED count column (the source text column
+    // is gone after the select below)
+    val nChunks = lit(1) + greatest(lit(0L),
+      ceil((col("__n") - lit(maxTokens)).cast("double") / stride).cast("long"))
+    val chunk = col("chunk_id") * stride
+    docs.select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1, lit(1L))))
+      .select(col(idCol), col("chunk_id"),
+        size(slice(col("__toks"), chunk + 1, lit(maxTokens))).as("n_tokens"),
+        concat_ws(" ", slice(col("__toks"), chunk + 1, lit(maxTokens))).as("chunk_text"))
+  }
+
   final case class PackedDoc(id: Long, bucket: Long, n_tokens: Long, seq: Long)
 
   /** Greedy whole-document packing per bucket: a sequence takes documents

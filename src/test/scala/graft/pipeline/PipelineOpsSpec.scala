@@ -64,6 +64,37 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r(0)).toSet == Set("train", "rest"))
   }
 
+  test("chunkTokens: overlapping windows cover every token; short/empty docs keep one chunk") {
+    import graft.pipeline.Packing
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"), // fits one window
+      (3L, "")) // empty: one empty chunk
+      .toDF("doc_id", "text")
+    val out = Packing.chunkTokens(docs, "doc_id", "text", maxTokens = 4, overlap = 1)
+    // doc 1: stride 3 -> chunks at 0,3,6,9 -> 1 + ceil(6/3) = 3? n=10:
+    // 1 + ceil((10-4)/3) = 1 + 2 = 3 chunks... tokens 1-4, 4-7, 7-10
+    val d1 = rows(out.where(col("doc_id") === 1).orderBy("chunk_id")
+      .select("chunk_id", "n_tokens", "chunk_text"))
+    assert(d1 == Seq(
+      Seq(0L, 4, "t1 t2 t3 t4"),
+      Seq(1L, 4, "t4 t5 t6 t7"),
+      Seq(2L, 4, "t7 t8 t9 t10")))
+    // consecutive chunks share exactly `overlap` tokens; union covers all
+    assert(rows(out.where(col("doc_id") === 2).select("chunk_id", "chunk_text")) ==
+      Seq(Seq(0L, "a b c")))
+    assert(rows(out.where(col("doc_id") === 3).select("chunk_id", "n_tokens", "chunk_text")) ==
+      Seq(Seq(0L, 0, "")))
+    // a ragged tail is kept, not dropped (n=5, max 4, stride 3 -> 2 chunks)
+    val ragged = Packing.chunkTokens(Seq((9L, "a b c d e")).toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 4, overlap = 1)
+    assert(rows(ragged.orderBy("chunk_id").select("chunk_text")).flatten ==
+      Seq("a b c d", "d e"))
+    intercept[IllegalArgumentException] {
+      Packing.chunkTokens(docs, "doc_id", "text", maxTokens = 4, overlap = 4)
+    }
+  }
+
   test("mixCorpora: weighted deterministic mix with seeded interleave") {
     val all = spark.range(3000).toDF("id")
     def face(m: Int) = all.where(col("id") % 3 === m)
