@@ -1904,6 +1904,53 @@ object SparkEntry {
   }
 
   // =========================================================================
+  // Multi-dimensional aggregation (ROLLUP / CUBE / GROUPING SETS / PIVOT)
+  // =========================================================================
+
+  private def qRollup(s: SparkSession, d: String): DataFrame = {
+    // Hierarchical subtotals over (returnflag, linestatus) in ONE pass —
+    // Expand before the partial aggregate, so the shuffle moves partials.
+    val li = Tables.lineitem(s, d).withColumn("qty", dec(col("l_quantity")))
+    val agg = Aggregates.rollupAggregate(Seq("l_returnflag", "l_linestatus"), Seq(
+      Agg(SUM, Some("qty"), "sum_qty"), Agg(COUNT, None, "n")))(li)
+    Relational.sort(col("gid"), col("l_returnflag"), col("l_linestatus"))(
+      asDouble("sum_qty")(agg))
+  }
+
+  private def qCube(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).withColumn("price", dec(col("o_totalprice")))
+    val agg = Aggregates.cubeAggregate(Seq("o_orderstatus", "o_orderpriority"), Seq(
+      Agg(SUM, Some("price"), "sum_price"), Agg(COUNT, None, "n")))(o)
+    Relational.sort(col("gid"), col("o_orderstatus"), col("o_orderpriority"))(
+      asDouble("sum_price")(agg))
+  }
+
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    // Explicit sets: per-flag, per-status, and the grand total — the shape
+    // a reference user would emulate with three aggregations + union.
+    val li = Tables.lineitem(s, d).withColumn("qty", dec(col("l_quantity")))
+    val agg = Aggregates.groupingSetsAggregate(
+      Seq(Seq("l_returnflag"), Seq("l_linestatus"), Seq.empty),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(Agg(SUM, Some("qty"), "sum_qty"), Agg(COUNT, None, "n")))(li)
+    Relational.sort(col("gid"), col("l_returnflag"), col("l_linestatus"))(
+      asDouble("sum_qty")(agg))
+  }
+
+  private def qPivot(s: SparkSession, d: String): DataFrame = {
+    // Explicit value list (no hidden distinct-discovery job); single
+    // conditional aggregation underneath. Absent combinations stay NULL.
+    val o = Tables.orders(s, d).withColumn("price", dec(col("o_totalprice")))
+    val p = Aggregates.pivotAggregate(Seq("o_orderpriority"), "o_orderstatus",
+      Seq("O", "F", "P"), Agg(SUM, Some("price"), "sum_price"))(o)
+    Relational.sort(col("o_orderpriority"))(
+      p.select(col("o_orderpriority"),
+        col("O").cast("double").as("sum_open"),
+        col("F").cast("double").as("sum_filled"),
+        col("P").cast("double").as("sum_pending")))
+  }
+
+  // =========================================================================
   // Registry
   // =========================================================================
 
@@ -2023,6 +2070,10 @@ object SparkEntry {
     "q_expr_policy" -> (qExprPolicy _),
     "q_asof_join" -> (qAsofJoin _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot" -> (qPivot _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3123,5 +3174,33 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'signup') s
         |ON c.user_id = s.user_id AND c.ts >= s.ts
         |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |GROUPING(l_returnflag, l_linestatus) AS gid,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |GROUPING(l_returnflag, l_linestatus) AS gid,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_open,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_filled,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_pending
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -166,6 +166,51 @@ object Aggregates {
       .agg(array_sort(flatten(collect_list(col("__part")))).as(out))
   }
 
+  // ===== Multi-dimensional aggregation (ROLLUP / CUBE / GROUPING SETS /
+  // PIVOT) — the OLAP subtotal family. The reference's aggregation layer
+  // (supersonic/cursor/core/aggregate.h) computes one grouping at a time;
+  // a caller wanting subtotals re-runs the aggregation per level and
+  // unions. Spark plans all levels in ONE pass: an Expand node replicates
+  // each row once per grouping set BEFORE the partial aggregate, so
+  // map-side combine still applies and the shuffle moves partials, not
+  // raw×levels rows — the right shape at 100 TB.
+
+  /** ROLLUP — hierarchical subtotals (k1..kn), (k1..kn-1), …, (). The
+    * grouping-id output column disambiguates a real NULL key value from a
+    * subtotal row: bit i set ⇔ key i aggregated away, first key = most
+    * significant bit (Spark's `grouping_id()` and ANSI/DuckDB
+    * `GROUPING(k1..kn)` share this convention — verified empirically in
+    * the q_rollup oracle). */
+  def rollupAggregate(keys: Seq[String], specs: Seq[Agg], gidCol: String = "gid")
+                     (df: DataFrame): DataFrame =
+    df.rollup(keys.map(col): _*)
+      .agg(grouping_id().as(gidCol), specs.map(_.toColumn): _*)
+
+  /** CUBE — subtotals for every key subset (2^n grouping sets). */
+  def cubeAggregate(keys: Seq[String], specs: Seq[Agg], gidCol: String = "gid")
+                   (df: DataFrame): DataFrame =
+    df.cube(keys.map(col): _*)
+      .agg(grouping_id().as(gidCol), specs.map(_.toColumn): _*)
+
+  /** GROUPING SETS — explicit list of groupings over `keys`. Sets may be
+    * any subsets of `keys` (including the empty grand-total set). */
+  def groupingSetsAggregate(sets: Seq[Seq[String]], keys: Seq[String],
+                            specs: Seq[Agg], gidCol: String = "gid")
+                           (df: DataFrame): DataFrame =
+    df.groupingSets(sets.map(_.map(col)), keys.map(col): _*)
+      .agg(grouping_id().as(gidCol), specs.map(_.toColumn): _*)
+
+  /** PIVOT — one output column per declared pivot value. The value list is
+    * EXPLICIT by design: Spark's list-free overload runs a driver-side
+    * distinct scan to discover values, which is both a hidden extra job
+    * and unbounded output width at scale. With the list given, Catalyst
+    * rewrites to a single conditional aggregation — one pass, one
+    * shuffle, no extra job. Output columns are named by value (cast to
+    * string); callers alias as needed. */
+  def pivotAggregate(keys: Seq[String], pivotCol: String, values: Seq[Any],
+                     spec: Agg)(df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col): _*).pivot(pivotCol, values).agg(spec.toColumn)
+
   /** BoundGroupAggregateWithLimit — aggregate the first `limit` unique keys
     * individually; all remaining rows fold into a single overflow group
     * (reference: aggregate.h:264-276).

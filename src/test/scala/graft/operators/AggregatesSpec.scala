@@ -111,4 +111,53 @@ class AggregatesSpec extends SparkSpec {
     assert(rows(out) == Seq(
       Seq("a", false, 2L, 1L), Seq(null, false, 1L, 1L), Seq(null, true, 12L, 2L)))
   }
+
+  test("rollupAggregate: hierarchical subtotals with grouping-id bit order") {
+    // first key = most significant bit (ANSI GROUPING convention)
+    val df = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 4)).toDF("k1", "k2", "v")
+    withPartitionings(df) { d =>
+      val out = rollupAggregate(Seq("k1", "k2"), Seq(Agg(SUM, Some("v"), "s")))(d)
+        .orderBy(col("gid"), col("k1"), col("k2"))
+      assert(rows(out) == Seq(
+        Seq("a", "x", 0L, 1L), Seq("a", "y", 0L, 2L), Seq("b", "x", 0L, 4L),
+        Seq("a", null, 1L, 3L), Seq("b", null, 1L, 4L),
+        Seq(null, null, 3L, 7L)))
+    }
+  }
+
+  test("rollupAggregate: gid disambiguates a real NULL key from a subtotal") {
+    val df = Seq((Some("a"), 1), (None, 2)).toDF("k", "v")
+    val out = rollupAggregate(Seq("k"), Seq(Agg(SUM, Some("v"), "s")))(df)
+      .orderBy(col("gid"), col("k"))
+    // NULL-key real group (gid 0) vs grand total (gid 1) — distinct rows
+    assert(rows(out) == Seq(
+      Seq(null, 0L, 2L), Seq("a", 0L, 1L), Seq(null, 1L, 3L)))
+  }
+
+  test("cubeAggregate: all 2^n grouping sets") {
+    val df = Seq(("a", "x", 1), ("b", "y", 2)).toDF("k1", "k2", "v")
+    val out = cubeAggregate(Seq("k1", "k2"), Seq(Agg(COUNT, None, "n")))(df)
+    assert(out.count() == 2 + 2 + 2 + 1) // (k1,k2) pairs, k1 only, k2 only, total
+    assert(rows(out.where(col("gid") === 3))== Seq(Seq(null, null, 3L, 2L)))
+  }
+
+  test("groupingSetsAggregate: explicit sets only") {
+    val df = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 4)).toDF("k1", "k2", "v")
+    val out = groupingSetsAggregate(
+      Seq(Seq("k1"), Seq.empty), Seq("k1", "k2"),
+      Seq(Agg(SUM, Some("v"), "s")))(df).orderBy(col("gid"), col("k1"))
+    // per-k1 subtotals (k2 aggregated ⇒ bit 0 set ⇒ gid 1) + grand total
+    assert(rows(out) == Seq(Seq("a", null, 1L, 3L), Seq("b", null, 1L, 4L),
+      Seq(null, null, 3L, 7L)))
+  }
+
+  test("pivotAggregate: explicit value list, absent combinations NULL") {
+    val df = Seq(("p1", "O", 10), ("p1", "F", 5), ("p2", "O", 7)).toDF("k", "st", "v")
+    withPartitionings(df) { d =>
+      val out = pivotAggregate(Seq("k"), "st", Seq("O", "F"),
+        Agg(SUM, Some("v"), "s"))(d).orderBy("k")
+      assert(out.columns.toSeq == Seq("k", "O", "F"))
+      assert(rows(out) == Seq(Seq("p1", 10L, 5L), Seq("p2", 7L, null)))
+    }
+  }
 }
