@@ -1903,6 +1903,22 @@ object SparkEntry {
     asDouble("sum_qty")(QuerySpecs.buildSort(sort2)(QuerySpecs.buildAggregate(agg2)(staged)))
   }
 
+  private def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    // Selective build side (1-URGENT ≈ 20% of orders): the bloom prunes
+    // ~80% of lineitem BEFORE its shuffle; the exact join then removes
+    // the bloom's false positives, so the result equals the plain join —
+    // which is exactly what the oracle runs.
+    val li = Tables.lineitem(s, d)
+    val urgent = Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val j = Relational.bloomJoin(li, urgent, "l_orderkey", "o_orderkey",
+      expectedItems = 1L << 18)
+    val agg = Aggregates.groupAggregate(Seq("l_returnflag"), Seq(
+      Agg(COUNT, None, "n"),
+      Agg(SUM, Some("qty"), "sum_qty")))(j.withColumn("qty", dec(col("l_quantity"))))
+    Relational.sort(col("l_returnflag"))(asDouble("sum_qty")(agg))
+  }
+
   // =========================================================================
   // Multi-dimensional aggregation (ROLLUP / CUBE / GROUPING SETS / PIVOT)
   // =========================================================================
@@ -2074,6 +2090,7 @@ object SparkEntry {
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
+    "q_bloom_join" -> (qBloomJoin _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3202,5 +3219,11 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_filled,
         |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_pending
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -352,6 +352,34 @@ object Relational {
   def lookup(queries: DataFrame, index: DataFrame, keys: Seq[String]): DataFrame =
     queries.join(broadcast(index), keys, "inner")
 
+  /** Bloom join — bloom-filter pre-filtered equi-join for the shape where
+    * the build side is too big to broadcast but selective against the
+    * probe side: most probe rows won't find a partner, yet a plain
+    * shuffle join ships ALL of them. Build a bloom filter over the build
+    * side's join keys (one aggregation job; the filter is
+    * expectedItems/fpp-bounded — ~1.1 MB for 1M keys at 3%), cut the
+    * probe side with a codegen'd `might_contain` BEFORE its exchange,
+    * then run the exact join. False positives only cost shuffled bytes —
+    * the join removes them; false negatives are impossible, so the result
+    * EQUALS the plain join (the q_bloom_join oracle is the plain join).
+    *
+    * At 100 TB the probe-side exchange is the dominant cost of this
+    * shape; a 3%-fpp bloom cuts it to matched-rows + 3% of the rest.
+    * Restricted to inner/left_semi: for outer joins the probe side is
+    * preserved, so pre-filtering it would change the result.
+    */
+  def bloomJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                buildKey: String, joinType: String = "inner",
+                expectedItems: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
+    require(Set("inner", "left_semi", "semi").contains(joinType.toLowerCase),
+      s"bloomJoin: probe-side pre-filtering requires inner or left_semi, got '$joinType'")
+    val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val pruned = probe.where(
+      graft.functions.BloomExpressions.bloom_might_contain(col(probeKey), bf))
+    pruned.join(build, col(probeKey) === col(buildKey),
+      if (joinType.toLowerCase == "inner") "inner" else "left_semi")
+  }
+
   /** RowidMergeJoin — inner join of lhs's sorted NOT NULL int64 key against
     * rhs's 0-based row-id; errors if a key has no matching rhs row
     * (referential integrity, reference: rowid_merge_join.h:28-44).
