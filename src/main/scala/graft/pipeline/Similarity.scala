@@ -123,9 +123,10 @@ object Similarity {
   }
 
   /** Assign each vector to its nearest centroid (max cosine) — a fold over
-    * k codegen'd vec_dot calls, no shuffle. */
-  private def assignCells(df: DataFrame, centroids: Array[Array[Double]],
-                          vecCol: String, out: String): DataFrame = {
+    * k codegen'd vec_dot calls, no shuffle. Tie on cosine → the HIGHER
+    * centroid index wins (greatest() over (score, index) structs). */
+  def assignCells(df: DataFrame, centroids: Array[Array[Double]],
+                  vecCol: String, out: String): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val lit_c = array(c.map(lit): _*)
       struct(cosine(col(vecCol), lit_c).as("s"), lit(i).as("i"))
@@ -156,6 +157,43 @@ object Similarity {
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /** SemDeDup — semantic near-duplicate pruning over an embedding column
+    * (the k-means-cluster-then-compare-within-cluster recipe from the
+    * SemDeDup paper, arXiv:2303.09540): assign each vector to its nearest
+    * of k caller-supplied centroids (broadcast literals, no shuffle), form
+    * candidate pairs WITHIN cells only (the quadratic verify is ~n²/k per
+    * cell, never corpus-all-pairs), connect pairs with cosine ≥ `tau` into
+    * components, and keep the min-id representative per component.
+    *
+    * Returns one row per input id: (id, canonical, kept) — kept ⇔ the row
+    * survives dedup. Centroids are index metadata (k × dim doubles):
+    * `ivfCentroids` gives a Lloyd-refined set; any deterministic sample
+    * (e.g. the first k vectors) gives a fully SQL-replayable one, which is
+    * what the q_semdedup oracle uses.
+    *
+    * At 100 TB: the cell join shuffles (cell, id, vec) once; cells shard
+    * across reducers, and k scales with corpus size to bound the per-cell
+    * quadratic term. The component step shuffles (id, id) longs only.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    val v = df.select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
+      .repartition(col(idCol)) // materialize the cast once, not per centroid
+    val celled = assignCells(v, centroids, "__v", "__cell")
+    val l = celled.select(col("__cell"), col(idCol).as("id1"), col("__v").as("v1"))
+    val r = celled.select(col("__cell"), col(idCol).as("id2"), col("__v").as("v2"))
+    val pairs = l.join(r, Seq("__cell")).where(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .where(col("cosine") >= tau)
+      .select("id1", "id2")
+    val clusters = Dedup.duplicateClusters(pairs)
+    df.select(col(idCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("canonical", coalesce(col("cluster"), col(idCol)))
+      .withColumn("kept", col("canonical") === col(idCol))
+      .select(col(idCol), col("canonical"), col("kept"))
   }
 
   /** ANN top-k via multi-probe LSH: exact within-bucket ranking. Falls back

@@ -52,6 +52,39 @@ class AnnAndSaltSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: planted near-dups collapse to the min-id canonical, " +
+    "distinct vectors survive") {
+    import graft.pipeline.Similarity
+    // two orthogonal base directions + near-copies (tiny perturbation in a
+    // third dimension keeps cosine ≈ 0.999) — ids chosen so canonicals are
+    // the small ids
+    def vec(x: Double, y: Double, z: Double) = Array(x, y, z)
+    val data = Seq(
+      (0L, vec(1, 0, 0)), (10L, vec(1, 0, 0.01)), (20L, vec(1, 0, -0.01)),
+      (1L, vec(0, 1, 0)), (11L, vec(0, 1, 0.01)),
+      (2L, vec(0.7, 0.7, 0)) // distinct: cosine vs both groups ≈ 0.7
+    ).toDF("id", "v")
+    val cents = Array(vec(1, 0, 0), vec(0, 1, 0))
+    withPartitionings(data) { d =>
+      val out = Similarity.semanticDedup(d, "id", "v", cents, tau = 0.99)
+        .orderBy("id")
+      assert(rows(out) == Seq(
+        Seq(0L, 0L, true), Seq(1L, 1L, true), Seq(2L, 2L, true),
+        Seq(10L, 0L, false), Seq(11L, 1L, false), Seq(20L, 0L, false)))
+    }
+  }
+
+  test("semanticDedup: cross-cell near-dups are NOT paired (documented cell blocking)") {
+    import graft.pipeline.Similarity
+    // one vector per cell, nearly identical — lands in different cells, so
+    // the within-cell verify never sees the pair: the SemDeDup trade-off
+    val data = Seq((0L, Array(1.0, 0.004, 0.0)), (1L, Array(1.0, -0.004, 0.0)))
+      .toDF("id", "v")
+    val cents = Array(Array(1.0, 0.005, 0.0), Array(1.0, -0.005, 0.0))
+    val out = Similarity.semanticDedup(data, "id", "v", cents, tau = 0.9)
+    assert(out.where(col("kept")).count() == 2)
+  }
+
   test("GraftExtensions registers vec_dot and simhash64 for SQL") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS r")
