@@ -1903,6 +1903,48 @@ object SparkEntry {
     asDouble("sum_qty")(QuerySpecs.buildSort(sort2)(QuerySpecs.buildAggregate(agg2)(staged)))
   }
 
+  private def qManifestPrune(s: SparkSession, d: String): DataFrame = {
+    // Manifest-based data skipping end to end: land orders range-
+    // partitioned on o_orderdate (files carry disjoint date ranges),
+    // build the per-file min/max manifest, then answer a one-year range
+    // query reading ONLY the overlapping files — require()d to actually
+    // skip — and re-apply the exact predicate. The oracle runs the same
+    // range query on the raw table: any pruning mistake (a skipped file
+    // that held matching rows) hash-mismatches.
+    val out = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_skip_${ProcessHandle.current().pid()}")
+    Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_totalprice")
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(out)
+    val mf = Relational.fileStatsManifest(s, out, "o_orderdate").cache()
+    val lo = lit("1997-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-12-31 23:59:59").cast("timestamp")
+    val total = mf.count()
+    val picked = mf.where(col("max_v") >= lo && col("min_v") <= hi).count()
+    require(picked < total,
+      s"manifest pruning skipped nothing ($picked of $total files) — the range layout is broken")
+    val scanned = Relational.manifestPrunedScan(s, mf, "o_orderdate", lo, hi)
+    mf.unpersist()
+    Relational.sort(col("m"))(asDouble("sum_price")(
+      Aggregates.groupAggregate(Seq("m"), Seq(
+        Agg(COUNT, None, "n"),
+        Agg(SUM, Some("price_dec"), "sum_price")))(
+        scanned.withColumn("m", month(col("o_orderdate")))
+          .withColumn("price_dec", dec(col("o_totalprice"))))))
+  }
+
+  private def qCompact(s: SparkSession, d: String): DataFrame = {
+    // Compaction planner over a synthetic-but-derived manifest (40 pseudo
+    // files keyed by l_partkey % 40, sized by row count) so DuckDB can
+    // replay the cumulative bin assignment exactly. The REAL file rewrite
+    // (list → plan → per-bin coalesced rewrite) is spec-tested on disk in
+    // RelationalSpec; this gate pins the planning arithmetic.
+    val mf = Tables.lineitem(s, d)
+      .groupBy(pmod(col("l_partkey"), lit(40)).as("file"))
+      .agg((count(lit(1)) * 50).as("bytes"))
+    Relational.sort(col("file"))(
+      Relational.compactionPlan(mf, "file", "bytes", targetBytes = 400000L))
+  }
+
   private def qSemdedup(s: SparkSession, d: String): DataFrame = {
     // Replayable centroid set: the first 8 embedding vectors (bounded
     // driver metadata — 8×64 doubles), so the oracle re-derives the cell
@@ -2104,6 +2146,8 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_semdedup" -> (qSemdedup _),
+    "q_manifest_prune" -> (qManifestPrune _),
+    "q_compact" -> (qCompact _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3269,5 +3313,20 @@ object SparkEntry {
         |COALESCE(canon.canonical, c.vec_id) = c.vec_id AS kept
         |FROM c LEFT JOIN canon ON c.vec_id = canon.id
         |ORDER BY c.vec_id""".stripMargin,
+    "q_manifest_prune" ->
+      """SELECT month(o_orderdate) AS m, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_compact" ->
+      """WITH m AS (SELECT l_partkey % 40 AS file, COUNT(*) * 50 AS bytes
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT file, CAST(bytes AS BIGINT) AS bytes,
+        |  CAST(COALESCE(SUM(bytes) OVER (ORDER BY file
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM m)
+        |SELECT file, bytes, cum // 400000 AS bin FROM c ORDER BY file""".stripMargin,
   )
 }

@@ -154,6 +154,98 @@ object Relational {
       .parquet(path)
   }
 
+  /** Per-file min/max statistics manifest of a parquet directory: one row
+    * per file — (file, n_rows, min_v, max_v) over `statCol`. This is the
+    * ingest-time half of manifest-based DATA SKIPPING (the mechanism
+    * behind lakehouse table formats' file pruning): pay one scan when the
+    * data lands, then every subsequent range query prunes whole files
+    * from the listing instead of reading them. One scan, one partial/final
+    * aggregation keyed by file name — no shuffle of data rows. */
+  def fileStatsManifest(spark: SparkSession, dir: String, statCol: String): DataFrame =
+    scanParquet(spark, dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"))
+
+  /** Manifest-pruned scan: read ONLY the files whose [min_v, max_v] range
+    * intersects [lo, hi] — file-granular skipping, so callers re-apply
+    * the exact row predicate on the result (this method applies it too,
+    * for safety: pruning is an optimization, never a semantics change).
+    * The manifest collect is file-list-sized driver metadata (~10^5 rows
+    * at 100 TB — the same class as an IVF centroid set), vastly cheaper
+    * than the scan it saves. Returns the filtered frame; `require`s the
+    * manifest non-empty so a typo'd directory fails loudly instead of
+    * scanning nothing. */
+  def manifestPrunedScan(spark: SparkSession, manifest: DataFrame,
+                         statCol: String, lo: Column, hi: Column): DataFrame = {
+    val picked = manifest
+      .where(col("max_v") >= lo && col("min_v") <= hi)
+      .select("file").collect().map(_.getString(0))
+    require(manifest.limit(1).count() > 0, "manifestPrunedScan: empty manifest")
+    val base =
+      if (picked.isEmpty) {
+        // no file can match: an empty frame with the on-disk schema —
+        // derived from one manifest file path, zero data pages read
+        val any = manifest.select("file").limit(1).collect().head.getString(0)
+        spark.read.parquet(any).where(lit(false))
+      } else spark.read.parquet(picked: _*)
+    base.where(col(statCol) >= lo && col(statCol) <= hi)
+  }
+
+  /** Small-file compaction PLAN: assign files to target-sized output bins
+    * by cumulative size — file i (in `fileCol` order) lands in bin
+    * floor(cum_bytes_before_i / targetBytes). Deterministic, replayable
+    * by any SQL engine (one window cumsum — the q_compact oracle), and
+    * greedy in the FFD-lite sense: consecutive files pack until the
+    * target overflows, so every bin except possibly the last holds ≥
+    * targetBytes ÷ 2 on typical small-file distributions. The single
+    * unpartitioned window is fine HERE because a compaction manifest is
+    * file-list metadata, not data rows (bounded like fileStatsManifest's
+    * collect). */
+  def compactionPlan(manifest: DataFrame, fileCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "compactionPlan: targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(fileCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    manifest
+      .withColumn("__cum", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div ${targetBytes}L"))
+      .drop("__cum")
+  }
+
+  /** Execute a compaction plan over a parquet directory: list real file
+    * sizes (driver-side metadata listing), plan bins with
+    * `compactionPlan`, then rewrite each bin as ONE file via a
+    * per-bin coalesced read → a directory with ≈ totalBytes/targetBytes
+    * files replaces the small-file mess. Rows are preserved exactly
+    * (spec-pinned); ordering within files is whatever the reads yield,
+    * as with any parquet rewrite. Returns (files_before, files_after). */
+  def compactParquetDir(spark: SparkSession, dir: String, outDir: String,
+                        targetBytes: Long): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.toString, f.getLen))
+      .sortBy(_._1)
+    require(files.nonEmpty, s"compactParquetDir: no parquet files under $dir")
+    val spark0 = spark
+    import spark0.implicits._
+    val plan = compactionPlan(files.toDF("file", "bytes"), "file", "bytes",
+      targetBytes).select("file", "bin").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val bins = plan.groupBy(_._2).toSeq.sortBy(_._1)
+    bins.foreach { case (bin, fs0) =>
+      spark.read.parquet(fs0.map(_._1): _*).coalesce(1)
+        .write.mode(if (bin == bins.head._1) "overwrite" else "append")
+        .parquet(outDir)
+    }
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.size, after)
+  }
+
   /** CSV sink/source pair (reference FileOutput/FileInput's text-format
     * face, file_io.h:64): header row, explicit schema on read (inference
     * would re-scan and can widen types). Standard quoting/escaping —

@@ -450,4 +450,47 @@ class RelationalSpec extends SparkSpec {
     val out = Relational.lookup(queries, index, Seq("k"))
     assert(rows(out.orderBy("k", "v")) == Seq(Seq(1, "a"), Seq(2, "b"), Seq(2, "b")))
   }
+
+  test("manifestPrunedScan reads only range-overlapping files, result equals full filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    val data = spark.range(0, 1000).toDF("k").withColumn("v", col("k") * 2)
+    data.repartitionByRange(10, col("k")).write.mode("overwrite").parquet(dir)
+    val mf = Relational.fileStatsManifest(spark, dir, "k").cache()
+    assert(mf.count() == 10)
+    val pruned = Relational.manifestPrunedScan(spark, mf, "k", lit(150L), lit(249L))
+    // correctness: equals the full-scan filter
+    val full = spark.read.parquet(dir).where(col("k").between(150, 249))
+    assert(pruned.count() == 100 &&
+      pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    // skipping: the pruned plan touches a strict subset of the files
+    val touched = pruned.select(input_file_name()).distinct().count()
+    assert(touched <= 2, s"expected <=2 of 10 files read, got $touched")
+    // empty range: zero rows, schema intact, no crash
+    val none = Relational.manifestPrunedScan(spark, mf, "k", lit(5000L), lit(6000L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+    mf.unpersist()
+  }
+
+  test("compactionPlan: cumulative binning is deterministic and target-bounded") {
+    val mf = Seq(("f0", 60L), ("f1", 60L), ("f2", 60L), ("f3", 200L), ("f4", 10L))
+      .toDF("file", "bytes")
+    val plan = Relational.compactionPlan(mf, "file", "bytes", targetBytes = 100L)
+    // cum-before: 0, 60, 120, 180, 380 → bins 0, 0, 1, 1, 3
+    assert(rows(plan.orderBy("file")) == Seq(
+      Seq("f0", 60L, 0L), Seq("f1", 60L, 0L), Seq("f2", 60L, 1L),
+      Seq("f3", 200L, 1L), Seq("f4", 10L, 3L)))
+  }
+
+  test("compactParquetDir rewrites a small-file mess into few files, rows preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cmp_out").toString
+    val data = spark.range(0, 10000).toDF("k").withColumn("v", col("k") % 97)
+    data.repartition(16).write.mode("overwrite").parquet(dir) // 16 small files
+    val (before, after) = Relational.compactParquetDir(spark, dir, out,
+      targetBytes = 256 * 1024)
+    assert(before == 16 && after < before, s"$before -> $after files")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 10000)
+    assert(rows(back.agg(sum("v"), sum("k"))) == rows(data.agg(sum("v"), sum("k"))))
+  }
 }
