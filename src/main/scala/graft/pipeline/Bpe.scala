@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and ENCODING as distributed
+  * dataflow — the tokenizer-construction step of an LLM data pipeline
+  * (Sennrich et al. 2016 merge learning, GPT-2-style no end-of-word
+  * marker: merges never cross word boundaries).
+  *
+  * Training runs on the DISTINCT-WORD frequency table, the classic
+  * reduction: corpus size only affects the one (word → count) shuffle;
+  * each of the M merge rounds is a partial/final aggregation over
+  * distinct words (pairs are counted per POSITION — overlapping bigrams
+  * — matching the reference algorithm), and only the single best pair
+  * ever reaches the driver. Merging applies the greedy left-to-right
+  * fold per word, expressed as a codegen-able `aggregate` HOF over the
+  * token array — no UDF, no driver data path.
+  *
+  * Determinism: best pair = max count, tie → lexicographically smallest
+  * (a, b). Both engines replay this exactly (the q_bpe_train oracle
+  * re-derives every round in SQL via the bracketed-string `replace`
+  * trick, whose left-to-right non-overlapping semantics equal the fold).
+  *
+  * Control characters U+0001/U+0002 are stripped from the text up front:
+  * they are the oracle's token-bracket alphabet, and stripping on BOTH
+  * sides keeps the two representations bijective.
+  */
+object Bpe {
+
+  /** Greedy left-to-right merge of adjacent (a, b) token pairs into a+b —
+    * one pass over the token array, standard BPE application order. */
+  def mergePair(toks: Column, a: String, b: String): Column =
+    aggregate(toks, array().cast("array<string>"),
+      (acc, t) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(t))))
+
+  /** Strip the bracket alphabet and split to words (whitespace). */
+  private def words(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(
+      regexp_replace(col(textCol), "[\u0001\u0002]", ""), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+
+  /** Distinct-word frequency table with single-character token arrays —
+    * the training working set. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    words(docs, textCol)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", split(col("word"), ""))
+      .drop("word")
+
+  /** Per-position adjacent pair counts over the word table. Words of one
+    * token are filtered BEFORE sequence() — sequence(0, -1) is a
+    * descending range in Spark, not empty. */
+  private def pairCounts(wordsDf: DataFrame): DataFrame =
+    wordsDf.where(size(col("toks")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("a"),
+          element_at(col("toks"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Learn `numMerges` BPE merges. Returns the ordered merge table:
+    * (merge_rank, a, b, cnt) — cnt is the pair's corpus frequency at the
+    * round it was chosen. Fails loudly if the corpus runs out of pairs
+    * before `numMerges` (a degenerate corpus, not a silent short list). */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String, Long)] = {
+    require(numMerges > 0, "trainMerges: numMerges must be positive")
+    var wt = wordTable(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    (0 until numMerges).foreach { i =>
+      val best = pairCounts(wt)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      require(best.nonEmpty,
+        s"trainMerges: no adjacent pairs left after $i merges — corpus too small for $numMerges")
+      val (a, b, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+      merges += ((a, b, c))
+      val next = wt.withColumn("toks", mergePair(col("toks"), a, b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the parent cache
+      wt.unpersist()
+      wt = next
+    }
+    wt.unpersist()
+    merges.toSeq
+  }
+
+  /** Merge table as a DataFrame — the q_bpe_train gate's output shape. */
+  def trainMergesDf(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, textCol, numMerges).zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }
+      .toDF("merge_rank", "a", "b", "cnt")
+  }
+
+  /** Encode documents with an ordered merge list: per word, apply every
+    * merge in rank order (greedy fold each), then flatten back to the
+    * document's token sequence. Output: (idCol, n_tokens, fp) where fp is
+    * md5 over the U+0001-joined token stream — an engine-agnostic
+    * fingerprint of the exact tokenization. Shuffle-free except the
+    * per-doc reassembly (one aggregation keyed by the doc id): the merge
+    * applications are M column transforms inside one projection. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val wordToks = docs.select(col(idCol),
+      posexplode(split(regexp_replace(col(textCol), "[\u0001\u0002]", ""), "\\s+"))
+        .as(Seq("widx", "word")))
+      .where(col("word") =!= "")
+      .withColumn("toks", split(col("word"), ""))
+    val merged = merges.foldLeft(wordToks) { case (df, (a, b)) =>
+      df.withColumn("toks", mergePair(col("toks"), a, b))
+    }
+    val perDoc = merged.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("widx"), col("toks")))).as("ws"))
+      .select(col(idCol),
+        flatten(transform(col("ws"), w => w.getField("toks"))).as("toks"))
+      .select(col(idCol), size(col("toks")).as("n_tokens"),
+        md5(concat_ws("\u0001", col("toks"))).as("fp"))
+    // all-whitespace documents have zero words and would vanish in the
+    // explode -- restore them as (0 tokens, md5 of the empty stream)
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("fp"), md5(lit(""))).as("fp"))
+  }
+}
