@@ -1903,6 +1903,44 @@ object SparkEntry {
     asDouble("sum_qty")(QuerySpecs.buildSort(sort2)(QuerySpecs.buildAggregate(agg2)(staged)))
   }
 
+  private def qPagerank(s: SparkSession, d: String): DataFrame = {
+    // Two-layer link graph derived from lineitem (supplier → part-bucket →
+    // order-bucket) so rank propagates multiple hops; 3 integer-arithmetic
+    // iterations, every one re-derived exactly by the oracle.
+    val li = Tables.lineitem(s, d)
+    val e1 = li.select(col("l_suppkey").as("src"),
+      (pmod(col("l_partkey"), lit(50L)) + 100000L).as("dst"))
+    val e2 = li.select((pmod(col("l_partkey"), lit(50L)) + 100000L).as("src"),
+      (pmod(col("l_orderkey"), lit(20L)) + 200000L).as("dst"))
+    val edges = e1.unionAll(e2).distinct()
+    Relational.sort(col("id"))(
+      graft.pipeline.Graph.pageRank(edges, "src", "dst", PagerankIters))
+  }
+  private val PagerankIters = 3
+
+  /** Unrolled integer-PageRank oracle: r0..rN as MATERIALIZED CTEs (the
+    * chain references each r$i twice; materialization keeps DuckDB's
+    * evaluation linear, as with the BPE chain). */
+  private def pagerankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT n.id,
+         |  CAST(150000000000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN (SELECT e.dst AS id, SUM(r.pr // od.od) AS c
+         |    FROM e JOIN od USING (src) JOIN r${i - 1} r ON r.id = e.src
+         |    GROUP BY 1) s ON n.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT l_suppkey AS src, 100000 + l_partkey % 50 AS dst FROM lineitem
+       |  UNION ALL
+       |  SELECT 100000 + l_partkey % 50, 200000 + l_orderkey % 20 FROM lineitem)),
+       |od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+       |n AS MATERIALIZED (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS MATERIALIZED (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM n),
+       |$rounds
+       |SELECT id, pr FROM r$iters ORDER BY id""".stripMargin
+  }
+
   /** Learned-merge memo per sfDir: q_bpe_train and q_bpe_encode share one
     * training run inside a JVM (the merge list is 8 tiny tuples). */
   private val bpeMergesCache =
@@ -2230,6 +2268,7 @@ object SparkEntry {
     "q_compact" -> (qCompact _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_pagerank" -> (qPagerank _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3412,5 +3451,6 @@ object SparkEntry {
         |SELECT file, bytes, cum // 400000 AS bin FROM c ORDER BY file""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle(BpeNumMerges),
     "q_bpe_encode" -> bpeEncodeOracle(BpeNumMerges),
+    "q_pagerank" -> pagerankOracle(PagerankIters),
   )
 }

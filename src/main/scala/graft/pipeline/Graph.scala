@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic graph centrality for corpus weighting — the link-graph
+  * prioritization step of a web-crawl training pipeline (harmonic /
+  * PageRank centrality over the host graph decides what gets crawled and
+  * kept; this is its dataflow form).
+  *
+  * INTEGER PageRank: ranks are scaled BIGINTs (Scale = 10^12 ≙ 1.0) and
+  * every step uses integer division — `contrib = rank div outdeg`,
+  * `rank' = (1-d)·Scale + (d_num · Σ contribs) div d_den`. Long sums
+  * commute exactly, so the fixed point is ORDER-INDEPENDENT: a
+  * distributed run, a re-partitioned run, and a SQL replay agree
+  * bit-for-bit (the q_pagerank oracle re-derives every iteration in
+  * DuckDB) — float PageRank cannot make that promise under Spark's
+  * nondeterministic reduce order, and exact reproducibility is the
+  * property a data-recipe ledger needs. Truncation loses < outdeg
+  * units (10^-12 of a rank) per edge per round — bounded, deterministic,
+  * and identical in both engines.
+  *
+  * Standard simplifications, documented: ranks are UNNORMALIZED (init =
+  * Scale per node, teleport term constant per node); dangling nodes
+  * (outdeg 0) leak their mass rather than redistributing it.
+  *
+  * Scale shape: one (src → outdeg) map-side-combined aggregation up
+  * front; each iteration is one equi-join of edges to current ranks on
+  * src plus one partial/final sum keyed by dst — shuffles carry (id,
+  * long) pairs only. Iterations are driver-coordinated like
+  * Similarity.ivfCentroids; intermediate frames are persisted and the
+  * parent unpersisted each round, so lineage stays shallow at any
+  * iteration count.
+  */
+object Graph {
+
+  /** 10^12 ≙ rank 1.0. Headroom contract: dampNum · N · Scale must stay
+    * under Long.MaxValue (per-node incoming mass is bounded by total
+    * mass N·Scale). 10^12 is safe to ~10^5 nodes; pick 10^6 for a
+    * billion-node host graph — precision scales down, determinism
+    * doesn't. The default suits gate/test-sized graphs. */
+  val Scale: Long = 1000000000000L
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, "pageRank: need at least one iteration")
+    require(dampNum > 0 && dampDen > dampNum, "pageRank: need 0 < dampNum < dampDen")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val weighted = e.join(outdeg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    weighted.count() // materialize, then the raw edge cache can go
+    e.unpersist()
+    val nodes = weighted.select(col("src").as("id"))
+      .union(weighted.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val teleport = (Scale * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.withColumn("pr", lit(Scale))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (1 to iters).foreach { _ =>
+      val contribs = weighted
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("pr div __od").as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__in"))
+      val next = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"(${dampNum}L * coalesce(__in, 0L)) div ${dampDen}L")).as("pr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the parent
+      ranks.unpersist()
+      ranks = next
+    }
+    weighted.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+}

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer PageRank pinned by hand arithmetic: scaled-long ranks, integer
+  * division, order-independent sums — the same numbers under any
+  * partitioning.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a(1) -> b(2), b -> a, a -> c(3); outdeg a=2, b=1; c dangling.
+  private def edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+
+  test("pageRank: hand-computed two iterations on a 3-node graph") {
+    // S = 1e12, teleport = 0.15*S = 150e9
+    // iter1: a <- b/1 = 1e12        -> 150e9 + 85e10*... = 150e9 + 850e9 = 1e12
+    //        b <- a div 2 = 5e11    -> 150e9 + 425e9 = 575e9;  c same
+    // iter2: a <- b = 575e9         -> 150e9 + (85*575e9) div 100 = 638750000000
+    //        b <- a div 2 = 5e11    -> 575e9;  c same
+    withPartitionings(edges) { e =>
+      val out = Graph.pageRank(e, "src", "dst", iters = 2).orderBy("id")
+      assert(rows(out) == Seq(
+        Seq(1L, 638750000000L), Seq(2L, 575000000000L), Seq(3L, 575000000000L)))
+    }
+  }
+
+  test("pageRank: total mass never exceeds teleport + damped input mass") {
+    val out = Graph.pageRank(edges, "src", "dst", iters = 5).collect()
+    val total = out.map(_.getLong(1)).sum
+    // 3 nodes: ceiling = 3*0.15*S + 0.85*(previous total) <= 3*S always
+    assert(total <= 3L * Graph.Scale && total > 0)
+  }
+
+  test("pageRank: dangling nodes receive rank but leak their own mass (documented)") {
+    val out = Graph.pageRank(edges, "src", "dst", iters = 1)
+      .where(col("id") === 3L).collect()
+    assert(out.head.getLong(1) == 575000000000L) // fed by a, feeds nobody
+  }
+
+  test("pageRank rejects bad parameters") {
+    intercept[IllegalArgumentException] { Graph.pageRank(edges, "src", "dst", 0) }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", 1, dampNum = 100, dampDen = 100)
+    }
+  }
+}
