@@ -1953,8 +1953,15 @@ object SparkEntry {
   private val BpeNumMerges = 8
 
   private def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    // trains FRESH on every call (no memo read): this gate's bench row
+    // times the training loop itself, not a cache dump — the memo is for
+    // q_bpe_encode, whose one-time tokenizer build is a prerequisite,
+    // not the thing measured
     import s.implicits._
-    bpeMerges(s, d).zipWithIndex
+    val ms = graft.pipeline.Bpe.trainMerges(
+      Tables.documents(s, d), "text", BpeNumMerges)
+    synchronized { bpeMergesCache(d) = ms }
+    ms.zipWithIndex
       .map { case ((a, b, c), i) => (i, a, b, c) }
       .toDF("merge_rank", "a", "b", "cnt").orderBy("merge_rank")
   }

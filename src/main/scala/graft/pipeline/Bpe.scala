@@ -71,21 +71,26 @@ object Bpe {
     require(numMerges > 0, "trainMerges: numMerges must be positive")
     var wt = wordTable(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE job per round: the round's best-pair collect is also what
+    // materializes the current word table's cache, so the PREVIOUS
+    // round's cache is released right after the collect instead of
+    // paying a dedicated count() action per round.
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     (0 until numMerges).foreach { i =>
       val best = pairCounts(wt)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       require(best.nonEmpty,
         s"trainMerges: no adjacent pairs left after $i merges — corpus too small for $numMerges")
       val (a, b, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
       merges += ((a, b, c))
-      val next = wt.withColumn("toks", mergePair(col("toks"), a, b))
+      prev = wt
+      wt = wt.withColumn("toks", mergePair(col("toks"), a, b))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the parent cache
-      wt.unpersist()
-      wt = next
     }
     wt.unpersist()
+    if (prev != null) prev.unpersist()
     merges.toSeq
   }
 
@@ -102,19 +107,27 @@ object Bpe {
     * merge in rank order (greedy fold each), then flatten back to the
     * document's token sequence. Output: (idCol, n_tokens, fp) where fp is
     * md5 over the U+0001-joined token stream — an engine-agnostic
-    * fingerprint of the exact tokenization. Shuffle-free except the
-    * per-doc reassembly (one aggregation keyed by the doc id): the merge
-    * applications are M column transforms inside one projection. */
+    * fingerprint of the exact tokenization.
+    *
+    * The merge folds run over the DISTINCT-word table, not per word
+    * occurrence: BPE is a pure function of the word, the folds are
+    * interpreted HOF lambdas (the one non-codegen spot), and a natural
+    * corpus repeats words heavily -- the distinct-word working set cuts
+    * the interpreted work by the corpus repetition factor, growing with
+    * corpus size. Occurrences then pick up their token arrays via one
+    * equi-join on the word (AQE broadcasts a small vocabulary side). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
-    val wordToks = docs.select(col(idCol),
+    val words = docs.select(col(idCol),
       posexplode(split(regexp_replace(col(textCol), "[\u0001\u0002]", ""), "\\s+"))
         .as(Seq("widx", "word")))
       .where(col("word") =!= "")
+    val uniq = words.select("word").distinct()
       .withColumn("toks", split(col("word"), ""))
-    val merged = merges.foldLeft(wordToks) { case (df, (a, b)) =>
+    val encodedUniq = merges.foldLeft(uniq) { case (df, (a, b)) =>
       df.withColumn("toks", mergePair(col("toks"), a, b))
     }
+    val merged = words.join(encodedUniq, "word")
     val perDoc = merged.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("widx"), col("toks")))).as("ws"))
       .select(col(idCol),

@@ -45,37 +45,41 @@ object Graph {
                dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iters >= 1, "pageRank: need at least one iteration")
     require(dampNum > 0 && dampDen > dampNum, "pageRank: need 0 < dampNum < dampDen")
+    // One explicit materialization of the (possibly expensive) edge
+    // dedup lineage BEFORE anything references it twice: outdeg and the
+    // join both read `e`, and per-partition cache fills are
+    // first-writer-wins, not shared work — without the count() the
+    // distinct would compute once per reference inside one job.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
     val weighted = e.join(outdeg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    weighted.count() // materialize, then the raw edge cache can go
-    e.unpersist()
     val nodes = weighted.select(col("src").as("id"))
       .union(weighted.select(col("dst").as("id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val teleport = (Scale * (dampDen - dampNum)) / dampDen
+    // Each round references the previous ranks exactly ONCE, so the
+    // iteration chain is LINEAR lineage — no per-round materialization
+    // needed; the whole fixed-point evaluates in one job at the end
+    // (weighted/nodes are cached, so rounds don't rescan the input).
     var ranks = nodes.withColumn("pr", lit(Scale))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (1 to iters).foreach { _ =>
       val contribs = weighted
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("pr div __od").as("__c"))
         .groupBy("id").agg(sum(col("__c")).as("__in"))
-      val next = nodes.join(contribs, Seq("id"), "left")
+      ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) +
             expr(s"(${dampNum}L * coalesce(__in, 0L)) div ${dampDen}L")).as("pr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the parent
-      ranks.unpersist()
-      ranks = next
     }
-    weighted.unpersist()
-    nodes.unpersist()
-    ranks
+    val result = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize before the input caches are dropped
+    e.unpersist(); weighted.unpersist(); nodes.unpersist()
+    result
   }
 }
