@@ -1903,6 +1903,36 @@ object SparkEntry {
     asDouble("sum_qty")(QuerySpecs.buildSort(sort2)(QuerySpecs.buildAggregate(agg2)(staged)))
   }
 
+  private def qCdcApply(s: SparkSession, d: String): DataFrame = {
+    // Synthetic CDC stream over orders: every 5th key gets an Update
+    // (doubled price — exact in FP) at seq 1, every 7th a Delete at seq
+    // 2 (so keys divisible by 35 see U then D — the D must win), plus
+    // one Insert of a brand-new key. The oracle replays the final image
+    // with CASE/WHERE arithmetic.
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val updates = o.where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val deletes = o.where(col("o_orderkey") % 7 === 0)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+    val insert = s.range(1).select(lit(1000000000L).as("o_orderkey"),
+      lit("N").as("o_orderstatus"), lit(9.5).as("o_totalprice"),
+      lit(1L).as("seq"), lit("I").as("op"))
+    val changes = updates.unionByName(deletes).unionByName(insert)
+    val merged = Relational.applyChangeLog(o, changes, Seq("o_orderkey"), "seq", "op")
+    merged.orderBy("o_orderkey")
+  }
+
+  private def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    // Length-band-blocked Levenshtein pairs over distinct part names —
+    // recall-exact blocking (dist >= |len diff|), so the all-pairs
+    // oracle is the same set.
+    val p = Tables.part(s, d)
+    Relational.sort(col("s1"), col("s2"))(
+      graft.pipeline.Dedup.editDistancePairs(p, "p_name", maxDist = 2))
+  }
+
   private def qPagerank(s: SparkSession, d: String): DataFrame = {
     // Two-layer link graph derived from lineitem (supplier → part-bucket →
     // order-bucket) so rank propagates multiple hops; 3 integer-arithmetic
@@ -2276,6 +2306,8 @@ object SparkEntry {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_pagerank" -> (qPagerank _),
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3459,5 +3491,19 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracle(BpeNumMerges),
     "q_bpe_encode" -> bpeEncodeOracle(BpeNumMerges),
     "q_pagerank" -> pagerankOracle(PagerankIters),
+    "q_cdc_apply" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |     ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT CAST(1000000000 AS BIGINT), 'N', CAST(9.5 AS DOUBLE)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH t AS (SELECT DISTINCT p_name AS v FROM part)
+        |SELECT a.v AS s1, b.v AS s2, levenshtein(a.v, b.v) AS dist
+        |FROM t a JOIN t b ON a.v < b.v
+        |WHERE levenshtein(a.v, b.v) <= 2
+        |ORDER BY s1, s2""".stripMargin,
   )
 }

@@ -64,6 +64,42 @@ object Relational {
     updates.unionByName(b.join(u, cond, "left_anti"))
   }
 
+  /** Apply an ordered change log (CDC) to a base table — `upsert`
+    * generalized from one update batch to a full insert/update/delete
+    * stream: each change row carries (keys, seqCol, opCol, payload) with
+    * op ∈ {I, U, D}; per key the HIGHEST seq wins — I/U set the row's
+    * new image, D removes the key. This is the merge a lakehouse CDC
+    * sink runs on every sync cycle.
+    *
+    * Plan shape: ONE window over the changes partitioned by key (state
+    * shards by key — no global funnel) picks each key's final op, then
+    * one NULL-safe anti-join drops superseded base rows and the
+    * surviving upsert images union in: one key exchange per side, never
+    * a full-outer join, same as upsert.
+    *
+    * Contract: `seqCol` is unique per key (a real CDC stream's LSN /
+    * commit timestamp); ties would make "latest" ambiguous, so the
+    * window orders by (seq DESC) alone and duplicate seqs per key are
+    * the caller's bug, as multi-row update keys are for upsert. */
+  def applyChangeLog(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                     seqCol: String, opCol: String): DataFrame = {
+    require(keys.nonEmpty, "applyChangeLog: need at least one key column")
+    val payload = changes.columns.filterNot(c => c == seqCol || c == opCol).toSeq
+    require(base.columns.toSeq == payload,
+      s"applyChangeLog: base schema ${base.columns.toSeq} must equal change payload $payload")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    val upserts = latest.where(upper(col(opCol)).isin("I", "U"))
+      .select(payload.map(col): _*)
+    // EVERY touched key leaves base: replaced (I/U) or removed (D)
+    val touched = latest.select(keys.map(col): _*).alias("__cdc_k")
+    val b = base.alias("__cdc_b")
+    val cond = keys.map(k => col(s"__cdc_b.$k") <=> col(s"__cdc_k.$k")).reduce(_ && _)
+    upserts.unionByName(b.join(touched, cond, "left_anti"))
+  }
+
   /** ORC face of the FileOutput/FileInput pair — Spark's second built-in
     * columnar format: same predicate-pushdown + column-pruning contract
     * as parquet (the spec asserts PushedFilters on the ORC scan), so a

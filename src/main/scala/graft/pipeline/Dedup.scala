@@ -554,6 +554,41 @@ object Dedup {
       .select("id1", "id2", "jac")
   }
 
+  // ===== Edit-distance (fuzzy) matching =====
+
+  /** Blocked fuzzy matching over a string column: DISTINCT values, length-
+    * band blocking, exact Levenshtein verify — the record-linkage /
+    * near-identical-key step (product names, author strings, URLs) that a
+    * naive implementation writes as an all-pairs cross join.
+    *
+    * RECALL-EXACT by construction: edit distance ≥ |len(a) − len(b)|, so
+    * any pair within `maxDist` differs in length by ≤ maxDist; with
+    * bucketWidth ≥ maxDist, emitting each value into buckets ⌊len/w⌋ and
+    * ⌊len/w⌋+1 guarantees every qualifying pair shares a bucket (the same
+    * double-bucket argument as lengthBucketJaccardPairs). The quadratic
+    * verify is bounded per length band and runs on DISTINCT values — at
+    * 100 TB the shuffle moves (bucket, value) once per value, never the
+    * row multiplicity behind it.
+    */
+  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int,
+                        bucketWidth: Int = 8): DataFrame = {
+    require(maxDist >= 0, "editDistancePairs: maxDist must be >= 0")
+    require(bucketWidth >= math.max(maxDist, 1),
+      s"editDistancePairs: bucketWidth ($bucketWidth) must be >= maxDist ($maxDist) for exact recall")
+    val uniq = df.select(col(strCol).as("v")).where(col("v").isNotNull).distinct()
+      .withColumn("ln", length(col("v")))
+    val bucket = expr(s"CAST(ln AS BIGINT) div $bucketWidth")
+    val e = uniq.select(col("v"), col("ln"), bucket.as("b"))
+      .unionAll(uniq.select(col("v"), col("ln"), (bucket + 1).as("b")))
+    val l = e.select(col("b"), col("v").as("s1"), col("ln").as("l1"))
+    val r = e.select(col("b"), col("v").as("s2"), col("ln").as("l2"))
+    l.join(r, Seq("b")).where(col("s1") < col("s2") &&
+        abs(col("l1") - col("l2")) <= maxDist)
+      .select(col("s1"), col("s2")).distinct() // a pair can share both buckets
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .where(col("dist") <= maxDist)
+  }
+
   // ===== Embedding near-dup =====
 
   /** Embedding-cosine near-duplicates via LSH bucketing + exact verify —

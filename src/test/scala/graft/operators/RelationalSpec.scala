@@ -327,6 +327,26 @@ class RelationalSpec extends SparkSpec {
       Seq(Seq(null, "X"), Seq(1, "a")))
   }
 
+  test("applyChangeLog: highest seq per key wins across I/U/D, untouched rows survive") {
+    val base = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+    val changes = Seq(
+      (2, "B1", 1L, "U"), (2, "B2", 5L, "U"),   // two updates: seq 5 wins
+      (3, "dead", 1L, "U"), (3, "dead", 2L, "D"), // update then delete: D wins
+      (4, "revived", 2L, "I"), (4, "x", 1L, "D"), // delete then insert: I wins
+      (9, "new", 1L, "I")
+    ).toDF("k", "v", "seq", "op")
+    withPartitionings(changes) { ch =>
+      val out = Relational.applyChangeLog(base, ch, Seq("k"), "seq", "op")
+      assert(rows(out.orderBy("k")) == Seq(
+        Seq(1, "a"), Seq(2, "B2"), Seq(4, "revived"), Seq(9, "new")))
+    }
+    // payload schema must equal base schema
+    intercept[IllegalArgumentException] {
+      Relational.applyChangeLog(base,
+        changes.withColumnRenamed("v", "w"), Seq("k"), "seq", "op")
+    }
+  }
+
   test("fileOutputPartitioned writes partition dirs with bounded file counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fop").toString
     val df = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("k", "par")

@@ -524,4 +524,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Dedup.leasedPairCount == 0)
     assert(frames.forall(_.storageLevel == StorageLevel.NONE))
   }
+
+  // ===== Fuzzy (edit-distance) matching =====
+
+  test("editDistancePairs: recall-exact blocking equals all-pairs Levenshtein") {
+    val vals = Seq("widget", "widgget", "gadget", "gizmo", "gizmos",
+      "a", "ab", "completely-different-string").toDF("v")
+    withPartitionings(vals) { d =>
+      val got = Dedup.editDistancePairs(d, "v", maxDist = 2)
+        .orderBy("s1", "s2").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toList
+      // brute-force reference on the driver
+      val vs = vals.collect().map(_.getString(0)).toList
+      def lev(a: String, b: String): Int = {
+        val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+            dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        dp(a.length)(b.length)
+      }
+      val want = (for (a <- vs; b <- vs if a < b; dd = lev(a, b) if dd <= 2)
+        yield (a, b, dd)).sorted
+      assert(got == want)
+      assert(got.exists(_._1 == "a")) // cross-length-band pair ("a","ab") found
+    }
+  }
+
+  test("editDistancePairs: duplicate rows collapse (distinct values), guards checked") {
+    val vals = Seq("x", "x", "x", "xy").toDF("v")
+    val got = Dedup.editDistancePairs(vals, "v", maxDist = 1)
+    assert(rows(got) == Seq(Seq("x", "xy", 1)))
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(vals, "v", maxDist = 9, bucketWidth = 4)
+    }
+  }
 }
