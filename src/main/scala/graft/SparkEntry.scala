@@ -1903,6 +1903,37 @@ object SparkEntry {
     asDouble("sum_qty")(QuerySpecs.buildSort(sort2)(QuerySpecs.buildAggregate(agg2)(staged)))
   }
 
+  private def qHistogram(s: SparkSession, d: String): DataFrame = {
+    // Mass-conserving equi-width histogram: 20 bins over [900, 105000),
+    // under/overflow kept in bins -1 / 20; identical floor arithmetic
+    // replayed by the oracle.
+    Relational.sort(col("bin"))(
+      graft.pipeline.Profile.histogram(Tables.lineitem(s, d),
+        "l_extendedprice", lo = 900.0, hi = 105000.0, nBins = 20))
+  }
+
+  private def qResample(s: SparkSession, d: String): DataFrame = {
+    // Daily grid per user with forward-filled decimal sums; leading gaps
+    // NULL, gap days n=0. Bucket formatted to a date string so both
+    // engines hash the same representation.
+    val out = graft.pipeline.TimeSeries.resampleFill(
+      Tables.events(s, d), "user_id", "ts", "value", unit = "day")
+    Relational.sort(col("user_id"), col("day"))(
+      out.select(col("user_id"),
+        date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+        col("n"), col("filled")))
+  }
+
+  private def qDomainCap(s: SparkSession, d: String): DataFrame = {
+    // Per-domain cap (anti-overrepresentation): at most 30 docs per
+    // language, chosen by the portable hash order so the survivor set is
+    // a reproducible uniform subset the oracle re-derives exactly.
+    val capped = graft.pipeline.Sampling.exactPerStratum(
+      Tables.documents(s, d).select("doc_id", "lang"), "lang", n = 30,
+      keyCols = Seq("doc_id"))
+    Relational.sort(col("lang"), col("doc_id"))(capped)
+  }
+
   private def qCdcApply(s: SparkSession, d: String): DataFrame = {
     // Synthetic CDC stream over orders: every 5th key gets an Update
     // (doubled price — exact in FP) at seq 1, every 7th a Delete at seq
@@ -2308,6 +2339,9 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_histogram" -> (qHistogram _),
+    "q_resample" -> (qResample _),
+    "q_domain_cap" -> (qDomainCap _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3505,5 +3539,32 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.v < b.v
         |WHERE levenshtein(a.v, b.v) <= 2
         |ORDER BY s1, s2""".stripMargin,
+    "q_histogram" ->
+      """SELECT CASE WHEN l_extendedprice IS NULL THEN NULL
+        |  WHEN l_extendedprice < 900.0 THEN -1
+        |  WHEN l_extendedprice >= 105000.0 THEN 20
+        |  ELSE CAST(floor((l_extendedprice - 900.0) * 20 / (105000.0 - 900.0)) AS BIGINT)
+        |END AS bin, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_resample" ->
+      """WITH a AS (SELECT user_id, date_trunc('day', ts) AS bucket,
+        |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM a GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket FROM sp),
+        |j AS (SELECT g.user_id, g.bucket, a.n, a.s FROM g LEFT JOIN a USING (user_id, bucket))
+        |SELECT user_id, strftime(bucket, '%Y-%m-%d') AS day, COALESCE(n, 0) AS n,
+        |  CAST(last_value(s IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    // portableBucket replay (same formula as the q_sample_* oracles) +
+    // per-language rank cap
+    "q_domain_cap" ->
+      """WITH k AS (SELECT doc_id, lang,
+        |  ((doc_id % 2147483648) * 2654435761 % 2147483648) % 2147483648 % 1000000 AS b
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn FROM k)
+        |SELECT doc_id, lang FROM r WHERE rn <= 30 ORDER BY lang, doc_id""".stripMargin,
   )
 }

@@ -89,4 +89,26 @@ object Profile {
       .withColumn(valueCol, clamped)
       .drop("__lo", "__hi")
   }
+
+  /** Equi-width histogram over [lo, hi): one codegen projection + one
+    * partial/final count aggregation keyed by bin — the column-
+    * distribution profile at any scale. Out-of-range mass is KEPT, not
+    * dropped: values below lo land in bin −1, values ≥ hi in bin
+    * `nBins`, so Σn equals the non-NULL row count (mass conservation is
+    * what makes a histogram trustworthy); NULLs get a NULL bin. The bin
+    * arithmetic is plain floor((v−lo)·nBins/(hi−lo)) — deliberately NOT
+    * width_bucket(), which not every engine ships — so the q_histogram
+    * oracle replays it textually, and IEEE double ops make boundary
+    * assignment identical across engines. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    require(nBins > 0, "histogram: nBins must be positive")
+    require(hi > lo, "histogram: need hi > lo")
+    val v = col(valueCol).cast("double")
+    val bin = when(v.isNull, lit(null).cast("long"))
+      .when(v < lo, lit(-1L))
+      .when(v >= hi, lit(nBins.toLong))
+      .otherwise(floor((v - lit(lo)) * lit(nBins) / (lit(hi) - lit(lo))))
+    df.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("n"))
+  }
 }

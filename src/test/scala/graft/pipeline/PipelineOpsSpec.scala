@@ -525,6 +525,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frames.forall(_.storageLevel == StorageLevel.NONE))
   }
 
+  // ===== Histogram =====
+
+  test("histogram: mass-conserving bins with under/overflow and NULL buckets") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(5.0), Some(9.9999), Some(10.0),
+      Some(25.0), None).toDF("v")
+    withPartitionings(df) { d =>
+      val out = Profile.histogram(d, "v", lo = 0.0, hi = 10.0, nBins = 2)
+        .orderBy(col("bin").asc_nulls_first)
+      assert(rows(out) == Seq(
+        Seq(null, 1L),   // NULL passthrough bucket
+        Seq(-1L, 1L),    // underflow
+        Seq(0L, 1L),     // [0, 5)
+        Seq(1L, 2L),     // [5, 10) — 9.9999 stays inside
+        Seq(2L, 2L)))    // overflow: 10.0 (== hi) and 25.0
+      // mass conservation: sum of counts == row count
+      assert(out.agg(sum("n")).collect().head.getLong(0) == 7L)
+    }
+  }
+
+  // ===== Time-series resample + gap fill =====
+
+  test("resampleFill: gaps get n=0 with carried sum, leading gaps stay NULL") {
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00", 1.5), ("u1", "2024-01-01 10:30:00", 2.5),
+      ("u1", "2024-01-03 09:00:00", 4.0), // Jan 2 is a gap day
+      ("u2", "2024-01-05 00:00:00", 7.0)
+    ).toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    withPartitionings(df) { d =>
+      val out = TimeSeries.resampleFill(d, "k", "ts", "v", unit = "day")
+        .withColumn("day", date_format(col("bucket"), "yyyy-MM-dd"))
+        .select("k", "day", "n", "filled").orderBy("k", "day")
+      assert(rows(out) == Seq(
+        Seq("u1", "2024-01-01", 2L, 4.0),  // 1.5 + 2.5
+        Seq("u1", "2024-01-02", 0L, 4.0),  // gap: carried forward
+        Seq("u1", "2024-01-03", 1L, 4.0),  // new observation
+        Seq("u2", "2024-01-05", 1L, 7.0))) // span is per key
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleFill(df, "k", "ts", "v", unit = "fortnight")
+    }
+  }
+
   // ===== Fuzzy (edit-distance) matching =====
 
   test("editDistancePairs: recall-exact blocking equals all-pairs Levenshtein") {
