@@ -1934,12 +1934,24 @@ object SparkEntry {
     Relational.sort(col("lang"), col("doc_id"))(capped)
   }
 
-  private def qCdcApply(s: SparkSession, d: String): DataFrame = {
-    // Synthetic CDC stream over orders: every 5th key gets an Update
-    // (doubled price — exact in FP) at seq 1, every 7th a Delete at seq
-    // 2 (so keys divisible by 35 see U then D — the D must win), plus
-    // one Insert of a brand-new key. The oracle replays the final image
-    // with CASE/WHERE arithmetic.
+  /** The final CDC image both cdc gates converge to — replayed with plain
+    * CASE/WHERE arithmetic over the raw table. */
+  private val CdcFinalImageOracle: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+      |     ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |UNION ALL
+      |SELECT CAST(1000000000 AS BIGINT), 'N', CAST(9.5 AS DOUBLE)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Shared CDC fixture: base image + the two halves of the change log.
+    * Every 5th key gets an Update (doubled price — exact in FP) at seq 1;
+    * every 7th a Delete at seq 2 (keys divisible by 35 see U then D — the
+    * D must win); one Insert of a brand-new key. Used by q_cdc_apply
+    * (one-shot log application) and q_stream_cdc (incremental streaming
+    * application) so the two faces provably process one log. */
+  private def cdcFixture(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       col("o_totalprice"))
     val updates = o.where(col("o_orderkey") % 5 === 0)
@@ -1950,9 +1962,25 @@ object SparkEntry {
     val insert = s.range(1).select(lit(1000000000L).as("o_orderkey"),
       lit("N").as("o_orderstatus"), lit(9.5).as("o_totalprice"),
       lit(1L).as("seq"), lit("I").as("op"))
-    val changes = updates.unionByName(deletes).unionByName(insert)
-    val merged = Relational.applyChangeLog(o, changes, Seq("o_orderkey"), "seq", "op")
+    (o, updates, deletes.unionByName(insert))
+  }
+
+  private def qCdcApply(s: SparkSession, d: String): DataFrame = {
+    val (o, updates, rest) = cdcFixture(s, d)
+    val merged = Relational.applyChangeLog(o, updates.unionByName(rest),
+      Seq("o_orderkey"), "seq", "op")
     merged.orderBy("o_orderkey")
+  }
+
+  private def qStreamCdc(s: SparkSession, d: String): DataFrame = {
+    // TRUE streaming CDC materialization: phase 1 streams the updates,
+    // phase 2 stages deletes+insert and resumes from the checkpoint; the
+    // final image must equal the one-shot applyChangeLog — gated against
+    // the SAME oracle as q_cdc_apply.
+    val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_cdc_${ProcessHandle.current().pid()}")
+    val (o, updates, rest) = cdcFixture(s, d)
+    graft.streaming.Streams.cdcStreamGate(s, work, o, Seq("o_orderkey"),
+      updates, rest).orderBy("o_orderkey")
   }
 
   private def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
@@ -2338,6 +2366,7 @@ object SparkEntry {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_pagerank" -> (qPagerank _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_stream_cdc" -> (qStreamCdc _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_histogram" -> (qHistogram _),
     "q_resample" -> (qResample _),
@@ -3525,14 +3554,10 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracle(BpeNumMerges),
     "q_bpe_encode" -> bpeEncodeOracle(BpeNumMerges),
     "q_pagerank" -> pagerankOracle(PagerankIters),
-    "q_cdc_apply" ->
-      """SELECT o_orderkey, o_orderstatus,
-        |CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
-        |     ELSE o_totalprice END AS o_totalprice
-        |FROM orders WHERE o_orderkey % 7 <> 0
-        |UNION ALL
-        |SELECT CAST(1000000000 AS BIGINT), 'N', CAST(9.5 AS DOUBLE)
-        |ORDER BY o_orderkey""".stripMargin,
+    "q_cdc_apply" -> CdcFinalImageOracle,
+    // identical oracle BY CONSTRUCTION: incremental streaming application
+    // of the same log must land on the same final image
+    "q_stream_cdc" -> CdcFinalImageOracle,
     "q_fuzzy_join" ->
       """WITH t AS (SELECT DISTINCT p_name AS v FROM part)
         |SELECT a.v AS s1, b.v AS s2, levenshtein(a.v, b.v) AS dist

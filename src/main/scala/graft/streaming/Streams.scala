@@ -460,4 +460,71 @@ object Streams {
     runToCompletion()
     spark.read.parquet(outDir)
   }
+
+  /** Streaming CDC materialization under a two-phase harness
+    * (q_stream_cdc): a change-row stream (key, payload, seq, op) applied
+    * incrementally onto a versioned base image via foreachBatch +
+    * `Relational.applyChangeLog` — the lakehouse CDC-sink loop, run as a
+    * TRUE streaming query with checkpoint resume.
+    *
+    * Exactly-once mechanics: batch id `i` reads the NEWEST image with
+    * version ≤ i and overwrites version i+1 — a re-delivered batch
+    * recomputes from the same parent image and overwrites the same
+    * version directory, the idempotent-by-batchId recipe
+    * `foreachBatchSink` documents. Phase 1 streams the update half of
+    * the log; phase 2 stages the delete/insert half and RESUMES from the
+    * checkpoint, so the final image must equal applying the whole
+    * ordered log in one batch — the caller gates it against the SAME
+    * oracle as the batch `applyChangeLog` face, making
+    * "incremental streaming application ≡ one-shot log application"
+    * a hash-checked invariant, not a claim. */
+  def cdcStreamGate(spark: SparkSession, workDir: String,
+                    base: DataFrame, keys: Seq[String],
+                    phase1: DataFrame, phase2: DataFrame,
+                    seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val work = Paths.get(workDir)
+    deleteRecursively(work)
+    val in = work.resolve("in")
+    val state = work.resolve("state")
+    Files.createDirectories(in)
+    Files.createDirectories(state)
+    base.write.parquet(state.resolve("v00000").toString)
+    def latestImageAtMost(maxV: Long): DataFrame = {
+      val listing = Files.list(state)
+      val vs =
+        try listing.filter(p => p.getFileName.toString.startsWith("v"))
+          .toArray(new Array[java.nio.file.Path](_))
+          .map(_.getFileName.toString.drop(1).toLong).filter(_ <= maxV)
+        finally listing.close()
+      require(vs.nonEmpty, s"cdcStreamGate: no state image at or below v$maxV")
+      spark.read.parquet(state.resolve(f"v${vs.max}%05d").toString)
+    }
+    val changeSchema = phase1.schema
+    require(phase2.schema == changeSchema,
+      "cdcStreamGate: phase schemas must match")
+    stageParquetParts(phase1, work, in, "changes_a")
+    val ckpt = work.resolve("ckpt").toString
+    def runToCompletion(): Unit = {
+      val stream = spark.readStream.schema(changeSchema)
+        .option("pathGlobFilter", "changes*.parquet").parquet(in.toString)
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val next = graft.operators.Relational.applyChangeLog(
+            latestImageAtMost(id), batch, keys, seqCol, opCol)
+          next.write.mode("overwrite")
+            .parquet(state.resolve(f"v${id + 1}%05d").toString)
+        }
+        .start()
+      q.awaitTermination()
+      graft.Instrument.recordStreamProgress(work.getFileName.toString, q)
+    }
+    runToCompletion()
+    stageParquetParts(phase2, work, in, "changes_b")
+    runToCompletion()
+    latestImageAtMost(Long.MaxValue)
+  }
 }

@@ -260,4 +260,26 @@ class StreamsSpec extends SparkSpec {
         rows(batch.orderBy("window_start", "event_type")))
     } finally q.stop()
   }
+
+  test("cdcStreamGate: phase-2 resume lands on the one-shot applyChangeLog image") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toString
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val phase1 = Seq((2L, "B", 1L, "U"), (3L, "x", 1L, "U")).toDF("k", "v", "seq", "op")
+    val phase2 = Seq((3L, "x", 2L, "D"), (9L, "new", 1L, "I")).toDF("k", "v", "seq", "op")
+    val got = Streams.cdcStreamGate(spark, work, base, Seq("k"), phase1, phase2)
+    assert(rows(got.select("k", "v").orderBy("k")) ==
+      Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(9L, "new")))
+    // same log applied in ONE batch — the invariant the gate hashes
+    val oneShot = graft.operators.Relational.applyChangeLog(
+      base, phase1.unionByName(phase2), Seq("k"), "seq", "op")
+    assert(rows(got.select("k", "v").orderBy("k")) ==
+      rows(oneShot.select("k", "v").orderBy("k")))
+    // versioned images: v0 base, one per processed batch, all readable
+    val state = java.nio.file.Paths.get(work, "state")
+    val listing = java.nio.file.Files.list(state)
+    val vs = try listing.toArray(new Array[java.nio.file.Path](_))
+      .map(_.getFileName.toString).sorted.toList finally listing.close()
+    assert(vs.head == "v00000" && vs.size >= 3)
+  }
 }
