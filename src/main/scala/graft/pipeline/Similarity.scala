@@ -181,11 +181,17 @@ object Similarity {
                     centroids: Array[Array[Double]], tau: Double): DataFrame = {
     val v = df.select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
       .repartition(col(idCol)) // materialize the cast once, not per centroid
+    // norm precomputed ONCE per vector (sqrt∘dot is deterministic, and
+    // n1*n2 is the same IEEE product the inline cosine would compute) —
+    // the quadratic verify then pays ONE dot per pair instead of three
     val celled = assignCells(v, centroids, "__v", "__cell")
-    val l = celled.select(col("__cell"), col(idCol).as("id1"), col("__v").as("v1"))
-    val r = celled.select(col("__cell"), col(idCol).as("id2"), col("__v").as("v2"))
+      .withColumn("__nrm", norm(col("__v")))
+    val l = celled.select(col("__cell"), col(idCol).as("id1"),
+      col("__v").as("v1"), col("__nrm").as("n1"))
+    val r = celled.select(col("__cell"), col(idCol).as("id2"),
+      col("__v").as("v2"), col("__nrm").as("n2"))
     val pairs = l.join(r, Seq("__cell")).where(col("id1") < col("id2"))
-      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .where(col("cosine") >= tau)
       .select("id1", "id2")
     val clusters = Dedup.duplicateClusters(pairs)
