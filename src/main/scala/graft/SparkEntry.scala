@@ -1934,6 +1934,25 @@ object SparkEntry {
     Relational.sort(col("lang"), col("doc_id"))(capped)
   }
 
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    // Three-stage min-time-frontier funnel over the event log; strict-after
+    // conversion at µs precision (events.ts is truncated to micros on
+    // read), replayed by the oracle as a CTE chain at epoch_ns//1000.
+    Relational.sort(col("stage"))(
+      graft.pipeline.Events.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")))
+  }
+
+  private def qCohort(s: SparkSession, d: String): DataFrame = {
+    // Weekly cohort retention; cohort formatted to a date string so both
+    // engines hash the same representation (q_resample convention).
+    val out = graft.pipeline.Events.cohortRetention(
+      Tables.events(s, d), "user_id", "ts", unit = "week")
+    Relational.sort(col("cohort"), col("offset"))(
+      out.select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("offset"), col("users")))
+  }
+
   /** The final CDC image both cdc gates converge to — replayed with plain
     * CASE/WHERE arithmetic over the raw table. */
   private val CdcFinalImageOracle: String =
@@ -2371,6 +2390,8 @@ object SparkEntry {
     "q_histogram" -> (qHistogram _),
     "q_resample" -> (qResample _),
     "q_domain_cap" -> (qDomainCap _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort" -> (qCohort _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3591,5 +3612,30 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang,
         |  row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn FROM k)
         |SELECT doc_id, lang FROM r WHERE rn <= 30 ORDER BY lang, doc_id""".stripMargin,
+    // min-time-frontier funnel: stage i+1 = earliest event of its type
+    // STRICTLY after the stage-i frontier, compared at µs precision.
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_ns(ts) // 1000) AS r
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS r
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) // 1000 > s1.r GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS r
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 > s2.r GROUP BY 1),
+        |c AS (SELECT 1 AS stage, 'view' AS stage_name, count(*) AS users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT stage, stage_name, users,
+        |  CAST(users AS DOUBLE) / CAST(first_value(users) OVER (ORDER BY stage) AS DOUBLE) AS conv
+        |FROM c ORDER BY stage""".stripMargin,
+    // weekly cohort retention: Monday-truncated weeks in both engines, so
+    // the day difference is an exact multiple of 7.
+    "q_cohort" ->
+      """WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |f AS (SELECT user_id, min(w) AS c FROM e GROUP BY 1)
+        |SELECT strftime(c, '%Y-%m-%d') AS cohort, date_diff('day', c, w) // 7 AS offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
   )
 }

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over an append-only event log — the funnel /
+  * cohort family every OLAP engine grows once it has windowed aggregation
+  * (the reference covers the windowed half via its stateful expressions,
+  * supersonic/expression/templated/cast_expression.h-adjacent stateful
+  * machinery; the sequential-conversion shapes here are the standard
+  * composition on top).
+  *
+  * Scale posture: every step keys by the user column — one hash exchange
+  * each, co-partitioned thereafter (AQE reuses the exchange). Nothing is
+  * ever collected to the driver; per-stage event scans carry a pushed-down
+  * `event_type = stage` filter so each funnel stage reads only its own
+  * slice of the log.
+  */
+object Events {
+
+  /** Ordered-stage funnel: a user converts to stage i+1 when an event of
+    * that stage's type occurs STRICTLY after their earliest completion of
+    * stage i (the classic "min-time frontier" semantics — re-orderable
+    * duplicates don't double count, and a purchase logged before the first
+    * click does not convert).
+    *
+    * Returns one row per stage: (stage 1-based, stage_name, users, conv)
+    * where conv = users / users-at-stage-1 (NaN-free: stage 1 always has
+    * the max count).
+    *
+    * Each frontier is cached: stage i's frontier feeds both stage i+1's
+    * join and the final count union, and at 100 TB a frontier is one row
+    * per converted user — orders of magnitude below the event log it
+    * summarizes. k−1 user-keyed joins total; the per-stage scans prune to
+    * `type = stage` at the source.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: need at least one stage")
+    require(stages.distinct.size == stages.size, "funnel: stages must be distinct")
+    val ev = df.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+      col(typeCol).as("__t"))
+    var frontier = ev.where(col("__t") === stages.head)
+      .groupBy("__u").agg(min("__ts").as("__reach"))
+      .cache()
+    val perStage = scala.collection.mutable.ArrayBuffer(
+      frontier.select(lit(1).as("stage"), lit(stages.head).as("stage_name"), col("__u")))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      frontier = ev.where(col("__t") === st)
+        .join(frontier, Seq("__u"))
+        .where(col("__ts") > col("__reach"))
+        .groupBy("__u").agg(min("__ts").as("__reach"))
+        .cache()
+      perStage += frontier.select(lit(i + 1).as("stage"), lit(st).as("stage_name"), col("__u"))
+    }
+    val counts = perStage.reduce(_ unionAll _)
+      .groupBy("stage", "stage_name").agg(count(lit(1)).as("users"))
+    val w = Window.orderBy("stage") // k rows total — not a data-scale window
+    counts.withColumn("conv",
+      col("users").cast("double") / first("users").over(w).cast("double"))
+  }
+
+  /** Cohort retention: users are cohorted by the `unit`-truncated time of
+    * their FIRST event; a cohort's offset-w row counts the distinct users
+    * of that cohort active in the w-th unit after their cohort unit.
+    * Returns (cohort: truncated timestamp, offset: long, users: long).
+    *
+    * Both Spark and ANSI engines truncate weeks to Monday 00:00, so the
+    * day-difference is an exact multiple of the unit width and the integer
+    * division below is exact — the oracle replays it verbatim.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      unit: String = "week"): DataFrame = {
+    val days = unit match {
+      case "day" => 1; case "week" => 7
+      case other => throw new IllegalArgumentException(
+        s"cohortRetention: unit must be day|week, got $other")
+    }
+    val ev = df.select(col(userCol).as("__u"),
+      date_trunc(unit, col(tsCol)).as("__w"))
+    val firstSeen = ev.groupBy("__u").agg(min("__w").as("__c"))
+    ev.join(firstSeen, Seq("__u"))
+      .withColumn("offset",
+        floor(datediff(col("__w"), col("__c")) / lit(days)).cast("long"))
+      .groupBy(col("__c").as("cohort"), col("offset"))
+      .agg(countDistinct(col("__u")).as("users"))
+  }
+}

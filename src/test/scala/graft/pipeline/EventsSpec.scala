@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Funnel + cohort-retention semantics on hand-built event logs. */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toDF("u", "t", "tp").select(col("u"),
+      to_timestamp(col("t")).as("ts"), col("tp"))
+
+  test("funnel: strict-after conversion, out-of-order stages don't count") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", "view"),   // u1 full path
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      (2L, "2024-01-01 09:00:00", "click"),  // u2: click BEFORE first view
+      (2L, "2024-01-01 10:00:00", "view"),
+      (3L, "2024-01-01 10:00:00", "view"),   // u3: purchase without click
+      (3L, "2024-01-01 10:30:00", "purchase"),
+      (4L, "2024-01-01 10:00:00", "purchase")) // u4: never views
+    val out = rows(Events.funnel(df, "u", "ts", "tp",
+      Seq("view", "click", "purchase")).orderBy("stage"))
+    assert(out.map(r => (r(0), r(2))) == Seq((1, 3L), (2, 1L), (3, 1L)))
+    // conv is relative to stage 1
+    assert(out(2)(3) == 1.0 / 3.0)
+  }
+
+  test("funnel: ts equal to the frontier does NOT convert (strictly after)") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:00:00", "click"), // simultaneous — not after
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:00:01", "click"))
+    val out = rows(Events.funnel(df, "u", "ts", "tp", Seq("view", "click"))
+      .orderBy("stage"))
+    assert(out.map(r => (r(0), r(2))) == Seq((1, 2L), (2, 1L)))
+  }
+
+  test("funnel: duplicate stage events keep the EARLIEST frontier") {
+    // u1's second view (later) must not move the frontier past the click
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 12:00:00", "view"),
+      (1L, "2024-01-01 10:30:00", "click"))
+    val out = rows(Events.funnel(df, "u", "ts", "tp", Seq("view", "click")))
+    assert(out.find(_(0) == 2).get(2) == 1L)
+  }
+
+  test("cohortRetention: weekly offsets are exact integer weeks") {
+    val df = ev(
+      (1L, "2024-01-02 10:00:00", "x"), // week of Mon 2024-01-01
+      (1L, "2024-01-10 10:00:00", "x"), // week of Mon 2024-01-08 → offset 1
+      (1L, "2024-01-22 10:00:00", "x"), // offset 3
+      (2L, "2024-01-09 10:00:00", "x")) // cohort 2024-01-08, offset 0
+    val out = rows(Events.cohortRetention(df, "u", "ts", "week")
+      .select(date_format(col("cohort"), "yyyy-MM-dd"), col("offset"), col("users"))
+      .orderBy("cohort", "offset"))
+    assert(out == Seq(
+      Seq("2024-01-01", 0L, 1L), Seq("2024-01-01", 1L, 1L),
+      Seq("2024-01-01", 3L, 1L), Seq("2024-01-08", 0L, 1L)))
+  }
+
+  test("cohortRetention: same user twice in one week counts once") {
+    val df = ev(
+      (1L, "2024-01-02 10:00:00", "x"),
+      (1L, "2024-01-03 10:00:00", "x"),
+      (2L, "2024-01-04 10:00:00", "x"))
+    val out = rows(Events.cohortRetention(df, "u", "ts", "week"))
+    assert(out == Seq(Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, 2L)))
+  }
+}
