@@ -1934,6 +1934,24 @@ object SparkEntry {
     Relational.sort(col("lang"), col("doc_id"))(capped)
   }
 
+  private def qHistogramEqdepth(s: SparkSession, d: String): DataFrame = {
+    // Exact equi-depth (quantile-binned) histogram, 8 buckets; bucket of
+    // the rank-r row is (r−1)·8 div n — ANSI integer arithmetic the
+    // oracle replays with one row_number window.
+    Relational.sort(col("bucket"))(
+      graft.pipeline.Profile.histogramEquiDepth(Tables.lineitem(s, d),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), k = 8))
+  }
+
+  private def qCorr(s: SparkSession, d: String): DataFrame = {
+    // Exact Pearson r + sample covariance from decimal moment sums —
+    // order-independent, so bit-identical under any partitioning and
+    // exactly replayed from the same six moments.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.corrExact(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice"))
+  }
+
   private def qFunnel(s: SparkSession, d: String): DataFrame = {
     // Three-stage min-time-frontier funnel over the event log; strict-after
     // conversion at µs precision (events.ts is truncated to micros on
@@ -2392,6 +2410,8 @@ object SparkEntry {
     "q_domain_cap" -> (qDomainCap _),
     "q_funnel" -> (qFunnel _),
     "q_cohort" -> (qCohort _),
+    "q_histogram_eqdepth" -> (qHistogramEqdepth _),
+    "q_corr" -> (qCorr _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3637,5 +3657,29 @@ object SparkEntry {
         |SELECT strftime(c, '%Y-%m-%d') AS cohort, date_diff('day', c, w) // 7 AS offset,
         |  count(DISTINCT e.user_id) AS users
         |FROM e JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+    // exact equi-depth histogram: bucket = (rank−1)·k div n over the
+    // (value, tie-break keys) order
+    "q_histogram_eqdepth" ->
+      """WITH v AS (SELECT l_extendedprice AS v, l_orderkey AS k1, l_linenumber AS k2
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, k1, k2) AS rk,
+        |  count(*) OVER () AS nt FROM v)
+        |SELECT (rk - 1) * 8 // nt AS bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // exact bivariate stats from decimal moment sums; final doubles share
+    // the expression shape so both engines produce identical bits
+    "q_corr" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_samp
+        |FROM m ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -111,4 +111,75 @@ object Profile {
       .otherwise(floor((v - lit(lo)) * lit(nBins) / (lit(hi) - lit(lo))))
     df.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("n"))
   }
+
+  /** EXACT equi-depth histogram: k buckets of (near-)equal row count over
+    * the global (value, tie-break keys) order. Bucket of the rank-r row
+    * (1-based) is (r−1)·k div n — ANSI integer arithmetic any engine
+    * replays. NULL values are dropped (they have no rank).
+    *
+    * Output: (bucket, n, lo, hi) — count and value range per bucket.
+    *
+    * Distributed shape: the global rank is NOT a single-partition window
+    * over the rows. Per-distinct-value counts aggregate first (one
+    * exchange, massively reduced), the prefix sum runs over the DISTINCT-
+    * value table (a window whose input is |distinct values| rows — the
+    * documented compromise; at extreme distinct cardinality swap in a
+    * range-partitioned two-pass prefix sum), and each row's within-value
+    * rank is a window PARTITIONED by value (distributed; a pathologically
+    * hot single value concentrates its partition — the same caveat as any
+    * per-key window, and the per-value count table tells you beforehand).
+    * The row count n arrives via a broadcast one-row cross join, not a
+    * collect. */
+  def histogramEquiDepth(df: DataFrame, valueCol: String,
+                         keyCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "histogramEquiDepth: k must be positive")
+    require(keyCols.nonEmpty, "histogramEquiDepth: need tie-break key columns")
+    val v = df.select((col(valueCol).cast("double").as("__v") +:
+        keyCols.map(c => col(c).as(s"__k_$c"))): _*)
+      .where(col("__v").isNotNull)
+    val counts = v.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val cum = counts.withColumn("__before",
+      sum("__c").over(Window.orderBy("__v")) - col("__c"))
+    val total = counts.agg(sum("__c").as("__n"))
+    val wv = Window.partitionBy("__v")
+      .orderBy(keyCols.map(c => col(s"__k_$c")): _*)
+    v.join(cum.select("__v", "__before"), Seq("__v"))
+      .withColumn("__r", col("__before") + row_number().over(wv))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"(__r - 1) * $k div __n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
+  }
+
+  /** Exact bivariate statistics per group: Pearson correlation and sample
+    * covariance from DECIMAL moment sums (n, Σx, Σy, Σxy, Σx², Σy²).
+    * Decimal addition is associative — the sums are bit-identical under
+    * ANY partitioning / reduce order, unlike a naive double accumulation
+    * (and unlike Spark's own `corr`, whose double partials are order-
+    * sensitive in the last ulps). The final r/cov are computed in DOUBLE
+    * from the exact sums with a fixed expression shape, so any engine
+    * reproduces them bit-for-bit from the same moments.
+    *
+    * One partial-aggregated exchange on the group key; nothing else. */
+  def corrExact(df: DataFrame, groupCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    // (12,2): wide enough for monetary/count inputs, and the cross product
+    // stays within 24 digits so int128 decimal engines replay it exactly
+    val x = col(xCol).cast("decimal(12,2)")
+    val y = col(yCol).cast("decimal(12,2)")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("__sx"), sum(y).cast("double").as("__sy"),
+        sum(x * y).cast("double").as("__sxy"),
+        sum(x * x).cast("double").as("__sxx"),
+        sum(y * y).cast("double").as("__syy"))
+    val nd = col("n").cast("double")
+    g.select(col(groupCol), col("n"),
+        ((nd * col("__sxy") - col("__sx") * col("__sy")) /
+          (sqrt(nd * col("__sxx") - col("__sx") * col("__sx")) *
+           sqrt(nd * col("__syy") - col("__sy") * col("__sy")))).as("corr"),
+        ((nd * col("__sxy") - col("__sx") * col("__sy")) /
+          (nd * (nd - lit(1.0)))).as("cov_samp"))
+  }
 }

@@ -600,4 +600,44 @@ class PipelineOpsSpec extends SparkSpec {
       Dedup.editDistancePairs(vals, "v", maxDist = 9, bucketWidth = 4)
     }
   }
+
+  test("histogramEquiDepth: equal-count buckets, ties split by key, NULLs dropped") {
+    // 8 non-null rows, k=4 → exactly 2 per bucket; value 5.0 is triplicated
+    // so its rows straddle a bucket boundary and the key order decides.
+    val d = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(5.0)), (4L, Some(5.0)),
+      (5L, Some(5.0)), (6L, Some(7.0)), (7L, Some(9.0)), (8L, Some(11.0)),
+      (9L, None)).toDF("k", "v")
+    withPartitionings(d) { dd =>
+      val out = rows(Profile.histogramEquiDepth(dd, "v", Seq("k"), 4).orderBy("bucket"))
+      assert(out.map(_(1)) == Seq(2L, 2L, 2L, 2L))
+      // bucket 1 = ranks 3,4 = the two smallest-key 5.0 rows
+      assert(out(1) == Seq(1L, 2L, 5.0, 5.0))
+      assert(out(3) == Seq(3L, 2L, 9.0, 11.0))
+    }
+  }
+
+  test("histogramEquiDepth: k > n degenerates to one bucket per row") {
+    val d = Seq((1L, 3.0), (2L, 1.0)).toDF("k", "v")
+    val out = rows(Profile.histogramEquiDepth(d, "v", Seq("k"), 8).orderBy("bucket"))
+    assert(out == Seq(Seq(0L, 1L, 1.0, 1.0), Seq(4L, 1L, 3.0, 3.0)))
+  }
+
+  test("corrExact: perfectly linear data gives r = 1, exact covariance") {
+    // y = 2x → r exactly 1.0 (moments are exact decimals, no drift)
+    val d = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      ("b", 1.0, 5.0), ("b", 2.0, 3.0), ("b", 3.0, 1.0)).toDF("g", "x", "y")
+    // the MOMENTS are exact, so the (rounded) final doubles are the SAME
+    // bits under every partitioning — assert value + bit-stability
+    var seen: Option[Seq[Seq[Any]]] = None
+    withPartitionings(d) { dd =>
+      val out = rows(Profile.corrExact(dd, "g", "x", "y").orderBy("g"))
+      assert(math.abs(out(0)(2).asInstanceOf[Double] - 1.0) < 1e-12)
+      assert(out(0)(3) == 2.0)                 // cov_samp = 2·var(x), exact
+      assert(math.abs(out(1)(2).asInstanceOf[Double] + 1.0) < 1e-12)
+      seen match {
+        case Some(prev) => assert(out == prev) // bit-identical across partitionings
+        case None       => seen = Some(out)
+      }
+    }
+  }
 }
