@@ -1934,6 +1934,22 @@ object SparkEntry {
     Relational.sort(col("lang"), col("doc_id"))(capped)
   }
 
+  private def qDupSpans(s: SparkSession, d: String): DataFrame = {
+    // 5-token duplicated-span stats per document (exact-substring-dedup
+    // family); raw-text spans so the oracle replays the whole chain.
+    Relational.sort(col("doc_id"))(
+      graft.pipeline.Dedup.duplicatedSpans(Tables.documents(s, d),
+        "doc_id", "text", n = 5))
+  }
+
+  private def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    // Hashed-linear classifier inference: one codegen'd projection, zero
+    // shuffles; integer mills accumulation makes the fold order-exact.
+    Relational.sort(col("doc_id"))(
+      graft.pipeline.Scoring.hashedLinearScore(Tables.documents(s, d),
+        "doc_id", "text", dims = 64, threshold = -0.2))
+  }
+
   private def qHistogramEqdepth(s: SparkSession, d: String): DataFrame = {
     // Exact equi-depth (quantile-binned) histogram, 8 buckets; bucket of
     // the rank-r row is (r−1)·8 div n — ANSI integer arithmetic the
@@ -2412,6 +2428,8 @@ object SparkEntry {
     "q_cohort" -> (qCohort _),
     "q_histogram_eqdepth" -> (qHistogramEqdepth _),
     "q_corr" -> (qCorr _),
+    "q_dup_spans" -> (qDupSpans _),
+    "q_quality_classifier" -> (qQualityClassifier _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3681,5 +3699,31 @@ object SparkEntry {
         |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr,
         |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_samp
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // duplicated 5-token spans: span text occurring >1 time corpus-wide
+    "q_dup_spans" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |  i -> array_to_string(ws[i:i+4], ' '))) AS s FROM w),
+        |c AS (SELECT s, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT sh.doc_id, count(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles
+        |  FROM sh JOIN c USING (s) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(p.n_shingles, 0) AS n_shingles,
+        |  COALESCE(p.dup_shingles, 0) AS dup_shingles,
+        |  CAST(COALESCE(p.dup_shingles, 0) AS DOUBLE) / greatest(COALESCE(p.n_shingles, 0), 1) AS dup_frac
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // hashed-linear classifier: integer-mills fold over the portable
+    // (length, first, last) token key — exact on any engine
+    "q_quality_classifier" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(list_sum(list_transform(ws, t ->
+        |    ((((length(t) * 31 + ascii(t[1:1]) * 7 + ascii(t[-1:]))
+        |       % 64) * 2654435761) % 2147483648) % 2001 - 1000)), 0) AS BIGINT) AS mills
+        |  FROM w)
+        |SELECT doc_id, n_tokens,
+        |  CAST(mills AS DOUBLE) / (1000.0 * CAST(greatest(n_tokens, 1) AS DOUBLE)) AS score,
+        |  CAST(mills AS DOUBLE) / (1000.0 * CAST(greatest(n_tokens, 1) AS DOUBLE)) > -0.2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

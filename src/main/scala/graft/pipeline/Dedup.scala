@@ -598,4 +598,49 @@ object Dedup {
                         dim: Int = 64): DataFrame =
     Similarity.lshCandidates(df, idCol, vecCol, nPlanes, seed, dim)
       .where(col("cosine") >= threshold)
+
+  /** Duplicated-span detection — the distributed fixed-window variant of
+    * exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 §3.1: their
+    * suffix-array ExactSubstr; the n-word-window approximation is the
+    * standard map-reduce form). A span = `n` consecutive whitespace
+    * tokens; a span is DUPLICATED when its text occurs more than once in
+    * the whole corpus (across documents or repeated within one). Returns
+    * one row per input document: (id, n_shingles, dup_shingles, dup_frac)
+    * — documents shorter than n tokens report 0/0/0.0.
+    *
+    * Shuffle shape: shingles explode partition-locally (a generator, no
+    * exchange); ONE exchange groups by shingle for the global count and
+    * the count join reuses that exchange (same key); the per-doc rollup
+    * keys by id. With `fingerprint = true` the shuffle carries an 8-byte
+    * xxhash64 of each span instead of its text — the 100 TB path (an
+    * n-word string is ~n·6 bytes; the hash is 8) at the price of
+    * engine-internal keys (the oracle gate replays the raw-text form;
+    * a 64-bit collision across a corpus-scale span set is the usual
+    * negligible-probability trade, same as MinHash). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, fingerprint: Boolean = false): DataFrame = {
+    require(n >= 2, "duplicatedSpans: span width must be >= 2 tokens")
+    val toks = df.select(col(idCol).as("__id"),
+      expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w"))
+    val spanText = expr(
+      s"transform(sequence(1, size(__w) - ${n - 1}), i -> array_join(slice(__w, i, $n), ' '))")
+    val sh = toks.select(col("__id"),
+      explode(when(size(col("__w")) >= n, spanText)
+        .otherwise(expr("array()").cast("array<string>"))).as("__s"))
+      .select(col("__id"),
+        (if (fingerprint) xxhash64(col("__s")).as("__s") else col("__s")))
+    val counts = sh.groupBy("__s").agg(count(lit(1)).as("__cnt"))
+    val perDoc = sh.join(counts, Seq("__s"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("__dup"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_shingles"),
+        coalesce(col("__dup"), lit(0L)).as("dup_shingles"),
+        (coalesce(col("__dup"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__n"), lit(0L)), lit(1L))).as("dup_frac"))
+  }
 }

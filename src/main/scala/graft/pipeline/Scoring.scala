@@ -159,4 +159,38 @@ object Scoring {
       .withColumn("rank", col("__rk").cast("int"))
       .drop("__rk")
   }
+
+  /** Hashed-linear quality-classifier INFERENCE (the fastText /
+    * hashing-trick shape every corpus-filtering recipe runs: tokens →
+    * hash-bucket → weight lookup → mean → threshold). The model is the
+    * (dims, seed)-derived integer weight table w(b) ∈ [−1000, 1000] mills
+    * — a deterministic synthetic stand-in for trained weights, since
+    * inference plumbing, not training, is the operator; swap `weightMills`
+    * for a broadcast of real weights to serve a trained model.
+    *
+    * The whole computation is one codegen'd projection — tokenize, hash,
+    * look up, and fold INSIDE the row via array HOFs: zero shuffles, zero
+    * UDFs, integer accumulation (order-exact on any engine). The token
+    * key is the portable (length, first-char, last-char) triple so SQL
+    * oracles replay it with `length`/`ascii` only; production swaps in
+    * xxhash64 for adversarial token sets (same plumbing, engine-internal
+    * values).
+    *
+    * Returns (id, n_tokens, score, keep): score = Σ w(bucket(token)) /
+    * (1000 · max(n_tokens, 1)) ∈ [−1, 1], keep = score > threshold. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        dims: Int = 64, threshold: Double = 0.0): DataFrame = {
+    require(dims > 0, "hashedLinearScore: dims must be positive")
+    val mills = expr(
+      s"""aggregate(__w, 0L, (acc, t) -> acc +
+         |((((length(t) * 31 + ascii(substring(t, 1, 1)) * 7 + ascii(substring(t, -1, 1)))
+         |   % $dims) * 2654435761L) % 2147483648L) % 2001 - 1000)""".stripMargin)
+    df.select(col(idCol),
+        expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w"))
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .withColumn("score", mills.cast("double") /
+        (lit(1000.0) * greatest(col("n_tokens"), lit(1L)).cast("double")))
+      .withColumn("keep", col("score") > lit(threshold))
+      .drop("__w")
+  }
 }

@@ -601,6 +601,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("duplicatedSpans: within-doc repeats count, short docs report zero") {
+    val docs = Seq(
+      (1L, "a b c d a b c d"),   // "a b c" twice within ONE doc (pos 1, 5)? no — spans of 3: "a b c","b c d","c d a","d a b","a b c","b c d" → 2 dups ×2
+      (2L, "a b c x y z"),       // shares "a b c" with doc 1
+      (3L, "p q")).toDF("id", "t") // shorter than n=3 → 0 spans
+    val out = rows(Dedup.duplicatedSpans(docs, "id", "t", n = 3).orderBy("id"))
+    // doc1: 6 spans, dup = "a b c"×2 + "b c d"×2 = 4
+    assert(out(0) == Seq(1L, 6L, 4L, 4.0 / 6.0))
+    // doc2: 4 spans, only "a b c" duplicated (globally, via doc1)
+    assert(out(1) == Seq(2L, 4L, 1L, 0.25))
+    assert(out(2) == Seq(3L, 0L, 0L, 0.0))
+    // the fingerprinted (hash-keyed) scale path computes identical stats
+    val fp = rows(Dedup.duplicatedSpans(docs, "id", "t", n = 3,
+      fingerprint = true).orderBy("id"))
+    assert(fp == out)
+  }
+
+  test("hashedLinearScore: zero-shuffle plan, deterministic, empty text safe") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "x")).toDF("id", "t")
+    val out = Scoring.hashedLinearScore(docs, "id", "t", dims = 16, threshold = 0.0)
+    // no exchange anywhere in the plan — pure projection
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val r = rows(out.orderBy("id"))
+    assert(r(1)(1) == 0L && r(1)(2) == 0.0)        // empty text → 0 tokens, score 0
+    assert(r == rows(Scoring.hashedLinearScore(docs, "id", "t", 16, 0.0).orderBy("id")))
+    // hand-check doc 3: token "x" → key = 1*31 + 120*7 + 120 = 991
+    val mills = ((991L % 16) * 2654435761L % 2147483648L) % 2001 - 1000
+    assert(r(2)(2) == mills.toDouble / 1000.0)
+  }
+
   test("histogramEquiDepth: equal-count buckets, ties split by key, NULLs dropped") {
     // 8 non-null rows, k=4 → exactly 2 per bucket; value 5.0 is triplicated
     // so its rows straddle a bucket boundary and the key order decides.
