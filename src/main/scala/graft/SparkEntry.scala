@@ -1934,6 +1934,43 @@ object SparkEntry {
     Relational.sort(col("lang"), col("doc_id"))(capped)
   }
 
+  private def qWeightedSample(s: SparkSession, d: String): DataFrame = {
+    // Importance sampling: keep probability ∝ document length (capped at
+    // 1.0); the oracle replays bucket and weight arithmetic verbatim.
+    val docs = Tables.documents(s, d)
+      .withColumn("w", least(col("n_chars").cast("double") / lit(400.0), lit(1.0)))
+    Relational.sort(col("doc_id"))(
+      graft.pipeline.Sampling.weightedBernoulli(docs, Seq("doc_id"), "w")
+        .select("doc_id", "lang", "n_chars"))
+  }
+
+  private def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    // Robust per-group outlier summary; lower-median convention keeps
+    // every statistic an actual data value (bit-portable, no
+    // interpolation).
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.madOutliers(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", k = 3.0))
+  }
+
+  private def qSetsimJoin(s: SparkSession, d: String): DataFrame = {
+    // Prefix-filtered exact token-set Jaccard ≥ 0.95; the oracle is the
+    // ALL-PAIRS join, so equality proves the prefix filter lost nothing.
+    Relational.sort(col("id1"), col("id2"))(
+      graft.pipeline.Dedup.prefixFilterJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.95))
+  }
+
+  private def qTriangles(s: SparkSession, d: String): DataFrame = {
+    // Single-space co-occurrence graph from orders (custkey and orderkey
+    // folded into one 97-id space) — per-node triangle participation.
+    val o = Tables.orders(s, d)
+    val edges = o.select(pmod(col("o_custkey"), lit(97L)).as("x"),
+      pmod(col("o_orderkey"), lit(97L)).as("y"))
+    Relational.sort(col("node"))(
+      graft.pipeline.Graph.triangleCount(edges, "x", "y"))
+  }
+
   private def qDupSpans(s: SparkSession, d: String): DataFrame = {
     // 5-token duplicated-span stats per document (exact-substring-dedup
     // family); raw-text spans so the oracle replays the whole chain.
@@ -2430,6 +2467,10 @@ object SparkEntry {
     "q_corr" -> (qCorr _),
     "q_dup_spans" -> (qDupSpans _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_setsim_join" -> (qSetsimJoin _),
+    "q_triangles" -> (qTriangles _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3725,5 +3766,48 @@ object SparkEntry {
         |  CAST(mills AS DOUBLE) / (1000.0 * CAST(greatest(n_tokens, 1) AS DOUBLE)) AS score,
         |  CAST(mills AS DOUBLE) / (1000.0 * CAST(greatest(n_tokens, 1) AS DOUBLE)) > -0.2 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // weighted bernoulli: portable bucket under weight·Buckets
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST(((doc_id % 2147483648) * 2654435761 % 2147483648) % 2147483648 % 1000000 AS DOUBLE)
+        |  < least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 1000000.0
+        |ORDER BY doc_id""".stripMargin,
+    // robust outliers: lower medians via distributed-rank selection
+    "q_mad_outliers" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c1 AS (SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2),
+        |m1 AS (SELECT g, min(v) AS med FROM (
+        |  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY g) AS n FROM c1)
+        |  WHERE cum >= (n + 1) // 2 GROUP BY g),
+        |d AS (SELECT v.g, v.v AS x, m1.med, abs(v.v - m1.med) AS dv FROM v JOIN m1 USING (g)),
+        |c2 AS (SELECT g, dv, count(*) AS c FROM d GROUP BY 1, 2),
+        |m2 AS (SELECT g, min(dv) AS mad FROM (
+        |  SELECT g, dv, sum(c) OVER (PARTITION BY g ORDER BY dv) AS cum,
+        |         sum(c) OVER (PARTITION BY g) AS n FROM c2)
+        |  WHERE cum >= (n + 1) // 2 GROUP BY g)
+        |SELECT d.g AS l_returnflag, count(*) AS n, any_value(d.med) AS med,
+        |  any_value(m2.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dv > 3.0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN m2 USING (g) GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // ALL-pairs exact token-set Jaccard >= 0.95 — recall gate for the
+    // prefix filter: equality proves candidate generation lost nothing
+    "q_setsim_join" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tk
+        |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / greatest(len(list_distinct(a.tk || b.tk)), 1) AS jac
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |WHERE jac >= 0.95 ORDER BY id1, id2""".stripMargin,
+    // oriented wedge-close triangle enumeration, credited to all corners
+    "q_triangles" ->
+      """WITH raw AS (SELECT o_custkey % 97 AS x, o_orderkey % 97 AS y FROM orders),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y),
+        |tr AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT unnest([a, b, c]) AS node FROM tr)
+        |SELECT node, count(*) AS n_triangles FROM n GROUP BY 1 ORDER BY node""".stripMargin,
   )
 }

@@ -599,6 +599,54 @@ object Dedup {
     Similarity.lshCandidates(df, idCol, vecCol, nPlanes, seed, dim)
       .where(col("cosine") >= threshold)
 
+  /** Set-similarity join with PREFIX FILTERING (Chaudhuri et al. ICDE'06 /
+    * Bayardo et al. WWW'07, the PPJoin candidate-generation core): exact
+    * token-set Jaccard ≥ τ pairs, recall-EXACT. Tokens sort rarest-first
+    * under the global (document-frequency, token) order; a set of size m
+    * keeps the first p = m − ceil(τ·m) + 1 tokens as its prefix, and any
+    * pair with Jaccard ≥ τ must share a prefix token (a pair sharing
+    * none has |∩| ≤ min(ceil(τ·m)−1) < τ·|∪|) — so grouping by prefix
+    * token loses nothing, unlike heuristic blocking. Candidates then
+    * verify with exact set Jaccard.
+    *
+    * vs [[lengthBucketJaccardPairs]]: that blocks on LENGTH (recall only
+    * for near-equal sizes); this is the content-aware bound — rare tokens
+    * make tiny candidate lists, and the prefix shrinks as τ grows.
+    *
+    * Scale: the df count is one reduced exchange; candidate generation
+    * shuffles (token, id) pairs for PREFIX tokens only (the rarest —
+    * their groups are the smallest by construction; the hottest token in
+    * a prefix has df bounded by the least-common token of each set);
+    * verify joins fetch each set once per side, keyed by id. */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "prefixFilterJaccardPairs: threshold must be in (0, 1]")
+    val toks = df.select(col(idCol).as("__id"),
+        array_distinct(expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')")).as("__t"))
+      .where(size(col("__t")) > 0)
+    val tok = toks.select(col("__id"), explode(col("__t")).as("__tok"))
+    val dfreq = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val lists = tok.join(dfreq, Seq("__tok"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__st"),
+        count(lit(1)).as("__m"))
+    val pre = lists
+      .withColumn("__p", (col("__m") - ceil(lit(threshold) * col("__m")) + 1).cast("int"))
+      .select(col("__id"), explode(expr("transform(slice(__st, 1, __p), x -> x.__tok)")).as("__tok"))
+    val cand = pre.select(col("__tok"), col("__id").as("id1"))
+      .join(pre.select(col("__tok"), col("__id").as("id2")), Seq("__tok"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(toks.select(col("__id").as("id1"), col("__t").as("t1")), Seq("id1"))
+      .join(toks.select(col("__id").as("id2"), col("__t").as("t2")), Seq("id2"))
+      .withColumn("jac", size(array_intersect(col("t1"), col("t2"))).cast("double") /
+        greatest(size(array_union(col("t1"), col("t2"))), lit(1)))
+      .where(col("jac") >= threshold)
+      .select("id1", "id2", "jac")
+  }
+
   /** Duplicated-span detection — the distributed fixed-window variant of
     * exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better", arXiv:2107.06499 §3.1: their

@@ -82,4 +82,32 @@ object Graph {
     e.unpersist(); weighted.unpersist(); nodes.unpersist()
     result
   }
+
+  /** Per-node triangle participation counts over an UNDIRECTED graph
+    * (edges are canonicalized to a < b and deduped; self-loops dropped).
+    * Each triangle a < b < c is enumerated exactly once by the oriented
+    * two-join — wedge (a→b→c) closed by the (a, c) edge — then credited
+    * to all three corners.
+    *
+    * Scale: the canonical join is THE standard distributed triangle
+    * count; the wedge join keys on the middle node, so its fan-out is
+    * Σ deg²(v) — at web-graph skew, orient edges by (degree, id) instead
+    * of raw id (the classic Suri-Vassilvitskii refinement: every wedge
+    * pivot is then a LOW-degree node; same join shape, one extra degree
+    * join to build the order) — the id orientation here keeps the oracle
+    * replay plain. Shuffles carry (long, long) pairs only. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .select(col("e1.a").as("__wa"), col("e1.b").as("__wb"), col("e2.b").as("__wc"))
+    val tri = wedges.join(e.as("e3"),
+      col("e3.a") === col("__wa") && col("e3.b") === col("__wc"), "left_semi")
+    tri.select(explode(array(col("__wa"), col("__wb"), col("__wc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -152,6 +152,50 @@ object Profile {
       .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
   }
 
+  /** Lower median per group WITHOUT a per-row window: per-distinct-value
+    * counts (one reduced exchange), a prefix sum over the distinct-value
+    * table, then min value whose cumulative count reaches rank
+    * (n+1) div 2 — the same distributed-rank shape as
+    * [[histogramEquiDepth]], exact and replayable in ANSI SQL. Input
+    * frame must have columns (__g, __v); output (__g, med). */
+  private def lowerMedianByGroup(v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = v.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val cum = counts.withColumn("__cum",
+      sum("__c").over(Window.partitionBy("__g").orderBy("__v")))
+    val tot = counts.groupBy("__g").agg(sum("__c").as("__n"))
+    cum.join(tot, Seq("__g"))
+      .where(col("__cum") >= expr("(__n + 1) div 2"))
+      .groupBy("__g").agg(min("__v").as("med"))
+  }
+
+  /** Robust outlier summary per group: lower median, MAD (median absolute
+    * deviation, lower-median convention so every statistic is an ACTUAL
+    * data value — no interpolation, hence bit-portable across engines),
+    * and the count of rows with |x − med| > k·MAD. NULL values are
+    * ignored. Output: (group, n, med, mad, n_outliers).
+    *
+    * Both medians use the distributed-rank selection above — no global
+    * or per-group row windows; the only per-group serial state is the
+    * prefix sum over DISTINCT values. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, "madOutliers: k must be positive")
+    val v = df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+    val med = lowerMedianByGroup(v)
+    val dev = v.join(med, Seq("__g"))
+      .select(col("__g"), col("__v").as("__x"), col("med"),
+        abs(col("__v") - col("med")).as("__v"))
+    val mad = lowerMedianByGroup(dev.select("__g", "__v"))
+      .withColumnRenamed("med", "mad")
+    dev.join(mad, Seq("__g"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__v") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Exact bivariate statistics per group: Pearson correlation and sample
     * covariance from DECIMAL moment sums (n, Σx, Σy, Σxy, Σx², Σy²).
     * Decimal addition is associative — the sums are bit-identical under

@@ -91,6 +91,21 @@ object Sampling {
     df.where(b < lit((rate * Buckets).toLong))
   }
 
+  /** PER-ROW-weighted deterministic sampling: keep a row iff its portable
+    * bucket falls under `weightCol` · Buckets, so each row survives with
+    * probability = its own weight (clamped to [0, 1]) — the
+    * importance-sampling step of a data recipe (keep probability ∝
+    * quality score / domain weight), with `bernoulli`'s reproducibility:
+    * no rand(), the same rows survive on every engine and every run, and
+    * thinning the weights only ever REMOVES rows (the bucket is
+    * weight-independent). A single codegen'd filter — zero shuffles. */
+  def weightedBernoulli(df: DataFrame, keyCols: Seq[String],
+                        weightCol: String): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.where(portableBucket(keyCols.map(col)).cast("double") <
+      w * lit(Buckets.toDouble))
+  }
+
   /** Deterministic stratified sample: per-stratum keep rates (e.g. flatten
     * a skewed language mix), unlisted strata fall back to `defaultRate`.
     * The rate lookup is a compiled CASE chain — no join, no shuffle; the

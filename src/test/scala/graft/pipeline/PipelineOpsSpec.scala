@@ -601,6 +601,59 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedBernoulli: weight 1 keeps all, 0 keeps none, monotone in weight") {
+    val d = (0L until 2000L).toDF("k")
+    assert(Sampling.weightedBernoulli(d.withColumn("w", lit(1.0)), Seq("k"), "w").count() == 2000)
+    assert(Sampling.weightedBernoulli(d.withColumn("w", lit(0.0)), Seq("k"), "w").count() == 0)
+    assert(Sampling.weightedBernoulli(d.withColumn("w", lit(5.0)), Seq("k"), "w").count() == 2000) // clamped
+    val lo = rows(Sampling.weightedBernoulli(d.withColumn("w", lit(0.2)), Seq("k"), "w").select("k"))
+    val hi = rows(Sampling.weightedBernoulli(d.withColumn("w", lit(0.6)), Seq("k"), "w").select("k"))
+    assert(lo.toSet.subsetOf(hi.toSet)) // raising the weight only ADDS rows
+    assert(lo.size > 250 && lo.size < 550)
+  }
+
+  test("madOutliers: lower medians are data values; outlier count by hand") {
+    // group a: values 1..7 plus a wild 100 → med = 4 (lower median of 8
+    // values is the 4th), deviations {3,2,1,0,1,2,3,96} → mad = 2,
+    // outliers = |x−4| > 6 → only 100.
+    val d = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0).map(("a", _)) ++
+      Seq(("b", 10.0))).toDF("g", "v")
+    withPartitionings(d) { dd =>
+      val out = rows(Profile.madOutliers(dd, "g", "v", k = 3.0).orderBy("g"))
+      assert(out(0) == Seq("a", 8L, 4.0, 2.0, 1L))
+      assert(out(1) == Seq("b", 1L, 10.0, 0.0, 0L)) // singleton: mad 0, no outliers
+    }
+  }
+
+  test("prefixFilterJaccardPairs: equals the all-pairs join (recall-exact)") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "a b c d"),
+      (4L, "x y z w"), (5L, "p q")).toDF("id", "t")
+    def jac(a: Set[String], b: Set[String]) =
+      (a & b).size.toDouble / (a | b).size
+    val sets = Map(1L -> "a b c d", 2L -> "a b c e", 3L -> "a b c d",
+      4L -> "x y z w", 5L -> "p q").map { case (k, v) => k -> v.split(" ").toSet }
+    for (tau <- Seq(0.5, 0.75, 1.0)) {
+      val got = rows(Dedup.prefixFilterJaccardPairs(docs, "id", "t", tau)
+        .orderBy("id1", "id2")).map(r => (r(0), r(1), r(2)))
+      val want = (for (a <- sets.keys; b <- sets.keys if a < b;
+        j = jac(sets(a), sets(b)) if j >= tau) yield (a, b, j)).toSeq.sorted
+      assert(got == want, s"tau=$tau")
+    }
+  }
+
+  test("triangleCount: hand graph — one triangle plus a pendant edge") {
+    // triangle 1-2-3, edge 3-4 (listed in both directions + a self-loop
+    // to exercise canonicalization)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 4L), (4L, 4L))
+      .toDF("s", "d2")
+    val out = rows(Graph.triangleCount(e, "s", "d2").orderBy("node"))
+    assert(out == Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L)))
+    // two triangles sharing edge 1-2: node 1 and 2 participate twice
+    val e2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (1L, 4L)).toDF("s", "d2")
+    val out2 = rows(Graph.triangleCount(e2, "s", "d2").orderBy("node"))
+    assert(out2 == Seq(Seq(1L, 2L), Seq(2L, 2L), Seq(3L, 1L), Seq(4L, 1L)))
+  }
+
   test("duplicatedSpans: within-doc repeats count, short docs report zero") {
     val docs = Seq(
       (1L, "a b c d a b c d"),   // "a b c" twice within ONE doc (pos 1, 5)? no — spans of 3: "a b c","b c d","c d a","d a b","a b c","b c d" → 2 dups ×2
