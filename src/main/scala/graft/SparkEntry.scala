@@ -1934,6 +1934,32 @@ object SparkEntry {
     Relational.sort(col("lang"), col("doc_id"))(capped)
   }
 
+  private def qFunnelWindowed(s: SparkSession, d: String): DataFrame = {
+    // Time-bounded funnel: each conversion must land within 24 h of the
+    // previous frontier — the abandonment-cutoff variant.
+    Relational.sort(col("stage"))(
+      graft.pipeline.Events.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxGapSeconds = Some(86400L)))
+  }
+
+  private def qInvertedIndex(s: SparkSession, d: String): DataFrame = {
+    // Posting-list build + conjunctive AND-query: docs containing all
+    // three terms; the probe aggregates only the query terms' postings.
+    val idx = graft.pipeline.Index.invertedIndex(
+      Tables.documents(s, d), "doc_id", "text")
+    Relational.sort(col("doc"))(
+      graft.pipeline.Index.conjunctiveQuery(idx, Seq("spark", "window", "merge")))
+  }
+
+  private def qQuantileNorm(s: SparkSession, d: String): DataFrame = {
+    // Empirical-CDF normalization (cume_dist semantics, ties share a
+    // value) via the distributed distinct-value rank — no per-row window.
+    Relational.sort(col("o_orderkey"))(
+      graft.pipeline.Profile.quantileNormalize(Tables.orders(s, d),
+        "o_totalprice", Seq("o_orderkey")))
+  }
+
   private def qWeightedSample(s: SparkSession, d: String): DataFrame = {
     // Importance sampling: keep probability ∝ document length (capped at
     // 1.0); the oracle replays bucket and weight arithmetic verbatim.
@@ -2471,6 +2497,9 @@ object SparkEntry {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_setsim_join" -> (qSetsimJoin _),
     "q_triangles" -> (qTriangles _),
+    "q_funnel_windowed" -> (qFunnelWindowed _),
+    "q_inverted_index" -> (qInvertedIndex _),
+    "q_quantile_norm" -> (qQuantileNorm _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3809,5 +3838,39 @@ object SparkEntry {
         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
         |n AS (SELECT unnest([a, b, c]) AS node FROM tr)
         |SELECT node, count(*) AS n_triangles FROM n GROUP BY 1 ORDER BY node""".stripMargin,
+    // 24 h-bounded funnel: conversion within (reach, reach + 86400 s]
+    "q_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_ns(ts) // 1000) AS r
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS r
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) // 1000 > s1.r
+        |    AND epoch_ns(e.ts) // 1000 <= s1.r + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS r
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 > s2.r
+        |    AND epoch_ns(e.ts) // 1000 <= s2.r + 86400000000 GROUP BY 1),
+        |c AS (SELECT 1 AS stage, 'view' AS stage_name, count(*) AS users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT stage, stage_name, users,
+        |  CAST(users AS DOUBLE) / CAST(first_value(users) OVER (ORDER BY stage) AS DOUBLE) AS conv
+        |FROM c ORDER BY stage""".stripMargin,
+    // conjunctive posting-list probe: docs containing ALL three terms
+    "q_inverted_index" ->
+      """WITH p AS (SELECT DISTINCT doc, term FROM (SELECT doc_id AS doc,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+        |  FROM documents))
+        |SELECT doc FROM p WHERE term IN ('spark', 'window', 'merge')
+        |GROUP BY doc HAVING count(DISTINCT term) = 3 ORDER BY doc""".stripMargin,
+    // empirical-CDF normalization, cume_dist tie semantics
+    "q_quantile_norm" ->
+      """WITH v AS (SELECT o_orderkey, o_totalprice AS v FROM orders),
+        |c AS (SELECT v, count(*) AS c FROM v WHERE v IS NOT NULL GROUP BY 1),
+        |cc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM c),
+        |n AS (SELECT count(*) AS n FROM v WHERE v IS NOT NULL)
+        |SELECT o_orderkey, v.v AS o_totalprice,
+        |  CAST(cum AS DOUBLE) / CAST(n.n AS DOUBLE) AS cume
+        |FROM v LEFT JOIN cc ON v.v = cc.v CROSS JOIN n ORDER BY o_orderkey""".stripMargin,
   )
 }

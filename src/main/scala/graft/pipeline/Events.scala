@@ -36,9 +36,10 @@ object Events {
     * `type = stage` at the source.
     */
   def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
-             stages: Seq[String]): DataFrame = {
+             stages: Seq[String], maxGapSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel: need at least one stage")
     require(stages.distinct.size == stages.size, "funnel: stages must be distinct")
+    maxGapSeconds.foreach(g => require(g > 0, "funnel: maxGapSeconds must be positive"))
     val ev = df.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
       col(typeCol).as("__t"))
     var frontier = ev.where(col("__t") === stages.head)
@@ -47,9 +48,16 @@ object Events {
     val perStage = scala.collection.mutable.ArrayBuffer(
       frontier.select(lit(1).as("stage"), lit(stages.head).as("stage_name"), col("__u")))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      // time-bounded variant: the next stage must land within maxGap of
+      // the frontier (half-open (reach, reach+gap]) — abandonment cutoff
+      val inWindow = maxGapSeconds match {
+        case Some(g) => col("__ts") > col("__reach") &&
+          col("__ts") <= col("__reach") + expr(s"INTERVAL $g SECOND")
+        case None => col("__ts") > col("__reach")
+      }
       frontier = ev.where(col("__t") === st)
         .join(frontier, Seq("__u"))
-        .where(col("__ts") > col("__reach"))
+        .where(inWindow)
         .groupBy("__u").agg(min("__ts").as("__reach"))
         .cache()
       perStage += frontier.select(lit(i + 1).as("stage"), lit(st).as("stage_name"), col("__u"))

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inverted text index — the build side of keyword retrieval over a
+  * document corpus (the posting-list organization every search engine and
+  * every RAG pre-filter uses; complements Scoring.tfidfBm25, which ranks
+  * what this retrieves).
+  *
+  * Scale posture: the index IS a DataFrame keyed by term — write it
+  * bucketed by term (Relational.bucketedWrite) and conjunctive queries
+  * become co-located probes with zero build-side exchange. Posting lists
+  * stay relational (term, doc) rows rather than array-typed lists, so a
+  * hot term (stopword) shards across partitions instead of materializing
+  * one giant array row; `withDf = true` attaches document frequencies so
+  * callers can probe rarest-term-first.
+  */
+object Index {
+
+  /** Build the inverted index: one (term, doc) row per DISTINCT term
+    * occurrence, plus that term's document frequency when `withDf`.
+    * One explode (partition-local) + one distinct exchange on
+    * (term, doc); the df count reuses the term key. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    withDf: Boolean = true): DataFrame = {
+    val posting = docs
+      .select(col(idCol).as("doc"), explode(Scoring.tokenize(col(textCol))).as("term"))
+      .distinct()
+    if (!withDf) posting.select("term", "doc")
+    else {
+      val dfreq = posting.groupBy("term").agg(count(lit(1)).as("df"))
+      posting.join(dfreq, Seq("term")).select("term", "doc", "df")
+    }
+  }
+
+  /** Conjunctive (AND) query over the index: documents containing EVERY
+    * term in `terms`. The probe filters the index to the query terms
+    * (pushed-down IN over the term key — with a term-bucketed index this
+    * prunes to k buckets), then one groupBy(doc) HAVING count = k; no
+    * join at all, and the aggregation input is only the query terms'
+    * postings — the smallest-list-first bound that makes conjunctive
+    * retrieval cheap. */
+  def conjunctiveQuery(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "conjunctiveQuery: need at least one term")
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    index.where(col("term").isin(distinctTerms: _*))
+      .select("term", "doc").distinct()
+      .groupBy("doc").agg(count(lit(1)).as("__hits"))
+      .where(col("__hits") === distinctTerms.size)
+      .select("doc")
+  }
+}

@@ -152,6 +152,36 @@ object Profile {
       .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
   }
 
+  /** Quantile (rank) normalization: map each value to its empirical CDF
+    * position cume = (# rows with value ≤ v) / n — the feature-scaling
+    * transform that is invariant to any monotone distortion of the raw
+    * column. Ties share one cume value (classic cume_dist semantics), so
+    * the result needs no tie-break keys and is exactly portable: the
+    * count arithmetic is integer, the single final division is one
+    * double op.
+    *
+    * Distributed shape: same distinct-value rank trick as
+    * [[histogramEquiDepth]] — per-value counts (one reduced exchange), a
+    * prefix sum over the DISTINCT-value table, then a value-keyed join
+    * back; no per-row window anywhere. Output: input columns of
+    * `keepCols` + (valueCol, cume). NULL values pass through with NULL
+    * cume. */
+  def quantileNormalize(df: DataFrame, valueCol: String,
+                        keepCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select((col(valueCol).cast("double").as("__v") +:
+      keepCols.map(col)): _*)
+    val counts = v.where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val cum = counts.withColumn("__cum",
+      sum("__c").over(Window.orderBy("__v")))
+    val tot = counts.agg(sum("__c").as("__n"))
+    v.join(cum.select("__v", "__cum"), Seq("__v"), "left")
+      .crossJoin(broadcast(tot))
+      .select((keepCols.map(col) :+ col("__v").as(valueCol) :+
+        (col("__cum").cast("double") / col("__n").cast("double")).as("cume")): _*)
+  }
+
   /** Lower median per group WITHOUT a per-row window: per-distinct-value
     * counts (one reduced exchange), a prefix sum over the distinct-value
     * table, then min value whose cumulative count reaches rank

@@ -49,6 +49,24 @@ class EventsSpec extends SparkSpec {
     assert(out.find(_(0) == 2).get(2) == 1L)
   }
 
+  test("funnel: maxGap cuts conversions that arrive too late") {
+    val df = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:30:00", "click"),  // within 1 h — converts
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 12:00:01", "click"))  // 2 h later — cut
+    val out = rows(Events.funnel(df, "u", "ts", "tp", Seq("view", "click"),
+      maxGapSeconds = Some(3600L)).orderBy("stage"))
+    assert(out.map(r => (r(0), r(2))) == Seq((1, 2L), (2, 1L)))
+    // boundary: exactly maxGap after the frontier still converts (closed end)
+    val df2 = ev(
+      (3L, "2024-01-01 10:00:00", "view"),
+      (3L, "2024-01-01 11:00:00", "click"))
+    val out2 = rows(Events.funnel(df2, "u", "ts", "tp", Seq("view", "click"),
+      maxGapSeconds = Some(3600L)).orderBy("stage"))
+    assert(out2.map(r => (r(0), r(2))) == Seq((1, 1L), (2, 1L)))
+  }
+
   test("cohortRetention: weekly offsets are exact integer weeks") {
     val df = ev(
       (1L, "2024-01-02 10:00:00", "x"), // week of Mon 2024-01-01

@@ -601,6 +601,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("invertedIndex + conjunctiveQuery: AND semantics, duplicate terms collapse") {
+    val docs = Seq((1L, "Spark table scan"), (2L, "spark SPARK spark"),
+      (3L, "table spark join"), (4L, "other words")).toDF("id", "t")
+    val idx = Index.invertedIndex(docs, "id", "t")
+    // df attached: 'spark' appears in 3 docs (dupes within doc 2 collapse)
+    assert(rows(idx.where(col("term") === "spark").select("df").distinct()) == Seq(Seq(3L)))
+    val hit = rows(Index.conjunctiveQuery(idx, Seq("spark", "table")).orderBy("doc"))
+    assert(hit == Seq(Seq(1L), Seq(3L)))
+    // duplicate + mixed-case query terms normalize
+    assert(rows(Index.conjunctiveQuery(idx, Seq("Spark", "spark", "TABLE")).orderBy("doc"))
+      == Seq(Seq(1L), Seq(3L)))
+  }
+
+  test("quantileNormalize: cume_dist tie semantics, NULL passes through") {
+    val d = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(20.0)),
+      (4L, Some(40.0)), (5L, None)).toDF("k", "v")
+    withPartitionings(d) { dd =>
+      val out = rows(Profile.quantileNormalize(dd, "v", Seq("k")).orderBy("k"))
+      assert(out(0) == Seq(1L, 10.0, 0.25))
+      assert(out(1) == Seq(2L, 20.0, 0.75)) // ties share the upper cume
+      assert(out(2) == Seq(3L, 20.0, 0.75))
+      assert(out(3) == Seq(4L, 40.0, 1.0))
+      assert(out(4)(2) == null)
+    }
+  }
+
   test("weightedBernoulli: weight 1 keeps all, 0 keeps none, monotone in weight") {
     val d = (0L until 2000L).toDF("k")
     assert(Sampling.weightedBernoulli(d.withColumn("w", lit(1.0)), Seq("k"), "w").count() == 2000)
