@@ -613,15 +613,28 @@ object Dedup {
     * for near-equal sizes); this is the content-aware bound — rare tokens
     * make tiny candidate lists, and the prefix shrinks as τ grows.
     *
+    * Beyond the prefix itself, the candidate join applies PPJoin's two
+    * pair-local prunes — both recall-safe because a qualifying pair is
+    * kept if ANY shared prefix token's row passes, and for the FIRST
+    * shared token the bounds are valid upper bounds:
+    *  - size filter: Jaccard ≥ τ forces ceil(τ·m1) ≤ m2 (both ways);
+    *  - positional filter: a token at sorted positions (i1, i2) bounds
+    *    the overlap by 1 + min(m1−i1, m2−i2), which must reach the
+    *    τ-required overlap τ·(m1+m2)/(1+τ) (compared with a 1e-9 slack
+    *    so float rounding can only KEEP, never drop).
+    * The verify runs the merge-walk Jaccard over sorted xxhash64 arrays
+    * (longs, codegen'd — same 64-bit-collision trade as
+    * blockedJaccardPairs; the oracle replays the raw-string form).
+    *
     * Scale: the df count is one reduced exchange; candidate generation
-    * shuffles (token, id) pairs for PREFIX tokens only (the rarest —
-    * their groups are the smallest by construction; the hottest token in
-    * a prefix has df bounded by the least-common token of each set);
-    * verify joins fetch each set once per side, keyed by id. */
+    * shuffles (token, id, size, pos) tuples for PREFIX tokens only (the
+    * rarest — their groups are the smallest by construction); verify
+    * joins fetch each hashed set once per side, keyed by id. */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                                threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "prefixFilterJaccardPairs: threshold must be in (0, 1]")
+    val tau = lit(threshold)
     val toks = df.select(col(idCol).as("__id"),
         array_distinct(expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')")).as("__t"))
       .where(size(col("__t")) > 0)
@@ -632,17 +645,27 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__st"),
         count(lit(1)).as("__m"))
     val pre = lists
-      .withColumn("__p", (col("__m") - ceil(lit(threshold) * col("__m")) + 1).cast("int"))
-      .select(col("__id"), explode(expr("transform(slice(__st, 1, __p), x -> x.__tok)")).as("__tok"))
-    val cand = pre.select(col("__tok"), col("__id").as("id1"))
-      .join(pre.select(col("__tok"), col("__id").as("id2")), Seq("__tok"))
-      .where(col("id1") < col("id2"))
+      .withColumn("__p", (col("__m") - ceil(tau * col("__m")) + 1).cast("int"))
+      .select(col("__id"), col("__m"),
+        posexplode(expr("transform(slice(__st, 1, __p), x -> x.__tok)"))
+          .as(Seq("__pos0", "__tok")))
+      .select(col("__id"), col("__m"), (col("__pos0") + 1).as("__pos"), col("__tok"))
+    val l = pre.select(col("__tok"), col("__id").as("id1"),
+      col("__m").as("m1"), col("__pos").as("pos1"))
+    val r = pre.select(col("__tok"), col("__id").as("id2"),
+      col("__m").as("m2"), col("__pos").as("pos2"))
+    val cand = l.join(r, Seq("__tok"))
+      .where(col("id1") < col("id2")
+        && col("m2") >= ceil(tau * col("m1")) && col("m1") >= ceil(tau * col("m2"))
+        && (lit(1.0) + least(col("m1") - col("pos1"), col("m2") - col("pos2")).cast("double"))
+          >= tau * (col("m1") + col("m2")).cast("double") / (lit(1.0) + tau) - lit(1e-9))
       .select("id1", "id2").distinct()
+    val hashed = toks.select(col("__id"),
+      sort_array(transform(col("__t"), t => xxhash64(t))).as("__sh"))
     cand
-      .join(toks.select(col("__id").as("id1"), col("__t").as("t1")), Seq("id1"))
-      .join(toks.select(col("__id").as("id2"), col("__t").as("t2")), Seq("id2"))
-      .withColumn("jac", size(array_intersect(col("t1"), col("t2"))).cast("double") /
-        greatest(size(array_union(col("t1"), col("t2"))), lit(1)))
+      .join(hashed.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
+      .join(hashed.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))
+      .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
       .where(col("jac") >= threshold)
       .select("id1", "id2", "jac")
   }

@@ -188,9 +188,10 @@ object Profile {
     * (n+1) div 2 — the same distributed-rank shape as
     * [[histogramEquiDepth]], exact and replayable in ANSI SQL. Input
     * frame must have columns (__g, __v); output (__g, med). */
-  private def lowerMedianByGroup(v: DataFrame): DataFrame = {
+  /** Input is the pre-counted distinct-value table (__g, __v, __c) — so a
+    * caller computing several medians pays the row-level exchange ONCE. */
+  private def lowerMedianOfCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = v.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
     val cum = counts.withColumn("__cum",
       sum("__c").over(Window.partitionBy("__g").orderBy("__v")))
     val tot = counts.groupBy("__g").agg(sum("__c").as("__n"))
@@ -205,25 +206,31 @@ object Profile {
     * and the count of rows with |x − med| > k·MAD. NULL values are
     * ignored. Output: (group, n, med, mad, n_outliers).
     *
-    * Both medians use the distributed-rank selection above — no global
-    * or per-group row windows; the only per-group serial state is the
-    * prefix sum over DISTINCT values. */
+    * The raw rows are exchanged exactly ONCE (the per-(group, value)
+    * count); deviations, the second median, and the outlier tally all
+    * derive from that distinct-value table, with the one-row-per-group
+    * med/mad frames BROADCAST back (a low-cardinality group column must
+    * never key a row-level exchange — it funnels the table through a
+    * handful of reducers). */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 3.0): DataFrame = {
     require(k > 0, "madOutliers: k must be positive")
     val v = df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
-    val med = lowerMedianByGroup(v)
-    val dev = v.join(med, Seq("__g"))
-      .select(col("__g"), col("__v").as("__x"), col("med"),
-        abs(col("__v") - col("med")).as("__v"))
-    val mad = lowerMedianByGroup(dev.select("__g", "__v"))
-      .withColumnRenamed("med", "mad")
-    dev.join(mad, Seq("__g"))
+    val c1 = v.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val med = lowerMedianOfCounts(c1)
+    // deviation-value counts fold out of the distinct-value table — the
+    // raw rows are never rescanned
+    val devc = c1.join(broadcast(med), Seq("__g"))
+      .groupBy(col("__g"), abs(col("__v") - col("med")).as("__v"))
+      .agg(sum("__c").as("__c"))
+    val mad = lowerMedianOfCounts(devc).withColumnRenamed("med", "mad")
+    devc.join(broadcast(med), Seq("__g")).join(broadcast(mad), Seq("__g"))
       .groupBy(col("__g").as(groupCol))
-      .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+      .agg(sum("__c").as("n"), first(col("med")).as("med"),
         first(col("mad")).as("mad"),
-        sum(when(col("__v") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        sum(when(col("__v") > lit(k) * col("mad"), col("__c"))
+          .otherwise(0L)).as("n_outliers"))
   }
 
   /** Exact bivariate statistics per group: Pearson correlation and sample
