@@ -3754,15 +3754,17 @@ object SparkEntry {
         |  count(*) OVER () AS nt FROM v)
         |SELECT (rk - 1) * 8 // nt AS bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
-    // exact bivariate stats from decimal moment sums; final doubles share
-    // the expression shape so both engines produce identical bits
+    // exact bivariate stats from decimal moment sums; decimal→double hops
+    // through the exact digit string (correctly rounded on every engine,
+    // unlike native decimal→double casts past 2^53) and the final doubles
+    // share the expression shape, so both engines produce identical bits
     "q_corr" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         |  (CAST(n AS DOUBLE) * sxy - sx * sy) /

@@ -249,12 +249,18 @@ object Profile {
     // stays within 24 digits so int128 decimal engines replay it exactly
     val x = col(xCol).cast("decimal(12,2)")
     val y = col(yCol).cast("decimal(12,2)")
+    // decimal → double goes THROUGH THE EXACT DIGIT STRING: engines differ
+    // in native decimal→double casts once the unscaled value passes 2^53
+    // (some compute unscaled/10^scale in floats — two roundings), but
+    // string→double parsing is correctly rounded everywhere, so this
+    // keeps the final doubles bit-identical at any scale
+    def d(c: Column) = c.cast("string").cast("double")
     val g = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("double").as("__sx"), sum(y).cast("double").as("__sy"),
-        sum(x * y).cast("double").as("__sxy"),
-        sum(x * x).cast("double").as("__sxx"),
-        sum(y * y).cast("double").as("__syy"))
+        d(sum(x)).as("__sx"), d(sum(y)).as("__sy"),
+        d(sum(x * y)).as("__sxy"),
+        d(sum(x * x)).as("__sxx"),
+        d(sum(y * y)).as("__syy"))
     val nd = col("n").cast("double")
     g.select(col(groupCol), col("n"),
         ((nd * col("__sxy") - col("__sx") * col("__sy")) /
