@@ -70,6 +70,15 @@ object GraftExtensions {
           s"portable_simhash60: n must be an int literal, got $other")
       }
       PortableSimHash60(children.head, n)
+    },
+    "hashed_linear_mills" -> { children =>
+      require(children.length == 2, "hashed_linear_mills(text, dims) takes 2 arguments")
+      val d = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"hashed_linear_mills: dims must be an int literal, got $other")
+      }
+      graft.functions.HashedLinearMills(children.head, d)
     })
 
   /** Register as session-scoped temp functions on a live session. */

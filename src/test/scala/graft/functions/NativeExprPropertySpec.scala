@@ -90,4 +90,43 @@ class NativeExprPropertySpec extends SparkSpec {
     // same keys, separate evaluation -> same buckets
     assert(rows(keys.select(b)) == rows(keys.select(b)))
   }
+
+  test("property: hashed_linear_mills == array-HOF fold on 300 random ASCII strings") {
+    import graft.functions.HashedLinearExpression.hashed_linear_mills
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789.,;!?"
+    def randText(): String = {
+      val n = rng.nextInt(40)
+      Seq.fill(n) {
+        val wl = 1 + rng.nextInt(12)
+        Seq.fill(wl)(alphabet(rng.nextInt(alphabet.length))).mkString
+      }.mkString(Seq(" ", "  ", "\t", "\n")(rng.nextInt(4)))
+    }
+    val cases = ("" +: "   " +: "x" +: Seq.fill(297)(randText())).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = cases.toDF("i", "t")
+    for (dims <- Seq(16, 64)) {
+      val got = df.select(
+        hashed_linear_mills(col("t"), dims).as("native"),
+        graft.pipeline.Scoring.hofMills(col("t"), dims).as("hof"))
+      assert(got.where(col("native") =!= col("hof")).count() == 0, s"dims=$dims")
+    }
+  }
+
+  test("hashed_linear_mills generates compiling code (no codegen fallback)") {
+    import graft.functions.HashedLinearExpression.hashed_linear_mills
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq.tabulate(100)(i => (i.toLong, s"tok$i hello wor$i")).toDF("i", "t")
+      val s = df.select(hashed_linear_mills(col("t"), 64).as("m"))
+        .agg(sum("m")).collect()(0).getLong(0)
+      // must agree with the interpreted eval of the same expression
+      val s2 = df.select(graft.pipeline.Scoring.hofMills(col("t"), 64).as("m"))
+        .agg(sum("m")).collect()(0).getLong(0)
+      assert(s == s2)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }
