@@ -1934,6 +1934,42 @@ object SparkEntry {
     Relational.sort(col("lang"), col("doc_id"))(capped)
   }
 
+  private def qScd2(s: SparkSession, d: String): DataFrame = {
+    // Four-phase log: initial load, price update, delete wave, re-insert
+    // after delete — versions with open/closed validity, one lead window.
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val log = o.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      .unionByName(o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+      .unionByName(o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", lit(null).cast("double"))
+        .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+      .unionByName(o.where(col("o_orderkey") % 35 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
+    Relational.sort(col("o_orderkey"), col("valid_from"))(
+      Relational.scd2History(log, Seq("o_orderkey"), "seq", "op"))
+  }
+
+  private def qLinreg(s: SparkSession, d: String): DataFrame = {
+    // Group-wise OLS from exact decimal moments — slope/intercept/r²
+    // bit-identical to the oracle's replay of the same expression shape.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.linearFit(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice"))
+  }
+
+  private def qPeriodOverPeriod(s: SparkSession, d: String): DataFrame = {
+    // Daily per-type value sums with previous-observed-period deltas.
+    val out = graft.pipeline.Events.periodOverPeriod(
+      Tables.events(s, d), "event_type", "ts", "value", unit = "day")
+    Relational.sort(col("event_type"), col("day"))(
+      out.select(col("event_type"),
+        date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+        col("cur"), col("prev"), col("change"), col("pct_change")))
+  }
+
   private def qFunnelWindowed(s: SparkSession, d: String): DataFrame = {
     // Time-bounded funnel: each conversion must land within 24 h of the
     // previous frontier — the abandonment-cutoff variant.
@@ -2500,6 +2536,9 @@ object SparkEntry {
     "q_funnel_windowed" -> (qFunnelWindowed _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_quantile_norm" -> (qQuantileNorm _),
+    "q_scd2" -> (qScd2 _),
+    "q_linreg" -> (qLinreg _),
+    "q_period_over_period" -> (qPeriodOverPeriod _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3874,5 +3913,44 @@ object SparkEntry {
         |SELECT o_orderkey, v.v AS o_totalprice,
         |  CAST(cum AS DOUBLE) / CAST(n.n AS DOUBLE) AS cume
         |FROM v LEFT JOIN cc ON v.v = cc.v CROSS JOIN n ORDER BY o_orderkey""".stripMargin,
+    // SCD2 history: I/U open versions, the NEXT event (any op) closes them
+    "q_scd2" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, o_totalprice, 1 AS seq, 'I' AS op FROM orders
+        |  UNION ALL SELECT o_orderkey, o_totalprice * 2, 2, 'U' FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL SELECT o_orderkey, NULL, 3, 'D' FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT o_orderkey, o_totalprice + 1, 4, 'I' FROM orders WHERE o_orderkey % 35 = 0),
+        |v AS (SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to FROM log)
+        |SELECT o_orderkey, o_totalprice, CAST(seq AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to, valid_to IS NULL AS is_current
+        |FROM v WHERE op IN ('I', 'U') ORDER BY o_orderkey, valid_from""".stripMargin,
+    // group-wise OLS from the exact decimal moments; slope materialized
+    // so the shared subterm is evaluated once on both engines
+    "q_linreg" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |sl AS (SELECT *, (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope FROM m)
+        |SELECT l_returnflag, n, slope,
+        |  (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept,
+        |  ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+        |    ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+        |FROM sl ORDER BY l_returnflag""".stripMargin,
+    // previous-observed-period deltas over daily decimal sums
+    "q_period_over_period" ->
+      """WITH a AS (SELECT event_type, date_trunc('day', ts) AS bucket,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS cur
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(cur) OVER (PARTITION BY event_type ORDER BY bucket) AS prev FROM a)
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d') AS day, cur, prev,
+        |  cur - prev AS change,
+        |  CASE WHEN prev IS NULL OR prev = 0.0 THEN NULL
+        |       ELSE cur / prev - 1.0 END AS pct_change
+        |FROM l ORDER BY event_type, day""".stripMargin,
   )
 }

@@ -100,6 +100,31 @@ object Relational {
     upserts.unionByName(b.join(touched, cond, "left_anti"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) HISTORY build from the same
+    * change-log shape [[applyChangeLog]] consumes: every I/U event opens a
+    * version row — (payload, valid_from = its seq, valid_to = the next
+    * event's seq for that key whatever its op, NULL while open,
+    * is_current = open) — and D events close the preceding version
+    * without emitting one. Re-inserts after a delete open a fresh version
+    * naturally (the D closed the old one).
+    *
+    * ONE key-sharded window (lead over seq), no joins, no self-union —
+    * the lakehouse "dimension history" materialization as a single pass
+    * over the log. Same uniqueness contract on (key, seq) as
+    * applyChangeLog. */
+  def scd2History(changes: DataFrame, keys: Seq[String],
+                  seqCol: String, opCol: String): DataFrame = {
+    require(keys.nonEmpty, "scd2History: need at least one key column")
+    val payload = changes.columns.filterNot(c => c == seqCol || c == opCol).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .where(upper(col(opCol)).isin("I", "U"))
+      .select((payload.map(col) :+ col(seqCol).as("valid_from") :+
+        col("valid_to") :+ col("valid_to").isNull.as("is_current")): _*)
+  }
+
   /** ORC face of the FileOutput/FileInput pair — Spark's second built-in
     * columnar format: same predicate-pushdown + column-pruning contract
     * as parquet (the spec asserts PushedFilters on the ORC scan), so a

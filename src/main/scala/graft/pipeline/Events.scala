@@ -69,6 +69,27 @@ object Events {
       col("users").cast("double") / first("users").over(w).cast("double"))
   }
 
+  /** Period-over-period change report: per-key `unit`-bucket DECIMAL sums
+    * (order-independent ⇒ bit-stable), then each bucket against the
+    * PREVIOUS OBSERVED bucket of that key (lag — gap periods are not
+    * densified; compose with TimeSeries.resampleFill for a regular
+    * grid). Output: (key, bucket, cur, prev, change, pct_change) — pct
+    * is NULL on the first bucket and on a zero base. The decimal sums
+    * cross into double through the exact digit string (see
+    * Profile.momentSums for why). One key exchange + one key window. */
+  def periodOverPeriod(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, unit: String = "day"): DataFrame = {
+    val sums = df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__s"))
+      .withColumn("cur", col("__s").cast("string").cast("double"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    sums.withColumn("prev", lag(col("cur"), 1).over(w))
+      .select(col(keyCol), col("bucket"), col("cur"), col("prev"),
+        (col("cur") - col("prev")).as("change"),
+        when(col("prev").isNull || col("prev") === 0.0, lit(null).cast("double"))
+          .otherwise(col("cur") / col("prev") - lit(1.0)).as("pct_change"))
+  }
+
   /** Cohort retention: users are cohorted by the `unit`-truncated time of
     * their FIRST event; a cohort's offset-w row counts the distinct users
     * of that cohort active in the w-th unit after their cohort unit.

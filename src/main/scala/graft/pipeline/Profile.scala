@@ -243,24 +243,32 @@ object Profile {
     * reproduces them bit-for-bit from the same moments.
     *
     * One partial-aggregated exchange on the group key; nothing else. */
-  def corrExact(df: DataFrame, groupCol: String, xCol: String,
-                yCol: String): DataFrame = {
-    // (12,2): wide enough for monetary/count inputs, and the cross product
-    // stays within 24 digits so int128 decimal engines replay it exactly
+  /** The six exact moments behind [[corrExact]] and [[linearFit]]:
+    * (group, n, Σx, Σy, Σxy, Σx², Σy²) as doubles derived from
+    * DECIMAL(12,2) sums — (12,2) is wide enough for monetary/count
+    * inputs and the cross product stays within 24 digits, so int128
+    * decimal engines replay it exactly. decimal → double goes THROUGH
+    * THE EXACT DIGIT STRING: engines differ in native decimal→double
+    * casts once the unscaled value passes 2^53 (some compute
+    * unscaled/10^scale in floats — two roundings), but string→double
+    * parsing is correctly rounded everywhere, so the doubles are
+    * bit-identical at any scale. */
+  private def momentSums(df: DataFrame, groupCol: String, xCol: String,
+                         yCol: String): DataFrame = {
     val x = col(xCol).cast("decimal(12,2)")
     val y = col(yCol).cast("decimal(12,2)")
-    // decimal → double goes THROUGH THE EXACT DIGIT STRING: engines differ
-    // in native decimal→double casts once the unscaled value passes 2^53
-    // (some compute unscaled/10^scale in floats — two roundings), but
-    // string→double parsing is correctly rounded everywhere, so this
-    // keeps the final doubles bit-identical at any scale
     def d(c: Column) = c.cast("string").cast("double")
-    val g = df.groupBy(col(groupCol))
+    df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         d(sum(x)).as("__sx"), d(sum(y)).as("__sy"),
         d(sum(x * y)).as("__sxy"),
         d(sum(x * x)).as("__sxx"),
         d(sum(y * y)).as("__syy"))
+  }
+
+  def corrExact(df: DataFrame, groupCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val g = momentSums(df, groupCol, xCol, yCol)
     val nd = col("n").cast("double")
     g.select(col(groupCol), col("n"),
         ((nd * col("__sxy") - col("__sx") * col("__sy")) /
@@ -268,5 +276,27 @@ object Profile {
            sqrt(nd * col("__syy") - col("__sy") * col("__sy")))).as("corr"),
         ((nd * col("__sxy") - col("__sx") * col("__sy")) /
           (nd * (nd - lit(1.0)))).as("cov_samp"))
+  }
+
+  /** Group-wise ordinary-least-squares fit y = slope·x + intercept from
+    * the same exact moments (order-independent, bit-portable):
+    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²ᵉ), intercept = (Σy −
+    * slope·Σx)/n, r² from the squared covariance ratio. Intercept reuses
+    * the MATERIALIZED slope column so both engines evaluate the shared
+    * subterm once — identical expression shape, identical doubles. */
+  def linearFit(df: DataFrame, groupCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val g = momentSums(df, groupCol, xCol, yCol)
+    val nd = col("n").cast("double")
+    g.select(col(groupCol), col("n"), col("__sx"), col("__sy"),
+        col("__sxy"), col("__sxx"), col("__syy"),
+        ((nd * col("__sxy") - col("__sx") * col("__sy")) /
+          (nd * col("__sxx") - col("__sx") * col("__sx"))).as("slope"))
+      .select(col(groupCol), col("n"), col("slope"),
+        ((col("__sy") - col("slope") * col("__sx")) / nd).as("intercept"),
+        (((nd * col("__sxy") - col("__sx") * col("__sy")) *
+          (nd * col("__sxy") - col("__sx") * col("__sy"))) /
+          ((nd * col("__sxx") - col("__sx") * col("__sx")) *
+           (nd * col("__syy") - col("__sy") * col("__sy")))).as("r2"))
   }
 }

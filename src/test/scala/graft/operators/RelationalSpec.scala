@@ -347,6 +347,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("scd2History: D closes without a row, re-insert opens a fresh version") {
+    val log = Seq(
+      (1, "v1", 1L, "I"), (1, "v2", 3L, "U"),          // two open-then-closed versions
+      (2, "x1", 1L, "I"), (2, null, 2L, "D"),          // deleted: version closed, none open
+      (2, "x2", 5L, "I"),                               // revived: fresh current version
+      (3, "only", 1L, "I")                              // never touched again: open
+    ).toDF("k", "v", "seq", "op")
+    withPartitionings(log) { lg =>
+      val out = rows(Relational.scd2History(lg, Seq("k"), "seq", "op")
+        .orderBy("k", "valid_from"))
+      assert(out == Seq(
+        Seq(1, "v1", 1L, 3L, false), Seq(1, "v2", 3L, null, true),
+        Seq(2, "x1", 1L, 2L, false), Seq(2, "x2", 5L, null, true),
+        Seq(3, "only", 1L, null, true)))
+    }
+    // exactly one current version per surviving key; deleted-only keys none
+    val cur = Relational.scd2History(log.toDF("k", "v", "seq", "op"),
+      Seq("k"), "seq", "op").where(col("is_current"))
+    assert(rows(cur.select("k").orderBy("k")) == Seq(Seq(1), Seq(2), Seq(3)))
+  }
+
   test("fileOutputPartitioned writes partition dirs with bounded file counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fop").toString
     val df = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("k", "par")

@@ -81,6 +81,22 @@ class EventsSpec extends SparkSpec {
       Seq("2024-01-01", 3L, 1L), Seq("2024-01-08", 0L, 1L)))
   }
 
+  test("periodOverPeriod: previous OBSERVED bucket, NULL pct on first and zero base") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-01 11:00:00", 20.0), // same day: sums to 30
+      (1L, "2024-01-02 10:00:00", 0.0),  // zero base for the NEXT delta
+      (1L, "2024-01-05 10:00:00", 60.0)) // gap: prev = Jan 2, not Jan 4
+      .toDF("u", "t", "v").select(col("u"), to_timestamp(col("t")).as("ts"), col("v"))
+    val out = rows(Events.periodOverPeriod(df, "u", "ts", "v", "day")
+      .select(col("u"), date_format(col("bucket"), "yyyy-MM-dd"), col("cur"),
+        col("prev"), col("change"), col("pct_change"))
+      .orderBy("bucket"))
+    assert(out(0) == Seq(1L, "2024-01-01", 30.0, null, null, null))
+    assert(out(1) == Seq(1L, "2024-01-02", 0.0, 30.0, -30.0, -1.0))
+    assert(out(2) == Seq(1L, "2024-01-05", 60.0, 0.0, 60.0, null)) // zero base
+  }
+
   test("cohortRetention: same user twice in one week counts once") {
     val df = ev(
       (1L, "2024-01-02 10:00:00", "x"),

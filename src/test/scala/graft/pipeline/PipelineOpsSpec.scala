@@ -710,6 +710,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(2)(2) == mills.toDouble / 1000.0)
   }
 
+  test("linearFit: recovers y = 2x + 1 exactly, r² = 1") {
+    val d = Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0)).toDF("g", "x", "y")
+    val out = rows(Profile.linearFit(d, "g", "x", "y"))
+    assert(out(0)(2) == 2.0 && out(0)(3) == 1.0) // slope, intercept exact
+    assert(math.abs(out(0)(4).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
   test("histogramEquiDepth: equal-count buckets, ties split by key, NULLs dropped") {
     // 8 non-null rows, k=4 → exactly 2 per bucket; value 5.0 is triplicated
     // so its rows straddle a bucket boundary and the key order decides.
