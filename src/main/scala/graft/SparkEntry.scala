@@ -1934,6 +1934,14 @@ object SparkEntry {
     Relational.sort(col("lang"), col("doc_id"))(capped)
   }
 
+  private def qPmi(s: SparkSession, d: String): DataFrame = {
+    // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
+    // the output edge per the q_tfidf convention.
+    Relational.sort(col("w1"), col("w2"))(
+      graft.pipeline.Scoring.bigramPmi(Tables.documents(s, d),
+        "doc_id", "text", minCount = 5))
+  }
+
   private def qScd2(s: SparkSession, d: String): DataFrame = {
     // Four-phase log: initial load, price update, delete wave, re-insert
     // after delete — versions with open/closed validity, one lead window.
@@ -2539,6 +2547,7 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_linreg" -> (qLinreg _),
     "q_period_over_period" -> (qPeriodOverPeriod _),
+    "q_pmi" -> (qPmi _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3952,5 +3961,23 @@ object SparkEntry {
         |  CASE WHEN prev IS NULL OR prev = 0.0 THEN NULL
         |       ELSE cur / prev - 1.0 END AS pct_change
         |FROM l ORDER BY event_type, day""".stripMargin,
+    // bigram PMI: joint over unigram-product probabilities, ALL-bigram
+    // denominator, minCount >= 5 output cut, 6 dp round
+    "q_pmi" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS w FROM t),
+        |u AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        |ut AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM u),
+        |biall AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |  i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM t),
+        |ba AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12 FROM biall GROUP BY 1, 2),
+        |bt AS (SELECT CAST(SUM(c12) AS BIGINT) AS bt FROM ba),
+        |q AS (SELECT w1, w2, c12 FROM ba WHERE c12 >= 5)
+        |SELECT q.w1, q.w2, q.c12, u1.c AS c1, u2.c AS c2,
+        |  round(ln((CAST(q.c12 AS DOUBLE) / CAST(bt.bt AS DOUBLE)) /
+        |    ((CAST(u1.c AS DOUBLE) / CAST(ut.t AS DOUBLE)) *
+        |     (CAST(u2.c AS DOUBLE) / CAST(ut.t AS DOUBLE)))), 6) AS pmi
+        |FROM q JOIN u u1 ON q.w1 = u1.w JOIN u u2 ON q.w2 = u2.w
+        |CROSS JOIN ut CROSS JOIN bt ORDER BY w1, w2""".stripMargin,
   )
 }

@@ -160,6 +160,45 @@ object Scoring {
       .drop("__rk")
   }
 
+  /** Adjacent-bigram PMI collocation detection — the corpus-statistics
+    * operator behind phrase mining ("new york" scores high because its
+    * joint probability dwarfs the unigram product): pmi(w1, w2) =
+    * ln(p(w1 w2) / (p(w1)·p(w2))) with p from corpus counts; bigrams
+    * under `minCount` are dropped (PMI is noise at tiny counts — the
+    * standard cut). Scores round to 6 dp at the output edge (the q_tfidf
+    * ln convention: engine libm may differ in the last ulp).
+    *
+    * Shuffles carry (token, count) and (pair, count) — never text bodies;
+    * totals ride broadcast one-row aggregates. Output:
+    * (w1, w2, c12, c1, c2, pmi). */
+  def bigramPmi(docs: DataFrame, idCol: String, textCol: String,
+                minCount: Int = 2): DataFrame = {
+    require(minCount >= 1, "bigramPmi: minCount must be >= 1")
+    val toks = docs.select(tokenize(col(textCol)).as("__w"))
+    val uni = toks.select(explode(col("__w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val uniTotal = uni.agg(sum("c").as("__t"))
+    val biAll = toks
+      .select(explode(when(size(col("__w")) >= 2,
+          expr("transform(sequence(1, size(__w) - 1), i -> struct(__w[i-1] AS w1, __w[i] AS w2))"))
+        .otherwise(expr("array()").cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // the probability denominator counts ALL bigram occurrences — the
+    // minCount cut drops output rows, not corpus mass
+    val biTotal = biAll.agg(sum("c12").as("__bt"))
+    val bi = biAll.where(col("c12") >= minCount)
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(biTotal))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log(
+          (col("c12").cast("double") / col("__bt").cast("double")) /
+            ((col("c1").cast("double") / col("__t").cast("double")) *
+             (col("c2").cast("double") / col("__t").cast("double")))), 6).as("pmi"))
+  }
+
   /** Hashed-linear quality-classifier INFERENCE (the fastText /
     * hashing-trick shape every corpus-filtering recipe runs: tokens →
     * hash-bucket → weight lookup → mean → threshold). The model is the

@@ -710,6 +710,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(2)(2) == mills.toDouble / 1000.0)
   }
 
+  test("bigramPmi: perfect collocation scores high, independent pair near zero") {
+    // "x y" always adjacent (perfect collocation); "p"/"q" co-occur at
+    // chance; singleton bigrams drop under minCount=2
+    val docs = Seq((1L, "x y p"), (2L, "x y q"), (3L, "p x y"),
+      (4L, "q x y"), (5L, "rare pair")).toDF("id", "t")
+    val out = rows(Scoring.bigramPmi(docs, "id", "t", minCount = 2)
+      .orderBy("w1", "w2"))
+    val xy = out.find(r => r(0) == "x" && r(1) == "y").get
+    assert(xy(2) == 4L) // all four docs
+    assert(xy(5).asInstanceOf[Double] > 0.5) // joint ≫ product of marginals
+    assert(!out.exists(r => r(0) == "rare")) // minCount cut
+    // every reported bigram carries consistent unigram counts
+    assert(out.forall(r => r(3).asInstanceOf[Long] >= r(2).asInstanceOf[Long]))
+  }
+
   test("linearFit: recovers y = 2x + 1 exactly, r² = 1") {
     val d = Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0)).toDF("g", "x", "y")
     val out = rows(Profile.linearFit(d, "g", "x", "y"))
