@@ -1934,6 +1934,47 @@ object SparkEntry {
     Relational.sort(col("lang"), col("doc_id"))(capped)
   }
 
+  private def qValidate(s: SparkSession, d: String): DataFrame = {
+    // Constraint report over lineitem with three PLANTED violations (a
+    // null key, an out-of-range discount + bad flag, an orphan fk + dup
+    // key) so every check class exercises its counting path.
+    import graft.pipeline.Checks._
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_discount", "l_returnflag")
+    val bad = s.range(1).select(
+      lit(null).cast("long").as("l_orderkey"), lit(1L).as("l_linenumber"),
+      lit(0.5).as("l_discount"), lit("Z").as("l_returnflag"))
+      .unionByName(s.range(1).select(
+        lit(888888888L).as("l_orderkey"), lit(1L).as("l_linenumber"),
+        lit(0.0).as("l_discount"), lit("N").as("l_returnflag")))
+      .unionByName(s.range(1).select(
+        lit(888888888L).as("l_orderkey"), lit(1L).as("l_linenumber"),
+        lit(0.0).as("l_discount"), lit("N").as("l_returnflag")))
+    val df = li.unionByName(bad)
+    Relational.sort(col("check"))(graft.pipeline.Checks.validate(df, Seq(
+      NotNull("l_orderkey"),
+      InRange("l_discount", 0.0, 0.1),
+      Accepted("l_returnflag", Seq("A", "N", "R")),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      RefIntegrity(Seq("l_orderkey"), Tables.orders(s, d), Seq("o_orderkey")))))
+  }
+
+  private def qHierarchy(s: SparkSession, d: String): DataFrame = {
+    // Parent-pointer forest: order keys plus ALL their div-10 ancestors
+    // (so the forest is closed — every parent exists as a node; keys < 10
+    // are roots), resolved by pointer doubling; the oracle walks the same
+    // chains with a recursive CTE.
+    val o = Tables.orders(s, d)
+    val closure = (0 to 7).map(i =>
+        o.select(expr(s"o_orderkey div ${BigInt(10).pow(i)}L").as("id")))
+      .reduce(_ unionAll _).where(col("id") >= 1).distinct()
+    val nodes = closure.select(col("id"),
+      when(col("id") < 10, lit(null).cast("long"))
+        .otherwise(expr("id div 10")).as("parent"))
+    Relational.sort(col("id"))(
+      graft.pipeline.Graph.treeRootDepth(nodes, "id", "parent"))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2548,6 +2589,8 @@ object SparkEntry {
     "q_linreg" -> (qLinreg _),
     "q_period_over_period" -> (qPeriodOverPeriod _),
     "q_pmi" -> (qPmi _),
+    "q_validate" -> (qValidate _),
+    "q_hierarchy" -> (qHierarchy _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -3979,5 +4022,42 @@ object SparkEntry {
         |     (CAST(u2.c AS DOUBLE) / CAST(ut.t AS DOUBLE)))), 6) AS pmi
         |FROM q JOIN u u1 ON q.w1 = u1.w JOIN u u2 ON q.w2 = u2.w
         |CROSS JOIN ut CROSS JOIN bt ORDER BY w1, w2""".stripMargin,
+    // constraint report over lineitem + three planted bad rows
+    "q_validate" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_discount, l_returnflag FROM lineitem
+        |  UNION ALL SELECT NULL, 1, 0.5, 'Z'
+        |  UNION ALL SELECT 888888888, 1, 0.0, 'N'
+        |  UNION ALL SELECT 888888888, 1, 0.0, 'N'),
+        |c AS (
+        |  SELECT 'not_null(l_orderkey)' AS check, CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM li
+        |  UNION ALL SELECT 'in_range(l_discount, 0.0, 0.1)', CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) FROM li
+        |  UNION ALL SELECT 'accepted(l_returnflag)', CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) FROM li
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+        |    (SELECT CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM li
+        |     WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+        |  UNION ALL SELECT 'ref_integrity(l_orderkey)',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM li
+        |     WHERE l_orderkey IS NOT NULL
+        |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+        |SELECT "check", violations, violations = 0 AS pass FROM c ORDER BY "check"""".stripMargin,
+    // pointer-doubling root+depth over the div-10 ancestor closure
+    "q_hierarchy" ->
+      """WITH RECURSIVE ids AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT o_orderkey // 1 AS id FROM orders
+        |    UNION ALL SELECT o_orderkey // 10 FROM orders
+        |    UNION ALL SELECT o_orderkey // 100 FROM orders
+        |    UNION ALL SELECT o_orderkey // 1000 FROM orders
+        |    UNION ALL SELECT o_orderkey // 10000 FROM orders
+        |    UNION ALL SELECT o_orderkey // 100000 FROM orders
+        |    UNION ALL SELECT o_orderkey // 1000000 FROM orders
+        |    UNION ALL SELECT o_orderkey // 10000000 FROM orders)
+        |  WHERE id >= 1),
+        |n AS (SELECT id, CASE WHEN id < 10 THEN NULL ELSE id // 10 END AS parent FROM ids),
+        |r(id, root, depth) AS (
+        |  SELECT id, id, 0 FROM n WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT n.id, r.root, r.depth + 1 FROM n JOIN r ON n.parent = r.id)
+        |SELECT id, root, CAST(depth AS BIGINT) AS depth FROM r ORDER BY id""".stripMargin,
   )
 }

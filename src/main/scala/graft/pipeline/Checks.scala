@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the constraint-check report a
+  * pipeline runs before it trusts a 100 TB drop (the Deequ / dbt-test
+  * shape): each check yields one row (check, violations, pass), so the
+  * report is tiny whatever the input size.
+  *
+  * Execution shape: every ROW-LOCAL check (not-null, range, accepted
+  * values) folds into ONE wide aggregate — a single scan however many
+  * such checks run; uniqueness adds one distinct-count pass over its key
+  * columns and referential integrity one broadcast-or-shuffled anti-join
+  * per parent — each the minimal plan for its contract. Nothing ever
+  * collects rows to the driver; the violation COUNT is the report, and a
+  * caller who wants the violating rows re-runs the single predicate as a
+  * filter.
+  */
+object Checks {
+
+  sealed trait Check { def name: String }
+  /** violations = rows where `col` IS NULL. */
+  case class NotNull(col: String) extends Check {
+    def name = s"not_null($col)"
+  }
+  /** violations = non-null rows outside [lo, hi]. */
+  case class InRange(col: String, lo: Double, hi: Double) extends Check {
+    def name = s"in_range($col, $lo, $hi)"
+  }
+  /** violations = non-null rows with a value outside `values`. */
+  case class Accepted(col: String, values: Seq[String]) extends Check {
+    def name = s"accepted($col)"
+  }
+  /** violations = rows beyond the first per key = count − distinct keys
+    * (rows with any NULL key column are exempt — a NULL key is
+    * [[NotNull]]'s contract, not uniqueness's). */
+  case class Unique(cols: Seq[String]) extends Check {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  /** violations = child rows whose (fully non-null) foreign key has no
+    * match in `parent` — the classic orphan count. */
+  case class RefIntegrity(fkCols: Seq[String], parent: DataFrame,
+                          pkCols: Seq[String]) extends Check {
+    require(fkCols.size == pkCols.size,
+      "RefIntegrity: fk and pk column lists must align")
+    def name = s"ref_integrity(${fkCols.mkString(",")})"
+  }
+
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "validate: need at least one check")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val rowLocal = checks.collect {
+      case c @ NotNull(col0) =>
+        c.name -> sum(when(col(col0).isNull, 1L).otherwise(0L))
+      case c @ InRange(col0, lo, hi) =>
+        c.name -> sum(when(col(col0).isNotNull &&
+          (col(col0) < lo || col(col0) > hi), 1L).otherwise(0L))
+      case c @ Accepted(col0, vs) =>
+        c.name -> sum(when(col(col0).isNotNull &&
+          !col(col0).isin(vs: _*), 1L).otherwise(0L))
+    }
+    val wide: Seq[DataFrame] =
+      if (rowLocal.isEmpty) Nil
+      else {
+        val aggs = rowLocal.map { case (n, c) => coalesce(c, lit(0L)).as(n) }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Seq(one.select(explode(array(rowLocal.map { case (n, _) =>
+          struct(lit(n).as("check"), col(s"`$n`").as("violations"))
+        }: _*)).as("r")).select(col("r.check"), col("r.violations")))
+      }
+    val relational: Seq[DataFrame] = checks.collect {
+      case c @ Unique(cols0) =>
+        val keyed = df.where(cols0.map(col(_).isNotNull).reduce(_ && _))
+        keyed.agg((count(lit(1)) -
+            count_distinct(struct(cols0.map(col): _*))).as("violations"))
+          .select(lit(c.name).as("check"),
+            coalesce(col("violations"), lit(0L)).as("violations"))
+      case c @ RefIntegrity(fk, parent, pk) =>
+        val child = df.where(fk.map(col(_).isNotNull).reduce(_ && _))
+          .select(fk.map(col): _*)
+        val p = parent.select(pk.zip(fk).map { case (pc, fc) => col(pc).as(fc) }: _*)
+        child.join(p, fk, "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(c.name).as("check"),
+            coalesce(col("violations"), lit(0L)).as("violations"))
+    }
+    (wide ++ relational).reduce(_ unionAll _)
+      .withColumn("pass", col("violations") === 0L)
+  }
+}

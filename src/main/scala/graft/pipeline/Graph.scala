@@ -96,6 +96,57 @@ object Graph {
     * pivot is then a LOW-degree node; same join shape, one extra degree
     * join to build the order) — the id orientation here keeps the oracle
     * replay plain. Shuffles carry (long, long) pairs only. */
+  /** Root + depth for every node of a parent-pointer FOREST by pointer
+    * doubling: each round every unresolved node's ancestor pointer jumps
+    * to its ancestor's ancestor and the walked distance adds up, so depth
+    * D resolves in ⌈log₂ D⌉ rounds — the technique that makes deep
+    * hierarchies (BOM explosions, org charts, category trees) tractable
+    * where one-step iteration would take D shuffles. NULL parent = root.
+    *
+    * Each round is one self-join of the (id, anc, d) state keyed by the
+    * ancestor pointer — shuffles carry three longs; rounds persist and
+    * the loop stops as soon as every pointer rests on a root (counted per
+    * round — log-many tiny actions, same driver-coordination shape as
+    * pageRank). Cycles (not a forest) would never resolve — the iteration
+    * cap require()s progress so corrupt parent data fails loudly instead
+    * of spinning. Every non-NULL parent must itself appear as a node id
+    * (pre-validate with Checks.RefIntegrity) — an unknown parent would
+    * silently drop its subtree at the join. Output: (id, root, depth). */
+  def treeRootDepth(nodes: DataFrame, idCol: String, parentCol: String,
+                    maxRounds: Int = 40): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var state = nodes.select(col(idCol).cast("long").as("id"),
+        col(parentCol).cast("long").as("anc"),
+        when(col(parentCol).isNull, 0L).otherwise(1L).as("d"),
+        col(parentCol).isNull.as("done"))
+      .persist(mem)
+    // roots point at themselves so a resolved pointer is a fixed point
+    state = state.select(col("id"),
+      when(col("done"), col("id")).otherwise(col("anc")).as("anc"),
+      col("d"), col("done")).persist(mem)
+    var remaining = state.where(!col("done")).count()
+    var rounds = 0
+    while (remaining > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"treeRootDepth: $remaining pointers unresolved after $maxRounds rounds — cycle in parent data?")
+      val ptr = state.select(col("id").as("anc"), col("anc").as("__aanc"),
+        col("d").as("__ad"), col("done").as("__adone"))
+      val next = state.join(ptr, Seq("anc"))
+        .select(col("id"),
+          when(col("done"), col("anc")).otherwise(col("__aanc")).as("anc"),
+          when(col("done"), col("d")).otherwise(col("d") + col("__ad")).as("d"),
+          (col("done") || col("__adone")).as("done"))
+        .persist(mem)
+      next.count()
+      state.unpersist()
+      state = next
+      remaining = state.where(!col("done")).count()
+    }
+    val out = state.select(col("id"), col("anc").as("root"), col("d").as("depth"))
+    out
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),

@@ -710,6 +710,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(2)(2) == mills.toDouble / 1000.0)
   }
 
+  test("Checks.validate: each check class counts its planted violations") {
+    import Checks._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val d = Seq(
+      (Option(1L), Option(5.0), "A"),
+      (Option(1L), Option(5.0), "A"),   // duplicate key
+      (Option(2L), Option(99.0), "B"),  // out of range + bad flag
+      (Option(9L), Option(5.0), "A"),   // orphan fk
+      (None, None, "A")                 // null key (exempt from unique/ref)
+    ).toDF("k", "v", "f")
+    val out = rows(Checks.validate(d, Seq(
+      NotNull("k"), InRange("v", 0.0, 10.0), Accepted("f", Seq("A")),
+      Unique(Seq("k")), RefIntegrity(Seq("k"), parent, Seq("pk"))))
+      .orderBy("check"))
+    assert(out == Seq(
+      Seq("accepted(f)", 1L, false),
+      Seq("in_range(v, 0.0, 10.0)", 1L, false),
+      Seq("not_null(k)", 1L, false),
+      Seq("ref_integrity(k)", 1L, false),
+      Seq("unique(k)", 1L, false)))
+    // clean data: all pass on a report with zero violations
+    val clean = Seq((Option(1L), Option(5.0), "A")).toDF("k", "v", "f")
+    assert(rows(Checks.validate(clean, Seq(NotNull("k"), Unique(Seq("k"))))
+      .select("pass")).forall(_ == Seq(true)))
+  }
+
+  test("treeRootDepth: pointer doubling resolves deep chains, cycles fail loudly") {
+    // chain 1←2←3←...←9 (depth 8) plus a second root 100 with child 101
+    val nodes = ((1L, Option.empty[Long]) +: (2L to 9L).map(i => (i, Some(i - 1))) :+
+      (100L, Option.empty[Long]) :+ (101L, Some(100L))).toDF("id", "parent")
+    withPartitionings(nodes) { nn =>
+      val out = rows(Graph.treeRootDepth(nn, "id", "parent").orderBy("id"))
+      assert(out.take(9).map(r => (r(0), r(1), r(2))) ==
+        (1L to 9L).map(i => (i, 1L, i - 1)))
+      assert(out.takeRight(2) == Seq(Seq(100L, 100L, 0L), Seq(101L, 100L, 1L)))
+    }
+    // a 2-cycle must hit the round cap, not spin forever
+    val cyc = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("id", "parent")
+    intercept[IllegalArgumentException] {
+      Graph.treeRootDepth(cyc, "id", "parent", maxRounds = 5).count()
+    }
+  }
+
   test("bigramPmi: perfect collocation scores high, independent pair near zero") {
     // "x y" always adjacent (perfect collocation); "p"/"q" co-occur at
     // chance; singleton bigrams drop under minCount=2
