@@ -1975,6 +1975,69 @@ object SparkEntry {
       graft.pipeline.Graph.treeRootDepth(nodes, "id", "parent"))
   }
 
+  private def qChisq(s: SparkSession, d: String): DataFrame = {
+    // Chi-square independence of returnflag × linestatus: exact integer
+    // contingency cells, per-cell contributions rounded 6 dp and summed
+    // as DECIMAL (order-independent statistic).
+    graft.pipeline.Profile.chiSquareIndependence(
+      Tables.lineitem(s, d), "l_returnflag", "l_linestatus")
+  }
+
+  private def qTtest(s: SparkSession, d: String): DataFrame = {
+    // Welch t-test of order totalprice between open and fulfilled orders,
+    // from exact decimal moments in ONE conditional-aggregation scan.
+    graft.pipeline.Profile.welchTTest(
+      Tables.orders(s, d), "o_orderstatus", "o_totalprice", "O", "F")
+  }
+
+  private def qKanon(s: SparkSession, d: String): DataFrame = {
+    // k-anonymity audit of customer quasi-identifiers (nation, segment)
+    // at k=5: class-size fold over the equivalence-class aggregate.
+    graft.pipeline.Checks.kAnonymity(
+      Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), 5L)
+  }
+
+  private def qKeySkew(s: SparkSession, d: String): DataFrame = {
+    // Key-skew diagnostic over lineitem part keys: hottest-key share +
+    // Shannon entropy of the key distribution (rounded-decimal sum).
+    graft.pipeline.Profile.keySkewProfile(Tables.lineitem(s, d), "l_partkey")
+  }
+
+  private def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    // Release-over-release table diff: v2 is v1 with deterministic
+    // deletes (key%97=0), price edits (+1.0 at key%13=1) and inserts
+    // (key%101=5 shifted past the key space); one full-outer key join,
+    // unchanged rows dropped in-plan.
+    val v1 = Tables.orders(s, d)
+    val v2 = v1.where(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 1, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(v1.where(col("o_orderkey") % 101 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    Relational.sort(col("o_orderkey"))(
+      Relational.snapshotDiff(v1, v2, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus")))
+  }
+
+  private def qGolden(s: SparkSession, d: String): DataFrame = {
+    // Golden-record survivorship over exact-duplicate document clusters
+    // (md5 text fingerprint): most-frequent-non-null lang/source with the
+    // (count desc, value asc) tie-break, canonical id = min member.
+    val docs = Tables.documents(s, d)
+      .withColumn("fp", md5(col("text").cast("binary")))
+    Relational.sort(col("fp"))(
+      graft.pipeline.Dedup.goldenRecord(docs, "fp", "doc_id",
+        Seq("lang", "source")))
+  }
+
+  private def qJoinSize(s: SparkSession, d: String): DataFrame = {
+    // Exact join-cardinality statistic from per-key counts — the
+    // key-explosion guard; never materializes the join itself.
+    Relational.joinCardinality(Tables.lineitem(s, d), Tables.orders(s, d),
+      "l_orderkey", "o_orderkey")
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2591,6 +2654,13 @@ object SparkEntry {
     "q_pmi" -> (qPmi _),
     "q_validate" -> (qValidate _),
     "q_hierarchy" -> (qHierarchy _),
+    "q_chisq" -> (qChisq _),
+    "q_ttest" -> (qTtest _),
+    "q_kanon" -> (qKanon _),
+    "q_key_skew" -> (qKeySkew _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_golden" -> (qGolden _),
+    "q_join_size" -> (qJoinSize _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4059,5 +4129,95 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT n.id, r.root, r.depth + 1 FROM n JOIN r ON n.parent = r.id)
         |SELECT id, root, CAST(depth AS BIGINT) AS depth FROM r ORDER BY id""".stripMargin,
+    // chi-square independence: integer cells, 6-dp-rounded decimal-summed contributions
+    "q_chisq" ->
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS c FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT a, b, c,
+        |  CAST(SUM(c) OVER (PARTITION BY a) AS DOUBLE) * CAST(SUM(c) OVER (PARTITION BY b) AS DOUBLE)
+        |    / CAST(SUM(c) OVER () AS DOUBLE) AS e FROM cells),
+        |t AS (SELECT a, b, c,
+        |  CAST(round((CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e, 6) AS DECIMAL(24,6)) AS contrib FROM m)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n, count(*) AS cells,
+        |  (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+        |  CAST(CAST(SUM(contrib) AS VARCHAR) AS DOUBLE) AS chi2
+        |FROM t""".stripMargin,
+    // Welch t-test: exact decimal moments per arm, fixed double dag
+    "q_ttest" ->
+      """WITH base AS (SELECT
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_a,
+        |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS s_a,
+        |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS ss_a,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_b,
+        |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS s_b,
+        |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS ss_b
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL),
+        |mv AS (SELECT n_a, n_b,
+        |  s_a / CAST(n_a AS DOUBLE) AS mean_a, s_b / CAST(n_b AS DOUBLE) AS mean_b,
+        |  (ss_a - s_a * s_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS v_a,
+        |  (ss_b - s_b * s_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS v_b FROM base),
+        |se AS (SELECT n_a, n_b, mean_a, mean_b,
+        |  v_a / CAST(n_a AS DOUBLE) AS se_a, v_b / CAST(n_b AS DOUBLE) AS se_b FROM mv)
+        |SELECT n_a, n_b, mean_a, mean_b,
+        |  (mean_a - mean_b) / sqrt(se_a + se_b) AS t_stat,
+        |  ((se_a + se_b) * (se_a + se_b)) /
+        |    (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0) + se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0)) AS dof
+        |FROM se""".stripMargin,
+    // k-anonymity: class-size fold over the quasi-identifier aggregate
+    "q_kanon" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS c FROM customer GROUP BY 1, 2)
+        |SELECT CAST(5 AS BIGINT) AS k, CAST(SUM(c) AS BIGINT) AS n_rows, count(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+        |  CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS rows_below_k,
+        |  MIN(c) AS min_class_size, MAX(c) AS max_class_size,
+        |  SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) = 0 AS anonymous
+        |FROM c""".stripMargin,
+    // key-skew profile: hottest-key share + rounded-decimal-summed entropy
+    "q_key_skew" ->
+      """WITH counts AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |t AS (SELECT c,
+        |  CAST(round(-(CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE)) *
+        |    ln(CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE)), 6) AS DECIMAL(24,6)) AS h FROM counts)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n, count(*) AS n_keys, MAX(c) AS max_key_count,
+        |  round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_share,
+        |  CAST(CAST(SUM(h) AS VARCHAR) AS DOUBLE) AS entropy
+        |FROM t""".stripMargin,
+    // snapshot diff: full-outer key join of v1 vs the mutated v2
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 101 = 5),
+        |j AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |       WHEN b.o_orderkey IS NULL THEN 'removed'
+        |       WHEN (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+        |         OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus) THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, status FROM j WHERE status <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
+    // golden record: per-cluster most-frequent-non-null with (count desc, value asc) tie-break
+    "q_golden" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fp, lang, source FROM documents),
+        |base AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_members FROM d GROUP BY 1),
+        |lc AS (SELECT fp, lang, count(*) AS c FROM d WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |lm AS (SELECT fp, lang AS golden_lang FROM
+        |  (SELECT fp, lang, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY c DESC, lang ASC) AS r FROM lc) WHERE r = 1),
+        |sc AS (SELECT fp, source, count(*) AS c FROM d WHERE source IS NOT NULL GROUP BY 1, 2),
+        |sm AS (SELECT fp, source AS golden_source FROM
+        |  (SELECT fp, source, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY c DESC, source ASC) AS r FROM sc) WHERE r = 1)
+        |SELECT b.fp, b.canonical_id, b.n_members, lm.golden_lang, sm.golden_source
+        |FROM base b LEFT JOIN lm USING (fp) LEFT JOIN sm USING (fp) ORDER BY b.fp""".stripMargin,
+    // join-size statistic from per-key counts (no join materialized)
+    "q_join_size" ->
+      """WITH lc AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT o_orderkey AS k, count(*) AS c FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |m AS (SELECT count(*) AS matched_keys,
+        |  CAST(COALESCE(SUM(lc.c * rc.c), 0) AS BIGINT) AS join_rows FROM lc JOIN rc USING (k))
+        |SELECT (SELECT count(*) FROM lineitem) AS n_left,
+        |  (SELECT count(*) FROM orders) AS n_right, matched_keys, join_rows FROM m""".stripMargin,
   )
 }

@@ -797,4 +797,60 @@ object Relational {
   def spy(df: DataFrame, name: String, metrics: Column*): DataFrame =
     if (metrics.isEmpty) df.observe(name, count(lit(1)).as("rows"))
     else df.observe(name, metrics.head, metrics.tail: _*)
+
+  /** Snapshot diff — what changed between two versions of a keyed table
+    * (the audit step between corpus releases: which documents were added,
+    * dropped, or edited). ONE full-outer join on the key (each side pays
+    * exactly one key exchange — the minimum for any diff; at cluster
+    * scale both sides shard on the same key so the join is co-located
+    * after the exchanges) with presence markers; payload comparison is
+    * NULL-safe per column (`<=>`). Unchanged rows are dropped INSIDE the
+    * join projection — the dominant case at 100 TB (most rows don't
+    * change between releases) never leaves the operator. Keys must be
+    * non-null (the using-columns join would split a NULL key across
+    * sides); enforce upstream with Checks.NotNull. Output: keyCols ++
+    * (status ∈ added|removed|changed). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff: need at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff: need at least one compare column")
+    val o = oldDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__o_$c")) :+ lit(1).as("__in_old"): _*)
+    val n = newDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"__n_$c")) :+ lit(1).as("__in_new"): _*)
+    val differs = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("unchanged")).as("status"): _*)
+      .where(col("status") =!= "unchanged")
+  }
+
+  /** Exact inner-equi-join cardinality WITHOUT executing the join — the
+    * planning statistic (sum over matched keys of |L_k|·|R_k|) an engine
+    * consults before choosing a join strategy, and the guard a pipeline
+    * runs before an expensive join to catch key-explosion early (a
+    * many-to-many key that would produce 10^12 rows shows up here as a
+    * number, not an OOM). Cost: one count aggregation per side (partial
+    * map-side combine) + a join of the KEY-COUNT tables — cardinality
+    * |keys|, not |rows|. NULL keys never match (dropped on both sides,
+    * matching join semantics). Output 1 row: (n_left, n_right,
+    * matched_keys, join_rows). */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String): DataFrame = {
+    val lc = left.where(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__lc"))
+    val rc = right.where(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__rc"))
+    val matched = lc.join(rc, Seq("__k"))
+      .agg(count(lit(1)).as("matched_keys"),
+        coalesce(sum(col("__lc") * col("__rc")), lit(0L)).as("join_rows"))
+    val lt = left.agg(count(lit(1)).as("n_left"))
+    val rt = right.agg(count(lit(1)).as("n_right"))
+    lt.crossJoin(broadcast(rt)).crossJoin(broadcast(matched))
+      .select(col("n_left"), col("n_right"), col("matched_keys"), col("join_rows"))
+  }
 }

@@ -90,4 +90,29 @@ object Checks {
     (wide ++ relational).reduce(_ unionAll _)
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** k-anonymity risk report over a set of quasi-identifier columns —
+    * the re-identification audit a dataset release runs: every
+    * equivalence class (distinct quasi-identifier combination) smaller
+    * than k is a privacy risk. One quasi-key aggregation shuffle, then a
+    * 1-row fold over the class sizes (|classes| rows, never raw rows):
+    * (k, n_rows, n_classes, classes_below_k, rows_below_k,
+    * min_class_size, max_class_size, anonymous) — `anonymous` is the
+    * pass/fail verdict (no class below k). NULL quasi-values group as a
+    * class of their own (NULL-safe groupBy), matching how an attacker
+    * would treat a missing value: as one more observable. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: need at least one quasi-identifier")
+    require(k >= 1, "kAnonymity: k must be >= 1")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("n_rows"), count(lit(1)).as("n_classes"),
+        sum(when(col("__c") < k, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("__c") < k, col("__c")).otherwise(0L)).as("rows_below_k"),
+        min(col("__c")).as("min_class_size"),
+        max(col("__c")).as("max_class_size"))
+      .select(lit(k).as("k"), col("n_rows"), col("n_classes"),
+        col("classes_below_k"), col("rows_below_k"),
+        col("min_class_size"), col("max_class_size"),
+        (col("classes_below_k") === 0L).as("anonymous"))
+  }
 }

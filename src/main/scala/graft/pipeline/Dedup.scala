@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -713,5 +714,35 @@ object Dedup {
         coalesce(col("__dup"), lit(0L)).as("dup_shingles"),
         (coalesce(col("__dup"), lit(0L)).cast("double") /
           greatest(coalesce(col("__n"), lit(0L)), lit(1L))).as("dup_frac"))
+  }
+
+  /** Survivorship / golden-record construction — the step AFTER dedup
+    * clustering: merge each duplicate cluster into one canonical record.
+    * Field policy is most-frequent-NON-NULL per attribute with a
+    * deterministic tie-break (higher count wins, then smaller value), so
+    * the golden record is a pure function of the cluster's contents —
+    * identical on any engine, any partitioning, any retry.
+    *
+    * Shape: one (cluster) aggregate for id/size, plus per attribute one
+    * (cluster, value) count aggregate + a rank-1 window PARTITIONED BY
+    * CLUSTER (key-sharded — no global window), joined back on the
+    * cluster key. Every joined table is post-aggregation (|clusters|
+    * rows, not raw rows). A cluster whose attribute is entirely NULL
+    * yields NULL for that field (left join). */
+  def goldenRecord(df: DataFrame, clusterCol: String, idCol: String,
+                   attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "goldenRecord: need at least one attribute")
+    val base = df.groupBy(col(clusterCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
+    attrCols.foldLeft(base) { (acc, a) =>
+      val counts = df.where(col(a).isNotNull)
+        .groupBy(col(clusterCol), col(a)).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col(clusterCol))
+        .orderBy(col("__c").desc, col(a).asc)
+      val mode = counts.withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+        .select(col(clusterCol), col(a).as(s"golden_$a"))
+      acc.join(mode, Seq(clusterCol), "left")
+    }
   }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -298,5 +299,95 @@ object Profile {
           (nd * col("__sxy") - col("__sx") * col("__sy"))) /
           ((nd * col("__sxx") - col("__sx") * col("__sx")) *
            (nd * col("__syy") - col("__sy") * col("__sy")))).as("r2"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the "is quality correlated with domain?" check a corpus
+    * audit runs. One (a, b) aggregation shuffle produces the contingency
+    * cells; marginals and the total are window sums OVER THE CELLS (the
+    * |A|·|B| aggregate, tiny by the nature of a contingency test — never
+    * the raw rows).
+    *
+    * Cross-engine determinism: counts are exact integers; each cell's
+    * contribution (n−e)²/e is one fixed IEEE dag evaluated identically
+    * everywhere, then rounded to 6 dp and summed as DECIMAL so the final
+    * statistic is independent of cell order (the q_tfidf ln-rounding
+    * convention). Output: 1 row (n, cells, dof, chi2). */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    val wa = Window.partitionBy("__a")
+    val wb = Window.partitionBy("__b")
+    val wAll = Window.partitionBy()
+    val e = (sum(col("__c")).over(wa).cast("double") *
+             sum(col("__c")).over(wb).cast("double")) /
+            sum(col("__c")).over(wAll).cast("double")
+    val diff = col("__c").cast("double") - e
+    cells
+      .select(col("__a"), col("__b"), col("__c"),
+        round(diff * diff / e, 6).cast("decimal(24,6)").as("__contrib"))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("cells"),
+        ((count_distinct(col("__a")) - lit(1L)) *
+         (count_distinct(col("__b")) - lit(1L))).as("dof"),
+        sum(col("__contrib")).cast("string").cast("double").as("chi2"))
+  }
+
+  /** Welch's unequal-variance t-test between two groups of a numeric
+    * column — the A/B significance check over experiment events. ONE
+    * conditional-aggregation pass (no pivot, no join): exact
+    * DECIMAL(12,2) moment sums per arm, then means/variances/t/dof as a
+    * fixed double dag over digit-string-cast sums (the corrExact
+    * convention — bit-identical on any engine, any partitioning).
+    * Intermediates are MATERIALIZED column layers so shared subterms
+    * evaluate once (the linearFit convention). Output: 1 row
+    * (n_a, n_b, mean_a, mean_b, t_stat, dof). */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+                 groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(12,2)")
+    def d(c: Column) = c.cast("string").cast("double")
+    val base = df.where(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .agg(count(when(col(groupCol) === lit(groupA), 1L)).as("n_a"),
+        d(sum(when(col(groupCol) === lit(groupA), v))).as("__s_a"),
+        d(sum(when(col(groupCol) === lit(groupA), v * v))).as("__ss_a"),
+        count(when(col(groupCol) === lit(groupB), 1L)).as("n_b"),
+        d(sum(when(col(groupCol) === lit(groupB), v))).as("__s_b"),
+        d(sum(when(col(groupCol) === lit(groupB), v * v))).as("__ss_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    base
+      .select(col("n_a"), col("n_b"),
+        (col("__s_a") / na).as("mean_a"), (col("__s_b") / nb).as("mean_b"),
+        ((col("__ss_a") - col("__s_a") * col("__s_a") / na) / (na - lit(1.0))).as("__v_a"),
+        ((col("__ss_b") - col("__s_b") * col("__s_b") / nb) / (nb - lit(1.0))).as("__v_b"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        (col("__v_a") / col("n_a").cast("double")).as("__se_a"),
+        (col("__v_b") / col("n_b").cast("double")).as("__se_b"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        ((col("mean_a") - col("mean_b")) /
+          sqrt(col("__se_a") + col("__se_b"))).as("t_stat"),
+        (((col("__se_a") + col("__se_b")) * (col("__se_a") + col("__se_b"))) /
+          (col("__se_a") * col("__se_a") / (col("n_a").cast("double") - lit(1.0)) +
+           col("__se_b") * col("__se_b") / (col("n_b").cast("double") - lit(1.0)))).as("dof"))
+  }
+
+  /** Key-distribution skew profile — the diagnostic that DECIDES whether
+    * a key needs salting (Aggregates.saltedAgg) before a 100 TB groupBy:
+    * row count, distinct keys, the hottest key's count and share, and the
+    * Shannon entropy of the key distribution (max = ln n_keys; a low
+    * ratio means a few keys dominate). One key aggregation shuffle; the
+    * entropy fold runs over the per-key counts (|keys| rows, not raw
+    * rows) with each −p·ln p term rounded 6 dp and summed as DECIMAL so
+    * the result is order-independent (q_tfidf convention). */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
+    val n = sum(col("__c")).over(Window.partitionBy()).cast("double")
+    counts
+      .select(col("__c"),
+        round(-(col("__c").cast("double") / n) * log(col("__c").cast("double") / n), 6)
+          .cast("decimal(24,6)").as("__h"))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("n_keys"),
+        max(col("__c")).as("max_key_count"),
+        round(max(col("__c")).cast("double") /
+          sum(col("__c")).cast("double"), 6).as("top_share"),
+        sum(col("__h")).cast("string").cast("double").as("entropy"))
   }
 }

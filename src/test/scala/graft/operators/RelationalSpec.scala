@@ -534,4 +534,41 @@ class RelationalSpec extends SparkSpec {
     assert(back.count() == 10000)
     assert(rows(back.agg(sum("v"), sum("k"))) == rows(data.agg(sum("v"), sum("k"))))
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+                 (4L, null.asInstanceOf[String], 40.0)).toDF("k", "s", "v")
+    val v2 = Seq((1L, "a", 10.0),                       // unchanged
+                 (2L, "B", 20.0),                       // changed (s)
+                 (4L, "d", 40.0),                       // changed (null -> d, NULL-safe)
+                 (5L, "e", 50.0)).toDF("k", "s", "v")   // added; 3 removed
+    withPartitionings(v1) { d1 =>
+      val out = rows(Relational.snapshotDiff(d1, v2, Seq("k"), Seq("s", "v"))
+        .orderBy("k"))
+      assert(out == Seq(Seq(2L, "changed"), Seq(3L, "removed"),
+        Seq(4L, "changed"), Seq(5L, "added")))
+    }
+  }
+
+  test("joinCardinality predicts the exact inner-join row count without joining") {
+    import spark.implicits._
+    val l = Seq(Some(1L), Some(1L), Some(2L), Some(2L), Some(2L), Some(3L), None)
+      .toDF("k")
+    val r = Seq(1L, 2L, 2L, 9L).toDF("k")
+    val out = rows(Relational.joinCardinality(l, r, "k", "k")).head
+    // matched keys {1, 2}; rows = 2·1 + 3·2 = 8; null key never matches
+    assert(out == Seq(7L, 4L, 2L, 8L))
+    val actual = l.where(col("k").isNotNull)
+      .join(r.withColumnRenamed("k", "rk"), col("k") === col("rk")).count()
+    assert(actual == 8L)
+  }
+
+  test("joinCardinality on disjoint keys reports zero join rows") {
+    import spark.implicits._
+    val l = Seq(1L, 2L).toDF("k")
+    val r = Seq(3L).toDF("k")
+    assert(rows(Relational.joinCardinality(l, r, "k", "k")) ==
+      Seq(Seq(2L, 1L, 0L, 0L)))
+  }
 }

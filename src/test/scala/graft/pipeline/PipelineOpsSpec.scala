@@ -814,4 +814,80 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("chiSquareIndependence: independent 2x2 gives chi2 = 0; hand case matches") {
+    // perfectly proportional cells → expected == observed → chi2 exactly 0
+    val indep = Seq(("x", "p"), ("x", "p"), ("x", "q"),
+                    ("y", "p"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    withPartitionings(indep) { dd =>
+      val out = rows(Profile.chiSquareIndependence(dd, "a", "b"))
+      assert(out == Seq(Seq(6L, 4L, 1L, 0.0)))
+    }
+    // hand-computed 2x2: cells (10,20 / 20,10), n=60, e=15 everywhere →
+    // chi2 = 4·(5²/15) = 6.666668 after 6-dp per-cell rounding (1.666667·4)
+    val skewed = (Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+                  Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val out2 = rows(Profile.chiSquareIndependence(skewed, "a", "b"))
+    assert(out2 == Seq(Seq(60L, 4L, 1L, 6.666668)))
+  }
+
+  test("welchTTest: equal arms give t = 0; hand case matches scipy-checked values") {
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("b", 1.0), ("b", 2.0), ("b", 3.0), ("c", 99.0)).toDF("g", "v")
+    withPartitionings(d) { dd =>
+      val out = rows(Profile.welchTTest(dd, "g", "v", "a", "b"))
+      assert(out.size == 1)
+      val r = out.head
+      assert(r(0) == 3L && r(1) == 3L)         // group c excluded
+      assert(r(2) == 2.0 && r(3) == 2.0)
+      assert(r(4).asInstanceOf[Double] == 0.0) // identical arms
+      assert(math.abs(r(5).asInstanceOf[Double] - 4.0) < 1e-12) // equal vars → dof = n1+n2-2
+    }
+    // unequal arms: a = (1,2,3), b = (2,4,6,8) → means 2, 5; vars 1, 20/3
+    // t = -3/sqrt(1/3 + 5/3) = -3/sqrt(2); Welch dof = 2²/(1/18 + 25/27) = 216/53
+    val d2 = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+                 ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("g", "v")
+    val r2 = rows(Profile.welchTTest(d2, "g", "v", "a", "b")).head
+    assert(math.abs(r2(4).asInstanceOf[Double] - (-2.1213203435596424)) < 1e-12)
+    assert(math.abs(r2(5).asInstanceOf[Double] - 216.0 / 53.0) < 1e-9)
+  }
+
+  test("keySkewProfile: uniform keys maximize entropy; constant key zeroes it") {
+    val uniform = Seq(1L, 2L, 3L, 4L).toDF("k")
+    withPartitionings(uniform) { dd =>
+      val out = rows(Profile.keySkewProfile(dd, "k"))
+      // 4 keys × p=1/4 → entropy = ln 4 (each term rounded 6dp: 0.346574×4)
+      assert(out == Seq(Seq(4L, 4L, 1L, 0.25, 1.386296)))
+    }
+    val constant = Seq(7L, 7L, 7L).toDF("k")
+    assert(rows(Profile.keySkewProfile(constant, "k")) ==
+      Seq(Seq(3L, 1L, 3L, 1.0, 0.0)))
+  }
+
+  test("goldenRecord: most-frequent-non-null wins; ties break to smaller value; all-null gives NULL") {
+    val d = Seq(
+      (10L, 1L, "en", "web"), (10L, 2L, "en", "books"), (10L, 3L, "de", "books"),
+      (20L, 4L, "fr", null), (20L, 5L, "es", null),     // lang tie -> es; source all-null
+      (30L, 6L, null, "cc")).toDF("cl", "id", "lang", "src")
+    withPartitionings(d) { dd =>
+      val out = rows(Dedup.goldenRecord(dd, "cl", "id", Seq("lang", "src"))
+        .orderBy("cl"))
+      assert(out == Seq(
+        Seq(10L, 1L, 3L, "en", "books"),   // en 2>1; books 2>1
+        Seq(20L, 4L, 2L, "es", null),
+        Seq(30L, 6L, 1L, null, "cc")))
+    }
+  }
+
+  test("kAnonymity: classes below k are counted; verdict flips at the threshold") {
+    val d = Seq((1, "A"), (1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "C"))
+      .toDF("qa", "qb")
+    withPartitionings(d) { dd =>
+      val out = rows(Checks.kAnonymity(dd, Seq("qa", "qb"), 3L))
+      // classes: (1,A)=3, (2,B)=2, (3,C)=1 → 2 below k=3 covering 3 rows
+      assert(out == Seq(Seq(3L, 6L, 3L, 2L, 3L, 1L, 3L, false)))
+      assert(rows(Checks.kAnonymity(dd, Seq("qa", "qb"), 1L)) ==
+        Seq(Seq(1L, 6L, 3L, 0L, 0L, 1L, 3L, true)))
+    }
+  }
 }
