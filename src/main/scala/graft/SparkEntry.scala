@@ -2038,6 +2038,27 @@ object SparkEntry {
       "l_orderkey", "o_orderkey")
   }
 
+  private def qBasket(s: SparkSession, d: String): DataFrame = {
+    // Item-pair association rules over order baskets (parts per order),
+    // support >= 2 baskets; ratios are fixed double dags over exact counts.
+    Relational.sort(col("i1"), col("i2"))(
+      graft.pipeline.Association.itemPairRules(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupportCount = 2L))
+  }
+
+  private def qSpatialJoin(s: SparkSession, d: String): DataFrame = {
+    // Grid-blocked radius join over synthetic integer points (portable
+    // hash coords in a 4000x4000 plane, radius 64): recall-exact vs the
+    // all-pairs oracle — equality PROVES the 3x3 cell blocking lost
+    // nothing (q_fuzzy_join standard).
+    val m = 2147483648L
+    val pts = Tables.documents(s, d).select(col("doc_id").as("id"),
+      (pmod(col("doc_id"), lit(m)) * lit(2654435761L) % lit(m) % lit(4000L)).as("x"),
+      (pmod(col("doc_id"), lit(m)) * lit(2246822519L) % lit(m) % lit(4000L)).as("y"))
+    Relational.sort(col("id_a"), col("id_b"))(
+      graft.pipeline.Spatial.radiusJoinGrid(pts, "id", "x", "y", radius = 64L))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2661,6 +2682,8 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_golden" -> (qGolden _),
     "q_join_size" -> (qJoinSize _),
+    "q_basket" -> (qBasket _),
+    "q_spatial_join" -> (qSpatialJoin _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4219,5 +4242,30 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(lc.c * rc.c), 0) AS BIGINT) AS join_rows FROM lc JOIN rc USING (k))
         |SELECT (SELECT count(*) FROM lineitem) AS n_left,
         |  (SELECT count(*) FROM orders) AS n_right, matched_keys, join_rows FROM m""".stripMargin,
+    // item-pair association rules: exact counts, fixed double dags
+    "q_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+        |ic AS (SELECT i, count(*) AS c FROM items GROUP BY 1),
+        |p AS (SELECT a.i AS i1, b.i AS i2, count(*) AS c12 FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.i1, p.i2, p.c12, c1.c AS c1, c2.c AS c2, nb.n_baskets,
+        |  CAST(p.c12 AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+        |  CAST(p.c12 AS DOUBLE) / CAST(c1.c AS DOUBLE) AS confidence,
+        |  (CAST(nb.n_baskets AS DOUBLE) * CAST(p.c12 AS DOUBLE)) /
+        |    (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)) AS lift
+        |FROM p JOIN ic c1 ON p.i1 = c1.i JOIN ic c2 ON p.i2 = c2.i CROSS JOIN nb
+        |ORDER BY p.i1, p.i2""".stripMargin,
+    // spatial radius join: ALL-PAIRS oracle — equality proves grid recall
+    "q_spatial_join" ->
+      """WITH p AS (SELECT doc_id AS id,
+        |  ((doc_id % 2147483648) * 2654435761 % 2147483648) % 4000 AS x,
+        |  ((doc_id % 2147483648) * 2246822519 % 2147483648) % 4000 AS y FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4096
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -879,6 +879,49 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("itemPairRules: presence-based counts, support prune, hand-checked lift") {
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a,a,c} (dup a counts once) 4:{b}
+    val d = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+                (3L, "a"), (3L, "a"), (3L, "c"), (4L, "b")).toDF("b", "i")
+    withPartitionings(d) { dd =>
+      val out = rows(Association.itemPairRules(dd, "b", "i", 2L)
+        .orderBy("i1", "i2"))
+      // pairs: (a,b)=2, (a,c)=2, (b,c)=1(pruned); n=4, a=3, b=3, c=2
+      assert(out == Seq(
+        Seq("a", "b", 2L, 3L, 3L, 4L, 0.5, 2.0 / 3.0, (4.0 * 2.0) / (3.0 * 3.0)),
+        Seq("a", "c", 2L, 3L, 2L, 4L, 0.5, 2.0 / 3.0, (4.0 * 2.0) / (3.0 * 2.0))))
+    }
+  }
+
+  test("radiusJoinGrid: floor-div cells, boundary pairs kept, recall equals brute force") {
+    // floorDiv correctness on negatives: -1 div 4 = -1, not 0
+    val fd = Seq(-5L, -4L, -1L, 0L, 3L, 4L).toDF("x")
+      .select(Spatial.floorDiv(col("x"), 4L).as("f"))
+    assert(rows(fd).flatten == Seq(-2L, -1L, -1L, 0L, 0L, 1L))
+    // hand case: exactly-at-radius pair kept (inclusive), cross-cell pair found
+    val pts = Seq((1L, 0L, 0L), (2L, 3L, 4L),     // d2 = 25 = r² (keep, crosses cells)
+                  (3L, 100L, 100L), (4L, 104L, 97L), // d2 = 25 (keep)
+                  (5L, 0L, 6L)).toDF("id", "x", "y") // d2 to 1: 36 > 25 (drop); to 2: 13 (keep)
+    withPartitionings(pts) { dd =>
+      val out = rows(Spatial.radiusJoinGrid(dd, "id", "x", "y", 5L)
+        .orderBy("id_a", "id_b"))
+      assert(out == Seq(Seq(1L, 2L, 25L), Seq(2L, 5L, 13L), Seq(3L, 4L, 25L)))
+    }
+    // recall-exactness vs brute force on a deterministic scatter
+    val scatter = spark.range(0, 200).toDF("id")
+      .select(col("id"), (col("id") * 37L % 211L).as("x"), (col("id") * 53L % 199L).as("y"))
+    val grid = rows(Spatial.radiusJoinGrid(scatter, "id", "x", "y", 16L)
+      .orderBy("id_a", "id_b"))
+    val a = scatter.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"))
+    val b = scatter.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+             (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val brute = rows(a.crossJoin(b)
+      .where(col("id_a") < col("id_b") && d2 <= lit(256L))
+      .select(col("id_a"), col("id_b"), d2.as("d2")).orderBy("id_a", "id_b"))
+    assert(grid.nonEmpty && grid == brute)
+  }
+
   test("kAnonymity: classes below k are counted; verdict flips at the threshold") {
     val d = Seq((1, "A"), (1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "C"))
       .toDF("qa", "qb")
