@@ -2059,6 +2059,23 @@ object SparkEntry {
       graft.pipeline.Spatial.radiusJoinGrid(pts, "id", "x", "y", radius = 64L))
   }
 
+  private def qKmeans(s: SparkSession, d: String): DataFrame = {
+    // Deterministic Lloyd k-means over floor-quantized embeddings (k=8,
+    // 3 iterations): exact integer assignment + floor-div updates; the
+    // oracle unrolls all three iterations as CTE chains.
+    Relational.sort(col("cid"), col("dim"))(
+      graft.pipeline.Similarity.kmeansQuantized(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 8, iters = 3))
+  }
+
+  private def qRproj(s: SparkSession, d: String): DataFrame = {
+    // Portable-sign JL projection 64 -> 16 dims: each output coord is one
+    // codegen'd vec_dot against a literal parity-sign vector.
+    Relational.sort(col("vec_id"), col("rp_dim"))(
+      graft.pipeline.Similarity.randomProjection(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, outDims = 16))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2684,6 +2701,8 @@ object SparkEntry {
     "q_join_size" -> (qJoinSize _),
     "q_basket" -> (qBasket _),
     "q_spatial_join" -> (qSpatialJoin _),
+    "q_kmeans" -> (qKmeans _),
+    "q_rproj" -> (qRproj _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4267,5 +4286,50 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.id < b.id
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4096
         |ORDER BY 1, 2""".stripMargin,
+    // deterministic k-means: 3 Lloyd iterations unrolled (q_pagerank standard);
+    // assignment = exact integer d2 argmin (tie -> smaller cid), update =
+    // floor-divided dimension sums, empty cluster keeps its centroid
+    "q_kmeans" ->
+      """WITH pts AS (SELECT vec_id AS id, CAST(i AS INTEGER) AS dim,
+        |  CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) gs),
+        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cid
+        |  FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT 8)),
+        |c0 AS (SELECT init.cid, p.dim, p.q AS v FROM pts p JOIN init ON p.id = init.id),
+        |a1 AS (SELECT id, cid FROM (
+        |  SELECT p.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY SUM((p.q - c.v) * (p.q - c.v)) ASC, c.cid ASC) AS rn
+        |  FROM pts p JOIN c0 c ON p.dim = c.dim GROUP BY p.id, c.cid) WHERE rn = 1),
+        |s1 AS (SELECT a.cid, p.dim, SUM(p.q) AS s, count(*) AS n FROM pts p JOIN a1 a ON p.id = a.id GROUP BY 1, 2),
+        |c1 AS (SELECT c0.cid, c0.dim,
+        |  CAST(COALESCE((s1.s - (((s1.s % s1.n) + s1.n) % s1.n)) // s1.n, c0.v) AS BIGINT) AS v
+        |  FROM c0 LEFT JOIN s1 ON c0.cid = s1.cid AND c0.dim = s1.dim),
+        |a2 AS (SELECT id, cid FROM (
+        |  SELECT p.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY SUM((p.q - c.v) * (p.q - c.v)) ASC, c.cid ASC) AS rn
+        |  FROM pts p JOIN c1 c ON p.dim = c.dim GROUP BY p.id, c.cid) WHERE rn = 1),
+        |s2 AS (SELECT a.cid, p.dim, SUM(p.q) AS s, count(*) AS n FROM pts p JOIN a2 a ON p.id = a.id GROUP BY 1, 2),
+        |c2 AS (SELECT c1.cid, c1.dim,
+        |  CAST(COALESCE((s2.s - (((s2.s % s2.n) + s2.n) % s2.n)) // s2.n, c1.v) AS BIGINT) AS v
+        |  FROM c1 LEFT JOIN s2 ON c1.cid = s2.cid AND c1.dim = s2.dim),
+        |a3 AS (SELECT id, cid FROM (
+        |  SELECT p.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY SUM((p.q - c.v) * (p.q - c.v)) ASC, c.cid ASC) AS rn
+        |  FROM pts p JOIN c2 c ON p.dim = c.dim GROUP BY p.id, c.cid) WHERE rn = 1),
+        |s3 AS (SELECT a.cid, p.dim, SUM(p.q) AS s, count(*) AS n FROM pts p JOIN a3 a ON p.id = a.id GROUP BY 1, 2),
+        |c3 AS (SELECT c2.cid, c2.dim,
+        |  CAST(COALESCE((s3.s - (((s3.s % s3.n) + s3.n) % s3.n)) // s3.n, c2.v) AS BIGINT) AS v
+        |  FROM c2 LEFT JOIN s3 ON c2.cid = s3.cid AND c2.dim = s3.dim)
+        |SELECT cid, dim, v FROM c3 ORDER BY cid, dim""".stripMargin,
+    // JL random projection: portable parity signs, exact integer sums
+    "q_rproj" ->
+      """WITH pts AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |  CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) gs)
+        |SELECT vec_id, CAST(j AS INTEGER) AS rp_dim,
+        |  CAST(SUM(q * (CASE WHEN ((i + 1) * 2654435761 + (j + 1) * 2246822519) % 2147483648 % 2 = 0
+        |    THEN 1 ELSE -1 END)) AS BIGINT) AS rp_value
+        |FROM pts, (SELECT unnest(generate_series(0, 15)) AS j) js
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

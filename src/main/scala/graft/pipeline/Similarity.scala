@@ -213,4 +213,79 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     sym.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** DETERMINISTIC k-means training (Lloyd) over floor-quantized integer
+    * coordinates — unlike float k-means (ivfCentroids), every step is
+    * exact arithmetic: assignment distances are integral values carried
+    * exactly in doubles (all magnitudes ≪ 2^53), centroid updates are
+    * integer floor-divided dimension sums, ties break to the smaller
+    * centroid index. The fixed point is therefore bit-identical under any
+    * partitioning, any engine, any retry — trainable index metadata a
+    * SQL oracle can replay by unrolling the iterations (the q_pagerank
+    * standard).
+    *
+    * Per iteration: one codegen'd k-way argmin projection (reduced score
+    * −2·v·c + |c|² — the per-row |v|² term is argmin-invariant and
+    * dropped), one (cell, dim) sum aggregation, and a k×dim driver
+    * collect (bounded index metadata, the ivfCentroids pattern). Output:
+    * (cid, dim, v) — the final quantized centroids. */
+  def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansQuantized: k and iters must be >= 1")
+    val q = df.select(col(idCol).as("__id"),
+        transform(asDoubleVec(col(vecCol)),
+          x => floor(x * lit(scale.toDouble)).cast("double")).as("__q"))
+      .where(col("__id").isNotNull && col("__q").isNotNull)
+    var cents: Array[Array[Long]] = q.orderBy("__id").limit(k)
+      .select("__q").collect()
+      .map(_.getSeq[Double](0).map(_.toLong).toArray)
+    require(cents.length == k, s"kmeansQuantized: need >= $k vectors, got ${cents.length}")
+    (1 to iters).foreach { _ =>
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        val cl = array(c.map(v => lit(v.toDouble)): _*)
+        struct((lit(-2.0) * dot(col("__q"), cl) +
+          lit(c.map(v => v.toDouble * v).sum)).as("s"), lit(i).as("i"))
+      }
+      val best = if (scored.length == 1) scored.head else least(scored: _*)
+      val sums = q.withColumn("__cell", best.getField("i"))
+        .select(col("__cell"), posexplode(col("__q")).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(sum(col("__x").cast("long")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          Math.floorDiv(r.getLong(2), r.getLong(3))).toMap
+      cents = cents.zipWithIndex.map { case (prev, i) =>
+        prev.indices.map(p => sums.getOrElse((i, p), prev(p))).toArray
+      }
+    }
+    val sp = df.sparkSession
+    import sp.implicits._
+    cents.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, p) => (i, p, v) }
+    }.toSeq.toDF("cid", "dim", "v")
+  }
+
+  /** Johnson–Lindenstrauss random projection with a ±1 PORTABLE sign
+    * matrix — the dimensionality-reduction step before ANN at 100 TB
+    * (a 64-d float vector becomes outDims exact integers; distances are
+    * preserved in expectation, Achlioptas 2001). The sign of input dim i
+    * in output dim j is the parity of a portable integer hash, so any
+    * SQL engine reproduces the ENTIRE projection exactly: inputs are
+    * floor-quantized to integers and each output coordinate is one
+    * codegen'd vec_dot against a literal sign vector (exact integral
+    * doubles — zero shuffles, zero UDFs, no interpreted HOF fold).
+    * Output: (id, rp_dim, rp_value) long-form. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, outDims: Int = 16, scale: Int = 1000): DataFrame = {
+    require(outDims >= 1 && dim >= 1, "randomProjection: dims must be >= 1")
+    def sign(i: Int, j: Int): Double =
+      if (((i + 1) * 2654435761L + (j + 1) * 2246822519L) % 2147483648L % 2 == 0) 1.0
+      else -1.0
+    val q = transform(asDoubleVec(col(vecCol)), x => floor(x * lit(scale.toDouble)).cast("double"))
+    val outs = (0 until outDims).map { j =>
+      val signs = array((0 until dim).map(i => lit(sign(i, j))): _*)
+      dot(q, signs).cast("long")
+    }
+    df.select(col(idCol), posexplode(array(outs: _*)).as(Seq("rp_dim", "rp_value")))
+  }
 }

@@ -96,4 +96,46 @@ class AnnAndSaltSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(sh == sh2)
   }
+
+  test("kmeansQuantized: hand-traced 2-cluster convergence, bit-identical under partitionings") {
+    val d = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 1.0f)),
+                (2L, Seq(10.0f, 10.0f)), (3L, Seq(11.0f, 11.0f))).toDF("id", "v")
+    withPartitionings(d) { dd =>
+      val out = rows(Similarity.kmeansQuantized(dd, "id", "v", k = 2, iters = 2,
+        scale = 1).orderBy("cid", "dim"))
+      // iter1: c0={p0}->(0,0); c1={p1,p2,p3}->(7,7); iter2 reassigns p1 to
+      // c0: c0=floor(1/2)=(0,0), c1=(10,10)
+      assert(out == Seq(Seq(0, 0, 0L), Seq(0, 1, 0L), Seq(1, 0, 10L), Seq(1, 1, 10L)))
+    }
+  }
+
+  test("kmeansQuantized: negative sums floor-divide (not truncate); equidistant ties to smaller cid") {
+    val neg = Seq((0L, Seq(-1.0f, -1.0f)), (1L, Seq(-2.0f, -2.0f))).toDF("id", "v")
+    // one cluster: sum -3 over 2 members -> floorDiv = -2 per dim
+    assert(rows(Similarity.kmeansQuantized(neg, "id", "v", k = 1, iters = 1, scale = 1)
+      .orderBy("dim")) == Seq(Seq(0, 0, -2L), Seq(0, 1, -2L)))
+    // p2 at (1,0) is equidistant from c0 (0,0) and c1 (2,0): tie -> c0, so
+    // c0 becomes floor((0+1)/2)=(0,0) and c1 stays (2,0)
+    val tie = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
+                  (2L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    assert(rows(Similarity.kmeansQuantized(tie, "id", "v", k = 2, iters = 1, scale = 1)
+      .orderBy("cid", "dim")) ==
+      Seq(Seq(0, 0, 0L), Seq(0, 1, 0L), Seq(1, 0, 2L), Seq(1, 1, 0L)))
+  }
+
+  test("randomProjection: unit vector reads out the sign column; values exact and stable") {
+    def sign(i: Int, j: Int): Long =
+      if (((i + 1) * 2654435761L + (j + 1) * 2246822519L) % 2147483648L % 2 == 0) 1L else -1L
+    val d = Seq((7L, Seq(2.0f))).toDF("id", "v") // dim=1: rp_j = 2·sign(0, j)
+    val out = rows(Similarity.randomProjection(d, "id", "v", dim = 1, outDims = 4,
+      scale = 1).orderBy("rp_dim"))
+    assert(out == (0 until 4).map(j => Seq(7L, j, 2L * sign(0, j))))
+    // multi-dim: exact integer sum of signed quantized coords
+    val d2 = Seq((1L, Seq(0.5f, -1.5f, 2.0f))).toDF("id", "v")
+    val out2 = rows(Similarity.randomProjection(d2, "id", "v", dim = 3, outDims = 2,
+      scale = 10).orderBy("rp_dim"))
+    val q = Seq(5L, -15L, 20L) // floor(x*10)
+    assert(out2 == (0 until 2).map(j =>
+      Seq(1L, j, (0 until 3).map(i => q(i) * sign(i, j)).sum)))
+  }
 }
