@@ -2076,6 +2076,36 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, outDims = 16))
   }
 
+  private def qAnova(s: SparkSession, d: String): DataFrame = {
+    // One-way ANOVA of extendedprice across return flags: exact decimal
+    // moments per group, grand totals as window sums over the k-row
+    // group table, terms 6-dp-rounded and decimal-summed.
+    graft.pipeline.Profile.anovaF(Tables.lineitem(s, d),
+      "l_returnflag", "l_extendedprice")
+  }
+
+  private def qAttribution(s: SparkSession, d: String): DataFrame = {
+    // Last-touch credit for every purchase: one user-sharded window over
+    // the whole stream; times surface as epoch micros (both engines hash
+    // the same integers).
+    val out = graft.pipeline.Events.attribution(Tables.events(s, d),
+      "user_id", "ts", "event_id", "event_type", "purchase",
+      Seq("view", "click"), model = "last")
+    Relational.sort(col("conversion_id"))(
+      out.select(col("conversion_id"), col("user_id"),
+        unix_micros(col("conv_ts")).as("conv_ts"), col("touch_type"),
+        unix_micros(col("touch_ts")).as("touch_ts")))
+  }
+
+  private def qDpCounts(s: SparkSession, d: String): DataFrame = {
+    // Seeded geometric-mechanism noisy customer counts per nation
+    // (alpha = 0.5 <=> epsilon = ln 2); the oracle replays hash, inverse
+    // CDF, and noise arithmetic.
+    Relational.sort(col("c_nationkey"))(
+      graft.pipeline.Checks.noisyCounts(Tables.customer(s, d),
+        "c_nationkey", alpha = 0.5, seed = 7L))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2703,6 +2733,9 @@ object SparkEntry {
     "q_spatial_join" -> (qSpatialJoin _),
     "q_kmeans" -> (qKmeans _),
     "q_rproj" -> (qRproj _),
+    "q_anova" -> (qAnova _),
+    "q_attribution" -> (qAttribution _),
+    "q_dp_counts" -> (qDpCounts _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4331,5 +4364,51 @@ object SparkEntry {
         |    THEN 1 ELSE -1 END)) AS BIGINT) AS rp_value
         |FROM pts, (SELECT unnest(generate_series(0, 15)) AS j) js
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // one-way ANOVA: decimal moments, 6-dp decimal-summed SS terms
+    "q_anova" ->
+      """WITH g AS (SELECT l_returnflag AS grp, count(*) AS n,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sdec,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS ssdec
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |t AS (SELECT n,
+        |  CAST(round(CAST(CAST(ssdec AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(sdec AS VARCHAR) AS DOUBLE) * CAST(CAST(sdec AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DECIMAL(24,6)) AS ssw,
+        |  CAST(round(CAST(n AS DOUBLE) *
+        |    (CAST(CAST(sdec AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(CAST(SUM(sdec) OVER () AS VARCHAR) AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)) *
+        |    (CAST(CAST(sdec AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(CAST(SUM(sdec) OVER () AS VARCHAR) AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)), 6) AS DECIMAL(24,6)) AS ssb
+        |  FROM g),
+        |a AS (SELECT count(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(ssb) AS VARCHAR) AS DOUBLE) AS ssb,
+        |  CAST(CAST(SUM(ssw) AS VARCHAR) AS DOUBLE) AS ssw FROM t)
+        |SELECT k, n, k - 1 AS dof_between, n - k AS dof_within, ssb, ssw,
+        |  (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
+        |FROM a""".stripMargin,
+    // last-touch attribution: one IGNORE NULLS window, strictly-before frame
+    "q_attribution" ->
+      """WITH t AS (SELECT event_id, user_id, ts, event_type,
+        |  LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+        |  LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN epoch_ns(ts) // 1000 END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+        |  FROM events)
+        |SELECT event_id AS conversion_id, user_id, epoch_ns(ts) // 1000 AS conv_ts,
+        |  touch_type, touch_ts
+        |FROM t WHERE event_type = 'purchase' ORDER BY conversion_id""".stripMargin,
+    // seeded geometric mechanism: portable hash -> uniform -> inverse CDF
+    "q_dp_counts" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1),
+        |k AS (SELECT c_nationkey, n,
+        |  (((c_nationkey % 2147483648) * ((15 * 2654435761) % 2147483648)) % 2147483648
+        |    + (7 * 2246822519) % 2147483648) % 2147483648 AS k1,
+        |  (((c_nationkey % 2147483648) * ((17 * 2654435761) % 2147483648)) % 2147483648
+        |    + (8 * 2246822519) % 2147483648) % 2147483648 AS k2
+        |  FROM c)
+        |SELECT c_nationkey, n
+        |  + CAST(floor(round(ln(1.0 - (CAST(k1 AS DOUBLE) + 0.5) / 2147483648.0) / ln(0.5), 9)) AS BIGINT)
+        |  - CAST(floor(round(ln(1.0 - (CAST(k2 AS DOUBLE) + 0.5) / 2147483648.0) / ln(0.5), 9)) AS BIGINT)
+        |  AS noisy_count
+        |FROM k ORDER BY c_nationkey""".stripMargin,
   )
 }

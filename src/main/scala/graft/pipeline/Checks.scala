@@ -91,6 +91,35 @@ object Checks {
       .withColumn("pass", col("violations") === 0L)
   }
 
+  /** Noisy count release via the two-sided geometric mechanism — the
+    * differential-privacy-SHAPED aggregate (Ghosh–Roughgarden–Sundararajan
+    * 2009: noise = G1 − G2 with Gi geometric on {0,1,…}, success 1−alpha,
+    * which is the discrete Laplace with ε = −ln alpha). The noise here is
+    * SEEDED — a pure function of (group value, seed) via the portable
+    * shuffle key — so releases are reproducible across runs, retries, and
+    * engines, and the whole mechanism replays in SQL. True DP requires
+    * secret randomness; swap the seed for one and the mechanism (and its
+    * ε accounting) is unchanged — the operator is the release PLUMBING.
+    *
+    * Geometric inverse-CDF: G = floor(ln(1−u)/ln alpha) with
+    * u = (shuffleKey + 0.5)/2^31 ∈ (0,1); the ratio is rounded 9 dp
+    * before floor so a 1-ulp libm difference between engines cannot flip
+    * the floor. One aggregation shuffle; noise is a projection over the
+    * group table. Group values must be non-negative integers (the
+    * portable-hash domain). */
+  def noisyCounts(df: DataFrame, groupCol: String, alpha: Double,
+                  seed: Long): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "noisyCounts: alpha must be in (0,1)")
+    def geo(s: Long): Column = {
+      val u = (Sampling.shuffleKey(Seq(col(groupCol)), s).cast("double") +
+        lit(0.5)) / lit(2147483648.0)
+      floor(round(log(lit(1.0) - u) / log(lit(alpha)), 9)).cast("long")
+    }
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+      .select(col(groupCol),
+        (col("__c") + geo(seed) - geo(seed + 1)).as("noisy_count"))
+  }
+
   /** k-anonymity risk report over a set of quasi-identifier columns —
     * the re-identification audit a dataset release runs: every
     * equivalence class (distinct quasi-identifier combination) smaller

@@ -115,4 +115,36 @@ object Events {
       .groupBy(col("__c").as("cohort"), col("offset"))
       .agg(countDistinct(col("__u")).as("users"))
   }
+
+  /** Touch attribution: for every conversion event, the touch event that
+    * gets credit — `model = "last"` (last touch strictly before the
+    * conversion) or `"first"` (earliest touch before it). ONE user-sharded
+    * window pass over the whole event stream (no per-conversion scan, no
+    * self-join): touches become (ts, type) structs, non-touches NULL, and
+    * last/first(ignoreNulls) over rows [unbounded, −1) resolves credit —
+    * the frame end at −1 row makes "strictly before" exact, with
+    * (ts, id) ordering pinning simultaneous-event ties. Conversions with
+    * no prior touch keep NULL credit (organic). */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, conversionType: String,
+                  touchTypes: Seq[String], model: String = "last"): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution: need at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      "attribution: conversion type cannot be a touch type")
+    require(model == "last" || model == "first",
+      s"attribution: unknown model '$model'")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsCol).as("ts"), col(typeCol).as("t")))
+    val credit = if (model == "last") last(touch, ignoreNulls = true).over(w)
+                 else first(touch, ignoreNulls = true).over(w)
+    df.withColumn("__a", credit)
+      .where(col(typeCol) === conversionType)
+      .select(col(idCol).as("conversion_id"), col(userCol).as("user_id"),
+        col(tsCol).as("conv_ts"),
+        col("__a").getField("t").as("touch_type"),
+        col("__a").getField("ts").as("touch_ts"))
+  }
 }

@@ -369,6 +369,40 @@ object Profile {
            col("__se_b") * col("__se_b") / (col("n_b").cast("double") - lit(1.0)))).as("dof"))
   }
 
+  /** One-way ANOVA F-test across ALL groups of a categorical column —
+    * the k-group generalization of welchTTest ("does segment affect
+    * spend at all?"). Per-group exact decimal moments (one aggregation
+    * shuffle), grand totals as window sums over the GROUP table (k rows,
+    * never raw rows), between/within sum-of-squares terms rounded 6 dp
+    * and decimal-summed (group-order-independent, the chi-square
+    * convention). Output: 1 row (k, n, dof_between, dof_within, ssb,
+    * ssw, f_stat). */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(12,2)")
+    def d(c: Column) = c.cast("string").cast("double")
+    val g = df.where(col(valueCol).isNotNull).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__sdec"), sum(v * v).as("__ssdec"))
+    val wAll = Window.partitionBy()
+    val grand = d(sum(col("__sdec")).over(wAll)) /
+      sum(col("__n")).over(wAll).cast("double")
+    val nG = col("__n").cast("double")
+    val meanG = d(col("__sdec")) / nG
+    val terms = g.select(col("__n"),
+      round(d(col("__ssdec")) - d(col("__sdec")) * d(col("__sdec")) / nG, 6)
+        .cast("decimal(24,6)").as("__ssw"),
+      round(nG * (meanG - grand) * (meanG - grand), 6)
+        .cast("decimal(24,6)").as("__ssb"))
+    terms
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__ssb")).cast("string").cast("double").as("ssb"),
+        sum(col("__ssw")).cast("string").cast("double").as("ssw"))
+      .select(col("k"), col("n"),
+        (col("k") - lit(1L)).as("dof_between"),
+        (col("n") - col("k")).as("dof_within"), col("ssb"), col("ssw"),
+        ((col("ssb") / (col("k") - lit(1L)).cast("double")) /
+         (col("ssw") / (col("n") - col("k")).cast("double"))).as("f_stat"))
+  }
+
   /** Key-distribution skew profile — the diagnostic that DECIDES whether
     * a key needs salting (Aggregates.saltedAgg) before a 100 TB groupBy:
     * row count, distinct keys, the hottest key's count and share, and the

@@ -105,4 +105,32 @@ class EventsSpec extends SparkSpec {
     val out = rows(Events.cohortRetention(df, "u", "ts", "week"))
     assert(out == Seq(Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, 2L)))
   }
+
+  test("attribution: last vs first touch, strictly-before frame, organic NULL") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:05:00", "click"),
+      (3L, 1L, "2024-01-01 10:10:00", "purchase"), // last: click, first: view
+      (4L, 1L, "2024-01-01 10:20:00", "purchase"), // no new touch: same credit
+      (5L, 2L, "2024-01-01 09:00:00", "purchase"), // organic: no touch
+      (6L, 3L, "2024-01-02 08:00:00", "purchase"), // touch at SAME ts, smaller
+      (7L, 3L, "2024-01-02 08:00:00", "view"))     // id AFTER conv: no credit
+      .toDF("id", "u", "t", "tp")
+      .select(col("id"), col("u"), to_timestamp(col("t")).as("ts"), col("tp"))
+    withPartitionings(df) { dd =>
+      val last = rows(Events.attribution(dd, "u", "ts", "id", "tp",
+        "purchase", Seq("view", "click"), "last").orderBy("conversion_id"))
+      assert(last == Seq(
+        Seq(3L, 1L, ts("2024-01-01 10:10:00"), "click", ts("2024-01-01 10:05:00")),
+        Seq(4L, 1L, ts("2024-01-01 10:20:00"), "click", ts("2024-01-01 10:05:00")),
+        Seq(5L, 2L, ts("2024-01-01 09:00:00"), null, null),
+        Seq(6L, 3L, ts("2024-01-02 08:00:00"), null, null)))
+      val first = rows(Events.attribution(dd, "u", "ts", "id", "tp",
+        "purchase", Seq("view", "click"), "first").orderBy("conversion_id"))
+      assert(first.take(2) == Seq(
+        Seq(3L, 1L, ts("2024-01-01 10:10:00"), "view", ts("2024-01-01 10:00:00")),
+        Seq(4L, 1L, ts("2024-01-01 10:20:00"), "view", ts("2024-01-01 10:00:00"))))
+    }
+  }
 }

@@ -922,6 +922,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(grid.nonEmpty && grid == brute)
   }
 
+  test("anovaF: hand-computed two-group case (F = t² structure)") {
+    // a = (1,2,3), b = (4,5,6): SSW = 2+2 = 4, SSB = 3·2.25·2 = 13.5,
+    // F = (13.5/1)/(4/4) = 13.5 — all terms exact at 6 dp
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    withPartitionings(d) { dd =>
+      val out = rows(Profile.anovaF(dd, "g", "v"))
+      assert(out == Seq(Seq(2L, 6L, 1L, 4L, 13.5, 4.0, 13.5)))
+    }
+  }
+
+  test("noisyCounts: seeded noise replays exactly and is a pure function of (group, seed)") {
+    def replayNoise(v: Long, seed: Long): Long = {
+      val M = 2147483648L
+      val mult = ((2 * seed + 1) % M) * 2654435761L % M
+      val skey = ((v % M) * mult % M + seed * 2246822519L % M) % M
+      val u = (skey.toDouble + 0.5) / 2147483648.0
+      val ratio = math.log(1.0 - u) / math.log(0.5)
+      math.floor(BigDecimal(ratio)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    }
+    val d = (Seq.fill(40)(3L) ++ Seq.fill(25)(9L)).toDF("g")
+    withPartitionings(d) { dd =>
+      val out = rows(Checks.noisyCounts(dd, "g", alpha = 0.5, seed = 7L)
+        .orderBy("g"))
+      assert(out == Seq(
+        Seq(3L, 40L + replayNoise(3L, 7L) - replayNoise(3L, 8L)),
+        Seq(9L, 25L + replayNoise(9L, 7L) - replayNoise(9L, 8L))))
+    }
+    // a different seed must (generically) move the noise
+    val a = rows(Checks.noisyCounts(d, "g", 0.5, 7L).orderBy("g"))
+    val b = rows(Checks.noisyCounts(d, "g", 0.5, 99L).orderBy("g"))
+    assert(a != b)
+  }
+
   test("kAnonymity: classes below k are counted; verdict flips at the threshold") {
     val d = Seq((1, "A"), (1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "C"))
       .toDF("qa", "qb")
