@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Aggregates, Relational, Sketches}
@@ -2106,6 +2107,57 @@ object SparkEntry {
         "c_nationkey", alpha = 0.5, seed = 7L))
   }
 
+  private def qTextNormalize(s: SparkSession, d: String): DataFrame = {
+    // Aggressive canonicalization + exact-dup grouping on the normalized
+    // form: reformatted copies collapse to one canonical id; shuffles
+    // carry the md5, not the text.
+    val n = Tables.documents(s, d).select(col("doc_id"),
+      graft.pipeline.TextAnalysis.normalizeAggressive(col("text")).as("__nt"))
+    val w = Window.partitionBy(col("__nt"))
+    Relational.sort(col("doc_id"))(
+      n.select(col("doc_id"), md5(col("__nt")).as("fp"),
+        length(col("__nt")).cast("long").as("norm_chars"),
+        min(col("doc_id")).over(w).as("canonical")))
+  }
+
+  private def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    // Materialized (flag, sum, count) aggregate maintained from a change
+    // log — the oracle RECOMPUTES from scratch over the effective row
+    // set, so equality proves incremental == full recompute.
+    val li = Tables.lineitem(s, d)
+    val base = li.where(col("l_linenumber") <= 4)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_v"),
+        count(lit(1)).as("cnt"))
+    val inserts = li.where(col("l_linenumber") > 4)
+      .select(col("l_returnflag"), col("l_quantity"), lit("I").as("op"))
+    val deletes = li.where(col("l_linenumber") === 1 && col("l_orderkey") % 10 === 0)
+      .select(col("l_returnflag"), col("l_quantity"), lit("D").as("op"))
+    val out = Aggregates.incrementalSumCount(base, inserts.unionByName(deletes),
+      Seq("l_returnflag"), "l_quantity", "op")
+    Relational.sort(col("l_returnflag"))(
+      out.select(col("l_returnflag"),
+        col("sum_v").cast("string").cast("double").as("sum_v"), col("cnt")))
+  }
+
+  private def qProfileDrift(s: SparkSession, d: String): DataFrame = {
+    // Release-gate drift check between a table and its next snapshot
+    // (same mutation recipe as q_snapshot_diff): two one-scan profiles
+    // joined on column name.
+    val v1 = Tables.orders(s, d)
+    val v2 = v1.where(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 1, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(v1.where(col("o_orderkey") % 101 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    val out = graft.pipeline.Profile.compareProfiles(v1, v2,
+      Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+    Relational.sort(col("col_name"))(
+      out.withColumn("avg_len_a", round(col("avg_len_a"), 6))
+        .withColumn("avg_len_b", round(col("avg_len_b"), 6)))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2736,6 +2788,9 @@ object SparkEntry {
     "q_anova" -> (qAnova _),
     "q_attribution" -> (qAttribution _),
     "q_dp_counts" -> (qDpCounts _),
+    "q_text_normalize" -> (qTextNormalize _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_profile_drift" -> (qProfileDrift _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4410,5 +4465,71 @@ object SparkEntry {
         |  - CAST(floor(round(ln(1.0 - (CAST(k2 AS DOUBLE) + 0.5) / 2147483648.0) / ln(0.5), 9)) AS BIGINT)
         |  AS noisy_count
         |FROM k ORDER BY c_nationkey""".stripMargin,
+    // aggressive normalization + exact-dup grouping on the canonical form
+    "q_text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT doc_id, md5(nt) AS fp, CAST(length(nt) AS BIGINT) AS norm_chars,
+        |  MIN(doc_id) OVER (PARTITION BY nt) AS canonical
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // incremental maintenance vs FULL RECOMPUTE over the effective set
+    "q_incremental_agg" ->
+      """WITH eff AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_linenumber <= 4 AND NOT (l_linenumber = 1 AND l_orderkey % 10 = 0)
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber > 4)
+        |SELECT l_returnflag,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v,
+        |  count(*) AS cnt
+        |FROM eff GROUP BY 1 ORDER BY 1""".stripMargin,
+    // profile drift: two one-scan profiles joined on column name
+    "q_profile_drift" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 1 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 101 = 5),
+        |pa AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n_nonnull_a,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_a,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct_a,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_num_a, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num_a,
+        |    CAST(NULL AS DOUBLE) AS avg_len_a FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(o_totalprice),
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT o_totalprice), MIN(o_totalprice), MAX(o_totalprice),
+        |    CAST(NULL AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(o_orderstatus),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT o_orderstatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    round(AVG(length(o_orderstatus)), 6) FROM orders),
+        |pb AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n_nonnull_b,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_b,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct_b,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_num_b, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num_b,
+        |    CAST(NULL AS DOUBLE) AS avg_len_b FROM v2
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(o_totalprice),
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT o_totalprice), MIN(o_totalprice), MAX(o_totalprice),
+        |    CAST(NULL AS DOUBLE) FROM v2
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(o_orderstatus),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT o_orderstatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    round(AVG(length(o_orderstatus)), 6) FROM v2)
+        |SELECT pa.col_name, n_nonnull_a, n_null_a, n_distinct_a, min_num_a, max_num_a, avg_len_a,
+        |  n_nonnull_b, n_null_b, n_distinct_b, min_num_b, max_num_b, avg_len_b,
+        |  ((n_nonnull_a IS DISTINCT FROM n_nonnull_b)
+        |    OR (n_null_a IS DISTINCT FROM n_null_b)
+        |    OR (n_distinct_a IS DISTINCT FROM n_distinct_b)) AS drifted
+        |FROM pa JOIN pb ON pa.col_name = pb.col_name ORDER BY pa.col_name""".stripMargin,
   )
 }

@@ -254,4 +254,42 @@ object Aggregates {
     tagged.groupBy(col("__k").as(key), col("__ov").as(overflowCol))
       .agg(specs.head.toColumn, specs.tail.map(_.toColumn): _*)
   }
+
+  /** Incremental aggregate MAINTENANCE — update a materialized
+    * (key, sum, count) aggregate from a change log WITHOUT rescanning the
+    * base data: the 100 TB capability where "re-aggregate the corpus"
+    * costs hours but the day's deltas cost seconds. Works because SUM and
+    * COUNT are commutative groups (retractable): an insert contributes
+    * (+v, +1), a delete (−v, −1), an update is modeled as D + I. MIN/MAX
+    * are NOT retractable and are deliberately absent — maintaining them
+    * incrementally requires the full value multiset, i.e. a rescan.
+    *
+    * Cost: one aggregation over the CHANGES (small by premise) + one
+    * key exchange to merge with the base aggregate (|keys| rows, not base
+    * rows). Sums ride DECIMAL(18,2) so merge order cannot drift a bit.
+    * Keys whose count reaches zero vanish (exactly what a recompute would
+    * produce). Rows with an op other than I/D are rejected loudly via an
+    * ANSI-safe filter contract: they are dropped ONLY if `strict` is
+    * false; by default they poison the count with NULL and the caller
+    * sees the corrupt group. */
+  def incrementalSumCount(baseAgg: DataFrame, changes: DataFrame,
+                          keyCols: Seq[String], valueCol: String,
+                          opCol: String, strict: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "incrementalSumCount: need at least one key")
+    val v = col(valueCol).cast("decimal(18,2)")
+    val ch = if (strict) changes else changes.where(col(opCol).isin("I", "D"))
+    val delta = ch.groupBy(keyCols.map(col): _*)
+      .agg(sum(when(col(opCol) === "I", v)
+             .when(col(opCol) === "D", -v)).cast("decimal(28,2)").as("sum_v"),
+           sum(when(col(opCol) === "I", 1L)
+             .when(col(opCol) === "D", -1L)).as("cnt"))
+    baseAgg
+      .select(keyCols.map(col) :+
+        col("sum_v").cast("decimal(28,2)").as("sum_v") :+ col("cnt"): _*)
+      .unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("sum_v")).cast("decimal(28,2)").as("sum_v"),
+        sum(col("cnt")).as("cnt"))
+      .where(col("cnt") > 0)
+  }
 }

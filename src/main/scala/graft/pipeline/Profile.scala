@@ -369,6 +369,28 @@ object Profile {
            col("__se_b") * col("__se_b") / (col("n_b").cast("double") - lit(1.0)))).as("dof"))
   }
 
+  /** Profile DRIFT between two snapshots of the same table — the
+    * release-gate check "did this column's distribution move?": runs
+    * profileColumns on both sides (one wide-aggregate scan each) and
+    * joins the two k-row profiles on column name. `drifted` flags any
+    * NULL-safe difference in the count metrics (null/distinct/nonnull) —
+    * the cheap alarms; numeric range and length shifts surface in their
+    * paired columns for the caller's thresholds. */
+  def compareProfiles(dfA: DataFrame, dfB: DataFrame, cols: Seq[String],
+                      exactDistinct: Boolean = true): DataFrame = {
+    val a = profileColumns(dfA, cols, exactDistinct)
+    val b = profileColumns(dfB, cols, exactDistinct)
+    val metrics = Seq("n_nonnull", "n_null", "n_distinct", "min_num",
+      "max_num", "avg_len")
+    val pa = a.select(col("col_name") +: metrics.map(m => col(m).as(s"${m}_a")): _*)
+    val pb = b.select(col("col_name") +: metrics.map(m => col(m).as(s"${m}_b")): _*)
+    pa.join(pb, Seq("col_name"))
+      .withColumn("drifted",
+        !(col("n_nonnull_a") <=> col("n_nonnull_b")) ||
+        !(col("n_null_a") <=> col("n_null_b")) ||
+        !(col("n_distinct_a") <=> col("n_distinct_b")))
+  }
+
   /** One-way ANOVA F-test across ALL groups of a categorical column —
     * the k-group generalization of welchTTest ("does segment affect
     * spend at all?"). Per-group exact decimal moments (one aggregation

@@ -95,6 +95,17 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Aggressive canonicalization for near-dup matching — the C4-style
+    * preprocessing that lets EXACT dedup catch reformatted copies
+    * (punctuation/casing/whitespace edits): lowercase, strip every
+    * non-alphanumeric to a space (ASCII classes only — the RE2∩Java
+    * dialect subset every engine agrees on, per the q_text_redact
+    * convention), collapse runs, trim. Compose with fingerprint-based
+    * grouping so shuffles move 16-byte hashes, never text. */
+  def normalizeAggressive(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
   /** Document fingerprint — md5 of the normalized text (cross-engine
     * deterministic). */
   def fingerprint(text: Column): Column = md5(normalize(text))

@@ -957,6 +957,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a != b)
   }
 
+  test("incrementalSumCount: matches full recompute; zero-count keys vanish; update = D+I") {
+    val base = Seq(("a", 10.0, 2L), ("b", 5.0, 1L)).toDF("k", "sum_v", "cnt")
+      .select(col("k"), col("sum_v").cast("decimal(18,2)").as("sum_v"), col("cnt"))
+    // delete b entirely; update one a-row 4.0 -> 7.0; insert c
+    val changes = Seq(("b", 5.0, "D"), ("a", 4.0, "D"), ("a", 7.0, "I"),
+                      ("c", 1.5, "I")).toDF("k", "v", "op")
+    withPartitionings(changes) { ch =>
+      val out = rows(Aggregates.incrementalSumCount(base, ch, Seq("k"), "v", "op")
+        .select(col("k"), col("sum_v").cast("string"), col("cnt")).orderBy("k"))
+      assert(out == Seq(Seq("a", "13.00", 2L), Seq("c", "1.50", 1L)))
+    }
+    // non-strict mode drops unknown ops instead of poisoning the group
+    val junk = changes.unionByName(Seq(("a", 99.0, "X")).toDF("k", "v", "op"))
+    val lax = rows(Aggregates.incrementalSumCount(base, junk, Seq("k"), "v", "op",
+      strict = false).select(col("k"), col("sum_v").cast("string"), col("cnt"))
+      .orderBy("k"))
+    assert(lax == Seq(Seq("a", "13.00", 2L), Seq("c", "1.50", 1L)))
+  }
+
+  test("normalizeAggressive collapses case/punctuation/whitespace variants") {
+    val d = Seq("Hello,   World!", "hello world", "HELLO--WORLD", "other text")
+      .toDF("t").select(TextAnalysis.normalizeAggressive(col("t")).as("n"))
+    assert(rows(d).flatten == Seq("hello world", "hello world", "hello world", "other text"))
+  }
+
+  test("compareProfiles flags count drift and passes identical snapshots clean") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String])).toDF("k", "s")
+    val same = rows(Profile.compareProfiles(a, a, Seq("k", "s")).orderBy("col_name"))
+    assert(same.forall(_.last == false))
+    val b = Seq((1L, "x"), (2L, "y")).toDF("k", "s") // row dropped
+    val drift = rows(Profile.compareProfiles(a, b, Seq("k", "s")).orderBy("col_name"))
+    assert(drift.forall(_.last == true)) // both columns lose a count
+  }
+
   test("kAnonymity: classes below k are counted; verdict flips at the threshold") {
     val d = Seq((1, "A"), (1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "C"))
       .toDF("qa", "qb")
