@@ -4419,26 +4419,29 @@ object SparkEntry {
         |    THEN 1 ELSE -1 END)) AS BIGINT) AS rp_value
         |FROM pts, (SELECT unnest(generate_series(0, 15)) AS j) js
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // one-way ANOVA: decimal moments, 6-dp decimal-summed SS terms
+    // one-way ANOVA: decimal moments, SS terms normalized by N before the
+    // 6-dp rounding (scale-invariant magnitude), decimal-summed
     "q_anova" ->
       """WITH g AS (SELECT l_returnflag AS grp, count(*) AS n,
         |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sdec,
         |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS ssdec
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
         |t AS (SELECT n,
-        |  CAST(round(CAST(CAST(ssdec AS VARCHAR) AS DOUBLE)
-        |    - CAST(CAST(sdec AS VARCHAR) AS DOUBLE) * CAST(CAST(sdec AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DECIMAL(24,6)) AS ssw,
+        |  CAST(round((CAST(CAST(ssdec AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(sdec AS VARCHAR) AS DOUBLE) * CAST(CAST(sdec AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(SUM(n) OVER () AS DOUBLE), 6) AS DECIMAL(24,6)) AS ssw,
         |  CAST(round(CAST(n AS DOUBLE) *
         |    (CAST(CAST(sdec AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
         |      - CAST(CAST(SUM(sdec) OVER () AS VARCHAR) AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)) *
         |    (CAST(CAST(sdec AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - CAST(CAST(SUM(sdec) OVER () AS VARCHAR) AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)), 6) AS DECIMAL(24,6)) AS ssb
+        |      - CAST(CAST(SUM(sdec) OVER () AS VARCHAR) AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE))
+        |    / CAST(SUM(n) OVER () AS DOUBLE), 6) AS DECIMAL(24,6)) AS ssb
         |  FROM g),
         |a AS (SELECT count(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
-        |  CAST(CAST(SUM(ssb) AS VARCHAR) AS DOUBLE) AS ssb,
-        |  CAST(CAST(SUM(ssw) AS VARCHAR) AS DOUBLE) AS ssw FROM t)
-        |SELECT k, n, k - 1 AS dof_between, n - k AS dof_within, ssb, ssw,
-        |  (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
+        |  CAST(CAST(SUM(ssb) AS VARCHAR) AS DOUBLE) AS ssb_over_n,
+        |  CAST(CAST(SUM(ssw) AS VARCHAR) AS DOUBLE) AS ssw_over_n FROM t)
+        |SELECT k, n, k - 1 AS dof_between, n - k AS dof_within, ssb_over_n, ssw_over_n,
+        |  (ssb_over_n / CAST(k - 1 AS DOUBLE)) / (ssw_over_n / CAST(n - k AS DOUBLE)) AS f_stat
         |FROM a""".stripMargin,
     // last-touch attribution: one IGNORE NULLS window, strictly-before frame
     "q_attribution" ->

@@ -397,32 +397,37 @@ object Profile {
     * shuffle), grand totals as window sums over the GROUP table (k rows,
     * never raw rows), between/within sum-of-squares terms rounded 6 dp
     * and decimal-summed (group-order-independent, the chi-square
-    * convention). Output: 1 row (k, n, dof_between, dof_within, ssb,
-    * ssw, f_stat). */
+    * convention). The SS terms are NORMALIZED by the total row count
+    * BEFORE rounding — F is invariant (both SS scale by 1/N) and the
+    * term magnitude stays O(variance) at ANY corpus size, so the 6-dp
+    * rounding never leaves the range where both engines' round() is
+    * exact (an un-normalized SSB at 10× data already drifted a ulp —
+    * caught by the sf1 hash gate). Output: 1 row (k, n, dof_between,
+    * dof_within, ssb_over_n, ssw_over_n, f_stat). */
   def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("decimal(12,2)")
     def d(c: Column) = c.cast("string").cast("double")
     val g = df.where(col(valueCol).isNotNull).groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"), sum(v).as("__sdec"), sum(v * v).as("__ssdec"))
     val wAll = Window.partitionBy()
-    val grand = d(sum(col("__sdec")).over(wAll)) /
-      sum(col("__n")).over(wAll).cast("double")
+    val nTot = sum(col("__n")).over(wAll).cast("double")
+    val grand = d(sum(col("__sdec")).over(wAll)) / nTot
     val nG = col("__n").cast("double")
     val meanG = d(col("__sdec")) / nG
     val terms = g.select(col("__n"),
-      round(d(col("__ssdec")) - d(col("__sdec")) * d(col("__sdec")) / nG, 6)
+      round((d(col("__ssdec")) - d(col("__sdec")) * d(col("__sdec")) / nG) / nTot, 6)
         .cast("decimal(24,6)").as("__ssw"),
-      round(nG * (meanG - grand) * (meanG - grand), 6)
+      round(nG * (meanG - grand) * (meanG - grand) / nTot, 6)
         .cast("decimal(24,6)").as("__ssb"))
     terms
       .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
-        sum(col("__ssb")).cast("string").cast("double").as("ssb"),
-        sum(col("__ssw")).cast("string").cast("double").as("ssw"))
+        sum(col("__ssb")).cast("string").cast("double").as("ssb_over_n"),
+        sum(col("__ssw")).cast("string").cast("double").as("ssw_over_n"))
       .select(col("k"), col("n"),
         (col("k") - lit(1L)).as("dof_between"),
-        (col("n") - col("k")).as("dof_within"), col("ssb"), col("ssw"),
-        ((col("ssb") / (col("k") - lit(1L)).cast("double")) /
-         (col("ssw") / (col("n") - col("k")).cast("double"))).as("f_stat"))
+        (col("n") - col("k")).as("dof_within"), col("ssb_over_n"), col("ssw_over_n"),
+        ((col("ssb_over_n") / (col("k") - lit(1L)).cast("double")) /
+         (col("ssw_over_n") / (col("n") - col("k")).cast("double"))).as("f_stat"))
   }
 
   /** Key-distribution skew profile — the diagnostic that DECIDES whether

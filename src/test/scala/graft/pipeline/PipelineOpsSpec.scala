@@ -922,14 +922,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(grid.nonEmpty && grid == brute)
   }
 
-  test("anovaF: hand-computed two-group case (F = t² structure)") {
-    // a = (1,2,3), b = (4,5,6): SSW = 2+2 = 4, SSB = 3·2.25·2 = 13.5,
-    // F = (13.5/1)/(4/4) = 13.5 — all terms exact at 6 dp
+  test("anovaF: hand-computed two-group case (normalized SS terms)") {
+    // a = (1,2,3), b = (4,5,6): SSW/N per group = 2/6 → 0.333333 rounded,
+    // SSB/N per group = 3·2.25/6 = 1.125 exact; F = (2.25/1)/(0.666666/4)
     val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
                 ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val expF = (2.25 / 1.0) / (0.666666 / 4.0)
     withPartitionings(d) { dd =>
       val out = rows(Profile.anovaF(dd, "g", "v"))
-      assert(out == Seq(Seq(2L, 6L, 1L, 4L, 13.5, 4.0, 13.5)))
+      assert(out == Seq(Seq(2L, 6L, 1L, 4L, 2.25, 0.666666, expF)))
     }
   }
 
