@@ -2158,6 +2158,42 @@ object SparkEntry {
         .withColumn("avg_len_b", round(col("avg_len_b"), 6)))
   }
 
+  private def qSkewJoin(s: SparkSession, d: String): DataFrame = {
+    // Hybrid hot/cold join on a corpus with PLANTED hot suppliers (every
+    // 50th key replicated 4x): hot keys broadcast, cold keys shuffle; the
+    // oracle is the PLAIN join — equality proves the split lost nothing.
+    val li = Tables.lineitem(s, d)
+    val planted = li.where(col("l_suppkey") % 50 === 0)
+    val skewed = li.unionByName(planted).unionByName(planted).unionByName(planted)
+    val avg = skewed.agg((count(lit(1)) /
+      count_distinct(col("l_suppkey"))).cast("long")).collect()(0).getLong(0)
+    val joined = Relational.skewHybridJoin(skewed, Tables.supplier(s, d),
+      "l_suppkey", "s_suppkey", hotThreshold = 2L * avg)
+    Relational.sort(col("s_nationkey"))(
+      joined.groupBy(col("s_nationkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("string").cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt")))
+  }
+
+  private def qRateAnomaly(s: SparkSession, d: String): DataFrame = {
+    // Hourly event-rate z-scores vs the trailing 24 observed hours;
+    // window runs over the bucket table, never raw events.
+    val out = graft.pipeline.Events.rateAnomaly(Tables.events(s, d),
+      "ts", bucket = "hour", window = 24, zThreshold = 2.0)
+    Relational.sort(col("bucket"))(
+      out.select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("c"), col("z"), col("anomaly")))
+  }
+
+  private def qTopValues(s: SparkSession, d: String): DataFrame = {
+    // Value-frequency profile: top-3 values per column from one stacked
+    // scan, (count desc, value asc) tie-break.
+    Relational.sort(col("col_name"), col("rank"))(
+      graft.pipeline.Profile.topValues(Tables.customer(s, d),
+        Seq("c_mktsegment", "c_nationkey"), k = 3))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2791,6 +2827,9 @@ object SparkEntry {
     "q_text_normalize" -> (qTextNormalize _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_profile_drift" -> (qProfileDrift _),
+    "q_skew_join" -> (qSkewJoin _),
+    "q_rate_anomaly" -> (qRateAnomaly _),
+    "q_top_values" -> (qTopValues _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4534,5 +4573,41 @@ object SparkEntry {
         |    OR (n_null_a IS DISTINCT FROM n_null_b)
         |    OR (n_distinct_a IS DISTINCT FROM n_distinct_b)) AS drifted
         |FROM pa JOIN pb ON pa.col_name = pb.col_name ORDER BY pa.col_name""".stripMargin,
+    // hybrid skew join: oracle is the PLAIN join over the same skewed corpus
+    "q_skew_join" ->
+      """WITH planted AS (SELECT * FROM lineitem WHERE l_suppkey % 50 = 0),
+        |sk AS (SELECT * FROM lineitem UNION ALL SELECT * FROM planted
+        |  UNION ALL SELECT * FROM planted UNION ALL SELECT * FROM planted)
+        |SELECT s_nationkey,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM sk JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // trailing-24h z-score anomaly over hourly buckets
+    "q_rate_anomaly" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS c FROM events GROUP BY 1),
+        |t AS (SELECT bucket, c,
+        |  COUNT(c) OVER w AS n, SUM(c) OVER w AS s, SUM(c * c) OVER w AS ss
+        |  FROM b WINDOW w AS (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT bucket, c,
+        |  CASE WHEN n = 24 AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0
+        |    THEN round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6)
+        |    END AS z
+        |  FROM t)
+        |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, c, z,
+        |  (z IS NOT NULL AND abs(z) > 2.0) AS anomaly
+        |FROM z ORDER BY bucket""".stripMargin,
+    // top-k value frequencies per column, (count desc, value asc) tie-break
+    "q_top_values" ->
+      """WITH s AS (
+        |  SELECT 'c_mktsegment' AS col_name, CAST(c_mktsegment AS VARCHAR) AS value FROM customer WHERE c_mktsegment IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer WHERE c_nationkey IS NOT NULL),
+        |c AS (SELECT col_name, value, count(*) AS cnt FROM s GROUP BY 1, 2),
+        |r AS (SELECT col_name, value, cnt,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY cnt DESC, value ASC) AS INTEGER) AS rank FROM c)
+        |SELECT col_name, value, cnt, rank FROM r WHERE rank <= 3
+        |ORDER BY col_name, rank""".stripMargin,
   )
 }

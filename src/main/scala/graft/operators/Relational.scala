@@ -829,6 +829,36 @@ object Relational {
       .where(col("status") =!= "unchanged")
   }
 
+  /** Hybrid skew join — the hot/cold split that keeps ONE pathological
+    * key from serializing a 100 TB join: keys whose left-side count
+    * exceeds `hotThreshold` take the BROADCAST path (the hot rows join
+    * map-side, never shuffled to a single reducer), everything else takes
+    * the normal shuffle join; the union is exactly the plain join (which
+    * IS the oracle, the bloomJoin standard). The hot-key set is driver
+    * metadata bounded by `maxHotKeys` (a loud require — if millions of
+    * keys are "hot", the threshold is wrong, not the join). Inner joins
+    * only (split-and-union needs both sides of a row class to land in
+    * exactly one leg). */
+  def skewHybridJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                     rightKey: String, hotThreshold: Long,
+                     maxHotKeys: Int = 10000): DataFrame = {
+    require(hotThreshold >= 1, "skewHybridJoin: hotThreshold must be >= 1")
+    val hot = left.groupBy(col(leftKey)).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > hotThreshold)
+      .limit(maxHotKeys + 1).collect().map(_.get(0))
+    require(hot.length <= maxHotKeys,
+      s"skewHybridJoin: more than $maxHotKeys hot keys above $hotThreshold — raise the threshold")
+    if (hot.isEmpty) left.join(right, col(leftKey) === col(rightKey))
+    else {
+      val cold = left.where(!col(leftKey).isin(hot: _*) || col(leftKey).isNull)
+        .join(right, col(leftKey) === col(rightKey))
+      val hotJoin = left.where(col(leftKey).isin(hot: _*))
+        .join(broadcast(right.where(col(rightKey).isin(hot: _*))),
+          col(leftKey) === col(rightKey))
+      cold.unionByName(hotJoin)
+    }
+  }
+
   /** Exact inner-equi-join cardinality WITHOUT executing the join — the
     * planning statistic (sum over matched keys of |L_k|·|R_k|) an engine
     * consults before choosing a join strategy, and the guard a pipeline

@@ -116,6 +116,34 @@ object Events {
       .agg(countDistinct(col("__u")).as("users"))
   }
 
+  /** Event-rate anomaly detection — the pipeline-health monitor "did this
+    * hour's volume jump?": bucket counts per `bucket` unit, then a
+    * trailing-window z-score per bucket ((c − mean)/std over the previous
+    * `window` observed buckets, current excluded). The window runs over
+    * the BUCKET table (|buckets| rows — hours of history, never raw
+    * events) with exact integer sums (Σc, Σc²) feeding a fixed double
+    * dag; z rounds 6 dp at the edge. Buckets with fewer than `window`
+    * predecessors report NULL z (no baseline yet); gaps in the bucket
+    * grid count as absent, not zero — resampleFill first if zeros should
+    * alarm. */
+  def rateAnomaly(df: DataFrame, tsCol: String, bucket: String = "hour",
+                  window: Int = 24, zThreshold: Double = 3.0): DataFrame = {
+    require(window >= 2, "rateAnomaly: window must be >= 2")
+    val b = df.groupBy(date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("bucket")).rowsBetween(-window, -1)
+    val n = count(col("c")).over(w)
+    val s = sum(col("c")).over(w)
+    val ss = sum(col("c") * col("c")).over(w)
+    val mean = s.cast("double") / n.cast("double")
+    val variance = (ss.cast("double") - s.cast("double") * s.cast("double") /
+      n.cast("double")) / (n.cast("double") - lit(1.0))
+    val z = when(n === window && variance > 0,
+      round((col("c").cast("double") - mean) / sqrt(variance), 6))
+    b.select(col("bucket"), col("c"), z.as("z"),
+      (z.isNotNull && abs(z) > zThreshold).as("anomaly"))
+  }
+
   /** Touch attribution: for every conversion event, the touch event that
     * gets credit — `model = "last"` (last touch strictly before the
     * conversion) or `"first"` (earliest touch before it). ONE user-sharded

@@ -369,6 +369,24 @@ object Profile {
            col("__se_b") * col("__se_b") / (col("n_b").cast("double") - lit(1.0)))).as("dof"))
   }
 
+  /** Top-k most frequent values per column — the value-frequency half of
+    * a profile ("what's actually IN this column"): ONE scan stacks the
+    * requested columns into (col_name, value-as-string) rows, one
+    * aggregation counts, and a per-column window (partitioned by column
+    * name — shards) ranks with the (count desc, value asc) deterministic
+    * tie-break. NULLs are excluded (they're counted by profileColumns).
+    * Stringly-typed output by design: one schema for any column mix. */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty && k >= 1, "topValues: need columns and k >= 1")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.value").as("value"))
+      .where(col("value").isNotNull)
+    val counts = stacked.groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("col_name").orderBy(col("cnt").desc, col("value").asc)
+    counts.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Profile DRIFT between two snapshots of the same table — the
     * release-gate check "did this column's distribution move?": runs
     * profileColumns on both sides (one wide-aggregate scan each) and

@@ -571,4 +571,24 @@ class RelationalSpec extends SparkSpec {
     assert(rows(Relational.joinCardinality(l, r, "k", "k")) ==
       Seq(Seq(2L, 1L, 0L, 0L)))
   }
+
+  test("skewHybridJoin equals the plain join and broadcasts the hot leg") {
+    import spark.implicits._
+    // key 1 is hot (6 rows), keys 2..4 cold (1 row each)
+    val l = (Seq.fill(6)((1L, "h")) ++ Seq((2L, "a"), (3L, "b"), (4L, "c")))
+      .toDF("k", "payload")
+    val r = Seq((1L, "X"), (2L, "Y"), (5L, "Z")).toDF("rk", "name")
+    val hybrid = Relational.skewHybridJoin(l, r, "k", "rk", hotThreshold = 3L)
+    val plain = l.join(r, col("k") === col("rk"))
+    assert(rows(hybrid.orderBy("k", "payload")) == rows(plain.orderBy("k", "payload")))
+    val plan = hybrid.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "hot leg must broadcast")
+    // explosion guard: 1 hot key but maxHotKeys 0 -> loud failure
+    intercept[IllegalArgumentException] {
+      Relational.skewHybridJoin(l, r, "k", "rk", hotThreshold = 3L, maxHotKeys = 0)
+    }
+    // no hot keys: falls back to the single plain join
+    assert(rows(Relational.skewHybridJoin(l, r, "k", "rk", hotThreshold = 100L)
+      .orderBy("k", "payload")) == rows(plain.orderBy("k", "payload")))
+  }
 }

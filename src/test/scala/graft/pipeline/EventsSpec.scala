@@ -106,6 +106,22 @@ class EventsSpec extends SparkSpec {
     assert(out == Seq(Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, 2L)))
   }
 
+  test("rateAnomaly: trailing z-score with warmup NULLs and a spike flagged") {
+    // hourly counts 1, 3, 2, 8 with window=2
+    val df = (Seq.fill(1)("2024-01-01 00:30:00") ++ Seq.fill(3)("2024-01-01 01:30:00") ++
+              Seq.fill(2)("2024-01-01 02:30:00") ++ Seq.fill(8)("2024-01-01 03:30:00"))
+      .toDF("t").select(to_timestamp(col("t")).as("ts"))
+    withPartitionings(df) { dd =>
+      val out = rows(Events.rateAnomaly(dd, "ts", "hour", window = 2,
+        zThreshold = 2.0).orderBy("bucket"))
+      assert(out.map(r => (r(1), r(2), r(3))) == Seq(
+        (1L, null, false),          // no baseline
+        (3L, null, false),          // only 1 predecessor
+        (2L, 0.0, false),           // frame (1,3): mean 2, z = 0
+        (8L, 7.778175, true)))      // frame (3,2): z = 5.5/sqrt(0.5)
+    }
+  }
+
   test("attribution: last vs first touch, strictly-before frame, organic NULL") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(

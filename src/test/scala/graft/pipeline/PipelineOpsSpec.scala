@@ -992,6 +992,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(drift.forall(_.last == true)) // both columns lose a count
   }
 
+  test("topValues: ranks per column with count-then-value tie-break, k cut") {
+    val d = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2), ("z", 3)).toDF("s", "n")
+    withPartitionings(d) { dd =>
+      val out = rows(Profile.topValues(dd, Seq("s", "n"), k = 2)
+        .orderBy("col_name", "rank"))
+      // s: x=2, y=2 tie -> x first; z cut at k=2. n mirrors as strings.
+      assert(out == Seq(
+        Seq("n", "1", 2L, 1), Seq("n", "2", 2L, 2),
+        Seq("s", "x", 2L, 1), Seq("s", "y", 2L, 2)))
+    }
+  }
+
   test("kAnonymity: classes below k are counted; verdict flips at the threshold") {
     val d = Seq((1, "A"), (1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "C"))
       .toDF("qa", "qb")
