@@ -2194,6 +2194,47 @@ object SparkEntry {
         Seq("c_mktsegment", "c_nationkey"), k = 3))
   }
 
+  private def qStreamIncremental(s: SparkSession, d: String): DataFrame = {
+    // TRUE streaming materialized-aggregate maintenance: phase 1 streams
+    // inserts, phase 2 stages deletes and RESUMES from the checkpoint;
+    // the final aggregate must equal a full recompute — gated against
+    // the SAME oracle as q_incremental_agg.
+    val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_incr_${ProcessHandle.current().pid()}")
+    val li = Tables.lineitem(s, d)
+    val base = li.where(col("l_linenumber") <= 4)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(28,2)").as("sum_v"), count(lit(1)).as("cnt"))
+    val inserts = li.where(col("l_linenumber") > 4)
+      .select(col("l_returnflag"), col("l_quantity"), lit("I").as("op"))
+    val deletes = li.where(col("l_linenumber") === 1 && col("l_orderkey") % 10 === 0)
+      .select(col("l_returnflag"), col("l_quantity"), lit("D").as("op"))
+    val out = graft.streaming.Streams.incrementalAggStreamGate(s, work,
+      base, Seq("l_returnflag"), "l_quantity", "op", inserts, deletes)
+    Relational.sort(col("l_returnflag"))(
+      out.select(col("l_returnflag"),
+        col("sum_v").cast("string").cast("double").as("sum_v"), col("cnt")))
+  }
+
+  private def qPercentiles(s: SparkSession, d: String): DataFrame = {
+    // Exact nearest-rank p50/p90/p99 per return flag from the
+    // distinct-value rank table — no per-row window.
+    Relational.sort(col("l_returnflag"), col("p"))(
+      graft.pipeline.Profile.percentilesExact(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99)))
+  }
+
+  private def qTemporalSplit(s: SparkSession, d: String): DataFrame = {
+    // Leakage-safe time split with a 1-day embargo after each boundary;
+    // pure pushed-down comparisons, zero shuffles.
+    val out = graft.pipeline.Sampling.temporalSplit(Tables.events(s, d),
+      "ts", "2024-01-15 00:00:00", "2024-01-25 00:00:00",
+      embargoSeconds = 86400L)
+    Relational.sort(col("split"))(
+      out.groupBy(col("split")).agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("users")))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2830,6 +2871,9 @@ object SparkEntry {
     "q_skew_join" -> (qSkewJoin _),
     "q_rate_anomaly" -> (qRateAnomaly _),
     "q_top_values" -> (qTopValues _),
+    "q_stream_incremental" -> (qStreamIncremental _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_temporal_split" -> (qTemporalSplit _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4609,5 +4653,38 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY cnt DESC, value ASC) AS INTEGER) AS rank FROM c)
         |SELECT col_name, value, cnt, rank FROM r WHERE rank <= 3
         |ORDER BY col_name, rank""".stripMargin,
+    // streaming incremental-agg maintenance == full recompute (same
+    // effective set as q_incremental_agg)
+    "q_stream_incremental" ->
+      """WITH eff AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_linenumber <= 4 AND NOT (l_linenumber = 1 AND l_orderkey % 10 = 0)
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber > 4)
+        |SELECT l_returnflag,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v,
+        |  count(*) AS cnt
+        |FROM eff GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact nearest-rank percentiles from the distinct-value rank table
+    "q_percentiles" ->
+      """WITH dv AS (SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |  SUM(c) OVER (PARTITION BY g) AS n FROM dv),
+        |t AS (SELECT cm.*, p.p FROM cm CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p) p
+        |  WHERE cum >= ceil(p * CAST(n AS DOUBLE)))
+        |SELECT g AS l_returnflag, p, CAST(MAX(n) AS BIGINT) AS n, MIN(v) AS value
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // temporal split with embargo: label counts per split
+    "q_temporal_split" ->
+      """WITH s AS (SELECT user_id,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+        |       WHEN ts < TIMESTAMP '2024-01-15 00:00:00' + INTERVAL 86400 SECOND THEN 'embargo'
+        |       WHEN ts < TIMESTAMP '2024-01-25 00:00:00' THEN 'val'
+        |       WHEN ts < TIMESTAMP '2024-01-25 00:00:00' + INTERVAL 86400 SECOND THEN 'embargo'
+        |       ELSE 'test' END AS split
+        |  FROM events)
+        |SELECT split, count(*) AS n, count(DISTINCT user_id) AS users
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -369,6 +369,34 @@ object Profile {
            col("__se_b") * col("__se_b") / (col("n_b").cast("double") - lit(1.0)))).as("dof"))
   }
 
+  /** EXACT per-group nearest-rank percentiles WITHOUT a per-row window —
+    * the p50/p95/p99 SLA report at 100 TB scale: raw rows are exchanged
+    * exactly once into per-distinct-value counts; the cumulative rank,
+    * group totals, and the percentile selection all run over the DISTINCT
+    * table (|values| rows per group). Nearest-rank definition: the value
+    * at rank ⌈p·n⌉ — a data value, never an interpolation (the MAD
+    * convention), so cross-engine equality is exact. The ⌈p·n⌉ product is
+    * one IEEE multiply both engines compute identically. */
+  def percentilesExact(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "percentilesExact: percentiles must be in (0, 1]")
+    val dv = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = sum(col("__c")).over(
+      Window.partitionBy("__g").orderBy(col("__v")))
+    val n = sum(col("__c")).over(Window.partitionBy("__g"))
+    // window layer FIRST, generator second — a same-select explode would
+    // run below the window and multiply the partition sums
+    val ranked = dv.select(col("__g"), col("__v"), cum.as("__cum"), n.as("__n"))
+    val t = ranked.select(col("__g"), col("__v"), col("__cum"), col("__n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .where(col("__cum") >= ceil(col("p") * col("__n").cast("double")))
+    t.groupBy(col("__g").as(groupCol), col("p"))
+      .agg(max(col("__n")).as("n"), min(col("__v")).as("value"))
+  }
+
   /** Top-k most frequent values per column — the value-frequency half of
     * a profile ("what's actually IN this column"): ONE scan stacks the
     * requested columns into (col_name, value-as-string) rows, one

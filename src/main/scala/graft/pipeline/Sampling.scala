@@ -270,4 +270,27 @@ object Sampling {
       .where(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Temporal train/val/test split with EMBARGO gaps — the leakage-safe
+    * split for forecasting/eval on time-ordered data: train is strictly
+    * before `trainEnd`; an `embargoSeconds` buffer after each boundary is
+    * EXCLUDED (rows whose features could leak across the boundary via
+    * windowed aggregates land in neither split); val runs to `valEnd`,
+    * test starts an embargo after that. Pure codegen'd comparisons
+    * against literal timestamps — pushes down to the scan, zero
+    * shuffles. Adds a `split` column ∈ train|embargo|val|test. */
+  def temporalSplit(df: DataFrame, tsCol: String, trainEnd: String,
+                    valEnd: String, embargoSeconds: Long = 0L): DataFrame = {
+    require(embargoSeconds >= 0, "temporalSplit: embargo must be >= 0")
+    val t = col(tsCol)
+    val te = to_timestamp(lit(trainEnd))
+    val ve = to_timestamp(lit(valEnd))
+    val emb = expr(s"INTERVAL $embargoSeconds SECOND")
+    df.withColumn("split",
+      when(t < te, "train")
+        .when(t < te + emb, "embargo")
+        .when(t < ve, "val")
+        .when(t < ve + emb, "embargo")
+        .otherwise("test"))
+  }
 }

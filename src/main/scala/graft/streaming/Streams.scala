@@ -527,4 +527,64 @@ object Streams {
     runToCompletion()
     latestImageAtMost(Long.MaxValue)
   }
+
+  /** Streaming INCREMENTAL AGGREGATE maintenance — the materialized-view
+    * half of the CDC story (cdcStreamGate keeps the latest row image;
+    * this keeps a (key, sum, count) aggregate current): each micro-batch
+    * of I/D changes folds into the previous aggregate snapshot via
+    * `Aggregates.incrementalSumCount` — the base table is NEVER
+    * rescanned, which is the whole point at 100 TB. Same versioned-state
+    * + checkpoint-resume harness as cdcStreamGate: phase 1 streams, the
+    * query stops, phase 2 lands, the RESUMED checkpoint processes only
+    * the new files. Batch ids are monotonic across the resume, so state
+    * versions can't collide. Returns the final aggregate image. */
+  def incrementalAggStreamGate(spark: SparkSession, workDir: String,
+                               baseAgg: DataFrame, keys: Seq[String],
+                               valueCol: String, opCol: String,
+                               phase1: DataFrame, phase2: DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val work = Paths.get(workDir)
+    deleteRecursively(work)
+    val in = work.resolve("in")
+    val state = work.resolve("state")
+    Files.createDirectories(in)
+    Files.createDirectories(state)
+    baseAgg.write.parquet(state.resolve("v00000").toString)
+    def latestImageAtMost(maxV: Long): DataFrame = {
+      val listing = Files.list(state)
+      val vs =
+        try listing.filter(p => p.getFileName.toString.startsWith("v"))
+          .toArray(new Array[java.nio.file.Path](_))
+          .map(_.getFileName.toString.drop(1).toLong).filter(_ <= maxV)
+        finally listing.close()
+      require(vs.nonEmpty, s"incrementalAggStreamGate: no state at or below v$maxV")
+      spark.read.parquet(state.resolve(f"v${vs.max}%05d").toString)
+    }
+    val changeSchema = phase1.schema
+    require(phase2.schema == changeSchema,
+      "incrementalAggStreamGate: phase schemas must match")
+    stageParquetParts(phase1, work, in, "changes_a")
+    val ckpt = work.resolve("ckpt").toString
+    def runToCompletion(): Unit = {
+      val stream = spark.readStream.schema(changeSchema)
+        .option("pathGlobFilter", "changes*.parquet").parquet(in.toString)
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val next = graft.operators.Aggregates.incrementalSumCount(
+            latestImageAtMost(id), batch, keys, valueCol, opCol)
+          next.write.mode("overwrite")
+            .parquet(state.resolve(f"v${id + 1}%05d").toString)
+        }
+        .start()
+      q.awaitTermination()
+      graft.Instrument.recordStreamProgress(work.getFileName.toString, q)
+    }
+    runToCompletion()
+    stageParquetParts(phase2, work, in, "changes_b")
+    runToCompletion()
+    latestImageAtMost(Long.MaxValue)
+  }
 }

@@ -1004,6 +1004,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("percentilesExact: nearest-rank values on a hand distribution, duplicates weighted") {
+    // group g: values 1,2,2,3,10 (n=5): p50 -> rank 3 -> 2; p90 -> rank 5 -> 10;
+    // p20 -> rank 1 -> 1
+    val d = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 3.0), ("g", 10.0),
+                ("h", 7.0)).toDF("k", "v")
+    withPartitionings(d) { dd =>
+      val out = rows(Profile.percentilesExact(dd, "k", "v", Seq(0.2, 0.5, 0.9))
+        .orderBy("k", "p"))
+      assert(out == Seq(
+        Seq("g", 0.2, 5L, 1.0), Seq("g", 0.5, 5L, 2.0), Seq("g", 0.9, 5L, 10.0),
+        Seq("h", 0.2, 1L, 7.0), Seq("h", 0.5, 1L, 7.0), Seq("h", 0.9, 1L, 7.0)))
+    }
+  }
+
+  test("temporalSplit: embargo rows excluded from both sides of each boundary") {
+    val d = Seq("2024-01-01 00:00:00", "2024-01-15 12:00:00", "2024-01-16 12:00:00",
+                "2024-01-25 06:00:00", "2024-01-26 06:00:00").toDF("t")
+      .select(to_timestamp(col("t")).as("ts"))
+    val out = rows(Sampling.temporalSplit(d, "ts", "2024-01-15 00:00:00",
+      "2024-01-25 00:00:00", embargoSeconds = 86400L)
+      .select(col("split")).orderBy("ts"))
+    assert(out.flatten == Seq("train", "embargo", "val", "embargo", "test"))
+  }
+
   test("kAnonymity: classes below k are counted; verdict flips at the threshold") {
     val d = Seq((1, "A"), (1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "C"))
       .toDF("qa", "qb")

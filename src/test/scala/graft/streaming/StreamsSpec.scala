@@ -282,4 +282,22 @@ class StreamsSpec extends SparkSpec {
       .map(_.getFileName.toString).sorted.toList finally listing.close()
     assert(vs.head == "v00000" && vs.size >= 3)
   }
+
+  test("incrementalAggStreamGate: streamed fold equals one-shot maintenance and full recompute") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
+    val base = Seq(("a", 10.0, 2L), ("b", 5.0, 1L)).toDF("k", "sum_v", "cnt")
+      .select(col("k"), col("sum_v").cast("decimal(28,2)").as("sum_v"), col("cnt"))
+    val phase1 = Seq(("a", 7.0, "I"), ("c", 1.5, "I")).toDF("k", "v", "op")
+    val phase2 = Seq(("a", 4.0, "D"), ("b", 5.0, "D")).toDF("k", "v", "op")
+    val got = Streams.incrementalAggStreamGate(spark, work, base, Seq("k"),
+      "v", "op", phase1, phase2)
+    assert(rows(got.select(col("k"), col("sum_v").cast("string"), col("cnt"))
+      .orderBy("k")) == Seq(Seq("a", "13.00", 2L), Seq("c", "1.50", 1L)))
+    // same changes in ONE batch — the invariant the gate hashes
+    val oneShot = graft.operators.Aggregates.incrementalSumCount(
+      base, phase1.unionByName(phase2), Seq("k"), "v", "op")
+    assert(rows(got.select(col("k"), col("sum_v").cast("string"), col("cnt")).orderBy("k")) ==
+      rows(oneShot.select(col("k"), col("sum_v").cast("string"), col("cnt")).orderBy("k")))
+  }
 }
