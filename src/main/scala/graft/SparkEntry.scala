@@ -2235,6 +2235,24 @@ object SparkEntry {
         count_distinct(col("user_id")).as("users")))
   }
 
+  private def qAnchorChunks(s: SparkSession, d: String): DataFrame = {
+    // Content-defined chunking by portable anchor tokens (divisor 64 →
+    // ~64-token chunks): boundaries survive edits in other chunks; the
+    // oracle replays key, anchors, chunk cumsum, and fingerprints.
+    Relational.sort(col("doc_id"), col("chunk"))(
+      graft.pipeline.Packing.anchorChunks(Tables.documents(s, d),
+        "doc_id", "text", divisor = 64L))
+  }
+
+  private def qNegatives(s: SparkSession, d: String): DataFrame = {
+    // Deterministic contrastive negatives: modular affine candidates over
+    // the dense id domain, existence-joined, same-label and self pairs
+    // dropped.
+    Relational.sort(col("anchor"), col("j"))(
+      graft.pipeline.Sampling.negativePairs(Tables.embeddings(s, d),
+        "vec_id", "label", k = 3, seed = 5L))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2874,6 +2892,8 @@ object SparkEntry {
     "q_stream_incremental" -> (qStreamIncremental _),
     "q_percentiles" -> (qPercentiles _),
     "q_temporal_split" -> (qTemporalSplit _),
+    "q_anchor_chunks" -> (qAnchorChunks _),
+    "q_negatives" -> (qNegatives _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4686,5 +4706,31 @@ object SparkEntry {
         |  FROM events)
         |SELECT split, count(*) AS n, count(DISTINCT user_id) AS users
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // content-defined anchor chunking: portable key, cumsum chunks,
+    // position-weighted fingerprints
+    "q_anchor_chunks" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, unnest(ws) AS t FROM w),
+        |k AS (SELECT doc_id, pos,
+        |  (length(t) * 31 + ascii(t[1:1]) * 7 + ascii(t[-1:])) * 2654435761 % 2147483648 AS kt FROM tok),
+        |a AS (SELECT doc_id, pos, kt, CASE WHEN kt % 64 = 0 THEN 1 ELSE 0 END AS anchor FROM k),
+        |c AS (SELECT doc_id, pos, kt,
+        |  SUM(anchor) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk FROM a),
+        |r AS (SELECT doc_id, chunk, kt,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY pos) AS rn FROM c)
+        |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk, count(*) AS n_tokens,
+        |  CAST(SUM(kt * rn) % 2147483648 AS BIGINT) AS chunk_fp
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // deterministic contrastive negatives over the dense id domain
+    "q_negatives" ->
+      """WITH ids AS (SELECT vec_id, label FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM ids),
+        |c AS (SELECT a.vec_id AS anchor, a.label AS al, CAST(j.j AS INTEGER) AS j,
+        |  ((a.vec_id % nn.n) * (2654435761 % nn.n) + j.j * (2246822519 % nn.n) + 5 % nn.n) % nn.n AS nid
+        |  FROM ids a CROSS JOIN nn CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) j)
+        |SELECT anchor, c.j, nid AS negative
+        |FROM c JOIN ids b ON c.nid = b.vec_id
+        |WHERE b.label <> c.al AND c.nid <> c.anchor
+        |ORDER BY anchor, j""".stripMargin,
   )
 }

@@ -108,4 +108,45 @@ object Packing {
         }
       }
   }
+
+  /** CONTENT-DEFINED chunking by anchor tokens — the dedup-friendly
+    * alternative to fixed-size chunking (`chunkTokens`): a chunk boundary
+    * opens at every token whose portable key ≡ 0 (mod `divisor`), so an
+    * edit early in a document only re-chunks text up to the NEXT anchor —
+    * downstream chunk-level dedup still matches everything after it (the
+    * rsync/LBFS boundary idea, with a single-token anchor predicate so
+    * the whole operator stays relational: no sequential rolling-hash
+    * recurrence, every step is a key-sharded window).
+    *
+    * Token key = the portable (length, first-char, last-char) triple
+    * (q_quality_classifier convention — any SQL engine replays it with
+    * `length`/`ascii`). Expected chunk length = `divisor` tokens. Output
+    * per (id, chunk): n_tokens and a position-weighted portable
+    * fingerprint Σ key·pos_in_chunk mod 2^31 — chunk-content identity
+    * that survives re-chunking of OTHER chunks. Shuffle moves (id, pos,
+    * key) tuples; the `fingerprint` path for 100 TB is the same one
+    * duplicatedSpans documents. */
+  def anchorChunks(docs: DataFrame, idCol: String, textCol: String,
+                   divisor: Long = 64L): DataFrame = {
+    require(divisor >= 2, "anchorChunks: divisor must be >= 2")
+    val m = 2147483648L
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        posexplode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+          .as(Seq("__pos", "__t")))
+    val kt = (length(col("__t")).cast("long") * 31L +
+      ascii(substring(col("__t"), 1, 1)).cast("long") * 7L +
+      ascii(substring(col("__t"), -1, 1)).cast("long")) * lit(2654435761L) % lit(m)
+    val keyed = toks.select(col("__id"), col("__pos"), kt.as("__kt"),
+      when(kt % lit(divisor) === 0, 1L).otherwise(0L).as("__anchor"))
+    val wDoc = Window.partitionBy("__id").orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunked = keyed.withColumn("__chunk", sum(col("__anchor")).over(wDoc))
+    val wChunk = Window.partitionBy("__id", "__chunk").orderBy("__pos")
+    chunked
+      .withColumn("__rn", row_number().over(wChunk))
+      .groupBy(col("__id").as(idCol), col("__chunk").as("chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        pmod(sum(col("__kt") * col("__rn")), lit(m)).as("chunk_fp"))
+  }
 }

@@ -271,6 +271,37 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic NEGATIVE-PAIR sampling for contrastive training —
+    * "for every anchor, k pseudo-random partners with a DIFFERENT label"
+    * without a cross join: candidate ids come from a modular affine walk
+    * over the dense id domain [0, n) (candidate_j = (id·P1 + j·P2 +
+    * seed) mod n — a pure function of (id, j, seed), so the same pairs
+    * reproduce on any engine or retry), then one equi-join back against
+    * the id table verifies existence and filters same-label and self
+    * pairs. Anchors may yield FEWER than k negatives (collisions or
+    * same-label candidates drop) — the documented trade for zero
+    * rejection-resampling loops; raise k and cap downstream if exact-k
+    * matters. Ids are assumed dense-ish in [0, n); sparse domains drop
+    * misses at the join (never wrong pairs). */
+  def negativePairs(df: DataFrame, idCol: String, labelCol: String,
+                    k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, "negativePairs: k must be >= 1")
+    val n = df.count()
+    require(n >= 2, "negativePairs: need at least 2 rows")
+    require(n < 3000000000L, "negativePairs: id domain too large for exact int64 arithmetic")
+    val p1 = 2654435761L % n
+    val p2 = 2246822519L % n
+    val s = ((seed % n) + n) % n
+    val cand = df.select(col(idCol).as("anchor"), col(labelCol).as("__al"))
+      .select(col("anchor"), col("__al"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__nid",
+        (pmod(col("anchor"), lit(n)) * lit(p1) + col("j") * lit(p2) + lit(s)) % lit(n))
+    cand.join(df.select(col(idCol).as("__nid"), col(labelCol).as("__nl")), Seq("__nid"))
+      .where(col("__nl") =!= col("__al") && col("__nid") =!= col("anchor"))
+      .select(col("anchor"), col("j"), col("__nid").as("negative"))
+  }
+
   /** Temporal train/val/test split with EMBARGO gaps — the leakage-safe
     * split for forecasting/eval on time-ordered data: train is strictly
     * before `trainEnd`; an `embargoSeconds` buffer after each boundary is

@@ -1028,6 +1028,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.flatten == Seq("train", "embargo", "val", "embargo", "test"))
   }
 
+  test("anchorChunks: content-defined boundaries survive an edit in an earlier chunk") {
+    def key(t: String): Long =
+      ((t.length * 31 + t.head.toInt * 7 + t.last.toInt).toLong * 2654435761L) % 2147483648L
+    // find real anchor/non-anchor tokens under the divisor-8 predicate
+    val words = (0 until 2000).map(i => s"w$i")
+    val anchor = words.find(key(_) % 8 == 0).get
+    val plain = words.filter(key(_) % 8 != 0).take(6)
+    val docA = (plain.take(2) :+ anchor) ++ plain.slice(2, 4) // chunks: [p0 p1][A p2 p3]
+    val docB = (plain.take(2) :+ plain(4) :+ anchor) ++ plain.slice(2, 4) // edit BEFORE the anchor
+    val d = Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" "))).toDF("id", "text")
+    withPartitionings(d) { dd =>
+      val out = rows(Packing.anchorChunks(dd, "id", "text", divisor = 8L)
+        .orderBy("id", "chunk"))
+      val a = out.filter(_.head == 1L); val b = out.filter(_.head == 2L)
+      assert(a.size == 2 && b.size == 2)
+      // chunk 0 differs (the edit), chunk 1 fingerprint IDENTICAL — the
+      // content-defined property fixed-size chunking lacks
+      assert(a(1)(2) == b(1)(2) && a(1)(3) == b(1)(3))
+      assert(a(0)(3) != b(0)(3))
+      assert(a(0)(2) == 2L && a(1)(2) == 3L) // token counts per chunk
+    }
+  }
+
+  test("negativePairs: deterministic, label-disjoint, self-free, formula replays") {
+    val d = (0L until 20L).map(i => (i, (i % 3).toInt)).toDF("id", "lab")
+    withPartitionings(d) { dd =>
+      val out = rows(Sampling.negativePairs(dd, "id", "lab", k = 2, seed = 5L)
+        .orderBy("anchor", "j"))
+      assert(out.nonEmpty)
+      // replay: nid = ((a % 20)·(P1 % 20) + j·(P2 % 20) + 5) % 20, kept iff
+      // label differs and nid != a
+      val expected = for {
+        a <- 0L until 20L; j <- 1 to 2
+        nid = ((a % 20) * (2654435761L % 20) + j * (2246822519L % 20) + 5L) % 20
+        if (nid % 3) != (a % 3) && nid != a
+      } yield Seq(a, j, nid)
+      assert(out == expected)
+      assert(rows(Sampling.negativePairs(dd, "id", "lab", 2, 5L).orderBy("anchor", "j")) == out)
+    }
+  }
+
   test("kAnonymity: classes below k are counted; verdict flips at the threshold") {
     val d = Seq((1, "A"), (1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "C"))
       .toDF("qa", "qb")
