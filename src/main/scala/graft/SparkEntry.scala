@@ -2253,6 +2253,39 @@ object SparkEntry {
         "vec_id", "label", k = 3, seed = 5L))
   }
 
+  private def qRecipe(s: SparkSession, d: String): DataFrame = {
+    // END-TO-END corpus recipe — the five-stage pipeline an LLM data run
+    // actually executes, each stage an already-gated operator, composed:
+    // quality filter → canonicalization dedup → per-source cap →
+    // deterministic shuffle → sequence packing. The oracle replays the
+    // WHOLE chain. (Gate-scale form: the global order/pack windows here
+    // are the single-partition faces; at 100 TB the same chain runs
+    // through deterministicShuffle's range exchange and layoutOffsets'
+    // bucketed packing — both separately gated.)
+    val docs = Tables.documents(s, d)
+    val kept = docs.where(col("n_chars").between(100, 2000))
+    val fp = kept.withColumn("__f",
+      md5(graft.pipeline.TextAnalysis.normalizeAggressive(col("text"))))
+    val ded = fp.withColumn("__canon",
+        min(col("doc_id")).over(Window.partitionBy("__f")))
+      .where(col("doc_id") === col("__canon"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val cap = graft.pipeline.Sampling.exactPerStratum(ded, "source", 100, Seq("doc_id"))
+    val keyed = cap.withColumn("__sk",
+      graft.pipeline.Sampling.shuffleKey(Seq(col("doc_id")), 42L))
+    val ord = keyed.withColumn("pos",
+      row_number().over(Window.orderBy(col("__sk"), col("doc_id"))) - 1)
+    val toks = ord.withColumn("n_tokens",
+      size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long"))
+    val packed = toks.withColumn("__cum",
+        coalesce(sum(col("n_tokens")).over(
+          Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq", floor(col("__cum").cast("double") / lit(2048)).cast("long"))
+    Relational.sort(col("pos"))(
+      packed.select(col("doc_id"), col("source"), col("pos"),
+        col("n_tokens"), col("seq")))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2894,6 +2927,7 @@ object SparkEntry {
     "q_temporal_split" -> (qTemporalSplit _),
     "q_anchor_chunks" -> (qAnchorChunks _),
     "q_negatives" -> (qNegatives _),
+    "q_recipe" -> (qRecipe _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4732,5 +4766,29 @@ object SparkEntry {
         |FROM c JOIN ids b ON c.nid = b.vec_id
         |WHERE b.label <> c.al AND c.nid <> c.anchor
         |ORDER BY anchor, j""".stripMargin,
+    // end-to-end recipe: filter -> normalize-dedup -> cap -> shuffle -> pack,
+    // the whole chain replayed
+    "q_recipe" ->
+      """WITH kept AS (SELECT doc_id, source, text FROM documents WHERE n_chars BETWEEN 100 AND 2000),
+        |fp AS (SELECT doc_id, source, text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS f FROM kept),
+        |ded AS (SELECT doc_id, source, text FROM
+        |  (SELECT fp.*, MIN(doc_id) OVER (PARTITION BY f) AS canon FROM fp) WHERE doc_id = canon),
+        |cap AS (SELECT doc_id, source, text FROM (
+        |  SELECT ded.*, ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |    ((doc_id % 2147483648) * 2654435761 % 2147483648) % 2147483648 % 1000000, doc_id) AS rn
+        |  FROM ded) WHERE rn <= 100),
+        |sh AS (SELECT doc_id, source, text,
+        |  (((doc_id % 2147483648) * ((85 * 2654435761) % 2147483648)) % 2147483648
+        |    + (42 * 2246822519) % 2147483648) % 2147483648 AS sk FROM cap),
+        |ord AS (SELECT doc_id, source, text,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS INTEGER) AS pos FROM sh),
+        |tok AS (SELECT doc_id, source, pos,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens FROM ord),
+        |pk AS (SELECT doc_id, source, pos, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM tok)
+        |SELECT doc_id, source, pos, n_tokens,
+        |  CAST(FLOOR(CAST(cum AS DOUBLE) / 2048) AS BIGINT) AS seq
+        |FROM pk ORDER BY pos""".stripMargin,
   )
 }
