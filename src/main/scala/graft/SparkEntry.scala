@@ -2286,6 +2286,38 @@ object SparkEntry {
         col("n_tokens"), col("seq")))
   }
 
+  private def qEmbedQuantize(s: SparkSession, d: String): DataFrame = {
+    // Serving-prep int8 quantization: one codegen'd norm per vector,
+    // 9-dp-rounded ratio so a norm ulp can't flip a floor.
+    Relational.sort(col("vec_id"), col("dim"))(
+      graft.pipeline.Similarity.l2QuantizeInt8(Tables.embeddings(s, d),
+        "vec_id", "embedding"))
+  }
+
+  private def qCsvQuarantine(s: SparkSession, d: String): DataFrame = {
+    // Dead-letter ingestion: a CSV feed with three planted corrupt lines;
+    // good rows aggregate exactly to the parquet truth, bad rows land in
+    // quarantine instead of aborting or silently nulling.
+    val dir = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_quar_${ProcessHandle.current().pid()}")
+    val good = Tables.customer(s, d).where(col("c_custkey") <= 200)
+      .select(col("c_custkey"), col("c_acctbal"))
+    good.write.mode("overwrite").csv(dir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.csv"),
+      java.util.Arrays.asList("abc,def", "999999,notanumber", "x,"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_acctbal",
+        org.apache.spark.sql.types.DoubleType)))
+    val (g, b) = Relational.readCsvQuarantine(s, dir, schema)
+    g.agg(count(lit(1)).as("n_good"),
+        sum(col("c_acctbal").cast("decimal(18,2)"))
+          .cast("string").cast("double").as("sum_bal"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_bad"))))
+      .select(col("n_good"), col("n_bad"), col("sum_bal"))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2928,6 +2960,8 @@ object SparkEntry {
     "q_anchor_chunks" -> (qAnchorChunks _),
     "q_negatives" -> (qNegatives _),
     "q_recipe" -> (qRecipe _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_csv_quarantine" -> (qCsvQuarantine _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4790,5 +4824,20 @@ object SparkEntry {
         |SELECT doc_id, source, pos, n_tokens,
         |  CAST(FLOOR(CAST(cum AS DOUBLE) / 2048) AS BIGINT) AS seq
         |FROM pk ORDER BY pos""".stripMargin,
+    // int8 L2 quantization: norm via inner product, 9-dp-rounded ratio floor
+    "q_embed_quantize" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM c),
+        |e AS (SELECT vec_id, unnest(generate_series(0, 63)) AS dim, unnest(v) AS x, nrm FROM n)
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+        |  CAST(CASE WHEN nrm > 0 THEN floor(round(127.0 * x / nrm, 9)) ELSE 0 END AS INTEGER) AS q,
+        |  round(nrm, 6) AS norm
+        |FROM e ORDER BY vec_id, dim""".stripMargin,
+    // quarantine ingestion: good rows equal the parquet truth, 3 planted bad
+    "q_csv_quarantine" ->
+      """SELECT (SELECT count(*) FROM customer WHERE c_custkey <= 200) AS n_good,
+        |  CAST(3 AS BIGINT) AS n_bad,
+        |  (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |   FROM customer WHERE c_custkey <= 200) AS sum_bal""".stripMargin,
   )
 }

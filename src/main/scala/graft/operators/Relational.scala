@@ -829,6 +829,30 @@ object Relational {
       .where(col("status") =!= "unchanged")
   }
 
+  /** Quarantine CSV ingestion — the dead-letter-queue pattern for dirty
+    * feeds: rows that fail the declared schema land in a quarantine
+    * frame (with their raw line preserved for triage) instead of
+    * aborting the load or silently nulling fields. PERMISSIVE parse +
+    * corrupt-record column; the frame is cached once because Spark
+    * forbids filtering on the corrupt column over a lazy CSV relation
+    * (the parser would need to run twice and could disagree with
+    * itself). Returns (good, quarantined) — good drops the marker
+    * column, quarantined is (raw_line). */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+                        schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add(StructField("_corrupt_record",
+      org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache()
+    val good = raw.where(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
+
   /** Hybrid skew join — the hot/cold split that keeps ONE pathological
     * key from serializing a 100 TB join: keys whose left-side count
     * exceeds `hotThreshold` take the BROADCAST path (the hot rows join

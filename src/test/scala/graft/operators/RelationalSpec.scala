@@ -572,6 +572,19 @@ class RelationalSpec extends SparkSpec {
       Seq(Seq(2L, 1L, 0L, 0L)))
   }
 
+  test("readCsvQuarantine splits parseable rows from corrupt lines with raw text preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar_spec")
+    java.nio.file.Files.write(dir.resolve("feed.csv"),
+      java.util.Arrays.asList("1,10.5", "2,20.25", "oops,nope", "3,bad"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val (good, bad) = Relational.readCsvQuarantine(spark, dir.toString, schema)
+    assert(rows(good.orderBy("k")) == Seq(Seq(1L, 10.5), Seq(2L, 20.25)))
+    assert(rows(bad.orderBy("raw_line")).flatten == Seq("3,bad", "oops,nope"))
+  }
+
   test("skewHybridJoin equals the plain join and broadcasts the hot leg") {
     import spark.implicits._
     // key 1 is hot (6 rows), keys 2..4 cold (1 row each)

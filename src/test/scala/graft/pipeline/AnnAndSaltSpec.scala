@@ -123,6 +123,19 @@ class AnnAndSaltSpec extends SparkSpec {
       Seq(Seq(0, 0, 0L), Seq(0, 1, 0L), Seq(1, 0, 2L), Seq(1, 1, 0L)))
   }
 
+  test("l2QuantizeInt8: known norms quantize exactly; zero vector maps to zero") {
+    val d = Seq((1L, Seq(3.0f, 4.0f)),      // norm 5: q = floor(127·(3/5)), floor(127·(4/5))
+                (2L, Seq(0.0f, 0.0f)),      // zero vector
+                (3L, Seq(-1.0f, 0.0f))).toDF("id", "v") // unit negative: q = -127
+    withPartitionings(d) { dd =>
+      val out = rows(Similarity.l2QuantizeInt8(dd, "id", "v").orderBy("id", "dim"))
+      assert(out == Seq(
+        Seq(1L, 0, 76, 5.0), Seq(1L, 1, 101, 5.0),  // 76.2 -> 76, 101.6 -> 101
+        Seq(2L, 0, 0, 0.0), Seq(2L, 1, 0, 0.0),
+        Seq(3L, 0, -127, 1.0), Seq(3L, 1, 0, 1.0)))
+    }
+  }
+
   test("randomProjection: unit vector reads out the sign column; values exact and stable") {
     def sign(i: Int, j: Int): Long =
       if (((i + 1) * 2654435761L + (j + 1) * 2246822519L) % 2147483648L % 2 == 0) 1L else -1L
