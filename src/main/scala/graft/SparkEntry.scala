@@ -2318,6 +2318,81 @@ object SparkEntry {
       .select(col("n_good"), col("n_bad"), col("sum_bal"))
   }
 
+  private def qHtmlStrip(s: SparkSession, d: String): DataFrame = {
+    // Web-corpus ingest: every document wrapped in deterministic HTML
+    // (script/style/comment blocks, planted entities), then recovered to
+    // visible text — the crawl → prose step before quality filtering.
+    // Codegen regexp chain, zero shuffle; oracle replays the chain.
+    import graft.pipeline.TextAnalysis
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; co</title><style>p{margin:0}</style><script>var id="),
+      col("doc_id").cast("string"), lit(";</script></head><body><!-- src="),
+      col("source"), lit(" --><h1 class=\"hd\">"), col("source"),
+      lit("</h1><p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<div>&quot;quoted&quot;&nbsp;&lt;tail&gt;</div>")).otherwise(lit("")),
+      lit("</body></html>"))
+    val h = Tables.documents(s, d).select(col("doc_id"), html.as("html"))
+    val vis = TextAnalysis.stripMarkup(col("html"))
+    Relational.sort(col("doc_id"))(h.select(
+      col("doc_id"),
+      TextAnalysis.htmlTitle(col("html")).as("title"),
+      md5(vis).as("text_fp"),
+      length(vis).cast("long").as("visible_chars"),
+      round(TextAnalysis.markupRatio(col("html")), 6).as("markup_ratio")))
+  }
+
+  private def qUrlDedup(s: SparkSession, d: String): DataFrame = {
+    // URL-level dedup: fetch records whose URLs differ only in scheme/host
+    // case, default port, fragment, tracking params, param order, or a
+    // trailing slash collapse to one canonical page id (min doc_id).
+    import graft.pipeline.TextAnalysis
+    val id = col("doc_id")
+    val scheme = when(id % 3 === 0, lit("https")).when(id % 3 === 1, lit("HTTPS"))
+      .otherwise(lit("Https"))
+    val hostBase = concat(lit("www."), col("source"), lit(".example.com"))
+    val host = when(id % 2 === 0, upper(hostBase)).otherwise(hostBase)
+    val port = when(id % 3 === 1, lit(":443")).otherwise(lit(""))
+    val slash = when(id % 2 === 0, lit("/")).otherwise(lit(""))
+    val qstr = when(id % 4 === 0, lit("?v=1&b=2"))
+      .when(id % 4 === 1, lit("?b=2&v=1&utm_source=tw"))
+      .when(id % 4 === 2, lit("?utm_campaign=x&v=1&b=2&gclid=99"))
+      .otherwise(lit("?v=1&ref=home&b=2"))
+    val frag = when(id % 5 === 0, lit("#sec2")).otherwise(lit(""))
+    val url = concat(scheme, lit("://"), host, port, lit("/docs/"),
+      (id % 400).cast("string"), slash, qstr, frag)
+    val withUrl = Tables.documents(s, d).select(id, url.as("url"))
+    val canon = withUrl.select(id, col("url"),
+      TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+    val w = Window.partitionBy(col("canon_url"))
+    Relational.sort(col("doc_id"))(canon.select(id, col("canon_url"),
+      min(id).over(w).as("canonical"),
+      (id =!= min(id).over(w)).as("is_dup")))
+  }
+
+  private def qLineDedup(s: SparkSession, d: String): DataFrame = {
+    // Corpus-level boilerplate line removal (MassiveText/RefinedWeb):
+    // planted nav/footer lines recur across documents and are dropped;
+    // unique lines survive in order. Counts shuffle 8-byte hashes; the
+    // drop is a broadcast anti-join on the small heavy-line dictionary.
+    val id = col("doc_id")
+    val b1 = when(id % 4 === 0, lit("Subscribe to our newsletter"))
+      .when(id % 4 === 1, lit("All rights reserved."))
+      .when(id % 4 === 2, lit("Cookie policy: accept"))
+      .otherwise(lit("Share this page"))
+    val b2 = when(id % 3 === 0, lit("Follow us on social media"))
+      .when(id % 3 === 1, lit("Back to top"))
+      .otherwise(lit("Contact support"))
+    val t = concat(b1, lit("\n"), col("text"), lit("\nDoc "),
+      id.cast("string"), lit(" footer\n"), b2)
+    val docs = Tables.documents(s, d).select(id, t.as("t"))
+    val out = graft.pipeline.TextAnalysis.dedupCorpusLines(
+      docs, "doc_id", "t", maxOccurrences = 10L)
+    Relational.sort(col("doc_id"))(out.select(id, col("n_lines"),
+      col("n_removed"), md5(col("clean_text")).as("clean_fp")))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -2962,6 +3037,9 @@ object SparkEntry {
     "q_recipe" -> (qRecipe _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_csv_quarantine" -> (qCsvQuarantine _),
+    "q_html_strip" -> (qHtmlStrip _),
+    "q_url_dedup" -> (qUrlDedup _),
+    "q_line_dedup" -> (qLineDedup _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4839,5 +4917,87 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS n_bad,
         |  (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
         |   FROM customer WHERE c_custkey <= 200) AS sum_bal""".stripMargin,
+    // markup stripping: the exact regexp chain replayed (Java∩RE2 dialect)
+    "q_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || ' &amp; co</title><style>p{margin:0}</style><script>var id='
+        |  || doc_id || ';</script></head><body><!-- src=' || source || ' --><h1 class="hd">' || source
+        |  || '</h1><p>' || text || '</p>'
+        |  || CASE WHEN doc_id % 3 = 0 THEN '<div>&quot;quoted&quot;&nbsp;&lt;tail&gt;</div>' ELSE '' END
+        |  || '</body></html>' AS html FROM documents),
+        |v AS (SELECT doc_id, html,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS vis FROM h)
+        |SELECT doc_id, regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+        |  md5(vis) AS text_fp, CAST(length(vis) AS BIGINT) AS visible_chars,
+        |  round(CAST(length(html) - length(vis) AS DOUBLE) / greatest(length(html), 1), 6) AS markup_ratio
+        |FROM v ORDER BY doc_id""".stripMargin,
+    // URL canonicalization: the whole normalize chain replayed
+    "q_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'https' WHEN doc_id % 3 = 1 THEN 'HTTPS' ELSE 'Https' END
+        |  || '://'
+        |  || CASE WHEN doc_id % 2 = 0 THEN upper('www.' || source || '.example.com') ELSE 'www.' || source || '.example.com' END
+        |  || CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END
+        |  || '/docs/' || (doc_id % 400)
+        |  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 THEN '?v=1&b=2'
+        |       WHEN doc_id % 4 = 1 THEN '?b=2&v=1&utm_source=tw'
+        |       WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&v=1&b=2&gclid=99'
+        |       ELSE '?v=1&ref=home&b=2' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END AS url
+        |  FROM documents),
+        |parts AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 2)) AS host0,
+        |  regexp_replace(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 3), '#.*$', '') AS nofrag
+        |  FROM u),
+        |norm AS (SELECT doc_id, url, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |       ELSE host0 END AS host,
+        |  regexp_extract(nofrag, '^([^?]*)', 1) AS path0,
+        |  regexp_replace(regexp_replace(regexp_extract(nofrag, '\?(.*)$', 1),
+        |    '(?:utm_[a-z0-9]+|ref|fbclid|gclid|mc_eid)=[^&]*(?:&|$)', '', 'g'), '&+$', '') AS q2
+        |  FROM parts),
+        |canon AS (SELECT doc_id,
+        |  scheme || '://' || host
+        |  || CASE WHEN length(CASE WHEN path0 <> '/' AND path0 LIKE '%/' THEN substr(path0, 1, length(path0) - 1) ELSE path0 END) = 0
+        |       THEN '/' ELSE CASE WHEN path0 <> '/' AND path0 LIKE '%/' THEN substr(path0, 1, length(path0) - 1) ELSE path0 END END
+        |  || CASE WHEN length(q2) > 0 THEN '?' || array_to_string(list_sort(string_split(q2, '&')), '&') ELSE '' END
+        |  AS canon_url FROM norm)
+        |SELECT doc_id, canon_url,
+        |  MIN(doc_id) OVER (PARTITION BY canon_url) AS canonical,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url) AS is_dup
+        |FROM canon ORDER BY doc_id""".stripMargin,
+    // corpus-level line dedup: heavy lines (count > 10) dropped everywhere
+    "q_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'Subscribe to our newsletter'
+        |       WHEN doc_id % 4 = 1 THEN 'All rights reserved.'
+        |       WHEN doc_id % 4 = 2 THEN 'Cookie policy: accept'
+        |       ELSE 'Share this page' END
+        |  || chr(10) || text || chr(10) || 'Doc ' || doc_id || ' footer' || chr(10)
+        |  || CASE WHEN doc_id % 3 = 0 THEN 'Follow us on social media'
+        |       WHEN doc_id % 3 = 1 THEN 'Back to top'
+        |       ELSE 'Contact support' END AS t FROM documents),
+        |p AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos FROM p),
+        |heavy AS (SELECT line FROM l GROUP BY line HAVING count(*) > 10),
+        |kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM heavy)),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_fp FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines FROM d)
+        |SELECT tot.doc_id, tot.n_lines,
+        |  tot.n_lines - COALESCE(ka.n_kept, 0) AS n_removed,
+        |  COALESCE(ka.clean_fp, md5('')) AS clean_fp
+        |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id ORDER BY tot.doc_id""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -138,4 +138,134 @@ object TextAnalysis {
     patterns.foldLeft((text, lit(0L))) { case ((t, n), (pat, tag)) =>
       (regexp_replace(t, pat, tag), n + regexp_count(t, lit(pat)))
     }._2
+
+  // ===== Web-corpus ingest: markup stripping (codegen'd regexp chain —
+  // zero shuffle; the web-crawl → visible-text step every training
+  // pipeline runs before quality filtering) =====
+
+  /** HTML character entities decoded by [[stripMarkup]]. `&amp;` MUST be
+    * decoded LAST: decoding it first would turn a double-escape like
+    * `&amp;lt;` into `&lt;` and then into `<`, inventing markup the
+    * author escaped away. None of the search strings contain regex
+    * metacharacters, so regexp_replace and plain replace() agree. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Strip HTML/XML markup to visible text: script and style elements
+    * removed with their CONTENT (their text is code, not prose), comments
+    * removed, every remaining tag replaced by a space (so `a<br>b` stays
+    * two words), common entities decoded, whitespace collapsed. Inline
+    * `(?is)` flags and non-greedy `.*?` sit in the RE2 ∩ Java dialect
+    * subset (the q_text_redact convention), so any engine replays the
+    * chain byte-for-byte. Malformed markup degrades deterministically:
+    * an unclosed `<script>` swallows nothing (the block pattern needs the
+    * closing tag; the bare tag is then stripped by the tag pass). */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = Seq("script", "style").foldLeft(html) { (c, el) =>
+      regexp_replace(c, s"(?is)<$el[^>]*>.*?</$el>", " ")
+    }
+    val noComment = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Fraction of raw characters that were markup (tags, scripts,
+    * entities' overhead) — a crawl-quality signal: boilerplate-heavy
+    * pages score high. Exact integer lengths, one double division. */
+  def markupRatio(html: Column): Column =
+    (length(html) - length(stripMarkup(html))).cast("double") /
+      greatest(length(html), lit(1)).cast("double")
+
+  /** The document title, or '' when none ((?is): titles can span lines). */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+
+  // ===== URL canonicalization (the url-level dedup key for web corpora:
+  // scheme/host case, default ports, fragments, tracking params and
+  // param order must not distinguish two fetches of the same page) =====
+
+  /** Query parameters dropped during canonicalization (analytics
+    * attribution state, not page identity). Alternation of literal names
+    * — no metacharacters beyond the RE2∩Java subset. */
+  val TrackingParamPattern: String = "(?:utm_[a-z0-9]+|ref|fbclid|gclid|mc_eid)"
+
+  private val UrlParts = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$"
+
+  /** Canonical form of an absolute URL: scheme and host lowercased,
+    * default port for the scheme stripped, fragment dropped, tracking
+    * params removed, surviving params sorted (param order is transport
+    * history, not identity), trailing slash stripped from a non-root
+    * path, empty path normalized to "/". Pure regexp/string expressions
+    * (no backreference replacements — Java's `$1` and RE2's `\1` differ,
+    * so the dialect-portable subset avoids them); codegen, zero shuffle.
+    * A string that does not parse as scheme://host... canonicalizes to
+    * itself (extract yields '', guarded below). */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, UrlParts, 1))
+    val host0 = lower(regexp_extract(url, UrlParts, 2))
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest = regexp_extract(url, UrlParts, 3)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val path0 = regexp_extract(noFrag, "^([^?]*)", 1)
+    val path1 = when(path0 =!= "/" && path0.endsWith("/"),
+      substring(path0, lit(1), length(path0) - 1)).otherwise(path0)
+    val path = when(length(path1) === 0, lit("/")).otherwise(path1)
+    val query0 = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val query1 = regexp_replace(query0, TrackingParamPattern + "=[^&]*(?:&|$)", "")
+    val query2 = regexp_replace(query1, "&+$", "")
+    val sorted = array_join(array_sort(split(query2, "&")), "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(length(query2) > 0, concat(lit("?"), sorted)).otherwise(lit("")))
+    when(length(scheme) > 0, canon).otherwise(url)
+  }
+
+  // ===== Corpus-level line dedup (MassiveText/RefinedWeb boilerplate
+  // removal: a line occurring more than `maxOccurrences` times across the
+  // corpus is boilerplate — nav text, cookie banners, footers — and is
+  // dropped from every document) =====
+
+  /** Remove corpus-frequent lines from every document. Scale shape: the
+    * frequency count shuffles 8-byte xxhash64 values (never line text);
+    * the heavy-hash set then SEMI-joins back to fetch candidate line
+    * texts and re-counts them exactly (candidate set is small — it is
+    * the boilerplate dictionary — and the recount makes a hash collision
+    * cost a wasted candidate, never a wrong drop); the drop itself is a
+    * broadcast anti-join on the line TEXT, so the result is exactly the
+    * SQL `line NOT IN heavy` semantics any engine replays. The one
+    * corpus-sized shuffle is the per-document reassembly groupBy —
+    * inherent, since the operator's output IS the rewritten text.
+    * Output: (id, n_lines, n_removed, clean_text) — every input row
+    * appears, including documents whose lines were all removed
+    * (clean_text = ''). */
+  def dedupCorpusLines(docs: DataFrame, idCol: String, textCol: String,
+                       maxOccurrences: Long): DataFrame = {
+    val id = col(idCol)
+    val lines = docs.select(id,
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val heavyHashes = lines
+      .groupBy(xxhash64(col("__line")).as("__h"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > maxOccurrences)
+      .select(col("__h"))
+    val heavyLines = lines
+      .join(broadcast(heavyHashes), xxhash64(col("__line")) === col("__h"))
+      .groupBy(col("__line")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxOccurrences).select(col("__line").as("__heavy"))
+    val kept = lines.join(broadcast(heavyLines),
+      col("__line") === col("__heavy"), "left_anti")
+    val reassembled = kept.groupBy(id).agg(
+      count(lit(1)).as("__n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        x => x.getField("__line")), "\n").as("clean_text"))
+    docs.select(id, size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(id, col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }
