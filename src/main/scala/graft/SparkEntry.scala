@@ -2393,6 +2393,33 @@ object SparkEntry {
       col("n_removed"), md5(col("clean_text")).as("clean_fp")))
   }
 
+  private def qLexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    // Vocabulary-richness quality signal: TTR + unigram entropy, 9-dp
+    // contributions decimal-summed (order-independent), per-doc window.
+    Relational.sort(col("doc_id"))(
+      graft.pipeline.Scoring.lexicalDiversity(Tables.documents(s, d),
+        "doc_id", "text"))
+  }
+
+  private def qLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    // Pad-efficiency batching: power-of-two length buckets, sharded rank
+    // (8 shards here; the default 64 at cluster scale), seeded portable
+    // order — the whole assignment replayed in SQL.
+    Relational.sort(col("doc_id"))(
+      graft.pipeline.Packing.lengthBuckets(Tables.documents(s, d),
+        "doc_id", "text", shards = 8, seed = 7L))
+  }
+
+  private def qNovelty(s: SparkSession, d: String): DataFrame = {
+    // Trigram novelty vs an in-corpus reference slice (doc_id % 10 = 0):
+    // reference docs must score 0 by construction; the dictionary join
+    // moves md5 digests, never gram text.
+    val docs = Tables.documents(s, d)
+    Relational.sort(col("doc_id"))(
+      graft.pipeline.Scoring.ngramNovelty(docs,
+        docs.where(col("doc_id") % 10 === 0), "doc_id", "text", n = 3))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -3040,6 +3067,9 @@ object SparkEntry {
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_dedup" -> (qUrlDedup _),
     "q_line_dedup" -> (qLineDedup _),
+    "q_lexical_diversity" -> (qLexicalDiversity _),
+    "q_length_buckets" -> (qLengthBuckets _),
+    "q_novelty" -> (qNovelty _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -4999,5 +5029,58 @@ object SparkEntry {
         |  tot.n_lines - COALESCE(ka.n_kept, 0) AS n_removed,
         |  COALESCE(ka.clean_fp, md5('')) AS clean_fp
         |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id ORDER BY tot.doc_id""".stripMargin,
+    // lexical diversity: 9-dp p·ln p contributions, decimal-summed
+    "q_lexical_diversity" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |pt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |wn AS (SELECT doc_id, c, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM pt),
+        |h AS (SELECT doc_id, MAX(n) AS n_tokens, count(*) AS n_types,
+        |  round(CAST(-SUM(CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS entropy
+        |  FROM wn GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_tokens, 0) AS n_tokens, COALESCE(h.n_types, 0) AS n_types,
+        |  COALESCE(round(CAST(h.n_types AS DOUBLE) / h.n_tokens, 6), 0.0) AS ttr,
+        |  COALESCE(h.entropy, 0.0) AS entropy
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id""".stripMargin,
+    // length bucketing: CASE-chain buckets, sharded seeded rank, floor-div batches
+    "q_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |  CAST(CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |    WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |    WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+        |    WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END AS BIGINT) AS bucket,
+        |  (((doc_id % 2147483648) * (((15 * 2654435761) % 2147483648))) % 2147483648
+        |    + (7 * 2246822519) % 2147483648) % 2147483648 AS sk
+        |  FROM t),
+        |r AS (SELECT doc_id, n_tokens, bucket, sk % 8 AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY bucket, sk % 8 ORDER BY sk, doc_id) AS rn
+        |  FROM b)
+        |SELECT doc_id, n_tokens, bucket, shard,
+        |  CAST(FLOOR(CAST(rn - 1 AS DOUBLE) / FLOOR(8192.0 / bucket)) AS BIGINT) AS batch_id,
+        |  bucket - least(n_tokens, bucket) AS pad
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // trigram novelty vs the doc_id % 10 = 0 reference slice
+    "q_novelty" ->
+      """WITH ls AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS pos FROM ls),
+        |g0 AS (SELECT doc_id, w,
+        |  lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |  lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok),
+        |g AS (SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS gram FROM g0 WHERE w2 IS NOT NULL),
+        |dict AS (SELECT DISTINCT md5(gram) AS gh FROM g WHERE doc_id % 10 = 0),
+        |dg AS (SELECT DISTINCT doc_id, md5(gram) AS gh FROM g),
+        |sc AS (SELECT dg.doc_id, count(*) AS n_ngrams,
+        |  CAST(SUM(CASE WHEN dict.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM dg LEFT JOIN dict ON dg.gh = dict.gh GROUP BY dg.doc_id)
+        |SELECT d.doc_id, COALESCE(sc.n_ngrams, 0) AS n_ngrams,
+        |  COALESCE(sc.n_novel, 0) AS n_novel,
+        |  COALESCE(round(CAST(sc.n_novel AS DOUBLE) / sc.n_ngrams, 6), 0.0) AS novelty
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -148,5 +148,49 @@ object Packing {
       .groupBy(col("__id").as(idCol), col("__chunk").as("chunk"))
       .agg(count(lit(1)).as("n_tokens"),
         pmod(sum(col("__kt") * col("__rn")), lit(m)).as("chunk_fp"))
+  }
+
+  /** Sequence-length bucketing + deterministic batch assembly — the
+    * pad-efficiency step of a training-data pipeline: sequences of
+    * similar length batch together so padding-to-bucket wastes little
+    * compute. Bucket = smallest of `boundaries` ≥ n_tokens (longer
+    * sequences truncate to the top bucket) — a fixed CASE chain, exact in
+    * any engine (no float log2 near power-of-two edges). Each batch holds
+    * `batchTokenBudget / bucket` sequences; order within a batch is the
+    * seeded portable shuffle key (reproducible across runs and engines).
+    *
+    * Scale shape: ranking PARTITIONS BY (bucket, shard) where shard =
+    * shuffle-key mod `shards` — a plain per-bucket rank would put each
+    * bucket's ENTIRE corpus slice through one reducer (|boundaries| tasks
+    * total); sharding multiplies the parallelism by `shards` at the cost
+    * of at most one partial batch per (bucket, shard). Batches never
+    * cross shards, so assembly stays deterministic. Output: (id,
+    * n_tokens, bucket, shard, batch_id, pad). */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    boundaries: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024, 2048),
+                    batchTokenBudget: Int = 8192, shards: Int = 64,
+                    seed: Long = 42L): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "lengthBuckets: boundaries must be ascending")
+    require(batchTokenBudget >= boundaries.last,
+      "lengthBuckets: budget must fit one top-bucket sequence")
+    require(shards >= 1, "lengthBuckets: shards must be >= 1")
+    val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val bucket = boundaries.init.foldRight(lit(boundaries.last.toLong): Column) {
+      (b, acc) => when(col("n_tokens") <= b, lit(b.toLong)).otherwise(acc)
+    }
+    val capacity = (lit(batchTokenBudget.toLong) / col("bucket")).cast("long")
+    val sk = Sampling.shuffleKey(Seq(col(idCol)), seed)
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("__sk"), col(idCol))
+    docs.select(col(idCol), n.as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .withColumn("__sk", sk)
+      .withColumn("shard", pmod(col("__sk"), lit(shards.toLong)))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1).cast("double") / capacity.cast("double"))
+          .cast("long"))
+      .withColumn("pad", col("bucket") - least(col("n_tokens"), col("bucket")))
+      .drop("__sk")
   }
 }

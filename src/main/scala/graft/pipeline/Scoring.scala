@@ -247,4 +247,75 @@ object Scoring {
         ascii(substring(t, -1, 1)).cast("long")) % dims)
         * 2654435761L % 2147483648L) % 2001 - 1000)
   }
+
+  /** Per-document lexical diversity: type-token ratio and unigram Shannon
+    * entropy (nats) — the vocabulary-richness quality signal (template-
+    * generated or keyword-stuffed text scores low entropy at a given
+    * length). Cross-engine exactness: each term's p·ln p contribution is
+    * 9-dp-rounded and DECIMAL-summed (order-independent ⇒ bit-stable
+    * under any partitioning, and |p·ln p| ≤ 1/e so the rounding is
+    * scale-safe — the q_text_perplexity convention). Shuffle shape: one
+    * (doc, term) explode+groupBy, then a doc-sharded window — never raw
+    * text; every input row appears in the output (token-less documents
+    * report zeros). */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = docs.select(col(idCol), explode(tokenize(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(idCol))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    val perDoc = perTok
+      .withColumn("__n", sum(col("__c")).over(w))
+      .withColumn("__h", round(p * log(p), 9).cast("decimal(20,9)"))
+      .groupBy(col(idCol)).agg(
+        max(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round((-sum(col("__h"))).cast("double"), 6).as("entropy"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("ttr"), lit(0.0)).as("ttr"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+  }
+
+  /** Fraction of a document's distinct word n-grams ABSENT from a
+    * reference corpus — novelty/diversity scoring for corpus curation
+    * (high novelty = new content worth keeping; near-zero = the reference
+    * already covers it; it is the recall-side complement of the
+    * q_contamination membership check). Grams are built with a doc-
+    * sharded lead() window (high-cardinality partition key, scales) and
+    * joined on md5(gram) so the dictionary join shuffles 32-char digests,
+    * never gram text — and md5 is engine-portable, so SQL oracles replay
+    * the join exactly (xxhash64 would not be). Documents with fewer than
+    * `n` tokens report zero n-grams and novelty 0. */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, "ngramNovelty: n must be >= 1")
+    def grams(df: DataFrame): DataFrame = {
+      val toks = df.select(col(idCol),
+        posexplode(tokenize(col(textCol))).as(Seq("__pos", "__w")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      val parts = (0 until n).map(i =>
+        if (i == 0) col("__w") else lead(col("__w"), i).over(w))
+      toks.select(col(idCol), concat_ws(" ", parts: _*).as("__gram"),
+          parts.last.isNotNull.as("__full"))
+        .where(col("__full"))
+    }
+    val dict = grams(ref).select(md5(col("__gram")).as("__gh")).distinct()
+      .withColumn("__seen", lit(1))
+    val docGrams = grams(docs).select(col(idCol), md5(col("__gram")).as("__gh"))
+      .distinct()
+    val scored = docGrams.join(dict, Seq("__gh"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(round(col("n_novel").cast("double") /
+          col("n_ngrams").cast("double"), 6), lit(0.0)).as("novelty"))
+  }
 }
