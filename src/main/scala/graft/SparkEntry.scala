@@ -2420,6 +2420,52 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 === 0), "doc_id", "text", n = 3))
   }
 
+  private def qJsonExtract(s: SparkSession, d: String): DataFrame = {
+    // Semi-structured props + a synthesized nested document: both
+    // extraction modes exercised — flatten (one from_json parse) for the
+    // real column, JSONPath get_json_object for nested object and array
+    // index — folded into per-type aggregates the oracle replays with
+    // DuckDB's json_extract.
+    import graft.pipeline.Json
+    val nested = concat(lit("{\"id\":"), col("event_id").cast("string"),
+      lit(",\"nest\":{\"u\":"), col("user_id").cast("string"),
+      lit("},\"arr\":[1,"), (col("event_id") % 5).cast("string"), lit("]}"))
+    val ev = Json.flatten(
+      Tables.events(s, d).select(col("event_type"), col("props"), nested.as("nj")),
+      "props", "k BIGINT", Seq("k" -> "k_typed"))
+    Relational.sort(col("event_type"))(ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("k_typed")).as("sum_k"),
+      sum(Json.extractTyped(col("nj"), "$.nest.u", "long")).as("sum_u"),
+      sum(Json.extractTyped(col("nj"), "$.arr[1]", "long")).as("sum_arr"),
+      max(Json.extractTyped(col("props"), "$.k", "long")).as("max_k")))
+  }
+
+  private def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    // Wide measures to long form via ONE Expand (the oracle is the
+    // four-way UNION ALL that would scan the table four times).
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      dec(col("l_quantity")).as("quantity"),
+      dec(col("l_extendedprice")).as("extendedprice"),
+      dec(col("l_discount")).as("discount"),
+      dec(col("l_tax")).as("tax"))
+    val long = Aggregates.unpivot(li, Seq("l_returnflag"),
+      Seq("quantity", "extendedprice", "discount", "tax"), "metric", "value")
+    Relational.sort(col("l_returnflag"), col("metric"))(
+      long.groupBy(col("l_returnflag"), col("metric"))
+        .agg(sum(col("value")).cast("string").cast("double").as("sum_value")))
+  }
+
+  private def qDebounce(s: SparkSession, d: String): DataFrame = {
+    // Burst-collapse dedup per (user, type): only burst leaders survive
+    // (gap > 1 h from the previous event); micros surface so both
+    // engines compare the same integers.
+    val out = graft.pipeline.Events.burstLeaders(Tables.events(s, d),
+      Seq("user_id", "event_type"), "ts", gapSeconds = 3600L, tieCol = "event_id")
+    Relational.sort(col("event_id"))(out.select(col("event_id"),
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us")))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -3070,6 +3116,9 @@ object SparkEntry {
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_novelty" -> (qNovelty _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_debounce" -> (qDebounce _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -5082,5 +5131,45 @@ object SparkEntry {
         |  COALESCE(sc.n_novel, 0) AS n_novel,
         |  COALESCE(round(CAST(sc.n_novel AS DOUBLE) / sc.n_ngrams, 6), 0.0) AS novelty
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin,
+    // JSON extraction: flatten-once (from_json) and per-path JSONPath
+    // (get_json_object) both replayed via DuckDB's json_extract_string.
+    "q_json_extract" ->
+      """WITH t AS (SELECT event_type, props,
+        |  '{"id":' || CAST(event_id AS VARCHAR) ||
+        |  ',"nest":{"u":' || CAST(user_id AS VARCHAR) ||
+        |  '},"arr":[1,' || CAST(event_id % 5 AS VARCHAR) || ']}' AS nj
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(nj, '$.nest.u') AS BIGINT)) AS BIGINT) AS sum_u,
+        |  CAST(SUM(CAST(json_extract_string(nj, '$.arr[1]') AS BIGINT)) AS BIGINT) AS sum_arr,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // UNPIVOT: the relational equivalent is this 4-way UNION ALL (4 table
+    // scans); the Spark side plans ONE Expand over one scan.
+    "q_unpivot" ->
+      """WITH long AS (
+        |  SELECT l_returnflag, 'quantity' AS metric,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'extendedprice',
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'discount',
+        |    CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax',
+        |    CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+        |SELECT l_returnflag, metric,
+        |  CAST(CAST(SUM(value) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM long GROUP BY l_returnflag, metric
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    // Burst-collapse debounce: gaps-and-islands leaders, gap measured
+    // from the previous event (one lag window), 1 h threshold.
+    "q_debounce" ->
+      """WITH w AS (SELECT event_id, user_id, event_type, ts,
+        |  lag(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM w WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 3600000000
+        |ORDER BY event_id""".stripMargin,
   )
 }

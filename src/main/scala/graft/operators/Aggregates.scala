@@ -211,6 +211,17 @@ object Aggregates {
                      spec: Agg)(df: DataFrame): DataFrame =
     df.groupBy(keys.map(col): _*).pivot(pivotCol, values).agg(spec.toColumn)
 
+  /** UNPIVOT / melt — the inverse of [[pivotAggregate]]: wide measure
+    * columns become (variable, value) long-form rows. Plans as ONE Expand
+    * (rows × |values|) with no shuffle and no extra job — the relational
+    * equivalent is the |values|-way UNION ALL the q_unpivot oracle
+    * replays, which would scan the input |values| times; Expand scans it
+    * once. All `values` columns must share a least common type (Spark
+    * analysis enforces it — cast first). */
+  def unpivot(df: DataFrame, ids: Seq[String], values: Seq[String],
+              varCol: String, valCol: String): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varCol, valCol)
+
   /** BoundGroupAggregateWithLimit — aggregate the first `limit` unique keys
     * individually; all remaining rows fold into a single overflow group
     * (reference: aggregate.h:264-276).

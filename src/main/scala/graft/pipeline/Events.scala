@@ -175,4 +175,29 @@ object Events {
         col("__a").getField("t").as("touch_type"),
         col("__a").getField("ts").as("touch_ts"))
   }
+
+  /** Burst-collapse (event debounce): within each key, a chain of events
+    * where each follows its predecessor within `gapSeconds` is ONE burst
+    * — duplicate clicks, retry storms, sensor chatter — and only the
+    * burst LEADER (its first event) survives. The gap measures from the
+    * PREVIOUS EVENT (gaps-and-islands semantics: one lag() window,
+    * exactly replayable in any SQL engine), not from the last KEPT event
+    * — that greedy variant depends on its own output sequentially and
+    * has no bounded relational form. A leader is a row with no
+    * predecessor, or one whose gap STRICTLY exceeds `gapSeconds`.
+    * Simultaneous events order by `tieCol`, so the leader is
+    * deterministic. One key-sharded window (high-cardinality partition
+    * key — scales); rows drop in place, nothing is rewritten. */
+  def burstLeaders(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   gapSeconds: Long, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "burstLeaders: need at least one key column")
+    require(gapSeconds > 0, "burstLeaders: gapSeconds must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .where(col("__prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")) >
+          gapSeconds * 1000000L)
+      .drop("__prev")
+  }
 }

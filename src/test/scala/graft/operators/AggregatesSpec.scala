@@ -160,4 +160,24 @@ class AggregatesSpec extends SparkSpec {
       assert(rows(out) == Seq(Seq("p1", 10L, 5L), Seq("p2", 7L, null)))
     }
   }
+
+  test("unpivot: wide to long, one Expand, no union/extra scans") {
+    val df = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "x", "y")
+    withPartitionings(df) { d =>
+      val out = unpivot(d, Seq("k"), Seq("x", "y"), "metric", "value")
+      assert(out.columns.toSeq == Seq("k", "metric", "value"))
+      assert(rows(out.orderBy("k", "metric")) == Seq(
+        Seq("a", "x", 1L), Seq("a", "y", 10L),
+        Seq("b", "x", 2L), Seq("b", "y", 20L)))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"expected one Expand node:\n$plan")
+      assert(!plan.contains("Union"), "unpivot must not plan a UNION of scans")
+    }
+  }
+
+  test("unpivot: null measure values survive as null rows") {
+    val df = Seq(("a", Some(1L), None: Option[Long])).toDF("k", "x", "y")
+    val out = rows(unpivot(df, Seq("k"), Seq("x", "y"), "m", "v").orderBy("m"))
+    assert(out == Seq(Seq("a", "x", 1L), Seq("a", "y", null)))
+  }
 }

@@ -149,4 +149,48 @@ class EventsSpec extends SparkSpec {
         Seq(4L, 1L, ts("2024-01-01 10:20:00"), "view", ts("2024-01-01 10:00:00"))))
     }
   }
+
+  test("burstLeaders: gap from PREVIOUS event, not last kept leader") {
+    // Chain t=0,30m,60m,90m: every gap is 30m <= 1h, so the whole chain is
+    // ONE burst even though t=90m is >1h after the t=0 leader — the
+    // gaps-and-islands semantics this operator documents.
+    val df = Seq(
+      (1L, 10L, "a", "2024-01-01 10:00:00"),
+      (2L, 10L, "a", "2024-01-01 10:30:00"),
+      (3L, 10L, "a", "2024-01-01 11:00:00"),
+      (4L, 10L, "a", "2024-01-01 11:30:00"),
+      (5L, 10L, "a", "2024-01-01 13:00:00"), // 90m gap > 1h: new burst
+      (6L, 10L, "b", "2024-01-01 10:05:00"), // different key: own burst
+      (7L, 11L, "a", "2024-01-01 10:05:00"))
+      .toDF("id", "u", "tp", "t")
+      .select(col("id"), col("u"), col("tp"), to_timestamp(col("t")).as("ts"))
+    withPartitionings(df) { d =>
+      val out = rows(Events.burstLeaders(d, Seq("u", "tp"), "ts",
+        gapSeconds = 3600L, tieCol = "id").select("id").orderBy("id"))
+      assert(out == Seq(Seq(1L), Seq(5L), Seq(6L), Seq(7L)))
+    }
+  }
+
+  test("burstLeaders: gap EXACTLY at threshold does not break the burst") {
+    val df = Seq(
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (2L, 1L, "a", "2024-01-01 11:00:00"),  // exactly 3600s: same burst
+      (3L, 1L, "a", "2024-01-01 12:00:01"))  // 3601s: leader
+      .toDF("id", "u", "tp", "t")
+      .select(col("id"), col("u"), col("tp"), to_timestamp(col("t")).as("ts"))
+    val out = rows(Events.burstLeaders(df, Seq("u", "tp"), "ts", 3600L, "id")
+      .select("id").orderBy("id"))
+    assert(out == Seq(Seq(1L), Seq(3L)))
+  }
+
+  test("burstLeaders: simultaneous events pick the smallest tie id as leader") {
+    val df = Seq(
+      (9L, 1L, "a", "2024-01-01 10:00:00"),
+      (2L, 1L, "a", "2024-01-01 10:00:00"))
+      .toDF("id", "u", "tp", "t")
+      .select(col("id"), col("u"), col("tp"), to_timestamp(col("t")).as("ts"))
+    val out = rows(Events.burstLeaders(df, Seq("u", "tp"), "ts", 60L, "id")
+      .select("id"))
+    assert(out == Seq(Seq(2L)))
+  }
 }
