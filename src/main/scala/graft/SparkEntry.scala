@@ -2466,6 +2466,76 @@ object SparkEntry {
       col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us")))
   }
 
+  private def qArgmax(s: SparkSession, d: String): DataFrame = {
+    // ARG_MAX/ARG_MIN through the JSON WIRE FORM (the DSL's newest fns
+    // must survive serialization like the rest): per return flag, the
+    // orderkey at the extreme extendedprice, ties broken by the value
+    // itself — deterministic under any partitioning, which bare max_by
+    // is not.
+    import graft.plans.QuerySpecs
+    import graft.plans.QuerySpecs.{AggFieldSpec, AggSpec, SortKeySpec}
+    val spec = AggSpec(List("l_returnflag"), List(
+      AggFieldSpec("ARG_MAX", Some("l_orderkey"), "top_key",
+        orderBy = Some(SortKeySpec("l_extendedprice"))),
+      AggFieldSpec("ARG_MIN", Some("l_orderkey"), "bottom_key",
+        orderBy = Some(SortKeySpec("l_extendedprice"))),
+      AggFieldSpec("COUNT", None, "n")))
+    val wire = QuerySpecs.readAggSpec(QuerySpecs.writeAggSpec(spec))
+    require(wire == spec, "ARG_MAX/ARG_MIN spec JSON round-trip is lossy")
+    Relational.sort(col("l_returnflag"))(
+      QuerySpecs.buildAggregate(wire)(Tables.lineitem(s, d)))
+  }
+
+  private def qIntervalMerge(s: SparkSession, d: String): DataFrame = {
+    // Overlap-merge of per-user time intervals (event start + a
+    // deterministic duration): maximal disjoint spans via the
+    // gaps-and-islands reduction — two key-sharded exchanges.
+    val iv = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        ((col("event_id") % 7) + 1) * 600000000L).as("e"))
+    Relational.sort(col("user_id"), col("s"))(
+      graft.pipeline.Events.mergeIntervals(iv, Seq("user_id"), "s", "e"))
+  }
+
+  private def qTransitions(s: SparkSession, d: String): DataFrame = {
+    // First-order event-type transition counts (the Markov face): one
+    // user-sharded lead window, one pair aggregate.
+    Relational.sort(col("from_type"), col("to_type"))(
+      graft.pipeline.Events.transitions(Tables.events(s, d),
+        Seq("user_id"), "ts", "event_type", "event_id"))
+  }
+
+  private def qNtile(s: SparkSession, d: String): DataFrame = {
+    // Per-group equi-depth bin assignment (ntile k=5, total order via the
+    // (orderkey, linenumber) unique tie); membership pinned per bucket by
+    // exact integer sums, not 60k raw rows.
+    val li = Tables.lineitem(s, d)
+    val binned = graft.pipeline.Profile.quantileBins(li, "l_returnflag",
+      "l_extendedprice", 5, Seq("l_orderkey", "l_linenumber"))
+    Relational.sort(col("l_returnflag"), col("bucket"))(
+      binned.groupBy(col("l_returnflag"), col("bucket")).agg(
+        count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        sum(col("l_orderkey")).as("sum_key")))
+  }
+
+  private def qFdCheck(s: SparkSession, d: String): DataFrame = {
+    // Functional-dependency audit suite: a true key (o_orderkey →
+    // o_custkey), a violated within-order dependency (l_orderkey →
+    // l_returnflag), and a violated demographic one (c_nationkey →
+    // c_mktsegment) — one report row each.
+    import graft.pipeline.Checks
+    val f1 = Checks.functionalDependency(Tables.orders(s, d),
+      Seq("o_orderkey"), "o_custkey", "orders_key")
+    val f2 = Checks.functionalDependency(Tables.lineitem(s, d),
+      Seq("l_orderkey"), "l_returnflag", "order_returnflag")
+    val f3 = Checks.functionalDependency(Tables.customer(s, d),
+      Seq("c_nationkey"), "c_mktsegment", "nation_segment")
+    Relational.sort(col("check_name"))(f1.unionByName(f2).unionByName(f3))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -3119,6 +3189,11 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_unpivot" -> (qUnpivot _),
     "q_debounce" -> (qDebounce _),
+    "q_argmax" -> (qArgmax _),
+    "q_interval_merge" -> (qIntervalMerge _),
+    "q_transitions" -> (qTransitions _),
+    "q_ntile" -> (qNtile _),
+    "q_fd_check" -> (qFdCheck _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -5171,5 +5246,68 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM w WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 3600000000
         |ORDER BY event_id""".stripMargin,
+    // ARG_MAX/ARG_MIN tie-break is the (order, value) lexicographic
+    // extreme — replayed as rank-1 rows under the matching total order.
+    "q_argmax" ->
+      """WITH r AS (SELECT l_returnflag, l_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rmax,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rmin
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rmax = 1 THEN l_orderkey END) AS top_key,
+        |  MAX(CASE WHEN rmin = 1 THEN l_orderkey END) AS bottom_key,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Gaps-and-islands overlap merge: island breaks where start strictly
+    // exceeds the running max end of everything before it.
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |  epoch_us(ts) + ((event_id % 7) + 1) * 600000000 AS e FROM events),
+        |m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id
+        |  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |g AS (SELECT *, SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
+        |SELECT user_id, MIN(s) AS s, MAX(e) AS e, COUNT(*) AS n_merged
+        |FROM g GROUP BY user_id, island ORDER BY user_id, s""".stripMargin,
+    "q_transitions" ->
+      """WITH t AS (SELECT event_type, lead(event_type) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events)
+        |SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+        |FROM t WHERE nxt IS NOT NULL
+        |GROUP BY from_type, nxt ORDER BY from_type, to_type""".stripMargin,
+    // ntile under the same TOTAL order (value, orderkey, linenumber);
+    // bucket membership pinned by the exact integer key sum.
+    "q_ntile" ->
+      """WITH b AS (SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |  ntile(5) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+        |FROM b GROUP BY l_returnflag, bucket
+        |ORDER BY l_returnflag, bucket""".stripMargin,
+    // FD audit over DISTINCT (lhs, rhs) pairs — NULL rhs is a value.
+    "q_fd_check" ->
+      """WITH f1 AS (SELECT 'orders_key' AS check_name, lhs, COUNT(*) AS nr
+        |  FROM (SELECT DISTINCT o_orderkey AS lhs, o_custkey AS r FROM orders)
+        |  GROUP BY lhs),
+        |f2 AS (SELECT 'order_returnflag' AS check_name, lhs, COUNT(*) AS nr
+        |  FROM (SELECT DISTINCT l_orderkey AS lhs, l_returnflag AS r FROM lineitem)
+        |  GROUP BY lhs),
+        |f3 AS (SELECT 'nation_segment' AS check_name, lhs, COUNT(*) AS nr
+        |  FROM (SELECT DISTINCT c_nationkey AS lhs, c_mktsegment AS r FROM customer)
+        |  GROUP BY lhs),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL
+        |  SELECT * FROM f3)
+        |SELECT check_name, COUNT(*) AS lhs_groups,
+        |  CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+        |  CAST(MAX(nr) AS BIGINT) AS max_rhs_per_lhs,
+        |  SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        |FROM u GROUP BY check_name ORDER BY check_name""".stripMargin,
   )
 }

@@ -35,6 +35,8 @@ object Aggregates {
   case object CONCAT extends AggFn
   case object FIRST extends AggFn
   case object LAST extends AggFn
+  case object ARG_MAX extends AggFn
+  case object ARG_MIN extends AggFn
 
   /** One aggregation: fn(input) AS output.
     * @param input     input column; None only for COUNT (row count)
@@ -77,6 +79,20 @@ object Aggregates {
         case LAST =>
           val ord = order.getOrElse(in.get)
           max_by(in.get, when(in.get.isNotNull, ord))
+        // ARG_MAX/ARG_MIN: value of `input` at the extreme of `order`,
+        // ties broken DETERMINISTICALLY by the value itself (lexicographic
+        // (order, value) struct comparison) — bare max_by leaves ties
+        // partition-order-dependent, which a distributed engine must not
+        // be. Rows with NULL order or NULL value are ignored (the
+        // reference's aggregations-ignore-NULLs rule).
+        case ARG_MAX =>
+          val ord = order.getOrElse(
+            sys.error("ARG_MAX requires an explicit order column"))
+          max_by(in.get, when(in.get.isNotNull && ord.isNotNull, struct(ord, in.get)))
+        case ARG_MIN =>
+          val ord = order.getOrElse(
+            sys.error("ARG_MIN requires an explicit order column"))
+          min_by(in.get, when(in.get.isNotNull && ord.isNotNull, struct(ord, in.get)))
       }
       outType.map(c.cast).getOrElse(c).as(output)
     }

@@ -130,6 +130,28 @@ object Checks {
     * pass/fail verdict (no class below k). NULL quasi-values group as a
     * class of their own (NULL-safe groupBy), matching how an attacker
     * would treat a missing value: as one more observable. */
+  /** Functional-dependency audit: does lhs → rhs hold (every lhs value
+    * maps to exactly one rhs value)? The schema-discovery / data-quality
+    * probe behind "is this column a key for that one". One aggregate over
+    * the DISTINCT (lhs, rhs) pairs — NULL rhs counts as a value (a key
+    * mapping to both 7 and NULL is a violation); violating_groups is the
+    * number of lhs values with >1 distinct rhs, max_rhs_per_lhs the worst
+    * fan-out. Both exchanges are key-sharded aggregates; nothing collects.
+    * One report row per call — stack calls with unionByName for a suite. */
+  def functionalDependency(df: DataFrame, lhsCols: Seq[String],
+                           rhsCol: String, name: String): DataFrame = {
+    require(lhsCols.nonEmpty, "functionalDependency: need lhs columns")
+    val pairs = df.select((lhsCols.map(col) :+ col(rhsCol)): _*).distinct()
+    pairs.groupBy(lhsCols.map(col): _*).agg(count(lit(1)).as("__n_rhs"))
+      .agg(count(lit(1)).as("lhs_groups"),
+        coalesce(sum(when(col("__n_rhs") > 1L, 1L).otherwise(0L)), lit(0L))
+          .as("violating_groups"),
+        coalesce(max(col("__n_rhs")), lit(0L)).as("max_rhs_per_lhs"))
+      .select(lit(name).as("check_name"), col("lhs_groups"),
+        col("violating_groups"), col("max_rhs_per_lhs"),
+        (col("violating_groups") === 0L).as("holds"))
+  }
+
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymity: need at least one quasi-identifier")
     require(k >= 1, "kAnonymity: k must be >= 1")

@@ -188,6 +188,50 @@ object Events {
     * Simultaneous events order by `tieCol`, so the leader is
     * deterministic. One key-sharded window (high-cardinality partition
     * key — scales); rows drop in place, nothing is rewritten. */
+  /** Merge overlapping-or-touching closed intervals [start, end] per key
+    * into maximal disjoint spans (the classic gaps-and-islands reduction:
+    * calendar availability, IP ranges, session stitching). An interval
+    * starts a new island iff its start STRICTLY exceeds the running max
+    * end of everything before it — touching intervals (start == prior
+    * end) merge. One key-sharded window (running max + running break sum
+    * over the same sort) then one aggregate: two exchanges total, both on
+    * the high-cardinality key. Output: key cols, merged start/end,
+    * n_merged source intervals. */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String],
+                     startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeIntervals: need at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol).asc, col(endCol).asc)
+    val prevMaxEnd = max(col(endCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val island = sum(
+      when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__island", island)
+      .groupBy((keyCols.map(col) :+ col("__island")): _*)
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
+
+  /** First-order transition counts over per-key event sequences (the
+    * Markov-chain face of event analytics: what follows what). Each key's
+    * events order by (ts, tie); every adjacent pair contributes one
+    * (from_type, to_type) observation; the last event of a key has no
+    * successor and contributes nothing. One key-sharded lead window, one
+    * hash aggregate on the (from, to) pair — both exchanges key-sharded.
+    * The |types|² output is bounded metadata, never per-row data. */
+  def transitions(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  typeCol: String, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "transitions: need at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def burstLeaders(df: DataFrame, keyCols: Seq[String], tsCol: String,
                    gapSeconds: Long, tieCol: String): DataFrame = {
     require(keyCols.nonEmpty, "burstLeaders: need at least one key column")

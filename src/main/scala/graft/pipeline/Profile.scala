@@ -397,6 +397,31 @@ object Profile {
       .agg(max(col("__n")).as("n"), min(col("__v")).as("value"))
   }
 
+  /** Per-group equi-depth quantile bin ASSIGNMENT (ntile) — the feature-
+    * binning step before bucketed models / calibration: every non-NULL row
+    * gets a bucket in [1, k], sizes differing by at most one per group.
+    * Ordering must be TOTAL for a distributed engine to be deterministic,
+    * so ties on the value break by the caller's unique `tieCols` —
+    * ntile over a partial order would let equal values straddle a bucket
+    * boundary in either order. One key-sharded window (the partition key
+    * is the group — shards; a global variant should go through
+    * histogramEquiDepth's distinct-value rank shape instead, which never
+    * windows per-row). NULL values pass through with NULL bucket. */
+  def quantileBins(df: DataFrame, groupCol: String, valueCol: String,
+                   k: Int, tieCols: Seq[String]): DataFrame = {
+    require(k >= 1, "quantileBins: k must be >= 1")
+    require(tieCols.nonEmpty, "quantileBins: need tie-break columns")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((col(valueCol).asc +: tieCols.map(col(_).asc)): _*)
+    // NULL rows must not occupy ntile slots (they'd shift every real
+    // bucket), so they ride a separate pushed-down scan and union back.
+    val binned = df.where(col(valueCol).isNotNull)
+      .withColumn("bucket", ntile(k).over(w).cast("long"))
+    binned.unionByName(
+      df.where(col(valueCol).isNull)
+        .withColumn("bucket", lit(null).cast("long")))
+  }
+
   /** Top-k most frequent values per column — the value-frequency half of
     * a profile ("what's actually IN this column"): ONE scan stacks the
     * requested columns into (col_name, value-as-string) rows, one

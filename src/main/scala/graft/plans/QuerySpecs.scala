@@ -199,7 +199,8 @@ object QuerySpecs {
 
   private val fnByName: Map[String, AggFn] = Map(
     "SUM" -> SUM, "MIN" -> MIN, "MAX" -> MAX, "COUNT" -> COUNT,
-    "CONCAT" -> CONCAT, "FIRST" -> FIRST, "LAST" -> LAST)
+    "CONCAT" -> CONCAT, "FIRST" -> FIRST, "LAST" -> LAST,
+    "ARG_MAX" -> ARG_MAX, "ARG_MIN" -> ARG_MIN)
 
   def sortKeyColumn(k: SortKeySpec): Column = {
     val base = if (k.caseInsensitive) Relational.caseInsensitive(col(k.column))

@@ -175,6 +175,32 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("ARG_MAX/ARG_MIN: deterministic tie-break, NULLs ignored") {
+    // dept a: amt ties at 9 for ids 3 and 7 → ARG_MAX must pick 7 (larger
+    // value wins the tie) REGARDLESS of partitioning; bare max_by would
+    // return whichever arrives last.
+    val df = Seq(("a", 3L, Some(9)), ("a", 7L, Some(9)), ("a", 1L, Some(2)),
+      ("b", 5L, Some(4)), ("b", 6L, None), // NULL order key ignored
+      ("c", 8L, Some(1))).toDF("dept", "id", "amt")
+    withPartitionings(df) { d =>
+      val out = rows(groupAggregate(Seq("dept"), Seq(
+        Agg(ARG_MAX, Some("id"), "hi", order = Some(col("amt"))),
+        Agg(ARG_MIN, Some("id"), "lo", order = Some(col("amt")))))(d)
+        .orderBy("dept"))
+      assert(out == Seq(Seq("a", 7L, 1L), Seq("b", 5L, 5L), Seq("c", 8L, 8L)))
+    }
+  }
+
+  test("ARG_MAX: all order keys NULL yields NULL; missing order errors") {
+    val df = Seq(("a", 1L, None: Option[Int])).toDF("dept", "id", "amt")
+    val out = rows(groupAggregate(Seq("dept"), Seq(
+      Agg(ARG_MAX, Some("id"), "hi", order = Some(col("amt")))))(df))
+    assert(out == Seq(Seq("a", null)))
+    intercept[RuntimeException] {
+      Agg(ARG_MAX, Some("id"), "hi").toColumn
+    }
+  }
+
   test("unpivot: null measure values survive as null rows") {
     val df = Seq(("a", Some(1L), None: Option[Long])).toDF("k", "x", "y")
     val out = rows(unpivot(df, Seq("k"), Seq("x", "y"), "m", "v").orderBy("m"))

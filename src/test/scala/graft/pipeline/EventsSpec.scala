@@ -150,6 +150,52 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("mergeIntervals: overlap and touch merge; strict gap splits; " +
+    "containment absorbed") {
+    val df = Seq(
+      (1L, 0L, 10L),   // island 1: [0,10]
+      (1L, 10L, 20L),  //   touches 10 → merges
+      (1L, 12L, 14L),  //   contained → merges, extends nothing
+      (1L, 21L, 30L),  // island 2: strict gap (21 > 20)
+      (1L, 5L, 25L),   //   wait — [5,25] bridges islands 1 and 2!
+      (2L, 0L, 1L))    // other key
+      .toDF("k", "s", "e")
+    withPartitionings(df) { d =>
+      val out = rows(Events.mergeIntervals(d, Seq("k"), "s", "e")
+        .orderBy("k", "s"))
+      // [5,25] makes key 1 ONE island [0,30] of 5 intervals
+      assert(out == Seq(Seq(1L, 0L, 30L, 5L), Seq(2L, 0L, 1L, 1L)))
+    }
+  }
+
+  test("mergeIntervals: running-max matters — an early long interval " +
+    "covers later short ones") {
+    // [0,100] then [10,20], [30,40]: naive lag(e) would see 20 < 30 and
+    // split; the running MAX(e) correctly keeps one island.
+    val df = Seq((1L, 0L, 100L), (1L, 10L, 20L), (1L, 30L, 40L),
+      (1L, 101L, 110L)).toDF("k", "s", "e")
+    val out = rows(Events.mergeIntervals(df, Seq("k"), "s", "e")
+      .orderBy("k", "s"))
+    assert(out == Seq(Seq(1L, 0L, 100L, 3L), Seq(1L, 101L, 110L, 1L)))
+  }
+
+  test("transitions: adjacent pairs per key, last event contributes none") {
+    val df = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"),
+      (2L, 4L, "view"), (2L, 5L, "view"),
+      (3L, 6L, "buy")) // single event: no transition
+      .toDF("u", "id", "tp")
+      .select(col("u"), col("id"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"), col("tp"))
+    // all ts equal → order falls entirely to the tie column (id)
+    withPartitionings(df) { d =>
+      val out = rows(Events.transitions(d, Seq("u"), "ts", "tp", "id")
+        .orderBy("from_type", "to_type"))
+      assert(out == Seq(Seq("click", "buy", 1L), Seq("view", "click", 1L),
+        Seq("view", "view", 1L)))
+    }
+  }
+
   test("burstLeaders: gap from PREVIOUS event, not last kept leader") {
     // Chain t=0,30m,60m,90m: every gap is 30m <= 1h, so the whole chain is
     // ONE burst even though t=90m is >1h after the t=0 leader — the

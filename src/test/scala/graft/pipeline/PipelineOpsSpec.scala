@@ -1080,4 +1080,47 @@ class PipelineOpsSpec extends SparkSpec {
         Seq(Seq(1L, 6L, 3L, 0L, 0L, 1L, 3L, true)))
     }
   }
+
+  test("functionalDependency: holds vs violated; NULL rhs is a value") {
+    val d = Seq((1, Some("x")), (1, Some("x")), (2, Some("y")),
+      (3, Some("z")), (3, None)) // key 3 maps to both 'z' and NULL → violated
+      .toDF("k", "v")
+    withPartitionings(d) { dd =>
+      assert(rows(Checks.functionalDependency(dd, Seq("k"), "v", "fd")) ==
+        Seq(Seq("fd", 3L, 1L, 2L, false)))
+      val clean = dd.where(col("v").isNotNull)
+      assert(rows(Checks.functionalDependency(clean, Seq("k"), "v", "fd")) ==
+        Seq(Seq("fd", 3L, 0L, 1L, true)))
+    }
+  }
+
+  test("functionalDependency: empty input reports zero groups, holds") {
+    val d = Seq((1, "x")).toDF("k", "v").where(col("k") < 0)
+    assert(rows(Checks.functionalDependency(d, Seq("k"), "v", "fd")) ==
+      Seq(Seq("fd", 0L, 0L, 0L, true)))
+  }
+
+  test("quantileBins: sizes differ by at most one, deterministic ties, " +
+    "NULLs get NULL bucket without shifting real buckets") {
+    // 7 non-null values in one group, k=3 → bucket sizes 3,2,2; two NULL
+    // rows must not occupy slots. Values tie at 5 → tie col decides.
+    val d = Seq(("g", 5, 1L), ("g", 5, 2L), ("g", 1, 3L), ("g", 9, 4L),
+      ("g", 3, 5L), ("g", 7, 6L), ("g", 2, 7L)).toDF("grp", "v", "id")
+      .select(col("grp"), col("v").cast("int").as("v"), col("id"))
+    val withNulls = d.unionByName(
+      Seq(("g", 8L), ("g", 9L)).toDF("grp", "id")
+        .select(col("grp"), lit(null).cast("int").as("v"), col("id")))
+    withPartitionings(withNulls) { dd =>
+      val out = rows(Profile.quantileBins(dd, "grp", "v", 3, Seq("id"))
+        .orderBy(col("v").asc_nulls_last, col("id"))
+        .select("v", "id", "bucket"))
+      // sorted by (v,id): 1,2,3 → b1; 5(id1),5(id2) → b2(5@1), then 5@2,7,9
+      // ntile(3) of 7 rows: sizes 3,2,2 → rows 1-3 b1, 4-5 b2, 6-7 b3
+      assert(out == Seq(
+        Seq(1, 3L, 1L), Seq(2, 7L, 1L), Seq(3, 5L, 1L),
+        Seq(5, 1L, 2L), Seq(5, 2L, 2L),
+        Seq(7, 6L, 3L), Seq(9, 4L, 3L),
+        Seq(null, 8L, null), Seq(null, 9L, null)))
+    }
+  }
 }

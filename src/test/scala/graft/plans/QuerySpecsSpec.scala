@@ -119,6 +119,22 @@ class QuerySpecsSpec extends SparkSpec {
     assert(rows(out).head == Seq("alice", 200, 100, "eng"))
   }
 
+  test("ARG_MAX/ARG_MIN rebuild from the wire form and match the DSL") {
+    val json = writeAggSpec(AggSpec(List("dept"), List(
+      AggFieldSpec("ARG_MAX", Some("who"), "top_earner",
+        orderBy = Some(SortKeySpec("amt"))),
+      AggFieldSpec("ARG_MIN", Some("who"), "low_earner",
+        orderBy = Some(SortKeySpec("amt"))))))
+    val out = buildAggregate(readAggSpec(json))(sales).orderBy("dept")
+    assert(rows(out) == Seq(Seq("eng", "alice", "bob"),
+      Seq("sales", "dora", "carl")))
+    val direct = Aggregates.groupAggregate(Seq("dept"), Seq(
+      Agg(ARG_MAX, Some("who"), "top_earner", order = Some(col("amt"))),
+      Agg(ARG_MIN, Some("who"), "low_earner", order = Some(col("amt")))))(
+      sales).orderBy("dept")
+    assert(rows(out) == rows(direct))
+  }
+
   test("div/mod/concat/substr/lower/upper/case/in rebuild from the wire form") {
     import ExprSpec._
     // arithmetic: amt/4 (div), amt%3 (mod)
