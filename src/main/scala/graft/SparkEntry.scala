@@ -1720,6 +1720,16 @@ object SparkEntry {
       .orderBy("user_id", "purchase_id", "click_id")
   }
 
+  private def qStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    // TRUE stream-stream LEFT OUTER interval join: like q_stream_join
+    // plus the null-padded purchases the watermark released — the
+    // outer-specific machinery (min-of-both-watermarks eviction,
+    // sentinel routed through BOTH sides) is what's under test.
+    val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_stream_outer_${ProcessHandle.current().pid()}")
+    graft.streaming.Streams.outerCorrelateStreamGate(s, d, work)
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   private def qSlidingWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.slidingStats(Tables.events(s, d), "1 hour", "15 minutes")
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -3109,6 +3119,7 @@ object SparkEntry {
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_outer_join" -> (qStreamOuterJoin _),
     "q_stream_static_filter" -> (qStreamStaticFilter _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_enum" -> (qEnum _),
@@ -4241,6 +4252,19 @@ object SparkEntry {
         |  AND epoch_ns(c.ts) // 1000 <= epoch_ns(p.ts) // 1000
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
+    // The LEFT OUTER face: same interval join plus null-padded purchases
+    // with no qualifying click — the watermark-released rows.
+    "q_stream_outer_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_ns(ts) // 1000 AS pus FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cuid, event_id AS click_id,
+        |    epoch_ns(ts) // 1000 AS cus FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.user_id, p.purchase_id, c.click_id
+        |FROM p LEFT JOIN c ON p.user_id = c.cuid
+        |  AND c.cus >= p.pus - 43200000000 AND c.cus <= p.pus
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin,
     // Stream-static anti-join with a mid-stream blocklist refresh: the
     // committed sink = phase-1 rows (even event_id) filtered by V1
     // (user_id%10=0) plus phase-2 rows (odd event_id) filtered by V2

@@ -89,14 +89,24 @@ object Streams {
   def streamStreamCorrelate(left: DataFrame, right: DataFrame, key: String,
                             leftTs: String, rightTs: String,
                             lookback: String = "10 minutes",
-                            lateness: String = "10 minutes"): DataFrame = {
+                            lateness: String = "10 minutes",
+                            joinType: String = "inner"): DataFrame = {
+    // left_outer adds the null-padded face: an unmatched left row emits
+    // (left, NULL...) once the query watermark — the MIN across BOTH
+    // sides' watermark operators — proves no future right row can join
+    // it. Inner results stream out on match; outer pads are inherently
+    // watermark-deferred, so a gate/pipeline must keep advancing BOTH
+    // sides' event time (see outerCorrelateStreamGate's sentinel
+    // routing) or pending pads sit in state forever.
+    require(Set("inner", "left_outer")(joinType),
+      s"streamStreamCorrelate: unsupported join type '$joinType'")
     val l = if (left.isStreaming) left.withWatermark(leftTs, lateness) else left
     val r = if (right.isStreaming) right.withWatermark(rightTs, lateness) else right
     l.join(r,
       l(key) === r(key) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
         col(rightTs) <= col(leftTs),
-      "inner")
+      joinType)
       .drop(r(key))
   }
 
@@ -315,6 +325,32 @@ object Streams {
         .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
       streamStreamCorrelate(purchases, clicks, "user_id", "p_ts", "c_ts",
         lookback, lateness)
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+    }
+
+  /** Stream-stream LEFT OUTER interval join under the sentinel harness
+    * (q_stream_outer_join): every purchase emits — joined to same-user
+    * clicks in the prior `lookback`, or null-padded when the watermark
+    * proves no click can still arrive. The null-pad is the part inner
+    * joins don't test: it only emits when the MIN of both sides'
+    * watermarks passes purchase_ts + lookback, so the sentinel event
+    * must flow through BOTH side filters (isin(type, "sentinel")) to
+    * advance both watermark operators on the resumed run; sentinel rows
+    * are dropped AFTER the join by their reserved user_id. A sentinel
+    * routed through only one side would leave every unmatched phase-1
+    * purchase stuck in the state store — the bug this gate pins. */
+  def outerCorrelateStreamGate(spark: SparkSession, sfDir: String,
+                               workDir: String,
+                               lookback: String = "12 hours",
+                               lateness: String = "10 minutes"): DataFrame =
+    streamGate(spark, sfDir, workDir) { df =>
+      val purchases = df.where(col("event_type").isin("purchase", "sentinel"))
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      val clicks = df.where(col("event_type").isin("click", "sentinel"))
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      streamStreamCorrelate(purchases, clicks, "user_id", "p_ts", "c_ts",
+        lookback, lateness, "left_outer")
+        .where(col("user_id") >= 0L) // drop the sentinel's own left row
         .select(col("user_id"), col("purchase_id"), col("click_id"))
     }
 
