@@ -10,8 +10,22 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Driver parquet vintages differ in how they store timestamps: some
+    * rounds write TIMESTAMP(NANOS) (read as Long under
+    * spark.sql.legacy.parquet.nanosAsLong), newer ones TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) which Spark 4 infers as TIMESTAMP_NTZ. The
+    * engine's gates are written against plain TIMESTAMP (strict-input
+    * functions like unix_micros reject NTZ), so normalize here: with the
+    * session zone pinned to UTC the NTZ→TZ cast is value-preserving and
+    * DuckDB sees the identical naive instant either way. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (df, f) => df.withColumn(f.name, col(f.name).cast("timestamp"))
+    }
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")

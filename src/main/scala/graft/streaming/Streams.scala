@@ -28,16 +28,28 @@ object Streams {
   val EventSchemaRaw: StructType = StructType(
     EventSchema.fields.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
 
-  /** File-source stream over the events parquet, converting the nanosecond
-    * timestamp to Spark's microsecond TimestampType. */
+  /** File-source stream over the events parquet, normalizing ts to Spark's
+    * microsecond TimestampType. Driver parquet vintages differ (ns stored
+    * as TIMESTAMP(NANOS) → Long under the legacy conf; µs stored without
+    * isAdjustedToUTC → TIMESTAMP_NTZ): peek at the batch-read schema once
+    * (footer metadata, no data scan) and build the matching stream schema
+    * + conversion, so the same gate runs on any vintage. */
   def readEvents(spark: SparkSession, dir: String,
-                 glob: String = "events.parquet"): DataFrame =
+                 glob: String = "events.parquet"): DataFrame = {
     // streaming file sources take a directory; glob-filter down to the
     // events table inside the scale-factor dir
-    spark.readStream.schema(EventSchemaRaw)
+    val onDisk = spark.read.parquet(s"$dir/$glob").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(StructType(EventSchema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = onDisk) else f)))
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    onDisk match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** Tumbling-window counts+sums per event type, tolerating `lateness` of
     * out-of-order data. Works identically on a batch frame (minus the
@@ -333,26 +345,37 @@ object Streams {
     * clicks in the prior `lookback`, or null-padded when the watermark
     * proves no click can still arrive. The null-pad is the part inner
     * joins don't test: it only emits when the MIN of both sides'
-    * watermarks passes purchase_ts + lookback, so the sentinel event
-    * must flow through BOTH side filters (isin(type, "sentinel")) to
-    * advance both watermark operators on the resumed run; sentinel rows
-    * are dropped AFTER the join by their reserved user_id. A sentinel
-    * routed through only one side would leave every unmatched phase-1
-    * purchase stuck in the state store — the bug this gate pins. */
+    * watermarks passes the purchase's eviction bound, so the sentinel
+    * event must flow through BOTH side filters (isin(type, "sentinel"))
+    * to advance both watermark operators on the resumed run.
+    *
+    * Two hard-won shape constraints, both debugged empirically:
+    *  - The two sides MUST be two independent sources (two readEvents
+    *    calls), not two filters over one shared stream: with a shared
+    *    file source, Spark 4.1 evicts the outer join's left state
+    *    WITHOUT emitting the null pads (observed: state 412→5 rows,
+    *    zero pads; the identical two-source plan emits every pad).
+    *  - The sentinel filter (user_id >= 0) must NOT live inside the
+    *    streaming plan: Catalyst pushes it below the watermark operator
+    *    into the parquet scan, so the sentinel row (user_id −1) is
+    *    pruned at the source and the watermark silently never advances
+    *    — pads held forever, with nothing failing loudly. The filter is
+    *    applied to the BATCH read of the committed sink instead, where
+    *    pushdown is exactly what we want (each sentinel contributes one
+    *    (−1,−1,−1) self-match row to the sink; the wrapper drops them). */
   def outerCorrelateStreamGate(spark: SparkSession, sfDir: String,
                                workDir: String,
                                lookback: String = "12 hours",
                                lateness: String = "10 minutes"): DataFrame =
-    streamGate(spark, sfDir, workDir) { df =>
-      val purchases = df.where(col("event_type").isin("purchase", "sentinel"))
+    streamGateFactory(spark, sfDir, workDir) { mk =>
+      val purchases = mk().where(col("event_type").isin("purchase", "sentinel"))
         .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
-      val clicks = df.where(col("event_type").isin("click", "sentinel"))
+      val clicks = mk().where(col("event_type").isin("click", "sentinel"))
         .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
       streamStreamCorrelate(purchases, clicks, "user_id", "p_ts", "c_ts",
         lookback, lateness, "left_outer")
-        .where(col("user_id") >= 0L) // drop the sentinel's own left row
         .select(col("user_id"), col("purchase_id"), col("click_id"))
-    }
+    }.where(col("user_id") >= 0L)
 
   /** Stream-static anti-join under a two-phase harness
     * (q_stream_static_filter): the daily incremental-ingest shape — an
@@ -400,6 +423,24 @@ object Streams {
     }
   }
 
+  /** One sentinel row `bumpDays` past the newest staged event, in the
+    * SOURCE's own ts representation (raw-nanos Long vintage gets integer
+    * arithmetic; timestamp vintages get an interval add), written with the
+    * source's schema so the staged file's physical type matches what the
+    * stream reader expects. */
+  private def sentinelFrame(spark: SparkSession, inDir: String,
+                            glob: String, bumpDays: Int): DataFrame = {
+    val ev = spark.read.option("pathGlobFilter", glob).parquet(inDir)
+    val bump = ev.schema("ts").dataType match {
+      case LongType => col("__m") + lit(bumpDays.toLong * 24 * 3600 * 1000000000L)
+      case _ => col("__m") + expr(s"INTERVAL $bumpDays DAYS")
+    }
+    ev.agg(max("ts").as("__m"))
+      .select(lit(-1L).as("event_id"), bump.as("ts"), lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+  }
+
   def staticFilterStreamGate(spark: SparkSession, sfDir: String,
                              workDir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -411,7 +452,7 @@ object Streams {
     Files.createDirectories(block)
     def stage(df: DataFrame, dir: java.nio.file.Path, prefix: String): Unit =
       stageParquetParts(df, work, dir, prefix)
-    val ev = spark.read.schema(EventSchemaRaw)
+    val ev = spark.read
       .parquet(Paths.get(sfDir, "events.parquet").toString)
     stage(ev.where(col("event_id") % 2 === 0), in, "events_a")
     stage(ev.where(col("user_id") % 10 === 0).select("user_id").distinct(),
@@ -434,11 +475,7 @@ object Streams {
     stage(ev.where(col("user_id") % 10 === 1).select("user_id").distinct(),
       block, "block_v2")
     stage(ev.where(col("event_id") % 2 === 1), in, "events_b")
-    val maxNs = ev.agg(max("ts")).head.getLong(0)
-    val sentinel = Row(-1L, maxNs + 30L * 24 * 3600 * 1000000000L,
-      -1L, "sentinel", 0.0, "{}")
-    stage(spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(sentinel), 1), EventSchemaRaw),
+    stage(sentinelFrame(spark, in.toString, "events*.parquet", 30),
       in, "events_zz")
     runToCompletion()
     spark.read.parquet(outDir)
@@ -449,7 +486,16 @@ object Streams {
     * event 30 days past the newest real one → resume from checkpoint →
     * read the committed sink back through the manifest log. */
   def streamGate(spark: SparkSession, sfDir: String, workDir: String)
-                (pipeline: DataFrame => DataFrame): DataFrame = {
+                (pipeline: DataFrame => DataFrame): DataFrame =
+    streamGateFactory(spark, sfDir, workDir)(mk => pipeline(mk()))
+
+  /** Factory variant of [[streamGate]]: the pipeline receives a stream
+    * FACTORY instead of one stream, so a stream-stream join can read the
+    * staged directory through two INDEPENDENT sources (each mk() call is
+    * its own FileStreamSource with its own offsets log) — required for
+    * correct outer-join padding; see [[outerCorrelateStreamGate]]. */
+  def streamGateFactory(spark: SparkSession, sfDir: String, workDir: String)
+                       (pipeline: (() => DataFrame) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val work = Paths.get(workDir)
     deleteRecursively(work)
@@ -477,7 +523,8 @@ object Streams {
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
     def runToCompletion(): Unit = {
-      val q = parquetSink(pipeline(readEvents(spark, in.toString, glob = "events*.parquet")),
+      val q = parquetSink(
+        pipeline(() => readEvents(spark, in.toString, glob = "events*.parquet")),
         outDir, ckpt, trigger = Some(Trigger.AvailableNow()))
       q.awaitTermination()
       // per-batch rows/state metrics for Bench's stats dump (the
@@ -485,13 +532,12 @@ object Streams {
       graft.Instrument.recordStreamProgress(work.getFileName.toString, q)
     }
     runToCompletion()
-    // sentinel: 30 days after the newest real event (ts is raw nanos here)
-    val maxNs = spark.read.schema(EventSchemaRaw)
-      .parquet(in.resolve("events.parquet").toString)
-      .agg(max("ts")).head.getLong(0)
-    val sentinel = Row(-1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "sentinel", 0.0, "{}")
-    stageParquetParts(spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(sentinel), 1), EventSchemaRaw),
+    // Sentinel phase: stage one event 30 days past the newest real one
+    // and resume from the checkpoint. The sentinel batch advances the
+    // watermark, and AvailableNow's trailing no-data batch flushes the
+    // state it releases (windows, timed-out sessions, outer-join pads).
+    stageParquetParts(
+      sentinelFrame(spark, in.toString, "events*.parquet", 30),
       work, in, "events_zz")
     runToCompletion()
     spark.read.parquet(outDir)
