@@ -2546,6 +2546,39 @@ object SparkEntry {
     Relational.sort(col("check_name"))(f1.unionByName(f2).unionByName(f3))
   }
 
+  private def qRfm(s: SparkSession, d: String): DataFrame = {
+    // RFM customer segmentation over orders: integer recency days (µs
+    // arithmetic), exact count/decimal-sum metrics, global ntile scores
+    // with the customer key as tie-break — windows run on the aggregated
+    // customer table, never the fact scan.
+    Relational.sort(col("o_custkey"))(asDouble("monetary")(
+      graft.pipeline.Retail.rfm(Tables.orders(s, d), "o_custkey",
+        "o_orderdate", "o_totalprice", k = 5)))
+  }
+
+  private def qAbc(s: SparkSession, d: String): DataFrame = {
+    // ABC/Pareto revenue classification per part: cumulative DECIMAL
+    // share against scaled-integer cut lines (cum·100 ≤ total·80/95), so
+    // the class boundary is engine-exact.
+    Relational.sort(col("l_partkey"))(asDouble("revenue", "cum_revenue")(
+      graft.pipeline.Retail.abcClassify(Tables.lineitem(s, d),
+        "l_partkey", "l_extendedprice")))
+  }
+
+  private def qMannwhitney(s: SparkSession, d: String): DataFrame =
+    // Rank-sum test, returnflag A vs R over quantity: tie-aware 2·U kept
+    // integral (two_u), rank-biserial + tie-corrected z as fixed double
+    // dags rounded 6 dp. One distinct-value exchange, no per-row ranks.
+    graft.pipeline.Profile.mannWhitneyU(Tables.lineitem(s, d),
+      "l_returnflag", "l_quantity", "A", "R")
+
+  private def qKsTest(s: SparkSession, d: String): DataFrame =
+    // Two-sample KS distance over extendedprice: integer numerator
+    // max|n2·cum1 − n1·cum2| exact under any partitioning; one rounded
+    // double at the edge.
+    graft.pipeline.Profile.ksTest2(Tables.lineitem(s, d),
+      "l_returnflag", "l_extendedprice", "A", "R")
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -3205,6 +3238,10 @@ object SparkEntry {
     "q_transitions" -> (qTransitions _),
     "q_ntile" -> (qNtile _),
     "q_fd_check" -> (qFdCheck _),
+    "q_rfm" -> (qRfm _),
+    "q_abc" -> (qAbc _),
+    "q_mannwhitney" -> (qMannwhitney _),
+    "q_ks_test" -> (qKsTest _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -5333,5 +5370,94 @@ object SparkEntry {
         |  CAST(MAX(nr) AS BIGINT) AS max_rhs_per_lhs,
         |  SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS holds
         |FROM u GROUP BY check_name ORDER BY check_name""".stripMargin,
+    // RFM: integer recency days via µs floor-division, global ntile with
+    // the customer key tie-break — DuckDB ntile is BIGINT, Spark's INT;
+    // both kind-match under the driver's compare.
+    "q_rfm" ->
+      """WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_ts,
+        |    count(*) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT o_custkey, frequency, mon,
+        |    (epoch_ns((SELECT max(o_orderdate) FROM orders)) // 1000
+        |     - epoch_ns(last_ts) // 1000) // 86400000000 AS r_days
+        |  FROM c),
+        |s AS (SELECT o_custkey, r_days, frequency,
+        |    CAST(mon AS DOUBLE) AS monetary,
+        |    ntile(5) OVER (ORDER BY r_days, o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY mon DESC, o_custkey) AS m_score
+        |  FROM d)
+        |SELECT o_custkey, r_days, frequency, monetary, r_score, f_score,
+        |  m_score, r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
+    // ABC: cumulative decimal revenue against scaled-integer cut lines —
+    // no float share division anywhere near the class boundary.
+    "q_abc" ->
+      """WITH r AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT l_partkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT sum(rev) FROM r) AS total
+        |  FROM r)
+        |SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(cum AS DOUBLE) AS cum_revenue,
+        |  CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |       WHEN cum * 100 <= total * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM w ORDER BY l_partkey""".stripMargin,
+    // Mann-Whitney: 2·R1 = Σ c1·(2·bef + c + 1) over distinct values
+    // keeps tie-averaged ranks integral; z mirrors the engine's exact
+    // expression shape (no continuity correction).
+    "q_mannwhitney" ->
+      """WITH f AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a1,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a2
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |g AS (SELECT v, CAST(SUM(a1) AS BIGINT) AS c1,
+        |    CAST(SUM(a2) AS BIGINT) AS c2 FROM f GROUP BY v),
+        |w AS (SELECT v, c1, c2,
+        |    COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM g),
+        |s AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * (2 * bef + c1 + c2 + 1)) AS BIGINT) AS two_r1,
+        |    CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS ties
+        |  FROM w),
+        |u AS (SELECT n1, n2, two_r1 - n1 * (n1 + 1) AS two_u, ties FROM s)
+        |SELECT n1, n2, two_u,
+        |  round(1.0 - CAST(two_u AS DOUBLE) /
+        |    (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS rank_biserial,
+        |  round((CAST(two_u AS DOUBLE) / 2.0
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      ((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+        |        (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))), 6)
+        |    AS z
+        |FROM u""".stripMargin,
+    // KS: integer ECDF numerator over the union of observed values.
+    "q_ks_test" ->
+      """WITH f AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a1,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a2
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |g AS (SELECT v, CAST(SUM(a1) AS BIGINT) AS c1,
+        |    CAST(SUM(a2) AS BIGINT) AS c2 FROM f GROUP BY v),
+        |w AS (SELECT
+        |    SUM(c1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    SUM(c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    (SELECT CAST(SUM(c1) AS BIGINT) FROM g) AS n1,
+        |    (SELECT CAST(SUM(c2) AS BIGINT) FROM g) AS n2
+        |  FROM g)
+        |SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+        |  CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_num,
+        |  round(CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS DOUBLE) /
+        |    (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)), 6) AS d
+        |FROM w""".stripMargin,
   )
 }

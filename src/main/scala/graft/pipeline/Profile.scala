@@ -522,4 +522,83 @@ object Profile {
           sum(col("__c")).cast("double"), 6).as("top_share"),
         sum(col("__h")).cast("string").cast("double").as("entropy"))
   }
+
+  /** Per-value counts of two named arms — the shared reduction under the
+    * rank tests: one aggregation exchange keyed on the DISTINCT value, so
+    * every downstream step (prefix sums, folds) runs on the distinct-value
+    * table, never raw rows. */
+  private def armCounts(df: DataFrame, groupCol: String, valueCol: String,
+                        arm1: String, arm2: String): DataFrame =
+    df.where(col(groupCol).isin(arm1, arm2) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        when(col(groupCol) === arm1, 1L).otherwise(0L).as("__a1"),
+        when(col(groupCol) === arm2, 1L).otherwise(0L).as("__a2"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__a1")).as("__c1"), sum(col("__a2")).as("__c2"))
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) for two arms, tie-aware and
+    * integer-exact: with per-distinct-value counts c1/c2 and the prefix
+    * count `bef` of strictly smaller values, arm 1's average-rank sum is
+    * R1 = Σ c1·(bef + (c+1)/2), kept integral as 2·R1 = Σ c1·(2·bef+c+1)
+    * (c = c1+c2), so `two_u` = 2·R1 − n1·(n1+1) is an exact BIGINT any
+    * engine replays — ranks are never materialized per row. The normal
+    * approximation z applies the standard tie correction Σ(t³−t) (no
+    * continuity correction) and the rank-biserial effect size is
+    * 1 − two_u/(n1·n2); both are fixed double dags over the exact
+    * integers, rounded 6 dp.
+    *
+    * Scale: one value-keyed exchange; the prefix window runs over the
+    * DISTINCT-value table (bounded by the value domain, the
+    * histogramEquiDepth posture). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+                   arm1: String, arm2: String): DataFrame = {
+    val g = armCounts(df, groupCol, valueCol, arm1, arm2)
+    val wv = Window.orderBy(col("__v"))
+    val c = col("__c1") + col("__c2")
+    val folded = g
+      .withColumn("__bef", coalesce(
+        sum(c).over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"),
+        sum(col("__c1") * (lit(2L) * col("__bef") + c + 1)).as("__two_r1"),
+        sum(c * c * c - c).as("__ties"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val n = (col("n1") + col("n2")).cast("double")
+    val u1 = col("two_u").cast("double") / 2.0
+    folded
+      .select(col("n1"), col("n2"),
+        (col("__two_r1") - col("n1") * (col("n1") + 1)).as("two_u"),
+        col("__ties"))
+      .select(col("n1"), col("n2"), col("two_u"),
+        round(lit(1.0) - col("two_u").cast("double") / (n1 * n2), 6)
+          .as("rank_biserial"),
+        round((u1 - n1 * n2 / 2.0) /
+          sqrt(n1 * n2 / 12.0 *
+            ((n + 1.0) - col("__ties").cast("double") / (n * (n - 1.0)))), 6)
+          .as("z"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov distance, integer-exact: the ECDFs are
+    * step functions changing only at observed values, so
+    * D = max |F1 − F2| = max |n2·cum1(v) − n1·cum2(v)| / (n1·n2) over the
+    * distinct values — `d_num` is that integer max, exact under any
+    * partitioning; the single final division is one rounded double.
+    * Same distributed shape as [[mannWhitneyU]]: one value-keyed
+    * exchange, a prefix window over the distinct-value table, one fold. */
+  def ksTest2(df: DataFrame, groupCol: String, valueCol: String,
+              arm1: String, arm2: String): DataFrame = {
+    val g = armCounts(df, groupCol, valueCol, arm1, arm2)
+    val wv = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = g.agg(sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"))
+    g.withColumn("__cum1", sum(col("__c1")).over(wv))
+      .withColumn("__cum2", sum(col("__c2")).over(wv))
+      .crossJoin(broadcast(totals))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("n2") * col("__cum1") - col("n1") * col("__cum2")))
+          .as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")), 6).as("d"))
+  }
 }
