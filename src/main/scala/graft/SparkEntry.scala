@@ -2579,6 +2579,53 @@ object SparkEntry {
     graft.pipeline.Profile.ksTest2(Tables.lineitem(s, d),
       "l_returnflag", "l_extendedprice", "A", "R")
 
+  private def qItemSim(s: SparkSession, d: String): DataFrame = {
+    // Item-item cosine top-5 over order baskets — the recommender table;
+    // rank order uses the raw double cosine (identical bits from exact
+    // integers in both engines), rounded only at the edge.
+    Relational.sort(col("i1"), col("rank"))(
+      graft.pipeline.Association.itemPairCosine(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minPairCount = 2L, topK = 5))
+  }
+
+  private def qKfold(s: SparkSession, d: String): DataFrame = {
+    // Stratified 5-fold assignment over documents by language; the gate
+    // pins per-(stratum, fold) sizes AND membership (sum of ids) — exact
+    // balance is the property a hash-mod split can't give.
+    val folds = graft.pipeline.Sampling.stratifiedKFold(
+      Tables.documents(s, d), Seq("lang"), k = 5, seed = 42L, Seq("doc_id"))
+    Relational.sort(col("lang"), col("fold"))(
+      folds.groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id")))
+  }
+
+  private def qTimeTravel(s: SparkSession, d: String): DataFrame = {
+    // Commit-log time travel end to end: three commits (base load, an
+    // append, a rewrite that REMOVES the base file), then every version
+    // read back AS OF and aggregated — a stale or leaky snapshot
+    // resolution (reading a removed directory, missing an added one)
+    // hash-mismatches against the oracle's per-version filters.
+    val base = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_tt_${ProcessHandle.current().pid()}")
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    Relational.fileOutput(o.where(col("o_orderkey") % 3 === 0), s"$base/f0")
+    Relational.commitVersion(base, 0, adds = Seq(s"$base/f0"), removes = Nil)
+    Relational.fileOutput(o.where(col("o_orderkey") % 3 === 1), s"$base/f1")
+    Relational.commitVersion(base, 1, adds = Seq(s"$base/f1"), removes = Nil)
+    Relational.fileOutput(
+      o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), s"$base/f2")
+    Relational.commitVersion(base, 2,
+      adds = Seq(s"$base/f2"), removes = Seq(s"$base/f0"))
+    val perVersion = (0 to 2).map { v =>
+      Relational.readSnapshot(s, base, Some(v))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).as("sum_price"))
+        .select(lit(v).as("version"), col("n"), col("sum_price"))
+    }
+    Relational.sort(col("version"))(asDouble("sum_price")(
+      perVersion.reduce(_ unionByName _)))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -3242,6 +3289,9 @@ object SparkEntry {
     "q_abc" -> (qAbc _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_ks_test" -> (qKsTest _),
+    "q_item_sim" -> (qItemSim _),
+    "q_kfold" -> (qKfold _),
+    "q_time_travel" -> (qTimeTravel _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -5459,5 +5509,56 @@ object SparkEntry {
         |  round(CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS DOUBLE) /
         |    (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)), 6) AS d
         |FROM w""".stripMargin,
+    // Item-item cosine: both directions of each qualifying pair ranked
+    // per item; ORDER BY the raw double cosine (identical bits both
+    // engines), ties on (c12 desc, i2).
+    "q_item_sim" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM it GROUP BY 1),
+        |und AS (SELECT a.i AS i1, b.i AS i2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dir AS (SELECT i1, i2, c12 FROM und
+        |  UNION ALL SELECT i2, i1, c12 FROM und),
+        |sc AS (SELECT d.i1, d.i2, d.c12, c1.c AS c1, c2.c AS c2,
+        |    CAST(d.c12 AS DOUBLE) / sqrt(CAST(c1.c * c2.c AS DOUBLE)) AS cos
+        |  FROM dir d JOIN cnt c1 ON d.i1 = c1.i JOIN cnt c2 ON d.i2 = c2.i),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY i1
+        |    ORDER BY cos DESC, c12 DESC, i2) AS rank FROM sc)
+        |SELECT i1, i2, c12, c1, c2, round(cos, 6) AS cosine,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM rk WHERE rank <= 5 ORDER BY i1, rank""".stripMargin,
+    // Stratified k-fold: replay the seeded shuffle key (seed 42 ⇒ odd
+    // multiplier (2·42+1)·P0 mod 2^31 + offset 42·P1), deal round-robin
+    // within each language stratum.
+    "q_kfold" ->
+      """WITH k AS (SELECT lang, doc_id,
+        |  (((doc_id % 2147483648) * ((85 * 2654435761) % 2147483648))
+        |     % 2147483648
+        |   + (42 * 2246822519) % 2147483648) % 2147483648 AS skey
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rn
+        |  FROM k)
+        |SELECT lang, CAST((rn - 1) % 5 AS INTEGER) AS fold,
+        |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id
+        |FROM r GROUP BY lang, fold ORDER BY lang, fold""".stripMargin,
+    // Time travel: v0 = keys ≡0 (mod 3), v1 adds ≡1, v2 swaps the ≡0
+    // file for a price-doubled rewrite.
+    "q_time_travel" ->
+      """SELECT 0 AS version, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 1, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 2, COUNT(*),
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY version""".stripMargin,
   )
 }

@@ -907,4 +907,73 @@ object Relational {
     lt.crossJoin(broadcast(rt)).crossJoin(broadcast(matched))
       .select(col("n_left"), col("n_right"), col("matched_keys"), col("join_rows"))
   }
+
+  // =========================================================================
+  // Versioned snapshots (time travel)
+  // =========================================================================
+
+  /** Append one commit to a table's version log: a JSON line per action
+    * under `<table>/_log/v<version>.json`, each either adding or removing
+    * a DATA DIRECTORY (a parquet write target under the table root) —
+    * the commit-log shape lakehouse formats use for time travel. The log
+    * is driver-side metadata by design: one small file per commit,
+    * O(versions · files) total, exactly the class of bounded state the
+    * manifest operators already keep ([[fileStatsManifest]]).
+    *
+    * Writes are atomic-ish (temp file + move) so a concurrent reader
+    * never sees a half-written commit; version numbers must be dense
+    * increasing from 0 and are require()d fresh. */
+  def commitVersion(tableDir: String, version: Int,
+                    adds: Seq[String], removes: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(version >= 0, "commitVersion: version must be >= 0")
+    require(adds.nonEmpty || removes.nonEmpty, "commitVersion: empty commit")
+    val log = Paths.get(tableDir, "_log")
+    Files.createDirectories(log)
+    val target = log.resolve(f"v$version%05d.json")
+    require(!Files.exists(target), s"commitVersion: version $version exists")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val lines =
+      adds.map(f => s"""{"version":$version,"action":"add","file":"${esc(f)}"}""") ++
+      removes.map(f => s"""{"version":$version,"action":"remove","file":"${esc(f)}"}""")
+    val tmp = log.resolve(f".v$version%05d.json.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The active data directories of a table as of `asOf` (inclusive;
+    * None = latest): fold the commit log in version order, adds minus
+    * removes. Pure JVM metadata walk — no Spark job. */
+  def snapshotFiles(tableDir: String, asOf: Option[Int]): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val log = Paths.get(tableDir, "_log")
+    require(Files.isDirectory(log), s"snapshotFiles: no _log under $tableDir")
+    val commits = Files.list(log).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d{5}\\.json")).toSeq
+      .sortBy(_.getFileName.toString)
+      .filter(p => asOf.forall(v =>
+        p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt <= v))
+    require(commits.nonEmpty, s"snapshotFiles: no commits <= $asOf")
+    val active = scala.collection.mutable.LinkedHashSet[String]()
+    val FileRx = """"action":"(add|remove)","file":"((?:[^"\\]|\\.)*)"""".r.unanchored
+    commits.foreach { p =>
+      Files.readAllLines(p).asScala.foreach {
+        case FileRx(action, f) =>
+          val file = f.replace("\\\"", "\"").replace("\\\\", "\\")
+          if (action == "add") active += file else active -= file
+        case _ => ()
+      }
+    }
+    require(active.nonEmpty, s"snapshotFiles: snapshot at $asOf is empty")
+    active.toSeq
+  }
+
+  /** Read a versioned table as of a version (time travel): resolve the
+    * commit log, scan exactly the active directories. The scan is a
+    * normal multi-path parquet read — pushdown, pruning and AQE all
+    * apply; only the LOG walk is driver-side. */
+  def readSnapshot(spark: SparkSession, tableDir: String,
+                   asOf: Option[Int] = None): DataFrame =
+    spark.read.parquet(snapshotFiles(tableDir, asOf): _*)
 }

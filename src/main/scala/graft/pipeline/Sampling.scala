@@ -324,4 +324,28 @@ object Sampling {
         .when(t < ve + emb, "embargo")
         .otherwise("test"))
   }
+
+  /** Stratified k-fold assignment for cross-validation: within each
+    * stratum, rows are ordered by the seeded portable [[shuffleKey]]
+    * (key columns as tie-break) and dealt round-robin — fold =
+    * (row_number − 1) mod k — so per-stratum fold sizes differ by at
+    * most one (exact balance, which a plain hash-mod split cannot
+    * promise) and the assignment is a pure function of (key, seed):
+    * reproducible across runs, engines, and partitionings.
+    *
+    * Scale: one window per stratum over the full frame — same posture
+    * as the stateful per-key operators: the stratum column shards the
+    * exchange; a single giant stratum serializes in one reducer, at
+    * which point the documented fallback is `portableBucket(keys) % k`
+    * (balanced only in expectation). */
+  def stratifiedKFold(df: DataFrame, strataCols: Seq[String], k: Int,
+                      seed: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "stratifiedKFold: k must be positive")
+    require(strataCols.nonEmpty, "stratifiedKFold: need stratum columns")
+    require(keyCols.nonEmpty, "stratifiedKFold: need tie-break key columns")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy((shuffleKey(keyCols.map(col), seed) +: keyCols.map(col)): _*)
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+  }
 }
