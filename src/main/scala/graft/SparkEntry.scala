@@ -2626,6 +2626,68 @@ object SparkEntry {
       perVersion.reduce(_ unionByName _)))
   }
 
+  private def qPaths(s: SparkSession, d: String): DataFrame = {
+    // First-3-events user journeys: ordered per-user prefix, path counts
+    // across users.
+    Relational.sort(col("path"), col("depth"))(
+      graft.pipeline.Events.topPaths(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id", depth = 3))
+  }
+
+  private def qMovingAvg(s: SparkSession, d: String): DataFrame = {
+    // Trailing-5 rolling stats per user over event values: decimal
+    // window sums, exact short heads; micros surface for the ts column.
+    val out = graft.pipeline.TimeSeries.movingStats(Tables.events(s, d),
+      "user_id", "ts", "value", "event_id", lookback = 5)
+    Relational.sort(col("user_id"), col("event_id"))(
+      out.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), round(col("win_mean"), 6).as("win_mean"),
+        col("win_n"), col("win_min"), col("win_max")))
+  }
+
+  private def qOhlc(s: SparkSession, d: String): DataFrame = {
+    // Daily OHLC/VWAP bars per event type: open/close are struct
+    // ARG_MIN/ARG_MAX by (µs, price) in ONE aggregation pass.
+    val out = graft.pipeline.TimeSeries.ohlcBars(Tables.events(s, d),
+      "event_type", "ts", "value", "event_id", unit = "day")
+    Relational.sort(col("event_type"), col("bucket"))(
+      out.withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+        .withColumn("vwap", round(col("vwap"), 6)))
+  }
+
+  private def qTopNOther(s: SparkSession, d: String): DataFrame = {
+    // Cardinality-capped reporting dimension: top-10 parts by revenue,
+    // tail folded into OTHER; the kept set is broadcast, facts summed
+    // exactly once.
+    Relational.sort(col("category"))(asDouble("measure_sum")(
+      graft.operators.Aggregates.topNOther(Tables.lineitem(s, d),
+        "l_partkey", "l_extendedprice", n = 10)))
+  }
+
+  private def qPropTest(s: SparkSession, d: String): DataFrame =
+    // Two-proportion z: flag A vs R, "success" = quantity above 25.
+    graft.pipeline.Profile.propTest2(Tables.lineitem(s, d),
+      "l_returnflag", col("l_quantity") > 25, "A", "R")
+
+  private def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    // Schema evolution across commits: v1 adds a column; the merged
+    // time-travel scan reads it as NULL from the v0 file — grouped so a
+    // wrong NULL-fill or a dropped file hash-mismatches.
+    val base = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_se_${ProcessHandle.current().pid()}")
+    val o = Tables.orders(s, d)
+    Relational.fileOutput(o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice")), s"$base/f0")
+    Relational.commitVersion(base, 0, adds = Seq(s"$base/f0"), removes = Nil)
+    Relational.fileOutput(o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+      s"$base/f1")
+    Relational.commitVersion(base, 1, adds = Seq(s"$base/f1"), removes = Nil)
+    val snap = Relational.readSnapshot(s, base, mergeSchema = true)
+    Relational.sort(col("prio"))(asDouble("sum_price")(
+      snap.groupBy(coalesce(col("o_orderpriority"), lit("<v0>")).as("prio"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sum_price"))))
+  }
+
   private def qPmi(s: SparkSession, d: String): DataFrame = {
     // Adjacent-bigram PMI collocations (minCount 5); ln rounds to 6 dp at
     // the output edge per the q_tfidf convention.
@@ -3292,6 +3354,12 @@ object SparkEntry {
     "q_item_sim" -> (qItemSim _),
     "q_kfold" -> (qKfold _),
     "q_time_travel" -> (qTimeTravel _),
+    "q_paths" -> (qPaths _),
+    "q_moving_avg" -> (qMovingAvg _),
+    "q_ohlc" -> (qOhlc _),
+    "q_top_n_other" -> (qTopNOther _),
+    "q_prop_test" -> (qPropTest _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -5560,5 +5628,99 @@ object SparkEntry {
         |    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |ORDER BY version""".stripMargin,
+    // First-3 user journeys: ordered prefix per user, path counts.
+    "q_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+        |    CAST(COUNT(*) AS INTEGER) AS depth
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, depth, COUNT(*) AS n_users
+        |FROM p GROUP BY path, depth ORDER BY path, depth""".stripMargin,
+    // Trailing-5 rolling stats: decimal window sums, exact short heads.
+    "q_moving_avg" ->
+      """WITH w AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    COUNT(CAST(value AS DECIMAL(18,6))) OVER win AS win_n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) OVER win AS win_sum,
+        |    MIN(CAST(value AS DECIMAL(18,6))) OVER win AS win_min_d,
+        |    MAX(CAST(value AS DECIMAL(18,6))) OVER win AS win_max_d
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_us,
+        |  round(CAST(win_sum AS DOUBLE) / CAST(win_n AS DOUBLE), 6) AS win_mean,
+        |  CAST(win_n AS BIGINT) AS win_n,
+        |  CAST(win_min_d AS DOUBLE) AS win_min,
+        |  CAST(win_max_d AS DOUBLE) AS win_max
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+    // Daily OHLC/VWAP bars: open/close replayed as rank-1 rows under
+    // the engine's exact (µs, price) struct order.
+    "q_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+        |    epoch_ns(ts) // 1000 AS us, CAST(value AS DOUBLE) AS p,
+        |    CAST(value AS DECIMAL(19,6)) AS pd,
+        |    CAST(event_id AS DECIMAL(12,6)) AS vd
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY us, p) AS ro,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY us DESC, p DESC) AS rc
+        |  FROM e)
+        |SELECT event_type, bucket, COUNT(*) AS n,
+        |  MAX(CASE WHEN ro = 1 THEN p END) AS open,
+        |  CAST(MAX(pd) AS DOUBLE) AS high,
+        |  CAST(MIN(pd) AS DOUBLE) AS low,
+        |  MAX(CASE WHEN rc = 1 THEN p END) AS close,
+        |  round(CAST(CAST(SUM(pd * vd) AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(SUM(vd) AS VARCHAR) AS DOUBLE), 6) AS vwap,
+        |  CAST(CAST(SUM(vd) AS VARCHAR) AS DOUBLE) AS volume
+        |FROM r GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+    // Top-N + OTHER: rank over the category aggregate, exact decimal
+    // re-fold of the tail.
+    "q_top_n_other" ->
+      """WITH agg AS (SELECT COALESCE(CAST(l_partkey AS VARCHAR), 'NULL')
+        |      AS category,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS m,
+        |    COUNT(*) AS nr
+        |  FROM lineitem GROUP BY 1),
+        |k AS (SELECT category,
+        |    row_number() OVER (ORDER BY m DESC, category) AS r FROM agg)
+        |SELECT CASE WHEN k.r <= 10 THEN agg.category ELSE 'OTHER' END
+        |    AS category,
+        |  CAST(SUM(m) AS DOUBLE) AS measure_sum,
+        |  CAST(SUM(nr) AS BIGINT) AS n_rows
+        |FROM agg JOIN k USING (category)
+        |GROUP BY 1 ORDER BY category""".stripMargin,
+    // Two-proportion z (pooled), success = quantity > 25.
+    "q_prop_test" ->
+      """WITH f AS (SELECT
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' AND l_quantity > 25
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_quantity > 25
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R'))
+        |SELECT n1, x1, n2, x2,
+        |  round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+        |  round(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+        |  round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |    sqrt(CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) *
+        |      (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+        |      (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6) AS z
+        |FROM f""".stripMargin,
+    // Schema evolution: the v1-added column reads NULL from the v0 file.
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<v0>'
+        |    ELSE o_orderpriority END AS prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
   )
 }

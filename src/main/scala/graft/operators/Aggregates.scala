@@ -319,4 +319,39 @@ object Aggregates {
         sum(col("cnt")).as("cnt"))
       .where(col("cnt") > 0)
   }
+
+  /** Top-N categories + 'OTHER' — the cardinality cap every reporting
+    * layer applies before charting a high-cardinality dimension: keep
+    * the N categories with the largest measure (deterministic rank:
+    * measure desc, category asc), fold the tail into one OTHER row.
+    * Two aggregations over category-keyed tables and one top-N rank
+    * window over the CATEGORY aggregate (|categories| rows, never
+    * facts); the relabel is a broadcast-joined membership test, so the
+    * fact-level measure is summed exactly once.
+    *
+    * Output: (category, measure_sum DECIMAL, n_rows) with at most N+1
+    * rows. N must keep the kept-set broadcastable — require()d small. */
+  def topNOther(df: DataFrame, catCol: String, measureCol: String,
+                n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0 && n <= 100000, s"topNOther: n must be in [1, 100000], got $n")
+    val agg = df
+      .select(coalesce(col(catCol).cast("string"), lit("NULL")).as("category"),
+        col(measureCol).cast("decimal(18,2)").as("__m"))
+      .groupBy(col("category"))
+      .agg(sum(col("__m")).as("measure_sum"), count(lit(1)).as("n_rows"))
+    val kept = agg
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("measure_sum").desc, col("category").asc)))
+      .where(col("__r") <= n)
+      .select(col("category"))
+    agg.join(broadcast(kept.withColumn("__keep", lit(true))),
+        Seq("category"), "left")
+      .select(when(col("__keep"), col("category")).otherwise(lit("OTHER"))
+          .as("category"),
+        col("measure_sum"), col("n_rows"))
+      .groupBy(col("category"))
+      .agg(sum(col("measure_sum")).as("measure_sum"),
+        sum(col("n_rows")).as("n_rows"))
+  }
 }

@@ -972,8 +972,13 @@ object Relational {
   /** Read a versioned table as of a version (time travel): resolve the
     * commit log, scan exactly the active directories. The scan is a
     * normal multi-path parquet read — pushdown, pruning and AQE all
-    * apply; only the LOG walk is driver-side. */
+    * apply; only the LOG walk is driver-side. With `mergeSchema` the
+    * scan unions the per-file schemas (schema evolution across
+    * commits: columns added in later versions read as NULL from older
+    * files) — footer-merge cost only, the data path is unchanged. */
   def readSnapshot(spark: SparkSession, tableDir: String,
-                   asOf: Option[Int] = None): DataFrame =
-    spark.read.parquet(snapshotFiles(tableDir, asOf): _*)
+                   asOf: Option[Int] = None,
+                   mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(snapshotFiles(tableDir, asOf): _*)
 }

@@ -232,6 +232,34 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** User-journey path mining: each user's first `depth` event types in
+    * time order, concatenated with '>' — then paths counted across
+    * users. The "what do people do first" query of product analytics.
+    * Determinism: the tie column makes the per-user order total, and
+    * the path string is built by an ordered collect INSIDE one window
+    * pass (array_agg over the running prefix), so the same user always
+    * yields the same path on any engine.
+    *
+    * Shape: one user-sharded window (rank + running prefix), one path
+    * aggregate over the per-user PATH table (|users| rows). */
+  def topPaths(df: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, tieCol: String, depth: Int): DataFrame = {
+    require(depth > 0, "topPaths: depth must be positive")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= depth)
+    val path = ranked.groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t"))))
+        .as("__steps"))
+      .select(col(userCol),
+        array_join(transform(col("__steps"), s => s("t")), ">").as("path"),
+        size(col("__steps")).as("depth"))
+    path.groupBy(col("path"), col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def burstLeaders(df: DataFrame, keyCols: Seq[String], tsCol: String,
                    gapSeconds: Long, tieCol: String): DataFrame = {
     require(keyCols.nonEmpty, "burstLeaders: need at least one key column")

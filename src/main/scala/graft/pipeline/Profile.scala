@@ -578,6 +578,33 @@ object Profile {
           .as("z"))
   }
 
+  /** Two-proportion z-test (pooled) — the A/B conversion-rate
+    * comparison: arms' trial/success counts fold in one conditional-
+    * aggregation scan (the q_ttest shape); rates, the pooled proportion
+    * and z = (p1−p2)/√(p̂(1−p̂)(1/n1+1/n2)) are fixed double dags over
+    * the exact integers, rounded 6 dp at the edge. */
+  def propTest2(df: DataFrame, groupCol: String, successCol: Column,
+                arm1: String, arm2: String): DataFrame = {
+    val s = successCol.cast("boolean")
+    val folded = df.where(col(groupCol).isin(arm1, arm2))
+      .agg(
+        sum(when(col(groupCol) === arm1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(groupCol) === arm1 && s, 1L).otherwise(0L)).as("x1"),
+        sum(when(col(groupCol) === arm2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(groupCol) === arm2 && s, 1L).otherwise(0L)).as("x2"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val p1 = col("x1").cast("double") / n1
+    val p2 = col("x2").cast("double") / n2
+    val pp = (col("x1") + col("x2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    folded.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      round((p1 - p2) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2)), 6)
+        .as("z"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov distance, integer-exact: the ECDFs are
     * step functions changing only at observed values, so
     * D = max |F1 − F2| = max |n2·cum1(v) − n1·cum2(v)| / (n1·n2) over the

@@ -50,4 +50,67 @@ object TimeSeries {
       coalesce(col("n"), lit(0L)).as("n"),
       last(col("__s"), ignoreNulls = true).over(w).cast("double").as("filled"))
   }
+
+  /** Trailing row-window statistics per key: for each event, the
+    * mean/min/max/count of the previous `lookback` values INCLUDING the
+    * current one, in (ts, tie) order — the rolling-feature transform
+    * (e.g. "average of the user's last 5 purchase amounts"). The mean
+    * folds in DECIMAL(18,6) (order-independent, SQL-replayable) and
+    * divides by the actual in-window count, so heads shorter than
+    * `lookback` are exact, not padded; the double division is the one
+    * fixed-shape op at the edge.
+    *
+    * One key-sharded sort window — the stateful-operator posture (keys
+    * shard the exchange; no global ordering anywhere). */
+  def movingStats(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, tieCol: String, lookback: Int): DataFrame = {
+    require(lookback > 0, "movingStats: lookback must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val v = col(valueCol).cast("decimal(18,6)")
+    df.select(col(keyCol), col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("win_n", count(v).over(w))
+      .withColumn("win_sum", sum(v).over(w))
+      .withColumn("win_mean",
+        (col("win_sum").cast("double") / col("win_n").cast("double")))
+      .withColumn("win_min", min(v).over(w).cast("double"))
+      .withColumn("win_max", max(v).over(w).cast("double"))
+      .drop("win_sum")
+  }
+
+  /** OHLC + VWAP bars: per (key, bucket), the open/high/low/close of
+    * `priceCol` and the volume-weighted average price — the canonical
+    * market-data downsample, but equally the "first/last reading per
+    * sensor per hour" shape. Open/close are true ARG_MIN/ARG_MAX by
+    * (ts, price) — a min/max over (epoch-µs, price) structs, so the
+    * whole bar folds in ONE aggregation pass with no self-join and no
+    * window; vwap divides exact decimal Σ(p·v)/Σv once at the edge.
+    *
+    * One (key, bucket)-keyed partial/final aggregate — nothing else. */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
+               priceCol: String, volCol: String, unit: String): DataFrame = {
+    require(Units(unit), s"ohlcBars: unit must be one of $Units")
+    // DECIMAL(12,6) on both factors: the 24-digit product fits int128,
+    // which decimal engines multiply without widening errors (the
+    // corrExact convention).
+    val p = col(priceCol).cast("decimal(12,6)")
+    val v = col(volCol).cast("decimal(12,6)")
+    val key = struct(unix_micros(col(tsCol)).as("us"),
+      col(priceCol).cast("double").as("p"))
+    df.select(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"),
+        key.as("__k"), p.as("__p"), v.as("__v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__k")).getField("p").as("open"),
+        max(col("__p")).cast("double").as("high"),
+        min(col("__p")).cast("double").as("low"),
+        max(col("__k")).getField("p").as("close"),
+        // Σ(p·v) and Σv can pass 2^53 unscaled: decimal → exact digit
+        // string → double (correctly rounded everywhere — the q_corr
+        // convention) before the one division.
+        (sum(col("__p") * col("__v")).cast("string").cast("double") /
+          sum(col("__v")).cast("string").cast("double")).as("vwap"),
+        sum(col("__v")).cast("string").cast("double").as("volume"))
+  }
 }
