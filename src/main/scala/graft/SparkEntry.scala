@@ -2714,6 +2714,62 @@ object SparkEntry {
       Relational.scd2History(log, Seq("o_orderkey"), "seq", "op"))
   }
 
+  private def qPitJoin(s: SparkSession, d: String): DataFrame = {
+    // Point-in-time lookup against the same four-phase SCD2 history as
+    // q_scd2: each synthetic fact (seq = 1 + key % 4) picks up the
+    // version valid at its sequence point; facts inside a deleted
+    // window survive with NULL payload — the left-join semantics a
+    // warehouse PIT read needs.
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val log = o.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      .unionByName(o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+      .unionByName(o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", lit(null).cast("double"))
+        .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+      .unionByName(o.where(col("o_orderkey") % 35 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
+    val hist = Relational.scd2History(log, Seq("o_orderkey"), "seq", "op")
+      .withColumnRenamed("o_totalprice", "dim_price")
+    val facts = Tables.orders(s, d).select(col("o_orderkey"),
+      (lit(1L) + col("o_orderkey") % 4).as("fact_seq"))
+    Relational.sort(col("o_orderkey"))(
+      Relational.pointInTimeJoin(facts, hist, Seq("o_orderkey"), "fact_seq")
+        .select(col("o_orderkey"), col("fact_seq"), col("dim_price"),
+          col("valid_from"), col("dim_price").isNotNull.as("matched")))
+  }
+
+  private def qLinkage(s: SparkSession, d: String): DataFrame = {
+    // Fellegi-Sunter linkage of customers against a deterministically
+    // dirtied copy, blocked by nation; constant log-weights rounded 6 dp
+    // and decimal-summed, threshold keeps the (mostly-self) matches.
+    val c = Tables.customer(s, d)
+    val dirty = c.select(col("c_nationkey"), col("c_custkey").as("r_id"),
+      when(col("c_custkey") % 4 === 0, upper(col("c_name")))
+        .otherwise(col("c_name")).as("c_name"),
+      when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1000)
+        .otherwise(col("c_acctbal")).as("c_acctbal"),
+      col("c_mktsegment"))
+    val leftT = c.select(col("c_nationkey"), col("c_custkey"),
+      col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    val scored = graft.pipeline.Dedup.linkageScores(leftT, dirty,
+      "c_nationkey", "c_custkey", "r_id", Seq(
+        ("c_name", 0.95, 0.001), ("c_acctbal", 0.9, 0.001),
+        ("c_mktsegment", 0.95, 0.2)))
+    Relational.sort(col("lid"), col("rid"))(
+      scored.where(col("score") > 0)
+        .select(col("lid"), col("rid"), col("ag_c_name"), col("ag_c_acctbal"),
+          col("ag_c_mktsegment"), round(col("score"), 6).as("score")))
+  }
+
+  private def qBenford(s: SparkSession, d: String): DataFrame =
+    // First-significant-digit audit of order totals: digits from the
+    // exact decimal digit string, never log10/power.
+    Relational.sort(col("digit"))(
+      graft.pipeline.Checks.benfordAudit(Tables.orders(s, d), "o_totalprice"))
+
   private def qLinreg(s: SparkSession, d: String): DataFrame = {
     // Group-wise OLS from exact decimal moments — slope/intercept/r²
     // bit-identical to the oracle's replay of the same expression shape.
@@ -3360,6 +3416,9 @@ object SparkEntry {
     "q_top_n_other" -> (qTopNOther _),
     "q_prop_test" -> (qPropTest _),
     "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_pit_join" -> (qPitJoin _),
+    "q_linkage" -> (qLinkage _),
+    "q_benford" -> (qBenford _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -5722,5 +5781,69 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // PIT join: the q_scd2 history replayed, then a LEFT validity join;
+    // facts in a deleted window keep NULL payload.
+    "q_pit_join" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, o_totalprice, 1 AS seq, 'I' AS op FROM orders
+        |  UNION ALL SELECT o_orderkey, o_totalprice * 2, 2, 'U' FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL SELECT o_orderkey, NULL, 3, 'D' FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT o_orderkey, o_totalprice + 1, 4, 'I' FROM orders WHERE o_orderkey % 35 = 0),
+        |v AS (SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to FROM log),
+        |h AS (SELECT o_orderkey, o_totalprice AS dim_price,
+        |    CAST(seq AS BIGINT) AS valid_from, CAST(valid_to AS BIGINT) AS valid_to
+        |  FROM v WHERE op IN ('I', 'U')),
+        |f AS (SELECT o_orderkey, 1 + o_orderkey % 4 AS fact_seq FROM orders)
+        |SELECT f.o_orderkey AS o_orderkey, f.fact_seq, h.dim_price,
+        |  h.valid_from, h.dim_price IS NOT NULL AS matched
+        |FROM f LEFT JOIN h ON f.o_orderkey = h.o_orderkey
+        |  AND f.fact_seq >= h.valid_from
+        |  AND (h.valid_to IS NULL OR f.fact_seq < h.valid_to)
+        |ORDER BY f.o_orderkey""".stripMargin,
+    // Fellegi-Sunter: constant 6-dp log weights, decimal-summed; the
+    // blocking join and null-safe agreement replayed verbatim.
+    "q_linkage" ->
+      """WITH dirty AS (SELECT c_nationkey, c_custkey AS r_id,
+        |    CASE WHEN c_custkey % 4 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer),
+        |p AS (SELECT l.c_custkey AS lid, r.r_id AS rid,
+        |    l.c_name IS NOT DISTINCT FROM r.c_name AS ag_c_name,
+        |    l.c_acctbal IS NOT DISTINCT FROM r.c_acctbal AS ag_c_acctbal,
+        |    l.c_mktsegment IS NOT DISTINCT FROM r.c_mktsegment AS ag_c_mktsegment
+        |  FROM customer l JOIN dirty r ON l.c_nationkey = r.c_nationkey),
+        |sc AS (SELECT lid, rid, ag_c_name, ag_c_acctbal, ag_c_mktsegment,
+        |    CAST(CASE WHEN ag_c_name THEN round(ln(0.95 / 0.001), 6)
+        |      ELSE round(ln(0.05 / 0.999), 6) END AS DECIMAL(18,6))
+        |  + CAST(CASE WHEN ag_c_acctbal THEN round(ln(0.9 / 0.001), 6)
+        |      ELSE round(ln(0.1 / 0.999), 6) END AS DECIMAL(18,6))
+        |  + CAST(CASE WHEN ag_c_mktsegment THEN round(ln(0.95 / 0.2), 6)
+        |      ELSE round(ln(0.05 / 0.8), 6) END AS DECIMAL(18,6)) AS sd
+        |  FROM p)
+        |SELECT lid, rid, ag_c_name, ag_c_acctbal, ag_c_mktsegment,
+        |  round(CAST(sd AS DOUBLE), 6) AS score
+        |FROM sc WHERE CAST(sd AS DOUBLE) > 0 ORDER BY lid, rid""".stripMargin,
+    // Benford: first significant digit from the exact decimal string.
+    "q_benford" ->
+      """WITH dg AS (SELECT substr(regexp_replace(
+        |    CAST(abs(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        |    '^0\.0*', ''), 1, 1) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n FROM dg
+        |  WHERE digit IN ('1','2','3','4','5','6','7','8','9')
+        |  GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed_frac,
+        |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS benford_frac,
+        |  round((CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) *
+        |      round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)) *
+        |    (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) *
+        |      round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)) /
+        |    (CAST(tot AS DOUBLE) *
+        |      round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)), 6)
+        |    AS chi2_term
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
   )
 }

@@ -125,6 +125,34 @@ object Relational {
         col("valid_to") :+ col("valid_to").isNull.as("is_current")): _*)
   }
 
+  /** Point-in-time (as-of-version) join of facts against an SCD2 history
+    * ([[scd2History]] output): each fact row picks up the dimension
+    * version whose validity window [valid_from, valid_to) contains the
+    * fact's sequence value — the warehouse PIT-lookup pattern. LEFT
+    * join, so facts landing in a deleted period (or before the first
+    * version) survive with NULL dimension payload; the SCD2 invariant
+    * (non-overlapping windows per key) guarantees at most one match,
+    * which the RelationalSpec asserts rather than assumes.
+    *
+    * Shape: one equi-join keyed on the dimension keys (the validity
+    * bound rides along as a join residual) — shuffles shard by key,
+    * never by time, so a long history never serializes. History payload
+    * column names must not collide with fact columns (require()d). */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame, keys: Seq[String],
+                      factSeqCol: String, fromCol: String = "valid_from",
+                      toCol: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty, "pointInTimeJoin: need at least one key column")
+    val histPayload = history.columns.filterNot(c => keys.contains(c)).toSeq
+    val collisions = histPayload.toSet.intersect(facts.columns.toSet)
+    require(collisions.isEmpty,
+      s"pointInTimeJoin: history payload collides with fact columns: $collisions")
+    val h = keys.foldLeft(history)((d, k) => d.withColumnRenamed(k, s"__h_$k"))
+    val cond = keys.map(k => facts(k) === h(s"__h_$k")).reduce(_ && _) &&
+      facts(factSeqCol) >= h(fromCol) &&
+      (h(toCol).isNull || facts(factSeqCol) < h(toCol))
+    facts.join(h, cond, "left").drop(keys.map(k => s"__h_$k"): _*)
+  }
+
   /** ORC face of the FileOutput/FileInput pair — Spark's second built-in
     * columnar format: same predicate-pushdown + column-pruning contract
     * as parquet (the spec asserts PushedFilters on the ORC scan), so a

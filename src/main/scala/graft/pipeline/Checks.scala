@@ -166,4 +166,38 @@ object Checks {
         col("min_class_size"), col("max_class_size"),
         (col("classes_below_k") === 0L).as("anonymous"))
   }
+
+  /** Benford first-digit audit — the classic fabricated-numbers screen
+    * for monetary columns: observed first-significant-digit counts vs
+    * Benford's log₁₀(1 + 1/d) expectation, with the chi-square
+    * contribution per digit. The digit is extracted from the DECIMAL's
+    * exact digit STRING (never via log10/power, whose boundary ulps
+    * differ across engines): cast to DECIMAL(18,2), string-strip sign
+    * and leading "0."s, take the first character. Values rounding to 0
+    * are excluded (no significant digit). Expected fractions and the
+    * χ² terms are fixed double dags over exact counts, rounded 6 dp.
+    *
+    * One digit-keyed aggregation (9 groups) over a codegen'd
+    * projection — nothing else. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(regexp_replace(
+      abs(col(valueCol).cast("decimal(18,2)")).cast("string"),
+      "^0\\.0*", ""), 1, 1)
+    val counts = df
+      .select(digit.as("digit"))
+      .where(col("digit").isin((1 to 9).map(_.toString): _*))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val expected = round(
+      log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)), 6)
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("observed_frac"),
+        expected.as("benford_frac"),
+        round(
+          (col("n").cast("double") - col("__t").cast("double") * expected) *
+          (col("n").cast("double") - col("__t").cast("double") * expected) /
+          (col("__t").cast("double") * expected), 6).as("chi2_term"))
+  }
 }

@@ -745,4 +745,46 @@ object Dedup {
       acc.join(mode, Seq(clusterCol), "left")
     }
   }
+
+  /** Fellegi-Sunter record-linkage scoring: candidate pairs from a
+    * blocking join, scored per field with the classic log-likelihood
+    * weights — agreement adds ln(m/u), disagreement adds
+    * ln((1−m)/(1−u)), where m = P(agree | match) and u = P(agree |
+    * non-match) are caller-supplied per-field parameters. Each weight is
+    * a CONSTANT: it is computed once, rounded to 6 dp, and summed as
+    * DECIMAL, so the total score is order-independent and exactly
+    * SQL-replayable (no per-row ln anywhere). Agreement is null-safe
+    * equality (two NULLs agree). Output: left/right ids, one ag_<field>
+    * flag per field, and `score`; callers threshold into
+    * match / possible / non-match.
+    *
+    * Scale: the join is the blocking join — pairs bounded by
+    * Σ per-block |L|·|R|, the caller's blocking key choice; scoring adds
+    * one codegen'd projection, no further exchange. */
+  def linkageScores(left: DataFrame, right: DataFrame,
+                    blockCol: String, leftId: String, rightId: String,
+                    fields: Seq[(String, Double, Double)]): DataFrame = {
+    require(fields.nonEmpty, "linkageScores: need at least one field")
+    fields.foreach { case (f, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+        s"linkageScores: field $f needs 0 < u < m < 1, got m=$m u=$u")
+    }
+    def w6(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(math.rint(math.log(x) * 1e6) / 1e6)
+    val l = left.select((col(blockCol).as("__b") +: col(leftId).as("lid") +:
+      fields.map { case (f, _, _) => col(f).as(s"__l_$f") }): _*)
+    val r = right.select((col(blockCol).as("__b") +: col(rightId).as("rid") +:
+      fields.map { case (f, _, _) => col(f).as(s"__r_$f") }): _*)
+    val scored = fields.foldLeft(l.join(r, Seq("__b"))) {
+      case (df, (f, m, u)) =>
+        df.withColumn(s"ag_$f", col(s"__l_$f") <=> col(s"__r_$f"))
+          .withColumn(s"__w_$f",
+            when(col(s"ag_$f"), lit(w6(m / u)))
+              .otherwise(lit(w6((1 - m) / (1 - u)))).cast("decimal(18,6)"))
+    }
+    scored.select((col("lid") +: col("rid") +:
+      fields.map { case (f, _, _) => col(s"ag_$f") } :+
+      fields.map { case (f, _, _) => col(s"__w_$f") }
+        .reduce(_ + _).cast("double").as("score")): _*)
+  }
 }
