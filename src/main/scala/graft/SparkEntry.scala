@@ -5793,13 +5793,18 @@ object SparkEntry {
         |h AS (SELECT o_orderkey, o_totalprice AS dim_price,
         |    CAST(seq AS BIGINT) AS valid_from, CAST(valid_to AS BIGINT) AS valid_to
         |  FROM v WHERE op IN ('I', 'U')),
-        |f AS (SELECT o_orderkey, 1 + o_orderkey % 4 AS fact_seq FROM orders)
-        |SELECT f.o_orderkey AS o_orderkey, f.fact_seq, h.dim_price,
-        |  h.valid_from, h.dim_price IS NOT NULL AS matched
-        |FROM f LEFT JOIN h ON f.o_orderkey = h.o_orderkey
-        |  AND f.fact_seq >= h.valid_from
-        |  AND (h.valid_to IS NULL OR f.fact_seq < h.valid_to)
-        |ORDER BY f.o_orderkey""".stripMargin,
+        |f AS (SELECT o_orderkey, 1 + o_orderkey % 4 AS fact_seq FROM orders),
+        |mt AS (SELECT f.o_orderkey, f.fact_seq, h.dim_price, h.valid_from
+        |  FROM f JOIN h ON f.o_orderkey = h.o_orderkey
+        |  WHERE f.fact_seq >= h.valid_from
+        |    AND (h.valid_to IS NULL OR f.fact_seq < h.valid_to))
+        |SELECT o_orderkey, fact_seq, dim_price, valid_from, TRUE AS matched
+        |FROM mt
+        |UNION ALL
+        |SELECT f.o_orderkey, f.fact_seq, CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS BIGINT), FALSE
+        |FROM f ANTI JOIN mt ON f.o_orderkey = mt.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     // Fellegi-Sunter: constant 6-dp log weights, decimal-summed; the
     // blocking join and null-safe agreement replayed verbatim.
     "q_linkage" ->
