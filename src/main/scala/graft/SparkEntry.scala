@@ -2777,6 +2777,51 @@ object SparkEntry {
     Relational.sort(col("digit"))(
       graft.pipeline.Checks.benfordAudit(Tables.orders(s, d), "o_totalprice"))
 
+  private def qDateDim(s: SparkSession, d: String): DataFrame =
+    // Calendar spine 1995-1998 (the data's date domain): ISO dow,
+    // weekend/month-boundary flags — replayed from generate_series.
+    Relational.sort(col("date"))(
+      Relational.dateDimension(s, "1995-01-01", "1998-12-31"))
+
+  private def qSkyline(s: SparkSession, d: String): DataFrame = {
+    // Pareto frontier of parts on (revenue, quantity): distinct-x
+    // prefix-max reduction, no all-pairs; ties at a frontier point all
+    // survive.
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("revenue"),
+        sum(dec(col("l_quantity"))).as("qty"))
+    Relational.sort(col("l_partkey"))(asDouble("revenue", "qty")(
+      graft.pipeline.Profile.skyline2d(perPart, "revenue", "qty")))
+  }
+
+  private def qFingerprint(s: SparkSession, d: String): DataFrame = {
+    // Replication audit: the base table, a reordered/repartitioned
+    // replica (MUST fingerprint equal — order independence is the whole
+    // point), and a one-cent-perturbed replica (MUST differ).
+    import graft.pipeline.Checks
+    val base = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_linenumber"), col("l_returnflag"),
+      dec(col("l_extendedprice")).as("price"))
+    val shuffled = base.orderBy(col("l_returnflag")).repartition(7)
+    val perturbed = base.withColumn("price",
+      when(col("l_orderkey") % 1000 === 0,
+        col("price") + lit(BigDecimal("0.01"))).otherwise(col("price")))
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "price")
+    def tag(name: String, df: DataFrame) =
+      Checks.tableFingerprint(df, cols).select(lit(name).as("replica"),
+        col("n_rows"), col("fingerprint"))
+    val out = tag("base", base)
+      .unionByName(tag("reordered", shuffled))
+      .unionByName(tag("perturbed", perturbed))
+    val fps = out.collect().map(r => (r.getString(0), r.getString(2))).toMap
+    require(fps("base") == fps("reordered"),
+      "fingerprint must be order/partitioning independent")
+    require(fps("base") != fps("perturbed"),
+      "fingerprint must detect a one-cent perturbation")
+    Relational.sort(col("replica"))(out)
+  }
+
   private def qLinreg(s: SparkSession, d: String): DataFrame = {
     // Group-wise OLS from exact decimal moments — slope/intercept/r²
     // bit-identical to the oracle's replay of the same expression shape.
@@ -3426,6 +3471,9 @@ object SparkEntry {
     "q_pit_join" -> (qPitJoin _),
     "q_linkage" -> (qLinkage _),
     "q_benford" -> (qBenford _),
+    "q_date_dim" -> (qDateDim _),
+    "q_skyline" -> (qSkyline _),
+    "q_fingerprint" -> (qFingerprint _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -5857,5 +5905,56 @@ object SparkEntry {
         |      round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)), 6)
         |    AS chi2_term
         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    // Calendar spine: ISO dow (1 = Monday) in both engines.
+    "q_date_dim" ->
+      """SELECT strftime(d, '%Y-%m-%d') AS date,
+        |  year(d) AS year, quarter(d) AS quarter, month(d) AS month,
+        |  day(d) AS day, isodow(d) AS isodow,
+        |  isodow(d) >= 6 AS is_weekend, day(d) = 1 AS is_month_start,
+        |  d = last_day(d) AS is_month_end
+        |FROM generate_series(DATE '1995-01-01', DATE '1998-12-31',
+        |  INTERVAL 1 DAY) t(d)
+        |ORDER BY date""".stripMargin,
+    // Skyline: the distinct-x prefix-max formulation replayed.
+    "q_skyline" ->
+      """WITH p AS (SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |x AS (SELECT revenue AS xv, MAX(qty) AS my FROM p GROUP BY 1),
+        |k AS (SELECT xv, my, MAX(my) OVER (ORDER BY xv DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM x)
+        |SELECT p.l_partkey, CAST(p.revenue AS DOUBLE) AS revenue,
+        |  CAST(p.qty AS DOUBLE) AS qty
+        |FROM p JOIN k ON p.revenue = k.xv AND p.qty = k.my
+        |WHERE k.pm IS NULL OR k.my > k.pm
+        |ORDER BY l_partkey""".stripMargin,
+    // Fingerprint: 48-bit md5 row hashes summed as DECIMAL(38,0); the
+    // reordered replica is BY CONSTRUCTION the same sum as base, the
+    // perturbed one re-derives with the price bump.
+    "q_fingerprint" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem),
+        |fb AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(('0x' || substr(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      l_returnflag, CAST(price AS VARCHAR))), 1, 12))::BIGINT)
+        |      AS DECIMAL(38,0)) AS f
+        |  FROM b),
+        |pb AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CASE WHEN l_orderkey % 1000 = 0 THEN price + 0.01
+        |      ELSE price END AS price FROM b),
+        |fp AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(('0x' || substr(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      l_returnflag, CAST(price AS VARCHAR))), 1, 12))::BIGINT)
+        |      AS DECIMAL(38,0)) AS f
+        |  FROM pb)
+        |SELECT 'base' AS replica, n_rows, CAST(f AS VARCHAR) AS fingerprint FROM fb
+        |UNION ALL
+        |SELECT 'perturbed', n_rows, CAST(f AS VARCHAR) FROM fp
+        |UNION ALL
+        |SELECT 'reordered', n_rows, CAST(f AS VARCHAR) FROM fb
+        |ORDER BY replica""".stripMargin,
   )
 }

@@ -125,6 +125,24 @@ object Relational {
         col("valid_to") :+ col("valid_to").isNull.as("is_current")): _*)
   }
 
+  /** Calendar dimension spine: one row per day in [start, end] with the
+    * derived attributes every warehouse date dimension carries. ISO
+    * day-of-week (1 = Monday) is computed from weekday() so engines with
+    * Sunday-zero conventions replay it without ambiguity. A generator,
+    * not a scan: the spine is bounded by the day span (36,525 rows per
+    * century) — driver-trivial at any data scale. */
+  def dateDimension(spark: SparkSession, start: String, end: String): DataFrame =
+    spark.range(1)
+      .select(explode(expr(
+        s"sequence(to_date('$start'), to_date('$end'), interval 1 day)")).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("date"),
+        year(col("d")).as("year"), quarter(col("d")).as("quarter"),
+        month(col("d")).as("month"), dayofmonth(col("d")).as("day"),
+        (expr("weekday(d)") + 1).as("isodow"),
+        (expr("weekday(d)") >= 5).as("is_weekend"),
+        (dayofmonth(col("d")) === 1).as("is_month_start"),
+        (col("d") === last_day(col("d"))).as("is_month_end"))
+
   /** Point-in-time (as-of-version) join of facts against an SCD2 history
     * ([[scd2History]] output): each fact row picks up the dimension
     * version whose validity window [valid_from, valid_to) contains the

@@ -167,6 +167,25 @@ object Checks {
         (col("classes_below_k") === 0L).as("anonymous"))
   }
 
+  /** Order-independent table fingerprint — the replication/anti-entropy
+    * audit: every row folds to a 48-bit integer (md5 of the '|'-joined
+    * canonical column strings, NULL marked distinctly), summed as
+    * DECIMAL(38,0). Row order, partitioning and engine cannot change the
+    * sum, so two replicas compare by exchanging ONE (count, fingerprint)
+    * row instead of data. Callers must pass columns with portable string
+    * forms (integers, strings, decimals — NOT raw doubles, whose
+    * to-string differs across engines). Output: (n_rows, fingerprint as
+    * a digit string). */
+  def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableFingerprint: need at least one column")
+    val rowStr = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
+    df.select(conv(substring(md5(rowStr), 1, 12), 16, 10)
+        .cast("long").as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h").cast("decimal(38,0)")).cast("string").as("fingerprint"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-numbers screen
     * for monetary columns: observed first-significant-digit counts vs
     * Benford's log₁₀(1 + 1/d) expectation, with the chi-square

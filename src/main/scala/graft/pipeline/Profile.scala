@@ -578,6 +578,34 @@ object Profile {
           .as("z"))
   }
 
+  /** 2-D skyline (Pareto frontier): the rows not dominated in
+    * (xCol, yCol) — p dominates q iff x_p ≥ x_q ∧ y_p ≥ y_q with at
+    * least one strict. The multi-objective "best tradeoffs" operator
+    * (price vs quality, revenue vs volume).
+    *
+    * Distributed shape — no all-pairs anywhere: reduce to the DISTINCT-x
+    * table (per-x max y), prefix-max over x descending, keep x whose max
+    * y strictly exceeds every higher-x max (y = prefix max ⇒ some
+    * higher-x point weakly dominates with strict x ⇒ dominated), then
+    * one value-keyed join back picks up the surviving rows — within an
+    * x, only rows AT the per-x max y survive (lower y is strictly
+    * dominated); exact duplicates of a frontier point all survive
+    * (dominance needs a strict coordinate). NULL coordinates are
+    * excluded. The prefix window runs over the distinct-x table (the
+    * histogramEquiDepth posture). */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val perX = base.groupBy(col(xCol).as("__x")).agg(max(col(yCol)).as("__my"))
+    val wx = Window.orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keepX = perX.withColumn("__pm", max(col("__my")).over(wx))
+      .where(col("__pm").isNull || col("__my") > col("__pm"))
+      .select(col("__x"), col("__my"))
+    base.join(keepX,
+      base(xCol) === keepX("__x") && base(yCol) === keepX("__my"))
+      .drop("__x", "__my")
+  }
+
   /** Two-proportion z-test (pooled) — the A/B conversion-rate
     * comparison: arms' trial/success counts fold in one conditional-
     * aggregation scan (the q_ttest shape); rates, the pooled proportion

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Calendar dimension, 2-D skyline, and table fingerprints. */
+class AuditOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dateDimension: leap day, ISO dow, month boundaries") {
+    val out = rows(Relational.dateDimension(spark, "2024-02-28", "2024-03-02")
+      .select("date", "isodow", "is_weekend", "is_month_start", "is_month_end"))
+    // 2024-02-29 exists (leap year); 2024-02-28 is a Wednesday (isodow
+    // 3) and 2024-03-02 a Saturday (isodow 6)
+    assert(out == Seq(
+      Seq("2024-02-28", 3, false, false, false),
+      Seq("2024-02-29", 4, false, false, true),
+      Seq("2024-03-01", 5, false, true, false),
+      Seq("2024-03-02", 6, true, false, false)), s"got $out")
+  }
+
+  test("skyline2d: dominance, per-x ties, duplicate frontier points") {
+    // (5,1) and (1,5) are the frontier; (3,3) is NOT dominated either;
+    // (2,2) dominated by (3,3); (5,0) dominated by (5,1) (tie on x,
+    // strictly lower y); the duplicate (3,3) survives twice.
+    val df = Seq((1, 5.0, 1.0), (2, 1.0, 5.0), (3, 3.0, 3.0), (4, 3.0, 3.0),
+      (5, 2.0, 2.0), (6, 5.0, 0.0)).toDF("id", "x", "y")
+    withPartitionings(df) { d =>
+      val out = rows(Profile.skyline2d(d, "x", "y").orderBy("id").select("id"))
+        .map(_.head)
+      assert(out == Seq(1, 2, 3, 4), s"got $out")
+    }
+  }
+
+  test("skyline2d: NULL coordinates excluded; single point survives") {
+    val df = Seq((1, Some(1.0), Some(1.0)), (2, None, Some(9.0)),
+      (3, Some(9.0), None)).toDF("id", "x", "y")
+    val out = rows(Profile.skyline2d(df, "x", "y").select("id")).map(_.head)
+    assert(out == Seq(1), s"got $out")
+  }
+
+  test("tableFingerprint: order/partition independent, perturbation-sensitive, NULL-safe") {
+    val base = Seq((1L, Some("a")), (2L, Some("b")), (3L, None)).toDF("k", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      rows(Checks.tableFingerprint(df, Seq("k", "v"))).head
+    val b = fp(base)
+    assert(b == fp(base.orderBy(desc("k")).repartition(5)),
+      "reordering must not change the fingerprint")
+    assert(b != fp(base.withColumn("v",
+      when(col("k") === 1, "A").otherwise(col("v")))),
+      "a changed value must change the fingerprint")
+    assert(b != fp(base.limit(2).union(base.limit(2))),
+      "different multiset must change the fingerprint")
+    assert(b(0) == 3L)
+  }
+}
