@@ -3256,6 +3256,83 @@ object SparkEntry {
         col("P").cast("double").as("sum_pending")))
   }
 
+  private def qConcurrency(s: SparkSession, d: String): DataFrame = {
+    // Sweep-line peak concurrency over the same synthetic intervals as
+    // q_interval_merge: per user, max simultaneously-open sessions, the
+    // earliest instant the peak is reached, and the interval count.
+    val iv = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        ((col("event_id") % 7) + 1) * 600000000L).as("e"))
+    Relational.sort(col("user_id"))(
+      graft.pipeline.Events.concurrencyProfile(iv, Seq("user_id"), "s", "e"))
+  }
+
+  private def qAuc(s: SparkSession, d: String): DataFrame =
+    // Exact tie-aware ROC AUC: score = l_quantity (heavily tied — the
+    // midrank path is what's under test), label = returned flag.
+    graft.pipeline.Profile.rocAuc(Tables.lineitem(s, d), "l_quantity",
+      col("l_returnflag") === "R")
+
+  private def qGini(s: SparkSession, d: String): DataFrame = {
+    // Revenue-concentration Gini per market segment over per-customer
+    // order totals; rank identity in exact decimals, one final division
+    // through the digit string.
+    val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("rev"))
+    val seg = rev.join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("rev"))
+    Relational.sort(col("seg"))(
+      graft.pipeline.Profile.gini(seg, "seg", "rev"))
+  }
+
+  private def qBfs(s: SparkSession, d: String): DataFrame = {
+    // Multi-source BFS over a data-derived directed graph (order/customer
+    // keys folded into a 500-node space, cycles included); min hop
+    // distance from the %50 source set, budget 6 — the oracle explores
+    // ALL bounded paths recursively and takes MIN(hops).
+    val o = Tables.orders(s, d)
+    val edges = o.select((col("o_orderkey") % 500).as("src"),
+      ((col("o_custkey") * 3 + 1) % 500).as("dst"))
+    val sources = edges.select(col("src").as("id"))
+      .where(col("id") % 50 === 0).distinct()
+    Relational.sort(col("id"))(
+      graft.pipeline.Graph.bfsHops(edges, "src", "dst", sources, "id",
+        maxHops = 6))
+  }
+
+  private def qPip(s: SparkSession, d: String): DataFrame = {
+    // Point-in-polygon over the q_spatial_join synthetic points against a
+    // non-convex L-shape: exact-integer ray casting unrolled into ONE
+    // codegen'd projection (zero joins/shuffles); the oracle replays the
+    // crossing parity through an explicit edge VALUES join.
+    val m = 2147483648L
+    val pts = Tables.documents(s, d).select(col("doc_id").as("id"),
+      (pmod(col("doc_id"), lit(m)) * lit(2654435761L) % lit(m) % lit(4000L)).as("x"),
+      (pmod(col("doc_id"), lit(m)) * lit(2246822519L) % lit(m) % lit(4000L)).as("y"))
+    Relational.sort(col("id"))(
+      graft.pipeline.Spatial.pointInPolygon(pts, "id", "x", "y", LPolygon))
+  }
+
+  /** Simple non-convex L-shape in the 4000×4000 synthetic point domain —
+    * shared by qPip and its oracle text. */
+  private val LPolygon: Seq[(Long, Long)] = Seq(
+    (1000L, 1000L), (3000L, 1000L), (3000L, 2000L),
+    (2000L, 2000L), (2000L, 3000L), (1000L, 3000L))
+
+  private def qSurvival(s: SparkSession, d: String): DataFrame = {
+    // Kaplan-Meier per order priority: duration = key % 100 + 1, every
+    // 7th subject right-censored; survival via 6-dp-rounded decimal-
+    // summed ln factors, re-exponentiated at the edge.
+    val subj = Tables.orders(s, d).select(
+      col("o_orderpriority").as("g"),
+      (col("o_orderkey") % 100 + 1).as("dur"),
+      (col("o_orderkey") % 7 =!= 0).as("ev"))
+    Relational.sort(col("g"), col("t"))(
+      graft.pipeline.Events.kaplanMeier(subj, "g", "dur", col("ev")))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3474,6 +3551,12 @@ object SparkEntry {
     "q_date_dim" -> (qDateDim _),
     "q_skyline" -> (qSkyline _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_concurrency" -> (qConcurrency _),
+    "q_auc" -> (qAuc _),
+    "q_gini" -> (qGini _),
+    "q_bfs" -> (qBfs _),
+    "q_pip" -> (qPip _),
+    "q_survival" -> (qSurvival _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -5956,5 +6039,129 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'reordered', n_rows, CAST(f AS VARCHAR) FROM fb
         |ORDER BY replica""".stripMargin,
+    // Sweep-line concurrency: deltas netted per (key, instant) — ends
+    // release before starts acquire at the same time — then a prefix sum
+    // per user; peak + earliest peak time.
+    "q_concurrency" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |  epoch_us(ts) + ((event_id % 7) + 1) * 600000000 AS e FROM events),
+        |d AS (SELECT user_id, s AS t, 1 AS dd FROM iv
+        |  UNION ALL SELECT user_id, e, -1 FROM iv),
+        |pi AS (SELECT user_id, t, SUM(dd) AS net,
+        |    SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS starts
+        |  FROM d GROUP BY user_id, t),
+        |c AS (SELECT user_id, t, starts, SUM(net) OVER (
+        |    PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM pi),
+        |a AS (SELECT user_id, CAST(SUM(starts) AS BIGINT) AS n_intervals,
+        |    MAX(conc) AS maxc FROM c GROUP BY user_id)
+        |SELECT a.user_id, a.n_intervals,
+        |  CAST(a.maxc AS BIGINT) AS max_concurrency,
+        |  CAST(MIN(c.t) AS BIGINT) AS at_time
+        |FROM a JOIN c ON c.user_id = a.user_id AND c.conc = a.maxc
+        |GROUP BY a.user_id, a.n_intervals, a.maxc
+        |ORDER BY a.user_id""".stripMargin,
+    // Exact AUC = Mann-Whitney midranks over the distinct-score table;
+    // two_u is an exact BIGINT, one final division.
+    "q_auc" ->
+      """WITH g AS (SELECT l_quantity AS v,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS neg
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_quantity),
+        |w AS (SELECT pos, neg, COALESCE(SUM(pos + neg) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM g),
+        |f AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |    CAST(SUM(pos * (2 * bef + pos + neg + 1)) AS BIGINT) AS two_rp
+        |  FROM w)
+        |SELECT n_pos, n_neg, two_rp - n_pos * (n_pos + 1) AS two_u,
+        |  round(CAST(two_rp - n_pos * (n_pos + 1) AS DOUBLE) /
+        |    (2.0 * n_pos * n_neg), 6) AS auc
+        |FROM f""".stripMargin,
+    // Gini rank identity in exact decimals; tie order cannot matter (a
+    // tied block contributes x·Σr with a fixed rank set), division via
+    // the digit string.
+    "q_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT c.c_mktsegment AS seg, r.rev AS x
+        |  FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey
+        |  WHERE r.rev IS NOT NULL AND r.rev >= 0),
+        |rk AS (SELECT seg, x, CAST(row_number() OVER (
+        |    PARTITION BY seg ORDER BY x) AS BIGINT) AS r FROM j),
+        |ag AS (SELECT seg, COUNT(*) AS n, SUM(x) AS sx, SUM(x * r) AS srx
+        |  FROM rk GROUP BY seg)
+        |SELECT seg, n, CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sum_x,
+        |  CASE WHEN sx > 0 THEN round(
+        |    CAST(CAST(2 * srx - (n + 1) * sx AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(n * sx AS VARCHAR) AS DOUBLE), 6) END AS gini
+        |FROM ag ORDER BY seg""".stripMargin,
+    // BFS min-hop: the recursive CTE explores every path of <= 6 hops
+    // (rows dedup via UNION, so cycles terminate); MIN(hops) per node is
+    // the BFS distance the engine's frontier iteration settles.
+    "q_bfs" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_orderkey % 500 AS src,
+        |    (o_custkey * 3 + 1) % 500 AS dst FROM orders),
+        |s0 AS (SELECT DISTINCT src AS id FROM e WHERE src % 50 = 0),
+        |r AS (SELECT id, 0 AS hops FROM s0
+        |  UNION
+        |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.hops < 6)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(hops) AS BIGINT) AS hops
+        |FROM r GROUP BY id ORDER BY id""".stripMargin,
+    // Ray-casting parity with cross-multiplied (exact integer) right-of
+    // tests; half-open straddle rule so vertices never double-count.
+    "q_pip" ->
+      """WITH p AS (SELECT doc_id AS id,
+        |  ((doc_id % 2147483648) * 2654435761 % 2147483648) % 4000 AS x,
+        |  ((doc_id % 2147483648) * 2246822519 % 2147483648) % 4000 AS y
+        |  FROM documents),
+        |ed AS (SELECT * FROM (VALUES
+        |  (1000, 1000, 3000, 1000), (3000, 1000, 3000, 2000),
+        |  (3000, 2000, 2000, 2000), (2000, 2000, 2000, 3000),
+        |  (2000, 3000, 1000, 3000), (1000, 3000, 1000, 1000))
+        |  AS t(x1, y1, x2, y2)),
+        |cr AS (SELECT p.id, p.x, p.y, SUM(CASE WHEN y1 <> y2
+        |      AND ((y1 <= p.y AND p.y < y2) OR (y2 <= p.y AND p.y < y1))
+        |      AND (CASE WHEN y2 > y1
+        |        THEN (p.x - x1) * (y2 - y1) < (p.y - y1) * (x2 - x1)
+        |        ELSE (p.x - x1) * (y2 - y1) > (p.y - y1) * (x2 - x1) END)
+        |    THEN 1 ELSE 0 END) AS c
+        |  FROM p CROSS JOIN ed GROUP BY p.id, p.x, p.y)
+        |SELECT id, x, y, (c % 2 = 1) AS inside FROM cr ORDER BY id""".stripMargin,
+    // Kaplan-Meier: at-risk = suffix sum over the distinct-duration
+    // table; survival = exp of the 6-dp-rounded decimal-summed ln
+    // factors; an all-die time zeroes everything after via prefix max.
+    "q_survival" ->
+      """WITH b AS (SELECT o_orderpriority AS g, o_orderkey % 100 + 1 AS t,
+        |    CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END AS d
+        |  FROM orders),
+        |pt AS (SELECT g, t, CAST(SUM(d) AS BIGINT) AS dd,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY g, t),
+        |r AS (SELECT g, t, dd, CAST(SUM(c) OVER (PARTITION BY g ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+        |  FROM pt),
+        |e AS (SELECT g, t, dd, n,
+        |    CASE WHEN dd < n THEN CAST(round(ln(1.0 -
+        |      CAST(dd AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    END AS lnf,
+        |    CASE WHEN dd = n THEN 1 ELSE 0 END AS z
+        |  FROM r WHERE dd > 0),
+        |w AS (SELECT g, t, n, dd,
+        |    MAX(z) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zs,
+        |    SUM(lnf) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM e)
+        |SELECT g, t, n AS n_at_risk, dd AS d,
+        |  CASE WHEN zs = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+        |FROM w ORDER BY g, t""".stripMargin,
   )
 }

@@ -272,4 +272,94 @@ object Events {
           gapSeconds * 1000000L)
       .drop("__prev")
   }
+
+  /** Sweep-line concurrency over half-open [start, end) intervals: per
+    * key, the peak number of simultaneously-open intervals, the earliest
+    * time that peak is reached, and the interval count — the "max
+    * concurrent sessions / licenses / connections" question.
+    *
+    * Half-open semantics make the tie rule explicit: an interval ending
+    * at t releases BEFORE one starting at t acquires, so back-to-back
+    * intervals never double-count. The sweep therefore nets all deltas
+    * per (key, time) FIRST (starts − ends at that instant) — this also
+    * makes the running sum deterministic: a per-row cumulative sum over
+    * tied timestamps would be order-dependent, but the per-instant
+    * aggregate is not. Concurrency after instant t = prefix sum of nets;
+    * the peak over the whole timeline is the max of that prefix series.
+    *
+    * Shape: one union of two projections of the interval table, one
+    * (key, t) hash aggregate, one key-sharded window, one key aggregate —
+    * every exchange keyed by the interval key, never a global window.
+    * Peak + its earliest time fold as ONE max(struct(conc, −t)) so no
+    * second pass re-scans for the argmax. */
+  def concurrencyProfile(df: DataFrame, keyCols: Seq[String],
+                         startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "concurrencyProfile: need at least one key column")
+    val ks = keyCols.map(col)
+    val deltas =
+      df.select((ks :+ col(startCol).cast("long").as("__t") :+
+        lit(1L).as("__d")): _*)
+        .unionByName(df.select((ks :+ col(endCol).cast("long").as("__t") :+
+          lit(-1L).as("__d")): _*))
+    val perInstant = deltas
+      .groupBy((ks :+ col("__t")): _*)
+      .agg(sum(col("__d")).as("__net"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__starts"))
+    val w = Window.partitionBy(ks: _*).orderBy(col("__t").asc)
+    perInstant
+      .withColumn("__conc",
+        sum(col("__net")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(ks: _*)
+      .agg(sum(col("__starts")).as("n_intervals"),
+        max(struct(col("__conc"), (-col("__t")).as("__negt"))).as("__pk"))
+      .select((ks :+ col("n_intervals") :+
+        col("__pk.__conc").as("max_concurrency") :+
+        (-col("__pk.__negt")).as("at_time")): _*)
+  }
+
+  /** Kaplan-Meier survival curves per group: subjects with a duration and
+    * an event flag (true = observed event, false = right-censored);
+    * S(t) = Π over event times t_i ≤ t of (1 − d_i / n_i), the standard
+    * product-limit estimator (churn curves, time-to-failure,
+    * time-to-conversion under censoring).
+    *
+    * Distributed shape: everything folds out of the per-(group, duration)
+    * aggregate — at-risk counts are a SUFFIX sum over the distinct-
+    * duration table (descending window), never a per-subject rank. The
+    * prefix product is carried as a sum of per-factor ln's, each rounded
+    * 6 dp and DECIMAL-summed so the accumulation is order-exact and any
+    * engine replays it bit-for-bit (the q_tfidf ln convention); survival
+    * re-exponentiates at the output edge, rounded 6 dp. A factor of zero
+    * (everyone at risk dies at t) has no ln — the row and everything
+    * after it report survival 0 via a prefix-max flag.
+    *
+    * Output: one row per (group, event time with d > 0) —
+    * (group, t, n_at_risk, d, survival). Censoring times shape n_at_risk
+    * but emit no row, per the estimator. */
+  def kaplanMeier(df: DataFrame, groupCol: String, durationCol: String,
+                  eventCol: Column): DataFrame = {
+    val base = df.where(col(durationCol).isNotNull)
+      .select(col(groupCol), col(durationCol).cast("long").as("__t"),
+        when(eventCol, 1L).otherwise(0L).as("__d"))
+    val perT = base.groupBy(col(groupCol), col("__t"))
+      .agg(sum(col("__d")).as("__dd"), count(lit(1)).as("__c"))
+    val wDesc = Window.partitionBy(col(groupCol)).orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAsc = Window.partitionBy(col(groupCol)).orderBy(col("__t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perT.withColumn("__n", sum(col("__c")).over(wDesc))
+      .where(col("__dd") > 0)
+      .withColumn("__ln", when(col("__dd") < col("__n"),
+        round(log(lit(1.0) -
+          col("__dd").cast("double") / col("__n").cast("double")), 6)
+          .cast("decimal(18,6)")))
+      .withColumn("__zero",
+        max(when(col("__dd") === col("__n"), 1L).otherwise(0L)).over(wAsc))
+      .withColumn("__cum", sum(col("__ln")).over(wAsc))
+      .select(col(groupCol), col("__t").as("t"), col("__n").as("n_at_risk"),
+        col("__dd").as("d"),
+        when(col("__zero") === 1, lit(0.0))
+          .otherwise(round(exp(col("__cum").cast("double")), 6))
+          .as("survival"))
+  }
 }

@@ -161,4 +161,52 @@ object Graph {
     tri.select(explode(array(col("__wa"), col("__wb"), col("__wc"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Multi-source BFS over a DIRECTED edge list: minimum hop distance
+    * from any source node, up to `maxHops`. The reachability/radius
+    * primitive (impact analysis, social distance, dependency fan-out).
+    *
+    * Level-synchronous frontier expansion: round r joins the CURRENT
+    * frontier (nodes first reached at distance r) against the edge list,
+    * anti-joins everything already settled, and the survivors become
+    * frontier r+1 — each round shuffles (node) keys only, and each edge
+    * is traversed at most once per frontier containing its source. The
+    * settled set and frontier persist per round (same log-many
+    * driver-coordination shape as [[treeRootDepth]]); the loop stops
+    * early when the frontier empties, so `maxHops` is a budget, not a
+    * cost. Unreachable nodes are absent from the output (anti-join them
+    * in downstream if "infinity rows" are needed). Output: (id, hops). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              sources: DataFrame, idCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "bfsHops: maxHops must be >= 0")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(mem)
+    e.count()
+    var frontier = sources.select(col(idCol).cast("long").as("id"))
+      .where(col("id").isNotNull).distinct().persist(mem)
+    var settled = frontier.withColumn("hops", lit(0L)).persist(mem)
+    settled.count()
+    var hop = 0L
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && hop < maxHops) {
+      hop += 1
+      val next = e.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .persist(mem)
+      frontierSize = next.count()
+      val grown = settled
+        .unionByName(next.withColumn("hops", lit(hop)))
+        .persist(mem)
+      grown.count()
+      settled.unpersist(); frontier.unpersist()
+      settled = grown
+      frontier = next
+    }
+    frontier.unpersist(); e.unpersist()
+    settled
+  }
 }

@@ -656,4 +656,70 @@ object Profile {
         round(col("d_num").cast("double") /
           (col("n1").cast("double") * col("n2").cast("double")), 6).as("d"))
   }
+
+  /** Exact tie-aware ROC AUC — the probability a random positive scores
+    * above a random negative, with ties counting 1/2. Computed as the
+    * Mann-Whitney statistic over the DISTINCT-SCORE table (never per-row
+    * ranks): with per-score counts (pos, neg) and `bef` = rows at
+    * strictly smaller scores, the positives' midrank sum is kept
+    * integral as 2·R⁺ = Σ pos·(2·bef + c + 1), so
+    * two_u = 2·R⁺ − n_pos·(n_pos+1) = 2·(#concordant + ½·#tied) is an
+    * exact BIGINT under any partitioning; AUC = two_u / (2·n_pos·n_neg)
+    * is the single final double (operands stay below 2⁵³ far past any
+    * realistic eval-set size — the division inputs are exact).
+    *
+    * One score-keyed exchange, a prefix window over the distinct-score
+    * table, one fold — the [[mannWhitneyU]] shape applied to classifier
+    * evaluation. NULL scores are excluded. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    val g = df.where(col(scoreCol).isNotNull)
+      .select(col(scoreCol).as("__v"),
+        when(labelCol, 1L).otherwise(0L).as("__p"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__p")).as("__pos"),
+        sum(lit(1L) - col("__p")).as("__neg"))
+    val wv = Window.orderBy(col("__v"))
+    val c = col("__pos") + col("__neg")
+    g.withColumn("__bef", coalesce(
+        sum(c).over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(col("__pos") * (lit(2L) * col("__bef") + c + 1)).as("__two_rp"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("__two_rp") - col("n_pos") * (col("n_pos") + 1)).as("two_u"))
+      .select(col("n_pos"), col("n_neg"), col("two_u"),
+        round(col("two_u").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")), 6).as("auc"))
+  }
+
+  /** Per-group Gini coefficient of a non-negative measure — the
+    * inequality statistic (revenue concentration, token-count imbalance
+    * across sources). Uses the rank identity on values sorted ascending:
+    * G = (2·Σ r·x − (n+1)·Σx) / (n·Σx), exact in DECIMAL until the one
+    * final division. The identity is invariant to tie order — a tied
+    * block contributes x·Σr and the rank SET of the block is fixed — so
+    * row_number's nondeterminism among equal values cannot change the
+    * result, and no tie-break column is needed.
+    *
+    * One key-sharded rank window over raw rows, one key aggregate; the
+    * division goes decimal → exact digit string → double per the
+    * [[corrExact]] convention so both engines round identically at any
+    * scale. NULL and negative measures are excluded (Gini is defined on
+    * non-negative data); a group with Σx = 0 reports NULL. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,2)")
+    val base = df.where(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(groupCol), x.as("__x"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__x").asc)
+    def d(c: Column) = c.cast("string").cast("double")
+    base.withColumn("__r", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__r")).as("__srx"))
+      .select(col(groupCol), col("n"), d(col("__sx")).as("sum_x"),
+        when(col("__sx") > 0, round(
+          d(lit(2L) * col("__srx") - (col("n") + 1) * col("__sx")) /
+            d(col("n") * col("__sx")), 6)).as("gini"))
+  }
 }

@@ -51,4 +51,42 @@ object Spatial {
       .where(col("id_a") < col("id_b") && d2 <= lit(radius * radius))
       .select(col("id_a"), col("id_b"), d2.as("d2"))
   }
+
+  /** Point-in-polygon by exact-integer ray casting: a horizontal ray from
+    * the point to +∞ crosses edge (x1,y1)→(x2,y2) iff the edge straddles
+    * the point's y (half-open: y1 ≤ py < y2 or y2 ≤ py < y1 — each vertex
+    * counts for exactly one of its two edges, so rays through vertices
+    * never double-count) and the crossing lies strictly right of the
+    * point. The right-of test cross-multiplies instead of dividing —
+    * (px−x1)·(y2−y1) vs (py−y1)·(x2−x1), direction-flipped when y2 < y1 —
+    * so every comparison is exact 64-bit integer arithmetic; odd crossing
+    * parity = inside. Points ON an edge classify by the same parity rule
+    * (consistent, but not canonically "inside"): keep boundaries off the
+    * data or test them explicitly.
+    *
+    * The polygon is bounded driver metadata (the IVF-centroid posture):
+    * the crossing count unrolls into one codegen'd projection — |V| CASE
+    * terms, ZERO joins, ZERO shuffles, scan-pruned to (id, x, y). The
+    * 100 TB path is exactly this: a filter expression over the point
+    * table. Closes the ring automatically (last vertex → first). */
+  def pointInPolygon(points: DataFrame, idCol: String, xCol: String,
+                     yCol: String, polygon: Seq[(Long, Long)]): DataFrame = {
+    require(polygon.size >= 3, "pointInPolygon: need at least 3 vertices")
+    val px = col(xCol).cast("long")
+    val py = col(yCol).cast("long")
+    val edges = polygon.zip(polygon.tail :+ polygon.head)
+    val crossings = edges.map { case ((x1, y1), (x2, y2)) =>
+      if (y1 == y2) lit(0L) // horizontal edge: never straddles py
+      else {
+        val straddles = (lit(y1) <= py && py < lit(y2)) ||
+          (lit(y2) <= py && py < lit(y1))
+        val lhs = (px - lit(x1)) * lit(y2 - y1)
+        val rhs = (py - lit(y1)) * lit(x2 - x1)
+        val rightOf = if (y2 > y1) lhs < rhs else lhs > rhs
+        when(straddles && rightOf, 1L).otherwise(0L)
+      }
+    }.reduce(_ + _)
+    points.select(col(idCol), px.as(xCol), py.as(yCol),
+      (crossings % 2 === 1).as("inside"))
+  }
 }

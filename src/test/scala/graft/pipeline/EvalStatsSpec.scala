@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sweep-line concurrency, exact ROC AUC, and Gini coefficient semantics
+  * on hand-built inputs, including the brute-force cross-checks.
+  */
+class EvalStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- concurrency
+
+  private def iv(rows: (String, Long, Long)*) =
+    rows.toDF("k", "s", "e")
+
+  test("concurrencyProfile: overlapping intervals peak correctly") {
+    val df = iv(("a", 0L, 10L), ("a", 5L, 15L), ("a", 10L, 20L))
+    withPartitionings(df) { d =>
+      val out = rows(Events.concurrencyProfile(d, Seq("k"), "s", "e"))
+      // [0,10) and [5,15) overlap on [5,10); at t=10 the first releases
+      // as the third acquires — peak stays 2, first reached at t=5.
+      assert(out == Seq(Seq("a", 3L, 2L, 5L)))
+    }
+  }
+
+  test("concurrencyProfile: half-open — end releases before start acquires") {
+    val df = iv(("a", 0L, 10L), ("a", 10L, 20L))
+    val out = rows(Events.concurrencyProfile(df, Seq("k"), "s", "e"))
+    assert(out == Seq(Seq("a", 2L, 1L, 0L)))
+  }
+
+  test("concurrencyProfile: keys independent; empty interval adds nothing") {
+    val df = iv(("a", 0L, 1L), ("b", 0L, 5L), ("b", 2L, 7L),
+      ("b", 3L, 3L)) // [3,3) is empty: counted but never concurrent
+    val out = rows(Events.concurrencyProfile(df, Seq("k"), "s", "e")
+      .orderBy("k"))
+    assert(out == Seq(Seq("a", 1L, 1L, 0L), Seq("b", 3L, 2L, 2L)))
+  }
+
+  test("concurrencyProfile: brute-force cross-check on a dense fixture") {
+    val data = (0 until 60).map { i =>
+      val s = (i * 37 % 50).toLong
+      ("k", s, s + 1 + (i * 13 % 9))
+    }
+    val df = data.toDF("k", "s", "e")
+    val out = rows(Events.concurrencyProfile(df, Seq("k"), "s", "e")).head
+    // brute force: concurrency at instant t = #intervals with s <= t < e
+    val instants = data.flatMap(r => Seq(r._2, r._3)).distinct.sorted
+    val conc = instants.map(t => (t, data.count(r => r._2 <= t && t < r._3)))
+    val peak = conc.map(_._2).max
+    val at = conc.filter(_._2 == peak).map(_._1).min
+    assert(out == Seq("k", data.size.toLong, peak.toLong, at))
+  }
+
+  // ---------------------------------------------------------------- rocAuc
+
+  test("rocAuc: perfect separation, reversal, and all-tied") {
+    val perfect = Seq((1.0, true), (2.0, true), (0.1, false), (0.2, false))
+      .toDF("score", "lab")
+    assert(rows(Profile.rocAuc(perfect, "score", col("lab"))).head ==
+      Seq(2L, 2L, 8L, 1.0))
+    val reversed = Seq((0.1, true), (0.2, true), (1.0, false), (2.0, false))
+      .toDF("score", "lab")
+    assert(rows(Profile.rocAuc(reversed, "score", col("lab"))).head ==
+      Seq(2L, 2L, 0L, 0.0))
+    val tied = Seq((5.0, true), (5.0, true), (5.0, false), (5.0, false))
+      .toDF("score", "lab")
+    assert(rows(Profile.rocAuc(tied, "score", col("lab"))).head ==
+      Seq(2L, 2L, 4L, 0.5))
+  }
+
+  test("rocAuc: equals brute-force pair counting with ties; NULLs excluded") {
+    val data = (0 until 80).map(i => (i * 31 % 13, i % 3 == 0))
+    val df = data.map(r => (Some(r._1.toDouble), r._2)).toDF("score", "lab")
+      .unionByName(Seq((Option.empty[Double], true)).toDF("score", "lab"))
+    withPartitionings(df) { d =>
+      val out = rows(Profile.rocAuc(d, "score", col("lab"))).head
+      val pos = data.filter(_._2).map(_._1)
+      val neg = data.filterNot(_._2).map(_._1)
+      val twoU = (for { p <- pos; n <- neg } yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val auc = BigDecimal(twoU.toDouble / (2.0 * pos.size * neg.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out == Seq(pos.size.toLong, neg.size.toLong, twoU, auc))
+    }
+  }
+
+  // ---------------------------------------------------------------- gini
+
+  test("gini: uniform is 0, total concentration is (n-1)/n") {
+    val eq = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0)).toDF("g", "x")
+    assert(rows(Profile.gini(eq, "g", "x")).head == Seq("a", 3L, 15.0, 0.0))
+    val conc = Seq(("a", 0.0), ("a", 0.0), ("a", 0.0), ("a", 10.0))
+      .toDF("g", "x")
+    assert(rows(Profile.gini(conc, "g", "x")).head ==
+      Seq("a", 4L, 10.0, 0.75))
+  }
+
+  test("gini: NULL and negative excluded; zero-sum group reports NULL") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(-3.0)),
+      ("a", Some(3.0)), ("z", Some(0.0))).toDF("g", "x")
+    val out = rows(Profile.gini(df, "g", "x").orderBy("g"))
+    // a keeps {1, 3}: G = (2*(1*1+2*3) - 3*4) / (2*4) = 2/8 = 0.25
+    assert(out == Seq(Seq("a", 2L, 4.0, 0.25), Seq("z", 1L, 0.0, null)))
+  }
+
+  // ---------------------------------------------------------------- pointInPolygon
+
+  test("pointInPolygon: square, notch of an L-shape, and outside") {
+    val l = Seq((0L, 0L), (4L, 0L), (4L, 2L), (2L, 2L), (2L, 4L), (0L, 4L))
+    val pts = Seq((1L, 1L, 1L), (2L, 3L, 1L), (3L, 1L, 3L), (4L, 3L, 3L),
+      (5L, 5L, 1L), (6L, 1L, 5L)).toDF("id", "x", "y")
+    val out = rows(Spatial.pointInPolygon(pts, "id", "x", "y", l)
+      .orderBy("id")).map(r => (r.head, r(3)))
+    // (3,3) sits in the notch — non-convexity is what's under test
+    assert(out == Seq((1L, true), (2L, true), (3L, true), (4L, false),
+      (5L, false), (6L, false)))
+  }
+
+  test("pointInPolygon: awt cross-check on a staircase polygon, odd grid") {
+    // rectilinear staircase with even vertices; odd-coordinate points can
+    // never lie on a boundary, so awt's boundary ambiguity is avoided
+    val poly = Seq((0L, 0L), (6L, 0L), (6L, 4L), (4L, 4L), (4L, 8L),
+      (8L, 8L), (8L, 12L), (0L, 12L))
+    val awt = new java.awt.geom.Path2D.Double()
+    awt.moveTo(poly.head._1.toDouble, poly.head._2.toDouble)
+    poly.tail.foreach(p => awt.lineTo(p._1.toDouble, p._2.toDouble))
+    awt.closePath()
+    val pts = (for { x <- -1L to 9L by 2; y <- -1L to 13L by 2 }
+      yield (x * 100 + y, x, y)).toDF("id", "x", "y")
+    withPartitionings(pts) { d =>
+      val out = rows(Spatial.pointInPolygon(d, "id", "x", "y", poly))
+      out.foreach { r =>
+        val (x, y) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])
+        assert(r(3) == awt.contains(x.toDouble, y.toDouble),
+          s"mismatch at ($x,$y)")
+      }
+    }
+  }
+
+  test("pointInPolygon rejects degenerate polygons") {
+    val pts = Seq((1L, 0L, 0L)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Spatial.pointInPolygon(pts, "id", "x", "y", Seq((0L, 0L), (1L, 1L)))
+    }
+  }
+
+  // ---------------------------------------------------------------- kaplanMeier
+
+  test("kaplanMeier: textbook curve with censoring and an all-die tail") {
+    val df = Seq(("a", 1L, true), ("a", 2L, true), ("a", 2L, false),
+      ("a", 3L, true)).toDF("g", "dur", "ev")
+    withPartitionings(df) { d =>
+      val out = rows(Events.kaplanMeier(d, "g", "dur", col("ev"))
+        .orderBy("t"))
+      // S(1)=3/4; S(2)=3/4·2/3=1/2; at t=3 everyone at risk dies → 0
+      assert(out == Seq(
+        Seq("a", 1L, 4L, 1L, 0.75),
+        Seq("a", 2L, 3L, 1L, 0.5),
+        Seq("a", 3L, 1L, 1L, 0.0)))
+    }
+  }
+
+  test("kaplanMeier: censored subjects shape the risk set but emit no row") {
+    val df = Seq(("b", 1L, false), ("b", 2L, true)).toDF("g", "dur", "ev")
+    val out = rows(Events.kaplanMeier(df, "g", "dur", col("ev")))
+    // the t=1 censor has left the risk set by t=2: n=1, d=1 → survival 0
+    assert(out == Seq(Seq("b", 2L, 1L, 1L, 0.0)))
+  }
+
+  test("gini: tie order cannot change the statistic") {
+    val df = Seq(("a", 2.0), ("a", 2.0), ("a", 2.0), ("a", 6.0))
+      .toDF("g", "x")
+    withPartitionings(df) { d =>
+      // x sorted: ranks of the tied 2s are {1,2,3} in SOME order;
+      // sum r*x over the block is 2*(1+2+3) regardless.
+      // G = (2*(2+4+6+24) - 5*12) / (4*12) = 12/48 = 0.25
+      assert(rows(Profile.gini(d, "g", "x")).head ==
+        Seq("a", 4L, 12.0, 0.25))
+    }
+  }
+}

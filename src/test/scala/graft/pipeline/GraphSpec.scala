@@ -45,4 +45,30 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(edges, "src", "dst", 1, dampNum = 100, dampDen = 100)
     }
   }
+
+  test("bfsHops: min hop distance on a branching graph with a cycle") {
+    import spark.implicits._
+    // 1→2→3→4→2 (cycle), 1→5, 5→4 — node 4 reachable in 2 (via 5) and 3
+    // (via 2,3); cycle must not loop forever or relabel settled nodes.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (1L, 5L), (5L, 4L))
+      .toDF("s", "d")
+    val src = Seq(1L).toDF("id")
+    val out = rows(Graph.bfsHops(e, "s", "d", src, "id", maxHops = 10)
+      .orderBy("id"))
+    assert(out == Seq(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L),
+      Seq(4L, 2L), Seq(5L, 1L)))
+  }
+
+  test("bfsHops: maxHops truncates; multi-source takes the nearer source") {
+    import spark.implicits._
+    val chain = (1L to 8L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("s", "d")
+    val out1 = rows(Graph.bfsHops(chain, "s", "d", Seq(1L).toDF("id"), "id",
+      maxHops = 3).orderBy("id"))
+    assert(out1 == Seq(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L), Seq(4L, 3L)))
+    // sources 1 and 6: node 7 is 1 hop from 6, not 6 hops from 1
+    val out2 = rows(Graph.bfsHops(chain, "s", "d", Seq(1L, 6L).toDF("id"),
+      "id", maxHops = 2).orderBy("id"))
+    assert(out2.contains(Seq(7L, 1L)) && out2.contains(Seq(3L, 2L)))
+  }
 }
