@@ -3333,6 +3333,44 @@ object SparkEntry {
       graft.pipeline.Events.kaplanMeier(subj, "g", "dur", col("ev")))
   }
 
+  private def qLogTemplates(s: SparkSession, d: String): DataFrame = {
+    // Drain-style parameter masking over synthetic log lines
+    // (event_type + props JSON): digit runs collapse to '#'.
+    val ev = Tables.events(s, d)
+      .select(col("event_id"),
+        concat(col("event_type"), lit(" "), col("props")).as("line"))
+    Relational.sort(col("template"))(
+      graft.pipeline.TextAnalysis.logTemplates(ev, "event_id", "line"))
+  }
+
+  private def qEntityTag(s: SparkSession, d: String): DataFrame = {
+    // Gazetteer tagging of the document corpus against a 4-name
+    // dictionary (one mixed-case to exercise normalization).
+    import s.implicits._
+    val gaz = Seq("Spark", "customer", "query", "vector").toDF("name")
+    Relational.sort(col("doc_id"), col("entity"))(
+      graft.pipeline.TextAnalysis.tagEntities(Tables.documents(s, d),
+        "doc_id", "text", gaz, "name")
+        .withColumn("first_pos", col("first_pos").cast("long")))
+  }
+
+  private def qSkipgram(s: SparkSession, d: String): DataFrame =
+    // Skip-gram pair extraction (window 2) — HOF-generated pairs, one
+    // count shuffle; the oracle regenerates every pair list-wise.
+    Relational.sort(col("center"), col("context"))(
+      graft.pipeline.Vocab.skipgramPairs(Tables.documents(s, d), "text",
+        window = 2))
+
+  private def qApportion(s: SparkSession, d: String): DataFrame = {
+    // Hamilton apportionment of a 100k budget across parts by lineitem
+    // count: Σ seats = 100000 exactly, every placement integer-derived.
+    val wts = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    Relational.sort(col("l_partkey"))(
+      graft.pipeline.Sampling.apportion(wts, "l_partkey", "cnt",
+        total = 100000L))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3557,6 +3595,10 @@ object SparkEntry {
     "q_bfs" -> (qBfs _),
     "q_pip" -> (qPip _),
     "q_survival" -> (qSurvival _),
+    "q_log_templates" -> (qLogTemplates _),
+    "q_entity_tag" -> (qEntityTag _),
+    "q_skipgram" -> (qSkipgram _),
+    "q_apportion" -> (qApportion _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -6163,5 +6205,58 @@ object SparkEntry {
         |  CASE WHEN zs = 1 THEN 0.0
         |    ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS survival
         |FROM w ORDER BY g, t""".stripMargin,
+    // Log templates: digit runs masked to '#'; NULL-propagating concat
+    // on both sides (|| in DuckDB, concat in Spark).
+    "q_log_templates" ->
+      """SELECT regexp_replace(event_type || ' ' || props, '[0-9]+', '#', 'g')
+        |    AS template,
+        |  COUNT(*) AS n, CAST(MIN(event_id) AS BIGINT) AS example_id
+        |FROM events WHERE event_type IS NOT NULL AND props IS NOT NULL
+        |GROUP BY template ORDER BY template""".stripMargin,
+    // Gazetteer tagging: zipped unnest gives 1-based token positions;
+    // dictionary lowercased on both sides.
+    "q_entity_tag" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(
+        |    lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS tok,
+        |    unnest(generate_series(1, len(ws))) AS pos FROM w),
+        |g AS (SELECT unnest(['spark', 'customer', 'query', 'vector']) AS tok)
+        |SELECT t.doc_id, t.tok AS entity, COUNT(*) AS n_mentions,
+        |  CAST(MIN(t.pos) AS BIGINT) AS first_pos
+        |FROM t JOIN g USING (tok)
+        |GROUP BY t.doc_id, t.tok ORDER BY doc_id, entity""".stripMargin,
+    // Skip-gram window-2 pairs regenerated list-wise (no positional
+    // self-join on either side).
+    "q_skipgram" ->
+      """WITH w AS (SELECT list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |f AS (SELECT ws FROM w WHERE len(ws) > 1),
+        |p AS (SELECT unnest(flatten(list_transform(
+        |    generate_series(1, len(ws)), i ->
+        |    list_filter(list_transform([-2, -1, 1, 2], o ->
+        |      CASE WHEN i + o >= 1 AND i + o <= len(ws)
+        |        THEN struct_pack(center := ws[i], context := ws[i + o])
+        |      END), x -> x IS NOT NULL)))) AS pr
+        |  FROM f)
+        |SELECT pr.center AS center, pr.context AS context, COUNT(*) AS n
+        |FROM p GROUP BY pr.center, pr.context
+        |ORDER BY center, context""".stripMargin,
+    // Hamilton apportionment: base = floor(w·T/W), leftovers to the
+    // largest remainders (tie: key asc); Σ seats = T exactly.
+    "q_apportion" ->
+      """WITH g AS (SELECT l_partkey, COUNT(*) AS w FROM lineitem
+        |  GROUP BY l_partkey),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM g),
+        |b AS (SELECT l_partkey, w,
+        |    CAST(w * 100000 // tw AS BIGINT) AS base,
+        |    CAST(w * 100000 % tw AS BIGINT) AS rem
+        |  FROM g CROSS JOIN t),
+        |sb AS (SELECT CAST(SUM(base) AS BIGINT) AS sbase FROM b),
+        |r AS (SELECT l_partkey, w, base, rem, row_number() OVER (
+        |    ORDER BY rem DESC, l_partkey ASC) AS rk FROM b)
+        |SELECT l_partkey, CAST(w AS BIGINT) AS weight,
+        |  CAST(base + CASE WHEN rk <= 100000 - sbase THEN 1 ELSE 0 END
+        |    AS BIGINT) AS seats
+        |FROM r CROSS JOIN sb ORDER BY l_partkey""".stripMargin,
   )
 }

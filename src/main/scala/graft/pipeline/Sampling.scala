@@ -348,4 +348,39 @@ object Sampling {
       .orderBy((shuffleKey(keyCols.map(col), seed) +: keyCols.map(col)): _*)
     df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment: divide an integer
+    * `total` across keys proportionally to non-negative integer weights,
+    * exactly — Σ seats = total, every seat placement a pure function of
+    * the data. The quota-allocation step of a corpus recipe ("give each
+    * source its share of a 10M-document budget") done in integers, where
+    * float rates would drop or invent seats at the rounding edge.
+    *
+    * base = ⌊w·T / W⌋ per key (exact integer — headroom contract:
+    * w·total must fit a long); the T − Σbase leftover seats go to the
+    * largest remainders (w·T mod W), ties broken by key ascending so the
+    * ranking is total. The rank window runs over the per-key table (one
+    * row per key — report-scale, the histogramEquiDepth posture), never
+    * raw rows; W and Σbase are broadcast scalars. W = 0 (no weight
+    * anywhere) allocates nothing. */
+  def apportion(df: DataFrame, keyCol: String, weightCol: String,
+                total: Long): DataFrame = {
+    require(total >= 0, "apportion: total must be >= 0")
+    val g = df.select(col(keyCol), col(weightCol).cast("long").as("weight"))
+      .where(col("weight").isNotNull && col("weight") >= 0)
+    val totW = g.agg(sum(col("weight")).as("__W"))
+    val based = g.crossJoin(broadcast(totW))
+      .withColumn("__base", when(col("__W") > 0,
+        expr(s"(weight * ${total}L) div __W")).otherwise(0L))
+      .withColumn("__rem", when(col("__W") > 0,
+        (col("weight") * total) % col("__W")).otherwise(0L))
+    val baseSum = based.agg(sum(col("__base")).as("__SB"))
+    val wRank = Window.orderBy(col("__rem").desc, col(keyCol).asc)
+    based.crossJoin(broadcast(baseSum))
+      .withColumn("__rk", row_number().over(wRank).cast("long"))
+      .select(col(keyCol), col("weight"),
+        (col("__base") + when(col("__W") > 0 &&
+          col("__rk") <= lit(total) - col("__SB"), 1L).otherwise(0L))
+          .as("seats"))
+  }
 }

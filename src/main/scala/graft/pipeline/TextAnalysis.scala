@@ -268,4 +268,41 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Log-template mining, the parameter-masking half of Drain-style log
+    * clustering: every digit run becomes `#`, so lines differing only in
+    * ids/counts/timestamps collapse to one template. Per template:
+    * occurrence count and the smallest id as a deterministic exemplar.
+    * One codegen'd projection + one template-keyed aggregate; template
+    * cardinality is the log's schema-diversity, not its volume. */
+  def logTemplates(df: DataFrame, idCol: String, lineCol: String): DataFrame =
+    df.where(col(lineCol).isNotNull)
+      .select(col(idCol), regexp_replace(col(lineCol), "[0-9]+", "#").as("template"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("example_id"))
+
+  /** Gazetteer entity tagging: lowercase-alphanumeric tokens of each
+    * document matched against a dictionary of single-token entity names
+    * (the broadcast side — a gazetteer is bounded metadata). Output one
+    * row per (doc, entity): mention count and the first (1-based) token
+    * position. Multi-word entities would need the shingle table instead
+    * of the token table (same join shape, n-gram keys) — single-token
+    * names keep the gate's oracle a plain join replay.
+    *
+    * Shape: posexplode keyed by document (no shuffle — generation is
+    * partition-local), one broadcast hash join against the dictionary,
+    * one (doc, entity) aggregate. Shuffles carry only matched mentions —
+    * at gazetteer selectivity, orders of magnitude below the token
+    * stream. */
+  def tagEntities(docs: DataFrame, idCol: String, textCol: String,
+                  gazetteer: DataFrame, entityCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(Scoring.tokenize(col(textCol)))
+        .as(Seq("__pos", "__tok")))
+    val dict = gazetteer.select(lower(col(entityCol)).as("__tok")).distinct()
+    toks.join(broadcast(dict), "__tok")
+      .groupBy(col(idCol), col("__tok").as("entity"))
+      .agg(count(lit(1)).as("n_mentions"),
+        (min(col("__pos")) + 1).as("first_pos"))
+  }
 }

@@ -56,4 +56,35 @@ object Vocab {
         t => coalesce(element_at(col("__vmap"), t), lit(unkId))))
       .drop("__vmap")
   }
+
+  /** Skip-gram (center, context) pair counts with a symmetric window —
+    * the training-pair extraction of word2vec-style embedding prep.
+    * For token position i, every j with 0 < |i−j| ≤ window in the same
+    * document contributes one (token_i, token_j) observation; counts
+    * aggregate corpus-wide.
+    *
+    * Pairs are GENERATED partition-locally by a codegen'd
+    * transform/flatten over each document's token array — no positional
+    * self-join (which would fan a t-token document into t² intermediate
+    * rows at the join before the window filter; the HOF emits exactly
+    * the ≤ 2·window·t real pairs). The only shuffle is the final
+    * (center, context) count aggregate, with map-side partials. */
+  def skipgramPairs(docs: DataFrame, textCol: String, window: Int): DataFrame = {
+    require(window >= 1, "skipgramPairs: window must be >= 1")
+    val offsets = array(((-window to window).filter(_ != 0))
+      .map(o => lit(o)): _*)
+    val ws = col("__ws")
+    val n = size(ws)
+    val pairs = flatten(transform(sequence(lit(1), n), i =>
+      filter(transform(offsets, o =>
+        when(i + o >= 1 && i + o <= n,
+          struct(element_at(ws, i).as("center"),
+            element_at(ws, i + o).as("context")))),
+        p => p.isNotNull)))
+    docs.select(Scoring.tokenize(col(textCol)).as("__ws"))
+      .where(size(ws) > 1)
+      .select(explode(pairs).as("__p"))
+      .groupBy(col("__p.center").as("center"), col("__p.context").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
 }
