@@ -3371,6 +3371,27 @@ object SparkEntry {
         total = 100000L))
   }
 
+  private def qCusum(s: SparkSession, d: String): DataFrame =
+    // Two-sided CUSUM per event type (target 50, slack 2, alarm 200):
+    // closed-form prefix-extrema windows, decimal-exact statistics.
+    Relational.sort(col("event_type"), col("event_id"))(
+      graft.pipeline.TimeSeries.cusum(Tables.events(s, d), "event_type",
+        "ts", "value", "event_id", target = BigDecimal(50),
+        slack = BigDecimal(2), threshold = BigDecimal(200)))
+
+  private def qAutocorr(s: SparkSession, d: String): DataFrame =
+    // Lag-3 autocorrelation of event values per type — the corrExact
+    // moment machinery over lag-window pairs.
+    Relational.sort(col("event_type"))(
+      graft.pipeline.TimeSeries.autocorrLag(Tables.events(s, d),
+        "event_type", "ts", "value", "event_id", lagK = 3))
+
+  private def qClassifierEval(s: SparkSession, d: String): DataFrame =
+    // Operating-point metrics at threshold 26 for the q_auc score/label
+    // pair: exact confusion counts, fixed-shape ratio dag.
+    graft.pipeline.Profile.classifierEval(Tables.lineitem(s, d),
+      "l_quantity", col("l_returnflag") === "R", threshold = 26.0)
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3599,6 +3620,9 @@ object SparkEntry {
     "q_entity_tag" -> (qEntityTag _),
     "q_skipgram" -> (qSkipgram _),
     "q_apportion" -> (qApportion _),
+    "q_cusum" -> (qCusum _),
+    "q_autocorr" -> (qAutocorr _),
+    "q_classifier_eval" -> (qClassifierEval _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -6258,5 +6282,88 @@ object SparkEntry {
         |  CAST(base + CASE WHEN rk <= 100000 - sbase THEN 1 ELSE 0 END
         |    AS BIGINT) AS seats
         |FROM r CROSS JOIN sb ORDER BY l_partkey""".stripMargin,
+    // CUSUM closed form: S+ = prefix − min(0, running min of prior
+    // prefixes); S− mirrors with the running max. Decimal-exact; the
+    // prefix sums are CAST DOWN to DECIMAL(28,2) (a DECIMAL(38,2)
+    // difference needs 39 digits and falls to DOUBLE) and the min/max
+    // clamps are CASE, not least/greatest — DuckDB's least/greatest
+    // returns DOUBLE for ANY decimal inputs.
+    "q_cusum" ->
+      """WITH e AS (SELECT event_type AS k, epoch_us(ts) AS t, event_id AS eid,
+        |    CAST(value AS DECIMAL(18,2)) AS x FROM events),
+        |p AS (SELECT k, t, eid,
+        |    CAST(SUM(x - 52.00) OVER win AS DECIMAL(28,2)) AS ph,
+        |    CAST(SUM(x - 48.00) OVER win AS DECIMAL(28,2)) AS pl
+        |  FROM e WINDOW win AS (PARTITION BY k ORDER BY t, eid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT k, eid, ph, pl,
+        |    COALESCE(MIN(ph) OVER wprev, CAST(0 AS DECIMAL(28,2))) AS mph,
+        |    COALESCE(MAX(pl) OVER wprev, CAST(0 AS DECIMAL(28,2))) AS mpl
+        |  FROM p WINDOW wprev AS (PARTITION BY k ORDER BY t, eid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s0 AS (SELECT k, eid,
+        |    ph - (CASE WHEN mph < 0 THEN mph
+        |          ELSE CAST(0 AS DECIMAL(28,2)) END) AS dh,
+        |    (CASE WHEN mpl > 0 THEN mpl
+        |     ELSE CAST(0 AS DECIMAL(28,2)) END) - pl AS dl FROM m),
+        |s AS (SELECT k, eid,
+        |    CASE WHEN dh > 0 THEN dh ELSE CAST(0 AS DECIMAL(29,2)) END AS sh,
+        |    CASE WHEN dl > 0 THEN dl ELSE CAST(0 AS DECIMAL(29,2)) END AS sl
+        |  FROM s0)
+        |SELECT k AS event_type, eid AS event_id,
+        |  CAST(CAST(sh AS VARCHAR) AS DOUBLE) AS s_hi,
+        |  CAST(CAST(sl AS VARCHAR) AS DOUBLE) AS s_lo,
+        |  sh > 200 AS alarm_hi, sl > 200 AS alarm_lo
+        |FROM s ORDER BY event_type, event_id""".stripMargin,
+    // Lag-3 autocorrelation: lag pairs then the q_corr moment replay.
+    "q_autocorr" ->
+      """WITH l AS (SELECT event_type AS k, value AS v,
+        |    lag(value, 3) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS pv
+        |  FROM events),
+        |f AS (SELECT k, CAST(v AS DECIMAL(12,2)) AS x,
+        |    CAST(pv AS DECIMAL(12,2)) AS y FROM l WHERE pv IS NOT NULL),
+        |m AS (SELECT k, count(*) AS n,
+        |  CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM f GROUP BY k)
+        |SELECT k AS event_type, n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_samp
+        |FROM m ORDER BY event_type""".stripMargin,
+    // Confusion counts + fixed-shape ratio dag at threshold 26.
+    "q_classifier_eval" ->
+      """WITH c AS (SELECT
+        |  CAST(SUM(CASE WHEN l_quantity >= 26 AND l_returnflag = 'R'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN l_quantity >= 26 AND l_returnflag <> 'R'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN l_quantity < 26 AND l_returnflag = 'R'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN l_quantity < 26 AND l_returnflag <> 'R'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |p AS (SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) /
+        |    (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) END AS pr,
+        |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) /
+        |    (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) END AS rc,
+        |  CASE WHEN tp + fp + fn + tn > 0 THEN
+        |    (CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) /
+        |    (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) +
+        |     CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)) END AS ac
+        |  FROM c)
+        |SELECT tp, fp, fn, tn, round(pr, 6) AS precision,
+        |  round(rc, 6) AS recall,
+        |  round(CASE WHEN pr + rc > 0
+        |    THEN 2.0 * pr * rc / (pr + rc) END, 6) AS f1,
+        |  round(ac, 6) AS accuracy
+        |FROM p""".stripMargin,
   )
 }

@@ -692,6 +692,40 @@ object Profile {
             col("n_neg").cast("double")), 6).as("auc"))
   }
 
+  /** Threshold classifier evaluation in ONE conditional-aggregation scan:
+    * confusion counts (exact BIGINTs) plus precision / recall / F1 /
+    * accuracy as fixed-shape doubles over those counts (identical IEEE
+    * dags on any engine; 6 dp at the edge). Zero denominators yield NULL
+    * rather than NaN. Complements [[rocAuc]] (threshold-free) with the
+    * operating-point view. NULL scores are excluded. */
+  def classifierEval(df: DataFrame, scoreCol: String, labelCol: Column,
+                     threshold: Double): DataFrame = {
+    val pred = col(scoreCol) >= threshold
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val g = df.where(col(scoreCol).isNotNull)
+      .select(pred.as("__pred"), labelCol.as("__lab"))
+      .agg(cnt(col("__pred") && col("__lab")).as("tp"),
+        cnt(col("__pred") && !col("__lab")).as("fp"),
+        cnt(!col("__pred") && col("__lab")).as("fn"),
+        cnt(!col("__pred") && !col("__lab")).as("tn"))
+    val tp = col("tp").cast("double")
+    val fp = col("fp").cast("double")
+    val fn = col("fn").cast("double")
+    val tn = col("tn").cast("double")
+    g.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0, tp / (tp + fp)).as("__p"),
+        when(col("tp") + col("fn") > 0, tp / (tp + fn)).as("__r"),
+        when(col("tp") + col("fp") + col("fn") + col("tn") > 0,
+          (tp + tn) / (tp + fp + fn + tn)).as("__a"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("__p"), 6).as("precision"),
+        round(col("__r"), 6).as("recall"),
+        round(when(col("__p") + col("__r") > 0,
+          lit(2.0) * col("__p") * col("__r") / (col("__p") + col("__r"))), 6)
+          .as("f1"),
+        round(col("__a"), 6).as("accuracy"))
+  }
+
   /** Per-group Gini coefficient of a non-negative measure — the
     * inequality statistic (revenue concentration, token-count imbalance
     * across sources). Uses the rank identity on values sorted ascending:

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,5 +112,64 @@ object TimeSeries {
         (sum(col("__p") * col("__v")).cast("string").cast("double") /
           sum(col("__v")).cast("string").cast("double")).as("vwap"),
         sum(col("__v")).cast("string").cast("double").as("volume"))
+  }
+
+  /** Two-sided CUSUM change detection per key — the classic
+    * mean-shift monitor (Page 1954). The textbook recursion
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − target − slack) is not window-expressible,
+    * but its CLOSED FORM is: with prefix Pᵢ = Σ(x − target − slack),
+    * S⁺ᵢ = Pᵢ − min(0, min_{j<i} Pⱼ) — a cumulative sum plus a running
+    * min, two frames of ONE key-sharded window pass. The low side is the
+    * mirror (running MAX of its own prefix). All accumulation is
+    * DECIMAL-exact, so both statistics are bit-stable under any
+    * partitioning and fully SQL-replayable; doubles appear only at the
+    * output edge through the digit string.
+    *
+    * `target` is the in-control mean, `slack` the half-width of
+    * indifference (k), `threshold` the alarm level (h) — all supplied as
+    * exact decimals by the caller (classic CUSUM practice: target/slack
+    * come from a reference period, not the monitored window itself).
+    * Output: (key, tie, s_hi, s_lo, alarm_hi, alarm_lo) per event. */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+            tieCol: String, target: BigDecimal, slack: BigDecimal,
+            threshold: BigDecimal): DataFrame = {
+    require(slack >= 0, "cusum: slack must be >= 0")
+    require(threshold > 0, "cusum: threshold must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val x = col(valueCol).cast("decimal(18,2)")
+    val zero = lit(BigDecimal(0).underlying).cast("decimal(18,2)")
+    def decLit(b: BigDecimal) = lit(b.underlying).cast("decimal(18,2)")
+    def d(c: Column) = c.cast("string").cast("double")
+    val out = df
+      .withColumn("__ph", sum(x - decLit(target + slack)).over(wc))
+      .withColumn("__pl", sum(x - decLit(target - slack)).over(wc))
+      .withColumn("__sh", greatest(zero,
+        col("__ph") - least(zero, coalesce(min(col("__ph")).over(wp), zero))))
+      .withColumn("__sl", greatest(zero,
+        greatest(zero, coalesce(max(col("__pl")).over(wp), zero)) - col("__pl")))
+    out.select(col(keyCol), col(tieCol), d(col("__sh")).as("s_hi"),
+      d(col("__sl")).as("s_lo"),
+      (col("__sh") > decLit(threshold)).as("alarm_hi"),
+      (col("__sl") > decLit(threshold)).as("alarm_lo"))
+  }
+
+  /** Lag-k autocorrelation per key: Pearson r between the series and
+    * itself shifted k steps (in (ts, tie) order), computed from the same
+    * exact decimal moment sums as [[Profile.corrExact]] — one key-sharded
+    * lag window to build the (xᵗ, xᵗ⁻ᵏ) pairs, then the moments fold.
+    * The seasonality/persistence probe of time-series profiling.
+    * Output: (key, n, corr, cov_samp) with n = series length − k. */
+  def autocorrLag(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, tieCol: String, lagK: Int): DataFrame = {
+    require(lagK >= 1, "autocorrLag: lag must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = df
+      .withColumn("__lagged", lag(col(valueCol), lagK).over(w))
+      .where(col("__lagged").isNotNull)
+    Profile.corrExact(pairs, keyCol, valueCol, "__lagged")
   }
 }

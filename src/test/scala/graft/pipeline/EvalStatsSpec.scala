@@ -105,6 +105,73 @@ class EvalStatsSpec extends SparkSpec {
     assert(out == Seq(Seq("a", 2L, 4.0, 0.25), Seq("z", 1L, 0.0, null)))
   }
 
+  // ---------------------------------------------------------------- cusum
+
+  test("cusum: closed form equals the textbook recursion") {
+    // target 10, slack 1, threshold 3; a level shift then a drop
+    val xs = Seq(10.0, 10.0, 15.0, 15.0, 2.0, 2.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "t", "v")
+    withPartitionings(df) { d =>
+      val out = rows(TimeSeries.cusum(d, "k", "t", "v", "t",
+        target = BigDecimal(10), slack = BigDecimal(1),
+        threshold = BigDecimal(3)).orderBy("t"))
+      // recursion: S+ = max(0, S+ + x-11): 0,0,4,8,0,0
+      //            S- = max(0, S- - (x-9)): 0,0,0,0,7,14
+      assert(out.map(_(2)) == Seq(0.0, 0.0, 4.0, 8.0, 0.0, 0.0))
+      assert(out.map(_(3)) == Seq(0.0, 0.0, 0.0, 0.0, 7.0, 14.0))
+      assert(out.map(_(4)) == Seq(false, false, true, true, false, false))
+      assert(out.map(_(5)) == Seq(false, false, false, false, true, true))
+    }
+  }
+
+  test("cusum: brute-force recursion cross-check on a noisy series") {
+    val xs = (0 until 100).map(i => ((i * 37 % 23) - 11).toDouble)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "t", "v")
+    val out = rows(TimeSeries.cusum(df, "k", "t", "v", "t",
+      target = BigDecimal(0), slack = BigDecimal("0.5"),
+      threshold = BigDecimal(10)).orderBy("t"))
+    var sh = BigDecimal(0); var sl = BigDecimal(0)
+    xs.zip(out).foreach { case (x, r) =>
+      sh = (sh + (BigDecimal(x) - BigDecimal("0.5"))).max(0)
+      sl = (sl - (BigDecimal(x) + BigDecimal("0.5"))).max(0)
+      assert(r(2) == sh.toDouble && r(3) == sl.toDouble, s"at t=${r(1)}")
+    }
+  }
+
+  // ---------------------------------------------------------------- autocorr
+
+  test("autocorrLag: a perfectly linear series autocorrelates to ~1") {
+    val df = (0 until 50).map(i => ("k", i.toLong, i.toDouble))
+      .toDF("k", "t", "v")
+    val out = rows(TimeSeries.autocorrLag(df, "k", "t", "v", "t", lagK = 2))
+    assert(out.head(1) == 48L) // 50 - lag
+    assert(math.abs(out.head(2).asInstanceOf[Double] - 1.0) < 1e-9)
+  }
+
+  test("autocorrLag: alternating series has lag-1 corr -1, lag-2 corr +1") {
+    val df = (0 until 40).map(i => ("k", i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("k", "t", "v")
+    val r1 = rows(TimeSeries.autocorrLag(df, "k", "t", "v", "t", 1)).head
+    val r2 = rows(TimeSeries.autocorrLag(df, "k", "t", "v", "t", 2)).head
+    assert(math.abs(r1(2).asInstanceOf[Double] + 1.0) < 1e-9)
+    assert(math.abs(r2(2).asInstanceOf[Double] - 1.0) < 1e-9)
+  }
+
+  // ---------------------------------------------------------------- classifierEval
+
+  test("classifierEval: confusion counts and metrics; NULL on empty slices") {
+    val df = Seq((0.9, true), (0.8, false), (0.2, true), (0.1, false))
+      .toDF("score", "lab")
+    val out = rows(Profile.classifierEval(df, "score", col("lab"), 0.5)).head
+    assert(out == Seq(1L, 1L, 1L, 1L, 0.5, 0.5, 0.5, 0.5))
+    // no positive predictions: precision NULL, recall 0
+    val low = rows(Profile.classifierEval(df, "score", col("lab"), 2.0)).head
+    assert(low(0) == 0L && low(1) == 0L)
+    assert(low(4) == null && low(5) == 0.0 && low(6) == null)
+  }
+
   // ---------------------------------------------------------------- pointInPolygon
 
   test("pointInPolygon: square, notch of an L-shape, and outside") {
