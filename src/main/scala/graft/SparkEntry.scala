@@ -3392,6 +3392,68 @@ object SparkEntry {
     graft.pipeline.Profile.classifierEval(Tables.lineitem(s, d),
       "l_quantity", col("l_returnflag") === "R", threshold = 26.0)
 
+  private def qTheilsen(s: SparkSession, d: String): DataFrame = {
+    // Robust slope of revenue-vs-quantity per flag over the BOUNDED
+    // per-quantity revenue series (50 points/group — the aggregated-
+    // series contract); lower-median pair slopes + residual intercept.
+    val pts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("y"))
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.theilSen(pts, "l_returnflag", "l_quantity", "y"))
+  }
+
+  private def qStandardize(s: SparkSession, d: String): DataFrame = {
+    // Per-flag z-scores of quantity from exact moment sums; the stats
+    // row broadcasts back onto 60k rows.
+    val out = graft.pipeline.Profile.standardize(Tables.lineitem(s, d),
+      "l_returnflag", "l_quantity")
+    Relational.sort(col("l_orderkey"), col("l_linenumber"))(
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("z")))
+  }
+
+  private def qImpute(s: SparkSession, d: String): DataFrame = {
+    // Group-mean imputation of synthesized NULLs (every 11th order):
+    // deterministic digit-string mean fill + imputed marker.
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      when(col("o_orderkey") % 11 === 0, lit(null).cast("double"))
+        .otherwise(col("o_totalprice")).as("v"))
+    Relational.sort(col("o_orderkey"))(
+      graft.pipeline.Profile.imputeMean(base, "o_orderpriority", "v",
+        "filled")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("filled"),
+          col("filled_imputed")))
+  }
+
+  private def qTargetEncode(s: SparkSession, d: String): DataFrame =
+    // Leave-one-out mean-price encoding of order priority: the leakage-
+    // guarded categorical encoder, (Σ−x)/(n−1) in exact decimals.
+    Relational.sort(col("o_orderkey"))(
+      graft.pipeline.Scoring.targetEncodeLoo(Tables.orders(s, d),
+        "o_orderpriority", "o_totalprice", "enc")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("enc")))
+
+  private def qClusteringCoef(s: SparkSession, d: String): DataFrame = {
+    // Local clustering coefficient over the q_triangles co-occurrence
+    // graph: distinct-neighbor degrees + the triangle counts.
+    val o = Tables.orders(s, d)
+    val edges = o.select(pmod(col("o_custkey"), lit(97L)).as("x"),
+      pmod(col("o_orderkey"), lit(97L)).as("y"))
+    Relational.sort(col("node"))(
+      graft.pipeline.Graph.clusteringCoefficient(edges, "x", "y"))
+  }
+
+  private def qCumulativeUsers(s: SparkSession, d: String): DataFrame =
+    // Users-to-date growth curve: active / first-seen / cumulative per
+    // day — no windowed COUNT(DISTINCT) anywhere.
+    Relational.sort(col("day"))(
+      graft.pipeline.Events.cumulativeUnique(Tables.events(s, d),
+        "user_id", "ts", "day")
+        .select(date_format(col("period"), "yyyy-MM-dd").as("day"),
+          col("active"), col("first_seen"), col("cumulative")))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3623,6 +3685,12 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_autocorr" -> (qAutocorr _),
     "q_classifier_eval" -> (qClassifierEval _),
+    "q_theilsen" -> (qTheilsen _),
+    "q_standardize" -> (qStandardize _),
+    "q_impute" -> (qImpute _),
+    "q_target_encode" -> (qTargetEncode _),
+    "q_clustering_coef" -> (qClusteringCoef _),
+    "q_cumulative_users" -> (qCumulativeUsers _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -6365,5 +6433,124 @@ object SparkEntry {
         |    THEN 2.0 * pr * rc / (pr + rc) END, 6) AS f1,
         |  round(ac, 6) AS accuracy
         |FROM p""".stripMargin,
+    // Theil-Sen: lower-median of pair slopes (ties totalized by the
+    // point indices), then lower-median residual intercept; slopes are
+    // IEEE doubles of exact decimal differences.
+    "q_theilsen" ->
+      """WITH pts AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS y
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |i AS (SELECT g, x, y, row_number() OVER (PARTITION BY g
+        |    ORDER BY x, y) AS i FROM pts),
+        |p AS (SELECT a.g, a.i AS ia, b.i AS ib,
+        |    CAST(CAST(b.y - a.y AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(b.x - a.x AS VARCHAR) AS DOUBLE) AS s
+        |  FROM i a JOIN i b ON a.g = b.g AND a.i < b.i AND a.x <> b.x),
+        |med AS (SELECT g, s, m FROM (SELECT g, s, ia, ib,
+        |    row_number() OVER (PARTITION BY g ORDER BY s, ia, ib) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS m FROM p)
+        |  WHERE rn = (m + 1) // 2),
+        |r AS (SELECT i.g, i.i,
+        |    CAST(CAST(i.y AS VARCHAR) AS DOUBLE) -
+        |      med.s * CAST(CAST(i.x AS VARCHAR) AS DOUBLE) AS res,
+        |    med.s, med.m FROM i JOIN med ON i.g = med.g),
+        |fin AS (SELECT g, res, s, m, n FROM (SELECT g, res, i, s, m,
+        |    row_number() OVER (PARTITION BY g ORDER BY res, i) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n FROM r)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_points,
+        |  CAST(m AS BIGINT) AS n_pairs, round(s, 6) AS slope,
+        |  round(res, 6) AS intercept
+        |FROM fin ORDER BY l_returnflag""".stripMargin,
+    // z-scores from the digit-strung moment sums; fixed IEEE dag.
+    "q_standardize" ->
+      """WITH st AS (SELECT l_returnflag AS g, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+        |    CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag),
+        |s2 AS (SELECT g, sx / CAST(n AS DOUBLE) AS mu,
+        |  CASE WHEN n > 1 THEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS sigma
+        |  FROM st)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  round(CASE WHEN sigma > 0 THEN
+        |    (CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR)
+        |      AS DOUBLE) - mu) / sigma END, 6) AS z
+        |FROM lineitem l JOIN s2 ON s2.g = l.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Group-mean fill of the synthesized NULLs; marker column.
+    "q_impute" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |      ELSE o_totalprice END AS v FROM orders),
+        |m AS (SELECT o_orderpriority,
+        |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS mu
+        |  FROM b WHERE v IS NOT NULL GROUP BY o_orderpriority)
+        |SELECT b.o_orderkey, b.o_orderpriority,
+        |  COALESCE(CAST(b.v AS DOUBLE), round(m.mu, 6)) AS filled,
+        |  (b.v IS NULL AND m.mu IS NOT NULL) AS filled_imputed
+        |FROM b LEFT JOIN m USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+    // LOO target encoding: (Σ−x)/(n−1); the category sum is cast DOWN
+    // to DECIMAL(28,2) so the subtraction stays decimal (38,2 would
+    // fall to DOUBLE — the q_cusum trap).
+    "q_target_encode" ->
+      """WITH a AS (SELECT o_orderpriority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(28,2)) AS s, COUNT(*) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY o_orderpriority)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        |  round(CASE WHEN o.o_totalprice IS NOT NULL AND n > 1 THEN
+        |      CAST(CAST(s - CAST(o.o_totalprice AS DECIMAL(18,2))
+        |        AS VARCHAR) AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |    WHEN o.o_totalprice IS NULL AND n > 0 THEN
+        |      CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    END, 6) AS enc
+        |FROM orders o LEFT JOIN a USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+    // Clustering coefficient: distinct-neighbor degrees over the
+    // canonical edge set + the q_triangles wedge count.
+    "q_clustering_coef" ->
+      """WITH raw AS (SELECT o_custkey % 97 AS x, o_orderkey % 97 AS y
+        |  FROM orders),
+        |e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |tr AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM tr) GROUP BY node),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node)
+        |SELECT deg.node, deg.degree,
+        |  COALESCE(tn.n_triangles, 0) AS n_triangles,
+        |  round(CASE WHEN deg.degree >= 2 THEN
+        |    2.0 * CAST(COALESCE(tn.n_triangles, 0) AS DOUBLE) /
+        |    (CAST(deg.degree AS DOUBLE) * (CAST(deg.degree AS DOUBLE) - 1.0))
+        |    END, 6) AS coefficient
+        |FROM deg LEFT JOIN tn USING (node) ORDER BY node""".stripMargin,
+    // Users-to-date: first-seen day per user, per-day counts, one
+    // prefix sum over the day table.
+    "q_cumulative_users" ->
+      """WITH pk AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS p FROM events),
+        |act AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS active
+        |  FROM pk GROUP BY p),
+        |fs AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS first_seen FROM (
+        |    SELECT user_id, MIN(p) AS p FROM pk GROUP BY user_id)
+        |  GROUP BY p)
+        |SELECT strftime(act.p, '%Y-%m-%d') AS day, act.active,
+        |  COALESCE(fs.first_seen, 0) AS first_seen,
+        |  CAST(SUM(COALESCE(fs.first_seen, 0)) OVER (ORDER BY act.p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumulative
+        |FROM act LEFT JOIN fs USING (p) ORDER BY day""".stripMargin,
   )
 }

@@ -317,6 +317,37 @@ object Events {
         (-col("__pk.__negt")).as("at_time")): _*)
   }
 
+  /** Cumulative-unique counting ("users to date"): per period, how many
+    * keys were active AND how many were seen for the FIRST time, plus
+    * the running total of distinct keys ever seen — the growth-curve
+    * query that a naive windowed COUNT(DISTINCT) cannot do at scale
+    * (its state is the full key set per window).
+    *
+    * Shape: dedup to the (key, period) table (one key-sharded
+    * aggregate), per-key MIN period (the first-seen table — one row per
+    * key), then per-period counts and ONE prefix sum over the
+    * distinct-period table (bounded by the calendar, the
+    * histogramEquiDepth posture). Every shuffle is keyed; nothing holds
+    * a key set in memory. Output per period: (period, active, first_seen,
+    * cumulative). Periods with no events don't emit (compose with a
+    * calendar spine for gap rows). */
+  def cumulativeUnique(df: DataFrame, keyCol: String, tsCol: String,
+                       unit: String = "day"): DataFrame = {
+    val perKey = df.select(col(keyCol).as("__k"),
+        date_trunc(unit, col(tsCol)).as("period"))
+      .groupBy(col("__k"), col("period")).agg(count(lit(1)).as("__n"))
+    val active = perKey.groupBy(col("period"))
+      .agg(count(lit(1)).as("active"))
+    val firstSeen = perKey.groupBy(col("__k"))
+      .agg(min(col("period")).as("period"))
+      .groupBy(col("period")).agg(count(lit(1)).as("first_seen"))
+    val w = Window.orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    active.join(firstSeen, Seq("period"), "left")
+      .withColumn("first_seen", coalesce(col("first_seen"), lit(0L)))
+      .withColumn("cumulative", sum(col("first_seen")).over(w))
+  }
+
   /** Kaplan-Meier survival curves per group: subjects with a duration and
     * an event flag (true = observed event, false = right-censored);
     * S(t) = Π over event times t_i ≤ t of (1 − d_i / n_i), the standard

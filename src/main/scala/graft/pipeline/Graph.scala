@@ -162,6 +162,35 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient over an undirected simple
+    * graph: C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close a node's
+    * neighborhood is to a clique (community-structure profiling; the
+    * companion metric to [[triangleCount]], which supplies T(v)).
+    * Degrees count DISTINCT neighbors of the canonicalized (a<b, deduped,
+    * self-loops dropped) edge set, so multi-edges can't inflate the
+    * denominator. Nodes with deg < 2 report coefficient NULL (undefined).
+    * The ratio is a fixed dag over exact integers, 6 dp at the edge.
+    * One degree aggregate + one left join with the triangle counts —
+    * both keyed by node. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val dd = col("degree").cast("double")
+    deg.join(triangleCount(edges, srcCol, dstCol), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (dd * (dd - lit(1.0)))), 6).as("coefficient"))
+  }
+
   /** Multi-source BFS over a DIRECTED edge list: minimum hop distance
     * from any source node, up to `maxHops`. The reachability/radius
     * primitive (impact analysis, social distance, dependency fan-out).

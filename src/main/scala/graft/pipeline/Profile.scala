@@ -692,6 +692,109 @@ object Profile {
             col("n_neg").cast("double")), 6).as("auc"))
   }
 
+  /** Theil-Sen robust slope per group: the (lower-)median of all
+    * pairwise slopes (y_j − y_i)/(x_j − x_i), plus the matching median-
+    * of-residuals intercept — the outlier-resistant regression line
+    * (up to ~29% contamination breakdown vs OLS's zero).
+    *
+    * BOUNDED-GROUP CONTRACT (the linkage-blocking posture): pairs are
+    * O(n²) per group by definition of the estimator — feed AGGREGATED
+    * series (e.g. per-bucket means), not raw 100 TB rows; the pair join
+    * keys by group so each group's quadratic work shards independently.
+    * Slopes are IEEE doubles from exact decimal differences (correctly-
+    * rounded division — bit-identical on any engine); the median is the
+    * LOWER median (a data value, no interpolation — the MAD convention),
+    * picked by row_number over (slope, i, j) so ties order totally.
+    * Pairs with equal x are skipped per the estimator. Output:
+    * (group, n_points, n_pairs, slope, intercept). */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(xCol).cast("decimal(18,2)").as("__x"),
+        col(yCol).cast("decimal(18,2)").as("__y"))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__x"), col("__y"))))
+    def d(c: Column) = c.cast("string").cast("double")
+    val a = pts.select(col("__g"), col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__i").as("__ia"))
+    val b = pts.select(col("__g"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__i").as("__ib"))
+    val pairs = a.join(b, Seq("__g"))
+      .where(col("__ia") < col("__ib") && col("__xa") =!= col("__xb"))
+      .select(col("__g"), col("__ia"), col("__ib"),
+        (d(col("__yb") - col("__ya")) / d(col("__xb") - col("__xa")))
+          .as("__s"))
+    val wS = Window.partitionBy(col("__g"))
+      .orderBy(col("__s"), col("__ia"), col("__ib"))
+    val med = pairs
+      .withColumn("__rn", row_number().over(wS))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .where(col("__rn") === expr("(__m + 1) div 2"))
+      .select(col("__g"), col("__m").as("n_pairs"), col("__s").as("slope"))
+    val wR = Window.partitionBy(col("__g"))
+      .orderBy(col("__r"), col("__i"))
+    val inter = pts.join(med, Seq("__g"))
+      .withColumn("__r", d(col("__y")) - col("slope") * d(col("__x")))
+      .withColumn("__rn", row_number().over(wR))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .where(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("__g").as(groupCol), col("__n").as("n_points"),
+        col("n_pairs"), round(col("slope"), 6).as("slope"),
+        round(col("__r"), 6).as("intercept"))
+    inter
+  }
+
+  /** Per-row z-score standardization by group: z = (x − μ)/σ with the
+    * sample standard deviation, both derived from the same exact decimal
+    * moment sums as [[corrExact]] (digit-string doubles, fixed IEEE dag —
+    * bit-identical on any engine). The per-group stats row broadcasts
+    * back onto the rows (one row per group — never a wide shuffle).
+    * Groups with σ = 0 or n < 2 yield NULL z. NULL x passes through as
+    * NULL z. 6 dp at the edge. */
+  def standardize(df: DataFrame, groupCol: String, valueCol: String,
+                  outCol: String = "z"): DataFrame = {
+    val x = col(valueCol).cast("decimal(12,2)")
+    def d(c: Column) = c.cast("string").cast("double")
+    val stats = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), d(sum(x)).as("__sx"),
+        d(sum(x * x)).as("__sxx"))
+      .select(col(groupCol), col("__n"),
+        (col("__sx") / col("__n").cast("double")).as("__mu"),
+        when(col("__n") > 1, sqrt(
+          (col("__n").cast("double") * col("__sxx") -
+            col("__sx") * col("__sx")) /
+          (col("__n").cast("double") *
+            (col("__n").cast("double") - lit(1.0))))).as("__sigma"))
+    df.join(broadcast(stats), Seq(groupCol), "left")
+      .withColumn(outCol, round(
+        when(col("__sigma") > 0,
+          (d(x) - col("__mu")) / col("__sigma")), 6))
+      .drop("__n", "__sx", "__sxx", "__mu", "__sigma")
+  }
+
+  /** Group-mean imputation: fill NULL values with their group's mean
+    * (exact decimal sum / count through the digit string, 6 dp — the
+    * deterministic fill any engine reproduces). Groups that are entirely
+    * NULL stay NULL (no silent global fallback — compose with a second
+    * pass if wanted). Adds `<out>` and a boolean `<out>_imputed` marker;
+    * non-NULL values pass through unrounded. */
+  def imputeMean(df: DataFrame, groupCol: String, valueCol: String,
+                 outCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val means = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg((d(sum(col(valueCol).cast("decimal(18,2)"))) /
+        count(lit(1)).cast("double")).as("__mu"))
+    df.join(broadcast(means), Seq(groupCol), "left")
+      .withColumn(outCol,
+        coalesce(col(valueCol).cast("double"), round(col("__mu"), 6)))
+      .withColumn(s"${outCol}_imputed",
+        col(valueCol).isNull && col("__mu").isNotNull)
+      .drop("__mu")
+  }
+
   /** Threshold classifier evaluation in ONE conditional-aggregation scan:
     * confusion counts (exact BIGINTs) plus precision / recall / F1 /
     * accuracy as fixed-shape doubles over those counts (identical IEEE

@@ -318,4 +318,34 @@ object Scoring {
         coalesce(round(col("n_novel").cast("double") /
           col("n_ngrams").cast("double"), 6), lit(0.0)).as("novelty"))
   }
+
+  /** Leave-one-out target encoding: each row's category feature is the
+    * mean of the TARGET over all OTHER rows of its category —
+    * (Σ_cat − x) / (n_cat − 1) — the classic high-cardinality categorical
+    * encoder with the leakage guard built into the formula (a row never
+    * sees its own label; naive mean encoding leaks the target and
+    * inflates validation scores). Singleton categories yield NULL
+    * (no "other rows" to average).
+    *
+    * One category aggregate (exact decimal Σ, broadcast back — one row
+    * per category), then a codegen'd per-row projection: the numerator
+    * Σ − x stays decimal-exact, the single division goes through the
+    * digit string, 6 dp at the edge. NULL targets are excluded from Σ/n
+    * and encode as the category's plain mean over the non-NULL rows. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      outCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val x = col(targetCol).cast("decimal(18,2)")
+    val agg = df.where(col(targetCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(sum(col(targetCol).cast("decimal(18,2)")).as("__S"),
+        count(lit(1)).as("__n"))
+    df.join(broadcast(agg), Seq(catCol), "left")
+      .withColumn(outCol, round(
+        when(col(targetCol).isNotNull && col("__n") > 1,
+          d(col("__S") - x) / (col("__n") - 1).cast("double"))
+        .when(col(targetCol).isNull && col("__n") > 0,
+          d(col("__S")) / col("__n").cast("double")), 6))
+      .drop("__S", "__n")
+  }
 }

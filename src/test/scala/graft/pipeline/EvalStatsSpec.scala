@@ -236,6 +236,75 @@ class EvalStatsSpec extends SparkSpec {
     assert(out == Seq(Seq("b", 2L, 1L, 1L, 0.0)))
   }
 
+  // ---------------------------------------------------------------- theilSen
+
+  test("theilSen: robust to an outlier that would tilt OLS") {
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 3.0, 3.0),
+      ("a", 4.0, 100.0)).toDF("g", "x", "y")
+    withPartitionings(df) { d =>
+      val out = rows(Profile.theilSen(d, "g", "x", "y")).head
+      // pair slopes sorted: [1,1,1,33,49,97] → lower median 1;
+      // residuals y−x: [0,0,0,96] → lower median 0
+      assert(out == Seq("a", 4L, 6L, 1.0, 0.0))
+    }
+  }
+
+  test("theilSen: equal-x pairs are skipped per the estimator") {
+    val df = Seq(("a", 1.0, 1.0), ("a", 1.0, 5.0), ("a", 2.0, 2.0))
+      .toDF("g", "x", "y")
+    val out = rows(Profile.theilSen(df, "g", "x", "y")).head
+    // only two valid pairs: slopes {1, −3} → lower median −3
+    assert(out(2) == 2L && out(3) == -3.0)
+  }
+
+  // ---------------------------------------------------------------- standardize
+
+  test("standardize: textbook z-scores; constant group yields NULL") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("c", 7.0), ("c", 7.0)).toDF("g", "v")
+    val out = rows(Profile.standardize(df, "g", "v").orderBy("g", "v"))
+    assert(out.map(_(2)) == Seq(-1.0, 0.0, 1.0, null, null))
+  }
+
+  // ---------------------------------------------------------------- imputeMean
+
+  test("imputeMean: NULLs get the group mean; all-NULL group stays NULL") {
+    val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, Some(3.0)),
+      ("z", 4L, None)).toDF("g", "id", "v")
+    val out = rows(Profile.imputeMean(df, "g", "v", "f").orderBy("id"))
+    assert(out.map(_(3)) == Seq(1.0, 2.0, 3.0, null))
+    assert(out.map(_(4)) == Seq(false, true, false, false))
+  }
+
+  // ---------------------------------------------------------------- targetEncodeLoo
+
+  test("targetEncodeLoo: each row sees only the OTHER rows' mean") {
+    val df = Seq(("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)),
+      ("a", 3L, Some(30.0)), ("b", 4L, Some(5.0)), ("a", 5L, None))
+      .toDF("c", "id", "t")
+    val out = rows(Scoring.targetEncodeLoo(df, "c", "t", "enc")
+      .orderBy("id"))
+    // LOO means: (60−10)/2=25, 20, 15; singleton b → NULL; the NULL-
+    // target row gets the plain category mean 20
+    assert(out.map(_(3)) == Seq(25.0, 20.0, 15.0, null, 20.0))
+  }
+
+  // ---------------------------------------------------------------- cumulativeUnique
+
+  test("cumulativeUnique: active / first-seen / running total per day") {
+    val df = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 10:00:00"),
+      (2L, "2024-01-02 11:00:00"), (2L, "2024-01-02 12:00:00"),
+      (3L, "2024-01-03 09:00:00")).toDF("u", "t")
+      .select(col("u"), to_timestamp(col("t")).as("ts"))
+    withPartitionings(df) { d =>
+      val out = rows(Events.cumulativeUnique(d, "u", "ts")
+        .select(date_format(col("period"), "yyyy-MM-dd"), col("active"),
+          col("first_seen"), col("cumulative")).orderBy("period"))
+      assert(out == Seq(Seq("2024-01-01", 1L, 1L, 1L),
+        Seq("2024-01-02", 2L, 1L, 2L), Seq("2024-01-03", 1L, 1L, 3L)))
+    }
+  }
+
   test("gini: tie order cannot change the statistic") {
     val df = Seq(("a", 2.0), ("a", 2.0), ("a", 2.0), ("a", 6.0))
       .toDF("g", "x")

@@ -46,6 +46,18 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("clusteringCoefficient: triangle plus pendant") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 1L))
+      .toDF("s", "d") // duplicate/reversed edge must not inflate degrees
+    val out = rows(Graph.clusteringCoefficient(e, "s", "d").orderBy("node"))
+    assert(out == Seq(
+      Seq(1L, 3L, 1L, 0.333333),
+      Seq(2L, 2L, 1L, 1.0),
+      Seq(3L, 2L, 1L, 1.0),
+      Seq(4L, 1L, 0L, null)))
+  }
+
   test("bfsHops: min hop distance on a branching graph with a cycle") {
     import spark.implicits._
     // 1→2→3→4→2 (cycle), 1→5, 5→4 — node 4 reachable in 2 (via 5) and 3
