@@ -3454,6 +3454,48 @@ object SparkEntry {
         .select(date_format(col("period"), "yyyy-MM-dd").as("day"),
           col("active"), col("first_seen"), col("cumulative")))
 
+  private def qActiveUsers(s: SparkSession, d: String): DataFrame =
+    // DAU/WAU/MAU + stickiness via coverage fan-out on the deduped
+    // (user, day) table — no rolling COUNT(DISTINCT).
+    Relational.sort(col("day"))(
+      graft.pipeline.Events.activeUserStats(Tables.events(s, d),
+        "user_id", "ts")
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd")))
+
+  private def qBandJoin(s: SparkSession, d: String): DataFrame = {
+    // Price-tier banding of orders through the broadcast theta-join;
+    // aggregated per band so a wrong band boundary hash-mismatches.
+    import s.implicits._
+    val bands = Seq(("low", 0L, 50000L), ("mid", 50000L, 150000L),
+      ("high", 150000L, 300000L), ("vip", 300000L, 1000000000L))
+      .toDF("band", "lo", "hi")
+    val j = Relational.bandJoin(Tables.orders(s, d), bands,
+      "o_totalprice", "lo", "hi")
+    Relational.sort(col("band"))(asDouble("sum_price")(
+      j.groupBy(col("band")).agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).as("sum_price"))))
+  }
+
+  private def qReconcile(s: SparkSession, d: String): DataFrame = {
+    // Books-agree audit: per-order lineitem revenue vs the order header
+    // total at a 1-cent tolerance; headerless/lineless keys classify as
+    // one-sided.
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_extendedprice"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    Relational.sort(col("k"))(
+      graft.pipeline.Checks.reconcile(li, o, Seq("k"),
+        "l_extendedprice", "o_totalprice", BigDecimal("0.01")))
+  }
+
+  private def qTukey(s: SparkSession, d: String): DataFrame =
+    // IQR outlier fences per flag from nearest-rank quartiles over the
+    // distinct-value table; outlier tally folds from the same table.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.tukeyFences(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3691,6 +3733,10 @@ object SparkEntry {
     "q_target_encode" -> (qTargetEncode _),
     "q_clustering_coef" -> (qClusteringCoef _),
     "q_cumulative_users" -> (qCumulativeUsers _),
+    "q_active_users" -> (qActiveUsers _),
+    "q_band_join" -> (qBandJoin _),
+    "q_reconcile" -> (qReconcile _),
+    "q_tukey" -> (qTukey _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -6552,5 +6598,91 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cumulative
         |FROM act LEFT JOIN fs USING (p) ORDER BY day""".stripMargin,
+    // DAU/WAU/MAU: day-d activity covers days d..d+w−1; trailing
+    // actives = distinct coverage counts.
+    "q_active_users" ->
+      """WITH pk AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+        |  FROM pk GROUP BY d),
+        |wc AS (SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS day
+        |  FROM pk, (SELECT unnest(generate_series(0, 6)) AS i)),
+        |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+        |  FROM wc GROUP BY day),
+        |mc AS (SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS day
+        |  FROM pk, (SELECT unnest(generate_series(0, 29)) AS i)),
+        |mau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS mau
+        |  FROM mc GROUP BY day)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+        |  mau.mau,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
+    // Half-open band classification against the VALUES band table.
+    "q_band_join" ->
+      """WITH bands AS (SELECT * FROM (VALUES
+        |  ('low', 0, 50000), ('mid', 50000, 150000),
+        |  ('high', 150000, 300000), ('vip', 300000, 1000000000))
+        |  AS t(band, lo, hi))
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    // Reconciliation: per-key decimal sums both sides, full outer,
+    // 1-cent tolerance classified in exact decimals.
+    "q_reconcile" ->
+      """WITH l AS (SELECT l_orderkey AS k,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(28,2)) AS ls,
+        |    CAST(COUNT(*) AS BIGINT) AS lr FROM lineitem GROUP BY 1),
+        |r AS (SELECT o_orderkey AS k,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(28,2)) AS rs,
+        |    CAST(COUNT(*) AS BIGINT) AS rr FROM orders GROUP BY 1),
+        |f AS (SELECT COALESCE(l.k, r.k) AS k, lr, rr, ls, rs,
+        |    COALESCE(ls, CAST(0 AS DECIMAL(28,2))) -
+        |      COALESCE(rs, CAST(0 AS DECIMAL(28,2))) AS dd
+        |  FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT k, COALESCE(lr, 0) AS l_rows, COALESCE(rr, 0) AS r_rows,
+        |  CAST(CAST(ls AS VARCHAR) AS DOUBLE) AS l_sum,
+        |  CAST(CAST(rs AS VARCHAR) AS DOUBLE) AS r_sum,
+        |  CAST(CAST(dd AS VARCHAR) AS DOUBLE) AS diff,
+        |  CASE WHEN lr IS NULL THEN 'right_only'
+        |    WHEN rr IS NULL THEN 'left_only'
+        |    WHEN abs(dd) <= 0.01 THEN 'match'
+        |    ELSE 'mismatch' END AS status
+        |FROM f ORDER BY k""".stripMargin,
+    // Tukey fences: nearest-rank quartiles over the distinct-value
+    // table, 1.5×IQR in exact decimals, outliers folded from the same
+    // table.
+    "q_tukey" ->
+      """WITH dv AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY g, v),
+        |rk AS (SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n FROM dv),
+        |q AS (SELECT g, MAX(n) AS n,
+        |    MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+        |    MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+        |  FROM rk GROUP BY g),
+        |b AS (SELECT g, n, q1, q3, q1 - (q3 - q1) * 1.5 AS lo,
+        |    q3 + (q3 - q1) * 1.5 AS hi FROM q),
+        |o AS (SELECT rk.g, CAST(SUM(CASE WHEN rk.v < b.lo OR rk.v > b.hi
+        |      THEN rk.c ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM rk JOIN b ON rk.g = b.g GROUP BY rk.g)
+        |SELECT b.g AS l_returnflag, CAST(b.n AS BIGINT) AS n,
+        |  CAST(CAST(b.q1 AS VARCHAR) AS DOUBLE) AS q1,
+        |  CAST(CAST(b.q3 AS VARCHAR) AS DOUBLE) AS q3,
+        |  CAST(CAST(b.lo AS VARCHAR) AS DOUBLE) AS lo,
+        |  CAST(CAST(b.hi AS VARCHAR) AS DOUBLE) AS hi,
+        |  o.n_outliers
+        |FROM b JOIN o ON b.g = o.g ORDER BY l_returnflag""".stripMargin,
   )
 }

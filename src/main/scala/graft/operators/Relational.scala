@@ -1027,4 +1027,20 @@ object Relational {
                    mergeSchema: Boolean = false): DataFrame =
     spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(snapshotFiles(tableDir, asOf): _*)
+
+  /** Banding join: classify facts against a SMALL table of half-open
+    * [lo, hi) bands (tax brackets, grade bands, price tiers) — a pure
+    * theta-join, so the right physical plan is a broadcast nested-loop
+    * with the band table (bounded metadata) on the build side; the fact
+    * side streams with no exchange at all. This is the complement of
+    * [[rangeJoin]], which handles big-×-big interval matching via
+    * bucketizing — here the interval side is known-small, and
+    * bucketizing would only add an exchange. A fact matching k
+    * overlapping bands emits k rows; non-matching facts drop (inner).
+    * The BNLJ plan is spec-asserted — the forbidden-crossJoin rule
+    * excludes unbounded sides, not a broadcast band table. */
+  def bandJoin(facts: DataFrame, bands: DataFrame, valueCol: String,
+               loCol: String, hiCol: String): DataFrame =
+    facts.join(org.apache.spark.sql.functions.broadcast(bands),
+      col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol), "inner")
 }

@@ -219,4 +219,38 @@ object Checks {
           (col("n").cast("double") - col("__t").cast("double") * expected) /
           (col("__t").cast("double") * expected), 6).as("chi2_term"))
   }
+
+  /** Two-table aggregate reconciliation — the finance-ops "do the books
+    * agree" audit: per key, each side's exact DECIMAL sum and row count,
+    * their difference, and a status — `match` (|diff| ≤ tol),
+    * `mismatch`, `left_only`, `right_only`. One aggregation per side
+    * (each keyed — the giant inputs reduce to one row per key BEFORE
+    * the join) and one key-sharded full-outer join of the two small
+    * aggregates. Sums go to doubles through the digit string; the
+    * tolerance compare happens in exact decimals. */
+  def reconcile(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                leftValCol: String, rightValCol: String,
+                tol: BigDecimal): DataFrame = {
+    require(keyCols.nonEmpty, "reconcile: need at least one key column")
+    require(tol >= 0, "reconcile: tolerance must be >= 0")
+    def d(c: Column) = c.cast("string").cast("double")
+    val ks = keyCols.map(col)
+    val l = left.groupBy(ks: _*)
+      .agg(sum(col(leftValCol).cast("decimal(18,2)")).as("__ls"),
+        count(lit(1)).as("l_rows"))
+    val r = right.groupBy(ks: _*)
+      .agg(sum(col(rightValCol).cast("decimal(18,2)")).as("__rs"),
+        count(lit(1)).as("r_rows"))
+    val diff = coalesce(col("__ls"), lit(0).cast("decimal(18,2)")) -
+      coalesce(col("__rs"), lit(0).cast("decimal(18,2)"))
+    l.join(r, keyCols, "full_outer")
+      .select((ks :+ coalesce(col("l_rows"), lit(0L)).as("l_rows") :+
+        coalesce(col("r_rows"), lit(0L)).as("r_rows") :+
+        d(col("__ls")).as("l_sum") :+ d(col("__rs")).as("r_sum") :+
+        d(diff).as("diff") :+
+        when(col("l_rows").isNull, "right_only")
+          .when(col("r_rows").isNull, "left_only")
+          .when(abs(diff) <= lit(tol.underlying), "match")
+          .otherwise("mismatch").as("status")): _*)
+  }
 }

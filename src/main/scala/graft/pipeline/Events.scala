@@ -348,6 +348,35 @@ object Events {
       .withColumn("cumulative", sum(col("first_seen")).over(w))
   }
 
+  /** Exact DAU / WAU / MAU + stickiness, without a rolling
+    * COUNT(DISTINCT): a key active on day d is "covered" for the next
+    * w−1 days, so trailing-window actives = distinct (key, covered-day)
+    * counts — the (users × active-days) table fans out w× and dedups,
+    * every step a keyed aggregate with bounded state (no per-window key
+    * sets anywhere). Fan-out is on the DEDUPED (key, day) table, not raw
+    * events — at 100 TB of events the dedup is the big reduction and the
+    * ×30 fan is small change. Stickiness = DAU/MAU (6 dp). Only days
+    * with activity emit (compose with a calendar spine for gaps). */
+  def activeUserStats(df: DataFrame, keyCol: String, tsCol: String,
+                      wauDays: Int = 7, mauDays: Int = 30): DataFrame = {
+    require(wauDays >= 1 && mauDays >= 1,
+      "activeUserStats: window lengths must be >= 1")
+    val perDay = df.select(col(keyCol).as("__k"),
+      to_date(date_trunc("day", col(tsCol))).as("__d")).distinct()
+    val dau = perDay.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    def rolling(wnd: Int, name: String) = perDay
+      .select(col("__k"),
+        explode(sequence(lit(0), lit(wnd - 1))).as("__i"), col("__d"))
+      .select(col("__k"), date_add(col("__d"), col("__i")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as(name))
+    dau.join(rolling(wauDays, "wau"), Seq("day"))
+      .join(rolling(mauDays, "mau"), Seq("day"))
+      .withColumn("stickiness",
+        round(col("dau").cast("double") / col("mau").cast("double"), 6))
+  }
+
   /** Kaplan-Meier survival curves per group: subjects with a duration and
     * an event flag (true = observed event, false = right-censored);
     * S(t) = Π over event times t_i ≤ t of (1 − d_i / n_i), the standard

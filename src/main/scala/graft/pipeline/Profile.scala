@@ -397,6 +397,49 @@ object Profile {
       .agg(max(col("__n")).as("n"), min(col("__v")).as("value"))
   }
 
+  /** Tukey-fence outlier bounds per group: nearest-rank quartiles from
+    * the distinct-value table (the [[percentilesExact]] shape — raw rows
+    * exchange once into per-value counts; quartile selection runs over
+    * |values| rows), IQR fences at 1.5× in EXACT decimals (q1/q3 are
+    * data values, 1.5·IQR is one scale-3 decimal product), and the
+    * outlier count folded from the same distinct table — never a second
+    * raw scan. The box-plot / robust-range audit complementing
+    * [[madOutliers]] (which fences by median deviation instead).
+    * Output: (group, n, q1, q3, lo, hi, n_outliers), bounds as
+    * digit-string doubles. */
+  def tukeyFences(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val dv = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = sum(col("__c")).over(
+      Window.partitionBy("__g").orderBy(col("__v")))
+    val n = sum(col("__c")).over(Window.partitionBy("__g"))
+    val ranked = dv.select(col("__g"), col("__v"), col("__c"),
+      cum.as("__cum"), n.as("__n"))
+    // nearest-rank: q1 at ⌈n/4⌉ = (n+3) div 4, q3 at ⌈3n/4⌉ = (3n+3) div 4
+    val quart = ranked.groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"),
+        min(when(col("__cum") >= expr("(__n + 3) div 4"), col("__v")))
+          .as("__q1"),
+        min(when(col("__cum") >= expr("(3 * __n + 3) div 4"), col("__v")))
+          .as("__q3"))
+      .withColumn("__lo", col("__q1") -
+        (col("__q3") - col("__q1")) * lit(BigDecimal("1.5").underlying))
+      .withColumn("__hi", col("__q3") +
+        (col("__q3") - col("__q1")) * lit(BigDecimal("1.5").underlying))
+    ranked.join(broadcast(quart.withColumnRenamed("__g", "__g2")),
+        col("__g") === col("__g2"))
+      .drop("__g2")
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("n")).as("n"), d(max(col("__q1"))).as("q1"),
+        d(max(col("__q3"))).as("q3"), d(max(col("__lo"))).as("lo"),
+        d(max(col("__hi"))).as("hi"),
+        sum(when(col("__v") < col("__lo") || col("__v") > col("__hi"),
+          col("__c")).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Per-group equi-depth quantile bin ASSIGNMENT (ntile) — the feature-
     * binning step before bucketed models / calibration: every non-NULL row
     * gets a bucket in [1, k], sizes differing by at most one per group.

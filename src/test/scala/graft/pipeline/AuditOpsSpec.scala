@@ -54,4 +54,43 @@ class AuditOpsSpec extends SparkSpec {
       "different multiset must change the fingerprint")
     assert(b(0) == 3L)
   }
+
+  test("bandJoin: half-open boundaries, overlap duplicates, BNLJ plan") {
+    val facts = Seq((1L, 10.0), (2L, 50.0), (3L, 49.999), (4L, 200.0))
+      .toDF("id", "v")
+    val bands = Seq(("a", 0L, 50L), ("b", 50L, 100L), ("wide", 0L, 100L))
+      .toDF("band", "lo", "hi")
+    val out = Relational.bandJoin(facts, bands, "v", "lo", "hi")
+    val got = rows(out.select("id", "band").orderBy("id", "band"))
+    // 50.0 lands in b not a (half-open); 200 matches nothing; the
+    // overlapping 'wide' band duplicates rows by design
+    assert(got == Seq(Seq(1L, "a"), Seq(1L, "wide"), Seq(2L, "b"),
+      Seq(2L, "wide"), Seq(3L, "a"), Seq(3L, "wide")))
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "band table must broadcast, fact side must not exchange")
+  }
+
+  test("reconcile: match, mismatch, and one-sided keys") {
+    val l = Seq((1L, 10.0), (1L, 5.0), (2L, 7.0), (4L, 1.0))
+      .toDF("k", "v")
+    val r = Seq((1L, 15.0), (2L, 7.5), (3L, 9.0)).toDF("k", "w")
+    withPartitionings(l) { ld =>
+      val out = rows(Checks.reconcile(ld, r, Seq("k"), "v", "w",
+        BigDecimal("0.25")).orderBy("k"))
+      assert(out.map(r => (r.head, r.last)) == Seq((1L, "match"),
+        (2L, "mismatch"), (3L, "right_only"), (4L, "left_only")))
+      assert(out(1)(5) == -0.5) // diff column is l − r
+      assert(out(2)(1) == 0L && out(2)(3) == null)
+    }
+  }
+
+  test("tukeyFences: nearest-rank quartiles and the outlier tally") {
+    val df = ((1 to 7).map(v => ("g", v.toDouble)) :+ ("g", 100.0))
+      .toDF("g", "v")
+    val out = rows(Profile.tukeyFences(df, "g", "v")).head
+    // sorted [1..7,100]: q1 = rank ceil(8/4)=2 → 2; q3 = rank 6 → 6;
+    // fences [−4, 12] → one outlier (100)
+    assert(out == Seq("g", 8L, 2.0, 6.0, -4.0, 12.0, 1L))
+  }
 }

@@ -239,4 +239,25 @@ class EventsSpec extends SparkSpec {
       .select("id"))
     assert(out == Seq(Seq(2L)))
   }
+
+  test("activeUserStats: coverage windows equal brute-force rolling distincts") {
+    val acts = Seq((1L, 1), (1L, 2), (2L, 2), (3L, 5), (1L, 9), (2L, 9))
+    val df = acts.map { case (u, day) =>
+      (u, f"2024-01-$day%02d 12:00:00")
+    }.toDF("u", "t").select(col("u"), to_timestamp(col("t")).as("ts"))
+    val out = rows(Events.activeUserStats(df, "u", "ts", wauDays = 3,
+      mauDays = 7).orderBy("day"))
+    val days = acts.map(_._2).distinct.sorted
+    val expected = days.map { d =>
+      val dau = acts.filter(_._2 == d).map(_._1).distinct.size.toLong
+      val wau = acts.filter(a => a._2 > d - 3 && a._2 <= d)
+        .map(_._1).distinct.size.toLong
+      val mau = acts.filter(a => a._2 > d - 7 && a._2 <= d)
+        .map(_._1).distinct.size.toLong
+      (dau, wau, mau)
+    }
+    assert(out.map(r => (r(1), r(2), r(3))) == expected)
+    // stickiness on the last day: dau 2 / mau 3, rounded 6 dp
+    assert(out.last(4) == 0.666667)
+  }
 }
