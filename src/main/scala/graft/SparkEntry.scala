@@ -3496,6 +3496,38 @@ object SparkEntry {
       graft.pipeline.Profile.tukeyFences(Tables.lineitem(s, d),
         "l_returnflag", "l_extendedprice"))
 
+  private def qTypeTrigrams(s: SparkSession, d: String): DataFrame =
+    // Order-3 event patterns per user with distinct-user support.
+    Relational.sort(col("ngram"))(
+      graft.pipeline.Events.typeNgrams(Tables.events(s, d),
+        Seq("user_id"), "ts", "event_type", "event_id", n = 3))
+
+  private def qSeasonal(s: SparkSession, d: String): DataFrame =
+    // Hour-of-day baseline per event type: count, exact-decimal mean,
+    // slot share of the type's total mass.
+    Relational.sort(col("event_type"), col("slot"))(
+      graft.pipeline.TimeSeries.seasonalProfile(Tables.events(s, d),
+        "event_type", "ts", "value", slot = "hour"))
+
+  private def qHill(s: SparkSession, d: String): DataFrame =
+    // Tail-index of order totals over the top 1000 observations:
+    // distinct-value suffix ranks, 6-dp decimal-summed lns.
+    graft.pipeline.Profile.hillTail(Tables.orders(s, d), "o_totalprice",
+      k = 1000)
+
+  private def qBlockingQuality(s: SparkSession, d: String): DataFrame = {
+    // Audit of the q_linkage blocking key (case-normalized name) against
+    // the known truth (each customer matches its dirtied copy):
+    // reduction ratio ≈ 1, pair completeness must be exactly 1.
+    val c = Tables.customer(s, d)
+    val dirty = c.select(lower(col("c_name")).as("block"),
+      col("c_custkey").as("r_id"))
+    val leftT = c.select(lower(col("c_name")).as("block"), col("c_custkey"))
+    val truth = c.select(col("c_custkey"), col("c_custkey").as("r_id"))
+    graft.pipeline.Dedup.blockingQuality(leftT, dirty, "block",
+      "c_custkey", "r_id", truth)
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3737,6 +3769,10 @@ object SparkEntry {
     "q_band_join" -> (qBandJoin _),
     "q_reconcile" -> (qReconcile _),
     "q_tukey" -> (qTukey _),
+    "q_type_trigrams" -> (qTypeTrigrams _),
+    "q_seasonal" -> (qSeasonal _),
+    "q_hill" -> (qHill _),
+    "q_blocking_quality" -> (qBlockingQuality _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -6684,5 +6720,79 @@ object SparkEntry {
         |  CAST(CAST(b.hi AS VARCHAR) AS DOUBLE) AS hi,
         |  o.n_outliers
         |FROM b JOIN o ON b.g = o.g ORDER BY l_returnflag""".stripMargin,
+    // Adjacent type trigrams with distinct-user support.
+    "q_type_trigrams" ->
+      """WITH t AS (SELECT user_id, event_type AS a,
+        |    lead(event_type, 1) OVER w AS b,
+        |    lead(event_type, 2) OVER w AS c
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id))
+        |SELECT a || '>' || b || '>' || c AS ngram,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+        |FROM t WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY ngram ORDER BY ngram""".stripMargin,
+    // Hour-of-day seasonal profile: decimal sums, digit-string ratios.
+    "q_seasonal" ->
+      """WITH p AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS slot,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS s
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type, slot),
+        |t AS (SELECT event_type, CAST(SUM(s) AS DECIMAL(28,2)) AS tot
+        |  FROM p GROUP BY event_type)
+        |SELECT p.event_type, p.slot, p.n,
+        |  round(CAST(CAST(p.s AS VARCHAR) AS DOUBLE) /
+        |    CAST(p.n AS DOUBLE), 6) AS mean,
+        |  CASE WHEN tot <> 0 THEN round(
+        |    CAST(CAST(p.s AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(tot AS VARCHAR) AS DOUBLE), 6) END AS share
+        |FROM p JOIN t USING (event_type)
+        |ORDER BY event_type, slot""".stripMargin,
+    // Hill tail index: x_k from suffix ranks over the distinct-value
+    // table; ties at x_k contribute ln(1)=0, so only v > x_k sums.
+    "q_hill" ->
+      """WITH dv AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        |  GROUP BY v),
+        |rk AS (SELECT v, c,
+        |    CAST(SUM(c) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ge,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n FROM dv),
+        |xk AS (SELECT MAX(v) AS xkv, MAX(n) AS n FROM rk WHERE ge >= 1000),
+        |s AS (SELECT MAX(rk.n) AS n, MAX(xk.xkv) AS xkv,
+        |    CAST(SUM(rk.c * CAST(round(ln(
+        |      CAST(CAST(rk.v AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(xk.xkv AS VARCHAR) AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS lnsum
+        |  FROM rk CROSS JOIN xk WHERE rk.v > xk.xkv)
+        |SELECT 1000 AS k, n, CAST(CAST(xkv AS VARCHAR) AS DOUBLE) AS x_k,
+        |  round(1000.0 / CAST(CAST(lnsum AS VARCHAR) AS DOUBLE), 6)
+        |    AS alpha
+        |FROM s""".stripMargin,
+    // Blocking audit: candidates from per-block count products; truth
+    // pairs checked for same-block membership.
+    "q_blocking_quality" ->
+      """WITH l AS (SELECT lower(c_name) AS b, c_custkey AS lid
+        |  FROM customer),
+        |r AS (SELECT lower(c_name) AS b, c_custkey AS rid FROM customer),
+        |lb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS lc FROM l GROUP BY b),
+        |rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM r GROUP BY b),
+        |cand AS (SELECT CAST(COALESCE(SUM(lc * rc), 0) AS BIGINT)
+        |    AS candidates FROM lb JOIN rb USING (b)),
+        |sz AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l) AS n_left,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_right),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+        |    CAST(SUM(CASE WHEN l.b = r.b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS truth_in_block
+        |  FROM l JOIN r ON l.lid = r.rid)
+        |SELECT n_left, n_right, candidates, n_truth, truth_in_block,
+        |  round(1.0 - CAST(candidates AS DOUBLE) /
+        |    (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)), 6)
+        |    AS reduction_ratio,
+        |  CASE WHEN n_truth > 0 THEN round(
+        |    CAST(truth_in_block AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+        |    END AS pair_completeness
+        |FROM cand CROSS JOIN sz CROSS JOIN m""".stripMargin,
   )
 }

@@ -787,4 +787,45 @@ object Dedup {
       fields.map { case (f, _, _) => col(s"__w_$f") }
         .reduce(_ + _).cast("double").as("score")): _*)
   }
+
+  /** Blocking-quality audit for a record-linkage setup: before running
+    * [[linkageScores]] over a blocking key, measure what the key costs
+    * and what it loses. Reduction ratio RR = 1 − candidates/(|L|·|R|)
+    * (how much of the quadratic comparison space the blocking removes);
+    * pair completeness PC = |truth ∩ candidates| / |truth| (how many
+    * TRUE matches still meet in a block — the recall the blocking caps).
+    * The q_linkage nation-vs-name rebleck (63× scaling wall, round 7)
+    * is exactly the trade this operator quantifies up front.
+    *
+    * candidates = Σ_b |L_b|·|R_b| folds over the per-block COUNT join
+    * (the joinCardinality shape — never materialized pairs); the truth
+    * check is two id-keyed joins attaching each side's block. All
+    * integers exact; ratios are single rounded doubles. `truth` holds
+    * one row per true match (leftId, rightId). */
+  def blockingQuality(left: DataFrame, right: DataFrame, blockCol: String,
+                      leftId: String, rightId: String,
+                      truth: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val lb = left.groupBy(col(blockCol).as("__b")).agg(count(lit(1)).as("__lc"))
+    val rb = right.groupBy(col(blockCol).as("__b")).agg(count(lit(1)).as("__rc"))
+    val cand = lb.join(rb, Seq("__b"))
+      .agg(coalesce(sum(col("__lc") * col("__rc")), lit(0L)).as("candidates"))
+    val sizes = left.agg(count(lit(1)).as("n_left"))
+      .crossJoin(right.agg(count(lit(1)).as("n_right")))
+    val tl = truth.select(col(leftId).as("__lid"), col(rightId).as("__rid"))
+    val matched = tl
+      .join(left.select(col(leftId).as("__lid"), col(blockCol).as("__bl")), Seq("__lid"))
+      .join(right.select(col(rightId).as("__rid"), col(blockCol).as("__br")), Seq("__rid"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("__bl") === col("__br"), 1L).otherwise(0L))
+          .as("truth_in_block"))
+    cand.crossJoin(sizes).crossJoin(matched)
+      .select(col("n_left"), col("n_right"), col("candidates"),
+        col("n_truth"), col("truth_in_block"),
+        round(lit(1.0) - d(col("candidates")) /
+          (d(col("n_left")) * d(col("n_right"))), 6).as("reduction_ratio"),
+        when(col("n_truth") > 0, round(
+          d(col("truth_in_block")) / d(col("n_truth")), 6))
+          .as("pair_completeness"))
+  }
 }

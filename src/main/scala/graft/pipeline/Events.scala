@@ -348,6 +348,31 @@ object Events {
       .withColumn("cumulative", sum(col("first_seen")).over(w))
   }
 
+  /** Consecutive event-type n-grams per key (the order-n generalization
+    * of [[transitions]]): each run of n adjacent events contributes one
+    * 'a>b>c' pattern; counts aggregate corpus-wide with the distinct-key
+    * support alongside (patterns common to many users vs one power
+    * user's loop). n−1 lead columns from ONE key-sharded window pass,
+    * one pattern aggregate. */
+  def typeNgrams(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 typeCol: String, tieCol: String, n: Int): DataFrame = {
+    require(n >= 2, "typeNgrams: n must be >= 2")
+    require(keyCols.nonEmpty, "typeNgrams: need at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val stepNames = (0 until n).map(i => s"__s$i")
+    val withSteps = (1 until n).foldLeft(
+      df.withColumn("__s0", col(typeCol))) { (acc, i) =>
+      acc.withColumn(s"__s$i", lead(col(typeCol), i).over(w))
+    }
+    withSteps
+      .where(stepNames.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__ngram", concat_ws(">", stepNames.map(col): _*))
+      .groupBy(col("__ngram").as("ngram"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(struct(keyCols.map(col): _*)).as("n_keys"))
+  }
+
   /** Exact DAU / WAU / MAU + stickiness, without a rolling
     * COUNT(DISTINCT): a key active on day d is "covered" for the next
     * w−1 days, so trailing-window actives = distinct (key, covered-day)

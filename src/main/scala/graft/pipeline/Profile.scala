@@ -440,6 +440,43 @@ object Profile {
           col("__c")).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Hill tail-index estimate over the k largest observations — "how
+    * heavy is this distribution's tail" (power-law exponent α; α ≤ 2
+    * warns that variance-based stats are unstable — the check to run
+    * before trusting means at 100 TB). α = k / Σ ln(x_i / x_k), summed
+    * over the k top values with x_k the k-th largest.
+    *
+    * Distilled to the distinct-value table: x_k is the smallest value
+    * whose suffix count ≥ k (nearest-rank, a data value), and because
+    * ties AT x_k contribute ln(1) = 0, the sum is exactly
+    * Σ_{v > x_k} c_v · ln(v/x_k) — no per-row top-k materialization and
+    * no tie-capping logic. Each ln rounds 6 dp and sums in DECIMAL (the
+    * q_tfidf convention), so any engine replays the statistic exactly.
+    * Non-positive values are excluded (power laws live on x > 0).
+    * Output: one row (k, n, x_k, alpha). */
+  def hillTail(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "hillTail: k must be >= 2")
+    def d(c: Column) = c.cast("string").cast("double")
+    val dv = df.where(col(valueCol).isNotNull && col(valueCol) > 0)
+      .groupBy(col(valueCol).cast("decimal(18,2)").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val sfx = sum(col("__c")).over(
+      Window.orderBy(col("__v").desc)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val ranked = dv.select(col("__v"), col("__c"), sfx.as("__ge"),
+      sum(col("__c")).over(Window.partitionBy()).as("__n"))
+    val xk = ranked.where(col("__ge") >= k)
+      .agg(max(col("__v")).as("__xk"), max(col("__n")).as("n"))
+    ranked.crossJoin(broadcast(xk))
+      .where(col("__v") > col("__xk"))
+      .agg(max(col("n")).as("n"), d(max(col("__xk"))).as("x_k"),
+        sum(col("__c") *
+          round(log(d(col("__v")) / d(col("__xk"))), 6)
+            .cast("decimal(18,6)")).as("__lnsum"))
+      .select(lit(k).as("k"), col("n"), col("x_k"),
+        round(lit(k.toDouble) / d(col("__lnsum")), 6).as("alpha"))
+  }
+
   /** Per-group equi-depth quantile bin ASSIGNMENT (ntile) — the feature-
     * binning step before bucketed models / calibration: every non-NULL row
     * gets a bucket in [1, k], sizes differing by at most one per group.

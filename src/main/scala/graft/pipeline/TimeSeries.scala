@@ -156,6 +156,35 @@ object TimeSeries {
       (col("__sl") > decLit(threshold)).as("alarm_lo"))
   }
 
+  /** Seasonal profile per key: the slot-of-cycle baseline (hour-of-day
+    * or ISO day-of-week) every seasonality-aware monitor needs — per
+    * (key, slot): observation count, exact-decimal mean (digit-string
+    * double), and the slot's share of the key's total mass (the shape of
+    * the season, 6 dp). One (key, slot) aggregate; the per-key totals
+    * broadcast back (≤ cycle-length rows per key). Slot: 'hour' (0-23)
+    * or 'dow' (1 = Monday, ISO — matching the date-dimension gate). */
+  def seasonalProfile(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, slot: String = "hour"): DataFrame = {
+    require(Set("hour", "dow").contains(slot),
+      s"seasonalProfile: slot must be 'hour' or 'dow', got '$slot'")
+    def d(c: Column) = c.cast("string").cast("double")
+    val slotCol = if (slot == "hour") hour(col(tsCol)).cast("int")
+      else dayofweek(col(tsCol)).cast("int") // 1=Sunday..7=Saturday
+    val isoSlot = if (slot == "hour") slotCol
+      else pmod(slotCol + 5, lit(7)) + 1 // → 1=Monday..7=Sunday (ISO)
+    val x = col(valueCol).cast("decimal(18,2)")
+    val perSlot = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), isoSlot.as("slot"))
+      .agg(count(lit(1)).as("n"), sum(x).as("__s"))
+    val totals = perSlot.groupBy(col(keyCol))
+      .agg(sum(col("__s")).cast("decimal(28,2)").as("__tot"))
+    perSlot.join(broadcast(totals), Seq(keyCol))
+      .select(col(keyCol), col("slot"), col("n"),
+        round(d(col("__s")) / col("n").cast("double"), 6).as("mean"),
+        when(col("__tot") =!= 0,
+          round(d(col("__s")) / d(col("__tot")), 6)).as("share"))
+  }
+
   /** Lag-k autocorrelation per key: Pearson r between the series and
     * itself shifted k steps (in (ts, tie) order), computed from the same
     * exact decimal moment sums as [[Profile.corrExact]] — one key-sharded

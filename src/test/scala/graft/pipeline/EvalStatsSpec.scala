@@ -172,6 +172,50 @@ class EvalStatsSpec extends SparkSpec {
     assert(low(4) == null && low(5) == 0.0 && low(6) == null)
   }
 
+  // ---------------------------------------------------------------- hillTail
+
+  test("hillTail: hand-computed alpha with ties at x_k contributing zero") {
+    val df = Seq(8.0, 4.0, 4.0, 1.0, 0.0, -2.0).map(Tuple1(_)).toDF("v")
+    withPartitionings(df) { d =>
+      val out = rows(Profile.hillTail(d, "v", k = 3)).head
+      // positives only: [8,4,4,1]; suffix ranks: 8→1, 4→3 ⇒ x_k = 4;
+      // only 8 > x_k: ln(2) → 0.693147; α = 3/0.693147
+      val alpha = BigDecimal(3.0 / 0.693147)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out == Seq(3, 4L, 4.0, alpha))
+    }
+  }
+
+  // ---------------------------------------------------------------- seasonalProfile
+
+  test("seasonalProfile: hour slots, means and shares; ISO dow mapping") {
+    val df = Seq(("a", "2024-01-01 09:10:00", 10.0),
+      ("a", "2024-01-01 09:50:00", 20.0),
+      ("a", "2024-01-01 17:00:00", 30.0),
+      ("b", "2024-01-07 23:00:00", 5.0)) // 2024-01-07 is a Sunday
+      .toDF("k", "t", "v")
+      .select(col("k"), to_timestamp(col("t")).as("ts"), col("v"))
+    val hourly = rows(TimeSeries.seasonalProfile(df, "k", "ts", "v")
+      .orderBy("k", "slot"))
+    assert(hourly == Seq(Seq("a", 9, 2L, 15.0, 0.5),
+      Seq("a", 17, 1L, 30.0, 0.5), Seq("b", 23, 1L, 5.0, 1.0)))
+    val dow = rows(TimeSeries.seasonalProfile(df, "k", "ts", "v", "dow")
+      .orderBy("k", "slot"))
+    assert(dow.map(r => (r.head, r(1))) == Seq(("a", 1), ("b", 7)))
+  }
+
+  // ---------------------------------------------------------------- blockingQuality
+
+  test("blockingQuality: reduction ratio and pair completeness by hand") {
+    val l = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("lid", "blk")
+    val r = Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("rid", "blk")
+    val truth = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("lid", "rid")
+    val out = rows(Dedup.blockingQuality(l, r, "blk", "lid", "rid", truth))
+      .head
+    // candidates: a→2·1 + b→1·2 = 4 of 9; truth pair 2 blocks a vs b
+    assert(out == Seq(3L, 3L, 4L, 3L, 2L, 0.555556, 0.666667))
+  }
+
   // ---------------------------------------------------------------- pointInPolygon
 
   test("pointInPolygon: square, notch of an L-shape, and outside") {

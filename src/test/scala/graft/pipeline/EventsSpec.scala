@@ -240,6 +240,17 @@ class EventsSpec extends SparkSpec {
     assert(out == Seq(Seq(2L)))
   }
 
+  test("typeNgrams: adjacent trigrams with distinct-key support") {
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))
+      .map { case (u, i, tp) => (u, f"2024-01-01 10:0$i%d:00", tp, i) }
+      .toDF("u", "t", "tp", "id")
+      .select(col("u"), to_timestamp(col("t")).as("ts"), col("tp"), col("id"))
+    val out = rows(Events.typeNgrams(df, Seq("u"), "ts", "tp", "id", 3)
+      .orderBy("ngram"))
+    assert(out == Seq(Seq("a>b>c", 2L, 2L), Seq("b>c>d", 1L, 1L)))
+  }
+
   test("activeUserStats: coverage windows equal brute-force rolling distincts") {
     val acts = Seq((1L, 1), (1L, 2), (2L, 2), (3L, 5), (1L, 9), (2L, 9))
     val df = acts.map { case (u, day) =>
