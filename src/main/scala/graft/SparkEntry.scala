@@ -3528,6 +3528,36 @@ object SparkEntry {
       "c_custkey", "r_id", truth)
   }
 
+  private def qHoppingWindow(s: SparkSession, d: String): DataFrame =
+    // 30-min windows sliding 10 min per event type: each event lands in
+    // exactly 3 windows; one hash aggregate after the explode.
+    Relational.sort(col("event_type"), col("window_start_us"))(
+      graft.pipeline.TimeSeries.hoppingWindows(Tables.events(s, d),
+        "event_type", "ts", "value", sizeSec = 1800, slideSec = 600))
+
+  private def qRateLimit(s: SparkSession, d: String): DataFrame =
+    // Trailing-hour event counts per user (RANGE frame — simultaneous
+    // events count each other deterministically), limit 5.
+    Relational.sort(col("event_id"))(
+      graft.pipeline.Events.rateLimitFlags(Tables.events(s, d),
+        Seq("user_id"), "ts", limitN = 5, windowSec = 3600)
+        .select(col("event_id"), col("user_id"), col("window_count"),
+          col("over_limit")))
+
+  private def qWeightedMedian(s: SparkSession, d: String): DataFrame =
+    // Revenue-weighted quantity percentiles per flag: "the quantity at
+    // which half the money moved", exact decimal weight cumulation.
+    Relational.sort(col("l_returnflag"), col("p"))(
+      graft.pipeline.Profile.weightedPercentiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice", Seq(0.5, 0.9)))
+
+  private def qFunnelLatency(s: SparkSession, d: String): DataFrame =
+    // First-view to first-later-purchase delay per user — the latency
+    // face of the funnel frontier machinery.
+    Relational.sort(col("user_id"))(
+      graft.pipeline.Events.funnelLatency(Tables.events(s, d),
+        "user_id", "ts", "event_type", "view", "purchase"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3773,6 +3803,10 @@ object SparkEntry {
     "q_seasonal" -> (qSeasonal _),
     "q_hill" -> (qHill _),
     "q_blocking_quality" -> (qBlockingQuality _),
+    "q_hopping_window" -> (qHoppingWindow _),
+    "q_rate_limit" -> (qRateLimit _),
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_funnel_latency" -> (qFunnelLatency _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -6794,5 +6828,60 @@ object SparkEntry {
         |    CAST(truth_in_block AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
         |    END AS pair_completeness
         |FROM cand CROSS JOIN sz CROSS JOIN m""".stripMargin,
+    // Hopping windows: slide-aligned starts, 3 windows per event.
+    "q_hopping_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |x AS (SELECT event_type, v,
+        |    (t // 600000000) * 600000000 - i * 600000000 AS ws
+        |  FROM e, (SELECT unnest(generate_series(0, 2)) AS i))
+        |SELECT event_type, CAST(ws AS BIGINT) AS window_start_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS sum_v,
+        |  CAST(ws + 1800000000 AS BIGINT) AS window_end_us
+        |FROM x GROUP BY event_type, ws
+        |ORDER BY event_type, window_start_us""".stripMargin,
+    // Trailing-hour RANGE-framed counts; (t−3600 s, t] inclusive.
+    "q_rate_limit" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events),
+        |c AS (SELECT event_id, user_id,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+        |      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS window_count
+        |  FROM e)
+        |SELECT event_id, user_id, window_count, window_count > 5
+        |    AS over_limit
+        |FROM c ORDER BY event_id""".stripMargin,
+    // Weighted nearest-rank percentiles: smallest v with cumW >= p*W.
+    "q_weighted_median" ->
+      """WITH dv AS (SELECT l_returnflag AS g, l_quantity AS v,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_extendedprice >= 0
+        |  GROUP BY g, v),
+        |rk AS (SELECT g, v,
+        |    CAST(CAST(SUM(w) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS VARCHAR) AS DOUBLE) AS cum,
+        |    CAST(CAST(SUM(w) OVER (PARTITION BY g) AS VARCHAR) AS DOUBLE)
+        |      AS tot
+        |  FROM dv),
+        |x AS (SELECT g, v, cum, tot, p FROM rk,
+        |  (SELECT unnest([0.5, 0.9]) AS p) WHERE cum >= p * tot)
+        |SELECT g AS l_returnflag, p, MAX(tot) AS total_w, MIN(v) AS value
+        |FROM x GROUP BY g, p ORDER BY l_returnflag, p""".stripMargin,
+    // Funnel latency: first view → first strictly-later purchase.
+    "q_funnel_latency" ->
+      """WITH f AS (SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT)
+        |    AS from_us FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id),
+        |c AS (SELECT e.user_id, f.from_us,
+        |    CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS to_us
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f.from_us
+        |  GROUP BY e.user_id, f.from_us)
+        |SELECT user_id, from_us, to_us, to_us - from_us AS delay_us
+        |FROM c ORDER BY user_id""".stripMargin,
   )
 }

@@ -373,6 +373,48 @@ object Events {
         count_distinct(struct(keyCols.map(col): _*)).as("n_keys"))
   }
 
+  /** Sliding-window rate-limit audit: per event, how many of the key's
+    * events fall in the trailing (t − W, t] window — RANGE-framed, so
+    * simultaneous events count each other regardless of tie order (the
+    * frame is value-based, deterministically) — and whether that count
+    * exceeds `limitN`. The "who would my quota throttle" replay over
+    * historical logs. One key-sharded range window; no state beyond the
+    * frame. */
+  def rateLimitFlags(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     limitN: Long, windowSec: Long): DataFrame = {
+    require(keyCols.nonEmpty, "rateLimitFlags: need at least one key column")
+    require(limitN >= 1 && windowSec >= 1,
+      "rateLimitFlags: limit and window must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"))
+      .rangeBetween(-(windowSec * 1000000L - 1), 0)
+    df.withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("window_count", count(lit(1)).over(w))
+      .withColumn("over_limit", col("window_count") > limitN)
+      .drop("__t")
+  }
+
+  /** Time from first `fromStage` to the first `toStage` STRICTLY after
+    * it, per key — the conversion-latency measurement behind "how long
+    * does view → purchase take" (feeds [[Profile.percentilesExact]] for
+    * the latency distribution). Users who never convert are absent.
+    * Two pushed-down per-stage scans, two key-sharded aggregates, one
+    * keyed join — the [[funnel]] frontier shape for a single hop. */
+  def funnelLatency(df: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromStage: String,
+                    toStage: String): DataFrame = {
+    val first = df.where(col(typeCol) === fromStage)
+      .groupBy(col(userCol)).agg(min(unix_micros(col(tsCol))).as("from_us"))
+    val converted = df.where(col(typeCol) === toStage)
+      .select(col(userCol), unix_micros(col(tsCol)).as("__t2"))
+      .join(first, Seq(userCol))
+      .where(col("__t2") > col("from_us"))
+      .groupBy(col(userCol), col("from_us"))
+      .agg(min(col("__t2")).as("to_us"))
+    converted.select(col(userCol), col("from_us"), col("to_us"),
+      (col("to_us") - col("from_us")).as("delay_us"))
+  }
+
   /** Exact DAU / WAU / MAU + stickiness, without a rolling
     * COUNT(DISTINCT): a key active on day d is "covered" for the next
     * w−1 days, so trailing-window actives = distinct (key, covered-day)

@@ -477,6 +477,35 @@ object Profile {
         round(lit(k.toDouble) / d(col("__lnsum")), 6).as("alpha"))
   }
 
+  /** WEIGHTED nearest-rank percentiles per group — the revenue-weighted
+    * median family ("the price at which half the MONEY was spent", not
+    * half the rows). Same distinct-value shape as [[percentilesExact]],
+    * but cumulating an exact DECIMAL weight sum; the selected value is
+    * the smallest v with cumW(v) ≥ p·W. The p·W threshold is one IEEE
+    * multiply of the digit-string total — both engines compute the
+    * comparison identically. NULL values and NULL/negative weights are
+    * excluded. Output: (group, p, total_w, value). */
+  def weightedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                          weightCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "weightedPercentiles: percentiles must be in (0, 1]")
+    def d(c: Column) = c.cast("string").cast("double")
+    val dv = df.where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) >= 0)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(sum(col(weightCol).cast("decimal(18,2)")).as("__w"))
+    val cum = sum(col("__w")).over(
+      Window.partitionBy("__g").orderBy(col("__v")))
+    val tot = sum(col("__w")).over(Window.partitionBy("__g"))
+    val ranked = dv.select(col("__g"), col("__v"),
+      d(cum).as("__cum"), d(tot).as("__tot"))
+    ranked.select(col("__g"), col("__v"), col("__cum"), col("__tot"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .where(col("__cum") >= col("p") * col("__tot"))
+      .groupBy(col("__g").as(groupCol), col("p"))
+      .agg(max(col("__tot")).as("total_w"), min(col("__v")).as("value"))
+  }
+
   /** Per-group equi-depth quantile bin ASSIGNMENT (ntile) — the feature-
     * binning step before bucketed models / calibration: every non-NULL row
     * gets a bucket in [1, k], sizes differing by at most one per group.

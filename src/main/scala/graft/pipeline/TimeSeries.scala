@@ -185,6 +185,36 @@ object TimeSeries {
           round(d(col("__s")) / d(col("__tot")), 6)).as("share"))
   }
 
+  /** Hopping (sliding) window aggregation in batch: size `sizeSec`,
+    * slide `slideSec`, size a multiple of slide — each event belongs to
+    * exactly size/slide windows, generated by a codegen'd explode (the
+    * same plan Structured Streaming's `window()` produces for its
+    * overlapping-window case), then ONE (key, window) hash aggregate
+    * with map-side partials. Windows are [start, start+size) half-open,
+    * starts aligned to slide multiples of the epoch. Output per
+    * (key, window_start_us): n, decimal-exact sum as a digit-string
+    * double, window_end_us. */
+  def hoppingWindows(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, sizeSec: Long,
+                     slideSec: Long): DataFrame = {
+    require(slideSec > 0 && sizeSec > 0, "hoppingWindows: sizes must be positive")
+    require(sizeSec % slideSec == 0,
+      "hoppingWindows: size must be a multiple of slide (else events cover a varying window count)")
+    val k = (sizeSec / slideSec).toInt
+    val slideUs = slideSec * 1000000L
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__t"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .withColumn("__w0", expr(s"(__t div ${slideUs}L) * ${slideUs}L"))
+      .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+      .select(col(keyCol), col("__v"),
+        (col("__w0") - col("__i") * slideUs).as("window_start_us"))
+      .groupBy(col(keyCol), col("window_start_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).cast("string").cast("double").as("sum_v"))
+      .withColumn("window_end_us",
+        col("window_start_us") + sizeSec * 1000000L)
+  }
+
   /** Lag-k autocorrelation per key: Pearson r between the series and
     * itself shifted k steps (in (ts, tie) order), computed from the same
     * exact decimal moment sums as [[Profile.corrExact]] — one key-sharded

@@ -94,4 +94,60 @@ class AnalyticsOpsSpec extends SparkSpec {
       graft.streaming.Streams.deleteRecursively(java.nio.file.Paths.get(base))
     }
   }
+
+  test("hoppingWindows: each event lands in exactly size/slide windows") {
+    // size 30 s, slide 10 s: event at t covers starts t0, t0-10, t0-20
+    val df = Seq(("k", 25L, 1.0), ("k", 35L, 2.0)).toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val out = rows(TimeSeries.hoppingWindows(df, "k", "ts", "v",
+      sizeSec = 30, slideSec = 10).orderBy("window_start_us"))
+    // event@25 covers starts {20,10,0}; event@35 covers {30,20,10}
+    assert(out.map(r => (r(1).asInstanceOf[Long] / 1000000L, r(2), r(3))) ==
+      Seq((0L, 1L, 1.0), (10L, 2L, 3.0), (20L, 2L, 3.0), (30L, 1L, 2.0)))
+    assert(out.head(4).asInstanceOf[Long] -
+      out.head(1).asInstanceOf[Long] == 30000000L)
+    intercept[IllegalArgumentException] {
+      TimeSeries.hoppingWindows(df, "k", "ts", "v", 25, 10)
+    }
+  }
+
+  test("rateLimitFlags: trailing window is (t-W, t] and ties see each other") {
+    val df = Seq((1L, 0L), (2L, 1000L), (3L, 3600L), (4L, 3601L),
+      (5L, 3601L)).toDF("id", "sec")
+      .select(col("id"), lit(7L).as("u"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val out = rows(Events.rateLimitFlags(df, Seq("u"), "ts",
+      limitN = 3, windowSec = 3600).select("id", "window_count", "over_limit")
+      .orderBy("id"))
+    // the window is half-open (t-3600, t]: id1@0 sits EXACTLY 3600 s
+    // before id3@3600 and is aged out; id4/id5 are simultaneous and
+    // count each other plus id2 and id3
+    assert(out == Seq(Seq(1L, 1L, false), Seq(2L, 2L, false),
+      Seq(3L, 2L, false), Seq(4L, 4L, true), Seq(5L, 4L, true)))
+  }
+
+  test("funnelLatency: first from-stage to first strictly-later to-stage") {
+    val df = Seq((1L, 10L, "view"), (1L, 5L, "purchase"), // before: no
+      (1L, 30L, "purchase"), (1L, 50L, "purchase"), // first after wins
+      (2L, 10L, "view"), (3L, 40L, "purchase")) // 2 never buys, 3 never views
+      .toDF("u", "sec", "tp")
+      .select(col("u"), timestamp_seconds(col("sec")).as("ts"), col("tp"))
+    val out = rows(Events.funnelLatency(df, "u", "ts", "tp",
+      "view", "purchase"))
+    assert(out == Seq(Seq(1L, 10000000L, 30000000L, 20000000L)))
+  }
+
+  test("weightedPercentiles: weighted median differs from the row median") {
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
+      ("g", 10.0, 97.0)).toDF("g", "v", "w")
+    import graft.pipeline.Profile
+    val out = rows(Profile.weightedPercentiles(df, "g", "v", "w",
+      Seq(0.5)).orderBy("p"))
+    // half the WEIGHT (50 of 100) is reached only at v=10
+    assert(out == Seq(Seq("g", 0.5, 100.0, 10.0)))
+    val unif = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0))
+      .toDF("g", "v", "w")
+    assert(rows(Profile.weightedPercentiles(unif, "g", "v", "w",
+      Seq(0.5))).head(3) == 2.0)
+  }
 }
