@@ -3558,6 +3558,46 @@ object SparkEntry {
       graft.pipeline.Events.funnelLatency(Tables.events(s, d),
         "user_id", "ts", "event_type", "view", "purchase"))
 
+  private def qPsi(s: SparkSession, d: String): DataFrame = {
+    // Drift between early (≤1996) and late order totals over 20 fixed
+    // [0, 600k) bins + under/overflow; add-one smoothing, decimal-
+    // summed terms.
+    val o = Tables.orders(s, d)
+    val base = o.where(year(col("o_orderdate")) <= 1996)
+    val cur = o.where(year(col("o_orderdate")) > 1996)
+    graft.pipeline.Profile.psi(base, cur, "o_totalprice",
+      lo = 0.0, hi = 600000.0, nBins = 20)
+  }
+
+  private def qMutualInfo(s: SparkSession, d: String): DataFrame =
+    // Dependence between priority and status in nats; marginals fold
+    // from the joint-cell table.
+    graft.pipeline.Profile.mutualInfo(Tables.orders(s, d),
+      "o_orderpriority", "o_orderstatus")
+
+  private def qPathLength(s: SparkSession, d: String): DataFrame = {
+    // L1 track statistics per user over hashed synthetic waypoints in
+    // event order (event_id is the unique sequence).
+    val m = 2147483648L
+    val pts = Tables.events(s, d).select(col("user_id"),
+      col("event_id").as("seq"),
+      (pmod(col("event_id"), lit(m)) * lit(2654435761L) % lit(m) % lit(1000L)).as("x"),
+      (pmod(col("event_id"), lit(m)) * lit(2246822519L) % lit(m) % lit(1000L)).as("y"))
+    Relational.sort(col("user_id"))(
+      graft.pipeline.Spatial.pathStats(pts, Seq("user_id"), "x", "y", "seq"))
+  }
+
+  private def qMultiTouch(s: SparkSession, d: String): DataFrame =
+    // Linear attribution in exact mills: per-user credit sums to 10^6
+    // by construction; aggregated per touch type.
+    Relational.sort(col("event_type"))(
+      graft.pipeline.Events.linearAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click"), "purchase")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_mills")).as("total_credit")))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3807,6 +3847,10 @@ object SparkEntry {
     "q_rate_limit" -> (qRateLimit _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_funnel_latency" -> (qFunnelLatency _),
+    "q_psi" -> (qPsi _),
+    "q_mutual_info" -> (qMutualInfo _),
+    "q_path_length" -> (qPathLength _),
+    "q_multi_touch" -> (qMultiTouch _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -6883,5 +6927,88 @@ object SparkEntry {
         |  GROUP BY e.user_id, f.from_us)
         |SELECT user_id, from_us, to_us, to_us - from_us AS delay_us
         |FROM c ORDER BY user_id""".stripMargin,
+    // PSI over fixed 20 bins + under/overflow, add-one smoothing,
+    // 6-dp lns, 8-dp decimal-summed terms.
+    "q_psi" ->
+      """WITH bb AS (SELECT CASE WHEN o_totalprice < 0 THEN -1
+        |      WHEN o_totalprice >= 600000 THEN 20
+        |      ELSE CAST(floor(o_totalprice * 20 / 600000.0) AS BIGINT)
+        |      END AS bin
+        |  FROM orders WHERE year(o_orderdate) <= 1996
+        |    AND o_totalprice IS NOT NULL),
+        |cc AS (SELECT CASE WHEN o_totalprice < 0 THEN -1
+        |      WHEN o_totalprice >= 600000 THEN 20
+        |      ELSE CAST(floor(o_totalprice * 20 / 600000.0) AS BIGINT)
+        |      END AS bin
+        |  FROM orders WHERE year(o_orderdate) > 1996
+        |    AND o_totalprice IS NOT NULL),
+        |hb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb FROM bb GROUP BY bin),
+        |hc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nc FROM cc GROUP BY bin),
+        |j AS (SELECT COALESCE(hb.bin, hc.bin) AS bin,
+        |    COALESCE(nb, 0) AS nb, COALESCE(nc, 0) AS nc
+        |  FROM hb FULL OUTER JOIN hc ON hb.bin = hc.bin),
+        |t AS (SELECT CAST(SUM(nb) AS BIGINT) AS n_base,
+        |    CAST(SUM(nc) AS BIGINT) AS n_current FROM j),
+        |terms AS (SELECT n_base, n_current,
+        |    CAST(round((CAST(nb + 1 AS DOUBLE) / CAST(n_base + 22 AS DOUBLE)
+        |      - CAST(nc + 1 AS DOUBLE) / CAST(n_current + 22 AS DOUBLE)) *
+        |      round(ln((CAST(nb + 1 AS DOUBLE) / CAST(n_base + 22 AS DOUBLE)) /
+        |        (CAST(nc + 1 AS DOUBLE) / CAST(n_current + 22 AS DOUBLE))), 6),
+        |      8) AS DECIMAL(18,8)) AS tt
+        |  FROM j CROSS JOIN t)
+        |SELECT n_base, n_current,
+        |  round(CAST(CAST(SUM(tt) AS VARCHAR) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY n_base, n_current""".stripMargin,
+    // Mutual information in nats from the joint-cell table.
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL GROUP BY x, y),
+        |m AS (SELECT c,
+        |    CAST(SUM(c) OVER (PARTITION BY x) AS BIGINT) AS nx,
+        |    CAST(SUM(c) OVER (PARTITION BY y) AS BIGINT) AS ny,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n FROM cells),
+        |t AS (SELECT n, CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) *
+        |    round(ln(CAST(c * n AS DOUBLE) / CAST(nx * ny AS DOUBLE)), 6),
+        |    8) AS DECIMAL(18,8)) AS tt FROM m)
+        |SELECT n, round(CAST(CAST(SUM(tt) AS VARCHAR) AS DOUBLE), 6) AS mi
+        |FROM t GROUP BY n""".stripMargin,
+    // L1 path stats per user over hashed waypoints in event order.
+    "q_path_length" ->
+      """WITH p AS (SELECT user_id, event_id AS seq,
+        |    ((event_id % 2147483648) * 2654435761 % 2147483648) % 1000 AS x,
+        |    ((event_id % 2147483648) * 2246822519 % 2147483648) % 1000 AS y
+        |  FROM events),
+        |l AS (SELECT user_id, seq, x, y,
+        |    lag(x) OVER w AS px, lag(y) OVER w AS py
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
+        |agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(COALESCE(SUM(abs(x - px) + abs(y - py)), 0) AS BIGINT)
+        |      AS path_len,
+        |    CAST(arg_min(x, seq) AS BIGINT) AS fx,
+        |    CAST(arg_min(y, seq) AS BIGINT) AS fy,
+        |    CAST(arg_max(x, seq) AS BIGINT) AS lx,
+        |    CAST(arg_max(y, seq) AS BIGINT) AS ly
+        |  FROM l GROUP BY user_id)
+        |SELECT user_id, n_points, path_len,
+        |  CAST(abs(lx - fx) + abs(ly - fy) AS BIGINT) AS net_displacement
+        |FROM agg ORDER BY user_id""".stripMargin,
+    // Linear attribution: 10^6 mills per converting user, remainder to
+    // the earliest touch; aggregated per touch type.
+    "q_multi_touch" ->
+      """WITH conv AS (SELECT user_id, MIN(ts) AS cts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |touch AS (SELECT e.user_id, e.event_id, e.event_type,
+        |    CAST(COUNT(*) OVER (PARTITION BY e.user_id) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.ts, e.event_id) AS rn
+        |  FROM events e JOIN conv USING (user_id)
+        |  WHERE e.event_type IN ('view', 'click') AND e.ts < conv.cts)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(1000000 // n +
+        |    CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END) AS BIGINT)
+        |    AS total_credit
+        |FROM touch GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

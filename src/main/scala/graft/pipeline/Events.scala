@@ -394,6 +394,40 @@ object Events {
       .drop("__t")
   }
 
+  /** Linear multi-touch attribution with EXACT integer credit: each
+    * user's first conversion distributes 1,000,000 credit mills equally
+    * across their touch events strictly before it — base = 10⁶ div n
+    * per touch, the division remainder to the EARLIEST touch (largest-
+    * remainder style), so per-user credit sums to exactly 10⁶ and no
+    * float crumbs appear at any aggregation level (the [[Sampling
+    * .apportion]] exactness posture applied to attribution).
+    *
+    * One conversion-frontier aggregate, one keyed join onto the
+    * type-pruned touch scan, one key-sharded rank window. Output: one
+    * row per credited touch — (user, tie, type, ts, credit_mills).
+    * Users without a conversion or without prior touches emit nothing. */
+  def linearAttribution(df: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, tieCol: String,
+                        touchTypes: Seq[String],
+                        convType: String): DataFrame = {
+    require(touchTypes.nonEmpty, "linearAttribution: need touch types")
+    require(!touchTypes.contains(convType),
+      "linearAttribution: conversion type cannot also be a touch type")
+    val conv = df.where(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__conv"))
+    val w = Window.partitionBy(col(userCol))
+    val touches = df.where(col(typeCol).isin(touchTypes: _*))
+      .join(conv, Seq(userCol))
+      .where(col(tsCol) < col("__conv"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col(tsCol).asc, col(tieCol).asc)))
+    touches.select(col(userCol), col(tieCol), col(typeCol), col(tsCol),
+      (expr("1000000L div __n") +
+        when(col("__rn") === 1, expr("1000000L % __n")).otherwise(0L))
+        .as("credit_mills"))
+  }
+
   /** Time from first `fromStage` to the first `toStage` STRICTLY after
     * it, per key — the conversion-latency measurement behind "how long
     * does view → purchase take" (feeds [[Profile.percentilesExact]] for

@@ -506,6 +506,70 @@ object Profile {
       .agg(max(col("__tot")).as("total_w"), min(col("__v")).as("value"))
   }
 
+  /** Population Stability Index between a baseline and a current sample
+    * over fixed [lo, hi) equi-width bins (plus underflow/overflow bins) —
+    * the train/serve drift metric ML-ops alarms on (rule of thumb:
+    * PSI > 0.2 = shifted). Bins come from [[histogram]]'s arithmetic with
+    * CALLER-FIXED bounds, so the binning is deterministic and the two
+    * sides share it; add-one smoothing keeps empty bins finite. Each
+    * term (p−q)·ln(p/q) takes the 6-dp-rounded ln and lands in
+    * DECIMAL(18,8), so the k-bin sum is order-exact and replayable.
+    * NULL values are excluded. Output: one row
+    * (n_base, n_current, psi). */
+  def psi(base: DataFrame, current: DataFrame, valueCol: String,
+          lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val hb = histogram(base.where(col(valueCol).isNotNull), valueCol,
+      lo, hi, nBins).withColumnRenamed("n", "__nb")
+    val hc = histogram(current.where(col(valueCol).isNotNull), valueCol,
+      lo, hi, nBins).withColumnRenamed("n", "__nc")
+    val k = nBins + 2 // under/overflow participate
+    val joined = hb.join(hc, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("__nb"), lit(0L)).as("__nb"),
+        coalesce(col("__nc"), lit(0L)).as("__nc"))
+    val totals = joined.agg(sum(col("__nb")).as("n_base"),
+      sum(col("__nc")).as("n_current"))
+    val p = (col("__nb") + 1).cast("double") /
+      (col("n_base") + k).cast("double")
+    val q = (col("__nc") + 1).cast("double") /
+      (col("n_current") + k).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("n_base"), col("n_current"),
+        round((p - q) * round(log(p / q), 6), 8)
+          .cast("decimal(18,8)").as("__t"))
+      .groupBy(col("n_base"), col("n_current"))
+      .agg(round(sum(col("__t")).cast("string").cast("double"), 6)
+        .as("psi"))
+  }
+
+  /** Mutual information between two categorical columns, in nats —
+    * MI = Σ (n_xy/n)·ln(n_xy·n/(n_x·n_y)) — the dependence measure that
+    * catches what correlation can't (non-linear, categorical). All
+    * probabilities are exact-integer ratios; the ln argument is an
+    * exact-int ratio too, so both engines feed ln the identical double;
+    * each term rounds 8 dp into DECIMAL so the cell sum is order-exact.
+    * NULL in either column is excluded (treat NULL as a category by
+    * coalescing upstream if wanted). Joint cells fold from one
+    * aggregate; marginals are window sums over the CELL table (the
+    * chi-square shape — never a second raw scan). */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val nx = sum(col("__c")).over(Window.partitionBy(col("__x")))
+    val ny = sum(col("__c")).over(Window.partitionBy(col("__y")))
+    val n = sum(col("__c")).over(Window.partitionBy())
+    val t = cells.select(col("__c"), nx.as("__nx"), ny.as("__ny"),
+      n.as("__n"))
+    t.select(col("__n"),
+        round(col("__c").cast("double") / col("__n").cast("double") *
+          round(log((col("__c") * col("__n")).cast("double") /
+            (col("__nx") * col("__ny")).cast("double")), 6), 8)
+          .cast("decimal(18,8)").as("__t"))
+      .groupBy(col("__n").as("n"))
+      .agg(round(sum(col("__t")).cast("string").cast("double"), 6)
+        .as("mi"))
+  }
+
   /** Per-group equi-depth quantile bin ASSIGNMENT (ntile) — the feature-
     * binning step before bucketed models / calibration: every non-NULL row
     * gets a bucket in [1, k], sizes differing by at most one per group.

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grid-blocked spatial operators over integer planar coordinates —
@@ -50,6 +51,34 @@ object Spatial {
     a.join(b, Seq("__jx", "__jy"))
       .where(col("id_a") < col("id_b") && d2 <= lit(radius * radius))
       .select(col("id_a"), col("id_b"), d2.as("d2"))
+  }
+
+  /** Per-key Manhattan path statistics over an ordered point sequence
+    * (GPS tracks, cursor traces, warehouse routes): total L1 path length
+    * Σ(|Δx|+|Δy|), segment count, and the net start-to-end L1
+    * displacement — exact 64-bit integers throughout (Euclidean length
+    * needs per-segment sqrt; L1 keeps the fold integer-exact and
+    * engine-replayable, and is the standard grid-movement metric).
+    * One key-sharded lag window + one key aggregate; the start/end
+    * fold uses min/max(struct(seq, coord)) so no second window pass. */
+  def pathStats(df: DataFrame, keyCols: Seq[String], xCol: String,
+                yCol: String, seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "pathStats: need at least one key column")
+    val ks = keyCols.map(col)
+    val w = Window.partitionBy(ks: _*).orderBy(col(seqCol).asc)
+    val stepped = df
+      .withColumn("__px", lag(col(xCol), 1).over(w))
+      .withColumn("__py", lag(col(yCol), 1).over(w))
+    stepped.groupBy(ks: _*)
+      .agg(count(lit(1)).as("n_points"),
+        coalesce(sum(abs(col(xCol) - col("__px")) +
+          abs(col(yCol) - col("__py"))), lit(0L)).as("path_len"),
+        min(struct(col(seqCol), col(xCol), col(yCol))).as("__first"),
+        max(struct(col(seqCol), col(xCol), col(yCol))).as("__last"))
+      .select((ks :+ col("n_points") :+ col("path_len") :+
+        (abs(col(s"__last.$xCol") - col(s"__first.$xCol")) +
+         abs(col(s"__last.$yCol") - col(s"__first.$yCol")))
+          .as("net_displacement")): _*)
   }
 
   /** Point-in-polygon by exact-integer ray casting: a horizontal ray from

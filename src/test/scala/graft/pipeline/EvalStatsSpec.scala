@@ -216,6 +216,61 @@ class EvalStatsSpec extends SparkSpec {
     assert(out == Seq(3L, 3L, 4L, 3L, 2L, 0.555556, 0.666667))
   }
 
+  // ---------------------------------------------------------------- psi / mutualInfo
+
+  test("psi: identical samples score 0; a shifted sample scores > 0") {
+    val a = (1 to 50).map(i => Tuple1((i % 10).toDouble)).toDF("v")
+    val same = rows(Profile.psi(a, a, "v", 0.0, 10.0, 5)).head
+    assert(same == Seq(50L, 50L, 0.0))
+    val b = (1 to 50).map(i => Tuple1((i % 10).toDouble + 5.0)).toDF("v")
+    val shifted = rows(Profile.psi(a, b, "v", 0.0, 10.0, 5)).head
+    assert(shifted(2).asInstanceOf[Double] > 0.5)
+  }
+
+  test("mutualInfo: independence gives 0, identity gives ln 2") {
+    val indep = (0 until 40).map(i => (s"x${i % 2}", s"y${i / 2 % 2}"))
+      .toDF("x", "y")
+    assert(rows(Profile.mutualInfo(indep, "x", "y")).head == Seq(40L, 0.0))
+    val ident = (0 until 40).map(i => (s"v${i % 2}", s"v${i % 2}"))
+      .toDF("x", "y")
+    val mi = rows(Profile.mutualInfo(ident, "x", "y")).head
+    assert(mi(1) == 0.693147) // ln 2, 6 dp
+  }
+
+  // ---------------------------------------------------------------- pathStats
+
+  test("pathStats: L1 length, segment handling, net displacement") {
+    val df = Seq(("a", 1L, 0L, 0L), ("a", 2L, 3L, 4L), ("a", 3L, 3L, 0L),
+      ("b", 1L, 5L, 5L)).toDF("k", "seq", "x", "y")
+    withPartitionings(df) { d =>
+      val out = rows(Spatial.pathStats(d, Seq("k"), "x", "y", "seq")
+        .orderBy("k"))
+      // a: |3|+|4| + |0|+|4| = 11; net = |3-0|+|0-0| = 3; b: single point
+      assert(out == Seq(Seq("a", 3L, 11L, 3L), Seq("b", 1L, 0L, 0L)))
+    }
+  }
+
+  // ---------------------------------------------------------------- linearAttribution
+
+  test("linearAttribution: exact mills with remainder to the earliest touch") {
+    val df = Seq((1L, 10L, "view", 1L), (1L, 20L, "click", 2L),
+      (1L, 30L, "view", 3L), (1L, 40L, "purchase", 4L),
+      (1L, 50L, "view", 5L), // after conversion: no credit
+      (2L, 10L, "view", 6L)) // never converts
+      .toDF("u", "sec", "tp", "id")
+      .select(col("u"), timestamp_seconds(col("sec")).as("ts"), col("tp"),
+        col("id"))
+    val out = rows(Events.linearAttribution(df, "u", "ts", "tp", "id",
+      Seq("view", "click"), "purchase").orderBy("id"))
+    assert(out.map(r => (r(1), r.last)) ==
+      Seq((1L, 333334L), (2L, 333333L), (3L, 333333L)))
+    assert(out.map(_.last.asInstanceOf[Long]).sum == 1000000L)
+    intercept[IllegalArgumentException] {
+      Events.linearAttribution(df, "u", "ts", "tp", "id",
+        Seq("view"), "view")
+    }
+  }
+
   // ---------------------------------------------------------------- pointInPolygon
 
   test("pointInPolygon: square, notch of an L-shape, and outside") {
