@@ -79,6 +79,15 @@ object GraftExtensions {
           s"hashed_linear_mills: dims must be an int literal, got $other")
       }
       graft.functions.HashedLinearMills(children.head, d)
+    },
+    "skipgram_generate" -> { children =>
+      require(children.length == 2, "skipgram_generate(tokens, window) takes 2 arguments")
+      val w = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"skipgram_generate: window must be an int literal, got $other")
+      }
+      graft.functions.SkipgramGenerate(children.head, w)
     })
 
   /** Register as session-scoped temp functions on a live session. */

@@ -3598,6 +3598,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_touches"),
           sum(col("credit_mills")).as("total_credit")))
 
+  private def qNotIn(s: SparkSession, d: String): DataFrame = {
+    // ANSI NOT IN three-valued semantics, proven against DuckDB's own
+    // NOT IN: customers with no orders (clean subquery) vs the SAME
+    // subquery with one NULL injected — which must empty the result.
+    val cust = Tables.customer(s, d)
+    val orderKeys = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val withNull = orderKeys.unionByName(
+      cust.limit(1).select(lit(null).cast("long").as("k")))
+    def tally(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("c_custkey")), lit(0L)).as("key_sum"))
+        .select(lit(label).as("label"), col("n"), col("key_sum"))
+    Relational.sort(col("label"))(
+      tally("clean", Relational.notInSubquery(cust, "c_custkey",
+        orderKeys, "k")).unionByName(
+        tally("with_null", Relational.notInSubquery(cust, "c_custkey",
+          withNull, "k"))))
+  }
+
+  private def qStreak(s: SparkSession, d: String): DataFrame =
+    // Longest consecutive-active-day streak per user via the
+    // gaps-and-islands constant; earliest-start tie-break.
+    Relational.sort(col("user_id"))(
+      graft.pipeline.Events.longestStreak(Tables.events(s, d),
+        "user_id", "ts")
+        .withColumn("streak_start",
+          date_format(col("streak_start"), "yyyy-MM-dd")))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3851,6 +3879,8 @@ object SparkEntry {
     "q_mutual_info" -> (qMutualInfo _),
     "q_path_length" -> (qPathLength _),
     "q_multi_touch" -> (qMultiTouch _),
+    "q_not_in" -> (qNotIn _),
+    "q_streak" -> (qStreak _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -7010,5 +7040,37 @@ object SparkEntry {
         |    CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END) AS BIGINT)
         |    AS total_credit
         |FROM touch GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // NOT IN proven against the engine-native predicate: one NULL in
+    // the subquery must empty the result.
+    "q_not_in" ->
+      """SELECT 'clean' AS label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS key_sum
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'with_null', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT)
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |  UNION ALL SELECT NULL)
+        |ORDER BY label""".stripMargin,
+    // Longest streak: gaps-and-islands constant over the (user, day)
+    // table; earliest start on length ties.
+    "q_streak" ->
+      """WITH pk AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |i AS (SELECT user_id, d,
+        |    (d - DATE '1970-01-01') - row_number() OVER (
+        |      PARTITION BY user_id ORDER BY d) AS isl FROM pk),
+        |r AS (SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len,
+        |    MIN(d) AS st FROM i GROUP BY user_id, isl),
+        |a AS (SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+        |    CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |    CAST(MAX(len) AS BIGINT) AS longest FROM r GROUP BY user_id)
+        |SELECT a.user_id, a.n_days, a.n_streaks, a.longest,
+        |  strftime(MIN(r.st), '%Y-%m-%d') AS streak_start
+        |FROM a JOIN r ON r.user_id = a.user_id AND r.len = a.longest
+        |GROUP BY a.user_id, a.n_days, a.n_streaks, a.longest
+        |ORDER BY a.user_id""".stripMargin,
   )
 }

@@ -1043,4 +1043,31 @@ object Relational {
                loCol: String, hiCol: String): DataFrame =
     facts.join(org.apache.spark.sql.functions.broadcast(bands),
       col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol), "inner")
+
+  /** ANSI `NOT IN (subquery)` with the full three-valued semantics — the
+    * SQL trap a plain anti-join silently gets wrong: `x NOT IN (S)`
+    * unrolls to `x≠s₁ AND x≠s₂ AND …`, so ONE NULL in S makes every
+    * conjunction UNKNOWN (no row ever qualifies), and a NULL x is
+    * likewise never kept. A null-oblivious LEFT ANTI keeps such rows and
+    * corrupts the result.
+    *
+    * Shape: one scalar aggregate of the subquery side (total + null
+    * count — broadcast, one row) plus one left anti join on the
+    * non-NULL subquery values; the anti join itself can broadcast or
+    * shuffle as sizes dictate. An empty S keeps everything (vacuous
+    * truth), INCLUDING NULL x — per the standard. */
+  def notInSubquery(df: DataFrame, valueCol: String, sub: DataFrame,
+                    subCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val stats = sub.agg(count(lit(1)).as("__s_total"),
+      sum(when(col(subCol).isNull, 1L).otherwise(0L)).as("__s_nulls"))
+    val vals = sub.where(col(subCol).isNotNull)
+      .select(col(subCol).as("__sv")).distinct()
+    df.crossJoin(bc(stats))
+      .where(coalesce(col("__s_nulls"), lit(0L)) === 0 &&
+        (coalesce(col("__s_total"), lit(0L)) === 0 ||
+          col(valueCol).isNotNull))
+      .join(vals, col(valueCol) === col("__sv"), "left_anti")
+      .drop("__s_total", "__s_nulls")
+  }
 }

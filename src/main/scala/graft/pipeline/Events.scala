@@ -394,6 +394,35 @@ object Events {
       .drop("__t")
   }
 
+  /** Longest consecutive-day activity streak per key (the engagement
+    * metric gamified apps pin badges on): dedup to (key, day), then the
+    * classic gaps-and-islands constant — day-number minus the per-key
+    * row_number is invariant exactly within a consecutive run — groups
+    * runs without any self-join. Output per key: distinct active days,
+    * number of streaks, the longest streak length, and that streak's
+    * start day (ties → earliest, folded as one max(struct(len, −start))
+    * — the concurrencyProfile argmax idiom). One key-sharded window +
+    * two keyed aggregates. */
+  def longestStreak(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val perDay = df.select(col(keyCol),
+        to_date(date_trunc("day", col(tsCol))).as("__d")).distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d").asc)
+    val runs = perDay
+      .withColumn("__island", datediff(col("__d"), lit("1970-01-01")) -
+        row_number().over(w))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(count(lit(1)).as("__len"), min(col("__d")).as("__start"))
+    runs.groupBy(col(keyCol))
+      .agg(sum(col("__len")).as("n_days"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("__len"),
+          (-datediff(col("__start"), lit("1970-01-01"))).as("__negs"),
+          col("__start"))).as("__best"))
+      .select(col(keyCol), col("n_days"), col("n_streaks"),
+        col("__best.__len").as("longest"),
+        col("__best.__start").as("streak_start"))
+  }
+
   /** Linear multi-touch attribution with EXACT integer credit: each
     * user's first conversion distributes 1,000,000 credit mills equally
     * across their touch events strictly before it — base = 10⁶ div n

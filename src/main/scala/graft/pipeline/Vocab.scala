@@ -63,13 +63,27 @@ object Vocab {
     * document contributes one (token_i, token_j) observation; counts
     * aggregate corpus-wide.
     *
-    * Pairs are GENERATED partition-locally by a codegen'd
-    * transform/flatten over each document's token array — no positional
-    * self-join (which would fan a t-token document into t² intermediate
-    * rows at the join before the window filter; the HOF emits exactly
-    * the ≤ 2·window·t real pairs). The only shuffle is the final
-    * (center, context) count aggregate, with map-side partials. */
+    * Pairs stream out of the native [[graft.functions.SkipgramGenerate]]
+    * generator — no positional self-join (t² join intermediates) and no
+    * HOF struct-array churn (see the generator's scaladoc; the HOF form
+    * below is retained as the property-spec reference). The only
+    * shuffle is the final (center, context) count aggregate, with
+    * map-side partials. */
   def skipgramPairs(docs: DataFrame, textCol: String, window: Int): DataFrame = {
+    require(window >= 1, "skipgramPairs: window must be >= 1")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val gen = ColumnBridge.toColumn(graft.functions.SkipgramGenerate(
+      ColumnBridge.toExpr(Scoring.tokenize(col(textCol))), window))
+    docs.select(gen.as(Seq("center", "context")))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Composable-HOF reference implementation of [[skipgramPairs]] —
+    * identical pair multiset (spec-asserted); kept as the executable
+    * specification the native generator is verified against. */
+  private[pipeline] def skipgramPairsHof(docs: DataFrame, textCol: String,
+                                         window: Int): DataFrame = {
     require(window >= 1, "skipgramPairs: window must be >= 1")
     val offsets = array(((-window to window).filter(_ != 0))
       .map(o => lit(o)): _*)

@@ -85,6 +85,20 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("notInSubquery: full three-valued NOT IN semantics") {
+    val df = Seq(Some(1L), Some(2L), Some(3L), None).toDF("v")
+    val clean = Seq(2L).toDF("s")
+    // plain case: 2 removed, NULL x removed (unknown), 1 and 3 kept
+    assert(rows(Relational.notInSubquery(df, "v", clean, "s")
+      .orderBy("v")).map(_.head) == Seq(1L, 3L))
+    // one NULL in the subquery: nothing qualifies
+    val withNull = Seq(Some(2L), None).toDF("s")
+    assert(rows(Relational.notInSubquery(df, "v", withNull, "s")).isEmpty)
+    // empty subquery: vacuous truth keeps EVERYTHING, including NULL x
+    val empty = Seq.empty[Option[Long]].toDF("s")
+    assert(rows(Relational.notInSubquery(df, "v", empty, "s")).size == 4)
+  }
+
   test("tukeyFences: nearest-rank quartiles and the outlier tally") {
     val df = ((1 to 7).map(v => ("g", v.toDouble)) :+ ("g", 100.0))
       .toDF("g", "v")

@@ -240,6 +240,23 @@ class EventsSpec extends SparkSpec {
     assert(out == Seq(Seq(2L)))
   }
 
+  test("longestStreak: islands, tie-break to earliest, multi-event days") {
+    val days = Seq((1L, 1), (1L, 2), (1L, 3), (1L, 5), (1L, 6), (1L, 6),
+      (2L, 7), (2L, 9), (2L, 10)) // u1: runs 3+2; u2: runs 1+2
+    val df = days.map { case (u, dd) => (u, f"2024-01-$dd%02d 08:00:00") }
+      .toDF("u", "t").select(col("u"), to_timestamp(col("t")).as("ts"))
+    val out = rows(Events.longestStreak(df, "u", "ts").orderBy("u"))
+      .map(r => (r.head, r(1), r(2), r(3), r(4).toString))
+    assert(out == Seq((1L, 5L, 2L, 3L, "2024-01-01"),
+      (2L, 3L, 2L, 2L, "2024-01-09")))
+    // equal-length runs: earliest start wins
+    val tied = Seq((3L, 1), (3L, 2), (3L, 4), (3L, 5))
+      .map { case (u, dd) => (u, f"2024-01-$dd%02d 08:00:00") }
+      .toDF("u", "t").select(col("u"), to_timestamp(col("t")).as("ts"))
+    assert(rows(Events.longestStreak(tied, "u", "ts")).head(4).toString ==
+      "2024-01-01")
+  }
+
   test("typeNgrams: adjacent trigrams with distinct-key support") {
     val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
       (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))

@@ -54,6 +54,19 @@ class SessionTextOpsSpec extends SparkSpec {
     }
   }
 
+  test("skipgramPairs: native generator equals the HOF reference") {
+    val texts = Seq("a b c d e a b", "x y x y x", "one two", "solo", "",
+      "p q r s t u v w x y z")
+    val docs = texts.map(Tuple1(_)).toDF("text")
+    for (w <- 1 to 3) {
+      val gen = rows(Vocab.skipgramPairs(docs, "text", w)
+        .orderBy("center", "context"))
+      val hof = rows(Vocab.skipgramPairsHof(docs, "text", w)
+        .orderBy("center", "context"))
+      assert(gen == hof, s"window $w")
+    }
+  }
+
   test("apportion: seats sum to total, remainders ranked, tie by key") {
     // w = (3, 3, 4) over T=5: bases (1,1,2), remainders (5,5,0) — the one
     // leftover seat goes to the smaller key of the tied remainders
