@@ -3626,6 +3626,82 @@ object SparkEntry {
         .withColumn("streak_start",
           date_format(col("streak_start"), "yyyy-MM-dd")))
 
+  private def qFkDiscovery(s: SparkSession, d: String): DataFrame = {
+    // Inclusion-dependency audit: two true FKs (containment 1.0) and a
+    // deliberately wrong pair — the schema-discovery probe.
+    import graft.pipeline.Checks
+    def one(label: String, c: DataFrame, cc: String, p: DataFrame,
+            pc: String): DataFrame =
+      Checks.inclusionDependency(c, cc, p, pc)
+        .select(lit(label).as("pair"), col("n_child_distinct"),
+          col("n_missing"), col("containment"))
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    Relational.sort(col("pair"))(
+      one("li_orderkey_in_orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(one("o_custkey_in_customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(one("o_orderkey_in_customer", o, "o_orderkey", c, "c_custkey")))
+  }
+
+  // k=21: six genuine peeling rounds at sf0.01 with a 908-node core
+  // surviving (k=22 cascades to empty; k=18 barely peels)
+  private val KcoreK = 21
+  private val KcoreRounds = 10
+
+  private def qKcore(s: SparkSession, d: String): DataFrame = {
+    // k-core of a 997-node co-occurrence graph: iterative peeling to
+    // the fixpoint (monotone — the oracle's fixed unroll is safe).
+    val o = Tables.orders(s, d)
+    val edges = o.select(pmod(col("o_custkey"), lit(997L)).as("x"),
+      pmod(col("o_orderkey"), lit(997L)).as("y"))
+    Relational.sort(col("node"))(
+      graft.pipeline.Graph.kCore(edges, "x", "y", k = KcoreK,
+        maxRounds = KcoreRounds))
+  }
+
+  /** The q_kcore oracle unrolls the peeling loop `rounds` times as a
+    * CTE chain (the q_pagerank standard); extra rounds past the engine's
+    * fixpoint are no-ops because peeling is monotone. */
+  private def kcoreOracleSql(rounds: Int, k: Int): String = {
+    // every CTE is MATERIALIZED: with inlining each round references the
+    // previous one several times and the expansion (and its file opens)
+    // grows exponentially — the BPE-oracle lesson
+    val sb = new StringBuilder
+    sb.append("WITH e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, " +
+      "greatest(x, y) AS b FROM (SELECT o_custkey % 997 AS x, " +
+      "o_orderkey % 997 AS y FROM orders) WHERE x <> y),\n")
+    for (r <- 1 to rounds) {
+      sb.append(s"d$r AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (" +
+        s"SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) " +
+        s"GROUP BY node),\n")
+      sb.append(s"k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),\n")
+      sb.append(s"e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e " +
+        s"JOIN k$r ka ON ka.node = e.a JOIN k$r kb ON kb.node = e.b),\n")
+    }
+    sb.append(s"fin AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree " +
+      s"FROM (SELECT a AS node FROM e$rounds UNION ALL " +
+      s"SELECT b FROM e$rounds) GROUP BY node)\n")
+    sb.append(s"SELECT node, degree FROM fin WHERE degree >= $k ORDER BY node")
+    sb.toString
+  }
+
+  private def qTrimmedMean(s: SparkSession, d: String): DataFrame =
+    // 10%-each-side trimmed mean per flag from the distinct-value
+    // rank-interval overlap — no per-row ranks.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.trimmedMean(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", trimNum = 1, trimDen = 10))
+
+  private def qRebalance(s: SparkSession, d: String): DataFrame =
+    // Deterministic class rebalancing to the smallest class's size;
+    // aggregated per class with the key sum pinning WHICH rows survive.
+    Relational.sort(col("o_orderpriority"))(
+      graft.pipeline.Sampling.rebalanceClasses(Tables.orders(s, d),
+        "o_orderpriority", Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum")))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3881,6 +3957,10 @@ object SparkEntry {
     "q_multi_touch" -> (qMultiTouch _),
     "q_not_in" -> (qNotIn _),
     "q_streak" -> (qStreak _),
+    "q_fk_discovery" -> (qFkDiscovery _),
+    "q_kcore" -> (qKcore _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_rebalance" -> (qRebalance _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -7072,5 +7152,74 @@ object SparkEntry {
         |FROM a JOIN r ON r.user_id = a.user_id AND r.len = a.longest
         |GROUP BY a.user_id, a.n_days, a.n_streaks, a.longest
         |ORDER BY a.user_id""".stripMargin,
+    // Inclusion dependency: distinct child values missing from parent.
+    "q_fk_discovery" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS v FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL),
+        |lim AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM li
+        |  WHERE v NOT IN (SELECT o_orderkey FROM orders
+        |    WHERE o_orderkey IS NOT NULL)),
+        |lic AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM li),
+        |oc AS (SELECT DISTINCT o_custkey AS v FROM orders
+        |  WHERE o_custkey IS NOT NULL),
+        |ocm AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM oc
+        |  WHERE v NOT IN (SELECT c_custkey FROM customer
+        |    WHERE c_custkey IS NOT NULL)),
+        |occ AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM oc),
+        |oo AS (SELECT DISTINCT o_orderkey AS v FROM orders
+        |  WHERE o_orderkey IS NOT NULL),
+        |oom AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm FROM oo
+        |  WHERE v NOT IN (SELECT c_custkey FROM customer
+        |    WHERE c_custkey IS NOT NULL)),
+        |ooc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM oo)
+        |SELECT 'li_orderkey_in_orders' AS pair, nc AS n_child_distinct,
+        |  nm AS n_missing, CASE WHEN nc > 0 THEN round(1.0 -
+        |    CAST(nm AS DOUBLE) / CAST(nc AS DOUBLE), 6) END AS containment
+        |FROM lic CROSS JOIN lim
+        |UNION ALL
+        |SELECT 'o_custkey_in_customer', nc, nm, CASE WHEN nc > 0 THEN
+        |  round(1.0 - CAST(nm AS DOUBLE) / CAST(nc AS DOUBLE), 6) END
+        |FROM occ CROSS JOIN ocm
+        |UNION ALL
+        |SELECT 'o_orderkey_in_customer', nc, nm, CASE WHEN nc > 0 THEN
+        |  round(1.0 - CAST(nm AS DOUBLE) / CAST(nc AS DOUBLE), 6) END
+        |FROM ooc CROSS JOIN oom
+        |ORDER BY pair""".stripMargin,
+    "q_kcore" -> kcoreOracleSql(KcoreRounds, KcoreK),
+    // Trimmed mean: kept multiplicity = rank-interval overlap.
+    "q_trimmed_mean" ->
+      """WITH dv AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY g, v),
+        |rk AS (SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n FROM dv),
+        |t AS (SELECT g, v, c, cum, n, (n * 1) // 10 AS tt FROM rk),
+        |kk AS (SELECT g, n, tt, v, greatest(0, least(cum, n - tt) -
+        |    greatest(cum - c + 1, tt + 1) + 1) AS kept FROM t),
+        |ag AS (SELECT g, MAX(n) AS n, CAST(MAX(tt) AS BIGINT) AS tt,
+        |    CAST(SUM(kept) AS BIGINT) AS n_kept, SUM(v * kept) AS ks
+        |  FROM kk GROUP BY g)
+        |SELECT g AS l_returnflag, n, tt AS n_trimmed_each_side, n_kept,
+        |  CASE WHEN n_kept > 0 THEN round(
+        |    CAST(CAST(ks AS VARCHAR) AS DOUBLE) / CAST(n_kept AS DOUBLE),
+        |    6) END AS mean
+        |FROM ag ORDER BY l_returnflag""".stripMargin,
+    // Rebalance: cap at the smallest class, portable-hash rank replay.
+    "q_rebalance" ->
+      """WITH cn AS (SELECT o_orderpriority AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY g),
+        |mn AS (SELECT MIN(c) AS mc FROM cn),
+        |b AS (SELECT o_orderkey, o_orderpriority AS g,
+        |    ((o_orderkey % 2147483648) * 2654435761 % 2147483648)
+        |      % 2147483648 % 1000000 AS bk FROM orders),
+        |r AS (SELECT o_orderkey, g, row_number() OVER (PARTITION BY g
+        |    ORDER BY bk, o_orderkey) AS rn FROM b)
+        |SELECT g AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM r CROSS JOIN mn WHERE rn <= mc GROUP BY g ORDER BY g""".stripMargin,
   )
 }

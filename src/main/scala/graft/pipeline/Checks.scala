@@ -220,6 +220,31 @@ object Checks {
           (col("__t").cast("double") * expected), 6).as("chi2_term"))
   }
 
+  /** Inclusion-dependency (foreign-key candidate) audit: how much of
+    * `child.childCol`'s DISTINCT value set is contained in
+    * `parent.parentCol` — the schema-discovery probe ("is this column a
+    * FK of that one?") and the referential-integrity health number.
+    * Both sides reduce to distinct-value tables BEFORE the anti-join
+    * (at 100 TB the dedup is the big reduction); NULLs are excluded
+    * (they reference nothing). Output: one row
+    * (n_child_distinct, n_missing, containment 6 dp; containment NULL
+    * when the child has no non-NULL values). */
+  def inclusionDependency(child: DataFrame, childCol: String,
+                          parent: DataFrame, parentCol: String): DataFrame = {
+    val cv = child.where(col(childCol).isNotNull)
+      .select(col(childCol).as("__v")).distinct()
+    val pv = parent.where(col(parentCol).isNotNull)
+      .select(col(parentCol).as("__v")).distinct()
+    val miss = cv.join(pv, Seq("__v"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    cv.agg(count(lit(1)).as("n_child_distinct"))
+      .crossJoin(broadcast(miss))
+      .select(col("n_child_distinct"), col("n_missing"),
+        when(col("n_child_distinct") > 0, round(
+          lit(1.0) - col("n_missing").cast("double") /
+            col("n_child_distinct").cast("double"), 6)).as("containment"))
+  }
+
   /** Two-table aggregate reconciliation — the finance-ops "do the books
     * agree" audit: per key, each side's exact DECIMAL sum and row count,
     * their difference, and a status — `match` (|diff| ≤ tol),

@@ -191,6 +191,57 @@ object Graph {
             (dd * (dd - lit(1.0)))), 6).as("coefficient"))
   }
 
+  /** k-core decomposition: iteratively peel nodes of degree < k until
+    * the remaining subgraph is stable — the standard dense-community /
+    * influential-node filter. Each round is one degree aggregate + one
+    * both-endpoints semi-join over the canonical (a<b, deduped,
+    * self-loop-free) edge set; peeling is MONOTONE, so extra rounds
+    * after the fixpoint are no-ops (what lets a replay unroll a fixed
+    * round count — the oracle contract). The loop stops when the edge
+    * count stops shrinking; `maxRounds` is require()d loud because an
+    * unconverged core would silently overcount. Output: surviving
+    * (node, degree) — degrees WITHIN the core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    // localCheckpoint (eager) per round, NOT just persist: each round
+    // references the previous edge set THREE times (degree union twice,
+    // join probe once), so un-truncated lineage grows 3^rounds — the
+    // analyzer itself becomes the bottleneck long before execution
+    // (pageRank's linear-lineage note is the contrast: one reference per
+    // round needs no truncation).
+    var e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    var eCount = e.count()
+    var rounds = 0
+    var converged = eCount == 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kCore: not converged after $maxRounds rounds ($eCount edges live)")
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("__deg"))
+      val keep = deg.where(col("__deg") >= k).select(col("node"))
+      val next = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      e = next
+      converged = nextCount == eCount || nextCount == 0
+      eCount = nextCount
+    }
+    val out = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .where(col("degree") >= k)
+    out
+  }
+
   /** Multi-source BFS over a DIRECTED edge list: minimum hop distance
     * from any source node, up to `maxHops`. The reachability/radius
     * primitive (impact analysis, social distance, dependency fan-out).
@@ -214,10 +265,12 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist(mem)
     e.count()
+    // localCheckpoint the per-round state: settled is referenced TWICE
+    // per round (anti-join + union), so plain persist would still grow
+    // the LOGICAL plan 2^rounds — the kCore lineage lesson.
     var frontier = sources.select(col(idCol).cast("long").as("id"))
-      .where(col("id").isNotNull).distinct().persist(mem)
-    var settled = frontier.withColumn("hops", lit(0L)).persist(mem)
-    settled.count()
+      .where(col("id").isNotNull).distinct().localCheckpoint(true)
+    var settled = frontier.withColumn("hops", lit(0L)).localCheckpoint(true)
     var hop = 0L
     var frontierSize = frontier.count()
     while (frontierSize > 0 && hop < maxHops) {
@@ -225,17 +278,14 @@ object Graph {
       val next = e.join(frontier.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
-        .persist(mem)
+        .localCheckpoint(true)
       frontierSize = next.count()
-      val grown = settled
+      settled = settled
         .unionByName(next.withColumn("hops", lit(hop)))
-        .persist(mem)
-      grown.count()
-      settled.unpersist(); frontier.unpersist()
-      settled = grown
+        .localCheckpoint(true)
       frontier = next
     }
-    frontier.unpersist(); e.unpersist()
+    e.unpersist()
     settled
   }
 }

@@ -570,6 +570,46 @@ object Profile {
         .as("mi"))
   }
 
+  /** Exact trimmed mean per group: drop the lowest and highest
+    * `trimNum/trimDen` fraction of ROWS (t = ⌊n·num/den⌋ from each side,
+    * exact integer) and average the rest — the robust mean between
+    * plain mean (α=0) and median. Never materializes per-row ranks: per
+    * distinct value, the kept multiplicity is the overlap of its rank
+    * interval [cum−c+1, cum] with [t+1, n−t] — pure integer arithmetic
+    * over the distinct-value table; the kept mass folds in exact
+    * DECIMAL and divides once through the digit string. Groups left
+    * empty by trimming (n ≤ 2t) report NULL.
+    * Output: (group, n, n_trimmed_each_side, n_kept, mean). */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimNum: Long, trimDen: Long): DataFrame = {
+    require(trimNum >= 0 && trimDen >= 1 && trimNum * 2 < trimDen,
+      "trimmedMean: trim fraction must be in [0, 0.5)")
+    def d(c: Column) = c.cast("string").cast("double")
+    val dv = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = sum(col("__c")).over(
+      Window.partitionBy("__g").orderBy(col("__v")))
+    val n = sum(col("__c")).over(Window.partitionBy("__g"))
+    val ranked = dv.select(col("__g"), col("__v"), col("__c"),
+        cum.as("__cum"), n.as("__n"))
+      .withColumn("__t", expr(s"(__n * ${trimNum}L) div ${trimDen}L"))
+    val kept = greatest(lit(0L),
+      least(col("__cum"), col("__n") - col("__t")) -
+        greatest(col("__cum") - col("__c") + 1, col("__t") + 1) + 1)
+    ranked.withColumn("__kept", kept)
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__n")).as("n"), max(col("__t")).as("n_trimmed_each_side"),
+        sum(col("__kept")).as("n_kept"),
+        sum(col("__v") * col("__kept")).as("__ks"))
+      .select(col(groupCol), col("n"), col("n_trimmed_each_side"),
+        col("n_kept"),
+        when(col("n_kept") > 0,
+          round(d(col("__ks")) / col("n_kept").cast("double"), 6))
+          .as("mean"))
+  }
+
   /** Per-group equi-depth quantile bin ASSIGNMENT (ntile) — the feature-
     * binning step before bucketed models / calibration: every non-NULL row
     * gets a bucket in [1, k], sizes differing by at most one per group.

@@ -271,6 +271,33 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Class rebalancing by deterministic undersampling: cap every class
+    * at `ratioNum/ratioDen` times the SMALLEST class's size (ratio 1/1 =
+    * fully balanced), keeping each class's hash-rank-first rows — the
+    * majority-class downsampling step before training on skewed labels,
+    * with [[exactPerStratum]]'s reproducibility (a row's survival is a
+    * pure function of its keys and the class sizes). Class sizes fold
+    * in one aggregate and BROADCAST back; the per-class cap is exact
+    * integer arithmetic; the rank window shards by class (same scale
+    * contract as exactPerStratum — pre-thin gigantic classes first). */
+  def rebalanceClasses(df: DataFrame, labelCol: String, keyCols: Seq[String],
+                       ratioNum: Long = 1, ratioDen: Long = 1): DataFrame = {
+    require(ratioNum >= 1 && ratioDen >= 1,
+      "rebalanceClasses: ratio must be >= 1/den")
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__cn"))
+    val minC = counts.agg(min(col("__cn")).as("__minc"))
+    val capped = counts.crossJoin(broadcast(minC))
+      .select(col(labelCol),
+        expr(s"(__minc * ${ratioNum}L) div ${ratioDen}L").as("__cap"))
+    val b = portableBucket(keyCols.map(col))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy((b.asc +: keyCols.map(col)): _*)
+    df.join(broadcast(capped), Seq(labelCol))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= col("__cap"))
+      .drop("__rk", "__cap")
+  }
+
   /** Deterministic NEGATIVE-PAIR sampling for contrastive training —
     * "for every anchor, k pseudo-random partners with a DIFFERENT label"
     * without a cross join: candidate ids come from a modular affine walk

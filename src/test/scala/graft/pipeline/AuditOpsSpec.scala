@@ -99,6 +99,48 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows(Relational.notInSubquery(df, "v", empty, "s")).size == 4)
   }
 
+  test("inclusionDependency: containment fractions and NULL handling") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None).toDF("v")
+    val parent = Seq(1L, 2L, 9L).toDF("p")
+    val out = rows(Checks.inclusionDependency(child, "v", parent, "p")).head
+    // distinct non-NULL child {1,2,3}: 3 missing 1 → containment 2/3
+    assert(out == Seq(3L, 1L, 0.666667))
+    val empty = Seq.empty[Option[Long]].toDF("v")
+    assert(rows(Checks.inclusionDependency(empty, "v", parent, "p")).head ==
+      Seq(0L, 0L, null))
+  }
+
+  test("trimmedMean: boundary values keep partial multiplicity") {
+    // values: 1×1, 2×4, 9×4, 10×1 (n=10); trim 2/10 → t=2:
+    // keep ranks 3..8 = {2,2,2,9,9,9} → mean 5.5
+    val df = (Seq(1.0, 10.0) ++ Seq.fill(4)(2.0) ++ Seq.fill(4)(9.0))
+      .map(("g", _)).toDF("g", "v")
+    withPartitionings(df) { d =>
+      val out = rows(Profile.trimmedMean(d, "g", "v", 2, 10)).head
+      assert(out == Seq("g", 10L, 2L, 6L, 5.5))
+    }
+    // trimming everything → NULL mean
+    val tiny = Seq(("g", 1.0), ("g", 2.0)).toDF("g", "v")
+    assert(rows(Profile.trimmedMean(tiny, "g", "v", 4, 10)).head.last != null)
+    intercept[IllegalArgumentException] {
+      Profile.trimmedMean(tiny, "g", "v", 5, 10)
+    }
+  }
+
+  test("rebalanceClasses: every class capped at the smallest; deterministic") {
+    val df = (1L to 10L).map(i => (i, "big")) ++ Seq((11L, "small"), (12L, "small"))
+    val d2 = df.toDF("id", "lab")
+    withPartitionings(d2) { d =>
+      val out = Sampling.rebalanceClasses(d, "lab", Seq("id"))
+      val counts = rows(out.groupBy("lab").count().orderBy("lab"))
+      assert(counts == Seq(Seq("big", 2L), Seq("small", 2L)))
+    }
+    // 2:1 ratio keeps up to 4 of the majority
+    val r2 = Sampling.rebalanceClasses(d2, "lab", Seq("id"), 2, 1)
+    assert(rows(r2.groupBy("lab").count().orderBy("lab")) ==
+      Seq(Seq("big", 4L), Seq("small", 2L)))
+  }
+
   test("tukeyFences: nearest-rank quartiles and the outlier tally") {
     val df = ((1 to 7).map(v => ("g", v.toDouble)) :+ ("g", 100.0))
       .toDF("g", "v")

@@ -46,6 +46,21 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kCore: pendant peels off, cascade empties a path, dense survives") {
+    import spark.implicits._
+    val triPlus = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("s", "d")
+    // k=2: pendant 4 peels, triangle survives with in-core degrees 2
+    assert(rows(Graph.kCore(triPlus, "s", "d", k = 2).orderBy("node")) ==
+      Seq(Seq(1L, 2L), Seq(2L, 2L), Seq(3L, 2L)))
+    // path graph: peeling CASCADES to empty (ends peel, middles become ends)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(rows(Graph.kCore(path, "s", "d", k = 2)).isEmpty)
+    // round budget is loud
+    intercept[IllegalArgumentException] {
+      Graph.kCore(path, "s", "d", k = 2, maxRounds = 1)
+    }
+  }
+
   test("clusteringCoefficient: triangle plus pendant") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 1L))
