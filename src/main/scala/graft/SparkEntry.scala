@@ -1735,6 +1735,17 @@ object SparkEntry {
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("window_start", "event_type")
 
+  private def qStreamSliding(s: SparkSession, d: String): DataFrame = {
+    // EIGHTH true streaming gate: OVERLAPPING windows — four live
+    // window states per (type, event) that the sentinel-advanced
+    // watermark must all release; checkpoint-resumed, committed files
+    // read back, gated on the batch sliding oracle.
+    val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_stream_sliding_${ProcessHandle.current().pid()}")
+    graft.streaming.Streams.slidingStreamGate(s, d, work)
+      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("window_start", "event_type")
+  }
+
   private def qEnum(s: SparkSession, d: String): DataFrame = {
     val e = graft.types.GraftTypes.EnumDefinition(Seq(
       1 -> "1-URGENT", 2 -> "2-HIGH", 3 -> "3-MEDIUM",
@@ -3818,6 +3829,7 @@ object SparkEntry {
     "q_stream_outer_join" -> (qStreamOuterJoin _),
     "q_stream_static_filter" -> (qStreamStaticFilter _),
     "q_sliding_window" -> (qSlidingWindow _),
+    "q_stream_sliding" -> (qStreamSliding _),
     "q_enum" -> (qEnum _),
     "q_enum_storage" -> (qEnumStorage _),
     "q_expr_policy" -> (qExprPolicy _),
@@ -5032,6 +5044,13 @@ object SparkEntry {
         |   OR (event_id % 2 = 1 AND user_id % 10 NOT IN (0, 1))
         |ORDER BY user_id, event_id""".stripMargin,
     "q_sliding_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+        |  - to_minutes(CAST(15 * i.i AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |event_type, COUNT(*) AS n_events
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // TRUE streaming run of the sliding windows — same batch oracle.
+    "q_stream_sliding" ->
       """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
         |  - to_minutes(CAST(15 * i.i AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,
         |event_type, COUNT(*) AS n_events

@@ -283,6 +283,17 @@ object Streams {
   def windowedStreamGate(spark: SparkSession, sfDir: String, workDir: String): DataFrame =
     streamGate(spark, sfDir, workDir)(windowedStats(_))
 
+  /** OVERLAPPING (sliding) windows under the same harness — each event
+    * updates windowLen/slide window states at once, so the state store
+    * holds k live aggregates per (type, aligned-start) and the sentinel
+    * must release ALL of them; complements [[windowedStreamGate]], whose
+    * tumbling windows hold exactly one. Output = the batch sliding face
+    * (q_sliding_window's oracle). */
+  def slidingStreamGate(spark: SparkSession, sfDir: String, workDir: String,
+                        windowLen: String = "1 hour",
+                        slide: String = "15 minutes"): DataFrame =
+    streamGate(spark, sfDir, workDir)(slidingStats(_, windowLen, slide))
+
   /** Sessionization under the same harness: the stateful
     * flatMapGroupsWithState path runs as a TRUE streaming query — the
     * sentinel advances the watermark past every real session's
