@@ -3713,6 +3713,27 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum")))
 
+  private def qNaiveBayes(s: SparkSession, d: String): DataFrame = {
+    // Train on even docs (label = lang), classify odd docs; smoothing,
+    // priors and unseen-word mass all replayed by the oracle.
+    val docs = Tables.documents(s, d)
+    Relational.sort(col("doc_id"))(
+      graft.pipeline.Scoring.naiveBayes(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", "lang"))
+  }
+
+  private def qSortedBlocking(s: SparkSession, d: String): DataFrame =
+    // Sorted-neighborhood candidates over the normalized name, w=3:
+    // exactly n·w pairs by construction, banded rank join (no global
+    // self-join on rank inequality).
+    Relational.sort(col("id_a"), col("id_b"))(
+      graft.pipeline.Dedup.sortedNeighborhoodPairs(
+        Tables.customer(s, d).select(col("c_custkey"),
+          lower(col("c_name")).as("k")),
+        "c_custkey", "k", w = 3))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3973,6 +3994,8 @@ object SparkEntry {
     "q_kcore" -> (qKcore _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_rebalance" -> (qRebalance _),
+    "q_naive_bayes" -> (qNaiveBayes _),
+    "q_sorted_blocking" -> (qSortedBlocking _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -7240,5 +7263,49 @@ object SparkEntry {
         |SELECT g AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM r CROSS JOIN mn WHERE rn <= mc GROUP BY g ORDER BY g""".stripMargin,
+    // Multinomial NB: add-one smoothing, 6-dp decimal-summed lns,
+    // argmax with lexicographic tie-break.
+    "q_naive_bayes" ->
+      """WITH tr AS (SELECT lang AS l, doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |trtf AS (SELECT l, unnest(list_filter(string_split_regex(
+        |    lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w FROM tr),
+        |cnt AS (SELECT l, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM trtf GROUP BY l, w),
+        |tl AS (SELECT l, CAST(SUM(c) AS BIGINT) AS tt FROM cnt GROUP BY l),
+        |vs AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vv FROM cnt),
+        |pr AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS dd FROM tr GROUP BY l),
+        |prt AS (SELECT CAST(SUM(dd) AS BIGINT) AS dtot FROM pr),
+        |lab AS (SELECT pr.l, tl.tt, vs.vv,
+        |    CAST(round(ln(CAST(pr.dd AS DOUBLE) / CAST(prt.dtot AS DOUBLE)),
+        |      6) AS DECIMAL(18,6)) AS lnprior
+        |  FROM pr JOIN tl USING (l) CROSS JOIN vs CROSS JOIN prt),
+        |tetf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split_regex(
+        |      lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w FROM te)
+        |  GROUP BY doc_id, w),
+        |terms AS (SELECT t.doc_id, lab.l, lab.lnprior,
+        |    t.tf * CAST(round(ln(
+        |      CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+        |      CAST(lab.tt + lab.vv AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+        |  FROM tetf t CROSS JOIN lab
+        |  LEFT JOIN cnt c ON c.l = lab.l AND c.w = t.w),
+        |sc AS (SELECT doc_id, l, MAX(lnprior) + SUM(term) AS score
+        |  FROM terms GROUP BY doc_id, l),
+        |rk AS (SELECT doc_id, l, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, l ASC) AS rn FROM sc)
+        |SELECT doc_id, l AS predicted,
+        |  round(CAST(CAST(score AS VARCHAR) AS DOUBLE), 6) AS score
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // Sorted-neighborhood candidates: rank self-join replay.
+    "q_sorted_blocking" ->
+      """WITH r AS (SELECT c_custkey AS id, lower(c_name) AS k,
+        |    row_number() OVER (ORDER BY lower(c_name), c_custkey) AS rn
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+        |  CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -788,6 +788,42 @@ object Dedup {
         .reduce(_ + _).cast("double").as("score")): _*)
   }
 
+  /** Sorted-neighborhood blocking (the OTHER classic ER candidate
+    * generator besides key blocking and LSH): order records by a fuzzy
+    * sort key and pair every record with its `w` successors — typo-ed
+    * keys usually sort adjacently even when equality blocking separates
+    * them. Candidate volume is exactly n·w by construction (the skew
+    * guard key blocking lacks: a hot block can't explode).
+    *
+    * The rank is a global row_number over (key, id) — the one global
+    * sort this operator is ABOUT (at 100 TB: range-partition the sort
+    * and carry partition-offset ranks; the pairing below is unchanged).
+    * Pairing never self-joins on raw rank inequality: ranks band by
+    * ⌊rank/w⌋ and a pair within distance w spans at most two adjacent
+    * bands, so one keyed join per offset ∈ {0, 1} (deduped by the
+    * distance filter) finds every pair — recall is structural.
+    * Output: (id_a, id_b, key_a, key_b, rank_dist ∈ [1, w]). */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+                              sortKeyCol: String, w: Int): DataFrame = {
+    require(w >= 1, "sortedNeighborhoodPairs: window must be >= 1")
+    val ranked = df.select(col(idCol).as("__id"), col(sortKeyCol).as("__k"))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__k").asc, col("__id").asc)).cast("long"))
+    val a = ranked.select(col("__id").as("id_a"), col("__k").as("key_a"),
+      col("__rn").as("__ra"))
+    val b = ranked.select(col("__id").as("id_b"), col("__k").as("key_b"),
+      col("__rn").as("__rb"))
+    // the two offsets are mutually exclusive (same band vs next band),
+    // so the union is duplicate-free without a distinct
+    Seq(0, 1).map { off =>
+      a.withColumn("__band", expr(s"(__ra div ${w}L) + $off"))
+        .join(b.withColumn("__band", expr(s"__rb div ${w}L")), Seq("__band"))
+        .where((col("__rb") - col("__ra")).between(1, w))
+    }.reduce(_ unionByName _)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        (col("__rb") - col("__ra")).as("rank_dist"))
+  }
+
   /** Blocking-quality audit for a record-linkage setup: before running
     * [[linkageScores]] over a blocking key, measure what the key costs
     * and what it loses. Reduction ratio RR = 1 − candidates/(|L|·|R|)

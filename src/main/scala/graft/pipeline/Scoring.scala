@@ -319,6 +319,59 @@ object Scoring {
           col("n_ngrams").cast("double"), 6), lit(0.0)).as("novelty"))
   }
 
+  /** Multinomial naive Bayes with add-one smoothing, trained and scored
+    * entirely in-plan: per label, p(w|l) = (c_lw + 1)/(T_l + |V|) over
+    * the training term counts, priors from document counts; a test
+    * document's label score = ln prior + Σ tf·ln p(w|l), every ln
+    * rounded 6 dp and DECIMAL-summed (order-exact, engine-replayable),
+    * argmax per document with ties to the lexicographically smaller
+    * label. Words outside the training vocabulary still contribute the
+    * per-label unseen mass ln(1/(T_l+|V|)) — the textbook smoothing, not
+    * a silent drop.
+    *
+    * Shape: training reduces to the (label, word) count table; test
+    * documents explode to (doc, word, tf) and CROSS the bounded label
+    * set (|labels| rows — a broadcast), then one left join against the
+    * count table and one (doc, label) fold; the argmax is a doc-keyed
+    * rank window. Output: (id, predicted, score). */
+  def naiveBayes(train: DataFrame, test: DataFrame, idCol: String,
+                 textCol: String, labelCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    def ln6(c: Column) = round(log(c), 6).cast("decimal(18,6)")
+    val trainTf = train
+      .select(col(labelCol).as("__l"), explode(tokenize(col(textCol))).as("__w"))
+    val counts = trainTf.groupBy(col("__l"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val labelTotals = counts.groupBy(col("__l"))
+      .agg(sum(col("__c")).as("__T"))
+    val vocabSize = counts.select(col("__w")).distinct()
+      .agg(count(lit(1)).as("__V"))
+    val priors = train.groupBy(col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__D"))
+    val priorsTot = priors.agg(sum(col("__D")).as("__Dtot"))
+    val labels = priors.join(labelTotals, Seq("__l"))
+      .crossJoin(broadcast(vocabSize)).crossJoin(broadcast(priorsTot))
+      .select(col("__l"), col("__T"), col("__V"),
+        ln6(col("__D").cast("double") / col("__Dtot").cast("double"))
+          .as("__lnprior"))
+    val testTf = test
+      .select(col(idCol), explode(tokenize(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
+    val terms = testTf.crossJoin(broadcast(labels))
+      .join(counts, Seq("__l", "__w"), "left")
+      .withColumn("__term", col("__tf") *
+        ln6((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
+          (col("__T") + col("__V")).cast("double")))
+    val scored = terms.groupBy(col(idCol), col("__l"))
+      .agg((max(col("__lnprior")) + sum(col("__term"))).as("__score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("__l").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("__l").as("predicted"),
+        round(d(col("__score")), 6).as("score"))
+  }
+
   /** Leave-one-out target encoding: each row's category feature is the
     * mean of the TARGET over all OTHER rows of its category —
     * (Σ_cat − x) / (n_cat − 1) — the classic high-cardinality categorical

@@ -67,6 +67,35 @@ class SessionTextOpsSpec extends SparkSpec {
     }
   }
 
+  test("naiveBayes: classifies by word evidence; unseen words and ties") {
+    val train = Seq((1L, "spark spark rdd", "big"), (2L, "spark shuffle", "big"),
+      (3L, "cat dog", "pet"), (4L, "dog dog bird", "pet"))
+      .toDF("doc_id", "text", "lang")
+    val test = Seq((10L, "spark rdd shuffle"), (11L, "dog cat cat"),
+      (12L, "zzz unseen words")).toDF("doc_id", "text")
+    val out = rows(Scoring.naiveBayes(train, test, "doc_id", "text", "lang")
+      .orderBy("doc_id"))
+    assert(out.map(r => (r.head, r(1))) ==
+      Seq((10L, "big"), (11L, "pet"), (12L, "big")))
+    // doc 12: all words unseen — both labels get only unseen mass;
+    // T_big = 5, T_pet = 5, V = 7 → identical scores, tie → 'big'
+    assert(out(2)(1) == "big")
+  }
+
+  test("sortedNeighborhoodPairs: every record pairs with its w successors") {
+    val df = Seq((1L, "anna"), (2L, "annb"), (3L, "bob"), (4L, "bobb"),
+      (5L, "zed")).toDF("id", "k")
+    withPartitionings(df) { d =>
+      val out = rows(Dedup.sortedNeighborhoodPairs(d, "id", "k", w = 2)
+        .orderBy("id_a", "id_b"))
+      // sort order: anna(1) annb(2) bob(3) bobb(4) zed(5); pairs at
+      // rank distance <= 2
+      assert(out.map(r => (r.head, r(1), r.last)) == Seq(
+        (1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L), (2L, 4L, 2L),
+        (3L, 4L, 1L), (3L, 5L, 2L), (4L, 5L, 1L)))
+    }
+  }
+
   test("apportion: seats sum to total, remainders ranked, tie by key") {
     // w = (3, 3, 4) over T=5: bases (1,1,2), remainders (5,5,0) — the one
     // leftover seat goes to the smaller key of the tied remainders
