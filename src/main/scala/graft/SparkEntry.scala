@@ -3734,6 +3734,59 @@ object SparkEntry {
           lower(col("c_name")).as("k")),
         "c_custkey", "k", w = 3))
 
+  private def qSssp(s: SparkSession, d: String): DataFrame = {
+    // Bounded-hop weighted shortest path over the q_bfs graph with edge
+    // weights 1..9: min total cost within 6 hops from the %50 source
+    // set — truncated Bellman-Ford frontier relaxation; the oracle
+    // explores every bounded path recursively and takes MIN(cost).
+    val o = Tables.orders(s, d)
+    val edges = o.select((col("o_orderkey") % 500).as("src"),
+      ((col("o_custkey") * 3 + 1) % 500).as("dst"),
+      ((col("o_orderkey") + col("o_custkey")) % 9 + 1).as("w"))
+    val sources = edges.select(col("src").as("id"))
+      .where(col("id") % 50 === 0).distinct()
+    Relational.sort(col("id"))(
+      graft.pipeline.Graph.ssspHops(edges, "src", "dst", "w", sources,
+        "id", maxHops = 6))
+  }
+
+  private def qIsotonic(s: SparkSession, d: String): DataFrame = {
+    // Isotonic calibration per linestatus: 24 score bins whose label
+    // rate trends upward with planted noise (rate ≈ (20+3·bin)%), so
+    // PAVA genuinely pools violating bins; max-min identity over exact
+    // interval means, O(B³) only on the bin table.
+    val li = Tables.lineitem(s, d).select(col("l_linestatus").as("ls"),
+      (col("l_partkey") % 24).as("bin"),
+      when(col("l_orderkey") % 100 <
+        lit(20) + lit(3) * (col("l_partkey") % 24), 1).otherwise(0).as("y"))
+    Relational.sort(col("g"), col("x"))(
+      graft.pipeline.Profile.isotonicFit(li, "ls", "bin", "y"))
+  }
+
+  private def qRankingMetrics(s: SparkSession, d: String): DataFrame = {
+    // NDCG@10 / MRR / AP per ~200-query workload: orders ranked by
+    // totalprice desc within o_custkey % 200, relevance = fulfilled.
+    val o = Tables.orders(s, d).select((col("o_custkey") % 200).as("qk"),
+      col("o_totalprice"), col("o_orderkey"), col("o_orderstatus"))
+    Relational.sort(col("q"))(
+      graft.pipeline.Profile.rankingMetrics(o, "qk", "o_totalprice",
+        "o_orderkey", col("o_orderstatus") === "F", k = 10))
+  }
+
+  private def qCalibration(s: SparkSession, d: String): DataFrame = {
+    // Reliability diagram + per-bin Brier terms: p = (orderkey%100)/100
+    // as an EXACT decimal (integer score × 0.01), decile bins, label =
+    // fulfilled; every sum decimal-exact, one division per metric.
+    val o = Tables.orders(s, d).select(
+      expr("(o_orderkey % 100) DIV 10").as("b"),
+      (expr("CAST(o_orderkey % 100 AS DECIMAL(5,2))") *
+        expr("CAST(0.01 AS DECIMAL(3,2))")).as("p"),
+      col("o_orderstatus"))
+    Relational.sort(col("bin"))(
+      graft.pipeline.Profile.calibrationBins(o, "b", "p",
+        col("o_orderstatus") === "F"))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -3996,6 +4049,10 @@ object SparkEntry {
     "q_rebalance" -> (qRebalance _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_sorted_blocking" -> (qSortedBlocking _),
+    "q_sssp" -> (qSssp _),
+    "q_isotonic" -> (qIsotonic _),
+    "q_ranking_metrics" -> (qRankingMetrics _),
+    "q_calibration" -> (qCalibration _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -7307,5 +7364,112 @@ object SparkEntry {
         |  CAST(b.rn - a.rn AS BIGINT) AS rank_dist
         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // Weighted bounded-hop shortest path: the recursive CTE explores
+    // every path of <= 6 edges ((id, dist, hops) states dedup via UNION,
+    // so cycles terminate); MIN(dist) is the truncated-Bellman-Ford fix.
+    "q_sssp" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_orderkey % 500 AS src,
+        |    (o_custkey * 3 + 1) % 500 AS dst,
+        |    (o_orderkey + o_custkey) % 9 + 1 AS w FROM orders),
+        |s0 AS (SELECT DISTINCT src AS id FROM e WHERE src % 50 = 0),
+        |r AS (SELECT id, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM s0
+        |  UNION
+        |  SELECT e.dst, r.dist + e.w, r.hops + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.hops < 6)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM r GROUP BY id ORDER BY id""".stripMargin,
+    // Isotonic max-min identity replay: prefix sums over the bin table,
+    // interval means via exact-decimal digit strings, min over k>=i then
+    // max over j<=i.
+    "q_isotonic" ->
+      """WITH b AS (SELECT l_linestatus AS g, l_partkey % 24 AS x,
+        |    CASE WHEN l_orderkey % 100 < 20 + 3 * (l_partkey % 24)
+        |      THEN 1 ELSE 0 END AS y FROM lineitem),
+        |pt AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS w,
+        |    CAST(SUM(y) AS DECIMAL(18,2)) AS sy FROM b GROUP BY g, x),
+        |cu AS (SELECT g, x, CAST(row_number() OVER (
+        |      PARTITION BY g ORDER BY x) AS BIGINT) AS i, w, sy,
+        |    CAST(SUM(w) OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS cw,
+        |    CAST(SUM(sy) OVER (PARTITION BY g ORDER BY x)
+        |      AS DECIMAL(28,2)) AS csy FROM pt),
+        |z AS (SELECT g, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cw,
+        |    CAST(0 AS DECIMAL(28,2)) AS csy FROM (SELECT DISTINCT g FROM cu)
+        |  UNION ALL SELECT g, i, cw, csy FROM cu),
+        |iv AS (SELECT lo.g, lo.i AS j0, hi.i AS k,
+        |    CAST(CAST(hi.csy - lo.csy AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(hi.cw - lo.cw AS VARCHAR) AS DOUBLE) AS avgv
+        |  FROM z lo JOIN z hi ON hi.g = lo.g AND hi.i > lo.i),
+        |mn AS (SELECT c.g, c.i, iv.j0, MIN(iv.avgv) AS m
+        |  FROM cu c JOIN iv ON iv.g = c.g AND iv.j0 < c.i AND iv.k >= c.i
+        |  GROUP BY c.g, c.i, iv.j0),
+        |ft AS (SELECT g, i, MAX(m) AS f FROM mn GROUP BY g, i)
+        |SELECT c.g, CAST(c.x AS BIGINT) AS x, c.w AS n,
+        |  round(CAST(CAST(c.sy AS VARCHAR) AS DOUBLE) / CAST(c.w AS DOUBLE),
+        |    6) AS y_mean,
+        |  round(ft.f, 6) AS fitted
+        |FROM cu c JOIN ft ON ft.g = c.g AND ft.i = c.i
+        |ORDER BY c.g, c.x""".stripMargin,
+    // Ranking metrics: one rank window (score desc, id asc), 6-dp-rounded
+    // discount/precision terms summed as decimals (tfidf convention),
+    // ideal rank = cumulative relevant count.
+    "q_ranking_metrics" ->
+      """WITH b AS (SELECT o_custkey % 200 AS q, o_totalprice AS s,
+        |    o_orderkey AS id,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS rel
+        |  FROM orders),
+        |rk AS (SELECT q, rel, CAST(row_number() OVER (
+        |      PARTITION BY q ORDER BY s DESC, id ASC) AS BIGINT) AS r,
+        |    CAST(SUM(rel) OVER (PARTITION BY q ORDER BY s DESC, id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cr FROM b),
+        |t AS (SELECT q, rel, r, cr,
+        |    CASE WHEN rel = 1 AND r <= 10 THEN CAST(round(
+        |      1.0 / log2(CAST(r AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))
+        |    END AS dcg_t,
+        |    CASE WHEN rel = 1 AND cr <= 10 THEN CAST(round(
+        |      1.0 / log2(CAST(cr AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))
+        |    END AS idcg_t,
+        |    CASE WHEN rel = 1 THEN CAST(round(
+        |      CAST(cr AS DOUBLE) / CAST(r AS DOUBLE), 6) AS DECIMAL(18,6))
+        |    END AS prec_t,
+        |    CASE WHEN rel = 1 THEN r END AS relr FROM rk),
+        |ag AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rel) AS BIGINT) AS n_rel, SUM(dcg_t) AS dcg,
+        |    SUM(idcg_t) AS idcg, MIN(relr) AS minr, SUM(prec_t) AS sprec
+        |  FROM t GROUP BY q)
+        |SELECT q, n, n_rel,
+        |  CASE WHEN n_rel > 0 THEN round(
+        |    CAST(CAST(dcg AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(idcg AS VARCHAR) AS DOUBLE), 6) END AS ndcg,
+        |  CASE WHEN n_rel > 0 THEN round(1.0 / CAST(minr AS DOUBLE), 6)
+        |    END AS mrr,
+        |  CASE WHEN n_rel > 0 THEN round(
+        |    CAST(CAST(sprec AS VARCHAR) AS DOUBLE) / CAST(n_rel AS DOUBLE),
+        |    6) END AS ap
+        |FROM ag ORDER BY q""".stripMargin,
+    // Calibration reliability bins: exact-decimal p sums and squared
+    // errors, one digit-string division per metric; the gap subtracts
+    // the two already-rounded means.
+    "q_calibration" ->
+      """WITH b AS (SELECT (o_orderkey % 100) // 10 AS bin,
+        |    CAST(o_orderkey % 100 AS DECIMAL(5,2)) *
+        |      CAST(0.01 AS DECIMAL(3,2)) AS p,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |ag AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos, SUM(p) AS sp,
+        |    SUM((p - CAST(y AS DECIMAL(5,4))) *
+        |        (p - CAST(y AS DECIMAL(5,4)))) AS ssq
+        |  FROM b GROUP BY bin),
+        |m AS (SELECT bin, n, n_pos,
+        |    round(CAST(CAST(sp AS VARCHAR) AS DOUBLE) /
+        |      CAST(n AS DOUBLE), 6) AS mean_p,
+        |    round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+        |    ssq FROM ag)
+        |SELECT bin, n, n_pos, mean_p, pos_rate,
+        |  round(abs(mean_p - pos_rate), 6) AS gap,
+        |  round(CAST(CAST(ssq AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS brier
+        |FROM m ORDER BY bin""".stripMargin,
   )
 }

@@ -288,4 +288,63 @@ object Graph {
     e.unpersist()
     settled
   }
+
+  /** Bounded-hop WEIGHTED shortest path from a source set over a directed
+    * edge list: dist(v) = minimum total edge weight over any path of at
+    * most `maxHops` edges from any source (the routing / cost-propagation
+    * companion to [[bfsHops]], which is this with unit weights). The hop
+    * bound makes the semantics well-defined even with cycles or negative
+    * weights — it is Bellman-Ford truncated at H rounds, and "min cost
+    * within H hops" is itself the useful contract (influence decay,
+    * bounded-latency reachability).
+    *
+    * Frontier relaxation: round r joins the nodes IMPROVED in round r−1
+    * against the edge list, min-combines candidate distances per dst
+    * (map-side partial min — the shuffle carries one (id, long) per dst
+    * per partition, not per edge), and keeps only strict improvements
+    * over the settled best. The strict `<` guarantees termination on
+    * cycles; invariant: after round r, best(v) = min cost over paths of
+    * ≤ r edges (improvements always re-enter the frontier, so every
+    * ≤H-edge path is explored by round H). Early exit when no node
+    * improves. Per-round state localCheckpoints (best is referenced
+    * twice per round — the kCore lineage lesson). Multi-edges keep their
+    * distinct weights and the min-relax picks the cheapest; unreachable
+    * nodes are absent. Output: (id, dist). */
+  def ssspHops(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, sources: DataFrame, idCol: String,
+               maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "ssspHops: maxHops must be >= 0")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .distinct().persist(mem)
+    e.count()
+    var best = sources.select(col(idCol).cast("long").as("id"))
+      .where(col("id").isNotNull).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = best
+    var hop = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && hop < maxHops) {
+      hop += 1
+      val cand = e.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("__c"))
+        .groupBy("id").agg(min(col("__c")).as("__c"))
+      val improved = cand.join(best, Seq("id"), "left")
+        .where(col("dist").isNull || col("__c") < col("dist"))
+        .select(col("id"), col("__c").as("dist"))
+        .localCheckpoint(true)
+      frontierSize = improved.count()
+      if (frontierSize > 0) {
+        best = best.join(improved.select(col("id")), Seq("id"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint(true)
+      }
+      frontier = improved
+    }
+    e.unpersist()
+    best
+  }
 }

@@ -1072,4 +1072,138 @@ object Profile {
           d(lit(2L) * col("__srx") - (col("n") + 1) * col("__sx")) /
             d(col("n") * col("__sx")), 6)).as("gini"))
   }
+
+  /** Isotonic (monotone non-decreasing) regression per group via the
+    * closed-form max-min identity: fitted(i) = max_{j≤i} min_{k≥i}
+    * wavg(y, bins j..k) — exactly the pool-adjacent-violators solution,
+    * but expressed as a fixed dataflow dag instead of the sequential
+    * PAVA sweep (which has no bounded relational form). This is the
+    * standard score-calibration step of an ML pipeline: learn the best
+    * monotone map from score bin → empirical label rate.
+    *
+    * BOUNDED-BIN CONTRACT (the theilSen posture): raw rows first
+    * collapse to per-(group, x) weight + y-sum — ONE map-side-combined
+    * aggregate over the 100 TB input — and everything quadratic/cubic
+    * runs on the BIN table (O(B³) rows per group for B bins; feed ≤ a
+    * few hundred bins). Interval means are exact-decimal sums divided
+    * once through the digit string (correctly-rounded doubles — the
+    * corrExact convention), so min/max over them is engine-independent.
+    * Output: (g, x, n, y_mean, fitted), fitted monotone in x, 6 dp. */
+  def isotonicFit(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(xCol).cast("long").as("__x"))
+      .agg(count(lit(1)).as("__w"),
+        sum(col(yCol).cast("decimal(18,2)")).as("__sy"))
+    val wi = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val cum = pts.select(col("__g"), col("__x"),
+      row_number().over(wi).cast("long").as("__i"),
+      col("__w"), col("__sy"),
+      sum(col("__w")).over(wi).as("__cw"),
+      sum(col("__sy")).over(wi).cast("decimal(28,2)").as("__csy"))
+    // index 0 anchor per group so interval [j..k] is the prefix delta
+    // (j-1, k]; intervals then come from one self-join of the cum table.
+    val z = cum.select(col("__g")).distinct()
+      .select(col("__g"), lit(0L).as("__i"), lit(0L).as("__cw"),
+        lit(BigDecimal(0)).cast("decimal(28,2)").as("__csy"))
+      .unionByName(cum.select(col("__g"), col("__i"), col("__cw"),
+        col("__csy")))
+    val iv = z.as("lo").join(z.as("hi"),
+        col("hi.__g") === col("lo.__g") && col("hi.__i") > col("lo.__i"))
+      .select(col("lo.__g").as("__g"), col("lo.__i").as("__j0"),
+        col("hi.__i").as("__k"),
+        (d(col("hi.__csy") - col("lo.__csy")) /
+          d(col("hi.__cw") - col("lo.__cw"))).as("__avg"))
+    val mn = cum.select(col("__g"), col("__i"))
+      .join(iv, Seq("__g"))
+      .where(col("__j0") < col("__i") && col("__k") >= col("__i"))
+      .groupBy(col("__g"), col("__i"), col("__j0"))
+      .agg(min(col("__avg")).as("__m"))
+    val ft = mn.groupBy(col("__g"), col("__i"))
+      .agg(max(col("__m")).as("__f"))
+    cum.join(ft, Seq("__g", "__i"))
+      .select(col("__g").as("g"), col("__x").as("x"), col("__w").as("n"),
+        round(d(col("__sy")) / col("__w").cast("double"), 6).as("y_mean"),
+        round(col("__f"), 6).as("fitted"))
+  }
+
+  /** Per-query ranking quality — NDCG@k, MRR, and average precision over
+    * binary relevance: the retrieval-evaluation triple every search /
+    * RAG corpus pipeline reports. Ranks come from one key-sharded
+    * row_number window (score desc, id asc tie-break — total order, so
+    * both engines rank identically); every irrational term (1/log2(r+1)
+    * discounts, 1/r precisions) is rounded to 6 dp BEFORE the decimal
+    * sum (the tfidf convention — cross-engine log/division ulp noise
+    * cannot accumulate), and the final ratios divide once through the
+    * digit string. IDCG needs no second sort: the i-th relevant item's
+    * ideal rank IS its index among relevant rows, which the cumulative
+    * relevant-count window already carries. Queries with no relevant
+    * item report NULL metrics. Output: (q, n, n_rel, ndcg, mrr, ap). */
+  def rankingMetrics(df: DataFrame, queryCol: String, scoreCol: String,
+                     idCol: String, relCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "rankingMetrics: k must be >= 1")
+    def d(c: Column) = c.cast("string").cast("double")
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__id").asc)
+    val ranked = df.select(col(queryCol).as("__q"), col(scoreCol).as("__s"),
+        col(idCol).as("__id"), when(relCol, 1L).otherwise(0L).as("__rel"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__cr", sum(col("__rel")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dec6 = "decimal(18,6)"
+    val terms = ranked.select(col("__q"), col("__rel"), col("__r"), col("__cr"),
+      when(col("__rel") === 1 && col("__r") <= k,
+        round(lit(1.0) / log(2.0, col("__r").cast("double") + 1.0), 6)
+          .cast(dec6)).as("__dcg_t"),
+      when(col("__rel") === 1 && col("__cr") <= k,
+        round(lit(1.0) / log(2.0, col("__cr").cast("double") + 1.0), 6)
+          .cast(dec6)).as("__idcg_t"),
+      when(col("__rel") === 1,
+        round(col("__cr").cast("double") / col("__r").cast("double"), 6)
+          .cast(dec6)).as("__prec_t"),
+      when(col("__rel") === 1, col("__r")).as("__relr"))
+    terms.groupBy(col("__q").as("q"))
+      .agg(count(lit(1)).as("n"), sum(col("__rel")).as("n_rel"),
+        sum(col("__dcg_t")).as("__dcg"), sum(col("__idcg_t")).as("__idcg"),
+        min(col("__relr")).as("__minr"), sum(col("__prec_t")).as("__sprec"))
+      .select(col("q"), col("n"), col("n_rel"),
+        when(col("n_rel") > 0,
+          round(d(col("__dcg")) / d(col("__idcg")), 6)).as("ndcg"),
+        when(col("n_rel") > 0,
+          round(lit(1.0) / col("__minr").cast("double"), 6)).as("mrr"),
+        when(col("n_rel") > 0,
+          round(d(col("__sprec")) / col("n_rel").cast("double"), 6)).as("ap"))
+  }
+
+  /** Probability-calibration reliability table: bin predictions by a
+    * caller-supplied integer bin key, and per bin report volume, mean
+    * predicted probability, empirical positive rate, the |gap| between
+    * them (the reliability-diagram vertical), and the mean squared error
+    * (per-bin Brier term). Everything sums in exact decimals — the
+    * predicted probability must arrive as a DECIMAL column (e.g. an
+    * integer score scaled by 0.01), so (p − y)² is exact and the single
+    * division per metric goes through the digit string. The gap is
+    * computed from the two ALREADY-6dp-rounded means, so both engines
+    * subtract identical doubles. One map-side-combined aggregate; bins
+    * shard by key. Output: (bin, n, n_pos, mean_p, pos_rate, gap, brier). */
+  def calibrationBins(df: DataFrame, binCol: String, probCol: String,
+                      labelCol: Column): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val y = when(labelCol, 1L).otherwise(0L)
+    val p = col(probCol)
+    val sq = (p - y.cast("decimal(5,4)")) * (p - y.cast("decimal(5,4)"))
+    val agg = df.groupBy(col(binCol).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(y).as("n_pos"),
+        sum(p).as("__sp"), sum(sq).as("__ssq"))
+    agg.select(col("bin"), col("n"), col("n_pos"),
+        round(d(col("__sp")) / col("n").cast("double"), 6).as("mean_p"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        col("__ssq"))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_p"),
+        col("pos_rate"),
+        round(abs(col("mean_p") - col("pos_rate")), 6).as("gap"),
+        round(d(col("__ssq")) / col("n").cast("double"), 6).as("brier"))
+  }
 }

@@ -415,4 +415,89 @@ class EvalStatsSpec extends SparkSpec {
         Seq("a", 4L, 12.0, 0.25))
     }
   }
+
+  // ---------------------------------------------------------------- isotonicFit
+
+  test("isotonicFit: violating bins pool to their weighted mean (PAVA)") {
+    // bin means: 0.0, 0.8, 0.2, 1.0 — bins 2 and 3 (0.8 then 0.2)
+    // violate monotonicity; PAVA pools them. Weights: bin2 has 1 point,
+    // bin3 has 3 points → pooled level (0.8·1 + 0.2·3·... ) — use exact
+    // 0/1 labels: bin x=1: one 1 (mean 1·0.8? no — craft directly):
+    val df = Seq(
+      ("g", 0L, 0), ("g", 0L, 0),                    // mean 0
+      ("g", 1L, 1), ("g", 1L, 1), ("g", 1L, 1), ("g", 1L, 0), ("g", 1L, 0), // 0.6
+      ("g", 2L, 0), ("g", 2L, 0), ("g", 2L, 1),      // 0.333…
+      ("g", 3L, 1), ("g", 3L, 1)                     // mean 1
+    ).toDF("grp", "x", "y")
+    withPartitionings(df) { d =>
+      val out = rows(Profile.isotonicFit(d, "grp", "x", "y").orderBy("x"))
+      // bins 1 (w=5, sum 3) and 2 (w=3, sum 1) pool: 4/8 = 0.5
+      assert(out == Seq(
+        Seq("g", 0L, 2L, 0.0, 0.0),
+        Seq("g", 1L, 5L, 0.6, 0.5),
+        Seq("g", 2L, 3L, 0.333333, 0.5),
+        Seq("g", 3L, 2L, 1.0, 1.0)))
+      // fitted is monotone non-decreasing in x
+      val f = out.map(_(4).asInstanceOf[Double])
+      assert(f == f.sorted)
+    }
+  }
+
+  test("isotonicFit: already-monotone input is returned unchanged") {
+    val df = Seq(("a", 1L, 0), ("a", 2L, 1), ("a", 2L, 1), ("a", 3L, 1))
+      .toDF("grp", "x", "y")
+    val out = rows(Profile.isotonicFit(df, "grp", "x", "y").orderBy("x"))
+    assert(out.map(r => (r(1), r(4))) ==
+      Seq((1L, 0.0), (2L, 1.0), (3L, 1.0)))
+  }
+
+  // ---------------------------------------------------------------- rankingMetrics
+
+  test("rankingMetrics: hand-computed NDCG/MRR/AP with the 6-dp convention") {
+    // query A ranked by score desc: ids 1(rel),2,3(rel),4 → ranks 1..4.
+    val df = Seq(("A", 9.0, 1L, true), ("A", 7.0, 2L, false),
+      ("A", 5.0, 3L, true), ("A", 3.0, 4L, false),
+      ("B", 4.0, 5L, false), ("B", 2.0, 6L, false)).toDF("q", "s", "id", "r")
+    withPartitionings(df) { d =>
+      val out = rows(Profile.rankingMetrics(d, "q", "s", "id", col("r"),
+        k = 10).orderBy("q"))
+      // DCG = 1/log2(2) + 1/log2(4) = 1 + 0.5; IDCG = 1/log2(2) +
+      // 1/log2(3) = 1 + 0.630930; NDCG = 1.5/1.630930 = 0.919721
+      // MRR = 1/1; AP = (1/1 + 2/3)/2 = (1 + 0.666667)/2 = 0.833334
+      assert(out == Seq(
+        Seq("A", 4L, 2L, 0.919721, 1.0, 0.833334),
+        Seq("B", 2L, 0L, null, null, null)))
+    }
+  }
+
+  test("rankingMetrics: k truncates the DCG window but not AP/MRR") {
+    // relevant at ranks 2 and 3 with k=2: DCG counts rank 2 only;
+    // IDCG counts ideal ranks 1 and 2 — cr<=k keeps both ideal terms.
+    val df = Seq(("q", 9.0, 1L, false), ("q", 8.0, 2L, true),
+      ("q", 7.0, 3L, true)).toDF("q", "s", "id", "r")
+    val out = rows(Profile.rankingMetrics(df, "q", "s", "id", col("r"),
+      k = 2)).head
+    // DCG = 1/log2(3) = 0.630930; IDCG = 1 + 0.630930 = 1.630930
+    // NDCG = 0.630930/1.630930 = 0.386853; MRR = 0.5; AP = (1/2 + 2/3)/2 = 0.583334
+    assert(out == Seq("q", 3L, 2L, 0.386853, 0.5, 0.583334))
+  }
+
+  // ---------------------------------------------------------------- calibrationBins
+
+  test("calibrationBins: exact decimal means, gap, and Brier terms") {
+    val df = Seq((0L, "0.10", true), (0L, "0.30", false),
+      (1L, "0.80", true), (1L, "0.60", true)).toDF("b", "ps", "lab")
+      .select(col("b"), col("ps").cast("decimal(5,4)").as("p"), col("lab"))
+    withPartitionings(df) { d =>
+      val out = rows(Profile.calibrationBins(d, "b", "p", col("lab"))
+        .orderBy("bin"))
+      // bin 0: mean_p 0.2, rate 0.5, gap 0.3,
+      //   brier = ((0.1-1)² + (0.3-0)²)/2 = (0.81+0.09)/2 = 0.45
+      // bin 1: mean_p 0.7, rate 1.0, gap 0.3,
+      //   brier = ((0.8-1)² + (0.6-1)²)/2 = (0.04+0.16)/2 = 0.1
+      assert(out == Seq(
+        Seq(0L, 2L, 1L, 0.2, 0.5, 0.3, 0.45),
+        Seq(1L, 2L, 2L, 0.7, 1.0, 0.3, 0.1)))
+    }
+  }
 }

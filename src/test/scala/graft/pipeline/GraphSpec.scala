@@ -98,4 +98,36 @@ class GraphSpec extends SparkSpec {
       "id", maxHops = 2).orderBy("id"))
     assert(out2.contains(Seq(7L, 1L)) && out2.contains(Seq(3L, 2L)))
   }
+
+  test("ssspHops: cheaper long path beats expensive direct edge") {
+    import spark.implicits._
+    // 1→4 direct costs 10; 1→2→3→4 costs 3. Within 3 hops the engine
+    // must find the cheap chain; within 1 hop only the direct edge.
+    val e = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("s", "d", "w")
+    val src = Seq(1L).toDF("id")
+    val out3 = rows(Graph.ssspHops(e, "s", "d", "w", src, "id", maxHops = 3)
+      .orderBy("id"))
+    assert(out3 == Seq(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L), Seq(4L, 3L)))
+    val out1 = rows(Graph.ssspHops(e, "s", "d", "w", src, "id", maxHops = 1)
+      .orderBy("id"))
+    assert(out1 == Seq(Seq(1L, 0L), Seq(2L, 1L), Seq(4L, 10L)))
+  }
+
+  test("ssspHops: multi-edge takes the min weight; cycles terminate") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 5L), (1L, 2L, 2L), (2L, 1L, 1L), (2L, 2L, 1L))
+      .toDF("s", "d", "w")
+    val out = rows(Graph.ssspHops(e, "s", "d", "w", Seq(1L).toDF("id"),
+      "id", maxHops = 8).orderBy("id"))
+    assert(out == Seq(Seq(1L, 0L), Seq(2L, 2L)))
+  }
+
+  test("ssspHops: multi-source min over sources; unreachable absent") {
+    import spark.implicits._
+    val e = Seq((1L, 3L, 4L), (2L, 3L, 1L), (9L, 10L, 1L)).toDF("s", "d", "w")
+    val out = rows(Graph.ssspHops(e, "s", "d", "w",
+      Seq(1L, 2L).toDF("id"), "id", maxHops = 4).orderBy("id"))
+    assert(out == Seq(Seq(1L, 0L), Seq(2L, 0L), Seq(3L, 1L)))
+  }
 }
