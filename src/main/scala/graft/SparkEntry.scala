@@ -3787,6 +3787,57 @@ object SparkEntry {
         col("o_orderstatus") === "F"))
   }
 
+  private def qTwap(s: SparkSession, d: String): DataFrame = {
+    // Time-weighted average event value per user bucket: the value holds
+    // until the user's next event; exact decimal·micros weighted sum,
+    // one digit-string division.
+    val ev = Tables.events(s, d).select((col("user_id") % 100).as("k"),
+      col("ts"), col("value"), col("event_id"))
+    Relational.sort(col("k"))(
+      graft.pipeline.TimeSeries.twap(ev, "k", "ts", "value", "event_id"))
+  }
+
+  private def qEwma(s: SparkSession, d: String): DataFrame = {
+    // Truncated EWMA (α=1/2, lookback 8) per event type — integer
+    // weights 256..1 over the lag chain, warm-up renormalizes over the
+    // lags that exist; one key-sharded window sort, zero joins.
+    val ev = Tables.events(s, d).select(col("event_type"), col("ts"),
+      col("event_id"), col("value"))
+    Relational.sort(col("event_type"), col("event_id"))(
+      graft.pipeline.TimeSeries.ewmaLags(ev, "event_type", "ts", "value",
+          "event_id", lookback = 8)
+        .select(col("event_type"), col("event_id"), col("n_terms"),
+          col("ewma")))
+  }
+
+  private def qOverlapDuration(s: SparkSession, d: String): DataFrame = {
+    // Click×view co-presence per user bucket: total pairwise interval
+    // overlap micros — bucketized (10-min buckets, canonical-bucket
+    // dedup), never a key-only all-pairs join; the oracle IS the
+    // quadratic join (zero-overlap pairs contribute nothing, so the
+    // bucket pruning is invisible to the result).
+    val ev = Tables.events(s, d)
+    val micros = unix_micros(col("ts"))
+    val a = ev.where(col("event_type") === "click")
+      .select((col("user_id") % 20).as("k"), micros.as("s"),
+        (micros + (lit(1) + col("event_id") % 5) * lit(60000000L)).as("e"))
+    val b = ev.where(col("event_type") === "view")
+      .select((col("user_id") % 20).as("k"), micros.as("s"),
+        (micros + (lit(1) + col("user_id") % 7) * lit(60000000L)).as("e"))
+    Relational.sort(col("key"))(
+      graft.pipeline.Events.overlapDuration(a, b, "k", "s", "e",
+        bucketWidth = 600000000L))
+  }
+
+  private def qDid(s: SparkSession, d: String): DataFrame =
+    // Difference-in-differences over the 2×2 (custkey parity ×
+    // 1998-01-01 cutover) design: four exact-decimal cell means, the
+    // causal contrast rounded once at the edge.
+    graft.pipeline.Profile.diffInDiff(Tables.orders(s, d),
+      col("o_custkey") % 2 === 0,
+      col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+      "o_totalprice")
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4053,6 +4104,10 @@ object SparkEntry {
     "q_isotonic" -> (qIsotonic _),
     "q_ranking_metrics" -> (qRankingMetrics _),
     "q_calibration" -> (qCalibration _),
+    "q_twap" -> (qTwap _),
+    "q_ewma" -> (qEwma _),
+    "q_overlap_duration" -> (qOverlapDuration _),
+    "q_did" -> (qDid _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -7471,5 +7526,107 @@ object SparkEntry {
         |  round(CAST(CAST(ssq AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE), 6)
         |    AS brier
         |FROM m ORDER BY bin""".stripMargin,
+    // TWAP: lead window over (ts, event_id), exact decimal·micros sum.
+    "q_twap" ->
+      """WITH b AS (SELECT user_id % 100 AS k, epoch_us(ts) AS t,
+        |    event_id AS tb, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |l AS (SELECT k, t, v, lead(t) OVER (
+        |    PARTITION BY k ORDER BY t, tb) AS nt FROM b),
+        |ag AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(MAX(t) - MIN(t) AS BIGINT) AS span_micros,
+        |    SUM(CASE WHEN nt IS NOT NULL THEN v * (nt - t) END) AS ws
+        |  FROM l GROUP BY k)
+        |SELECT k, n, span_micros,
+        |  CASE WHEN span_micros > 0 THEN round(
+        |    CAST(CAST(ws AS VARCHAR) AS DOUBLE) /
+        |    CAST(span_micros AS DOUBLE), 6) END AS twap
+        |FROM ag ORDER BY k""".stripMargin,
+    // Truncated EWMA: the 9-term lag chain with integer weights 256..1;
+    // warm-up renormalizes over present lags.
+    "q_ewma" ->
+      """WITH b AS (SELECT event_type AS g, ts, event_id AS tb,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |l AS (SELECT g, tb, v,
+        |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+        |    lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+        |    lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+        |    lag(v, 7) OVER w AS l7, lag(v, 8) OVER w AS l8
+        |  FROM b WINDOW w AS (PARTITION BY g ORDER BY ts, tb)),
+        |m AS (SELECT g, tb,
+        |    v * 256 + COALESCE(l1 * 128, 0) + COALESCE(l2 * 64, 0) +
+        |      COALESCE(l3 * 32, 0) + COALESCE(l4 * 16, 0) +
+        |      COALESCE(l5 * 8, 0) + COALESCE(l6 * 4, 0) +
+        |      COALESCE(l7 * 2, 0) + COALESCE(l8, 0) AS num,
+        |    256 + CASE WHEN l1 IS NULL THEN 0 ELSE 128 END +
+        |      CASE WHEN l2 IS NULL THEN 0 ELSE 64 END +
+        |      CASE WHEN l3 IS NULL THEN 0 ELSE 32 END +
+        |      CASE WHEN l4 IS NULL THEN 0 ELSE 16 END +
+        |      CASE WHEN l5 IS NULL THEN 0 ELSE 8 END +
+        |      CASE WHEN l6 IS NULL THEN 0 ELSE 4 END +
+        |      CASE WHEN l7 IS NULL THEN 0 ELSE 2 END +
+        |      CASE WHEN l8 IS NULL THEN 0 ELSE 1 END AS den,
+        |    1 + CASE WHEN l1 IS NULL THEN 0 ELSE 1 END +
+        |      CASE WHEN l2 IS NULL THEN 0 ELSE 1 END +
+        |      CASE WHEN l3 IS NULL THEN 0 ELSE 1 END +
+        |      CASE WHEN l4 IS NULL THEN 0 ELSE 1 END +
+        |      CASE WHEN l5 IS NULL THEN 0 ELSE 1 END +
+        |      CASE WHEN l6 IS NULL THEN 0 ELSE 1 END +
+        |      CASE WHEN l7 IS NULL THEN 0 ELSE 1 END +
+        |      CASE WHEN l8 IS NULL THEN 0 ELSE 1 END AS nt
+        |  FROM l)
+        |SELECT g AS event_type, tb AS event_id, CAST(nt AS BIGINT) AS n_terms,
+        |  round(CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |    AS ewma
+        |FROM m ORDER BY event_type, event_id""".stripMargin,
+    // Pairwise interval overlap: the oracle IS the per-key quadratic
+    // join — zero-overlap pairs add nothing, so the engine's bucketized
+    // join (which never sees bucket-disjoint pairs) agrees exactly.
+    "q_overlap_duration" ->
+      """WITH a AS (SELECT user_id % 20 AS k, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (1 + event_id % 5) * 60000000 AS e
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id % 20 AS k, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (1 + user_id % 7) * 60000000 AS e
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT a.k,
+        |    GREATEST(0, LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS ov
+        |  FROM a JOIN b ON b.k = a.k)
+        |SELECT k AS key,
+        |  CAST(SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(ov) AS BIGINT) AS total_overlap
+        |FROM p GROUP BY k ORDER BY k""".stripMargin,
+    // Difference-in-differences: four exact cell means, one rounded
+    // contrast.
+    "q_did" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS tr,
+        |    CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN 1 ELSE 0 END AS po,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CASE WHEN tr = 1 AND po = 0 THEN v END) AS stp,
+        |    CAST(SUM(CASE WHEN tr = 1 AND po = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ntp,
+        |    SUM(CASE WHEN tr = 1 AND po = 1 THEN v END) AS stq,
+        |    CAST(SUM(CASE WHEN tr = 1 AND po = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ntq,
+        |    SUM(CASE WHEN tr = 0 AND po = 0 THEN v END) AS scp,
+        |    CAST(SUM(CASE WHEN tr = 0 AND po = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ncp,
+        |    SUM(CASE WHEN tr = 0 AND po = 1 THEN v END) AS scq,
+        |    CAST(SUM(CASE WHEN tr = 0 AND po = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ncq
+        |  FROM b),
+        |m AS (SELECT n,
+        |    CAST(CAST(stp AS VARCHAR) AS DOUBLE) / CAST(ntp AS DOUBLE) AS mtp,
+        |    CAST(CAST(stq AS VARCHAR) AS DOUBLE) / CAST(ntq AS DOUBLE) AS mtq,
+        |    CAST(CAST(scp AS VARCHAR) AS DOUBLE) / CAST(ncp AS DOUBLE) AS mcp,
+        |    CAST(CAST(scq AS VARCHAR) AS DOUBLE) / CAST(ncq AS DOUBLE) AS mcq
+        |  FROM ag)
+        |SELECT n, round(mtp, 6) AS mean_treat_pre,
+        |  round(mtq, 6) AS mean_treat_post,
+        |  round(mcp, 6) AS mean_ctrl_pre, round(mcq, 6) AS mean_ctrl_post,
+        |  round((mtq - mtp) - (mcq - mcp), 6) AS did
+        |FROM m""".stripMargin,
   )
 }

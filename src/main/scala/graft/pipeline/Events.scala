@@ -552,4 +552,52 @@ object Events {
           .otherwise(round(exp(col("__cum").cast("double")), 6))
           .as("survival"))
   }
+
+  /** Total pairwise overlap between two interval sets per key — the
+    * co-presence / viewability aggregate: for every (a, b) pair under the
+    * same key, overlap = max(0, min(e_a, e_b) − max(s_a, s_b)), summed
+    * per key with the contributing pair count. Half-open [s, e): touching
+    * intervals overlap zero and don't count as pairs.
+    *
+    * Scale shape (the q_range_join doctrine — NO key-only all-pairs
+    * join): both sides bucketize by floor(t / bucketWidth); an interval
+    * spans its covering buckets (explode over a bounded sequence —
+    * `maxSpanBuckets` require()s the width is sane for the data), the
+    * join keys on (key, bucket) so long keys shard by time, and each
+    * pair counts ONCE at the canonical bucket containing max(s_a, s_b) —
+    * the bucket where the overlap (or the pair's closest approach)
+    * begins. Integer arithmetic end to end.
+    * Output: (key, n_pairs, total_overlap). */
+  def overlapDuration(dfA: DataFrame, dfB: DataFrame, keyCol: String,
+                      startCol: String, endCol: String, bucketWidth: Long,
+                      maxSpanBuckets: Int = 64): DataFrame = {
+    require(bucketWidth > 0, "overlapDuration: bucketWidth must be > 0")
+    def prep(df: DataFrame, tag: String): DataFrame = {
+      val s = col(startCol).cast("long")
+      val e = col(endCol).cast("long")
+      // the span guard lives INSIDE the sequence bound (a pruned side
+      // column would be dead-code-eliminated and never fire)
+      val endBucket = expr(s"__e$tag div ${bucketWidth}L")
+      val guarded = when(
+        endBucket - expr(s"__s$tag div ${bucketWidth}L") < maxSpanBuckets,
+        endBucket).otherwise(raise_error(lit(
+          s"overlapDuration: interval spans >= $maxSpanBuckets buckets — " +
+            "raise bucketWidth")).cast("long"))
+      df.select(col(keyCol).as("__k"), s.as(s"__s$tag"), e.as(s"__e$tag"))
+        .where(col(s"__s$tag").isNotNull && col(s"__e$tag").isNotNull &&
+          col(s"__e$tag") >= col(s"__s$tag"))
+        .withColumn("__b", explode(sequence(
+          expr(s"__s$tag div ${bucketWidth}L"), guarded)))
+    }
+    val a = prep(dfA, "a")
+    val b = prep(dfB, "b")
+    val paired = a.join(b, Seq("__k", "__b"))
+      .where(expr(s"greatest(__sa, __sb) div ${bucketWidth}L") === col("__b"))
+      .select(col("__k"),
+        greatest(lit(0L), least(col("__ea"), col("__eb")) -
+          greatest(col("__sa"), col("__sb"))).as("__ov"))
+    paired.groupBy(col("__k").as("key"))
+      .agg(sum(when(col("__ov") > 0, 1L).otherwise(0L)).as("n_pairs"),
+        sum(col("__ov")).as("total_overlap"))
+  }
 }

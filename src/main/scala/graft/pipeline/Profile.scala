@@ -1206,4 +1206,43 @@ object Profile {
         round(abs(col("mean_p") - col("pos_rate")), 6).as("gap"),
         round(d(col("__ssq")) / col("n").cast("double"), 6).as("brier"))
   }
+
+  /** Difference-in-differences estimate: the 2×2 causal contrast
+    * (treated−control) × (post−pre) over exact-decimal cell sums —
+    * the first-pass effect readout of any launch/experiment ledger.
+    * All four cell means divide exact decimal sums by exact counts
+    * (digit-string doubles), the DiD combines those IEEE doubles, and
+    * ONE final 6-dp round lands at the edge — so both engines agree
+    * bit-for-bit. Cells with no rows yield NULL (and a NULL estimate).
+    * One map-side-combined aggregate over the full input.
+    * Output: 1 row — (n, mean_treat_pre, mean_treat_post, mean_ctrl_pre,
+    * mean_ctrl_post, did). */
+  def diffInDiff(df: DataFrame, treatedCol: Column, postCol: Column,
+                 valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val v = col(valueCol).cast("decimal(18,2)")
+    def cell(t: Boolean, p: Boolean) = {
+      val in = treatedCol === t && postCol === p
+      (sum(when(in, v)), sum(when(in, 1L).otherwise(0L)))
+    }
+    val (stp, ntp) = cell(t = true, p = false)
+    val (stq, ntq) = cell(t = true, p = true)
+    val (scp, ncp) = cell(t = false, p = false)
+    val (scq, ncq) = cell(t = false, p = true)
+    df.agg(count(lit(1)).as("n"),
+        stp.as("__stp"), ntp.as("__ntp"), stq.as("__stq"), ntq.as("__ntq"),
+        scp.as("__scp"), ncp.as("__ncp"), scq.as("__scq"), ncq.as("__ncq"))
+      .select(col("n"),
+        (d(col("__stp")) / col("__ntp").cast("double")).as("__mtp"),
+        (d(col("__stq")) / col("__ntq").cast("double")).as("__mtq"),
+        (d(col("__scp")) / col("__ncp").cast("double")).as("__mcp"),
+        (d(col("__scq")) / col("__ncq").cast("double")).as("__mcq"))
+      .select(col("n"),
+        round(col("__mtp"), 6).as("mean_treat_pre"),
+        round(col("__mtq"), 6).as("mean_treat_post"),
+        round(col("__mcp"), 6).as("mean_ctrl_pre"),
+        round(col("__mcq"), 6).as("mean_ctrl_post"),
+        round((col("__mtq") - col("__mtp")) - (col("__mcq") - col("__mcp")),
+          6).as("did"))
+  }
 }

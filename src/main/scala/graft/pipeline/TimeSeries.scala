@@ -231,4 +231,75 @@ object TimeSeries {
       .where(col("__lagged").isNotNull)
     Profile.corrExact(pairs, keyCol, valueCol, "__lagged")
   }
+
+  /** Time-weighted average of a piecewise-constant signal per key (TWAP
+    * — the price/level statistic where arithmetic means lie: a value
+    * holds from its event until the NEXT event, so each observation
+    * weighs by its holding duration). Weighted sum = Σ value·Δt in
+    * exact decimals (micros are longs), one digit-string division at
+    * the edge. Ordering is total via (ts, tie), so same-timestamp
+    * duplicates get Δt = 0 deterministically; the last observation per
+    * key bounds the window and carries no weight. Keys with a single
+    * observation (zero span) report NULL. One key-sharded lead window +
+    * one aggregate. Output: (key, n, span_micros, twap). */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+           tieCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val t = unix_micros(col(tsCol))
+    val seg2 = df.select(col(keyCol), t.as("__t"), col(tieCol).as("__tb"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .withColumn("__nt", lead(col("__t"), 1).over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("__t").asc, col("__tb").asc)))
+    seg2.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        (max(col("__t")) - min(col("__t"))).as("span_micros"),
+        sum(when(col("__nt").isNotNull,
+          col("__v") * (col("__nt") - col("__t")))).as("__ws"))
+      .select(col(keyCol), col("n"), col("span_micros"),
+        when(col("span_micros") > 0,
+          round(d(col("__ws")) / col("span_micros").cast("double"), 6))
+          .as("twap"))
+  }
+
+  /** Truncated exponentially-weighted moving average per key: over the
+    * last `lookback`+1 observations, weight 2^(lookback−j) for lag j —
+    * i.e. α = 1/2 decay cut at a fixed horizon, which is what makes the
+    * statistic EXACT (the weights are integers, the weighted sum is one
+    * decimal expression) and shuffle-free beyond one key-sharded window
+    * sort. The infinite-memory EWMA recursion has no bounded relational
+    * form; at 8+ lags the dropped tail mass is < 0.4% — the standard
+    * truncation. Warm-up rows use only the lags that exist (weights
+    * renormalize over the present terms). Lag columns unroll at plan
+    * build (lookback is a plan constant — keep it small, ≤ ~16).
+    * Output: input key/tie + (n_terms, ewma). */
+  def ewmaLags(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, tieCol: String, lookback: Int): DataFrame = {
+    require(lookback >= 1 && lookback <= 20,
+      "ewmaLags: lookback must be in [1, 20]")
+    def d(c: Column) = c.cast("string").cast("double")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val base = df.select(col(keyCol), col(tsCol), col(tieCol),
+      col(valueCol).cast("decimal(18,2)").as("__v"))
+    val lagged = (0 to lookback).foldLeft(base) { (acc, j) =>
+      acc.withColumn(s"__l$j",
+        if (j == 0) col("__v") else lag(col("__v"), j).over(w))
+    }
+    val wsum = (0 to lookback).map { j =>
+      val wj = 1L << (lookback - j)
+      when(col(s"__l$j").isNotNull, col(s"__l$j") * lit(wj))
+        .otherwise(lit(0L)).cast("decimal(30,2)")
+    }.reduce(_ + _)
+    val dsum = (0 to lookback).map { j =>
+      val wj = 1L << (lookback - j)
+      when(col(s"__l$j").isNotNull, lit(wj)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val nterms = (0 to lookback).map { j =>
+      when(col(s"__l$j").isNotNull, lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    lagged.select(col(keyCol), col(tsCol), col(tieCol),
+      nterms.as("n_terms"),
+      round(d(wsum) / d(dsum), 6).as("ewma"))
+  }
 }

@@ -500,4 +500,66 @@ class EvalStatsSpec extends SparkSpec {
         Seq(1L, 2L, 2L, 0.7, 1.0, 0.3, 0.1)))
     }
   }
+
+  // ---------------------------------------------------------------- twap
+
+  test("twap: holding durations weight the mean; singleton key is NULL") {
+    // value 10 held 1µs..4µs (3), then 40 held 4..5 (1): (30+40)/4 = 17.5
+    val df = Seq(("k", 1L, 10.0, 1L), ("k", 4L, 40.0, 2L),
+      ("k", 5L, 0.0, 3L), ("solo", 9L, 7.0, 4L))
+      .toDF("k", "tus", "v", "id")
+      .select(col("k"), timestamp_micros(col("tus")).as("ts"), col("v"),
+        col("id"))
+    withPartitionings(df) { d =>
+      val out = rows(TimeSeries.twap(d, "k", "ts", "v", "id").orderBy("k"))
+      assert(out == Seq(Seq("k", 3L, 4L, 17.5), Seq("solo", 1L, 0L, null)))
+    }
+  }
+
+  test("twap: same-timestamp duplicate carries zero weight deterministically") {
+    val df = Seq(("k", 0L, 100.0, 1L), ("k", 0L, 2.0, 2L), ("k", 10L, 0.0, 3L))
+      .toDF("k", "tus", "v", "id")
+      .select(col("k"), timestamp_micros(col("tus")).as("ts"), col("v"),
+        col("id"))
+    // tie order by id: (0, v=100) gets Δt 0; (0, v=2) holds all 10 µs
+    val out = rows(TimeSeries.twap(df, "k", "ts", "v", "id")).head
+    assert(out == Seq("k", 3L, 10L, 2.0))
+  }
+
+  // ---------------------------------------------------------------- ewmaLags
+
+  test("ewmaLags: textbook weights after warm-up; warm-up renormalizes") {
+    val df = Seq(("k", 1L, 8.0), ("k", 2L, 4.0), ("k", 3L, 2.0))
+      .toDF("k", "id", "v")
+      .select(col("k"), timestamp_micros(col("id")).as("ts"), col("id"),
+        col("v"))
+    withPartitionings(df) { d =>
+      val out = rows(TimeSeries.ewmaLags(d, "k", "ts", "v", "id",
+        lookback = 2).select(col("id"), col("n_terms"), col("ewma"))
+        .orderBy("id"))
+      // lookback 2 → weights 4,2,1.
+      // t1: 8                      → 8.0      (den 4)
+      // t2: (4·4 + 8·2)/6 = 32/6   → 5.333333
+      // t3: (2·4 + 4·2 + 8·1)/7    → 3.428571
+      assert(out == Seq(Seq(1L, 1L, 8.0), Seq(2L, 2L, 5.333333),
+        Seq(3L, 3L, 3.428571)))
+    }
+  }
+
+  // ---------------------------------------------------------------- diffInDiff
+
+  test("diffInDiff: textbook 2×2 contrast; empty cell yields NULL estimate") {
+    val df = Seq((true, false, 10.0), (true, true, 25.0),
+      (false, false, 8.0), (false, true, 13.0), (false, true, 15.0))
+      .toDF("tr", "po", "v")
+    withPartitionings(df) { d =>
+      val out = rows(Profile.diffInDiff(d, col("tr"), col("po"), "v")).head
+      // (25 − 10) − (14 − 8) = 9
+      assert(out == Seq(5L, 10.0, 25.0, 8.0, 14.0, 9.0))
+    }
+    val missing = Seq((true, true, 5.0), (false, false, 1.0),
+      (false, true, 2.0)).toDF("tr", "po", "v")
+    val out2 = rows(Profile.diffInDiff(missing, col("tr"), col("po"), "v")).head
+    assert(out2(1) == null && out2(5) == null)
+  }
 }

@@ -288,4 +288,44 @@ class EventsSpec extends SparkSpec {
     // stickiness on the last day: dau 2 / mau 3, rounded 6 dp
     assert(out.last(4) == 0.666667)
   }
+
+  test("overlapDuration: hand-computed overlaps; half-open touch is no pair") {
+    import spark.implicits._
+    val a = Seq(("k", 0L, 100L), ("k", 200L, 250L), ("z", 0L, 10L))
+      .toDF("k", "s", "e")
+    val b = Seq(("k", 50L, 120L), ("k", 100L, 150L), ("k", 240L, 300L))
+      .toDF("k", "s", "e")
+    withPartitionings(a) { aa =>
+      val out = rows(Events.overlapDuration(aa, b, "k", "s", "e",
+        bucketWidth = 64L).orderBy("key"))
+      // [0,100)∩[50,120) = 50; [0,100)∩[100,150) = 0 (touch — no pair);
+      // [200,250)∩[240,300) = 10; z has no b rows.
+      assert(out == Seq(Seq("k", 2L, 60L)))
+    }
+  }
+
+  test("overlapDuration: equals the brute-force quadratic join") {
+    import spark.implicits._
+    val av = (0 until 40).map(i => ("g", (i * 53 % 500).toLong,
+      (i * 53 % 500 + 1 + i % 60).toLong))
+    val bv = (0 until 40).map(i => ("g", (i * 37 % 500).toLong,
+      (i * 37 % 500 + 1 + i % 45).toLong))
+    val out = rows(Events.overlapDuration(av.toDF("k", "s", "e"),
+      bv.toDF("k", "s", "e"), "k", "s", "e", bucketWidth = 100L)).head
+    val ovs = for { x <- av; y <- bv }
+      yield math.max(0L, math.min(x._3, y._3) - math.max(x._2, y._2))
+    assert(out == Seq("g", ovs.count(_ > 0).toLong, ovs.sum))
+  }
+
+  test("overlapDuration: span guard fires on an interval wider than the cap") {
+    import spark.implicits._
+    val a = Seq(("k", 0L, 10000L)).toDF("k", "s", "e")
+    val b = Seq(("k", 0L, 1L)).toDF("k", "s", "e")
+    val ex = intercept[Exception] {
+      Events.overlapDuration(a, b, "k", "s", "e", bucketWidth = 10L,
+        maxSpanBuckets = 8).collect()
+    }
+    assert(ex.getMessage.contains("overlapDuration") ||
+      ex.getCause != null)
+  }
 }
