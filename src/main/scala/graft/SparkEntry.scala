@@ -3838,6 +3838,58 @@ object SparkEntry {
       col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
       "o_totalprice")
 
+  private def qCidrJoin(s: SparkSession, d: String): DataFrame = {
+    // CIDR containment over synthetic access-log IPs (numeric hash →
+    // dotted-quad string → parsed back, exercising the parser): rules
+    // BROADCAST pre-exploded to /8 buckets, the log side never shuffles;
+    // the oracle replays the integer block arithmetic on the raw value.
+    import s.implicits._
+    val v = pmod(col("user_id") * 2654435761L, lit(4294967296L))
+    val ips = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      graft.pipeline.Net.longToIpv4(v).as("ip"))
+    val rules = Seq("0.0.0.0/2", "128.0.0.0/1", "55.0.0.0/8",
+      "200.100.0.0/16", "10.20.30.0/24", "7.7.7.7/32", "77.0.0.0/6")
+      .toDF("cidr")
+    Relational.sort(col("cidr"))(
+      graft.pipeline.Net.cidrContainJoin(ips, "ip", rules, "cidr")
+        .groupBy(col("cidr"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("user_id")).as("n_users")))
+  }
+
+  private def qPhraseSearch(s: SparkSession, d: String): DataFrame =
+    // Exact-phrase retrieval ("table hash") over the positional inverted
+    // index: per-term postings filter + one (doc, pos−offset) equi-join;
+    // the oracle counts the same adjacencies list-wise per document.
+    Relational.sort(col("doc_id"))(
+      graft.pipeline.Index.phraseSearch(Tables.documents(s, d), "doc_id",
+          "text", Seq("table", "hash"))
+        .select(col("doc").as("doc_id"), col("n_matches")))
+
+  private def qReadability(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.TextAnalysis._
+    // Flesch reading ease per document: three regexp counts + one fixed
+    // IEEE expression — single pass, zero joins.
+    Relational.sort(col("doc_id"))(
+      Tables.documents(s, d).select(col("doc_id"),
+        wordCount(col("text")).as("n_words"),
+        sentenceCount(col("text")).as("n_sentences"),
+        syllableCount(col("text")).as("n_syllables"),
+        fleschScore(col("text")).as("flesch")))
+  }
+
+  private def qLuhn(s: SparkSession, d: String): DataFrame = {
+    // Luhn mod-10 audit of synthetic 12-digit ids: the HOF expression
+    // folds doubled digits positionally; the oracle replays digit by
+    // digit in list land.
+    val nums = Tables.orders(s, d).select(
+      lpad(pmod(col("o_orderkey") * 2654435761L, lit(1000000000000L))
+        .cast("string"), 12, "0").as("num"))
+    Relational.sort(col("valid"))(
+      nums.select(graft.pipeline.Checks.luhnValid(col("num")).as("valid"))
+        .groupBy(col("valid")).agg(count(lit(1)).as("n")))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4108,6 +4160,10 @@ object SparkEntry {
     "q_ewma" -> (qEwma _),
     "q_overlap_duration" -> (qOverlapDuration _),
     "q_did" -> (qDid _),
+    "q_cidr_join" -> (qCidrJoin _),
+    "q_phrase_search" -> (qPhraseSearch _),
+    "q_readability" -> (qReadability _),
+    "q_luhn" -> (qLuhn _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -7628,5 +7684,62 @@ object SparkEntry {
         |  round(mcp, 6) AS mean_ctrl_pre, round(mcq, 6) AS mean_ctrl_post,
         |  round((mtq - mtp) - (mcq - mcp), 6) AS did
         |FROM m""".stripMargin,
+    // CIDR containment: the oracle replays the integer block arithmetic
+    // (canonical net bases precomputed; v // bsz = net // bsz) on the
+    // raw hash value — the engine's string roundtrip must land the same.
+    "q_cidr_join" ->
+      """WITH ips AS (SELECT event_id, user_id,
+        |    (user_id * 2654435761) % 4294967296 AS v FROM events),
+        |r AS (SELECT * FROM (VALUES
+        |    ('0.0.0.0/2', 0, 1073741824),
+        |    ('128.0.0.0/1', 2147483648, 2147483648),
+        |    ('55.0.0.0/8', 922746880, 16777216),
+        |    ('200.100.0.0/16', 3361996800, 65536),
+        |    ('10.20.30.0/24', 169090560, 256),
+        |    ('7.7.7.7/32', 117901063, 1),
+        |    ('77.0.0.0/6', 1275068416, 67108864))
+        |  AS t(cidr, net, bsz))
+        |SELECT cidr, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ips JOIN r ON ips.v // r.bsz = r.net // r.bsz
+        |GROUP BY cidr ORDER BY cidr""".stripMargin,
+    // Phrase search: list-wise adjacency count per document under the
+    // identical tokenization.
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS w FROM documents),
+        |m AS (SELECT doc_id, CAST(len(list_filter(range(1, len(w)),
+        |    i -> w[i] = 'table' AND w[i+1] = 'hash')) AS BIGINT)
+        |  AS n_matches FROM t)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY doc_id""".stripMargin,
+    // Flesch reading ease: three regexp counts + the fixed formula.
+    "q_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    AS BIGINT) AS n_words,
+        |  CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS BIGINT) AS n_syllables,
+        |  CASE WHEN n_words > 0 THEN round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+        |  END AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Luhn mod-10: digit-positional replay in list land.
+    "q_luhn" ->
+      """WITH n AS (SELECT lpad(CAST((o_orderkey * 2654435761) %
+        |    1000000000000 AS VARCHAR), 12, '0') AS s FROM orders),
+        |v AS (SELECT (list_sum(list_transform(range(1, length(s) + 1),
+        |    i -> CASE WHEN (length(s) - i) % 2 = 1
+        |      THEN CASE WHEN 2 * CAST(substring(s, i, 1) AS INT) > 9
+        |        THEN 2 * CAST(substring(s, i, 1) AS INT) - 9
+        |        ELSE 2 * CAST(substring(s, i, 1) AS INT) END
+        |      ELSE CAST(substring(s, i, 1) AS INT) END)) % 10 = 0)
+        |    AS valid FROM n)
+        |SELECT valid, CAST(COUNT(*) AS BIGINT) AS n FROM v
+        |GROUP BY valid ORDER BY valid""".stripMargin,
   )
 }

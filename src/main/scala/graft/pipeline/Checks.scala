@@ -278,4 +278,22 @@ object Checks {
           .when(abs(diff) <= lit(tol.underlying), "match")
           .otherwise("mismatch").as("status")): _*)
   }
+
+  /** Luhn (mod-10) checksum validity of an all-digit string column — the
+    * card/IMEI/id-format audit. From the RIGHT, every second digit
+    * doubles (minus 9 past 9); valid ⟺ the sum ≡ 0 (mod 10). One
+    * higher-order-function expression over the digit positions — works
+    * for any length, stays in codegen'd column land (no UDF). NULL for
+    * NULL/empty/non-digit input. */
+  def luhnValid(s: Column): Column = {
+    val digitsOk = s.rlike("^[0-9]+$")
+    val total = aggregate(
+      transform(sequence(lit(1), length(s)), i => {
+        val d = s.substr(i, lit(1)).cast("int")
+        when((length(s) - i) % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    when(digitsOk, total % 10 === 0)
+  }
 }

@@ -50,4 +50,40 @@ object Index {
       .where(col("__hits") === distinctTerms.size)
       .select("doc")
   }
+
+  /** Positional postings: one row per token OCCURRENCE — (term, doc,
+    * pos) with pos the 0-based token index. The phrase/proximity face of
+    * [[invertedIndex]] (which stores presence only); ~corpus-token-count
+    * rows, term-keyed so hot terms shard under AQE like the tf path. */
+  def positionalIndex(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        posexplode(Scoring.tokenize(col(textCol))))
+      .toDF("doc", "pos", "term")
+
+  /** Exact phrase search over a positional index: documents where the
+    * query terms occur CONSECUTIVELY, with the match count (overlapping
+    * matches all count — position arithmetic, not substring replace).
+    *
+    * Plan: filter the postings to the first term, then one equi-join per
+    * remaining term on (doc, pos − offset) — each join moves only that
+    * term's postings (the IN-filter pushes to the index scan; with a
+    * term-bucketed stored index this prunes to k buckets), never the
+    * corpus. Rare-term-first ordering is the classic optimization —
+    * callers can pre-rotate the phrase; positions keep the offsets
+    * correct regardless of join order. Output: (doc, n_matches > 0). */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: need at least one term")
+    val terms = phrase.map(_.toLowerCase)
+    val post = positionalIndex(docs, idCol, textCol)
+    val base = post.where(col("term") === terms.head)
+      .select(col("doc"), col("pos"))
+    val matched = terms.zipWithIndex.drop(1).foldLeft(base) {
+      case (acc, (t, j)) =>
+        acc.join(post.where(col("term") === t)
+          .select(col("doc"), (col("pos") - j).as("pos")), Seq("doc", "pos"))
+    }
+    matched.groupBy(col("doc")).agg(count(lit(1)).as("n_matches"))
+  }
 }

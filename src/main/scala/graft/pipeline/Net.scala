@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IPv4 / CIDR log-analytics primitives — the firewall-rule / geo-block
+  * enrichment step of an access-log pipeline, as pure codegen column
+  * expressions plus a broadcast containment join. Beyond-reference
+  * surface (the reference has no network type; its users parse in UDFs —
+  * here the parse IS the plan).
+  */
+object Net {
+
+  /** Dotted-quad IPv4 string → unsigned 32-bit value in a Long. NULL for
+    * anything malformed: wrong part count, non-numeric, out-of-range
+    * octet. Pure expressions (split + guarded casts) — codegen, no UDF. */
+  def ipv4ToLong(ip: Column): Column = {
+    val p = split(ip, "\\.", -1)
+    def oct(i: Int): Column = {
+      val c = element_at(p, i).cast("long")
+      when(element_at(p, i).rlike("^[0-9]{1,3}$") &&
+        c.between(0L, 255L), c)
+    }
+    when(size(p) === 4,
+      oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4))
+  }
+
+  /** Long → dotted-quad string (the inverse face, for readable output). */
+  def longToIpv4(v: Column): Column = {
+    val x = v.cast("long")
+    concat_ws(".", shiftright(x, 24) % 256L, shiftright(x, 16) % 256L,
+      shiftright(x, 8) % 256L, x % 256L)
+  }
+
+  /** CIDR containment join: every (ip row, rule) pair where the IPv4
+    * address in `ipCol` (dotted-quad string) falls inside the rule's
+    * `cidrCol` block ("a.b.c.d/p"). Overlapping rules each match — the
+    * caller picks longest-prefix or aggregates as needed.
+    *
+    * Scale shape: rule tables are dimension-sized (firewall/geo lists),
+    * so the rules BROADCAST — no shuffle of the 100 TB log side at all.
+    * Each rule pre-explodes to its covering /8 buckets (a /p with p < 8
+    * covers 2^(8−p) ≤ 256 buckets; p ≥ 8 exactly one), the join keys on
+    * the ip's first octet, and the residual mask test is one integer
+    * division: ip div 2^(32−p) = net div 2^(32−p). Malformed ips or
+    * rules drop out via NULL. Output: input ip-side columns + (cidr,
+    * net, plen). */
+  def cidrContainJoin(ips: DataFrame, ipCol: String,
+                      rules: DataFrame, cidrCol: String): DataFrame = {
+    val parsed = rules.select(col(cidrCol).as("cidr"),
+        ipv4ToLong(split(col(cidrCol), "/").getItem(0)).as("__net"),
+        split(col(cidrCol), "/").getItem(1).cast("int").as("plen"))
+      .where(col("__net").isNotNull && col("plen").between(0, 32))
+      // canonical network base: zero the host bits so sloppy rules
+      // ("1.2.3.4/24") still mean their block
+      .withColumn("__bsz", expr("CAST(pow(2, 32 - plen) AS BIGINT)"))
+      .withColumn("net", expr("(__net div __bsz) * __bsz"))
+      .withColumn("__b", explode(sequence(
+        expr("net div 16777216L"),
+        expr("(net + __bsz - 1) div 16777216L"))))
+    val probe = ips.withColumn("__ipv", ipv4ToLong(col(ipCol)))
+      .where(col("__ipv").isNotNull)
+      .withColumn("__b", expr("__ipv div 16777216L"))
+    probe.join(broadcast(parsed), Seq("__b"))
+      .where(expr("__ipv div __bsz") === expr("net div __bsz"))
+      .drop("__b", "__bsz", "__net")
+  }
+}

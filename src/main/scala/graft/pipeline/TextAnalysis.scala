@@ -305,4 +305,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_mentions"),
         (min(col("__pos")) + 1).as("first_pos"))
   }
+
+  // ===== Readability (the curriculum / difficulty-bucketing signal a
+  // training-data pipeline uses to stage corpora) =====
+
+  /** Word count under the standard tokenization ([a-z0-9]+ runs). */
+  def wordCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z0-9]+")).cast("long")
+
+  /** Sentence count: runs of terminal punctuation, floored at 1 so
+    * unpunctuated text counts as one sentence (the Flesch convention
+    * for fragments). */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")).cast("long"), lit(1L))
+
+  /** Syllable estimate: vowel-group runs ([aeiouy]+), the classic
+    * heuristic — counted over the whole text in one regexp pass (vowel
+    * runs never cross word boundaries, so the doc-level count equals
+    * the per-word sum). */
+  def syllableCount(text: Column): Column =
+    regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+
+  /** Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), NULL for wordless text. Integer counts in,
+    * one fixed IEEE expression out (engine-independent), 6 dp. */
+  def fleschScore(text: Column): Column = {
+    val w = wordCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    when(w > 0,
+      round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w), 6))
+  }
 }

@@ -1123,4 +1123,101 @@ class PipelineOpsSpec extends SparkSpec {
         Seq(null, 8L, null), Seq(null, 9L, null)))
     }
   }
+
+  // ---------------------------------------------------------------- Net
+
+  test("ipv4ToLong: valid quads parse; malformed and out-of-range are NULL") {
+    val df = Seq("0.0.0.0", "255.255.255.255", "10.20.30.40", "1.2.3",
+      "1.2.3.4.5", "256.1.1.1", "a.b.c.d", "1..2.3", "01.2.3.4")
+      .toDF("ip")
+    val out = rows(df.select(col("ip"), Net.ipv4ToLong(col("ip"))))
+    val m = out.map(r => r(0) -> r(1)).toMap
+    assert(m("0.0.0.0") == 0L)
+    assert(m("255.255.255.255") == 4294967295L)
+    assert(m("10.20.30.40") == 169090600L)
+    assert(m("01.2.3.4") == 16909060L) // leading zero tolerated
+    Seq("1.2.3", "1.2.3.4.5", "256.1.1.1", "a.b.c.d", "1..2.3")
+      .foreach(s => assert(m(s) == null, s))
+  }
+
+  test("longToIpv4 inverts ipv4ToLong across the octet space") {
+    val df = (0 until 64).map(i => (i * 67108865L + i) % 4294967296L)
+      .toDF("v")
+    val out = rows(df.select(col("v"),
+      Net.ipv4ToLong(Net.longToIpv4(col("v")))))
+    out.foreach(r => assert(r(0) == r(1)))
+  }
+
+  test("cidrContainJoin: containment, canonical base, /32 and /0 edges") {
+    val ips = Seq((1L, "10.1.2.3"), (2L, "10.255.0.1"), (3L, "11.0.0.0"),
+      (4L, "192.168.5.5"), (5L, "not an ip")).toDF("id", "ip")
+    // 10.9.9.9/8 is sloppy — canonical base must still mean 10.0.0.0/8
+    val rules = Seq("10.9.9.9/8", "192.168.5.5/32", "0.0.0.0/0")
+      .toDF("cidr")
+    withPartitionings(ips) { d =>
+      val out = rows(Net.cidrContainJoin(d, "ip", rules, "cidr")
+        .select(col("id"), col("cidr")).orderBy("id", "cidr"))
+      assert(out == Seq(Seq(1L, "0.0.0.0/0"), Seq(1L, "10.9.9.9/8"),
+        Seq(2L, "0.0.0.0/0"), Seq(2L, "10.9.9.9/8"),
+        Seq(3L, "0.0.0.0/0"), Seq(4L, "0.0.0.0/0"),
+        Seq(4L, "192.168.5.5/32")))
+    }
+  }
+
+  // ---------------------------------------------------------------- phraseSearch
+
+  test("phraseSearch: adjacency only, overlaps count, order matters") {
+    val docs = Seq((1L, "big table hash join"), (2L, "table of hash"),
+      (3L, "table hash table hash"), (4L, "hash table")).toDF("id", "text")
+    withPartitionings(docs) { d =>
+      val out = rows(Index.phraseSearch(d, "id", "text",
+        Seq("table", "hash")).orderBy("doc"))
+      assert(out == Seq(Seq(1L, 1L), Seq(3L, 2L)))
+    }
+  }
+
+  test("phraseSearch: three-term phrase and repeated-word overlap") {
+    val docs = Seq((1L, "a a a a"), (2L, "a a b")).toDF("id", "text")
+    val out = rows(Index.phraseSearch(docs, "id", "text", Seq("a", "a"))
+      .orderBy("doc"))
+    // "a a a a": positions (0,1),(1,2),(2,3) — overlapping all count
+    assert(out == Seq(Seq(1L, 3L), Seq(2L, 1L)))
+    val out3 = rows(Index.phraseSearch(docs, "id", "text",
+      Seq("a", "a", "b")).orderBy("doc"))
+    assert(out3 == Seq(Seq(2L, 1L)))
+  }
+
+  // ---------------------------------------------------------------- readability
+
+  test("flesch counts and score on hand-built text") {
+    val df = Seq("The cat sat. The dog ran!", "xyz", "").toDF("t")
+    val out = rows(df.select(TextAnalysis.wordCount(col("t")),
+      TextAnalysis.sentenceCount(col("t")),
+      TextAnalysis.syllableCount(col("t")),
+      TextAnalysis.fleschScore(col("t"))))
+    // "The cat sat. The dog ran!": 6 words, 2 sentences, 6 vowel runs
+    // flesch = 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(out(0) == Seq(6L, 2L, 6L, 119.19))
+    // "xyz": 1 word, 1 sentence (floor), 1 vowel run (y)
+    assert(out(1) == Seq(1L, 1L, 1L,
+      BigDecimal(206.835 - 1.015 - 84.6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(2) == Seq(0L, 1L, 0L, null))
+  }
+
+  // ---------------------------------------------------------------- luhn
+
+  test("luhnValid: textbook numbers, tampering flips, non-digits NULL") {
+    val df = Seq("79927398713", "79927398710", "4539578763621486", "0",
+      "59", "x123", "").toDF("s")
+    val out = rows(df.select(col("s"), Checks.luhnValid(col("s"))))
+    val m = out.map(r => r(0) -> r(1)).toMap
+    assert(m("79927398713") == true)   // the canonical Luhn example
+    assert(m("79927398710") == false)  // last digit tampered
+    assert(m("4539578763621486") == true)
+    assert(m("0") == true)
+    assert(m("59") == true)            // 5·2=10→1, +9 = 10 ≡ 0
+    assert(m("x123") == null)
+    assert(m("") == null)
+  }
 }
