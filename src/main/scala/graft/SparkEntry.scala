@@ -3890,6 +3890,48 @@ object SparkEntry {
         .groupBy(col("valid")).agg(count(lit(1)).as("n")))
   }
 
+  private def qTopoLayers(s: SparkSession, d: String): DataFrame = {
+    // DAG stage layering: edges step +16..+63 in a 400-node id space
+    // (dst > src by construction ⇒ acyclic); layer = longest path from
+    // any root, converged frontier relaxation vs the oracle's bounded
+    // all-paths MAX.
+    val o = Tables.orders(s, d)
+    val src = col("o_orderkey") % 400
+    val dst = src + 16 + (col("o_custkey") % 48)
+    val edges = o.select(src.as("src"), dst.as("dst"))
+      .where(col("dst") < 400)
+    Relational.sort(col("id"))(
+      graft.pipeline.Graph.topoLayers(edges, "src", "dst"))
+  }
+
+  private def qSubtreeRollup(s: SparkSession, d: String): DataFrame = {
+    // BOM-style subtree totals over the custkey div-8 forest (parent <
+    // id ⇒ forest; depth ~4 ⇒ two doubling rounds): descendant counts +
+    // inclusive decimal value sums vs the recursive-CTE oracle.
+    val c = Tables.customer(s, d).select(col("c_custkey").as("id"),
+      when(col("c_custkey") < 8, lit(null).cast("long"))
+        .otherwise(expr("c_custkey div 8")).as("parent"),
+      (col("c_custkey") % 100).as("val"))
+    Relational.sort(col("id"))(
+      graft.pipeline.Graph.subtreeRollup(c, "id", "parent", "val"))
+  }
+
+  private def qGeoHarmMean(s: SparkSession, d: String): DataFrame =
+    // Geometric/harmonic price means per order priority: 6-dp decimal-
+    // summed lns and 12-dp reciprocal sums, divisions at the edge.
+    Relational.sort(col("g"))(
+      graft.pipeline.Profile.geoHarmMeans(Tables.orders(s, d),
+        "o_orderpriority", "o_totalprice"))
+
+  private def qSequenceGaps(s: SparkSession, d: String): DataFrame = {
+    // Sequence-completeness audit: event_ids within each user_id%10
+    // class are deliberately sparse — one gap row per hole.
+    val ev = Tables.events(s, d).select((col("user_id") % 10).as("k"),
+      col("event_id"))
+    Relational.sort(col("key"), col("gap_start"))(
+      graft.pipeline.Checks.sequenceGaps(ev, "k", "event_id"))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4164,6 +4206,10 @@ object SparkEntry {
     "q_phrase_search" -> (qPhraseSearch _),
     "q_readability" -> (qReadability _),
     "q_luhn" -> (qLuhn _),
+    "q_topo_layers" -> (qTopoLayers _),
+    "q_subtree_rollup" -> (qSubtreeRollup _),
+    "q_geo_harm_mean" -> (qGeoHarmMean _),
+    "q_sequence_gaps" -> (qSequenceGaps _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -7741,5 +7787,71 @@ object SparkEntry {
         |    AS valid FROM n)
         |SELECT valid, CAST(COUNT(*) AS BIGINT) AS n FROM v
         |GROUP BY valid ORDER BY valid""".stripMargin,
+    // Topological layers: bounded all-paths MAX over the
+    // (id, layer)-deduped recursive expansion.
+    "q_topo_layers" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_orderkey % 400 AS src,
+        |    (o_orderkey % 400) + 16 + (o_custkey % 48) AS dst FROM orders
+        |  WHERE (o_orderkey % 400) + 16 + (o_custkey % 48) < 400),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |r AS (SELECT id, 0 AS layer FROM n
+        |  UNION
+        |  SELECT e.dst, r.layer + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.layer < 30)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(MAX(layer) AS BIGINT) AS layer
+        |FROM r GROUP BY id ORDER BY id""".stripMargin,
+    // Subtree rollup: recursive ancestor pairs (forest ⇒ UNION ALL path
+    // uniqueness), descendant aggregate + own value.
+    "q_subtree_rollup" ->
+      """WITH RECURSIVE nd AS (SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey < 8 THEN NULL ELSE c_custkey // 8 END
+        |      AS parent,
+        |    CAST(c_custkey % 100 AS DECIMAL(18,2)) AS val FROM customer),
+        |a AS (SELECT id, parent AS anc FROM nd WHERE parent IS NOT NULL
+        |  UNION ALL
+        |  SELECT a.id, nd.parent FROM a JOIN nd ON nd.id = a.anc
+        |  WHERE nd.parent IS NOT NULL),
+        |ag AS (SELECT a.anc AS id, CAST(COUNT(*) AS BIGINT) AS nd_,
+        |    SUM(nd.val) AS dsum
+        |  FROM a JOIN nd ON nd.id = a.id GROUP BY a.anc)
+        |SELECT nd.id, COALESCE(ag.nd_, 0) AS n_desc,
+        |  CAST(CAST(nd.val + COALESCE(ag.dsum, 0) AS VARCHAR) AS DOUBLE)
+        |    AS subtree_sum
+        |FROM nd LEFT JOIN ag ON ag.id = nd.id ORDER BY nd.id""".stripMargin,
+    // Geometric/harmonic means: 6-dp ln terms, 12-dp reciprocal terms,
+    // decimal sums, edge divisions.
+    "q_geo_harm_mean" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        |t AS (SELECT g,
+        |    CASE WHEN v > 0 THEN CAST(round(ln(
+        |      CAST(CAST(v AS VARCHAR) AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    END AS lnt,
+        |    CASE WHEN v > 0 THEN CAST(round(1.0 /
+        |      CAST(CAST(v AS VARCHAR) AS DOUBLE), 12) AS DECIMAL(24,12))
+        |    END AS invt,
+        |    CASE WHEN v > 0 THEN 1 ELSE 0 END AS ok FROM b),
+        |ag AS (SELECT g, CAST(SUM(ok) AS BIGINT) AS n,
+        |    CAST(COUNT(*) - SUM(ok) AS BIGINT) AS n_excluded,
+        |    SUM(lnt) AS sln, SUM(invt) AS sinv FROM t GROUP BY g)
+        |SELECT g, n, n_excluded,
+        |  CASE WHEN n > 0 THEN round(exp(
+        |    CAST(CAST(sln AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |  END AS geo_mean,
+        |  CASE WHEN n > 0 THEN round(CAST(n AS DOUBLE) /
+        |    CAST(CAST(sinv AS VARCHAR) AS DOUBLE), 6)
+        |  END AS harm_mean
+        |FROM ag ORDER BY g""".stripMargin,
+    // Sequence gaps: lag over distinct ids per class.
+    "q_sequence_gaps" ->
+      """WITH b AS (SELECT DISTINCT user_id % 10 AS k, event_id AS s
+        |  FROM events),
+        |l AS (SELECT k, s, lag(s) OVER (PARTITION BY k ORDER BY s)
+        |    AS prev FROM b)
+        |SELECT k AS key, CAST(prev + 1 AS BIGINT) AS gap_start,
+        |  CAST(s - 1 AS BIGINT) AS gap_end,
+        |  CAST(s - prev - 1 AS BIGINT) AS n_missing
+        |FROM l WHERE prev IS NOT NULL AND s - prev > 1
+        |ORDER BY key, gap_start""".stripMargin,
   )
 }

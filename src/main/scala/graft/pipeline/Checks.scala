@@ -285,6 +285,23 @@ object Checks {
     * higher-order-function expression over the digit positions — works
     * for any length, stays in codegen'd column land (no UDF). NULL for
     * NULL/empty/non-digit input. */
+  /** Gaps in an integer sequence per key — the completeness audit for
+    * anything that should be dense (invoice numbers, offsets, shard
+    * indexes): one row per hole, (key, gap_start, gap_end, n_missing).
+    * Duplicates collapse first (a repeated id is not a gap); one
+    * key-sharded lag window over the distinct ids. */
+  def sequenceGaps(df: DataFrame, keyCol: String, seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__s").asc)
+    df.select(col(keyCol).as("__k"), col(seqCol).cast("long").as("__s"))
+      .where(col("__s").isNotNull).distinct()
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .where(col("__prev").isNotNull && col("__s") - col("__prev") > 1)
+      .select(col("__k").as("key"), (col("__prev") + 1).as("gap_start"),
+        (col("__s") - 1).as("gap_end"),
+        (col("__s") - col("__prev") - 1).as("n_missing"))
+  }
+
   def luhnValid(s: Column): Column = {
     val digitsOk = s.rlike("^[0-9]+$")
     val total = aggregate(

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic graph centrality for corpus weighting — the link-graph
@@ -346,5 +346,106 @@ object Graph {
     }
     e.unpersist()
     best
+  }
+
+  /** Topological layering of a DAG: layer(v) = length of the LONGEST
+    * path ending at v — the stage number a scheduler / lineage planner
+    * assigns (all layer-k nodes can run once layers < k finished).
+    * Same frontier-relaxation shape as [[ssspHops]] with max instead of
+    * min; on a DAG with depth D it converges in D rounds and the loop
+    * exits when nothing improves. A CYCLE never converges — the
+    * `maxRounds` require fails loudly rather than returning wrong
+    * layers, which doubles as cycle DETECTION for dependency audits.
+    * Output: (id, layer); roots (no incoming edges) are layer 0. */
+  def topoLayers(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxRounds: Int = 40): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(mem)
+    e.count()
+    var layer = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .withColumn("layer", lit(0L)).localCheckpoint(true)
+    var frontier = layer
+    var rounds = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"topoLayers: not converged after $maxRounds rounds — cycle in edge data?")
+      val cand = e.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("layer") + 1L).as("__c"))
+        .groupBy("id").agg(max(col("__c")).as("__c"))
+      val improved = cand.join(layer, Seq("id"))
+        .where(col("__c") > col("layer"))
+        .select(col("id"), col("__c").as("layer"))
+        .localCheckpoint(true)
+      frontierSize = improved.count()
+      if (frontierSize > 0) {
+        layer = layer.join(improved.select(col("id")), Seq("id"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint(true)
+      }
+      frontier = improved
+    }
+    e.unpersist()
+    layer
+  }
+
+  /** Full ancestor closure of a parent-pointer FOREST by relation
+    * doubling: round k holds every (node, ancestor) pair at distance
+    * ≤ 2^k, so depth D closes in ⌈log₂ D⌉ self-joins — each keyed on
+    * the ancestor id, shuffling (long, long) pairs. Output size is
+    * Σ depth(v) (every node × each of its proper ancestors) — the
+    * closure IS the product, as in any BOM/org expansion; cap abuse
+    * with `maxRounds` (non-convergence ⇒ cycle, loud require).
+    * Output: (id, anc) — proper ancestors only. */
+  def ancestorClosure(nodes: DataFrame, idCol: String, parentCol: String,
+                      maxRounds: Int = 20): DataFrame = {
+    var pairs = nodes.select(col(idCol).cast("long").as("id"),
+        col(parentCol).cast("long").as("anc"))
+      .where(col("anc").isNotNull).distinct().localCheckpoint(true)
+    var n = pairs.count()
+    var rounds = 0
+    var converged = n == 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"ancestorClosure: still growing after $maxRounds rounds — cycle in parent data?")
+      val next = pairs.unionByName(
+          pairs.as("x").join(pairs.as("y"), col("y.id") === col("x.anc"))
+            .select(col("x.id").as("id"), col("y.anc").as("anc")))
+        .distinct().localCheckpoint(true)
+      val nn = next.count()
+      converged = nn == n
+      pairs = next
+      n = nn
+    }
+    pairs
+  }
+
+  /** Subtree rollup over a parent-pointer forest: per node, the count of
+    * proper descendants and the value total of its subtree INCLUDING
+    * itself — the BOM-cost / org-headcount explosion. One
+    * [[ancestorClosure]] (log-depth doubling joins) + one aggregate
+    * keyed by ancestor + one join back to the node's own value. Values
+    * sum in exact decimals. Output: (id, n_desc, subtree_sum). */
+  def subtreeRollup(nodes: DataFrame, idCol: String, parentCol: String,
+                    valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val base = nodes.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("__p"),
+      col(valueCol).cast("decimal(18,2)").as("__v"))
+    val anc = ancestorClosure(base, "id", "__p")
+    val descAgg = anc.join(base.select(col("id"), col("__v")), Seq("id"))
+      .groupBy(col("anc").as("id"))
+      .agg(count(lit(1)).as("__nd"), sum(col("__v")).as("__dsum"))
+    base.select(col("id"), col("__v"))
+      .join(descAgg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__nd"), lit(0L)).as("n_desc"),
+        d(col("__v") + coalesce(col("__dsum"),
+          lit(0).cast("decimal(18,2)"))).as("subtree_sum"))
   }
 }

@@ -1217,6 +1217,32 @@ object Profile {
     * One map-side-combined aggregate over the full input.
     * Output: 1 row — (n, mean_treat_pre, mean_treat_post, mean_ctrl_pre,
     * mean_ctrl_post, did). */
+  /** Geometric and harmonic means per group over POSITIVE values (both
+    * are undefined otherwise; NULLs and non-positives are excluded and
+    * reported via n vs n_excluded). Geometric rides the decimal-summed
+    * 6-dp ln convention (tfidf/kaplanMeier precedent) re-exponentiated
+    * at the edge; harmonic sums 12-dp-rounded reciprocals (the values'
+    * reciprocals live near zero — 12 dp keeps precision while pinning
+    * both engines to identical decimals). One map-side-combined
+    * aggregate. Output: (g, n, n_excluded, geo_mean, harm_mean). */
+  def geoHarmMeans(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val v = col(valueCol).cast("decimal(18,2)")
+    val pos = col(valueCol).isNotNull && v > 0
+    val lnT = when(pos, round(log(d(v)), 6).cast("decimal(18,6)"))
+    val invT = when(pos, round(lit(1.0) / d(v), 12).cast("decimal(24,12)"))
+    df.groupBy(col(groupCol).as("g"))
+      .agg(sum(when(pos, 1L).otherwise(0L)).as("n"),
+        sum(when(pos, 0L).otherwise(1L)).as("n_excluded"),
+        sum(lnT).as("__sln"), sum(invT).as("__sinv"))
+      .select(col("g"), col("n"), col("n_excluded"),
+        when(col("n") > 0, round(
+          exp(d(col("__sln")) / col("n").cast("double")), 6)).as("geo_mean"),
+        when(col("n") > 0, round(
+          col("n").cast("double") / d(col("__sinv")), 6)).as("harm_mean"))
+  }
+
   def diffInDiff(df: DataFrame, treatedCol: Column, postCol: Column,
                  valueCol: String): DataFrame = {
     def d(c: Column) = c.cast("string").cast("double")

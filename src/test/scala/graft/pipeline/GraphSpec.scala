@@ -130,4 +130,38 @@ class GraphSpec extends SparkSpec {
       Seq(1L, 2L).toDF("id"), "id", maxHops = 4).orderBy("id"))
     assert(out == Seq(Seq(1L, 0L), Seq(2L, 0L), Seq(3L, 1L)))
   }
+
+  test("topoLayers: diamond takes the longer arm; cycle fails loudly") {
+    import spark.implicits._
+    // 1→2→3→5 and 1→4→5: layer(5) = 3 via the long arm
+    val dag = Seq((1L, 2L), (2L, 3L), (3L, 5L), (1L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val out = rows(Graph.topoLayers(dag, "s", "d").orderBy("id"))
+    assert(out == Seq(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L),
+      Seq(4L, 1L), Seq(5L, 3L)))
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.topoLayers(cyc, "s", "d", maxRounds = 6).collect()
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
+  test("ancestorClosure: all proper ancestors; subtreeRollup sums inclusive") {
+    import spark.implicits._
+    // forest: 1 root of {2,3}; 3 parent of {4}; 4 parent of {5}; 9 lone
+    val nd = Seq((1L, None, 10), (2L, Some(1L), 1), (3L, Some(1L), 2),
+      (4L, Some(3L), 3), (5L, Some(4L), 4), (9L, None, 7))
+      .toDF("id", "parent", "v")
+    withPartitionings(nd) { d =>
+      val anc = rows(Graph.ancestorClosure(d, "id", "parent")
+        .orderBy("id", "anc"))
+      assert(anc == Seq(Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L), Seq(4L, 3L),
+        Seq(5L, 1L), Seq(5L, 3L), Seq(5L, 4L)))
+      val roll = rows(Graph.subtreeRollup(d, "id", "parent", "v")
+        .orderBy("id"))
+      assert(roll == Seq(Seq(1L, 4L, 20.0), Seq(2L, 0L, 1.0),
+        Seq(3L, 2L, 9.0), Seq(4L, 1L, 7.0), Seq(5L, 0L, 4.0),
+        Seq(9L, 0L, 7.0)))
+    }
+  }
 }

@@ -1207,6 +1207,30 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- luhn
 
+  test("sequenceGaps: holes per key; duplicates are not gaps") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 5L), ("a", 9L),
+      ("b", 3L), ("b", 4L)).toDF("k", "s")
+    withPartitionings(df) { d =>
+      val out = rows(Checks.sequenceGaps(d, "k", "s")
+        .orderBy("key", "gap_start"))
+      assert(out == Seq(Seq("a", 3L, 4L, 2L), Seq("a", 6L, 8L, 3L)))
+    }
+  }
+
+  test("geoHarmMeans: hand values; non-positives excluded not averaged") {
+    val df = Seq(("g", 2.0), ("g", 8.0), ("g", 0.0), ("g", -4.0),
+      ("h", 5.0)).toDF("k", "v")
+    withPartitionings(df) { d =>
+      val out = rows(Profile.geoHarmMeans(d, "k", "v").orderBy("g"))
+      // g: geo = sqrt(16) = 4 (via rounded lns), harm = 2/(1/2+1/8) = 3.2
+      val g = out(0)
+      assert(g(0) == "g" && g(1) == 2L && g(2) == 2L)
+      assert(math.abs(g(3).asInstanceOf[Double] - 4.0) < 1e-4)
+      assert(math.abs(g(4).asInstanceOf[Double] - 3.2) < 1e-9)
+      assert(out(1) == Seq("h", 1L, 0L, 5.0, 5.0))
+    }
+  }
+
   test("luhnValid: textbook numbers, tampering flips, non-digits NULL") {
     val df = Seq("79927398713", "79927398710", "4539578763621486", "0",
       "59", "x123", "").toDF("s")
