@@ -3932,6 +3932,40 @@ object SparkEntry {
       graft.pipeline.Checks.sequenceGaps(ev, "k", "event_id"))
   }
 
+  private def qDbscan(s: SparkSession, d: String): DataFrame = {
+    // Grid-blocked DBSCAN over the q_spatial_join-style synthetic points
+    // on a 650x650 plane (eps 40, minPts 5): core/border/noise roles +
+    // min-id cluster labels vs the all-pairs + recursive-closure oracle
+    // (9 clusters / 286 core / 141 border / 73 noise at sf0.01).
+    val m = 2147483648L
+    val pts = Tables.documents(s, d).select(col("doc_id").as("id"),
+      (pmod(col("doc_id"), lit(m)) * lit(2654435761L) % lit(m) % lit(650L)).as("x"),
+      (pmod(col("doc_id"), lit(m)) * lit(2246822519L) % lit(m) % lit(650L)).as("y"))
+    Relational.sort(col("id"))(
+      graft.pipeline.Spatial.dbscan(pts, "id", "x", "y", eps = 40L, minPts = 5))
+  }
+
+  private def qDrawdown(s: SparkSession, d: String): DataFrame =
+    // Max drawdown of the daily revenue series per order priority:
+    // decimal prefix-max window + one argmax struct fold (earliest
+    // trough wins ties).
+    Relational.sort(col("o_orderpriority"))(
+      graft.pipeline.TimeSeries.drawdown(Tables.orders(s, d),
+        "o_orderpriority", "o_orderdate", "o_totalprice"))
+
+  private def qLdiversity(s: SparkSession, d: String): DataFrame =
+    // Distinct-l diversity of account balances within (nation, segment)
+    // quasi-classes at l=5 — the sensitive-value companion to q_kanon.
+    graft.pipeline.Checks.lDiversity(Tables.customer(s, d),
+      Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 5L)
+
+  private def qMultireg(s: SparkSession, d: String): DataFrame =
+    // Two-feature OLS per return flag: extendedprice on (quantity,
+    // discount) — Cramer closed form over exact decimal moments.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.linearFit2(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4210,6 +4244,10 @@ object SparkEntry {
     "q_subtree_rollup" -> (qSubtreeRollup _),
     "q_geo_harm_mean" -> (qGeoHarmMean _),
     "q_sequence_gaps" -> (qSequenceGaps _),
+    "q_dbscan" -> (qDbscan _),
+    "q_drawdown" -> (qDrawdown _),
+    "q_ldiversity" -> (qLdiversity _),
+    "q_multireg" -> (qMultireg _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -7853,5 +7891,97 @@ object SparkEntry {
         |  CAST(s - prev - 1 AS BIGINT) AS n_missing
         |FROM l WHERE prev IS NOT NULL AND s - prev > 1
         |ORDER BY key, gap_start""".stripMargin,
+    // DBSCAN: ALL-pairs neighbor oracle (equality proves the 3x3 grid
+    // blocking lost nothing) + recursive-closure min-label components
+    // over core-core edges; border -> min adjacent core cluster.
+    "q_dbscan" ->
+      """WITH RECURSIVE p AS (SELECT doc_id AS id,
+        |  ((doc_id % 2147483648) * 2654435761 % 2147483648) % 650 AS x,
+        |  ((doc_id % 2147483648) * 2246822519 % 2147483648) % 650 AS y FROM documents),
+        |pr AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
+        |  WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 1600),
+        |sym AS (SELECT ia AS id, ib AS nb FROM pr UNION ALL SELECT ib, ia FROM pr),
+        |cnt AS (SELECT pp.id, count(s.nb) AS c FROM p pp
+        |  LEFT JOIN sym s ON pp.id = s.id GROUP BY 1),
+        |core AS (SELECT id FROM cnt WHERE c + 1 >= 5),
+        |ce AS (SELECT s.id AS a, s.nb AS b FROM sym s
+        |  JOIN core c1 ON s.id = c1.id JOIN core c2 ON s.nb = c2.id),
+        |reach(id, lbl) AS (
+        |  SELECT a, a FROM ce
+        |  UNION
+        |  SELECT e.a, r.lbl FROM ce e JOIN reach r ON r.id = e.b),
+        |cc AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+        |corelab AS (SELECT c.id, COALESCE(cc.cluster, c.id) AS cluster
+        |  FROM core c LEFT JOIN cc ON c.id = cc.id),
+        |border AS (SELECT s.id, MIN(cl.cluster) AS cluster
+        |  FROM sym s JOIN corelab cl ON s.nb = cl.id
+        |  WHERE s.id NOT IN (SELECT id FROM core)
+        |  GROUP BY s.id)
+        |SELECT pp.id,
+        |  CASE WHEN corelab.id IS NOT NULL THEN 'core'
+        |       WHEN border.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(corelab.cluster, border.cluster) AS cluster
+        |FROM p pp LEFT JOIN corelab ON pp.id = corelab.id
+        |LEFT JOIN border ON pp.id = border.id
+        |ORDER BY pp.id""".stripMargin,
+    // Max drawdown: decimal daily sums, running-peak window, earliest
+    // trough on ties; digit-string->double at the edge only.
+    "q_drawdown" ->
+      """WITH a AS (SELECT o_orderpriority AS k,
+        |  date_trunc('day', o_orderdate) AS dy,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT k, dy, v, MAX(v) OVER (PARTITION BY k ORDER BY dy
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM a),
+        |t AS (SELECT k, dy, peak, peak - v AS delta FROM w),
+        |r AS (SELECT k, dy, peak, delta,
+        |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY delta DESC, dy ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY k) AS np FROM t)
+        |SELECT k AS o_orderpriority, CAST(np AS BIGINT) AS n_periods,
+        |  CAST(CAST(delta AS VARCHAR) AS DOUBLE) AS max_drawdown,
+        |  strftime(dy, '%Y-%m-%d') AS trough_day,
+        |  CAST(CAST(peak AS VARCHAR) AS DOUBLE) AS peak_at_trough
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+    // l-diversity: distinct sensitive values per quasi-class, one fold.
+    "q_ldiversity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS c,
+        |  count(DISTINCT c_acctbal) AS dv FROM customer GROUP BY 1, 2)
+        |SELECT CAST(5 AS BIGINT) AS l, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN dv < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+        |  CAST(SUM(CASE WHEN dv < 5 THEN c ELSE 0 END) AS BIGINT) AS rows_below_l,
+        |  MIN(dv) AS min_diversity, MAX(dv) AS max_diversity,
+        |  SUM(CASE WHEN dv < 5 THEN 1 ELSE 0 END) = 0 AS diverse
+        |FROM c""".stripMargin,
+    // Two-feature OLS: Cramer closed form, the q_linreg digit-string
+    // moment convention; b1/b2 materialize before b0/r2 so both engines
+    // share the identical double dag.
+    "q_multireg" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s11,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s22,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s12,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1y,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2y,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_returnflag, n, s1, s2, sy,
+        |  CAST(n AS DOUBLE) * s11 - s1 * s1 AS c11,
+        |  CAST(n AS DOUBLE) * s22 - s2 * s2 AS c22,
+        |  CAST(n AS DOUBLE) * s12 - s1 * s2 AS c12,
+        |  CAST(n AS DOUBLE) * s1y - s1 * sy AS c1y,
+        |  CAST(n AS DOUBLE) * s2y - s2 * sy AS c2y,
+        |  CAST(n AS DOUBLE) * syy - sy * sy AS cyy FROM m),
+        |dt AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+        |b AS (SELECT *, (c22 * c1y - c12 * c2y) / det AS b1,
+        |  (c11 * c2y - c12 * c1y) / det AS b2 FROM dt)
+        |SELECT l_returnflag, n, b1, b2,
+        |  (sy - b1 * s1 - b2 * s2) / CAST(n AS DOUBLE) AS b0,
+        |  (b1 * c1y + b2 * c2y) / cyy AS r2
+        |FROM b ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -167,6 +167,32 @@ object Checks {
         (col("classes_below_k") === 0L).as("anonymous"))
   }
 
+  /** l-diversity audit — the companion privacy check to [[kAnonymity]]:
+    * a quasi-identifier class can be large (k-anonymous) yet still leak
+    * if every member shares the same SENSITIVE value; distinct-l
+    * diversity requires ≥ l distinct sensitive values per class. One
+    * aggregation produces the class table (size + distinct sensitive
+    * count — NULL sensitive values don't count as a value, standard
+    * count-distinct semantics), then a single fold reports the audit.
+    * The report is one row whatever the input size. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity: need at least one quasi-identifier")
+    require(l >= 1, "lDiversity: l must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"),
+        count_distinct(col(sensitiveCol)).as("__d"))
+      .agg(sum(col("__c")).as("n_rows"), count(lit(1)).as("n_classes"),
+        sum(when(col("__d") < l, 1L).otherwise(0L)).as("classes_below_l"),
+        sum(when(col("__d") < l, col("__c")).otherwise(0L)).as("rows_below_l"),
+        min(col("__d")).as("min_diversity"),
+        max(col("__d")).as("max_diversity"))
+      .select(lit(l).as("l"), col("n_rows"), col("n_classes"),
+        col("classes_below_l"), col("rows_below_l"),
+        col("min_diversity"), col("max_diversity"),
+        (col("classes_below_l") === 0L).as("diverse"))
+  }
+
   /** Order-independent table fingerprint — the replication/anti-entropy
     * audit: every row folds to a 48-bit integer (md5 of the '|'-joined
     * canonical column strings, NULL marked distinctly), summed as

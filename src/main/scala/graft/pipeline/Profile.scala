@@ -301,6 +301,53 @@ object Profile {
            (nd * col("__syy") - col("__sy") * col("__sy")))).as("r2"))
   }
 
+  /** Group-wise TWO-feature OLS y = b0 + b1·x1 + b2·x2 by the closed
+    * Cramer form over exact decimal moments — the smallest multiple
+    * regression, and the largest whose normal equations stay a fixed
+    * expression dag (no iterative solver, no matrix library). The nine
+    * DECIMAL(12,2) moment sums are order-independent (bit-portable under
+    * any partitioning — the corrExact convention), cross the
+    * digit-string→double hop once, and every derived quantity is a fixed
+    * IEEE dag: centered cross-products Sij = n·Σxixj − Σxi·Σxj, det =
+    * S11·S22 − S12², coefficients by Cramer, R² = (b1·S1y + b2·S2y)/Syy.
+    * b1/b2 MATERIALIZE as columns before b0/r2 so both engines evaluate
+    * the shared subterms once — identical shape, identical doubles. */
+  def linearFit2(df: DataFrame, groupCol: String, x1Col: String,
+                 x2Col: String, yCol: String): DataFrame = {
+    val x1 = col(x1Col).cast("decimal(12,2)")
+    val x2 = col(x2Col).cast("decimal(12,2)")
+    val y = col(yCol).cast("decimal(12,2)")
+    def d(c: Column) = c.cast("string").cast("double")
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        d(sum(x1)).as("__s1"), d(sum(x2)).as("__s2"), d(sum(y)).as("__sy"),
+        d(sum(x1 * x1)).as("__s11"), d(sum(x2 * x2)).as("__s22"),
+        d(sum(x1 * x2)).as("__s12"),
+        d(sum(x1 * y)).as("__s1y"), d(sum(x2 * y)).as("__s2y"),
+        d(sum(y * y)).as("__syy"))
+    val nd = col("n").cast("double")
+    val centered = m.select(col(groupCol), col("n"), col("__s1"),
+      col("__s2"), col("__sy"),
+      (nd * col("__s11") - col("__s1") * col("__s1")).as("__c11"),
+      (nd * col("__s22") - col("__s2") * col("__s2")).as("__c22"),
+      (nd * col("__s12") - col("__s1") * col("__s2")).as("__c12"),
+      (nd * col("__s1y") - col("__s1") * col("__sy")).as("__c1y"),
+      (nd * col("__s2y") - col("__s2") * col("__sy")).as("__c2y"),
+      (nd * col("__syy") - col("__sy") * col("__sy")).as("__cyy"))
+    val withDet = centered.withColumn("__det",
+      col("__c11") * col("__c22") - col("__c12") * col("__c12"))
+    val withB = withDet
+      .withColumn("b1", (col("__c22") * col("__c1y") -
+        col("__c12") * col("__c2y")) / col("__det"))
+      .withColumn("b2", (col("__c11") * col("__c2y") -
+        col("__c12") * col("__c1y")) / col("__det"))
+    withB.select(col(groupCol), col("n"), col("b1"), col("b2"),
+      ((col("__sy") - col("b1") * col("__s1") - col("b2") * col("__s2")) /
+        col("n").cast("double")).as("b0"),
+      ((col("b1") * col("__c1y") + col("b2") * col("__c2y")) /
+        col("__cyy")).as("r2"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns — the "is quality correlated with domain?" check a corpus
     * audit runs. One (a, b) aggregation shuffle produces the contingency

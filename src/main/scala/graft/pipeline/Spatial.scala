@@ -118,4 +118,68 @@ object Spatial {
     points.select(col(idCol), px.as(xCol), py.as(yCol),
       (crossings % 2 === 1).as("inside"))
   }
+
+  /** Grid-blocked DBSCAN density clustering over integer planar points —
+    * the "find the dense scrape regions / screenshot layout families"
+    * primitive. Every step is exact and deterministic, so the whole
+    * clustering is replayable by any engine:
+    *
+    *   - neighbors: [[radiusJoinGrid]] (3×3 cell stencil — recall-exact,
+    *     never all-pairs; shuffles move (cell, id, x, y) tuples only);
+    *   - core: |N_eps(p)| ≥ minPts, the point itself included (the
+    *     textbook counting rule);
+    *   - clusters: connected components of the CORE-CORE neighbor graph
+    *     via [[Dedup.duplicateClusters]] (min-id canonical labels); a
+    *     core whose neighbors are all non-core keeps its own id;
+    *   - border: non-core points adjacent to ≥1 core join the SMALLEST
+    *     adjacent core's cluster label — the textbook algorithm assigns
+    *     borders to whichever core claims them first (scan-order
+    *     dependent!); min-label is the deterministic refinement;
+    *   - noise: everything else (cluster NULL).
+    *
+    * Scale posture: the only quadratic surface is per-cell density at
+    * radius scale (the radiusJoinGrid contract); component labeling runs
+    * on the core-core EDGE list, already bounded by the neighbor join.
+    * Output: (id, role ∈ core|border|noise, cluster). */
+  def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
+             eps: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1, "dbscan: minPts must be >= 1")
+    val ids = points.select(col(idCol).as("id"))
+    val pairs = radiusJoinGrid(points, idCol, xCol, yCol, eps)
+      .select(col("id_a"), col("id_b"))
+    // symmetric adjacency, cached: it feeds the degree count, the
+    // core-core edge build AND the border assignment
+    val sym = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("id", "nb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val core = sym.groupBy("id").agg(count(lit(1)).as("__nbrs"))
+      .where(col("__nbrs") + lit(1L) >= lit(minPts.toLong))
+      .select("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coreEdges = sym
+      .join(core, Seq("id"))
+      .join(core.select(col("id").as("nb")), Seq("nb"))
+      .select(col("id").as("id1"), col("nb").as("id2"))
+    val components = Dedup.duplicateClusters(coreEdges)
+    val coreLabeled = core
+      .join(components, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val borderLabeled = sym
+      .join(core, Seq("id"), "left_anti") // self is NOT core
+      .join(coreLabeled.select(col("id").as("nb"), col("cluster")),
+        Seq("nb")) // ... but the neighbor is
+      .groupBy("id").agg(min(col("cluster")).as("cluster"))
+    val out = ids
+      .join(coreLabeled.select(col("id"), col("cluster").as("__cc")),
+        Seq("id"), "left")
+      .join(borderLabeled.select(col("id"), col("cluster").as("__bc")),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("__cc").isNotNull, lit("core"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__cc"), col("__bc")).as("cluster"))
+    out
+  }
 }

@@ -302,4 +302,39 @@ object TimeSeries {
       nterms.as("n_terms"),
       round(d(wsum) / d(dsum), 6).as("ewma"))
   }
+
+  /** Maximum drawdown of the per-period value series — the
+    * peak-to-trough decline risk metric (portfolio equity, daily
+    * revenue, queue depth): per key, bucket values into exact
+    * DECIMAL(12,2) period sums, track the running peak (prefix max —
+    * one key-sharded window), and report the largest peak − value gap.
+    * Everything stays decimal until the final digit-string→double hop,
+    * so the statistic is bit-identical on any engine and partitioning.
+    *
+    * The trough is the EARLIEST period achieving the max drawdown —
+    * folded in the same aggregate via max(struct(dd, −day, …)), no
+    * second window pass. Output: (key, n_periods, max_drawdown,
+    * trough_day, peak_at_trough). */
+  def drawdown(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val daily = df.groupBy(col(keyCol),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = daily
+      .withColumn("__peak", max(col("__v")).over(w))
+      .withColumn("__dd", col("__peak") - col("__v"))
+      .withColumn("__negday",
+        -datediff(col("__day"), to_date(lit("1970-01-01"))).cast("long"))
+    stepped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_periods"),
+        max(struct(col("__dd"), col("__negday"), col("__peak"),
+          col("__day"))).as("__m"))
+      .select(col(keyCol), col("n_periods"),
+        d(col("__m.__dd")).as("max_drawdown"),
+        date_format(col("__m.__day"), "yyyy-MM-dd").as("trough_day"),
+        d(col("__m.__peak")).as("peak_at_trough"))
+  }
 }

@@ -1244,4 +1244,93 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m("x123") == null)
     assert(m("") == null)
   }
+
+  // ===== DBSCAN =====
+
+  test("dbscan classifies core/border/noise and labels components min-id") {
+    // eps=2 (d2<=4), minPts=3: ids 1-3 form a mutual triangle (2 nbrs +
+    // self = 3 => core); id 4 touches only core 2 (1 nbr + self = 2 =>
+    // border, inherits the component's min id); id 5 is isolated noise.
+    val pts = Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 1L),
+      (4L, 3L, 0L), (5L, 10L, 10L)).toDF("id", "x", "y")
+    val out = rows(Spatial.dbscan(pts, "id", "x", "y", eps = 2L, minPts = 3)
+      .orderBy("id")).map(r => (r(0), r(1), r(2)))
+    assert(out == Seq((1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (4L, "border", 1L), (5L, "noise", null)))
+  }
+
+  test("dbscan: isolated core keeps its own id; two components stay apart") {
+    // minPts=2: any point with one neighbor is core. Two far-apart pairs
+    // => two clusters labeled by their min ids.
+    val pts = Seq((10L, 0L, 0L), (11L, 1L, 0L),
+      (20L, 100L, 100L), (21L, 101L, 100L)).toDF("id", "x", "y")
+    val out = rows(Spatial.dbscan(pts, "id", "x", "y", eps = 2L, minPts = 2)
+      .orderBy("id")).map(r => (r(0), r(1), r(2)))
+    assert(out == Seq((10L, "core", 10L), (11L, "core", 10L),
+      (20L, "core", 20L), (21L, "core", 20L)))
+  }
+
+  // ===== drawdown =====
+
+  test("drawdown finds the deepest peak-to-trough gap, earliest trough on ties") {
+    val df = Seq(
+      ("k", "2024-01-01 00:00:00", 10.0), ("k", "2024-01-02 00:00:00", 8.0),
+      ("k", "2024-01-03 00:00:00", 12.0), ("k", "2024-01-04 00:00:00", 5.0),
+      ("k", "2024-01-05 00:00:00", 9.0),
+      // second key: two days tie at dd=3 -> the EARLIER one reports
+      ("t", "2024-02-01 00:00:00", 6.0), ("t", "2024-02-02 00:00:00", 3.0),
+      ("t", "2024-02-03 00:00:00", 6.0), ("t", "2024-02-04 00:00:00", 3.0))
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = rows(TimeSeries.drawdown(df, "k", "ts", "v").orderBy("k"))
+    assert(out(0) == Seq("k", 5L, 7.0, "2024-01-04", 12.0))
+    assert(out(1) == Seq("t", 4L, 3.0, "2024-02-02", 6.0))
+  }
+
+  test("drawdown on a monotone series is zero at the first period") {
+    val df = Seq(("m", "2024-01-01 00:00:00", 1.0),
+      ("m", "2024-01-02 00:00:00", 2.0), ("m", "2024-01-03 00:00:00", 3.0))
+      .toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = rows(TimeSeries.drawdown(df, "k", "ts", "v"))
+    assert(out == Seq(Seq("m", 3L, 0.0, "2024-01-01", 1.0)))
+  }
+
+  // ===== l-diversity =====
+
+  test("lDiversity counts distinct sensitive values per class; NULLs don't count") {
+    val df = Seq(
+      ("a", "x", "s1"), ("a", "x", "s1"), ("a", "x", "s2"), // class ax: l=2
+      ("b", "y", "s1"), ("b", "y", "s2"), ("b", "y", "s3"), // class by: l=3
+      ("c", "z", "s1"), ("c", "z", null)                    // class cz: l=1
+    ).toDF("q1", "q2", "s")
+    val out = rows(Checks.lDiversity(df, Seq("q1", "q2"), "s", 2L)).head
+    // l, n_rows, n_classes, classes_below_l, rows_below_l, min, max, diverse
+    assert(out == Seq(2L, 8L, 3L, 1L, 2L, 1L, 3L, false))
+    val ok = rows(Checks.lDiversity(df, Seq("q1", "q2"), "s", 1L)).head
+    assert(ok(7) == true)
+  }
+
+  // ===== two-feature OLS =====
+
+  test("linearFit2 recovers exact coefficients on a noiseless plane") {
+    // y = 2 + 3*x1 - 4*x2 exactly; (x1, x2) not collinear.
+    val df = Seq((1.0, 0.0), (2.0, 1.0), (3.0, 2.0), (4.0, 0.0), (5.0, 1.0),
+      (6.0, 3.0)).map { case (x1, x2) => ("g", x1, x2, 2.0 + 3.0 * x1 - 4.0 * x2) }
+      .toDF("g", "x1", "x2", "y")
+    val out = rows(Profile.linearFit2(df, "g", "x1", "x2", "y")).head
+    assert(out(1) == 6L)
+    assert(math.abs(out(2).asInstanceOf[Double] - 3.0) < 1e-9)
+    assert(math.abs(out(3).asInstanceOf[Double] + 4.0) < 1e-9)
+    assert(math.abs(out(4).asInstanceOf[Double] - 2.0) < 1e-9)
+    assert(math.abs(out(5).asInstanceOf[Double] - 1.0) < 1e-9)
+  }
+
+  test("linearFit2 moments are partition-order independent") {
+    val df = (1 to 100).map(i =>
+      ("g", i.toDouble, (i % 7).toDouble, 1.5 * i + 0.25 * (i % 7) + (i % 3)))
+      .toDF("g", "x1", "x2", "y")
+    val base = rows(Profile.linearFit2(df, "g", "x1", "x2", "y"))
+    withPartitionings(df) { d =>
+      assert(rows(Profile.linearFit2(d, "g", "x1", "x2", "y")) == base)
+    }
+  }
 }
