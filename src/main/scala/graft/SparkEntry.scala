@@ -3934,13 +3934,23 @@ object SparkEntry {
 
   private def qDbscan(s: SparkSession, d: String): DataFrame = {
     // Grid-blocked DBSCAN over the q_spatial_join-style synthetic points
-    // on a 650x650 plane (eps 40, minPts 5): core/border/noise roles +
-    // min-id cluster labels vs the all-pairs + recursive-closure oracle
-    // (9 clusters / 286 core / 141 border / 73 noise at sf0.01).
+    // (eps 40, minPts 5): core/border/noise roles + min-id cluster
+    // labels vs the all-pairs + recursive-closure oracle (9 clusters /
+    // 286 core / 141 border / 73 noise at sf0.01). The plane side scales
+    // with sqrt(n) so spatial DENSITY — and with it per-point neighbor
+    // counts, pair volume, and component sizes — stays constant at any
+    // scale (a fixed plane would grow neighbors linearly in n and the
+    // pair list quadratically; measured: heap-death at the sf1 replica).
+    // The side derivation (650·sqrt(n/500), floored, ≥650) is one
+    // count() of driver metadata, replayed by the oracle from count(*);
+    // sqrt/mult/floor are correctly-rounded IEEE ops in both engines.
+    val base = Tables.documents(s, d)
+    val n = base.count()
+    val side = math.max(650L, math.floor(650.0 * math.sqrt(n / 500.0)).toLong)
     val m = 2147483648L
-    val pts = Tables.documents(s, d).select(col("doc_id").as("id"),
-      (pmod(col("doc_id"), lit(m)) * lit(2654435761L) % lit(m) % lit(650L)).as("x"),
-      (pmod(col("doc_id"), lit(m)) * lit(2246822519L) % lit(m) % lit(650L)).as("y"))
+    val pts = base.select(col("doc_id").as("id"),
+      (pmod(col("doc_id"), lit(m)) * lit(2654435761L) % lit(m) % lit(side)).as("x"),
+      (pmod(col("doc_id"), lit(m)) * lit(2246822519L) % lit(m) % lit(side)).as("y"))
     Relational.sort(col("id"))(
       graft.pipeline.Spatial.dbscan(pts, "id", "x", "y", eps = 40L, minPts = 5))
   }
@@ -3965,6 +3975,68 @@ object SparkEntry {
     Relational.sort(col("l_returnflag"))(
       graft.pipeline.Profile.linearFit2(Tables.lineitem(s, d),
         "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"))
+
+  private def qPca(s: SparkSession, d: String): DataFrame =
+    // 2-D PCA per return flag: closed-form eigen of the exact-moment
+    // covariance; lam/explained are fixed double dags, theta 6-dp.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.pca2d(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice"))
+
+  private def qFisherExact(s: SparkSession, d: String): DataFrame =
+    // Fisher's exact 2x2 (even-nation x heavy-segment membership):
+    // ln-factorial table as distributed decimal prefix sums, pmf =
+    // exp(fixed dag) rounded to absolute 10 dp, three p-value folds.
+    graft.pipeline.Profile.fisherExact2x2(Tables.customer(s, d),
+      pmod(col("c_nationkey"), lit(2)) === 0,
+      col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+
+  private def qMultimodalTiff(s: SparkSession, d: String): DataFrame = {
+    // REAL codec gate (q_multimodal_bmp pattern): baseline little-endian
+    // TIFF per document — pixels at offset 8, 9-tag IFD after them — so
+    // n_bytes is closed-form 128 + 3wh and the IFD walk re-reads the
+    // dimensions it wrote.
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
+      (pmod(floor(col("doc_id") / 64).cast("long"), lit(64)) + 1).cast("int").as("h"),
+      col("text").cast("binary").as("seed"))
+    val enc = Multimodal.encodeTiff(docs, "w", "h", "seed", "payload")
+    val meta = Multimodal.decodeMeta(enc, "payload")
+    meta.select(col("doc_id"), col("media_format"), col("width"), col("height"),
+      col("n_bytes"),
+      (col("width") === col("w") && col("height") === col("h")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  private def qContainmentJoin(s: SparkSession, d: String): DataFrame =
+    // Directional 3-shingle containment >= 0.8 (quote/excerpt detection):
+    // one-sided prefix filter + exact sorted-hash verify; ALL-PAIRS
+    // oracle equality proves the asymmetric prefix cut lost nothing.
+    // Shingle sets, not unigram sets: the synthetic corpus shares a
+    // small vocabulary, so unigram containment saturates (measured 144k
+    // of 250k ordered pairs >= 0.8) while 3-shingle containment finds
+    // exactly the planted copies (50 pairs at sf0.01).
+    Relational.sort(col("id1"), col("id2"))(
+      graft.pipeline.Dedup.containmentPairs(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.8, shingleWidth = 3))
+
+  private def qAssortativity(s: SparkSession, d: String): DataFrame = {
+    // Degree assortativity of the q_triangles co-occurrence graph:
+    // decimal-exact degree moments, corrExact double dag.
+    val o = Tables.orders(s, d)
+    val edges = o.select(pmod(col("o_custkey"), lit(97L)).as("x"),
+      pmod(col("o_orderkey"), lit(97L)).as("y"))
+    graft.pipeline.Graph.degreeAssortativity(edges, "x", "y")
+  }
+
+  private def qBollinger(s: SparkSession, d: String): DataFrame =
+    // 7-day Bollinger bands (mean +/- 2 sigma) over daily revenue per
+    // priority with breakout flags: exact decimal window sums, one
+    // fixed double dag per row.
+    Relational.sort(col("o_orderpriority"), col("day"))(
+      graft.pipeline.TimeSeries.bollinger(Tables.orders(s, d),
+        "o_orderpriority", "o_orderdate", "o_totalprice",
+        window = 7, mult = 2.0))
 
   // =========================================================================
   // Registry
@@ -4248,6 +4320,12 @@ object SparkEntry {
     "q_drawdown" -> (qDrawdown _),
     "q_ldiversity" -> (qLdiversity _),
     "q_multireg" -> (qMultireg _),
+    "q_pca" -> (qPca _),
+    "q_fisher_exact" -> (qFisherExact _),
+    "q_multimodal_tiff" -> (qMultimodalTiff _),
+    "q_containment_join" -> (qContainmentJoin _),
+    "q_assortativity" -> (qAssortativity _),
+    "q_bollinger" -> (qBollinger _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -7895,9 +7973,12 @@ object SparkEntry {
     // blocking lost nothing) + recursive-closure min-label components
     // over core-core edges; border -> min adjacent core cluster.
     "q_dbscan" ->
-      """WITH RECURSIVE p AS (SELECT doc_id AS id,
-        |  ((doc_id % 2147483648) * 2654435761 % 2147483648) % 650 AS x,
-        |  ((doc_id % 2147483648) * 2246822519 % 2147483648) % 650 AS y FROM documents),
+      """WITH RECURSIVE sc AS (SELECT CAST(greatest(650,
+        |  floor(650 * sqrt(count(*) / 500.0))) AS BIGINT) AS side FROM documents),
+        |p AS (SELECT doc_id AS id,
+        |  ((doc_id % 2147483648) * 2654435761 % 2147483648) % sc.side AS x,
+        |  ((doc_id % 2147483648) * 2246822519 % 2147483648) % sc.side AS y
+        |  FROM documents CROSS JOIN sc),
         |pr AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
         |  WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 1600),
         |sym AS (SELECT ia AS id, ib AS nb FROM pr UNION ALL SELECT ib, ia FROM pr),
@@ -7983,5 +8064,146 @@ object SparkEntry {
         |  (sy - b1 * s1 - b2 * s2) / CAST(n AS DOUBLE) AS b0,
         |  (b1 * c1y + b2 * c2y) / cyy AS r2
         |FROM b ORDER BY l_returnflag""".stripMargin,
+    // 2-D PCA: closed-form eigen over the q_linreg moment convention;
+    // identical double dags, atan2 rounded 6 dp at the edge.
+    "q_pca" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_returnflag, n,
+        |  CAST(n AS DOUBLE) * sxx - sx * sx AS cxx,
+        |  CAST(n AS DOUBLE) * syy - sy * sy AS cyy,
+        |  CAST(n AS DOUBLE) * sxy - sx * sy AS cxy FROM m),
+        |dsc AS (SELECT *, sqrt((cxx - cyy) * (cxx - cyy) / 4.0 + cxy * cxy) AS disc FROM c),
+        |l AS (SELECT *,
+        |  ((cxx + cyy) / 2.0 + disc) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS lam1,
+        |  ((cxx + cyy) / 2.0 - disc) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS lam2 FROM dsc)
+        |SELECT l_returnflag, n,
+        |  cxx / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_x,
+        |  cyy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_y,
+        |  cxy / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_xy,
+        |  lam1, lam2, lam1 / (lam1 + lam2) AS explained_1,
+        |  round(atan2(2.0 * cxy, cxx - cyy) / 2.0, 6) AS theta
+        |FROM l ORDER BY l_returnflag""".stripMargin,
+    // Fisher exact: ln-factorial decimal prefix sums, pmf = exp(fixed
+    // dag) rounded to ABSOLUTE 10 dp (selection + sums engine-exact).
+    "q_fisher_exact" ->
+      """WITH cnt AS (SELECT
+        |  CAST(SUM(CASE WHEN c_nationkey % 2 = 0 AND c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN c_nationkey % 2 = 0 AND NOT c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN c_nationkey % 2 <> 0 AND c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN c_nationkey % 2 <> 0 AND NOT c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        |  FROM customer),
+        |m AS (SELECT a, b, c, dd, a + b AS r1, c + dd AS r2,
+        |  a + c AS k1, b + dd AS k2, a + b + c + dd AS nn FROM cnt),
+        |lfb AS (SELECT i, SUM(CASE WHEN i >= 2
+        |    THEN CAST(round(ln(CAST(i AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END)
+        |  OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS lf
+        |  FROM (SELECT unnest(generate_series(0, (SELECT nn FROM m))) AS i)),
+        |sup AS (SELECT m.*, unnest(generate_series(greatest(0, r1 - k2), least(r1, k1))) AS k FROM m),
+        |j AS (SELECT sup.*,
+        |  lk.lf AS lfk, lr1k.lf AS lfr1k, lk1k.lf AS lfk1k, lrest.lf AS lfrest,
+        |  lr1.lf AS lfr1, lr2.lf AS lfr2, lk1.lf AS lfk1, lk2.lf AS lfk2, lnn.lf AS lfn
+        |  FROM sup
+        |  JOIN lfb lk ON lk.i = sup.k
+        |  JOIN lfb lr1k ON lr1k.i = sup.r1 - sup.k
+        |  JOIN lfb lk1k ON lk1k.i = sup.k1 - sup.k
+        |  JOIN lfb lrest ON lrest.i = sup.nn - sup.r1 - sup.k1 + sup.k
+        |  JOIN lfb lr1 ON lr1.i = sup.r1
+        |  JOIN lfb lr2 ON lr2.i = sup.r2
+        |  JOIN lfb lk1 ON lk1.i = sup.k1
+        |  JOIN lfb lk2 ON lk2.i = sup.k2
+        |  JOIN lfb lnn ON lnn.i = sup.nn),
+        |pm AS (SELECT a, b, c, dd, nn, k,
+        |  CAST(round(exp(
+        |    CAST(CAST(lfr1 AS VARCHAR) AS DOUBLE) + CAST(CAST(lfr2 AS VARCHAR) AS DOUBLE)
+        |    + CAST(CAST(lfk1 AS VARCHAR) AS DOUBLE) + CAST(CAST(lfk2 AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(lfn AS VARCHAR) AS DOUBLE) - CAST(CAST(lfk AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(lfr1k AS VARCHAR) AS DOUBLE) - CAST(CAST(lfk1k AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(lfrest AS VARCHAR) AS DOUBLE)), 10) AS DECIMAL(12,10)) AS pmf FROM j),
+        |obs AS (SELECT pmf AS pobs FROM pm WHERE k = a)
+        |SELECT a, b, c, dd AS d, CAST(nn AS BIGINT) AS n,
+        |  CAST(CAST(pobs AS VARCHAR) AS DOUBLE) AS pmf_obs,
+        |  CAST(CAST(SUM(CASE WHEN pmf <= pobs THEN pmf END) AS VARCHAR) AS DOUBLE) AS p_two,
+        |  CAST(CAST(SUM(CASE WHEN k <= a THEN pmf END) AS VARCHAR) AS DOUBLE) AS p_left,
+        |  CAST(CAST(SUM(CASE WHEN k >= a THEN pmf END) AS VARCHAR) AS DOUBLE) AS p_right
+        |FROM pm CROSS JOIN obs
+        |GROUP BY a, b, c, dd, nn, pobs""".stripMargin,
+    // TIFF: closed-form file size — 8 header + 3wh pixels + 2 + 9*12 +
+    // 4 IFD bytes + 6 out-of-line BitsPerSample = 128 + 3wh.
+    "q_multimodal_tiff" ->
+      """SELECT doc_id, 'image/tiff' AS media_format,
+        |CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+        |CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS height,
+        |CAST(128 + 3 * (doc_id % 64 + 1) * ((doc_id // 64) % 64 + 1) AS BIGINT) AS n_bytes,
+        |TRUE AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Containment join: ALL-PAIRS directional oracle — equality proves
+    // the one-sided prefix filter recall-exact.
+    "q_containment_join" ->
+      """WITH t0 AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tk
+        |  FROM t0 WHERE len(toks) >= 3),
+        |t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / CAST(len(a.tk) AS DOUBLE) AS cont
+        |  FROM t2 a JOIN t2 b ON a.doc_id <> b.doc_id)
+        |SELECT id1, id2, round(cont, 6) AS containment
+        |FROM p WHERE cont >= 0.8 ORDER BY id1, id2""".stripMargin,
+    // Degree assortativity: decimal-exact degree moments over the
+    // symmetric canonical edge list, corrExact dag.
+    "q_assortativity" ->
+      """WITH e0 AS (SELECT o_custkey % 97 AS a, o_orderkey % 97 AS b FROM orders),
+        |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM e0 WHERE a <> b),
+        |sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        |dg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+        |j AS (SELECT dx.deg AS dx, dy.deg AS dy FROM sym
+        |  JOIN dg dx ON sym.a = dx.a JOIN dg dy ON sym.b = dy.a),
+        |m AS (SELECT count(*) AS n,
+        |  CAST(CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM j)
+        |SELECT CAST(n / 2 AS BIGINT) AS n_edges, n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS assortativity
+        |FROM m""".stripMargin,
+    // Bollinger bands: exact decimal 7-row window sums, fixed dag.
+    "q_bollinger" ->
+      """WITH a AS (SELECT o_orderpriority AS k,
+        |  date_trunc('day', o_orderdate) AS dy,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT k, dy, v,
+        |  COUNT(*) OVER win AS n,
+        |  SUM(v) OVER win AS s,
+        |  SUM(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) OVER win AS s2
+        |  FROM a WINDOW win AS (PARTITION BY k ORDER BY dy
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |st AS (SELECT k, dy, v, n,
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  sqrt(greatest(0.0, CAST(n AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE)))
+        |    / CAST(n AS DOUBLE) AS sd
+        |  FROM w),
+        |b AS (SELECT *, mean + 2.0 * sd AS upper, mean - 2.0 * sd AS lower FROM st)
+        |SELECT k AS o_orderpriority, strftime(dy, '%Y-%m-%d') AS day,
+        |  CAST(CAST(v AS VARCHAR) AS DOUBLE) AS v, CAST(n AS BIGINT) AS n_window,
+        |  mean, sd, upper, lower,
+        |  (CAST(CAST(v AS VARCHAR) AS DOUBLE) > upper
+        |    OR CAST(CAST(v AS VARCHAR) AS DOUBLE) < lower) AS breakout
+        |FROM b ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -671,6 +671,71 @@ object Dedup {
       .select("id1", "id2", "jac")
   }
 
+  /** Directional CONTAINMENT-similarity join: ordered pairs (id1, id2)
+    * where |T₁∩T₂|/|T₁| ≥ threshold — "document 1 is mostly contained in
+    * document 2", the quote/excerpt/subset-detection asymmetric
+    * complement to [[prefixFilterJaccardPairs]] (Jaccard misses a short
+    * doc swallowed by a long one; containment is what quote detection
+    * needs). PPJoin-style prefix filter adapted to containment: if B
+    * holds ≥ ⌈t·|A|⌉ of A's tokens, it holds at least one of A's first
+    * |A| − ⌈t·|A|⌉ + 1 tokens in the global rare-first order — so the
+    * CONTAINED side emits only its prefix while the container side must
+    * emit every token (the asymmetric price of a one-sided threshold;
+    * the rare-first order keeps the hot-token candidate volume minimal).
+    * Candidates then verify EXACTLY on sorted 64-bit token-hash arrays
+    * (one merge-walk intersection per pair). Equality against the
+    * all-pairs oracle proves the prefix filter lost nothing. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleWidth: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "containmentPairs: threshold must be in (0, 1]")
+    require(shingleWidth >= 1, "containmentPairs: shingleWidth must be >= 1")
+    val tau = lit(threshold)
+    // shingleWidth > 1 compares n-token SHINGLE sets instead of unigram
+    // sets — the right unit for quote/excerpt detection (unigram sets
+    // over a small shared vocabulary saturate: nearly every doc is
+    // "contained" in every other). Docs shorter than the width have no
+    // shingle set and are excluded.
+    val shingled =
+      if (shingleWidth == 1)
+        df.select(col(idCol).as("__id"),
+          expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w"))
+      else
+        df.select(col(idCol).as("__id"),
+            expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w0"))
+          .select(col("__id"), expr(
+            s"transform(sequence(1, size(__w0) - ${shingleWidth - 1}), " +
+              s"i -> array_join(slice(__w0, i, $shingleWidth), ' '))").as("__w"))
+    val toks = shingled
+      .select(col("__id"), array_distinct(col("__w")).as("__t"))
+      .where(size(col("__t")) > 0)
+    val tok = toks.select(col("__id"), explode(col("__t")).as("__tok"))
+    val dfreq = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val lists = tok.join(dfreq, Seq("__tok"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__st"),
+        count(lit(1)).as("__m"))
+    val pre = lists
+      .withColumn("__p", (col("__m") - ceil(tau * col("__m")) + 1).cast("int"))
+      .select(col("__id").as("id1"), col("__m").as("m1"),
+        explode(expr("transform(slice(__st, 1, __p), x -> x.__tok)")).as("__tok"))
+    val all = lists.select(col("__id").as("id2"), col("__m").as("m2"),
+      explode(expr("transform(__st, x -> x.__tok)")).as("__tok"))
+    val cand = pre.join(all, Seq("__tok"))
+      .where(col("id1") =!= col("id2") && col("m2") >= ceil(tau * col("m1")))
+      .select("id1", "id2").distinct()
+    val hashed = toks.select(col("__id"),
+      sort_array(transform(col("__t"), t => xxhash64(t))).as("__sh"))
+    cand
+      .join(hashed.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
+      .join(hashed.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))
+      .withColumn("__cont",
+        graft.functions.SetExpressions.sorted_intersect_count(
+          col("sh1"), col("sh2")).cast("double") / size(col("sh1")).cast("double"))
+      .where(col("__cont") >= threshold)
+      .select(col("id1"), col("id2"), round(col("__cont"), 6).as("containment"))
+  }
+
   /** Duplicated-span detection — the distributed fixed-window variant of
     * exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better", arXiv:2107.06499 §3.1: their

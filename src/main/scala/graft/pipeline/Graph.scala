@@ -448,4 +448,47 @@ object Graph {
         d(col("__v") + coalesce(col("__dsum"),
           lit(0).cast("decimal(18,2)"))).as("subtree_sum"))
   }
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over the symmetric edge list ("do hubs link to hubs?"; Newman
+    * 2002's r). Self-loops drop, the edge list canonicalizes undirected
+    * (least/greatest + distinct), and each edge contributes BOTH
+    * orientations so r is symmetric by construction. Degrees are exact
+    * integers; the five moment sums ride DECIMAL(38,0) (degree products
+    * overflow int64 on hub-heavy graphs), cross the digit-string hop
+    * once, and r is the corrExact fixed dag. Shape: one degree
+    * aggregate, two degree joins keyed by endpoint, one scalar fold.
+    * Output: 1 row (n_edges, n_endpoints, assortativity). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val j = sym
+      .join(deg.select(col("a"), col("deg").as("dx")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("deg").as("dy")), Seq("b"))
+    val m = j.agg(count(lit(1)).as("n"),
+      d(sum(col("dx").cast("decimal(38,0)"))).as("__sx"),
+      d(sum(col("dy").cast("decimal(38,0)"))).as("__sy"),
+      // cast BEFORE multiplying: a long*long product wraps silently in
+      // non-ANSI mode on hub-heavy graphs; decimal products widen
+      d(sum(col("dx").cast("decimal(19,0)") *
+        col("dy").cast("decimal(19,0)"))).as("__sxy"),
+      d(sum(col("dx").cast("decimal(19,0)") *
+        col("dx").cast("decimal(19,0)"))).as("__sxx"),
+      d(sum(col("dy").cast("decimal(19,0)") *
+        col("dy").cast("decimal(19,0)"))).as("__syy"))
+    val nd = col("n").cast("double")
+    m.select((col("n") / 2).cast("long").as("n_edges"), col("n"),
+      ((nd * col("__sxy") - col("__sx") * col("__sy")) /
+        (sqrt(nd * col("__sxx") - col("__sx") * col("__sx")) *
+         sqrt(nd * col("__syy") - col("__sy") * col("__sy"))))
+        .as("assortativity"))
+  }
 }

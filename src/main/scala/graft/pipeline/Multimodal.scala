@@ -1244,12 +1244,97 @@ object Multimodal {
     ("fake/raw", w, h)
   }
 
-  /** Magic-byte dispatch: real codecs first (BMP, PPM, PNG, JPEG, GIF),
-    * stub fallback. */
+  /** Magic-byte dispatch: real codecs first (BMP, PPM, PNG, JPEG, GIF,
+    * TIFF), stub fallback. */
   def decodeAny(bytes: Array[Byte]): (String, Int, Int) =
     decodeBmp(bytes).orElse(decodePpm(bytes)).orElse(decodePng(bytes))
       .orElse(decodeJpeg(bytes)).orElse(decodeGif(bytes))
+      .orElse(decodeTiff(bytes))
       .getOrElse(fakeDecode(bytes))
+
+  /** REAL encoder: minimal little-endian baseline TIFF — "II*\0" header,
+    * uncompressed RGB strip at offset 8, one IFD after the pixel data
+    * with the nine baseline tags a reader checks (ImageWidth 256,
+    * ImageLength 257, BitsPerSample 258 → out-of-line [8,8,8],
+    * Compression 259 = 1, Photometric 262 = 2 (RGB), StripOffsets 273,
+    * SamplesPerPixel 277 = 3, RowsPerStrip 278, StripByteCounts 279),
+    * ascending tag order as the spec requires. Pixel bytes cycle through
+    * `pixelSeed`. File size is closed-form: 8 header + 3wh pixels +
+    * 2 count + 9·12 entries + 4 next-IFD + 6 bits array = 128 + 3wh. */
+  def encodeTiffRgb(width: Int, height: Int, pixelSeed: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "encodeTiffRgb: need positive dimensions")
+    val pixLen = 3 * width * height
+    val ifdOff = 8 + pixLen
+    val bitsOff = ifdOff + 2 + 9 * 12 + 4
+    val buf = java.nio.ByteBuffer.allocate(bitsOff + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    var i = 0
+    while (i < pixLen) {
+      buf.put(if (pixelSeed.isEmpty) 0.toByte else pixelSeed(i % pixelSeed.length))
+      i += 1
+    }
+    buf.putShort(9)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) buf.putShort(value.toShort).putShort(0)
+      else buf.putInt(value)
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    entry(258, 3, 3, bitsOff)
+    entry(259, 3, 1, 1)
+    entry(262, 3, 1, 2)
+    entry(273, 4, 1, 8)
+    entry(277, 3, 1, 3)
+    entry(278, 4, 1, height)
+    entry(279, 4, 1, pixLen)
+    buf.putInt(0) // next-IFD terminator
+    buf.putShort(8).putShort(8).putShort(8)
+    buf.array()
+  }
+
+  /** REAL decoder: TIFF IFD walk in EITHER byte order ("II*\0" little /
+    * "MM\0*" big): first-IFD offset from the header, entry scan for
+    * ImageWidth(256)/ImageLength(257) honoring the value TYPE — SHORT(3)
+    * reads the low two bytes of the value field in the file's byte
+    * order, LONG(4) all four. Truncated or garbage structures return
+    * None (never throw — the fuzz contract all codecs share). */
+  def decodeTiff(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes.length < 8) return None
+    val le = bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 42.toByte && bytes(3) == 0.toByte
+    val be = bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte &&
+      bytes(2) == 0.toByte && bytes(3) == 42.toByte
+    if (!le && !be) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    scala.util.Try {
+      val ifdOff = bb.getInt(4)
+      val n = bb.getShort(ifdOff) & 0xffff
+      var w = -1
+      var h = -1
+      var e = 0
+      while (e < n && (w < 0 || h < 0)) {
+        val off = ifdOff + 2 + e * 12
+        val tag = bb.getShort(off) & 0xffff
+        val typ = bb.getShort(off + 2) & 0xffff
+        val value =
+          if (typ == 3) bb.getShort(off + 8) & 0xffff
+          else bb.getInt(off + 8)
+        if (tag == 256) w = value
+        if (tag == 257) h = value
+        e += 1
+      }
+      if (w > 0 && h > 0) Some(("image/tiff", w, h)) else None
+    }.toOption.flatten
+  }
+
+  /** Encode (width, height, seed-bytes) columns into REAL TIFF payloads. */
+  def encodeTiff(df: DataFrame, widthCol: String, heightCol: String,
+                 seedCol: String, out: String): DataFrame =
+    encodeWith(df, widthCol, heightCol, seedCol, out)(encodeTiffRgb)
 
   /** REAL encoder: binary PPM (P6) — ASCII header "P6\n{w} {h}\n255\n"
     * followed by w·h RGB byte triples cycling through `pixelSeed`. */

@@ -348,6 +348,126 @@ object Profile {
         col("__cyy")).as("r2"))
   }
 
+  /** Group-wise 2-D PCA by the closed-form eigendecomposition of the
+    * 2×2 covariance matrix — the largest PCA whose eigenproblem is a
+    * fixed expression dag (λ = tr/2 ± √((Δ/2)² + cov²)). Moments ride
+    * the corrExact DECIMAL(12,2) convention (order-independent,
+    * bit-portable); the n²-scaled centered sums cxx/cyy/cxy and the
+    * shared discriminant MATERIALIZE as columns so both engines
+    * evaluate each subterm once. The principal-axis angle
+    * θ = atan2(2·cov, varx−vary)/2 is the one transcendental — rounded
+    * 6 dp at the edge (the geo-mean convention). */
+  def pca2d(df: DataFrame, groupCol: String, xCol: String,
+            yCol: String): DataFrame = {
+    val g = momentSums(df, groupCol, xCol, yCol)
+    val nd = col("n").cast("double")
+    val centered = g.select(col(groupCol), col("n"),
+      (nd * col("__sxx") - col("__sx") * col("__sx")).as("__cxx"),
+      (nd * col("__syy") - col("__sy") * col("__sy")).as("__cyy"),
+      (nd * col("__sxy") - col("__sx") * col("__sy")).as("__cxy"))
+    val n2 = col("n").cast("double") * col("n").cast("double")
+    val withDisc = centered.withColumn("__disc",
+      sqrt((col("__cxx") - col("__cyy")) * (col("__cxx") - col("__cyy")) /
+        lit(4.0) + col("__cxy") * col("__cxy")))
+    val withLam = withDisc
+      .withColumn("lam1",
+        ((col("__cxx") + col("__cyy")) / lit(2.0) + col("__disc")) / n2)
+      .withColumn("lam2",
+        ((col("__cxx") + col("__cyy")) / lit(2.0) - col("__disc")) / n2)
+    withLam.select(col(groupCol), col("n"),
+      (col("__cxx") / n2).as("var_x"), (col("__cyy") / n2).as("var_y"),
+      (col("__cxy") / n2).as("cov_xy"),
+      col("lam1"), col("lam2"),
+      (col("lam1") / (col("lam1") + col("lam2"))).as("explained_1"),
+      round(atan2(lit(2.0) * col("__cxy"),
+        col("__cxx") - col("__cyy")) / lit(2.0), 6).as("theta"))
+  }
+
+  /** Fisher's EXACT test on a 2×2 contingency table — the small-sample
+    * complement to [[chiSquareIndependence]]/[[propTest2]] (exact
+    * p-values where the χ² normal approximation breaks down). The
+    * hypergeometric pmf is computed entirely from a ln-factorial table:
+    * lnfact(m) = Σ_{i≤m} round(ln i, 6) as exact decimal prefix sums —
+    * built DISTRIBUTED (per-65536-bucket partials, then a window over
+    * the tiny bucket table — the histogramEquiDepth rank pattern, no
+    * full-table single-partition window). Each pmf is exp() of one
+    * fixed double dag over digit-string moments, rounded to an absolute
+    * 10 dp decimal so selection (pmf ≤ pmf_obs, the standard two-sided
+    * rule) and the three p-value sums are engine-exact.
+    *
+    * Contract: Fisher is a SMALL-SAMPLE statistic — the ln-factorial
+    * table is Θ(n) rows and the support scan Θ(min margin); feed it the
+    * bounded slice under test (use propTest2 at corpus scale). One
+    * driver-side count() sizes the range — bounded metadata, never rows.
+    * Output: 1 row (a, b, c, d, n, pmf_obs, p_two, p_left, p_right). */
+  def fisherExact2x2(df: DataFrame, groupCol: Column,
+                     successCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    def d(c: Column) = c.cast("string").cast("double")
+    val nTotal = df.count()
+    val bucket = 65536L
+    val terms = spark.range(0L, nTotal + 1L).toDF("i")
+      .withColumn("__t", when(col("i") >= 2L,
+        round(log(col("i").cast("double")), 6).cast("decimal(18,6)"))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")))
+      .withColumn("__bk", expr(s"i div $bucket"))
+    val wIn = Window.partitionBy("__bk").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inner = terms.withColumn("__p", sum(col("__t")).over(wIn))
+    val wBk = Window.orderBy("__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = terms.groupBy("__bk").agg(sum(col("__t")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wBk),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)")))
+      .select(col("__bk"), col("__off"))
+    val lf = inner.join(offs, Seq("__bk"))
+      .select(col("i"), (col("__p") + col("__off"))
+        .cast("decimal(28,6)").as("lf"))
+    val m = df.agg(
+        sum(when(groupCol && successCol, 1L).otherwise(0L)).as("a"),
+        sum(when(groupCol && !successCol, 1L).otherwise(0L)).as("b"),
+        sum(when(!groupCol && successCol, 1L).otherwise(0L)).as("c"),
+        sum(when(!groupCol && !successCol, 1L).otherwise(0L)).as("dd"))
+      .select(col("a"), col("b"), col("c"), col("dd"),
+        (col("a") + col("b")).as("r1"), (col("c") + col("dd")).as("r2"),
+        (col("a") + col("c")).as("k1"), (col("b") + col("dd")).as("k2"),
+        (col("a") + col("b") + col("c") + col("dd")).as("nn"))
+    def at(as: String) =
+      lf.select(col("i").as(s"__i_$as"), col("lf").as(as))
+    val sup = m.select(col("*"),
+        explode(sequence(greatest(lit(0L), col("r1") - col("k2")),
+          least(col("r1"), col("k1")))).as("k"))
+      .join(at("lfk"), col("k") === col("__i_lfk"))
+      .join(at("lfr1k"), col("r1") - col("k") === col("__i_lfr1k"))
+      .join(at("lfk1k"), col("k1") - col("k") === col("__i_lfk1k"))
+      .join(at("lfrest"),
+        col("nn") - col("r1") - col("k1") + col("k") === col("__i_lfrest"))
+      .join(at("lfr1"), col("r1") === col("__i_lfr1"))
+      .join(at("lfr2"), col("r2") === col("__i_lfr2"))
+      .join(at("lfk1"), col("k1") === col("__i_lfk1"))
+      .join(at("lfk2"), col("k2") === col("__i_lfk2"))
+      .join(at("lfn"), col("nn") === col("__i_lfn"))
+    val pmf = round(exp(
+      d(col("lfr1")) + d(col("lfr2")) + d(col("lfk1")) + d(col("lfk2")) -
+        d(col("lfn")) - d(col("lfk")) - d(col("lfr1k")) -
+        d(col("lfk1k")) - d(col("lfrest"))), 10).cast("decimal(12,10)")
+    val scored = sup.select(col("a"), col("b"), col("c"), col("dd"),
+      col("nn"), col("k"), pmf.as("pmf"))
+    val obs = scored.where(col("k") === col("a"))
+      .select(col("pmf").as("__pobs"))
+    scored.crossJoin(broadcast(obs))
+      .groupBy(col("a"), col("b"), col("c"), col("dd"), col("nn"),
+        col("__pobs"))
+      .agg(
+        sum(when(col("pmf") <= col("__pobs"), col("pmf"))).as("__ptwo"),
+        sum(when(col("k") <= col("a"), col("pmf"))).as("__pleft"),
+        sum(when(col("k") >= col("a"), col("pmf"))).as("__pright"))
+      .select(col("a"), col("b"), col("c"), col("dd").as("d"),
+        col("nn").as("n"), d(col("__pobs")).as("pmf_obs"),
+        d(col("__ptwo")).as("p_two"), d(col("__pleft")).as("p_left"),
+        d(col("__pright")).as("p_right"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns — the "is quality correlated with domain?" check a corpus
     * audit runs. One (a, b) aggregation shuffle produces the contingency

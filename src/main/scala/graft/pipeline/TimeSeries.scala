@@ -303,6 +303,47 @@ object TimeSeries {
       round(d(wsum) / d(dsum), 6).as("ewma"))
   }
 
+  /** Bollinger bands over the per-day value series: trailing `window`-row
+    * mean ± `mult`·σ (population) per key, with a breakout flag when the
+    * day's value leaves the band. The window sums Σv and Σv² stay exact
+    * DECIMAL (order-independent) and cross the digit-string hop per row;
+    * mean/σ/bands are one fixed double dag (σ = √max(0, n·Σv² − (Σv)²)/n
+    * — the max-guard absorbs the tiny negative fp residue a
+    * constant-valued window can produce). Early rows use the partial
+    * window (standard). One aggregation + one key-sharded ROWS frame. */
+  def bollinger(df: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, window: Int, mult: Double): DataFrame = {
+    require(window >= 2, "bollinger: window must be >= 2 rows")
+    def d(c: Column) = c.cast("string").cast("double")
+    val daily = df.groupBy(col(keyCol),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val framed = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      // cast to (18,2) before squaring: the raw (22,2) window-sum type
+      // would square past 38 digits (Spark truncates, DuckDB falls to
+      // DOUBLE — the q_cusum trap); (18,2)2 = (37,4) fits both engines
+      .withColumn("__s2", sum(col("__v").cast("decimal(18,2)") *
+        col("__v").cast("decimal(18,2)")).over(w))
+    val nd = col("__n").cast("double")
+    val stats = framed
+      .withColumn("mean", d(col("__s")) / nd)
+      .withColumn("sd", sqrt(greatest(lit(0.0),
+        nd * d(col("__s2")) - d(col("__s")) * d(col("__s")))) / nd)
+    stats
+      .withColumn("upper", col("mean") + lit(mult) * col("sd"))
+      .withColumn("lower", col("mean") - lit(mult) * col("sd"))
+      .select(col(keyCol),
+        date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        d(col("__v")).as("v"), col("__n").as("n_window"),
+        col("mean"), col("sd"), col("upper"), col("lower"),
+        (d(col("__v")) > col("upper") || d(col("__v")) < col("lower"))
+          .as("breakout"))
+  }
+
   /** Maximum drawdown of the per-period value series — the
     * peak-to-trough decline risk metric (portfolio equity, daily
     * revenue, queue depth): per key, bucket values into exact

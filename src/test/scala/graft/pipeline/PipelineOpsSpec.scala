@@ -1333,4 +1333,77 @@ class PipelineOpsSpec extends SparkSpec {
       assert(rows(Profile.linearFit2(d, "g", "x1", "x2", "y")) == base)
     }
   }
+
+  // ===== containment join =====
+
+  test("containmentPairs finds directional subset pairs exactly") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),            // contained in 2 fully
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta zeta theta"),             // 2/4 of 1? no overlap enough
+      (4L, "unrelated words only here")
+    ).toDF("id", "text")
+    val out = rows(Dedup.containmentPairs(df, "id", "text", 0.9)
+      .orderBy("id1", "id2")).map(r => (r(0), r(1), r(2)))
+    // tokens of 1 ⊆ tokens of 2 -> containment 1.0; nothing else >= 0.9
+    assert(out == Seq((1L, 2L, 1.0)))
+    // direction matters: 2-in-1 is only 4/6 = 0.667, below 0.9 but
+    // admitted at a looser threshold
+    val loose = rows(Dedup.containmentPairs(df, "id", "text", 0.5)
+      .orderBy("id1", "id2")).map(r => (r(0), r(1)))
+    assert(loose.contains((2L, 1L)))
+    assert(!loose.contains((4L, 1L)) && !loose.contains((1L, 4L)))
+  }
+
+  test("containmentPairs shingle mode uses n-gram sets") {
+    val df = Seq(
+      (1L, "a b c d e"),          // 3-shingles: {a b c, b c d, c d e}
+      (2L, "a b c d e f"),        // superset of 1's shingles
+      (3L, "x y z w")
+    ).toDF("id", "text")
+    val out = rows(Dedup.containmentPairs(df, "id", "text", 1.0, shingleWidth = 3)
+      .orderBy("id1", "id2")).map(r => (r(0), r(1), r(2)))
+    assert(out == Seq((1L, 2L, 1.0)))
+  }
+
+  // ===== degree assortativity =====
+
+  test("degreeAssortativity is -1 on a star and positive on a clique chain") {
+    // star K1,4: every edge joins deg-4 hub to deg-1 leaf -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "d")
+    val r1 = rows(Graph.degreeAssortativity(star, "s", "d")).head
+    assert(r1(0) == 4L)
+    assert(math.abs(r1(2).asInstanceOf[Double] + 1.0) < 1e-9)
+    // self-loops and duplicate/reversed edges are dropped
+    val noisy = star.unionAll(Seq((1L, 0L), (2L, 2L), (0L, 1L)).toDF("s", "d"))
+    val r2 = rows(Graph.degreeAssortativity(noisy, "s", "d")).head
+    assert(r2(0) == 4L)
+    assert(math.abs(r2(2).asInstanceOf[Double] + 1.0) < 1e-9)
+  }
+
+  // ===== bollinger =====
+
+  test("bollinger: constant series has sd 0 and no breakouts; a spike breaks out") {
+    val base = (1 to 10).map(i =>
+      ("k", f"2024-01-$i%02d 00:00:00", 100.0))
+    val spike = Seq(("k", "2024-01-11 00:00:00", 500.0))
+    val df = (base ++ spike).toDF("k", "ts", "v")
+      .withColumn("ts", to_timestamp(col("ts")))
+    // the window INCLUDES the spike, so a lone outlier's z-score is
+    // bounded by (n-1)/sqrt(n) = 1.79 in a 5-window — band mult must sit
+    // below that for a single-point breakout to be detectable
+    val out = rows(TimeSeries.bollinger(df, "k", "ts", "v", window = 5, mult = 1.5)
+      .orderBy("day"))
+    // first ten days: mean 100, sd 0, inside the (degenerate) band
+    out.take(10).foreach { r =>
+      assert(r(4) == 100.0 && r(5) == 0.0 && r(8) == false)
+    }
+    // the spike day: window mean > 100, sd > 0, and v = 500 breaks out
+    val last = out.last
+    assert(last(2) == 500.0)
+    assert(last(5).asInstanceOf[Double] > 0.0)
+    assert(last(8) == true)
+    // window never exceeds 5 rows
+    assert(out.forall(_(3).asInstanceOf[Long] <= 5L))
+  }
 }

@@ -486,4 +486,66 @@ class PipelineSpec extends SparkSpec {
     // empty payload stays empty
     assert(rows(out.orderBy("doc_id")) == Seq(Seq(1L, "aceg"), Seq(2L, "")))
   }
+
+  test("multimodal: REAL TIFF codec — IFD walk both byte orders, ImageIO cross-check") {
+    val t = Multimodal.encodeTiffRgb(13, 7, "seedbytes".getBytes("US-ASCII"))
+    assert(t.length == 128 + 3 * 13 * 7)
+    assert(Multimodal.decodeTiff(t).contains(("image/tiff", 13, 7)))
+    // the JDK's own TIFF reader must agree with our literal encoder
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+    assert(img != null, "ImageIO could not parse our TIFF")
+    assert(img.getWidth == 13 && img.getHeight == 7)
+    // big-endian variant: hand-build an MM header with one SHORT-typed
+    // width and LONG-typed height entry
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 + 2 * 12 + 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    bb.putShort(2)
+    bb.putShort(256).putShort(3).putInt(1).putShort(99).putShort(0)
+    bb.putShort(257).putShort(4).putInt(1).putInt(44)
+    bb.putInt(0)
+    assert(Multimodal.decodeTiff(bb.array()).contains(("image/tiff", 99, 44)))
+    // fuzz contract: garbage, truncation and wrong magic return None
+    assert(Multimodal.decodeTiff(Array[Byte]('I', 'I', 42, 0)).isEmpty)
+    assert(Multimodal.decodeTiff("IIxx12345678".getBytes).isEmpty)
+    assert(Multimodal.decodeTiff(t.take(40).toArray).isEmpty)
+    assert(Multimodal.decodeTiff(Array.fill[Byte](64)(0x7f)).isEmpty)
+    // dispatch: decodeAny routes TIFF payloads to the real parser
+    assert(Multimodal.decodeAny(t) == ("image/tiff", 13, 7))
+  }
+
+  test("pca2d: collinear points put all variance on one component") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = rows(Profile.pca2d(df, "g", "x", "y")).head
+    val lam2 = r(6).asInstanceOf[Double]
+    val expl = r(7).asInstanceOf[Double]
+    val theta = r(8).asInstanceOf[Double]
+    assert(math.abs(lam2) < 1e-9)
+    assert(math.abs(expl - 1.0) < 1e-9)
+    // principal axis of y = 2x is atan(2), rounded to 6 dp
+    assert(math.abs(theta - 1.107149) < 1e-6)
+    // lam1 + lam2 = var_x + var_y (trace preserved)
+    val varSum = r(2).asInstanceOf[Double] + r(3).asInstanceOf[Double]
+    assert(math.abs(r(5).asInstanceOf[Double] + lam2 - varSum) < 1e-9)
+  }
+
+  test("fisherExact2x2 matches the tea-tasting exact p-values") {
+    import spark.implicits._
+    // the classic 4/0/0/4 table: p_two = 2/70, p_right = 1/70, p_left = 1
+    val df = (Seq.fill(4)((true, true)) ++ Seq.fill(4)((false, false)))
+      .toDF("g", "s")
+    val r = rows(Profile.fisherExact2x2(df, col("g"), col("s"))).head
+    assert(r.take(5) == Seq(4L, 0L, 0L, 4L, 8L))
+    // 6-dp ln rounding accumulates ~1e-5 absolute error by design —
+    // DETERMINISTIC error (both engines replay it), not noise
+    assert(math.abs(r(5).asInstanceOf[Double] - 1.0 / 70) < 1e-5) // pmf_obs
+    assert(math.abs(r(6).asInstanceOf[Double] - 2.0 / 70) < 1e-5) // p_two
+    assert(math.abs(r(7).asInstanceOf[Double] - 1.0) < 1e-5)      // p_left
+    assert(math.abs(r(8).asInstanceOf[Double] - 1.0 / 70) < 1e-5) // p_right
+    // pmf mass sums to 1: p_left + p_right - pmf_obs = 1
+    assert(math.abs(r(7).asInstanceOf[Double] + r(8).asInstanceOf[Double]
+      - r(5).asInstanceOf[Double] - 1.0) < 1e-5)
+  }
 }
