@@ -4038,6 +4038,47 @@ object SparkEntry {
         "o_orderpriority", "o_orderdate", "o_totalprice",
         window = 7, mult = 2.0))
 
+  private def qPhonetic(s: SparkSession, d: String): DataFrame = {
+    // Phonetic blocking over a surname vocabulary with planted spelling
+    // variants (smith/smyth/smythe, reed/read/reid, ...) indexed by
+    // customer key — the table vocabularies are too small (16-31 words)
+    // to block interestingly. karl/carl is the deliberate NEGATIVE case:
+    // phonetically identical but Soundex keeps the first letter, so they
+    // must NOT pair. Codes + same-code pairs, full SQL chain replay.
+    val pool = Seq("smith", "smyth", "smythe", "jon", "john", "jahn",
+      "meyer", "myer", "mayer", "reed", "read", "reid",
+      "stuart", "stewart", "karl", "carl")
+    val words = Tables.customer(s, d).select(
+      element_at(array(pool.map(lit): _*),
+        (pmod(col("c_custkey"), lit(16)) + 1).cast("int")).as("w"))
+    Relational.sort(col("code"), col("w1"), col("w2"))(
+      graft.pipeline.TextAnalysis.phoneticPairs(words, "w"))
+  }
+
+  private def qSilhouette(s: SparkSession, d: String): DataFrame =
+    // Simplified silhouette of the q_kmeans clustering (k=8, 3 iters):
+    // exact-integer centroid distances, 6-dp decimal-summed scores.
+    Relational.sort(col("cid"))(
+      graft.pipeline.Similarity.silhouetteSimplified(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 8, iters = 3))
+
+  private def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    // 5-NN majority-label classification for the first 50 vectors:
+    // exact cosine ranks, ties to the smaller label.
+    val emb = Tables.embeddings(s, d)
+    Relational.sort(col("vec_id"))(
+      graft.pipeline.Similarity.knnClassify(emb, "vec_id", "embedding",
+        "label", emb.where(col("vec_id") < 50), k = 5))
+  }
+
+  private def qDecileLift(s: SparkSession, d: String): DataFrame =
+    // Decile gains table for value-as-score predicting purchases:
+    // distributed global rank (no per-row global window), exact counts,
+    // fixed-dag rates and cumulative lift.
+    Relational.sort(col("bucket"))(
+      graft.pipeline.Scoring.decileLift(Tables.events(s, d), "value",
+        col("event_type") === "purchase", "event_id", buckets = 10))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4326,6 +4367,10 @@ object SparkEntry {
     "q_containment_join" -> (qContainmentJoin _),
     "q_assortativity" -> (qAssortativity _),
     "q_bollinger" -> (qBollinger _),
+    "q_phonetic" -> (qPhonetic _),
+    "q_silhouette" -> (qSilhouette _),
+    "q_knn_classify" -> (qKnnClassify _),
+    "q_decile_lift" -> (qDecileLift _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -8205,5 +8250,115 @@ object SparkEntry {
         |  (CAST(CAST(v AS VARCHAR) AS DOUBLE) > upper
         |    OR CAST(CAST(v AS VARCHAR) AS DOUBLE) < lower) AS breakout
         |FROM b ORDER BY 1, 2""".stripMargin,
+    // Phonetic blocking: the simplified-Soundex chain replayed — RE2 has
+    // no backreferences, so the run-collapse is six iterated pair-replace
+    // passes (handles runs to 64; words are far shorter).
+    "q_phonetic" ->
+      """WITH w0 AS (SELECT DISTINCT (['smith','smyth','smythe','jon','john','jahn',
+        |  'meyer','myer','mayer','reed','read','reid',
+        |  'stuart','stewart','karl','carl'])[CAST(c_custkey % 16 + 1 AS INTEGER)] AS w
+        |  FROM customer),
+        |w1 AS (SELECT w FROM w0 WHERE w IS NOT NULL AND w <> ''),
+        |c0 AS (SELECT w, regexp_replace(upper(w), '[^A-Z]', '', 'g') AS s FROM w1),
+        |c1 AS (SELECT w, s, translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |  '01230120022455012623010202') AS cd FROM c0),
+        |r1 AS (SELECT w, s, replace(replace(replace(replace(replace(replace(replace(cd,'00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),'66','6') AS cd FROM c1),
+        |r2 AS (SELECT w, s, replace(replace(replace(replace(replace(replace(replace(cd,'00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),'66','6') AS cd FROM r1),
+        |r3 AS (SELECT w, s, replace(replace(replace(replace(replace(replace(replace(cd,'00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),'66','6') AS cd FROM r2),
+        |r4 AS (SELECT w, s, replace(replace(replace(replace(replace(replace(replace(cd,'00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),'66','6') AS cd FROM r3),
+        |r5 AS (SELECT w, s, replace(replace(replace(replace(replace(replace(replace(cd,'00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),'66','6') AS cd FROM r4),
+        |r6 AS (SELECT w, s, replace(replace(replace(replace(replace(replace(replace(cd,'00','0'),'11','1'),'22','2'),'33','3'),'44','4'),'55','5'),'66','6') AS cd FROM r5),
+        |coded AS (SELECT w, CASE WHEN length(s) > 0 THEN substr(s, 1, 1) ||
+        |  rpad(substr(replace(substr(cd, 2, 64), '0', ''), 1, 3), 3, '0') END AS code
+        |  FROM r6)
+        |SELECT a.code, a.w AS w1, b.w AS w2
+        |FROM coded a JOIN coded b ON a.code = b.code AND a.w < b.w
+        |WHERE a.code IS NOT NULL
+        |ORDER BY a.code, w1, w2""".stripMargin,
+    // Simplified silhouette: the full q_kmeans training unroll, then
+    // per-point a/b centroid distances and 6-dp decimal-summed scores.
+    "q_silhouette" ->
+      """WITH pts AS (SELECT vec_id AS id, CAST(i AS INTEGER) AS dim,
+        |  CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) gs),
+        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cid
+        |  FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT 8)),
+        |c0 AS (SELECT init.cid, p.dim, p.q AS v FROM pts p JOIN init ON p.id = init.id),
+        |a1 AS (SELECT id, cid FROM (
+        |  SELECT p.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY SUM((p.q - c.v) * (p.q - c.v)) ASC, c.cid ASC) AS rn
+        |  FROM pts p JOIN c0 c ON p.dim = c.dim GROUP BY p.id, c.cid) WHERE rn = 1),
+        |s1 AS (SELECT a.cid, p.dim, SUM(p.q) AS s, count(*) AS n FROM pts p JOIN a1 a ON p.id = a.id GROUP BY 1, 2),
+        |c1 AS (SELECT c0.cid, c0.dim,
+        |  CAST(COALESCE((s1.s - (((s1.s % s1.n) + s1.n) % s1.n)) // s1.n, c0.v) AS BIGINT) AS v
+        |  FROM c0 LEFT JOIN s1 ON c0.cid = s1.cid AND c0.dim = s1.dim),
+        |a2 AS (SELECT id, cid FROM (
+        |  SELECT p.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY SUM((p.q - c.v) * (p.q - c.v)) ASC, c.cid ASC) AS rn
+        |  FROM pts p JOIN c1 c ON p.dim = c.dim GROUP BY p.id, c.cid) WHERE rn = 1),
+        |s2 AS (SELECT a.cid, p.dim, SUM(p.q) AS s, count(*) AS n FROM pts p JOIN a2 a ON p.id = a.id GROUP BY 1, 2),
+        |c2 AS (SELECT c1.cid, c1.dim,
+        |  CAST(COALESCE((s2.s - (((s2.s % s2.n) + s2.n) % s2.n)) // s2.n, c1.v) AS BIGINT) AS v
+        |  FROM c1 LEFT JOIN s2 ON c1.cid = s2.cid AND c1.dim = s2.dim),
+        |a3 AS (SELECT id, cid FROM (
+        |  SELECT p.id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY SUM((p.q - c.v) * (p.q - c.v)) ASC, c.cid ASC) AS rn
+        |  FROM pts p JOIN c2 c ON p.dim = c.dim GROUP BY p.id, c.cid) WHERE rn = 1),
+        |s3 AS (SELECT a.cid, p.dim, SUM(p.q) AS s, count(*) AS n FROM pts p JOIN a3 a ON p.id = a.id GROUP BY 1, 2),
+        |c3 AS (SELECT c2.cid, c2.dim,
+        |  CAST(COALESCE((s3.s - (((s3.s % s3.n) + s3.n) % s3.n)) // s3.n, c2.v) AS BIGINT) AS v
+        |  FROM c2 LEFT JOIN s3 ON c2.cid = s3.cid AND c2.dim = s3.dim),
+        |dd AS (SELECT p.id, c.cid, SUM((p.q - c.v) * (p.q - c.v)) AS d2
+        |  FROM pts p JOIN c3 c ON p.dim = c.dim GROUP BY p.id, c.cid),
+        |asg AS (SELECT id, cid, d2 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn FROM dd)
+        |  WHERE rn = 1),
+        |oth AS (SELECT dd.id, MIN(dd.d2) AS bd2 FROM dd JOIN asg ON dd.id = asg.id
+        |  WHERE dd.cid <> asg.cid GROUP BY dd.id),
+        |sil AS (SELECT asg.cid,
+        |  CAST(round(CASE WHEN greatest(sqrt(asg.d2), sqrt(oth.bd2)) = 0.0 THEN 0.0
+        |    ELSE (sqrt(oth.bd2) - sqrt(asg.d2)) / greatest(sqrt(asg.d2), sqrt(oth.bd2)) END, 6)
+        |    AS DECIMAL(10,6)) AS s
+        |  FROM asg JOIN oth ON asg.id = oth.id)
+        |SELECT cid, count(*) AS n,
+        |  CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_silhouette
+        |FROM sil GROUP BY cid ORDER BY cid""".stripMargin,
+    // 5-NN classification: exact-cosine ranks (the annExactTopKOracle
+    // convention), majority vote, ties to the smaller label.
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS tl
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings),
+        |s AS (SELECT qid, vec_id, label, list_inner_product(qv, cv) /
+        |  (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos_exact
+        |  FROM q CROSS JOIN c WHERE vec_id <> qid),
+        |r AS (SELECT qid, label,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, vec_id) AS rank FROM s),
+        |v AS (SELECT qid, label, count(*) AS votes FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |b AS (SELECT qid, label AS pred, votes,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS rn FROM v)
+        |SELECT q.qid AS vec_id, q.tl AS label, b.pred, b.votes, b.pred = q.tl AS correct
+        |FROM b JOIN q ON b.qid = q.qid WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // Decile lift: distributed global rank replay (distinct-score prefix
+    // sums + within-score rank), exact counts, fixed-dag lift.
+    "q_decile_lift" ->
+      """WITH rws AS (SELECT value AS sc, event_id AS tie,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |ps AS (SELECT sc, count(*) AS c FROM rws GROUP BY 1),
+        |offs AS (SELECT sc, CAST(COALESCE(SUM(c) OVER (ORDER BY sc DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM ps),
+        |tot AS (SELECT count(*) AS n, CAST(SUM(y) AS BIGINT) AS pos FROM rws),
+        |rk AS (SELECT r.sc, r.y, o.off + ROW_NUMBER() OVER (PARTITION BY r.sc ORDER BY r.tie ASC) AS rr
+        |  FROM rws r JOIN offs o ON r.sc = o.sc),
+        |bk AS (SELECT CAST(((rr - 1) * 10) // tot.n AS BIGINT) AS bucket, y FROM rk CROSS JOIN tot),
+        |pb AS (SELECT bucket, count(*) AS n, CAST(SUM(y) AS BIGINT) AS positives FROM bk GROUP BY 1),
+        |cm AS (SELECT *, CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+        |  CAST(SUM(positives) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp FROM pb)
+        |SELECT bucket, cm.n, positives,
+        |  CAST(positives AS DOUBLE) / CAST(cm.n AS DOUBLE) AS rate,
+        |  (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) /
+        |  (CAST(tot.pos AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS cum_lift
+        |FROM cm CROSS JOIN tot ORDER BY bucket""".stripMargin,
   )
 }

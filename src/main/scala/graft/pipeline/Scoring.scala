@@ -401,4 +401,50 @@ object Scoring {
           d(col("__S")) / col("__n").cast("double")), 6))
       .drop("__S", "__n")
   }
+
+  /** Decile lift / gains table — the model-evaluation staple: rank rows
+    * by score DESCENDING (tie-broken by `tieCol` so the total order is
+    * engine-exact), cut into `buckets` equal-count bins, and report per
+    * bin the size, positives, response rate, and CUMULATIVE lift
+    * (cum-rate over base-rate). The global rank uses NO per-row global
+    * window (the histogramEquiDepth pattern): per-distinct-score counts,
+    * a prefix sum over the distinct-score table (bounded by score
+    * cardinality), a within-score rank sharded BY score, and the row
+    * count as a broadcast scalar. bucket = (r−1)·buckets div n in ANSI
+    * integer arithmetic; rates/lift are fixed double dags over exact
+    * counts. Output: `buckets` rows. */
+  def decileLift(df: DataFrame, scoreCol: String, labelCol: Column,
+                 tieCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "decileLift: need >= 2 buckets")
+    val rows = df.select(col(scoreCol).as("__sc"), col(tieCol).as("__tie"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .where(col("__sc").isNotNull)
+    val perScore = rows.groupBy("__sc").agg(count(lit(1)).as("__c"))
+    val wPre = Window.orderBy(col("__sc").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perScore
+      .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
+      .select(col("__sc"), col("__off"))
+    val wIn = Window.partitionBy(col("__sc")).orderBy(col("__tie").asc)
+    val total = rows.agg(count(lit(1)).as("__n"),
+      sum(col("__y")).as("__pos"))
+    val ranked = rows
+      .join(offs, Seq("__sc"))
+      .withColumn("__r", col("__off") + row_number().over(wIn))
+      .crossJoin(broadcast(total))
+      .withColumn("__b", expr(s"(__r - 1) * $buckets div __n"))
+    val perBucket = ranked.groupBy(col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("positives"),
+        max(col("__n")).as("__tn"), max(col("__pos")).as("__tp"))
+    val wCum = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("__cn", sum(col("n")).over(wCum))
+      .withColumn("__cp", sum(col("positives")).over(wCum))
+      .select(col("bucket"), col("n"), col("positives"),
+        (col("positives").cast("double") / col("n").cast("double")).as("rate"),
+        ((col("__cp").cast("double") / col("__cn").cast("double")) /
+          (col("__tp").cast("double") / col("__tn").cast("double")))
+          .as("cum_lift"))
+  }
 }

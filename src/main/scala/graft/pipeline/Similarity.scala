@@ -307,4 +307,77 @@ object Similarity {
     }
     df.select(col(idCol), posexplode(array(outs: _*)).as(Seq("rp_dim", "rp_value")))
   }
+
+  /** SIMPLIFIED silhouette over the [[kmeansQuantized]] clustering — the
+    * cluster-quality score a recipe ledger records next to k: per point,
+    * a = distance to its own centroid, b = distance to the nearest OTHER
+    * centroid, s = (b−a)/max(a,b); per cluster, n and the mean s. The
+    * "simplified" variant (centroid distances, not all-pairs point
+    * distances) is the standard scalable form — O(n·k) instead of O(n²),
+    * and here every distance is an exact integer (quantized coords, d² =
+    * Σ(q−c)² < 2⁵³) so assignment ties break exactly like the trainer's
+    * (smaller cid) and both engines compute identical doubles. Per-point
+    * s rounds to 6 dp and sums as DECIMAL, so the cluster means are
+    * order-independent. Centroids are k×dim driver metadata (the IVF
+    * posture); the scoring pass is ONE codegen'd projection + one k-row
+    * aggregate — no joins, no shuffles beyond the final groupBy. */
+  def silhouetteSimplified(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 2, "silhouetteSimplified: need k >= 2 (b is undefined for k = 1)")
+    val centsDf = kmeansQuantized(df, idCol, vecCol, k, iters, scale)
+    val cents: Array[Array[Long]] = centsDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    val q = df.select(col(idCol).as("id"),
+        transform(asDoubleVec(col(vecCol)),
+          x => floor(x * lit(scale.toDouble)).cast("double")).as("__q"))
+      .where(col("id").isNotNull && col("__q").isNotNull)
+    val xx = dot(col("__q"), col("__q"))
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(v => lit(v.toDouble)): _*)
+      struct((xx - lit(2.0) * dot(col("__q"), cl) +
+        lit(c.map(v => v.toDouble * v).sum)).as("d2"), lit(i).as("i"))
+    }
+    val sorted = array_sort(array(scored: _*))
+    val a = sqrt(element_at(col("__s"), 1).getField("d2"))
+    val b = sqrt(element_at(col("__s"), 2).getField("d2"))
+    val sil = when(greatest(a, b) === lit(0.0), lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    q.withColumn("__s", sorted)
+      .select(element_at(col("__s"), 1).getField("i").as("cid"),
+        round(sil, 6).cast("decimal(10,6)").as("__sil"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__sil")).cast("string").cast("double") /
+          count(lit(1)).cast("double")).as("mean_silhouette"))
+  }
+
+  /** k-NN label classification over embeddings: each query point takes
+    * the MAJORITY label of its k nearest corpus neighbors by exact
+    * cosine (self excluded), ties to the smallest label — the standard
+    * embedding-space sanity check ("do my clusters agree with my
+    * labels?"). Built on [[bruteForceTopK]] (broadcast queries — the
+    * bounded-query contract; swap in ivfTopK for corpus-scale query
+    * sets), one label join, one (query, label) vote aggregate, one
+    * arg-max fold via min(struct(−votes, label)). Output: (query id,
+    * true label, predicted label, votes, correct). */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val top = bruteForceTopK(corpus, idCol, vecCol,
+      queries.select(col(idCol).as("__qid"), col(vecCol)), "__qid", vecCol, k)
+    val labels = corpus.select(col(idCol), col(labelCol).as("__lbl"))
+    val votes = top.join(labels, Seq(idCol))
+      .groupBy(col("__qid"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val best = votes.groupBy(col("__qid"))
+      .agg(min(struct((-col("votes")).as("nv"), col("__lbl").as("l"))).as("__m"))
+      .select(col("__qid"), col("__m.l").as("pred"),
+        (-col("__m.nv")).as("votes"))
+    best
+      .join(queries.select(col(idCol).as("__qid"), col(labelCol).as("label")),
+        Seq("__qid"))
+      .select(col("__qid").as(idCol), col("label"), col("pred"), col("votes"),
+        (col("pred") === col("label")).as("correct"))
+  }
 }

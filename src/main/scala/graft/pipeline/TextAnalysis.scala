@@ -336,4 +336,44 @@ object TextAnalysis {
     when(w > 0,
       round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w), 6))
   }
+
+  /** Simplified Soundex phonetic code — the record-linkage blocking key
+    * that pairs "SMITH" with "SMYTHE" (reference family: fuzzy matching;
+    * phonetic blocking is the classic cheap pre-filter before edit
+    * distance). Rules, spelled out because variants differ: letters only
+    * (upper-cased), classic digit classes (BFPV→1 CGJKQSXZ→2 DT→3 L→4
+    * MN→5 R→6, vowels + HWY→0), ADJACENT equal codes collapse once
+    * (including across the first letter), then the first LETTER +
+    * the first three non-zero digits AFTER the first letter's code,
+    * zero-padded. This is the textbook algorithm MINUS the American
+    * H/W-separator exception — deliberately, so the whole code is four
+    * engine-portable string ops (upper/translate/run-collapse/pad): the
+    * run-collapse is one backreference regexp here and an iterated
+    * replace chain in RE2-class engines. NULL/letterless input → NULL. */
+  def phoneticCode(name: Column): Column = {
+    val s = regexp_replace(upper(name), "[^A-Z]", "")
+    val codes = translate(s, "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+      "01230120022455012623010202")
+    val collapsed = regexp_replace(codes, "(.)\\1+", "$1")
+    val digits = regexp_replace(substring(collapsed, 2, 64), "0", "")
+    when(length(s) > 0,
+      concat(substring(s, 1, 1), rpad(substring(digits, 1, 3), 3, "0")))
+  }
+
+  /** Phonetic blocking join over a vocabulary: all unordered pairs of
+    * DISTINCT words sharing a phonetic code but differing as strings —
+    * the candidate set a linkage pass would verify with edit distance.
+    * One code projection + one equi-join keyed by code; the quadratic
+    * surface is the block (code) size, the point of phonetic blocking. */
+  def phoneticPairs(df: DataFrame, wordCol: String): DataFrame = {
+    val coded = df.select(col(wordCol).as("w"))
+      .where(col("w").isNotNull && col("w") =!= "")
+      .distinct()
+      .select(col("w"), phoneticCode(col("w")).as("code"))
+      .where(col("code").isNotNull)
+    coded.select(col("code"), col("w").as("w1"))
+      .join(coded.select(col("code"), col("w").as("w2")), Seq("code"))
+      .where(col("w1") < col("w2"))
+      .select(col("code"), col("w1"), col("w2"))
+  }
 }

@@ -1406,4 +1406,86 @@ class PipelineOpsSpec extends SparkSpec {
     // window never exceeds 5 rows
     assert(out.forall(_(3).asInstanceOf[Long] <= 5L))
   }
+
+  // ===== phonetic code =====
+
+  test("phoneticCode matches the textbook Soundex table (sans H/W rule)") {
+    val df = Seq("Robert", "Rupert", "Tymczak", "Pfister", "Jackson",
+      "Washington", "karl", "carl", "a", "", "123").toDF("w")
+    val out = rows(df.select(col("w"),
+      TextAnalysis.phoneticCode(col("w")).as("c"))).map(r => r(0) -> r(1)).toMap
+    assert(out("Robert") == "R163" && out("Rupert") == "R163")
+    assert(out("Tymczak") == "T522")
+    assert(out("Pfister") == "P236")
+    assert(out("Jackson") == "J250")
+    assert(out("Washington") == "W252")
+    // phonetically equal but different first letter -> different codes
+    assert(out("karl") == "K640" && out("carl") == "C640")
+    assert(out("a") == "A000")
+    assert(out("") == null)
+    assert(out("123") == null)
+  }
+
+  test("phoneticPairs blocks spelling variants, not cross-letter twins") {
+    val df = Seq("smith", "smyth", "karl", "carl", "smith").toDF("w")
+    val out = rows(TextAnalysis.phoneticPairs(df, "w")).map(r => (r(1), r(2)))
+    assert(out == Seq(("smith", "smyth")))
+  }
+
+  // ===== silhouette =====
+
+  test("silhouetteSimplified scores well-separated clusters near 1") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.01f), 0), (3L, Array(0.02f, 0.0f), 0),
+      (2L, Array(5.0f, 5.01f), 1), (4L, Array(5.02f, 5.0f), 1))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val out = rows(Similarity.silhouetteSimplified(df, "vec_id", "embedding",
+      k = 2, iters = 2).orderBy("cid"))
+    assert(out.map(_(1)) == Seq(2L, 2L))
+    out.foreach { r =>
+      val m = r(2).asInstanceOf[Double]
+      assert(m > 0.9 && m <= 1.0, s"expected tight clusters, got $m")
+    }
+  }
+
+  // ===== kNN classification =====
+
+  test("knnClassify takes the majority label, ties to the smaller label") {
+    // angles cluster: queries near (1, 0); three label-0 neighbors closer
+    // than the two label-1 ones
+    val pts = Seq(
+      (100L, Array(1.0f, 0.0f), 0),   // query
+      (1L, Array(1.0f, 0.05f), 0), (2L, Array(1.0f, -0.05f), 0),
+      (3L, Array(1.0f, 0.1f), 0),
+      (4L, Array(0.0f, 1.0f), 1), (5L, Array(-1.0f, 0.2f), 1))
+    val df = pts.toDF("vec_id", "embedding", "label")
+    val out = rows(Similarity.knnClassify(df, "vec_id", "embedding", "label",
+      df.where(col("vec_id") === 100L), k = 5))
+    assert(out.size == 1)
+    val r = out.head
+    assert(r(0) == 100L && r(1) == 0 && r(2) == 0)
+    assert(r(3) == 3L)      // three label-0 votes of the five neighbors
+    assert(r(4) == true)
+  }
+
+  // ===== decile lift =====
+
+  test("decileLift: top decile captures all positives, overall lift is 1") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble, i > 90))
+      .toDF("id", "score", "pos")
+    val out = rows(Scoring.decileLift(df, "score", col("pos"), "id")
+      .orderBy("bucket"))
+    assert(out.size == 10)
+    assert(out.forall(_(1) == 10L)) // equal-count bins
+    val first = out.head
+    assert(first(2) == 10L && first(3) == 1.0)
+    assert(math.abs(first(4).asInstanceOf[Double] - 10.0) < 1e-9)
+    assert(math.abs(out.last(4).asInstanceOf[Double] - 1.0) < 1e-9)
+    // all-tied scores still bucket deterministically via the tie column
+    val tied = (1 to 40).map(i => (i.toLong, 1.0, i <= 4)).toDF("id", "score", "pos")
+    val t = rows(Scoring.decileLift(tied, "score", col("pos"), "id", buckets = 4)
+      .orderBy("bucket"))
+    assert(t.map(_(1)) == Seq(10L, 10L, 10L, 10L))
+    assert(t.head(2) == 4L && t.drop(1).forall(_(2) == 0L))
+  }
 }
