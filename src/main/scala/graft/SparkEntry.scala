@@ -4079,6 +4079,45 @@ object SparkEntry {
       graft.pipeline.Scoring.decileLift(Tables.events(s, d), "value",
         col("event_type") === "purchase", "event_id", buckets = 10))
 
+  private def qIntervalGaps(s: SparkSession, d: String): DataFrame = {
+    // Idle windows between the q_interval_merge busy spans: one extra
+    // key-sharded lag over the merged islands.
+    val iv = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        ((col("event_id") % 7) + 1) * 600000000L).as("e"))
+    Relational.sort(col("user_id"), col("gap_start"))(
+      graft.pipeline.Events.intervalGaps(iv, Seq("user_id"), "s", "e"))
+  }
+
+  private def qDiversity(s: SparkSession, d: String): DataFrame =
+    // Source concentration per language: HHI / Simpson / top share —
+    // fixed dags over exact counts, no rounding convention needed.
+    Relational.sort(col("lang"))(
+      graft.pipeline.Profile.diversityIndices(Tables.documents(s, d),
+        "lang", "source"))
+
+  private def qRunsTest(s: SparkSession, d: String): DataFrame =
+    // Wald-Wolfowitz runs test of value randomness per event type:
+    // lower-median binarization, exact run counts, textbook z dag.
+    Relational.sort(col("event_type"))(
+      graft.pipeline.Profile.runsTest(Tables.events(s, d),
+        "event_type", "ts", "event_id", "value"))
+
+  private def qSeasonalDecompose(s: SparkSession, d: String): DataFrame =
+    // Additive STL-lite over daily revenue per priority: centered 7-row
+    // trend, per-weekday seasonal means over 6-dp detrended decimals.
+    Relational.sort(col("o_orderpriority"), col("day"))(
+      graft.pipeline.TimeSeries.seasonalDecompose(Tables.orders(s, d),
+        "o_orderpriority", "o_orderdate", "o_totalprice"))
+
+  private def qBurstiness(s: SparkSession, d: String): DataFrame =
+    // Goh-Barabasi burstiness + CV of inter-event gaps per user:
+    // exact-decimal gap moments, one fixed dag.
+    Relational.sort(col("user_id"))(
+      graft.pipeline.Events.burstiness(Tables.events(s, d),
+        Seq("user_id"), "ts", "event_id"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4371,6 +4410,11 @@ object SparkEntry {
     "q_silhouette" -> (qSilhouette _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_decile_lift" -> (qDecileLift _),
+    "q_interval_gaps" -> (qIntervalGaps _),
+    "q_diversity" -> (qDiversity _),
+    "q_runs_test" -> (qRunsTest _),
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
+    "q_burstiness" -> (qBurstiness _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -8360,5 +8404,101 @@ object SparkEntry {
         |  (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)) /
         |  (CAST(tot.pos AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS cum_lift
         |FROM cm CROSS JOIN tot ORDER BY bucket""".stripMargin,
+    // Interval gaps: the merge oracle plus one lag over the islands.
+    "q_interval_gaps" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |  epoch_us(ts) + ((event_id % 7) + 1) * 600000000 AS e FROM events),
+        |m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id
+        |  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |g AS (SELECT *, SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m),
+        |mg AS (SELECT user_id, MIN(s) AS s, MAX(e) AS e
+        |  FROM g GROUP BY user_id, island),
+        |lg AS (SELECT user_id, s,
+        |  lag(e) OVER (PARTITION BY user_id ORDER BY s) AS pe FROM mg)
+        |SELECT user_id, pe AS gap_start, s AS gap_end, s - pe AS gap_len
+        |FROM lg WHERE pe IS NOT NULL AND s > pe
+        |ORDER BY user_id, gap_start""".stripMargin,
+    // Diversity indices: exact integer count dags only.
+    "q_diversity" ->
+      """WITH c AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n, count(*) AS k,
+        |  CAST(CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS ss,
+        |  MAX(c) AS mx FROM c GROUP BY lang),
+        |h AS (SELECT lang, n, k, ss / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS hhi, mx FROM g)
+        |SELECT lang, n, k, hhi, 1.0 - hhi AS simpson,
+        |  CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS top_share
+        |FROM h ORDER BY lang""".stripMargin,
+    // Runs test: lower-median binarization (exact-median ties dropped),
+    // run breaks via lag, textbook z dag.
+    "q_runs_test" ->
+      """WITH vc AS (SELECT event_type AS g, value AS v, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS cm FROM vc),
+        |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY g),
+        |med AS (SELECT cum.g, MIN(v) AS med FROM cum JOIN tot ON cum.g = tot.g
+        |  WHERE cm >= (n + 1) // 2 GROUP BY cum.g),
+        |sg AS (SELECT e.event_type AS g, e.ts, e.event_id,
+        |  CASE WHEN e.value > med.med THEN 1 ELSE -1 END AS sgn
+        |  FROM events e JOIN med ON e.event_type = med.g
+        |  WHERE e.value <> med.med),
+        |br AS (SELECT g, sgn, CASE WHEN lag(sgn) OVER w IS NULL
+        |    OR lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS brk
+        |  FROM sg WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+        |r AS (SELECT g, CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(brk) AS BIGINT) AS runs FROM br GROUP BY g)
+        |SELECT g AS event_type, n_above, n_below, runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 THEN
+        |    (CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)))) /
+        |    sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE)) /
+        |      ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0)))
+        |  END AS z
+        |FROM r ORDER BY event_type""".stripMargin,
+    // STL-lite: centered 7-row trend, 6-dp detrended decimals, per-dow
+    // seasonal means (Spark dayofweek convention: 1 = Sunday).
+    "q_seasonal_decompose" ->
+      """WITH a AS (SELECT o_orderpriority AS k,
+        |  date_trunc('day', o_orderdate) AS dy,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT k, dy, v,
+        |  COUNT(*) OVER win AS tn, SUM(v) OVER win AS ts
+        |  FROM a WINDOW win AS (PARTITION BY k ORDER BY dy
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |tr AS (SELECT k, dy, v,
+        |  CAST(CAST(ts AS VARCHAR) AS DOUBLE) / CAST(tn AS DOUBLE) AS trend
+        |  FROM t),
+        |de AS (SELECT *, CAST(round(CAST(CAST(v AS VARCHAR) AS DOUBLE) - trend, 6)
+        |    AS DECIMAL(18,6)) AS det,
+        |  CAST(dayofweek(dy) + 1 AS INTEGER) AS dow FROM tr),
+        |se AS (SELECT k, dow,
+        |  CAST(CAST(SUM(det) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS seasonal
+        |  FROM de GROUP BY 1, 2)
+        |SELECT de.k AS o_orderpriority, strftime(de.dy, '%Y-%m-%d') AS day,
+        |  de.dow, CAST(CAST(de.v AS VARCHAR) AS DOUBLE) AS v, de.trend,
+        |  se.seasonal,
+        |  CAST(CAST(de.det AS VARCHAR) AS DOUBLE) - se.seasonal AS residual
+        |FROM de JOIN se ON de.k = se.k AND de.dow = se.dow
+        |ORDER BY 1, 2""".stripMargin,
+    // Burstiness: exact-decimal gap moments, (sd-mean)/(sd+mean) dag.
+    "q_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS gp FROM events),
+        |m AS (SELECT user_id, count(*) AS n_gaps,
+        |  CAST(CAST(SUM(CAST(gp AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s,
+        |  CAST(CAST(SUM(CAST(gp AS DECIMAL(19,0)) * CAST(gp AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS s2
+        |  FROM g WHERE gp IS NOT NULL GROUP BY user_id HAVING count(*) >= 2),
+        |st AS (SELECT user_id, n_gaps, s / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+        |  sqrt(greatest(0.0, CAST(n_gaps AS DOUBLE) * s2 - s * s)) / CAST(n_gaps AS DOUBLE) AS sd_gap_us
+        |  FROM m)
+        |SELECT user_id, n_gaps, mean_gap_us, sd_gap_us,
+        |  sd_gap_us / mean_gap_us AS cv,
+        |  (sd_gap_us - mean_gap_us) / (sd_gap_us + mean_gap_us) AS burstiness
+        |FROM st ORDER BY user_id""".stripMargin,
   )
 }

@@ -214,6 +214,59 @@ object Events {
       .drop("__island")
   }
 
+  /** The COMPLEMENT of [[mergeIntervals]]: the gaps between a key's
+    * merged busy spans — idle windows, coverage holes, SLA dead air.
+    * One extra key-sharded lag over the merged islands; a gap is the
+    * open interval (prior island end, next island start), reported only
+    * when strictly positive (touching islands have no gap — they merged).
+    * Leading/trailing open-ended time is not a gap (nothing brackets
+    * it). Output: key cols, gap_start, gap_end, gap_len. */
+  def intervalGaps(df: DataFrame, keyCols: Seq[String],
+                   startCol: String, endCol: String): DataFrame = {
+    val merged = mergeIntervals(df, keyCols, startCol, endCol)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(startCol).asc)
+    merged.withColumn("__pe", lag(col(endCol), 1).over(w))
+      .where(col("__pe").isNotNull && col(startCol) > col("__pe"))
+      .select((keyCols.map(col) :+ col("__pe").as("gap_start") :+
+        col(startCol).as("gap_end") :+
+        (col(startCol) - col("__pe")).as("gap_len")): _*)
+  }
+
+  /** Burstiness of a key's event stream — Goh-Barabási B = (σ−μ)/(σ+μ)
+    * over inter-event times, with the coefficient of variation: B → −1
+    * for a metronome, 0 for Poisson, → 1 for extreme bursts. Gaps are
+    * exact epoch-µs longs (one key-sharded lag); moments sum as
+    * DECIMAL(38,0) (gap squares pass 2^63) and cross the digit-string
+    * hop once; σ/μ/B are one fixed dag. Keys with < 3 events (< 2 gaps)
+    * are dropped — a single gap has no dispersion.
+    * Output: (key…, n_gaps, mean_gap_us, sd_gap_us, cv, burstiness). */
+  def burstiness(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "burstiness: need at least one key column")
+    def d(c: Column) = c.cast("string").cast("double")
+    val ks = keyCols.map(col)
+    val w = Window.partitionBy(ks: _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val gaps = df
+      .withColumn("__pt", lag(unix_micros(col(tsCol)), 1).over(w))
+      .where(col("__pt").isNotNull)
+      .withColumn("__g", unix_micros(col(tsCol)) - col("__pt"))
+    val m = gaps.groupBy(ks: _*)
+      .agg(count(lit(1)).as("n_gaps"),
+        d(sum(col("__g").cast("decimal(38,0)"))).as("__s"),
+        d(sum(col("__g").cast("decimal(19,0)") *
+          col("__g").cast("decimal(19,0)"))).as("__s2"))
+      .where(col("n_gaps") >= 2)
+    val nd = col("n_gaps").cast("double")
+    val mean = col("__s") / nd
+    val sd = sqrt(greatest(lit(0.0), nd * col("__s2") - col("__s") * col("__s"))) / nd
+    m.select((ks :+ col("n_gaps") :+ mean.as("mean_gap_us") :+
+        sd.as("sd_gap_us")): _*)
+      .withColumn("cv", col("sd_gap_us") / col("mean_gap_us"))
+      .withColumn("burstiness", (col("sd_gap_us") - col("mean_gap_us")) /
+        (col("sd_gap_us") + col("mean_gap_us")))
+  }
+
   /** First-order transition counts over per-key event sequences (the
     * Markov-chain face of event analytics: what follows what). Each key's
     * events order by (ts, tie); every adjacent pair contributes one

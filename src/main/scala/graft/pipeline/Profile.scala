@@ -348,6 +348,75 @@ object Profile {
         col("__cyy")).as("r2"))
   }
 
+  /** Concentration / diversity indices of a categorical column per
+    * group — the "is this language dominated by one source?" corpus
+    * audit: Herfindahl-Hirschman index Σpᵢ² (1/k at perfect evenness,
+    * 1.0 at monopoly), Simpson diversity 1−Σpᵢ², and the top category's
+    * share. EVERYTHING is a fixed dag over exact integer counts — Σcᵢ²
+    * in DECIMAL(38,0), shares divided once at the edge — so no rounding
+    * convention is needed at all. One (group, category) aggregate, one
+    * group fold. Output: (group, n, k, hhi, simpson, top_share). */
+  def diversityIndices(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val cells = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val g = cells.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("k"),
+        d(sum(col("__c").cast("decimal(19,0)") *
+          col("__c").cast("decimal(19,0)"))).as("__ss"),
+        max(col("__c")).as("__mx"))
+    val nd = col("n").cast("double")
+    g.select(col(groupCol), col("n"), col("k"),
+        (col("__ss") / (nd * nd)).as("hhi"),
+        col("__mx"), nd.as("__nd"))
+      .select(col(groupCol), col("n"), col("k"), col("hhi"),
+        (lit(1.0) - col("hhi")).as("simpson"),
+        (col("__mx").cast("double") / col("__nd")).as("top_share"))
+  }
+
+  /** Wald-Wolfowitz runs test per group — "is this sequence random, or
+    * does it trend/cluster?": values binarize against the group's LOWER
+    * MEDIAN (an actual data value — the madOutliers convention; exact
+    * median ties are DROPPED, standard practice), the sequence orders by
+    * (order, tie), R counts the maximal same-sign runs, and z =
+    * (R − E)/√V with E = 1 + 2n₁n₂/n and the textbook variance — one
+    * fixed dag over exact integers. One row-level exchange (the distinct
+    * value table), one key-sharded lag window for the run count.
+    * Groups with n₁ = 0 or n₂ = 0 report NULL z (no second symbol).
+    * Output: (group, n_above, n_below, runs, z). */
+  def runsTest(df: DataFrame, groupCol: String, orderCol: String,
+               tieCol: String, valueCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val med = lowerMedianOfCounts(counts)
+    val signed = df
+      .join(broadcast(med.select(col("__g").as(groupCol), col("med"))),
+        Seq(groupCol))
+      .where(col(valueCol) =!= col("med"))
+      .withColumn("__sgn", when(col(valueCol) > col("med"), 1).otherwise(-1))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).asc, col(tieCol).asc)
+    val runs = signed
+      .withColumn("__brk",
+        when(lag(col("__sgn"), 1).over(w).isNull ||
+          lag(col("__sgn"), 1).over(w) =!= col("__sgn"), 1L).otherwise(0L))
+      .groupBy(col(groupCol))
+      .agg(sum(when(col("__sgn") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("__sgn") === -1, 1L).otherwise(0L)).as("n_below"),
+        sum(col("__brk")).as("runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val nn = n1 + n2
+    val e = lit(1.0) + lit(2.0) * n1 * n2 / nn
+    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      (nn * nn * (nn - lit(1.0)))
+    runs.select(col(groupCol), col("n_above"), col("n_below"), col("runs"),
+      when(col("n_above") > 0 && col("n_below") > 0,
+        (col("runs").cast("double") - e) / sqrt(v)).as("z"))
+  }
+
   /** Group-wise 2-D PCA by the closed-form eigendecomposition of the
     * 2×2 covariance matrix — the largest PCA whose eigenproblem is a
     * fixed expression dag (λ = tr/2 ± √((Δ/2)² + cov²)). Moments ride

@@ -303,6 +303,41 @@ object TimeSeries {
       round(d(wsum) / d(dsum), 6).as("ewma"))
   }
 
+  /** Additive seasonal decomposition of the per-day value series —
+    * STL-lite: value = trend + seasonal + residual, where trend is the
+    * CENTERED 7-row moving average (partial at the edges, divided by the
+    * actual in-window count), seasonal is the mean detrended value of
+    * the day's ISO weekday, and residual is what remains. Determinism
+    * chain: daily sums are exact DECIMAL; trend = digit-string/count
+    * (one fixed dag); detrended rounds to 6 dp DECIMAL before the
+    * per-weekday mean so the seasonal aggregate is order-independent;
+    * seasonal and residual are fixed dags from there. Two key-sharded
+    * windows + one (key, dow) aggregate joined back.
+    * Output: (key, day, dow, v, trend, seasonal, residual). */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val daily = df.groupBy(col(keyCol),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("__tn", count(lit(1)).over(w))
+      .withColumn("__ts", sum(col("__v")).over(w))
+      .withColumn("trend", d(col("__ts")) / col("__tn").cast("double"))
+      .withColumn("__det",
+        round(d(col("__v")) - col("trend"), 6).cast("decimal(18,6)"))
+      .withColumn("dow", dayofweek(col("__day")))
+    val seasonal = trended.groupBy(col(keyCol), col("dow"))
+      .agg((sum(col("__det")).cast("string").cast("double") /
+        count(lit(1)).cast("double")).as("seasonal"))
+    trended.join(seasonal, Seq(keyCol, "dow"))
+      .select(col(keyCol), date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("dow"), d(col("__v")).as("v"), col("trend"), col("seasonal"),
+        (d(col("__det")) - col("seasonal")).as("residual"))
+  }
+
   /** Bollinger bands over the per-day value series: trailing `window`-row
     * mean ± `mult`·σ (population) per key, with a breakout flag when the
     * day's value leaves the band. The window sums Σv and Σv² stay exact

@@ -1488,4 +1488,101 @@ class PipelineOpsSpec extends SparkSpec {
     assert(t.map(_(1)) == Seq(10L, 10L, 10L, 10L))
     assert(t.head(2) == 4L && t.drop(1).forall(_(2) == 0L))
   }
+
+  // ===== interval gaps =====
+
+  test("intervalGaps reports only strictly positive holes between islands") {
+    val iv = Seq(
+      ("u", 0L, 10L), ("u", 5L, 12L),   // merge into [0,12]
+      ("u", 12L, 15L),                  // touching -> same island, no gap
+      ("u", 20L, 25L),                  // gap (15, 20)
+      ("u", 40L, 41L),                  // gap (25, 40)
+      ("v", 0L, 1L)                     // single island -> no gaps
+    ).toDF("k", "s", "e")
+    val out = rows(Events.intervalGaps(iv, Seq("k"), "s", "e")
+      .orderBy("k", "gap_start")).map(r => (r(0), r(1), r(2), r(3)))
+    assert(out == Seq(("u", 15L, 20L, 5L), ("u", 25L, 40L, 15L)))
+  }
+
+  // ===== diversity =====
+
+  test("diversityIndices: monopoly vs even split") {
+    val df = Seq(("m", "a"), ("m", "a"), ("m", "a"),
+      ("e", "x"), ("e", "y"), ("e", "z")).toDF("g", "v")
+    val out = rows(Profile.diversityIndices(df, "g", "v").orderBy("g"))
+    val even = out.head // "e"
+    assert(even(1) == 3L && even(2) == 3L)
+    assert(math.abs(even(3).asInstanceOf[Double] - 1.0 / 3) < 1e-12)
+    assert(math.abs(even(5).asInstanceOf[Double] - 1.0 / 3) < 1e-12)
+    val mono = out.last // "m"
+    assert(mono(2) == 1L && mono(3) == 1.0 && mono(4) == 0.0 && mono(5) == 1.0)
+  }
+
+  // ===== runs test =====
+
+  test("runsTest: alternating sequence maximizes runs, blocked minimizes") {
+    // DISTINCT values (a binary series collapses onto the lower median
+    // and loses half its points to the tie-drop rule): odd i low, even i
+    // high -> the med value (9, at i=9) drops, leaving 9 signed points
+    // alternating except the final ++ -> runs = 8
+    val alt = (1 to 10).map(i =>
+      ("alt", i.toLong, if (i % 2 == 0) 10.0 + i else i.toDouble))
+    // ascending 1..10 -> v=5 is the dropped median, signs ----+++++ -> 2
+    val blk = (1 to 10).map(i => ("blk", i.toLong, i.toDouble))
+    val df = (alt ++ blk).toDF("g", "t", "v")
+    val out = rows(Profile.runsTest(df, "g", "t", "t", "v").orderBy("g"))
+    val a = out.head
+    assert(a(1) == 5L && a(2) == 4L && a(3) == 8L)
+    assert(a(4).asInstanceOf[Double] > 1.5)   // more runs than random
+    val b = out.last
+    assert(b(1) == 5L && b(2) == 4L && b(3) == 2L)
+    assert(b(4).asInstanceOf[Double] < -2.0)  // far fewer runs than random
+    // degenerate: all values equal the median -> dropped, zero-row group
+    val const = Seq(("c", 1L, 5.0), ("c", 2L, 5.0)).toDF("g", "t", "v")
+    assert(rows(Profile.runsTest(const, "g", "t", "t", "v")).isEmpty)
+  }
+
+  // ===== seasonal decomposition =====
+
+  test("seasonalDecompose: v = trend + seasonal + residual within rounding") {
+    val df = (0 until 28).map { i =>
+      // weekly pattern + linear trend
+      val base = 100.0 + i * 2.0 + Seq(0.0, 5.0, -3.0, 1.0, 4.0, -2.0, -5.0)(i % 7)
+      ("k", f"2024-01-${i + 1}%02d 12:00:00", base)
+    }.toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = rows(TimeSeries.seasonalDecompose(df, "k", "ts", "v"))
+    assert(out.size == 28)
+    out.foreach { r =>
+      val (v, trend, seasonal, residual) = (r(3).asInstanceOf[Double],
+        r(4).asInstanceOf[Double], r(5).asInstanceOf[Double],
+        r(6).asInstanceOf[Double])
+      assert(math.abs(v - (trend + seasonal + residual)) < 1e-5,
+        s"additivity broken: $v vs ${trend + seasonal + residual}")
+    }
+  }
+
+  // ===== burstiness =====
+
+  test("burstiness: metronome -> -1, bursty pair -> positive") {
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    // regular: gaps all 60 s -> sd 0 -> B = -1, cv = 0
+    val reg = (0 to 5).map(i => ("reg", ts(i * 60L), i.toLong))
+    // bursty: two tight bursts far apart -> sd > mean -> B > 0
+    val bur = Seq(0L, 1L, 2L, 1000L, 1001L, 1002L).zipWithIndex
+      .map { case (sec, i) => ("bur", ts(sec), i.toLong) }
+    val df = (reg ++ bur).toDF("k", "ts", "tie")
+    val out = rows(Events.burstiness(df, Seq("k"), "ts", "tie").orderBy("k"))
+    val b = out.head
+    assert(b(1) == 5L)
+    // B is bounded by (sqrt(n-1)-1)/(sqrt(n-1)+1) = 1/3 for 5 gaps with
+    // one dominant gap; 0.33 IS the extreme-burst reading at this n
+    assert(b(5).asInstanceOf[Double] > 0.3)
+    val r = out.last
+    assert(r(2) == 60000000.0 && r(3) == 0.0 && r(4) == 0.0)
+    assert(r(5).asInstanceOf[Double] == -1.0)
+    // a two-event key (one gap) is dropped
+    val tiny = Seq(("t", ts(0L), 0L), ("t", ts(9L), 1L)).toDF("k", "ts", "tie")
+    assert(rows(Events.burstiness(tiny, Seq("k"), "ts", "tie")).isEmpty)
+  }
 }
