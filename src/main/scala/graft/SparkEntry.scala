@@ -8064,24 +8064,24 @@ object SparkEntry {
     "q_dbscan" ->
       """WITH RECURSIVE sc AS (SELECT CAST(greatest(650,
         |  floor(650 * sqrt(count(*) / 500.0))) AS BIGINT) AS side FROM documents),
-        |p AS (SELECT doc_id AS id,
+        |p AS MATERIALIZED (SELECT doc_id AS id,
         |  ((doc_id % 2147483648) * 2654435761 % 2147483648) % sc.side AS x,
         |  ((doc_id % 2147483648) * 2246822519 % 2147483648) % sc.side AS y
         |  FROM documents CROSS JOIN sc),
-        |pr AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
+        |pr AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
         |  WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 1600),
-        |sym AS (SELECT ia AS id, ib AS nb FROM pr UNION ALL SELECT ib, ia FROM pr),
+        |sym AS MATERIALIZED (SELECT ia AS id, ib AS nb FROM pr UNION ALL SELECT ib, ia FROM pr),
         |cnt AS (SELECT pp.id, count(s.nb) AS c FROM p pp
         |  LEFT JOIN sym s ON pp.id = s.id GROUP BY 1),
-        |core AS (SELECT id FROM cnt WHERE c + 1 >= 5),
-        |ce AS (SELECT s.id AS a, s.nb AS b FROM sym s
+        |core AS MATERIALIZED (SELECT id FROM cnt WHERE c + 1 >= 5),
+        |ce AS MATERIALIZED (SELECT s.id AS a, s.nb AS b FROM sym s
         |  JOIN core c1 ON s.id = c1.id JOIN core c2 ON s.nb = c2.id),
         |reach(id, lbl) AS (
         |  SELECT a, a FROM ce
         |  UNION
         |  SELECT e.a, r.lbl FROM ce e JOIN reach r ON r.id = e.b),
         |cc AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
-        |corelab AS (SELECT c.id, COALESCE(cc.cluster, c.id) AS cluster
+        |corelab AS MATERIALIZED (SELECT c.id, COALESCE(cc.cluster, c.id) AS cluster
         |  FROM core c LEFT JOIN cc ON c.id = cc.id),
         |border AS (SELECT s.id, MIN(cl.cluster) AS cluster
         |  FROM sym s JOIN corelab cl ON s.nb = cl.id
@@ -8232,8 +8232,15 @@ object SparkEntry {
         |CAST(128 + 3 * (doc_id % 64 + 1) * ((doc_id // 64) % 64 + 1) AS BIGINT) AS n_bytes,
         |TRUE AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // Containment join: ALL-PAIRS directional oracle — equality proves
-    // the one-sided prefix filter recall-exact.
+    // Containment join: the oracle derives |T1 ∩ T2| as the aggregated
+    // COUNT of shared shingles over the exploded join — set-logic
+    // identical to per-pair list intersection (the lists are distinct)
+    // but Θ(Σ df²) instead of Θ(n²·|list|), which is what makes the 10×
+    // replay feasible (all-pairs list_intersect: >10 min at sf1; this:
+    // ~4 min over 279M joined rows). Completeness is STRUCTURAL: any
+    // pair with containment ≥ t > 0 shares ≥ 1 shingle and therefore
+    // appears in the join — so equality still proves the engine's
+    // rare-first prefix filter lost nothing.
     "q_containment_join" ->
       """WITH t0 AS (SELECT doc_id,
         |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
@@ -8241,10 +8248,14 @@ object SparkEntry {
         |t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tk
         |  FROM t0 WHERE len(toks) >= 3),
-        |t2 AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
-        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / CAST(len(a.tk) AS DOUBLE) AS cont
-        |  FROM t2 a JOIN t2 b ON a.doc_id <> b.doc_id)
+        |t2 AS MATERIALIZED (SELECT doc_id, len(tk) AS m FROM t WHERE len(tk) > 0),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(tk) AS sh FROM t WHERE len(tk) > 0),
+        |ix AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ix
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT ix.id1, ix.id2,
+        |  CAST(ix.ix AS DOUBLE) / CAST(ta.m AS DOUBLE) AS cont
+        |  FROM ix JOIN t2 ta ON ix.id1 = ta.doc_id)
         |SELECT id1, id2, round(cont, 6) AS containment
         |FROM p WHERE cont >= 0.8 ORDER BY id1, id2""".stripMargin,
     // Degree assortativity: decimal-exact degree moments over the
