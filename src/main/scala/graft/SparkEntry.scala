@@ -4118,6 +4118,41 @@ object SparkEntry {
       graft.pipeline.Events.burstiness(Tables.events(s, d),
         Seq("user_id"), "ts", "event_id"))
 
+  private def qBreakpoint(s: SparkSession, d: String): DataFrame =
+    // Binary-segmentation first split of daily revenue per priority:
+    // exact decimal prefix sums, fixed-dag between-SS, earliest-tie
+    // argmax struct fold.
+    Relational.sort(col("o_orderpriority"))(
+      graft.pipeline.TimeSeries.breakpoint(Tables.orders(s, d),
+        "o_orderpriority", "o_orderdate", "o_totalprice"))
+
+  private def qInterpolate(s: SparkSession, d: String): DataFrame =
+    // Linear-interpolation gap fill over a sparsified event stream
+    // (every 11th event): observed buckets exact, gaps on the straight
+    // line, edges NULL.
+    Relational.sort(col("event_type"), col("bucket"))(
+      graft.pipeline.TimeSeries.interpolateLinear(
+        Tables.events(s, d).where(col("event_id") % 11 === 0),
+        "event_type", "ts", "value", unit = "day"))
+
+  private def qEffectSize(s: SparkSession, d: String): DataFrame =
+    // Cohen's d + Hedges g for A-vs-R extendedprice: exact decimal
+    // moments, pooled-SD fixed dag.
+    graft.pipeline.Profile.cohensD(Tables.lineitem(s, d),
+      "l_returnflag", "l_extendedprice", "A", "R")
+
+  private def qFdr(s: SparkSession, d: String): DataFrame = {
+    // Benjamini-Hochberg step-up over synthetic deterministic p-values
+    // (planted 1000x-smaller signals at event_id % 23): distributed
+    // global rank, broadcast m and k*.
+    val ps = Tables.events(s, d).select(col("event_id").as("id"),
+      (when(col("event_id") % 23 === 0, lit(0.001)).otherwise(lit(1.0)) *
+        (pmod(col("event_id") * 2654435761L, lit(1000000L)).cast("double") /
+          lit(1000000.0))).as("p"))
+    Relational.sort(col("id"))(
+      graft.pipeline.Checks.benjaminiHochberg(ps, "id", "p", q = 0.1))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4415,6 +4450,10 @@ object SparkEntry {
     "q_runs_test" -> (qRunsTest _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_burstiness" -> (qBurstiness _),
+    "q_breakpoint" -> (qBreakpoint _),
+    "q_interpolate" -> (qInterpolate _),
+    "q_effect_size" -> (qEffectSize _),
+    "q_fdr" -> (qFdr _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -8289,7 +8328,7 @@ object SparkEntry {
         |w AS (SELECT k, dy, v,
         |  COUNT(*) OVER win AS n,
         |  SUM(v) OVER win AS s,
-        |  SUM(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) OVER win AS s2
+        |  SUM(CAST(v AS DECIMAL(19,2)) * CAST(v AS DECIMAL(19,2))) OVER win AS s2
         |  FROM a WINDOW win AS (PARTITION BY k ORDER BY dy
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
         |st AS (SELECT k, dy, v, n,
@@ -8511,5 +8550,106 @@ object SparkEntry {
         |  sd_gap_us / mean_gap_us AS cv,
         |  (sd_gap_us - mean_gap_us) / (sd_gap_us + mean_gap_us) AS burstiness
         |FROM st ORDER BY user_id""".stripMargin,
+    // Breakpoint: between-SS dag over exact decimal prefix sums,
+    // earliest split on ties.
+    "q_breakpoint" ->
+      """WITH a AS (SELECT o_orderpriority AS k,
+        |  date_trunc('day', o_orderdate) AS dy,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT k, dy, v,
+        |  ROW_NUMBER() OVER w AS t,
+        |  SUM(v) OVER (PARTITION BY k ORDER BY dy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |  COUNT(*) OVER (PARTITION BY k) AS n,
+        |  SUM(v) OVER (PARTITION BY k) AS stot,
+        |  lead(dy) OVER w AS nday
+        |  FROM a WINDOW w AS (PARTITION BY k ORDER BY dy)),
+        |c AS (SELECT k, n, strftime(nday, '%Y-%m-%d') AS bday, t,
+        |  CAST(CAST(p AS VARCHAR) AS DOUBLE) AS pd,
+        |  CAST(CAST(stot AS VARCHAR) AS DOUBLE) AS sd
+        |  FROM s WHERE t < n),
+        |g AS (SELECT *, pd * pd / CAST(t AS DOUBLE)
+        |  + (sd - pd) * (sd - pd) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) AS gv
+        |  FROM c),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY gv DESC, t ASC) AS rn FROM g)
+        |SELECT k AS o_orderpriority, CAST(n AS BIGINT) AS n_periods,
+        |  bday AS break_day,
+        |  pd / CAST(t AS DOUBLE) AS mean_left,
+        |  (sd - pd) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) AS mean_right,
+        |  (sd - pd) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) - pd / CAST(t AS DOUBLE) AS delta
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+    // Linear interpolation: known-counting joins replay the ignoreNulls
+    // windows (different mechanism, same semantics).
+    "q_interpolate" ->
+      """WITH a AS (SELECT event_type AS k, date_trunc('day', ts) AS bucket,
+        |  count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s
+        |  FROM events WHERE event_id % 11 = 0 GROUP BY 1, 2),
+        |sp AS (SELECT k, min(bucket) AS mn, max(bucket) AS mx FROM a GROUP BY k),
+        |grid AS (SELECT k, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket FROM sp),
+        |j AS (SELECT g.k, g.bucket, a.n,
+        |  CAST(CAST(a.s AS VARCHAR) AS DOUBLE) AS dv
+        |  FROM grid g LEFT JOIN a ON g.k = a.k AND g.bucket = a.bucket),
+        |px AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY bucket) AS pos,
+        |  SUM(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY k ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS kl,
+        |  SUM(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY k ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS kr
+        |  FROM j),
+        |kn AS (SELECT k, pos, dv,
+        |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY pos) AS ki
+        |  FROM px WHERE n IS NOT NULL)
+        |SELECT p.k AS event_type, p.bucket, CAST(COALESCE(p.n, 0) AS BIGINT) AS n,
+        |  CASE WHEN p.n IS NOT NULL THEN p.dv
+        |       WHEN p.kl >= 1 AND p.kr >= 1 THEN
+        |         kp.dv + (kq.dv - kp.dv) * CAST(p.pos - kp.pos AS DOUBLE)
+        |           / CAST(kq.pos - kp.pos AS DOUBLE)
+        |  END AS value,
+        |  CASE WHEN p.n IS NOT NULL THEN 'observed'
+        |       WHEN p.kl >= 1 AND p.kr >= 1 THEN 'interpolated'
+        |       ELSE 'edge' END AS src
+        |FROM px p
+        |LEFT JOIN kn kp ON p.k = kp.k AND p.kl = kp.ki
+        |LEFT JOIN kn kq ON p.k = kq.k AND p.kl + 1 = kq.ki
+        |ORDER BY 1, 2""".stripMargin,
+    // Effect size: exact decimal arm moments, pooled-SD fixed dag.
+    "q_effect_size" ->
+      """WITH m AS (SELECT
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS s2,
+        |  CAST(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS q1,
+        |  CAST(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS q2
+        |  FROM lineitem),
+        |w AS (SELECT n1, n2,
+        |  s1 / CAST(n1 AS DOUBLE) AS mean1, s2 / CAST(n2 AS DOUBLE) AS mean2,
+        |  sqrt(((CAST(n1 AS DOUBLE) * q1 - s1 * s1) / CAST(n1 AS DOUBLE)
+        |    + (CAST(n2 AS DOUBLE) * q2 - s2 * s2) / CAST(n2 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS pooled_sd
+        |  FROM m),
+        |e AS (SELECT *, (mean1 - mean2) / pooled_sd AS cohens_d FROM w)
+        |SELECT n1, n2, mean1, mean2, pooled_sd, cohens_d,
+        |  cohens_d * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 9.0)) AS hedges_g
+        |FROM e""".stripMargin,
+    // BH FDR: distributed rank replay, broadcast m and k*.
+    "q_fdr" ->
+      """WITH rws AS (SELECT event_id AS id,
+        |  (CASE WHEN event_id % 23 = 0 THEN 0.001 ELSE 1.0 END) *
+        |  (CAST((event_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0) AS p
+        |  FROM events),
+        |pp AS (SELECT p, count(*) AS c FROM rws GROUP BY 1),
+        |offs AS (SELECT p, CAST(COALESCE(SUM(c) OVER (ORDER BY p ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM pp),
+        |tot AS (SELECT count(*) AS m FROM rws),
+        |rk AS (SELECT r.id, r.p,
+        |  o.off + ROW_NUMBER() OVER (PARTITION BY r.p ORDER BY r.id) AS rank
+        |  FROM rws r JOIN offs o ON r.p = o.p),
+        |th AS (SELECT rk.*, CAST(rank AS DOUBLE) * 0.1 / CAST(tot.m AS DOUBLE) AS bh_threshold
+        |  FROM rk CROSS JOIN tot),
+        |ks AS (SELECT MAX(CASE WHEN p <= bh_threshold THEN rank END) AS kk FROM th)
+        |SELECT id, p, rank, bh_threshold,
+        |  (ks.kk IS NOT NULL AND rank <= ks.kk) AS significant
+        |FROM th CROSS JOIN ks ORDER BY id""".stripMargin,
   )
 }

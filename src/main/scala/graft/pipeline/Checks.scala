@@ -167,6 +167,43 @@ object Checks {
         (col("classes_below_k") === 0L).as("anonymous"))
   }
 
+  /** Benjamini-Hochberg FDR control over a p-value column — the
+    * multiple-testing gate any metrics pipeline needs once it runs
+    * thousands of A/B comparisons: rank p ascending (ties broken by id
+    * for an engine-exact total order), find the largest rank k with
+    * p ≤ k·q/m, and flag everything at rank ≤ k significant (the
+    * standard step-up rule; when no rank qualifies nothing is flagged).
+    * The global rank uses the distributed distinct-value pattern (per-p
+    * counts, prefix over the distinct-p table, within-p rank sharded by
+    * p); m and k* are broadcast scalars; the threshold comparison is one
+    * fixed dag over exact integers and the raw p doubles. Output: (id,
+    * p, rank, bh_threshold, significant). */
+  def benjaminiHochberg(df: DataFrame, idCol: String, pCol: String,
+                        q: Double): DataFrame = {
+    require(q > 0 && q < 1, "benjaminiHochberg: q must be in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).as("id"), col(pCol).as("p"))
+      .where(col("p").isNotNull)
+    val perP = rows.groupBy("p").agg(count(lit(1)).as("__c"))
+    val wPre = Window.orderBy(col("p").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perP
+      .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
+      .select(col("p"), col("__off"))
+    val wIn = Window.partitionBy(col("p")).orderBy(col("id").asc)
+    val total = rows.agg(count(lit(1)).as("__m"))
+    val ranked = rows.join(offs, Seq("p"))
+      .withColumn("rank", col("__off") + row_number().over(wIn))
+      .crossJoin(broadcast(total))
+      .withColumn("bh_threshold",
+        col("rank").cast("double") * lit(q) / col("__m").cast("double"))
+      .withColumn("__ok", col("p") <= col("bh_threshold"))
+    val kStar = ranked.agg(max(when(col("__ok"), col("rank"))).as("__k"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("id"), col("p"), col("rank"), col("bh_threshold"),
+        (col("__k").isNotNull && col("rank") <= col("__k")).as("significant"))
+  }
+
   /** l-diversity audit — the companion privacy check to [[kAnonymity]]:
     * a quasi-identifier class can be large (k-anonymous) yet still leak
     * if every member shares the same SENSITIVE value; distinct-l

@@ -348,6 +348,43 @@ object Profile {
         col("__cyy")).as("r2"))
   }
 
+  /** Cohen's d (pooled-SD standardized mean difference) with the Hedges
+    * g small-sample correction — the effect SIZE companion to
+    * [[welchTTest]]'s significance (a tiny p on a huge corpus can mean
+    * a negligible difference; d says how big it actually is). One
+    * conditional-aggregation pass over exact DECIMAL(12,2) moments, then
+    * one fixed double dag: (n−1)-weighted pooled variance, d =
+    * (m₁−m₂)/sp, g = d·(1 − 3/(4n−9)). Output: 1 row. */
+  def cohensD(df: DataFrame, groupCol: String, valueCol: String,
+              arm1: String, arm2: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val v = col(valueCol).cast("decimal(12,2)")
+    val in1 = col(groupCol) === arm1
+    val in2 = col(groupCol) === arm2
+    val m = df.agg(
+      sum(when(in1, 1L).otherwise(0L)).as("n1"),
+      sum(when(in2, 1L).otherwise(0L)).as("n2"),
+      d(sum(when(in1, v))).as("__s1"), d(sum(when(in2, v))).as("__s2"),
+      d(sum(when(in1, v * v))).as("__q1"),
+      d(sum(when(in2, v * v))).as("__q2"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val withMeans = m
+      .withColumn("mean1", col("__s1") / n1)
+      .withColumn("mean2", col("__s2") / n2)
+      .withColumn("pooled_sd", sqrt(
+        ((n1 * col("__q1") - col("__s1") * col("__s1")) / n1 +
+         (n2 * col("__q2") - col("__s2") * col("__s2")) / n2) /
+          (n1 + n2 - lit(2.0))))
+    withMeans
+      .withColumn("cohens_d",
+        (col("mean1") - col("mean2")) / col("pooled_sd"))
+      .withColumn("hedges_g", col("cohens_d") *
+        (lit(1.0) - lit(3.0) / (lit(4.0) * (n1 + n2) - lit(9.0))))
+      .select(col("n1"), col("n2"), col("mean1"), col("mean2"),
+        col("pooled_sd"), col("cohens_d"), col("hedges_g"))
+  }
+
   /** Concentration / diversity indices of a categorical column per
     * group — the "is this language dominated by one source?" corpus
     * audit: Herfindahl-Hirschman index Σpᵢ² (1/k at perfect evenness,

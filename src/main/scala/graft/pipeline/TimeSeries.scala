@@ -303,6 +303,50 @@ object TimeSeries {
       round(d(wsum) / d(dsum), 6).as("ewma"))
   }
 
+  /** Single mean-shift changepoint per key — binary segmentation's first
+    * split: the day t* maximizing the between-segment sum of squares of
+    * the daily series, i.e. argmax of g(t) = P_t²/t + (S−P_t)²/(n−t)
+    * over split points t (P = prefix sum; the constant-trend identity
+    * makes the full SSE decomposition unnecessary). Prefix sums stay
+    * exact DECIMAL; g is one fixed dag per row; the argmax folds as
+    * max(struct(g, −t)) so ties break to the EARLIEST split. Keys with
+    * n < 2 have no split and drop. Output: (key, n_periods, break_day —
+    * first day of the right segment, mean_left, mean_right, delta). */
+  def breakpoint(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val daily = df.groupBy(col(keyCol),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
+    val stepped = daily
+      .withColumn("__t", row_number().over(w))
+      .withColumn("__p", sum(col("__v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__s", sum(col("__v")).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__nday", lead(col("__day"), 1).over(w))
+      .where(col("__t") < col("__n"))
+    val td = col("__t").cast("double")
+    val nd = col("__n").cast("double")
+    val pd = d(col("__p"))
+    val sd = d(col("__s"))
+    val g = pd * pd / td + (sd - pd) * (sd - pd) / (nd - td)
+    val cand = struct(g.as("g"), (-col("__t")).as("nt"), pd.as("p"),
+      sd.as("s"), td.as("t"), nd.as("n"),
+      date_format(col("__nday"), "yyyy-MM-dd").as("bday"))
+    stepped
+      .select(col(keyCol), cand.as("__c"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__splits"), max(col("__c")).as("__m"))
+      .select(col(keyCol), (col("__splits") + 1).as("n_periods"),
+        col("__m.bday").as("break_day"),
+        (col("__m.p") / col("__m.t")).as("mean_left"),
+        ((col("__m.s") - col("__m.p")) /
+          (col("__m.n") - col("__m.t"))).as("mean_right"))
+      .withColumn("delta", col("mean_right") - col("mean_left"))
+  }
+
   /** Additive seasonal decomposition of the per-day value series —
     * STL-lite: value = trend + seasonal + residual, where trend is the
     * CENTERED 7-row moving average (partial at the edges, divided by the
@@ -338,6 +382,53 @@ object TimeSeries {
         (d(col("__det")) - col("seasonal")).as("residual"))
   }
 
+  /** Linear-interpolation gap fill — the companion to [[resampleFill]]'s
+    * forward fill: missing grid buckets take the straight line between
+    * the nearest observed buckets on each side; rows outside the first/
+    * last observation stay NULL ("edge"). Observed buckets report their
+    * exact decimal sum through the digit-string hop; the interpolation
+    * is one fixed dag over (prev, next) struct lookups carried by two
+    * ignoreNulls windows (the oracle replays them with known-counting
+    * joins — different mechanism, same semantics). Output: (key, bucket,
+    * n, value, src ∈ observed|interpolated|edge). */
+  def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, unit: String = "day"): DataFrame = {
+    require(Units.contains(unit.toLowerCase),
+      s"interpolateLinear: unit must be one of $Units")
+    val u = unit.toLowerCase
+    val agg = df
+      .groupBy(col(keyCol), date_trunc(u, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__s"))
+    val grid = agg.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col(keyCol),
+        explode(expr(s"sequence(__mn, __mx, interval 1 $u)")).as("bucket"))
+    val joined = grid.join(agg, Seq(keyCol, "bucket"), "left")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val withPos = joined
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__dv", col("__s").cast("string").cast("double"))
+    val known = when(col("__n").isNotNull,
+      struct(col("__pos").as("p"), col("__dv").as("v")))
+    val framed = withPos
+      .withColumn("__pv", last(known, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__nx", first(known, ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+    framed.select(col(keyCol), col("bucket"),
+      coalesce(col("__n"), lit(0L)).as("n"),
+      when(col("__n").isNotNull, col("__dv"))
+        .when(col("__pv").isNotNull && col("__nx").isNotNull,
+          col("__pv.v") + (col("__nx.v") - col("__pv.v")) *
+            (col("__pos") - col("__pv.p")).cast("double") /
+            (col("__nx.p") - col("__pv.p")).cast("double"))
+        .as("value"),
+      when(col("__n").isNotNull, "observed")
+        .when(col("__pv").isNotNull && col("__nx").isNotNull, "interpolated")
+        .otherwise("edge").as("src"))
+  }
+
   /** Bollinger bands over the per-day value series: trailing `window`-row
     * mean ± `mult`·σ (population) per key, with a breakout flag when the
     * day's value leaves the band. The window sums Σv and Σv² stay exact
@@ -358,11 +449,13 @@ object TimeSeries {
     val framed = daily
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__s", sum(col("__v")).over(w))
-      // cast to (18,2) before squaring: the raw (22,2) window-sum type
-      // would square past 38 digits (Spark truncates, DuckDB falls to
-      // DOUBLE — the q_cusum trap); (18,2)2 = (37,4) fits both engines
-      .withColumn("__s2", sum(col("__v").cast("decimal(18,2)") *
-        col("__v").cast("decimal(18,2)")).over(w))
+      // cast to (12,2) before squaring: (12,2)^2 = (24,4) products fit
+      // int64-pair multiplication in every decimal engine (the corrExact
+      // width rule) — (18,2) squares overflowed DuckDB's int64 decimal
+      // representation at the 10x replica. Contract: per-day sums must
+      // fit 10 integer digits; wider feeds should pre-scale.
+      .withColumn("__s2", sum(col("__v").cast("decimal(12,2)") *
+        col("__v").cast("decimal(12,2)")).over(w))
     val nd = col("__n").cast("double")
     val stats = framed
       .withColumn("mean", d(col("__s")) / nd)

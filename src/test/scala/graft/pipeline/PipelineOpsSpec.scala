@@ -1585,4 +1585,79 @@ class PipelineOpsSpec extends SparkSpec {
     val tiny = Seq(("t", ts(0L), 0L), ("t", ts(9L), 1L)).toDF("k", "ts", "tie")
     assert(rows(Events.burstiness(tiny, Seq("k"), "ts", "tie")).isEmpty)
   }
+
+  // ===== breakpoint =====
+
+  test("breakpoint finds the level shift, earliest split on flat series") {
+    val step = (1 to 10).map { i =>
+      ("s", f"2024-03-$i%02d 00:00:00", if (i <= 6) 10.0 else 50.0)
+    }
+    val flat = (1 to 4).map(i => ("f", f"2024-03-$i%02d 00:00:00", 7.0))
+    val df = (step ++ flat).toDF("k", "ts", "v")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = rows(TimeSeries.breakpoint(df, "k", "ts", "v").orderBy("k"))
+    val f = out.head
+    // flat: every split has equal SS -> earliest split (t=1) wins
+    assert(f(1) == 4L && f(2) == "2024-03-02")
+    assert(f(3) == 7.0 && f(4) == 7.0 && f(5) == 0.0)
+    val st = out.last
+    assert(st(1) == 10L && st(2) == "2024-03-07")
+    assert(st(3) == 10.0 && st(4) == 50.0 && st(5) == 40.0)
+  }
+
+  // ===== interpolation =====
+
+  test("interpolateLinear: straight line through gaps, NULL edges") {
+    val df = Seq(
+      ("k", "2024-01-02 00:00:00", 10.0), // day 2 observed
+      ("k", "2024-01-05 00:00:00", 40.0), // days 3,4 interpolated
+      ("k", "2024-01-06 00:00:00", 100.0)
+    ).toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = rows(TimeSeries.interpolateLinear(df, "k", "ts", "v")
+      .orderBy("bucket")).map(r => (r(2), r(3), r(4)))
+    assert(out == Seq(
+      (1L, 10.0, "observed"),
+      (0L, 20.0, "interpolated"),
+      (0L, 30.0, "interpolated"),
+      (1L, 40.0, "observed"),
+      (1L, 100.0, "observed")))
+  }
+
+  // ===== Cohen's d =====
+
+  test("cohensD recovers the standardized difference on a hand case") {
+    // arm A: 1..5 (mean 3, var 2.5); arm B: 3..7 (mean 5, var 2.5)
+    // pooled sd = sqrt(2.5), d = -2/sqrt(2.5)
+    val df = ((1 to 5).map(v => ("A", v.toDouble)) ++
+      (3 to 7).map(v => ("B", v.toDouble))).toDF("g", "v")
+    val r = rows(Profile.cohensD(df, "g", "v", "A", "B")).head
+    assert(r(0) == 5L && r(1) == 5L)
+    assert(math.abs(r(2).asInstanceOf[Double] - 3.0) < 1e-12)
+    assert(math.abs(r(3).asInstanceOf[Double] - 5.0) < 1e-12)
+    assert(math.abs(r(4).asInstanceOf[Double] - math.sqrt(2.5)) < 1e-12)
+    val d = r(5).asInstanceOf[Double]
+    assert(math.abs(d + 2.0 / math.sqrt(2.5)) < 1e-12)
+    assert(math.abs(r(6).asInstanceOf[Double] - d * (1.0 - 3.0 / 31.0)) < 1e-12)
+  }
+
+  // ===== Benjamini-Hochberg =====
+
+  test("benjaminiHochberg applies the step-up rule") {
+    // m=10, q=0.1, thresholds k/100: ranks 2 and 3 FAIL their own
+    // thresholds (.031 > .02, .032 > .03) but rank 4 passes (.038 <=
+    // .04) -> the STEP-UP rule flags all four; nothing beyond.
+    val ps = Seq(0.001, 0.031, 0.032, 0.038, 0.5, 0.6, 0.7,
+      0.8, 0.9, 0.95).zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val df = ps.toDF("id", "p")
+    val out = rows(Checks.benjaminiHochberg(df, "id", "p", 0.1).orderBy("rank"))
+    assert(out.map(_(4)) == Seq(true, true, true, true, false,
+      false, false, false, false, false))
+    // no rank qualifies -> nothing significant
+    val none = Seq((1L, 0.5), (2L, 0.9)).toDF("id", "p")
+    assert(rows(Checks.benjaminiHochberg(none, "id", "p", 0.05))
+      .forall(_(4) == false))
+    // p = k*q/m boundary is INCLUSIVE
+    val edge = Seq((1L, 0.05)).toDF("id", "p")
+    assert(rows(Checks.benjaminiHochberg(edge, "id", "p", 0.05)).head(4) == true)
+  }
 }
