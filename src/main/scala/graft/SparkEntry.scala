@@ -4153,6 +4153,37 @@ object SparkEntry {
       graft.pipeline.Checks.benjaminiHochberg(ps, "id", "p", q = 0.1))
   }
 
+  private def qRollingCorr(s: SparkSession, d: String): DataFrame =
+    // 14-day rolling correlation of daily quantity vs revenue per
+    // return flag: exact decimal window moments, corrExact dag per row.
+    Relational.sort(col("l_returnflag"), col("day"))(
+      graft.pipeline.TimeSeries.rollingCorr(Tables.lineitem(s, d),
+        "l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice",
+        window = 14))
+
+  private def qCrossCorr(s: SparkSession, d: String): DataFrame =
+    // Lead-lag cross-correlation (lags -3..3) of daily quantity vs
+    // revenue per return flag: one lag-shifted self-join per lag value.
+    Relational.sort(col("l_returnflag"), col("lag"))(
+      graft.pipeline.TimeSeries.crossCorrLags(Tables.lineitem(s, d),
+        "l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice",
+        maxLag = 3))
+
+  private def qWeightedLinreg(s: SparkSession, d: String): DataFrame =
+    // Tax-weighted OLS of extendedprice on quantity per return flag:
+    // weighted normal equations over exact decimal moments.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.weightedLinearFit(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_tax"))
+
+  private def qHistogram2d(s: SparkSession, d: String): DataFrame =
+    // 2-D density grid of (quantity, extendedprice) with under/overflow
+    // and NULL cells — mass-conserving floor arithmetic.
+    Relational.sort(col("bx"), col("by"))(
+      graft.pipeline.Profile.histogram2d(Tables.lineitem(s, d),
+        "l_quantity", "l_extendedprice",
+        xLo = 5.0, xHi = 45.0, nx = 8, yLo = 2000.0, yHi = 80000.0, ny = 8))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4454,6 +4485,10 @@ object SparkEntry {
     "q_interpolate" -> (qInterpolate _),
     "q_effect_size" -> (qEffectSize _),
     "q_fdr" -> (qFdr _),
+    "q_rolling_corr" -> (qRollingCorr _),
+    "q_cross_corr" -> (qCrossCorr _),
+    "q_weighted_linreg" -> (qWeightedLinreg _),
+    "q_histogram_2d" -> (qHistogram2d _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -8651,5 +8686,86 @@ object SparkEntry {
         |SELECT id, p, rank, bh_threshold,
         |  (ks.kk IS NOT NULL AND rank <= ks.kk) AS significant
         |FROM th CROSS JOIN ks ORDER BY id""".stripMargin,
+    // Rolling correlation: exact decimal window moments; product
+    // operands cast (19,2) for DuckDB's int128 path (the bollinger
+    // lesson) — Spark multiplies the same exact values at (12,2).
+    "q_rolling_corr" ->
+      """WITH a AS (SELECT l_returnflag AS k, date_trunc('day', l_shipdate) AS dy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS x,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT k, dy, COUNT(*) OVER win AS n,
+        |  SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+        |  SUM(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) OVER win AS sxy,
+        |  SUM(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))) OVER win AS sxx,
+        |  SUM(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) OVER win AS syy
+        |  FROM a WINDOW win AS (PARTITION BY k ORDER BY dy
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT k, dy, n,
+        |  CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS cov,
+        |  CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS vx,
+        |  CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS vy
+        |  FROM w)
+        |SELECT k AS l_returnflag, strftime(dy, '%Y-%m-%d') AS day,
+        |  CAST(n AS BIGINT) AS n_window,
+        |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0
+        |    THEN cov / (sqrt(vx) * sqrt(vy)) END AS rolling_corr
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    // Cross-correlation: one lag-shifted join per lag, corrExact dag.
+    "q_cross_corr" ->
+      """WITH a AS (SELECT l_returnflag AS k, date_trunc('day', l_shipdate) AS dy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS x,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |l AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+        |j AS (SELECT a.k, l.lag, a.x, b.y
+        |  FROM a CROSS JOIN l
+        |  JOIN a b ON a.k = b.k AND b.dy = a.dy + CAST(l.lag AS INT) * INTERVAL 1 DAY),
+        |m AS (SELECT k, lag, count(*) AS n,
+        |  CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM j GROUP BY 1, 2),
+        |c AS (SELECT k, lag, n,
+        |  CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+        |  CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+        |  CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM m)
+        |SELECT k AS l_returnflag, CAST(lag AS BIGINT) AS lag, n,
+        |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0
+        |    THEN cov / (sqrt(vx) * sqrt(vy)) END AS corr
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    // Weighted OLS: per-row decimal products (int64-small), fixed dag.
+    "q_weighted_linreg" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS w,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS swx,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS swy,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS swxy,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS swxx
+        |  FROM lineitem GROUP BY 1),
+        |sl AS (SELECT *, (w * swxy - swx * swy) / (w * swxx - swx * swx) AS slope FROM m)
+        |SELECT l_returnflag, n, w AS w_sum, slope,
+        |  (swy - slope * swx) / w AS intercept
+        |FROM sl ORDER BY l_returnflag""".stripMargin,
+    // 2-D histogram: the q_histogram bucket rule per axis, NULL cell
+    // for rows with either coordinate NULL.
+    "q_histogram_2d" ->
+      """WITH b AS (SELECT
+        |  CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL THEN NULL
+        |       WHEN l_quantity < 5.0 THEN -1
+        |       WHEN l_quantity >= 45.0 THEN 8
+        |       ELSE CAST(floor((l_quantity - 5.0) * 8 / (45.0 - 5.0)) AS BIGINT) END AS bx,
+        |  CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL THEN NULL
+        |       WHEN l_extendedprice < 2000.0 THEN -1
+        |       WHEN l_extendedprice >= 80000.0 THEN 8
+        |       ELSE CAST(floor((l_extendedprice - 2000.0) * 8 / (80000.0 - 2000.0)) AS BIGINT) END AS by
+        |  FROM lineitem)
+        |SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by, count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -113,6 +113,62 @@ object Profile {
     df.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("n"))
   }
 
+  /** 2-D equi-width histogram — the density grid behind heatmaps and
+    * coarse spatial joins: the [[histogram]] bucket rule applied per
+    * axis (−1 underflow, nBins overflow, NULL for NULL coords — a row
+    * with EITHER coordinate NULL lands in the (NULL, NULL) cell so mass
+    * is conserved: Σn = row count, always). One projection + one
+    * (bx, by) aggregate. */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+                  xLo: Double, xHi: Double, nx: Int,
+                  yLo: Double, yHi: Double, ny: Int): DataFrame = {
+    require(nx > 0 && ny > 0, "histogram2d: bin counts must be positive")
+    require(xHi > xLo && yHi > yLo, "histogram2d: need hi > lo on both axes")
+    def bin(c: Column, lo: Double, hi: Double, n: Int) =
+      when(c.isNull, lit(null).cast("long"))
+        .when(c < lo, lit(-1L))
+        .when(c >= hi, lit(n.toLong))
+        .otherwise(floor((c - lit(lo)) * lit(n) / (lit(hi) - lit(lo))))
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val anyNull = x.isNull || y.isNull
+    df.select(
+        when(anyNull, lit(null).cast("long"))
+          .otherwise(bin(x, xLo, xHi, nx)).as("bx"),
+        when(anyNull, lit(null).cast("long"))
+          .otherwise(bin(y, yLo, yHi, ny)).as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("n"))
+  }
+
+  /** Group-wise WEIGHTED least squares y = slope·x + intercept with
+    * per-row weights (row importance / frequency / exposure): the
+    * weighted normal equations over exact decimal moment sums — W = Σw,
+    * slope = (W·Σwxy − Σwx·Σwy)/(W·Σwx² − (Σwx)²), intercept =
+    * (Σwy − slope·Σwx)/W — one fixed dag over digit-string moments
+    * (the linearFit convention; slope materializes before intercept).
+    * Per-ROW decimal products stay small (the int64-path contract:
+    * feed row-level values, not pre-aggregated sums). */
+  def weightedLinearFit(df: DataFrame, groupCol: String, xCol: String,
+                        yCol: String, wCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val x = col(xCol).cast("decimal(12,2)")
+    val y = col(yCol).cast("decimal(12,2)")
+    val wt = col(wCol).cast("decimal(12,2)")
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        d(sum(wt)).as("__w"),
+        d(sum(wt * x)).as("__swx"), d(sum(wt * y)).as("__swy"),
+        d(sum(wt * x * y)).as("__swxy"),
+        d(sum(wt * x * x)).as("__swxx"))
+    val withSlope = m.withColumn("slope",
+      (col("__w") * col("__swxy") - col("__swx") * col("__swy")) /
+        (col("__w") * col("__swxx") - col("__swx") * col("__swx")))
+    withSlope.select(col(groupCol), col("n"), col("__w").as("w_sum"),
+      col("slope"),
+      ((col("__swy") - col("slope") * col("__swx")) / col("__w"))
+        .as("intercept"))
+  }
+
   /** EXACT equi-depth histogram: k buckets of (near-)equal row count over
     * the global (value, tie-break keys) order. Bucket of the rank-r row
     * (1-based) is (r−1)·k div n — ANSI integer arithmetic any engine

@@ -303,6 +303,82 @@ object TimeSeries {
       round(d(wsum) / d(dsum), 6).as("ewma"))
   }
 
+  /** Rolling Pearson correlation between two per-day series of the same
+    * key — "did clicks stop tracking revenue this week?": daily decimal
+    * sums for both columns, one `window`-row trailing frame carrying the
+    * five moment sums (all exact DECIMAL — the corrExact convention in a
+    * window), one fixed double dag per row. Rows with fewer than 2
+    * window points or zero variance report NULL. Products stay at the
+    * (12,2)·(12,2) = (24,4) width every decimal engine multiplies
+    * exactly. One aggregation + one key-sharded window. */
+  def rollingCorr(df: DataFrame, keyCol: String, tsCol: String,
+                  xCol: String, yCol: String, window: Int): DataFrame = {
+    require(window >= 2, "rollingCorr: window must be >= 2 rows")
+    def d(c: Column) = c.cast("string").cast("double")
+    val daily = df.groupBy(col(keyCol),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(sum(col(xCol).cast("decimal(12,2)")).cast("decimal(12,2)").as("__x"),
+        sum(col(yCol).cast("decimal(12,2)")).cast("decimal(12,2)").as("__y"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val framed = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__x")).over(w))
+      .withColumn("__sy", sum(col("__y")).over(w))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(w))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
+      .withColumn("__syy", sum(col("__y") * col("__y")).over(w))
+    val nd = col("__n").cast("double")
+    val cov = nd * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))
+    val vx = nd * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val vy = nd * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    framed.select(col(keyCol),
+      date_format(col("__day"), "yyyy-MM-dd").as("day"),
+      col("__n").as("n_window"),
+      when(col("__n") >= 2 && vx > lit(0.0) && vy > lit(0.0),
+        cov / (sqrt(vx) * sqrt(vy))).as("rolling_corr"))
+  }
+
+  /** Lead-lag cross-correlation between two per-day series of the same
+    * key: Pearson corr of (x_t, y_{t+lag}) for each lag in
+    * [−maxLag, maxLag] — which series LEADS? Daily decimal sums once;
+    * each lag is one self-join on (key, day+lag) feeding the exact
+    * decimal moment fold (corrExact dag). Only overlapping days pair, n
+    * per lag reported. Output: (key, lag, n, corr). */
+  def crossCorrLags(df: DataFrame, keyCol: String, tsCol: String,
+                    xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "crossCorrLags: maxLag must be >= 1")
+    def d(c: Column) = c.cast("string").cast("double")
+    val daily = df.groupBy(col(keyCol),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(sum(col(xCol).cast("decimal(12,2)")).cast("decimal(12,2)").as("__x"),
+        sum(col(yCol).cast("decimal(12,2)")).cast("decimal(12,2)").as("__y"))
+    val lags = daily.crossJoin(
+      broadcast(df.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+        .toDF("lag")))
+    val shifted = lags.select(col(keyCol), col("lag"),
+      // timestampadd keeps the TIMESTAMP type (date_add would degrade to
+      // DATE and force an implicit cast at the join key)
+      expr("timestampadd(DAY, CAST(lag AS INT), __day)").as("__jday"),
+      col("__x"))
+    val joined = shifted.join(
+      daily.select(col(keyCol), col("__day").as("__jday"), col("__y")),
+      Seq(keyCol, "__jday"))
+    val m = joined.groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        d(sum(col("__x"))).as("__sx"), d(sum(col("__y"))).as("__sy"),
+        d(sum(col("__x") * col("__y"))).as("__sxy"),
+        d(sum(col("__x") * col("__x"))).as("__sxx"),
+        d(sum(col("__y") * col("__y"))).as("__syy"))
+    val nd = col("n").cast("double")
+    val cov = nd * col("__sxy") - col("__sx") * col("__sy")
+    val vx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nd * col("__syy") - col("__sy") * col("__sy")
+    m.select(col(keyCol), col("lag"), col("n"),
+      when(col("n") >= 2 && vx > lit(0.0) && vy > lit(0.0),
+        cov / (sqrt(vx) * sqrt(vy))).as("corr"))
+  }
+
   /** Single mean-shift changepoint per key — binary segmentation's first
     * split: the day t* maximizing the between-segment sum of squares of
     * the daily series, i.e. argmax of g(t) = P_t²/t + (S−P_t)²/(n−t)

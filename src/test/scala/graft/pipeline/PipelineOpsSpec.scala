@@ -1660,4 +1660,75 @@ class PipelineOpsSpec extends SparkSpec {
     val edge = Seq((1L, 0.05)).toDF("id", "p")
     assert(rows(Checks.benjaminiHochberg(edge, "id", "p", 0.05)).head(4) == true)
   }
+
+  // ===== rolling / cross correlation =====
+
+  test("rollingCorr tracks a perfect linear relation at 1, breaks on noise") {
+    val df = (1 to 10).map { i =>
+      ("k", f"2024-02-$i%02d 00:00:00", i.toDouble, 2.0 * i + 1)
+    }.toDF("k", "ts", "x", "y").withColumn("ts", to_timestamp(col("ts")))
+    val out = rows(TimeSeries.rollingCorr(df, "k", "ts", "x", "y", window = 5)
+      .orderBy("day"))
+    // first row: single point -> NULL; afterwards perfect correlation
+    assert(out.head(3) == null)
+    out.drop(1).foreach { r =>
+      assert(math.abs(r(3).asInstanceOf[Double] - 1.0) < 1e-9)
+    }
+    // constant y -> zero variance -> NULL everywhere
+    val const = df.withColumn("y", lit(5.0))
+    assert(rows(TimeSeries.rollingCorr(const, "k", "ts", "x", "y", 5))
+      .forall(_(3) == null))
+  }
+
+  test("crossCorrLags peaks at the true shift") {
+    // y_t = x_{t-2}: corr(x_t, y_{t+lag}) is perfect at lag = +2
+    val xs = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 2.5,
+      8.5, 1.5, 9.5, 3.5)
+    val df = xs.zipWithIndex.flatMap { case (x, i) =>
+      val y = if (i >= 2) xs(i - 2) else 0.0
+      Seq(("k", f"2024-02-${i + 1}%02d 00:00:00", x, y))
+    }.toDF("k", "ts", "x", "y").withColumn("ts", to_timestamp(col("ts")))
+    val out = rows(TimeSeries.crossCorrLags(df, "k", "ts", "x", "y", maxLag = 3)
+      .orderBy("lag")).map(r => r(1).asInstanceOf[Long] ->
+        Option(r(3)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)).toMap
+    assert(math.abs(out(2L) - 1.0) < 1e-9, s"lag 2 should be perfect: $out")
+    assert(out.keySet == Set(-3L, -2L, -1L, 0L, 1L, 2L, 3L))
+    assert(out(0L) < 0.99) // unshifted is not the peak
+  }
+
+  // ===== weighted OLS =====
+
+  test("weightedLinearFit recovers the line and honors weights") {
+    // exact line: weights irrelevant when the fit is perfect
+    val line = (1 to 6).map(i => ("g", i.toDouble, 3.0 * i + 2, 1.0 + (i % 3)))
+      .toDF("g", "x", "y", "w")
+    val r = rows(Profile.weightedLinearFit(line, "g", "x", "y", "w")).head
+    assert(math.abs(r(3).asInstanceOf[Double] - 3.0) < 1e-9)
+    assert(math.abs(r(4).asInstanceOf[Double] - 2.0) < 1e-9)
+    // zero-weight outlier must not tilt the fit
+    val out = line.unionAll(Seq(("g", 100.0, -500.0, 0.0)).toDF("g", "x", "y", "w"))
+    val r2 = rows(Profile.weightedLinearFit(out, "g", "x", "y", "w")).head
+    assert(math.abs(r2(3).asInstanceOf[Double] - 3.0) < 1e-9)
+  }
+
+  // ===== 2-D histogram =====
+
+  test("histogram2d conserves mass across under/over/NULL cells") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (0.5, 5.0),   // x underflow
+      (99.0, 5.0),  // x overflow
+      (5.0, -1.0),  // y underflow
+      (5.0, 5.0), (5.0, 5.0), (9.9, 9.9),
+      (null, 5.0), (5.0, null)).toDF("x", "y")
+    val out = rows(Profile.histogram2d(df, "x", "y",
+      xLo = 1.0, xHi = 10.0, nx = 2, yLo = 0.0, yHi = 10.0, ny = 2))
+    assert(out.map(_(2).asInstanceOf[Long]).sum == 8L) // mass conserved
+    val m = out.map(r => (r(0), r(1)) -> r(2)).toMap
+    assert(m((null, null)) == 2L)
+    assert(m((-1L, 1L)) == 1L)     // x underflow keeps its y bucket
+    assert(m((2L, 1L)) == 1L)      // x overflow
+    assert(m((0L, -1L)) == 1L)     // y underflow
+    assert(m((0L, 1L)) == 2L)      // (5,5) twice: x bin [1,5.5), y bin [5,10)
+    assert(m((1L, 1L)) == 1L)      // (9.9,9.9)
+  }
 }
