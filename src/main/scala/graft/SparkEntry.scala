@@ -4184,6 +4184,28 @@ object SparkEntry {
         "l_quantity", "l_extendedprice",
         xLo = 5.0, xHi = 45.0, nx = 8, yLo = 2000.0, yHi = 80000.0, ny = 8))
 
+  private def qSpearman(s: SparkSession, d: String): DataFrame =
+    // Tie-aware Spearman rho per return flag: integer doubled midranks
+    // (Pearson is affine-invariant), decimal moments, corrExact dag.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.spearmanCorr(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice"))
+
+  private def qPartialCorr(s: SparkSession, d: String): DataFrame =
+    // Partial corr of quantity-revenue controlling discount: ten decimal
+    // moments in one pass, first-order identity dag.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.partialCorr(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"))
+
+  private def qCuped(s: SparkSession, d: String): DataFrame =
+    // CUPED variance reduction: pre-period covariate before Jan 16,
+    // metric after; theta fitted globally, per-arm adjusted means via
+    // linearity (no per-row doubles anywhere).
+    Relational.sort(col("arm"))(
+      graft.pipeline.Profile.cupedAdjust(Tables.events(s, d),
+        "user_id", "ts", "value", "2024-01-16 00:00:00"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4489,6 +4511,9 @@ object SparkEntry {
     "q_cross_corr" -> (qCrossCorr _),
     "q_weighted_linreg" -> (qWeightedLinreg _),
     "q_histogram_2d" -> (qHistogram2d _),
+    "q_spearman" -> (qSpearman _),
+    "q_partial_corr" -> (qPartialCorr _),
+    "q_cuped" -> (qCuped _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -8767,5 +8792,82 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by, count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Spearman: doubled tie-midranks per variable, exact rank moments.
+    "q_spearman" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_quantity AS xv, l_extendedprice AS yv
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cx AS (SELECT g, xv, count(*) AS c FROM b GROUP BY 1, 2),
+        |rx AS (SELECT g, xv, 2 * CAST(COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY xv
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + c + 1 AS rx2 FROM cx),
+        |cy AS (SELECT g, yv, count(*) AS c FROM b GROUP BY 1, 2),
+        |ry AS (SELECT g, yv, 2 * CAST(COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY yv
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + c + 1 AS ry2 FROM cy),
+        |j AS (SELECT b.g, rx.rx2, ry.ry2 FROM b
+        |  JOIN rx ON b.g = rx.g AND b.xv = rx.xv
+        |  JOIN ry ON b.g = ry.g AND b.yv = ry.yv),
+        |m AS (SELECT g, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM j GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |   sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS spearman_rho
+        |FROM m ORDER BY 1""".stripMargin,
+    // Partial correlation: three Pearson r's materialized, identity dag.
+    "q_partial_corr" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sz,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS szz,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxz,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syz
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS r_xy,
+        |  (CAST(n AS DOUBLE) * sxz - sx * sz) / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * szz - sz * sz)) AS r_xz,
+        |  (CAST(n AS DOUBLE) * syz - sy * sz) / (sqrt(CAST(n AS DOUBLE) * syy - sy * sy) * sqrt(CAST(n AS DOUBLE) * szz - sz * sz)) AS r_yz
+        |  FROM m)
+        |SELECT l_returnflag, n, r_xy, r_xz, r_yz,
+        |  (r_xy - r_xz * r_yz) / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) AS partial_r
+        |FROM r ORDER BY 1""".stripMargin,
+    // CUPED: per-user conditional decimal sums, global theta dag,
+    // per-arm adjusted means via linearity.
+    "q_cuped" ->
+      """WITH per AS (SELECT user_id AS u,
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |    THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS pre,
+        |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |    THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS post
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS n,
+        |  CAST(CAST(SUM(pre) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(post) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(pre AS DECIMAL(19,6)) * CAST(post AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(pre AS DECIMAL(19,6)) * CAST(pre AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(post AS DECIMAL(19,6)) * CAST(post AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM per),
+        |gl AS (SELECT n, sx / CAST(n AS DOUBLE) AS xbar,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta,
+        |  ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+        |  ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS var_reduction
+        |  FROM g),
+        |arms AS (SELECT u % 2 AS arm, count(*) AS n_users,
+        |  CAST(CAST(SUM(pre) AS VARCHAR) AS DOUBLE) AS asx,
+        |  CAST(CAST(SUM(post) AS VARCHAR) AS DOUBLE) AS asy
+        |  FROM per GROUP BY 1)
+        |SELECT CAST(arm AS BIGINT) AS arm, n_users,
+        |  asy / CAST(n_users AS DOUBLE) AS mean_post,
+        |  (asy / CAST(n_users AS DOUBLE)) - theta *
+        |    ((asx / CAST(n_users AS DOUBLE)) - xbar) AS mean_adjusted,
+        |  theta, var_reduction
+        |FROM arms CROSS JOIN gl ORDER BY arm""".stripMargin,
   )
 }

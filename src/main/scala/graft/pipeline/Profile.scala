@@ -404,6 +404,137 @@ object Profile {
         col("__cyy")).as("r2"))
   }
 
+  /** Group-wise SPEARMAN rank correlation, tie-aware — the monotone-
+    * relation detector Pearson misses (and robust to the heavy tails
+    * that dominate corpus statistics). Ranks never materialize per row
+    * as floats: each variable's tie MIDRANKS are carried as INTEGER
+    * doubled ranks 2r = 2·|{v' < v}| + c + 1 (the Mann-Whitney two_r
+    * device; Pearson is affine-invariant, so corr(2rx, 2ry) IS ρ),
+    * derived from per-distinct-value counts + a group-sharded prefix
+    * window, joined back by value. Moments sum as DECIMAL(38,0) exact
+    * integers (rank products pass 2⁶³), one corrExact dag at the edge.
+    * Rows with a NULL in either column are excluded (no rank). */
+  def spearmanCorr(df: DataFrame, groupCol: String, xCol: String,
+                   yCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val base = df.select(col(groupCol).as("__g"), col(xCol).as("__xv"),
+        col(yCol).as("__yv"))
+      .where(col("__xv").isNotNull && col("__yv").isNotNull)
+    def doubledRanks(vCol: String, out: String) = {
+      val counts = base.groupBy(col("__g"), col(vCol))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("__g")).orderBy(col(vCol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counts
+        .withColumn("__prev", coalesce(sum(col("__c")).over(w), lit(0L)))
+        .select(col("__g"), col(vCol),
+          (lit(2L) * col("__prev") + col("__c") + lit(1L)).as(out))
+    }
+    val joined = base
+      .join(doubledRanks("__xv", "__2rx"), Seq("__g", "__xv"))
+      .join(doubledRanks("__yv", "__2ry"), Seq("__g", "__yv"))
+    val rx = col("__2rx").cast("decimal(19,0)")
+    val ry = col("__2ry").cast("decimal(19,0)")
+    val m = joined.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        d(sum(rx)).as("__sx"), d(sum(ry)).as("__sy"),
+        d(sum(rx * ry)).as("__sxy"),
+        d(sum(rx * rx)).as("__sxx"), d(sum(ry * ry)).as("__syy"))
+    val nd = col("n").cast("double")
+    m.select(col(groupCol), col("n"),
+      ((nd * col("__sxy") - col("__sx") * col("__sy")) /
+        (sqrt(nd * col("__sxx") - col("__sx") * col("__sx")) *
+         sqrt(nd * col("__syy") - col("__sy") * col("__sy"))))
+        .as("spearman_rho"))
+  }
+
+  /** Group-wise PARTIAL correlation of x and y CONTROLLING for z —
+    * "does quantity still track revenue once discount is held fixed?":
+    * all three pairwise Pearson r's from ONE ten-moment decimal pass,
+    * then the first-order identity r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)). The three r's MATERIALIZE as columns so
+    * both engines share subterms. Output: (group, n, r_xy, r_xz, r_yz,
+    * partial_r). */
+  def partialCorr(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, zCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val x = col(xCol).cast("decimal(12,2)")
+    val y = col(yCol).cast("decimal(12,2)")
+    val z = col(zCol).cast("decimal(12,2)")
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        d(sum(x)).as("__sx"), d(sum(y)).as("__sy"), d(sum(z)).as("__sz"),
+        d(sum(x * x)).as("__sxx"), d(sum(y * y)).as("__syy"),
+        d(sum(z * z)).as("__szz"),
+        d(sum(x * y)).as("__sxy"), d(sum(x * z)).as("__sxz"),
+        d(sum(y * z)).as("__syz"))
+    val nd = col("n").cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      (nd * col(sab) - col(sa) * col(sb)) /
+        (sqrt(nd * col(saa) - col(sa) * col(sa)) *
+         sqrt(nd * col(sbb) - col(sb) * col(sb)))
+    val withR = m
+      .withColumn("r_xy", r("__sxy", "__sx", "__sy", "__sxx", "__syy"))
+      .withColumn("r_xz", r("__sxz", "__sx", "__sz", "__sxx", "__szz"))
+      .withColumn("r_yz", r("__syz", "__sy", "__sz", "__syy", "__szz"))
+    withR.select(col(groupCol), col("n"), col("r_xy"), col("r_xz"),
+      col("r_yz"),
+      ((col("r_xy") - col("r_xz") * col("r_yz")) /
+        sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+          (lit(1.0) - col("r_yz") * col("r_yz")))).as("partial_r"))
+  }
+
+  /** CUPED variance reduction for an A/B metric (Deng et al. 2013 —
+    * "Improving the sensitivity of online controlled experiments"):
+    * per-unit pre-period covariate X and experiment metric Y, θ =
+    * cov(X,Y)/var(X) fitted GLOBALLY (standard practice — θ from both
+    * arms jointly), adjusted metric Ŷ = Y − θ(X − X̄). Linearity means
+    * per-arm adjusted MEANS need no per-row doubles at all: mean(Ŷ|arm)
+    * = mean(Y|arm) − θ·(mean(X|arm) − X̄) — every mean an exact decimal
+    * sum over one conditional pass, every derived quantity one fixed
+    * dag. The variance-reduction ratio is the identity var(Ŷ)/var(Y) =
+    * 1 − r², reported as var_reduction = r²_xy. Units missing a period
+    * contribute 0 for it (the standard new-user convention). Output:
+    * one row per arm carrying the shared (theta, var_reduction). */
+  def cupedAdjust(df: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, splitTs: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val v = col(valueCol).cast("decimal(18,6)")
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")
+    val split = lit(splitTs).cast("timestamp")
+    val per = df.groupBy(col(userCol).as("__u"))
+      .agg(sum(when(col(tsCol) < split, v).otherwise(zero))
+          .cast("decimal(18,6)").as("__pre"),
+        sum(when(col(tsCol) >= split, v).otherwise(zero))
+          .cast("decimal(18,6)").as("__post"))
+      .withColumn("__arm", pmod(col("__u"), lit(2L)))
+    val g = per.agg(count(lit(1)).as("__n"),
+      d(sum(col("__pre"))).as("__sx"), d(sum(col("__post"))).as("__sy"),
+      d(sum(col("__pre") * col("__post"))).as("__sxy"),
+      d(sum(col("__pre") * col("__pre"))).as("__sxx"),
+      d(sum(col("__post") * col("__post"))).as("__syy"))
+    val nd = col("__n").cast("double")
+    val globals = g.select(col("__n"),
+      (col("__sx") / nd).as("__xbar"),
+      ((nd * col("__sxy") - col("__sx") * col("__sy")) /
+        (nd * col("__sxx") - col("__sx") * col("__sx"))).as("theta"),
+      (((nd * col("__sxy") - col("__sx") * col("__sy")) *
+        (nd * col("__sxy") - col("__sx") * col("__sy"))) /
+        ((nd * col("__sxx") - col("__sx") * col("__sx")) *
+         (nd * col("__syy") - col("__sy") * col("__sy"))))
+        .as("var_reduction"))
+    val arms = per.groupBy(col("__arm").as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        d(sum(col("__pre"))).as("__asx"), d(sum(col("__post"))).as("__asy"))
+    arms.crossJoin(broadcast(globals))
+      .select(col("arm"), col("n_users"),
+        (col("__asy") / col("n_users").cast("double")).as("mean_post"),
+        ((col("__asy") / col("n_users").cast("double")) - col("theta") *
+          ((col("__asx") / col("n_users").cast("double")) - col("__xbar")))
+          .as("mean_adjusted"),
+        col("theta"), col("var_reduction"))
+  }
+
   /** Cohen's d (pooled-SD standardized mean difference) with the Hedges
     * g small-sample correction — the effect SIZE companion to
     * [[welchTTest]]'s significance (a tiny p on a huge corpus can mean

@@ -1731,4 +1731,84 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m((0L, 1L)) == 2L)      // (5,5) twice: x bin [1,5.5), y bin [5,10)
     assert(m((1L, 1L)) == 1L)      // (9.9,9.9)
   }
+
+  // ===== Spearman =====
+
+  test("spearmanCorr is 1 on any monotone map and tie-consistent") {
+    // y = x^3 is monotone but nonlinear: Pearson < 1, Spearman = 1
+    val df = (1 to 20).map(i => ("g", i.toDouble, math.pow(i, 3)))
+      .toDF("g", "x", "y")
+    val r = rows(Profile.spearmanCorr(df, "g", "x", "y")).head
+    assert(r(1) == 20L)
+    assert(math.abs(r(2).asInstanceOf[Double] - 1.0) < 1e-12)
+    // anti-monotone -> -1
+    val neg = df.withColumn("y", -col("y"))
+    val rn = rows(Profile.spearmanCorr(neg, "g", "x", "y")).head
+    assert(math.abs(rn(2).asInstanceOf[Double] + 1.0) < 1e-12)
+    // ties: all-x-equal has zero rank variance -> NaN guard is the
+    // caller's concern; a half-tied series still computes
+    val tied = (1 to 10).map(i => ("g", (i / 2).toDouble, i.toDouble))
+      .toDF("g", "x", "y")
+    val rt = rows(Profile.spearmanCorr(tied, "g", "x", "y")).head
+    assert(rt(2).asInstanceOf[Double] > 0.9)
+  }
+
+  test("spearmanCorr matches the closed form on distinct ranks") {
+    // no ties: rho = 1 - 6*sum(d^2)/(n(n^2-1))
+    val pairs = Seq((1, 3), (2, 1), (3, 4), (4, 2), (5, 5))
+    val df = pairs.map { case (x, y) => ("g", x.toDouble, y.toDouble) }
+      .toDF("g", "x", "y")
+    val d2 = pairs.map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = 1.0 - 6.0 * d2 / (5.0 * 24.0)
+    val r = rows(Profile.spearmanCorr(df, "g", "x", "y")).head
+    assert(math.abs(r(2).asInstanceOf[Double] - expected) < 1e-12)
+  }
+
+  // ===== partial correlation =====
+
+  test("partialCorr removes a common driver") {
+    // x and y both driven by z plus independent deterministic wiggles:
+    // raw r_xy is high, partial r_xy.z collapses toward 0
+    val df = (1 to 200).map { i =>
+      val z = i.toDouble
+      val x = 2.0 * z + (i % 7)
+      val y = 3.0 * z + ((i * 3) % 11)
+      ("g", x, y, z)
+    }.toDF("g", "x", "y", "z")
+    val r = rows(Profile.partialCorr(df, "g", "x", "y", "z")).head
+    assert(r(2).asInstanceOf[Double] > 0.99)           // raw correlation
+    assert(math.abs(r(5).asInstanceOf[Double]) < 0.3,  // partial collapses
+      s"partial_r should shrink, got ${r(5)}")
+  }
+
+  // ===== CUPED =====
+
+  test("cupedAdjust: theta matches cov/var and adjustment preserves the grand mean") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // 6 users; pre on days 1-15, post on days 16-30; deterministic values
+    val rws = (1L to 6L).flatMap { u =>
+      Seq((u, ts(3), u * 10.0),             // pre
+          (u, ts(20), u * 10.0 + (u % 3)))  // post correlated with pre
+    }
+    val df = rws.toDF("user_id", "ts", "value")
+    val out = rows(Profile.cupedAdjust(df, "user_id", "ts", "value",
+      "2024-01-16 00:00:00").orderBy("arm"))
+    assert(out.size == 2)
+    val theta = out.head(4).asInstanceOf[Double]
+    // hand moments: pre = 10u, post = 10u + (u%3)
+    val pre = (1 to 6).map(_ * 10.0)
+    val post = (1 to 6).map(u => u * 10.0 + (u % 3))
+    val n = 6.0
+    val cov = n * pre.zip(post).map { case (a, b) => a * b }.sum -
+      pre.sum * post.sum
+    val vx = n * pre.map(a => a * a).sum - pre.sum * pre.sum
+    assert(math.abs(theta - cov / vx) < 1e-9)
+    // grand adjusted mean equals grand post mean (weighted by arm sizes)
+    val gm = out.map(r => r(1).asInstanceOf[Long] * r(2).asInstanceOf[Double]).sum / 6.0
+    val ga = out.map(r => r(1).asInstanceOf[Long] * r(3).asInstanceOf[Double]).sum / 6.0
+    assert(math.abs(gm - ga) < 1e-9)
+    // var_reduction = r^2 in [0, 1]
+    val vr = out.head(5).asInstanceOf[Double]
+    assert(vr >= 0.0 && vr <= 1.0)
+  }
 }
