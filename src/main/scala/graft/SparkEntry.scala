@@ -4206,6 +4206,36 @@ object SparkEntry {
       graft.pipeline.Profile.cupedAdjust(Tables.events(s, d),
         "user_id", "ts", "value", "2024-01-16 00:00:00"))
 
+  private def qCronbach(s: SparkSession, d: String): DataFrame =
+    // Cronbach's alpha over (quantity, discount, tax) per return flag:
+    // one wide moment scan, population-variance dag.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.cronbachAlpha(Tables.lineitem(s, d),
+        "l_returnflag", Seq("l_quantity", "l_discount", "l_tax")))
+
+  private def qMahalanobis(s: SparkSession, d: String): DataFrame =
+    // Joint (quantity, price) outliers per return flag: closed-form 2x2
+    // inverse, broadcast stats, codegen filter. Threshold 5.5, not the
+    // chi2-99% 9.21: the synthetic marginals are bounded-uniform (max
+    // observed md2 = 5.94), so the textbook gaussian fence selects
+    // nothing — 5.5 exercises the tail filter on real rows.
+    Relational.sort(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))(
+      graft.pipeline.Profile.mahalanobis2d(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), threshold = 5.5))
+
+  private def qZipf(s: SparkSession, d: String): DataFrame =
+    // Zipf rank-frequency fit over the corpus vocabulary: 6-dp ln
+    // decimals, linearFit dag, exponent = -slope.
+    graft.pipeline.Scoring.zipfFit(Tables.documents(s, d), "text")
+
+  private def qForecastEval(s: SparkSession, d: String): DataFrame =
+    // Seasonal-naive (lag-7) forecast error floor per priority:
+    // exact decimal errors, 6-dp ratio terms, MAE/RMSE/MAPE/sMAPE.
+    Relational.sort(col("o_orderpriority"))(
+      graft.pipeline.TimeSeries.forecastErrors(Tables.orders(s, d),
+        "o_orderpriority", "o_orderdate", "o_totalprice", seasonLag = 7))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4514,6 +4544,10 @@ object SparkEntry {
     "q_spearman" -> (qSpearman _),
     "q_partial_corr" -> (qPartialCorr _),
     "q_cuped" -> (qCuped _),
+    "q_cronbach" -> (qCronbach _),
+    "q_mahalanobis" -> (qMahalanobis _),
+    "q_zipf" -> (qZipf _),
+    "q_forecast_eval" -> (qForecastEval _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -8869,5 +8903,106 @@ object SparkEntry {
         |    ((asx / CAST(n_users AS DOUBLE)) - xbar) AS mean_adjusted,
         |  theta, var_reduction
         |FROM arms CROSS JOIN gl ORDER BY arm""".stripMargin,
+    // Cronbach's alpha: item + total moments, population variances.
+    "q_cronbach" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s0,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS q0,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS q1,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2,
+        |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS q2,
+        |  CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) + CAST(l_discount AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(16,2))) AS VARCHAR) AS DOUBLE) AS st,
+        |  CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) + CAST(l_discount AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(16,2)) * CAST(CAST(l_quantity AS DECIMAL(12,2)) + CAST(l_discount AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(16,2))) AS VARCHAR) AS DOUBLE) AS qt
+        |  FROM lineitem GROUP BY 1),
+        |v AS (SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * q0 - s0 * s0) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |  + (CAST(n AS DOUBLE) * q1 - s1 * s1) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |  + (CAST(n AS DOUBLE) * q2 - s2 * s2) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS sum_item_vars,
+        |  (CAST(n AS DOUBLE) * qt - st * st) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_total
+        |  FROM m)
+        |SELECT l_returnflag, n, CAST(3 AS BIGINT) AS k, sum_item_vars, var_total,
+        |  (3.0 / 2.0) * (1.0 - sum_item_vars / var_total) AS alpha
+        |FROM v ORDER BY l_returnflag""".stripMargin,
+    // Mahalanobis outliers: q_linreg moments, closed 2x2 inverse dag.
+    "q_mahalanobis" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |st AS (SELECT l_returnflag, n,
+        |  sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my,
+        |  CAST(n AS DOUBLE) * sxx - sx * sx AS cxx,
+        |  CAST(n AS DOUBLE) * syy - sy * sy AS cyy,
+        |  CAST(n AS DOUBLE) * sxy - sx * sy AS cxy FROM m),
+        |sc AS (SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+        |  l.l_quantity, l.l_extendedprice,
+        |  round(CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE) *
+        |    (st.cyy * (CAST(l.l_quantity AS DOUBLE) - st.mx) * (CAST(l.l_quantity AS DOUBLE) - st.mx)
+        |     - 2.0 * st.cxy * (CAST(l.l_quantity AS DOUBLE) - st.mx) * (CAST(l.l_extendedprice AS DOUBLE) - st.my)
+        |     + st.cxx * (CAST(l.l_extendedprice AS DOUBLE) - st.my) * (CAST(l.l_extendedprice AS DOUBLE) - st.my))
+        |    / (st.cxx * st.cyy - st.cxy * st.cxy), 6) AS md2
+        |  FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag)
+        |SELECT * FROM sc WHERE md2 > 5.5
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+    // Zipf fit: vocabulary ranks, 6-dp lns, linearFit dag; products via
+    // (19,6) operands (the int64-path convention).
+    "q_zipf" ->
+      """WITH wds AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS f FROM wds GROUP BY w),
+        |r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS rk FROM f),
+        |t AS (SELECT f,
+        |  CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+        |  CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y FROM r),
+        |m AS (SELECT count(*) AS n, CAST(SUM(f) AS BIGINT) AS ntok,
+        |  CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM t),
+        |sl AS (SELECT *, (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope FROM m)
+        |SELECT n AS n_words, ntok AS n_tokens, slope,
+        |  (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept,
+        |  ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+        |  ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2,
+        |  -slope AS zipf_exponent
+        |FROM sl""".stripMargin,
+    // Seasonal-naive error floor: exact decimal errors, 6-dp terms,
+    // (19,2) square operands.
+    "q_forecast_eval" ->
+      """WITH a AS (SELECT o_orderpriority AS k,
+        |  date_trunc('day', o_orderdate) AS dy,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |fc AS (SELECT k, dy, v,
+        |  lag(v, 7) OVER (PARTITION BY k ORDER BY dy) AS f FROM a),
+        |e AS (SELECT k, v, f, CAST(v - f AS DECIMAL(13,2)) AS err,
+        |  abs(CAST(v - f AS DECIMAL(13,2))) AS ae
+        |  FROM fc WHERE f IS NOT NULL),
+        |t AS (SELECT k, err, ae,
+        |  CASE WHEN abs(v) > 0 THEN CAST(round(
+        |    CAST(CAST(ae AS VARCHAR) AS DOUBLE) / CAST(CAST(abs(v) AS VARCHAR) AS DOUBLE), 6) AS DECIMAL(18,6)) END AS mt,
+        |  CASE WHEN abs(v) + abs(f) > 0 THEN CAST(round(
+        |    2.0 * CAST(CAST(ae AS VARCHAR) AS DOUBLE) / CAST(CAST(abs(v) + abs(f) AS VARCHAR) AS DOUBLE), 6) AS DECIMAL(18,6)) END AS st
+        |  FROM e),
+        |g AS (SELECT k, count(*) AS n_eval,
+        |  CAST(CAST(SUM(ae) AS VARCHAR) AS DOUBLE) AS sae,
+        |  CAST(CAST(SUM(CAST(err AS DECIMAL(19,2)) * CAST(err AS DECIMAL(19,2))) AS VARCHAR) AS DOUBLE) AS se2,
+        |  CAST(SUM(CASE WHEN mt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nzd,
+        |  CAST(CAST(SUM(mt) AS VARCHAR) AS DOUBLE) AS smt, COUNT(mt) AS nmt,
+        |  CAST(CAST(SUM(st) AS VARCHAR) AS DOUBLE) AS sst, COUNT(st) AS nst
+        |  FROM t GROUP BY k)
+        |SELECT k AS o_orderpriority, n_eval,
+        |  sae / CAST(n_eval AS DOUBLE) AS mae,
+        |  sqrt(se2 / CAST(n_eval AS DOUBLE)) AS rmse,
+        |  smt / CAST(nmt AS DOUBLE) AS mape,
+        |  sst / CAST(nst AS DOUBLE) AS smape,
+        |  nzd AS n_zero_denom
+        |FROM g ORDER BY 1""".stripMargin,
   )
 }

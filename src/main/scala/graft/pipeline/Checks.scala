@@ -185,11 +185,11 @@ object Checks {
     val rows = df.select(col(idCol).as("id"), col(pCol).as("p"))
       .where(col("p").isNotNull)
     val perP = rows.groupBy("p").agg(count(lit(1)).as("__c"))
-    val wPre = Window.orderBy(col("p").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = perP
-      .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
-      .select(col("p"), col("__off"))
+    // two-level distributed prefix (Profile.prefixOffsets): p-values are
+    // often ALL distinct, so a single global window over the distinct-p
+    // table would be one dead core at corpus scale (measured 7.3x wall
+    // at 10x data with the naive window)
+    val offs = Profile.prefixOffsets(perP, "p", "__c", ascending = true)
     val wIn = Window.partitionBy(col("p")).orderBy(col("id").asc)
     val total = rows.agg(count(lit(1)).as("__m"))
     val ranked = rows.join(offs, Seq("p"))

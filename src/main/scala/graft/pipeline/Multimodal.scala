@@ -1126,7 +1126,48 @@ object Multimodal {
     * library). */
   def decodePixelsRgb(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
     decodeBmpPixels(bytes).orElse(decodePpmPixels(bytes)).orElse(decodePngPixels(bytes))
-      .orElse(decodeGifPixels(bytes))
+      .orElse(decodeGifPixels(bytes)).orElse(decodeTiffPixels(bytes))
+
+  /** REAL pixel decoder for our baseline uncompressed RGB TIFF: the IFD
+    * walk locates StripOffsets(273)/StripByteCounts(279) (either byte
+    * order, Compression must be 1 = none, SamplesPerPixel 3), and the
+    * strip IS the RGB byte array. Fifth lossless format feeding the
+    * dHash/image-dedup machinery. */
+  def decodeTiffPixels(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    decodeTiff(bytes).flatMap { case (fmt, w, h) =>
+      val le = bytes(0) == 'I'.toByte
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      scala.util.Try {
+        val ifdOff = bb.getInt(4)
+        val n = bb.getShort(ifdOff) & 0xffff
+        var stripOff = -1
+        var stripLen = -1
+        var comp = 1
+        var spp = 3
+        var e = 0
+        while (e < n) {
+          val off = ifdOff + 2 + e * 12
+          val tag = bb.getShort(off) & 0xffff
+          val typ = bb.getShort(off + 2) & 0xffff
+          val value =
+            if (typ == 3) bb.getShort(off + 8) & 0xffff
+            else bb.getInt(off + 8)
+          if (tag == 259) comp = value
+          if (tag == 273) stripOff = value
+          if (tag == 277) spp = value
+          if (tag == 279) stripLen = value
+          e += 1
+        }
+        if (comp == 1 && spp == 3 && stripOff >= 0 &&
+            stripLen == 3 * w * h && stripOff + stripLen <= bytes.length) {
+          Some((fmt, w, h,
+            java.util.Arrays.copyOfRange(bytes, stripOff, stripOff + stripLen)))
+        } else None
+      }.toOption.flatten
+    }
+  }
 
   /** 64-bit difference hash (dHash) over decoded RGB pixels — the standard
     * perceptual fingerprint: nearest-neighbor-sample a 9x8 grayscale grid

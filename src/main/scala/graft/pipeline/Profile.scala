@@ -357,6 +357,41 @@ object Profile {
            (nd * col("__syy") - col("__sy") * col("__sy")))).as("r2"))
   }
 
+  /** Distributed exclusive prefix counts over a (value, count) table —
+    * the piece that makes a GLOBAL value rank scale when the value
+    * column is high-cardinality (a single-partition window over a
+    * million distinct p-values or scores is one dead core; measured:
+    * q_fdr 7.3× wall at 10× data before this). Two-level shape:
+    * range-partition the distinct-value table (partition order = value
+    * order by the RangePartitioner contract), per-partition totals fold
+    * to a partition-count-sized table whose window is trivial, and the
+    * within-partition prefix windows are partition-local. The result —
+    * for each value, the count of STRICTLY smaller (or larger, for
+    * descending) values — is independent of where range boundaries
+    * land, so sampling inside the partitioner cannot affect output.
+    * Returns (value, __off). */
+  private[pipeline] def prefixOffsets(counts: DataFrame, valueCol: String,
+                                      countCol: String,
+                                      ascending: Boolean): DataFrame = {
+    val v = if (ascending) col(valueCol).asc else col(valueCol).desc
+    val ranged = counts.repartitionByRange(col(valueCol))
+      .withColumn("__pid",
+        if (ascending) spark_partition_id()
+        else -spark_partition_id())
+    val wIn = Window.partitionBy("__pid").orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inner = ranged.withColumn("__in",
+      coalesce(sum(col(countCol)).over(wIn), lit(0L)))
+    val wPid = Window.orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pidTotals = ranged.groupBy("__pid")
+      .agg(sum(col(countCol)).as("__pt"))
+      .withColumn("__po", coalesce(sum(col("__pt")).over(wPid), lit(0L)))
+      .select(col("__pid"), col("__po"))
+    inner.join(pidTotals, Seq("__pid"))
+      .select(col(valueCol), (col("__in") + col("__po")).as("__off"))
+  }
+
   /** Group-wise TWO-feature OLS y = b0 + b1·x1 + b2·x2 by the closed
     * Cramer form over exact decimal moments — the smallest multiple
     * regression, and the largest whose normal equations stay a fixed
@@ -533,6 +568,71 @@ object Profile {
           ((col("__asx") / col("n_users").cast("double")) - col("__xbar")))
           .as("mean_adjusted"),
         col("theta"), col("var_reduction"))
+  }
+
+  /** Cronbach's alpha over k item columns per group — the internal-
+    * consistency check for any multi-signal score (k quality heuristics,
+    * k rater columns): α = k/(k−1)·(1 − Σvar_i/var_total), variances
+    * POPULATION (n divisor — a pure convention; both engines replay the
+    * same dag) from exact DECIMAL(12,2) moments of each item and of the
+    * per-row item SUM. One wide aggregation scan — 2(k+1) moment sums —
+    * and one fixed dag. Output: (group, n, k, sum_item_vars, var_total,
+    * alpha). */
+  def cronbachAlpha(df: DataFrame, groupCol: String,
+                    itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2, "cronbachAlpha: need >= 2 items")
+    def d(c: Column) = c.cast("string").cast("double")
+    val k = itemCols.size
+    val items = itemCols.map(c => col(c).cast("decimal(12,2)"))
+    val total = items.reduce(_ + _).cast("decimal(16,2)")
+    val aggs = items.zipWithIndex.flatMap { case (it, i) =>
+      Seq(d(sum(it)).as(s"__s$i"), d(sum(it * it)).as(s"__q$i"))
+    } ++ Seq(d(sum(total)).as("__st"),
+      d(sum(total * total)).as("__qt"), count(lit(1)).as("n"))
+    val m = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    def popVar(s: String, q: String) =
+      (nd * col(q) - col(s) * col(s)) / (nd * nd)
+    val sumVars = (0 until k).map(i => popVar(s"__s$i", s"__q$i"))
+      .reduce(_ + _)
+    val withVars = m
+      .withColumn("sum_item_vars", sumVars)
+      .withColumn("var_total", popVar("__st", "__qt"))
+    withVars.select(col(groupCol), col("n"), lit(k.toLong).as("k"),
+      col("sum_item_vars"), col("var_total"),
+      ((lit(k.toDouble) / lit(k - 1.0)) *
+        (lit(1.0) - col("sum_item_vars") / col("var_total"))).as("alpha"))
+  }
+
+  /** 2-D Mahalanobis outlier detection per group: d² = (v−μ)ᵀ Σ⁻¹ (v−μ)
+    * via the closed-form 2×2 inverse — with the n²-scaled centered sums
+    * c·· (the pca2d quantities), d² = n²·(cyy·dx² − 2·cxy·dx·dy +
+    * cxx·dy²)/(cxx·cyy − cxy²) — one fixed dag per row over broadcast
+    * group stats. Rows with d² > threshold (χ²₂: 9.21 ≈ 99%) are the
+    * joint outliers a univariate fence misses (unusual COMBINATION,
+    * ordinary margins). One moment scan + one broadcast join + one
+    * codegen'd filter. Output: (group, id…, x, y, md2 rounded 6 dp). */
+  def mahalanobis2d(df: DataFrame, groupCol: String, xCol: String,
+                    yCol: String, idCols: Seq[String],
+                    threshold: Double): DataFrame = {
+    val g = momentSums(df, groupCol, xCol, yCol)
+    val nd = col("n").cast("double")
+    val stats = g.select(col(groupCol), col("n"),
+      (col("__sx") / nd).as("__mx"), (col("__sy") / nd).as("__my"),
+      (nd * col("__sxx") - col("__sx") * col("__sx")).as("__cxx"),
+      (nd * col("__syy") - col("__sy") * col("__sy")).as("__cyy"),
+      (nd * col("__sxy") - col("__sx") * col("__sy")).as("__cxy"))
+    val dx = col(xCol).cast("double") - col("__mx")
+    val dy = col(yCol).cast("double") - col("__my")
+    val n2 = col("n").cast("double") * col("n").cast("double")
+    val md2 = n2 * (col("__cyy") * dx * dx -
+      lit(2.0) * col("__cxy") * dx * dy + col("__cxx") * dy * dy) /
+      (col("__cxx") * col("__cyy") - col("__cxy") * col("__cxy"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("md2", round(md2, 6))
+      .where(col("md2") > threshold)
+      .select((col(groupCol) +: idCols.map(col)) ++
+        Seq(col(xCol), col(yCol), col("md2")): _*)
   }
 
   /** Cohen's d (pooled-SD standardized mean difference) with the Hedges

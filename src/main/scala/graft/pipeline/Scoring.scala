@@ -420,11 +420,10 @@ object Scoring {
         when(labelCol, 1L).otherwise(0L).as("__y"))
       .where(col("__sc").isNotNull)
     val perScore = rows.groupBy("__sc").agg(count(lit(1)).as("__c"))
-    val wPre = Window.orderBy(col("__sc").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = perScore
-      .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
-      .select(col("__sc"), col("__off"))
+    // two-level distributed prefix over the distinct-score table (scores
+    // can be all-distinct — see Profile.prefixOffsets)
+    val offs = Profile.prefixOffsets(perScore, "__sc", "__c",
+      ascending = false)
     val wIn = Window.partitionBy(col("__sc")).orderBy(col("__tie").asc)
     val total = rows.agg(count(lit(1)).as("__n"),
       sum(col("__y")).as("__pos"))
@@ -446,5 +445,44 @@ object Scoring {
         ((col("__cp").cast("double") / col("__cn").cast("double")) /
           (col("__tp").cast("double") / col("__tn").cast("double")))
           .as("cum_lift"))
+  }
+
+  /** Zipf-law fit over the corpus word-frequency table — the classic
+    * "is this corpus natural language?" diagnostic (synthetic or
+    * template-generated text bends the rank-frequency line): OLS of
+    * ln(freq) on ln(rank) over the vocabulary, exponent = −slope
+    * (natural text ≈ 1). Ranks order by (freq desc, word) — total and
+    * engine-exact; the rank window runs over the VOCABULARY table (the
+    * histogramEquiDepth compromise, bounded by distinct words). Both
+    * lns round to 6 dp decimals, products stay exact, and the fit is
+    * the linearFit dag. Output: 1 row (n_words, n_tokens, slope,
+    * intercept, r2, zipf_exponent). */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val words = docs.select(explode(tokenize(col(textCol))).as("__w"))
+      .where(col("__w") =!= "")
+    val freq = words.groupBy("__w").agg(count(lit(1)).as("__f"))
+    val w = Window.orderBy(col("__f").desc, col("__w").asc)
+    val ranked = freq.withColumn("__r", row_number().over(w))
+    val terms = ranked.select(col("__f"),
+      round(log(col("__r").cast("double")), 6).cast("decimal(12,6)").as("__x"),
+      round(log(col("__f").cast("double")), 6).cast("decimal(12,6)").as("__y"))
+    val m = terms.agg(count(lit(1)).as("n_words"),
+      sum(col("__f")).as("n_tokens"),
+      d(sum(col("__x"))).as("__sx"), d(sum(col("__y"))).as("__sy"),
+      d(sum(col("__x") * col("__y"))).as("__sxy"),
+      d(sum(col("__x") * col("__x"))).as("__sxx"),
+      d(sum(col("__y") * col("__y"))).as("__syy"))
+    val nd = col("n_words").cast("double")
+    val withSlope = m.withColumn("slope",
+      (nd * col("__sxy") - col("__sx") * col("__sy")) /
+        (nd * col("__sxx") - col("__sx") * col("__sx")))
+    withSlope.select(col("n_words"), col("n_tokens"), col("slope"),
+      ((col("__sy") - col("slope") * col("__sx")) / nd).as("intercept"),
+      (((nd * col("__sxy") - col("__sx") * col("__sy")) *
+        (nd * col("__sxy") - col("__sx") * col("__sy"))) /
+        ((nd * col("__sxx") - col("__sx") * col("__sx")) *
+         (nd * col("__syy") - col("__sy") * col("__sy")))).as("r2"),
+      (-col("slope")).as("zipf_exponent"))
   }
 }

@@ -303,6 +303,58 @@ object TimeSeries {
       round(d(wsum) / d(dsum), 6).as("ewma"))
   }
 
+  /** Forecast-error metrics of the SEASONAL-NAIVE baseline (forecast =
+    * the value `seasonLag` observed periods earlier) — the sanity floor
+    * every forecasting pipeline reports before any model: per key, MAE /
+    * RMSE / MAPE / sMAPE over the days where a forecast exists. Errors
+    * e = v − f are EXACT decimals (daily sums); |e| sums stay decimal;
+    * squares ride the (12,2) corrExact width; the ratio terms (MAPE,
+    * sMAPE) round to 6 dp decimals before summing so the means are
+    * order-independent. Zero-denominator terms are excluded and counted
+    * separately. One aggregation + one key-sharded lag window + one
+    * fold. Output: (key, n_eval, mae, rmse, mape, smape,
+    * n_zero_denom). */
+  def forecastErrors(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, seasonLag: Int = 7): DataFrame = {
+    require(seasonLag >= 1, "forecastErrors: seasonLag must be >= 1")
+    def d(c: Column) = c.cast("string").cast("double")
+    val daily = df.groupBy(col(keyCol),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(sum(col(valueCol).cast("decimal(12,2)"))
+        .cast("decimal(12,2)").as("__v"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
+    val withF = daily
+      .withColumn("__f", lag(col("__v"), seasonLag).over(w))
+      .where(col("__f").isNotNull)
+      .withColumn("__e", (col("__v") - col("__f")).cast("decimal(13,2)"))
+      .withColumn("__ae", abs(col("__e")))
+    val denomA = abs(col("__v"))
+    val denomS = abs(col("__v")) + abs(col("__f"))
+    val scored = withF
+      .withColumn("__mape_t", when(denomA > 0,
+        round(d(col("__ae")) / d(denomA), 6).cast("decimal(18,6)")))
+      .withColumn("__smape_t", when(denomS > 0,
+        round(lit(2.0) * d(col("__ae")) / d(denomS), 6)
+          .cast("decimal(18,6)")))
+    scored.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_eval"),
+        d(sum(col("__ae"))).as("__sae"),
+        d(sum(col("__e").cast("decimal(12,2)") *
+          col("__e").cast("decimal(12,2)"))).as("__se2"),
+        sum(when(col("__mape_t").isNull, 1L).otherwise(0L))
+          .as("n_zero_denom"),
+        d(sum(col("__mape_t"))).as("__smt"),
+        count(col("__mape_t")).as("__nmt"),
+        d(sum(col("__smape_t"))).as("__sst"),
+        count(col("__smape_t")).as("__nst"))
+      .select(col(keyCol), col("n_eval"),
+        (col("__sae") / col("n_eval").cast("double")).as("mae"),
+        sqrt(col("__se2") / col("n_eval").cast("double")).as("rmse"),
+        (col("__smt") / col("__nmt").cast("double")).as("mape"),
+        (col("__sst") / col("__nst").cast("double")).as("smape"),
+        col("n_zero_denom"))
+  }
+
   /** Rolling Pearson correlation between two per-day series of the same
     * key — "did clicks stop tracking revenue this week?": daily decimal
     * sums for both columns, one `window`-row trailing frame carrying the

@@ -1811,4 +1811,111 @@ class PipelineOpsSpec extends SparkSpec {
     val vr = out.head(5).asInstanceOf[Double]
     assert(vr >= 0.0 && vr <= 1.0)
   }
+
+  // ===== distributed prefix offsets =====
+
+  test("prefixOffsets equals the naive global window on any cardinality") {
+    val counts = (1 to 500).map(i => (i.toDouble / 7.0, (i % 3 + 1).toLong))
+      .toDF("v", "c")
+    for (asc <- Seq(true, false)) {
+      val got = rows(Profile.prefixOffsets(counts, "v", "c", asc)
+        .orderBy("v")).map(r => (r(0), r(1)))
+      val naive = {
+        val rs = rows(counts.orderBy(if (asc) col("v").asc else col("v").desc))
+        var acc = 0L
+        rs.map { r =>
+          val out = (r(0), acc); acc += r(1).asInstanceOf[Long]; out
+        }.sortBy(_._1.asInstanceOf[Double])
+      }
+      assert(got == naive, s"asc=$asc")
+    }
+  }
+
+  // ===== Cronbach =====
+
+  test("cronbachAlpha: duplicated item -> high alpha; independent -> low") {
+    // three near-identical items (perfectly correlated)
+    val same = (1 to 50).map(i =>
+      ("g", i.toDouble, i.toDouble + 1, i.toDouble * 1.0 + 2))
+      .toDF("g", "a", "b", "c")
+    val r1 = rows(Profile.cronbachAlpha(same, "g", Seq("a", "b", "c"))).head
+    assert(math.abs(r1(5).asInstanceOf[Double] - 1.0) < 1e-9)
+    // independent-ish items: alpha well below 1
+    val ind = (1 to 60).map(i =>
+      ("g", (i % 3).toDouble, ((i * 7) % 5).toDouble, ((i * 11) % 4).toDouble))
+      .toDF("g", "a", "b", "c")
+    val r2 = rows(Profile.cronbachAlpha(ind, "g", Seq("a", "b", "c"))).head
+    assert(r2(5).asInstanceOf[Double] < 0.5)
+  }
+
+  // ===== Mahalanobis =====
+
+  test("mahalanobis2d flags the joint outlier a univariate fence misses") {
+    // x and y strongly correlated; one point with ORDINARY margins but
+    // an impossible combination (high x, low y)
+    val base = (1 to 100).map(i => ("g", i.toLong, 50.0 + (i % 21), 50.0 + (i % 21)))
+    val odd = Seq(("g", 999L, 70.0, 50.0)) // both values in range, combo off
+    val df = (base ++ odd).toDF("g", "id", "x", "y")
+    val out = rows(Profile.mahalanobis2d(df, "g", "x", "y", Seq("id"), 9.0))
+    assert(out.map(_(1)).contains(999L), s"joint outlier missed: $out")
+    // and it is the TOP outlier
+    val top = out.maxBy(_(4).asInstanceOf[Double])
+    assert(top(1) == 999L)
+  }
+
+  // ===== Zipf =====
+
+  test("zipfFit recovers the exponent of a constructed power law") {
+    // word w_r appears ceil(1000 / r) times: exponent 1 by construction
+    val words = (1 to 50).flatMap(r => Seq.fill(1000 / r)(f"w$r%03d"))
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val r = rows(Scoring.zipfFit(df, "text")).head
+    assert(r(0) == 50L)
+    val expo = r(5).asInstanceOf[Double]
+    assert(expo > 0.9 && expo < 1.1, s"expected ~1, got $expo")
+    assert(r(4).asInstanceOf[Double] > 0.99) // near-perfect log-log line
+  }
+
+  // ===== forecast eval =====
+
+  test("forecastErrors: perfect weekly seasonality -> zero errors") {
+    val df = (0 until 28).map { i =>
+      ("k", f"2024-01-${i + 1}%02d 00:00:00", 100.0 + 10 * (i % 7))
+    }.toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val r = rows(TimeSeries.forecastErrors(df, "k", "ts", "v", 7)).head
+    assert(r(1) == 21L) // 28 days minus the 7-day warmup
+    assert(r(2) == 0.0 && r(3) == 0.0 && r(4) == 0.0 && r(5) == 0.0)
+    // a level shift makes every metric positive
+    val shifted = (0 until 28).map { i =>
+      ("k", f"2024-01-${i + 1}%02d 00:00:00",
+        (if (i < 14) 100.0 else 200.0) + 10 * (i % 7))
+    }.toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val r2 = rows(TimeSeries.forecastErrors(shifted, "k", "ts", "v", 7)).head
+    assert(r2(2).asInstanceOf[Double] > 0.0)
+    assert(r2(3).asInstanceOf[Double] >= r2(2).asInstanceOf[Double]) // rmse >= mae
+  }
+
+  // ===== TIFF pixels =====
+
+  test("TIFF pixels decode and cross-format dHash matches PNG twin") {
+    val seed = "pixel-seed-bytes!".getBytes("US-ASCII")
+    val t = Multimodal.encodeTiffRgb(16, 16, seed)
+    val p = Multimodal.decodeTiffPixels(t)
+    assert(p.isDefined)
+    val (fmt, w, h, px) = p.get
+    assert(fmt == "image/tiff" && w == 16 && h == 16 && px.length == 768)
+    // same pixels as the BMP encoder's seed cycling? TIFF stores raw
+    // seed-cycled RGB rows — identical bytes to PPM payload pixels
+    val ppm = Multimodal.decodePpmPixels(Multimodal.encodePpm6(16, 16, seed)).get
+    assert(px.toSeq == ppm._4.toSeq)
+    // dispatch: decodePixelsRgb routes TIFF, and the perceptual hash of
+    // the TIFF equals the PNG twin's (SAME pixels, zero shared payload
+    // bytes) — cross-format image dedup
+    assert(Multimodal.decodePixelsRgb(t).map(_._4.toSeq) == Some(px.toSeq))
+    val png = Multimodal.encodePng(16, 16, seed)
+    val hT = Multimodal.dhash64(16, 16, px)
+    val pngPx = Multimodal.decodePngPixels(png).get
+    val hP = Multimodal.dhash64(16, 16, pngPx._4)
+    assert(hT == hP)
+  }
 }
