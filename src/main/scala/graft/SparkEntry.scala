@@ -4236,6 +4236,46 @@ object SparkEntry {
       graft.pipeline.TimeSeries.forecastErrors(Tables.orders(s, d),
         "o_orderpriority", "o_orderdate", "o_totalprice", seasonLag = 7))
 
+  private def qAttributionPosition(s: SparkSession, d: String): DataFrame =
+    // U-shaped 40/20/40 credit in exact mills, aggregated per type;
+    // per-user credit sums to 10^6 by construction.
+    Relational.sort(col("event_type"))(
+      graft.pipeline.Events.positionAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click"), "purchase")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_mills")).as("total_credit")))
+
+  private def qAttributionDecay(s: SparkSession, d: String): DataFrame =
+    // Time-decay credit: exact 2^(maxAge-age) integer weights, floor
+    // division, remainder to the earliest touch.
+    Relational.sort(col("event_type"))(
+      graft.pipeline.Events.timeDecayAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click"), "purchase", maxAgeDays = 30)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_mills")).as("total_credit"),
+          sum(col("weight")).as("total_weight")))
+
+  private def qGraphSummary(s: SparkSession, d: String): DataFrame = {
+    // One-row profile of the q_triangles co-occurrence graph treated as
+    // DIRECTED (custkey -> orderkey fold): reciprocity, density, degrees.
+    val o = Tables.orders(s, d)
+    val edges = o.select(pmod(col("o_custkey"), lit(97L)).as("x"),
+      pmod(col("o_orderkey"), lit(97L)).as("y"))
+    graft.pipeline.Graph.graphSummary(edges, "x", "y")
+  }
+
+  private def qSubseqCount(s: SparkSession, d: String): DataFrame =
+    // ALL view->click->purchase subsequences per user: the two-stacked-
+    // prefix-window DP (funnel counts only the first frontier).
+    Relational.sort(col("user_id"))(
+      graft.pipeline.Events.subsequenceCount(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type",
+        ("view", "click", "purchase")))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4548,6 +4588,10 @@ object SparkEntry {
     "q_mahalanobis" -> (qMahalanobis _),
     "q_zipf" -> (qZipf _),
     "q_forecast_eval" -> (qForecastEval _),
+    "q_attribution_position" -> (qAttributionPosition _),
+    "q_attribution_decay" -> (qAttributionDecay _),
+    "q_graph_summary" -> (qGraphSummary _),
+    "q_subseq_count" -> (qSubseqCount _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -9004,5 +9048,87 @@ object SparkEntry {
         |  sst / CAST(nst AS DOUBLE) AS smape,
         |  nzd AS n_zero_denom
         |FROM g ORDER BY 1""".stripMargin,
+    // U-shaped attribution: 40/20/40 with the middle remainder to the
+    // earliest middle; degenerate 1- and 2-touch paths pinned.
+    "q_attribution_position" ->
+      """WITH conv AS (SELECT user_id, MIN(ts) AS cts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |touch AS (SELECT e.user_id, e.event_id, e.event_type,
+        |    CAST(COUNT(*) OVER (PARTITION BY e.user_id) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.ts, e.event_id) AS rn
+        |  FROM events e JOIN conv USING (user_id)
+        |  WHERE e.event_type IN ('view', 'click') AND e.ts < conv.cts),
+        |credit AS (SELECT event_type,
+        |  CASE WHEN n = 1 THEN 1000000
+        |       WHEN n = 2 THEN 500000
+        |       WHEN rn = 1 OR rn = n THEN 400000
+        |       ELSE 200000 // (n - 2) +
+        |         CASE WHEN rn = 2 THEN 200000 % (n - 2) ELSE 0 END
+        |  END AS c FROM touch)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(c) AS BIGINT) AS total_credit
+        |FROM credit GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Time-decay attribution: exact power-of-two weights, floor shares,
+    // the ACCUMULATED remainder to the earliest touch.
+    "q_attribution_decay" ->
+      """WITH conv AS (SELECT user_id, MIN(ts) AS cts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |touch AS (SELECT e.user_id, e.event_id, e.event_type,
+        |    (1::BIGINT << CAST(30 - least(
+        |      (epoch_us(conv.cts) - epoch_us(e.ts)) // 86400000000, 30) AS INTEGER)) AS w,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.ts, e.event_id) AS rn
+        |  FROM events e JOIN conv USING (user_id)
+        |  WHERE e.event_type IN ('view', 'click') AND e.ts < conv.cts),
+        |ws AS (SELECT *, CAST(SUM(w) OVER (PARTITION BY user_id) AS BIGINT) AS sw FROM touch),
+        |base AS (SELECT *, (1000000 * w) // sw AS b FROM ws),
+        |rem AS (SELECT *, 1000000 - CAST(SUM(b) OVER (PARTITION BY user_id) AS BIGINT) AS r FROM base)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(b + CASE WHEN rn = 1 THEN r ELSE 0 END) AS BIGINT) AS total_credit,
+        |  CAST(SUM(w) AS BIGINT) AS total_weight
+        |FROM rem GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Graph summary: distinct directed edges, semi-join reciprocity,
+    // canonical undirected degrees, fixed-dag ratios.
+    "q_graph_summary" ->
+      """WITH raw AS (SELECT o_custkey % 97 AS a, o_orderkey % 97 AS b FROM orders),
+        |sl AS (SELECT count(*) AS self_loop_rows FROM raw WHERE a = b),
+        |dir AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+        |rec AS (SELECT count(*) AS n_reciprocated FROM dir d
+        |  WHERE EXISTS (SELECT 1 FROM dir r WHERE r.a = d.b AND r.b = d.a)),
+        |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM dir),
+        |sym AS (SELECT a FROM und UNION ALL SELECT b FROM und),
+        |dg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+        |ds AS (SELECT count(*) AS n_nodes, MAX(d) AS max_degree FROM dg),
+        |c AS (SELECT (SELECT count(*) FROM dir) AS n_directed,
+        |  (SELECT n_reciprocated FROM rec) AS n_reciprocated,
+        |  (SELECT count(*) FROM und) AS n_undirected,
+        |  ds.n_nodes, ds.max_degree,
+        |  (SELECT self_loop_rows FROM sl) AS self_loop_rows FROM ds)
+        |SELECT n_nodes, CAST(n_directed AS BIGINT) AS n_directed,
+        |  CAST(n_undirected AS BIGINT) AS n_undirected,
+        |  CAST(n_reciprocated AS BIGINT) AS n_reciprocated,
+        |  CAST(self_loop_rows AS BIGINT) AS self_loop_rows, max_degree,
+        |  CAST(n_reciprocated AS DOUBLE) / CAST(n_directed AS DOUBLE) AS reciprocity,
+        |  2.0 * CAST(n_undirected AS DOUBLE) /
+        |    (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0)) AS density,
+        |  2.0 * CAST(n_undirected AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS mean_degree
+        |FROM c""".stripMargin,
+    // Subsequence DP: the two stacked prefix windows replayed.
+    "q_subseq_count" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS acnt
+        |  FROM events),
+        |p AS (SELECT *, CASE WHEN event_type = 'click' THEN acnt END AS ab FROM o),
+        |q AS (SELECT *, CAST(COALESCE(SUM(ab)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS abrun
+        |  FROM p)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN abrun ELSE 0 END) AS BIGINT)
+        |    AS subseq_count
+        |FROM q GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

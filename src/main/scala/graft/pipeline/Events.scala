@@ -510,6 +510,106 @@ object Events {
         .as("credit_mills"))
   }
 
+  /** U-shaped (position-based) attribution — the 40/20/40 industry
+    * default: the FIRST touch before conversion gets 400,000 mills, the
+    * LAST 400,000, and the middles split 200,000 with the integer
+    * remainder to the EARLIEST middle ([[linearAttribution]]'s exactness
+    * convention — per-user credit sums to exactly 1,000,000 at every
+    * aggregation level). Degenerate paths: one touch → all 1,000,000;
+    * two touches → 500,000 each (no middle to fund). Same shape as
+    * linear: one conversion-frontier join + one user-sharded window. */
+  def positionAttribution(df: DataFrame, userCol: String, tsCol: String,
+                          typeCol: String, tieCol: String,
+                          touchTypes: Seq[String],
+                          convType: String): DataFrame = {
+    require(touchTypes.nonEmpty, "positionAttribution: need touch types")
+    require(!touchTypes.contains(convType),
+      "positionAttribution: conversion type cannot also be a touch type")
+    val conv = df.where(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__conv"))
+    val w = Window.partitionBy(col(userCol))
+    val touches = df.where(col(typeCol).isin(touchTypes: _*))
+      .join(conv, Seq(userCol))
+      .where(col(tsCol) < col("__conv"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col(tsCol).asc, col(tieCol).asc)))
+    val credit =
+      when(col("__n") === 1, lit(1000000L))
+        .when(col("__n") === 2, lit(500000L))
+        .when(col("__rn") === 1 || col("__rn") === col("__n"), lit(400000L))
+        .otherwise(expr("200000L div (__n - 2)") +
+          when(col("__rn") === 2, expr("200000L % (__n - 2)")).otherwise(0L))
+    touches.select(col(userCol), col(tieCol), col(typeCol), col(tsCol),
+      credit.as("credit_mills"))
+  }
+
+  /** Time-decay attribution: touch i gets weight 2^(−age_days) relative
+    * to the conversion instant — implemented as EXACT integer weights
+    * w = 2^(maxAge − age) (ages clamp at `maxAgeDays`, so weights fit a
+    * long and the ewmaLags integer-half-life convention carries over);
+    * credit_mills = ⌊10⁶·w/Σw⌋ with the remainder to the EARLIEST touch.
+    * Per-user credit again sums to exactly 1,000,000. One frontier join,
+    * one user-sharded window pair (weight sum + rank). */
+  def timeDecayAttribution(df: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, tieCol: String,
+                           touchTypes: Seq[String], convType: String,
+                           maxAgeDays: Int = 30): DataFrame = {
+    require(touchTypes.nonEmpty, "timeDecayAttribution: need touch types")
+    require(maxAgeDays >= 1 && maxAgeDays <= 40,
+      "timeDecayAttribution: maxAgeDays must be in [1, 40] (10^6 * 2^maxAge fits a long)")
+    val conv = df.where(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__conv"))
+    val w = Window.partitionBy(col(userCol))
+    val age = least(
+      expr(s"(unix_micros(__conv) - unix_micros(${tsCol})) div 86400000000L"),
+      lit(maxAgeDays.toLong))
+    val touches = df.where(col(typeCol).isin(touchTypes: _*))
+      .join(conv, Seq(userCol))
+      .where(col(tsCol) < col("__conv"))
+      .withColumn("__age", age)
+      .withColumn("__w", expr(s"shiftleft(1L, CAST($maxAgeDays - __age AS INT))"))
+      .withColumn("__sw", sum(col("__w")).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col(tsCol).asc, col(tieCol).asc)))
+    touches
+      .withColumn("__base", expr("(1000000L * __w) div __sw"))
+      // remainder = 10^6 − Σ floors, NOT a modulus of one term: the floor
+      // losses of EVERY touch accumulate, and all of them go to the
+      // earliest touch so per-user credit is exactly 10^6
+      .withColumn("__rem", lit(1000000L) - sum(col("__base")).over(w))
+      .select(col(userCol), col(tieCol), col(typeCol), col(tsCol),
+        col("__w").as("weight"),
+        (col("__base") +
+          when(col("__rn") === 1, col("__rem")).otherwise(0L))
+          .as("credit_mills"))
+  }
+
+  /** Count of PATTERN SUBSEQUENCES per key — every index-increasing
+    * (i < j < k) triple of events typed (a, b, c): the "all funnel
+    * paths" count, where [[funnel]] keeps only the first frontier. The
+    * classic O(n) DP runs as TWO STACKED prefix windows over one
+    * key-sharded sort: at each b-event, pairs_ab = count of prior a's;
+    * at each c-event, triples += running sum of prior pairs_ab — no
+    * joins, no explosion, counts are exact longs. Output: one row per
+    * key (key, n_events, subseq_count). */
+  def subsequenceCount(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String,
+                       pattern: (String, String, String)): DataFrame = {
+    val (a, b, c) = pattern
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val aCnt = coalesce(sum(when(col(typeCol) === a, 1L)).over(before), lit(0L))
+    val stepped = df
+      .withColumn("__ab", when(col(typeCol) === b, aCnt))
+    val abRun = coalesce(sum(col("__ab")).over(before), lit(0L))
+    stepped
+      .withColumn("__abc", when(col(typeCol) === c, abRun).otherwise(0L))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__abc")).as("subseq_count"))
+  }
+
   /** Time from first `fromStage` to the first `toStage` STRICTLY after
     * it, per key — the conversion-latency measurement behind "how long
     * does view → purchase take" (feeds [[Profile.percentilesExact]] for

@@ -449,6 +449,46 @@ object Graph {
           lit(0).cast("decimal(18,2)"))).as("subtree_sum"))
   }
 
+  /** One-row graph summary — the profile card a link-graph pipeline
+    * prints before anything else: node/edge counts (directed distinct
+    * and undirected canonical), self-loops, RECIPROCITY (fraction of
+    * directed edges whose reverse also exists — mutual-follow rate),
+    * density 2E/(n(n−1)), and max/mean degree. Shapes: two distincts,
+    * one self-join on the swapped pair for reciprocity, one degree
+    * aggregate — all keyed by edge endpoints. Ratios are fixed dags
+    * over exact counts. */
+  def graphSummary(edges: DataFrame, srcCol: String,
+                   dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val selfLoops = raw.where(col("a") === col("b"))
+      .agg(count(lit(1)).as("self_loop_rows"))
+    val dir = raw.where(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val recip = dir.join(dir.select(col("b").as("a"), col("a").as("b")),
+      Seq("a", "b"), "left_semi")
+    val und = dir.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("__d"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("__d")).as("max_degree"))
+    val counts = dir.agg(count(lit(1)).as("n_directed"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocated")))
+      .crossJoin(und.agg(count(lit(1)).as("n_undirected")))
+      .crossJoin(degStats)
+      .crossJoin(selfLoops)
+    val nd = col("n_nodes").cast("double")
+    counts.select(col("n_nodes"), col("n_directed"), col("n_undirected"),
+      col("n_reciprocated"), col("self_loop_rows"), col("max_degree"),
+      (col("n_reciprocated").cast("double") /
+        col("n_directed").cast("double")).as("reciprocity"),
+      (lit(2.0) * col("n_undirected").cast("double") /
+        (nd * (nd - lit(1.0)))).as("density"),
+      (lit(2.0) * col("n_undirected").cast("double") / nd).as("mean_degree"))
+  }
+
   /** Degree assortativity — the Pearson correlation of endpoint degrees
     * over the symmetric edge list ("do hubs link to hubs?"; Newman
     * 2002's r). Self-loops drop, the edge list canonicalizes undirected

@@ -328,4 +328,74 @@ class EventsSpec extends SparkSpec {
     assert(ex.getMessage.contains("overlapDuration") ||
       ex.getCause != null)
   }
+
+  test("positionAttribution: 40/20/40 with middle remainder, degenerate paths") {
+    // user 1: four touches -> 400k, 100k+remainder, 100k, 400k
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", "view", 1L),
+      (1L, "2024-01-02 00:00:00", "click", 2L),
+      (1L, "2024-01-03 00:00:00", "view", 3L),
+      (1L, "2024-01-04 00:00:00", "click", 4L),
+      (1L, "2024-01-05 00:00:00", "purchase", 5L),
+      (2L, "2024-01-01 00:00:00", "view", 6L),   // single touch -> 10^6
+      (2L, "2024-01-02 00:00:00", "purchase", 7L),
+      (3L, "2024-01-01 00:00:00", "view", 8L),   // two touches -> 500k each
+      (3L, "2024-01-02 00:00:00", "click", 9L),
+      (3L, "2024-01-03 00:00:00", "purchase", 10L)
+    ).toDF("u", "t", "tp", "id").select(col("u"),
+      to_timestamp(col("t")).as("ts"), col("tp"), col("id"))
+    val out = rows(Events.positionAttribution(df, "u", "ts", "tp", "id",
+      Seq("view", "click"), "purchase").orderBy("u", "id"))
+      .map(r => (r(0), r(1), r(4)))
+    assert(out == Seq(
+      (1L, 1L, 400000L), (1L, 2L, 100000L), (1L, 3L, 100000L), (1L, 4L, 400000L),
+      (2L, 6L, 1000000L),
+      (3L, 8L, 500000L), (3L, 9L, 500000L)))
+    // 200000 div 2 = 100000, remainder 0 here; check a 5-touch path for
+    // a REAL remainder: 200000 div 3 = 66666 r 2
+    val df5 = (1 to 5).map(i => (9L, f"2024-01-0$i 00:00:00", "view", i.toLong)) :+
+      ((9L, "2024-01-06 00:00:00", "purchase", 9L))
+    val out5 = rows(Events.positionAttribution(df5.toDF("u", "t", "tp", "id")
+      .select(col("u"), to_timestamp(col("t")).as("ts"), col("tp"), col("id")),
+      "u", "ts", "tp", "id", Seq("view"), "purchase").orderBy("id"))
+      .map(_(4).asInstanceOf[Long])
+    assert(out5 == Seq(400000L, 66668L, 66666L, 66666L, 400000L))
+    assert(out5.sum == 1000000L)
+  }
+
+  test("timeDecayAttribution: exact halving weights, remainder to earliest") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", "view", 1L),  // age 2 days -> w = 2^28
+      (1L, "2024-01-02 00:00:00", "view", 2L),  // age 1 day  -> w = 2^29
+      (1L, "2024-01-03 00:00:00", "purchase", 3L)
+    ).toDF("u", "t", "tp", "id").select(col("u"),
+      to_timestamp(col("t")).as("ts"), col("tp"), col("id"))
+    val out = rows(Events.timeDecayAttribution(df, "u", "ts", "tp", "id",
+      Seq("view"), "purchase").orderBy("id"))
+    assert(out.map(_(4)) == Seq(1L << 28, 1L << 29))
+    val credits = out.map(_(5).asInstanceOf[Long])
+    // shares 1/3 and 2/3 of a million, floors 333333+666666, remainder 1
+    // to the EARLIEST touch
+    assert(credits == Seq(333334L, 666666L))
+    assert(credits.sum == 1000000L)
+  }
+
+  test("subsequenceCount counts every index-increasing triple") {
+    // types: A A B B C -> ab pairs at B1=2, B2=2; triples at C = 4
+    val df = Seq("view", "view", "click", "click", "purchase")
+      .zipWithIndex.map { case (tp, i) =>
+        (7L, f"2024-01-0${i + 1} 00:00:00", tp, i.toLong) }
+      .toDF("u", "t", "tp", "id").select(col("u"),
+        to_timestamp(col("t")).as("ts"), col("tp"), col("id"))
+    val out = rows(Events.subsequenceCount(df, "u", "ts", "id", "tp",
+      ("view", "click", "purchase")))
+    assert(out == Seq(Seq(7L, 5L, 4L)))
+    // order matters: C before all others contributes nothing
+    val df2 = Seq("purchase", "view", "click").zipWithIndex.map { case (tp, i) =>
+      (8L, f"2024-01-0${i + 1} 00:00:00", tp, i.toLong) }
+      .toDF("u", "t", "tp", "id").select(col("u"),
+        to_timestamp(col("t")).as("ts"), col("tp"), col("id"))
+    assert(rows(Events.subsequenceCount(df2, "u", "ts", "id", "tp",
+      ("view", "click", "purchase"))).head(2) == 0L)
+  }
 }

@@ -164,4 +164,18 @@ class GraphSpec extends SparkSpec {
         Seq(9L, 0L, 7.0)))
     }
   }
+
+  test("graphSummary: reciprocity, density and degrees on a hand graph") {
+    import spark.implicits._
+    // edges: 1->2, 2->1 (reciprocated pair), 1->3, 3->3 (self loop),
+    // duplicate 1->2
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L)).toDF("s", "d")
+    val r = rows(Graph.graphSummary(e, "s", "d")).head
+    // n_nodes=3, n_directed=3 (dedup, no self), n_und=2, recip=2, loops=1
+    assert(r(0) == 3L && r(1) == 3L && r(2) == 2L && r(3) == 2L && r(4) == 1L)
+    assert(r(5) == 2L) // node 1 touches 2 und edges
+    assert(math.abs(r(6).asInstanceOf[Double] - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r(7).asInstanceOf[Double] - 2.0 * 2.0 / (3.0 * 2.0)) < 1e-12)
+    assert(math.abs(r(8).asInstanceOf[Double] - 4.0 / 3.0) < 1e-12)
+  }
 }
