@@ -4276,6 +4276,38 @@ object SparkEntry {
         "user_id", "ts", "event_id", "event_type",
         ("view", "click", "purchase")))
 
+  private def qDensityAnomaly(s: SparkSession, d: String): DataFrame = {
+    // Grid relative-density anomalies over the q_spatial_join plane
+    // (cell 250): hotspot/void flags vs the 8-neighbor mean.
+    val m = 2147483648L
+    val pts = Tables.documents(s, d).select(
+      (pmod(col("doc_id"), lit(m)) * lit(2654435761L) % lit(m) % lit(4000L)).as("x"),
+      (pmod(col("doc_id"), lit(m)) * lit(2246822519L) % lit(m) % lit(4000L)).as("y"))
+    Relational.sort(col("cx"), col("cy"))(
+      graft.pipeline.Spatial.gridDensityAnomaly(pts, "x", "y", cellSize = 250L))
+  }
+
+  private def qSeasonalAnomaly(s: SparkSession, d: String): DataFrame =
+    // STL-style residual anomalies: decompose + per-key lower-median/MAD
+    // fences on the identical-dag residual doubles.
+    Relational.sort(col("o_orderpriority"), col("day"))(
+      graft.pipeline.TimeSeries.seasonalAnomalies(Tables.orders(s, d),
+        "o_orderpriority", "o_orderdate", "o_totalprice", k = 3.0))
+
+  private def qMannKendall(s: SparkSession, d: String): DataFrame =
+    // Mann-Kendall monotone-trend test on the daily revenue series:
+    // pairwise signs over the bounded day table, tie-corrected z.
+    Relational.sort(col("o_orderpriority"))(
+      graft.pipeline.TimeSeries.mannKendall(Tables.orders(s, d),
+        "o_orderpriority", "o_orderdate", "o_totalprice"))
+
+  private def qKendall(s: SparkSession, d: String): DataFrame =
+    // Kendall tau-b via distinct-cell pair products (|X||Y| cells, never
+    // n^2 rows), marginal tie terms, fixed dag.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.kendallTau(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_discount"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4592,6 +4624,10 @@ object SparkEntry {
     "q_attribution_decay" -> (qAttributionDecay _),
     "q_graph_summary" -> (qGraphSummary _),
     "q_subseq_count" -> (qSubseqCount _),
+    "q_density_anomaly" -> (qDensityAnomaly _),
+    "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
+    "q_mann_kendall" -> (qMannKendall _),
+    "q_kendall" -> (qKendall _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -9130,5 +9166,118 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN abrun ELSE 0 END) AS BIGINT)
         |    AS subseq_count
         |FROM q GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Grid density anomalies: 8-neighbor stencil over the cell table.
+    "q_density_anomaly" ->
+      """WITH p AS (SELECT
+        |  ((doc_id % 2147483648) * 2654435761 % 2147483648) % 4000 AS x,
+        |  ((doc_id % 2147483648) * 2246822519 % 2147483648) % 4000 AS y FROM documents),
+        |cells AS (SELECT x // 250 AS cx, y // 250 AS cy, count(*) AS n
+        |  FROM p GROUP BY 1, 2),
+        |nb AS (SELECT c.cx + dx.d AS cx, c.cy + dy.d AS cy, c.n AS nn
+        |  FROM cells c,
+        |  (SELECT unnest([-1, 0, 1]) AS d) dx,
+        |  (SELECT unnest([-1, 0, 1]) AS d) dy
+        |  WHERE NOT (dx.d = 0 AND dy.d = 0)),
+        |ns AS (SELECT cx, cy, CAST(SUM(nn) AS BIGINT) AS nbhd FROM nb GROUP BY 1, 2),
+        |j AS (SELECT cells.cx, cells.cy, cells.n, COALESCE(ns.nbhd, 0) AS nbhd_sum
+        |  FROM cells LEFT JOIN ns ON cells.cx = ns.cx AND cells.cy = ns.cy),
+        |r AS (SELECT *, CASE WHEN nbhd_sum > 0 THEN
+        |  round(CAST(n AS DOUBLE) / (CAST(nbhd_sum AS DOUBLE) / 8.0), 6) END AS rel_density
+        |  FROM j)
+        |SELECT cx, cy, n, nbhd_sum, rel_density,
+        |  (rel_density IS NOT NULL AND (rel_density >= 2.0 OR rel_density <= 0.5)) AS anomaly
+        |FROM r ORDER BY cx, cy""".stripMargin,
+    // Seasonal anomalies: the decompose chain + per-key lower-median /
+    // MAD fences on the residual doubles.
+    "q_seasonal_anomaly" ->
+      """WITH a AS (SELECT o_orderpriority AS k,
+        |  date_trunc('day', o_orderdate) AS dy,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT k, dy, v,
+        |  COUNT(*) OVER win AS tn, SUM(v) OVER win AS ts
+        |  FROM a WINDOW win AS (PARTITION BY k ORDER BY dy
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |tr AS (SELECT k, dy, v,
+        |  CAST(CAST(ts AS VARCHAR) AS DOUBLE) / CAST(tn AS DOUBLE) AS trend
+        |  FROM t),
+        |de AS (SELECT *, CAST(round(CAST(CAST(v AS VARCHAR) AS DOUBLE) - trend, 6)
+        |    AS DECIMAL(18,6)) AS det,
+        |  CAST(dayofweek(dy) + 1 AS INTEGER) AS dow FROM tr),
+        |se AS (SELECT k, dow,
+        |  CAST(CAST(SUM(det) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS seasonal
+        |  FROM de GROUP BY 1, 2),
+        |res AS (SELECT de.k, de.dy, de.v, de.trend, se.seasonal,
+        |  CAST(CAST(de.det AS VARCHAR) AS DOUBLE) - se.seasonal AS residual
+        |  FROM de JOIN se ON de.k = se.k AND de.dow = se.dow),
+        |rc AS (SELECT k, residual, count(*) AS c FROM res GROUP BY 1, 2),
+        |rcum AS (SELECT k, residual, SUM(c) OVER (PARTITION BY k ORDER BY residual
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM rc),
+        |rtot AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n FROM rc GROUP BY k),
+        |med AS (SELECT rcum.k, MIN(residual) AS med FROM rcum
+        |  JOIN rtot ON rcum.k = rtot.k WHERE cum >= (n + 1) // 2 GROUP BY rcum.k),
+        |ad AS (SELECT res.*, med.med, abs(res.residual - med.med) AS adev
+        |  FROM res JOIN med ON res.k = med.k),
+        |ac AS (SELECT k, adev, count(*) AS c FROM ad GROUP BY 1, 2),
+        |acum AS (SELECT k, adev, SUM(c) OVER (PARTITION BY k ORDER BY adev
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM ac),
+        |atot AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n FROM ac GROUP BY k),
+        |mad AS (SELECT acum.k, MIN(adev) AS mad FROM acum
+        |  JOIN atot ON acum.k = atot.k WHERE cum >= (n + 1) // 2 GROUP BY acum.k)
+        |SELECT ad.k AS o_orderpriority, strftime(ad.dy, '%Y-%m-%d') AS day,
+        |  CAST(CAST(ad.v AS VARCHAR) AS DOUBLE) AS v, ad.trend, ad.seasonal,
+        |  ad.residual, ad.med, mad.mad,
+        |  (ad.adev > 3.0 * mad.mad) AS anomaly
+        |FROM ad JOIN mad ON ad.k = mad.k ORDER BY 1, 2""".stripMargin,
+    // Mann-Kendall: pairwise signs on the day table, tie-corrected z.
+    "q_mann_kendall" ->
+      """WITH a AS (SELECT o_orderpriority AS k,
+        |  date_trunc('day', o_orderdate) AS dy,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT x.k, CAST(SUM(CASE WHEN y.v > x.v THEN 1
+        |    WHEN y.v < x.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM a x JOIN a y ON x.k = y.k AND x.dy < y.dy GROUP BY x.k),
+        |t AS (SELECT k, v, count(*) AS t FROM a GROUP BY 1, 2),
+        |nt AS (SELECT k, CAST(SUM(t) AS BIGINT) AS n_days,
+        |  CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie FROM t GROUP BY k),
+        |z AS (SELECT s.k, nt.n_days, s.s,
+        |  round(CASE WHEN s.s > 0 THEN (CAST(s.s AS DOUBLE) - 1.0) /
+        |      sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) * (2.0 * CAST(n_days AS DOUBLE) + 5.0) - CAST(tie AS DOUBLE)) / 18.0)
+        |    WHEN s.s < 0 THEN (CAST(s.s AS DOUBLE) + 1.0) /
+        |      sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) * (2.0 * CAST(n_days AS DOUBLE) + 5.0) - CAST(tie AS DOUBLE)) / 18.0)
+        |    ELSE 0.0 END, 6) AS z
+        |  FROM s JOIN nt ON s.k = nt.k)
+        |SELECT k AS o_orderpriority, n_days, s, z,
+        |  CASE WHEN z > 1.96 THEN 'up' WHEN z < -1.96 THEN 'down'
+        |       ELSE 'none' END AS trend
+        |FROM z ORDER BY 1""".stripMargin,
+    // Kendall tau-b: cell-pair products + marginal tie terms.
+    "q_kendall" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |cells AS (SELECT g, x, y, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |pr AS (SELECT l.g,
+        |  CAST(CAST(SUM(CASE WHEN (l.x < r.x AND l.y < r.y) OR (l.x > r.x AND l.y > r.y)
+        |    THEN CAST(l.c AS DECIMAL(19,0)) * CAST(r.c AS DECIMAL(19,0)) END) AS VARCHAR) AS DOUBLE) AS conc,
+        |  CAST(CAST(SUM(CASE WHEN (l.x < r.x AND l.y > r.y) OR (l.x > r.x AND l.y < r.y)
+        |    THEN CAST(l.c AS DECIMAL(19,0)) * CAST(r.c AS DECIMAL(19,0)) END) AS VARCHAR) AS DOUBLE) AS disc
+        |  FROM cells l JOIN cells r ON l.g = r.g
+        |    AND (l.x < r.x OR (l.x = r.x AND l.y < r.y))
+        |  GROUP BY l.g),
+        |tx AS (SELECT g, CAST(CAST(SUM(CAST((t * (t - 1)) // 2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS txx
+        |  FROM (SELECT g, x, count(*) AS t FROM b GROUP BY 1, 2) GROUP BY g),
+        |ty AS (SELECT g, CAST(CAST(SUM(CAST((t * (t - 1)) // 2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS tyy
+        |  FROM (SELECT g, y, count(*) AS t FROM b GROUP BY 1, 2) GROUP BY g),
+        |tot AS (SELECT g, count(*) AS n FROM b GROUP BY g)
+        |SELECT tot.g AS l_returnflag, tot.n,
+        |  COALESCE(pr.conc, 0.0) AS concordant,
+        |  COALESCE(pr.disc, 0.0) AS discordant,
+        |  (COALESCE(pr.conc, 0.0) - COALESCE(pr.disc, 0.0)) /
+        |  sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 - txx) *
+        |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 - tyy)) AS tau_b
+        |FROM tot LEFT JOIN pr ON tot.g = pr.g
+        |JOIN tx ON tot.g = tx.g JOIN ty ON tot.g = ty.g
+        |ORDER BY 1""".stripMargin,
   )
 }

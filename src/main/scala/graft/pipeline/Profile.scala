@@ -483,6 +483,65 @@ object Profile {
         .as("spearman_rho"))
   }
 
+  /** Group-wise KENDALL tau-b, tie-aware — the third rank correlation
+    * (with Pearson corrExact and [[spearmanCorr]]): concordant/
+    * discordant counts fold over PAIRS OF DISTINCT CELLS of the joint
+    * (x, y) table with multiplicity products — the pair join is bounded
+    * by |X|·|Y| distinct cells squared, never n². A cell pair in
+    * canonical (x, then y) order contributes n₁·n₂ concordant when both
+    * coordinates move the same strict direction, discordant when
+    * opposite (equal-in-either pairs are the tie terms, handled by the
+    * marginal formulas: T_x = Σ C(n_x,2), T_y likewise, n₀ = C(n,2);
+    * tau_b = (C−D)/√((n₀−T_x)(n₀−T_y))). Counts are exact — products
+    * ride DECIMAL(38,0) — and tau is one fixed dag.
+    * Output: (group, n, concordant, discordant, tau_b). */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val base = df.select(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy("__g", "__x", "__y")
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = cells.select(col("__g"), col("__x").as("x1"),
+      col("__y").as("y1"), col("__c").as("c1"))
+    val r = cells.select(col("__g"), col("__x").as("x2"),
+      col("__y").as("y2"), col("__c").as("c2"))
+    val pairProd = (col("c1").cast("decimal(19,0)") *
+      col("c2").cast("decimal(19,0)"))
+    val pairs = l.join(r, Seq("__g"))
+      .where(col("x1") < col("x2") ||
+        (col("x1") === col("x2") && col("y1") < col("y2")))
+      .groupBy(col("__g"))
+      .agg(
+        d(sum(when(col("x1") < col("x2") && col("y1") < col("y2"), pairProd)
+          .when(col("x1") > col("x2") && col("y1") > col("y2"), pairProd)))
+          .as("__conc"),
+        d(sum(when(col("x1") < col("x2") && col("y1") > col("y2"), pairProd)
+          .when(col("x1") > col("x2") && col("y1") < col("y2"), pairProd)))
+          .as("__disc"))
+    def tieSum(vCol: String) = {
+      // t(t-1) is even, so the integer div is exact; sums ride decimal
+      base.groupBy(col("__g"), col(vCol)).agg(count(lit(1)).as("__t"))
+        .groupBy(col("__g"))
+        .agg(d(sum(expr("(__t * (__t - 1)) div 2")
+          .cast("decimal(38,0)"))).as(s"__T$vCol"))
+    }
+    val tot = base.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val joined = tot
+      .join(pairs, Seq("__g"), "left")
+      .join(tieSum("__x"), Seq("__g"))
+      .join(tieSum("__y"), Seq("__g"))
+    val nd = col("n").cast("double")
+    val n0 = nd * (nd - lit(1.0)) / lit(2.0)
+    joined.select(col("__g").as(groupCol), col("n"),
+      coalesce(col("__conc"), lit(0.0)).as("concordant"),
+      coalesce(col("__disc"), lit(0.0)).as("discordant"),
+      ((coalesce(col("__conc"), lit(0.0)) - coalesce(col("__disc"), lit(0.0))) /
+        sqrt((n0 - col("__T__x")) * (n0 - col("__T__y")))).as("tau_b"))
+  }
+
   /** Group-wise PARTIAL correlation of x and y CONTROLLING for z —
     * "does quantity still track revenue once discount is held fixed?":
     * all three pairwise Pearson r's from ONE ten-moment decimal pass,

@@ -119,6 +119,43 @@ object Spatial {
       (crossings % 2 === 1).as("inside"))
   }
 
+  /** Grid relative-density anomaly detection — the cheap cousin of LOF
+    * for planar data: bucket points into cells of side `cellSize`,
+    * compare each cell's count to the MEAN of its 8 neighbors (absent
+    * neighbors count as genuinely zero-density, so the divisor is
+    * always 8). rel_density ≥ hi flags a hotspot, ≤ lo a void inside
+    * activity; cells with an EMPTY neighborhood report NULL (an
+    * isolated cell has no local baseline) and never flag. Everything
+    * after the cell aggregate operates on cells, not points — the 9×
+    * stencil join is over the bounded cell table.
+    * Output: (cx, cy, n, nbhd_sum, rel_density, anomaly). */
+  def gridDensityAnomaly(points: DataFrame, xCol: String, yCol: String,
+                         cellSize: Long, lo: Double = 0.5,
+                         hi: Double = 2.0): DataFrame = {
+    require(cellSize >= 1, "gridDensityAnomaly: cellSize must be >= 1")
+    val cells = points.select(
+        floorDiv(col(xCol).cast("long"), cellSize).as("cx"),
+        floorDiv(col(yCol).cast("long"), cellSize).as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1
+                              if dx != 0 || dy != 0 }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val probes = cells.withColumn("__o", explode(offsets))
+      .select((col("cx") + col("__o.dx")).as("cx"),
+        (col("cy") + col("__o.dy")).as("cy"), col("n").as("__nn"))
+    val nbhd = probes.groupBy("cx", "cy").agg(sum(col("__nn")).as("__ns"))
+    val joined = cells.join(nbhd, Seq("cx", "cy"), "left")
+      .withColumn("nbhd_sum", coalesce(col("__ns"), lit(0L)))
+      .withColumn("rel_density", when(col("nbhd_sum") > 0,
+        round(col("n").cast("double") /
+          (col("nbhd_sum").cast("double") / lit(8.0)), 6)))
+    joined.select(col("cx"), col("cy"), col("n"), col("nbhd_sum"),
+      col("rel_density"),
+      (col("rel_density").isNotNull &&
+        (col("rel_density") >= hi || col("rel_density") <= lo))
+        .as("anomaly"))
+  }
+
   /** Grid-blocked DBSCAN density clustering over integer planar points —
     * the "find the dense scrape regions / screenshot layout families"
     * primitive. Every step is exact and deterministic, so the whole

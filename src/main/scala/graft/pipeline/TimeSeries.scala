@@ -303,6 +303,81 @@ object TimeSeries {
       round(d(wsum) / d(dsum), 6).as("ewma"))
   }
 
+  /** Seasonal-residual anomaly flags — the STL-style detector: run
+    * [[seasonalDecompose]], then flag days whose residual sits more
+    * than `k`·MAD from the per-key residual median (lower-median
+    * convention on BOTH medians — each statistic is an actual value of
+    * the identical-dag residual doubles, so both engines agree
+    * bit-for-bit; no interpolation anywhere). Per-key medians fold over
+    * the distinct-residual table; the one-row-per-key (med, mad) frame
+    * broadcasts back. Output: every day with (…, residual, med, mad,
+    * anomaly). */
+  def seasonalAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, k: Double = 3.0): DataFrame = {
+    val base = seasonalDecompose(df, keyCol, tsCol, valueCol)
+    def lowerMedian(in: DataFrame, vCol: String): DataFrame = {
+      val counts = in.groupBy(col(keyCol), col(vCol).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val cum = counts.withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__v"))))
+      val tot = counts.groupBy(col(keyCol)).agg(sum(col("__c")).as("__n"))
+      cum.join(tot, Seq(keyCol))
+        .where(col("__cum") >= expr("(__n + 1) div 2"))
+        .groupBy(col(keyCol)).agg(min(col("__v")).as("med"))
+    }
+    val med = lowerMedian(base, "residual")
+    val withMed = base.join(broadcast(med), Seq(keyCol))
+      .withColumn("__adev", abs(col("residual") - col("med")))
+    val mad = lowerMedian(withMed, "__adev")
+      .withColumnRenamed("med", "mad")
+    withMed.join(broadcast(mad), Seq(keyCol))
+      .select(col(keyCol), col("day"), col("v"), col("trend"),
+        col("seasonal"), col("residual"), col("med"), col("mad"),
+        (col("__adev") > lit(k) * col("mad")).as("anomaly"))
+  }
+
+  /** Mann-Kendall trend test per key over the daily series — the
+    * standard monotone-trend detector for irregular environmental/metric
+    * data (no distributional assumption, tie-aware): S = Σ_{i<j}
+    * sign(v_j − v_i) over the per-day decimal sums (exact integer — the
+    * signs compare exact decimals), tie-corrected variance Var = (n(n−1)
+    * (2n+5) − Σ t(t−1)(2t+5))/18, and the continuity-corrected z. The
+    * pairwise join runs on the DAILY AGGREGATE (days², bounded by the
+    * calendar — at any data scale the day table is the same size), never
+    * on raw rows. Output: (key, n_days, s, z, trend ∈ up|down|none). */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol),
+        date_trunc("day", col(tsCol)).as("__day"))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
+    val a = daily.select(col(keyCol), col("__day").as("__d1"),
+      col("__v").as("__v1"))
+    val b = daily.select(col(keyCol), col("__day").as("__d2"),
+      col("__v").as("__v2"))
+    val s = a.join(b, Seq(keyCol))
+      .where(col("__d1") < col("__d2"))
+      .groupBy(col(keyCol))
+      .agg(sum(when(col("__v2") > col("__v1"), 1L)
+        .when(col("__v2") < col("__v1"), -1L).otherwise(0L)).as("s"))
+    val nAndTies = daily.groupBy(col(keyCol), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__t")).as("n_days"),
+        sum(col("__t") * (col("__t") - 1) *
+          (lit(2L) * col("__t") + 5)).as("__tieTerm"))
+    val nd = col("n_days").cast("double")
+    val varS = (nd * (nd - lit(1.0)) * (lit(2.0) * nd + lit(5.0)) -
+      col("__tieTerm").cast("double")) / lit(18.0)
+    val sd = col("s").cast("double")
+    s.join(nAndTies, Seq(keyCol))
+      .select(col(keyCol), col("n_days"), col("s"),
+        round(when(col("s") > 0, (sd - lit(1.0)) / sqrt(varS))
+          .when(col("s") < 0, (sd + lit(1.0)) / sqrt(varS))
+          .otherwise(lit(0.0)), 6).as("z"))
+      .withColumn("trend", when(col("z") > 1.96, "up")
+        .when(col("z") < -1.96, "down").otherwise("none"))
+  }
+
   /** Forecast-error metrics of the SEASONAL-NAIVE baseline (forecast =
     * the value `seasonLag` observed periods earlier) — the sanity floor
     * every forecasting pipeline reports before any model: per key, MAE /

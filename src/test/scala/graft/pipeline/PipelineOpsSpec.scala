@@ -1918,4 +1918,90 @@ class PipelineOpsSpec extends SparkSpec {
     val hP = Multimodal.dhash64(16, 16, pngPx._4)
     assert(hT == hP)
   }
+
+  // ===== grid density anomaly =====
+
+  test("gridDensityAnomaly flags hotspots and voids against the 8-neighbor mean") {
+    // 3x3 block of cells each holding 8 points, center cell holds 80
+    val pts = (for { cx <- 0 to 2; cy <- 0 to 2
+                     i <- 1 to (if (cx == 1 && cy == 1) 80 else 8) }
+      yield (cx * 10L + 5L, cy * 10L + (i % 10))).toDF("x", "y")
+    val out = rows(Spatial.gridDensityAnomaly(pts, "x", "y", cellSize = 10L)
+      .orderBy("cx", "cy"))
+    val m = out.map(r => (r(0), r(1)) -> r).toMap
+    val center = m((1L, 1L))
+    assert(center(2) == 80L && center(3) == 64L)
+    assert(center(4) == 10.0 && center(5) == true)     // 80/(64/8) = 10x
+    val corner = m((0L, 0L))
+    assert(corner(3) == 8L + 8L + 80L)                 // 3 neighbors exist
+    // corner rel = 8/(96/8) = 0.667 — below par but not a <=0.5 void
+    assert(math.abs(corner(4).asInstanceOf[Double] - 8.0 / 12.0) < 1e-6)
+    assert(corner(5) == false)
+    // an isolated far-away cell has no neighbors -> NULL, never flags
+    val iso = rows(Spatial.gridDensityAnomaly(
+      pts.unionAll(Seq((900L, 900L)).toDF("x", "y")), "x", "y", 10L)
+      .where(col("cx") === 90L))
+    assert(iso.head(4) == null && iso.head(5) == false)
+  }
+
+  // ===== seasonal anomalies =====
+
+  test("seasonalAnomalies flags the planted spike day and nothing else") {
+    val df = (0 until 28).map { i =>
+      val v = 100.0 + 10 * (i % 7) + (if (i == 17) 500.0 else 0.0)
+      ("k", f"2024-01-${i + 1}%02d 00:00:00", v)
+    }.toDF("k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = rows(TimeSeries.seasonalAnomalies(df, "k", "ts", "v").orderBy("day"))
+    val flagged = out.filter(_(8) == true).map(_(1).asInstanceOf[String])
+    assert(flagged.contains("2024-01-18"), s"spike day missed: $flagged")
+    // the spike contaminates exactly two structures: its +/-3-day trend
+    // window and its own weekday's seasonal mean (1/4 of the spike) —
+    // every flagged day must belong to one of them
+    val spikeDow = Seq("2024-01-04", "2024-01-11", "2024-01-18", "2024-01-25")
+    val window = (15 to 21).map(d => f"2024-01-$d%02d")
+    flagged.foreach { day =>
+      assert(spikeDow.contains(day) || window.contains(day),
+        s"unexplained flag: $day")
+    }
+  }
+
+  // ===== Mann-Kendall =====
+
+  test("mannKendall: rising series up, constant none, tie-variance exact") {
+    val up = (1 to 20).map(i => ("u", f"2024-01-$i%02d 00:00:00", i * 10.0))
+    val flat = (1 to 20).map(i => ("f", f"2024-01-$i%02d 00:00:00", 42.0))
+    val df = (up ++ flat).toDF("k", "ts", "v")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = rows(TimeSeries.mannKendall(df, "k", "ts", "v").orderBy("k"))
+    val f = out.head
+    assert(f(2) == 0L && f(3) == 0.0 && f(4) == "none")
+    val u = out.last
+    assert(u(2) == 190L) // all C(20,2) pairs rising
+    assert(u(4) == "up")
+    // hand z: Var = 20*19*45/18 = 950; z = 189/sqrt(950)
+    assert(math.abs(u(3).asInstanceOf[Double] -
+      BigDecimal(189.0 / math.sqrt(950.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  // ===== Kendall tau =====
+
+  test("kendallTau matches the closed form and handles ties") {
+    // perfect monotone: tau = 1
+    val mono = (1 to 30).map(i => ("g", i.toDouble, i * 2.0)).toDF("g", "x", "y")
+    val r1 = rows(Profile.kendallTau(mono, "g", "x", "y")).head
+    assert(math.abs(r1(4).asInstanceOf[Double] - 1.0) < 1e-12)
+    // anti-monotone: tau = -1
+    val anti = (1 to 30).map(i => ("g", i.toDouble, -i * 2.0)).toDF("g", "x", "y")
+    assert(math.abs(rows(Profile.kendallTau(anti, "g", "x", "y"))
+      .head(4).asInstanceOf[Double] + 1.0) < 1e-12)
+    // hand case with ties: pairs (1,1),(1,2),(2,1),(2,2) one each
+    // C = (1,1)-(2,2) = 1; D = (1,2)-(2,1) = 1; Tx = Ty = 2; n0 = 6
+    // tau = 0 / sqrt((6-2)(6-2)) = 0
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val rt = rows(Profile.kendallTau(tied, "g", "x", "y")).head
+    assert(rt(2) == 1.0 && rt(3) == 1.0)
+    assert(rt(4) == 0.0)
+  }
 }
