@@ -4308,6 +4308,35 @@ object SparkEntry {
       graft.pipeline.Profile.kendallTau(Tables.lineitem(s, d),
         "l_returnflag", "l_quantity", "l_discount"))
 
+  private def qChao1(s: SparkSession, d: String): DataFrame =
+    // Chao1 vocabulary-richness + Good's coverage from the frequency-of-
+    // frequencies: the "is more crawling still buying new content" card.
+    // 3-shingle units: the 31-word closed vocabulary has no rare
+    // unigrams (f1 = f2 = 0 makes Chao1 degenerate); shingles have a
+    // real tail (9,424 singletons of 16,245 distinct at sf0.01).
+    graft.pipeline.Vocab.chao1Richness(Tables.documents(s, d), "text",
+      shingleWidth = 3)
+
+  private def qGoodTuring(s: SparkSession, d: String): DataFrame =
+    // Good-Turing adjusted counts r* for r <= 5; gap rows report NULL.
+    Relational.sort(col("r"))(
+      graft.pipeline.Vocab.goodTuring(Tables.documents(s, d), "text",
+        maxR = 5, shingleWidth = 3))
+
+  private def qWeibull(s: SparkSession, d: String): DataFrame =
+    // Weibull probability-plot fit of extendedprice per return flag:
+    // Benard median ranks at tied-block edges, 6-dp ln decimals.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.weibullFit(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice"))
+
+  private def qBestSplit(s: SparkSession, d: String): DataFrame =
+    // Decision-stump threshold on quantity vs the price>30k label:
+    // prefix-sum class counts, weighted-Gini dag, smallest-threshold tie.
+    Relational.sort(col("l_returnflag"))(
+      graft.pipeline.Profile.bestSplit(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", col("l_extendedprice") > 30000))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4628,6 +4657,10 @@ object SparkEntry {
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_mann_kendall" -> (qMannKendall _),
     "q_kendall" -> (qKendall _),
+    "q_chao1" -> (qChao1 _),
+    "q_good_turing" -> (qGoodTuring _),
+    "q_weibull" -> (qWeibull _),
+    "q_best_split" -> (qBestSplit _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -9279,5 +9312,90 @@ object SparkEntry {
         |FROM tot LEFT JOIN pr ON tot.g = pr.g
         |JOIN tx ON tot.g = tx.g JOIN ty ON tot.g = ty.g
         |ORDER BY 1""".stripMargin,
+    // Chao1 + coverage from the frequency-of-frequencies.
+    "q_chao1" ->
+      """WITH t0 AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+        |wds AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS w
+        |  FROM t0 WHERE len(toks) >= 3),
+        |c AS (SELECT w, count(*) AS c FROM wds GROUP BY w)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  round(CAST(count(*) AS DOUBLE) +
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) *
+        |    (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) - 1.0) /
+        |    (2.0 * (CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)), 6) AS chao1,
+        |  round(1.0 - CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(c) AS DOUBLE), 6) AS coverage
+        |FROM c""".stripMargin,
+    // Good-Turing adjusted counts for r <= 5; gaps yield NULL r*.
+    "q_good_turing" ->
+      """WITH t0 AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+        |wds AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS w
+        |  FROM t0 WHERE len(toks) >= 3),
+        |c AS (SELECT w, count(*) AS c FROM wds GROUP BY w),
+        |fof AS (SELECT c AS r, count(*) AS n_r FROM c GROUP BY c HAVING c <= 6),
+        |l AS (SELECT *, lead(r) OVER (ORDER BY r) AS nr,
+        |  lead(n_r) OVER (ORDER BY r) AS nn FROM fof)
+        |SELECT r, n_r,
+        |  CASE WHEN nr = r + 1 THEN round((CAST(r AS DOUBLE) + 1.0) *
+        |    CAST(nn AS DOUBLE) / CAST(n_r AS DOUBLE), 6) END AS r_star
+        |FROM l WHERE r <= 5 ORDER BY r""".stripMargin,
+    // Weibull plotting fit: Benard ranks at tied-block edges, zipf-style
+    // 6-dp lns, linearFit dag, (19,6) product operands.
+    "q_weibull" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |pv AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |tot AS (SELECT g, count(*) AS n FROM b GROUP BY g),
+        |cum AS (SELECT pv.g, pv.v, tot.n,
+        |  CAST(SUM(pv.c) OVER (PARTITION BY pv.g ORDER BY pv.v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+        |  FROM pv JOIN tot ON pv.g = tot.g),
+        |pts AS (SELECT g, n,
+        |  CAST(round(ln(CAST(v AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+        |  CAST(round(ln(-ln(1.0 - (CAST(cm AS DOUBLE) - 0.3) / (CAST(n AS DOUBLE) + 0.4))), 6) AS DECIMAL(12,6)) AS y
+        |  FROM cum),
+        |m AS (SELECT g, MAX(n) AS n, count(*) AS nd,
+        |  CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM pts GROUP BY g),
+        |sl AS (SELECT *, (CAST(nd AS DOUBLE) * sxy - sx * sy) /
+        |  (CAST(nd AS DOUBLE) * sxx - sx * sx) AS shape FROM m)
+        |SELECT g AS l_returnflag, n, nd AS n_distinct, shape,
+        |  exp(-((sy - shape * sx) / CAST(nd AS DOUBLE)) / shape) AS scale,
+        |  ((CAST(nd AS DOUBLE) * sxy - sx * sy) * (CAST(nd AS DOUBLE) * sxy - sx * sy)) /
+        |  ((CAST(nd AS DOUBLE) * sxx - sx * sx) * (CAST(nd AS DOUBLE) * syy - sy * sy)) AS r2
+        |FROM sl ORDER BY 1""".stripMargin,
+    // Decision stump: prefix class counts, weighted-Gini dag, earliest
+    // threshold on ties.
+    "q_best_split" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_quantity AS x,
+        |  CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |pv AS (SELECT g, x, count(*) AS c, CAST(SUM(y) AS BIGINT) AS p FROM b GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(SUM(c) OVER win AS BIGINT) AS nl,
+        |  CAST(SUM(p) OVER win AS BIGINT) AS pl
+        |  FROM pv WINDOW win AS (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING)),
+        |tot AS (SELECT g, count(*) AS n, CAST(SUM(y) AS BIGINT) AS pos FROM b GROUP BY g),
+        |ca AS (SELECT cum.g, cum.x, cum.nl, cum.pl, tot.n, tot.pos,
+        |  (CAST(nl AS DOUBLE) * (1.0
+        |    - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)) * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |    - ((CAST(nl AS DOUBLE) - CAST(pl AS DOUBLE)) / CAST(nl AS DOUBLE)) * ((CAST(nl AS DOUBLE) - CAST(pl AS DOUBLE)) / CAST(nl AS DOUBLE)))
+        |   + CAST(n - nl AS DOUBLE) * (1.0
+        |    - (CAST(pos - pl AS DOUBLE) / CAST(n - nl AS DOUBLE)) * (CAST(pos - pl AS DOUBLE) / CAST(n - nl AS DOUBLE))
+        |    - ((CAST(n - nl AS DOUBLE) - CAST(pos - pl AS DOUBLE)) / CAST(n - nl AS DOUBLE)) * ((CAST(n - nl AS DOUBLE) - CAST(pos - pl AS DOUBLE)) / CAST(n - nl AS DOUBLE))))
+        |  / CAST(n AS DOUBLE) AS gw
+        |  FROM cum JOIN tot ON cum.g = tot.g WHERE cum.nl < tot.n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY gw ASC, x ASC) AS rn FROM ca)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, x AS threshold,
+        |  round(gw, 6) AS gini, nl AS n_left, pl AS pos_left,
+        |  CAST(n - nl AS BIGINT) AS n_right, CAST(pos - pl AS BIGINT) AS pos_right
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
   )
 }

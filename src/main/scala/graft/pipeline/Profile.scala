@@ -483,6 +483,104 @@ object Profile {
         .as("spearman_rho"))
   }
 
+  /** Group-wise Weibull fit by probability plotting — the reliability
+    * engineer's latency/lifetime model (shape < 1 infant mortality,
+    * ≈ 1 memoryless, > 1 wear-out): one plotting point per DISTINCT
+    * positive value at Benard's median rank F = (c − 0.3)/(n + 0.4)
+    * evaluated at the tied block's inclusive cumulative count c, then
+    * OLS of y = ln(−ln(1−F)) on x = ln(v) — shape = slope, scale =
+    * exp(−intercept/slope). Both lns round to 6 dp decimals (the zipf
+    * convention) and the fit is the linearFit dag over exact sums.
+    * Non-positive values are excluded (no ln).
+    * Output: (group, n, n_distinct, shape, scale, r2). */
+  def weibullFit(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val base = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .where(col("__v").isNotNull && col("__v") > 0)
+    val counts = base.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.groupBy("__g").agg(count(lit(1)).as("n"))
+    val pts = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(tot, Seq("__g"))
+      .withColumn("__F", (col("__cum").cast("double") - lit(0.3)) /
+        (col("n").cast("double") + lit(0.4)))
+      .select(col("__g"), col("n"),
+        round(log(col("__v").cast("double")), 6)
+          .cast("decimal(12,6)").as("__x"),
+        round(log(-log(lit(1.0) - col("__F"))), 6)
+          .cast("decimal(12,6)").as("__y"))
+    val m = pts.groupBy(col("__g"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_distinct"),
+        d(sum(col("__x"))).as("__sx"), d(sum(col("__y"))).as("__sy"),
+        d(sum(col("__x") * col("__y"))).as("__sxy"),
+        d(sum(col("__x") * col("__x"))).as("__sxx"),
+        d(sum(col("__y") * col("__y"))).as("__syy"))
+    val nd = col("n_distinct").cast("double")
+    val withSlope = m.withColumn("shape",
+      (nd * col("__sxy") - col("__sx") * col("__sy")) /
+        (nd * col("__sxx") - col("__sx") * col("__sx")))
+    withSlope.select(col("__g").as(groupCol), col("n"), col("n_distinct"),
+      col("shape"),
+      exp(-((col("__sy") - col("shape") * col("__sx")) / nd) / col("shape"))
+        .as("scale"),
+      (((nd * col("__sxy") - col("__sx") * col("__sy")) *
+        (nd * col("__sxy") - col("__sx") * col("__sy"))) /
+        ((nd * col("__sxx") - col("__sx") * col("__sx")) *
+         (nd * col("__syy") - col("__sy") * col("__sy")))).as("r2"))
+  }
+
+  /** Decision-stump BEST SPLIT on a numeric feature against a binary
+    * label — the scoring primitive inside every tree learner, and the
+    * "which threshold separates good from bad docs" knob a curation
+    * pipeline tunes: every DISTINCT feature value is a candidate
+    * threshold (left: x ≤ v, right: x > v); left class counts are
+    * prefix sums over the per-value class counts, the weighted Gini
+    * impurity (nL·gL + nR·gR)/n is one fixed dag per candidate, and the
+    * argmin folds via min(struct(gini, v)) — ties to the SMALLEST
+    * threshold. Degenerate splits (empty side) are excluded.
+    * Output: (group, n, threshold, gini, n_left, pos_left, n_right,
+    * pos_right). */
+  def bestSplit(df: DataFrame, groupCol: String, xCol: String,
+                labelCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), col(xCol).as("__x"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .where(col("__x").isNotNull)
+    val perV = base.groupBy("__g", "__x")
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.groupBy("__g").agg(count(lit(1)).as("__n"),
+      sum(col("__y")).as("__pos"))
+    val cands = perV
+      .withColumn("__nl", sum(col("__c")).over(w))
+      .withColumn("__pl", sum(col("__p")).over(w))
+      .join(tot, Seq("__g"))
+      .where(col("__nl") < col("__n")) // right side must be non-empty
+    val nl = col("__nl").cast("double")
+    val nr = (col("__n") - col("__nl")).cast("double")
+    val pl = col("__pl").cast("double")
+    val pr = (col("__pos") - col("__pl")).cast("double")
+    def gini(p: Column, n: Column) =
+      lit(1.0) - (p / n) * (p / n) - ((n - p) / n) * ((n - p) / n)
+    val weighted = (nl * gini(pl, nl) + nr * gini(pr, nr)) /
+      col("__n").cast("double")
+    cands
+      .select(col("__g"), col("__n"), col("__pos"),
+        struct(weighted.as("g"), col("__x").as("v"), col("__nl").as("nl"),
+          col("__pl").as("pl")).as("__cand"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"), max(col("__pos")).as("__tp"),
+        min(col("__cand")).as("__m"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("__m.v").as("threshold"), round(col("__m.g"), 6).as("gini"),
+        col("__m.nl").as("n_left"), col("__m.pl").as("pos_left"),
+        (col("n") - col("__m.nl")).as("n_right"),
+        (col("__tp") - col("__m.pl")).as("pos_right"))
+  }
+
   /** Group-wise KENDALL tau-b, tie-aware — the third rank correlation
     * (with Pearson corrExact and [[spearmanCorr]]): concordant/
     * discordant counts fold over PAIRS OF DISTINCT CELLS of the joint

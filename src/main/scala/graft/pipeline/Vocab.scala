@@ -101,4 +101,74 @@ object Vocab {
       .groupBy(col("__p.center").as("center"), col("__p.context").as("context"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** (unit, count) table over unigram tokens or n-token shingles — the
+    * shared input of the richness estimators below. A small closed
+    * vocabulary has no rare UNIGRAMS (every word is frequent), so
+    * richness questions are asked of shingles there. */
+  private def shingleCounts(docs: DataFrame, textCol: String,
+                            width: Int): DataFrame = {
+    require(width >= 1, "shingleCounts: width must be >= 1")
+    val units =
+      if (width == 1)
+        docs.select(explode(Scoring.tokenize(col(textCol))).as("__w"))
+      else
+        docs.select(Scoring.tokenize(col(textCol)).as("__t"))
+          .where(size(col("__t")) >= width)
+          .select(explode(expr(
+            s"transform(sequence(1, size(__t) - ${width - 1}), " +
+              s"i -> array_join(slice(__t, i, $width), ' '))")).as("__w"))
+    units.groupBy("__w").agg(count(lit(1)).as("__c"))
+  }
+
+  /** Chao1 species-richness estimate + Good's coverage over the corpus
+    * vocabulary — the "how much vocabulary haven't we seen yet"
+    * estimator a dedup/curation pipeline uses to decide whether more
+    * crawling still buys new content: from the frequency-of-frequencies
+    * table, Chao1 = D + f₁(f₁−1)/(2(f₂+1)) (the bias-corrected form —
+    * defined even when no doubletons exist) and coverage C = 1 − f₁/N.
+    * Two tiny aggregations over the word-count table; ratios are fixed
+    * dags over exact counts, rounded 6 dp.
+    * Output: 1 row (n_tokens, n_distinct, f1, f2, chao1, coverage). */
+  def chao1Richness(docs: DataFrame, textCol: String,
+                    shingleWidth: Int = 1): DataFrame = {
+    val counts = shingleCounts(docs, textCol, shingleWidth)
+    counts.agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("n_distinct"), col("f1"), col("f2"),
+        round(col("n_distinct").cast("double") +
+          col("f1").cast("double") * (col("f1").cast("double") - lit(1.0)) /
+            (lit(2.0) * (col("f2").cast("double") + lit(1.0))), 6)
+          .as("chao1"),
+        round(lit(1.0) - col("f1").cast("double") /
+          col("n_tokens").cast("double"), 6).as("coverage"))
+  }
+
+  /** Good-Turing adjusted counts r* = (r+1)·S(r+1)/S(r) for the low
+    * frequencies (r ≤ maxR) — the smoothing table an n-gram LM builds
+    * from the same frequency-of-frequencies: how much probability mass
+    * the singletons/doubletons should REALLY carry. Rows where S(r+1)
+    * is zero report NULL r* (the raw estimator is undefined there —
+    * smoothing the S curve is the caller's modeling choice).
+    * Output: (r, n_r, r_star) for r = 1..maxR. */
+  def goodTuring(docs: DataFrame, textCol: String, maxR: Int = 5,
+                 shingleWidth: Int = 1): DataFrame = {
+    require(maxR >= 1, "goodTuring: maxR must be >= 1")
+    val counts = shingleCounts(docs, textCol, shingleWidth)
+    val fof = counts.groupBy(col("__c").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .where(col("r") <= maxR + 1)
+    val w = Window.orderBy(col("r").asc)
+    fof
+      .withColumn("__nextR", lead(col("r"), 1).over(w))
+      .withColumn("__nextN", lead(col("n_r"), 1).over(w))
+      .where(col("r") <= maxR)
+      .select(col("r"), col("n_r"),
+        when(col("__nextR") === col("r") + 1,
+          round((col("r").cast("double") + lit(1.0)) *
+            col("__nextN").cast("double") / col("n_r").cast("double"), 6))
+          .as("r_star"))
+  }
 }

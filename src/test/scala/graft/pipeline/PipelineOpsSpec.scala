@@ -2004,4 +2004,68 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rt(2) == 1.0 && rt(3) == 1.0)
     assert(rt(4) == 0.0)
   }
+
+  // ===== richness estimators =====
+
+  test("chao1Richness: hand-counted frequency-of-frequencies") {
+    // corpus: a a a b b c d  -> D=4, f1={c,d}=2, f2={b}=1, N=7
+    val df = Seq("a a a b b c d").toDF("text")
+    val r = rows(Vocab.chao1Richness(df, "text")).head
+    assert(r(0) == 7L && r(1) == 4L && r(2) == 2L && r(3) == 1L)
+    // chao1 = 4 + 2*1/(2*(1+1)) = 4.5; coverage = 1 - 2/7
+    assert(r(4) == 4.5)
+    assert(math.abs(r(5).asInstanceOf[Double] - (1.0 - 2.0 / 7.0)) < 1e-6)
+    // no singletons -> chao1 = D, coverage = 1
+    val dup = Seq("x x y y").toDF("text")
+    val r2 = rows(Vocab.chao1Richness(dup, "text")).head
+    assert(r2(4) == 2.0 && r2(5) == 1.0)
+  }
+
+  test("goodTuring: r* from adjacent frequency classes, NULL on gaps") {
+    // counts: 3 singletons, 1 doubleton, 1 five-fold
+    val df = Seq("a b c d d e e e e e").toDF("text")
+    val out = rows(Vocab.goodTuring(df, "text", maxR = 5))
+      .map(r => r(0) -> (r(1), r(2))).toMap
+    // r=1: n1=3, n2=1 -> r* = 2*1/3
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2.asInstanceOf[Double] - 2.0 / 3.0) < 1e-6)
+    // r=2: next class (r=3) missing -> NULL
+    assert(out(2L)._2 == null)
+    assert(!out.contains(3L)) // S(3) = 0: no row at all
+  }
+
+  // ===== Weibull =====
+
+  test("weibullFit recovers shape/scale from exact Weibull quantiles") {
+    // plant points AT the plotting positions of a Weibull(k=2, lam=10):
+    // v_i = lam * (-ln(1 - F_i))^(1/k) makes the log-log fit exact
+    val n = 40
+    val vs = (1 to n).map { i =>
+      val f = (i - 0.3) / (n + 0.4)
+      10.0 * math.pow(-math.log(1.0 - f), 0.5)
+    }
+    val df = vs.map(v => ("g", v)).toDF("g", "v")
+    val r = rows(Profile.weibullFit(df, "g", "v")).head
+    assert(math.abs(r(3).asInstanceOf[Double] - 2.0) < 0.01,
+      s"shape should be ~2: ${r(3)}")
+    assert(math.abs(r(4).asInstanceOf[Double] - 10.0) < 0.1,
+      s"scale should be ~10: ${r(4)}")
+    assert(r(5).asInstanceOf[Double] > 0.9999)
+  }
+
+  // ===== best split =====
+
+  test("bestSplit finds the exact separating threshold") {
+    // label is TRUE exactly when x > 7: splitting at 7 is pure
+    val df = (1 to 20).map(i => ("g", i.toDouble, i > 7)).toDF("g", "x", "lbl")
+    val r = rows(Profile.bestSplit(df, "g", "x", col("lbl"))).head
+    assert(r(2) == 7.0)
+    assert(r(3) == 0.0)                    // pure split
+    assert(r(4) == 7L && r(5) == 0L)       // left: 7 rows, 0 positives
+    assert(r(6) == 13L && r(7) == 13L)     // right: 13 rows, all positive
+    // tie-break: constant label -> every split equally bad -> smallest x
+    val const = (1 to 10).map(i => ("g", i.toDouble, true)).toDF("g", "x", "lbl")
+    val rc = rows(Profile.bestSplit(const, "g", "x", col("lbl"))).head
+    assert(rc(2) == 1.0 && rc(3) == 0.0)
+  }
 }
