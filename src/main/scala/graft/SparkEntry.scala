@@ -4337,6 +4337,34 @@ object SparkEntry {
       graft.pipeline.Profile.bestSplit(Tables.lineitem(s, d),
         "l_returnflag", "l_quantity", col("l_extendedprice") > 30000))
 
+  private def qFertility(s: SparkSession, d: String): DataFrame =
+    // Tokenizer fertility per language: exact regexp-unit counts, 6-dp
+    // rate dags.
+    Relational.sort(col("lang"))(
+      graft.pipeline.TextAnalysis.fertilityProfile(Tables.documents(s, d),
+        "text", "lang"))
+
+  private def qLangidEval(s: SparkSession, d: String): DataFrame =
+    // Language-ID confusion vs the labeled lang column: per-cell counts
+    // and shares (diagonal share = per-label recall).
+    Relational.sort(col("label"), col("pred"))(
+      graft.pipeline.TextAnalysis.langIdEval(Tables.documents(s, d),
+        "text", "lang"))
+
+  private def qLabelCentroids(s: SparkSession, d: String): DataFrame =
+    // Per-label quantized centroids: exact integer sums, FLOOR-divided
+    // means (Spark div truncates — the pmod correction is load-bearing).
+    Relational.sort(col("label"), col("dim"))(
+      graft.pipeline.Similarity.labelCentroids(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label"))
+
+  private def qEmbeddingDrift(s: SparkSession, d: String): DataFrame =
+    // Per-label drift between corpus halves: cosine of the halves' sum
+    // vectors (scale-invariant — no means, no per-row doubles).
+    Relational.sort(col("label"))(
+      graft.pipeline.Similarity.embeddingDrift(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", pmod(col("vec_id"), lit(2L))))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4661,6 +4689,10 @@ object SparkEntry {
     "q_good_turing" -> (qGoodTuring _),
     "q_weibull" -> (qWeibull _),
     "q_best_split" -> (qBestSplit _),
+    "q_fertility" -> (qFertility _),
+    "q_langid_eval" -> (qLangidEval _),
+    "q_label_centroids" -> (qLabelCentroids _),
+    "q_embedding_drift" -> (qEmbeddingDrift _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -9397,5 +9429,69 @@ object SparkEntry {
         |  round(gw, 6) AS gini, nl AS n_left, pl AS pos_left,
         |  CAST(n - nl AS BIGINT) AS n_right, CAST(pos - pl AS BIGINT) AS pos_right
         |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+    // Tokenizer fertility: exact regexp-unit counts per language.
+    "q_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS n_units,
+        |  round(CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE) /
+        |    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE), 6) AS fertility,
+        |  round(CAST(SUM(length(text)) AS DOUBLE) /
+        |    CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE), 6) AS chars_per_unit
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Language-ID confusion: the q_text_langid scoring chain grouped.
+    "q_langid_eval" ->
+      """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |(CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' a ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END) AS s_en,
+        |(CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' das ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END) AS s_de,
+        |(CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' de ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' y ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END) AS s_es,
+        |(CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr,
+        |(CASE WHEN contains(p, ' 的 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 是 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 了 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 在 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 我 ') THEN 1 ELSE 0 END) AS s_zh
+        |FROM sc),
+        |pred AS (SELECT lang AS label,
+        |CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+        |WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+        |ELSE 'und' END AS pred FROM s),
+        |cells AS (SELECT label, pred, count(*) AS n FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT label, CAST(SUM(n) AS BIGINT) AS label_total FROM cells GROUP BY label)
+        |SELECT cells.label, cells.pred, cells.n, tot.label_total,
+        |  round(CAST(cells.n AS DOUBLE) / CAST(tot.label_total AS DOUBLE), 6) AS share
+        |FROM cells JOIN tot ON cells.label = tot.label
+        |ORDER BY 1, 2""".stripMargin,
+    // Label centroids: exact integer sums, FLOOR-divided (the kmeans
+    // oracle's pmod form).
+    "q_label_centroids" ->
+      """WITH q AS (SELECT label, CAST(i AS INTEGER) AS dim,
+        |  CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) gs),
+        |g AS (SELECT label, dim, CAST(SUM(x) AS BIGINT) AS vec_sum, count(*) AS n
+        |  FROM q GROUP BY 1, 2)
+        |SELECT label, dim, vec_sum, n,
+        |  CAST((vec_sum - (((vec_sum % n) + n) % n)) // n AS BIGINT) AS centroid
+        |FROM g ORDER BY label, dim""".stripMargin,
+    // Embedding drift: cosine of the halves' exact sum vectors.
+    "q_embedding_drift" ->
+      """WITH q AS (SELECT label, vec_id % 2 AS h, CAST(i AS INTEGER) AS dim,
+        |  CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) gs),
+        |s AS (SELECT label, dim,
+        |  CAST(SUM(CASE WHEN h = 0 THEN x ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN h <> 0 THEN x ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(SUM(CASE WHEN h <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM q GROUP BY 1, 2),
+        |f AS (SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CAST(CAST(SUM(CAST(a AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS dt,
+        |  CAST(CAST(SUM(CAST(a AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS aa,
+        |  CAST(CAST(SUM(CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS bb
+        |  FROM s GROUP BY label)
+        |SELECT label, n_a, n_b,
+        |  round(dt / (sqrt(aa) * sqrt(bb)), 6) AS cosine_drift
+        |FROM f ORDER BY label""".stripMargin,
   )
 }

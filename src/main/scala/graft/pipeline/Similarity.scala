@@ -308,6 +308,65 @@ object Similarity {
     df.select(col(idCol), posexplode(array(outs: _*)).as(Seq("rp_dim", "rp_value")))
   }
 
+  /** Per-label embedding centroids over floor-quantized coordinates —
+    * exact integer sums and floor-divided means (the kmeansQuantized
+    * arithmetic), so the centroid table is bit-identical under any
+    * partitioning and SQL-replayable. The long-form (label, dim) output
+    * is the routing/drift metadata a corpus pipeline stores per release.
+    * Output: (label, dim, vec_sum, n, centroid). */
+  def labelCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, scale: Int = 1000): DataFrame = {
+    val q = df.select(col(labelCol).as("label"),
+        transform(asDoubleVec(col(vecCol)),
+          x => floor(x * lit(scale.toDouble)).cast("long")).as("__q"))
+      .where(col("label").isNotNull && col("__q").isNotNull)
+    q.select(col("label"), posexplode(col("__q")).as(Seq("dim", "__x")))
+      .groupBy("label", "dim")
+      .agg(sum(col("__x")).as("vec_sum"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), col("vec_sum"), col("n"),
+        // FLOOR division (Spark's `div` truncates toward zero, which
+        // disagrees with floor on the negative sums centered embeddings
+        // produce): subtract the nonneg pmod first, then divide exactly
+        expr("(vec_sum - pmod(vec_sum, n)) div n").as("centroid"))
+  }
+
+  /** Embedding drift per label between two deterministic halves of the
+    * corpus — "did this domain's embedding distribution move?": cosine
+    * between the two halves' per-label SUM vectors (cosine is scale-
+    * invariant, so the sum vector IS the mean direction — no division,
+    * no per-row doubles). Quantized integer sums; the dot/norm terms
+    * ride DECIMAL (per-dim products pass 2^53 at corpus scale) and
+    * cross the digit-string hop once. Output: (label, n_a, n_b,
+    * cosine_drift rounded 6 dp). */
+  def embeddingDrift(df: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, halfExpr: Column,
+                     scale: Int = 1000): DataFrame = {
+    def d(c: Column) = c.cast("string").cast("double")
+    val q = df.select(col(labelCol).as("label"), halfExpr.as("__h"),
+        transform(asDoubleVec(col(vecCol)),
+          x => floor(x * lit(scale.toDouble)).cast("long")).as("__q"))
+      .where(col("label").isNotNull && col("__q").isNotNull)
+    val sums = q
+      .select(col("label"), col("__h"),
+        posexplode(col("__q")).as(Seq("__dim", "__x")))
+      .groupBy("label", "__dim")
+      .agg(sum(when(col("__h") === 0, col("__x")).otherwise(0L)).as("__a"),
+        sum(when(col("__h") =!= 0, col("__x")).otherwise(0L)).as("__b"),
+        sum(when(col("__h") === 0, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__h") =!= 0, 1L).otherwise(0L)).as("__nb"))
+    val folded = sums.groupBy("label")
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        d(sum(col("__a").cast("decimal(19,0)") *
+          col("__b").cast("decimal(19,0)"))).as("__dot"),
+        d(sum(col("__a").cast("decimal(19,0)") *
+          col("__a").cast("decimal(19,0)"))).as("__aa"),
+        d(sum(col("__b").cast("decimal(19,0)") *
+          col("__b").cast("decimal(19,0)"))).as("__bb"))
+    folded.select(col("label"), col("n_a"), col("n_b"),
+      round(col("__dot") / (sqrt(col("__aa")) * sqrt(col("__bb"))), 6)
+        .as("cosine_drift"))
+  }
+
   /** SIMPLIFIED silhouette over the [[kmeansQuantized]] clustering — the
     * cluster-quality score a recipe ledger records next to k: per point,
     * a = distance to its own centroid, b = distance to the nearest OTHER

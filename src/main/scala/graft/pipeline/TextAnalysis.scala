@@ -337,6 +337,46 @@ object TextAnalysis {
       round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w), 6))
   }
 
+  /** Tokenizer fertility profile per language — the "how expensive is
+    * this language to tokenize" card an LLM data pipeline reads before
+    * fixing a token budget: per `langCol`, document/char/word/BPE-ish
+    * unit counts and the two derived rates (fertility = units per
+    * whitespace word; chars per unit). Counts are exact longs from
+    * codegen'd regexp counting; rates are fixed dags rounded 6 dp.
+    * One aggregation — no shuffle beyond it. */
+  def fertilityProfile(docs: DataFrame, textCol: String,
+                       langCol: String): DataFrame = {
+    val agg = docs.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(charCount(col(textCol)).cast("long")).as("n_chars"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_words"),
+        sum(bpeishTokenCount(col(textCol)).cast("long")).as("n_units"))
+    agg.select(col(langCol), col("n_docs"), col("n_chars"),
+      col("n_words"), col("n_units"),
+      round(col("n_units").cast("double") /
+        col("n_words").cast("double"), 6).as("fertility"),
+      round(col("n_chars").cast("double") /
+        col("n_units").cast("double"), 6).as("chars_per_unit"))
+  }
+
+  /** Language-ID confusion table against labeled truth — the evaluation
+    * every heuristic classifier owes its users: per (true label,
+    * predicted) cell the count, the label's total, and the cell's share
+    * of it (the diagonal share is per-label recall). One projection +
+    * one (label, pred) aggregate + a label-window total. */
+  def langIdEval(docs: DataFrame, textCol: String,
+                 labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs.select(col(labelCol).as("label"),
+        langId(col(textCol)).as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("label"))
+    cells.withColumn("label_total", sum(col("n")).over(w))
+      .select(col("label"), col("pred"), col("n"), col("label_total"),
+        round(col("n").cast("double") /
+          col("label_total").cast("double"), 6).as("share"))
+  }
+
   /** Simplified Soundex phonetic code — the record-linkage blocking key
     * that pairs "SMITH" with "SMYTHE" (reference family: fuzzy matching;
     * phonetic blocking is the classic cheap pre-filter before edit

@@ -2068,4 +2068,70 @@ class PipelineOpsSpec extends SparkSpec {
     val rc = rows(Profile.bestSplit(const, "g", "x", col("lbl"))).head
     assert(rc(2) == 1.0 && rc(3) == 0.0)
   }
+
+  // ===== fertility / langid eval =====
+
+  test("fertilityProfile counts units the BPE-ish way") {
+    val df = Seq(("en", "hello, world 42"), ("en", "a b"), ("de", "!!"))
+      .toDF("lang", "text")
+    val out = rows(TextAnalysis.fertilityProfile(df, "text", "lang")
+      .orderBy("lang")).map(r => r(0) -> r).toMap
+    val de = out("de")
+    assert(de(1) == 1L && de(3) == 1L && de(4) == 2L) // "!!" = 1 word, 2 punct units
+    val en = out("en")
+    // "hello, world 42": units hello|,|world|42 = 4; "a b": 2 -> 6 units
+    assert(en(3) == 5L && en(4) == 6L) // words: 3 + 2
+    assert(math.abs(en(5).asInstanceOf[Double] - 1.2) < 1e-9)
+  }
+
+  test("langIdEval shares sum to 1 per label and diagonal dominates") {
+    val df = Seq(
+      ("en", "the cat is of the house and a dog"),
+      ("en", "a list of the things and is"),
+      ("de", "der hund und die katze ist das haus"),
+      ("de", "xyzzy plugh")) // unmatchable -> und
+      .toDF("lang", "text")
+    val out = rows(TextAnalysis.langIdEval(df, "text", "lang"))
+    val byLabel = out.groupBy(_(0))
+    byLabel.foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_(4).asInstanceOf[Double]).sum - 1.0) < 1e-6)
+    }
+    val m = out.map(r => (r(0), r(1)) -> r(2)).toMap
+    assert(m(("en", "en")) == 2L)
+    assert(m(("de", "de")) == 1L && m(("de", "und")) == 1L)
+  }
+
+  // ===== label centroids / drift =====
+
+  test("labelCentroids floor-divides negative sums correctly") {
+    // binary-exact fractions only — a float like -0.0015f carries
+    // representation noise that shifts the floor
+    val df = Seq(
+      (1L, Array(-0.5f, 0.25f), 0),
+      (2L, Array(-0.5f, 0.25f), 0)).toDF("vec_id", "embedding", "label")
+    val out = rows(Similarity.labelCentroids(df, "vec_id", "embedding", "label")
+      .orderBy("dim"))
+    assert(out(0)(2) == -1000L && out(0)(4) == -500L)
+    assert(out(1)(2) == 500L && out(1)(4) == 250L)
+    // an odd negative sum must FLOOR, not truncate: -63 div 2 = -32
+    val odd = Seq(
+      (1L, Array(-0.0625f), 0), (2L, Array(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(rows(Similarity.labelCentroids(odd, "vec_id", "embedding", "label"))
+      .head(4) == -32L)
+  }
+
+  test("embeddingDrift: identical halves 1.0, opposite halves -1.0") {
+    val same = (1L to 8L).map(i => (i, Array(0.5f, 0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r1 = rows(Similarity.embeddingDrift(same, "vec_id", "embedding",
+      "label", pmod(col("vec_id"), lit(2L)))).head
+    assert(r1(1) == 4L && r1(2) == 4L && r1(3) == 1.0)
+    val opp = (1L to 8L).map(i =>
+      (i, if (i % 2 == 0) Array(0.5f, 0.25f) else Array(-0.5f, -0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r2 = rows(Similarity.embeddingDrift(opp, "vec_id", "embedding",
+      "label", pmod(col("vec_id"), lit(2L)))).head
+    assert(r2(3) == -1.0)
+  }
 }
