@@ -4365,6 +4365,26 @@ object SparkEntry {
       graft.pipeline.Similarity.embeddingDrift(Tables.embeddings(s, d),
         "vec_id", "embedding", "label", pmod(col("vec_id"), lit(2L))))
 
+  private def qKappa(s: SparkSession, d: String): DataFrame =
+    // Cohen's kappa between the langId heuristic and the labeled lang:
+    // chance-corrected agreement, one cell aggregate + marginal windows.
+    graft.pipeline.Profile.cohensKappa(Tables.documents(s, d),
+      graft.pipeline.TextAnalysis.langId(col("text")), col("lang"))
+
+  private def qDupMatrix(s: SparkSession, d: String): DataFrame = {
+    // Cross-source duplication matrix over the q_dedup_ngram pair
+    // stream: mirror-site mass (cross cells) vs within-crawl
+    // boilerplate (diagonal). An exact-fingerprint form would be empty
+    // at sf0.01 (the planted copies are NEAR-dups), so the near-dup
+    // pair stream is the meaningful input.
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.lengthBucketJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, bucketWidth = 8, shingleLen = 2)
+    Relational.sort(col("source_a"), col("source_b"))(
+      graft.pipeline.Dedup.crossSourceDupMatrix(pairs, "id1", "id2",
+        docs, "doc_id", "source"))
+  }
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4693,6 +4713,8 @@ object SparkEntry {
     "q_langid_eval" -> (qLangidEval _),
     "q_label_centroids" -> (qLabelCentroids _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
+    "q_kappa" -> (qKappa _),
+    "q_dup_matrix" -> (qDupMatrix _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -9493,5 +9515,43 @@ object SparkEntry {
         |SELECT label, n_a, n_b,
         |  round(dt / (sqrt(aa) * sqrt(bb)), 6) AS cosine_drift
         |FROM f ORDER BY label""".stripMargin,
+    // Cohen's kappa: the langid prediction chain + the diagonal
+    // row-times-column identity for pe.
+    "q_kappa" ->
+      """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |(CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' a ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END) AS s_en,
+        |(CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' das ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END) AS s_de,
+        |(CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' de ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' y ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END) AS s_es,
+        |(CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr,
+        |(CASE WHEN contains(p, ' 的 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 是 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 了 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 在 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 我 ') THEN 1 ELSE 0 END) AS s_zh
+        |FROM sc),
+        |pr AS (SELECT
+        |CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+        |WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+        |ELSE 'und' END AS a, lang AS b FROM s),
+        |cells AS (SELECT a, b, count(*) AS c FROM pr GROUP BY 1, 2),
+        |mg AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY a) AS BIGINT) AS ra,
+        |  CAST(SUM(c) OVER (PARTITION BY b) AS BIGINT) AS cb FROM cells),
+        |f AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag,
+        |  CAST(CAST(SUM(CASE WHEN a = b THEN CAST(ra AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE) AS pexn
+        |  FROM mg),
+        |g AS (SELECT n, CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |  pexn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe FROM f)
+        |SELECT n, po, pe, (po - pe) / (1.0 - pe) AS kappa FROM g""".stripMargin,
+    // Cross-source dup matrix over the ngram near-dup pair stream.
+    "q_dup_matrix" ->
+      s"""WITH $NgramPairsCte,
+        |src AS (SELECT doc_id, source FROM documents),
+        |m AS (SELECT least(a.source, b.source) AS source_a,
+        |  greatest(a.source, b.source) AS source_b
+        |  FROM jp JOIN src a ON jp.id1 = a.doc_id
+        |  JOIN src b ON jp.id2 = b.doc_id)
+        |SELECT source_a, source_b, count(*) AS dup_pairs
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -671,6 +671,29 @@ object Dedup {
       .select("id1", "id2", "jac")
   }
 
+  /** Cross-source duplication matrix — WHERE do the duplicates come
+    * from: given any near-dup PAIR stream (exact, MinHash, n-gram,
+    * SimHash — they all emit (id1, id2)) and the doc→source map, count
+    * pairs per unordered source combination. Cross-source mass means
+    * mirror sites; diagonal mass means within-crawl boilerplate — the
+    * split decides which dedup pass to tighten. Two id-keyed joins +
+    * one cell aggregate; sources canonicalize via least/greatest.
+    * Output: (source_a, source_b, dup_pairs). */
+  def crossSourceDupMatrix(pairs: DataFrame, id1: String, id2: String,
+                           docs: DataFrame, idCol: String,
+                           sourceCol: String): DataFrame = {
+    val src = docs.select(col(idCol).as("__id"), col(sourceCol).as("__src"))
+    pairs.select(col(id1).as("__i1"), col(id2).as("__i2"))
+      .join(src.select(col("__id").as("__i1"), col("__src").as("__sa")),
+        Seq("__i1"))
+      .join(src.select(col("__id").as("__i2"), col("__src").as("__sb")),
+        Seq("__i2"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("dup_pairs"))
+  }
+
   /** Directional CONTAINMENT-similarity join: ordered pairs (id1, id2)
     * where |T₁∩T₂|/|T₁| ≥ threshold — "document 1 is mostly contained in
     * document 2", the quote/excerpt/subset-detection asymmetric

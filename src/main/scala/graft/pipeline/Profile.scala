@@ -483,6 +483,39 @@ object Profile {
         .as("spearman_rho"))
   }
 
+  /** Cohen's kappa between two categorical columns — chance-corrected
+    * agreement (label-quality audits, model-vs-heuristic, annotator
+    * pairs): po = diagonal mass, pe = Σ row·col marginal products / n²,
+    * κ = (po − pe)/(1 − pe). One (a, b) cell aggregation; marginals are
+    * window sums OVER THE CELLS (the chiSquare shape); the fold is one
+    * fixed dag over exact counts. Rows with a NULL on either side are
+    * excluded. Output: 1 row (n, po, pe, kappa). */
+  def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("__a"), bCol.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    val wa = Window.partitionBy("__a")
+    val wb = Window.partitionBy("__b")
+    val m = cells
+      .withColumn("__ra", sum(col("__c")).over(wa))
+      .withColumn("__cb", sum(col("__c")).over(wb))
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("__a") === col("__b"), col("__c"))
+          .otherwise(0L)).as("__diag"),
+        // pe numerator = Σ_k row_k·col_k; summing row·col over the
+        // DIAGONAL cells only would miss classes never predicted — but a
+        // class absent from one side contributes row·0, so summing over
+        // cells where __a = __b IS the complete Σ_k row_k·col_k
+        sum(when(col("__a") === col("__b"),
+          col("__ra").cast("decimal(19,0)") * col("__cb").cast("decimal(19,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__pexn"))
+    val nd = col("n").cast("double")
+    val po = col("__diag").cast("double") / nd
+    val pe = col("__pexn").cast("string").cast("double") / (nd * nd)
+    m.select(col("n"), po.as("po"), pe.as("pe"))
+      .withColumn("kappa", (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+  }
+
   /** Group-wise Weibull fit by probability plotting — the reliability
     * engineer's latency/lifetime model (shape < 1 infant mortality,
     * ≈ 1 memoryless, > 1 wear-out): one plotting point per DISTINCT

@@ -2134,4 +2134,41 @@ class PipelineOpsSpec extends SparkSpec {
       "label", pmod(col("vec_id"), lit(2L)))).head
     assert(r2(3) == -1.0)
   }
+
+  // ===== Cohen's kappa =====
+
+  test("cohensKappa: perfect agreement 1, chance-level ~0, textbook case exact") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("c", "c"))
+      .toDF("x", "y")
+    assert(rows(Profile.cohensKappa(perfect, col("x"), col("y")))
+      .head(3) == 1.0)
+    // the classic 2x2 example: 20/5/10/15 -> po=0.7, pe=0.5, kappa=0.4
+    val counts = Seq(("y", "y", 20), ("y", "n", 5), ("n", "y", 10), ("n", "n", 15))
+    val df = counts.flatMap { case (a, b, n) => Seq.fill(n)((a, b)) }
+      .toDF("x", "y")
+    val r = rows(Profile.cohensKappa(df, col("x"), col("y"))).head
+    assert(r(0) == 50L)
+    assert(math.abs(r(1).asInstanceOf[Double] - 0.7) < 1e-12)
+    assert(math.abs(r(2).asInstanceOf[Double] - 0.5) < 1e-12)
+    assert(math.abs(r(3).asInstanceOf[Double] - 0.4) < 1e-12)
+    // a class one rater never uses still contributes its marginals
+    val skew = Seq(("a", "a"), ("a", "b"), ("a", "a")).toDF("x", "y")
+    val rs = rows(Profile.cohensKappa(skew, col("x"), col("y"))).head
+    // po = 2/3; pe = (3*2)/9 = 2/3 -> kappa = 0
+    assert(math.abs(rs(3).asInstanceOf[Double]) < 1e-12)
+  }
+
+  // ===== cross-source dup matrix =====
+
+  test("crossSourceDupMatrix canonicalizes source pairs") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val docs = Seq((1L, "web"), (2L, "wiki"), (3L, "web"),
+      (4L, "wiki"), (5L, "wiki")).toDF("doc_id", "source")
+    val out = rows(Dedup.crossSourceDupMatrix(pairs, "id1", "id2",
+      docs, "doc_id", "source").orderBy("source_a", "source_b"))
+      .map(r => (r(0), r(1), r(2)))
+    // (1,2): web-wiki; (1,3): web-web; (2,3): web-wiki canon; (4,5): wiki-wiki
+    assert(out == Seq(("web", "web", 1L), ("web", "wiki", 2L),
+      ("wiki", "wiki", 1L)))
+  }
 }
