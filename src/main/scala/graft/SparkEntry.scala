@@ -4385,6 +4385,21 @@ object SparkEntry {
         docs, "doc_id", "source"))
   }
 
+  private def qWilson(s: SparkSession, d: String): DataFrame =
+    // Wilson CI of the purchase share per ISO weekday: exact counts,
+    // one fixed dag, 6-dp bounds.
+    Relational.sort(col("dow"))(
+      graft.pipeline.Profile.wilsonInterval(
+        Tables.events(s, d).select(
+          dayofweek(col("ts")).as("dow"), col("event_type")),
+        "dow", col("event_type") === "purchase"))
+
+  private def qTopkStability(s: SparkSession, d: String): DataFrame =
+    // Top-20 parts by revenue in each order-parity half: overlap +
+    // Jaccard — the leaderboard-stability diagnostic.
+    graft.pipeline.Profile.topkStability(Tables.lineitem(s, d),
+      "l_partkey", "l_extendedprice", pmod(col("l_orderkey"), lit(2L)), k = 20)
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4715,6 +4730,8 @@ object SparkEntry {
     "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_kappa" -> (qKappa _),
     "q_dup_matrix" -> (qDupMatrix _),
+    "q_wilson" -> (qWilson _),
+    "q_topk_stability" -> (qTopkStability _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -9553,5 +9570,34 @@ object SparkEntry {
         |  JOIN src b ON jp.id2 = b.doc_id)
         |SELECT source_a, source_b, count(*) AS dup_pairs
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Wilson interval: exact counts, fixed dag (Spark dayofweek = DuckDB
+    // dayofweek + 1, the seasonal-decompose convention).
+    "q_wilson" ->
+      """WITH b AS (SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events),
+        |m AS (SELECT dow, count(*) AS n, CAST(SUM(y) AS BIGINT) AS successes FROM b GROUP BY dow),
+        |c AS (SELECT dow, n, successes,
+        |  CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |  3.8416 AS z2, 1.96 AS z FROM m),
+        |w AS (SELECT dow, n, successes, p,
+        |  (p + z2 / (2.0 * CAST(n AS DOUBLE))) / (1.0 + z2 / CAST(n AS DOUBLE)) AS center,
+        |  (z * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE) + z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / (1.0 + z2 / CAST(n AS DOUBLE)) AS half
+        |  FROM c)
+        |SELECT dow, n, successes, round(p, 6) AS rate,
+        |  round(center - half, 6) AS wilson_lo,
+        |  round(center + half, 6) AS wilson_hi
+        |FROM w ORDER BY dow""".stripMargin,
+    // Top-k stability: per-half TakeOrdered replayed as ROW_NUMBER.
+    "q_topk_stability" ->
+      """WITH per AS (SELECT l_orderkey % 2 AS h, l_partkey AS k,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT h, k, ROW_NUMBER() OVER (PARTITION BY h ORDER BY v DESC, k ASC) AS rn FROM per),
+        |t0 AS (SELECT k FROM r WHERE h = 0 AND rn <= 20),
+        |t1 AS (SELECT k FROM r WHERE h = 1 AND rn <= 20),
+        |c AS (SELECT count(*) AS n_common FROM t0 JOIN t1 USING (k))
+        |SELECT CAST(20 AS BIGINT) AS k, n_common,
+        |  round(CAST(n_common AS DOUBLE) / (40.0 - CAST(n_common AS DOUBLE)), 6) AS jaccard
+        |FROM c""".stripMargin,
   )
 }

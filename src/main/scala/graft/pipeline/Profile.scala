@@ -483,6 +483,53 @@ object Profile {
         .as("spearman_rho"))
   }
 
+  /** Wilson score interval per group for a boolean outcome — the
+    * dashboard-grade proportion CI that behaves at small n and extreme
+    * p̂ where the naive normal interval fails (it can leave [0,1]):
+    * center (p̂ + z²/2n)/(1 + z²/n), half-width z·√(p̂(1−p̂)/n +
+    * z²/4n²)/(1 + z²/n). Counts exact; the interval is one fixed dag
+    * per group, rounded 6 dp. Output: (group, n, successes, rate,
+    * wilson_lo, wilson_hi). */
+  def wilsonInterval(df: DataFrame, groupCol: String, successCol: Column,
+                     z: Double = 1.96): DataFrame = {
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("successes"))
+    val nd = col("n").cast("double")
+    val p = col("successes").cast("double") / nd
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nd
+    val center = (p + z2 / (lit(2.0) * nd)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nd +
+      z2 / (lit(4.0) * nd * nd))) / denom
+    m.select(col(groupCol), col("n"), col("successes"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+
+  /** Top-k leaderboard stability between two deterministic halves of
+    * the data — "is this ranking signal or noise": aggregate the metric
+    * per (half, key), take each half's top-k (ties broken by key — an
+    * engine-exact total order), and report the overlap and its Jaccard.
+    * The top-k runs as TakeOrdered per half (distributed, no global
+    * window); the overlap join is k×k tiny. Output: 1 row (k, n_common,
+    * jaccard). */
+  def topkStability(df: DataFrame, keyCol: String, valueCol: String,
+                    halfExpr: Column, k: Int): DataFrame = {
+    require(k >= 1, "topkStability: k must be >= 1")
+    val per = df.groupBy(halfExpr.as("__h"), col(keyCol).as("__k"))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
+    def top(h: Int) = per.where(col("__h") === h)
+      .orderBy(col("__v").desc, col("__k").asc).limit(k)
+      .select(col("__k"))
+    val common = top(0).join(top(1), Seq("__k"))
+      .agg(count(lit(1)).as("n_common"))
+    common.select(lit(k.toLong).as("k"), col("n_common"),
+      round(col("n_common").cast("double") /
+        (lit(2.0 * k) - col("n_common").cast("double")), 6).as("jaccard"))
+  }
+
   /** Cohen's kappa between two categorical columns — chance-corrected
     * agreement (label-quality audits, model-vs-heuristic, annotator
     * pairs): po = diagonal mass, pe = Σ row·col marginal products / n²,

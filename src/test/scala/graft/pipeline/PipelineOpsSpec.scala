@@ -2171,4 +2171,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Seq(("web", "web", 1L), ("web", "wiki", 2L),
       ("wiki", "wiki", 1L)))
   }
+
+  // ===== Wilson interval =====
+
+  test("wilsonInterval brackets the rate and stays inside [0, 1]") {
+    val df = (1 to 100).map(i => ("g", i <= 3)).toDF("g", "s") // 3% rate
+    val r = rows(Profile.wilsonInterval(df, "g", col("s"))).head
+    assert(r(1) == 100L && r(2) == 3L && r(3) == 0.03)
+    val (lo, hi) = (r(4).asInstanceOf[Double], r(5).asInstanceOf[Double])
+    assert(lo > 0.0 && lo < 0.03 && hi > 0.03 && hi < 1.0)
+    // hand value: Wilson 95% for 3/100 = [0.010257, 0.084519]
+    assert(math.abs(lo - 0.010257) < 1e-4 && math.abs(hi - 0.084519) < 1e-4)
+    // extreme p-hat = 0: the naive interval collapses to [0,0]; Wilson
+    // keeps a positive upper bound
+    val zero = (1 to 50).map(_ => ("z", false)).toDF("g", "s")
+    val rz = rows(Profile.wilsonInterval(zero, "g", col("s"))).head
+    assert(rz(4) == 0.0 && rz(5).asInstanceOf[Double] > 0.0)
+  }
+
+  // ===== top-k stability =====
+
+  test("topkStability: identical halves 1.0, disjoint 0.0") {
+    val same = (1 to 50).flatMap(i =>
+      Seq((0L, i.toLong, i * 10.0), (1L, i.toLong, i * 10.0)))
+      .toDF("h", "k", "v")
+    val r1 = rows(Profile.topkStability(same, "k", "v", col("h"), k = 10)).head
+    assert(r1(1) == 10L && r1(2) == 1.0)
+    val disj = ((1 to 30).map(i => (0L, i.toLong, i * 10.0)) ++
+      (31 to 60).map(i => (1L, i.toLong, i * 10.0))).toDF("h", "k", "v")
+    val r2 = rows(Profile.topkStability(disj, "k", "v", col("h"), k = 10)).head
+    assert(r2(1) == 0L && r2(2) == 0.0)
+  }
 }
