@@ -4400,6 +4400,26 @@ object SparkEntry {
     graft.pipeline.Profile.topkStability(Tables.lineitem(s, d),
       "l_partkey", "l_extendedprice", pmod(col("l_orderkey"), lit(2L)), k = 20)
 
+  private def qMacroF1(s: SparkSession, d: String): DataFrame =
+    // Macro P/R/F1 of the langId heuristic vs labels — the class-
+    // imbalance-honest summary kappa doesn't give.
+    graft.pipeline.Profile.macroF1(Tables.documents(s, d),
+      graft.pipeline.TextAnalysis.langId(col("text")), col("lang"))
+
+  private def qSrm(s: SparkSession, d: String): DataFrame =
+    // Sample-ratio-mismatch: chi-square GOF of user_id%3 arm counts
+    // against equal shares, k*sum(o^2)/n - n closed form.
+    graft.pipeline.Profile.sampleRatioCheck(Tables.events(s, d),
+      pmod(col("user_id"), lit(3L)))
+
+  private def qLorenz(s: SparkSession, d: String): DataFrame =
+    // Lorenz decile coordinates of customer revenue — the curve behind
+    // q_gini, via the distributed rank + equal-count bins.
+    Relational.sort(col("bin"))(
+      graft.pipeline.Profile.lorenzPoints(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+        "o_custkey", "o_totalprice", points = 10))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4732,6 +4752,9 @@ object SparkEntry {
     "q_dup_matrix" -> (qDupMatrix _),
     "q_wilson" -> (qWilson _),
     "q_topk_stability" -> (qTopkStability _),
+    "q_macro_f1" -> (qMacroF1 _),
+    "q_srm" -> (qSrm _),
+    "q_lorenz" -> (qLorenz _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -9599,5 +9622,76 @@ object SparkEntry {
         |SELECT CAST(20 AS BIGINT) AS k, n_common,
         |  round(CAST(n_common AS DOUBLE) / (40.0 - CAST(n_common AS DOUBLE)), 6) AS jaccard
         |FROM c""".stripMargin,
+    // Macro P/R/F1: confusion marginals + 6-dp-rounded class terms.
+    "q_macro_f1" ->
+      """WITH sc AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |(CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' a ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END) AS s_en,
+        |(CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' das ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END) AS s_de,
+        |(CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' de ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' y ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' es ') THEN 1 ELSE 0 END) AS s_es,
+        |(CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' et ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END) AS s_fr,
+        |(CASE WHEN contains(p, ' 的 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 是 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 了 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 在 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 我 ') THEN 1 ELSE 0 END) AS s_zh
+        |FROM sc),
+        |pr AS (SELECT
+        |CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+        |WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+        |ELSE 'und' END AS pd, lang AS tr FROM s),
+        |cells AS (SELECT pd, tr, count(*) AS c FROM pr GROUP BY 1, 2),
+        |pt AS (SELECT tr AS cls, CAST(SUM(c) AS BIGINT) AS row_,
+        |  CAST(SUM(CASE WHEN pd = tr THEN c ELSE 0 END) AS BIGINT) AS diag
+        |  FROM cells GROUP BY tr),
+        |pp AS (SELECT pd AS cls, CAST(SUM(c) AS BIGINT) AS col_ FROM cells GROUP BY pd),
+        |k AS (SELECT pt.cls, row_, diag, pp.col_,
+        |  CASE WHEN pp.col_ > 0 THEN CAST(diag AS DOUBLE) / CAST(pp.col_ AS DOUBLE) END AS prec,
+        |  CAST(diag AS DOUBLE) / CAST(row_ AS DOUBLE) AS rec
+        |  FROM pt LEFT JOIN pp ON pt.cls = pp.cls),
+        |k2 AS (SELECT *, CASE WHEN prec IS NOT NULL AND prec + rec > 0
+        |  THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1 FROM k),
+        |f AS (SELECT count(*) AS n_classes, CAST(SUM(row_) AS BIGINT) AS n,
+        |  CAST(SUM(diag) AS BIGINT) AS ok,
+        |  SUM(CAST(round(COALESCE(prec, 0.0), 6) AS DECIMAL(18,6))) AS sp,
+        |  SUM(CAST(round(rec, 6) AS DECIMAL(18,6))) AS sr,
+        |  SUM(CAST(round(f1, 6) AS DECIMAL(18,6))) AS sf FROM k2)
+        |SELECT n_classes, CAST(ok AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+        |  CAST(CAST(sp AS VARCHAR) AS DOUBLE) / CAST(n_classes AS DOUBLE) AS macro_p,
+        |  CAST(CAST(sr AS VARCHAR) AS DOUBLE) / CAST(n_classes AS DOUBLE) AS macro_r,
+        |  CAST(CAST(sf AS VARCHAR) AS DOUBLE) / CAST(n_classes AS DOUBLE) AS macro_f1
+        |FROM f""".stripMargin,
+    // SRM: k*sum(o^2)/n - n closed form + critical-value lookup.
+    "q_srm" ->
+      """WITH a AS (SELECT user_id % 3 AS arm FROM events),
+        |c AS (SELECT arm, count(*) AS c FROM a GROUP BY arm),
+        |f AS (SELECT CAST(SUM(c) AS BIGINT) AS n, count(*) AS k,
+        |  CAST(CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS ss FROM c)
+        |SELECT n, k,
+        |  round(CAST(k AS DOUBLE) * ss / CAST(n AS DOUBLE) - CAST(n AS DOUBLE), 6) AS chi2,
+        |  round(CAST(k AS DOUBLE) * ss / CAST(n AS DOUBLE) - CAST(n AS DOUBLE), 6) >
+        |    (CASE k - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+        |      WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 END) AS srm_alarm
+        |FROM f""".stripMargin,
+    // Lorenz deciles: distributed ranks, exact decimal cumulative sums.
+    "q_lorenz" ->
+      """WITH per AS (SELECT o_custkey AS k,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v FROM orders GROUP BY 1),
+        |pv AS (SELECT v, count(*) AS c FROM per GROUP BY v),
+        |offs AS (SELECT v, CAST(COALESCE(SUM(c) OVER (ORDER BY v ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM pv),
+        |tot AS (SELECT count(*) AS n, CAST(SUM(v) AS DECIMAL(28,2)) AS tv FROM per),
+        |rk AS (SELECT per.k, per.v,
+        |  offs.off + ROW_NUMBER() OVER (PARTITION BY per.v ORDER BY per.k) AS r
+        |  FROM per JOIN offs ON per.v = offs.v),
+        |b AS (SELECT ((r - 1) * 10) // tot.n AS bin, v FROM rk CROSS JOIN tot),
+        |pb AS (SELECT bin, count(*) AS bc, CAST(SUM(v) AS DECIMAL(28,2)) AS bv
+        |  FROM b GROUP BY bin),
+        |cm AS (SELECT *, CAST(SUM(bc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ce,
+        |  CAST(SUM(bv) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS cv FROM pb)
+        |SELECT CAST(bin AS BIGINT) AS bin, ce AS cum_entities,
+        |  CAST(CAST(cv AS VARCHAR) AS DOUBLE) AS cum_value,
+        |  CAST(ce AS DOUBLE) / CAST(tot.n AS DOUBLE) AS entity_share,
+        |  CAST(CAST(cv AS VARCHAR) AS DOUBLE) / CAST(CAST(tot.tv AS VARCHAR) AS DOUBLE) AS value_share
+        |FROM cm CROSS JOIN tot ORDER BY bin""".stripMargin,
   )
 }

@@ -483,6 +483,114 @@ object Profile {
         .as("spearman_rho"))
   }
 
+  /** Macro-averaged multi-class precision/recall/F1 from predicted-vs-
+    * true columns — the class-imbalance-honest companion to accuracy
+    * (and the summary [[cohensKappa]] doesn't give): per class, P =
+    * diag/col_pred, R = diag/row_true, F1 harmonic; macro = unweighted
+    * class means over 6-dp-rounded decimal terms (order-independent).
+    * Classes never predicted have NULL P (0/0) and contribute F1 = 0 —
+    * the sklearn zero-division convention, spelled out. The class set
+    * is the union of true labels (prediction-only classes have R = 0/0
+    * and are excluded, matching macro-over-true-classes). One cell
+    * aggregate + marginal windows + a k-row fold.
+    * Output: 1 row (n_classes, accuracy, macro_p, macro_r, macro_f1). */
+  def macroF1(df: DataFrame, predCol: Column, trueCol: Column): DataFrame = {
+    val cells = df.select(predCol.as("__p"), trueCol.as("__t"))
+      .where(col("__p").isNotNull && col("__t").isNotNull)
+      .groupBy("__p", "__t").agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perTrue = cells.groupBy(col("__t").as("cls"))
+      .agg(sum(col("__c")).as("__row"),
+        sum(when(col("__p") === col("__t"), col("__c")).otherwise(0L))
+          .as("__diag"))
+    val perPred = cells.groupBy(col("__p").as("cls"))
+      .agg(sum(col("__c")).as("__col"))
+    val k = perTrue.join(perPred, Seq("cls"), "left")
+      .withColumn("__prec", when(col("__col") > 0,
+        col("__diag").cast("double") / col("__col").cast("double")))
+      .withColumn("__rec",
+        col("__diag").cast("double") / col("__row").cast("double"))
+      .withColumn("__f1", when(
+        col("__prec").isNotNull && col("__prec") + col("__rec") > 0,
+        lit(2.0) * col("__prec") * col("__rec") /
+          (col("__prec") + col("__rec"))).otherwise(lit(0.0)))
+    val folded = k.agg(count(lit(1)).as("n_classes"),
+      sum(col("__row")).as("__n"), sum(col("__diag")).as("__ok"),
+      sum(round(coalesce(col("__prec"), lit(0.0)), 6)
+        .cast("decimal(18,6)")).as("__sp"),
+      sum(round(col("__rec"), 6).cast("decimal(18,6)")).as("__sr"),
+      sum(round(col("__f1"), 6).cast("decimal(18,6)")).as("__sf"))
+    def d(c: Column) = c.cast("string").cast("double")
+    folded.select(col("n_classes"),
+      (col("__ok").cast("double") / col("__n").cast("double")).as("accuracy"),
+      (d(col("__sp")) / col("n_classes").cast("double")).as("macro_p"),
+      (d(col("__sr")) / col("n_classes").cast("double")).as("macro_r"),
+      (d(col("__sf")) / col("n_classes").cast("double")).as("macro_f1"))
+  }
+
+  /** Sample-ratio-mismatch check — the first integrity gate of every
+    * A/B readout: chi-square goodness-of-fit of observed arm counts
+    * against the intended split (here equal shares over k arms):
+    * χ² = Σ (o − e)²/e with e = n/k; the 95% alarm for k−1 df uses the
+    * standard critical values (k ≤ 6 covered). Exact counts, one dag.
+    * Output: 1 row (n, k, chi2, srm_alarm). */
+  def sampleRatioCheck(df: DataFrame, armCol: Column): DataFrame = {
+    val arms = df.select(armCol.as("__a")).where(col("__a").isNotNull)
+      .groupBy("__a").agg(count(lit(1)).as("__c"))
+    val crit = typedLit(Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815,
+      4 -> 9.488, 5 -> 11.070))
+    val folded = arms.agg(sum(col("__c")).as("n"), count(lit(1)).as("k"),
+      sum(col("__c").cast("decimal(19,0)") * col("__c").cast("decimal(19,0)"))
+        .cast("string").cast("double").as("__ss"))
+    // Σ(o−e)²/e with e = n/k simplifies to k·Σo²/n − n — one dag over
+    // the exact count moments, no per-arm doubles
+    val chi2 = col("k").cast("double") * col("__ss") /
+      col("n").cast("double") - col("n").cast("double")
+    folded.select(col("n"), col("k"), round(chi2, 6).as("chi2"),
+      (round(chi2, 6) > element_at(crit, (col("k") - 1).cast("int")))
+        .as("srm_alarm"))
+  }
+
+  /** Lorenz curve points — the decile coordinates behind every revenue-
+    * concentration chart (the curve [[gini]] summarizes): entities rank
+    * ascending by their metric total (ties by key), cut into `points`
+    * equal-count bins via the [[histogramEquiDepth]] rank arithmetic,
+    * and each bin reports the cumulative share of entities vs cumulative
+    * share of the metric. Entity totals are exact decimals; ranks ride
+    * the distributed distinct-value pattern; shares are fixed dags.
+    * Output: `points` rows (bin, cum_entities, cum_value, entity_share,
+    * value_share). */
+  def lorenzPoints(df: DataFrame, keyCol: String, valueCol: String,
+                   points: Int = 10): DataFrame = {
+    require(points >= 2, "lorenzPoints: need >= 2 points")
+    val per = df.groupBy(col(keyCol).as("__k"))
+      .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
+    val perVal = per.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val offs = prefixOffsets(perVal, "__v", "__c", ascending = true)
+    val wIn = Window.partitionBy(col("__v")).orderBy(col("__k").asc)
+    val tot = per.agg(count(lit(1)).as("__n"),
+      sum(col("__v")).cast("decimal(28,2)").as("__tv"))
+    val ranked = per.join(offs, Seq("__v"))
+      .withColumn("__r", col("__off") + row_number().over(wIn))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr(s"(__r - 1) * $points div __n"))
+    def d(c: Column) = c.cast("string").cast("double")
+    val perBin = ranked.groupBy(col("bin"))
+      .agg(count(lit(1)).as("__bc"),
+        sum(col("__v")).cast("decimal(28,2)").as("__bv"),
+        max(col("__n")).as("__n"), max(col("__tv")).as("__tv"))
+    val wCum = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .withColumn("cum_entities", sum(col("__bc")).over(wCum))
+      .withColumn("__cv", sum(col("__bv")).over(wCum).cast("decimal(28,2)"))
+      .select(col("bin"), col("cum_entities"),
+        d(col("__cv")).as("cum_value"),
+        (col("cum_entities").cast("double") /
+          col("__n").cast("double")).as("entity_share"),
+        (d(col("__cv")) / d(col("__tv"))).as("value_share"))
+  }
+
   /** Wilson score interval per group for a boolean outcome — the
     * dashboard-grade proportion CI that behaves at small n and extreme
     * p̂ where the naive normal interval fails (it can leave [0,1]):

@@ -2202,4 +2202,57 @@ class PipelineOpsSpec extends SparkSpec {
     val r2 = rows(Profile.topkStability(disj, "k", "v", col("h"), k = 10)).head
     assert(r2(1) == 0L && r2(2) == 0.0)
   }
+
+  // ===== macro F1 =====
+
+  test("macroF1: hand confusion with a never-predicted class") {
+    // truth: a,a,b,b,c,c; pred: a,a,b,c,b,b -> class c never RIGHT,
+    // class a perfect; P(a)=1, R(a)=1; P(b)=1/3, R(b)=1/2; P(c)=0/1? c
+    // predicted once (wrongly): P(c)=0, R(c)=0 -> f1(c)=0
+    val rows0 = Seq(("a","a"), ("a","a"), ("b","b"), ("c","b"),
+      ("b","c"), ("b","c"))
+    val df = rows0.toDF("pred", "tr")
+    val r = rows(Profile.macroF1(df, col("pred"), col("tr"))).head
+    assert(r(0) == 3L)
+    assert(math.abs(r(1).asInstanceOf[Double] - 3.0 / 6.0) < 1e-9)
+    val mp = r(2).asInstanceOf[Double]
+    val mr = r(3).asInstanceOf[Double]
+    // P: a=1, b=1/3, c=0 -> macro 4/9; R: a=1, b=1/2, c=0 -> 1/2
+    assert(math.abs(mp - 4.0 / 9.0) < 1e-5)
+    assert(math.abs(mr - 0.5) < 1e-5)
+    // F1: a=1, b=0.4, c=0 -> macro ~0.466667
+    assert(math.abs(r(4).asInstanceOf[Double] - 1.4 / 3.0) < 1e-5)
+  }
+
+  // ===== SRM =====
+
+  test("sampleRatioCheck alarms on a rigged split, not a fair one") {
+    val fair = (1 to 3000).map(i => Tuple1(i % 3L)).toDF("arm")
+    val rf = rows(Profile.sampleRatioCheck(fair, col("arm"))).head
+    assert(rf(0) == 3000L && rf(1) == 3L && rf(2) == 0.0 && rf(3) == false)
+    // 1400/800/800: chi2 = 3*(1400^2+800^2+800^2)/3000 - 3000 = 240
+    val rig = ((1 to 1400).map(_ => 0L) ++ (1 to 800).map(_ => 1L) ++
+      (1 to 800).map(_ => 2L)).map(Tuple1(_)).toDF("arm")
+    val rr = rows(Profile.sampleRatioCheck(rig, col("arm"))).head
+    assert(rr(2) == 240.0 && rr(3) == true)
+  }
+
+  // ===== Lorenz =====
+
+  test("lorenzPoints: shares are monotone, end at 1, and bow below equality") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    val out = rows(Profile.lorenzPoints(df, "k", "v", points = 10)
+      .orderBy("bin"))
+    assert(out.size == 10)
+    val es = out.map(_(3).asInstanceOf[Double])
+    val vs = out.map(_(4).asInstanceOf[Double])
+    assert(es == es.sorted && vs == vs.sorted)
+    assert(math.abs(es.last - 1.0) < 1e-12 && math.abs(vs.last - 1.0) < 1e-12)
+    // ascending-ranked Lorenz curve sits strictly below the diagonal
+    out.dropRight(1).foreach { r =>
+      assert(r(4).asInstanceOf[Double] < r(3).asInstanceOf[Double])
+    }
+    // first decile of 1..100 holds (1+..+10)/5050
+    assert(math.abs(vs.head - 55.0 / 5050.0) < 1e-9)
+  }
 }
