@@ -4420,6 +4420,13 @@ object SparkEntry {
         Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
         "o_custkey", "o_totalprice", points = 10))
 
+  private def qCohortLtv(s: SparkSession, d: String): DataFrame =
+    // Weekly cohort LTV curves: exact decimal period + cumulative
+    // revenue, per-user division at the edge.
+    Relational.sort(col("cohort"), col("offset"))(
+      graft.pipeline.Events.cohortValueCurves(Tables.events(s, d),
+        "user_id", "ts", "value", unit = "week"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4755,6 +4762,7 @@ object SparkEntry {
     "q_macro_f1" -> (qMacroF1 _),
     "q_srm" -> (qSrm _),
     "q_lorenz" -> (qLorenz _),
+    "q_cohort_ltv" -> (qCohortLtv _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -9693,5 +9701,25 @@ object SparkEntry {
         |  CAST(ce AS DOUBLE) / CAST(tot.n AS DOUBLE) AS entity_share,
         |  CAST(CAST(cv AS VARCHAR) AS DOUBLE) / CAST(CAST(tot.tv AS VARCHAR) AS DOUBLE) AS value_share
         |FROM cm CROSS JOIN tot ORDER BY bin""".stripMargin,
+    // Cohort LTV: exact decimal period + cumulative revenue per cohort.
+    "q_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id AS u, date_trunc('week', ts) AS w,
+        |  CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |fs AS (SELECT u, MIN(w) AS c FROM ev GROUP BY u),
+        |sz AS (SELECT c AS cohort, count(*) AS cohort_size FROM fs GROUP BY c),
+        |cells AS (SELECT fs.c AS cohort,
+        |  CAST(floor(datediff('day', fs.c, ev.w) / 7) AS BIGINT) AS "offset",
+        |  CAST(count(DISTINCT ev.u) AS BIGINT) AS users,
+        |  CAST(SUM(ev.v) AS DECIMAL(28,6)) AS pv
+        |  FROM ev JOIN fs ON ev.u = fs.u GROUP BY 1, 2),
+        |cum AS (SELECT cells.*, sz.cohort_size,
+        |  CAST(SUM(pv) OVER (PARTITION BY cells.cohort ORDER BY "offset"
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,6)) AS cv
+        |  FROM cells JOIN sz ON cells.cohort = sz.cohort)
+        |SELECT cohort, "offset", users, cohort_size,
+        |  CAST(CAST(pv AS VARCHAR) AS DOUBLE) AS period_value,
+        |  CAST(CAST(cv AS VARCHAR) AS DOUBLE) AS cum_value,
+        |  CAST(CAST(cv AS VARCHAR) AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS cum_value_per_user
+        |FROM cum ORDER BY cohort, "offset"""".stripMargin,
   )
 }

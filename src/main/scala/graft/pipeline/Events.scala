@@ -116,6 +116,46 @@ object Events {
       .agg(countDistinct(col("__u")).as("users"))
   }
 
+  /** Cohort VALUE curves (LTV) — [[cohortRetention]]'s revenue twin:
+    * users cohort by first-seen `unit`; each (cohort, offset) cell
+    * reports active users, the period's exact decimal revenue, the
+    * cohort's CUMULATIVE revenue through that offset, and cumulative
+    * revenue per cohort user — the curve a growth team calls LTV.
+    * Revenue sums are exact decimals end to end (cumulative included);
+    * the per-user division is the one double at the edge. The
+    * cumulative window runs per cohort over OFFSETS (calendar-bounded).
+    * Output: (cohort, offset, users, cohort_size, period_value,
+    * cum_value, cum_value_per_user). */
+  def cohortValueCurves(df: DataFrame, userCol: String, tsCol: String,
+                        valueCol: String, unit: String = "week"): DataFrame = {
+    val days = unit match {
+      case "day" => 1; case "week" => 7
+      case other => throw new IllegalArgumentException(
+        s"cohortValueCurves: unit must be day|week, got $other")
+    }
+    def d(c: Column) = c.cast("string").cast("double")
+    val ev = df.select(col(userCol).as("__u"),
+      date_trunc(unit, col(tsCol)).as("__w"),
+      col(valueCol).cast("decimal(18,6)").as("__v"))
+    val firstSeen = ev.groupBy("__u").agg(min("__w").as("__c"))
+    val sizes = firstSeen.groupBy(col("__c").as("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = ev.join(firstSeen, Seq("__u"))
+      .withColumn("offset",
+        floor(datediff(col("__w"), col("__c")) / lit(days)).cast("long"))
+      .groupBy(col("__c").as("cohort"), col("offset"))
+      .agg(countDistinct(col("__u")).as("users"),
+        sum(col("__v")).cast("decimal(28,6)").as("__pv"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("offset").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(sizes, Seq("cohort"))
+      .withColumn("__cum", sum(col("__pv")).over(w).cast("decimal(28,6)"))
+      .select(col("cohort"), col("offset"), col("users"), col("cohort_size"),
+        d(col("__pv")).as("period_value"), d(col("__cum")).as("cum_value"),
+        (d(col("__cum")) / col("cohort_size").cast("double"))
+          .as("cum_value_per_user"))
+  }
+
   /** Event-rate anomaly detection — the pipeline-health monitor "did this
     * hour's volume jump?": bucket counts per `bucket` unit, then a
     * trailing-window z-score per bucket ((c − mean)/std over the previous

@@ -398,4 +398,27 @@ class EventsSpec extends SparkSpec {
     assert(rows(Events.subsequenceCount(df2, "u", "ts", "id", "tp",
       ("view", "click", "purchase"))).head(2) == 0L)
   }
+
+  test("cohortValueCurves: cumulative revenue per cohort user") {
+    // one cohort (week of Jan 1 2024), two users; revenue 10+20 week 0,
+    // 5 week 1 (one active user); a second cohort starts week 1
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0), (2L, "2024-01-02 10:00:00", 20.0),
+      (1L, "2024-01-08 10:00:00", 5.0),
+      (3L, "2024-01-09 10:00:00", 7.0)
+    ).toDF("u", "t", "v").select(col("u"),
+      to_timestamp(col("t")).as("ts"), col("v"))
+    val out = rows(Events.cohortValueCurves(df, "u", "ts", "v")
+      .orderBy("cohort", "offset"))
+    assert(out.size == 3)
+    val c0w0 = out(0)
+    assert(c0w0(2) == 2L && c0w0(3) == 2L)       // both users, size 2
+    assert(c0w0(4) == 30.0 && c0w0(5) == 30.0)   // period = cum at offset 0
+    assert(c0w0(6) == 15.0)
+    val c0w1 = out(1)
+    assert(c0w1(1) == 1L && c0w1(2) == 1L)       // offset 1, one active
+    assert(c0w1(4) == 5.0 && c0w1(5) == 35.0 && c0w1(6) == 17.5)
+    val c1w0 = out(2)
+    assert(c1w0(3) == 1L && c1w0(5) == 7.0 && c1w0(6) == 7.0)
+  }
 }
