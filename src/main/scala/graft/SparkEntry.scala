@@ -4427,6 +4427,13 @@ object SparkEntry {
       graft.pipeline.Events.cohortValueCurves(Tables.events(s, d),
         "user_id", "ts", "value", unit = "week"))
 
+  private def qCharEntropy(s: SparkSession, d: String): DataFrame =
+    // Character-entropy bits/char per language — the codec-free
+    // compression proxy; 6-dp decimal-summed -p*log2(p) terms.
+    Relational.sort(col("lang"))(
+      graft.pipeline.TextAnalysis.charEntropyProfile(
+        Tables.documents(s, d), "text", "lang"))
+
   // =========================================================================
   // Registry
   // =========================================================================
@@ -4763,6 +4770,7 @@ object SparkEntry {
     "q_srm" -> (qSrm _),
     "q_lorenz" -> (qLorenz _),
     "q_cohort_ltv" -> (qCohortLtv _),
+    "q_char_entropy" -> (qCharEntropy _),
   )
 
   /** Declared UNTIMED setup per query: one-time ingest work a production
@@ -9721,5 +9729,17 @@ object SparkEntry {
         |  CAST(CAST(cv AS VARCHAR) AS DOUBLE) AS cum_value,
         |  CAST(CAST(cv AS VARCHAR) AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS cum_value_per_user
         |FROM cum ORDER BY cohort, "offset"""".stripMargin,
+    // Char entropy: per-(lang, char) cells, 6-dp decimal entropy terms.
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT lang, unnest(string_split(text, '')) AS c FROM documents),
+        |cells AS (SELECT lang, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |t AS (SELECT lang, n,
+        |  CAST(round(-(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)) *
+        |    log2(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+        |  FROM cells)
+        |SELECT lang, CAST(SUM(n) AS BIGINT) AS n_chars,
+        |  count(*) AS n_distinct_chars,
+        |  CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS bits_per_char
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

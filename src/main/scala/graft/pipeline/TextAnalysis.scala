@@ -359,6 +359,31 @@ object TextAnalysis {
         col("n_units").cast("double"), 6).as("chars_per_unit"))
   }
 
+  /** Character-level Shannon entropy per language — the compression-
+    * ratio proxy that needs no codec (low bits/char ⇒ repetitive or
+    * templated text; ~4+ ⇒ diverse natural language): explode to
+    * characters, count per (lang, char), entropy = Σ −p·log₂p with
+    * 6-dp-rounded decimal terms summed over the tiny char table
+    * (order-independent — the q_key_skew entropy convention). One
+    * char-cell aggregate; the explode is the only volume.
+    * Output: (lang, n_chars, n_distinct_chars, bits_per_char). */
+  def charEntropyProfile(docs: DataFrame, textCol: String,
+                         langCol: String): DataFrame = {
+    val chars = docs.select(col(langCol).as("lang"),
+        explode(split(col(textCol), "")).as("__ch"))
+      .where(col("__ch") =!= "")
+    val cells = chars.groupBy("lang", "__ch").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val p = col("__c").cast("double") / sum(col("__c")).over(w).cast("double")
+    cells
+      .withColumn("__term",
+        round(-p * log2(p), 6).cast("decimal(18,6)"))
+      .groupBy("lang")
+      .agg(sum(col("__c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("__term")).cast("string").cast("double").as("bits_per_char"))
+  }
+
   /** Language-ID confusion table against labeled truth — the evaluation
     * every heuristic classifier owes its users: per (true label,
     * predicted) cell the count, the label's total, and the cell's share

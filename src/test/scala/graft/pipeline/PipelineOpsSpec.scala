@@ -2255,4 +2255,19 @@ class PipelineOpsSpec extends SparkSpec {
     // first decile of 1..100 holds (1+..+10)/5050
     assert(math.abs(vs.head - 55.0 / 5050.0) < 1e-9)
   }
+
+  // ===== char entropy =====
+
+  test("charEntropyProfile: uniform alphabet hits log2(k) bits") {
+    // 4 equiprobable chars -> exactly 2 bits/char
+    val df = Seq(("u", "abcd" * 16), ("o", "aaaa" * 16)).toDF("lang", "text")
+    val out = rows(TextAnalysis.charEntropyProfile(df, "text", "lang")
+      .orderBy("lang")).map(r => r(0) -> r).toMap
+    val u = out("u")
+    assert(u(1) == 64L && u(2) == 4L)
+    assert(math.abs(u(3).asInstanceOf[Double] - 2.0) < 1e-5)
+    // single-char text has zero entropy
+    val o = out("o")
+    assert(o(2) == 1L && o(3) == 0.0)
+  }
 }
