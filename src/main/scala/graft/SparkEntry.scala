@@ -4204,7 +4204,8 @@ object SparkEntry {
     // linearity (no per-row doubles anywhere).
     Relational.sort(col("arm"))(
       graft.pipeline.Profile.cupedAdjust(Tables.events(s, d),
-        "user_id", "ts", "value", "2024-01-16 00:00:00"))
+        "user_id", "ts", "value", "2024-01-16 00:00:00",
+        pmod(col("user_id"), lit(2L))))
 
   private def qCronbach(s: SparkSession, d: String): DataFrame =
     // Cronbach's alpha over (quantity, discount, tax) per return flag:
@@ -9590,14 +9591,15 @@ object SparkEntry {
         |WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
         |ELSE 'und' END AS a, lang AS b FROM s),
         |cells AS (SELECT a, b, count(*) AS c FROM pr GROUP BY 1, 2),
-        |mg AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY a) AS BIGINT) AS ra,
-        |  CAST(SUM(c) OVER (PARTITION BY b) AS BIGINT) AS cb FROM cells),
+        |pa AS (SELECT a AS k, CAST(SUM(c) AS BIGINT) AS rw FROM cells GROUP BY 1),
+        |pb AS (SELECT b AS k, CAST(SUM(c) AS BIGINT) AS cl FROM cells GROUP BY 1),
+        |px AS (SELECT CAST(CAST(SUM(CAST(COALESCE(rw, 0) AS DECIMAL(19,0)) * CAST(COALESCE(cl, 0) AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS pexn
+        |  FROM pa FULL OUTER JOIN pb USING (k)),
         |f AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
-        |  CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag,
-        |  CAST(CAST(SUM(CASE WHEN a = b THEN CAST(ra AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE) AS pexn
-        |  FROM mg),
+        |  CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+        |  FROM cells),
         |g AS (SELECT n, CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS po,
-        |  pexn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe FROM f)
+        |  pexn / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe FROM f, px)
         |SELECT n, po, pe, (po - pe) / (1.0 - pe) AS kappa FROM g""".stripMargin,
     // Cross-source dup matrix over the ngram near-dup pair stream.
     "q_dup_matrix" ->

@@ -198,6 +198,18 @@ object Dedup {
     * CollapseProject from inlining an expensive array-producing projection
     * into its many downstream references. At cluster scale this exchange
     * is the same shuffle the subsequent bucket/band key join needs anyway. */
+  /** Minimum integer overlap o with o/m ≥ τ, computed CONSISTENTLY with
+    * the double-arithmetic verify predicate: bare ceil(τ·m) is one ulp
+    * too tight when τ·m is an exact integer but fl(τ)·m rounds above it
+    * (classic case 0.07·100 → 7.000000000000001 → ceil 8), which would
+    * make the candidate stage strictly tighter than the verify and
+    * prune true pairs at exactly the threshold. The 1e-9 slack can only
+    * LOOSEN candidate generation (extra candidates are re-verified),
+    * never lose recall. Shared by the prefix length and the size
+    * filters of [[prefixFilterJaccardPairs]] / [[containmentPairs]]. */
+  private def minOverlap(tau: Column, m: Column): Column =
+    ceil(tau * m - lit(1e-9))
+
   private def barrier(df: DataFrame, key: String): DataFrame =
     df.repartition(col(key))
 
@@ -646,7 +658,8 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__st"),
         count(lit(1)).as("__m"))
     val pre = lists
-      .withColumn("__p", (col("__m") - ceil(tau * col("__m")) + 1).cast("int"))
+      .withColumn("__p",
+        (col("__m") - minOverlap(tau, col("__m")) + 1).cast("int"))
       .select(col("__id"), col("__m"),
         posexplode(expr("transform(slice(__st, 1, __p), x -> x.__tok)"))
           .as(Seq("__pos0", "__tok")))
@@ -657,7 +670,8 @@ object Dedup {
       col("__m").as("m2"), col("__pos").as("pos2"))
     val cand = l.join(r, Seq("__tok"))
       .where(col("id1") < col("id2")
-        && col("m2") >= ceil(tau * col("m1")) && col("m1") >= ceil(tau * col("m2"))
+        && col("m2") >= minOverlap(tau, col("m1"))
+        && col("m1") >= minOverlap(tau, col("m2"))
         && (lit(1.0) + least(col("m1") - col("pos1"), col("m2") - col("pos2")).cast("double"))
           >= tau * (col("m1") + col("m2")).cast("double") / (lit(1.0) + tau) - lit(1e-9))
       .select("id1", "id2").distinct()
@@ -739,13 +753,15 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__st"),
         count(lit(1)).as("__m"))
     val pre = lists
-      .withColumn("__p", (col("__m") - ceil(tau * col("__m")) + 1).cast("int"))
+      .withColumn("__p",
+        (col("__m") - minOverlap(tau, col("__m")) + 1).cast("int"))
       .select(col("__id").as("id1"), col("__m").as("m1"),
         explode(expr("transform(slice(__st, 1, __p), x -> x.__tok)")).as("__tok"))
     val all = lists.select(col("__id").as("id2"), col("__m").as("m2"),
       explode(expr("transform(__st, x -> x.__tok)")).as("__tok"))
     val cand = pre.join(all, Seq("__tok"))
-      .where(col("id1") =!= col("id2") && col("m2") >= ceil(tau * col("m1")))
+      .where(col("id1") =!= col("id2") &&
+        col("m2") >= minOverlap(tau, col("m1")))
       .select("id1", "id2").distinct()
     val hashed = toks.select(col("__id"),
       sort_array(transform(col("__t"), t => xxhash64(t))).as("__sh"))

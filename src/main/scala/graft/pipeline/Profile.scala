@@ -640,30 +640,33 @@ object Profile {
 
   /** Cohen's kappa between two categorical columns — chance-corrected
     * agreement (label-quality audits, model-vs-heuristic, annotator
-    * pairs): po = diagonal mass, pe = Σ row·col marginal products / n²,
-    * κ = (po − pe)/(1 − pe). One (a, b) cell aggregation; marginals are
-    * window sums OVER THE CELLS (the chiSquare shape); the fold is one
-    * fixed dag over exact counts. Rows with a NULL on either side are
-    * excluded. Output: 1 row (n, po, pe, kappa). */
+    * pairs): po = diagonal mass, pe = Σ_k row_k·col_k / n², κ =
+    * (po − pe)/(1 − pe). pe is computed from the TRUE marginals — a
+    * per-__a and a per-__b marginal table full-outer-joined on the
+    * class label — NOT by summing row·col over existing diagonal
+    * cells: a class present in both margins but never agreed on (no
+    * (k,k) cell) still contributes row_k·col_k to chance agreement,
+    * and the diagonal-cell shortcut silently drops it (inflating κ).
+    * The marginal tables are one-row-per-class tiny; the join is a
+    * class-cardinality-bounded exchange. Rows with a NULL on either
+    * side are excluded. Output: 1 row (n, po, pe, kappa). */
   def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val cells = df.select(aCol.as("__a"), bCol.as("__b"))
       .where(col("__a").isNotNull && col("__b").isNotNull)
       .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
-    val wa = Window.partitionBy("__a")
-    val wb = Window.partitionBy("__b")
-    val m = cells
-      .withColumn("__ra", sum(col("__c")).over(wa))
-      .withColumn("__cb", sum(col("__c")).over(wb))
-      .agg(sum(col("__c")).as("n"),
-        sum(when(col("__a") === col("__b"), col("__c"))
-          .otherwise(0L)).as("__diag"),
-        // pe numerator = Σ_k row_k·col_k; summing row·col over the
-        // DIAGONAL cells only would miss classes never predicted — but a
-        // class absent from one side contributes row·0, so summing over
-        // cells where __a = __b IS the complete Σ_k row_k·col_k
-        sum(when(col("__a") === col("__b"),
-          col("__ra").cast("decimal(19,0)") * col("__cb").cast("decimal(19,0)"))
-          .otherwise(lit(0).cast("decimal(38,0)"))).as("__pexn"))
+      .cache()
+    val perA = cells.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__row"))
+    val perB = cells.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__colc"))
+    val pexn = perA.join(perB, Seq("__k"), "full_outer")
+      .agg(sum(coalesce(col("__row"), lit(0L)).cast("decimal(19,0)") *
+        coalesce(col("__colc"), lit(0L)).cast("decimal(19,0)"))
+        .as("__pexn"))
+    val totals = cells.agg(sum(col("__c")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(0L)).as("__diag"))
+    val m = totals.crossJoin(broadcast(pexn)) // both sides are 1 row
     val nd = col("n").cast("double")
     val po = col("__diag").cast("double") / nd
     val pe = col("__pexn").cast("string").cast("double") / (nd * nd)
@@ -874,20 +877,25 @@ object Profile {
     * sum over one conditional pass, every derived quantity one fixed
     * dag. The variance-reduction ratio is the identity var(Ŷ)/var(Y) =
     * 1 − r², reported as var_reduction = r²_xy. Units missing a period
-    * contribute 0 for it (the standard new-user convention). Output:
-    * one row per arm carrying the shared (theta, var_reduction). */
+    * contribute 0 for it (the standard new-user convention).
+    * `armExpr` names the experiment-arm assignment (the embeddingDrift
+    * halfExpr pattern): any Column over the input rows that is CONSTANT
+    * within a unit — an assignment column, or a hash of the unit id.
+    * It joins the per-unit groupBy key, so a row-varying armExpr splits
+    * a unit across arms (caller contract, not checked). Output: one row
+    * per arm carrying the shared (theta, var_reduction). */
   def cupedAdjust(df: DataFrame, userCol: String, tsCol: String,
-                  valueCol: String, splitTs: String): DataFrame = {
+                  valueCol: String, splitTs: String,
+                  armExpr: Column): DataFrame = {
     def d(c: Column) = c.cast("string").cast("double")
     val v = col(valueCol).cast("decimal(18,6)")
     val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")
     val split = lit(splitTs).cast("timestamp")
-    val per = df.groupBy(col(userCol).as("__u"))
+    val per = df.groupBy(col(userCol).as("__u"), armExpr.as("__arm"))
       .agg(sum(when(col(tsCol) < split, v).otherwise(zero))
           .cast("decimal(18,6)").as("__pre"),
         sum(when(col(tsCol) >= split, v).otherwise(zero))
           .cast("decimal(18,6)").as("__post"))
-      .withColumn("__arm", pmod(col("__u"), lit(2L)))
     val g = per.agg(count(lit(1)).as("__n"),
       d(sum(col("__pre"))).as("__sx"), d(sum(col("__post"))).as("__sy"),
       d(sum(col("__pre") * col("__post"))).as("__sxy"),

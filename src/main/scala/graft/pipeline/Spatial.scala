@@ -133,9 +133,13 @@ object Spatial {
                          cellSize: Long, lo: Double = 0.5,
                          hi: Double = 2.0): DataFrame = {
     require(cellSize >= 1, "gridDensityAnomaly: cellSize must be >= 1")
+    // floor() BEFORE the long cast: a bare cast truncates toward zero,
+    // which would put negative fractional coordinates in the wrong cell
+    // (x = -0.5 → cell 0 instead of -1), inconsistent with the floorDiv
+    // convention used for the integer part.
     val cells = points.select(
-        floorDiv(col(xCol).cast("long"), cellSize).as("cx"),
-        floorDiv(col(yCol).cast("long"), cellSize).as("cy"))
+        floorDiv(floor(col(xCol)).cast("long"), cellSize).as("cx"),
+        floorDiv(floor(col(yCol)).cast("long"), cellSize).as("cy"))
       .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
     val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1
                               if dx != 0 || dy != 0 }

@@ -1355,6 +1355,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!loose.contains((4L, 1L)) && !loose.contains((1L, 4L)))
   }
 
+  test("containment/jaccard prefix filters keep exact-threshold pairs " +
+    "where fl(tau)*m rounds one ulp above the true integer bound") {
+    // 0.07 * 100 = 7.000000000000001 in doubles -> bare ceil gives 8,
+    // making the candidate stage tighter than the verify (which passes
+    // at 7/100 >= fl(0.07)): the pair at EXACTLY the threshold must
+    // survive. doc 1: 100 distinct tokens; doc 2 shares exactly 7.
+    val t1 = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val t2 = ((1 to 7).map(i => s"tok$i") ++
+      (1 to 93).map(i => s"other$i")).mkString(" ")
+    val df = Seq((1L, t1), (2L, t2)).toDF("id", "text")
+    val cont = rows(Dedup.containmentPairs(df, "id", "text", 0.07)
+      .orderBy("id1", "id2")).map(r => (r(0), r(1), r(2)))
+    assert(cont.contains((1L, 2L, 0.07)), s"got $cont")
+    // same boundary for the symmetric Jaccard filter: |∩|=7, |∪|=193
+    // is below tau there, so probe with equal-sized sets instead:
+    // two 100-token docs sharing 14 tokens -> J = 14/186; use tau such
+    // that tau*m is integral: tau=0.07 with m=100 -> size filter needs
+    // m2 >= 7 (trivially true); the prefix length must keep >= 94
+    // tokens, not 93 — verified by the pair surviving at J >= 0.07.
+    val j2 = ((1 to 14).map(i => s"tok$i") ++
+      (1 to 86).map(i => s"mine$i")).mkString(" ")
+    val j3 = ((1 to 14).map(i => s"tok$i") ++
+      (1 to 86).map(i => s"your$i")).mkString(" ")
+    val jdf = Seq((1L, j2), (2L, j3)).toDF("id", "text")
+    val jac = rows(Dedup.prefixFilterJaccardPairs(jdf, "id", "text", 0.07))
+      .map(r => (r(0), r(1)))
+    assert(jac == Seq((1L, 2L)), s"got $jac")
+  }
+
   test("containmentPairs shingle mode uses n-gram sets") {
     val df = Seq(
       (1L, "a b c d e"),          // 3-shingles: {a b c, b c d, c d e}
@@ -1792,7 +1821,7 @@ class PipelineOpsSpec extends SparkSpec {
     }
     val df = rws.toDF("user_id", "ts", "value")
     val out = rows(Profile.cupedAdjust(df, "user_id", "ts", "value",
-      "2024-01-16 00:00:00").orderBy("arm"))
+      "2024-01-16 00:00:00", pmod(col("user_id"), lit(2L))).orderBy("arm"))
     assert(out.size == 2)
     val theta = out.head(4).asInstanceOf[Double]
     // hand moments: pre = 10u, post = 10u + (u%3)
@@ -1810,6 +1839,13 @@ class PipelineOpsSpec extends SparkSpec {
     // var_reduction = r^2 in [0, 1]
     val vr = out.head(5).asInstanceOf[Double]
     assert(vr >= 0.0 && vr <= 1.0)
+    // arm assignment is the caller's armExpr, not id parity: flipping
+    // the parity flips which users land in each arm
+    val flipped = rows(Profile.cupedAdjust(df, "user_id", "ts", "value",
+      "2024-01-16 00:00:00", lit(1L) - pmod(col("user_id"), lit(2L)))
+      .orderBy("arm"))
+    assert(flipped.map(r => (r(0), r(1))) == out.map(r => (r(0), r(1))))
+    assert(flipped.head(2) == out(1)(2) && flipped(1)(2) == out.head(2))
   }
 
   // ===== distributed prefix offsets =====
@@ -1942,6 +1978,15 @@ class PipelineOpsSpec extends SparkSpec {
       pts.unionAll(Seq((900L, 900L)).toDF("x", "y")), "x", "y", 10L)
       .where(col("cx") === 90L))
     assert(iso.head(4) == null && iso.head(5) == false)
+  }
+
+  test("gridDensityAnomaly buckets negative fractional coordinates by floor") {
+    // x = -0.5 belongs to cell -1 (floor), not cell 0 (truncation)
+    val pts = Seq((-0.5, -0.5), (-5.0, -5.0), (0.5, 0.5))
+      .toDF("x", "y")
+    val out = rows(Spatial.gridDensityAnomaly(pts, "x", "y", cellSize = 10L)
+      .orderBy("cx", "cy")).map(r => ((r(0), r(1)), r(2)))
+    assert(out == Seq(((-1L, -1L), 2L), ((0L, 0L), 1L)))
   }
 
   // ===== seasonal anomalies =====
@@ -2156,6 +2201,13 @@ class PipelineOpsSpec extends SparkSpec {
     val rs = rows(Profile.cohensKappa(skew, col("x"), col("y"))).head
     // po = 2/3; pe = (3*2)/9 = 2/3 -> kappa = 0
     assert(math.abs(rs(3).asInstanceOf[Double]) < 1e-12)
+    // a class present in BOTH margins but never agreed on (no diagonal
+    // cell) still contributes row_k*col_k to pe: rows (a,b),(b,a) have
+    // po = 0, pe = (1*1 + 1*1)/4 = 0.5 -> kappa = -1
+    val anti = Seq(("a", "b"), ("b", "a")).toDF("x", "y")
+    val ra = rows(Profile.cohensKappa(anti, col("x"), col("y"))).head
+    assert(math.abs(ra(2).asInstanceOf[Double] - 0.5) < 1e-12)
+    assert(math.abs(ra(3).asInstanceOf[Double] - (-1.0)) < 1e-12)
   }
 
   // ===== cross-source dup matrix =====
