@@ -57,6 +57,18 @@ object Bench {
     // timed window.
     def reset(): Unit = { spark.catalog.clearCache(); System.gc() }
 
+    // Per-query JSONL record, streamed AS EACH QUERY COMPLETES (flushed
+    // line-by-line): the one-line suite JSON outgrew the driver's captured
+    // stdout tail at ~330 queries (BENCH_r07.json "parsed": null), and a
+    // single end-of-run artifact also loses everything on a mid-suite
+    // crash. This file can lose at most the in-flight query.
+    val jsonlPath =
+      if (only.isEmpty) "BENCH_LAST.jsonl" else "BENCH_FILTERED_LAST.jsonl"
+    val jsonl =
+      try Some(new java.io.PrintWriter(new java.io.FileWriter(jsonlPath)))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $jsonlPath: $e"); None }
+
     val results = picked.sortBy(_._1).map { case (name, fn) =>
       // Declared one-time ingest (bucketed-table writes) runs UNTIMED:
       // the query's baseline row times the query, not its load phase.
@@ -69,24 +81,33 @@ object Bench {
       val extra = if (first < 0) 0 else if (first >= 4.0) 1 else math.max(0, reps - 1)
       val times = first +: (1 to extra).map { _ => reset(); timeOnce(fn, name) }
       val valid = times.filter(_ >= 0)
-      name -> (if (valid.isEmpty) -1.0 else valid.min)
+      val best = if (valid.isEmpty) -1.0 else valid.min
+      jsonl.foreach { w =>
+        w.println(s"""{"query":"$name","sec":$best,"sf":"$sfDir"}"""); w.flush()
+      }
+      name -> best
     }.toMap
+    jsonl.foreach(_.close())
     val total = results.values.filter(_ >= 0).sum
     def line(fmt: Double => String): String = {
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    // stdout line is rounded to 4 decimals to stay inside the driver's
-    // captured tail; the full-precision copy goes to BENCH_LAST.json —
-    // but ONLY for full-suite runs: a filtered A/B run must not
-    // overwrite the committed full-suite snapshot with a partial total.
+    // stdout: the full line first (for consumers reading whole stdout),
+    // then a COMPACT summary as the LAST line — the driver keeps only a
+    // ~2000-char stdout tail, which decapitates the full 331-query line;
+    // the summary (total, count, the slowest queries, pointers to the
+    // full records) always fits and always parses.
     println(line(v => f"$v%.4f"))
     val lastPath = if (only.isEmpty) "BENCH_LAST.json" else "BENCH_FILTERED_LAST.json"
     try {
       val w = new java.io.PrintWriter(lastPath)
       try w.println(line(_.toString)) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] $lastPath: $e") }
+    val top = results.toSeq.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_ < 0)},"queries":$top,"queries_truncated":true,"queries_full":"$lastPath","queries_jsonl":"$jsonlPath","sf":"$sfDir"}""")
     // Optional per-operator stats dump (reference benchmark-framework
     // analog): SPARK_GRAFT_STATS=<path> re-runs each picked query UNTIMED
     // and writes one JSON line of per-node SQLMetric stats per query.
