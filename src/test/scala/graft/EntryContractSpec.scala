@@ -31,4 +31,24 @@ class EntryContractSpec extends AnyFunSuite {
     assert(!SparkEntry.queries.keySet.exists(_.contains("_ab_")),
       "temporary A/B queries must be removed before shipping")
   }
+
+  test("bench ledger is TOTAL: BASELINE_ROWS.json keys == queries keys, " +
+    "every entry carries an sf0.1 row") {
+    // The 2x perf gate is only evaluable for queries with a recorded
+    // baseline row; round 7 found 31 gates silently unrowed because rows
+    // lived in prose. The canonical ledger is machine-readable now and
+    // this guard makes a new query without a recorded row fail loudly
+    // (add one via tools/baseline_rows.py --fill <bench jsonl>).
+    val src = scala.io.Source.fromFile("BASELINE_ROWS.json")
+    val txt = try src.mkString finally src.close()
+    val keys = "\"(q\\w+)\":\\s*\\{".r.findAllMatchIn(txt)
+      .map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- keys
+    val stale = keys -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"queries with no baseline row: $missing")
+    assert(stale.isEmpty, s"baseline rows for dropped queries: $stale")
+    val unrowed = "\"(q\\w+)\":\\s*\\{\\s*\"sf0\\.1_s\":\\s*null".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    assert(unrowed.isEmpty, s"ledger entries without an sf0.1 row: $unrowed")
+  }
 }
