@@ -73,27 +73,41 @@ object SparkEntry {
       |WHERE jac >= 0.5)""".stripMargin
 
   /** Shared dHash-pair CTE (q_image_phash + q_image_dedup): the full
-    * perceptual-hash replay — three-part image corpus, 9x8 grayscale
-    * grid from the seed-cycling pixel arithmetic, 64-bit difference hash
-    * (bit 63 added as min-long — DuckDB rejects 1<<63), then ALL-pairs
-    * Hamming ≤ 3 as `ip` (the banded Spark join is exact at that radius
-    * by pigeonhole). */
+    * perceptual-hash replay — five-part image corpus, 9x8 grayscale
+    * grid from the seed-cycling pixel arithmetic (per-pixel cycling for
+    * corpora A/B/C; 8x8 tile-constant for the round-8 JPEG↔PNG twins
+    * D/E, whose decoded pixels are exact because the flat-tile JPEG
+    * round trip is lossless — see qMultimodalJpeg), 64-bit difference
+    * hash (bit 63 added as min-long — DuckDB rejects 1<<63), then
+    * ALL-pairs Hamming ≤ 3 as `ip` (the banded Spark join is exact at
+    * that radius by pigeonhole). */
   private val ImageDhashPairsCte: String =
     """base AS (SELECT doc_id, text,
       |  CAST(16 + doc_id % 16 AS INTEGER) AS w,
       |  CAST(16 + (doc_id // 16) % 16 AS INTEGER) AS h FROM documents),
+      |base2 AS (SELECT doc_id, text,
+      |  CAST(64 + doc_id % 64 AS INTEGER) AS w,
+      |  CAST(64 + (doc_id // 64) % 64 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
       |imgs AS (
-      |  SELECT doc_id AS img_id, text, w, h, -1 AS pert FROM base
+      |  SELECT doc_id AS img_id, text, w, h, -1 AS pert, 0 AS tiled FROM base
       |  UNION ALL
-      |  SELECT doc_id + 100000000, text, w, h, -1 FROM base WHERE doc_id % 5 = 0
+      |  SELECT doc_id + 100000000, text, w, h, -1, 0 FROM base WHERE doc_id % 5 = 0
       |  UNION ALL
-      |  SELECT doc_id + 200000000, text, w, h, 0 FROM base WHERE doc_id % 7 = 0),
-      |gpk AS (SELECT img_id, y, x, pert, text,
-      |  3 * (((y * h) // 8) * w + ((x * w) // 9)) + k AS j
+      |  SELECT doc_id + 200000000, text, w, h, 0, 0 FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000000, text, w, h, -1, 1 FROM base2
+      |  UNION ALL
+      |  SELECT doc_id + 400000000, text, w, h, -1, 1 FROM base2),
+      |gpk AS (SELECT img_id, y, x, pert, tiled, text,
+      |  3 * (((y * h) // 8) * w + ((x * w) // 9)) + k AS j,
+      |  (((y * h) // 8) // 8) * ((w + 7) // 8) + (((x * w) // 9) // 8) AS t
       |  FROM imgs, (SELECT unnest(range(8)) AS y),
       |    (SELECT unnest(range(9)) AS x), (SELECT unnest(range(3)) AS k)),
       |gpv AS (SELECT img_id, y, x,
-      |  SUM(CASE WHEN j = pert
+      |  SUM(CASE WHEN tiled = 1
+      |    THEN ord(substr(text, CAST(t % strlen(text) AS INTEGER) + 1, 1))
+      |    WHEN j = pert
       |    THEN (ord(substr(text, CAST(j % strlen(text) AS INTEGER) + 1, 1)) + 1) % 256
       |    ELSE ord(substr(text, CAST(j % strlen(text) AS INTEGER) + 1, 1)) END) AS gray
       |  FROM gpk GROUP BY img_id, y, x),
@@ -1378,7 +1392,24 @@ object SparkEntry {
     val c = Multimodal.perturbPpmPixel(
       Multimodal.encodePpm(cSrc, "w", "h", "seed", "p0"), "p0", 0, "payload")
       .select((col("doc_id") + 200000000L).as("img_id"), col("payload"))
-    val corpus = a.unionByName(b).unionByName(c)
+    // (D/E, round 8) every 3rd document ALSO ships as an 8x8-tile-constant
+    // grayscale pair: D = REAL entropy-coded baseline JPEG (Huffman +
+    // IDCT — the flat-tile construction makes the lossy round trip
+    // bit-exact), E = the same pixels as lossless PNG. Zero shared
+    // payload bytes, identical decoded pixels ⇒ the JPEG↔PNG twin MUST
+    // pair at Hamming 0 through the REAL codecs. Geometry 64..127 keeps
+    // the 9x8 dHash grid sampling distinct tiles (full hash entropy).
+    val deSrc = Tables.documents(s, d)
+      .where(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(64)) + 64).cast("int").as("w"),
+        (pmod(floor(col("doc_id") / 64).cast("long"), lit(64)) + 64).cast("int").as("h"),
+        col("text").cast("binary").as("seed"))
+    val dJ = Multimodal.encodeJpegBaselineCol(deSrc, "w", "h", "seed", "payload")
+      .select((col("doc_id") + 300000000L).as("img_id"), col("payload"))
+    val eP = Multimodal.encodePngGrayTiledCol(deSrc, "w", "h", "seed", "payload")
+      .select((col("doc_id") + 400000000L).as("img_id"), col("payload"))
+    val corpus = a.unionByName(b).unionByName(c).unionByName(dJ).unionByName(eP)
     val sig = Multimodal.decodeImageFeatures(corpus, "payload")
       .select(col("img_id"), col("dhash"))
     val pairs = Dedup.hammingPairs64(sig, "img_id", "dhash", maxHamming = 3)
@@ -1395,6 +1426,12 @@ object SparkEntry {
       col("id2") === col("id1") + 200000000L).count()
     require(foundC == nC,
       s"image dedup: $foundC of $nC perturbed near-twins paired within the band radius")
+    val nDE = deSrc.count()
+    val foundDE = pairs.where(col("id1") >= 300000000L &&
+      col("id1") < 400000000L &&
+      col("id2") === col("id1") + 100000000L && col("hamming") === 0).count()
+    require(foundDE == nDE,
+      s"image dedup: $foundDE of $nDE JPEG<->PNG tile twins paired at Hamming 0")
     pairs
   }
 
@@ -1408,23 +1445,29 @@ object SparkEntry {
     Dedup.duplicateClusters(qImagePhashPairs(s, d)).orderBy("id")
 
   private def qMultimodalJpeg(s: SparkSession, d: String): DataFrame = {
-    // Round-trip gate for the FOURTH real codec — the marker-stream one:
-    // a structurally valid baseline JFIF is built per document (SOI,
-    // APP0, DQT, SOF0 with real big-endian length fields, SOS, raw scan
-    // bytes with 0xFF mapped away so no byte-stuffing, EOI), and
-    // decodeMeta's dispatch routes it through the real JPEG marker walk,
-    // which must skip APP0+DQT by their length fields to reach the SOF0
-    // geometry. The closed-form file size (124 header/framing bytes +
-    // w*h scan bytes) is pinned by the oracle like the BMP/PPM/PNG gates.
+    // Round-trip gate for the FOURTH real codec — since round 8 the FULL
+    // ENTROPY one: a baseline-sequential JFIF is built per document with
+    // real FDCT, quantization, Annex-K Huffman coding and byte stuffing
+    // (Jpeg.encodeBaseline via encodeJpegGrayTiled), and the decode side
+    // runs the full Huffman + dequant + IDCT pipeline. The image is
+    // CONSTANT WITHIN EACH 8x8 TILE (tile value = seed[tile % len]), so
+    // the lossy pipeline round-trips BIT-EXACTLY (flat tiles have zero
+    // AC energy and the DC quantizer 8 divides 8*(v-128) evenly) and the
+    // oracle replays the decoded per-channel sums from the tile
+    // arithmetic — a hash-exact gate over a REAL lossy codec. n_bytes is
+    // no longer closed-form (Huffman length is content-dependent), so
+    // the size law moved to the codec spec; the pixel sums are the
+    // stronger check.
     val docs = Tables.documents(s, d).select(col("doc_id"),
       (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("w"),
       (pmod(floor(col("doc_id") / 64).cast("long"), lit(64)) + 1).cast("int").as("h"),
       col("text").cast("binary").as("seed"))
-    val enc = Multimodal.encodeJpegCol(docs, "w", "h", "seed", "payload")
-    val meta = Multimodal.decodeMeta(enc, "payload")
-    meta.select(col("doc_id"), col("media_format"), col("width"), col("height"),
-      col("n_bytes"),
-      (col("width") === col("w") && col("height") === col("h")).as("roundtrip_ok"))
+    val enc = Multimodal.encodeJpegBaselineCol(docs, "w", "h", "seed", "payload")
+    val feat = Multimodal.decodeImageFeatures(enc, "payload")
+    feat.select(col("doc_id"), col("media_format"), col("width"), col("height"),
+      (col("width") === col("w") && col("height") === col("h")).as("roundtrip_ok"),
+      col("sum_r"), col("sum_g"), col("sum_b"),
+      col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy("doc_id")
   }
 
@@ -5607,15 +5650,30 @@ object SparkEntry {
          |  UNION
          |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b)
          |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
-    // JPEG file size = 124 marker/framing bytes (SOI 2 + APP0 18 + DQT 69
-    // + SOF0 19 + SOS 14 + EOI 2) + w*h raw scan bytes.
+    // Since round 8 the JPEG gate decodes REAL entropy-coded pixels; the
+    // tile-constant construction makes the lossy round trip bit-exact
+    // (see qMultimodalJpeg), so the oracle replays the decoded sums from
+    // the tile arithmetic: tile t (row-major over ceil(w/8) tiles across)
+    // has value seed[t % len] and covers min(8, w-8*tx) * min(8, h-8*ty)
+    // pixels; all three channels equal (grayscale).
     "q_multimodal_jpeg" ->
-      """SELECT doc_id, 'image/jpeg' AS media_format,
-        |CAST(doc_id % 64 + 1 AS INTEGER) AS width,
-        |CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS height,
-        |CAST(124 + (doc_id % 64 + 1) * ((doc_id // 64) % 64 + 1) AS BIGINT) AS n_bytes,
-        |TRUE AS roundtrip_ok
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH geo AS (SELECT doc_id, text,
+        |  CAST(doc_id % 64 + 1 AS INTEGER) AS w,
+        |  CAST((doc_id // 64) % 64 + 1 AS INTEGER) AS h FROM documents),
+        |tiles AS (SELECT doc_id, text, w, h, (w + 7) // 8 AS ta,
+        |  unnest(range(((w + 7) // 8) * ((h + 7) // 8))) AS t FROM geo),
+        |tv AS (SELECT doc_id,
+        |  ord(substr(text, CAST(t % strlen(text) AS INTEGER) + 1, 1))
+        |    * least(8, w - 8 * (t % ta)) * least(8, h - 8 * (t // ta)) AS s
+        |  FROM tiles),
+        |st AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS s FROM tv GROUP BY doc_id)
+        |SELECT g.doc_id, 'image/jpeg' AS media_format,
+        |g.w AS width, g.h AS height, TRUE AS roundtrip_ok,
+        |st.s AS sum_r, st.s AS sum_g, st.s AS sum_b,
+        |CAST(st.s AS DOUBLE) / (g.w * g.h) AS mean_r,
+        |CAST(st.s AS DOUBLE) / (g.w * g.h) AS mean_g,
+        |CAST(st.s AS DOUBLE) / (g.w * g.h) AS mean_b
+        |FROM geo g JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Seeded portable shuffle key replayed verbatim: seed-dependent odd
     // multiplier (2·42+1)·prime mod 2^31 on the key, additive seed term,
     // all mod 2^31; the position is row_number over that order.

@@ -1,0 +1,695 @@
+package graft.pipeline
+
+/** REAL baseline-sequential JPEG entropy codec, pure JVM, zero libraries —
+  * the same no-dependency constraint the PNG (Inflater + hand filters),
+  * GIF (hand LZW) and TIFF codecs already met. Everything here is written
+  * from the public spec (ITU-T T.81 / ISO 10918-1): the FDCT/IDCT closed
+  * forms (§A.3.3), the zigzag order (Figure A.6), magnitude-category
+  * coding (§F.1.2.1), byte stuffing (§F.1.2.3), restart markers (§F.2.1.3)
+  * and the Annex K.3 "typical" Huffman tables, which are spec constants.
+  *
+  * Encoder: 8-bit grayscale OR 3-component 4:4:4 YCbCr, one uniform
+  * quantization table of 8s. The DC quantizer 8 divides the flat-block DC
+  * coefficient 8·(v−128) exactly, so an image that is CONSTANT WITHIN
+  * EACH 8×8 TILE round-trips BIT-EXACTLY through the lossy pipeline
+  * (FDCT → quant → Huffman → decode → IDCT): every AC coefficient of a
+  * flat tile is zero and the DC survives quantization unchanged. That is
+  * what lets a lossy codec feed a hash-exact DuckDB oracle — the gate
+  * encodes tile-constant pixels, the oracle replays the tile arithmetic
+  * (SparkEntry q_multimodal_jpeg). Arbitrary pixels encode fine too, with
+  * ordinary lossy error (spec-tested against ImageIO both directions).
+  *
+  * Decoder: general baseline-sequential — multiple DQT (8/16-bit) and
+  * DHT segments, 1- or 3-component SOF0, sampling factors 1-2 each way
+  * (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restart handling, byte-unstuffing,
+  * nearest-neighbor chroma upsampling, JFIF YCbCr→RGB. Progressive
+  * (SOF2) and arithmetic-coded streams are rejected here and still served
+  * geometry-only by [[Multimodal.decodeJpeg]]'s marker walk.
+  *
+  * Reference behavior note: the reference engine has no binary columns at
+  * all (Supersonic's type system is numeric/string/date —
+  * supersonic/base/infrastructure/types.h); this codec exists for the
+  * 100 TB multimodal-pipeline surface, where JPEG dominates.
+  */
+object Jpeg {
+
+  // ---- spec constants (ITU T.81 Annex K) ----
+
+  /** Zigzag scan order: zigzag(k) = natural index of the k-th coefficient. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.3.1 typical luminance DC table: code counts per length 1..16,
+    * then the symbol values (categories 0-11). */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  /** Annex K.3.2 typical luminance AC table. */
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** The uniform quantization table this encoder writes: every divisor 8.
+    * Chosen so the DC of a level-shifted flat tile (8·(v−128), v∈[0,255])
+    * quantizes losslessly — see the object scaladoc. */
+  private val QuantAll8: Array[Int] = Array.fill(64)(8)
+
+  // ---- canonical Huffman code construction (T.81 §C.2) ----
+
+  /** (code, length) per symbol value, from a BITS/HUFFVAL pair. */
+  private def buildEncodeTable(bits: Array[Int],
+                               vals: Array[Int]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out
+  }
+
+  /** Decoder table in the T.81 §F.2.2.3 MINCODE/MAXCODE/VALPTR form. */
+  private final class HuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    val values: Array[Int] = vals
+    locally {
+      var code = 0
+      var k = 0
+      var len = 1
+      while (len <= 16) {
+        if (bits(len - 1) == 0) { minCode(len) = 0; maxCode(len) = -1 }
+        else {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+    }
+  }
+
+  // ---- DCT (T.81 §A.3.3 closed forms, separable double arithmetic) ----
+
+  private val CosTable: Array[Double] = {
+    // cos((2x+1) u π / 16) for x,u in 0..7
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** Forward DCT of one level-shifted 8×8 block (row-major doubles). */
+  private def fdct(in: Array[Double], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    // rows
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += in(y * 8 + x) * CosTable(x * 8 + u); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    // columns + normalization
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * CosTable(yy * 8 + v); yy += 1 }
+        val cu = if (u == 0) InvSqrt2 else 1.0
+        val cv = if (v == 0) InvSqrt2 else 1.0
+        out(v * 8 + u) = 0.25 * cu * cv * s
+        u += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Inverse DCT of one dequantized 8×8 block; output still level-shifted. */
+  private def idct(in: Array[Double], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    // columns
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          s += cv * in(v * 8 + x) * CosTable(y * 8 + v)
+          v += 1
+        }
+        tmp(y * 8 + x) = s
+        y += 1
+      }
+      x += 1
+    }
+    // rows
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) InvSqrt2 else 1.0
+          s += cu * tmp(yy * 8 + u) * CosTable(xx * 8 + u)
+          u += 1
+        }
+        out(yy * 8 + xx) = 0.25 * s
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  // ---- bit I/O with byte stuffing ----
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // §F.1.2.3 byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { // pad with 1s per spec
+      put(0x7f, 8 - nbits)
+    }
+  }
+
+  /** JPEG magnitude category: number of bits needed for |v|. */
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var c = 0
+    while (a != 0) { a >>= 1; c += 1 }
+    c
+  }
+
+  // ---- encoder ----
+
+  /** Encode 8-bit pixels as a baseline-sequential JFIF. `channels` is 1
+    * (grayscale: pixels = w·h bytes) or 3 (RGB row-major interleaved,
+    * encoded as 4:4:4 YCbCr). See object scaladoc for the flat-tile
+    * exactness contract (grayscale only — the RGB path pays color-space
+    * rounding like every JPEG). */
+  def encodeBaseline(width: Int, height: Int, channels: Int,
+                     pixels: Array[Byte], restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      "encodeBaseline: dimensions must be in [1, 65535]")
+    require(channels == 1 || channels == 3,
+      "encodeBaseline: channels must be 1 (gray) or 3 (RGB)")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      "encodeBaseline: restartInterval must be in [0, 65535]")
+    require(pixels.length == channels * width * height,
+      s"encodeBaseline: expected ${channels * width * height} pixel bytes, " +
+        s"got ${pixels.length}")
+    val out = new java.io.ByteArrayOutputStream(1024 + pixels.length / 2)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0/JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(67); u8(0) // DQT: table 0, 8-bit
+    var i = 0
+    while (i < 64) { u8(QuantAll8(Zigzag(i))); i += 1 }
+    marker(0xc0); u16(8 + 3 * channels); u8(8) // SOF0
+    u16(height); u16(width); u8(channels)
+    var c = 0
+    while (c < channels) { u8(c + 1); u8(0x11); u8(0); c += 1 }
+    // one DHT segment carrying both tables (class 0 id 0, class 1 id 0)
+    val dhtLen = 2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length)
+    marker(0xc4); u16(dhtLen)
+    u8(0x00); DcBits.foreach(u8); DcVals.foreach(u8)
+    u8(0x10); AcBits.foreach(u8); AcVals.foreach(u8)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xda); u16(6 + 2 * channels); u8(channels) // SOS
+    c = 0
+    while (c < channels) { u8(c + 1); u8(0x00); c += 1 }
+    u8(0); u8(63); u8(0)
+
+    val dcTab = buildEncodeTable(DcBits, DcVals)
+    val acTab = buildEncodeTable(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val prevDc = new Array[Int](channels)
+    val samp = new Array[Double](64)
+    val coef = new Array[Double](64)
+    val quant = new Array[Int](64)
+
+    // component sample at (x, y), edge-replicated (a spec-allowed pad
+    // that keeps flat tiles flat on partial edge blocks)
+    def sample(comp: Int, x: Int, y: Int): Double = {
+      val xx = math.min(x, width - 1)
+      val yy = math.min(y, height - 1)
+      if (channels == 1) (pixels(yy * width + xx) & 0xff).toDouble
+      else {
+        val p = 3 * (yy * width + xx)
+        val r = pixels(p) & 0xff
+        val g = pixels(p + 1) & 0xff
+        val b = pixels(p + 2) & 0xff
+        comp match { // JFIF color transform
+          case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+          case 1 => 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+          case _ => 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        }
+      }
+    }
+
+    def putCoded(tab: Array[(Int, Int)], sym: Int): Unit = {
+      val e = tab(sym)
+      require(e != null, s"encodeBaseline: no Huffman code for symbol $sym")
+      bw.put(e._1, e._2)
+    }
+
+    // non-interleaved would need one scan per component; baseline 4:4:4
+    // with 1×1 sampling interleaves one block per component per MCU
+    var rstN = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        val mcuIdx = by * blocksX + bx
+        if (restartInterval > 0 && mcuIdx > 0 &&
+          mcuIdx % restartInterval == 0) { // §F.2.1.3: align, RSTn, reset DC
+          bw.flush()
+          marker(0xd0 + rstN)
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(prevDc, 0)
+        }
+        c = 0
+        while (c < channels) {
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              samp(y * 8 + x) = sample(c, bx * 8 + x, by * 8 + y) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          fdct(samp, coef)
+          var k = 0
+          while (k < 64) {
+            val q = QuantAll8(k)
+            quant(k) = math.round(coef(Zigzag(k)) / q).toInt
+            k += 1
+          }
+          // DC: category + magnitude bits of the difference
+          val diff = quant(0) - prevDc(c)
+          prevDc(c) = quant(0)
+          val dcCat = category(diff)
+          putCoded(dcTab, dcCat)
+          if (dcCat > 0) {
+            val bits = if (diff < 0) diff + (1 << dcCat) - 1 else diff
+            bw.put(bits, dcCat)
+          }
+          // AC: (run, size) symbols with ZRL and EOB
+          var run = 0
+          var k2 = 1
+          while (k2 < 64) {
+            val v = quant(k2)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { putCoded(acTab, 0xf0); run -= 16 }
+              val cat = category(v)
+              putCoded(acTab, (run << 4) | cat)
+              val bits = if (v < 0) v + (1 << cat) - 1 else v
+              bw.put(bits, cat)
+              run = 0
+            }
+            k2 += 1
+          }
+          if (run > 0) putCoded(acTab, 0x00) // EOB
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Grayscale convenience face (the oracle-gate encoder). */
+  def encodeGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
+    encodeBaseline(width, height, 1, pixels)
+
+  // ---- decoder ----
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var sawMarker = false
+    /** Next bit of entropy-coded data; unstuffs FF 00, stops at markers. */
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= bytes.length) { sawMarker = true; return 0 }
+        var b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) { sawMarker = true; return 0 }
+          val m = bytes(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed FF
+          else { sawMarker = true; pos -= 1; b = 0 } // real marker: stop
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def alignToMarker(): Unit = { nbits = 0 }
+  }
+
+  private def decodeHuffSym(br: BitReader, h: HuffDecoder): Int = {
+    var code = br.bit()
+    var len = 1
+    while (len <= 16) {
+      if (h.maxCode(len) >= 0 && code <= h.maxCode(len))
+        return h.values(h.valPtr(len) + code - h.minCode(len))
+      code = (code << 1) | br.bit()
+      len += 1
+    }
+    throw new IllegalArgumentException("jpeg: invalid Huffman code")
+  }
+
+  /** JPEG "extend": magnitude bits → signed value (T.81 §F.2.2.1). */
+  private def extend(v: Int, cat: Int): Int =
+    if (cat == 0) 0
+    else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
+    else v
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int,
+                                     var dcTab: Int = 0, var acTab: Int = 0)
+
+  /** Full pixel decode of a baseline-sequential JPEG. Returns
+    * (mime, width, height, RGB bytes — gray replicated to 3 channels).
+    * None for anything that is not baseline-sequential Huffman 8-bit with
+    * 1 or 3 components and sampling factors ≤ 2. */
+  def decodePixels(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    if (bytes.length < 4 ||
+      (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    try decodePixelsImpl(bytes)
+    catch { case _: Exception => None } // malformed stream ⇒ not decodable
+  }
+
+  private def decodePixelsImpl(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    val quantTabs = Array.ofDim[Int](4, 64) // natural order
+    val dcHuff = new Array[HuffDecoder](4)
+    val acHuff = new Array[HuffDecoder](4)
+    var comps: Array[Component] = null
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+    var pos = 2
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+
+    while (pos + 1 < bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      var p = pos + 1
+      while (p < bytes.length && (bytes(p) & 0xff) == 0xff) p += 1
+      if (p >= bytes.length) return None
+      val m = bytes(p) & 0xff
+      p += 1
+      if (m == 0xd9) return None // EOI before SOS
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos = p }
+      else {
+        if (p + 1 >= bytes.length) return None
+        val len = u16(p)
+        if (len < 2 || p + len > bytes.length) return None
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var q = p + 2
+            while (q < p + len) {
+              val pq = (bytes(q) & 0xff) >> 4
+              val tq = bytes(q) & 0x0f
+              q += 1
+              var k = 0
+              while (k < 64) {
+                val v = if (pq == 0) bytes(q) & 0xff else { val x = u16(q); q += 1; x }
+                q += 1
+                quantTabs(tq)(Zigzag(k)) = v
+                k += 1
+              }
+            }
+          case 0xc4 => // DHT: one or more tables
+            var q = p + 2
+            while (q < p + len) {
+              val tc = (bytes(q) & 0xff) >> 4
+              val th = bytes(q) & 0x0f
+              q += 1
+              val bits = new Array[Int](16)
+              var n = 0
+              var k = 0
+              while (k < 16) { bits(k) = bytes(q + k) & 0xff; n += bits(k); k += 1 }
+              q += 16
+              val vals = new Array[Int](n)
+              k = 0
+              while (k < n) { vals(k) = bytes(q + k) & 0xff; k += 1 }
+              q += n
+              val dec = new HuffDecoder(bits, vals)
+              if (tc == 0) dcHuff(th) = dec else acHuff(th) = dec
+            }
+          case 0xc0 => // SOF0 baseline
+            if ((bytes(p + 2) & 0xff) != 8) return None // 8-bit only
+            height = u16(p + 3); width = u16(p + 5)
+            val nc = bytes(p + 7) & 0xff
+            if (width == 0 || height == 0 || (nc != 1 && nc != 3)) return None
+            comps = (0 until nc).map { i =>
+              val b = p + 8 + 3 * i
+              val hv = bytes(b + 1) & 0xff
+              Component(bytes(b) & 0xff, hv >> 4, hv & 0x0f, bytes(b + 2) & 0x0f)
+            }.toArray
+            if (comps.exists(cp => cp.h < 1 || cp.h > 2 || cp.v < 1 || cp.v > 2))
+              return None
+          case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+            return None // non-baseline frame (progressive etc.)
+          case 0xdd => restartInterval = u16(p + 2)
+          case 0xda => // SOS: entropy data follows
+            if (comps == null) return None
+            val ns = bytes(p + 2) & 0xff
+            if (ns != comps.length) return None
+            var q = p + 3
+            var i = 0
+            while (i < ns) {
+              val cid = bytes(q) & 0xff
+              val tabs = bytes(q + 1) & 0xff
+              val compOpt = comps.find(_.id == cid)
+              if (compOpt.isEmpty) return None
+              compOpt.get.dcTab = tabs >> 4
+              compOpt.get.acTab = tabs & 0x0f
+              q += 2
+              i += 1
+            }
+            q += 3 // Ss/Se/Ah-Al (fixed 0/63/0 in baseline)
+            return decodeScan(bytes, q, width, height, comps, quantTabs,
+              dcHuff, acHuff, restartInterval)
+          case _ => () // APPn / COM / others: skip by length
+        }
+        pos = p + len
+      }
+    }
+    None
+  }
+
+  private def decodeScan(bytes: Array[Byte], scanStart: Int,
+                         width: Int, height: Int, comps: Array[Component],
+                         quantTabs: Array[Array[Int]],
+                         dcHuff: Array[HuffDecoder], acHuff: Array[HuffDecoder],
+                         restartInterval: Int): Option[(String, Int, Int, Array[Byte])] = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    // per-component planes at the component's own resolution
+    val planeW = comps.map(cp => mcusX * cp.h * 8)
+    val planeH = comps.map(cp => mcusY * cp.v * 8)
+    val planes = comps.indices.map(i =>
+      new Array[Byte](planeW(i) * planeH(i))).toArray
+    val br = new BitReader(bytes, scanStart)
+    val prevDc = new Array[Int](comps.length)
+    val coef = new Array[Double](64)
+    val px = new Array[Double](64)
+
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // RSTn: byte-aligned marker, DC predictors reset
+        br.alignToMarker()
+        var p = br.pos
+        while (p + 1 < bytes.length &&
+          !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) >= 0xd0 &&
+            (bytes(p + 1) & 0xff) <= 0xd7)) p += 1
+        if (p + 1 >= bytes.length) return None
+        br.pos = p + 2
+        br.sawMarker = false
+        java.util.Arrays.fill(prevDc, 0)
+      }
+      val my = mcu / mcusX
+      val mx = mcu % mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val comp = comps(ci)
+        val qt = quantTabs(comp.tq)
+        val dcT = dcHuff(comp.dcTab)
+        val acT = acHuff(comp.acTab)
+        if (dcT == null || acT == null) return None
+        var v = 0
+        while (v < comp.v) {
+          var h = 0
+          while (h < comp.h) {
+            java.util.Arrays.fill(coef, 0.0)
+            val dcCat = decodeHuffSym(br, dcT)
+            val diff = extend(br.bits(dcCat), dcCat)
+            prevDc(ci) += diff
+            coef(0) = prevDc(ci).toDouble * qt(0)
+            var k = 1
+            while (k < 64) {
+              val rs = decodeHuffSym(br, acT)
+              if (rs == 0x00) k = 64 // EOB
+              else if (rs == 0xf0) k += 16 // ZRL
+              else {
+                k += rs >> 4
+                if (k > 63) return None
+                val cat = rs & 0x0f
+                coef(Zigzag(k)) = extend(br.bits(cat), cat).toDouble * qt(Zigzag(k))
+                k += 1
+              }
+            }
+            idct(coef, px)
+            val bx0 = (mx * comp.h + h) * 8
+            val by0 = (my * comp.v + v) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val s = math.round(px(y * 8 + x) + 128.0).toInt
+                val cl = if (s < 0) 0 else if (s > 255) 255 else s
+                planes(ci)((by0 + y) * planeW(ci) + bx0 + x) = cl.toByte
+                x += 1
+              }
+              y += 1
+            }
+            h += 1
+          }
+          v += 1
+        }
+        ci += 1
+      }
+      if (br.sawMarker && mcu < nMcus - 1 &&
+        !(restartInterval > 0 && (mcu + 1) % restartInterval == 0))
+        return None // entropy data ran out early
+      mcu += 1
+    }
+
+    // assemble RGB with nearest-neighbor upsampling of subsampled planes
+    val rgb = new Array[Byte](3 * width * height)
+    if (comps.length == 1) {
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = planes(0)(y * planeW(0) + x)
+          val o = 3 * (y * width + x)
+          rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          def sampleAt(i: Int): Int = {
+            val sx = x * comps(i).h / maxH
+            val sy = y * comps(i).v / maxV
+            planes(i)(sy * planeW(i) + sx) & 0xff
+          }
+          val yy = sampleAt(0).toDouble
+          val cb = sampleAt(1) - 128.0
+          val cr = sampleAt(2) - 128.0
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val o = 3 * (y * width + x)
+          rgb(o) = clamp(yy + 1.402 * cr)
+          rgb(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          rgb(o + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some(("image/jpeg", width, height, rgb))
+  }
+}

@@ -340,6 +340,60 @@ object Multimodal {
                     seedCol: String, out: String): DataFrame =
     encodeWith(df, widthCol, heightCol, seedCol, out)(encodeJpegHeader)
 
+  /** TILE-CONSTANT grayscale image fully entropy-coded as baseline JPEG
+    * (the [[Jpeg]] codec): pixel (x, y) takes the value
+    * seed[tileIndex % len] where tileIndex walks 8×8 tiles row-major.
+    * Because every 8×8 JPEG block of such an image is flat, the lossy
+    * FDCT→quant→Huffman→IDCT round trip is BIT-EXACT ([[Jpeg]] scaladoc),
+    * so a DuckDB oracle can replay the decoded pixels from the tile
+    * arithmetic — the mechanism that lets a real lossy codec feed a
+    * hash-exact gate. */
+  def encodeJpegGrayTiled(width: Int, height: Int, seed: Array[Byte]): Array[Byte] = {
+    val tilesAcross = (width + 7) / 8
+    val px = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val t = (y / 8) * tilesAcross + (x / 8)
+        px(y * width + x) = if (seed.isEmpty) 0 else seed(t % seed.length)
+        x += 1
+      }
+      y += 1
+    }
+    Jpeg.encodeGray(width, height, px)
+  }
+
+  /** Encode columns into entropy-coded tile-constant baseline JPEGs. */
+  def encodeJpegBaselineCol(df: DataFrame, widthCol: String, heightCol: String,
+                            seedCol: String, out: String): DataFrame =
+    encodeWith(df, widthCol, heightCol, seedCol, out)(encodeJpegGrayTiled)
+
+  /** The SAME tile-constant gray image as [[encodeJpegGrayTiled]], as a
+    * lossless PNG (r = g = b = tile value): because the JPEG flat-tile
+    * round trip is bit-exact, the two payloads share ZERO bytes but
+    * decode to IDENTICAL pixels — the cross-format planted twin for
+    * JPEG↔PNG image dedup (q_image_phash corpus D/E). */
+  def encodePngGrayTiledCol(df: DataFrame, widthCol: String, heightCol: String,
+                            seedCol: String, out: String): DataFrame =
+    encodeWith(df, widthCol, heightCol, seedCol, out) { (w, h, seed) =>
+      val tilesAcross = (w + 7) / 8
+      val rgb = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val t = (y / 8) * tilesAcross + (x / 8)
+          val v = if (seed.isEmpty) 0: Byte else seed(t % seed.length)
+          val o = 3 * (y * w + x)
+          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(w, h, rgb) // full-length seed ⇒ the cycle is the identity
+    }
+
   // ===== WAV / audio (real, pure JVM: RIFF chunk stream) =====
 
   /** Metadata schema for decoded audio payloads. */
@@ -1127,6 +1181,7 @@ object Multimodal {
   def decodePixelsRgb(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
     decodeBmpPixels(bytes).orElse(decodePpmPixels(bytes)).orElse(decodePngPixels(bytes))
       .orElse(decodeGifPixels(bytes)).orElse(decodeTiffPixels(bytes))
+      .orElse(Jpeg.decodePixels(bytes))
 
   /** REAL pixel decoder for our baseline uncompressed RGB TIFF: the IFD
     * walk locates StripOffsets(273)/StripByteCounts(279) (either byte
@@ -1274,10 +1329,14 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB image decode — the fallback for formats whose codecs this
-    * environment lacks (audio/video; JPEG headers now parse for real).
-    * Derives deterministic dimensions from the payload bytes so tests
-    * are stable; a real codec library call goes here. */
+  /** STUB image decode — the fallback for formats with no codec here at
+    * all (since round 8 every shipped image format decodes for real:
+    * BMP/PPM/PNG/GIF/TIFF pixels losslessly and baseline JPEG through
+    * the full Huffman+IDCT pipeline in [[Jpeg]]; of the remaining
+    * surface only progressive JPEG and the audio/video containers stop
+    * at the metadata walk). Derives deterministic dimensions from the
+    * payload bytes so tests are stable; a real codec library call goes
+    * here. */
   def fakeDecode(bytes: Array[Byte]): (String, Int, Int) = {
     // STUB: pretend the first bytes are a header; a real decoder goes here.
     val w = if (bytes.isEmpty) 0 else ((bytes(0) & 0xff) % 64) + 1

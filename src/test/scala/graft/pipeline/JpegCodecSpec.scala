@@ -1,0 +1,216 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The baseline JPEG ENTROPY codec (Huffman + quant + DCT — [[Jpeg]]),
+  * cross-validated against the JDK's own JPEG codec in BOTH directions:
+  * ImageIO must decode our files, and our decoder must decode ImageIO's.
+  * The flat-tile bit-exactness contract (what lets a lossy codec feed a
+  * hash-exact oracle gate) is asserted directly. */
+class JpegCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seeded(n: Int, seed: Int): Array[Byte] = {
+    // deterministic LCG bytes — no Random so runs are identical everywhere
+    val out = new Array[Byte](n)
+    var s = seed.toLong & 0xffffffffL
+    var i = 0
+    while (i < n) {
+      s = (s * 1103515245L + 12345L) & 0x7fffffffL
+      out(i) = ((s >> 16) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def imageioRead(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  private def rgbOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new Array[Byte](3 * img.getWidth * img.getHeight)
+    val gray = img.getRaster.getNumBands == 1
+    var i = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      if (gray) {
+        // raster samples ARE the decoded Y values; getRGB would push them
+        // through a gray→sRGB color-space conversion and distort them
+        val v = img.getRaster.getSample(x, y, 0).toByte
+        out(i) = v; out(i + 1) = v; out(i + 2) = v
+      } else {
+        val p = img.getRGB(x, y)
+        out(i) = ((p >> 16) & 0xff).toByte
+        out(i + 1) = ((p >> 8) & 0xff).toByte
+        out(i + 2) = (p & 0xff).toByte
+      }
+      i += 3
+    }
+    out
+  }
+
+  private def maxAbsDiff(a: Array[Byte], b: Array[Byte]): Int = {
+    require(a.length == b.length, s"length ${a.length} vs ${b.length}")
+    var m = 0
+    var i = 0
+    while (i < a.length) {
+      val d = math.abs((a(i) & 0xff) - (b(i) & 0xff))
+      if (d > m) m = d
+      i += 1
+    }
+    m
+  }
+
+  test("JPEG entropy codec: flat-tile grayscale round-trips BIT-EXACTLY " +
+    "through the lossy pipeline (non-multiple-of-8 geometry)") {
+    val seed = Array[Byte](10, 200.toByte, 30, 255.toByte, 0, 127)
+    val w = 19; val h = 13 // partial edge blocks on both axes
+    val jpg = Multimodal.encodeJpegGrayTiled(w, h, seed)
+    val decoded = Jpeg.decodePixels(jpg)
+    assert(decoded.isDefined, "decoder rejected its own encoder's output")
+    val (fmt, dw, dh, rgb) = decoded.get
+    assert(fmt == "image/jpeg" && dw == w && dh == h)
+    val tilesAcross = (w + 7) / 8
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = seed(((y / 8) * tilesAcross + (x / 8)) % seed.length) & 0xff
+      val o = 3 * (y * w + x)
+      assert((rgb(o) & 0xff) == v && (rgb(o + 1) & 0xff) == v &&
+        (rgb(o + 2) & 0xff) == v,
+        s"pixel ($x,$y): got ${rgb(o) & 0xff}, want $v")
+    }
+    // the JDK's OWN decoder reads the same exact pixels — the marker
+    // stream, Huffman tables and entropy data are spec-conformant
+    val img = imageioRead(jpg)
+    assert(img.getWidth == w && img.getHeight == h)
+    assert(maxAbsDiff(rgbOf(img), rgb) == 0,
+      "ImageIO and our decoder disagree on flat-tile content")
+  }
+
+  test("JPEG entropy codec: arbitrary grayscale content — our decode " +
+    "matches ImageIO's and stays near the source") {
+    val w = 37; val h = 23
+    val px = seeded(w * h, seed = 7)
+    val jpg = Jpeg.encodeGray(w, h, px)
+    // random content at uniform quant 8 exercises byte stuffing for real
+    var stuffed = 0
+    for (i <- 0 until jpg.length - 1)
+      if ((jpg(i) & 0xff) == 0xff && jpg(i + 1) == 0) stuffed += 1
+    assert(stuffed > 0, "no stuffed 0xFF00 in entropy data — test too weak")
+    val (_, dw, dh, ours) = Jpeg.decodePixels(jpg).get
+    assert(dw == w && dh == h)
+    val theirs = rgbOf(imageioRead(jpg))
+    // IDCT implementations may legitimately differ by ±1 per sample
+    assert(maxAbsDiff(ours, theirs) <= 2,
+      s"our IDCT diverges from ImageIO by ${maxAbsDiff(ours, theirs)}")
+    // lossy error vs the source stays small at uniform quant 8
+    val srcRgb = new Array[Byte](3 * w * h)
+    for (i <- 0 until w * h) {
+      srcRgb(3 * i) = px(i); srcRgb(3 * i + 1) = px(i); srcRgb(3 * i + 2) = px(i)
+    }
+    assert(maxAbsDiff(ours, srcRgb) <= 24,
+      s"lossy error ${maxAbsDiff(ours, srcRgb)} larger than expected")
+  }
+
+  test("JPEG entropy codec: 4:4:4 RGB color — ImageIO agreement and " +
+    "restart-marker stream decodes") {
+    val w = 24; val h = 17
+    val px = seeded(3 * w * h, seed = 11)
+    val jpg = Jpeg.encodeBaseline(w, h, 3, px)
+    val (_, dw, dh, ours) = Jpeg.decodePixels(jpg).get
+    assert(dw == w && dh == h)
+    val theirs = rgbOf(imageioRead(jpg))
+    // color adds YCbCr round-trip rounding on top of the ±1 IDCT slack
+    assert(maxAbsDiff(ours, theirs) <= 4,
+      s"color decode diverges from ImageIO by ${maxAbsDiff(ours, theirs)}")
+    // restart markers: DRI + RSTn every 2 MCUs, DC predictors reset —
+    // both our decoder and ImageIO must read the interleaved stream
+    val jpgRst = Jpeg.encodeBaseline(w, h, 3, px, restartInterval = 2)
+    assert(jpgRst.length > jpg.length, "restart stream should carry markers")
+    val (_, _, _, oursRst) = Jpeg.decodePixels(jpgRst).get
+    assert(maxAbsDiff(oursRst, ours) == 0,
+      "restart-interval stream decoded differently from the plain stream")
+    assert(maxAbsDiff(rgbOf(imageioRead(jpgRst)), oursRst) <= 4)
+  }
+
+  test("JPEG entropy codec: decodes the JDK encoder's files (foreign " +
+    "Huffman tables, subsampled color)") {
+    val w = 40; val h = 32
+    // smooth low-frequency content so chroma-upsampling differences
+    // (nearest-neighbor here vs ImageIO's interpolating filter) stay small
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = 32 + 3 * x + 2 * y
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "jpeg", bos), "JDK JPEG writer missing")
+    val foreign = bos.toByteArray
+    val dec = Jpeg.decodePixels(foreign)
+    assert(dec.isDefined, "our decoder rejected a JDK-written baseline JPEG")
+    val (_, dw, dh, ours) = dec.get
+    assert(dw == w && dh == h)
+    assert(maxAbsDiff(ours, rgbOf(imageioRead(foreign))) <= 2)
+    // color: the JDK writer subsamples chroma (4:2:0) at default quality —
+    // exercises the sampling-factor MCU layout and upsampling path
+    val color = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + 2 * x; val g = 30 + 2 * y; val b = 60 + x + y
+      color.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(color, "jpeg", bos2))
+    val foreignColor = bos2.toByteArray
+    val dec2 = Jpeg.decodePixels(foreignColor)
+    assert(dec2.isDefined, "our decoder rejected a JDK-written color JPEG")
+    val (_, cw, ch, oursC) = dec2.get
+    assert(cw == w && ch == h)
+    // upsampling filters differ, so allow a wider band on smooth content
+    assert(maxAbsDiff(oursC, rgbOf(imageioRead(foreignColor))) <= 12,
+      s"subsampled decode diverges by ${maxAbsDiff(oursC, rgbOf(imageioRead(foreignColor)))}")
+  }
+
+  test("JPEG entropy codec: malformed streams reject instead of misparsing") {
+    val jpg = Multimodal.encodeJpegGrayTiled(16, 16, Array[Byte](1, 2, 3))
+    assert(Jpeg.decodePixels(jpg.take(40)).isEmpty) // truncated in headers
+    assert(Jpeg.decodePixels(jpg.dropRight(jpg.length / 3)).isEmpty) // truncated scan
+    val progressive = jpg.clone()
+    // flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be rejected here
+    val sof = progressive.indices.find(i =>
+      (progressive(i) & 0xff) == 0xff && (progressive(i + 1) & 0xff) == 0xc0).get
+    progressive(sof + 1) = 0xc2.toByte
+    assert(Jpeg.decodePixels(progressive).isEmpty)
+    // ...but the geometry-only marker walk still serves it
+    assert(Multimodal.decodeJpeg(progressive).contains(("image/jpeg", 16, 16)))
+    assert(Jpeg.decodePixels("not a jpeg at all".getBytes).isEmpty)
+    // the old header-level payloads (raw scan bytes, no DHT) are not
+    // valid entropy streams — pixel decode refuses, marker walk reads them
+    val headerOnly = Multimodal.encodeJpegHeader(9, 7, Array[Byte](5))
+    assert(Jpeg.decodePixels(headerOnly).isEmpty)
+    assert(Multimodal.decodeJpeg(headerOnly).contains(("image/jpeg", 9, 7)))
+  }
+
+  test("JPEG payloads flow through decodeImageFeatures (sums + dhash)") {
+    val df = Seq((1L, 17, 9, "abc"), (2L, 8, 8, "zq")).toDF("id", "w", "h", "t")
+      .withColumn("seed", col("t").cast("binary"))
+    val enc = Multimodal.encodeJpegBaselineCol(df, "w", "h", "seed", "payload")
+    val feat = Multimodal.decodeImageFeatures(enc, "payload")
+      .select("id", "media_format", "width", "height", "sum_r", "sum_g", "sum_b")
+    val got = rows(feat.orderBy("id"))
+    // replay the tile arithmetic: sum = sum over tiles of v * tileW * tileH
+    def tileSum(w: Int, h: Int, seed: Array[Byte]): Long = {
+      val ta = (w + 7) / 8
+      var s = 0L
+      for (ty <- 0 until (h + 7) / 8; tx <- 0 until ta) {
+        val v = seed(((ty * ta) + tx) % seed.length) & 0xff
+        s += v.toLong * math.min(8, w - 8 * tx) * math.min(8, h - 8 * ty)
+      }
+      s
+    }
+    val s1 = tileSum(17, 9, "abc".getBytes)
+    val s2 = tileSum(8, 8, "zq".getBytes)
+    assert(got == Seq(
+      Seq(1L, "image/jpeg", 17, 9, s1, s1, s1),
+      Seq(2L, "image/jpeg", 8, 8, s2, s2, s2)))
+  }
+}
