@@ -2337,6 +2337,8 @@ object SparkEntry {
     val cap = graft.pipeline.Sampling.exactPerStratum(ded, "source", 100, Seq("doc_id"))
     val keyed = cap.withColumn("__sk",
       graft.pipeline.Sampling.shuffleKey(Seq(col("doc_id")), 42L))
+    // global windows below run over the CAPPED sample (<= 100 per
+    // source — bounded by construction, sweep-audited r8)
     val ord = keyed.withColumn("pos",
       row_number().over(Window.orderBy(col("__sk"), col("doc_id"))) - 1)
     val toks = ord.withColumn("n_tokens",

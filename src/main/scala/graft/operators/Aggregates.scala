@@ -340,10 +340,12 @@ object Aggregates {
         col(measureCol).cast("decimal(18,2)").as("__m"))
       .groupBy(col("category"))
       .agg(sum(col("__m")).as("measure_sum"), count(lit(1)).as("n_rows"))
+    // round 8: top-N via orderBy+limit (TakeOrderedAndProject — a
+    // distributed per-partition heap, no single-reducer rank window; the
+    // category aggregate can itself be high-cardinality).
     val kept = agg
-      .withColumn("__r", row_number().over(
-        Window.orderBy(col("measure_sum").desc, col("category").asc)))
-      .where(col("__r") <= n)
+      .orderBy(col("measure_sum").desc, col("category").asc)
+      .limit(n)
       .select(col("category"))
     agg.join(broadcast(kept.withColumn("__keep", lit(true))),
         Seq("category"), "left")

@@ -910,9 +910,13 @@ object Dedup {
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
                               sortKeyCol: String, w: Int): DataFrame = {
     require(w >= 1, "sortedNeighborhoodPairs: window must be >= 1")
-    val ranked = df.select(col(idCol).as("__id"), col(sortKeyCol).as("__k"))
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("__k").asc, col("__id").asc)).cast("long"))
+    // round 8: the global rank rides Profile.rowPositions (range-exchange
+    // two-level positions) — the old single-reducer row_number window was
+    // the only non-distributed step of this blocking scheme.
+    val ranked = Profile.rowPositions(
+        df.select(col(idCol).as("__id"), col(sortKeyCol).as("__k")),
+        "__rn0", col("__k").asc, col("__id").asc)
+      .withColumn("__rn", (col("__rn0") + 1L).cast("long")).drop("__rn0")
     val a = ranked.select(col("__id").as("id_a"), col("__k").as("key_a"),
       col("__rn").as("__ra"))
     val b = ranked.select(col("__id").as("id_b"), col("__k").as("key_b"),

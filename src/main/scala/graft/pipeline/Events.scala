@@ -171,6 +171,8 @@ object Events {
     require(window >= 2, "rateAnomaly: window must be >= 2")
     val b = df.groupBy(date_trunc(bucket, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("c"))
+    // global window over the time-BUCKET table — bounded by the covered
+    // time range (hours/days), not the event count (sweep-audited r8)
     val w = Window.orderBy(col("bucket")).rowsBetween(-window, -1)
     val n = count(col("c")).over(w)
     val s = sum(col("c")).over(w)
@@ -434,6 +436,8 @@ object Events {
     val firstSeen = perKey.groupBy(col("__k"))
       .agg(min(col("period")).as("period"))
       .groupBy(col("period")).agg(count(lit(1)).as("first_seen"))
+    // global window over the PERIOD table — bounded by the covered time
+    // range, not the key count (sweep-audited r8)
     val w = Window.orderBy(col("period"))
       .rowsBetween(Window.unboundedPreceding, 0)
     active.join(firstSeen, Seq("period"), "left")

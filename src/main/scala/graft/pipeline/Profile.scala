@@ -196,8 +196,12 @@ object Profile {
         keyCols.map(c => col(c).as(s"__k_$c"))): _*)
       .where(col("__v").isNotNull)
     val counts = v.groupBy("__v").agg(count(lit(1)).as("__c"))
-    val cum = counts.withColumn("__before",
-      sum("__c").over(Window.orderBy("__v")) - col("__c"))
+    // round 8: distinct-value prefix via prefixFold (range exchange)
+    // instead of the single-reducer global window — the distinct-value
+    // table can grow with the data (all-distinct values = one dead core).
+    val cum = prefixFold(counts, Seq(col("__v").asc),
+        Seq(PrefixSum(col("__c"), "__b")))
+      .withColumn("__before", coalesce(col("__b"), lit(0L)))
     val total = counts.agg(sum("__c").as("__n"))
     val wv = Window.partitionBy("__v")
       .orderBy(keyCols.map(c => col(s"__k_$c")): _*)
@@ -230,8 +234,11 @@ object Profile {
       keepCols.map(col)): _*)
     val counts = v.where(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__c"))
-    val cum = counts.withColumn("__cum",
-      sum("__c").over(Window.orderBy("__v")))
+    // round 8: inclusive cume via the prefixFold range exchange (see
+    // histogramEquiDepth) — exclusive prefix + own count.
+    val cum = prefixFold(counts, Seq(col("__v").asc),
+        Seq(PrefixSum(col("__c"), "__b")))
+      .withColumn("__cum", coalesce(col("__b"), lit(0L)) + col("__c"))
     val tot = counts.agg(sum("__c").as("__n"))
     v.join(cum.select("__v", "__cum"), Seq("__v"), "left")
       .crossJoin(broadcast(tot))
@@ -358,38 +365,157 @@ object Profile {
   }
 
   /** Distributed exclusive prefix counts over a (value, count) table —
-    * the piece that makes a GLOBAL value rank scale when the value
-    * column is high-cardinality (a single-partition window over a
-    * million distinct p-values or scores is one dead core; measured:
-    * q_fdr 7.3× wall at 10× data before this). Two-level shape:
-    * range-partition the distinct-value table (partition order = value
-    * order by the RangePartitioner contract), per-partition totals fold
-    * to a partition-count-sized table whose window is trivial, and the
-    * within-partition prefix windows are partition-local. The result —
-    * for each value, the count of STRICTLY smaller (or larger, for
-    * descending) values — is independent of where range boundaries
-    * land, so sampling inside the partitioner cannot affect output.
+    * THE replacement for the `Window.orderBy(value)` single-partition
+    * global window, the one Spark shape that silently stops scaling:
+    * an un-partitioned ordered window moves EVERY row through one
+    * reducer, so wall time is bounded by one core no matter the cluster
+    * (measured here: q_fdr 7.3× wall at 10× data before this primitive;
+    * 2.0× after). Reach for this whenever a global rank / cumulative
+    * count / quantile boundary is taken over a column whose distinct
+    * cardinality grows with the data — p-values, scores, revenues.
+    * Aggregate to (value, count) first; only when the DISTINCT value
+    * table is provably small (a fixed enum, bounded buckets) is the
+    * plain global window acceptable, and such sites should say so.
+    *
+    * Two-level shape: range-partition the distinct-value table
+    * (partition order = value order by the RangePartitioner contract),
+    * per-partition totals fold to a partition-count-sized table whose
+    * window is trivial, and the within-partition prefix windows are
+    * partition-local. The result — for each value, the summed count of
+    * STRICTLY smaller (ascending) or larger (descending) values — is
+    * independent of where range boundaries land, so sampling inside the
+    * partitioner cannot affect output. Used by the FDR/BH rank, decile
+    * lift, equi-depth histograms and the global-rank faces.
     * Returns (value, __off). */
-  private[pipeline] def prefixOffsets(counts: DataFrame, valueCol: String,
-                                      countCol: String,
-                                      ascending: Boolean): DataFrame = {
-    val v = if (ascending) col(valueCol).asc else col(valueCol).desc
-    val ranged = counts.repartitionByRange(col(valueCol))
-      .withColumn("__pid",
-        if (ascending) spark_partition_id()
-        else -spark_partition_id())
-    val wIn = Window.partitionBy("__pid").orderBy(v)
+  def prefixOffsets(counts: DataFrame, valueCol: String,
+                    countCol: String,
+                    ascending: Boolean): DataFrame = {
+    val order = if (ascending) col(valueCol).asc else col(valueCol).desc
+    prefixFold(counts, Seq(order),
+      Seq(PrefixSum(col(countCol), "__off")))
+      .select(col(valueCol), coalesce(col("__off"), lit(0L)).as("__off"))
+  }
+
+  /** One exclusive prefix aggregate in a [[prefixFold]]: `out` carries
+    * the fold of `agg` over all rows STRICTLY before the current one in
+    * the requested total order. [[PrefixSum]] folds sums (missing prefix
+    * = typed zero via coalesce with the aggregate's own null), and
+    * [[PrefixMax]] folds running maxima (missing prefix = NULL — the
+    * caller sees "no predecessor" explicitly, the skyline contract). */
+  sealed trait PrefixAgg {
+    def src: Column; def out: String
+    private[Profile] def aggFn(c: Column): Column
+    private[Profile] def combine(a: Column, b: Column): Column
+  }
+  final case class PrefixSum(src: Column, out: String) extends PrefixAgg {
+    private[Profile] def aggFn(c: Column): Column = sum(c)
+    private[Profile] def combine(a: Column, b: Column): Column =
+      when(a.isNull, b).when(b.isNull, a).otherwise(a + b)
+  }
+  final case class PrefixMax(src: Column, out: String) extends PrefixAgg {
+    private[Profile] def aggFn(c: Column): Column = max(c)
+    private[Profile] def combine(a: Column, b: Column): Column = greatest(a, b)
+  }
+
+  /** The generalized two-level distributed EXCLUSIVE prefix fold — the
+    * engine under [[prefixOffsets]] and every global cumulative shape
+    * here: range-partition `df` by the requested sort order (partition
+    * index follows the order by the RangePartitioner contract — including
+    * descending sort columns), run each aggregate as a partition-LOCAL
+    * exclusive window, fold per-partition totals on the bounded
+    * (#partitions)-row table, and combine. No row ever passes through a
+    * single-reducer global window; results are independent of where the
+    * sampled range boundaries land. The sort order should be total (add
+    * tie-break columns) whenever `df` can hold duplicate sort keys and
+    * per-row determinism matters. Appends one column per [[PrefixAgg]];
+    * a sum with no preceding rows is NULL (callers coalesce with their
+    * typed zero), a max with none is NULL. */
+  def prefixFold(df: DataFrame, sortCols: Seq[Column],
+                 aggs: Seq[PrefixAgg]): DataFrame = {
+    require(sortCols.nonEmpty, "prefixFold: need at least one sort column")
+    require(aggs.nonEmpty, "prefixFold: need at least one aggregate")
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy("__pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val inner = ranged.withColumn("__in",
-      coalesce(sum(col(countCol)).over(wIn), lit(0L)))
+    val inner = aggs.zipWithIndex.foldLeft(ranged) { case (d, (a, i)) =>
+      d.withColumn(s"__in_$i", a.aggFn(a.src).over(wIn))
+    }
     val wPid = Window.orderBy(col("__pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val pidTotals = ranged.groupBy("__pid")
-      .agg(sum(col(countCol)).as("__pt"))
+    val totals = ranged.groupBy("__pid")
+      .agg(aggs.head.aggFn(aggs.head.src).as("__pt_0"),
+        aggs.tail.zipWithIndex.map { case (a, i) =>
+          a.aggFn(a.src).as(s"__pt_${i + 1}")
+        }: _*)
+    val pidOffsets = aggs.zipWithIndex.foldLeft(totals) { case (d, (a, i)) =>
+      d.withColumn(s"__po_$i", a.aggFn(col(s"__pt_$i")).over(wPid))
+    }.select((col("__pid") +:
+      aggs.indices.map(i => col(s"__po_$i"))): _*)
+    val joined = inner.join(pidOffsets, Seq("__pid"))
+    aggs.zipWithIndex.foldLeft(joined) { case (d, (a, i)) =>
+      d.withColumn(a.out, a.combine(col(s"__in_$i"), col(s"__po_$i")))
+        .drop(s"__in_$i", s"__po_$i")
+    }.drop("__pid")
+  }
+
+  /** 0-based global position of every row in a TOTAL order — the
+    * distributed replacement for `row_number().over(Window.orderBy(...))`
+    * (see [[prefixFold]]; same posture as Relational.withRowidOrdered but
+    * staying in the DataFrame planner — no RDD hop). The order must be
+    * total or equal rows get an arbitrary (but valid) relative order,
+    * exactly like row_number. */
+  def rowPositions(df: DataFrame, outCol: String,
+                   sortCols: Column*): DataFrame =
+    prefixFold(df, sortCols, Seq(PrefixSum(lit(1L), outCol)))
+      .withColumn(outCol, coalesce(col(outCol), lit(0L)))
+
+  /** Per-GROUP 0-based row positions in one pass — the distributed
+    * replacement for the `Window.partitionBy(fewGroups).orderBy(...)`
+    * shape whose reducer count equals the GROUP count (3 groups = 3 live
+    * cores regardless of cluster size — the q_ntile 8.1×-at-10× shape).
+    * Range-partitions by (group, sort) jointly so one group's rows spread
+    * over many partitions; the cross-partition fix-up joins on the
+    * bounded (#partitions × #groups) totals table. */
+  def groupedRowPositions(df: DataFrame, groupCols: Seq[Column],
+                          outCol: String, sortCols: Column*): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRowPositions: need group columns")
+    val gNames = groupCols.indices.map(i => s"__g_$i")
+    val withG = groupCols.zip(gNames).foldLeft(df) { case (d, (c, n)) =>
+      d.withColumn(n, c)
+    }
+    val ranged = withG
+      .repartitionByRange((gNames.map(col(_).asc) ++ sortCols): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(("__pid" +: gNames).map(col(_)): _*)
+      .orderBy(sortCols: _*)
+    val inner = ranged.withColumn("__in", row_number().over(wIn) - 1)
+    val wPid = Window.partitionBy(gNames.map(col(_)): _*)
+      .orderBy(col("__pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = ranged.groupBy(("__pid" +: gNames).map(col(_)): _*)
+      .agg(count(lit(1)).as("__pt"))
       .withColumn("__po", coalesce(sum(col("__pt")).over(wPid), lit(0L)))
-      .select(col("__pid"), col("__po"))
-    inner.join(pidTotals, Seq("__pid"))
-      .select(col(valueCol), (col("__in") + col("__po")).as("__off"))
+      .select(("__pid" +: gNames).map(col(_)) :+ col("__po"): _*)
+    inner.join(totals, "__pid" +: gNames)
+      .withColumn(outCol, col("__in") + col("__po"))
+      .drop((gNames ++ Seq("__pid", "__in", "__po")): _*)
+  }
+
+  /** Spark/ANSI `ntile(k)` bucket from a 0-based position and group size:
+    * the first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — the exact
+    * semantics of the window function, as a plain expression over
+    * [[rowPositions]]/[[groupedRowPositions]] output. Integer division
+    * via floor-of-exact-double (`/` on long Columns is double division);
+    * exact for any count below 2⁵³. */
+  def ntileAt(pos: Column, n: Column, k: Int): Column = {
+    def idiv(a: Column, b: Column): Column =
+      floor(a.cast("double") / b.cast("double")).cast("long")
+    val q = idiv(n.cast("long"), lit(k.toLong))
+    val r = n.cast("long") % k
+    val cut = r * (q + 1)
+    when(pos < cut, idiv(pos, q + 1) + 1)
+      .otherwise(r + idiv(pos - cut, q) + 1)
   }
 
   /** Group-wise TWO-feature OLS y = b0 + b1·x1 + b2·x2 by the closed
@@ -1373,11 +1499,15 @@ object Profile {
     val dv = df.where(col(valueCol).isNotNull && col(valueCol) > 0)
       .groupBy(col(valueCol).cast("decimal(18,2)").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val sfx = sum(col("__c")).over(
-      Window.orderBy(col("__v").desc)
-        .rowsBetween(Window.unboundedPreceding, 0))
-    val ranked = dv.select(col("__v"), col("__c"), sfx.as("__ge"),
-      sum(col("__c")).over(Window.partitionBy()).as("__n"))
+    // round 8: the descending suffix count via prefixFold, and the grand
+    // total via a broadcast 1-row aggregate instead of the whole-table
+    // window (Window.partitionBy() with no key is one reducer too).
+    val tot = dv.agg(sum(col("__c")).as("__n"))
+    val ranked = prefixFold(dv, Seq(col("__v").desc),
+        Seq(PrefixSum(col("__c"), "__b")))
+      .withColumn("__ge", coalesce(col("__b"), lit(0L)) + col("__c"))
+      .crossJoin(broadcast(tot))
+      .select(col("__v"), col("__c"), col("__ge"), col("__n"))
     val xk = ranked.where(col("__ge") >= k)
       .agg(max(col("__v")).as("__xk"), max(col("__n")).as("n"))
     ranked.crossJoin(broadcast(xk))
@@ -1529,23 +1659,31 @@ object Profile {
     * Ordering must be TOTAL for a distributed engine to be deterministic,
     * so ties on the value break by the caller's unique `tieCols` —
     * ntile over a partial order would let equal values straddle a bucket
-    * boundary in either order. One key-sharded window (the partition key
-    * is the group — shards; a global variant should go through
-    * histogramEquiDepth's distinct-value rank shape instead, which never
-    * windows per-row). NULL values pass through with NULL bucket. */
+    * boundary in either order. Round 8: runs on [[groupedRowPositions]] +
+    * [[ntileAt]] instead of `ntile().over(partitionBy(group))` — the old
+    * shape's reducer count equalled the GROUP count (3 return-flags = 3
+    * live cores for 2M rows each at sf1; the 8.1×-at-10× entry in the
+    * ledger), while the positions primitive spreads each group across
+    * the whole range exchange. Semantics are bit-identical to the window
+    * function (spec-asserted). NULL values pass through with NULL
+    * bucket. */
   def quantileBins(df: DataFrame, groupCol: String, valueCol: String,
                    k: Int, tieCols: Seq[String]): DataFrame = {
     require(k >= 1, "quantileBins: k must be >= 1")
     require(tieCols.nonEmpty, "quantileBins: need tie-break columns")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy((col(valueCol).asc +: tieCols.map(col(_).asc)): _*)
     // NULL rows must not occupy ntile slots (they'd shift every real
     // bucket), so they ride a separate pushed-down scan and union back.
-    val binned = df.where(col(valueCol).isNotNull)
-      .withColumn("bucket", ntile(k).over(w).cast("long"))
-    binned.unionByName(
-      df.where(col(valueCol).isNull)
-        .withColumn("bucket", lit(null).cast("long")))
+    val nn = df.where(col(valueCol).isNotNull)
+    val pos = groupedRowPositions(nn, Seq(col(groupCol)), "__pos",
+      (col(valueCol).asc +: tieCols.map(col(_).asc)): _*)
+    val sizes = nn.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val binned = pos.join(sizes, Seq(groupCol))
+      .withColumn("bucket", ntileAt(col("__pos"), col("__n"), k).cast("long"))
+      .drop("__pos", "__n")
+    binned.select(df.columns.map(col(_)) :+ col("bucket"): _*)
+      .unionByName(
+        df.where(col(valueCol).isNull)
+          .withColumn("bucket", lit(null).cast("long")))
   }
 
   /** Top-k most frequent values per column — the value-frequency half of
@@ -1679,11 +1817,12 @@ object Profile {
   def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
                    arm1: String, arm2: String): DataFrame = {
     val g = armCounts(df, groupCol, valueCol, arm1, arm2)
-    val wv = Window.orderBy(col("__v"))
     val c = col("__c1") + col("__c2")
-    val folded = g
-      .withColumn("__bef", coalesce(
-        sum(c).over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // round 8: the distinct-value prefix rides the prefixFold range
+    // exchange (see histogramEquiDepth) instead of a global window.
+    val folded = prefixFold(g.withColumn("__ct", c), Seq(col("__v").asc),
+        Seq(PrefixSum(col("__ct"), "__b")))
+      .withColumn("__bef", coalesce(col("__b"), lit(0L)))
       .agg(sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"),
         sum(col("__c1") * (lit(2L) * col("__bef") + c + 1)).as("__two_r1"),
         sum(c * c * c - c).as("__ties"))
@@ -1722,9 +1861,11 @@ object Profile {
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
     val perX = base.groupBy(col(xCol).as("__x")).agg(max(col(yCol)).as("__my"))
-    val wx = Window.orderBy(col("__x").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val keepX = perX.withColumn("__pm", max(col("__my")).over(wx))
+    // round 8: the running max over the distinct-x table is a PrefixMax
+    // prefixFold (the same two-level exchange as the sums — max is the
+    // other monoid it folds); NULL still means "no predecessor".
+    val keepX = prefixFold(perX, Seq(col("__x").desc),
+        Seq(PrefixMax(col("__my"), "__pm")))
       .where(col("__pm").isNull || col("__my") > col("__pm"))
       .select(col("__x"), col("__my"))
     base.join(keepX,
@@ -1769,11 +1910,13 @@ object Profile {
   def ksTest2(df: DataFrame, groupCol: String, valueCol: String,
               arm1: String, arm2: String): DataFrame = {
     val g = armCounts(df, groupCol, valueCol, arm1, arm2)
-    val wv = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = g.agg(sum(col("__c1")).as("n1"), sum(col("__c2")).as("n2"))
-    g.withColumn("__cum1", sum(col("__c1")).over(wv))
-      .withColumn("__cum2", sum(col("__c2")).over(wv))
+    // round 8: both inclusive CDFs in ONE prefixFold pass (two PrefixSum
+    // aggregates share the range exchange) instead of two global windows.
+    prefixFold(g, Seq(col("__v").asc),
+        Seq(PrefixSum(col("__c1"), "__b1"), PrefixSum(col("__c2"), "__b2")))
+      .withColumn("__cum1", coalesce(col("__b1"), lit(0L)) + col("__c1"))
+      .withColumn("__cum2", coalesce(col("__b2"), lit(0L)) + col("__c2"))
       .crossJoin(broadcast(totals))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         max(abs(col("n2") * col("__cum1") - col("n1") * col("__cum2")))
@@ -1804,10 +1947,11 @@ object Profile {
       .groupBy(col("__v"))
       .agg(sum(col("__p")).as("__pos"),
         sum(lit(1L) - col("__p")).as("__neg"))
-    val wv = Window.orderBy(col("__v"))
     val c = col("__pos") + col("__neg")
-    g.withColumn("__bef", coalesce(
-        sum(c).over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // round 8: score-rank prefix via prefixFold (see histogramEquiDepth).
+    prefixFold(g.withColumn("__ct", c), Seq(col("__v").asc),
+        Seq(PrefixSum(col("__ct"), "__b")))
+      .withColumn("__bef", coalesce(col("__b"), lit(0L)))
       .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
         sum(col("__pos") * (lit(2L) * col("__bef") + c + 1)).as("__two_rp"))
       .select(col("n_pos"), col("n_neg"),

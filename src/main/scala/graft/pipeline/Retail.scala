@@ -46,15 +46,27 @@ object Retail {
         count(lit(1)).as("frequency"),
         sum(col("__amt")).as("monetary"))
     val ref = perCust.agg(max(col("__last")).as("__ref"))
-    perCust.crossJoin(broadcast(ref))
+    val nTot = perCust.agg(count(lit(1)).as("__n"))
+    // round 8: the three global ntile windows (single reducer each over
+    // the customer table) became three Profile.rowPositions range
+    // exchanges + the closed-form ntileAt — identical scores
+    // (spec-asserted vs the window function), every core live.
+    val base = perCust.crossJoin(broadcast(ref))
       .withColumn("r_days",
         expr("(unix_micros(__ref) - unix_micros(__last)) div 86400000000"))
+    val withR = Profile.rowPositions(base, "__rp",
+      col("r_days").asc, col("__cust").asc)
+    val withF = Profile.rowPositions(withR, "__fp",
+      col("frequency").desc, col("__cust").asc)
+    val withM = Profile.rowPositions(withF, "__mp",
+      col("monetary").desc, col("__cust").asc)
+    withM.crossJoin(broadcast(nTot))
       .withColumn("r_score",
-        ntile(k).over(Window.orderBy(col("r_days").asc, col("__cust").asc)))
+        Profile.ntileAt(col("__rp"), col("__n"), k).cast("int"))
       .withColumn("f_score",
-        ntile(k).over(Window.orderBy(col("frequency").desc, col("__cust").asc)))
+        Profile.ntileAt(col("__fp"), col("__n"), k).cast("int"))
       .withColumn("m_score",
-        ntile(k).over(Window.orderBy(col("monetary").desc, col("__cust").asc)))
+        Profile.ntileAt(col("__mp"), col("__n"), k).cast("int"))
       .withColumn("segment",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .select(col("__cust").as(custCol), col("r_days"), col("frequency"),
@@ -81,10 +93,16 @@ object Retail {
         col(amountCol).cast("decimal(18,2)").as("__amt"))
       .where(col("__k").isNotNull)
       .groupBy(col("__k")).agg(sum(col("__amt")).as("revenue"))
-    val w = Window.orderBy(col("revenue").desc, col("__k").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = rev.agg(sum(col("revenue")).as("__total"))
-    rev.withColumn("cum_revenue", sum(col("revenue")).over(w))
+    // round 8: the single-reducer cumulative window became a
+    // Profile.prefixFold range exchange (exclusive prefix + own revenue =
+    // the same inclusive running sum, same decimal type).
+    Profile.prefixFold(rev, Seq(col("revenue").desc, col("__k").asc),
+        Seq(Profile.PrefixSum(col("revenue"), "__bef")))
+      .withColumn("cum_revenue",
+        (coalesce(col("__bef"), lit(0).cast("decimal(28,2)")) + col("revenue"))
+          .cast("decimal(38,2)"))
+      .drop("__bef")
       .crossJoin(broadcast(total))
       .withColumn("abc_class",
         when(col("cum_revenue") * 100 <= col("__total") * cutA, "A")

@@ -402,6 +402,9 @@ object Sampling {
       .withColumn("__rem", when(col("__W") > 0,
         (col("weight") * total) % col("__W")).otherwise(0L))
     val baseSum = based.agg(sum(col("__base")).as("__SB"))
+    // global window over the per-KEY remainder table — bounded by the
+    // stratum/key count, not the data (sweep-audited r8; a data-scale
+    // variant would ride Profile.rowPositions)
     val wRank = Window.orderBy(col("__rem").desc, col(keyCol).asc)
     based.crossJoin(broadcast(baseSum))
       .withColumn("__rk", row_number().over(wRank).cast("long"))

@@ -435,6 +435,8 @@ object Scoring {
     val perBucket = ranked.groupBy(col("__b").as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("positives"),
         max(col("__n")).as("__tn"), max(col("__pos")).as("__tp"))
+    // global window over the BUCKET table — exactly `buckets` rows
+    // (sweep-audited r8)
     val wCum = Window.orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perBucket
@@ -462,8 +464,12 @@ object Scoring {
     val words = docs.select(explode(tokenize(col(textCol))).as("__w"))
       .where(col("__w") =!= "")
     val freq = words.groupBy("__w").agg(count(lit(1)).as("__f"))
-    val w = Window.orderBy(col("__f").desc, col("__w").asc)
-    val ranked = freq.withColumn("__r", row_number().over(w))
+    // round 8: the frequency rank rides Profile.rowPositions — the
+    // vocabulary grows with the corpus, so the old single-reducer
+    // row_number window was a scale ceiling.
+    val ranked = Profile.rowPositions(freq, "__r0",
+        col("__f").desc, col("__w").asc)
+      .withColumn("__r", (col("__r0") + 1L).cast("int")).drop("__r0")
     val terms = ranked.select(col("__f"),
       round(log(col("__r").cast("double")), 6).cast("decimal(12,6)").as("__x"),
       round(log(col("__f").cast("double")), 6).cast("decimal(12,6)").as("__y"))

@@ -160,6 +160,8 @@ object Vocab {
     val fof = counts.groupBy(col("__c").as("r"))
       .agg(count(lit(1)).as("n_r"))
       .where(col("r") <= maxR + 1)
+    // global window over the frequency-of-frequency table — at most
+    // maxR + 1 rows (sweep-audited r8)
     val w = Window.orderBy(col("r").asc)
     fof
       .withColumn("__nextR", lead(col("r"), 1).over(w))

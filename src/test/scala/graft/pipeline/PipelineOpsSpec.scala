@@ -1867,6 +1867,75 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("prefixFold: multi-aggregate (sum+max) exclusive fold equals naive " +
+    "in both directions under any partitioning") {
+    val df = (1 to 400).map(i =>
+      ((i * 37) % 101, (i % 7 + 1).toLong, (i * 13 % 50).toLong))
+      .toDF("v", "c", "m")
+    for (asc <- Seq(true, false)) {
+      val ord = if (asc) col("v").asc else col("v").desc
+      withPartitionings(df) { d =>
+        val got = rows(Profile.prefixFold(d, Seq(ord, col("c").asc, col("m").asc),
+          Seq(Profile.PrefixSum(col("c"), "ps"),
+            Profile.PrefixMax(col("m"), "pm")))
+          .orderBy("v", "c", "m"))
+          .map(r => (r(0), r(1), r(2), r(3), r(4)))
+        val sorted = rows(df.orderBy(ord, col("c").asc, col("m").asc))
+        var accS: Option[Long] = None
+        var accM: Option[Long] = None
+        val naive = sorted.map { r =>
+          val out = (r(0), r(1), r(2),
+            accS.map(_.asInstanceOf[AnyRef]).orNull,
+            accM.map(_.asInstanceOf[AnyRef]).orNull)
+          accS = Some(accS.getOrElse(0L) + r(1).asInstanceOf[Long])
+          accM = Some(math.max(accM.getOrElse(Long.MinValue), r(2).asInstanceOf[Long]))
+          out
+        }
+        val gotSorted = got.sortBy(t =>
+          (t._1.asInstanceOf[Int] * (if (asc) 1 else -1),
+            t._2.asInstanceOf[Long], t._3.asInstanceOf[Long]))
+        assert(gotSorted == naive, s"asc=$asc")
+      }
+    }
+  }
+
+  test("rowPositions equals row_number and groupedRowPositions equals the " +
+    "per-group window; ntileAt equals ntile()") {
+    val df = (1 to 300).map(i =>
+      (s"g${i % 3}", (i * 37) % 40, i.toLong)).toDF("g", "v", "id")
+    withPartitionings(df) { d =>
+      // global
+      val got = rows(Profile.rowPositions(d, "pos",
+        col("v").asc, col("id").asc).orderBy("id")).map(r => (r(2), r(3)))
+      val want = rows(df.withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("v").asc, col("id").asc))
+          .cast("long") - 1).orderBy("id")).map(r => (r(2), r(3)))
+      assert(got == want)
+      // per group
+      val gotG = rows(Profile.groupedRowPositions(d, Seq(col("g")), "pos",
+        col("v").asc, col("id").asc).orderBy("id")).map(r => (r(2), r(3)))
+      val wantG = rows(df.withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g")
+          .orderBy(col("v").asc, col("id").asc)).cast("long") - 1)
+        .orderBy("id")).map(r => (r(2), r(3)))
+      assert(gotG == wantG)
+    }
+    // ntileAt vs the window function, uneven n/k included
+    for (n <- Seq(1, 4, 5, 7, 300); k <- Seq(1, 3, 5, 7)) {
+      val d2 = (1L to n.toLong).toDF("id")
+      val got = rows(Profile.rowPositions(d2, "p", col("id").asc)
+        .withColumn("b", Profile.ntileAt(col("p"), lit(n.toLong), k))
+        .orderBy("id")).map(_(2))
+      val want = rows(d2.withColumn("b",
+        ntile(k).over(org.apache.spark.sql.expressions.Window
+          .orderBy("id")).cast("long"))
+        .orderBy("id")).map(_(1))
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+
   // ===== Cronbach =====
 
   test("cronbachAlpha: duplicated item -> high alpha; independent -> low") {
