@@ -3902,6 +3902,29 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users")))
   }
 
+  private def qCidrLpm(s: SparkSession, d: String): DataFrame = {
+    // LONGEST-prefix-match enrichment over the same log/rule fixture as
+    // q_cidr_join (overlapping rules planted: /32, /24, /8 all inside
+    // 0.0.0.0/2): each event keeps ONLY the most specific rule, or NULL
+    // when unmatched. The per-bucket rule-array broadcast means one
+    // output row per event with no aggregation exchange (Net.cidrLpmJoin
+    // scaladoc); the gate folds per winning cidr (NULL group = unmatched
+    // traffic), so the hash distinguishes LPM from all-matches hard.
+    import s.implicits._
+    val v = pmod(col("user_id") * 2654435761L, lit(4294967296L))
+    val ips = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      graft.pipeline.Net.longToIpv4(v).as("ip"))
+    val rules = Seq("0.0.0.0/2", "128.0.0.0/1", "55.0.0.0/8",
+      "200.100.0.0/16", "10.20.30.0/24", "7.7.7.7/32", "77.0.0.0/6")
+      .toDF("cidr")
+    Relational.sort(col("cidr"))(
+      graft.pipeline.Net.cidrLpmJoin(ips, "ip", rules, "cidr")
+        .groupBy(col("cidr"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(col("plen")).as("plen")))
+  }
+
   private def qPhraseSearch(s: SparkSession, d: String): DataFrame =
     // Exact-phrase retrieval ("table hash") over the positional inverted
     // index: per-term postings filter + one (doc, pos−offset) equi-join;
@@ -4751,6 +4774,7 @@ object SparkEntry {
     "q_overlap_duration" -> (qOverlapDuration _),
     "q_did" -> (qDid _),
     "q_cidr_join" -> (qCidrJoin _),
+    "q_cidr_lpm" -> (qCidrLpm _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_readability" -> (qReadability _),
     "q_luhn" -> (qLuhn _),
@@ -8371,6 +8395,32 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM ips JOIN r ON ips.v // r.bsz = r.net // r.bsz
         |GROUP BY cidr ORDER BY cidr""".stripMargin,
+    // LPM winner per event: max plen, ties by cidr asc (row_number over
+    // the candidate matches); LEFT join keeps unmatched events as the
+    // NULL-cidr group.
+    "q_cidr_lpm" ->
+      """WITH ips AS (SELECT event_id, user_id,
+        |    (user_id * 2654435761) % 4294967296 AS v FROM events),
+        |r AS (SELECT * FROM (VALUES
+        |    ('0.0.0.0/2', 0, 1073741824, 2),
+        |    ('128.0.0.0/1', 2147483648, 2147483648, 1),
+        |    ('55.0.0.0/8', 922746880, 16777216, 8),
+        |    ('200.100.0.0/16', 3361996800, 65536, 16),
+        |    ('10.20.30.0/24', 169090560, 256, 24),
+        |    ('7.7.7.7/32', 117901063, 1, 32),
+        |    ('77.0.0.0/6', 1275068416, 67108864, 6))
+        |  AS t(cidr, net, bsz, plen)),
+        |m AS (SELECT event_id, user_id, cidr, plen,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY plen DESC, cidr ASC) AS rk
+        |  FROM ips JOIN r ON ips.v // r.bsz = r.net // r.bsz),
+        |w AS (SELECT event_id, user_id, cidr, plen FROM m WHERE rk = 1),
+        |u AS (SELECT i.event_id, i.user_id, w.cidr, w.plen
+        |  FROM ips i LEFT JOIN w ON i.event_id = w.event_id)
+        |SELECT cidr, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  MAX(plen) AS plen
+        |FROM u GROUP BY cidr ORDER BY cidr""".stripMargin,
     // Phrase search: list-wise adjacency count per document under the
     // identical tokenization.
     "q_phrase_search" ->

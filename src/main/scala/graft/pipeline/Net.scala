@@ -47,7 +47,19 @@ object Net {
     * net, plen). */
   def cidrContainJoin(ips: DataFrame, ipCol: String,
                       rules: DataFrame, cidrCol: String): DataFrame = {
-    val parsed = rules.select(col(cidrCol).as("cidr"),
+    val parsed = parseRules(rules, cidrCol)
+    val probe = ips.withColumn("__ipv", ipv4ToLong(col(ipCol)))
+      .where(col("__ipv").isNotNull)
+      .withColumn("__b", expr("__ipv div 16777216L"))
+    probe.join(broadcast(parsed), Seq("__b"))
+      .where(expr("__ipv div __bsz") === expr("net div __bsz"))
+      .drop("__b", "__bsz", "__net")
+  }
+
+  /** Rules parsed + canonicalized + exploded to covering /8 buckets (the
+    * shared candidate structure of both joins). */
+  private def parseRules(rules: DataFrame, cidrCol: String): DataFrame =
+    rules.select(col(cidrCol).as("cidr"),
         ipv4ToLong(split(col(cidrCol), "/").getItem(0)).as("__net"),
         split(col(cidrCol), "/").getItem(1).cast("int").as("plen"))
       .where(col("__net").isNotNull && col("plen").between(0, 32))
@@ -58,11 +70,40 @@ object Net {
       .withColumn("__b", explode(sequence(
         expr("net div 16777216L"),
         expr("(net + __bsz - 1) div 16777216L"))))
+
+  /** LONGEST-PREFIX-MATCH enrichment: each ip row gets THE most specific
+    * matching rule (max plen; ties — duplicate rules for the same block —
+    * break by cidr string ascending), or NULL columns when nothing
+    * matches (LEFT semantics — real firewall/geo enrichment keeps the
+    * unmatched traffic visible). This is what rule lookup actually means
+    * in routing tables; [[cidrContainJoin]] stays the all-matches face.
+    *
+    * Scale shape: STRICTLY better than "containment join then max_by per
+    * row" — that plan explodes one row per matching rule and pays a
+    * row-keyed aggregation exchange to re-collapse. Here the broadcast
+    * side is pre-grouped per /8 bucket into an array of (plen desc,
+    * cidr asc)-sorted rule structs, the probe joins on its first octet
+    * (exactly ONE broadcast-hash match per row, no explosion), and the
+    * winner is `element_at(filter(rules, matches), 1)` — a partition-
+    * local projection. The 100 TB log side is never shuffled, never
+    * duplicated, and emits exactly one output row per input row. */
+  def cidrLpmJoin(ips: DataFrame, ipCol: String,
+                  rules: DataFrame, cidrCol: String): DataFrame = {
+    // struct field order IS the sort key: sort_array on structs compares
+    // lexicographically, so (negp, cidr, ...) = plen desc then cidr asc
+    val perBucket = parseRules(rules, cidrCol)
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_list(struct(
+        (-col("plen")).as("negp"), col("cidr"),
+        expr("net div __bsz").as("netd"), col("__bsz").as("bsz"),
+        col("net"), col("plen")))).as("__rules"))
     val probe = ips.withColumn("__ipv", ipv4ToLong(col(ipCol)))
-      .where(col("__ipv").isNotNull)
       .withColumn("__b", expr("__ipv div 16777216L"))
-    probe.join(broadcast(parsed), Seq("__b"))
-      .where(expr("__ipv div __bsz") === expr("net div __bsz"))
-      .drop("__b", "__bsz", "__net")
+    probe.join(broadcast(perBucket), Seq("__b"), "left")
+      .withColumn("__m", element_at(
+        expr("filter(__rules, r -> (__ipv div r.bsz) = r.netd)"), 1))
+      .select(ips.columns.map(col(_)) ++ Seq(
+        col("__m.cidr").as("cidr"), col("__m.net").as("net"),
+        col("__m.plen").as("plen")): _*)
   }
 }

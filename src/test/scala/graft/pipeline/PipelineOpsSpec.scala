@@ -1164,6 +1164,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("cidrLpmJoin: most-specific rule wins, unmatched rows keep NULLs, " +
+    "duplicate-plen ties break by cidr asc") {
+    val ips = Seq((1L, "10.1.2.3"), (2L, "192.168.5.5"), (3L, "172.16.0.1"),
+      (4L, "not an ip")).toDF("id", "ip")
+    // 10.1.2.3 matches /0, /8, /24 -> /24 must win; 192.168.5.5 matches
+    // /0 and /32 -> /32; 172.16.0.1 only /0; the two /8 spellings of the
+    // same block tie on plen -> lexicographically smaller cidr string
+    val rules = Seq("0.0.0.0/0", "10.0.0.0/8", "10.9.9.9/8", "10.1.2.0/24",
+      "192.168.5.5/32").toDF("cidr")
+    withPartitionings(ips) { d =>
+      val out = rows(Net.cidrLpmJoin(d, "ip", rules, "cidr")
+        .select(col("id"), col("cidr"), col("plen")).orderBy("id"))
+      assert(out == Seq(
+        Seq(1L, "10.1.2.0/24", 24),
+        Seq(2L, "192.168.5.5/32", 32),
+        Seq(3L, "0.0.0.0/0", 0),
+        Seq(4L, null, null)))
+      // exactly one output row per input row — no match explosion
+      assert(Net.cidrLpmJoin(d, "ip", rules, "cidr").count() == 4)
+    }
+    // tie case isolated: only the two /8 spellings
+    val tied = Seq("10.9.9.9/8", "10.0.0.0/8").toDF("cidr")
+    val t = rows(Net.cidrLpmJoin(Seq((1L, "10.1.2.3")).toDF("id", "ip"),
+      "ip", tied, "cidr"))
+    assert(t.head(2) == "10.0.0.0/8")
+  }
+
   // ---------------------------------------------------------------- phraseSearch
 
   test("phraseSearch: adjacency only, overlaps count, order matters") {
