@@ -3925,6 +3925,15 @@ object SparkEntry {
           max(col("plen")).as("plen")))
   }
 
+  private def qBpeTrainBatched(s: SparkSession, d: String): DataFrame =
+    // BATCHED merge learning (one recount round covers several merges —
+    // the 32k-merge scale path; Bpe.trainMergesBatched scaladoc has the
+    // serial-equality proof). The oracle is the SAME serial round-by-
+    // round SQL replay as q_bpe_train: equality with serial is the gate.
+    Relational.sort(col("merge_rank"))(
+      graft.pipeline.Bpe.trainMergesBatchedDf(
+        Tables.documents(s, d), "text", BpeNumMerges))
+
   private def qPhraseSearch(s: SparkSession, d: String): DataFrame =
     // Exact-phrase retrieval ("table hash") over the positional inverted
     // index: per-term postings filter + one (doc, pos−offset) equi-join;
@@ -4634,6 +4643,7 @@ object SparkEntry {
     "q_manifest_prune" -> (qManifestPrune _),
     "q_compact" -> (qCompact _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_train_batched" -> (qBpeTrainBatched _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_pagerank" -> (qPagerank _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -6057,6 +6067,9 @@ object SparkEntry {
         |  FROM m)
         |SELECT file, bytes, cum // 400000 AS bin FROM c ORDER BY file""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle(BpeNumMerges),
+    // the batched trainer must reproduce the SERIAL merge sequence — the
+    // oracle deliberately replays round-by-round serial BPE
+    "q_bpe_train_batched" -> bpeTrainOracle(BpeNumMerges),
     "q_bpe_encode" -> bpeEncodeOracle(BpeNumMerges),
     "q_pagerank" -> pagerankOracle(PagerankIters),
     "q_cdc_apply" -> CdcFinalImageOracle,

@@ -69,36 +69,152 @@ object Bpe {
     * before `numMerges` (a degenerate corpus, not a silent short list). */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String, Long)] = {
     require(numMerges > 0, "trainMerges: numMerges must be positive")
-    var wt = wordTable(docs, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE job per round: the round's best-pair collect is also what
-    // materializes the current word table's cache, so the PREVIOUS
-    // round's cache is released right after the collect instead of
-    // paying a dedicated count() action per round.
+    // LAZY localCheckpoint instead of persist (round 8): caching alone
+    // keeps the full logical plan — one nested merge HOF per round — and
+    // past a few dozen rounds plan analysis itself OOMs the driver.
+    // Lazy checkpointing truncates lineage when the round's collect
+    // materializes it, keeping ONE job per round: the best-pair collect
+    // is also what materializes the table, so the PREVIOUS round's
+    // blocks are released right after the collect.
+    var wt = wordTable(docs, textCol).localCheckpoint(false)
     var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     (0 until numMerges).foreach { i =>
       val best = pairCounts(wt)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
-      if (prev != null) { prev.unpersist(); prev = null }
+      if (prev != null) { prev.rdd.unpersist(false); prev = null }
       require(best.nonEmpty,
         s"trainMerges: no adjacent pairs left after $i merges — corpus too small for $numMerges")
       val (a, b, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
       merges += ((a, b, c))
       prev = wt
       wt = wt.withColumn("toks", mergePair(col("toks"), a, b))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
     }
-    wt.unpersist()
-    if (prev != null) prev.unpersist()
+    wt.rdd.unpersist(false)
+    if (prev != null) prev.rdd.unpersist(false)
     merges.toSeq
   }
+
+  /** BATCHED merge learning — provably equal to [[trainMerges]], with one
+    * recount round covering SEVERAL merges. The serial algorithm's cost
+    * at a real 32k-merge vocabulary is 32k sequential Spark jobs; this
+    * variant's round count is numMerges / (average batch size).
+    *
+    * Batch rule (each round, over the candidate pairs sorted by the
+    * serial order cnt desc, a asc, b asc):
+    *  1. tentatively select a maximal PREFIX of candidates with pairwise
+    *     DISJOINT token sets, stopping at the first candidate that shares
+    *     a token with the selection — its count is the CEILING;
+    *  2. keep the selected pairs whose count is STRICTLY ABOVE the
+    *     ceiling (the first pair is always kept — it is the round's
+    *     serial choice by definition);
+    *  3. a selected self-pair (a == b) ends the batch after itself.
+    *
+    * Why this equals serial, merge by merge: merging pair p only changes
+    * counts of pairs sharing a token with p, and every pair it CREATES
+    * has count bounded by an existing sharing pair's count (an occurrence
+    * of (x, ab) needs an occurrence of (x, a); for a self-pair the
+    * progenitor can be p itself, hence rule 3). All sharing pairs sort at
+    * or below the ceiling — one at the ceiling position, the rest after
+    * it — so at the k-th serial round every affected-or-new competitor
+    * counts ≤ ceiling < count(p_k), and the unaffected candidates' max is
+    * p_k itself. Ties (count == ceiling) stop the batch because the
+    * serial tie-break could then prefer a newly-created pair (merged
+    * tokens concatenate: "a"+"b" sorts between "a" and "ac" — the
+    * counterexample is spec-pinned). When the scanned top-K list ends
+    * before any sharing candidate, the last scanned count is the ceiling
+    * (anything unscanned counts no more than it).
+    *
+    * Batch merges apply as one composed [[mergePair]] chain in a single
+    * projection — ONE distributed job per ROUND. `maxBatch` caps the
+    * chain depth (each link is an interpreted HOF over the distinct-word
+    * table). */
+  def trainMergesBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                         maxBatch: Int = 32): Seq[(String, String, Long)] = {
+    require(numMerges > 0, "trainMergesBatched: numMerges must be positive")
+    require(maxBatch >= 1, "trainMergesBatched: maxBatch must be >= 1")
+    // lazy localCheckpoint, the [[trainMerges]] pattern: truncates the
+    // accumulated per-round HOF-chain lineage (which otherwise OOMs the
+    // driver's analyzer past a few dozen rounds) while keeping ONE job
+    // per round — the round's candidate collect materializes the table,
+    // after which the previous round's blocks are released.
+    var wt = wordTable(docs, textCol).localCheckpoint(false)
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var rounds = 0
+    while (merges.size < numMerges) {
+      val want = numMerges - merges.size
+      val top = pairCounts(wt)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(math.max(4 * maxBatch, 16)).collect() // bounded: ≤ 4·maxBatch rows
+      if (prev != null) { prev.rdd.unpersist(false); prev = null }
+      require(top.nonEmpty,
+        s"trainMergesBatched: no adjacent pairs left after ${merges.size} " +
+          s"merges — corpus too small for $numMerges")
+      val limit = math.max(4 * maxBatch, 16)
+      val tentative = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      var ceiling = -1L // -1 = no bound needed (no competitor exists)
+      var stop = false
+      val it = top.iterator
+      while (it.hasNext && !stop && tentative.size < maxBatch &&
+        tentative.size < want) {
+        val r = it.next()
+        val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        if (used.contains(a) || used.contains(b)) {
+          ceiling = c // first sharing candidate bounds every competitor
+          stop = true
+        } else {
+          tentative += ((a, b, c))
+          used += a; used += b
+          if (a == b) stop = true // rule 3: self-pair ends the batch
+        }
+      }
+      if (ceiling < 0) {
+        // scan ended without meeting a sharing candidate; any candidate
+        // not scanned (later in the collected list, or beyond the top-K
+        // cut) counts no more than the next/last scanned one
+        if (it.hasNext) ceiling = it.next().getLong(2)
+        else if (top.length == limit) ceiling = tentative.last._3
+      }
+      val batch = tentative.head +:
+        tentative.tail.takeWhile(p => ceiling < 0 || p._3 > ceiling)
+      merges ++= batch
+      val mergedToks = batch.foldLeft(col("toks")) { case (c0, (a, b, _)) =>
+        mergePair(c0, a, b)
+      }
+      prev = wt
+      wt = wt.withColumn("toks", mergedToks).localCheckpoint(false)
+      rounds += 1
+    }
+    wt.rdd.unpersist(false)
+    if (prev != null) prev.rdd.unpersist(false)
+    lastBatchedRounds = rounds
+    merges.toSeq
+  }
+
+  /** Round count of the most recent [[trainMergesBatched]] call (test /
+    * bench introspection — how much the batching amortized). */
+  @volatile var lastBatchedRounds: Int = 0
 
   /** Merge table as a DataFrame — the q_bpe_train gate's output shape. */
   def trainMergesDf(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     trainMerges(docs, textCol, numMerges).zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }
+      .toDF("merge_rank", "a", "b", "cnt")
+  }
+
+  /** Batched merge table — same shape, same values as [[trainMergesDf]]
+    * by the batch-rule proof; the q_bpe_train_batched gate pins it to the
+    * SERIAL oracle replay. */
+  def trainMergesBatchedDf(docs: DataFrame, textCol: String, numMerges: Int,
+                           maxBatch: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMergesBatched(docs, textCol, numMerges, maxBatch).zipWithIndex
       .map { case ((a, b, c), i) => (i, a, b, c) }
       .toDF("merge_rank", "a", "b", "cnt")
   }

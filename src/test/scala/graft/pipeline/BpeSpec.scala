@@ -65,4 +65,54 @@ class BpeSpec extends SparkSpec {
     // from the raw char counts (13+2 spaces? raw chars: doc1 15 letters)
     assert(out.map(_.getInt(1)).sum < 22) // raw letter count is 22
   }
+
+  test("trainMergesBatched equals trainMerges merge-for-merge on natural " +
+    "and adversarial corpora") {
+    val corpora = Seq(
+      // natural-ish
+      Seq((1L, "the cat the cat sat on the mat"), (2L, "the hat that cat")),
+      // the tie counterexample that forces the ceiling rule: merging
+      // (a,b) creates (ab, y) with the SAME count as the disjoint
+      // candidate (ac, z), and "ab" sorts before "ac" — a naive
+      // disjoint-prefix batch would diverge from serial here
+      Seq((1L, Seq.fill(3)("xaby").mkString(" ")),
+        (2L, Seq.fill(3)("qacz").mkString(" "))),
+      // the self-pair counterexample: (a,a) merges create (aa,aa) whose
+      // progenitor is the merged pair itself — rule 3 territory
+      Seq((1L, Seq.fill(5)("aaaa").mkString(" ")),
+        (2L, Seq.fill(2)("bc").mkString(" "))),
+      // heavy token sharing: most top pairs chain on 'a'
+      Seq((1L, "ab ab ac ac ad ad ae ae"), (2L, "ba ca da ea")))
+    for ((rows, ci) <- corpora.zipWithIndex; m <- Seq(2, 3, 6)) {
+      val docs = rows.toDF("doc_id", "text")
+      val serialT = scala.util.Try(Bpe.trainMerges(docs, "text", m))
+      if (serialT.isFailure) {
+        // corpus exhausts before m merges: batched must fail the same way
+        assert(scala.util.Try(
+          Bpe.trainMergesBatched(docs, "text", m)).isFailure,
+          s"corpus $ci, merges $m: serial failed but batched succeeded")
+      } else {
+      val serial = serialT.get
+      for (mb <- Seq(1, 2, 32)) {
+        val batched = Bpe.trainMergesBatched(docs, "text", m, maxBatch = mb)
+        assert(batched == serial,
+          s"corpus $ci, merges $m, maxBatch $mb:\n  batched=$batched\n  serial =$serial")
+      }
+      }
+    }
+  }
+
+  test("trainMergesBatched amortizes rounds when top pairs are disjoint") {
+    // 8 disjoint high-frequency pairs with strictly descending counts:
+    // ecah round should take several merges, not one
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(20 - i)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val serial = Bpe.trainMerges(docs, "text", 8)
+    val batched = Bpe.trainMergesBatched(docs, "text", 8, maxBatch = 8)
+    assert(batched == serial)
+    assert(Bpe.lastBatchedRounds < 8,
+      s"expected amortization, got ${Bpe.lastBatchedRounds} rounds for 8 merges")
+  }
 }
