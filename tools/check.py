@@ -13,6 +13,12 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 rest = sys.argv[3:]
 skip = "--skip-verify" in rest
+# --json PATH: also write a driver-style per-query JSON record
+jout = None
+if "--json" in rest:
+    jout = rest[rest.index("--json") + 1]
+    rest = [a for i, a in enumerate(rest)
+            if a != "--json" and (i == 0 or rest[i - 1] != "--json")]
 only = [a for a in rest if not a.startswith("--")]
 
 if not skip:
@@ -33,25 +39,41 @@ for t in glob.glob(f"{sf}/*.parquet"):
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
 checked = 0
+record = {}
 for name in sorted(oracle):
     if only and name not in only:
         continue
     checked += 1
     pdir = f"{out}/{name}"
     if not os.path.isdir(pdir):
-        print(f"FAIL {name}: no spark output"); fails.append(name); continue
+        print(f"FAIL {name}: no spark output"); fails.append(name)
+        record[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "err": "no spark output"}
+        continue
     try:
         got = pd.read_parquet(pdir)
         exp = con.execute(oracle[name]).df()
     except Exception as e:
-        print(f"FAIL {name}: {e}"); fails.append(name); continue
+        print(f"FAIL {name}: {e}"); fails.append(name)
+        record[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "err": str(e)[:300]}
+        continue
     got = got.reindex(sorted(got.columns), axis=1)
     exp = exp.reindex(sorted(exp.columns), axis=1)
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}")
-        fails.append(name); continue
+        fails.append(name)
+        record[name] = {"rows_match": len(got) == len(exp),
+                        "schema_match": False, "hash_match": False,
+                        "spark_rows": len(got), "oracle_rows": len(exp),
+                        "err": None}
+        continue
     if len(got) != len(exp):
-        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails.append(name); continue
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails.append(name)
+        record[name] = {"rows_match": False, "schema_match": True,
+                        "hash_match": False, "spark_rows": len(got),
+                        "oracle_rows": len(exp), "err": None}
+        continue
     g = got.sort_values(by=list(got.columns), ignore_index=True)
     e = exp.sort_values(by=list(exp.columns), ignore_index=True)
     ok = True
@@ -75,6 +97,12 @@ for name in sorted(oracle):
         print(f"PASS {name} ({len(got)} rows)")
     else:
         fails.append(name)
+    record[name] = {"rows_match": True, "schema_match": True,
+                    "hash_match": ok, "spark_rows": len(got),
+                    "oracle_rows": len(exp), "err": None}
+if jout:
+    json.dump(record, open(jout, "w"), indent=1)
+    print(f"[json] {jout}: {len(record)} records")
 print(f"\n{checked - len(fails)}/{checked} pass"
       + (f" (of {len(oracle)} oracles)" if checked != len(oracle) else "")
       + (f"; FAILING: {fails}" if fails else ""))
