@@ -434,8 +434,18 @@ object Profile {
                  aggs: Seq[PrefixAgg]): DataFrame = {
     require(sortCols.nonEmpty, "prefixFold: need at least one sort column")
     require(aggs.nonEmpty, "prefixFold: need at least one aggregate")
+    // The lazy checkpoint is LOAD-BEARING: the per-row window branch and
+    // the per-partition totals branch below both consume `ranged`, and
+    // without one shared materialization each branch re-executes the
+    // range exchange under its own AQE coalescing — the two runs can
+    // renumber spark_partition_id differently, silently corrupting (or
+    // dropping, via the pid join) cross-partition offsets. Invisible at
+    // toy scale where AQE coalesces everything to one partition; found
+    // by the sf1 sweep (q_ntile emitted six buckets, q_rfm lost a third
+    // of its rows).
     val ranged = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val wIn = Window.partitionBy("__pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val inner = aggs.zipWithIndex.foldLeft(ranged) { case (d, (a, i)) =>
@@ -487,6 +497,7 @@ object Profile {
     val ranged = withG
       .repartitionByRange((gNames.map(col(_).asc) ++ sortCols): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // shared pid assignment — see prefixFold
     val wIn = Window.partitionBy(("__pid" +: gNames).map(col(_)): _*)
       .orderBy(sortCols: _*)
     val inner = ranged.withColumn("__in", row_number().over(wIn) - 1)

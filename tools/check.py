@@ -19,6 +19,13 @@ if "--json" in rest:
     jout = rest[rest.index("--json") + 1]
     rest = [a for i, a in enumerate(rest)
             if a != "--json" and (i == 0 or rest[i - 1] != "--json")]
+# --timeout SECS: bound each DuckDB oracle via con.interrupt() from a
+# watchdog; a timed-out oracle is recorded explicitly, not hung on.
+otimeout = None
+if "--timeout" in rest:
+    otimeout = float(rest[rest.index("--timeout") + 1])
+    rest = [a for i, a in enumerate(rest)
+            if a != "--timeout" and (i == 0 or rest[i - 1] != "--timeout")]
 only = [a for a in rest if not a.startswith("--")]
 
 if not skip:
@@ -31,10 +38,39 @@ if not skip:
         sys.stderr.write(r.stderr[-3000:]); sys.exit(1)
 
 import duckdb, pandas as pd, numpy as np
-con = duckdb.connect()
-for t in glob.glob(f"{sf}/*.parquet"):
-    name = os.path.basename(t).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+import threading
+
+def fresh_con():
+    c = duckdb.connect()
+    for t in glob.glob(f"{sf}/*.parquet"):
+        n = os.path.basename(t).replace(".parquet", "")
+        c.execute(f"CREATE VIEW {n} AS SELECT * FROM '{t}'")
+    return c
+
+con = fresh_con()
+
+def run_oracle(sql):
+    """Run an oracle, optionally bounded by --timeout; returns (df, err)."""
+    global con
+    if otimeout is None:
+        return con.execute(sql).df(), None
+    box = {}
+    def work():
+        try:
+            box["df"] = con.execute(sql).df()
+        except Exception as e:
+            box["err"] = e
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(otimeout)
+    if th.is_alive():
+        con.interrupt()
+        th.join(60)
+        con = fresh_con()
+        return None, f"oracle timeout (> {otimeout:.0f}s)"
+    if "err" in box:
+        return None, str(box["err"])[:300]
+    return box["df"], None
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
@@ -52,11 +88,13 @@ for name in sorted(oracle):
         continue
     try:
         got = pd.read_parquet(pdir)
-        exp = con.execute(oracle[name]).df()
+        exp, oerr = run_oracle(oracle[name])
     except Exception as e:
-        print(f"FAIL {name}: {e}"); fails.append(name)
+        exp, oerr = None, str(e)[:300]
+    if exp is None:
+        print(f"FAIL {name}: {oerr}"); fails.append(name)
         record[name] = {"rows_match": False, "schema_match": False,
-                        "hash_match": False, "err": str(e)[:300]}
+                        "hash_match": False, "err": oerr}
         continue
     got = got.reindex(sorted(got.columns), axis=1)
     exp = exp.reindex(sorted(exp.columns), axis=1)
