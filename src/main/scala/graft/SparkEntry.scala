@@ -887,8 +887,15 @@ object SparkEntry {
       .orderBy("id")
 
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    // bands = 24 (r = 2): P(candidate | J) = 1-(1-J^2)^24 puts the miss
+    // probability at the 0.7 threshold at ~1e-7 per pair, so the
+    // exact-equality gate vs the recall-complete all-pairs oracle holds
+    // deterministically on the fixed corpus. The sf1 sweep caught the
+    // old bands=8 (r=6) curve missing 744 of 250k true pairs — 63%
+    // recall AT the threshold is the textbook S-curve, fine for
+    // approximate production dedup, wrong for an equality gate.
     Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-      threshold = 0.7, numHashes = 48, bands = 8, shingleLen = 3)
+      threshold = 0.7, numHashes = 48, bands = 24, shingleLen = 3)
       .orderBy("id1", "id2")
 
   // No DuckDB oracle: the signature is built from Spark's xxhash64, which
@@ -5160,31 +5167,58 @@ object SparkEntry {
     // (each node collects every label reachable over the undirected pair
     // edges; MIN per node = the component's canonical id) — the oracle for
     // the iterative min-label-propagation clustering on the Spark side.
+    // Connected components WITHOUT the recursive-closure blowup (round
+    // 8): the naive `reach` CTE materializes every (node, reachable
+    // smaller label) pair — quadratic in component size, and the sf1
+    // replica's dup-dense clusters pushed it past an hour/70 GB. This
+    // replay runs 12 unrolled min-label + pointer-jump rounds (each one
+    // edge join + one label join, every CTE MATERIALIZED so DuckDB does
+    // not re-inline the doubly-referenced previous round), converging to
+    // the same min-reachable-id labels; the `conv` guard emits ZERO rows
+    // if round 12 differs from round 11, so non-convergence fails the
+    // row-count gate loudly instead of passing a wrong fixpoint.
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $NgramPairsCte,
-         |edges AS (SELECT id1 AS a, id2 AS b FROM jp
+      s"""WITH $NgramPairsCte,
+         |edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM jp
          |UNION SELECT id2, id1 FROM jp),
-         |reach(id, lbl) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b)
-         |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM edges),
+         |${(1 to 12).map(i =>
+             s"""m$i AS MATERIALIZED (SELECT l.id, least(l.lbl, min(ln.lbl)) AS lbl
+                |  FROM l${i - 1} l JOIN edges e ON e.a = l.id
+                |  JOIN l${i - 1} ln ON ln.id = e.b GROUP BY l.id, l.lbl),
+                |l$i AS MATERIALIZED (SELECT m.id, l2.lbl
+                |  FROM m$i m JOIN m$i l2 ON l2.id = m.lbl)""".stripMargin)
+           .mkString(",\n")},
+         |conv AS (SELECT count(*) AS bad FROM l12 n JOIN l11 p USING (id)
+         |  WHERE n.lbl <> p.lbl)
+         |SELECT id, lbl AS cluster FROM l12 CROSS JOIN conv
+         |WHERE conv.bad = 0 ORDER BY id""".stripMargin,
     // ALL-pairs exact 3-shingle Jaccard >= 0.7 — a hard LSH recall gate:
     // the Spark side only scores LSH candidate pairs, so any banding miss
     // shows up as a missing row here.
+    // Set-logic-complete rewrite of the all-pairs form (round 8, the r7
+    // containment-oracle pattern): |A∩B| as an aggregated shared-shingle
+    // join — J ≥ 0.7 > 0 forces a shared shingle, so candidate
+    // generation via the inverted shingle join loses NOTHING, and the
+    // Jaccard arithmetic is unchanged. The naive pairwise list_intersect
+    // was quadratic in the corpus (>20 min at the sf1 replica).
     "q_dedup_minhash" ->
-      """WITH t AS (SELECT doc_id,
+      """WITH t AS MATERIALIZED (SELECT doc_id,
         |(CASE WHEN len(toks) >= 3
         |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
         |  ELSE [array_to_string(toks, ' ')] END) AS sh
         |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents)),
-        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
-        |FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+        |e AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM t),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(count(*) AS BIGINT) AS i
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
         |j AS (SELECT id1, id2,
-        |CAST(len(list_intersect(sh1, sh2)) AS DOUBLE)
-        |  / greatest(len(sh1) + len(sh2) - len(list_intersect(sh1, sh2)), 1) AS jac
-        |FROM p)
+        |CAST(i AS DOUBLE) / greatest(s1.n + s2.n - i, 1) AS jac
+        |FROM inter JOIN sz s1 ON inter.id1 = s1.doc_id
+        |JOIN sz s2 ON inter.id2 = s2.doc_id)
         |SELECT id1, id2, jac FROM j WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
     "q_ann_brute" -> annExactTopKOracle,
     // IVF gate probes all cells (see qAnnIvf) => result is exactly the
@@ -6303,9 +6337,11 @@ object SparkEntry {
         |       ELSE cur / prev - 1.0 END AS pct_change
         |FROM l ORDER BY event_type, day""".stripMargin,
     // bigram PMI: joint over unigram-product probabilities, ALL-bigram
-    // denominator, minCount >= 5 output cut, 6 dp round
+    // denominator, minCount >= 5 output cut, 6 dp round. MATERIALIZED:
+    // DuckDB re-inlines the twice-referenced tokenization CTE (the r7
+    // DBSCAN finding) — at sf1 the un-hinted form timed out.
     "q_pmi" ->
-      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+      """WITH t AS MATERIALIZED (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
         |uni AS (SELECT unnest(ws) AS w FROM t),
         |u AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
         |ut AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM u),

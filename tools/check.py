@@ -42,6 +42,12 @@ import threading
 
 def fresh_con():
     c = duckdb.connect()
+    # bound memory so a pathological oracle (recursive CTEs at sf1)
+    # spills to disk instead of drawing the kernel OOM-killer
+    mem = os.environ.get("CHECK_DUCKDB_MEM")
+    if mem:
+        c.execute(f"SET memory_limit='{mem}'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in glob.glob(f"{sf}/*.parquet"):
         n = os.path.basename(t).replace(".parquet", "")
         c.execute(f"CREATE VIEW {n} AS SELECT * FROM '{t}'")
