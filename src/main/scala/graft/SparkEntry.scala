@@ -56,18 +56,21 @@ object SparkEntry {
     * with bucketWidth 8) — final CTE `jp` has columns (id1, id2, jac).
     * Used by the q_dedup_ngram and q_dedup_clusters oracles so the pair
     * definition cannot drift between them. */
+  // MATERIALIZED throughout (round 8): t is referenced four times and jp
+  // twice across the consumers; DuckDB re-inlines un-hinted CTEs, which
+  // multiplied the whole pair computation at the sf1 replica.
   private val NgramPairsCte: String =
-    """t AS (SELECT doc_id, length(text) AS ln,
+    """t AS MATERIALIZED (SELECT doc_id, length(text) AS ln,
       |(CASE WHEN len(toks) >= 2
       |  THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
       |  ELSE [array_to_string(toks, ' ')] END) AS sh
       |FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents)),
-      |e AS (SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) AS b FROM t
+      |e AS MATERIALIZED (SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) AS b FROM t
       |UNION ALL SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) + 1 AS b FROM t),
-      |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |p AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       |FROM e a JOIN e b ON a.b = b.b AND a.doc_id < b.doc_id
       |AND abs(a.ln - b.ln) <= 8),
-      |jp AS (SELECT * FROM (SELECT p.id1, p.id2,
+      |jp AS MATERIALIZED (SELECT * FROM (SELECT p.id1, p.id2,
       |CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) / greatest(len(list_distinct(t1.sh || t2.sh)), 1) AS jac
       |FROM p JOIN t t1 ON p.id1 = t1.doc_id JOIN t t2 ON p.id2 = t2.doc_id)
       |WHERE jac >= 0.5)""".stripMargin

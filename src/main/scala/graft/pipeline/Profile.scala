@@ -471,10 +471,13 @@ object Profile {
 
   /** 0-based global position of every row in a TOTAL order — the
     * distributed replacement for `row_number().over(Window.orderBy(...))`
-    * (see [[prefixFold]]; same posture as Relational.withRowidOrdered but
-    * staying in the DataFrame planner — no RDD hop). The order must be
-    * total or equal rows get an arbitrary (but valid) relative order,
-    * exactly like row_number. */
+    * (see [[prefixFold]]). A/B note (r8): the RDD zipWithIndex shape
+    * (Relational.withRowidOrdered) was measured SLOWER here — the
+    * row-serialization hop costs more than prefixFold's checkpoint
+    * (3-rank q_rfm at sf0.1: 2.3 s zipWithIndex vs 1.5 s prefixFold) —
+    * so this stays in the DataFrame planner. The order must be total or
+    * equal rows get an arbitrary (but valid) relative order, exactly
+    * like row_number. */
   def rowPositions(df: DataFrame, outCol: String,
                    sortCols: Column*): DataFrame =
     prefixFold(df, sortCols, Seq(PrefixSum(lit(1L), outCol)))

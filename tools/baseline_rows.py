@@ -68,6 +68,14 @@ for m in re.finditer(r"\b(q\w+) ([0-9]+\.[0-9]+)(?:\s*(?:→|->)\s*([0-9]+\.[0-9
     if v1:
         put(q, "sf1_s", float(v1), "")
 
+# keep prior JSON entries not re-derivable from BASELINE.md (fresh r8+
+# recordings) BEFORE the fill/sf1 merges so those can update them too
+if os.path.exists(OUT):
+    prev = json.load(open(OUT))
+    for q, e in prev.items():
+        if q not in ledger:
+            ledger[q] = e
+
 def merge_jsonl(path, field, src):
     for line in open(path):
         line = line.strip()
@@ -97,13 +105,6 @@ if sf1f:
         d = json.loads(line)
         if d["sec"] >= 0 and d["query"] in ledger:
             ledger[d["query"]]["sf1_s"] = round(d["sec"], 4)
-
-# keep prior JSON entries not re-derivable (stability across reruns)
-if os.path.exists(OUT):
-    prev = json.load(open(OUT))
-    for q, e in prev.items():
-        if q not in ledger:
-            ledger[q] = e
 
 json.dump(dict(sorted(ledger.items())), open(OUT, "w"), indent=1)
 n = len(ledger)
