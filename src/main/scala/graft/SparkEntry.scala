@@ -6248,7 +6248,16 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN d.dv > 3.0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN m2 USING (g) GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // ALL-pairs exact token-set Jaccard >= 0.95 — recall gate for the
-    // prefix filter: equality proves candidate generation lost nothing
+    // prefix filter: equality proves candidate generation lost nothing.
+    // sf1 cost note (round 8): this oracle is the one replay that stays
+    // quadratic at the 10x replica BY DESIGN — the corpus uses a
+    // deliberately tiny shared vocabulary (the adversarial case for
+    // set-similarity), so the aggregated shared-token form that fixed
+    // q_dedup_minhash is WORSE here (sum of df^2 over ~100 hot tokens is
+    // ~1e11 intermediate rows, measured to exhaust 79 GB of spill); the
+    // pairwise form is ~2.5e9 list_intersects (hours). CORRECTNESS_sf1
+    // records the budget-exceeded replay explicitly; the sf0.01 gate and
+    // the r7 sampled-exact sf1 evidence stand.
     "q_setsim_join" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tk
         |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0)
