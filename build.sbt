@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify are driven by an external runner that parses the LAST
+// stdout line as JSON. Two sbt behaviors break that: the forked app's
+// stdout is re-logged with an "[info] " prefix, and sbt appends a
+// "[success] Total time: ..." footer after the app exits. Pass the
+// child's stdout through verbatim and drop the footer so the app's
+// final summary line is the true last line of the sbt process.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
