@@ -6247,25 +6247,43 @@ object SparkEntry {
         |  any_value(m2.mad) AS mad,
         |  CAST(SUM(CASE WHEN d.dv > 3.0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN m2 USING (g) GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
-    // ALL-pairs exact token-set Jaccard >= 0.95 — recall gate for the
-    // prefix filter: equality proves candidate generation lost nothing.
-    // sf1 cost note (round 8): this oracle is the one replay that stays
-    // quadratic at the 10x replica BY DESIGN — the corpus uses a
-    // deliberately tiny shared vocabulary (the adversarial case for
-    // set-similarity), so the aggregated shared-token form that fixed
-    // q_dedup_minhash is WORSE here (sum of df^2 over ~100 hot tokens is
-    // ~1e11 intermediate rows, measured to exhaust 79 GB of spill); the
-    // pairwise form is ~2.5e9 list_intersects (hours). CORRECTNESS_sf1
-    // records the budget-exceeded replay explicitly; the sf0.01 gate and
-    // the r7 sampled-exact sf1 evidence stand.
+    // Exact token-set Jaccard >= 0.95 via DELETE-ONE signatures — an
+    // EQUAL but tractable rewrite of the naive all-pairs join (round 9,
+    // replacing the quadratic form that made the sf1 replay infeasible:
+    // ~2.5e9 list_intersects / ~1e11 shared-token rows, r8 record).
+    // Validity: jac >= 0.95 with symmetric difference d needs union
+    // u >= 19d, and u <= maxSetSize + d, so d <= maxSetSize/19 — with
+    // max distinct tokens per doc <= 37 every qualifying pair differs by
+    // AT MOST ONE token (measured: 31 at sf0.1, 32 at sf1). Qualifying
+    // pairs are then exactly (a) identical token sets (jac=1) plus
+    // (b) A = B minus one token with |B| >= 20 (jac=|A|/|B|), found by
+    // joining each doc's full sorted set to every delete-one set — cost
+    // Theta(docs x setSize + output), not Theta(docs^2). The `guard`
+    // branch emits poison rows if any doc ever exceeds 37 distinct
+    // tokens, so an assumption break fails the compare loudly instead of
+    // silently dropping pairs. Verified equal to the all-pairs form at
+    // sf0.01 (1,887 rows) and sf0.1 (190,925 rows); replays sf1 (867,302
+    // rows) in ~6 s where the all-pairs form needed hours.
     "q_setsim_join" ->
-      """WITH t AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tk
-        |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0)
-        |SELECT * FROM (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / greatest(len(list_distinct(a.tk || b.tk)), 1) AS jac
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-        |WHERE jac >= 0.95 ORDER BY id1, id2""".stripMargin,
+      """WITH t AS (SELECT doc_id, list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS tk
+        |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0),
+        |ident AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, 1.0 AS jac
+        |  FROM t a JOIN t b ON a.tk = b.tk AND a.doc_id < b.doc_id),
+        |del1 AS (
+        |  SELECT b.doc_id AS bid, list_sort(list_filter(b.tk, x -> x <> d.x)) AS key, len(b.tk) AS blen
+        |  FROM (SELECT doc_id, tk FROM t) b, unnest(b.tk) AS d(x)
+        |  WHERE len(b.tk) >= 20),
+        |sub1 AS (
+        |  SELECT least(a.doc_id, d.bid) AS id1, greatest(a.doc_id, d.bid) AS id2,
+        |    CAST(len(a.tk) AS DOUBLE) / d.blen AS jac
+        |  FROM del1 d JOIN t a ON a.tk = d.key AND a.doc_id <> d.bid
+        |  WHERE CAST(len(a.tk) AS DOUBLE) / d.blen >= 0.95),
+        |guard AS (
+        |  SELECT CAST(-1 AS BIGINT) AS id1, CAST(-2 AS BIGINT) AS id2, -CAST(count(*) AS DOUBLE) AS jac
+        |  FROM t WHERE len(tk) > 37 HAVING count(*) > 0)
+        |SELECT * FROM (SELECT * FROM ident UNION ALL SELECT * FROM sub1 UNION ALL SELECT * FROM guard)
+        |ORDER BY id1, id2""".stripMargin,
     // oriented wedge-close triangle enumeration, credited to all corners
     "q_triangles" ->
       """WITH raw AS (SELECT o_custkey % 97 AS x, o_orderkey % 97 AS y FROM orders),
