@@ -19,12 +19,17 @@ package graft.pipeline
   * (SparkEntry q_multimodal_jpeg). Arbitrary pixels encode fine too, with
   * ordinary lossy error (spec-tested against ImageIO both directions).
   *
-  * Decoder: general baseline-sequential — multiple DQT (8/16-bit) and
-  * DHT segments, 1- or 3-component SOF0, sampling factors 1-2 each way
-  * (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restart handling, byte-unstuffing,
-  * nearest-neighbor chroma upsampling, JFIF YCbCr→RGB. Progressive
-  * (SOF2) and arithmetic-coded streams are rejected here and still served
-  * geometry-only by [[Multimodal.decodeJpeg]]'s marker walk.
+  * Decoder: general sequential (SOF0/SOF1) AND progressive (SOF2,
+  * round 9) — multiple DQT (8/16-bit) and DHT segments, 1- or
+  * 3-component frames, sampling factors 1-2 each way (4:4:4 / 4:2:2 /
+  * 4:2:0), DRI/RSTn restart handling, byte-unstuffing, nearest-neighbor
+  * chroma upsampling, JFIF YCbCr→RGB. Progressive scans implement the
+  * full Annex G Huffman procedures: spectral selection, DC and AC
+  * successive approximation (EOB-run coding and refinement correction
+  * bits), coefficients accumulated per component and IDCT'd at EOI.
+  * Arithmetic-coded, lossless and hierarchical streams are rejected here
+  * and still served geometry-only by [[Multimodal.decodeJpeg]]'s marker
+  * walk.
   *
   * Reference behavior note: the reference engine has no binary columns at
   * all (Supersonic's type system is numeric/string/date —
@@ -245,6 +250,27 @@ object Jpeg {
 
   // ---- encoder ----
 
+  /** Component sample at (comp, x, y), edge-replicated (a spec-allowed
+    * pad that keeps flat tiles flat on partial edge blocks). */
+  private def makeSampler(width: Int, height: Int, channels: Int,
+                          pixels: Array[Byte]): (Int, Int, Int) => Double =
+    (comp: Int, x: Int, y: Int) => {
+      val xx = math.min(x, width - 1)
+      val yy = math.min(y, height - 1)
+      if (channels == 1) (pixels(yy * width + xx) & 0xff).toDouble
+      else {
+        val p = 3 * (yy * width + xx)
+        val r = pixels(p) & 0xff
+        val g = pixels(p + 1) & 0xff
+        val b = pixels(p + 2) & 0xff
+        comp match { // JFIF color transform
+          case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+          case 1 => 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+          case _ => 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        }
+      }
+    }
+
   /** Encode 8-bit pixels as a baseline-sequential JFIF. `channels` is 1
     * (grayscale: pixels = w·h bytes) or 3 (RGB row-major interleaved,
     * encoded as 4:4:4 YCbCr). See object scaladoc for the flat-tile
@@ -297,24 +323,7 @@ object Jpeg {
     val coef = new Array[Double](64)
     val quant = new Array[Int](64)
 
-    // component sample at (x, y), edge-replicated (a spec-allowed pad
-    // that keeps flat tiles flat on partial edge blocks)
-    def sample(comp: Int, x: Int, y: Int): Double = {
-      val xx = math.min(x, width - 1)
-      val yy = math.min(y, height - 1)
-      if (channels == 1) (pixels(yy * width + xx) & 0xff).toDouble
-      else {
-        val p = 3 * (yy * width + xx)
-        val r = pixels(p) & 0xff
-        val g = pixels(p + 1) & 0xff
-        val b = pixels(p + 2) & 0xff
-        comp match { // JFIF color transform
-          case 0 => 0.299 * r + 0.587 * g + 0.114 * b
-          case 1 => 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-          case _ => 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        }
-      }
-    }
+    val sample = makeSampler(width, height, channels, pixels)
 
     def putCoded(tab: Array[(Int, Int)], sym: Int): Unit = {
       val e = tab(sym)
@@ -396,6 +405,171 @@ object Jpeg {
   def encodeGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
     encodeBaseline(width, height, 1, pixels)
 
+  /** Encode 8-bit pixels as a PROGRESSIVE (SOF2) JFIF using the classic
+    * spectral-selection + DC-successive-approximation script:
+    *
+    *   scan 1: DC all components interleaved, Ah=0 Al=1
+    *   scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block)
+    *   per component: AC band 1–5, then AC band 6–63 (Ah=Al=0)
+    *
+    * Same quantization and Annex-K Huffman tables as [[encodeBaseline]]
+    * and the same coefficient values, so the flat-tile bit-exactness
+    * contract carries over unchanged: the DC point transform is lossless
+    * here because scan 2 restores bit 0 exactly ((v>>1)<<1 | (v&1) = v
+    * in two's complement), and flat tiles have no AC at all. A baseline
+    * and a progressive encode of the same tile-constant image therefore
+    * decode to IDENTICAL pixels while sharing no payload bytes — the
+    * planted cross-coding twin for the image-dedup gates. */
+  def encodeProgressive(width: Int, height: Int, channels: Int,
+                        pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      "encodeProgressive: dimensions must be in [1, 65535]")
+    require(channels == 1 || channels == 3,
+      "encodeProgressive: channels must be 1 (gray) or 3 (RGB)")
+    require(pixels.length == channels * width * height,
+      s"encodeProgressive: expected ${channels * width * height} pixel bytes, " +
+        s"got ${pixels.length}")
+    val out = new java.io.ByteArrayOutputStream(1024 + pixels.length / 2)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0/JFIF
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(67); u8(0) // DQT: table 0, 8-bit
+    var i = 0
+    while (i < 64) { u8(QuantAll8(Zigzag(i))); i += 1 }
+    marker(0xc2); u16(8 + 3 * channels); u8(8) // SOF2
+    u16(height); u16(width); u8(channels)
+    var c = 0
+    while (c < channels) { u8(c + 1); u8(0x11); u8(0); c += 1 }
+    val dhtLen = 2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length)
+    marker(0xc4); u16(dhtLen)
+    u8(0x00); DcBits.foreach(u8); DcVals.foreach(u8)
+    u8(0x10); AcBits.foreach(u8); AcVals.foreach(u8)
+
+    // all quantized coefficients up front (zigzag order per block) —
+    // progressive scans revisit every block several times
+    val sample = makeSampler(width, height, channels, pixels)
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val nBlocks = blocksX * blocksY
+    val coefQ = Array.ofDim[Int](channels, nBlocks * 64)
+    val samp = new Array[Double](64)
+    val coef = new Array[Double](64)
+    var b = 0
+    while (b < nBlocks) {
+      val bx = b % blocksX
+      val by = b / blocksX
+      c = 0
+      while (c < channels) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            samp(y * 8 + x) = sample(c, bx * 8 + x, by * 8 + y) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        fdct(samp, coef)
+        var k = 0
+        while (k < 64) {
+          coefQ(c)(b * 64 + k) = math.round(coef(Zigzag(k)) / QuantAll8(k)).toInt
+          k += 1
+        }
+        c += 1
+      }
+      b += 1
+    }
+
+    val dcTab = buildEncodeTable(DcBits, DcVals)
+    val acTab = buildEncodeTable(AcBits, AcVals)
+
+    def sosHeader(scanChannels: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); u16(6 + 2 * scanChannels.length); u8(scanChannels.length)
+      scanChannels.foreach { ci => u8(ci + 1); u8(0x00) }
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+
+    // scan 1: DC first, all components interleaved, point transform Al=1
+    sosHeader(0 until channels, 0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter(out)
+      val prevDc = new Array[Int](channels)
+      var blk = 0
+      while (blk < nBlocks) { // 1×1 sampling: MCU raster == block raster
+        c = 0
+        while (c < channels) {
+          val dc = coefQ(c)(blk * 64) >> 1 // arithmetic: floor toward -inf
+          val diff = dc - prevDc(c)
+          prevDc(c) = dc
+          val cat = category(diff)
+          val e = dcTab(cat)
+          bw.put(e._1, e._2)
+          if (cat > 0)
+            bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+          c += 1
+        }
+        blk += 1
+      }
+      bw.flush()
+    }
+
+    // scan 2: DC refinement (Ah=1, Al=0) — bit 0 of each DC, raw
+    sosHeader(0 until channels, 0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter(out)
+      var blk = 0
+      while (blk < nBlocks) {
+        c = 0
+        while (c < channels) {
+          bw.put(coefQ(c)(blk * 64) & 1, 1)
+          c += 1
+        }
+        blk += 1
+      }
+      bw.flush()
+    }
+
+    // AC scans: two spectral bands per component, full precision (Al=0);
+    // per-block EOB (symbol 0x00 = EOB run of 1) ends each band
+    val bands = Seq((1, 5), (6, 63))
+    c = 0
+    while (c < channels) {
+      bands.foreach { case (ss, se) =>
+        sosHeader(Seq(c), ss, se, 0, 0)
+        val bw = new BitWriter(out)
+        var blk = 0
+        while (blk < nBlocks) {
+          var run = 0
+          var k = ss
+          while (k <= se) {
+            val v = coefQ(c)(blk * 64 + k)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { val e = acTab(0xf0); bw.put(e._1, e._2); run -= 16 }
+              val cat = category(v)
+              val e = acTab((run << 4) | cat)
+              require(e != null, s"encodeProgressive: no AC code for run=$run size=$cat")
+              bw.put(e._1, e._2)
+              bw.put(if (v < 0) v + (1 << cat) - 1 else v, cat)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val e = acTab(0x00); bw.put(e._1, e._2) } // EOB
+          blk += 1
+        }
+        bw.flush()
+      }
+      c += 1
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- decoder ----
 
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
@@ -468,6 +642,19 @@ object Jpeg {
     var width = 0
     var height = 0
     var restartInterval = 0
+    // progressive (SOF2) state: per-component quantized-coefficient
+    // buffers accumulated across scans, IDCT'd only at EOI
+    var progressive = false
+    var sawScan = false
+    var coefs: Array[Array[Int]] = null
+    var mcusX = 0
+    var mcusY = 0
+    var maxH = 1
+    var maxV = 1
+    var blocksW: Array[Int] = null // padded (interleaved) block grid
+    var blocksH: Array[Int] = null
+    var compBlocksW: Array[Int] = null // true grid for non-interleaved scans
+    var compBlocksH: Array[Int] = null
     var pos = 2
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
 
@@ -478,12 +665,18 @@ object Jpeg {
       if (p >= bytes.length) return None
       val m = bytes(p) & 0xff
       p += 1
-      if (m == 0xd9) return None // EOI before SOS
+      if (m == 0xd9) { // EOI: the progressive frame is complete here
+        return if (progressive && sawScan)
+          finishProgressive(width, height, comps, coefs, quantTabs,
+            blocksW, blocksH, maxH, maxV)
+        else None
+      }
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos = p }
       else {
         if (p + 1 >= bytes.length) return None
         val len = u16(p)
         if (len < 2 || p + len > bytes.length) return None
+        var posOverride = -1
         m match {
           case 0xdb => // DQT: one or more tables
             var q = p + 2
@@ -517,8 +710,10 @@ object Jpeg {
               val dec = new HuffDecoder(bits, vals)
               if (tc == 0) dcHuff(th) = dec else acHuff(th) = dec
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 ext seq / SOF2 progressive
+            // (SOF1 with 8-bit samples decodes identically to baseline)
             if ((bytes(p + 2) & 0xff) != 8) return None // 8-bit only
+            progressive = m == 0xc2
             height = u16(p + 3); width = u16(p + 5)
             val nc = bytes(p + 7) & 0xff
             if (width == 0 || height == 0 || (nc != 1 && nc != 3)) return None
@@ -529,31 +724,57 @@ object Jpeg {
             }.toArray
             if (comps.exists(cp => cp.h < 1 || cp.h > 2 || cp.v < 1 || cp.v > 2))
               return None
-          case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
-            return None // non-baseline frame (progressive etc.)
+            maxH = comps.map(_.h).max
+            maxV = comps.map(_.v).max
+            mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+            mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+            blocksW = comps.map(cp => mcusX * cp.h)
+            blocksH = comps.map(cp => mcusY * cp.v)
+            // ceil(ceil(dim·sampling/max)/8) = ceil(dim·sampling/(8·max))
+            compBlocksW = comps.map(cp => (width * cp.h + 8 * maxH - 1) / (8 * maxH))
+            compBlocksH = comps.map(cp => (height * cp.v + 8 * maxV - 1) / (8 * maxV))
+            if (progressive)
+              coefs = comps.indices.map(i =>
+                new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
+          case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+            return None // lossless / arithmetic-coded / hierarchical frames
           case 0xdd => restartInterval = u16(p + 2)
           case 0xda => // SOS: entropy data follows
             if (comps == null) return None
             val ns = bytes(p + 2) & 0xff
-            if (ns != comps.length) return None
+            if (ns < 1 || ns > comps.length) return None
+            val scanComps = new Array[Int](ns)
             var q = p + 3
             var i = 0
             while (i < ns) {
               val cid = bytes(q) & 0xff
               val tabs = bytes(q + 1) & 0xff
-              val compOpt = comps.find(_.id == cid)
-              if (compOpt.isEmpty) return None
-              compOpt.get.dcTab = tabs >> 4
-              compOpt.get.acTab = tabs & 0x0f
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              comps(ci).dcTab = tabs >> 4
+              comps(ci).acTab = tabs & 0x0f
+              scanComps(i) = ci
               q += 2
               i += 1
             }
-            q += 3 // Ss/Se/Ah-Al (fixed 0/63/0 in baseline)
-            return decodeScan(bytes, q, width, height, comps, quantTabs,
-              dcHuff, acHuff, restartInterval)
+            val ss = bytes(q) & 0xff
+            val se = bytes(q + 1) & 0xff
+            val ahal = bytes(q + 2) & 0xff
+            q += 3
+            if (!progressive) {
+              if (ns != comps.length) return None
+              return decodeScan(bytes, q, width, height, comps, quantTabs,
+                dcHuff, acHuff, restartInterval)
+            }
+            val next = decodeProgScan(bytes, q, comps, scanComps, coefs,
+              blocksW, compBlocksW, compBlocksH, mcusX, mcusY,
+              dcHuff, acHuff, ss, se, ahal >> 4, ahal & 0x0f, restartInterval)
+            if (next < 0) return None
+            sawScan = true
+            posOverride = next
           case _ => () // APPn / COM / others: skip by length
         }
-        pos = p + len
+        pos = if (posOverride >= 0) posOverride else p + len
       }
     }
     None
@@ -650,7 +871,252 @@ object Jpeg {
       mcu += 1
     }
 
-    // assemble RGB with nearest-neighbor upsampling of subsampled planes
+    assembleRgb(width, height, comps, planes, planeW, maxH, maxV)
+  }
+
+  /** One progressive scan (T.81 Annex G, Huffman): updates the
+    * per-component quantized-coefficient buffers in place and returns the
+    * byte position of the next marker, or -1 on a malformed stream.
+    * Handles all four scan kinds — DC first (Ah=0, diff-coded at point
+    * transform Al), DC refinement (one raw bit per block), AC first
+    * (spectral band [Ss,Se] with EOB-run coding, §G.1.2.2) and AC
+    * refinement (correction bits, §G.1.2.3). DC scans may interleave
+    * several components (MCU order); AC scans are single-component by
+    * spec (non-interleaved block raster over the component's own grid). */
+  private def decodeProgScan(bytes: Array[Byte], scanStart: Int,
+                             comps: Array[Component], scanComps: Array[Int],
+                             coefs: Array[Array[Int]],
+                             blocksW: Array[Int],
+                             compBlocksW: Array[Int], compBlocksH: Array[Int],
+                             mcusX: Int, mcusY: Int,
+                             dcHuff: Array[HuffDecoder], acHuff: Array[HuffDecoder],
+                             ss: Int, se: Int, ah: Int, al: Int,
+                             restartInterval: Int): Int = {
+    if (ss < 0 || se > 63 || (ss == 0 && se != 0) || (ss > 0 && ss > se)) return -1
+    val isDc = ss == 0
+    if (!isDc && scanComps.length != 1) return -1
+    if (ah != 0 && ah != al + 1) return -1 // successive approximation steps by 1 bit
+    val br = new BitReader(bytes, scanStart)
+    val prevDc = new Array[Int](comps.length)
+    var eobrun = 0
+
+    // RSTn: byte-aligned marker, DC predictors and EOB run reset
+    def restartCheck(unit: Int): Boolean = {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.alignToMarker()
+        var p = br.pos
+        while (p + 1 < bytes.length &&
+          !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) >= 0xd0 &&
+            (bytes(p + 1) & 0xff) <= 0xd7)) p += 1
+        if (p + 1 >= bytes.length) return false
+        br.pos = p + 2
+        br.sawMarker = false
+        java.util.Arrays.fill(prevDc, 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    def decodeDcBlock(ci: Int, blockIdx: Int): Boolean = {
+      val base = blockIdx * 64
+      if (ah == 0) { // first DC scan: diff-coded values at point transform Al
+        val cat = decodeHuffSym(br, dcHuff(comps(ci).dcTab))
+        if (cat > 15) return false
+        prevDc(ci) += extend(br.bits(cat), cat)
+        coefs(ci)(base) = prevDc(ci) << al
+      } else { // refinement: one raw bit per block
+        if (br.bit() == 1) coefs(ci)(base) |= 1 << al
+      }
+      true
+    }
+
+    def decodeAcFirst(ci: Int, blockIdx: Int): Boolean = {
+      val cf = coefs(ci)
+      val base = blockIdx * 64
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = decodeHuffSym(br, acHuff(comps(ci).acTab))
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { // EOBn: run of (1<<r)-1+bits(r) further all-done blocks
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.bits(r)
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          cf(base + Zigzag(k)) = extend(br.bits(s), s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    // §G.1.2.3: newly-significant coefficients arrive as ±1<<Al; every
+    // already-nonzero coefficient passed on the way reads one correction
+    // bit (appended toward zero-magnitude side growth)
+    def decodeAcRefine(ci: Int, blockIdx: Int): Boolean = {
+      val cf = coefs(ci)
+      val base = blockIdx * 64
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var inBand = true
+        while (k <= se && inBand) {
+          val rs = decodeHuffSym(br, acHuff(comps(ci).acTab))
+          var r = rs >> 4
+          val s = rs & 0x0f
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) {
+              // EOBn INCLUDES the current block: the tail pass below must
+              // still read correction bits through the rest of this band
+              // (then decrements), so the run is 1<<r + bits, not -1
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.bits(r)
+              inBand = false
+            } // r == 15: skip 16 zero-history coefficients
+          } else {
+            if (s != 1) return false // refinement magnitudes are exactly 1
+            newval = if (br.bit() == 1) p1 else m1
+          }
+          if (inBand) {
+            var placed = false
+            while (k <= se && !placed) {
+              val z = base + Zigzag(k)
+              if (cf(z) != 0) {
+                if (br.bit() == 1 && (cf(z) & p1) == 0)
+                  cf(z) += (if (cf(z) >= 0) p1 else m1)
+              } else if (r == 0) {
+                if (newval != 0) cf(z) = newval
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+            if (!placed && s != 0) return false // no slot left for the new coeff
+          }
+        }
+      }
+      if (eobrun > 0) { // correction bits through the rest of the band
+        while (k <= se) {
+          val z = base + Zigzag(k)
+          if (cf(z) != 0 && br.bit() == 1 && (cf(z) & p1) == 0)
+            cf(z) += (if (cf(z) >= 0) p1 else m1)
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    def decodeUnit(ci: Int, blockIdx: Int): Boolean =
+      if (isDc) decodeDcBlock(ci, blockIdx)
+      else if (ah == 0) decodeAcFirst(ci, blockIdx)
+      else decodeAcRefine(ci, blockIdx)
+
+    if (scanComps.length > 1) { // interleaved (DC) scan: MCU raster
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (!restartCheck(mcu)) return -1
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var si = 0
+        while (si < scanComps.length) {
+          val ci = scanComps(si)
+          val comp = comps(ci)
+          var v = 0
+          while (v < comp.v) {
+            var h = 0
+            while (h < comp.h) {
+              if (!decodeUnit(ci, (my * comp.v + v) * blocksW(ci) + mx * comp.h + h))
+                return -1
+              h += 1
+            }
+            v += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    } else { // non-interleaved: block raster over the component's own grid
+      val ci = scanComps(0)
+      val bw = compBlocksW(ci)
+      val nB = bw * compBlocksH(ci)
+      var b = 0
+      while (b < nB) {
+        if (!restartCheck(b)) return -1
+        if (!decodeUnit(ci, (b / bw) * blocksW(ci) + b % bw)) return -1
+        b += 1
+      }
+    }
+
+    // position of the next real marker (skips stuffed FF00 and RSTn)
+    br.alignToMarker()
+    var p = br.pos
+    while (p + 1 < bytes.length && !((bytes(p) & 0xff) == 0xff && {
+      val mm = bytes(p + 1) & 0xff
+      mm != 0x00 && !(mm >= 0xd0 && mm <= 0xd7)
+    })) p += 1
+    if (p + 1 >= bytes.length) -1 else p
+  }
+
+  /** Progressive finish at EOI: dequantize + IDCT every accumulated
+    * coefficient block into component planes, then assemble RGB. */
+  private def finishProgressive(width: Int, height: Int, comps: Array[Component],
+                                coefs: Array[Array[Int]],
+                                quantTabs: Array[Array[Int]],
+                                blocksW: Array[Int], blocksH: Array[Int],
+                                maxH: Int, maxV: Int): Option[(String, Int, Int, Array[Byte])] = {
+    if (comps == null || coefs == null) return None
+    val planeW = comps.indices.map(i => blocksW(i) * 8).toArray
+    val planes = comps.indices.map(i =>
+      new Array[Byte](planeW(i) * blocksH(i) * 8)).toArray
+    val coefD = new Array[Double](64)
+    val px = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val qt = quantTabs(comps(ci).tq)
+      val cf = coefs(ci)
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          val base = (by * blocksW(ci) + bx) * 64
+          var k = 0
+          while (k < 64) { coefD(k) = cf(base + k).toDouble * qt(k); k += 1 }
+          idct(coefD, px)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val s = math.round(px(y * 8 + x) + 128.0).toInt
+              val cl = if (s < 0) 0 else if (s > 255) 255 else s
+              planes(ci)((by * 8 + y) * planeW(ci) + bx * 8 + x) = cl.toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    assembleRgb(width, height, comps, planes, planeW, maxH, maxV)
+  }
+
+  /** Component planes → interleaved RGB with nearest-neighbor upsampling
+    * of subsampled planes (shared by the sequential and progressive
+    * decode paths). */
+  private def assembleRgb(width: Int, height: Int, comps: Array[Component],
+                          planes: Array[Array[Byte]], planeW: Array[Int],
+                          maxH: Int, maxV: Int): Option[(String, Int, Int, Array[Byte])] = {
     val rgb = new Array[Byte](3 * width * height)
     if (comps.length == 1) {
       var y = 0

@@ -369,6 +369,31 @@ object Multimodal {
                             seedCol: String, out: String): DataFrame =
     encodeWith(df, widthCol, heightCol, seedCol, out)(encodeJpegGrayTiled)
 
+  /** The SAME tile-constant gray image as [[encodeJpegGrayTiled]], encoded
+    * as a PROGRESSIVE (SOF2) JPEG — spectral selection + DC successive
+    * approximation ([[Jpeg.encodeProgressive]]). Flat tiles keep the
+    * round trip bit-exact, so the progressive payload decodes to pixels
+    * IDENTICAL to its baseline and PNG twins while sharing no entropy
+    * layout with either — the cross-CODING planted twin for image dedup
+    * (q_image_phash corpus F, round 9). */
+  def encodeJpegProgressiveCol(df: DataFrame, widthCol: String, heightCol: String,
+                               seedCol: String, out: String): DataFrame =
+    encodeWith(df, widthCol, heightCol, seedCol, out) { (w, h, seed) =>
+      val tilesAcross = (w + 7) / 8
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val t = (y / 8) * tilesAcross + (x / 8)
+          px(y * w + x) = if (seed.isEmpty) 0 else seed(t % seed.length)
+          x += 1
+        }
+        y += 1
+      }
+      Jpeg.encodeProgressive(w, h, 1, px)
+    }
+
   /** The SAME tile-constant gray image as [[encodeJpegGrayTiled]], as a
     * lossless PNG (r = g = b = tile value): because the JPEG flat-tile
     * round trip is bit-exact, the two payloads share ZERO bytes but

@@ -170,12 +170,112 @@ class JpegCodecSpec extends SparkSpec {
       s"subsampled decode diverges by ${maxAbsDiff(oursC, rgbOf(imageioRead(foreignColor)))}")
   }
 
+  test("progressive JPEG (SOF2): flat-tile grayscale round-trips " +
+    "BIT-EXACTLY, identical to the baseline encode of the same pixels") {
+    val seed = Array[Byte](10, 200.toByte, 30, 255.toByte, 0, 127)
+    val w = 19; val h = 13
+    val tilesAcross = (w + 7) / 8
+    val px = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      px(y * w + x) = seed(((y / 8) * tilesAcross + (x / 8)) % seed.length)
+    val prog = Jpeg.encodeProgressive(w, h, 1, px)
+    // really progressive: SOF2 marker present, SOF0 absent
+    def hasMarker(b: Array[Byte], m: Int): Boolean =
+      b.indices.dropRight(1).exists(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m)
+    assert(hasMarker(prog, 0xc2) && !hasMarker(prog, 0xc0))
+    val (fmt, dw, dh, rgb) = Jpeg.decodePixels(prog).get
+    assert(fmt == "image/jpeg" && dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = seed(((y / 8) * tilesAcross + (x / 8)) % seed.length) & 0xff
+      val o = 3 * (y * w + x)
+      assert((rgb(o) & 0xff) == v, s"pixel ($x,$y): got ${rgb(o) & 0xff}, want $v")
+    }
+    // decodes EXACTLY like the baseline encode (same coefficients, same
+    // IDCT), while sharing no entropy payload layout
+    val (_, _, _, base) = Jpeg.decodePixels(Jpeg.encodeGray(w, h, px)).get
+    assert(maxAbsDiff(rgb, base) == 0, "progressive vs baseline decode differ")
+    // the JDK's decoder agrees bit-for-bit on the flat-tile content
+    val img = imageioRead(prog)
+    assert(img.getWidth == w && img.getHeight == h)
+    assert(maxAbsDiff(rgbOf(img), rgb) == 0,
+      "ImageIO and our decoder disagree on progressive flat-tile content")
+  }
+
+  test("progressive JPEG (SOF2): arbitrary gray and RGB content decode " +
+    "identically to the baseline encode and match ImageIO") {
+    val w = 37; val h = 23
+    val gray = seeded(w * h, seed = 7)
+    val prog = Jpeg.encodeProgressive(w, h, 1, gray)
+    val (_, dw, dh, ours) = Jpeg.decodePixels(prog).get
+    assert(dw == w && dh == h)
+    val (_, _, _, base) = Jpeg.decodePixels(Jpeg.encodeGray(w, h, gray)).get
+    assert(maxAbsDiff(ours, base) == 0,
+      "progressive and baseline encodes of the same pixels decode differently")
+    assert(maxAbsDiff(ours, rgbOf(imageioRead(prog))) <= 2,
+      "our progressive decode diverges from ImageIO")
+    // color: 3-component frame — interleaved DC scans + 6 AC band scans
+    val rgbPx = seeded(3 * w * h, seed = 11)
+    val progC = Jpeg.encodeProgressive(w, h, 3, rgbPx)
+    val (_, cw, ch, oursC) = Jpeg.decodePixels(progC).get
+    assert(cw == w && ch == h)
+    val (_, _, _, baseC) = Jpeg.decodePixels(Jpeg.encodeBaseline(w, h, 3, rgbPx)).get
+    assert(maxAbsDiff(oursC, baseC) == 0)
+    assert(maxAbsDiff(oursC, rgbOf(imageioRead(progC))) <= 4)
+  }
+
+  test("progressive JPEG (SOF2): decodes the JDK's OWN progressive writer " +
+    "(foreign tables, successive approximation, subsampled color)") {
+    val w = 40; val h = 32
+    def writeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); wr.dispose()
+      bos.toByteArray
+    }
+    def hasMarker(b: Array[Byte], m: Int): Boolean =
+      b.indices.dropRight(1).exists(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m)
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, 32 + 3 * x + 2 * y)
+    val foreign = writeProgressive(gray)
+    assert(hasMarker(foreign, 0xc2), "JDK writer did not emit SOF2")
+    val dec = Jpeg.decodePixels(foreign)
+    assert(dec.isDefined, "our decoder rejected a JDK-written progressive JPEG")
+    val (_, dw, dh, ours) = dec.get
+    assert(dw == w && dh == h)
+    assert(maxAbsDiff(ours, rgbOf(imageioRead(foreign))) <= 2,
+      "progressive decode of JDK stream diverges from ImageIO")
+    // color progressive: successive approximation over subsampled chroma
+    val color = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + 2 * x; val g = 30 + 2 * y; val b = 60 + x + y
+      color.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val foreignColor = writeProgressive(color)
+    assert(hasMarker(foreignColor, 0xc2))
+    val dec2 = Jpeg.decodePixels(foreignColor)
+    assert(dec2.isDefined, "our decoder rejected a JDK color progressive JPEG")
+    val (_, cw, ch, oursC) = dec2.get
+    assert(cw == w && ch == h)
+    assert(maxAbsDiff(oursC, rgbOf(imageioRead(foreignColor))) <= 12,
+      s"subsampled progressive diverges by ${maxAbsDiff(oursC, rgbOf(imageioRead(foreignColor)))}")
+  }
+
   test("JPEG entropy codec: malformed streams reject instead of misparsing") {
     val jpg = Multimodal.encodeJpegGrayTiled(16, 16, Array[Byte](1, 2, 3))
     assert(Jpeg.decodePixels(jpg.take(40)).isEmpty) // truncated in headers
     assert(Jpeg.decodePixels(jpg.dropRight(jpg.length / 3)).isEmpty) // truncated scan
     val progressive = jpg.clone()
-    // flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be rejected here
+    // flip SOF0 (FFC0) to SOF2 (FFC2): the body is still a BASELINE scan
+    // (Ss=0, Se=63), which is an ILLEGAL progressive scan header — the
+    // SOF2 decoder must reject the inconsistent stream, not misparse it
     val sof = progressive.indices.find(i =>
       (progressive(i) & 0xff) == 0xff && (progressive(i + 1) & 0xff) == 0xc0).get
     progressive(sof + 1) = 0xc2.toByte
