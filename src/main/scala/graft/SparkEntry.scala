@@ -76,14 +76,15 @@ object SparkEntry {
       |WHERE jac >= 0.5)""".stripMargin
 
   /** Shared dHash-pair CTE (q_image_phash + q_image_dedup): the full
-    * perceptual-hash replay — five-part image corpus, 9x8 grayscale
+    * perceptual-hash replay — six-part image corpus, 9x8 grayscale
     * grid from the seed-cycling pixel arithmetic (per-pixel cycling for
-    * corpora A/B/C; 8x8 tile-constant for the round-8 JPEG↔PNG twins
-    * D/E, whose decoded pixels are exact because the flat-tile JPEG
-    * round trip is lossless — see qMultimodalJpeg), 64-bit difference
-    * hash (bit 63 added as min-long — DuckDB rejects 1<<63), then
-    * ALL-pairs Hamming ≤ 3 as `ip` (the banded Spark join is exact at
-    * that radius by pigeonhole). */
+    * corpora A/B/C; 8x8 tile-constant for the JPEG↔PNG twins D/E and
+    * the round-9 PROGRESSIVE-JPEG twin F, whose decoded pixels are all
+    * exact because the flat-tile JPEG round trip is lossless through
+    * both codings — see qMultimodalJpeg), 64-bit difference hash
+    * (bit 63 added as min-long — DuckDB rejects 1<<63), then ALL-pairs
+    * Hamming ≤ 3 as `ip` (the banded Spark join is exact at that radius
+    * by pigeonhole). */
   private val ImageDhashPairsCte: String =
     """base AS (SELECT doc_id, text,
       |  CAST(16 + doc_id % 16 AS INTEGER) AS w,
@@ -101,7 +102,9 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 300000000, text, w, h, -1, 1 FROM base2
       |  UNION ALL
-      |  SELECT doc_id + 400000000, text, w, h, -1, 1 FROM base2),
+      |  SELECT doc_id + 400000000, text, w, h, -1, 1 FROM base2
+      |  UNION ALL
+      |  SELECT doc_id + 500000000, text, w, h, -1, 1 FROM base2),
       |gpk AS (SELECT img_id, y, x, pert, tiled, text,
       |  3 * (((y * h) // 8) * w + ((x * w) // 9)) + k AS j,
       |  (((y * h) // 8) // 8) * ((w + 7) // 8) + (((x * w) // 9) // 8) AS t
@@ -1419,7 +1422,15 @@ object SparkEntry {
       .select((col("doc_id") + 300000000L).as("img_id"), col("payload"))
     val eP = Multimodal.encodePngGrayTiledCol(deSrc, "w", "h", "seed", "payload")
       .select((col("doc_id") + 400000000L).as("img_id"), col("payload"))
-    val corpus = a.unionByName(b).unionByName(c).unionByName(dJ).unionByName(eP)
+    // (F, round 9) the same tiled pixels as a PROGRESSIVE (SOF2) JPEG —
+    // spectral selection + DC successive approximation through the REAL
+    // Annex-G decode path; flat tiles keep it bit-exact, so F must pair
+    // with both the baseline-JPEG (D) and PNG (E) twins at Hamming 0
+    // through three entirely different codings of identical pixels.
+    val fJ = Multimodal.encodeJpegProgressiveCol(deSrc, "w", "h", "seed", "payload")
+      .select((col("doc_id") + 500000000L).as("img_id"), col("payload"))
+    val corpus = a.unionByName(b).unionByName(c).unionByName(dJ)
+      .unionByName(eP).unionByName(fJ)
     val sig = Multimodal.decodeImageFeatures(corpus, "payload")
       .select(col("img_id"), col("dhash"))
     val pairs = Dedup.hammingPairs64(sig, "img_id", "dhash", maxHamming = 3)
@@ -1442,6 +1453,12 @@ object SparkEntry {
       col("id2") === col("id1") + 100000000L && col("hamming") === 0).count()
     require(foundDE == nDE,
       s"image dedup: $foundDE of $nDE JPEG<->PNG tile twins paired at Hamming 0")
+    val foundDF = pairs.where(col("id1") >= 300000000L &&
+      col("id1") < 400000000L &&
+      col("id2") === col("id1") + 200000000L && col("hamming") === 0).count()
+    require(foundDF == nDE,
+      s"image dedup: $foundDF of $nDE progressive<->baseline JPEG twins " +
+        "paired at Hamming 0")
     pairs
   }
 
@@ -3180,6 +3197,64 @@ object SparkEntry {
     sb.toString
   }
 
+  /** q_semdedup oracle generator: level-0 nearest-centroid assignment,
+    * then `rounds` unrolled recursive cell-size splits (over-cap cells
+    * re-quantized to their ≤splitK lowest-min-id distinct member vectors,
+    * cosine-nearest, tie → higher sub-index, cell key extended as a path
+    * string), then within-cell pairs at τ=0.25 → connected components →
+    * min-id canonicals. Constants are shared with the gate so the SQL
+    * replay and the Spark run can never drift. */
+  private def semdedupOracle(cap: Int, splitK: Int, rounds: Int): String = {
+    val head =
+      s"""WITH RECURSIVE
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ct AS (SELECT vec_id AS ci, v AS cv FROM c WHERE vec_id < 8),
+         |asg AS (SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY cos DESC, ci DESC) AS rn FROM (
+         |  SELECT c.vec_id, ct.ci,
+         |    list_inner_product(c.v, ct.cv) /
+         |    (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(ct.cv, ct.cv))) AS cos
+         |  FROM c CROSS JOIN ct)),
+         |k0 AS MATERIALIZED (SELECT c.vec_id, c.v, CAST(a.ci AS VARCHAR) AS cell
+         |  FROM c JOIN (SELECT vec_id, ci FROM asg WHERE rn = 1) a USING (vec_id))""".stripMargin
+    val splits = (1 to rounds).map { i =>
+      val p = s"k${i - 1}"
+      s""",
+         |s$i AS MATERIALIZED (SELECT cell FROM $p GROUP BY cell HAVING count(*) > $cap),
+         |c$i AS MATERIALIZED (SELECT cell, v AS sv, row_number() OVER (PARTITION BY cell ORDER BY mid) - 1 AS si
+         |  FROM (SELECT cell, v, min(vec_id) AS mid FROM $p
+         |        WHERE cell IN (SELECT cell FROM s$i) GROUP BY cell, v)
+         |  QUALIFY si < $splitK),
+         |a$i AS MATERIALIZED (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY cos DESC, si DESC) AS rn FROM (
+         |  SELECT r.vec_id, r.v, r.cell || '-' || CAST(sc.si AS VARCHAR) AS cell, sc.si,
+         |    list_inner_product(r.v, sc.sv) /
+         |    (sqrt(list_inner_product(r.v, r.v)) * sqrt(list_inner_product(sc.sv, sc.sv))) AS cos
+         |  FROM $p r JOIN c$i sc ON r.cell = sc.cell)),
+         |k$i AS MATERIALIZED (SELECT vec_id, v, cell FROM a$i WHERE rn = 1
+         |  UNION ALL SELECT vec_id, v, cell FROM $p WHERE cell NOT IN (SELECT cell FROM s$i))""".stripMargin
+    }.mkString
+    val kf = s"k$rounds"
+    val tail =
+      s""",
+         |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM $kf a JOIN $kf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_inner_product(a.v, b.v) /
+         |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.25),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pr
+         |  UNION SELECT id2, id1 FROM pr),
+         |reach(id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b),
+         |canon AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
+         |SELECT c.vec_id, COALESCE(canon.canonical, c.vec_id) AS canonical,
+         |COALESCE(canon.canonical, c.vec_id) = c.vec_id AS kept
+         |FROM c LEFT JOIN canon ON c.vec_id = canon.id
+         |ORDER BY c.vec_id""".stripMargin
+    head + splits + tail
+  }
+
   private def bpeTrainOracle(m: Int): String =
     s"""WITH ${bpeTrainCtes(m)}
        |SELECT * FROM (
@@ -3251,13 +3326,24 @@ object SparkEntry {
     // Replayable centroid set: the first 8 embedding vectors (bounded
     // driver metadata — 8×64 doubles), so the oracle re-derives the cell
     // assignment, within-cell pairs, components and canonicals in SQL.
+    // Cell-size contract exercised (round 9): cap 40 forces recursive
+    // cell splitting even at sf0.01 (~62 vectors/cell at k=8); the
+    // oracle unrolls the same 4 split rounds with the same constants.
     val emb = Tables.embeddings(s, d)
     val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
       .select(graft.pipeline.Similarity.asDoubleVec(col("embedding")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     Relational.sort(col("vec_id"))(
-      graft.pipeline.Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.25))
+      graft.pipeline.Similarity.semanticDedup(emb, "vec_id", "embedding", cents, 0.25,
+        maxCellSize = SemdedupCap, splitK = SemdedupSplitK,
+        maxSplitRounds = SemdedupRounds))
   }
+
+  // q_semdedup split contract constants — shared by the gate and the
+  // oracle generator so they can never drift apart.
+  private val SemdedupCap = 40
+  private val SemdedupSplitK = 8
+  private val SemdedupRounds = 4
 
   private def qBloomJoin(s: SparkSession, d: String): DataFrame = {
     // Selective build side (1-URGENT ≈ 20% of orders): the bloom prunes
@@ -6059,35 +6145,11 @@ object SparkEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Full SemDeDup replay: nearest-centroid cell assignment (tie → higher
     // centroid index, matching greatest() over (score, index) structs),
-    // within-cell cosine pairs at tau, connected components via recursive
-    // CTE, min-id canonical; unpaired rows are their own canonical.
-    "q_semdedup" ->
-      """WITH RECURSIVE
-        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ct AS (SELECT vec_id AS ci, v AS cv FROM c WHERE vec_id < 8),
-        |asg AS (SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
-        |  ORDER BY cos DESC, ci DESC) AS rn FROM (
-        |  SELECT c.vec_id, ct.ci,
-        |    list_inner_product(c.v, ct.cv) /
-        |    (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(ct.cv, ct.cv))) AS cos
-        |  FROM c CROSS JOIN ct)),
-        |k AS (SELECT c.vec_id, c.v, a.ci AS cell
-        |  FROM c JOIN (SELECT vec_id, ci FROM asg WHERE rn = 1) a USING (vec_id)),
-        |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2
-        |  FROM k a JOIN k b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE list_inner_product(a.v, b.v) /
-        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.25),
-        |edges AS (SELECT id1 AS a, id2 AS b FROM pr
-        |  UNION SELECT id2, id1 FROM pr),
-        |reach(id, lbl) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b),
-        |canon AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
-        |SELECT c.vec_id, COALESCE(canon.canonical, c.vec_id) AS canonical,
-        |COALESCE(canon.canonical, c.vec_id) = c.vec_id AS kept
-        |FROM c LEFT JOIN canon ON c.vec_id = canon.id
-        |ORDER BY c.vec_id""".stripMargin,
+    // then the recursive cell-size splits unrolled with the gate's own
+    // constants, within-cell cosine pairs at tau, connected components
+    // via recursive CTE, min-id canonical; unpaired rows are their own
+    // canonical.
+    "q_semdedup" -> semdedupOracle(SemdedupCap, SemdedupSplitK, SemdedupRounds),
     "q_manifest_prune" ->
       """SELECT month(o_orderdate) AS m, COUNT(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

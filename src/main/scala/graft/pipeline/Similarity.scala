@@ -131,7 +131,9 @@ object Similarity {
       val lit_c = array(c.map(lit): _*)
       struct(cosine(col(vecCol), lit_c).as("s"), lit(i).as("i"))
     }
-    df.withColumn(out, greatest(scored: _*).getField("i"))
+    // greatest() requires >= 2 args; a single centroid is cell 0
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    df.withColumn(out, best.getField("i"))
   }
 
   /** IVF top-k: corpus bucketed by nearest centroid; each query probes its
@@ -167,28 +169,103 @@ object Similarity {
     * cell, never corpus-all-pairs), connect pairs with cosine ≥ `tau` into
     * components, and keep the min-id representative per component.
     *
+    * Cell-size contract (round 9): a fixed caller-supplied centroid set
+    * makes the within-cell self-join quadratic in cell size — at 10× data
+    * with fixed k the pair count grows 100×, which was the repo's worst
+    * measured scale ratio (32× wall, BASELINE.md r8). Cells larger than
+    * `maxCellSize` are therefore recursively RE-QUANTIZED before the
+    * verify (the SemDeDup paper's within-cluster sharding): each
+    * over-full cell's members are reassigned to the cell's own ≤`splitK`
+    * lowest-min-id DISTINCT member vectors (nearest by cosine, tie → the
+    * higher sub-index, matching `assignCells`), extending the cell key to
+    * a path string, for up to `maxSplitRounds` rounds or until no cell is
+    * over the cap. Sub-centroid selection and reassignment are fully
+    * distributed (a per-cell window + an equi-join on the cell key — no
+    * driver-side vector metadata); each round is one Spark job sequence
+    * over ONLY the rows still in over-full cells. A cell that cannot
+    * split (all members share one distinct vector, or all are colinear)
+    * stabilizes harmlessly: its members are mutual duplicates at any
+    * τ ≥ 0, so its quadratic verify is output-bound — the pairs ARE the
+    * answer. The recursion is therefore Θ(output) in the worst case and
+    * Θ(n·splitK·depth) otherwise, never fixed-k-quadratic.
+    *
     * Returns one row per input id: (id, canonical, kept) — kept ⇔ the row
     * survives dedup. Centroids are index metadata (k × dim doubles):
     * `ivfCentroids` gives a Lloyd-refined set; any deterministic sample
     * (e.g. the first k vectors) gives a fully SQL-replayable one, which is
-    * what the q_semdedup oracle uses.
+    * what the q_semdedup oracle uses (the oracle unrolls the split rounds
+    * with the same cap/splitK constants).
     *
-    * At 100 TB: the cell join shuffles (cell, id, vec) once; cells shard
-    * across reducers, and k scales with corpus size to bound the per-cell
-    * quadratic term. The component step shuffles (id, id) longs only.
+    * At 100 TB: the cell join shuffles (cell, id, vec) once per split
+    * round; cells shard across reducers, and the cap — not k — bounds the
+    * per-cell quadratic term, so a coarse initial k stays safe. The
+    * component step shuffles (id, id) longs only. Intermediate rounds are
+    * lazily localCheckpoint'd (lineage stays flat) and the previous
+    * round's blocks are released deterministically via [[Checkpoints]];
+    * the final round's blocks are reclaimed by ContextCleaner after the
+    * consuming action.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    centroids: Array[Array[Double]], tau: Double): DataFrame = {
+                    centroids: Array[Array[Double]], tau: Double,
+                    maxCellSize: Int = 4096, splitK: Int = 8,
+                    maxSplitRounds: Int = 8): DataFrame = {
+    require(maxCellSize > 1, s"semanticDedup: maxCellSize must be > 1, got $maxCellSize")
+    require(splitK > 1, s"semanticDedup: splitK must be > 1, got $splitK")
+    require(maxSplitRounds >= 0, s"semanticDedup: maxSplitRounds must be >= 0")
+    val spark = df.sparkSession
     val v = df.select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
       .repartition(col(idCol)) // materialize the cast once, not per centroid
+    // cell key is a PATH string: level-0 centroid index, extended with
+    // '-<subIndex>' per split round — identical on the oracle side
+    var celled = assignCells(v, centroids, "__v", "__cell")
+      .withColumn("__cell", col("__cell").cast("string"))
+      .select(col(idCol), col("__v"), col("__cell"))
+      .localCheckpoint(false)
+    val baseline = Checkpoints.persistedIds(spark)
+    var knownIds = Set.empty[Int]
+    var round = 0
+    var done = false
+    while (round < maxSplitRounds && !done) {
+      val over = celled.groupBy("__cell").agg(count(lit(1)).as("__cn"))
+        .where(col("__cn") > maxCellSize).select("__cell")
+      // the count materializes the current (lazy) checkpoint; only then is
+      // the PREVIOUS round's block set safe to release
+      val nOver = over.count()
+      val fresh = Checkpoints.freshIds(spark, baseline, knownIds)
+      Checkpoints.releaseIds(spark, knownIds)
+      knownIds = fresh
+      if (nOver == 0L) done = true
+      else {
+        val members = celled.join(over, Seq("__cell"))
+        // sub-centroids: the cell's ≤splitK distinct vectors with the
+        // lowest min member id — deterministic, no driver collect
+        val subcents = members.groupBy(col("__cell"), col("__v"))
+          .agg(min(col(idCol)).as("__mid"))
+          .withColumn("__si", row_number().over(
+            Window.partitionBy(col("__cell")).orderBy(col("__mid"))) - 1)
+          .where(col("__si") < splitK)
+          .select(col("__cell"), col("__v").as("__sv"), col("__si"))
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("__cos").desc, col("__si").desc)
+        val reassigned = members.join(subcents, Seq("__cell"))
+          .withColumn("__cos",
+            dot(col("__v"), col("__sv")) / (norm(col("__v")) * norm(col("__sv"))))
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .select(col(idCol), col("__v"),
+            concat(col("__cell"), lit("-"), col("__si").cast("string")).as("__cell"))
+        val untouched = celled.join(over, Seq("__cell"), "left_anti")
+          .select(col(idCol), col("__v"), col("__cell"))
+        celled = untouched.unionByName(reassigned).localCheckpoint(false)
+      }
+      round += 1
+    }
     // norm precomputed ONCE per vector (sqrt∘dot is deterministic, and
     // n1*n2 is the same IEEE product the inline cosine would compute) —
     // the quadratic verify then pays ONE dot per pair instead of three
-    val celled = assignCells(v, centroids, "__v", "__cell")
-      .withColumn("__nrm", norm(col("__v")))
-    val l = celled.select(col("__cell"), col(idCol).as("id1"),
+    val fin = celled.withColumn("__nrm", norm(col("__v")))
+    val l = fin.select(col("__cell"), col(idCol).as("id1"),
       col("__v").as("v1"), col("__nrm").as("n1"))
-    val r = celled.select(col("__cell"), col(idCol).as("id2"),
+    val r = fin.select(col("__cell"), col(idCol).as("id2"),
       col("__v").as("v2"), col("__nrm").as("n2"))
     val pairs = l.join(r, Seq("__cell")).where(col("id1") < col("id2"))
       .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))

@@ -74,6 +74,61 @@ class AnnAndSaltSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: over-cap cell splits recursively; identical groups " +
+    "stay together and collapse to min-id canonicals") {
+    import graft.pipeline.Similarity
+    // ONE level-0 cell of 120 rows (single centroid), cap 10: round 1
+    // re-quantizes to the 4 distinct member vectors -> 4 sub-cells of 30;
+    // each is over cap but has a single distinct vector, so it cannot
+    // split further (renamed harmlessly until the round budget) — all 30
+    // members stay together and collapse to the group's min id.
+    def vec(x: Double, y: Double, z: Double, w: Double) = Array(x, y, z, w)
+    val groups = Seq(vec(1, 0, 0, 0), vec(0, 1, 0, 0), vec(0, 0, 1, 0), vec(0, 0, 0, 1))
+    val data = (0 until 120).map(i => (i.toLong, groups(i % 4))).toDF("id", "v")
+    val cents = Array(vec(1, 1, 1, 1))
+    withPartitionings(data) { d =>
+      val out = Similarity.semanticDedup(d, "id", "v", cents, tau = 0.9,
+        maxCellSize = 10, splitK = 8, maxSplitRounds = 4)
+      val canon = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until 120).foreach { i =>
+        assert(canon(i.toLong) == (i % 4).toLong, s"id $i -> ${canon(i.toLong)}")
+      }
+      assert(out.where(col("kept")).count() == 4)
+    }
+  }
+
+  test("semanticDedup: colinear duplicates survive splitting together " +
+    "(cosine tie -> higher sub-index)") {
+    import graft.pipeline.Similarity
+    // v and 2v are distinct vectors with cosine exactly 1: when both
+    // become sub-centroids, every member ties at cos=1 and the HIGHER
+    // sub-index wins for all, so the cell stabilizes unsplittable — and
+    // its members are mutual duplicates at any tau, i.e. output-bound.
+    val data = (0 until 30).map(i =>
+      (i.toLong, Array(1.0 * (1 + i % 2), 2.0 * (1 + i % 2), 0.0))).toDF("id", "v")
+    val cents = Array(Array(1.0, 2.0, 0.0))
+    val out = Similarity.semanticDedup(data, "id", "v", cents, tau = 0.99,
+      maxCellSize = 5, splitK = 4, maxSplitRounds = 3)
+    assert(out.where(col("kept")).count() == 1)
+    assert(out.where(col("canonical") === 0L).count() == 30)
+  }
+
+  test("semanticDedup: splitting can separate near-dups across sub-cells " +
+    "(documented SemDeDup trade-off, same as level-0 cell blocking)") {
+    import graft.pipeline.Similarity
+    // 12 near-identical-but-distinct vectors in one over-cap cell: each
+    // distinct vector is nearest to ITSELF among the sub-centroids
+    // (cos=1), so the split isolates them and the τ=0.9 pairs are never
+    // verified — the cap trades recall inside pathological cells for a
+    // bounded quadratic, exactly like level-0 cell blocking does.
+    val data = (0 until 12).map(i =>
+      (i.toLong, Array(1.0, 0.001 * i, 0.0))).toDF("id", "v")
+    val cents = Array(Array(1.0, 0.0, 0.0))
+    val out = Similarity.semanticDedup(data, "id", "v", cents, tau = 0.9,
+      maxCellSize = 4, splitK = 12, maxSplitRounds = 2)
+    assert(out.where(col("kept")).count() == 12)
+  }
+
   test("semanticDedup: cross-cell near-dups are NOT paired (documented cell blocking)") {
     import graft.pipeline.Similarity
     // one vector per cell, nearly identical — lands in different cells, so
