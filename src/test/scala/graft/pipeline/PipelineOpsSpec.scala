@@ -1191,6 +1191,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(t.head(2) == "10.0.0.0/8")
   }
 
+  test("cidrLpmJoin: hot-bucket routing table (>=10k rules in ONE /8) — " +
+    "codegen'd first-match agrees with the all-matches reference") {
+    // 16,384 /24 rules all inside 10.0.0.0/8 (a hot routing-table octet),
+    // plus /16 and /8 covers — the shape where the round-8 interpreted
+    // full-bucket filter() scan was the per-row bottleneck
+    val rules = ((0 until 16384).map { i =>
+      s"10.${(i >> 6) & 0xff}.${(i & 0x3f) * 4}.0/24"
+    } ++ (0 until 256).map(i => s"10.$i.0.0/16") :+ "10.0.0.0/8")
+      .toDF("cidr")
+    val ips = (0 until 2000).map { i =>
+      (i.toLong, s"10.${i % 256}.${(i * 7) % 256}.${(i * 13) % 256}")
+    }.toDF("id", "ip")
+    val lpm = Net.cidrLpmJoin(ips, "ip", rules, "cidr")
+    // the plan carries the native expression, not the interpreted HOF
+    assert(lpm.queryExecution.executedPlan.toString.contains("cidr_first_match"),
+      "plan does not show the codegen'd first-match expression")
+    // reference: all-matches containment join, most-specific (then
+    // cidr-asc) winner picked per row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("plen").desc, col("cidr"))
+    val ref = Net.cidrContainJoin(ips, "ip", rules, "cidr")
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    val got = rows(lpm.select("id", "cidr", "plen").orderBy("id"))
+    val want = rows(ref.select(col("id"), col("cidr"), col("plen")).orderBy("id"))
+    assert(got == want, "codegen first-match disagrees with all-matches reference")
+    assert(lpm.count() == 2000) // still exactly one row per input row
+  }
+
   // ---------------------------------------------------------------- phraseSearch
 
   test("phraseSearch: adjacency only, overlaps count, order matters") {
