@@ -73,26 +73,32 @@ object Bpe {
     // keeps the full logical plan — one nested merge HOF per round — and
     // past a few dozen rounds plan analysis itself OOMs the driver.
     // Lazy checkpointing truncates lineage when the round's collect
-    // materializes it, keeping ONE job per round: the best-pair collect
-    // is also what materializes the table, so the PREVIOUS round's
-    // blocks are released right after the collect.
+    // materializes it, keeping ONE job per round. Block release (round
+    // 9): `Dataset.rdd.unpersist` was a NO-OP on checkpoint blocks (it
+    // unpersists a fresh wrapper RDD), so release goes through
+    // [[Checkpoints]] — the previous round's internal RDD is unpersisted
+    // right after the collect that materialized its successor.
+    val spark = docs.sparkSession
+    val baseline = Checkpoints.persistedIds(spark)
     var wt = wordTable(docs, textCol).localCheckpoint(false)
-    var prev: DataFrame = null
+    var liveIds = Set.empty[Int]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     (0 until numMerges).foreach { i =>
       val best = pairCounts(wt)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
-      if (prev != null) { prev.rdd.unpersist(false); prev = null }
+      val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
+      Checkpoints.releaseIds(spark, liveIds)
+      liveIds = fresh
       require(best.nonEmpty,
         s"trainMerges: no adjacent pairs left after $i merges — corpus too small for $numMerges")
       val (a, b, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
       merges += ((a, b, c))
-      prev = wt
       wt = wt.withColumn("toks", mergePair(col("toks"), a, b))
         .localCheckpoint(false)
     }
-    wt.rdd.unpersist(false)
-    if (prev != null) prev.rdd.unpersist(false)
+    // the final wt is lazy and never materialized; only the last
+    // materialized round still holds blocks
+    Checkpoints.releaseIds(spark, liveIds)
     merges.toSeq
   }
 
@@ -138,9 +144,12 @@ object Bpe {
     // accumulated per-round HOF-chain lineage (which otherwise OOMs the
     // driver's analyzer past a few dozen rounds) while keeping ONE job
     // per round — the round's candidate collect materializes the table,
-    // after which the previous round's blocks are released.
+    // after which the previous round's blocks are released via
+    // [[Checkpoints]] (round 9 — Dataset.rdd.unpersist was a no-op).
+    val spark = docs.sparkSession
+    val baseline = Checkpoints.persistedIds(spark)
     var wt = wordTable(docs, textCol).localCheckpoint(false)
-    var prev: DataFrame = null
+    var liveIds = Set.empty[Int]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var rounds = 0
     while (merges.size < numMerges) {
@@ -148,7 +157,9 @@ object Bpe {
       val top = pairCounts(wt)
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(math.max(4 * maxBatch, 16)).collect() // bounded: ≤ 4·maxBatch rows
-      if (prev != null) { prev.rdd.unpersist(false); prev = null }
+      val freshIds = Checkpoints.freshIds(spark, baseline, liveIds)
+      Checkpoints.releaseIds(spark, liveIds)
+      liveIds = freshIds
       require(top.nonEmpty,
         s"trainMergesBatched: no adjacent pairs left after ${merges.size} " +
           s"merges — corpus too small for $numMerges")
@@ -184,12 +195,10 @@ object Bpe {
       val mergedToks = batch.foldLeft(col("toks")) { case (c0, (a, b, _)) =>
         mergePair(c0, a, b)
       }
-      prev = wt
       wt = wt.withColumn("toks", mergedToks).localCheckpoint(false)
       rounds += 1
     }
-    wt.rdd.unpersist(false)
-    if (prev != null) prev.rdd.unpersist(false)
+    Checkpoints.releaseIds(spark, liveIds)
     lastBatchedRounds = rounds
     merges.toSeq
   }

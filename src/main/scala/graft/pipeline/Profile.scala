@@ -429,7 +429,15 @@ object Profile {
     * tie-break columns) whenever `df` can hold duplicate sort keys and
     * per-row determinism matters. Appends one column per [[PrefixAgg]];
     * a sum with no preceding rows is NULL (callers coalesce with their
-    * typed zero), a max with none is NULL. */
+    * typed zero), a max with none is NULL.
+    *
+    * Memory note: the shared lazy localCheckpoint below leaves one cached
+    * RDD per call; because the returned frame is lazy there is no safe
+    * point to unpersist it here, so release is deliberately left to
+    * GC + ContextCleaner (blocks are MEMORY_AND_DISK — worst case they
+    * spill, never OOM). Long-lived sessions chaining many folds can call
+    * `spark.sparkContext.getPersistentRDDs` cleanup between queries —
+    * see [[Checkpoints]]. */
   def prefixFold(df: DataFrame, sortCols: Seq[Column],
                  aggs: Seq[PrefixAgg]): DataFrame = {
     require(sortCols.nonEmpty, "prefixFold: need at least one sort column")
@@ -489,7 +497,9 @@ object Profile {
     * cores regardless of cluster size — the q_ntile 8.1×-at-10× shape).
     * Range-partitions by (group, sort) jointly so one group's rows spread
     * over many partitions; the cross-partition fix-up joins on the
-    * bounded (#partitions × #groups) totals table. */
+    * bounded (#partitions × #groups) totals table. A NULL group key forms
+    * its own group (the fix-up join is null-safe), exactly as
+    * `Window.partitionBy` treats NULL partitions — no row is dropped. */
   def groupedRowPositions(df: DataFrame, groupCols: Seq[Column],
                           outCol: String, sortCols: Column*): DataFrame = {
     require(groupCols.nonEmpty, "groupedRowPositions: need group columns")
@@ -510,10 +520,16 @@ object Profile {
     val totals = ranged.groupBy(("__pid" +: gNames).map(col(_)): _*)
       .agg(count(lit(1)).as("__pt"))
       .withColumn("__po", coalesce(sum(col("__pt")).over(wPid), lit(0L)))
-      .select(("__pid" +: gNames).map(col(_)) :+ col("__po"): _*)
-    inner.join(totals, "__pid" +: gNames)
+      .select((col("__pid").as("__pid_t") +: gNames.map(n => col(n).as(s"${n}_t")))
+        :+ col("__po"): _*)
+    // null-safe on the group keys: NULL groups keep their rows and get
+    // real positions computed within the NULL group
+    val joinCond = (col("__pid") === col("__pid_t")) &&
+      gNames.map(n => col(n) <=> col(s"${n}_t")).reduce(_ && _)
+    inner.join(totals, joinCond)
       .withColumn(outCol, col("__in") + col("__po"))
-      .drop((gNames ++ Seq("__pid", "__in", "__po")): _*)
+      .drop((gNames ++ gNames.map(_ + "_t") ++
+        Seq("__pid", "__pid_t", "__in", "__po")): _*)
   }
 
   /** Spark/ANSI `ntile(k)` bucket from a 0-based position and group size:
@@ -1680,7 +1696,8 @@ object Profile {
     * ledger), while the positions primitive spreads each group across
     * the whole range exchange. Semantics are bit-identical to the window
     * function (spec-asserted). NULL values pass through with NULL
-    * bucket. */
+    * bucket; a NULL GROUP forms its own partition with real buckets
+    * (round 9 — the joins are null-safe, matching partitionBy). */
   def quantileBins(df: DataFrame, groupCol: String, valueCol: String,
                    k: Int, tieCols: Seq[String]): DataFrame = {
     require(k >= 1, "quantileBins: k must be >= 1")
@@ -1691,9 +1708,12 @@ object Profile {
     val pos = groupedRowPositions(nn, Seq(col(groupCol)), "__pos",
       (col(valueCol).asc +: tieCols.map(col(_).asc)): _*)
     val sizes = nn.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val binned = pos.join(sizes, Seq(groupCol))
+      .withColumnRenamed(groupCol, "__g_sz")
+    // null-safe: rows whose GROUP is NULL form their own ntile partition
+    // (the Window.partitionBy semantics), rather than being dropped
+    val binned = pos.join(sizes, col(groupCol) <=> col("__g_sz"))
       .withColumn("bucket", ntileAt(col("__pos"), col("__n"), k).cast("long"))
-      .drop("__pos", "__n")
+      .drop("__pos", "__n", "__g_sz")
     binned.select(df.columns.map(col(_)) :+ col("bucket"): _*)
       .unionByName(
         df.where(col(valueCol).isNull)

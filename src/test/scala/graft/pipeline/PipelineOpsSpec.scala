@@ -1977,6 +1977,27 @@ class PipelineOpsSpec extends SparkSpec {
         .orderBy("id")).map(r => (r(2), r(3)))
       assert(gotG == wantG)
     }
+    // NULL group keys keep their rows and form their own partition —
+    // exactly Window.partitionBy semantics (round-9 ADVICE fix: the
+    // fix-up joins are null-safe, so no row is silently dropped)
+    val withNull = (1 to 90).map(i =>
+      (if (i % 3 == 0) null else s"g${i % 3}", (i * 37) % 40, i.toLong))
+      .toDF("g", "v", "id")
+    val gotN = rows(Profile.groupedRowPositions(withNull, Seq(col("g")), "pos",
+      col("v").asc, col("id").asc).orderBy("id")).map(r => (r(2), r(3)))
+    val wantN = rows(withNull.withColumn("pos",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g")
+        .orderBy(col("v").asc, col("id").asc)).cast("long") - 1)
+      .orderBy("id")).map(r => (r(2), r(3)))
+    assert(gotN == wantN, "NULL-group rows lost or mis-positioned")
+    val binsN = rows(Profile.quantileBins(withNull, "g", "v", 3, Seq("id"))
+      .orderBy("id")).map(r => (r(2), r(3)))
+    val binsW = rows(withNull.withColumn("bucket",
+      ntile(3).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").asc, col("id").asc)).cast("long"))
+      .orderBy("id")).map(r => (r(2), r(3)))
+    assert(binsN == binsW, "NULL-group quantile bins diverge from ntile()")
     // ntileAt vs the window function, uneven n/k included
     for (n <- Seq(1, 4, 5, 7, 300); k <- Seq(1, 3, 5, 7)) {
       val d2 = (1L to n.toLong).toDF("id")

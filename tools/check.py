@@ -72,6 +72,13 @@ def run_oracle(sql):
     if th.is_alive():
         con.interrupt()
         th.join(60)
+        if th.is_alive():
+            # interrupt not honored: close the orphaned connection outright
+            # so the stuck query cannot keep holding per-connection memory
+            try:
+                con.close()
+            except Exception:
+                pass
         con = fresh_con()
         return None, f"oracle timeout (> {otimeout:.0f}s)"
     if "err" in box:
