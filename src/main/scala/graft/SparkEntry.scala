@@ -1983,6 +1983,20 @@ object SparkEntry {
     require(sample2 == sampleSpec && filter2 == filterSpec &&
       project2 == projectSpec && agg2 == aggSpec && sort2 == sortSpec,
       "spec JSON round-trip is lossy")
+    // Second wire, same gate: the filter + projection stages ALSO round-trip
+    // as protobuf ExpressionDescription bytes (ProtoWire — exact wire parity
+    // with the reference's serialized expression trees,
+    // serialization/build_expression_from_proto.h:31-33), and the pipeline
+    // below is built from the PROTO-decoded trees, so a wire bug anywhere
+    // (field number, varint, embedded-message length, alias list) changes
+    // the output and hash-mismatches the DuckDB oracle.
+    import graft.plans.ProtoWire
+    val predProto = ProtoWire.fromExprSpec(filter2.predicate)
+    val projProto = ProtoWire.fromProjectSpec(project2)
+    val predDecoded = ProtoWire.decode(ProtoWire.encode(predProto))
+    val projDecoded = ProtoWire.decode(ProtoWire.encode(projProto))
+    require(predDecoded == predProto && projDecoded == projProto,
+      "spec proto round-trip is lossy")
     val sampled = QuerySpecs.buildSample(sample2)(Tables.lineitem(s, d))
       .withColumn("qty_dec", dec(col("l_quantity")))
       // the testdata carries duplicate (orderkey, linenumber) rows, so the
@@ -1990,8 +2004,8 @@ object SparkEntry {
       // are between identical contributions and cannot change the output
       .withColumn("ok_ln", (col("l_orderkey") * 10 + col("l_linenumber")) * 2 +
         when(col("l_linestatus") === "O", 1).otherwise(0))
-    val staged = QuerySpecs.buildProject(project2)(
-      QuerySpecs.buildFilter(filter2)(sampled))
+    val staged = sampled.filter(ProtoWire.toColumn(predDecoded))
+      .select(ProtoWire.toColumns(projDecoded): _*)
     asDouble("sum_qty")(QuerySpecs.buildSort(sort2)(QuerySpecs.buildAggregate(agg2)(staged)))
   }
 
