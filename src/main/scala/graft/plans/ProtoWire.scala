@@ -807,4 +807,114 @@ object ProtoWire {
     PExpression(PKind.TUPLE, tuple = Some(PTuple(p.columns.map { f =>
       PTupleExpression(fromExprSpec(f.expr), f.as.toList)
     })))
+
+  // ===== supersonic.ExtendedSortSpecification / Distinctness =====
+  // (proto/specification.proto:12-37 — the OTHER messages the reference
+  // ships across process boundaries, built by
+  // cursor/core/specification_builder.h)
+
+  /** ExtendedSortSpecification.Key (specification.proto:14-23).
+    * `columnOrder`: ASCENDING=0 / DESCENDING=1 (supersonic.proto:102-105).
+    * `caseSensitive` unset defaults to false = case-INSENSITIVE string
+    * compare, which is how sort.cc consumes it (sort.cc:875,928: the
+    * `!case_sensitive()` path folds string keys). */
+  final case class PSortKey(attributeName: String,          // 1 (required)
+                            columnOrder: Int,               // 2 (required enum)
+                            caseSensitive: Option[Boolean] = None) // 3
+
+  /** ExtendedSortSpecification (specification.proto:12-30): ordered keys,
+    * most significant first; optional uint64 row limit. */
+  final case class PSortSpec(keys: List[PSortKey] = Nil,    // 1 (repeated)
+                             limit: Option[BigInt] = None)  // 2 (optional uint64)
+
+  /** Distinctness (specification.proto:33-37). */
+  final case class PDistinctness(isNotDistinct: Option[Boolean] = None,   // 1
+                                 isExactDistinct: Option[Boolean] = None, // 2
+                                 estimatedDistinctThreshold: Option[Int] = None) // 3
+
+  object PColumnOrder { val ASCENDING = 0; val DESCENDING = 1 }
+
+  def encodeSortSpec(s: PSortSpec): Array[Byte] = {
+    val w = new Writer
+    s.keys.foreach { k =>
+      w.messageField(1, { kw =>
+        kw.stringField(1, k.attributeName)
+        kw.varintField(2, k.columnOrder.toLong)
+        k.caseSensitive.foreach(kw.boolField(3, _))
+      })
+    }
+    s.limit.foreach(v => w.varintField(2, v.longValue))
+    w.bytes
+  }
+
+  private def decodeSortKey(r: Reader): PSortKey = {
+    var name: String = null; var order = -1; var cs: Option[Boolean] = None
+    while (r.hasMore) r.readTag() match {
+      case (1, 2) => name = r.readString()
+      case (2, 0) => order = r.readVarint().toInt
+      case (3, 0) => cs = Some(r.readVarint() != 0)
+      case (_, wire) => r.skip(wire)
+    }
+    require(name != null, "Key: required field 'attribute_name' missing")
+    require(order >= 0, "Key: required field 'column_order' missing")
+    PSortKey(name, order, cs)
+  }
+
+  def decodeSortSpec(bytes: Array[Byte]): PSortSpec = {
+    val r = new Reader(bytes)
+    val keys = List.newBuilder[PSortKey]; var limit: Option[BigInt] = None
+    while (r.hasMore) r.readTag() match {
+      case (1, 2) => keys += decodeSortKey(r.subReader())
+      case (2, 0) =>
+        limit = Some(BigInt(java.lang.Long.toUnsignedString(r.readVarint())))
+      case (_, wire) => r.skip(wire)
+    }
+    PSortSpec(keys.result(), limit)
+  }
+
+  def encodeDistinctness(d: PDistinctness): Array[Byte] = {
+    val w = new Writer
+    d.isNotDistinct.foreach(w.boolField(1, _))
+    d.isExactDistinct.foreach(w.boolField(2, _))
+    d.estimatedDistinctThreshold.foreach(v => w.varintField(3, v.toLong))
+    w.bytes
+  }
+
+  def decodeDistinctness(bytes: Array[Byte]): PDistinctness = {
+    val r = new Reader(bytes)
+    var d = PDistinctness()
+    while (r.hasMore) r.readTag() match {
+      case (1, 0) => d = d.copy(isNotDistinct = Some(r.readVarint() != 0))
+      case (2, 0) => d = d.copy(isExactDistinct = Some(r.readVarint() != 0))
+      case (3, 0) => d = d.copy(estimatedDistinctThreshold = Some(r.readVarint().toInt))
+      case (_, wire) => r.skip(wire)
+    }
+    d
+  }
+
+  /** Proto sort spec → the engine's [[QuerySpecs.SortSpec]] (ExtendedSort:
+    * case-insensitive keys + top-k). Unset case_sensitive = insensitive,
+    * matching sort.cc's consumption of the proto default. */
+  def toSortSpec(p: PSortSpec): QuerySpecs.SortSpec = QuerySpecs.SortSpec(
+    p.keys.map { k =>
+      require(k.columnOrder == PColumnOrder.ASCENDING ||
+        k.columnOrder == PColumnOrder.DESCENDING,
+        s"Key ${k.attributeName}: unknown ColumnOrder tag ${k.columnOrder}")
+      QuerySpecs.SortKeySpec(k.attributeName,
+        ascending = k.columnOrder == PColumnOrder.ASCENDING,
+        caseInsensitive = !k.caseSensitive.getOrElse(false))
+    },
+    p.limit.map { v =>
+      require(v >= 0 && v <= Int.MaxValue, s"limit $v out of range")
+      v.toInt
+    })
+
+  /** [[QuerySpecs.SortSpec]] → proto messages (inverse of [[toSortSpec]]). */
+  def fromSortSpec(s: QuerySpecs.SortSpec): PSortSpec = PSortSpec(
+    s.keys.map { k =>
+      PSortKey(k.column,
+        if (k.ascending) PColumnOrder.ASCENDING else PColumnOrder.DESCENDING,
+        caseSensitive = Some(!k.caseInsensitive))
+    },
+    s.limit.map(BigInt(_)))
 }

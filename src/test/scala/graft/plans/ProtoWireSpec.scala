@@ -192,6 +192,58 @@ class ProtoWireSpec extends SparkSpec {
     assert(out.as[(Int, Int)].collect().toSeq === Seq((2, 5)))
   }
 
+  test("ExtendedSortSpecification wire round-trip and SortSpec bridge") {
+    // golden bytes: one key {attribute_name: "s", column_order: DESCENDING,
+    // case_sensitive: true} + limit 5
+    // key msg: 0a 01 73 | 10 01 | 18 01 → 7 bytes; outer: 0a 07 <key> 10 05
+    val spec = PSortSpec(List(PSortKey("s", PColumnOrder.DESCENDING,
+      Some(true))), limit = Some(BigInt(5)))
+    assert(hex(encodeSortSpec(spec)) === "0a 07 0a 01 73 10 01 18 01 10 05")
+    assert(decodeSortSpec(encodeSortSpec(spec)) === spec)
+
+    // bridge semantics: proto default (case_sensitive unset) means
+    // case-INSENSITIVE, like sort.cc's consumption
+    val p2 = PSortSpec(List(
+      PSortKey("a", PColumnOrder.ASCENDING),
+      PSortKey("b", PColumnOrder.DESCENDING, Some(true))), None)
+    val s2 = toSortSpec(p2)
+    assert(s2 === QuerySpecs.SortSpec(List(
+      QuerySpecs.SortKeySpec("a", ascending = true, caseInsensitive = true),
+      QuerySpecs.SortKeySpec("b", ascending = false, caseInsensitive = false)),
+      None))
+    // inverse bridge is lossless modulo the explicit case_sensitive field
+    assert(toSortSpec(fromSortSpec(s2)) === s2)
+    // uint64 limit survives beyond Long range
+    val big = decodeSortSpec(encodeSortSpec(
+      PSortSpec(Nil, Some(BigInt("18446744073709551615")))))
+    assert(big.limit === Some(BigInt("18446744073709551615")))
+    intercept[IllegalArgumentException](toSortSpec(big)) // out of Int range
+  }
+
+  test("Distinctness wire round-trip") {
+    val d = PDistinctness(isNotDistinct = Some(false),
+      isExactDistinct = Some(true), estimatedDistinctThreshold = Some(1000))
+    assert(hex(encodeDistinctness(d)) === "08 00 10 01 18 e8 07")
+    assert(decodeDistinctness(encodeDistinctness(d)) === d)
+    assert(decodeDistinctness(Array.emptyByteArray) === PDistinctness())
+  }
+
+  test("decoder never crashes on malformed bytes (fuzz)") {
+    // Every failure mode must surface as IllegalArgumentException — a wire
+    // bug that throws ArrayIndexOutOfBounds / NegativeArraySize / OOM on
+    // attacker-controlled bytes would be a service hazard.
+    val rnd = new scala.util.Random(42)
+    var decoded = 0
+    (0 until 2000).foreach { _ =>
+      val len = rnd.nextInt(40)
+      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
+      try { decode(bytes); decoded += 1 }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // sanity: the fuzz actually exercised both paths
+    assert(decoded > 0 && decoded < 2000)
+  }
+
   test("JSON DSL specs lower to proto and rebuild identically") {
     import QuerySpecs._
     import QuerySpecs.ExprSpec._
