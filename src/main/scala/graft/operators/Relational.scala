@@ -181,6 +181,23 @@ object Relational {
   def orcInput(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Avro face of the FileOutput/FileInput pair (row-oriented interchange
+    * format — the common Kafka/ingest wire format at pipeline edges).
+    * The implementation ships inside spark-sql but its SHORT name is not
+    * service-registered in this deployment, so the face addresses the
+    * format by provider class. Read-side column pruning still applies at
+    * the scan (row format: no predicate pushdown — filters evaluate
+    * post-scan; keep Avro at the INGEST edge and convert to parquet/ORC
+    * for the analytical store, which is the documented posture for a
+    * 100 TB deployment). */
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def avroOutput(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(AvroProvider).save(path)
+
+  def avroInput(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroProvider).load(path)
+
   /** Total on-disk (compressed) bytes of ONE column across every parquet
     * file in a directory, summed from the column-chunk metadata in the
     * file footers — a driver-side metadata walk, no data pages read.

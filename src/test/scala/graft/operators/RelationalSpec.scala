@@ -407,6 +407,33 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.scanParquet(spark, dir).count() == 50)
   }
 
+  test("avro round-trip preserves types, NULLs, binary and nested values") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5), Some(Array[Byte](0, 1, -1)), Seq(1, 2, 3)),
+      (2L, None, None, None, Seq.empty[Int]),
+      (3L, Some("ζ→utf8"), Some(-0.25), Some(Array.emptyByteArray), Seq(7)))
+      .toDF("k", "s", "v", "b", "xs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    Relational.avroOutput(df, dir)
+    val back = Relational.avroInput(spark, dir)
+    // names and types survive; nullability widens to true (Avro encodes
+    // nullable unions — the standard read-side contract)
+    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    assert(rows(back.orderBy("k").select("k", "s", "v", "xs")) ==
+      rows(df.orderBy("k").select("k", "s", "v", "xs")))
+    // binary column round-trips byte-exact (Row equality on Array is by ref)
+    val bs = back.orderBy("k").select("b").collect()
+      .map(r => Option(r.getAs[Array[Byte]](0)).map(_.toSeq))
+    assert(bs.toSeq === Seq(Some(Seq[Byte](0, 1, -1)), None, Some(Seq.empty[Byte])))
+    // column pruning reaches the Avro scan (row format: no predicate
+    // pushdown, so pruning is the scan-side contract worth pinning)
+    val pruned = Relational.avroInput(spark, dir).select("k")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema") && scan.contains("k") &&
+      !scan.contains("\"s\""), s"avro scan should read only k:\n$scan")
+  }
+
   test("csv/json round-trips preserve quoting, commas, and NULLs") {
     val df = Seq(
       (1L, Some("a,b \"quoted\" c"), Some(1.5)),

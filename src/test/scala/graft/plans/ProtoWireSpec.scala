@@ -228,6 +228,48 @@ class ProtoWireSpec extends SparkSpec {
     assert(decodeDistinctness(Array.emptyByteArray) === PDistinctness())
   }
 
+  test("property: random message trees survive the wire losslessly") {
+    val rng = new scala.util.Random(20260814L)
+    def leaf(): PExpression = rng.nextInt(12) match {
+      case 0 => PExpression.variable(s"c${rng.nextInt(5)}")
+      case 1 => PExpression.int32(rng.nextInt())
+      case 2 => PExpression.int64(rng.nextLong())
+      case 3 => PExpression.double(rng.nextDouble() * 1e6 - 5e5)
+      case 4 => PExpression.string(rng.alphanumeric.take(rng.nextInt(8)).mkString)
+      case 5 => PExpression.bool(rng.nextBoolean())
+      case 6 => PExpression.typedNull(rng.nextInt(11))
+      case 7 => PExpression.constant(PConstant(PType.FLOAT,
+        floatValue = Some(rng.nextFloat())))
+      case 8 => PExpression.constant(PConstant(PType.UINT64,
+        uint64Value = Some(BigInt(java.lang.Long.toUnsignedString(rng.nextLong())))))
+      case 9 => PExpression.constant(PConstant(PType.DATE,
+        dateValue = Some(rng.nextInt(30000))))
+      case 10 => PExpression.constant(PConstant(PType.BINARY,
+        binaryValue = Some(Array.fill(rng.nextInt(6))(rng.nextInt(256).toByte).toSeq)))
+      case 11 => PExpression.constant(PConstant(PType.UINT32,
+        uint32Value = Some(rng.nextInt(Int.MaxValue).toLong * 2)))
+    }
+    def tree(depth: Int): PExpression =
+      if (depth == 0) leaf()
+      else rng.nextInt(6) match {
+        case 0 => PExpression.operation(POp.ADD, tree(depth - 1), tree(depth - 1))
+        case 1 => PExpression.operation(POp.NOT, tree(depth - 1))
+        case 2 => PExpression.operation(POp.IN,
+          List.fill(1 + rng.nextInt(4))(tree(depth - 1)): _*)
+        case 3 => PExpression.tuple(
+          List.fill(1 + rng.nextInt(3))(PTupleExpression(tree(depth - 1),
+            if (rng.nextBoolean()) List(s"a${rng.nextInt(9)}") else Nil)): _*)
+        case 4 => PExpression(PKind.CUSTOM_FUNCTION_CALL, functionCall =
+          Some(PFunctionCall(s"f${rng.nextInt(9)}", List(tree(depth - 1)))))
+        case 5 => PExpression(PKind.PATH, path =
+          Some(PPath(List.fill(1 + rng.nextInt(3))(s"n${rng.nextInt(9)}"))))
+      }
+    (1 to 300).foreach { i =>
+      val t = tree(1 + rng.nextInt(4))
+      assert(decode(encode(t)) === t, s"tree #$i")
+    }
+  }
+
   test("decoder never crashes on malformed bytes (fuzz)") {
     // Every failure mode must surface as IllegalArgumentException — a wire
     // bug that throws ArrayIndexOutOfBounds / NegativeArraySize / OOM on
