@@ -12,21 +12,22 @@ import org.apache.spark.sql.types._
   * image: BMP (24-bit uncompressed, BITMAPINFOHEADER), binary PPM (P6),
   * PNG (8-bit RGB, real zlib stream + CRC32/Adler32, IDAT verified by
   * actual Inflater decompression), GIF (FULL LZW decompressor —
-  * variable code width, CLEAR/EOI, interlace — plus palette map), JPEG
-  * (marker-segment walk to SOF0/SOF2 — header-level, no entropy
-  * decode); audio: WAV (RIFF/WAVE chunk walk, PCM fmt + data, signed
-  * 16-bit sample decode); video: MP4 (ISO-BMFF box walk to moov>mvhd,
-  * v0 and v1). PIXEL-level decode (decodePixelsRgb → decodeImageFeatures
-  * with per-channel stats + dHash) covers BMP/PPM/PNG/GIF — every
-  * LOSSLESS format end to end; SAMPLE-level decode
-  * (decodeWavSamples → decodeAudioFeatures) covers PCM-16 WAV.
-  * decodeMeta dispatches images on magic bytes; decodeAudioMeta /
-  * decodeVideoMeta are the typed audio/video faces. Full pixel/sample
-  * decompression for LOSSY formats (JPEG entropy decode, AAC/H.264)
-  * needs codec libraries this environment does not have, so only
-  * payloads that match no real codec fall through to the
-  * clearly-marked deterministic STUB. The Spark-side plumbing
-  * (schemas, binary slicing, mapPartitions batch shape, partition-parallel
+  * variable code width, CLEAR/EOI, interlace — plus palette map), TIFF,
+  * JPEG (REAL entropy decode in [[Jpeg]]: baseline AND progressive —
+  * Huffman, FDCT/IDCT, 4:2:0, restarts, spectral selection + successive
+  * approximation; this file's decodeJpeg is the header-level
+  * marker-walk face); audio: WAV (RIFF/WAVE chunk walk, PCM fmt + data,
+  * signed 16-bit sample decode); video: MP4 (ISO-BMFF box walk to
+  * moov>mvhd, v0 and v1). PIXEL-level decode (decodePixelsRgb →
+  * decodeImageFeatures with per-channel stats + dHash) covers
+  * BMP/PPM/PNG/GIF/TIFF and, via [[Jpeg.decodePixels]], baseline +
+  * progressive JPEG; SAMPLE-level decode (decodeWavSamples →
+  * decodeAudioFeatures) covers PCM-16 WAV. decodeMeta dispatches images
+  * on magic bytes; decodeAudioMeta / decodeVideoMeta are the typed
+  * audio/video faces. Only payloads matching NO real codec (arithmetic/
+  * lossless/hierarchical JPEG, AAC/H.264) fall through to the
+  * clearly-marked deterministic STUB. The Spark-side plumbing (schemas,
+  * binary slicing, mapPartitions batch shape, partition-parallel
   * execution) is shared by both paths.
   */
 object Multimodal {
@@ -42,6 +43,26 @@ object Multimodal {
     * real pipeline this column comes from the storage layer as-is). */
   def asBinary(df: DataFrame, payloadCol: String, out: String): DataFrame =
     df.withColumn(out, col(payloadCol).cast(BinaryType))
+
+  /** Ingest RAW media files from storage as (path, length, media) rows —
+    * Spark's binaryFile source, the front door of a multimodal crawl
+    * pipeline (each file becomes one row with its full payload in a
+    * binary column; downstream decode/feature/dedup operators then run
+    * partition-parallel exactly as over any other binary column).
+    *
+    * Scale posture: binaryFile caps each row at
+    * `spark.sql.sources.binaryFile.maxLength` (default Int.MaxValue) and
+    * never splits a file, so parallelism = file count; `glob` prunes at
+    * LISTING time (pathGlobFilter — no payload read for skipped files),
+    * which is the pushdown that matters for a 100 TB object-store crawl.
+    * For millions of tiny files, compact into parquet with this ingest
+    * once and keep the analytical store columnar. */
+  def ingestBinaryFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
+      .select(col("path"), col("length"), col("content").as("media"))
+  }
 
   def byteLength(df: DataFrame, binCol: String, out: String): DataFrame =
     df.withColumn(out, octet_length(col(binCol)).cast("long"))

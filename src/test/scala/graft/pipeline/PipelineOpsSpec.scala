@@ -2100,6 +2100,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hT == hP)
   }
 
+  // ===== raw-file multimodal ingest =====
+
+  test("ingestBinaryFiles reads raw media files; glob prunes at listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val seed = "ingest-seed!".getBytes("US-ASCII")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.png", Multimodal.encodePng(8, 8, seed))
+    put("b.bmp", Multimodal.encodeBmp24(4, 4, seed))
+    put("c.wav", Multimodal.encodeWavPcm16(1, 8000, 16, seed))
+    put("skip.txt", "not media".getBytes("US-ASCII"))
+
+    val all = Multimodal.ingestBinaryFiles(spark, dir.toString)
+    assert(all.columns.toSeq === Seq("path", "length", "media"))
+    assert(all.count() == 4)
+    // glob prunes non-media files at listing time
+    val imgs = Multimodal.ingestBinaryFiles(spark, dir.toString, Some("*.{png,bmp}"))
+    assert(imgs.count() == 2)
+    // ingested payloads flow straight into the decode pipeline
+    val meta = rows(Multimodal.decodeMeta(imgs, "media")
+      .selectExpr("regexp_extract(path, '([^/]+)$', 1) AS f",
+        "media_format", "width", "height").orderBy("f"))
+    assert(meta == Seq(
+      Seq("a.png", "image/png", 8, 8),
+      Seq("b.bmp", "image/bmp", 4, 4)))
+    // payload bytes arrive uncorrupted (byte-exact vs what was written)
+    val pngBack = imgs.filter(col("path").endsWith("a.png"))
+      .select("media").collect()(0).getAs[Array[Byte]](0)
+    assert(pngBack.toSeq == Multimodal.encodePng(8, 8, seed).toSeq)
+  }
+
   // ===== grid density anomaly =====
 
   test("gridDensityAnomaly flags hotspots and voids against the 8-neighbor mean") {
