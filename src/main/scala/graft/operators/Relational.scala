@@ -389,6 +389,22 @@ object Relational {
   def jsonInput(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** XML sink/source pair (Spark 4 built-in XML source) — the dump-archive
+    * ingest face: large public corpora (Wikipedia/arXiv-style dumps) ship
+    * as one huge XML file of repeated `<rowTag>` records. Explicit schema
+    * on read for the same reason as CSV/JSON (inference re-scans).
+    *
+    * Scale note: an XML file SPLITS across tasks (the reader scans for
+    * `<rowTag>` boundaries past each split start), so one 100 GB dump
+    * still parallelizes — unlike binaryFile ingest, no per-file
+    * parallelism ceiling. Attributes map to `_attr`-prefixed fields. */
+  def xmlOutput(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).format("xml").save(path)
+
+  def xmlInput(spark: SparkSession, path: String, schema: StructType,
+               rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).format("xml").load(path)
+
   /** Z-order (Morton) value of two non-negative integer keys: their bits
     * interleaved (x in even positions, y in odd), 21 bits each ⇒ a 42-bit
     * long. Sorting by this value clusters rows that are close in BOTH

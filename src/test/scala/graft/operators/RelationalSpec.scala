@@ -434,6 +434,28 @@ class RelationalSpec extends SparkSpec {
       !scan.contains("\"s\""), s"avro scan should read only k:\n$scan")
   }
 
+  test("xml round-trip preserves values; escaping and NULLs survive") {
+    val df = Seq(
+      (1L, Some("a <b> & \"c\""), Some(1.5)),
+      (2L, Some("plain"), None),
+      (3L, None, Some(-0.25))).toDF("k", "s", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    Relational.xmlOutput(df, dir, rowTag = "doc")
+    val back = Relational.xmlInput(spark, dir, df.schema, rowTag = "doc")
+    assert(rows(back.orderBy("k")) == rows(df.orderBy("k")))
+    // the dump shape: repeated <doc> records; markup inside values is
+    // entity-escaped on disk
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    assert(parts.nonEmpty)
+    val text = parts.map(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString("\n")
+    // only < and & MUST be entity-escaped in content; > may pass through
+    assert(text.contains("<doc>") && text.contains("&lt;b>") &&
+      text.contains("&amp;"),
+      s"xml text should contain escaped markup:\n${text.take(300)}")
+  }
+
   test("csv/json round-trips preserve quoting, commas, and NULLs") {
     val df = Seq(
       (1L, Some("a,b \"quoted\" c"), Some(1.5)),
