@@ -35,9 +35,14 @@ object Relational {
   def generate(spark: SparkSession, n: Long): DataFrame = spark.range(n).toDF("seq")
 
   /** FileOutput sink (reference: cursor/infrastructure/file_io.h:64) —
-    * parquet is our on-disk format. */
-  def fileOutput(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+    * parquet is our on-disk format.
+    *
+    * `codec` picks the parquet compression: "snappy" (default — fastest
+    * scan) or "zstd" (the long-lived-store choice at 100 TB: materially
+    * smaller footprint for near-snappy scan speed; `parquetColumnBytes`
+    * MEASURES the delta from the file footers instead of asserting it). */
+  def fileOutput(df: DataFrame, path: String, codec: String = "snappy"): Unit =
+    df.write.mode("overwrite").option("compression", codec).parquet(path)
 
   /** Keyed upsert (MERGE latest-wins): rows from `updates` replace
     * same-key rows in `base`; new keys append. The incremental

@@ -434,6 +434,25 @@ class RelationalSpec extends SparkSpec {
       !scan.contains("\"s\""), s"avro scan should read only k:\n$scan")
   }
 
+  test("fileOutput codec control: zstd round-trips and measurably shrinks") {
+    // compressible payload: DISTINCT per-row strings (so dictionary
+    // encoding cannot collapse them) with heavy shared structure
+    val df = (1 to 5000).map(i => (i.toLong, s"category_${i % 7}",
+      s"doc $i: " + "the quick brown fox jumps over the lazy dog " * 3 +
+        s"tail ${i * 2654435761L}")).toDF("k", "cat", "txt")
+    val snappyDir = java.nio.file.Files.createTempDirectory("graft_snappy").toString
+    val zstdDir = java.nio.file.Files.createTempDirectory("graft_zstd").toString
+    Relational.fileOutput(df.coalesce(1), snappyDir) // default snappy
+    Relational.fileOutput(df.coalesce(1), zstdDir, codec = "zstd")
+    assert(rows(Relational.scanParquet(spark, zstdDir).orderBy("k")) ==
+      rows(Relational.scanParquet(spark, snappyDir).orderBy("k")))
+    // measured, not asserted: footer metadata says the zstd column chunks
+    // are smaller on this compressible payload
+    val sB = Relational.parquetColumnBytes(spark, snappyDir, "txt")
+    val zB = Relational.parquetColumnBytes(spark, zstdDir, "txt")
+    assert(zB > 0 && zB < sB, s"zstd txt bytes $zB should be < snappy $sB")
+  }
+
   test("xml round-trip preserves values; escaping and NULLs survive") {
     val df = Seq(
       (1L, Some("a <b> & \"c\""), Some(1.5)),
