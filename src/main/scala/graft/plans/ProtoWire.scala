@@ -790,7 +790,11 @@ object ProtoWire {
         // Proto: CASE arg0 WHEN arg2 THEN arg3 ... ELSE arg1, searched form
         // = scrutinee TRUE (expressions.proto:102-104: "If there is no CASE
         // value true constant should be passed... no ELSE value, null
-        // constant should be passed").
+        // constant should be passed"). The proto wire requires a TYPED null
+        // for the missing-else slot; STRING is the choice here, so an
+        // else-less CASE over non-string THENs coerces to string on this
+        // wire — give an explicit else (as the reference docs advise) to
+        // keep the branch type.
         val cs = kids
         val hasElse = cs.size % 2 == 1
         val pairs = if (hasElse) cs.dropRight(1) else cs
