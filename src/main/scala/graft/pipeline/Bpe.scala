@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.pipeline.Checkpoints.DatasetCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -80,7 +81,7 @@ object Bpe {
     // right after the collect that materialized its successor.
     val spark = docs.sparkSession
     val baseline = Checkpoints.persistedIds(spark)
-    var wt = wordTable(docs, textCol).localCheckpoint(false)
+    var wt = wordTable(docs, textCol).stageCheckpoint(false)
     var liveIds = Set.empty[Int]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     (0 until numMerges).foreach { i =>
@@ -94,7 +95,7 @@ object Bpe {
       val (a, b, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
       merges += ((a, b, c))
       wt = wt.withColumn("toks", mergePair(col("toks"), a, b))
-        .localCheckpoint(false)
+        .stageCheckpoint(false)
     }
     // the final wt is lazy and never materialized; only the last
     // materialized round still holds blocks
@@ -148,7 +149,7 @@ object Bpe {
     // [[Checkpoints]] (round 9 — Dataset.rdd.unpersist was a no-op).
     val spark = docs.sparkSession
     val baseline = Checkpoints.persistedIds(spark)
-    var wt = wordTable(docs, textCol).localCheckpoint(false)
+    var wt = wordTable(docs, textCol).stageCheckpoint(false)
     var liveIds = Set.empty[Int]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var rounds = 0
@@ -195,7 +196,7 @@ object Bpe {
       val mergedToks = batch.foldLeft(col("toks")) { case (c0, (a, b, _)) =>
         mergePair(c0, a, b)
       }
-      wt = wt.withColumn("toks", mergedToks).localCheckpoint(false)
+      wt = wt.withColumn("toks", mergedToks).stageCheckpoint(false)
       rounds += 1
     }
     Checkpoints.releaseIds(spark, liveIds)

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Deterministic release of `localCheckpoint` blocks in iterative loops.
   *
@@ -22,6 +22,33 @@ import org.apache.spark.sql.SparkSession
   * still-wanted block is recoverable anyway (recompute), never wrong.
   */
 object Checkpoints {
+
+  /** Durability-mode checkpoint — every iterative loop and shared-branch
+    * materialization in graft stages its rounds through this instead of
+    * calling `localCheckpoint` directly.
+    *
+    * `localCheckpoint` blocks live only in executor block managers: on a
+    * real cluster a lost executor loses its blocks, and because the
+    * checkpoint TRUNCATES lineage the job cannot recompute them — it
+    * fails. On a 1000-executor run executor churn is routine, so
+    * long iterative jobs (BPE training, graph rounds) need the RELIABLE
+    * variant, which writes the checkpoint to fault-tolerant storage.
+    * The knob is Spark's own: when `SparkContext.setCheckpointDir` has
+    * been called (cluster deployments point it at DFS), this stages
+    * through `Dataset.checkpoint`; otherwise it falls back to
+    * `localCheckpoint` (single-node runs, tests, bench — no extra I/O).
+    * Same laziness semantics either way, so the shared-materialization
+    * guarantees (prefixFold's pid-assignment contract) hold in both
+    * modes. Reliable-checkpoint FILES are only auto-deleted on GC when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; cluster
+    * sessions should set it or clean the dir between jobs. */
+  implicit final class DatasetCheckpointOps[T](private val ds: Dataset[T])
+      extends AnyVal {
+    def stageCheckpoint(eager: Boolean): Dataset[T] =
+      if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        ds.checkpoint(eager)
+      else ds.localCheckpoint(eager)
+  }
 
   /** Snapshot of currently persisted RDD ids (caller-owned persists —
     * the release helpers never touch anything in this set). */

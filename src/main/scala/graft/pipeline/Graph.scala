@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.pipeline.Checkpoints.DatasetCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -214,7 +215,7 @@ object Graph {
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().stageCheckpoint(true)
     var eCount = e.count()
     var rounds = 0
     var converged = eCount == 0
@@ -229,7 +230,7 @@ object Graph {
       val next = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .stageCheckpoint(true)
       val nextCount = next.count()
       e = next
       converged = nextCount == eCount || nextCount == 0
@@ -269,8 +270,8 @@ object Graph {
     // per round (anti-join + union), so plain persist would still grow
     // the LOGICAL plan 2^rounds — the kCore lineage lesson.
     var frontier = sources.select(col(idCol).cast("long").as("id"))
-      .where(col("id").isNotNull).distinct().localCheckpoint(true)
-    var settled = frontier.withColumn("hops", lit(0L)).localCheckpoint(true)
+      .where(col("id").isNotNull).distinct().stageCheckpoint(true)
+    var settled = frontier.withColumn("hops", lit(0L)).stageCheckpoint(true)
     var hop = 0L
     var frontierSize = frontier.count()
     while (frontierSize > 0 && hop < maxHops) {
@@ -278,11 +279,11 @@ object Graph {
       val next = e.join(frontier.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+        .stageCheckpoint(true)
       frontierSize = next.count()
       settled = settled
         .unionByName(next.withColumn("hops", lit(hop)))
-        .localCheckpoint(true)
+        .stageCheckpoint(true)
       frontier = next
     }
     e.unpersist()
@@ -323,7 +324,7 @@ object Graph {
     e.count()
     var best = sources.select(col(idCol).cast("long").as("id"))
       .where(col("id").isNotNull).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).stageCheckpoint(true)
     var frontier = best
     var hop = 0
     var frontierSize = frontier.count()
@@ -335,12 +336,12 @@ object Graph {
       val improved = cand.join(best, Seq("id"), "left")
         .where(col("dist").isNull || col("__c") < col("dist"))
         .select(col("id"), col("__c").as("dist"))
-        .localCheckpoint(true)
+        .stageCheckpoint(true)
       frontierSize = improved.count()
       if (frontierSize > 0) {
         best = best.join(improved.select(col("id")), Seq("id"), "left_anti")
           .unionByName(improved)
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
       }
       frontier = improved
     }
@@ -367,7 +368,7 @@ object Graph {
     e.count()
     var layer = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .withColumn("layer", lit(0L)).localCheckpoint(true)
+      .withColumn("layer", lit(0L)).stageCheckpoint(true)
     var frontier = layer
     var rounds = 0
     var frontierSize = frontier.count()
@@ -381,12 +382,12 @@ object Graph {
       val improved = cand.join(layer, Seq("id"))
         .where(col("__c") > col("layer"))
         .select(col("id"), col("__c").as("layer"))
-        .localCheckpoint(true)
+        .stageCheckpoint(true)
       frontierSize = improved.count()
       if (frontierSize > 0) {
         layer = layer.join(improved.select(col("id")), Seq("id"), "left_anti")
           .unionByName(improved)
-          .localCheckpoint(true)
+          .stageCheckpoint(true)
       }
       frontier = improved
     }
@@ -406,7 +407,7 @@ object Graph {
                       maxRounds: Int = 20): DataFrame = {
     var pairs = nodes.select(col(idCol).cast("long").as("id"),
         col(parentCol).cast("long").as("anc"))
-      .where(col("anc").isNotNull).distinct().localCheckpoint(true)
+      .where(col("anc").isNotNull).distinct().stageCheckpoint(true)
     var n = pairs.count()
     var rounds = 0
     var converged = n == 0
@@ -417,7 +418,7 @@ object Graph {
       val next = pairs.unionByName(
           pairs.as("x").join(pairs.as("y"), col("y.id") === col("x.anc"))
             .select(col("x.id").as("id"), col("y.anc").as("anc")))
-        .distinct().localCheckpoint(true)
+        .distinct().stageCheckpoint(true)
       val nn = next.count()
       converged = nn == n
       pairs = next

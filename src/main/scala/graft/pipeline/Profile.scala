@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.pipeline.Checkpoints.DatasetCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -431,6 +432,11 @@ object Profile {
     * a sum with no preceding rows is NULL (callers coalesce with their
     * typed zero), a max with none is NULL.
     *
+    * Durability: the checkpoint goes through [[Checkpoints.stageCheckpoint]]
+    * — reliable `Dataset.checkpoint` on clusters that set a checkpoint dir
+    * (localCheckpoint blocks die with their executor and CANNOT be
+    * recomputed past the lineage truncation), localCheckpoint otherwise.
+    *
     * Memory note: the shared lazy localCheckpoint below leaves one cached
     * RDD per call; because the returned frame is lazy there is no safe
     * point to unpersist it here, so release is deliberately left to
@@ -453,7 +459,7 @@ object Profile {
     // of its rows).
     val ranged = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .stageCheckpoint(false)
     val wIn = Window.partitionBy("__pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val inner = aggs.zipWithIndex.foldLeft(ranged) { case (d, (a, i)) =>
@@ -510,7 +516,7 @@ object Profile {
     val ranged = withG
       .repartitionByRange((gNames.map(col(_).asc) ++ sortCols): _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false) // shared pid assignment — see prefixFold
+      .stageCheckpoint(false) // shared pid assignment — see prefixFold
     val wIn = Window.partitionBy(("__pid" +: gNames).map(col(_)): _*)
       .orderBy(sortCols: _*)
     val inner = ranged.withColumn("__in", row_number().over(wIn) - 1)

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.pipeline.Checkpoints.DatasetCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -220,7 +221,7 @@ object Similarity {
     var celled = assignCells(v, centroids, "__v", "__cell")
       .withColumn("__cell", col("__cell").cast("string"))
       .select(col(idCol), col("__v"), col("__cell"))
-      .localCheckpoint(false)
+      .stageCheckpoint(false)
     val baseline = Checkpoints.persistedIds(spark)
     var knownIds = Set.empty[Int]
     var round = 0
@@ -255,7 +256,7 @@ object Similarity {
             concat(col("__cell"), lit("-"), col("__si").cast("string")).as("__cell"))
         val untouched = celled.join(over, Seq("__cell"), "left_anti")
           .select(col(idCol), col("__v"), col("__cell"))
-        celled = untouched.unionByName(reassigned).localCheckpoint(false)
+        celled = untouched.unionByName(reassigned).stageCheckpoint(false)
       }
       round += 1
     }
