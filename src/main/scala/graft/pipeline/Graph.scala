@@ -210,13 +210,19 @@ object Graph {
     // join probe once), so un-truncated lineage grows 3^rounds — the
     // analyzer itself becomes the bottleneck long before execution
     // (pageRank's linear-lineage note is the contrast: one reference per
-    // round needs no truncation).
+    // round needs no truncation). The previous round's blocks are
+    // released via [[Checkpoints]] once its successor materializes (the
+    // Bpe idiom); only the final round's blocks are left to GC — they
+    // back the returned frame.
+    val spark = edges.sparkSession
+    val baseline = Checkpoints.persistedIds(spark)
     var e = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct().stageCheckpoint(true)
     var eCount = e.count()
+    var liveIds = Checkpoints.freshIds(spark, baseline)
     var rounds = 0
     var converged = eCount == 0
     while (!converged) {
@@ -232,6 +238,9 @@ object Graph {
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .stageCheckpoint(true)
       val nextCount = next.count()
+      val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
+      Checkpoints.releaseIds(spark, liveIds)
+      liveIds = fresh
       e = next
       converged = nextCount == eCount || nextCount == 0
       eCount = nextCount
@@ -268,10 +277,15 @@ object Graph {
     e.count()
     // localCheckpoint the per-round state: settled is referenced TWICE
     // per round (anti-join + union), so plain persist would still grow
-    // the LOGICAL plan 2^rounds — the kCore lineage lesson.
+    // the LOGICAL plan 2^rounds — the kCore lineage lesson. Previous
+    // round's blocks released once the round's two checkpoints
+    // materialize; the final settled's blocks are the return value's.
+    val spark = edges.sparkSession
+    val baseline = Checkpoints.persistedIds(spark)
     var frontier = sources.select(col(idCol).cast("long").as("id"))
       .where(col("id").isNotNull).distinct().stageCheckpoint(true)
     var settled = frontier.withColumn("hops", lit(0L)).stageCheckpoint(true)
+    var liveIds = Checkpoints.freshIds(spark, baseline)
     var hop = 0L
     var frontierSize = frontier.count()
     while (frontierSize > 0 && hop < maxHops) {
@@ -284,6 +298,9 @@ object Graph {
       settled = settled
         .unionByName(next.withColumn("hops", lit(hop)))
         .stageCheckpoint(true)
+      val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
+      Checkpoints.releaseIds(spark, liveIds)
+      liveIds = fresh
       frontier = next
     }
     e.unpersist()
@@ -322,10 +339,13 @@ object Graph {
         col("w").isNotNull)
       .distinct().persist(mem)
     e.count()
+    val spark = edges.sparkSession
+    val baseline = Checkpoints.persistedIds(spark)
     var best = sources.select(col(idCol).cast("long").as("id"))
       .where(col("id").isNotNull).distinct()
       .withColumn("dist", lit(0L)).stageCheckpoint(true)
     var frontier = best
+    var liveIds = Checkpoints.freshIds(spark, baseline)
     var hop = 0
     var frontierSize = frontier.count()
     while (frontierSize > 0 && hop < maxHops) {
@@ -339,9 +359,16 @@ object Graph {
         .stageCheckpoint(true)
       frontierSize = improved.count()
       if (frontierSize > 0) {
+        // both successors (improved + new best) are materialized — the
+        // previous round's blocks can go; on the empty-frontier exit the
+        // current best STILL backs the return value, so nothing is
+        // released then.
         best = best.join(improved.select(col("id")), Seq("id"), "left_anti")
           .unionByName(improved)
           .stageCheckpoint(true)
+        val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
+        Checkpoints.releaseIds(spark, liveIds)
+        liveIds = fresh
       }
       frontier = improved
     }
@@ -366,10 +393,13 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist(mem)
     e.count()
+    val spark = edges.sparkSession
+    val baseline = Checkpoints.persistedIds(spark)
     var layer = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .withColumn("layer", lit(0L)).stageCheckpoint(true)
     var frontier = layer
+    var liveIds = Checkpoints.freshIds(spark, baseline)
     var rounds = 0
     var frontierSize = frontier.count()
     while (frontierSize > 0) {
@@ -385,9 +415,14 @@ object Graph {
         .stageCheckpoint(true)
       frontierSize = improved.count()
       if (frontierSize > 0) {
+        // release the previous round only once both successors exist —
+        // see ssspHops; the final layer's blocks back the return value.
         layer = layer.join(improved.select(col("id")), Seq("id"), "left_anti")
           .unionByName(improved)
           .stageCheckpoint(true)
+        val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
+        Checkpoints.releaseIds(spark, liveIds)
+        liveIds = fresh
       }
       frontier = improved
     }
@@ -405,9 +440,12 @@ object Graph {
     * Output: (id, anc) — proper ancestors only. */
   def ancestorClosure(nodes: DataFrame, idCol: String, parentCol: String,
                       maxRounds: Int = 20): DataFrame = {
+    val spark = nodes.sparkSession
+    val baseline = Checkpoints.persistedIds(spark)
     var pairs = nodes.select(col(idCol).cast("long").as("id"),
         col(parentCol).cast("long").as("anc"))
       .where(col("anc").isNotNull).distinct().stageCheckpoint(true)
+    var liveIds = Checkpoints.freshIds(spark, baseline)
     var n = pairs.count()
     var rounds = 0
     var converged = n == 0
@@ -420,6 +458,9 @@ object Graph {
             .select(col("x.id").as("id"), col("y.anc").as("anc")))
         .distinct().stageCheckpoint(true)
       val nn = next.count()
+      val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
+      Checkpoints.releaseIds(spark, liveIds)
+      liveIds = fresh
       converged = nn == n
       pairs = next
       n = nn
