@@ -6,8 +6,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, GlobalLimitExec,
   LocalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec,
   UnaryExecNode, UnionExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   CartesianProductExec}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
 /** Machine-checkable plan audit: builds EVERY `SparkEntry.queries` frame
   * and flags the two physical operators that do not survive a 100 TB
@@ -53,13 +55,51 @@ object PlanLint {
       "unique-key ln-factorial lookup joins"),
     "q_naive_bayes" -> ("the broadcast side is the per-class model " +
       "frame — rows = label cardinality, the model itself; " +
-      "dimension-bounded by the classifier's contract"))
+      "dimension-bounded by the classifier's contract"),
+    // --- single-partition exchanges over CONTRACT-bounded tables (the
+    // SURVEY §8.10b class: the window input is an aggregate whose row
+    // count is fixed by the operator's own arity, never the data) ---
+    "q_anova" -> ("marginal/total window sums over the per-GROUP stats " +
+      "table — rows = the test's group count (ANOVA arity)"),
+    "q_chisq" -> ("marginal window sums over the |A|x|B| contingency " +
+      "CELL table — cell count is the test's own arity"),
+    "q_mutual_info" -> ("marginal window sums over the |X|x|Y| joint " +
+      "cell table (chi-square shape — never raw rows)"),
+    "q_apportion" -> ("largest-remainder rank over the per-KEY " +
+      "remainder table — stratum-bounded; a data-scale variant rides " +
+      "Profile.rowPositions (scaladoc)"),
+    "q_compact" -> ("cumulative-bytes window over the FILE MANIFEST — " +
+      "one row per data file, metadata-sized"),
+    "q_cumulative_users" -> ("cumulative window over the per-PERIOD " +
+      "table — one row per day in the observation window"),
+    "q_rate_anomaly" -> ("baseline window over the per-TIME-BUCKET " +
+      "table — one row per monitored period"),
+    "q_decile_lift" -> ("cumulative-lift window over the BUCKETS-row " +
+      "gains table (bucket = rank*k div n < k)"),
+    "q_lorenz" -> ("cumulative window over the `points`-row bin table " +
+      "(bin = rank*k div n < k by construction)"),
+    "q_good_turing" -> ("lead() over the frequency-of-frequencies " +
+      "table, <= maxR+1 rows by the WHERE r <= maxR+1 before the window"),
+    "q_funnel" -> ("stage-ordering window over the k-row STAGE table"),
+    "q_funnel_windowed" -> ("stage-ordering window over the k-row " +
+      "STAGE table (windowed face)"),
+    "q_recipe" -> ("gate-scale single-partition order/pack faces, " +
+      "documented in the query: the 100 TB chain runs " +
+      "deterministicShuffle's range exchange + layoutOffsets' bucketed " +
+      "packing, both separately gated"))
 
   private def bounded(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec =>
-      a.groupingExpressions.isEmpty || bounded(a.child)
+      a.groupingExpressions.isEmpty || bounded(a.child) ||
+        // prefixFold's internal totals table: grouped EXACTLY on the
+        // __pid partition-id column, ≤ #partitions rows by the
+        // primitive's contract (Profile.prefixFold scaladoc)
+        a.groupingExpressions.forall(_.references.forall(_.name == "__pid"))
     case _: GlobalLimitExec | _: LocalLimitExec |
          _: TakeOrderedAndProjectExec | _: LocalTableScanExec => true
+    // a reused exchange is bounded iff the exchange it references is
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      bounded(r.child)
     // a literal Range (lag tables, bit-position tables) is bounded by
     // the plan text itself as long as it is dimension-sized
     case r: org.apache.spark.sql.execution.RangeExec =>
@@ -80,6 +120,13 @@ object PlanLint {
             case BuildRight => j.right
           }) =>
         s"BroadcastNestedLoopJoin(${j.joinType}, unbounded build)"
+      // the single-reducer class (SURVEY §8.10): an all-rows-to-one-task
+      // shuffle is only acceptable over a bounded input — a scalar
+      // aggregate's partial rows, a top-k, a dimension-sized table.
+      // Window.orderBy with no partition over raw rows lands here.
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition && !bounded(e.child) =>
+        "SinglePartitionExchange(unbounded child)"
     }
 
   def main(args: Array[String]): Unit = {
@@ -91,7 +138,9 @@ object PlanLint {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // off so executedPlan is a plain tree (AQE never introduces any
+      // flagged operator — it only upgrades sort-merge to broadcast)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -103,7 +152,12 @@ object PlanLint {
     names.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
-        val hits = offenders(df.queryExecution.sparkPlan)
+        // join shapes are decided by the static planner (sparkPlan);
+        // exchanges only exist after preparations (executedPlan) — lint
+        // both, deduped. AQE is disabled for this session so the
+        // executed plan is a plain walkable tree.
+        val hits = (offenders(df.queryExecution.sparkPlan) ++
+          offenders(df.queryExecution.executedPlan)).distinct
         checked += 1
         if (hits.nonEmpty) {
           allowlist.get(n) match {

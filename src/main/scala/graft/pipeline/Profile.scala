@@ -1812,11 +1812,17 @@ object Profile {
     * ratio means a few keys dominate). One key aggregation shuffle; the
     * entropy fold runs over the per-key counts (|keys| rows, not raw
     * rows) with each −p·ln p term rounded 6 dp and summed as DECIMAL so
-    * the result is order-independent (q_tfidf convention). */
+    * the result is order-independent (q_tfidf convention). The total
+    * rides a broadcast 1-row aggregate, NOT a whole-table window — the
+    * counts table has one row per DISTINCT key, and the operator's whole
+    * point is diagnosing high-cardinality keys (caught by PlanLint r9:
+    * the `Window.partitionBy()` form funneled |keys| rows through one
+    * reducer). */
   def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
-    val n = sum(col("__c")).over(Window.partitionBy()).cast("double")
-    counts
+    val tot = counts.agg(sum(col("__c")).cast("double").as("__n"))
+    val n = col("__n")
+    counts.crossJoin(broadcast(tot))
       .select(col("__c"),
         round(-(col("__c").cast("double") / n) * log(col("__c").cast("double") / n), 6)
           .cast("decimal(24,6)").as("__h"))
