@@ -129,7 +129,13 @@ object PlanLint {
         "SinglePartitionExchange(unbounded child)"
     }
 
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    // --scans: informational column-pruning report — for every parquet
+    // scan print readCols/tableCols and flag full-width reads of wide
+    // tables (never affects the exit code; roundtrip gates legitimately
+    // read back everything they wrote).
+    val scansMode = rawArgs.contains("--scans")
+    val args = rawArgs.filterNot(_ == "--scans")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = args.drop(1).toSet
     val spark = SparkSession.builder()
@@ -159,6 +165,17 @@ object PlanLint {
         val hits = (offenders(df.queryExecution.sparkPlan) ++
           offenders(df.queryExecution.executedPlan)).distinct
         checked += 1
+        if (scansMode) {
+          df.queryExecution.executedPlan.collectWithSubqueries {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              val read = s.requiredSchema.size
+              val total = s.relation.dataSchema.size
+              val table = s.relation.location.rootPaths.headOption
+                .map(_.getName).getOrElse("?")
+              val full = if (read == total && total >= 8) "  FULL-WIDTH" else ""
+              println(f"[scans] $n%-28s $table%-22s $read%2d/$total%2d$full")
+          }
+        }
         if (hits.nonEmpty) {
           allowlist.get(n) match {
             case Some(why) =>
