@@ -32,8 +32,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // local[4, 4] = 4 threads, maxFailures 4: task failures are retried
+    // exactly as on a real cluster, which TaskRetrySpec relies on to pin
+    // retry-determinism. Deterministic task bugs still surface (they fail
+    // all 4 attempts); only a flaky nondeterministic task failure could
+    // be masked — the precise class TaskRetrySpec exists to hunt.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
