@@ -394,6 +394,31 @@ object Relational {
   def jsonInput(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Plain-text line sink/source pair — the raw-crawl ingest face (WET
+    * extracts, log files, one-document-per-line corpora). The source
+    * yields a single `value` string column, one row per line; the sink
+    * requires exactly one string column (Spark's text writer contract)
+    * and writes no header or quoting — bytes in, bytes out, except that
+    * a newline INSIDE a value cannot survive a line-oriented format
+    * (caller escapes first; the spec pins the contract).
+    *
+    * Scale notes: an uncompressed (or zstd/bzip2) text file splits
+    * across tasks on line boundaries; GZIP DOES NOT SPLIT — one
+    * 100 GB .gz file is one task, so compressed crawls must arrive as
+    * many files (the standard WET layout) or use a splittable codec.
+    * `codec = None` writes uncompressed. */
+  def textOutput(df: DataFrame, path: String,
+                 codec: Option[String] = None): Unit = {
+    require(df.schema.length == 1 &&
+      df.schema.head.dataType == org.apache.spark.sql.types.StringType,
+      s"textOutput: need exactly one string column, got ${df.schema.simpleString}")
+    val w = df.write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).text(path)
+  }
+
+  def textInput(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** XML sink/source pair (Spark 4 built-in XML source) — the dump-archive
     * ingest face: large public corpora (Wikipedia/arXiv-style dumps) ship
     * as one huge XML file of repeated `<rowTag>` records. Explicit schema

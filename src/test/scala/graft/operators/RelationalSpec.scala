@@ -475,6 +475,31 @@ class RelationalSpec extends SparkSpec {
       s"xml text should contain escaped markup:\n${text.take(300)}")
   }
 
+  test("text line round-trip: bytes survive, one-column contract, gzip codec") {
+    // the raw-crawl shape: one document/log line per row, no quoting —
+    // commas, tabs, quotes and unicode must come back byte-identical
+    val lines = Seq("plain line", "has,commas\tand\ttabs",
+      "\"quoted\" and 'single'", "ζ→utf8 payload", "")
+    val df = lines.toDF("value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_text").toString
+    Relational.textOutput(df, dir)
+    assert(Relational.textInput(spark, dir).collect().map(_.getString(0))
+      .sorted.toSeq == lines.sorted)
+    // sink contract: exactly one string column
+    val e = intercept[IllegalArgumentException] {
+      Relational.textOutput(Seq((1L, "x")).toDF("k", "v"), dir)
+    }
+    assert(e.getMessage.contains("one string column"))
+    // gzip codec round-trips (unsplittable — the scaladoc's many-files
+    // contract; here just the codec path)
+    val gzDir = java.nio.file.Files.createTempDirectory("graft_text_gz").toString
+    Relational.textOutput(df, gzDir, codec = Some("gzip"))
+    assert(new java.io.File(gzDir).listFiles()
+      .exists(_.getName.endsWith(".txt.gz")), "expected .gz parts")
+    assert(Relational.textInput(spark, gzDir).collect().map(_.getString(0))
+      .sorted.toSeq == lines.sorted)
+  }
+
   test("csv/json round-trips preserve quoting, commas, and NULLs") {
     val df = Seq(
       (1L, Some("a,b \"quoted\" c"), Some(1.5)),
