@@ -25,6 +25,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Durability-mode sweeps: with a checkpoint dir set, every staged
+    // materialization (prefixFold, BPE, graph rounds, semanticDedup)
+    // goes through RELIABLE Dataset.checkpoint — the cluster posture
+    // (see Checkpoints.stageCheckpoint) — instead of localCheckpoint.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
