@@ -44,21 +44,26 @@ object CurationPipeline {
     val nRaw = raw.count()
 
     // 2. Language ID + quality gate (length bounds, punctuation ratio).
+    // cache() at reused stage boundaries: each stage below feeds both a
+    // diagnostic count and the next stage — without it the lineage
+    // recomputes from the scan per action. (A production run checkpoints
+    // stage outputs to storage instead; counts then come from the files.)
     val kept = raw
       .withColumn("lang_id", TextAnalysis.langId(col("text")))
       .where(TextAnalysis.qualityOk(col("text"), minChars = 20,
         maxChars = 100000))
+      .cache()
     val nKept = kept.count()
 
     // 3. Exact dedup: one (fingerprint, id) shuffle, smallest id survives.
-    val unique = Dedup.exact(kept, "text", "doc_id")
+    val unique = Dedup.exact(kept, "text", "doc_id").cache()
     val nUnique = unique.count()
 
     // 4. Near-dup removal: MinHash LSH candidates, exact-Jaccard verify,
     //    connected-component clusters, one canonical survivor each.
     val pairs = Dedup.minhashNearDups(unique, "doc_id", "text",
       threshold = 0.8)
-    val corpus = Dedup.dropNearDuplicates(unique, pairs, "doc_id")
+    val corpus = Dedup.dropNearDuplicates(unique, pairs, "doc_id").cache()
     val nCorpus = corpus.count()
 
     // 5. Packing layout: per-bucket offsets into 512-token training

@@ -398,9 +398,14 @@ object Relational {
     * extracts, log files, one-document-per-line corpora). The source
     * yields a single `value` string column, one row per line; the sink
     * requires exactly one string column (Spark's text writer contract)
-    * and writes no header or quoting — bytes in, bytes out, except that
-    * a newline INSIDE a value cannot survive a line-oriented format
-    * (caller escapes first; the spec pins the contract).
+    * and writes no header or quoting — bytes in, bytes out, WITH the
+    * line-format caveats made explicit (and spec-pinned): a `\n` or
+    * bare `\r` inside a value splits it into multiple rows on read
+    * (both are line terminators to the reader — caller escapes first),
+    * and a NULL value is written as an empty line, so it reads back as
+    * `""`, not NULL. Values must be newline-free; NULLs are the
+    * caller's choice to pre-filter or accept the empty-string
+    * round-trip.
     *
     * Scale notes: an uncompressed (or zstd/bzip2) text file splits
     * across tasks on line boundaries; GZIP DOES NOT SPLIT — one

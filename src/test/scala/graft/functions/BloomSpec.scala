@@ -65,17 +65,12 @@ class BloomSpec extends SparkSpec {
   }
 
   test("bloom_might_contain generates compiling code (no codegen fallback)") {
-    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
+    withConfs("spark.sql.codegen.fallback" -> "false") {
       val build = spark.range(0, 1000).toDF("k")
       val bf = build.stat.bloomFilter("k", 1000, 0.03)
       val n = spark.range(0, 10000).toDF("k")
         .where(BloomExpressions.bloom_might_contain(col("k"), bf)).count()
       assert(n >= 1000) // all inserted keys hit even through generated code
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-      case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
 

@@ -114,9 +114,7 @@ class NativeExprPropertySpec extends SparkSpec {
 
   test("hashed_linear_mills generates compiling code (no codegen fallback)") {
     import graft.functions.HashedLinearExpression.hashed_linear_mills
-    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
+    withConfs("spark.sql.codegen.fallback" -> "false") {
       val df = Seq.tabulate(100)(i => (i.toLong, s"tok$i hello wor$i")).toDF("i", "t")
       val s = df.select(hashed_linear_mills(col("t"), 64).as("m"))
         .agg(sum("m")).collect()(0).getLong(0)
@@ -124,9 +122,6 @@ class NativeExprPropertySpec extends SparkSpec {
       val s2 = df.select(graft.pipeline.Scoring.hofMills(col("t"), 64).as("m"))
         .agg(sum("m")).collect()(0).getLong(0)
       assert(s == s2)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-      case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
 }

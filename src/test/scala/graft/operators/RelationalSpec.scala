@@ -490,6 +490,13 @@ class RelationalSpec extends SparkSpec {
       Relational.textOutput(Seq((1L, "x")).toDF("k", "v"), dir)
     }
     assert(e.getMessage.contains("one string column"))
+    // the two documented line-format caveats, pinned as behavior: a
+    // NULL value writes an empty line (reads back as "", not NULL),
+    // and a bare \r inside a value splits the row on read
+    val caveatDir = java.nio.file.Files.createTempDirectory("graft_text_cv").toString
+    Relational.textOutput(Seq(Some("a"), None, Some("b\rc")).toDF("value"), caveatDir)
+    assert(Relational.textInput(spark, caveatDir).collect().map(_.getString(0))
+      .sorted.toSeq == Seq("", "a", "b", "c"))
     // gzip codec round-trips (unsplittable — the scaladoc's many-files
     // contract; here just the codec path)
     val gzDir = java.nio.file.Files.createTempDirectory("graft_text_gz").toString

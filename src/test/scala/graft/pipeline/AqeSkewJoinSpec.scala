@@ -16,18 +16,7 @@ import graft.SparkSpec
   */
 class AqeSkewJoinSpec extends SparkSpec {
 
-  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("hot-key join: AQE splits the skewed partition (skew=true) and results match") {
-    import spark.implicits._
     // 80% of fact rows share key 0; payload pads bytes so the hot
     // partition crosses the (lowered) skew threshold
     val fact = spark.range(0, 50000)
@@ -42,7 +31,9 @@ class AqeSkewJoinSpec extends SparkSpec {
         sum("w").as("sw"))
 
     // reference: plain shuffle join, no AQE
-    val want = withConfsCollect("spark.sql.adaptive.enabled" -> "false")(joined)
+    val want = withConfs("spark.sql.adaptive.enabled" -> "false") {
+      rows(joined)
+    }
 
     withConfs(
       "spark.sql.adaptive.enabled" -> "true",
@@ -56,20 +47,12 @@ class AqeSkewJoinSpec extends SparkSpec {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32k",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
       val df = joined
-      val got = df.collect().toSeq.map(_.toSeq)
-      assert(got == want)
+      assert(rows(df) == want)
       val finalPlan = df.queryExecution.executedPlan.collectFirst {
         case a: AdaptiveSparkPlanExec => a.executedPlan
       }.getOrElse(df.queryExecution.executedPlan)
       assert(finalPlan.toString.contains("skew=true"),
         s"expected a skew-split join in the final AQE plan:\n$finalPlan")
     }
-  }
-
-  private def withConfsCollect(pairs: (String, String)*)(
-      df: => org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
-    var out: Seq[Seq[Any]] = null
-    withConfs(pairs: _*) { out = df.collect().toSeq.map(_.toSeq) }
-    out
   }
 }
