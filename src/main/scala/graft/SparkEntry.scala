@@ -349,7 +349,7 @@ object SparkEntry {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val base = if (wh.contains(":/")) java.nio.file.Paths.get(new java.net.URI(wh))
                else java.nio.file.Paths.get(wh)
-    base.resolve(table.toLowerCase)
+    base.resolve(table.toLowerCase(java.util.Locale.ROOT))
   }
 
   private def ensureBucketedIngest(s: SparkSession, d: String): (String, String) =

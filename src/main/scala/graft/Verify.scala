@@ -15,11 +15,17 @@ object Verify {
     // results depend on the data, never on the execution layout.
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Semantic-config knobs: gates must also hold under the session
+    // semantics a USER brings — stock Spark 4 runs ANSI on, and cluster
+    // sessions need not be UTC. Sweeps replay the full oracle under
+    // ansi=true and a non-UTC zone to prove no gate leans on the pins.
+    val tz = sys.env.getOrElse("SPARK_GRAFT_TZ", "UTC")
+    val ansi = sys.env.getOrElse("SPARK_GRAFT_ANSI", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", tz)
+      .config("spark.sql.ansi.enabled", ansi)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")

@@ -192,7 +192,7 @@ object Exprs {
   /** 1-based offset of needle, 0 if absent — matches Spark instr. */
   def stringOffset(c: Column, needle: String): Column = instr(c, needle)
   def stringContains(c: Column, needle: String): Column = c.contains(needle)
-  def stringContainsCI(c: Column, needle: String): Column = lower(c).contains(needle.toLowerCase)
+  def stringContainsCI(c: Column, needle: String): Column = lower(c).contains(needle.toLowerCase(java.util.Locale.ROOT))
   def stringReplace(c: Column, search: String, repl: String): Column =
     replace(c, lit(search), lit(repl))
 

@@ -596,7 +596,7 @@ object Relational {
                proj: Seq[Column] = Nil,
                rhsUniqueness: KeyUniqueness = NotUniqueKey,
                rhsKeyCols: Seq[String] = Nil): DataFrame = {
-    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+    require(SupportedJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"hashJoin: unsupported join type '$joinType'")
     if (rhsUniqueness == UniqueKey && rhsKeyCols.nonEmpty) {
       // reserved output name: a bare .count() would collide with an rhs
@@ -638,13 +638,13 @@ object Relational {
   def bloomJoin(probe: DataFrame, build: DataFrame, probeKey: String,
                 buildKey: String, joinType: String = "inner",
                 expectedItems: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
-    require(Set("inner", "left_semi", "semi").contains(joinType.toLowerCase),
+    require(Set("inner", "left_semi", "semi").contains(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"bloomJoin: probe-side pre-filtering requires inner or left_semi, got '$joinType'")
     val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
     val pruned = probe.where(
       graft.functions.BloomExpressions.bloom_might_contain(col(probeKey), bf))
     pruned.join(build, col(probeKey) === col(buildKey),
-      if (joinType.toLowerCase == "inner") "inner" else "left_semi")
+      if (joinType.toLowerCase(java.util.Locale.ROOT) == "inner") "inner" else "left_semi")
   }
 
   /** RowidMergeJoin — inner join of lhs's sorted NOT NULL int64 key against

@@ -43,7 +43,7 @@ object Index {
     * retrieval cheap. */
   def conjunctiveQuery(index: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "conjunctiveQuery: need at least one term")
-    val distinctTerms = terms.map(_.toLowerCase).distinct
+    val distinctTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     index.where(col("term").isin(distinctTerms: _*))
       .select("term", "doc").distinct()
       .groupBy("doc").agg(count(lit(1)).as("__hits"))
@@ -75,7 +75,7 @@ object Index {
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch: need at least one term")
-    val terms = phrase.map(_.toLowerCase)
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val post = positionalIndex(docs, idCol, textCol)
     val base = post.where(col("term") === terms.head)
       .select(col("doc"), col("pos"))

@@ -32,9 +32,9 @@ object TimeSeries {
     * by the key column. */
   def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String, unit: String = "hour"): DataFrame = {
-    require(Units.contains(unit.toLowerCase),
+    require(Units.contains(unit.toLowerCase(java.util.Locale.ROOT)),
       s"resampleFill: unit must be one of $Units, got '$unit'")
-    val u = unit.toLowerCase
+    val u = unit.toLowerCase(java.util.Locale.ROOT)
     val agg = df
       .groupBy(col(keyCol), date_trunc(u, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n"),
@@ -596,9 +596,9 @@ object TimeSeries {
     * n, value, src ∈ observed|interpolated|edge). */
   def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
                         valueCol: String, unit: String = "day"): DataFrame = {
-    require(Units.contains(unit.toLowerCase),
+    require(Units.contains(unit.toLowerCase(java.util.Locale.ROOT)),
       s"interpolateLinear: unit must be one of $Units")
-    val u = unit.toLowerCase
+    val u = unit.toLowerCase(java.util.Locale.ROOT)
     val agg = df
       .groupBy(col(keyCol), date_trunc(u, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("__n"),

@@ -209,7 +209,7 @@ object QuerySpecs {
   }
 
   def toAgg(f: AggFieldSpec): Agg = Agg(
-    fnByName.getOrElse(f.fn.toUpperCase,
+    fnByName.getOrElse(f.fn.toUpperCase(java.util.Locale.ROOT),
       throw new IllegalArgumentException(s"unknown aggregate fn '${f.fn}'")),
     f.input, f.output, f.distinct,
     f.outType.map(DataType.fromDDL),

@@ -28,7 +28,7 @@ object GraftTypes {
     "BINARY" -> BinaryType,
     "ENUM" -> StringType)        // semantic mapping; see EnumDefinition
 
-  def toSpark(ref: String): DataType = mapping(ref.toUpperCase)
+  def toSpark(ref: String): DataType = mapping(ref.toUpperCase(java.util.Locale.ROOT))
 
   /** Attribute (reference: tuple_schema.h:77-117) = StructField. */
   def attribute(name: String, ref: String, nullable: Boolean): StructField =
