@@ -181,7 +181,7 @@ object SparkEntry {
       dec(col("l_quantity")).as("qty"),
       dec(col("l_extendedprice")).as("price"),
       (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("disc_price")
-    )(Relational.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))(li))
+    )(Relational.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))(li))
     val agg = Aggregates.groupAggregate(Seq("l_returnflag", "l_linestatus"), Seq(
       Agg(SUM, Some("qty"), "sum_qty"),
       Agg(SUM, Some("price"), "sum_base_price"),
@@ -557,11 +557,11 @@ object SparkEntry {
     // is exactly 30 days, so the p90 chooser lands on ~30 days) — the
     // driver gate exercises the auto-width path end-to-end; width cannot
     // change the result set, only the explode/probe balance.
-    val start = unix_millis(col("o_orderdate").cast("timestamp"))
-    val end = unix_millis(col("o_orderdate").cast("timestamp")) + 30L * day
+    val start = graft.functions.Exprs.epochMillisCivil(col("o_orderdate").cast("timestamp_ntz"))
+    val end = graft.functions.Exprs.epochMillisCivil(col("o_orderdate").cast("timestamp_ntz")) + 30L * day
     val width = Relational.chooseRangeBucketWidth(big, start, end)
     val j = Relational.rangeJoin(li, big, Nil,
-      unix_millis(col("l_shipdate").cast("timestamp")),
+      graft.functions.Exprs.epochMillisCivil(col("l_shipdate").cast("timestamp_ntz")),
       start, end, bucketWidth = width)
     j.groupBy("o_orderkey")
       .agg(count(lit(1)).as("n_shipped"),
@@ -1652,7 +1652,8 @@ object SparkEntry {
 
   private def qEventsWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.windowedStats(Tables.events(s, d))
-      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("window_start", date_format(graft.functions.Exprs.civilFromMicros(
+        unix_micros(col("window_start"))), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("window_start", "event_type")
 
   private def qStreamWindow(s: SparkSession, d: String): DataFrame = {
@@ -1663,7 +1664,8 @@ object SparkEntry {
     // no losses) are hash-checked, not just spec-checked.
     val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_stream_${ProcessHandle.current().pid()}")
     graft.streaming.Streams.windowedStreamGate(s, d, work)
-      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("window_start", date_format(graft.functions.Exprs.civilFromMicros(
+        unix_micros(col("window_start"))), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("window_start", "event_type")
   }
 
@@ -1802,7 +1804,8 @@ object SparkEntry {
 
   private def qSlidingWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.slidingStats(Tables.events(s, d), "1 hour", "15 minutes")
-      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("window_start", date_format(graft.functions.Exprs.civilFromMicros(
+        unix_micros(col("window_start"))), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("window_start", "event_type")
 
   private def qStreamSliding(s: SparkSession, d: String): DataFrame = {
@@ -1812,7 +1815,8 @@ object SparkEntry {
     // read back, gated on the batch sliding oracle.
     val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_stream_sliding_${ProcessHandle.current().pid()}")
     graft.streaming.Streams.slidingStreamGate(s, d, work)
-      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("window_start", date_format(graft.functions.Exprs.civilFromMicros(
+        unix_micros(col("window_start"))), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("window_start", "event_type")
   }
 
@@ -2199,8 +2203,8 @@ object SparkEntry {
       Seq("view", "click"), model = "last")
     Relational.sort(col("conversion_id"))(
       out.select(col("conversion_id"), col("user_id"),
-        unix_micros(col("conv_ts")).as("conv_ts"), col("touch_type"),
-        unix_micros(col("touch_ts")).as("touch_ts")))
+        graft.functions.Exprs.epochMicrosCivil(col("conv_ts")).as("conv_ts"), col("touch_type"),
+        graft.functions.Exprs.epochMicrosCivil(col("touch_ts")).as("touch_ts")))
   }
 
   private def qDpCounts(s: SparkSession, d: String): DataFrame = {
@@ -2570,7 +2574,7 @@ object SparkEntry {
     val out = graft.pipeline.Events.burstLeaders(Tables.events(s, d),
       Seq("user_id", "event_type"), "ts", gapSeconds = 3600L, tieCol = "event_id")
     Relational.sort(col("event_id"))(out.select(col("event_id"),
-      col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us")))
+      col("user_id"), col("event_type"), graft.functions.Exprs.epochMicrosCivil(col("ts")).as("ts_us")))
   }
 
   private def qArgmax(s: SparkSession, d: String): DataFrame = {
@@ -2598,8 +2602,8 @@ object SparkEntry {
     // deterministic duration): maximal disjoint spans via the
     // gaps-and-islands reduction — two key-sharded exchanges.
     val iv = Tables.events(s, d).select(col("user_id"),
-      unix_micros(col("ts")).as("s"),
-      (unix_micros(col("ts")) +
+      graft.functions.Exprs.epochMicrosCivil(col("ts")).as("s"),
+      (graft.functions.Exprs.epochMicrosCivil(col("ts")) +
         ((col("event_id") % 7) + 1) * 600000000L).as("e"))
     Relational.sort(col("user_id"), col("s"))(
       graft.pipeline.Events.mergeIntervals(iv, Seq("user_id"), "s", "e"))
@@ -2738,7 +2742,7 @@ object SparkEntry {
       "user_id", "ts", "value", "event_id", lookback = 5)
     Relational.sort(col("user_id"), col("event_id"))(
       out.select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("ts_us"), round(col("win_mean"), 6).as("win_mean"),
+        graft.functions.Exprs.epochMicrosCivil(col("ts")).as("ts_us"), round(col("win_mean"), 6).as("win_mean"),
         col("win_n"), col("win_min"), col("win_max")))
   }
 
@@ -3307,8 +3311,8 @@ object SparkEntry {
       .repartitionByRange(8, col("o_orderdate"))
       .write.mode("overwrite").parquet(out)
     val mf = Relational.fileStatsManifest(s, out, "o_orderdate").cache()
-    val lo = lit("1997-01-01 00:00:00").cast("timestamp")
-    val hi = lit("1997-12-31 23:59:59").cast("timestamp")
+    val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    val hi = lit("1997-12-31 23:59:59").cast("timestamp_ntz")
     val total = mf.count()
     val picked = mf.where(col("max_v") >= lo && col("min_v") <= hi).count()
     require(picked < total,
@@ -3427,8 +3431,8 @@ object SparkEntry {
     // q_interval_merge: per user, max simultaneously-open sessions, the
     // earliest instant the peak is reached, and the interval count.
     val iv = Tables.events(s, d).select(col("user_id"),
-      unix_micros(col("ts")).as("s"),
-      (unix_micros(col("ts")) +
+      graft.functions.Exprs.epochMicrosCivil(col("ts")).as("s"),
+      (graft.functions.Exprs.epochMicrosCivil(col("ts")) +
         ((col("event_id") % 7) + 1) * 600000000L).as("e"))
     Relational.sort(col("user_id"))(
       graft.pipeline.Events.concurrencyProfile(iv, Seq("user_id"), "s", "e"))
@@ -3972,7 +3976,7 @@ object SparkEntry {
     // quadratic join (zero-overlap pairs contribute nothing, so the
     // bucket pruning is invisible to the result).
     val ev = Tables.events(s, d)
-    val micros = unix_micros(col("ts"))
+    val micros = graft.functions.Exprs.epochMicrosCivil(col("ts"))
     val a = ev.where(col("event_type") === "click")
       .select((col("user_id") % 20).as("k"), micros.as("s"),
         (micros + (lit(1) + col("event_id") % 5) * lit(60000000L)).as("e"))
@@ -3990,7 +3994,7 @@ object SparkEntry {
     // causal contrast rounded once at the edge.
     graft.pipeline.Profile.diffInDiff(Tables.orders(s, d),
       col("o_custkey") % 2 === 0,
-      col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+      col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz"),
       "o_totalprice")
 
   private def qCidrJoin(s: SparkSession, d: String): DataFrame = {
@@ -4270,8 +4274,8 @@ object SparkEntry {
     // Idle windows between the q_interval_merge busy spans: one extra
     // key-sharded lag over the merged islands.
     val iv = Tables.events(s, d).select(col("user_id"),
-      unix_micros(col("ts")).as("s"),
-      (unix_micros(col("ts")) +
+      graft.functions.Exprs.epochMicrosCivil(col("ts")).as("s"),
+      (graft.functions.Exprs.epochMicrosCivil(col("ts")) +
         ((col("event_id") % 7) + 1) * 600000000L).as("e"))
     Relational.sort(col("user_id"), col("gap_start"))(
       graft.pipeline.Events.intervalGaps(iv, Seq("user_id"), "s", "e"))

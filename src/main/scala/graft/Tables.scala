@@ -13,19 +13,18 @@ object Tables {
   /** Driver parquet vintages differ in how they store timestamps: some
     * rounds write TIMESTAMP(NANOS) (read as Long under
     * spark.sql.legacy.parquet.nanosAsLong), newer ones TIMESTAMP(MICROS,
-    * isAdjustedToUTC=false) which Spark 4 infers as TIMESTAMP_NTZ. The
-    * engine's gates are written against plain TIMESTAMP (strict-input
-    * functions like unix_micros reject NTZ), so normalize here: with the
-    * session zone pinned to UTC the NTZ→TZ cast is value-preserving and
-    * DuckDB sees the identical naive instant either way. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    import org.apache.spark.sql.types.TimestampNTZType
-    import org.apache.spark.sql.functions.col
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
-      (df, f) => df.withColumn(f.name, col(f.name).cast("timestamp"))
-    }
-  }
+    * isAdjustedToUTC=false) which Spark 4 infers as TIMESTAMP_NTZ.
+    *
+    * NTZ columns are kept NTZ — the engine's time semantics are CIVIL
+    * (wall clock read as UTC, exactly what the reference's int64-UTC
+    * DATETIME means). Round 9's session-timezone sweep proved the earlier
+    * `.cast("timestamp")` normalization was a portability bug: that cast
+    * re-interprets the wall clock through spark.sql.session.timeZone, so
+    * 15 gates returned different rows on any non-UTC session. Epoch
+    * extraction on these columns must use Exprs.epochMicrosCivil (civil
+    * timestamp_diff), never unix_micros. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
@@ -36,11 +35,14 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   /** events.ts is parquet TIMESTAMP(NANOS): read as nanos-long (session sets
     * spark.sql.legacy.parquet.nanosAsLong) and convert to a microsecond
-    * timestamp here, matching engines that truncate ns to us. */
+    * CIVIL timestamp here (stored count read as UTC wall clock — identical
+    * to how DuckDB reads the same column), matching engines that truncate
+    * ns to us. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      raw.withColumn("ts", graft.functions.Exprs.civilFromMicros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

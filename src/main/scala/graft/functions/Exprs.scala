@@ -205,15 +205,72 @@ object Exprs {
   def regexpExtractE(c: Column, pattern: String, group: Int = 1): Column =
     regexp_extract(c, pattern, group)
 
-  // ===== Date/time (date_expressions.h:31-175; non-Local = UTC and the
-  // session runs UTC, so Local variants coincide unless a tz is given) =====
-  def now(): Column = current_timestamp()
-  def unixTimestampE(c: Column): Column = unix_timestamp(c)
-  def fromUnixTime(c: Column): Column = timestamp_seconds(c)
+  // ===== Civil-time core (session-timezone INVARIANCE) =====
+  // The reference's DATETIME is an int64 of UTC micros and every non-Local
+  // extractor reads UTC fields (date_expressions.h:31-175). The Spark-native
+  // carrier for that semantics is TIMESTAMP_NTZ: civil field extraction and
+  // truncation on NTZ never consult spark.sql.session.timeZone, so results
+  // cannot depend on what zone a user's cluster session happens to run —
+  // the round-9 TZ sweep (Verify under SPARK_GRAFT_TZ) is the suite-wide
+  // proof. Epoch conversion must therefore be CIVIL arithmetic (a
+  // timestamp_diff against the NTZ epoch), never unix_micros, whose
+  // NTZ→LTZ coercion re-interprets the wall clock in the session zone.
+
+  /** 1970-01-01T00:00 as a TIMESTAMP_NTZ literal — the civil epoch. */
+  private val NtzEpoch: Column = lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0))
+
+  /** Epoch micros of a civil value (TIMESTAMP_NTZ or DATE), reading the
+    * wall clock as UTC. Session-timezone-invariant; do not pass
+    * TIMESTAMP (LTZ) columns — their NTZ cast goes through the session
+    * zone, which is exactly the dependence this helper exists to avoid. */
+  def epochMicrosCivil(c: Column): Column =
+    timestamp_diff("MICROSECOND", NtzEpoch, c.cast("timestamp_ntz"))
+  def epochMillisCivil(c: Column): Column =
+    timestamp_diff("MILLISECOND", NtzEpoch, c.cast("timestamp_ntz"))
+  def epochSecondsCivil(c: Column): Column =
+    timestamp_diff("SECOND", NtzEpoch, c.cast("timestamp_ntz"))
+  /** Inverse: epoch micros → civil TIMESTAMP_NTZ (wall clock = UTC). */
+  def civilFromMicros(us: Column): Column =
+    timestamp_add("MICROSECOND", us, NtzEpoch)
+  def civilFromSeconds(s: Column): Column =
+    timestamp_add("SECOND", s, NtzEpoch)
+
+  /** Civil `date_trunc`: truncation of the UTC-read wall clock, returning
+    * TIMESTAMP_NTZ. Spark's own `date_trunc` declares a TIMESTAMP (LTZ)
+    * input, so an NTZ argument is implicitly CAST through the session
+    * zone and the truncated INSTANT moves with the session (rendering
+    * back in the same zone masks it — the round-9 TZ sweep caught it via
+    * parquet-written cohort/bucket columns). Fixed-width units truncate
+    * in civil epoch space (a civil day is always 86400 s — the UTC frame
+    * has no DST); calendar units go through the DATE-typed `trunc`,
+    * which never consults the session zone. */
+  def dateTruncCivil(unit: String, c: Column): Column = {
+    val n = c.cast("timestamp_ntz")
+    unit.toLowerCase(java.util.Locale.ROOT) match {
+      case "second" => civilFromMicros(
+        epochMicrosCivil(n) - pmod(epochMicrosCivil(n), lit(1000000L)))
+      case "minute" => civilFromMicros(
+        epochMicrosCivil(n) - pmod(epochMicrosCivil(n), lit(60L * 1000000)))
+      case "hour" => civilFromMicros(
+        epochMicrosCivil(n) - pmod(epochMicrosCivil(n), lit(3600L * 1000000)))
+      case "day" => n.cast("date").cast("timestamp_ntz")
+      case u @ ("week" | "month" | "quarter" | "year") =>
+        trunc(n.cast("date"), u).cast("timestamp_ntz")
+      case other => throw new IllegalArgumentException(
+        s"dateTruncCivil: unsupported unit '$other'")
+    }
+  }
+
+  // ===== Date/time (date_expressions.h:31-175; non-Local = UTC fields,
+  // carried as civil TIMESTAMP_NTZ so no session pin is needed) =====
+  /** UTC wall clock now, as civil NTZ (reference Now() is UTC micros). */
+  def now(): Column = civilFromMicros(unix_micros(current_timestamp()))
+  def unixTimestampE(c: Column): Column = epochSecondsCivil(c)
+  def fromUnixTime(c: Column): Column = civilFromSeconds(c)
   def makeDateE(y: Column, m: Column, d: Column): Column = make_date(y, m, d)
   def makeDatetime(y: Column, mo: Column, d: Column, h: Column, mi: Column, s: Column): Column =
-    make_timestamp(y, mo, d, h, mi, s)
-  def parseDateTime(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+    make_timestamp_ntz(y, mo, d, h, mi, s)
+  def parseDateTime(c: Column, fmt: String): Column = to_timestamp_ntz(c, lit(fmt))
   def yearE(c: Column): Column = year(c)
   def quarterE(c: Column): Column = quarter(c)
   def monthE(c: Column): Column = month(c)
@@ -223,20 +280,22 @@ object Exprs {
   def hourE(c: Column): Column = hour(c)
   def minuteE(c: Column): Column = minute(c)
   def secondE(c: Column): Column = second(c)
-  def microsecondE(c: Column): Column = (unix_micros(c) % 1000000L).cast("int")
+  def microsecondE(c: Column): Column = (epochMicrosCivil(c) % 1000000L).cast("int")
   def addDays(c: Column, n: Column): Column = date_add(c.cast("date"), n)
   def addMonths(c: Column, n: Column): Column = add_months(c.cast("date"), n)
   def addMinutes(c: Column, n: Column): Column =
     c + make_dt_interval(lit(0), lit(0), n.cast("int"), lit(0))
   def dateFormat(c: Column, fmt: String): Column = date_format(c, fmt)
   def dateFormatLocal(c: Column, fmt: String, tz: String): Column =
-    date_format(from_utc_timestamp(c, tz), fmt)
+    date_format(atTz(c, tz), fmt)
 
   // ===== `*Local` datetime variants (operators.proto:604-644): the field
   // extractors re-read in a caller-supplied timezone. The non-Local surface
-  // is UTC (session tz is UTC), so Local(tz = "UTC") coincides — the tz
-  // argument is the whole point of the variant. =====
-  private def atTz(c: Column, tz: String): Column = from_utc_timestamp(c, tz)
+  // reads UTC fields (civil NTZ), so Local(tz = "UTC") coincides — the tz
+  // argument is the whole point of the variant. convert_timezone with BOTH
+  // zones explicit keeps this session-independent. =====
+  private def atTz(c: Column, tz: String): Column =
+    convert_timezone(lit("UTC"), lit(tz), c.cast("timestamp_ntz"))
   def yearLocal(c: Column, tz: String): Column = year(atTz(c, tz))
   def quarterLocal(c: Column, tz: String): Column = quarter(atTz(c, tz))
   def monthLocal(c: Column, tz: String): Column = month(atTz(c, tz))
@@ -257,10 +316,11 @@ object Exprs {
   def sqrtSignaling(c: Column): Column = signaling(sqrtNulling(c), Seq(c), "SqrtSignaling")
   def lnSignaling(c: Column): Column = signaling(lnNulling(c), Seq(c), "LnSignaling")
 
-  // ===== Const datetime factories (date_expressions.h:31-60) =====
-  def constDateTime(iso: String): Column = lit(iso).cast("timestamp")
-  def constDateTimeFromMicrosecondsSinceEpoch(us: Long): Column = timestamp_micros(lit(us))
-  def constDateTimeFromSecondsSinceEpoch(s: Long): Column = timestamp_seconds(lit(s))
+  // ===== Const datetime factories (date_expressions.h:31-60) — civil NTZ,
+  // the ISO text / epoch count read as UTC regardless of session zone =====
+  def constDateTime(iso: String): Column = lit(iso).cast("timestamp_ntz")
+  def constDateTimeFromMicrosecondsSinceEpoch(us: Long): Column = civilFromMicros(lit(us))
+  def constDateTimeFromSecondsSinceEpoch(s: Long): Column = civilFromSeconds(lit(s))
 
   // ===== Projecting expressions (projecting_expressions.h:46-73) =====
   def namedAttribute(name: String): Column = col(name)

@@ -79,7 +79,7 @@ object Events {
     * Profile.momentSums for why). One key exchange + one key window. */
   def periodOverPeriod(df: DataFrame, keyCol: String, tsCol: String,
                        valueCol: String, unit: String = "day"): DataFrame = {
-    val sums = df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+    val sums = df.groupBy(col(keyCol), graft.functions.Exprs.dateTruncCivil(unit, col(tsCol)).as("bucket"))
       .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__s"))
       .withColumn("cur", col("__s").cast("string").cast("double"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
@@ -107,7 +107,7 @@ object Events {
         s"cohortRetention: unit must be day|week, got $other")
     }
     val ev = df.select(col(userCol).as("__u"),
-      date_trunc(unit, col(tsCol)).as("__w"))
+      graft.functions.Exprs.dateTruncCivil(unit, col(tsCol)).as("__w"))
     val firstSeen = ev.groupBy("__u").agg(min("__w").as("__c"))
     ev.join(firstSeen, Seq("__u"))
       .withColumn("offset",
@@ -135,7 +135,7 @@ object Events {
     }
     def d(c: Column) = c.cast("string").cast("double")
     val ev = df.select(col(userCol).as("__u"),
-      date_trunc(unit, col(tsCol)).as("__w"),
+      graft.functions.Exprs.dateTruncCivil(unit, col(tsCol)).as("__w"),
       col(valueCol).cast("decimal(18,6)").as("__v"))
     val firstSeen = ev.groupBy("__u").agg(min("__w").as("__c"))
     val sizes = firstSeen.groupBy(col("__c").as("cohort"))
@@ -169,7 +169,7 @@ object Events {
   def rateAnomaly(df: DataFrame, tsCol: String, bucket: String = "hour",
                   window: Int = 24, zThreshold: Double = 3.0): DataFrame = {
     require(window >= 2, "rateAnomaly: window must be >= 2")
-    val b = df.groupBy(date_trunc(bucket, col(tsCol)).as("bucket"))
+    val b = df.groupBy(graft.functions.Exprs.dateTruncCivil(bucket, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("c"))
     // global window over the time-BUCKET table — bounded by the covered
     // time range (hours/days), not the event count (sweep-audited r8)
@@ -290,9 +290,9 @@ object Events {
     val w = Window.partitionBy(ks: _*)
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     val gaps = df
-      .withColumn("__pt", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__pt", lag(graft.functions.Exprs.epochMicrosCivil(col(tsCol)), 1).over(w))
       .where(col("__pt").isNotNull)
-      .withColumn("__g", unix_micros(col(tsCol)) - col("__pt"))
+      .withColumn("__g", graft.functions.Exprs.epochMicrosCivil(col(tsCol)) - col("__pt"))
     val m = gaps.groupBy(ks: _*)
       .agg(count(lit(1)).as("n_gaps"),
         d(sum(col("__g").cast("decimal(38,0)"))).as("__s"),
@@ -363,7 +363,7 @@ object Events {
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     df.withColumn("__prev", lag(col(tsCol), 1).over(w))
       .where(col("__prev").isNull ||
-        unix_micros(col(tsCol)) - unix_micros(col("__prev")) >
+        graft.functions.Exprs.epochMicrosCivil(col(tsCol)) - graft.functions.Exprs.epochMicrosCivil(col("__prev")) >
           gapSeconds * 1000000L)
       .drop("__prev")
   }
@@ -429,7 +429,7 @@ object Events {
   def cumulativeUnique(df: DataFrame, keyCol: String, tsCol: String,
                        unit: String = "day"): DataFrame = {
     val perKey = df.select(col(keyCol).as("__k"),
-        date_trunc(unit, col(tsCol)).as("period"))
+        graft.functions.Exprs.dateTruncCivil(unit, col(tsCol)).as("period"))
       .groupBy(col("__k"), col("period")).agg(count(lit(1)).as("__n"))
     val active = perKey.groupBy(col("period"))
       .agg(count(lit(1)).as("active"))
@@ -485,7 +485,7 @@ object Events {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t"))
       .rangeBetween(-(windowSec * 1000000L - 1), 0)
-    df.withColumn("__t", unix_micros(col(tsCol)))
+    df.withColumn("__t", graft.functions.Exprs.epochMicrosCivil(col(tsCol)))
       .withColumn("window_count", count(lit(1)).over(w))
       .withColumn("over_limit", col("window_count") > limitN)
       .drop("__t")
@@ -502,7 +502,7 @@ object Events {
     * two keyed aggregates. */
   def longestStreak(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val perDay = df.select(col(keyCol),
-        to_date(date_trunc("day", col(tsCol))).as("__d")).distinct()
+        to_date(col(tsCol)).as("__d")).distinct()
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__d").asc)
     val runs = perDay
       .withColumn("__island", datediff(col("__d"), lit("1970-01-01")) -
@@ -606,7 +606,7 @@ object Events {
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__conv"))
     val w = Window.partitionBy(col(userCol))
     val age = least(
-      expr(s"(unix_micros(__conv) - unix_micros(${tsCol})) div 86400000000L"),
+      expr(s"timestampdiff(MICROSECOND, ${tsCol}, __conv) div 86400000000L"),
       lit(maxAgeDays.toLong))
     val touches = df.where(col(typeCol).isin(touchTypes: _*))
       .join(conv, Seq(userCol))
@@ -664,9 +664,9 @@ object Events {
                     typeCol: String, fromStage: String,
                     toStage: String): DataFrame = {
     val first = df.where(col(typeCol) === fromStage)
-      .groupBy(col(userCol)).agg(min(unix_micros(col(tsCol))).as("from_us"))
+      .groupBy(col(userCol)).agg(min(graft.functions.Exprs.epochMicrosCivil(col(tsCol))).as("from_us"))
     val converted = df.where(col(typeCol) === toStage)
-      .select(col(userCol), unix_micros(col(tsCol)).as("__t2"))
+      .select(col(userCol), graft.functions.Exprs.epochMicrosCivil(col(tsCol)).as("__t2"))
       .join(first, Seq(userCol))
       .where(col("__t2") > col("from_us"))
       .groupBy(col(userCol), col("from_us"))
@@ -689,7 +689,7 @@ object Events {
     require(wauDays >= 1 && mauDays >= 1,
       "activeUserStats: window lengths must be >= 1")
     val perDay = df.select(col(keyCol).as("__k"),
-      to_date(date_trunc("day", col(tsCol))).as("__d")).distinct()
+      to_date(col(tsCol)).as("__d")).distinct()
     val dau = perDay.groupBy(col("__d").as("day"))
       .agg(count(lit(1)).as("dau"))
     def rolling(wnd: Int, name: String) = perDay

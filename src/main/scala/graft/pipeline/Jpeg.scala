@@ -19,17 +19,22 @@ package graft.pipeline
   * (SparkEntry q_multimodal_jpeg). Arbitrary pixels encode fine too, with
   * ordinary lossy error (spec-tested against ImageIO both directions).
   *
-  * Decoder: general sequential (SOF0/SOF1) AND progressive (SOF2,
-  * round 9) — multiple DQT (8/16-bit) and DHT segments, 1- or
-  * 3-component frames, sampling factors 1-2 each way (4:4:4 / 4:2:2 /
-  * 4:2:0), DRI/RSTn restart handling, byte-unstuffing, nearest-neighbor
-  * chroma upsampling, JFIF YCbCr→RGB. Progressive scans implement the
-  * full Annex G Huffman procedures: spectral selection, DC and AC
-  * successive approximation (EOB-run coding and refinement correction
-  * bits), coefficients accumulated per component and IDCT'd at EOI.
-  * Arithmetic-coded, lossless and hierarchical streams are rejected here
-  * and still served geometry-only by [[Multimodal.decodeJpeg]]'s marker
-  * walk.
+  * Decoder: general sequential (SOF0/SOF1), progressive (SOF2, round 9)
+  * AND lossless (SOF3, round 9) — multiple DQT (8/16-bit) and DHT
+  * segments, 1- or 3-component frames, sampling factors 1-2 each way
+  * (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restart handling, byte-unstuffing,
+  * nearest-neighbor chroma upsampling, JFIF YCbCr→RGB. Progressive scans
+  * implement the full Annex G Huffman procedures: spectral selection, DC
+  * and AC successive approximation (EOB-run coding and refinement
+  * correction bits), coefficients accumulated per component and IDCT'd
+  * at EOI. Lossless scans implement the Annex H Huffman procedures: the
+  * seven predictors, point transform, modulo-2^16 reconstruction,
+  * category 16, interleaved and per-component scans ([[encodeLossless]]
+  * provides the exactness-tested encoder face — lossless decode must
+  * reproduce encoder input BIT-EXACTLY on arbitrary content, a stronger
+  * contract than the flat-tile one the lossy paths pin). Arithmetic-coded
+  * and hierarchical streams are rejected here and still served
+  * geometry-only by [[Multimodal.decodeJpeg]]'s marker walk.
   *
   * Reference behavior note: the reference engine has no binary columns at
   * all (Supersonic's type system is numeric/string/date —
@@ -570,6 +575,140 @@ object Jpeg {
     out.toByteArray
   }
 
+  // ---- lossless (SOF3, T.81 Annex H) ----
+
+  /** Lossless-process Huffman table: the difference categories run 0..16
+    * (16 = the modulo-65536 difference +32768, coded with NO extra bits —
+    * H.1.2.2), so the Annex K DC table (symbols 0..11) cannot serve.
+    * Seventeen symbols all at code length 5 is a valid canonical table
+    * (Kraft 17/32 ≤ 1; the all-ones 5-bit code stays unassigned). */
+  private val LosslessBits = Array(0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val LosslessVals: Array[Int] = (0 to 16).toArray
+
+  /** Predictor Px from reconstructed neighbors (T.81 H.1.2.1). The /2 in
+    * selectors 5-7 is the spec's one-bit right shift (arithmetic — rb−rc
+    * may be negative). */
+  private def losslessPredict(sel: Int, ra: Int, rb: Int, rc: Int): Int =
+    sel match {
+      case 1 => ra
+      case 2 => rb
+      case 3 => rc
+      case 4 => ra + rb - rc
+      case 5 => ra + ((rb - rc) >> 1)
+      case 6 => rb + ((ra - rc) >> 1)
+      case _ => (ra + rb) >> 1
+    }
+
+  /** Encode 8-bit pixels as a LOSSLESS (SOF3) JPEG — predictor-coded
+    * sample differences, no DCT, no quantization: decode reproduces the
+    * input bytes EXACTLY (the property the spec test pins on arbitrary
+    * content, where the baseline path is lossy). `channels` 3 writes the
+    * components as literal R,G,B — T.81's lossless process defines no
+    * color transform, and the decoder reads them back the same way.
+    *
+    * Restart semantics (both codec directions, documented because H.2.3
+    * leaves the mid-row case interpretable): after scan start or an RSTn,
+    * the NEXT sample of each scan component predicts from the default
+    * 2^(P−1−Pt); every other sample uses the positional rules (first line
+    * → Ra, first column → Rb, else the selected predictor) over the full
+    * reconstructed plane. */
+  def encodeLossless(width: Int, height: Int, channels: Int,
+                     pixels: Array[Byte], predictor: Int = 1, pt: Int = 0,
+                     restartInterval: Int = 0,
+                     separateScans: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      "encodeLossless: dimensions must be in [1, 65535]")
+    require(channels == 1 || channels == 3,
+      "encodeLossless: channels must be 1 (gray) or 3 (RGB)")
+    require(predictor >= 1 && predictor <= 7,
+      "encodeLossless: predictor selector must be in [1, 7]")
+    require(pt >= 0 && pt <= 7, "encodeLossless: point transform in [0, 7]")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      "encodeLossless: restartInterval must be in [0, 65535]")
+    require(pixels.length == channels * width * height,
+      s"encodeLossless: expected ${channels * width * height} pixel bytes, " +
+        s"got ${pixels.length}")
+    val out = new java.io.ByteArrayOutputStream(1024 + pixels.length / 2)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xc3); u16(8 + 3 * channels); u8(8) // SOF3, 8-bit precision
+    u16(height); u16(width); u8(channels)
+    var c = 0
+    while (c < channels) { u8(c + 1); u8(0x11); u8(0); c += 1 }
+    marker(0xc4); u16(2 + 1 + 16 + LosslessVals.length) // DHT class 0 id 0
+    u8(0x00); LosslessBits.foreach(u8); LosslessVals.foreach(u8)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+
+    val tab = buildEncodeTable(LosslessBits, LosslessVals)
+    // point-transformed source samples, per component plane
+    val planes = Array.tabulate(channels) { ci =>
+      val p = new Array[Int](width * height)
+      var i = 0
+      while (i < width * height) {
+        p(i) = (pixels(i * channels + ci) & 0xff) >> pt
+        i += 1
+      }
+      p
+    }
+    val default = 1 << (7 - pt) // 2^(P−1−Pt), P = 8
+    // one interleaved scan (MCU = one sample per component), or — the
+    // other shape Annex H allows — one full scan per component
+    val scans: Seq[Array[Int]] =
+      if (separateScans) (0 until channels).map(Array(_))
+      else Seq(Array.range(0, channels))
+    for (scanComps <- scans) {
+      marker(0xda); u16(6 + 2 * scanComps.length); u8(scanComps.length) // SOS
+      scanComps.foreach { ci => u8(ci + 1); u8(0x00) }
+      u8(predictor); u8(0); u8(pt) // Ss = selector, Se = 0, Ah = 0, Al = Pt
+      val bw = new BitWriter(out)
+      val needReset = Array.fill(scanComps.length)(true)
+      var rstN = 0
+      var mcu = 0
+      val nMcus = width * height
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + rstN)
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(needReset, true)
+        }
+        val y = mcu / width
+        val x = mcu % width
+        var si = 0
+        while (si < scanComps.length) {
+          val pl = planes(scanComps(si))
+          val s = pl(y * width + x)
+          val pred =
+            if (needReset(si)) { needReset(si) = false; default }
+            else if (y == 0) pl(x - 1)
+            else if (x == 0) pl((y - 1) * width)
+            else losslessPredict(predictor, pl(y * width + x - 1),
+              pl((y - 1) * width + x), pl((y - 1) * width + x - 1))
+          val d0 = (s - pred) & 0xffff
+          if (d0 == 32768) { // H.1.2.2: +32768 ⇒ category 16, no extra bits
+            val e = tab(16); bw.put(e._1, e._2)
+          } else {
+            val d = if (d0 >= 32768) d0 - 65536 else d0
+            val cat = category(d)
+            val e = tab(cat)
+            bw.put(e._1, e._2)
+            if (cat > 0) {
+              val bits = if (d < 0) d + (1 << cat) - 1 else d
+              bw.put(bits, cat)
+            }
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+      bw.flush()
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- decoder ----
 
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
@@ -647,6 +786,13 @@ object Jpeg {
     var progressive = false
     var sawScan = false
     var coefs: Array[Array[Int]] = null
+    // lossless (SOF3) state: full-resolution reconstructed sample planes,
+    // one per component, assembled at EOI (scans may be interleaved or
+    // one-component-at-a-time)
+    var lossless = false
+    var losslessPlanes: Array[Array[Int]] = null
+    var losslessScanned: Array[Boolean] = null
+    var losslessPt: Array[Int] = null
     var mcusX = 0
     var mcusY = 0
     var maxH = 1
@@ -665,10 +811,12 @@ object Jpeg {
       if (p >= bytes.length) return None
       val m = bytes(p) & 0xff
       p += 1
-      if (m == 0xd9) { // EOI: the progressive frame is complete here
+      if (m == 0xd9) { // EOI: progressive / lossless frames complete here
         return if (progressive && sawScan)
           finishProgressive(width, height, comps, coefs, quantTabs,
             blocksW, blocksH, maxH, maxV)
+        else if (lossless && sawScan && losslessScanned.forall(identity))
+          finishLossless(width, height, comps, losslessPlanes, losslessPt)
         else None
       }
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { pos = p }
@@ -710,10 +858,12 @@ object Jpeg {
               val dec = new HuffDecoder(bits, vals)
               if (tc == 0) dcHuff(th) = dec else acHuff(th) = dec
             }
-          case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 ext seq / SOF2 progressive
+          case 0xc0 | 0xc1 | 0xc2 | 0xc3 =>
+            // SOF0 baseline / SOF1 ext seq / SOF2 progressive / SOF3 lossless
             // (SOF1 with 8-bit samples decodes identically to baseline)
             if ((bytes(p + 2) & 0xff) != 8) return None // 8-bit only
             progressive = m == 0xc2
+            lossless = m == 0xc3
             height = u16(p + 3); width = u16(p + 5)
             val nc = bytes(p + 7) & 0xff
             if (width == 0 || height == 0 || (nc != 1 && nc != 3)) return None
@@ -724,6 +874,15 @@ object Jpeg {
             }.toArray
             if (comps.exists(cp => cp.h < 1 || cp.h > 2 || cp.v < 1 || cp.v > 2))
               return None
+            if (lossless) {
+              // subsampling is legal in lossless but vanishingly rare —
+              // full-resolution components only (Hi = Vi = 1)
+              if (comps.exists(cp => cp.h != 1 || cp.v != 1)) return None
+              losslessPlanes = comps.indices.map(_ =>
+                new Array[Int](width * height)).toArray
+              losslessScanned = new Array[Boolean](nc)
+              losslessPt = new Array[Int](nc)
+            }
             maxH = comps.map(_.h).max
             maxV = comps.map(_.v).max
             mcusX = (width + 8 * maxH - 1) / (8 * maxH)
@@ -736,8 +895,8 @@ object Jpeg {
             if (progressive)
               coefs = comps.indices.map(i =>
                 new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
-          case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
-            return None // lossless / arithmetic-coded / hierarchical frames
+          case x if x >= 0xc5 && x <= 0xcf && x != 0xc8 && x != 0xcc =>
+            return None // arithmetic-coded / hierarchical frames
           case 0xdd => restartInterval = u16(p + 2)
           case 0xda => // SOS: entropy data follows
             if (comps == null) return None
@@ -761,17 +920,31 @@ object Jpeg {
             val se = bytes(q + 1) & 0xff
             val ahal = bytes(q + 2) & 0xff
             q += 3
-            if (!progressive) {
+            if (lossless) {
+              // Ss = predictor selector, Al = point transform (H.2)
+              if (ss < 1 || ss > 7 || se != 0 || (ahal >> 4) != 0) return None
+              val pt = ahal & 0x0f
+              if (pt > 7) return None
+              val next = decodeLosslessScan(bytes, q, comps, scanComps,
+                losslessPlanes, width, height, dcHuff, ss, pt, restartInterval)
+              if (next < 0) return None
+              scanComps.foreach { ci =>
+                losslessScanned(ci) = true; losslessPt(ci) = pt
+              }
+              sawScan = true
+              posOverride = next
+            } else if (!progressive) {
               if (ns != comps.length) return None
               return decodeScan(bytes, q, width, height, comps, quantTabs,
                 dcHuff, acHuff, restartInterval)
+            } else {
+              val next = decodeProgScan(bytes, q, comps, scanComps, coefs,
+                blocksW, compBlocksW, compBlocksH, mcusX, mcusY,
+                dcHuff, acHuff, ss, se, ahal >> 4, ahal & 0x0f, restartInterval)
+              if (next < 0) return None
+              sawScan = true
+              posOverride = next
             }
-            val next = decodeProgScan(bytes, q, comps, scanComps, coefs,
-              blocksW, compBlocksW, compBlocksH, mcusX, mcusY,
-              dcHuff, acHuff, ss, se, ahal >> 4, ahal & 0x0f, restartInterval)
-            if (next < 0) return None
-            sawScan = true
-            posOverride = next
           case _ => () // APPn / COM / others: skip by length
         }
         pos = if (posOverride >= 0) posOverride else p + len
@@ -872,6 +1045,100 @@ object Jpeg {
     }
 
     assembleRgb(width, height, comps, planes, planeW, maxH, maxV)
+  }
+
+  /** One lossless scan (T.81 Annex H, Huffman): predictor-decoded sample
+    * differences written into the full-resolution component planes.
+    * Interleaved (MCU = one sample per scan component, raster order) and
+    * single-component scans share the loop — Hi = Vi = 1 makes every
+    * component full-resolution. Categories run 0..16 (16 ⇒ +32768, no
+    * extra bits); reconstruction is modulo 2^16 (H.1.2.2). Returns the
+    * byte position of the next real marker, or -1 on malformed data.
+    * Restart semantics documented at [[encodeLossless]]. */
+  private def decodeLosslessScan(bytes: Array[Byte], scanStart: Int,
+                                 comps: Array[Component], scanComps: Array[Int],
+                                 planes: Array[Array[Int]],
+                                 width: Int, height: Int,
+                                 dcHuff: Array[HuffDecoder],
+                                 predictor: Int, pt: Int,
+                                 restartInterval: Int): Int = {
+    val br = new BitReader(bytes, scanStart)
+    val tabs = scanComps.map(ci => dcHuff(comps(ci).dcTab))
+    if (tabs.exists(_ == null)) return -1
+    val needReset = Array.fill(scanComps.length)(true)
+    val default = 1 << (7 - pt) // 2^(P−1−Pt), P = 8
+    val nMcus = width * height
+    var mcu = 0
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.alignToMarker()
+        var p = br.pos
+        while (p + 1 < bytes.length &&
+          !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) >= 0xd0 &&
+            (bytes(p + 1) & 0xff) <= 0xd7)) p += 1
+        if (p + 1 >= bytes.length) return -1
+        br.pos = p + 2
+        br.sawMarker = false
+        java.util.Arrays.fill(needReset, true)
+      }
+      val y = mcu / width
+      val x = mcu % width
+      var si = 0
+      while (si < scanComps.length) {
+        val pl = planes(scanComps(si))
+        val s = decodeHuffSym(br, tabs(si))
+        val diff = if (s == 16) 32768 else extend(br.bits(s), s)
+        val pred =
+          if (needReset(si)) { needReset(si) = false; default }
+          else if (y == 0) pl(x - 1)
+          else if (x == 0) pl((y - 1) * width)
+          else losslessPredict(predictor, pl(y * width + x - 1),
+            pl((y - 1) * width + x), pl((y - 1) * width + x - 1))
+        pl(y * width + x) = (pred + diff) & 0xffff
+        si += 1
+      }
+      if (br.sawMarker && mcu < nMcus - 1 &&
+        !(restartInterval > 0 && (mcu + 1) % restartInterval == 0))
+        return -1 // entropy data ran out early
+      mcu += 1
+    }
+    // position of the next real marker (skips stuffed FF00 and RSTn)
+    br.alignToMarker()
+    var p = br.pos
+    while (p + 1 < bytes.length && !((bytes(p) & 0xff) == 0xff && {
+      val mm = bytes(p + 1) & 0xff
+      mm != 0x00 && !(mm >= 0xd0 && mm <= 0xd7)
+    })) p += 1
+    if (p + 1 >= bytes.length) -1 else p
+  }
+
+  /** Lossless finish at EOI: undo each component's point transform
+    * (output = sample << Pt, H.1.2.3) and assemble RGB. Three-component
+    * frames are literal R,G,B — T.81's lossless process defines no color
+    * transform (and [[encodeLossless]] writes components the same way). */
+  private def finishLossless(width: Int, height: Int, comps: Array[Component],
+                             planes: Array[Array[Int]], ptPerComp: Array[Int])
+      : Option[(String, Int, Int, Array[Byte])] = {
+    val rgb = new Array[Byte](3 * width * height)
+    def clamp8(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+    var i = 0
+    val n = width * height
+    if (comps.length == 1) {
+      val pt = ptPerComp(0)
+      while (i < n) {
+        val g = clamp8(planes(0)(i) << pt)
+        rgb(3 * i) = g; rgb(3 * i + 1) = g; rgb(3 * i + 2) = g
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        rgb(3 * i) = clamp8(planes(0)(i) << ptPerComp(0))
+        rgb(3 * i + 1) = clamp8(planes(1)(i) << ptPerComp(1))
+        rgb(3 * i + 2) = clamp8(planes(2)(i) << ptPerComp(2))
+        i += 1
+      }
+    }
+    Some(("image/jpeg", width, height, rgb))
   }
 
   /** One progressive scan (T.81 Annex G, Huffman): updates the

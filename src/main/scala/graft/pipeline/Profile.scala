@@ -1052,7 +1052,7 @@ object Profile {
     def d(c: Column) = c.cast("string").cast("double")
     val v = col(valueCol).cast("decimal(18,6)")
     val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")
-    val split = lit(splitTs).cast("timestamp")
+    val split = lit(splitTs).cast("timestamp_ntz")
     val per = df.groupBy(col(userCol).as("__u"), armExpr.as("__arm"))
       .agg(sum(when(col(tsCol) < split, v).otherwise(zero))
           .cast("decimal(18,6)").as("__pre"),

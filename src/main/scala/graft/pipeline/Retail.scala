@@ -53,7 +53,7 @@ object Retail {
     // (spec-asserted vs the window function), every core live.
     val base = perCust.crossJoin(broadcast(ref))
       .withColumn("r_days",
-        expr("(unix_micros(__ref) - unix_micros(__last)) div 86400000000"))
+        expr("timestampdiff(MICROSECOND, __last, __ref) div 86400000000"))
     val withR = Profile.rowPositions(base, "__rp",
       col("r_days").asc, col("__cust").asc)
     val withF = Profile.rowPositions(withR, "__fp",

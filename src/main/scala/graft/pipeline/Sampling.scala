@@ -341,8 +341,10 @@ object Sampling {
                     valEnd: String, embargoSeconds: Long = 0L): DataFrame = {
     require(embargoSeconds >= 0, "temporalSplit: embargo must be >= 0")
     val t = col(tsCol)
-    val te = to_timestamp(lit(trainEnd))
-    val ve = to_timestamp(lit(valEnd))
+    // civil NTZ literals: the boundary is a wall clock in the data's own
+    // (UTC-read) frame, so the split never moves with the session zone
+    val te = lit(trainEnd).cast("timestamp_ntz")
+    val ve = lit(valEnd).cast("timestamp_ntz")
     val emb = expr(s"INTERVAL $embargoSeconds SECOND")
     df.withColumn("split",
       when(t < te, "train")

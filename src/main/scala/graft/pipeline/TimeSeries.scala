@@ -36,13 +36,27 @@ object TimeSeries {
       s"resampleFill: unit must be one of $Units, got '$unit'")
     val u = unit.toLowerCase(java.util.Locale.ROOT)
     val agg = df
-      .groupBy(col(keyCol), date_trunc(u, col(tsCol)).as("bucket"))
+      .groupBy(col(keyCol), graft.functions.Exprs.dateTruncCivil(u, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,6)")).as("__s"))
+    // grid in CIVIL epoch space: sequence() over timestamps would coerce
+    // the NTZ bounds through the session zone; every supported unit is
+    // fixed-width in the UTC-read frame, so a long-typed sequence is both
+    // session-zone-invariant and cheaper
+    val stepUs = u match {
+      case "minute" => 60L * 1000000
+      case "hour" => 3600L * 1000000
+      case "day" => 86400L * 1000000
+      case "week" => 7L * 86400 * 1000000
+    }
     val grid = agg.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col(keyCol), explode(sequence(
+        graft.functions.Exprs.epochMicrosCivil(col("__mn")),
+        graft.functions.Exprs.epochMicrosCivil(col("__mx")),
+        lit(stepUs))).as("__bus"))
       .select(col(keyCol),
-        explode(expr(s"sequence(__mn, __mx, interval 1 $u)")).as("bucket"))
+        graft.functions.Exprs.civilFromMicros(col("__bus")).as("bucket"))
     val joined = grid.join(agg, Seq(keyCol, "bucket"), "left")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -96,9 +110,9 @@ object TimeSeries {
     // corrExact convention).
     val p = col(priceCol).cast("decimal(12,6)")
     val v = col(volCol).cast("decimal(12,6)")
-    val key = struct(unix_micros(col(tsCol)).as("us"),
+    val key = struct(graft.functions.Exprs.epochMicrosCivil(col(tsCol)).as("us"),
       col(priceCol).cast("double").as("p"))
-    df.select(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"),
+    df.select(col(keyCol), graft.functions.Exprs.dateTruncCivil(unit, col(tsCol)).as("bucket"),
         key.as("__k"), p.as("__p"), v.as("__v"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n"),
@@ -202,7 +216,7 @@ object TimeSeries {
       "hoppingWindows: size must be a multiple of slide (else events cover a varying window count)")
     val k = (sizeSec / slideSec).toInt
     val slideUs = slideSec * 1000000L
-    df.select(col(keyCol), unix_micros(col(tsCol)).as("__t"),
+    df.select(col(keyCol), graft.functions.Exprs.epochMicrosCivil(col(tsCol)).as("__t"),
         col(valueCol).cast("decimal(18,2)").as("__v"))
       .withColumn("__w0", expr(s"(__t div ${slideUs}L) * ${slideUs}L"))
       .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
@@ -245,7 +259,7 @@ object TimeSeries {
   def twap(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
            tieCol: String): DataFrame = {
     def d(c: Column) = c.cast("string").cast("double")
-    val t = unix_micros(col(tsCol))
+    val t = graft.functions.Exprs.epochMicrosCivil(col(tsCol))
     val seg2 = df.select(col(keyCol), t.as("__t"), col(tieCol).as("__tb"),
         col(valueCol).cast("decimal(18,2)").as("__v"))
       .withColumn("__nt", lead(col("__t"), 1).over(
@@ -348,7 +362,7 @@ object TimeSeries {
   def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
                   valueCol: String): DataFrame = {
     val daily = df.groupBy(col(keyCol),
-        date_trunc("day", col(tsCol)).as("__day"))
+        graft.functions.Exprs.dateTruncCivil("day", col(tsCol)).as("__day"))
       .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
     val a = daily.select(col(keyCol), col("__day").as("__d1"),
       col("__v").as("__v1"))
@@ -394,7 +408,7 @@ object TimeSeries {
     require(seasonLag >= 1, "forecastErrors: seasonLag must be >= 1")
     def d(c: Column) = c.cast("string").cast("double")
     val daily = df.groupBy(col(keyCol),
-        date_trunc("day", col(tsCol)).as("__day"))
+        graft.functions.Exprs.dateTruncCivil("day", col(tsCol)).as("__day"))
       .agg(sum(col(valueCol).cast("decimal(12,2)"))
         .cast("decimal(12,2)").as("__v"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
@@ -443,7 +457,7 @@ object TimeSeries {
     require(window >= 2, "rollingCorr: window must be >= 2 rows")
     def d(c: Column) = c.cast("string").cast("double")
     val daily = df.groupBy(col(keyCol),
-        date_trunc("day", col(tsCol)).as("__day"))
+        graft.functions.Exprs.dateTruncCivil("day", col(tsCol)).as("__day"))
       .agg(sum(col(xCol).cast("decimal(12,2)")).cast("decimal(12,2)").as("__x"),
         sum(col(yCol).cast("decimal(12,2)")).cast("decimal(12,2)").as("__y"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
@@ -477,7 +491,7 @@ object TimeSeries {
     require(maxLag >= 1, "crossCorrLags: maxLag must be >= 1")
     def d(c: Column) = c.cast("string").cast("double")
     val daily = df.groupBy(col(keyCol),
-        date_trunc("day", col(tsCol)).as("__day"))
+        graft.functions.Exprs.dateTruncCivil("day", col(tsCol)).as("__day"))
       .agg(sum(col(xCol).cast("decimal(12,2)")).cast("decimal(12,2)").as("__x"),
         sum(col(yCol).cast("decimal(12,2)")).cast("decimal(12,2)").as("__y"))
     val lags = daily.crossJoin(
@@ -519,7 +533,7 @@ object TimeSeries {
                  valueCol: String): DataFrame = {
     def d(c: Column) = c.cast("string").cast("double")
     val daily = df.groupBy(col(keyCol),
-        date_trunc("day", col(tsCol)).as("__day"))
+        graft.functions.Exprs.dateTruncCivil("day", col(tsCol)).as("__day"))
       .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
     val stepped = daily
@@ -565,7 +579,7 @@ object TimeSeries {
                         valueCol: String): DataFrame = {
     def d(c: Column) = c.cast("string").cast("double")
     val daily = df.groupBy(col(keyCol),
-        date_trunc("day", col(tsCol)).as("__day"))
+        graft.functions.Exprs.dateTruncCivil("day", col(tsCol)).as("__day"))
       .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
       .rowsBetween(-3, 3)
@@ -600,13 +614,27 @@ object TimeSeries {
       s"interpolateLinear: unit must be one of $Units")
     val u = unit.toLowerCase(java.util.Locale.ROOT)
     val agg = df
-      .groupBy(col(keyCol), date_trunc(u, col(tsCol)).as("bucket"))
+      .groupBy(col(keyCol), graft.functions.Exprs.dateTruncCivil(u, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("__n"),
         sum(col(valueCol).cast("decimal(18,6)")).as("__s"))
+    // grid in CIVIL epoch space: sequence() over timestamps would coerce
+    // the NTZ bounds through the session zone; every supported unit is
+    // fixed-width in the UTC-read frame, so a long-typed sequence is both
+    // session-zone-invariant and cheaper
+    val stepUs = u match {
+      case "minute" => 60L * 1000000
+      case "hour" => 3600L * 1000000
+      case "day" => 86400L * 1000000
+      case "week" => 7L * 86400 * 1000000
+    }
     val grid = agg.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col(keyCol), explode(sequence(
+        graft.functions.Exprs.epochMicrosCivil(col("__mn")),
+        graft.functions.Exprs.epochMicrosCivil(col("__mx")),
+        lit(stepUs))).as("__bus"))
       .select(col(keyCol),
-        explode(expr(s"sequence(__mn, __mx, interval 1 $u)")).as("bucket"))
+        graft.functions.Exprs.civilFromMicros(col("__bus")).as("bucket"))
     val joined = grid.join(agg, Seq(keyCol, "bucket"), "left")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
     val withPos = joined
@@ -645,7 +673,7 @@ object TimeSeries {
     require(window >= 2, "bollinger: window must be >= 2 rows")
     def d(c: Column) = c.cast("string").cast("double")
     val daily = df.groupBy(col(keyCol),
-        date_trunc("day", col(tsCol)).as("__day"))
+        graft.functions.Exprs.dateTruncCivil("day", col(tsCol)).as("__day"))
       .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
       .rowsBetween(-(window - 1), Window.currentRow)
@@ -691,7 +719,7 @@ object TimeSeries {
                valueCol: String): DataFrame = {
     def d(c: Column) = c.cast("string").cast("double")
     val daily = df.groupBy(col(keyCol),
-        date_trunc("day", col(tsCol)).as("__day"))
+        graft.functions.Exprs.dateTruncCivil("day", col(tsCol)).as("__day"))
       .agg(sum(col(valueCol).cast("decimal(12,2)")).as("__v"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__day").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -460,8 +460,8 @@ object ProtoWire {
     case PType.UINT64 => c.uint64Value
       .map(v => lit(BigDecimal(v)).cast(DecimalType(20, 0)))
       .getOrElse(Exprs.nullOf(DecimalType(20, 0)))
-    case PType.DATETIME => c.datetimeValue.map(v => timestamp_micros(lit(v)))
-      .getOrElse(Exprs.nullOf(TimestampType))
+    case PType.DATETIME => c.datetimeValue.map(v => Exprs.civilFromMicros(lit(v)))
+      .getOrElse(Exprs.nullOf(TimestampNTZType))
     case PType.DOUBLE => c.doubleValue.map(lit(_)).getOrElse(Exprs.nullOf(DoubleType))
     case PType.BOOL => c.boolValue.map(lit(_)).getOrElse(Exprs.nullOf(BooleanType))
     case PType.BINARY => c.binaryValue.map(v => lit(v.toArray))
@@ -655,14 +655,15 @@ object ProtoWire {
         if (n == 1) Exprs.addMonths(arg(0), lit(12))
         else { arity(2); Exprs.addMonths(arg(0), arg(1) * 12) }
       case DATEDIFF => binary((a, b) => datediff(a.cast(DateType), b.cast(DateType)))
-      case DATETIMEDIFF => binary((a, b) => unix_micros(a) - unix_micros(b))
-      case TRUNC_TO_SECOND => unary(date_trunc("second", _))
-      case TRUNC_TO_MINUTE => unary(date_trunc("minute", _))
-      case TRUNC_TO_HOUR => unary(date_trunc("hour", _))
-      case TRUNC_TO_DAY => unary(date_trunc("day", _))
-      case TRUNC_TO_MONTH => unary(date_trunc("month", _))
-      case TRUNC_TO_QUARTER => unary(date_trunc("quarter", _))
-      case TRUNC_TO_YEAR => unary(date_trunc("year", _))
+      case DATETIMEDIFF => binary((a, b) =>
+        Exprs.epochMicrosCivil(a) - Exprs.epochMicrosCivil(b))
+      case TRUNC_TO_SECOND => unary(Exprs.dateTruncCivil("second", _))
+      case TRUNC_TO_MINUTE => unary(Exprs.dateTruncCivil("minute", _))
+      case TRUNC_TO_HOUR => unary(Exprs.dateTruncCivil("hour", _))
+      case TRUNC_TO_DAY => unary(Exprs.dateTruncCivil("day", _))
+      case TRUNC_TO_MONTH => unary(Exprs.dateTruncCivil("month", _))
+      case TRUNC_TO_QUARTER => unary(Exprs.dateTruncCivil("quarter", _))
+      case TRUNC_TO_YEAR => unary(Exprs.dateTruncCivil("year", _))
       case DATE_FORMAT_UTC | DATE_FORMAT_LOCAL =>
         arity(2)
         Exprs.dateFormat(arg(0), constantString(op.args(1), "DATE_FORMAT"))

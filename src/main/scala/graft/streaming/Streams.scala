@@ -46,16 +46,29 @@ object Streams {
       .parquet(dir)
     onDisk match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType => pinCivilTs(raw)
       case _ => raw
     }
   }
 
+  /** Civil (NTZ) event time → the equivalent absolute instant, PINNED
+    * (wall clock read as UTC, never the session zone). The streaming face
+    * works in absolute instants so watermark/window arithmetic and the
+    * unix_millis outputs are session-timezone-invariant; the batch twins
+    * of the stream transforms route through the same pin so stream and
+    * batch agree bit-for-bit on both values AND types. */
+  private def pinCivilTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts",
+        timestamp_micros(graft.functions.Exprs.epochMicrosCivil(col("ts"))))
+    else df
+
   /** Tumbling-window counts+sums per event type, tolerating `lateness` of
     * out-of-order data. Works identically on a batch frame (minus the
     * watermark, which only gates state eviction). */
-  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+  def windowedStats(eventsIn: DataFrame, windowLen: String = "1 hour",
                     lateness: String = "10 minutes"): DataFrame = {
+    val events = pinCivilTs(eventsIn)
     val withWm =
       if (events.isStreaming) events.withWatermark("ts", lateness) else events
     withWm
@@ -67,8 +80,9 @@ object Streams {
   }
 
   /** Sliding-window variant (windowLen every slide). */
-  def slidingStats(events: DataFrame, windowLen: String = "1 hour",
+  def slidingStats(eventsIn: DataFrame, windowLen: String = "1 hour",
                    slide: String = "15 minutes", lateness: String = "10 minutes"): DataFrame = {
+    val events = pinCivilTs(eventsIn)
     val withWm =
       if (events.isStreaming) events.withWatermark("ts", lateness) else events
     withWm.groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
@@ -213,8 +227,9 @@ object Streams {
 
   /** Batch-mode sessionization oracle shape: same gap logic via windows —
     * used to cross-check the stateful path in tests. */
-  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+  def sessionizeBatch(eventsIn: DataFrame, gapMs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val events = pinCivilTs(eventsIn)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events

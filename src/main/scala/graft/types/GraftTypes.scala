@@ -23,7 +23,9 @@ object GraftTypes {
     "DOUBLE" -> DoubleType,
     "BOOL" -> BooleanType,
     "DATE" -> DateType,          // int32 days since epoch in both models
-    "DATETIME" -> TimestampType, // int64 micros since epoch in both models
+    "DATETIME" -> TimestampNTZType, // int64 UTC micros in both models: civil
+                                 // NTZ keeps field extraction / casts free
+                                 // of spark.sql.session.timeZone
     "STRING" -> StringType,
     "BINARY" -> BinaryType,
     "ENUM" -> StringType)        // semantic mapping; see EnumDefinition

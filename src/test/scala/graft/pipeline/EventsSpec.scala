@@ -103,7 +103,10 @@ class EventsSpec extends SparkSpec {
       (1L, "2024-01-03 10:00:00", "x"),
       (2L, "2024-01-04 10:00:00", "x"))
     val out = rows(Events.cohortRetention(df, "u", "ts", "week"))
-    assert(out == Seq(Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, 2L)))
+    // cohort buckets are civil NTZ (r9 timezone-invariance refactor), so
+    // collected values are LocalDateTime, not java.sql.Timestamp
+    assert(out == Seq(Seq(
+      java.time.LocalDateTime.parse("2024-01-01T00:00"), 0L, 2L)))
   }
 
   test("rateAnomaly: trailing z-score with warmup NULLs and a spike flagged") {

@@ -313,4 +313,96 @@ class JpegCodecSpec extends SparkSpec {
       Seq(1L, "image/jpeg", 17, 9, s1, s1, s1),
       Seq(2L, "image/jpeg", 8, 8, s2, s2, s2)))
   }
+
+  // ---- lossless (SOF3, T.81 Annex H) ----
+  // No independent JVM oracle exists for this process (ImageIO's JPEG
+  // plugin reads only DCT-based streams), but none is needed: LOSSLESS
+  // means decode(encode(pixels)) must reproduce the input bytes EXACTLY
+  // on ARBITRARY content — a stronger contract than the lossy paths'
+  // flat-tile construction, and one that any predictor/entropy bug breaks
+  // immediately (a single wrong difference corrupts every later sample
+  // of the plane through the prediction chain).
+
+  test("lossless JPEG (SOF3): exact round-trip on arbitrary content, " +
+    "all seven predictors, gray and RGB, odd geometry") {
+    for (pred <- 1 to 7) {
+      val gray = seeded(37 * 23, seed = 100 + pred)
+      val g = Jpeg.decodePixels(Jpeg.encodeLossless(37, 23, 1, gray, pred))
+      assert(g.nonEmpty, s"predictor $pred gray decode failed")
+      val (fmt, w, h, rgb) = g.get
+      assert((fmt, w, h) == ("image/jpeg", 37, 23))
+      for (i <- 0 until 37 * 23; c <- 0 until 3)
+        assert(rgb(3 * i + c) == gray(i), s"pred $pred gray pixel $i")
+
+      val color = seeded(3 * 19 * 11, seed = 200 + pred)
+      val r = Jpeg.decodePixels(Jpeg.encodeLossless(19, 11, 3, color, pred))
+      assert(r.nonEmpty, s"predictor $pred rgb decode failed")
+      assert(r.get._4.toSeq == color.toSeq, s"pred $pred rgb exactness")
+    }
+  }
+
+  test("lossless JPEG (SOF3): point transform, restart markers, and " +
+    "per-component scans round-trip") {
+    val px = seeded(29 * 13, seed = 7)
+    // point transform Pt=2: decode output is (v >> 2) << 2 per H.1.2.3
+    val pt = Jpeg.decodePixels(Jpeg.encodeLossless(29, 13, 1, px, 4, pt = 2))
+    assert(pt.nonEmpty)
+    for (i <- 0 until 29 * 13)
+      assert((pt.get._4(3 * i) & 0xff) == (((px(i) & 0xff) >> 2) << 2))
+    // restart interval that does NOT divide the row length (mid-row resets)
+    val rst = Jpeg.encodeLossless(29, 13, 1, px, 5, restartInterval = 17)
+    assert(rst.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) >= 0xd0 && (s(1) & 0xff) <= 0xd7),
+      "expected RSTn markers in the stream")
+    val rd = Jpeg.decodePixels(rst)
+    assert(rd.nonEmpty && (0 until 29 * 13).forall(i => rd.get._4(3 * i) == px(i)))
+    // three one-component scans instead of one interleaved scan
+    val color = seeded(3 * 23 * 9, seed = 8)
+    val sep = Jpeg.encodeLossless(23, 9, 3, color, 6, separateScans = true)
+    assert(sep.sliding(2).count(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xda) == 3,
+      "expected three SOS markers")
+    val sd = Jpeg.decodePixels(sep)
+    assert(sd.nonEmpty && sd.get._4.toSeq == color.toSeq)
+  }
+
+  test("lossless JPEG (SOF3): malformed streams reject; readers without " +
+    "the process fail gracefully") {
+    val px = seeded(16 * 16, seed = 9)
+    val ok = Jpeg.encodeLossless(16, 16, 1, px, 1)
+    assert(Jpeg.decodePixels(ok).nonEmpty)
+    assert(Jpeg.decodePixels(ok.dropRight(ok.length / 3)).isEmpty) // truncated
+    def at(marker: Int): Int = ok.indices.find(i =>
+      (ok(i) & 0xff) == 0xff && i + 1 < ok.length &&
+        (ok(i + 1) & 0xff) == marker).get
+    // predictor selector 0 is illegal in a lossless scan header
+    val badSs = ok.clone()
+    badSs(at(0xda) + 4 + 1 + 2) = 0
+    assert(Jpeg.decodePixels(badSs).isEmpty)
+    // subsampled lossless (Hi=Vi=2) is out of contract — reject, not garble
+    val sub = ok.clone()
+    sub(at(0xc3) + 11) = 0x22.toByte
+    assert(Jpeg.decodePixels(sub).isEmpty)
+    // the JDK's DCT-only JPEG reader must refuse the stream cleanly (this
+    // is WHY the exactness property, not ImageIO, is the oracle here)
+    val io = try Option(imageioRead(ok)) catch { case _: Exception => None }
+    assert(io.isEmpty)
+    // geometry-only marker walk still serves SOF3 headers
+    assert(Multimodal.decodeJpeg(ok).contains(("image/jpeg", 16, 16)))
+  }
+
+  test("lossless JPEG (SOF3): payloads flow through decodePixelsRgb " +
+    "and decodeImageFeatures") {
+    val px = seeded(12 * 5, seed = 10)
+    val bytes = Jpeg.encodeLossless(12, 5, 1, px, 7)
+    val viaDispatch = Multimodal.decodePixelsRgb(bytes)
+    assert(viaDispatch.nonEmpty && (0 until 12 * 5).forall(i =>
+      viaDispatch.get._4(3 * i) == px(i)))
+    val df = Seq((1L, bytes)).toDF("id", "payload")
+    val feat = Multimodal.decodeImageFeatures(df, "payload")
+      .select("media_format", "width", "height", "sum_r").collect()
+    val expected = px.map(_ & 0xff).map(_.toLong).sum
+    assert(feat.head.getString(0) == "image/jpeg" && feat.head.getInt(1) == 12 &&
+      feat.head.getInt(2) == 5 && feat.head.getLong(3) == expected)
+  }
 }

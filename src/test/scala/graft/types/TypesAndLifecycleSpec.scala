@@ -12,7 +12,7 @@ class TypesAndLifecycleSpec extends SparkSpec {
   test("type mapping mirrors the reference table incl. unsigned widening") {
     assert(GraftTypes.toSpark("INT32") == IntegerType)
     assert(GraftTypes.toSpark("UINT64") == LongType)
-    assert(GraftTypes.toSpark("DATETIME") == TimestampType)
+    assert(GraftTypes.toSpark("DATETIME") == TimestampNTZType)
     assert(GraftTypes.toSpark("ENUM") == StringType)
   }
 
