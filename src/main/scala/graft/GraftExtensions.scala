@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{MinhashSignature, ParseLongPrefix, PortableSimHash60, ShingleHashSorted, SimHash64, SortedLongIntersectCount, VectorDot}
+import graft.functions.{MinhashSignature, ParseLongPrefix, PortableSimHash60, ShingleHashSorted, SimHash64, SortedLongIntersectCount, SupersonicHash64, SupersonicHashing, VectorDot}
 
 /** SQL registration of graft's native Catalyst expressions.
   *
@@ -61,6 +61,17 @@ object GraftExtensions {
           s"shingle_hash_sorted: n must be an int literal, got $other")
       }
       ShingleHashSorted(children.head, n)
+    },
+    "supersonic_fingerprint" -> { children =>
+      require(children.length == 1, "supersonic_fingerprint(e) takes 1 argument")
+      SupersonicHash64(children.head,
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          SupersonicHashing.FingerprintSeed, org.apache.spark.sql.types.LongType),
+        fingerprintMode = true)
+    },
+    "supersonic_hash" -> { children =>
+      require(children.length == 2, "supersonic_hash(e, seed) takes 2 arguments")
+      SupersonicHash64(children.head, children(1))
     },
     "portable_simhash60" -> { children =>
       require(children.length == 2, "portable_simhash60(tokens, n) takes 2 arguments")

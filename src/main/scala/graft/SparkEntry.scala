@@ -784,12 +784,22 @@ object SparkEntry {
       E.toStringE(col("c_custkey")).as("s_tostr")
     ).orderBy("c_custkey")
 
+  /** The oracle's regexp engine is DuckDB = genuine RE2, so the round-10
+    * dialect-guard columns are pinned against the reference's own engine:
+    * r_posix ([[:upper:]] translates to \p{Upper}), r_named ((?P<..>)
+    * translates to Java named groups), and r_dollar — '[a-z]$' on a
+    * newline-terminated string is FALSE under RE2 ($ = end of text) but
+    * TRUE under untranslated Java ($ also matches before a final \n). */
   private def qExprRegexp(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d).select(col("p_partkey"),
       E.regexpPartialMatch(col("p_name"), "red|blue").as("r_part"),
       E.regexpFullMatch(col("p_type"), "[A-Z]+").as("r_full"),
       E.regexpExtractE(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("r_ext"),
-      E.regexpReplaceE(col("p_name"), "[aeiou]", "_").as("r_repl")
+      E.regexpReplaceE(col("p_name"), "[aeiou]", "_").as("r_repl"),
+      E.regexpPartialMatch(col("p_type"), "[[:upper:]]{8,}").as("r_posix"),
+      E.regexpExtractE(col("p_name"), "(?P<first>[a-z]+) (?P<second>[a-z]+)", 2).as("r_named"),
+      E.regexpPartialMatch(concat(col("p_name"), lit("\n")), "[a-z]$").as("r_dollar"),
+      E.regexpPartialMatch(col("p_name"), "[a-z]$").as("r_dollar_true")
     ).orderBy("p_partkey")
 
   private def qExprDatetime(s: SparkSession, d: String): DataFrame =
@@ -840,9 +850,29 @@ object SparkEntry {
     Aggregates.scalarAggregate(Seq(
       Agg(COUNT, Some("h64"), "nd_hash", distinct = true),
       Agg(COUNT, Some("hmd5"), "nd_md5", distinct = true),
-      Agg(MIN, Some("hmd5"), "min_md5")))(
+      Agg(MIN, Some("hmd5"), "min_md5"),
+      // VALUE-exact (round 10): SupersonicHash(c_custkey, 7) min/max —
+      // the DuckDB oracle replays the hash.cc mixing in closed form.
+      Agg(MIN, Some("hk7"), "min_hk7"),
+      Agg(MAX, Some("hk7"), "max_hk7")))(
       Tables.customer(s, d).select(
-        E.fingerprint(col("c_name")).as("h64"), md5(col("c_name")).as("hmd5")))
+        E.fingerprint(col("c_name")).as("h64"), md5(col("c_name")).as("hmd5"),
+        E.hashWithSeed(col("c_custkey"), 7L).as("hk7")))
+
+  /** q_expr_fingerprint — per-row EXACT value parity for
+    * SupersonicFingerprint / SupersonicHash (hashing_expressions.h:28-35,
+    * hash.cc:55-85): string fingerprint, seeded string hash, int64
+    * fingerprint, and an int32 fingerprint that exercises C++'s
+    * int32→uint64 SIGN EXTENSION (c_nationkey - 13 goes negative). The
+    * DuckDB oracle replays the 4-byte-chunk prime mixing with a recursive
+    * CTE in hugeint mod-2^64 arithmetic — see [[ssHashOracleSql]]. */
+  private def qExprFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"),
+      E.fingerprint(col("c_name")).as("fp_name"),
+      E.hashWithSeed(col("c_name"), 7L).as("h7_name"),
+      E.fingerprint(col("c_custkey")).as("fp_key"),
+      E.fingerprint((col("c_nationkey").cast("int") - lit(13)).cast("int")).as("fp_n32"))
+      .orderBy("c_custkey")
 
   // =========================================================================
   // Stateful running expressions (SURVEY §2.7 stateful) — window-backed
@@ -4678,6 +4708,7 @@ object SparkEntry {
     "q_expr_datetime" -> (qExprDatetime _),
     "q_expr_cast" -> (qExprCast _),
     "q_expr_hash" -> (qExprHash _),
+    "q_expr_fingerprint" -> (qExprFingerprint _),
     "q_stateful_running" -> (qStatefulRunning _),
     "q_stateful_flush" -> (qStatefulFlush _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -4981,6 +5012,66 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  // ===== SupersonicHash DuckDB oracle builders: replay the reference's
+  // hash.cc mod-2^64 prime mixing in HUGEINT arithmetic. 64x64-bit
+  // multiply is done in 32-bit limbs (each partial product < 2^64 fits a
+  // hugeint); uint64 state converts to two's-complement BIGINT at the end
+  // to match the Spark side's LongType carry. Validated against golden
+  // vectors from the compiled reference (SupersonicHashSpec). =====
+  private val SsPrimeList: String =
+    graft.functions.SupersonicHashing.Primes64.map(p => s"$p::HUGEINT")
+      .mkString("[", ",", "]")
+  private def ssMul64(a: String, b: String): String =
+    s"((($a)%4294967296)*(($b)%4294967296) + (((($a)//4294967296)*(($b)%4294967296)" +
+      s" + (($a)%4294967296)*(($b)//4294967296))%4294967296)*4294967296)" +
+      " % 18446744073709551616::HUGEINT"
+  private def ssPrime(idx: String): String =
+    s"list_extract($SsPrimeList, (($idx)%16)+1)"
+  /** 4-byte little-endian chunk at 0-based chunk index `pos` of an ASCII
+    * string column, zero-padded (hash.cc:60-70 union read). */
+  private def ssChunk(sCol: String, pos: String): String = {
+    def byte(i: Int) =
+      s"(CASE WHEN length($sCol) >= ($pos)*4+$i+1 THEN ord(substr($sCol, ($pos)*4+$i+1, 1)) ELSE 0 END)"
+    s"(${byte(0)} + ${byte(1)}*256 + ${byte(2)}*65536 + ${byte(3)}*16777216)::HUGEINT"
+  }
+  private def ssToI64(n: String): String =
+    s"CAST(CASE WHEN ($n) >= 9223372036854775808::HUGEINT THEN ($n) - 18446744073709551616::HUGEINT ELSE ($n) END AS BIGINT)"
+  private def ssU64(v: String): String =
+    s"(CASE WHEN ($v) < 0 THEN ($v)::HUGEINT + 18446744073709551616::HUGEINT ELSE ($v)::HUGEINT END)"
+  /** Closed-form Hash64NumWithSeed over the uint64 image of a BIGINT
+    * expression: exactly two chunks (low, high 32 bits). */
+  private def ssHashNum(v: String, seed: Long): String = {
+    val P = graft.functions.SupersonicHashing.Primes64
+    val u = ssU64(v)
+    val lo = s"(($u)%4294967296)"
+    val hi = s"(($u)//4294967296)"
+    val n1 = s"xor(${ssMul64(s"$seed::HUGEINT", s"${P(0)}::HUGEINT")}, ${ssMul64(lo, s"${P(8)}::HUGEINT")})"
+    s"xor(${ssMul64(n1, s"${P(1)}::HUGEINT")}, ${ssMul64(hi, s"${P(9)}::HUGEINT")})"
+  }
+  /** q_expr_fingerprint oracle: a recursive CTE walks each c_name's chunk
+    * stream once, carrying BOTH the fingerprint (seed 42) and the seed-7
+    * hash state; numeric fingerprints are closed-form. */
+  private def ssFingerprintOracleSql: String = {
+    val step = (st: String) =>
+      s"xor(${ssMul64(st, ssPrime("pos"))}, ${ssMul64(ssChunk("s", "pos"), ssPrime("pos+8"))})"
+    s"""WITH RECURSIVE mix AS (
+       |  SELECT c_custkey AS id, c_name AS s, 42::HUGEINT AS fp, 7::HUGEINT AS h7, 0 AS pos,
+       |         CAST(ceil(length(c_name)/4.0) AS INT) AS nc
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT id, s, ${step("fp")}, ${step("h7")}, pos+1, nc
+       |  FROM mix WHERE pos < nc
+       |)
+       |SELECT id AS c_custkey,
+       |  ${ssToI64("fp")} AS fp_name,
+       |  ${ssToI64("h7")} AS h7_name,
+       |  ${ssToI64(ssHashNum("id", 42L))} AS fp_key,
+       |  ${ssToI64(ssHashNum("CAST(n32 AS BIGINT)", 42L))} AS fp_n32
+       |FROM mix JOIN (SELECT c_custkey AS jid, c_nationkey - 13 AS n32 FROM customer) ON id = jid
+       |WHERE pos = nc
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -5204,7 +5295,11 @@ object SparkEntry {
       """SELECT p_partkey, regexp_matches(p_name, 'red|blue') AS r_part,
         |regexp_full_match(p_type, '[A-Z]+') AS r_full,
         |regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS r_ext,
-        |regexp_replace(p_name, '[aeiou]', '_', 'g') AS r_repl
+        |regexp_replace(p_name, '[aeiou]', '_', 'g') AS r_repl,
+        |regexp_matches(p_type, '[[:upper:]]{8,}') AS r_posix,
+        |regexp_extract(p_name, '(?P<first>[a-z]+) (?P<second>[a-z]+)', 2) AS r_named,
+        |regexp_matches(p_name || chr(10), '[a-z]$') AS r_dollar,
+        |regexp_matches(p_name, '[a-z]$') AS r_dollar_true
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_expr_datetime" ->
       """SELECT o_orderkey, year(o_orderdate) AS d_year, quarter(o_orderdate) AS d_quarter,
@@ -5237,8 +5332,11 @@ object SparkEntry {
         |7 AS c_sig
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_expr_hash" ->
-      """SELECT COUNT(DISTINCT c_name) AS nd_hash, COUNT(DISTINCT md5(c_name)) AS nd_md5,
-        |MIN(md5(c_name)) AS min_md5 FROM customer""".stripMargin,
+      s"""SELECT COUNT(DISTINCT c_name) AS nd_hash, COUNT(DISTINCT md5(c_name)) AS nd_md5,
+        |MIN(md5(c_name)) AS min_md5,
+        |MIN(${ssToI64(ssHashNum("c_custkey", 7L))}) AS min_hk7,
+        |MAX(${ssToI64(ssHashNum("c_custkey", 7L))}) AS max_hk7 FROM customer""".stripMargin,
+    "q_expr_fingerprint" -> ssFingerprintOracleSql,
     "q_stateful_running" ->
       """WITH t AS (SELECT user_id, event_id, event_type,
         |CAST(round(value * 100, 0) AS BIGINT) AS cents,

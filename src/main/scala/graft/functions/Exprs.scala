@@ -196,14 +196,28 @@ object Exprs {
   def stringReplace(c: Column, search: String, repl: String): Column =
     replace(c, lit(search), lit(repl))
 
-  // ===== Regexp (regexp_expressions.h:34-76; Java regex vs reference RE2 —
-  // dialect delta documented in SURVEY §7) =====
-  def regexpPartialMatch(c: Column, pattern: String): Column = c.rlike(pattern)
-  def regexpFullMatch(c: Column, pattern: String): Column = c.rlike("^(?:" + pattern + ")$")
-  def regexpReplaceE(c: Column, pattern: String, rewrite: String): Column =
-    regexp_replace(c, pattern, rewrite)
+  // ===== Regexp (regexp_expressions.h:34-76). The reference evaluates
+  // RE2; Spark evaluates java.util.regex. Round 10: every pattern passes
+  // through the Re2Dialect guard — RE2 constructs with exact Java
+  // equivalents are translated, RE2-only (\C) and Java-only
+  // (backreferences, lookaround, possessive) constructs are REJECTED with
+  // a dialect diagnostic instead of silently changing meaning. DuckDB's
+  // regexp functions are RE2, so q_expr_regexp pins the translation
+  // against genuine RE2 evaluation. =====
+  def regexpPartialMatch(c: Column, pattern: String): Column =
+    c.rlike(Re2Dialect.toJava(pattern))
+  def regexpFullMatch(c: Column, pattern: String): Column =
+    c.rlike("^(?:" + Re2Dialect.toJava(pattern) + ")\\z")
+  /** RegexpReplace (regexp_expressions.h:46-50): replaces every match with
+    * the SUBSTITUTE VALUE — a plain string, not a Java rewrite template
+    * (the \1-capable RegexpRewrite is unimplemented in the reference), so
+    * `$` and `\` in the substitute are literal characters here, where raw
+    * Spark regexp_replace would read `$1` as a group reference. */
+  def regexpReplaceE(c: Column, pattern: String, substitute: String): Column =
+    regexp_replace(c, Re2Dialect.toJava(pattern),
+      java.util.regex.Matcher.quoteReplacement(substitute))
   def regexpExtractE(c: Column, pattern: String, group: Int = 1): Column =
-    regexp_extract(c, pattern, group)
+    regexp_extract(c, Re2Dialect.toJava(pattern), group)
 
   // ===== Civil-time core (session-timezone INVARIANCE) =====
   // The reference's DATETIME is an int64 of UTC micros and every non-Local
@@ -305,10 +319,17 @@ object Exprs {
   def hourLocal(c: Column, tz: String): Column = hour(atTz(c, tz))
   def minuteLocal(c: Column, tz: String): Column = minute(atTz(c, tz))
 
-  // ===== Hashing (hashing_expressions.h:28-35) — 64-bit deterministic hash;
-  // values intentionally differ from the reference's farmhash (SURVEY §7f) =====
-  def fingerprint(c: Column): Column = xxhash64(c)
-  def hashWithSeed(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+  // ===== Hashing (hashing_expressions.h:28-35) — EXACT value parity with
+  // the reference's hash.cc mixing (round 10; was xxhash64 with a
+  // documented delta). uint64 carried as LongType two's complement. =====
+  def fingerprint(c: Column): Column =
+    SupersonicHashExpression.supersonicFingerprint(c)
+  def hashWithSeed(c: Column, seed: Long): Column =
+    SupersonicHashExpression.supersonicHash(c, lit(seed))
+  /** SupersonicHash(e, seed) with a full seed expression (uint64, no
+    * implicit cast — hashing_expressions.h:31-36). */
+  def hashE(c: Column, seed: Column): Column =
+    SupersonicHashExpression.supersonicHash(c, seed)
 
   // ===== Additional Signaling variants (policy triple completeness) =====
   def modulusSignaling(a: Column, b: Column): Column =

@@ -285,6 +285,8 @@ object ProtoWire {
     val YEAR_UTC = 228; val MONTH_UTC = 229; val DAY_UTC = 230
     val WEEKDAY_UTC = 231; val YEARDAY_UTC = 232; val HOUR_UTC = 233
     val MINUTE_UTC = 234; val QUARTER_UTC = 235
+    // expression/proto/operators.proto:173-174 (ext/hashing)
+    val FINGERPRINT = 700; val HASH = 704
   }
 
   // ===== encoders =====
@@ -605,6 +607,9 @@ object ProtoWire {
       case CAST =>
         arity(2)
         Exprs.castTo(dataTypeArg(op.args(0), "CAST"))(arg(1))
+      // hashing (operators.proto:173-174) — exact hash.cc value parity
+      case FINGERPRINT => unary(Exprs.fingerprint)
+      case HASH => binary(Exprs.hashE)
       // regexp: constant pattern required, like the reference
       case REGEXP_PARTIAL =>
         arity(2); Exprs.regexpPartialMatch(arg(0), constantString(op.args(1), "REGEXP_PARTIAL"))
@@ -786,6 +791,8 @@ object ProtoWire {
       case "lower" => opNode(POp.TOLOWER)
       case "upper" => opNode(POp.TOUPPER)
       case "in" => opNode(POp.IN)
+      case "fingerprint" => opNode(POp.FINGERPRINT)
+      case "hash" => opNode(POp.HASH)
       case "case" =>
         // DSL: alternating (when, then) pairs + optional trailing else.
         // Proto: CASE arg0 WHEN arg2 THEN arg3 ... ELSE arg1, searched form

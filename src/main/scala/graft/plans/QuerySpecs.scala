@@ -88,6 +88,8 @@ object QuerySpecs {
     def upper(a: ExprSpec): ExprSpec = node("upper", a)
     def in(needle: ExprSpec, values: ExprSpec*): ExprSpec =
       node("in", needle +: values: _*)
+    def fingerprint(a: ExprSpec): ExprSpec = node("fingerprint", a)
+    def hash(a: ExprSpec, seed: ExprSpec): ExprSpec = node("hash", a, seed)
     /** CASE WHEN b1 THEN v1 [WHEN b2 THEN v2 ...] [ELSE e] END. */
     def caseWhen(branches: Seq[(ExprSpec, ExprSpec)],
                  otherwise: Option[ExprSpec] = None): ExprSpec =
@@ -138,6 +140,12 @@ object QuerySpecs {
       case "in" =>
         require(e.children.size >= 2, "'in' expects a needle plus values")
         child(0).isin(e.children.tail.map(toColumn): _*)
+      case "fingerprint" =>
+        require(e.children.size == 1, "'fingerprint' expects 1 child")
+        graft.functions.Exprs.fingerprint(child(0))
+      case "hash" =>
+        require(e.children.size == 2, "'hash' expects 2 children (value, seed)")
+        graft.functions.Exprs.hashE(child(0), child(1))
       case "case" =>
         require(e.children.size >= 2, "'case' expects at least one (when, then) pair")
         val cs = e.children.map(toColumn)
