@@ -315,6 +315,23 @@ object SparkEntry {
         back.withColumn("price_dec", dec(col("o_totalprice"))))))
   }
 
+  /** q_fileio_parity — the reference's binary block-file format
+    * (cursor/infrastructure/file_io.cc, FileOutput/FileInput): write a
+    * customer projection as supersonic block files (chunked, LE,
+    * byte-per-row nullability, varlen length prefixes), read the BYTES
+    * back with the schema-supplied reader, emit every row. The oracle
+    * reads the source table directly, so a pass proves the byte round
+    * trip is lossless. Golden wire-layout pinning (hand-assembled bytes)
+    * lives in SupersonicFileSpec. */
+  private def qFileioParity(s: SparkSession, d: String): DataFrame = {
+    val out = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_ssonic_${ProcessHandle.current().pid()}")
+    val src = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+      col("c_nationkey").cast("int").as("nk"),
+      col("c_acctbal").cast("double").as("bal"))
+    graft.sources.SupersonicFile.write(src, out)
+    graft.sources.SupersonicFile.read(s, out, src.schema).orderBy("c_custkey")
+  }
+
   /** Bucketed-table ingest memo: table name -> the sfDir its data came
     * from. The 100 TB rationale is pay-the-shuffle-once-AT-INGEST, so the
     * writes must not recur inside Bench's timed best-of-K attempts —
@@ -668,10 +685,16 @@ object SparkEntry {
       Tables.customer(s, d).select(col("c_nationkey").as("nk")),
       Tables.supplier(s, d).select(col("s_nationkey").as("nk"))))
 
+  /** Right side is restricted to a fixed supplier-key range so the
+    * difference is NON-empty at every SF (round 10: the unrestricted form
+    * was the suite's only zero-row gate — it hash-matched trivially and
+    * could not catch duplicate-semantics drift in except; the empty case
+    * stays asserted in RelationalSpec). */
   private def qSetExcept(s: SparkSession, d: String): DataFrame =
     Relational.sort(col("nk"))(Relational.except(
       Tables.customer(s, d).select(col("c_nationkey").as("nk")),
-      Tables.supplier(s, d).select(col("s_nationkey").as("nk"))))
+      Tables.supplier(s, d).filter(col("s_suppkey") < 20)
+        .select(col("s_nationkey").as("nk"))))
 
   private def qJoin5(s: SparkSession, d: String): DataFrame = {
     // TPC-H Q5 shape: 5-way join with two broadcast dims, revenue per nation.
@@ -4709,6 +4732,7 @@ object SparkEntry {
     "q_expr_cast" -> (qExprCast _),
     "q_expr_hash" -> (qExprHash _),
     "q_expr_fingerprint" -> (qExprFingerprint _),
+    "q_fileio_parity" -> (qFileioParity _),
     "q_stateful_running" -> (qStatefulRunning _),
     "q_stateful_flush" -> (qStatefulFlush _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -5230,7 +5254,7 @@ object SparkEntry {
         |SELECT s_nationkey AS nk FROM supplier) ORDER BY nk""".stripMargin,
     "q_set_except" ->
       """SELECT nk FROM (SELECT c_nationkey AS nk FROM customer EXCEPT
-        |SELECT s_nationkey AS nk FROM supplier) ORDER BY nk""".stripMargin,
+        |SELECT s_nationkey AS nk FROM supplier WHERE s_suppkey < 20) ORDER BY nk""".stripMargin,
     "q_join5" ->
       """SELECT r_name, n_name,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -5337,6 +5361,9 @@ object SparkEntry {
         |MIN(${ssToI64(ssHashNum("c_custkey", 7L))}) AS min_hk7,
         |MAX(${ssToI64(ssHashNum("c_custkey", 7L))}) AS max_hk7 FROM customer""".stripMargin,
     "q_expr_fingerprint" -> ssFingerprintOracleSql,
+    "q_fileio_parity" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS nk,
+        |CAST(c_acctbal AS DOUBLE) AS bal FROM customer ORDER BY c_custkey""".stripMargin,
     "q_stateful_running" ->
       """WITH t AS (SELECT user_id, event_id, event_type,
         |CAST(round(value * 100, 0) AS BIGINT) AS cents,

@@ -237,12 +237,34 @@ object Exprs {
     * wall clock as UTC. Session-timezone-invariant; do not pass
     * TIMESTAMP (LTZ) columns — their NTZ cast goes through the session
     * zone, which is exactly the dependence this helper exists to avoid. */
-  def epochMicrosCivil(c: Column): Column =
-    timestamp_diff("MICROSECOND", NtzEpoch, c.cast("timestamp_ntz"))
-  def epochMillisCivil(c: Column): Column =
-    timestamp_diff("MILLISECOND", NtzEpoch, c.cast("timestamp_ntz"))
-  def epochSecondsCivil(c: Column): Column =
-    timestamp_diff("SECOND", NtzEpoch, c.cast("timestamp_ntz"))
+  /** NTZ wall clock → the LTZ instant with that wall clock READ AS UTC,
+    * via a Cast whose zone is pinned (NOT the session zone). */
+  private def ntzAsUtcInstant(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast}
+    org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(CCast(
+      org.apache.spark.sql.graftbridge.ColumnBridge.toExpr(c.cast("timestamp_ntz")),
+      org.apache.spark.sql.types.TimestampType, Some("UTC")))
+  }
+  /** Civil wall-clock difference, fully UTC-pinned. The functions-API
+    * timestamp_diff is DOUBLY session-zone-dependent on NTZ inputs: the
+    * implicit NTZ→LTZ input cast uses the session zone (wall→instant), and
+    * TimestampDiff itself diffs the instants' WALL CLOCKS in its own
+    * (session) timeZoneId. The two session reads cancel row-by-row except
+    * inside the session zone's DST spring-forward gap, where the
+    * nonexistent wall clock normalizes forward (caught round 10 by the
+    * 2024-03-10 02:30 fixture: +3600 s under America/Los_Angeles).
+    * Pinning BOTH the input casts and the diff's zone to UTC (no DST)
+    * makes the wall-clock arithmetic total and session-invariant. */
+  private def civilDiff(unit: String, c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.TimestampDiff
+    val B = org.apache.spark.sql.graftbridge.ColumnBridge
+    B.toColumn(new TimestampDiff(unit,
+      B.toExpr(ntzAsUtcInstant(NtzEpoch)), B.toExpr(ntzAsUtcInstant(c)),
+      Some("UTC")))
+  }
+  def epochMicrosCivil(c: Column): Column = civilDiff("MICROSECOND", c)
+  def epochMillisCivil(c: Column): Column = civilDiff("MILLISECOND", c)
+  def epochSecondsCivil(c: Column): Column = civilDiff("SECOND", c)
   /** Inverse: epoch micros → civil TIMESTAMP_NTZ (wall clock = UTC). */
   def civilFromMicros(us: Column): Column =
     timestamp_add("MICROSECOND", us, NtzEpoch)
@@ -299,9 +321,24 @@ object Exprs {
   def addMonths(c: Column, n: Column): Column = add_months(c.cast("date"), n)
   def addMinutes(c: Column, n: Column): Column =
     c + make_dt_interval(lit(0), lit(0), n.cast("int"), lit(0))
-  def dateFormat(c: Column, fmt: String): Column = date_format(c, fmt)
+  /** Format a civil (NTZ) wall clock with NO session-zone round trip.
+    * Plain date_format on an NTZ input implicitly casts NTZ→LTZ through
+    * spark.sql.session.timeZone and formats back in the same zone — which
+    * cancels EXCEPT for wall clocks inside that zone's DST spring-forward
+    * gap (e.g. 2024-03-10 02:30 under America/Los_Angeles renders 03:30).
+    * Pinning BOTH the cast and the formatter to UTC (a zone with no DST)
+    * makes formatting truly session-invariant. */
+  private def formatCivil(c: Column, fmt: String): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, DateFormatClass, Literal => CLit}
+    val utcInstant = CCast(
+      org.apache.spark.sql.graftbridge.ColumnBridge.toExpr(c.cast("timestamp_ntz")),
+      org.apache.spark.sql.types.TimestampType, Some("UTC"))
+    org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(
+      DateFormatClass(utcInstant, CLit(fmt), Some("UTC")))
+  }
+  def dateFormat(c: Column, fmt: String): Column = formatCivil(c, fmt)
   def dateFormatLocal(c: Column, fmt: String, tz: String): Column =
-    date_format(atTz(c, tz), fmt)
+    formatCivil(atTz(c, tz), fmt)
 
   // ===== `*Local` datetime variants (operators.proto:604-644): the field
   // extractors re-read in a caller-supplied timezone. The non-Local surface

@@ -21,12 +21,12 @@ import org.apache.spark.sql.types._
   * moov>mvhd, v0 and v1). PIXEL-level decode (decodePixelsRgb →
   * decodeImageFeatures with per-channel stats + dHash) covers
   * BMP/PPM/PNG/GIF/TIFF and, via [[Jpeg.decodePixels]], baseline +
-  * progressive JPEG; SAMPLE-level decode (decodeWavSamples →
-  * decodeAudioFeatures) covers PCM-16 WAV. decodeMeta dispatches images
-  * on magic bytes; decodeAudioMeta / decodeVideoMeta are the typed
-  * audio/video faces. Only payloads matching NO real codec (arithmetic/
-  * lossless/hierarchical JPEG, AAC/H.264) fall through to the
-  * clearly-marked deterministic STUB. The Spark-side plumbing (schemas,
+  * progressive (SOF2) + lossless (SOF3) JPEG; SAMPLE-level decode
+  * (decodeWavSamples → decodeAudioFeatures) covers PCM-16 WAV. decodeMeta
+  * dispatches images on magic bytes; decodeAudioMeta / decodeVideoMeta
+  * are the typed audio/video faces. Only payloads matching NO real codec
+  * (arithmetic-coded or hierarchical JPEG frames, AAC/H.264) fall through
+  * to the clearly-marked deterministic STUB. The Spark-side plumbing (schemas,
   * binary slicing, mapPartitions batch shape, partition-parallel
   * execution) is shared by both paths.
   */

@@ -151,7 +151,9 @@ object ProtoWire {
       case INT32 => IntegerType
       case INT64 => LongType
       case UINT64 => DecimalType(20, 0)
-      case DATETIME => TimestampType
+      // NTZ, matching GraftTypes and constantToColumn's civil decode —
+      // proto-driven CAST/PARSE_STRING must not read the session zone
+      case DATETIME => TimestampNTZType
       case DOUBLE => DoubleType
       case BOOL => BooleanType
       case BINARY => BinaryType
@@ -747,8 +749,14 @@ object ProtoWire {
       case StringType => PConstant(PType.STRING, stringValue = Some(value))
       case DateType => PConstant(PType.DATE,
         dateValue = Some(java.time.LocalDate.parse(value.trim).toEpochDay.toInt))
-      case TimestampType => PConstant(PType.DATETIME,
-        datetimeValue = Some(java.time.Instant.parse(value.trim).toEpochMilli * 1000L))
+      case TimestampType | TimestampNTZType =>
+        // accept the same 'yyyy-MM-dd HH:mm:ss[.ffffff]' literals the JSON
+        // DSL does (Instant.parse demanded an ISO offset and truncated to
+        // millis); exact epoch micros via civil UTC read
+        val civil = java.time.LocalDateTime.parse(value.trim.replace(' ', 'T'))
+        PConstant(PType.DATETIME, datetimeValue = Some(
+          java.time.temporal.ChronoUnit.MICROS.between(
+            java.time.LocalDateTime.of(1970, 1, 1, 0, 0), civil)))
       case other => throw new IllegalArgumentException(
         s"no proto literal encoding for DDL type $other")
     }

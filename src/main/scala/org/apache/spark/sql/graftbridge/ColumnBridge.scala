@@ -21,4 +21,14 @@ object ColumnBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** DataFrame over an RDD of InternalRow without the external-Row
+    * conversion hop (`internalCreateDataFrame` is `private[sql]`); used by
+    * byte-level sources (sources.SupersonicFile) whose decoders produce
+    * catalyst-native values (UTF8String, days-int, micros-long) directly. */
+  def fromInternalRows(spark: SparkSession,
+                       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -35,6 +35,9 @@ class TimezoneInvarianceSpec extends SparkSpec {
 
   private def civil: DataFrame =
     Seq("2024-03-10 01:30:00.123456", // spans the US spring-forward gap
+        "2024-03-10 02:30:00",        // INSIDE the LA spring-forward gap —
+                                      // a session-zone NTZ→LTZ round trip
+                                      // renders this as 03:30 (ADVICE r9)
         "2024-11-03 01:30:00.000001", // ambiguous during fall-back
         "1997-07-01 23:59:59.999999",
         "1970-01-01 00:00:00")

@@ -138,6 +138,10 @@ class RelationalSpec extends SparkSpec {
     val b = Seq(2, 4).toDF("x")
     assert(rows(Relational.intersect(a, b)).flatten == Seq(2))
     assert(rows(Relational.except(a, b).orderBy("x")).flatten == Seq(1, 3))
+    // the empty case, moved out of q_set_except (a zero-row gate cannot
+    // catch duplicate-semantics drift): equal value sets difference to zero
+    // rows even when multiplicities differ
+    assert(rows(Relational.except(a, Seq(3, 2, 1).toDF("x"))).isEmpty)
   }
 
   test("asOfJoin attaches latest right value at-or-before left time, per key") {
