@@ -3065,6 +3065,51 @@ object SparkEntry {
         "doc_id", "text", n = 5))
   }
 
+  /** q_unigram_train — unigram-LM (SentencePiece-style) tokenizer
+    * training, Bpe's sibling: 3 Viterbi-EM rounds over the distinct-word
+    * table at maxPieceLen=4. The integer-cost objective (fewest pieces *
+    * 2^52 - frequency mass, reversed-length tie-break) has no
+    * log-probability doubles, so the DuckDB oracle replays ALL THREE
+    * rounds exactly — enumerating every segmentation per word with a
+    * recursive CTE and ranking by (cost, list_reverse(lens)). */
+  private def qUnigramTrain(s: SparkSession, d: String): DataFrame =
+    Relational.sort(col("piece"))(
+      graft.pipeline.Unigram.train(Tables.documents(s, d), "text",
+        maxPieceLen = 4, rounds = 3))
+
+  /** Shared input for the full-substring-dedup gates: documents plus
+    * PLANTED LONG DUPLICATES — docs 0-4 replanted verbatim under
+    * doc_id+100000, so whole documents (up to ~100 tokens) repeat
+    * corpus-wide and arbitrary-length spans must surface. */
+  private def dupSpansCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text")))
+  }
+
+  /** q_dup_spans_full — FULL Lee et al. exact substring dedup: MAXIMAL
+    * duplicated token spans (k=8) per document over documents + planted
+    * whole-doc duplicates. The DuckDB oracle replays the entire chain:
+    * duplicated 8-grams -> per-doc gaps-and-islands merge -> maximal
+    * intervals. Raw-text windows here (exact string replay); the 8-byte
+    * fingerprint mode is spec-asserted identical (DupSpansFullSpec). */
+  private def qDupSpansFull(s: SparkSession, d: String): DataFrame =
+    Relational.sort(col("doc_id"), col("span_start"))(
+      graft.pipeline.Dedup.duplicatedSpansMaximal(
+        dupSpansCorpus(s, d), "doc_id", "text", k = 8))
+
+  /** q_dup_longest — the escalation ladder: longest exact repeated token
+    * window (>= 8) corpus-wide, found with O(log maxLen) fingerprint-hash
+    * probe jobs; the oracle computes the true maximum by enumerating
+    * every >= 8-token substring (tractable at oracle scale, and exact —
+    * a ladder/oracle mismatch would expose either a probe bug or a hash
+    * collision). */
+  private def qDupLongest(s: SparkSession, d: String): DataFrame = {
+    val len = graft.pipeline.Dedup.longestRepeatedSpanLength(
+      dupSpansCorpus(s, d), "doc_id", "text", k = 8)
+    s.range(1).select(lit(len).as("max_dup_len"))
+  }
+
   private def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
     // Hashed-linear classifier inference: one codegen'd projection, zero
     // shuffles; integer mills accumulation makes the fold order-exact.
@@ -4826,6 +4871,9 @@ object SparkEntry {
     "q_histogram_eqdepth" -> (qHistogramEqdepth _),
     "q_corr" -> (qCorr _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_dup_spans_full" -> (qDupSpansFull _),
+    "q_dup_longest" -> (qDupLongest _),
+    "q_unigram_train" -> (qUnigramTrain _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -5094,6 +5142,54 @@ object SparkEntry {
        |FROM mix JOIN (SELECT c_custkey AS jid, c_nationkey - 13 AS n32 FROM customer) ON id = jid
        |WHERE pos = nc
        |ORDER BY c_custkey""".stripMargin
+  }
+
+  /** q_unigram_train oracle: full unrolled replay of `rounds` Viterbi-EM
+    * rounds. Per round, a recursive CTE ENUMERATES every segmentation of
+    * every distinct word (pieces <= 4 chars; tractable because words are
+    * short) and ranks by the exact integer objective —
+    * (cost = pieces * 2^52 - score mass, then reversed piece-length list)
+    * — which equals the engine's DP + backward-smallest-k walk. Usage
+    * counts become the next round's scores; unused single chars persist
+    * at score 0 (coverage). Multi-referenced CTEs are MATERIALIZED (the
+    * DuckDB unrolled-round requirement). */
+  private def unigramTrainOracleSql(rounds: Int): String = {
+    val Big = graft.functions.UnigramViterbi.Big
+    val head = """words AS MATERIALIZED (
+      |  SELECT w AS word, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS w
+      |    FROM documents) GROUP BY 1),
+      |chars AS MATERIALIZED (
+      |  SELECT DISTINCT substr(word, i, 1) AS piece FROM words,
+      |    (SELECT unnest(generate_series(1, 32)) AS i) t WHERE i <= length(word)),
+      |occ AS MATERIALIZED (
+      |  SELECT substr(word, j + 1, k) AS piece, cnt FROM words,
+      |    (SELECT unnest(generate_series(0, 31)) AS j) tj,
+      |    (SELECT unnest(generate_series(1, 4)) AS k) tk
+      |  WHERE j + k <= length(word)),
+      |p0 AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS score FROM occ GROUP BY 1)""".stripMargin
+    val roundCtes = (0 until rounds).map { r =>
+      s"""seg$r AS (
+         |  SELECT word, cnt, 0 AS pos, []::VARCHAR[] AS pcs, []::INTEGER[] AS lens, CAST(0 AS BIGINT) AS cost
+         |  FROM words
+         |  UNION ALL
+         |  SELECT s.word, s.cnt, s.pos + kk.k, list_append(s.pcs, substr(s.word, s.pos + 1, kk.k)),
+         |    list_append(s.lens, kk.k), s.cost + $Big - p.score
+         |  FROM seg$r s, (SELECT unnest(generate_series(1, 4)) AS k) kk, p$r p
+         |  WHERE s.pos + kk.k <= length(s.word) AND p.piece = substr(s.word, s.pos + 1, kk.k)
+         |),
+         |best$r AS MATERIALIZED (
+         |  SELECT word, cnt, pcs FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word ORDER BY cost, list_reverse(lens)) AS rn
+         |    FROM seg$r WHERE pos = length(word)) WHERE rn = 1),
+         |u${r + 1} AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS score FROM
+         |  (SELECT unnest(pcs) AS piece, cnt FROM best$r) GROUP BY 1),
+         |p${r + 1} AS MATERIALIZED (SELECT * FROM u${r + 1}
+         |  UNION ALL SELECT c.piece, CAST(0 AS BIGINT) FROM chars c
+         |  WHERE c.piece NOT IN (SELECT piece FROM u${r + 1}))""".stripMargin
+    }
+    (s"WITH RECURSIVE $head,\n" + roundCtes.mkString(",\n") +
+      s"\nSELECT piece, score FROM p$rounds ORDER BY piece")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6415,6 +6511,34 @@ object SparkEntry {
         |  COALESCE(p.dup_shingles, 0) AS dup_shingles,
         |  CAST(COALESCE(p.dup_shingles, 0) AS DOUBLE) / greatest(COALESCE(p.n_shingles, 0), 1) AS dup_frac
         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_dup_spans_full" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5),
+        |w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM all_docs),
+        |sh0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS s_start, ws FROM w WHERE len(ws) >= 8),
+        |sh AS (SELECT doc_id, s_start, array_to_string(ws[s_start:s_start+7], ' ') AS s FROM sh0),
+        |c AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+        |d AS (SELECT doc_id, s_start FROM sh JOIN c USING (s)),
+        |i AS (SELECT doc_id, s_start,
+        |  CASE WHEN lag(s_start) OVER (PARTITION BY doc_id ORDER BY s_start) IS NULL
+        |       OR s_start > lag(s_start) OVER (PARTITION BY doc_id ORDER BY s_start) + 8
+        |       THEN 1 ELSE 0 END AS nw FROM d),
+        |j AS (SELECT doc_id, s_start,
+        |  SUM(nw) OVER (PARTITION BY doc_id ORDER BY s_start ROWS UNBOUNDED PRECEDING) AS island FROM i)
+        |SELECT doc_id, CAST(MIN(s_start) AS BIGINT) AS span_start,
+        |  CAST(MAX(s_start) + 7 AS BIGINT) AS span_end,
+        |  CAST(MAX(s_start) + 7 - MIN(s_start) + 1 AS BIGINT) AS span_len
+        |FROM j GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "q_unigram_train" -> unigramTrainOracleSql(3),
+    "q_dup_longest" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5),
+        |w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM all_docs),
+        |st AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS i, ws FROM w WHERE len(ws) >= 8),
+        |sub AS (SELECT array_to_string(ws[i:i+l-1], ' ') AS s, l
+        |  FROM (SELECT doc_id, i, ws, unnest(generate_series(8, len(ws) - i + 1)) AS l FROM st))
+        |SELECT COALESCE(CAST(MAX(l) AS BIGINT), 0) AS max_dup_len
+        |FROM (SELECT s, l FROM sub GROUP BY s, l HAVING count(*) > 1)""".stripMargin,
     // hashed-linear classifier: integer-mills fold over the portable
     // (length, first, last) token key — exact on any engine
     "q_quality_classifier" ->

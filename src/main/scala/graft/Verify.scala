@@ -21,6 +21,18 @@ object Verify {
     // ansi=true and a non-UTC zone to prove no gate leans on the pins.
     val tz = sys.env.getOrElse("SPARK_GRAFT_TZ", "UTC")
     val ansi = sys.env.getOrElse("SPARK_GRAFT_ANSI", "false")
+    // Speculation sweep (round 10): SPARK_GRAFT_SPECULATION=1 enables
+    // spark.speculation with aggressive thresholds. On a single host the
+    // scheduler never actually LAUNCHES a duplicate (TaskSetManager skips
+    // hosts that already run an attempt — probed empirically, 0
+    // speculative task starts even under local-cluster), so this sweep
+    // pins the bookkeeping/AQE interplay; the double-execution hazard
+    // itself is pinned at the commit layer by SpeculationSpec and
+    // TaskRetrySpec (attempt-temp + rename, parquet committer).
+    val speculation = (sys.env.get("SPARK_GRAFT_SPECULATION") match {
+      case Some("1") | Some("true") => true
+      case _ => false
+    }).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -28,6 +40,10 @@ object Verify {
       .config("spark.sql.ansi.enabled", ansi)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.speculation", speculation)
+      .config("spark.speculation.interval", "100ms")
+      .config("spark.speculation.multiplier", "1.5")
+      .config("spark.speculation.quantile", "0.5")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

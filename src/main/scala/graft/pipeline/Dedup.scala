@@ -820,6 +820,98 @@ object Dedup {
           greatest(coalesce(col("__n"), lit(0L)), lit(1L))).as("dup_frac"))
   }
 
+  /** FULL exact substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): the MAXIMAL duplicated token
+    * spans per document, for arbitrary duplicate lengths >= k.
+    *
+    * Key identity that keeps this in one banded shuffle: a token position
+    * is covered by some corpus-repeated substring of length >= k IFF it is
+    * covered by a duplicated k-gram (the k-gram is itself such a
+    * substring; any longer repeat contains one). So phase 1 is the same
+    * duplicated-k-gram join as [[duplicatedSpans]], and phase 2 merges
+    * overlapping-or-touching duplicated windows per document
+    * (gaps-and-islands over a PER-DOC window — partitioned by id, never a
+    * single-reducer global sort) into exactly the maximal covered
+    * intervals that the suffix-array formulation would emit.
+    *
+    * fingerprint=true ships 8-byte window hashes through the shuffle
+    * instead of span text — the 100 TB path; output identical up to
+    * 2^-64 hash collisions (spec-asserted equal on real data).
+    *
+    * Output: one row per maximal interval —
+    * (id, span_start 1-based token index, span_end inclusive, span_len). */
+  def duplicatedSpansMaximal(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, fingerprint: Boolean = false): DataFrame = {
+    require(k >= 2, "duplicatedSpansMaximal: window width must be >= 2 tokens")
+    val toks = df.select(col(idCol).as("__id"),
+      expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w"))
+    val spanText = expr(
+      s"transform(sequence(1, size(__w) - ${k - 1}), i -> array_join(slice(__w, i, $k), ' '))")
+    // posexplode: window start = pos + 1 (1-based token index)
+    val sh = toks.select(col("__id"),
+      posexplode(when(size(col("__w")) >= k, spanText)
+        .otherwise(expr("array()").cast("array<string>"))))
+      .select(col("__id"), (col("pos") + 1).as("__start"),
+        (if (fingerprint) xxhash64(col("col")) else col("col")).as("__s"))
+    val dupKeys = sh.groupBy("__s").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1).select("__s")
+    val dupStarts = sh.join(dupKeys, Seq("__s")).select("__id", "__start")
+    // gaps-and-islands: windows [s, s+k-1] merge when the next start is
+    // within k of the previous (overlap or touch => contiguous coverage)
+    val w = Window.partitionBy("__id").orderBy("__start")
+    val islands = dupStarts
+      .withColumn("__new", when(lag(col("__start"), 1).over(w).isNull
+        .or(col("__start") > lag(col("__start"), 1).over(w) + k), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("__id").as(idCol), col("__island"))
+      .agg(min(col("__start")).as("span_start"),
+        (max(col("__start")) + (k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start").cast("long"),
+        col("span_end").cast("long"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_len"))
+  }
+
+  /** Longest exact repeated token window in the corpus (the escalation
+    * ladder): the maximum L >= k such that some L-token window occurs more
+    * than once corpus-wide, or 0 when no k-window repeats.
+    *
+    * Doubling + binary search: O(log(maxLen/k)) probe jobs, each a single
+    * hash aggregation over window FINGERPRINTS (8-byte xxhash64 — the
+    * shuffle never carries span text, so a probe at L costs the same
+    * shuffle bytes as a probe at k). maxLen (one tiny agg job) caps the
+    * doubling so pathological inputs cannot loop. */
+  def longestRepeatedSpanLength(df: DataFrame, idCol: String, textCol: String,
+                                k: Int): Long = {
+    require(k >= 1, "longestRepeatedSpanLength: k must be >= 1")
+    val toks = df.select(
+      expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w"))
+      .persist()
+    try {
+      val maxLenRow = toks.agg(max(size(col("__w")))).head()
+      if (maxLenRow.isNullAt(0)) return 0L // empty corpus
+      val maxLen = maxLenRow.getInt(0)
+      def existsDup(l: Int): Boolean = l <= maxLen && {
+        val spanHash = expr(
+          s"transform(sequence(1, size(__w) - ${l - 1}), i -> xxhash64(array_join(slice(__w, i, $l), ' ')))")
+        toks.filter(size(col("__w")) >= l)
+          .select(explode(spanHash).as("__h"))
+          .groupBy("__h").agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > 1).limit(1).count() > 0
+      }
+      if (!existsDup(k)) return 0L
+      var lo = k // longest known duplicated length
+      while (lo * 2 <= maxLen && existsDup(lo * 2)) lo *= 2
+      var hiFalse = math.min(lo * 2, maxLen + 1) // shortest known non-duplicated
+      // (lo*2 either probed false above or exceeds maxLen entirely)
+      while (hiFalse - lo > 1) {
+        val mid = lo + (hiFalse - lo) / 2
+        if (existsDup(mid)) lo = mid else hiFalse = mid
+      }
+      lo.toLong
+    } finally { toks.unpersist(); () }
+  }
+
   /** Survivorship / golden-record construction — the step AFTER dedup
     * clustering: merge each duplicate cluster into one canonical record.
     * Field policy is most-frequent-NON-NULL per attribute with a

@@ -149,9 +149,51 @@ object SupersonicFile {
     }
   }
 
+  /** One partition's write — attempt-safe for BOTH task retries and
+    * speculative duplicates: bytes go to a dot-temp file named by the task
+    * ATTEMPT, then rename onto the final part name. Every attempt of a
+    * partition produces identical bytes (the chunk stream is a pure
+    * function of the input iterator), so whichever attempt's rename wins
+    * is equivalent; a loser (rename refused because the winner's file
+    * exists, e.g. on HDFS) just discards its temp. A direct create() of
+    * the final path would let two live attempts interleave writes.
+    * Returns the row count (0 = nothing written: the reference rejects
+    * 0-row chunks, and an absent file and an empty file read the same). */
+  private[sources] def writePartitionFile(
+      hconf: org.apache.hadoop.conf.Configuration, dir: String, pid: Int,
+      attemptUid: String, schema: StructType, rows: Iterator[InternalRow],
+      maxChunkRowCount: Int): Long = {
+    var written = 0L
+    var out: OutputStream = null
+    val fs = new Path(dir).getFileSystem(hconf)
+    val tmpPath = new Path(dir, f".part-$pid%05d-$attemptUid.ssonic.tmp")
+    val buf = new Array[InternalRow](maxChunkRowCount)
+    var k = 0
+    def flush(): Unit = if (k > 0) {
+      if (out == null) out = fs.create(tmpPath, true)
+      writeChunk(out, schema, java.util.Arrays.copyOf(buf, k))
+      written += k
+      k = 0
+    }
+    while (rows.hasNext) {
+      buf(k) = rows.next().copy() // toRdd rows are reused by the iterator
+      k += 1
+      if (k == maxChunkRowCount) flush()
+    }
+    flush()
+    if (out != null) {
+      out.close()
+      val finalPath = new Path(dir, f"part-$pid%05d.ssonic")
+      if (!fs.rename(tmpPath, finalPath)) {
+        // another attempt already committed an identical file
+        fs.delete(tmpPath, false)
+      }
+    }
+    written
+  }
+
   /** Write `df` as a directory of supersonic block files, one per
-    * partition (skipping empty partitions — the reference rejects 0-row
-    * chunks, and an absent file and an empty file read identically). */
+    * partition (skipping empty partitions). */
   def write(df: DataFrame, dir: String,
             maxChunkRowCount: Int = MaxChunkRowCount): Unit = {
     require(maxChunkRowCount > 0 && maxChunkRowCount <= MaxChunkRowCount,
@@ -162,27 +204,10 @@ object SupersonicFile {
       df.sparkSession.sparkContext.hadoopConfiguration)
     // bounded driver traffic: one (partition, rowcount) pair per task
     val counts = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
-      var written = 0L
-      var out: OutputStream = null
-      val buf = new Array[InternalRow](maxChunkRowCount)
-      var k = 0
-      def flush(): Unit = if (k > 0) {
-        if (out == null) {
-          val p = new Path(dir, f"part-$pid%05d.ssonic")
-          out = p.getFileSystem(conf.value).create(p, true)
-        }
-        writeChunk(out, schema, java.util.Arrays.copyOf(buf, k))
-        written += k
-        k = 0
-      }
-      while (it.hasNext) {
-        buf(k) = it.next().copy() // toRdd rows are reused by the iterator
-        k += 1
-        if (k == maxChunkRowCount) flush()
-      }
-      flush()
-      if (out != null) out.close()
-      Iterator.single(pid -> written)
+      val tc = org.apache.spark.TaskContext.get()
+      val uid = if (tc == null) "local" else s"${tc.stageId}-${tc.taskAttemptId}"
+      Iterator.single(
+        pid -> writePartitionFile(conf.value, dir, pid, uid, schema, it, maxChunkRowCount))
     }.collect()
     require(counts.nonEmpty || df.isEmpty, "write produced no partitions")
   }
