@@ -96,7 +96,7 @@ object SparkEntry {
       |imgs AS (
       |  SELECT doc_id AS img_id, text, w, h, -1 AS pert, 0 AS tiled FROM base
       |  UNION ALL
-      |  SELECT doc_id + 100000000, text, w, h, -1, 0 FROM base WHERE doc_id % 5 = 0
+      |  SELECT doc_id + 10000000000, text, w, h, -1, 0 FROM base WHERE doc_id % 5 = 0
       |  UNION ALL
       |  SELECT doc_id + 200000000, text, w, h, 0, 0 FROM base WHERE doc_id % 7 = 0
       |  UNION ALL
@@ -3079,12 +3079,12 @@ object SparkEntry {
 
   /** Shared input for the full-substring-dedup gates: documents plus
     * PLANTED LONG DUPLICATES — docs 0-4 replanted verbatim under
-    * doc_id+100000, so whole documents (up to ~100 tokens) repeat
+    * doc_id+10000000, so whole documents (up to ~100 tokens) repeat
     * corpus-wide and arbitrary-length spans must surface. */
   private def dupSpansCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.unionByName(docs.filter(col("doc_id") < 5)
-      .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text")))
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
   }
 
   /** q_dup_spans_full — FULL Lee et al. exact substring dedup: MAXIMAL
@@ -6157,7 +6157,7 @@ object SparkEntry {
         |auds AS (
         |  SELECT doc_id AS aud_id, text, ns * ch AS n, -1 AS pert FROM geo
         |  UNION ALL
-        |  SELECT doc_id + 100000000, text, ns * ch, -1 FROM geo WHERE doc_id % 5 = 0
+        |  SELECT doc_id + 10000000000, text, ns * ch, -1 FROM geo WHERE doc_id % 5 = 0
         |  UNION ALL
         |  SELECT doc_id + 200000000, text, ns * ch, 0 FROM geo WHERE doc_id % 7 = 0),
         |sm AS (SELECT aud_id, n, i,
@@ -6513,7 +6513,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_dup_spans_full" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5),
+        |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 5),
         |w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM all_docs),
         |sh0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS s_start, ws FROM w WHERE len(ws) >= 8),
         |sh AS (SELECT doc_id, s_start, array_to_string(ws[s_start:s_start+7], ' ') AS s FROM sh0),
@@ -6532,7 +6532,7 @@ object SparkEntry {
     "q_unigram_train" -> unigramTrainOracleSql(3),
     "q_dup_longest" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5),
+        |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 5),
         |w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM all_docs),
         |st AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS i, ws FROM w WHERE len(ws) >= 8),
         |sub AS (SELECT array_to_string(ws[i:i+l-1], ' ') AS s, l
