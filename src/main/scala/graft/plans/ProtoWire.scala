@@ -609,9 +609,15 @@ object ProtoWire {
       case CAST =>
         arity(2)
         Exprs.castTo(dataTypeArg(op.args(0), "CAST"))(arg(1))
-      // hashing (operators.proto:173-174) — exact hash.cc value parity
+      // hashing (operators.proto:173-174) — exact hash.cc value parity.
+      // The wire's UINT64 seed arrives as DECIMAL(20,0) (PType.toSpark);
+      // fold it to the engine's two's-complement LongType carry. Seeds
+      // already LONG pass through the otherwise-branch unchanged.
+      case HASH => binary((v, seed) => Exprs.hashE(v,
+        when(seed > lit(Long.MaxValue),
+          (seed - lit(BigDecimal("18446744073709551616"))).cast(LongType))
+          .otherwise(seed.cast(LongType))))
       case FINGERPRINT => unary(Exprs.fingerprint)
-      case HASH => binary(Exprs.hashE)
       // regexp: constant pattern required, like the reference
       case REGEXP_PARTIAL =>
         arity(2); Exprs.regexpPartialMatch(arg(0), constantString(op.args(1), "REGEXP_PARTIAL"))

@@ -178,6 +178,29 @@ class ProtoWireSpec extends SparkSpec {
       PExpression.constant(PConstant(PType.DATE,
         dateValue = Some(java.time.LocalDate.of(2024, 1, 1).toEpochDay.toInt)))))))
     assert(evalOne(wd) === 0)
+
+    // FINGERPRINT (tag 700) / HASH (tag 704) decode to the EXACT hash.cc
+    // values (round 10): Fingerprint("abcd") and Hash64("abcd", 7) golden
+    val fp = toColumn(decode(encode(PExpression.operation(POp.FINGERPRINT,
+      PExpression.string("abcd")))))
+    assert(evalOne(fp) === java.lang.Long.parseUnsignedLong("7233733753381076063"))
+    val h = toColumn(decode(encode(PExpression.operation(POp.HASH,
+      PExpression.string("abcd"),
+      PExpression.constant(PConstant(PType.UINT64, uint64Value = Some(BigInt(7))))))))
+    assert(evalOne(h) === java.lang.Long.parseUnsignedLong("7233733903704931904"))
+    // a uint64 seed above 2^63 folds through the DECIMAL(20,0) carrier to
+    // the two's-complement long the mixing expects
+    val bigSeed = BigInt("9223372036854775815") // 2^63 + 7
+    val hBig = toColumn(decode(encode(PExpression.operation(POp.HASH,
+      PExpression.string("abcd"),
+      PExpression.constant(PConstant(PType.UINT64, uint64Value = Some(bigSeed)))))))
+    assert(evalOne(hBig) === graft.functions.SupersonicHashing.hashBytes(
+      "abcd".getBytes("UTF-8"), bigSeed.longValue)) // longValue = two's complement
+    // a reference-wire regexp with an RE2-only construct fails LOUDLY at
+    // the dialect guard instead of silently changing meaning
+    intercept[IllegalArgumentException](
+      toColumn(decode(encode(PExpression.operation(POp.REGEXP_PARTIAL,
+        PExpression.variable("s"), PExpression.string("a\\Cb"))))))
   }
 
   test("TUPLE rebuilds an aliased multi-column projection") {
