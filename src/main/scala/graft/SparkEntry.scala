@@ -96,7 +96,7 @@ object SparkEntry {
       |imgs AS (
       |  SELECT doc_id AS img_id, text, w, h, -1 AS pert, 0 AS tiled FROM base
       |  UNION ALL
-      |  SELECT doc_id + 10000000000, text, w, h, -1, 0 FROM base WHERE doc_id % 5 = 0
+      |  SELECT doc_id + 100000000, text, w, h, -1, 0 FROM base WHERE doc_id % 5 = 0
       |  UNION ALL
       |  SELECT doc_id + 200000000, text, w, h, 0, 0 FROM base WHERE doc_id % 7 = 0
       |  UNION ALL
@@ -6157,7 +6157,7 @@ object SparkEntry {
         |auds AS (
         |  SELECT doc_id AS aud_id, text, ns * ch AS n, -1 AS pert FROM geo
         |  UNION ALL
-        |  SELECT doc_id + 10000000000, text, ns * ch, -1 FROM geo WHERE doc_id % 5 = 0
+        |  SELECT doc_id + 100000000, text, ns * ch, -1 FROM geo WHERE doc_id % 5 = 0
         |  UNION ALL
         |  SELECT doc_id + 200000000, text, ns * ch, 0 FROM geo WHERE doc_id % 7 = 0),
         |sm AS (SELECT aud_id, n, i,
