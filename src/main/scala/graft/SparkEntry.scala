@@ -7572,8 +7572,8 @@ object SparkEntry {
       """WITH e AS (SELECT event_type,
         |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
         |    epoch_ns(ts) // 1000 AS us, CAST(value AS DOUBLE) AS p,
-        |    CAST(value AS DECIMAL(19,6)) AS pd,
-        |    CAST(event_id AS DECIMAL(12,6)) AS vd
+        |    CAST(value AS DECIMAL(12,6)) AS pd,
+        |    CAST(event_id AS DECIMAL(18,0)) AS vd
         |  FROM events),
         |r AS (SELECT *,
         |    row_number() OVER (PARTITION BY event_type, bucket

@@ -105,11 +105,14 @@ object TimeSeries {
   def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
                priceCol: String, volCol: String, unit: String): DataFrame = {
     require(Units(unit), s"ohlcBars: unit must be one of $Units")
-    // DECIMAL(12,6) on both factors: the 24-digit product fits int128,
-    // which decimal engines multiply without widening errors (the
-    // corrExact convention).
+    // Price keeps 6 fraction digits at 6 integer digits; volume is a
+    // COUNT-like factor carried at DECIMAL(18,0) — (12,6)x(18,0) is a
+    // 30-digit product, still int128-exact in every decimal engine.
+    // (Round 10: volume at (12,6) overflowed once event ids passed 1e6
+    // at the 30x replica — Spark nulls on decimal overflow with ANSI
+    // off, so vwap silently vanished while DuckDB raised loudly.)
     val p = col(priceCol).cast("decimal(12,6)")
-    val v = col(volCol).cast("decimal(12,6)")
+    val v = col(volCol).cast("decimal(18,0)")
     val key = struct(graft.functions.Exprs.epochMicrosCivil(col(tsCol)).as("us"),
       col(priceCol).cast("double").as("p"))
     df.select(col(keyCol), graft.functions.Exprs.dateTruncCivil(unit, col(tsCol)).as("bucket"),

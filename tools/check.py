@@ -47,7 +47,9 @@ def fresh_con():
     mem = os.environ.get("CHECK_DUCKDB_MEM")
     if mem:
         c.execute(f"SET memory_limit='{mem}'")
-        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # pid-suffixed: concurrent check.py instances sharing one spill
+        # dir remove each other's temp files (duckdb IOException abort)
+        c.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in glob.glob(f"{sf}/*.parquet"):
         n = os.path.basename(t).replace(".parquet", "")
         c.execute(f"CREATE VIEW {n} AS SELECT * FROM '{t}'")
