@@ -18,6 +18,12 @@ EXCEPTIONS = {
     "q_dedup_clusters": "oracle exceeds local disk (>74G spill): the "
                         "unrolled min-label rounds materialize the 3x-replica "
                         "pair closure; passed in full at sf1 (r9 sweep)",
+    "q_dedup_ngram": "oracle exceeds local disk (>57G spill, capped and "
+                     "uncapped): the blocked-Jaccard replay joins the "
+                     "3x-replica's quadratic block closure; sf1 replay green",
+    "q_dup_matrix": "oracle exceeds local disk (>57G spill, capped and "
+                    "uncapped): pairwise duplicate-matrix replay over the "
+                    "3x-replica closure; sf1 replay green (r9 sweep)",
 }
 
 def main():
