@@ -5159,12 +5159,13 @@ object SparkEntry {
       |  SELECT w AS word, count(*) AS cnt FROM (
       |    SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS w
       |    FROM documents) GROUP BY 1),
+      |ml AS MATERIALIZED (SELECT CAST(max(length(word)) AS INT) AS m FROM words),
       |chars AS MATERIALIZED (
       |  SELECT DISTINCT substr(word, i, 1) AS piece FROM words,
-      |    (SELECT unnest(generate_series(1, 32)) AS i) t WHERE i <= length(word)),
+      |    (SELECT unnest(generate_series(1, (SELECT m FROM ml))) AS i) t WHERE i <= length(word)),
       |occ AS MATERIALIZED (
       |  SELECT substr(word, j + 1, k) AS piece, cnt FROM words,
-      |    (SELECT unnest(generate_series(0, 31)) AS j) tj,
+      |    (SELECT unnest(generate_series(0, (SELECT m FROM ml) - 1)) AS j) tj,
       |    (SELECT unnest(generate_series(1, 4)) AS k) tk
       |  WHERE j + k <= length(word)),
       |p0 AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS score FROM occ GROUP BY 1)""".stripMargin
@@ -7573,7 +7574,7 @@ object SparkEntry {
         |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
         |    epoch_ns(ts) // 1000 AS us, CAST(value AS DOUBLE) AS p,
         |    CAST(value AS DECIMAL(12,6)) AS pd,
-        |    CAST(event_id AS DECIMAL(18,0)) AS vd
+        |    CAST(event_id AS DECIMAL(19,6)) AS vd
         |  FROM events),
         |r AS (SELECT *,
         |    row_number() OVER (PARTITION BY event_type, bucket

@@ -31,6 +31,9 @@ package graft.functions
   *  - `\v` → `\x{000B}` (vertical tab in RE2; vertical-whitespace CLASS in Java)
   *  - `$` → `\z` when no `m` flag appears (RE2 `$` = end of text; Java `$`
   *    also matches before a final newline)
+  *  - bare `.` → `[^\n]` when no `s` flag appears (RE2 `.` excludes only
+  *    \n; Java `.` also excludes \r, U+0085, U+2028, U+2029)
+  *  - `\s` → `[\t\n\f\r ]` and `\S` → `[^\t\n\f\r ]` (Java \s adds \x0B)
   *  - flag `i` → `iu` (RE2 case folding is Unicode; Java needs `u` for that)
   *
   * Rejected Java-only (RE2 refuses the pattern): `\1`-`\9` backrefs /
@@ -63,7 +66,16 @@ object Re2Dialect {
     var i = 0
     var inClass = false
     var classStart = -1
-    val hasMultiline = detectMultilineFlag(pattern)
+    val hasMultiline = detectFlag(pattern, 'm')
+    val hasDotall = detectFlag(pattern, 's')
+    // user-supplied group names that survive sanitization unchanged — a
+    // generated gN substitute must never collide with one (Java rejects
+    // duplicate names; RE2 accepted the original pattern)
+    val usedNames = scala.collection.mutable.Set.empty[String]
+    GroupNameAt.findAllMatchIn(pattern).foreach { m =>
+      val nm = m.group(2)
+      if (nm.matches("[A-Za-z][A-Za-z0-9]*")) usedNames += nm
+    }
     var groupIdx = 0
 
     def peek(k: Int): Char = if (i + k < n) pattern.charAt(i + k) else '\u0000'
@@ -114,6 +126,10 @@ object Re2Dialect {
           inClass = true; classStart = i; out.append('['); i += 1
         case '$' =>
           out.append(if (hasMultiline) "$" else "\\z"); i += 1
+        case '.' =>
+          // RE2 `.` (no s flag) = any char but \n; Java `.` also excludes
+          // \r, U+0085, U+2028, U+2029. Under (?s) both match everything.
+          out.append(if (hasDotall) "." else "[^\\n]"); i += 1
         case '{' =>
           // valid repetition {n} {n,} {n,m}? else literal in RE2
           val m = RepetitionAt.findPrefixMatchOf(pattern.substring(i))
@@ -142,7 +158,15 @@ object Re2Dialect {
               reject(s"invalid group name '$name' at index $i in /$pattern/")
             groupIdx += 1
             val javaName =
-              if (name.matches("[A-Za-z][A-Za-z0-9]*")) name else s"g$groupIdx"
+              if (name.matches("[A-Za-z][A-Za-z0-9]*")) name
+              else {
+                // skip generated indices already taken by a user name
+                // (e.g. `(?P<g2>x)(?P<a_b>y)` must not mint a second g2)
+                while (usedNames.contains(s"g$groupIdx")) groupIdx += 1
+                val fresh = s"g$groupIdx"
+                usedNames += fresh
+                fresh
+              }
             out.append("(?<").append(javaName).append('>')
             i = gt + 1
           } else if (rest.startsWith("(?P=")) {
@@ -197,6 +221,9 @@ object Re2Dialect {
 
   private val RepetitionAt = "^\\{[0-9]+(,[0-9]*)?\\}".r
 
+  /** Named-group openers `(?P<name>` / `(?<name>` (not lookbehind). */
+  private val GroupNameAt = "\\(\\?(P?)<([A-Za-z0-9_]+)>".r
+
   private def checkPossessive(pattern: String, idx: Int): Unit =
     if (idx < pattern.length && pattern.charAt(idx) == '+')
       reject(s"possessive quantifier at index ${idx - 1} is Java-only; RE2 rejects it")
@@ -204,14 +231,18 @@ object Re2Dialect {
   /** True if an `m` flag group appears anywhere (then `$`/`^` keep their
     * multiline reading; the remaining delta — Java counts \r … as
     * line terminators, RE2 only \n — is documented, not guarded). */
-  private def detectMultilineFlag(pattern: String): Boolean = {
+  /** True if flag group `(?flag)` appears anywhere non-negated. Used for
+    * `m` ($ keeps its multiline reading) and `s` (`.` keeps its match-all
+    * reading; a SCOPED (?s:...) leaves bare `.` outside the scope with the
+    * documented Java-counts-more-line-terminators delta). */
+  private def detectFlag(pattern: String, flag: Char): Boolean = {
     var i = 0
     while (i < pattern.length - 2) {
       if (pattern.charAt(i) == '(' && pattern.charAt(i + 1) == '?' &&
           (i == 0 || pattern.charAt(i - 1) != '\\')) {
         var j = i + 2
         while (j < pattern.length && "ims-UuxdJ".indexOf(pattern.charAt(j)) >= 0) {
-          if (pattern.charAt(j) == 'm' &&
+          if (pattern.charAt(j) == flag &&
               pattern.substring(i + 2, j).indexOf('-') < 0) return true
           j += 1
         }
@@ -278,9 +309,16 @@ object Re2Dialect {
         val close = pattern.indexOf("\\E", i + 2)
         if (close < 0) { out.append(pattern.substring(i)); n }
         else { out.append(pattern.substring(i, close + 2)); close + 2 }
+      case 's' =>
+        // RE2 \s = [\t\n\f\r ]; Java \s ALSO includes \x0B (vertical tab)
+        out.append(if (inClass) "\\t\\n\\f\\r " else "[\\t\\n\\f\\r ]"); i + 2
+      case 'S' =>
+        // Java nested [^…] inside a class unions with the complement —
+        // exactly RE2's reading of \S as a member of the outer class
+        out.append("[^\\t\\n\\f\\r ]"); i + 2
       case other =>
-        // \A \z \b \B \w \W \s \S \d \D \n \r \t \f \a and punct escapes:
-        // identical in both dialects
+        // \A \z \b \B \w \W \d \D \n \r \t \f \a and punct escapes:
+        // identical in both dialects (\s/\S handled above — Java adds \x0B)
         out.append('\\').append(other); i + 2
     }
   }

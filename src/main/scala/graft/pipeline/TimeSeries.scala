@@ -105,14 +105,16 @@ object TimeSeries {
   def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
                priceCol: String, volCol: String, unit: String): DataFrame = {
     require(Units(unit), s"ohlcBars: unit must be one of $Units")
-    // Price keeps 6 fraction digits at 6 integer digits; volume is a
-    // COUNT-like factor carried at DECIMAL(18,0) — (12,6)x(18,0) is a
-    // 30-digit product, still int128-exact in every decimal engine.
+    // Price keeps 6 fraction digits at 6 integer digits; volume keeps 6
+    // fraction digits at 12 integer digits — fractional volumes stay
+    // exact (a (18,0) cast would silently round them, skewing vwap) and
+    // integral volumes fit to 1e12. (12,6)x(18,6) is a 31-digit product
+    // at scale 12, int128-exact, and Spark's sum widens it to (38,12).
     // (Round 10: volume at (12,6) overflowed once event ids passed 1e6
     // at the 30x replica — Spark nulls on decimal overflow with ANSI
     // off, so vwap silently vanished while DuckDB raised loudly.)
     val p = col(priceCol).cast("decimal(12,6)")
-    val v = col(volCol).cast("decimal(18,0)")
+    val v = col(volCol).cast("decimal(18,6)")
     val key = struct(graft.functions.Exprs.epochMicrosCivil(col(tsCol)).as("us"),
       col(priceCol).cast("double").as("p"))
     df.select(col(keyCol), graft.functions.Exprs.dateTruncCivil(unit, col(tsCol)).as("bucket"),

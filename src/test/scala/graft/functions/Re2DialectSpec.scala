@@ -111,6 +111,40 @@ class Re2DialectSpec extends AnyFunSuite {
     assert(ok("(?-i)x") == "(?-iu)x")
   }
 
+  test("translate: bare . excludes only \\n in RE2 (Java also \\r, U+2028...)") {
+    assert(ok("a.b") == "a[^\\n]b")
+    // the silent-delta case: Java '.' refuses \r, RE2 '.' matches it
+    assert(!java.util.regex.Pattern.compile("a.b").matcher("a\rb").find())
+    assert(java.util.regex.Pattern.compile(ok("a.b")).matcher("a\rb").find())
+    assert(java.util.regex.Pattern.compile(ok("a.b")).matcher("a b").find())
+    assert(!java.util.regex.Pattern.compile(ok("a.b")).matcher("a\nb").find())
+    // under (?s) both dialects match everything — untouched
+    assert(ok("(?s)a.b") == "(?s)a.b")
+    // '.' inside a class is a literal in both — untouched
+    assert(ok("[.]") == "[.]")
+    // escaped dot is a literal in both — untouched
+    assert(ok("\\.") == "\\.")
+  }
+
+  test("translate: \\s is [\\t\\n\\f\\r ] in RE2 (Java \\s adds \\x0B)") {
+    assert(ok("a\\sb") == "a[\\t\\n\\f\\r ]b")
+    assert(ok("[\\s,]") == "[\\t\\n\\f\\r ,]")
+    assert(ok("\\S+") == "[^\\t\\n\\f\\r ]+")
+    assert(ok("[\\S]") == "[[^\\t\\n\\f\\r ]]")
+    // the silent-delta case: vertical tab is Java-\s but not RE2-\s
+    assert("\u000B".matches("\\s"))
+    assert(!"\u000B".matches(ok("\\s")))
+    assert("\u000B".matches(ok("\\S")))
+    assert("\u000B".matches(ok("[\\S]")))
+    assert(" ".matches(ok("\\s")) && "\t".matches(ok("[\\s]")))
+  }
+
+  test("generated group names never collide with user names") {
+    // a_b must NOT be renamed to g2 (taken); compile-check would reject
+    assert(ok("(?P<g2>x)(?P<a_b>y)") == "(?<g2>x)(?<g3>y)")
+    assert(ok("(?P<g1>x)(?P<a_b>y)(?P<c_d>z)") == "(?<g1>x)(?<g2>y)(?<g3>z)")
+  }
+
   test("\\Q...\\E and \\x, \\p pass through; scripts get Java Is-prefix") {
     assert(ok("\\Qa+b\\E") == "\\Qa+b\\E")
     assert(ok("\\x41\\x{1F600}") == "\\x41\\x{1F600}")
