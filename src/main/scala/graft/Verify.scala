@@ -33,8 +33,16 @@ object Verify {
       case Some("1") | Some("true") => true
       case _ => false
     }).toString
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Serialization-boundary sweep (round 11): SPARK_GRAFT_MASTER=
+    // local-cluster[2,2,4096] runs executors as SEPARATE JVMs — every
+    // broadcast, task closure, and custom-Expression capture crosses a
+    // real serialization wire, the one failure class plain local[*]
+    // structurally cannot catch. Executors are forked fresh by the
+    // worker, so they need the driver's classpath and the JDK-17
+    // add-opens flags explicitly (spark-submit would inject them).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", tz)
       .config("spark.sql.ansi.enabled", ansi)
@@ -45,7 +53,32 @@ object Verify {
       .config("spark.speculation.multiplier", "1.5")
       .config("spark.speculation.quantile", "0.5")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder =
+      if (master.startsWith("local-cluster")) {
+        val addOpens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar")
+          .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+        // Executor JVMs run in the worker's own work dir — RELATIVE
+        // driver-classpath entries would silently vanish there (Janino
+        // then fails codegen with "Unknown variable or type" on the
+        // first custom Expression), so absolutize every entry.
+        val absCp = sys.props("java.class.path")
+          .split(java.io.File.pathSeparator)
+          .map(e => new java.io.File(e).getAbsolutePath)
+          .mkString(java.io.File.pathSeparator)
+        builder0
+          .config("spark.executor.extraClassPath", absCp)
+          .config("spark.executor.extraJavaOptions", addOpens)
+          .config("spark.executor.memory",
+            sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+      } else builder0
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Durability-mode sweeps: with a checkpoint dir set, every staged
     // materialization (prefixFold, BPE, graph rounds, semanticDedup)
