@@ -7568,7 +7568,13 @@ object SparkEntry {
         |  CAST(win_max_d AS DOUBLE) AS win_max
         |FROM w ORDER BY user_id, event_id""".stripMargin,
     // Daily OHLC/VWAP bars: open/close replayed as rank-1 rows under
-    // the engine's exact (µs, price) struct order.
+    // the engine's exact (µs, price) struct order. Volume is cast
+    // DECIMAL(19,6) — deliberately ONE integer digit wider than the
+    // engine's (18,6) (TimeSeries.ohlcBars) for two reasons: DuckDB only
+    // switches decimal arithmetic to int128 at width ≥19 (an int64-backed
+    // (18,6) product would overflow silently), and oracle-wider means an
+    // engine-side decimal overflow surfaces as a gate mismatch instead of
+    // matching nulls on both sides.
     "q_ohlc" ->
       """WITH e AS (SELECT event_type,
         |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,

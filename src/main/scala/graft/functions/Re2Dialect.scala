@@ -29,10 +29,13 @@ package graft.functions
   *  - `{` not opening a valid `{n}`/`{n,}`/`{n,m}` repetition → `\{`
   *    (literal in RE2, an error in Java)
   *  - `\v` → `\x{000B}` (vertical tab in RE2; vertical-whitespace CLASS in Java)
-  *  - `$` → `\z` when no `m` flag appears (RE2 `$` = end of text; Java `$`
-  *    also matches before a final newline)
-  *  - bare `.` → `[^\n]` when no `s` flag appears (RE2 `.` excludes only
-  *    \n; Java `.` also excludes \r, U+0085, U+2028, U+2029)
+  *  - `$` → `\z` where the `m` flag is positionally OFF (RE2 `$` = end of
+  *    text; Java `$` also matches before a final newline)
+  *  - bare `.` → `[^\n]` where the `s` flag is positionally OFF (RE2 `.`
+  *    excludes only \n; Java `.` also excludes \r, U+0085, U+2028, U+2029).
+  *    Flag scope is tracked through the walk — inline `(?s)` applies to the
+  *    rest of its enclosing group, scoped `(?s:...)` only inside its group —
+  *    so a scoped flag never leaks onto dots outside its scope.
   *  - `\s` → `[\t\n\f\r ]` and `\S` → `[^\t\n\f\r ]` (Java \s adds \x0B)
   *  - flag `i` → `iu` (RE2 case folding is Unicode; Java needs `u` for that)
   *
@@ -66,8 +69,14 @@ object Re2Dialect {
     var i = 0
     var inClass = false
     var classStart = -1
-    val hasMultiline = detectFlag(pattern, 'm')
-    val hasDotall = detectFlag(pattern, 's')
+    // POSITIONAL flag state (RE2 semantics: an inline `(?s)` applies from
+    // that point to the end of the ENCLOSING group; `(?s:...)` only inside
+    // its own group). Pattern-global detection would let a scoped (?s:...)
+    // anywhere disable the `.`→`[^\n]` rewrite for dots OUTSIDE the scope,
+    // silently reverting them to the Java line-terminator delta.
+    var sOn = false
+    var mOn = false
+    val flagStack = scala.collection.mutable.Stack.empty[(Boolean, Boolean)]
     // user-supplied group names that survive sanitization unchanged — a
     // generated gN substitute must never collide with one (Java rejects
     // duplicate names; RE2 accepted the original pattern)
@@ -125,11 +134,11 @@ object Re2Dialect {
         case '[' =>
           inClass = true; classStart = i; out.append('['); i += 1
         case '$' =>
-          out.append(if (hasMultiline) "$" else "\\z"); i += 1
+          out.append(if (mOn) "$" else "\\z"); i += 1
         case '.' =>
           // RE2 `.` (no s flag) = any char but \n; Java `.` also excludes
           // \r, U+0085, U+2028, U+2029. Under (?s) both match everything.
-          out.append(if (hasDotall) "." else "[^\\n]"); i += 1
+          out.append(if (sOn) "." else "[^\\n]"); i += 1
         case '{' =>
           // valid repetition {n} {n,} {n,m}? else literal in RE2
           val m = RepetitionAt.findPrefixMatchOf(pattern.substring(i))
@@ -156,6 +165,7 @@ object Re2Dialect {
             val name = pattern.substring(nameStart, gt)
             if (!name.matches("[A-Za-z0-9_]+"))
               reject(s"invalid group name '$name' at index $i in /$pattern/")
+            flagStack.push((sOn, mOn))
             groupIdx += 1
             val javaName =
               if (name.matches("[A-Za-z][A-Za-z0-9]*")) name
@@ -200,11 +210,28 @@ object Re2Dialect {
                 }
                 reject(s"flag '$bad' at index $i: $why")
               }
+            // scoped `(?flags:` opens a group — snapshot state first;
+            // inline `(?flags)` mutates the enclosing group's state
+            if (pattern.charAt(j) == ':') flagStack.push((sOn, mOn))
+            var neg = false
+            f.foreach {
+              case '-' => neg = true
+              case 's' => sOn = !neg
+              case 'm' => mOn = !neg
+              case _ => ()
+            }
             // RE2 (?i) folds Unicode case; Java needs (?iu) for that
             val translated = f.replace("i", "iu")
             out.append("(?").append(translated).append(pattern.charAt(j))
             i = j + 1
           }
+        case '(' =>
+          flagStack.push((sOn, mOn)); out.append('('); i += 1
+        case ')' =>
+          if (flagStack.nonEmpty) {
+            val (s0, m0) = flagStack.pop(); sOn = s0; mOn = m0
+          }
+          out.append(')'); i += 1
         case other =>
           out.append(other); i += 1
       }
@@ -227,30 +254,6 @@ object Re2Dialect {
   private def checkPossessive(pattern: String, idx: Int): Unit =
     if (idx < pattern.length && pattern.charAt(idx) == '+')
       reject(s"possessive quantifier at index ${idx - 1} is Java-only; RE2 rejects it")
-
-  /** True if an `m` flag group appears anywhere (then `$`/`^` keep their
-    * multiline reading; the remaining delta — Java counts \r … as
-    * line terminators, RE2 only \n — is documented, not guarded). */
-  /** True if flag group `(?flag)` appears anywhere non-negated. Used for
-    * `m` ($ keeps its multiline reading) and `s` (`.` keeps its match-all
-    * reading; a SCOPED (?s:...) leaves bare `.` outside the scope with the
-    * documented Java-counts-more-line-terminators delta). */
-  private def detectFlag(pattern: String, flag: Char): Boolean = {
-    var i = 0
-    while (i < pattern.length - 2) {
-      if (pattern.charAt(i) == '(' && pattern.charAt(i + 1) == '?' &&
-          (i == 0 || pattern.charAt(i - 1) != '\\')) {
-        var j = i + 2
-        while (j < pattern.length && "ims-UuxdJ".indexOf(pattern.charAt(j)) >= 0) {
-          if (pattern.charAt(j) == flag &&
-              pattern.substring(i + 2, j).indexOf('-') < 0) return true
-          j += 1
-        }
-      }
-      i += 1
-    }
-    false
-  }
 
   /** Translate the escape starting at `i` (pattern(i)=='\\') onto `out`;
     * returns the index after the escape. */
@@ -310,8 +313,12 @@ object Re2Dialect {
         if (close < 0) { out.append(pattern.substring(i)); n }
         else { out.append(pattern.substring(i, close + 2)); close + 2 }
       case 's' =>
-        // RE2 \s = [\t\n\f\r ]; Java \s ALSO includes \x0B (vertical tab)
-        out.append(if (inClass) "\\t\\n\\f\\r " else "[\\t\\n\\f\\r ]"); i + 2
+        // RE2 \s = [\t\n\f\r ]; Java \s ALSO includes \x0B (vertical tab).
+        // In-class we emit a NESTED class (Java unions it into the outer
+        // class) rather than bare chars: bare chars end in a space, and a
+        // following '-x' (literal dash in RE2's [\s-x]) would silently form
+        // the Java range ' '-'x' — letters and digits included.
+        out.append("[\\t\\n\\f\\r ]"); i + 2
       case 'S' =>
         // Java nested [^…] inside a class unions with the complement —
         // exactly RE2's reading of \S as a member of the outer class

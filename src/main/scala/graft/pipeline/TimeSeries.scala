@@ -113,6 +113,10 @@ object TimeSeries {
     // (Round 10: volume at (12,6) overflowed once event ids passed 1e6
     // at the 30x replica — Spark nulls on decimal overflow with ANSI
     // off, so vwap silently vanished while DuckDB raised loudly.)
+    // The q_ohlc oracle carries volume one integer digit WIDER, at
+    // (19,6): DuckDB needs width ≥19 to run the product in int128, and
+    // oracle-wider guarantees an engine-side overflow shows up as a gate
+    // mismatch rather than matching nulls.
     val p = col(priceCol).cast("decimal(12,6)")
     val v = col(volCol).cast("decimal(18,6)")
     val key = struct(graft.functions.Exprs.epochMicrosCivil(col(tsCol)).as("us"),

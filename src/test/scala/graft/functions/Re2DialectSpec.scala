@@ -128,7 +128,9 @@ class Re2DialectSpec extends AnyFunSuite {
 
   test("translate: \\s is [\\t\\n\\f\\r ] in RE2 (Java \\s adds \\x0B)") {
     assert(ok("a\\sb") == "a[\\t\\n\\f\\r ]b")
-    assert(ok("[\\s,]") == "[\\t\\n\\f\\r ,]")
+    // in-class \s emits a NESTED class (union), never bare chars: bare
+    // chars end in ' ' and a following -x would form the range ' '-'x'
+    assert(ok("[\\s,]") == "[[\\t\\n\\f\\r ],]")
     assert(ok("\\S+") == "[^\\t\\n\\f\\r ]+")
     assert(ok("[\\S]") == "[[^\\t\\n\\f\\r ]]")
     // the silent-delta case: vertical tab is Java-\s but not RE2-\s
@@ -137,6 +139,31 @@ class Re2DialectSpec extends AnyFunSuite {
     assert("\u000B".matches(ok("\\S")))
     assert("\u000B".matches(ok("[\\S]")))
     assert(" ".matches(ok("\\s")) && "\t".matches(ok("[\\s]")))
+  }
+
+  test("in-class [\\s-x]: dash stays LITERAL (RE2 semantics), no accidental range") {
+    // RE2 reads [\s-x] as {whitespace, '-', 'x'}; a bare-chars expansion
+    // ending in ' ' would let Java form the range ' '-'x' (letters, digits)
+    val p = ok("[\\s-x]")
+    assert(p == "[[\\t\\n\\f\\r ]-x]")
+    assert("-".matches(p) && "x".matches(p) && " ".matches(p) && "\t".matches(p))
+    assert(!"a".matches(p) && !"5".matches(p) && !"w".matches(p))
+  }
+
+  test("(?s) flag scope is POSITIONAL, not pattern-global") {
+    // scoped (?s:...) must not disable the bare-dot rewrite outside it
+    assert(ok("(?s:a.b)c.d") == "(?s:a.b)c[^\\n]d")
+    assert(java.util.regex.Pattern.compile(ok("(?s:x*)a.b")).matcher("a\rb").find())
+    // inline (?s) applies from that point to end of enclosing group only
+    assert(ok("a.b(?s)c.d") == "a[^\\n]b(?s)c.d")
+    assert(ok("(x(?s).y).z") == "(x(?s).y)[^\\n]z")
+    // (?-s) turns it back off
+    assert(ok("(?s).(?-s).") == "(?s).(?-s)[^\\n]")
+  }
+
+  test("(?m) flag scope is POSITIONAL for $ too") {
+    assert(ok("(?m:a$)b$") == "(?m:a$)b\\z")
+    assert(ok("a$(?m)b$") == "a\\z(?m)b$")
   }
 
   test("generated group names never collide with user names") {
