@@ -59,21 +59,35 @@ object SparkEntry {
   // MATERIALIZED throughout (round 8): t is referenced four times and jp
   // twice across the consumers; DuckDB re-inlines un-hinted CTEs, which
   // multiplied the whole pair computation at the sf1 replica.
+  // Round 12 tractability rewrite (the q_dedup_minhash pattern): the old
+  // form MATERIALIZED the content-free bucket-pair list `p` (quadratic in
+  // bucket size — 359M pairs at the sf3 replica) and ran list_intersect
+  // per pair (>57 GB spill). This form never materializes a content-free
+  // pair: |A∩B| is a grouped COUNT over an inverted (shingle, bucket)
+  // equi-join — jac >= 0.5 > 0 forces a shared shingle, so the inverted
+  // join loses NOTHING; and a pair shares an expanded bucket iff
+  // |b1-b2| <= 1, which the 3-cell expansion of side a against side b's
+  // HOME bucket reproduces exactly once per shared shingle. The union
+  // size is n1 + n2 - i (shingle lists are list_distinct by
+  // construction), so the jac arithmetic is value-identical.
   private val NgramPairsCte: String =
     """t AS MATERIALIZED (SELECT doc_id, length(text) AS ln,
       |(CASE WHEN len(toks) >= 2
       |  THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
       |  ELSE [array_to_string(toks, ' ')] END) AS sh
       |FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents)),
-      |e AS MATERIALIZED (SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) AS b FROM t
-      |UNION ALL SELECT doc_id, ln, CAST(ln // 8 AS BIGINT) + 1 AS b FROM t),
-      |p AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      |FROM e a JOIN e b ON a.b = b.b AND a.doc_id < b.doc_id
-      |AND abs(a.ln - b.ln) <= 8),
-      |jp AS MATERIALIZED (SELECT * FROM (SELECT p.id1, p.id2,
-      |CAST(len(list_intersect(t1.sh, t2.sh)) AS DOUBLE) / greatest(len(list_distinct(t1.sh || t2.sh)), 1) AS jac
-      |FROM p JOIN t t1 ON p.id1 = t1.doc_id JOIN t t2 ON p.id2 = t2.doc_id)
-      |WHERE jac >= 0.5)""".stripMargin
+      |eh AS MATERIALIZED (SELECT doc_id, ln, len(sh) AS nsh,
+      |CAST(ln // 8 AS BIGINT) AS b, unnest(sh) AS s FROM t),
+      |ex AS MATERIALIZED (SELECT doc_id, ln, nsh, b + d.d AS b, s
+      |FROM eh CROSS JOIN (SELECT unnest(range(-1, 2)) AS d) d),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |any_value(a.nsh) AS n1, any_value(b.nsh) AS n2, count(*) AS i
+      |FROM ex a JOIN eh b ON a.s = b.s AND a.b = b.b AND a.doc_id < b.doc_id
+      |AND abs(a.ln - b.ln) <= 8
+      |GROUP BY 1, 2),
+      |jp AS MATERIALIZED (SELECT id1, id2,
+      |CAST(i AS DOUBLE) / greatest(n1 + n2 - i, 1) AS jac FROM inter
+      |WHERE CAST(i AS DOUBLE) / greatest(n1 + n2 - i, 1) >= 0.5)""".stripMargin
 
   /** Shared dHash-pair CTE (q_image_phash + q_image_dedup): the full
     * perceptual-hash replay — six-part image corpus, 9x8 grayscale
@@ -8940,17 +8954,40 @@ object SparkEntry {
         |  CAST(s - prev - 1 AS BIGINT) AS n_missing
         |FROM l WHERE prev IS NOT NULL AND s - prev > 1
         |ORDER BY key, gap_start""".stripMargin,
-    // DBSCAN: ALL-pairs neighbor oracle (equality proves the 3x3 grid
-    // blocking lost nothing) + recursive-closure min-label components
-    // over core-core edges; border -> min adjacent core cluster.
+    // DBSCAN: INDEPENDENTLY-blocked neighbor oracle + contract-then-close
+    // components over core-core edges; border -> min adjacent core
+    // cluster. At this density (mean degree ~5.9, above the 2-D
+    // percolation threshold) the core graph has a GIANT component, so the
+    // node-level recursive closure was Theta(n^2) at sf3, and pure
+    // min-label/pointer-jump rounds converge only linearly in the
+    // component DIAMETER (~600 hops at sf3 — the absorbing frontier
+    // advances one hop per round). Instead: 12 contraction rounds (the
+    // q_dedup_clusters scheme) shrink the label space to a few hundred
+    // classes, then the EXACT recursive closure runs on the contracted
+    // supergraph (label classes are connected by construction — a node's
+    // label is always a reachable id — so the quotient preserves
+    // components exactly, for ANY round count; rounds only size the
+    // supergraph, they carry no correctness burden).
+    // The oracle blocks on a 53-unit grid (prime, distinct
+    // from the engine's eps=40 cells, boundaries never aligned):
+    // completeness is a theorem for ANY cell >= eps (a pair within eps
+    // lies in same-or-adjacent cells), so agreement still proves the
+    // engine's 3x3/eps blocking lost nothing, while the replay stays
+    // LINEAR in rows — the previous all-pairs form was quadratic and
+    // timed out at the sf3 replica (150k docs).
     "q_dbscan" ->
-      """WITH RECURSIVE sc AS (SELECT CAST(greatest(650,
+      s"""WITH RECURSIVE sc AS (SELECT CAST(greatest(650,
         |  floor(650 * sqrt(count(*) / 500.0))) AS BIGINT) AS side FROM documents),
         |p AS MATERIALIZED (SELECT doc_id AS id,
         |  ((doc_id % 2147483648) * 2654435761 % 2147483648) % sc.side AS x,
         |  ((doc_id % 2147483648) * 2246822519 % 2147483648) % sc.side AS y
         |  FROM documents CROSS JOIN sc),
-        |pr AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
+        |g AS MATERIALIZED (SELECT id, x, y, x // 53 AS gx, y // 53 AS gy FROM p),
+        |ge AS MATERIALIZED (SELECT id, x, y, gx + dx.d AS gx, gy + dy.d AS gy
+        |  FROM g CROSS JOIN (SELECT unnest(range(-1, 2)) AS d) dx
+        |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS d) dy),
+        |pr AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib
+        |  FROM ge a JOIN g b ON a.gx = b.gx AND a.gy = b.gy AND a.id < b.id
         |  WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 1600),
         |sym AS MATERIALIZED (SELECT ia AS id, ib AS nb FROM pr UNION ALL SELECT ib, ia FROM pr),
         |cnt AS (SELECT pp.id, count(s.nb) AS c FROM p pp
@@ -8958,11 +8995,24 @@ object SparkEntry {
         |core AS MATERIALIZED (SELECT id FROM cnt WHERE c + 1 >= 5),
         |ce AS MATERIALIZED (SELECT s.id AS a, s.nb AS b FROM sym s
         |  JOIN core c1 ON s.id = c1.id JOIN core c2 ON s.nb = c2.id),
-        |reach(id, lbl) AS (
-        |  SELECT a, a FROM ce
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM ce),
+        |${(1 to 12).map(i =>
+            s"""m$i AS MATERIALIZED (SELECT l.id, least(l.lbl, min(ln.lbl)) AS lbl
+               |  FROM l${i - 1} l JOIN ce e ON e.a = l.id
+               |  JOIN l${i - 1} ln ON ln.id = e.b GROUP BY l.id, l.lbl),
+               |l$i AS MATERIALIZED (SELECT m.id, l2.lbl
+               |  FROM m$i m JOIN m$i l2 ON l2.id = m.lbl)""".stripMargin)
+          .mkString(",\n")},
+        |sedge AS MATERIALIZED (SELECT DISTINCT la.lbl AS a, lb.lbl AS b FROM ce
+        |  JOIN l12 la ON la.id = ce.a JOIN l12 lb ON lb.id = ce.b
+        |  WHERE la.lbl <> lb.lbl),
+        |sreach(id, lbl) AS (
+        |  SELECT a, a FROM sedge
         |  UNION
-        |  SELECT e.a, r.lbl FROM ce e JOIN reach r ON r.id = e.b),
-        |cc AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+        |  SELECT e.a, r.lbl FROM sedge e JOIN sreach r ON r.id = e.b),
+        |scc AS (SELECT id, MIN(lbl) AS slbl FROM sreach GROUP BY id),
+        |cc AS (SELECT l.id, COALESCE(scc.slbl, l.lbl) AS cluster
+        |  FROM l12 l LEFT JOIN scc ON l.lbl = scc.id),
         |corelab AS MATERIALIZED (SELECT c.id, COALESCE(cc.cluster, c.id) AS cluster
         |  FROM core c LEFT JOIN cc ON c.id = cc.id),
         |border AS (SELECT s.id, MIN(cl.cluster) AS cluster
