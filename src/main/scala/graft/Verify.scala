@@ -41,44 +41,10 @@ object Verify {
     // worker, so they need the driver's classpath and the JDK-17
     // add-opens flags explicitly (spark-submit would inject them).
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder0 = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", tz)
-      .config("spark.sql.ansi.enabled", ansi)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", aqe)
-      .config("spark.speculation", speculation)
-      .config("spark.speculation.interval", "100ms")
-      .config("spark.speculation.multiplier", "1.5")
-      .config("spark.speculation.quantile", "0.5")
-      .config("spark.ui.enabled", "false")
-    val builder =
-      if (master.startsWith("local-cluster")) {
-        val addOpens = Seq(
-          "java.base/java.lang", "java.base/java.lang.invoke",
-          "java.base/java.lang.reflect", "java.base/java.io",
-          "java.base/java.net", "java.base/java.nio",
-          "java.base/java.util", "java.base/java.util.concurrent",
-          "java.base/java.util.concurrent.atomic",
-          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-          "java.base/sun.security.action", "java.base/sun.util.calendar")
-          .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-        // Executor JVMs run in the worker's own work dir — RELATIVE
-        // driver-classpath entries would silently vanish there (Janino
-        // then fails codegen with "Unknown variable or type" on the
-        // first custom Expression), so absolutize every entry.
-        val absCp = sys.props("java.class.path")
-          .split(java.io.File.pathSeparator)
-          .map(e => new java.io.File(e).getAbsolutePath)
-          .mkString(java.io.File.pathSeparator)
-        builder0
-          .config("spark.executor.extraClassPath", absCp)
-          .config("spark.executor.extraJavaOptions", addOpens)
-          .config("spark.executor.memory",
-            sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
-      } else builder0
-    val spark = builder.getOrCreate()
+    val spark = Sessions.build(master, shufflePartitions, tz, ansi, aqe,
+      speculation = speculation == "true",
+      executorMem = sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"),
+      appName = "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     // Durability-mode sweeps: with a checkpoint dir set, every staged
     // materialization (prefixFold, BPE, graph rounds, semanticDedup)
