@@ -145,6 +145,18 @@ object Instrument {
     fromPlan(qe.executedPlan)
   }
 
+  /** The reference's wire face: one exact proto2 `BenchmarkData` message
+    * per node (benchmark/proto/benchmark.proto:11-74) — see
+    * [[graft.plans.BenchmarkProto]] for the codec. */
+  def benchmarkProtos(stats: Seq[OperatorStat]): Seq[Array[Byte]] =
+    graft.plans.BenchmarkProto.fromStats(stats)
+      .map(graft.plans.BenchmarkProto.encode)
+
+  /** The reference's DOT face (benchmark/dot/dot_drawer.cc): the full
+    * digraph document for an executed frame's instrumented plan. */
+  def benchmarkDot(df: DataFrame, benchmarkName: String): String =
+    graft.plans.BenchmarkDot.draw(stats(df), benchmarkName)
+
   /** Text rendering (the DOT-drawer analog, benchmark/dot/dot_drawer.cc:
     * 208-284): one indented line per operator with its metrics. */
   def render(stats: Seq[OperatorStat]): String =

@@ -61,6 +61,31 @@ class InstrumentSpec extends SparkSpec {
     assert(json.startsWith("""{"query":"probe","operators":[""") && json.endsWith("]}"))
   }
 
+  test("benchmark proto + DOT faces render a live executed plan") {
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "tag")
+    val fact = (0L until 1000L).map(i => (i % 2 + 1, i)).toDF("k", "v")
+    val q = fact.join(dim, "k").groupBy("tag").agg(sum("v").as("s"))
+    val stats = Instrument.stats(q)
+    // every node round-trips through the exact BenchmarkData wire
+    val protos = Instrument.benchmarkProtos(stats)
+    assert(protos.size == stats.size)
+    protos.zip(stats).foreach { case (bytes, s) =>
+      val d = graft.plans.BenchmarkProto.decode(bytes)
+      assert(d.cursorName == s.operator)
+      assert(d.rowsProcessed == s.rowsProcessed)
+      assert(d.processingTime == s.processingTimeUs)
+    }
+    // root message carries the plan total; live DOT has skeleton + edges
+    val rootProto = graft.plans.BenchmarkProto.decode(protos.head)
+    assert(rootProto.totalSubtreeTime.exists(_ >= 0L))
+    val dot = Instrument.benchmarkDot(q, "instrument-spec")
+    assert(dot.startsWith("digraph SupersonicBenchmarkGraph {\n"))
+    assert(dot.contains("{rank=max; GlobalStats}"))
+    assert(dot.contains("Total time: "))
+    assert(dot.contains("->Root [label=\""))
+    assert(dot.endsWith("}\n"))
+  }
+
   test("gate-query plan reports rows on scan, exchange, aggregate and sort nodes") {
     // the round-4 stats sample had rows=null on most nodes; plan audits
     // need quantitative counts on the load-bearing operators: measured
