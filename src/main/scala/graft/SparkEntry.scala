@@ -3290,6 +3290,48 @@ object SparkEntry {
       .toDF("merge_rank", "a", "b", "cnt").orderBy("merge_rank")
   }
 
+  /** Learned-merge memo per sfDir: q_wordpiece_train and
+    * q_wordpiece_fertility share one training run inside a JVM. */
+  private val wpMergesCache =
+    scala.collection.mutable.Map.empty[String, Seq[(String, String, Long, Long, Long, Double)]]
+  private def wpMerges(s: SparkSession, d: String): Seq[(String, String, Long, Long, Long, Double)] =
+    synchronized {
+      wpMergesCache.getOrElseUpdate(d,
+        graft.pipeline.WordPiece.trainMerges(Tables.documents(s, d), "text", WpNumMerges))
+    }
+  private val WpNumMerges = 8
+
+  private def qWordpieceTrain(s: SparkSession, d: String): DataFrame = {
+    // trains FRESH on every call — the bench row times the likelihood-
+    // scored training loop itself (the memo is for q_wordpiece_fertility)
+    import s.implicits._
+    val ms = graft.pipeline.WordPiece.trainMerges(
+      Tables.documents(s, d), "text", WpNumMerges)
+    synchronized { wpMergesCache(d) = ms }
+    ms.zipWithIndex
+      .map { case ((a, b, c, ca, cb, sc), i) =>
+        (i, a, b, a + b.stripPrefix("##"), c, ca, cb, sc) }
+      .toDF("merge_rank", "a", "b", "merged", "cnt", "ca", "cb", "score")
+      .orderBy("merge_rank")
+  }
+
+  private def qWordpieceFertility(s: SparkSession, d: String): DataFrame = {
+    // equal-budget, equal-corpus fertility: WordPiece vs BPE at 8 merges
+    // on the same #-stripped corpus; fertility = pieces/word as the one
+    // double division over exact long counts (replays bit-identically)
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val wp = wpMerges(s, d).map(m => (m._1, m._2))
+    val bp = graft.pipeline.WordPiece
+      .bpeMergesOnCleanCorpus(docs, "text", WpNumMerges).map(m => (m._1, m._2))
+    val (w1, p1) = graft.pipeline.WordPiece.fertility(docs, "text", wp)
+    val (w2, p2) = graft.pipeline.WordPiece.bpeFertility(docs, "text", bp)
+    Seq(("bpe", w2, p2, p2.toDouble / w2.toDouble),
+        ("wordpiece", w1, p1, p1.toDouble / w1.toDouble))
+      .toDF("tokenizer", "n_words", "n_pieces", "fertility")
+      .orderBy("tokenizer")
+  }
+
   private def qBpeEncode(s: SparkSession, d: String): DataFrame = {
     val ms = bpeMerges(s, d).map(m => (m._1, m._2))
     Relational.sort(col("doc_id"))(
@@ -3306,26 +3348,89 @@ object SparkEntry {
 
   /** Shared CTE chain s0..sM over DISTINCT words with b$i = round-i best
     * pair — used verbatim by both BPE oracles. */
-  private def bpeTrainCtes(m: Int): String = {
+  private def bpeTrainCtes(m: Int, strip: String = "", prefix: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""tx AS (SELECT doc_id, regexp_replace(text, '[$B1$B2]', '', 'g') AS text FROM documents),
-         |wd AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM tx),
-         |s0 AS MATERIALIZED (SELECT '$B1' || array_to_string(regexp_extract_all(word, '.'), '$B2$B1') || '$B2' AS w,
-         |  COUNT(*) AS cnt FROM wd GROUP BY 1)""".stripMargin)
+      s"""${prefix}tx AS (SELECT doc_id, regexp_replace(text, '[$strip$B1$B2]', '', 'g') AS text FROM documents),
+         |${prefix}wd AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM ${prefix}tx),
+         |${prefix}s0 AS MATERIALIZED (SELECT '$B1' || array_to_string(regexp_extract_all(word, '.'), '$B2$B1') || '$B2' AS w,
+         |  COUNT(*) AS cnt FROM ${prefix}wd GROUP BY 1)""".stripMargin)
     (0 until m).foreach { i =>
       sb.append(",\n")
       sb.append(
-        s"""p$i AS (SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        s"""${prefix}p$i AS (SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
            |  SELECT unnest(list_transform(range(1, len(l)), j -> struct_pack(a := l[j], b := l[j+1]))) AS p, cnt
-           |  FROM (SELECT string_split(trim(w, '$B1$B2'), '$B2$B1') AS l, cnt FROM s$i)) GROUP BY 1, 2),
-           |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-           |s${i + 1} AS MATERIALIZED (SELECT replace(w,
-           |  '$B1' || (SELECT a FROM b$i) || '$B2$B1' || (SELECT b FROM b$i) || '$B2',
-           |  '$B1' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '$B2') AS w, cnt FROM s$i)""".stripMargin)
+           |  FROM (SELECT string_split(trim(w, '$B1$B2'), '$B2$B1') AS l, cnt FROM ${prefix}s$i)) GROUP BY 1, 2),
+           |${prefix}b$i AS MATERIALIZED (SELECT a, b, c FROM ${prefix}p$i ORDER BY c DESC, a, b LIMIT 1),
+           |${prefix}s${i + 1} AS MATERIALIZED (SELECT replace(w,
+           |  '$B1' || (SELECT a FROM ${prefix}b$i) || '$B2$B1' || (SELECT b FROM ${prefix}b$i) || '$B2',
+           |  '$B1' || (SELECT a FROM ${prefix}b$i) || (SELECT b FROM ${prefix}b$i) || '$B2') AS w, cnt FROM ${prefix}s$i)""".stripMargin)
     }
     sb.toString
   }
+
+  /** q_wordpiece_train oracle CTEs: the [[bpeTrainCtes]] bracket-string
+    * machinery with (a) `#` stripped alongside the bracket alphabet, (b)
+    * word-internal tokens `##`-prefixed at init, (c) per-round selection
+    * by the likelihood-gain score cnt/(ca*cb) — one double division over
+    * exact BIGINT counts, the same dag the Spark side computes — and (d)
+    * the merged token `a || strip_##(b)`. Final round table: ws$m. */
+  private def wpTrainCtes(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""wtx AS (SELECT doc_id, regexp_replace(text, '[#$B1$B2]', '', 'g') AS text FROM documents),
+         |wwd AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word FROM wtx),
+         |ws0 AS MATERIALIZED (SELECT '$B1' || array_to_string(
+         |    list_transform(regexp_extract_all(word, '.'),
+         |      (c, j) -> CASE WHEN j = 1 THEN c ELSE '##' || c END), '$B2$B1') || '$B2' AS w,
+         |  COUNT(*) AS cnt FROM wwd GROUP BY 1)""".stripMargin)
+    (0 until m).foreach { i =>
+      sb.append(",\n")
+      sb.append(
+        s"""wu$i AS MATERIALIZED (SELECT t, CAST(SUM(cnt) AS BIGINT) AS u FROM (
+           |  SELECT unnest(string_split(trim(w, '$B1$B2'), '$B2$B1')) AS t, cnt FROM ws$i)
+           |  GROUP BY 1),
+           |wp$i AS (SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+           |  SELECT unnest(list_transform(range(1, len(l)), j -> struct_pack(a := l[j], b := l[j+1]))) AS p, cnt
+           |  FROM (SELECT string_split(trim(w, '$B1$B2'), '$B2$B1') AS l, cnt FROM ws$i)) GROUP BY 1, 2),
+           |wb$i AS MATERIALIZED (SELECT p.a, p.b, p.c, ua.u AS ca, ub.u AS cb,
+           |  CAST(p.c AS DOUBLE) / (CAST(ua.u AS DOUBLE) * CAST(ub.u AS DOUBLE)) AS score
+           |  FROM wp$i p JOIN wu$i ua ON ua.t = p.a JOIN wu$i ub ON ub.t = p.b
+           |  ORDER BY score DESC, p.a, p.b LIMIT 1),
+           |ws${i + 1} AS MATERIALIZED (SELECT replace(w,
+           |  '$B1' || (SELECT a FROM wb$i) || '$B2$B1' || (SELECT b FROM wb$i) || '$B2',
+           |  '$B1' || (SELECT a FROM wb$i) || regexp_replace((SELECT b FROM wb$i), '^##', '') || '$B2') AS w, cnt FROM ws$i)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def wpTrainOracle(m: Int): String =
+    s"""WITH ${wpTrainCtes(m)}
+       |SELECT * FROM (
+       |${(0 until m).map(i =>
+           s"SELECT $i AS merge_rank, a, b, a || regexp_replace(b, '^##', '') AS merged, " +
+           s"c AS cnt, ca, cb, score FROM wb$i")
+         .mkString("\nUNION ALL ")}
+       |) ORDER BY merge_rank""".stripMargin
+
+  /** q_wordpiece_fertility oracle: both tokenizers' final round tables at
+    * the same budget on the same #-stripped corpus; fertility = the one
+    * double division pieces/words over exact longs. */
+  private def wpFertilityOracle(m: Int): String =
+    s"""WITH ${wpTrainCtes(m)},
+       |${bpeTrainCtes(m, strip = "#", prefix = "f")},
+       |wfin AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nw,
+       |  CAST(SUM(cnt * len(string_split(trim(w, '$B1$B2'), '$B2$B1'))) AS BIGINT) AS np
+       |  FROM ws$m),
+       |bfin AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nw,
+       |  CAST(SUM(cnt * len(string_split(trim(w, '$B1$B2'), '$B2$B1'))) AS BIGINT) AS np
+       |  FROM fs$m)
+       |SELECT * FROM (
+       |SELECT 'bpe' AS tokenizer, nw AS n_words, np AS n_pieces,
+       |  CAST(np AS DOUBLE) / CAST(nw AS DOUBLE) AS fertility FROM bfin
+       |UNION ALL
+       |SELECT 'wordpiece', nw, np, CAST(np AS DOUBLE) / CAST(nw AS DOUBLE) FROM wfin
+       |) ORDER BY tokenizer""".stripMargin
 
   /** q_semdedup oracle generator: level-0 nearest-centroid assignment,
     * then `rounds` unrolled recursive cell-size splits (over-cap cells
@@ -4871,6 +4976,8 @@ object SparkEntry {
     "q_manifest_prune" -> (qManifestPrune _),
     "q_compact" -> (qCompact _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_wordpiece_train" -> (qWordpieceTrain _),
+    "q_wordpiece_fertility" -> (qWordpieceFertility _),
     "q_bpe_train_batched" -> (qBpeTrainBatched _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_pagerank" -> (qPagerank _),
@@ -6420,6 +6527,11 @@ object SparkEntry {
         |  FROM m)
         |SELECT file, bytes, cum // 400000 AS bin FROM c ORDER BY file""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle(BpeNumMerges),
+    // WordPiece: likelihood-gain merges, all rounds unrolled; the
+    // fertility gate re-derives BOTH tokenizers at equal budget on the
+    // same #-stripped corpus.
+    "q_wordpiece_train" -> wpTrainOracle(WpNumMerges),
+    "q_wordpiece_fertility" -> wpFertilityOracle(WpNumMerges),
     // the batched trainer must reproduce the SERIAL merge sequence — the
     // oracle deliberately replays round-by-round serial BPE
     "q_bpe_train_batched" -> bpeTrainOracle(BpeNumMerges),
