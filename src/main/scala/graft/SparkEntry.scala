@@ -155,6 +155,79 @@ object SparkEntry {
       |row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, vec_id) AS rank FROM s)
       |SELECT qid, vec_id, round(cos_exact, 6) AS cosine, rank FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
+  /** q_ann_graph oracle: the COMPLETE NN-descent build + beam search
+    * replayed round by round — ring init from the same multiplicative
+    * scatter, reverse-capped adjacency, shared-neighbor candidate pairs,
+    * per-node top-k, then the unrolled beam hops. Cosine is the one
+    * shared dag (list_inner_product / norms) proven bit-equal to the
+    * Spark side's sequential fold by the other ANN gates. */
+  private def annGraphOracle(k: Int, rounds: Int, reverseCap: Int,
+                             kq: Int, beamWidth: Int, hops: Int): String = {
+    def cos(a: String, b: String) =
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH c AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM c),
+         |rk AS MATERIALIZED (SELECT id, v, row_number() OVER (
+         |  ORDER BY (id % 2147483648) * 2654435761 % 2147483648, id) - 1 AS pos FROM c),
+         |e0 AS MATERIALIZED (SELECT a.id, b.id AS nbr, ${cos("a.v", "b.v")} AS cosine
+         |  FROM rk a CROSS JOIN nn
+         |  CROSS JOIN (SELECT unnest(range(1, ${k + 1})) AS j) js
+         |  JOIN rk b ON b.pos = (a.pos + js.j) % nn.n)""".stripMargin)
+    (1 to rounds).foreach { r =>
+      val p = s"e${r - 1}"
+      sb.append(",\n")
+      sb.append(
+        s"""rv$r AS (SELECT id, nbr FROM (
+           |  SELECT e.nbr AS id, e.id AS nbr, e.cosine,
+           |    row_number() OVER (PARTITION BY e.nbr ORDER BY e.cosine DESC, e.id) AS rr
+           |  FROM $p e) WHERE rr <= $reverseCap),
+           |adj$r AS MATERIALIZED (SELECT DISTINCT id, nbr FROM (
+           |  SELECT id, nbr FROM $p UNION ALL SELECT id, nbr FROM rv$r)),
+           |cd$r AS MATERIALIZED (SELECT DISTINCT a.nbr AS x, b.nbr AS y
+           |  FROM adj$r a JOIN adj$r b ON a.id = b.id AND a.nbr < b.nbr),
+           |sc$r AS (SELECT d.id, d.nbr, ${cos("cv.v", "nv.v")} AS cosine FROM (
+           |  SELECT x AS id, y AS nbr FROM cd$r UNION ALL SELECT y, x FROM cd$r) d
+           |  JOIN c cv ON cv.id = d.id JOIN c nv ON nv.id = d.nbr),
+           |e$r AS MATERIALIZED (SELECT id, nbr, cosine FROM (
+           |  SELECT id, nbr, cosine,
+           |    row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rr
+           |  FROM (SELECT id, nbr, MAX(cosine) AS cosine FROM (
+           |    SELECT id, nbr, cosine FROM $p UNION ALL SELECT id, nbr, cosine FROM sc$r)
+           |    GROUP BY id, nbr)) WHERE rr <= $k)""".stripMargin)
+    }
+    val g = s"e$rounds"
+    sb.append(",\n")
+    sb.append(
+      s"""q AS (SELECT id AS qid, v AS qv FROM c WHERE id < 10),
+         |b0 AS MATERIALIZED (SELECT q.qid, ent.nbr, ${cos("q.qv", "cv.v")} AS cosine
+         |  FROM q CROSS JOIN (SELECT min(id) AS nbr FROM c) ent
+         |  JOIN c cv ON cv.id = ent.nbr)""".stripMargin)
+    (1 to hops).foreach { h =>
+      val p = s"b${h - 1}"
+      sb.append(",\n")
+      sb.append(
+        s"""b$h AS MATERIALIZED (SELECT qid, nbr, cosine FROM (
+           |  SELECT d.qid, d.nbr, ${cos("q.qv", "cv.v")} AS cosine,
+           |    row_number() OVER (PARTITION BY d.qid
+           |      ORDER BY ${cos("q.qv", "cv.v")} DESC, d.nbr) AS rr
+           |  FROM (SELECT DISTINCT qid, nbr FROM (
+           |    SELECT qid, nbr FROM $p
+           |    UNION ALL SELECT p.qid, g.nbr FROM $p p JOIN $g g ON g.id = p.nbr)) d
+           |  JOIN q ON q.qid = d.qid JOIN c cv ON cv.id = d.nbr)
+           |  WHERE rr <= $beamWidth)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT qid, nbr AS vec_id, round(cosine, 6) AS cosine, rank FROM (
+         |  SELECT qid, nbr, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr) AS rank
+         |  FROM b$hops WHERE qid <> nbr)
+         |WHERE rank <= $kq ORDER BY qid, rank""".stripMargin)
+    sb.toString
+  }
+
   private def asDouble(names: String*)(df: DataFrame): DataFrame =
     names.foldLeft(df)((d, n) => d.withColumn(n, col(n).cast("double")))
 
@@ -1046,6 +1119,33 @@ object SparkEntry {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("qid", "rank")
   }
+
+  private def qAnnGraph(s: SparkSession, d: String): DataFrame = {
+    // Graph ANN: NN-descent k-NN graph (deterministic ring init + 2
+    // refinement rounds) queried by beam search. EVERY step is
+    // deterministic (ring arithmetic, reverse cap, tie-breaks, beam
+    // ranking), so the oracle replays the full build AND search round by
+    // round — this gates the actual approximate path, not a degenerate
+    // exact configuration. The recall contract vs exact top-k is gated
+    // in SimilaritySpec (the q_ann_ivf pattern).
+    val emb = Tables.embeddings(s, d)
+    val g = Similarity.nnDescentGraph(emb, "vec_id", "embedding",
+      k = AnnGraphK, rounds = AnnGraphRounds, reverseCap = AnnGraphRevCap)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.beamSearchTopK(g, emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5,
+      beamWidth = AnnGraphBeam, hops = AnnGraphHops)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("qid", "rank")
+  }
+  // Build/search constants shared with the oracle generator so the SQL
+  // replay and the Spark run can never drift.
+  private val AnnGraphK = 8
+  private val AnnGraphRounds = 2
+  private val AnnGraphRevCap = 8
+  private val AnnGraphBeam = 12
+  private val AnnGraphHops = 4
 
   private def qAnnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
@@ -4967,6 +5067,7 @@ object SparkEntry {
     "q_expr_policy" -> (qExprPolicy _),
     "q_asof_join" -> (qAsofJoin _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_graph" -> (qAnnGraph _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -5671,6 +5772,11 @@ object SparkEntry {
         |JOIN sz s2 ON inter.id2 = s2.doc_id)
         |SELECT id1, id2, jac FROM j WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
     "q_ann_brute" -> annExactTopKOracle,
+    // Graph ANN: full NN-descent build + beam search replayed round by
+    // round (this gates the approximate path itself; recall vs exact is
+    // SimilaritySpec's contract).
+    "q_ann_graph" -> annGraphOracle(AnnGraphK, AnnGraphRounds,
+      AnnGraphRevCap, 5, AnnGraphBeam, AnnGraphHops),
     // IVF gate probes all cells (see qAnnIvf) => result is exactly the
     // brute-force top-k, so the identical oracle binding applies.
     "q_ann_ivf" -> annExactTopKOracle,

@@ -517,4 +517,113 @@ object Similarity {
       .select(col("__qid").as(idCol), col("label"), col("pred"), col("votes"),
         (col("pred") === col("label")).as("correct"))
   }
+
+  // ===== Graph ANN: NN-descent k-NN graph build + beam-search query =====
+
+  /** Deterministic mixing key for the ring init — pure 31-bit
+    * multiplicative scatter (the q_dbscan coordinate arithmetic), chosen
+    * over xxhash64 because the correctness oracle must re-derive the
+    * SAME ring in plain SQL arithmetic. */
+  private def ringKey(id: Column): Column =
+    pmod(id, lit(2147483648L)) * lit(2654435761L) % lit(2147483648L)
+
+  /** Bounded-degree k-NN graph via NN-descent (Dong et al. 2011, WWW):
+    * deterministic ring init (k successors in mixed-id order), then
+    * `rounds` refinement rounds — each round proposes all pairs of nodes
+    * sharing a graph neighbor (out-neighbors plus reverse-capped
+    * in-neighbors), scores them exactly, and keeps each node's top-k by
+    * (cosine desc, id asc).
+    *
+    * Scale shape: candidate volume per round is at most
+    * n * (k + reverseCap)^2 — linear in n at fixed degree — and every
+    * step is an equi-join or a per-node window; nothing quadratic in the
+    * corpus ever materializes. Every choice (ring order, reverse cap,
+    * tie-breaks) is deterministic so the full build replays round by
+    * round in the q_ann_graph oracle.
+    *
+    * Returns (id, nbr, cosine, rank) — each node's k approximate nearest
+    * neighbors, rank 1..k by descending cosine. */
+  def nnDescentGraph(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 8, rounds: Int = 3,
+                     reverseCap: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), asDoubleVec(col(vecCol)).as("__v"))
+    val n = base.count()
+    require(n > k, s"nnDescentGraph: need more than k=$k vectors, got $n")
+    val ranked = graft.pipeline.Profile.rowPositions(
+      base, "__pos", ringKey(col("id")), col("id"))
+    val byPos = ranked.select(col("__pos").as("__npos"),
+      col("id").as("nbr"), col("__v").as("__nv"))
+    var edges = ranked
+      .select(col("id"), col("__v"), col("__pos"),
+        explode(sequence(lit(1), lit(k))).as("__j"))
+      .withColumn("__npos", (col("__pos") + col("__j")) % lit(n))
+      .join(byPos, "__npos")
+      .withColumn("cosine", cosine(col("__v"), col("__nv")))
+      .select(col("id"), col("nbr"), col("cosine"))
+    val vecsL = base.select(col("id"), col("__v"))
+    val vecsR = base.select(col("id").as("nbr"), col("__v").as("__nv"))
+    (1 to rounds).foreach { _ =>
+      val wR = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("nbr"))
+      val revCapped = edges
+        .select(col("nbr").as("id"), col("id").as("nbr"), col("cosine"))
+        .withColumn("__rr", row_number().over(wR))
+        .where(col("__rr") <= reverseCap).drop("__rr")
+      val adj = edges.select("id", "nbr")
+        .union(revCapped.select("id", "nbr")).distinct()
+      val cand = adj.select(col("id").as("__u"), col("nbr").as("x"))
+        .join(adj.select(col("id").as("__u"), col("nbr").as("y")), "__u")
+        .where(col("x") < col("y"))
+        .select("x", "y").distinct()
+      val scored = cand.select(col("x").as("id"), col("y").as("nbr"))
+        .union(cand.select(col("y").as("id"), col("x").as("nbr")))
+        .join(vecsL, "id").join(vecsR, "nbr")
+        .withColumn("cosine", cosine(col("__v"), col("__nv")))
+        .select("id", "nbr", "cosine")
+      val w = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("nbr"))
+      edges = edges.union(scored)
+        .groupBy("id", "nbr").agg(max(col("cosine")).as("cosine"))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") <= k).drop("__r")
+    }
+    val wF = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("nbr"))
+    edges.withColumn("rank", row_number().over(wF))
+  }
+
+  /** Beam-search top-k over a bounded-degree graph: start every query at
+    * the deterministic entry node (min id), then `hops` expansion rounds
+    * — candidates = beam plus all graph out-neighbors of the beam, beam =
+    * top-`beamWidth` by exact (cosine desc, id asc) — and finally the
+    * top-k of the last beam, self-matches excluded (the q_ann_brute
+    * contract). The query side stays broadcast-small; each hop is one
+    * equi-join against the edge table. Fully deterministic, so the
+    * q_ann_graph oracle replays build AND search end to end. */
+  def beamSearchTopK(graph: DataFrame,
+                     corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, beamWidth: Int = 12, hops: Int = 4): DataFrame = {
+    val base = corpus.select(col(corpusId).as("nbr"),
+      asDoubleVec(col(corpusVec)).as("__cv"))
+    val q = queries.select(col(queryId).as("qid"),
+      asDoubleVec(col(queryVec)).as("__qv"))
+    val entry = corpus.agg(min(col(corpusId))).head().getLong(0)
+    val out = graph.select(col("id").as("nbr"), col("nbr").as("__next"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(broadcast(q), "qid").join(base, "nbr")
+        .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+        .select("qid", "nbr", "cosine")
+    var beam = score(q.select(col("qid"), lit(entry).as("nbr")))
+    val wB = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nbr"))
+    (1 to hops).foreach { _ =>
+      val expand = beam.select("qid", "nbr").join(out, "nbr")
+        .select(col("qid"), col("__next").as("nbr"))
+      val cands = beam.select("qid", "nbr").union(expand).distinct()
+      beam = score(cands)
+        .withColumn("__r", row_number().over(wB))
+        .where(col("__r") <= beamWidth).drop("__r")
+    }
+    beam.where(col("qid") =!= col("nbr"))
+      .withColumn("rank", row_number().over(wB))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nbr").as(corpusId), col("cosine"), col("rank"))
+  }
 }

@@ -22,6 +22,34 @@ class AnnAndSaltSpec extends SparkSpec {
     assert(ivf.size <= brute.size)
   }
 
+  test("graph ANN: NN-descent graph + beam search recall vs brute force; " +
+    "graph invariants hold") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val g = Similarity.nnDescentGraph(emb, "vec_id", "embedding",
+      k = 8, rounds = 2, reverseCap = 8)
+    // bounded degree, correct ranks, no self-edges
+    val perNode = g.groupBy("id").agg(count(lit(1)).as("deg"),
+      max(col("rank")).as("mx")).collect()
+    assert(perNode.forall(r => r.getLong(1) <= 8 && r.getLong(1) == r.getInt(2)))
+    assert(g.where(col("id") === col("nbr")).count() == 0)
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select("qid", "vec_id")).map(r => (r(0), r(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qv", 5))
+    val beam = pairs(Similarity.beamSearchTopK(g, emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 5, beamWidth = 12, hops = 4))
+    val recall = brute.intersect(beam).size.toDouble / brute.size
+    assert(recall >= 0.6, s"graph-ANN recall $recall too low (k=8, 2 rounds, beam 12x4)")
+    // refinement rounds strictly improve the graph: mean neighbor cosine
+    // of the refined graph beats the raw ring init
+    val g0 = Similarity.nnDescentGraph(emb, "vec_id", "embedding",
+      k = 8, rounds = 1, reverseCap = 8)
+    val m2 = g.agg(avg("cosine")).head().getDouble(0)
+    val m1 = g0.agg(avg("cosine")).head().getDouble(0)
+    assert(m2 >= m1, s"round 2 did not improve mean neighbor cosine ($m1 -> $m2)")
+  }
+
   test("saltedGroupAggregate matches plain groupAggregate for SUM/MIN/MAX/COUNT") {
     val df = (1 to 500).map(i => (if (i % 10 == 0) "cold" + i else "hot", i)).toDF("k", "v")
     withPartitionings(df) { d =>
