@@ -528,8 +528,14 @@ object Similarity {
     pmod(id, lit(2147483648L)) * lit(2654435761L) % lit(2147483648L)
 
   /** Bounded-degree k-NN graph via NN-descent (Dong et al. 2011, WWW):
-    * deterministic ring init (k successors in mixed-id order), then
-    * `rounds` refinement rounds — each round proposes all pairs of nodes
+    * deterministic PSEUDORANDOM init — neighbor j of the node at ring
+    * position p sits at offset 1 + scatter(p·k + j) mod (n−1), the same
+    * multiplicative scatter as the ring key, so every node starts with k
+    * spread-out neighbors (a ring-successor init is a lattice whose
+    * shared-neighbor proposals stay ring-local: graph recall crawled
+    * +0.04/round; the scattered init gives the ~log-n-diameter random
+    * graph NN-descent's convergence analysis assumes) — then `rounds`
+    * refinement rounds — each round proposes all pairs of nodes
     * sharing a graph neighbor (out-neighbors plus reverse-capped
     * in-neighbors), scores them exactly, and keeps each node's top-k by
     * (cosine desc, id asc).
@@ -546,20 +552,36 @@ object Similarity {
   def nnDescentGraph(df: DataFrame, idCol: String, vecCol: String,
                      k: Int = 8, rounds: Int = 3,
                      reverseCap: Int = 8): DataFrame = {
+    val spark = df.sparkSession
     val base = df.select(col(idCol).as("id"), asDoubleVec(col(vecCol)).as("__v"))
+      .stageCheckpoint(false) // the vector table is scanned 2× per round
     val n = base.count()
     require(n > k, s"nnDescentGraph: need more than k=$k vectors, got $n")
     val ranked = graft.pipeline.Profile.rowPositions(
       base, "__pos", ringKey(col("id")), col("id"))
     val byPos = ranked.select(col("__pos").as("__npos"),
       col("id").as("nbr"), col("__v").as("__nv"))
+    // Each round references the edge table ~5× (reverse cap, adjacency
+    // union, candidate self-join, final union). WITHOUT a per-round
+    // checkpoint the logical plan re-embeds the whole build per reference
+    // — cost exponential in `rounds`, independent of cluster size. Stage
+    // every round through a (lazy) checkpoint and release the previous
+    // round's blocks only after the successor materializes — the
+    // semanticDedup / Bpe loop idiom.
     var edges = ranked
       .select(col("id"), col("__v"), col("__pos"),
         explode(sequence(lit(1), lit(k))).as("__j"))
-      .withColumn("__npos", (col("__pos") + col("__j")) % lit(n))
+      .withColumn("__npos",
+        (col("__pos") + lit(1L) +
+          pmod(ringKey(col("__pos") * lit(k.toLong) + col("__j")), lit(n - 1)))
+          % lit(n))
       .join(byPos, "__npos")
       .withColumn("cosine", cosine(col("__v"), col("__nv")))
       .select(col("id"), col("nbr"), col("cosine"))
+      .distinct() // two j's may scatter to the same offset
+      .stageCheckpoint(false)
+    val baseline = Checkpoints.persistedIds(spark)
+    var knownIds = Set.empty[Int]
     val vecsL = base.select(col("id"), col("__v"))
     val vecsR = base.select(col("id").as("nbr"), col("__v").as("__nv"))
     (1 to rounds).foreach { _ =>
@@ -584,34 +606,64 @@ object Similarity {
         .groupBy("id", "nbr").agg(max(col("cosine")).as("cosine"))
         .withColumn("__r", row_number().over(w))
         .where(col("__r") <= k).drop("__r")
+        .stageCheckpoint(false)
+      edges.count() // materialize this round; only then release the previous
+      val fresh = Checkpoints.freshIds(spark, baseline, knownIds)
+      Checkpoints.releaseIds(spark, knownIds)
+      knownIds = fresh
     }
     val wF = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("nbr"))
     edges.withColumn("rank", row_number().over(wF))
   }
 
   /** Beam-search top-k over a bounded-degree graph: start every query at
-    * the deterministic entry node (min id), then `hops` expansion rounds
-    * — candidates = beam plus all graph out-neighbors of the beam, beam =
-    * top-`beamWidth` by exact (cosine desc, id asc) — and finally the
-    * top-k of the last beam, self-matches excluded (the q_ann_brute
-    * contract). The query side stays broadcast-small; each hop is one
-    * equi-join against the edge table. Fully deterministic, so the
-    * q_ann_graph oracle replays build AND search end to end. */
+    * `entries` deterministic entry nodes (the first `entries` positions of
+    * the SAME mixed-id ring order the NN-descent init uses — a stratified,
+    * replayable seed set), then `hops` expansion rounds — candidates =
+    * beam plus all graph out-neighbors of the beam, beam = top-`beamWidth`
+    * by exact (cosine desc, id asc) — and finally the top-k of the last
+    * beam, self-matches excluded (the q_ann_brute contract). The query
+    * side stays broadcast-small; each hop is one equi-join against the
+    * edge table. Fully deterministic, so the q_ann_graph oracle replays
+    * build AND search end to end.
+    *
+    * The edge/vector tables are staged through one checkpoint each and the
+    * per-hop beam is checkpointed too — each hop references the previous
+    * beam twice (expand + union), so without the checkpoint the plan
+    * doubles per hop and re-embeds the whole graph build in every copy. */
   def beamSearchTopK(graph: DataFrame,
                      corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
-                     k: Int, beamWidth: Int = 12, hops: Int = 4): DataFrame = {
+                     k: Int, beamWidth: Int = 12, hops: Int = 4,
+                     entries: Int = 4): DataFrame = {
+    require(entries >= 1, s"beamSearchTopK: entries must be >= 1, got $entries")
+    val spark = graph.sparkSession
     val base = corpus.select(col(corpusId).as("nbr"),
       asDoubleVec(col(corpusVec)).as("__cv"))
+      .stageCheckpoint(false) // scored against once per hop
     val q = queries.select(col(queryId).as("qid"),
       asDoubleVec(col(queryVec)).as("__qv"))
-    val entry = corpus.agg(min(col(corpusId))).head().getLong(0)
-    val out = graph.select(col("id").as("nbr"), col("nbr").as("__next"))
+    // first `entries` corpus ids in ring order — TakeOrderedAndProject,
+    // never a global sort; tiny, so it broadcasts into the init cross join
+    val entryIds = base.select(col("nbr"))
+      .orderBy(ringKey(col("nbr")), col("nbr")).limit(entries)
+    // Undirected expansion: a directed k-NN edge is evidence of proximity
+    // in BOTH directions, and hub nodes' in-edges are exactly the
+    // long-range links greedy search needs to escape local maxima —
+    // searching the symmetrized graph is the standard navigability fix
+    // (HNSW/NSG keep bidirectional links for the same reason).
+    val fwd = graph.select(col("id").as("nbr"), col("nbr").as("__next"))
+    val rev = graph.select(col("nbr").as("nbr"), col("id").as("__next"))
+    val out = fwd.union(rev).distinct()
+      .stageCheckpoint(false) // joined once per hop
     def score(cands: DataFrame): DataFrame =
       cands.join(broadcast(q), "qid").join(base, "nbr")
         .withColumn("cosine", cosine(col("__qv"), col("__cv")))
         .select("qid", "nbr", "cosine")
-    var beam = score(q.select(col("qid"), lit(entry).as("nbr")))
+    var beam = score(q.select(col("qid")).crossJoin(broadcast(entryIds)))
+      .stageCheckpoint(false)
+    val baseline = Checkpoints.persistedIds(spark)
+    var knownIds = Set.empty[Int]
     val wB = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nbr"))
     (1 to hops).foreach { _ =>
       val expand = beam.select("qid", "nbr").join(out, "nbr")
@@ -620,6 +672,11 @@ object Similarity {
       beam = score(cands)
         .withColumn("__r", row_number().over(wB))
         .where(col("__r") <= beamWidth).drop("__r")
+        .stageCheckpoint(false)
+      beam.count() // materialize this hop; only then release the previous
+      val fresh = Checkpoints.freshIds(spark, baseline, knownIds)
+      Checkpoints.releaseIds(spark, knownIds)
+      knownIds = fresh
     }
     beam.where(col("qid") =!= col("nbr"))
       .withColumn("rank", row_number().over(wB))

@@ -54,7 +54,7 @@ object WordPiece {
   }
 
   private[pipeline] def cleanText(c: Column): Column =
-    regexp_replace(c, "[#]", "")
+    regexp_replace(c, "[#\u0001\u0002]", "")
 
   private def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(cleanText(col(textCol)), "\\s+")).as("word"))

@@ -136,21 +136,28 @@ object BenchmarkDot {
 
   /** HumanReadableNum::DoubleToString: 3/2/1/0 fraction digits by
     * magnitude band, then k/M/B/T compaction, %.3G past 1e15. */
+  // The reference formats with C-locale StringPrintf; the f"" interpolator
+  // is default-locale-sensitive (decimal commas under e.g. de_DE), so all
+  // numeric rendering pins Locale.ROOT.
+  private def fmtRoot(pattern: String, args: Any*): String =
+    String.format(java.util.Locale.ROOT, pattern,
+      args.map(_.asInstanceOf[AnyRef]): _*)
+
   def compact(value0: Double): String = {
     val neg = value0 < 0
     val value = math.abs(value0)
     val s =
-      if (value < 1.0) f"$value%.3f"
-      else if (value < 10) f"$value%.2f"
-      else if (value < 1e2) f"$value%.1f"
-      else if (value < 1e3) f"$value%.0f"
-      else if (value >= 1e15) f"$value%.3G"
+      if (value < 1.0) fmtRoot("%.3f", value)
+      else if (value < 10) fmtRoot("%.2f", value)
+      else if (value < 1e2) fmtRoot("%.1f", value)
+      else if (value < 1e3) fmtRoot("%.0f", value)
+      else if (value >= 1e15) fmtRoot("%.3G", value)
       else {
         val units = "kMBT"
         var v = value
         var u = 0
         while (v >= 1e6) { v /= 1e3; u += 1 }
-        f"${v / 1000.0}%.2f${units.charAt(u)}"
+        fmtRoot("%.2f", v / 1000.0) + units.charAt(u)
       }
     if (neg) "-" + s else s
   }
@@ -163,7 +170,13 @@ object BenchmarkDot {
     else if (micros > 1000L) compact(micros.toDouble / 1000L) + " ms"
     else s"$micros us"
 
-  def readablePercentage(value: Double): String = f"$value%.2f%%"
+  def readablePercentage(value: Double): String = fmtRoot("%.2f", value) + "%"
+
+  /** DOT node IDs minted from Spark nodeName + counter contain spaces and
+    * parens ('Scan parquet3', 'WholeStageCodegen (1)0') — invalid as bare
+    * DOT IDs, so every ID is emitted as a quoted string. */
+  private def quoteId(id: String): String =
+    "\"" + id.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   private def codeForNode(cursorName: String, params: Seq[String],
                           tpe: Int, description: String): String = {
@@ -171,11 +184,11 @@ object BenchmarkDot {
     val tableStart = "<table border=\"0\" align=\"right\" cellpadding=\"0\">"
     val label = (if (description.isEmpty) cursorName else description) +
       tableDelim + params.mkString(tableDelim)
-    s"""$cursorName [shape=${shape(tpe)}, label=<$tableStart<tr><td bgcolor="grey">$label</td></tr></table>>]"""
+    s"""${quoteId(cursorName)} [shape=${shape(tpe)}, label=<$tableStart<tr><td bgcolor="grey">$label</td></tr></table>>]"""
   }
 
   private def codeForEdge(from: String, to: String, params: Seq[String]): String =
-    s"""$from->$to [label="${params.mkString("\\n")}"];"""
+    s"""${quoteId(from)}->${quoteId(to)} [label="${params.mkString("\\n")}"];"""
 
   /** dot_drawer.cc:140-201 — parameter rows, in the reference's order;
     * returns (params, throughputAvailable). */
@@ -213,7 +226,6 @@ object BenchmarkDot {
     * child -> parent (rankdir=BT). */
   def draw(stats: Seq[OperatorStat], benchmarkName: String): String = {
     val data = BenchmarkProto.fromStats(stats)
-    val byId = stats.indices.map(i => stats(i).nodeId -> i).toMap
     val children: Map[Int, Seq[Int]] =
       stats.indices.groupBy(i => stats(i).parentId).map {
         case (p, is) => p -> is.sortBy(identity)

@@ -82,7 +82,7 @@ class InstrumentSpec extends SparkSpec {
     assert(dot.startsWith("digraph SupersonicBenchmarkGraph {\n"))
     assert(dot.contains("{rank=max; GlobalStats}"))
     assert(dot.contains("Total time: "))
-    assert(dot.contains("->Root [label=\""))
+    assert(dot.contains("->\"Root\" [label=\""))
     assert(dot.endsWith("}\n"))
   }
 

@@ -24,9 +24,12 @@ class AnnAndSaltSpec extends SparkSpec {
 
   test("graph ANN: NN-descent graph + beam search recall vs brute force; " +
     "graph invariants hold") {
+    // Same constants as the q_ann_graph gate (k=8, 3 rounds, beam 16×6,
+    // 4 entry seeds) — this spec owns the QUALITY contract the
+    // replay-oracle gate cannot express.
     val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
     val g = Similarity.nnDescentGraph(emb, "vec_id", "embedding",
-      k = 8, rounds = 2, reverseCap = 8)
+      k = 8, rounds = 3, reverseCap = 8)
     // bounded degree, correct ranks, no self-edges
     val perNode = g.groupBy("id").agg(count(lit(1)).as("deg"),
       max(col("rank")).as("mx")).collect()
@@ -38,11 +41,11 @@ class AnnAndSaltSpec extends SparkSpec {
       rows(df.select("qid", "vec_id")).map(r => (r(0), r(1))).toSet
     val brute = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qv", 5))
     val beam = pairs(Similarity.beamSearchTopK(g, emb, "vec_id", "embedding",
-      q, "qid", "qv", k = 5, beamWidth = 12, hops = 4))
+      q, "qid", "qv", k = 5, beamWidth = 16, hops = 6, entries = 4))
     val recall = brute.intersect(beam).size.toDouble / brute.size
-    assert(recall >= 0.6, s"graph-ANN recall $recall too low (k=8, 2 rounds, beam 12x4)")
+    assert(recall >= 0.6, s"graph-ANN recall $recall too low (k=8, 3 rounds, beam 16x6, 4 entries)")
     // refinement rounds strictly improve the graph: mean neighbor cosine
-    // of the refined graph beats the raw ring init
+    // of the refined graph beats the scattered init
     val g0 = Similarity.nnDescentGraph(emb, "vec_id", "embedding",
       k = 8, rounds = 1, reverseCap = 8)
     val m2 = g.agg(avg("cosine")).head().getDouble(0)

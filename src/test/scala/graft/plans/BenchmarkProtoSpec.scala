@@ -83,6 +83,9 @@ class BenchmarkProtoSpec extends AnyFunSuite {
   }
 
   test("DOT document matches dot_drawer.cc line for line") {
+    // Node IDs are quoted: names minted from Spark nodeName + counter
+    // ('Scan parquet3', 'WholeStageCodegen (1)0') are invalid as bare DOT
+    // IDs, so the drawer emits every ID as a quoted string.
     val dot = BenchmarkDot.draw(stats, "bench-x")
     val expected =
       """digraph SupersonicBenchmarkGraph {
@@ -91,16 +94,24 @@ class BenchmarkProtoSpec extends AnyFunSuite {
         |node [color=black];
         |edge [minlen=2.5];
         |{rank=max; GlobalStats}
-        |GlobalStats [shape=box, label=<<table border="0" align="right" cellpadding="0"><tr><td bgcolor="grey">bench-x</td></tr><tr><td align="right">Total time: 4.00 ms</td></tr></table>>]
-        |Root [shape=point, label=<<table border="0" align="right" cellpadding="0"><tr><td bgcolor="grey">Root</td></tr><tr><td align="right"></td></tr></table>>]
-        |HashAggregate0 [shape=box, label=<<table border="0" align="right" cellpadding="0"><tr><td bgcolor="grey">HashAggregate0</td></tr><tr><td align="right">2.00 ms (50.00%)</td></tr><tr><td align="right">row processing rate: 50.00k rows/s</td></tr><tr><td align="right">return rate: 10.00%</td></tr></table>>]
-        |HashAggregate0->Root [label="10 rows total\n(5.00k rows/s)"];
-        |Exchange1 [shape=box, label=<<table border="0" align="right" cellpadding="0"><tr><td bgcolor="grey">Exchange1</td></tr><tr><td align="right">2.00 ms (50.00%)</td></tr><tr><td align="right">row processing rate: 50.00k rows/s</td></tr><tr><td align="right">return rate: 100.00%</td></tr></table>>]
-        |Exchange1->HashAggregate0 [label="100 rows total\n(50.00k rows/s)"];
-        |Scan parquet3 [shape=folder, label=<<table border="0" align="right" cellpadding="0"><tr><td bgcolor="grey">Scan parquet3</td></tr><tr><td align="right"></td></tr></table>>]
-        |Scan parquet3->Exchange1 [label="100 rows total"];
+        |"GlobalStats" [shape=box, label=<<table border="0" align="right" cellpadding="0"><tr><td bgcolor="grey">bench-x</td></tr><tr><td align="right">Total time: 4.00 ms</td></tr></table>>]
+        |"Root" [shape=point, label=<<table border="0" align="right" cellpadding="0"><tr><td bgcolor="grey">Root</td></tr><tr><td align="right"></td></tr></table>>]
+        |"HashAggregate0" [shape=box, label=<<table border="0" align="right" cellpadding="0"><tr><td bgcolor="grey">HashAggregate0</td></tr><tr><td align="right">2.00 ms (50.00%)</td></tr><tr><td align="right">row processing rate: 50.00k rows/s</td></tr><tr><td align="right">return rate: 10.00%</td></tr></table>>]
+        |"HashAggregate0"->"Root" [label="10 rows total\n(5.00k rows/s)"];
+        |"Exchange1" [shape=box, label=<<table border="0" align="right" cellpadding="0"><tr><td bgcolor="grey">Exchange1</td></tr><tr><td align="right">2.00 ms (50.00%)</td></tr><tr><td align="right">row processing rate: 50.00k rows/s</td></tr><tr><td align="right">return rate: 100.00%</td></tr></table>>]
+        |"Exchange1"->"HashAggregate0" [label="100 rows total\n(50.00k rows/s)"];
+        |"Scan parquet3" [shape=folder, label=<<table border="0" align="right" cellpadding="0"><tr><td bgcolor="grey">Scan parquet3</td></tr><tr><td align="right"></td></tr></table>>]
+        |"Scan parquet3"->"Exchange1" [label="100 rows total"];
         |}
         |""".stripMargin
     assert(dot == expected)
+  }
+
+  test("DOT node-ID quoting escapes quotes and backslashes") {
+    val s = Seq(
+      OperatorStat(1, -1, 0, """Weird "name"\x""", Some(10L), Some(1000L),
+        Some(0.01), Some(0.5), Some(0.01), Some(1.0)))
+    val dot = BenchmarkDot.draw(s, "b")
+    assert(dot.contains("\"Weird \\\"name\\\"\\\\x0\""))
   }
 }
