@@ -145,6 +145,28 @@ object SparkEntry {
       |FROM hs a JOIN hs b ON a.img_id < b.img_id
       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)""".stripMargin
 
+  /** All-pairs exact-Jaccard threshold join over the documents table —
+    * the recall-complete oracle shared by the batch (q_dedup_minhash) and
+    * streaming (q_stream_neardedup) MinHash near-dedup gates. */
+  private val MinhashAllPairsOracle: String =
+    """WITH t AS MATERIALIZED (SELECT doc_id,
+      |(CASE WHEN len(toks) >= 3
+      |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |  ELSE [array_to_string(toks, ' ')] END) AS sh
+      |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents)),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+      |e AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM t),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  CAST(count(*) AS BIGINT) AS i
+      |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT id1, id2,
+      |CAST(i AS DOUBLE) / greatest(s1.n + s2.n - i, 1) AS jac
+      |FROM inter JOIN sz s1 ON inter.id1 = s1.doc_id
+      |JOIN sz s2 ON inter.id2 = s2.doc_id)
+      |SELECT id1, id2, jac FROM j WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin
+
   private val annExactTopKOracle: String =
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -1934,6 +1956,24 @@ object SparkEntry {
     graft.streaming.Streams.dedupStreamGate(s, d, work)
       .where(col("user_id") =!= -1)
       .orderBy("user_id", "event_type")
+  }
+
+  private def qStreamNearDedup(s: SparkSession, d: String): DataFrame = {
+    // TRUE streaming MinHash near-dedup: documents arrive as a file
+    // stream in TWO phases split by doc_id parity with a checkpoint
+    // restart between them, per-bucket flatMapGroupsWithState emits
+    // candidate pairs as later docs land on earlier ones' LSH buckets,
+    // and the committed candidates are verified batch-side by exact
+    // shingle Jaccard (the two-tier production shape — id-only streaming
+    // state, heavy verify in batch). Banding is recall-complete at the
+    // threshold (48/24 @ 0.7 — the q_dedup_minhash argument), so the
+    // result set equals the all-pairs threshold join and the SAME DuckDB
+    // oracle gates the streaming path; cross-half pairs hash green only
+    // if bucket state survived the restart.
+    val work = cleanupAtExit(s"${System.getProperty("java.io.tmpdir")}/graft_stream_neardedup_${ProcessHandle.current().pid()}")
+    graft.streaming.Streams.nearDedupStreamGate(s, d, work,
+      threshold = 0.7, numHashes = 48, bands = 24, shingleLen = 3)
+      .orderBy("id1", "id2")
   }
 
   private def qStreamStaticFilter(s: SparkSession, d: String): DataFrame = {
@@ -5063,6 +5103,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_neardedup" -> (qStreamNearDedup _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_outer_join" -> (qStreamOuterJoin _),
     "q_stream_static_filter" -> (qStreamStaticFilter _),
@@ -5759,24 +5800,11 @@ object SparkEntry {
     // generation via the inverted shingle join loses NOTHING, and the
     // Jaccard arithmetic is unchanged. The naive pairwise list_intersect
     // was quadratic in the corpus (>20 min at the sf1 replica).
-    "q_dedup_minhash" ->
-      """WITH t AS MATERIALIZED (SELECT doc_id,
-        |(CASE WHEN len(toks) >= 3
-        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |  ELSE [array_to_string(toks, ' ')] END) AS sh
-        |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents)),
-        |sz AS (SELECT doc_id, len(sh) AS n FROM t),
-        |e AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM t),
-        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  CAST(count(*) AS BIGINT) AS i
-        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |j AS (SELECT id1, id2,
-        |CAST(i AS DOUBLE) / greatest(s1.n + s2.n - i, 1) AS jac
-        |FROM inter JOIN sz s1 ON inter.id1 = s1.doc_id
-        |JOIN sz s2 ON inter.id2 = s2.doc_id)
-        |SELECT id1, id2, jac FROM j WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
+    "q_dedup_minhash" -> MinhashAllPairsOracle,
+    // Streaming two-phase MinHash near-dedup commits the SAME verified
+    // pair set (recall-complete banding makes LSH ≡ all-pairs at the
+    // threshold), so the identical oracle gates the streaming path.
+    "q_stream_neardedup" -> MinhashAllPairsOracle,
     "q_ann_brute" -> annExactTopKOracle,
     // Graph ANN: full NN-descent build + beam search replayed round by
     // round (this gates the approximate path itself; recall vs exact is

@@ -695,4 +695,129 @@ object Streams {
     runToCompletion()
     latestImageAtMost(Long.MaxValue)
   }
+
+  // ===== Streaming MinHash near-dedup (continuous-ingest dedup) =====
+
+  /** Per-bucket LSH state for [[streamingNearDupCandidates]]: the sorted
+    * doc ids seen in one (band, bucket-hash) cell so far. */
+  final case class BucketState(ids: Array[Long])
+
+  /** CONTINUOUS-INGEST near-duplicate candidates: each arriving document
+    * computes its MinHash signature and LSH band buckets IN THE STREAM
+    * (the same codegen'd shingle-hash/minhash kernels and banding
+    * arithmetic as the batch [[graft.pipeline.Dedup.minhashBuckets]], so
+    * batch and stream bucket IDENTICALLY), and a per-bucket
+    * `flatMapGroupsWithState` emits one candidate pair (id1 < id2) the
+    * moment a document lands in a bucket that already holds others — the
+    * shape a training-data pipeline needs when the corpus arrives as a
+    * feed rather than a snapshot.
+    *
+    * State per bucket is the SORTED DOC IDS ONLY (no text, no shingle
+    * sets, no signatures): at 100 TB the streaming tier finds candidates
+    * with O(ids-in-bucket) state and the exact-Jaccard verify runs as a
+    * batch join against the document store ([[nearDedupStreamGate]]
+    * wires it), keeping heavy payloads out of the state store. Re-delivered
+    * ids (a replayed micro-batch) are skipped idempotently. For an
+    * unbounded feed, bound the state with a GroupStateTimeout TTL —
+    * dedup-against-a-horizon; the gate keeps NoTimeout so its output is
+    * the complete candidate set and the batch oracle applies verbatim.
+    *
+    * Output order within the sink is arbitrary; the COMMITTED SET is
+    * order-independent: an unordered pair is emitted exactly once per
+    * shared bucket (by whichever member arrives second) and duplicates
+    * across bands are dropped by the consumer's distinct. */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String,
+                                 textCol: String, numHashes: Int,
+                                 bands: Int, shingleLen: Int): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = docs.select(col(idCol).cast("long").as("id"),
+      graft.functions.MinhashExpression.minhash_signature(
+        graft.functions.ShingleHashExpression.shingle_hash_sorted(
+          graft.pipeline.TextAnalysis.tokens(col(textCol)), shingleLen),
+        numHashes).as("sig"))
+    val buckets = sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, slice(col("sig"), b * r + 1, lit(r)).cast("string"))
+            .as("bh")))).as("bucket"))
+      .select(col("id"), col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+      .as[(Long, Int, Long)]
+    buckets.groupByKey(t => (t._2, t._3))
+      .flatMapGroupsWithState[BucketState, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val prior = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+          // deterministic in-batch order; skip ids already in state
+          // (idempotent under micro-batch re-delivery)
+          val fresh = rows.map(_._1).toArray.sorted.distinct
+            .filterNot(prior.contains)
+          val out = Seq.newBuilder[(Long, Long)]
+          val seen = scala.collection.mutable.ArrayBuffer.from(prior)
+          fresh.foreach { id =>
+            seen.foreach { p =>
+              out += ((math.min(p, id), math.max(p, id)))
+            }
+            seen += id
+          }
+          if (fresh.nonEmpty) state.update(BucketState(seen.toArray.sorted))
+          out.result().iterator
+      }.toDF("id1", "id2")
+  }
+
+  /** Streaming near-dedup under a TWO-PHASE checkpoint-resume harness
+    * (q_stream_neardedup): phase 1 streams the even-doc_id half of the
+    * documents table, phase 2 stages the odd half and RESUMES from the
+    * checkpoint — so cross-half duplicate pairs can only be found if the
+    * bucket state survived the restart. The committed candidate set is
+    * then verified batch-side (exact shingle Jaccard against the full
+    * corpus, the two-tier production shape), and with recall-complete
+    * banding (48/24 at τ=0.7 — the q_dedup_minhash argument) the result
+    * equals the all-pairs threshold join, so the SAME DuckDB oracle
+    * gates the streaming path end to end. */
+  def nearDedupStreamGate(spark: SparkSession, sfDir: String,
+                          workDir: String, threshold: Double = 0.7,
+                          numHashes: Int = 48, bands: Int = 24,
+                          shingleLen: Int = 3): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val work = Paths.get(workDir)
+    deleteRecursively(work)
+    val in = work.resolve("in")
+    Files.createDirectories(in)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val docSchema = docs.schema
+    stageParquetParts(docs.where(col("doc_id") % 2 === 0), work, in, "docs_a")
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    def runToCompletion(): Unit = {
+      val stream = spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "docs*.parquet").parquet(in.toString)
+      val q = streamingNearDupCandidates(stream, "doc_id", "text",
+        numHashes, bands, shingleLen)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.Instrument.recordStreamProgress(work.getFileName.toString, q)
+    }
+    runToCompletion()
+    stageParquetParts(docs.where(col("doc_id") % 2 =!= 0), work, in, "docs_b")
+    runToCompletion()
+    // batch verify tier: exact Jaccard over the committed candidate set
+    val cand = spark.read.parquet(outDir).distinct()
+    val sh = graft.pipeline.Dedup.withShingleHashSet(
+      docs, "doc_id", "text", shingleLen, "sh")
+    cand
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jac",
+        graft.pipeline.Dedup.jaccardSortedLong(col("sh1"), col("sh2")))
+      .where(col("jac") >= threshold)
+      .select(col("id1"), col("id2"), col("jac"))
+  }
 }

@@ -300,4 +300,23 @@ class StreamsSpec extends SparkSpec {
     assert(rows(got.select(col("k"), col("sum_v").cast("string"), col("cnt")).orderBy("k")) ==
       rows(oneShot.select(col("k"), col("sum_v").cast("string"), col("cnt")).orderBy("k")))
   }
+
+  test("nearDedupStreamGate: two-phase streamed candidates + batch verify " +
+    "equals batch minhashNearDups; cross-restart pairs present") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_sneardedup_spec").toString
+    val got = Streams.nearDedupStreamGate(spark, sf(), work,
+      threshold = 0.7, numHashes = 48, bands = 24, shingleLen = 3)
+    val batch = graft.pipeline.Dedup.minhashNearDups(
+      graft.Tables.documents(spark, sf()), "doc_id", "text",
+      threshold = 0.7, numHashes = 48, bands = 24, shingleLen = 3)
+    val g = rows(got.select("id1", "id2", "jac").orderBy("id1", "id2"))
+    val b = rows(batch.select("id1", "id2", "jac").orderBy("id1", "id2"))
+    assert(g == b, s"stream=$g batch=$b")
+    assert(g.nonEmpty, "corpus has planted near-dups; empty result is a harness bug")
+    // phase 1 streamed even doc_ids, phase 2 odd: a mixed-parity pair can
+    // only exist if the bucket state survived the checkpoint restart
+    assert(g.exists(r => (r(0).asInstanceOf[Long] + r(1).asInstanceOf[Long]) % 2 == 1),
+      s"no cross-phase pair found in $g — restart state not exercised")
+  }
 }
