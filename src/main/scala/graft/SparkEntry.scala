@@ -832,7 +832,7 @@ object SparkEntry {
   // =========================================================================
 
   import graft.functions.{Exprs => E, Stateful}
-  import graft.pipeline.{Contamination, Dedup, Multimodal, Profile, Sampling, Scoring, Similarity, TextAnalysis => T}
+  import graft.pipeline.{Contamination, Dedup, Dsir, Multimodal, Profile, Sampling, Scoring, Similarity, TextAnalysis => T}
 
   private def qExprArith(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d).select(col("p_partkey"),
@@ -3270,6 +3270,22 @@ object SparkEntry {
     s.range(1).select(lit(len).as("max_dup_len"))
   }
 
+  private def qDsir(s: SparkSession, d: String): DataFrame = {
+    // DSIR importance resampling: hashed-bigram log-likelihood ratio of a
+    // target domain (sources src0-2) vs the whole pool, top-quarter kept.
+    // Fully replayable: portable token keys, integer bucket scatter,
+    // Laplace-smoothed exact counts, ln-at-9dp DECIMAL sums, and the
+    // keep rule is the exact integer comparison rank·4 < n — the oracle
+    // re-derives every stage in SQL.
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+    val target = docs.where(col("source").isin("src0", "src1", "src2"))
+    val scored = Dsir.importanceScores(docs, target, "doc_id", "text", buckets = 512)
+    Dsir.selectTopFraction(scored, "doc_id", num = 1, den = 4)
+      .select(col("doc_id"), col("n_feats"),
+        col("score").cast("double").as("score"), col("rank"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   private def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
     // Hashed-linear classifier inference: one codegen'd projection, zero
     // shuffles; integer mills accumulation makes the fold order-exact.
@@ -5144,6 +5160,7 @@ object SparkEntry {
     "q_dup_longest" -> (qDupLongest _),
     "q_unigram_train" -> (qUnigramTrain _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_dsir" -> (qDsir _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_setsim_join" -> (qSetsimJoin _),
@@ -6819,6 +6836,45 @@ object SparkEntry {
         |  CAST(mills AS DOUBLE) / (1000.0 * CAST(greatest(n_tokens, 1) AS DOUBLE)) AS score,
         |  CAST(mills AS DOUBLE) / (1000.0 * CAST(greatest(n_tokens, 1) AS DOUBLE)) > -0.2 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // DSIR importance resampling: hashed-bigram buckets (portable token
+    // keys + integer scatter), Laplace-smoothed target/pool ratio tables
+    // over the FULL bucket domain, per-doc ln-at-9dp DECIMAL-summed
+    // scores, exact-integer top-fraction rank rule — every stage
+    // re-derived in SQL.
+    "q_dsir" ->
+      s"""WITH w AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws FROM documents),
+         |f AS MATERIALIZED (SELECT doc_id,
+         |  ((((length(a) * 31 + ascii(a[1:1]) * 7 + ascii(a[-1:])) * 1000003
+         |      + (length(b) * 31 + ascii(b[1:1]) * 7 + ascii(b[-1:]))) % 2147483648)
+         |     * 2654435761 % 2147483648) % 512 AS bucket
+         |  FROM (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+         |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w))),
+         |tf AS (SELECT bucket, count(*) AS tc FROM f
+         |  JOIN documents d USING (doc_id)
+         |  WHERE d.source IN ('src0','src1','src2') GROUP BY 1),
+         |pf AS (SELECT bucket, count(*) AS pc FROM f GROUP BY 1),
+         |tt AS (SELECT COALESCE(sum(tc), 0) AS t_tot FROM tf),
+         |pt AS (SELECT COALESCE(sum(pc), 0) AS p_tot FROM pf),
+         |r AS MATERIALIZED (SELECT g.bucket,
+         |  CAST(round(ln(
+         |    (CAST(COALESCE(tf.tc, 0) + 1 AS DOUBLE) / CAST(tt.t_tot + 512 AS DOUBLE)) /
+         |    (CAST(COALESCE(pf.pc, 0) + 1 AS DOUBLE) / CAST(pt.p_tot + 512 AS DOUBLE))), 9)
+         |    AS DECIMAL(20,9)) AS lr
+         |  FROM (SELECT unnest(range(0, 512)) AS bucket) g
+         |  LEFT JOIN tf USING (bucket) LEFT JOIN pf USING (bucket)
+         |  CROSS JOIN tt CROSS JOIN pt),
+         |s AS (SELECT f.doc_id, count(*) AS n_feats,
+         |  CAST(sum(r.lr) AS DECIMAL(28,9)) AS score
+         |  FROM f JOIN r USING (bucket) GROUP BY 1),
+         |sc AS (SELECT d0.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+         |  COALESCE(s.score, 0) AS score
+         |  FROM (SELECT doc_id FROM documents) d0 LEFT JOIN s USING (doc_id)),
+         |n AS (SELECT count(*) AS n FROM sc),
+         |rk AS (SELECT doc_id, n_feats, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS rank FROM sc)
+         |SELECT doc_id, n_feats, CAST(score AS DOUBLE) AS score, rank,
+         |  rank * 4 < n.n AS keep
+         |FROM rk CROSS JOIN n ORDER BY doc_id""".stripMargin,
     // weighted bernoulli: portable bucket under weight·Buckets
     "q_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
