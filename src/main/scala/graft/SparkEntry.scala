@@ -239,7 +239,9 @@ object SparkEntry {
            |  FROM (SELECT DISTINCT qid, nbr FROM (
            |    SELECT qid, nbr FROM $p
            |    UNION ALL SELECT p.qid, g.nbr FROM $p p JOIN $g g ON g.id = p.nbr
-           |    UNION ALL SELECT p.qid, g.id FROM $p p JOIN $g g ON g.nbr = p.nbr)) d
+           |    UNION ALL SELECT p.qid, g.id FROM $p p JOIN $g g ON g.nbr = p.nbr
+           |    UNION ALL SELECT p.qid, g0.nbr FROM $p p JOIN e0 g0 ON g0.id = p.nbr
+           |    UNION ALL SELECT p.qid, g0.id FROM $p p JOIN e0 g0 ON g0.nbr = p.nbr)) d
            |  JOIN q ON q.qid = d.qid JOIN c cv ON cv.id = d.nbr)
            |  WHERE rr <= $beamWidth)""".stripMargin)
     }
@@ -1154,11 +1156,18 @@ object SparkEntry {
     // exact configuration. The recall contract vs exact top-k is gated
     // in SimilaritySpec (the q_ann_ivf pattern).
     val emb = Tables.embeddings(s, d)
-    val g = Similarity.nnDescentGraph(emb, "vec_id", "embedding",
+    // navigable search graph = refined k-NN edges ∪ the deterministic
+    // scatter-init edges (one shared build): the refined graph alone
+    // fragments into similarity-cluster islands (exact-twin cliques at
+    // the replica SFs) that greedy search cannot reach; the scatter
+    // edges are the NSW long links that restore small-world
+    // reachability — and they are the oracle's own e0 CTE, so the
+    // replay stays exact.
+    val nav = Similarity.navigableGraph(emb, "vec_id", "embedding",
       k = AnnGraphK, rounds = AnnGraphRounds, reverseCap = AnnGraphRevCap)
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    Similarity.beamSearchTopK(g, emb, "vec_id", "embedding",
+    Similarity.beamSearchTopK(nav, emb, "vec_id", "embedding",
       queries, "qid", "qv", k = 5,
       beamWidth = AnnGraphBeam, hops = AnnGraphHops, entries = AnnGraphEntries)
       .withColumn("cosine", round(col("cosine"), 6))

@@ -549,26 +549,24 @@ object Similarity {
     *
     * Returns (id, nbr, cosine, rank) — each node's k approximate nearest
     * neighbors, rank 1..k by descending cosine. */
-  def nnDescentGraph(df: DataFrame, idCol: String, vecCol: String,
-                     k: Int = 8, rounds: Int = 3,
-                     reverseCap: Int = 8): DataFrame = {
-    val spark = df.sparkSession
+  /** Deterministic SCATTERED init edges (id, nbr, cosine): neighbor j of
+    * the node at ring position p sits at offset 1 + scatter(p·k+j) mod
+    * (n−1) — k spread-out links per node, a ~log-n-diameter random graph
+    * in pure replayable integer arithmetic. Shared by [[nnDescentGraph]]'s
+    * init AND the navigable search-graph augmentation (the refined k-NN
+    * graph alone fragments into similarity-cluster islands greedy search
+    * cannot reach; keeping the scatter edges in the SEARCH graph restores
+    * small-world reachability — the NSW long-link idea). */
+  def scatterInitEdges(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
     val base = df.select(col(idCol).as("id"), asDoubleVec(col(vecCol)).as("__v"))
-      .stageCheckpoint(false) // the vector table is scanned 2× per round
     val n = base.count()
-    require(n > k, s"nnDescentGraph: need more than k=$k vectors, got $n")
+    require(n > k, s"scatterInitEdges: need more than k=$k vectors, got $n")
     val ranked = graft.pipeline.Profile.rowPositions(
       base, "__pos", ringKey(col("id")), col("id"))
     val byPos = ranked.select(col("__pos").as("__npos"),
       col("id").as("nbr"), col("__v").as("__nv"))
-    // Each round references the edge table ~5× (reverse cap, adjacency
-    // union, candidate self-join, final union). WITHOUT a per-round
-    // checkpoint the logical plan re-embeds the whole build per reference
-    // — cost exponential in `rounds`, independent of cluster size. Stage
-    // every round through a (lazy) checkpoint and release the previous
-    // round's blocks only after the successor materializes — the
-    // semanticDedup / Bpe loop idiom.
-    var edges = ranked
+    ranked
       .select(col("id"), col("__v"), col("__pos"),
         explode(sequence(lit(1), lit(k))).as("__j"))
       .withColumn("__npos",
@@ -579,7 +577,51 @@ object Similarity {
       .withColumn("cosine", cosine(col("__v"), col("__nv")))
       .select(col("id"), col("nbr"), col("cosine"))
       .distinct() // two j's may scatter to the same offset
+  }
+
+  def nnDescentGraph(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 8, rounds: Int = 3,
+                     reverseCap: Int = 8): DataFrame = {
+    val (_, refined) = buildKnnGraph(df, idCol, vecCol, k, rounds, reverseCap)
+    val wF = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("nbr"))
+    refined.withColumn("rank", row_number().over(wF))
+  }
+
+  /** Navigable SEARCH graph for [[beamSearchTopK]]: the refined k-NN edges
+    * UNION the scatter-init edges, both from ONE shared build. The refined
+    * graph alone fragments into similarity-cluster islands (exact-twin
+    * cliques in replicated corpora) that greedy expansion cannot reach
+    * from a distant entry; the deterministic scatter edges are the NSW
+    * long links that restore small-world reachability. Returns (id, nbr). */
+  def navigableGraph(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 8, rounds: Int = 3,
+                     reverseCap: Int = 8): DataFrame = {
+    val (init, refined) = buildKnnGraph(df, idCol, vecCol, k, rounds, reverseCap)
+    refined.select(col("id"), col("nbr"))
+      .unionByName(init.select(col("id"), col("nbr")))
+  }
+
+  /** Shared NN-descent build: returns (checkpointed init edges,
+    * checkpointed refined edges), both (id, nbr, cosine). */
+  private def buildKnnGraph(df: DataFrame, idCol: String, vecCol: String,
+                            k: Int, rounds: Int,
+                            reverseCap: Int): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), asDoubleVec(col(vecCol)).as("__v"))
+      .stageCheckpoint(false) // the vector table is scanned 2× per round
+    val n = base.count()
+    require(n > k, s"nnDescentGraph: need more than k=$k vectors, got $n")
+    // Each round references the edge table ~5× (reverse cap, adjacency
+    // union, candidate self-join, final union). WITHOUT a per-round
+    // checkpoint the logical plan re-embeds the whole build per reference
+    // — cost exponential in `rounds`, independent of cluster size. Stage
+    // every round through a (lazy) checkpoint and release the previous
+    // round's blocks only after the successor materializes — the
+    // semanticDedup / Bpe loop idiom. The init checkpoint is NOT released
+    // by the loop (it is in the baseline set): navigableGraph returns it.
+    val init = scatterInitEdges(base, "id", "__v", k)
       .stageCheckpoint(false)
+    var edges = init
     val baseline = Checkpoints.persistedIds(spark)
     var knownIds = Set.empty[Int]
     val vecsL = base.select(col("id"), col("__v"))
@@ -612,8 +654,7 @@ object Similarity {
       Checkpoints.releaseIds(spark, knownIds)
       knownIds = fresh
     }
-    val wF = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("nbr"))
-    edges.withColumn("rank", row_number().over(wF))
+    (init, edges)
   }
 
   /** Beam-search top-k over a bounded-degree graph: start every query at

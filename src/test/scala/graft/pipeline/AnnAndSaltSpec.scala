@@ -40,7 +40,9 @@ class AnnAndSaltSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       rows(df.select("qid", "vec_id")).map(r => (r(0), r(1))).toSet
     val brute = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qv", 5))
-    val beam = pairs(Similarity.beamSearchTopK(g, emb, "vec_id", "embedding",
+    val nav = Similarity.navigableGraph(emb, "vec_id", "embedding",
+      k = 8, rounds = 3, reverseCap = 8)
+    val beam = pairs(Similarity.beamSearchTopK(nav, emb, "vec_id", "embedding",
       q, "qid", "qv", k = 5, beamWidth = 16, hops = 6, entries = 4))
     val recall = brute.intersect(beam).size.toDouble / brute.size
     assert(recall >= 0.6, s"graph-ANN recall $recall too low (k=8, 3 rounds, beam 16x6, 4 entries)")
