@@ -68,8 +68,13 @@ object Dsir {
     * 0 with n_feats 0). Output: (id, n_feats, score: DECIMAL(28,9)). */
   def importanceScores(pool: DataFrame, target: DataFrame, idCol: String,
                        textCol: String, buckets: Int): DataFrame = {
+    import graft.pipeline.Checkpoints.DatasetCheckpointOps
     val tCounts = bucketCounts(target, idCol, textCol, buckets)
-    val pCounts = bucketCounts(pool, idCol, textCol, buckets)
+    // the pool's feature table feeds BOTH the count aggregation and the
+    // per-doc scoring join — one checkpoint, one corpus tokenization pass
+    val feats = bigramFeatures(pool, idCol, textCol, buckets)
+      .stageCheckpoint(false)
+    val pCounts = feats.groupBy("bucket").agg(count(lit(1)).as("cnt"))
     val tTot = tCounts.agg(coalesce(sum("cnt"), lit(0L)).as("t_tot"))
     val pTot = pCounts.agg(coalesce(sum("cnt"), lit(0L)).as("p_tot"))
     // full bucket domain so a feature unseen in either corpus still gets
@@ -86,7 +91,6 @@ object Dsir {
           ((coalesce(col("p_cnt"), lit(0L)) + 1L).cast("double") /
             (col("p_tot") + buckets).cast("double"))), 9)
           .cast("decimal(20,9)").as("lr"))
-    val feats = bigramFeatures(pool, idCol, textCol, buckets)
     val scored = feats.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"),
