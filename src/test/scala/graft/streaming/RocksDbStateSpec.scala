@@ -54,4 +54,12 @@ class RocksDbStateSpec extends SparkSpec {
     assert(rocks.nonEmpty, "gate committed no windows")
     assert(rocks == default, "RocksDB provider changed windowed-agg output")
   }
+
+  test("near-dedup gate (per-bucket flatMapGroupsWithState): RocksDB == default provider through checkpoint resume") {
+    val (default, rocks) = underBothProviders(dir =>
+      Streams.nearDedupStreamGate(spark, sf(), dir,
+        threshold = 0.7, numHashes = 48, bands = 24, shingleLen = 3))
+    assert(rocks.nonEmpty, "gate committed no pairs")
+    assert(rocks == default, "RocksDB provider changed near-dedup output")
+  }
 }
