@@ -146,15 +146,16 @@ object SparkEntry {
       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)""".stripMargin
 
   /** All-pairs exact-Jaccard threshold join over the documents table —
-    * the recall-complete oracle shared by the batch (q_dedup_minhash) and
-    * streaming (q_stream_neardedup) MinHash near-dedup gates. */
-  private val MinhashAllPairsOracle: String =
-    """WITH t AS MATERIALIZED (SELECT doc_id,
+    * the recall-complete oracle shared by the batch (q_dedup_minhash),
+    * streaming (q_stream_neardedup) and incremental (q_dedup_incremental,
+    * restricted to pairs touching the odd-id delta) MinHash gates. */
+  private def minhashAllPairsOracle(extraWhere: String): String =
+    s"""WITH t AS MATERIALIZED (SELECT doc_id,
       |(CASE WHEN len(toks) >= 3
       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
       |  ELSE [array_to_string(toks, ' ')] END) AS sh
-      |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents)),
+      |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM documents)),
       |sz AS (SELECT doc_id, len(sh) AS n FROM t),
       |e AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM t),
       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -165,7 +166,8 @@ object SparkEntry {
       |CAST(i AS DOUBLE) / greatest(s1.n + s2.n - i, 1) AS jac
       |FROM inter JOIN sz s1 ON inter.id1 = s1.doc_id
       |JOIN sz s2 ON inter.id2 = s2.doc_id)
-      |SELECT id1, id2, jac FROM j WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin
+      |SELECT id1, id2, jac FROM j WHERE jac >= 0.7$extraWhere ORDER BY id1, id2""".stripMargin
+  private val MinhashAllPairsOracle: String = minhashAllPairsOracle("")
 
   private val annExactTopKOracle: String =
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
@@ -1058,6 +1060,21 @@ object SparkEntry {
       Dedup.lengthBucketJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5, bucketWidth = 8, shingleLen = 2))
       .orderBy("id")
+
+  private def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    // Daily-delta dedup: history = even doc_ids (yesterday's corpus),
+    // delta = odd (today's batch). Candidates are delta×history plus
+    // delta×delta bucket collisions — history×history is never re-paired
+    // — and with the q_dedup_minhash recall-complete banding the verified
+    // set equals the full-corpus all-pairs join restricted to pairs
+    // touching the delta, which is what the oracle hashes.
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalMinhashNearDups(
+      docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", threshold = 0.7, numHashes = 48, bands = 24,
+      shingleLen = 3)
+      .orderBy("id1", "id2")
+  }
 
   private def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     // bands = 24 (r = 2): P(candidate | J) = 1-(1-J^2)^24 puts the miss
@@ -5074,6 +5091,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_brute" -> (qAnnBrute _),
@@ -5831,6 +5849,10 @@ object SparkEntry {
     // pair set (recall-complete banding makes LSH ≡ all-pairs at the
     // threshold), so the identical oracle gates the streaming path.
     "q_stream_neardedup" -> MinhashAllPairsOracle,
+    // Incremental (delta-vs-history) face: the pairs the daily job must
+    // find are exactly the full-corpus pairs touching the odd-id delta.
+    "q_dedup_incremental" ->
+      minhashAllPairsOracle(" AND (id1 % 2 = 1 OR id2 % 2 = 1)"),
     "q_ann_brute" -> annExactTopKOracle,
     // Graph ANN: full NN-descent build + beam search replayed round by
     // round (this gates the approximate path itself; recall vs exact is

@@ -334,6 +334,46 @@ object Dedup {
       .select("id1", "id2", "jac")
   }
 
+  /** INCREMENTAL MinHash near-dedup — the daily-delta production job: a
+    * new batch of documents is deduplicated against an existing corpus
+    * AND within itself, WITHOUT re-pairing the history against itself
+    * (history×history pairs were found on previous days). Candidates are
+    * (delta × history) plus (delta × delta) bucket collisions; the exact
+    * Jaccard verify joins each side's own shingle table. With the
+    * recall-complete banding the result set is EXACTLY the full-corpus
+    * all-pairs threshold join restricted to pairs touching the delta —
+    * the invariant the q_dedup_incremental oracle hashes.
+    *
+    * At 100 TB the history side is a PERSISTED bucket+shingle index
+    * (write minhashBuckets/withShingleHashSet output once, bucketed by
+    * `bh`); this face recomputes it from text so the gate covers the
+    * whole path. Pair ids are canonical (id1 < id2) regardless of which
+    * side each doc came from; ids must be unique ACROSS the union. */
+  def incrementalMinhashNearDups(history: DataFrame, delta: DataFrame,
+                                 idCol: String, textCol: String,
+                                 threshold: Double, numHashes: Int = 32,
+                                 bands: Int = 8,
+                                 shingleLen: Int = 3): DataFrame = {
+    val bh = minhashBuckets(history, idCol, textCol, numHashes, bands, shingleLen)
+    val bd = minhashBuckets(delta, idCol, textCol, numHashes, bands, shingleLen)
+    val crossPairs = bd.select(col("band"), col("bh"), col(idCol).as("__d"))
+      .join(bh.select(col("band"), col("bh"), col(idCol).as("__h")), Seq("band", "bh"))
+      .select(least(col("__d"), col("__h")).as("id1"),
+        greatest(col("__d"), col("__h")).as("id2"))
+    val deltaPairs = bd.select(col("band"), col("bh"), col(idCol).as("id1"))
+      .join(bd.select(col("band"), col("bh"), col(idCol).as("id2")), Seq("band", "bh"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2")
+    val cand = crossPairs.union(deltaPairs).distinct()
+    val sh = withShingleHashSet(history, idCol, textCol, shingleLen, "sh")
+      .unionByName(withShingleHashSet(delta, idCol, textCol, shingleLen, "sh"))
+    cand.join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
+      .where(col("jac") >= threshold)
+      .select("id1", "id2", "jac")
+  }
+
   // ===== SimHash =====
 
   /** 64-bit SimHash over word tokens: bit k of the fingerprint is the sign

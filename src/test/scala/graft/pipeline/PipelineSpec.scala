@@ -44,6 +44,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash near-dedup equals full run restricted to delta-touching pairs") {
+    val emb = graft.Tables.documents(spark, sf())
+    val full = rows(Dedup.minhashNearDups(emb, "doc_id", "text",
+      threshold = 0.7, numHashes = 48, bands = 24, shingleLen = 3)
+      .select("id1", "id2").orderBy("id1", "id2")).map(r => (r(0), r(1)))
+    val incr = rows(Dedup.incrementalMinhashNearDups(
+      emb.where(col("doc_id") % 2 === 0), emb.where(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", threshold = 0.7, numHashes = 48, bands = 24,
+      shingleLen = 3).select("id1", "id2").orderBy("id1", "id2"))
+      .map(r => (r(0), r(1)))
+    val expected = full.filter(p =>
+      p._1.asInstanceOf[Long] % 2 == 1 || p._2.asInstanceOf[Long] % 2 == 1)
+    assert(incr == expected, s"incr=$incr expected=$expected")
+    assert(incr.nonEmpty, "corpus has planted near-dups; empty result is a harness bug")
+    // no history×history pair may appear
+    assert(!incr.exists(p =>
+      p._1.asInstanceOf[Long] % 2 == 0 && p._2.asInstanceOf[Long] % 2 == 0))
+  }
+
   test("simhash: identical docs have hamming 0, unrelated docs differ") {
     val out = Dedup.simhashCandidates(docs, "doc_id", "text")
     val m = rows(out.select("id1", "id2", "hamming"))
