@@ -2,11 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Packing, Sampling, Shards, TextAnalysis => T}
+import graft.pipeline.{Dedup, Dsir, Packing, Sampling, Shards, TextAnalysis => T}
 
 /** End-to-end curation pipeline record: the chain a pretraining-data run
   * actually executes — ingest → language/quality filter → exact dedup →
-  * MinHash near-dedup → recipe mix + epochs → greedy sequence packing →
+  * MinHash near-dedup → DSIR target-domain selection → recipe mix +
+  * epochs → greedy sequence packing →
   * shard manifest — with per-stage wall time and row counts, so the
   * engine has ONE reproducible artifact showing the stages composing,
   * not just each operator green in isolation.
@@ -77,13 +78,24 @@ object Curate {
       Dedup.dropNearDuplicates(exact, pairs, "doc_id")
     }
 
-    // 5. Recipe mix + epochs: per-language corpora with en up-weighted
+    // 5. DSIR selection: hashed-bigram importance vs the src0-2 target
+    // domain; keep the most target-like three quarters.
+    val selected = stage("dsir_select") {
+      val scored = Dsir.importanceScores(near, near.where(
+        col("source").isin("src0", "src1", "src2")), "doc_id", "text", 512)
+      near.join(
+        Dsir.selectTopFraction(scored, "doc_id", num = 3, den = 4)
+          .where(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+
+    // 6. Recipe mix + epochs: per-language corpora with en up-weighted
     // 4:1, then 1.5 deterministic epochs with per-epoch shuffle keys.
     val mixed = stage("mix_epochs") {
       val langs = Seq("en", "de", "es", "fr", "zh")
-      val total = near.count()
+      val total = selected.count()
       val sources = langs.map { l =>
-        (l, near.where(col("lang") === l),
+        (l, selected.where(col("lang") === l),
           if (l == "en") 4L else 1L)
       }
       val mix = Sampling.mixCorpora(sources, Seq("doc_id"),
@@ -92,7 +104,7 @@ object Curate {
       Sampling.withEpochs(mix, Seq("doc_id"), epochs = 1.5)
     }
 
-    // 6. Greedy token packing into fixed budgets (512-token sequences,
+    // 7. Greedy token packing into fixed budgets (512-token sequences,
     // 64 parallel pack buckets). Row key folds the epoch so repeated
     // docs pack as distinct rows.
     val packed = stage("pack") {
@@ -102,7 +114,7 @@ object Curate {
         budget = 512, buckets = 64).toDF()
     }
 
-    // 7. Shard manifest: 16 shards, per-shard row count + order-free
+    // 8. Shard manifest: 16 shards, per-shard row count + order-free
     // content fingerprint — the handoff artifact a trainer validates.
     stage("manifest") {
       Shards.shardManifest(packed, Seq("id"),
