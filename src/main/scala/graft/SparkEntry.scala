@@ -179,6 +179,43 @@ object SparkEntry {
       |row_number() OVER (PARTITION BY qid ORDER BY cos_exact DESC, vec_id) AS rank FROM s)
       |SELECT qid, vec_id, round(cos_exact, 6) AS cosine, rank FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
+  /** q_ann_pq oracle: the COMPLETE product-quantization path replayed in
+    * SQL — seed selection by the same multiplicative-scatter order,
+    * per-subspace codebook slices, L2 code assignment via the identical
+    * discriminant dot(c,c) − 2·dot(x,c) (dot = list_inner_product, the
+    * proven-parity sequential fold; ties to the lower codebook index),
+    * per-query LUTs rounded to 9 dp as DECIMAL, exact decimal ADC sums,
+    * and the (adc desc, id) ranking. Gate shape is iters=0 (codebook
+    * entries are exact data subvectors), so every arithmetic step is
+    * bit-replayable. */
+  private def annPqOracle(m: Int, ksub: Int, kq: Int): String = {
+    val scatter = "(id % 2147483648) * 2654435761 % 2147483648"
+    s"""WITH c AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sd AS MATERIALIZED (SELECT s, v FROM (
+       |  SELECT row_number() OVER (ORDER BY $scatter, id) - 1 AS s, v FROM c) WHERE s < $ksub),
+       |js AS (SELECT unnest(range(0, $m)) AS j, len(v) // $m AS d FROM (SELECT v FROM c LIMIT 1)),
+       |cb AS MATERIALIZED (SELECT js.j, js.d, sd.s,
+       |  sd.v[js.j * js.d + 1 : (js.j + 1) * js.d] AS cv FROM sd CROSS JOIN js),
+       |enc AS MATERIALIZED (SELECT id, j, s AS code FROM (
+       |  SELECT x.id, cb.j, cb.s, row_number() OVER (PARTITION BY x.id, cb.j ORDER BY
+       |      list_inner_product(cb.cv, cb.cv)
+       |        - 2 * list_inner_product(x.v[cb.j * cb.d + 1 : (cb.j + 1) * cb.d], cb.cv),
+       |      cb.s) AS rn
+       |  FROM c x CROSS JOIN cb) WHERE rn = 1),
+       |q AS (SELECT id AS qid, v AS qv FROM c WHERE id < 10),
+       |lut AS MATERIALIZED (SELECT q.qid, cb.j, cb.s,
+       |  CAST(round(list_inner_product(q.qv[cb.j * cb.d + 1 : (cb.j + 1) * cb.d], cb.cv), 9)
+       |    AS DECIMAL(20,9)) AS ip
+       |  FROM q CROSS JOIN cb),
+       |a AS (SELECT l.qid, e.id AS vec_id, sum(l.ip) AS adc
+       |  FROM enc e JOIN lut l ON l.j = e.j AND l.s = e.code
+       |  WHERE e.id <> l.qid GROUP BY 1, 2),
+       |r AS (SELECT qid, vec_id, adc,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM a)
+       |SELECT qid, vec_id, CAST(adc AS DOUBLE) AS adc, rank
+       |FROM r WHERE rank <= $kq ORDER BY qid, rank""".stripMargin
+  }
+
   /** q_ann_graph oracle: the COMPLETE NN-descent build + beam search
     * replayed round by round — ring init from the same multiplicative
     * scatter, reverse-capped adjacency, shared-neighbor candidate pairs,
@@ -1205,6 +1242,27 @@ object SparkEntry {
     Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("qid", "rank")
+
+  // PQ gate constants, shared with the oracle generator (drift-proof).
+  private val AnnPqM = 8
+  private val AnnPqKsub = 16
+
+  private def qAnnPq(s: SparkSession, d: String): DataFrame = {
+    // Product-quantized ANN (ADC inner-product scan over the compressed
+    // code table). iters=0: codebook entries are exact data subvectors
+    // picked by the deterministic scatter order, so the oracle re-derives
+    // seeds → codebooks → codes → per-query LUTs → decimal ADC sums → the
+    // ranking, end to end — this gates the full compressed-domain path
+    // (slice/encode/LUT/ADC arithmetic), not a degenerate rewrite of
+    // brute force. Trained-codebook recall (iters=2, the production
+    // operating point) is gated in AnnAndSaltSpec (the q_ann_ivf pattern).
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 5, m = AnnPqM, ksub = AnnPqKsub, iters = 0)
+      .orderBy("qid", "rank")
+  }
 
   private def qTextStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
@@ -5158,6 +5216,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_graph" -> (qAnnGraph _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -5862,6 +5921,7 @@ object SparkEntry {
     // IVF gate probes all cells (see qAnnIvf) => result is exactly the
     // brute-force top-k, so the identical oracle binding applies.
     "q_ann_ivf" -> annExactTopKOracle,
+    "q_ann_pq" -> annPqOracle(AnnPqM, AnnPqKsub, 5),
     "q_dedup_embedding" ->
       s"""$lshCandidateCtes
          |SELECT id1, id2, round(cos, 6) AS cosine FROM cand WHERE cos >= 0.25

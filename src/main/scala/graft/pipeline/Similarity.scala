@@ -724,4 +724,209 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("nbr").as(corpusId), col("cosine"), col("rank"))
   }
+
+  // ===== Product quantization: compressed-domain ANN (ADC scan) =====
+
+  /** Per-subspace PQ codebooks (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 §II — the
+    * reference engine has no ANN surface; superset): split each D-dim
+    * vector into `m` contiguous D/m-dim subvectors and quantize each
+    * subspace against its own `ksub`-entry codebook.
+    *
+    * Seeds are the `ksub` vectors with the smallest (ringKey(id), id) —
+    * the same deterministic multiplicative scatter the graph-ANN init
+    * uses, so a SQL oracle re-derives the seed set exactly — sliced per
+    * subspace; `iters` Lloyd rounds (L2 assignment, per-dimension means
+    * rounded at 1e-6, the ivfCentroids convention) refine them. With
+    * iters=0 the codebook entries are EXACT data subvectors and every
+    * downstream distance is replayable bit-for-bit (the q_ann_pq gate
+    * shape); the trained operating point is spec-gated on recall instead
+    * (the q_ann_ivf pattern). At 100 TB training runs on a deterministic
+    * sample — codebooks are m·ksub·(D/m) doubles of driver-side index
+    * metadata either way. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, iters: Int = 0): Array[Array[Array[Double]]] = {
+    val vecs = df.select(col(idCol).as("id"), asDoubleVec(col(vecCol)).as("__v"))
+    val seeds = vecs.orderBy(ringKey(col("id")), col("id")).limit(ksub)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ksub, s"pqCodebooks: need >= $ksub vectors, got ${seeds.length}")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = Array.tabulate(m, ksub)((j, s) => seeds(s).slice(j * dsub, (j + 1) * dsub))
+    (1 to iters).foreach { _ =>
+      (0 until m).foreach { j =>
+        val sub = slice(col("__v"), j * dsub + 1, dsub)
+        val means = vecs
+          .select(pqAssignCode(sub, books(j)).as("__c"),
+            posexplode(sub).as(Seq("__pos", "__x")))
+          .groupBy("__c", "__pos").agg(avg("__x").as("__mx"))
+          .groupBy("__c").agg(sort_array(collect_list(struct(col("__pos"), col("__mx")))).as("__mv"))
+          .select(col("__c"), transform(col("__mv"), s => s.getField("__mx")).as("__cv"))
+          .collect().map(r => r.getInt(0) ->
+            r.getSeq[Double](1).map(x => math.rint(x * 1e6) / 1e6).toArray).toMap
+        books(j) = Array.tabulate(ksub)(s => means.getOrElse(s, books(j)(s)))
+      }
+    }
+    books
+  }
+
+  /** Nearest sub-centroid by squared L2, as the fold
+    * min over s of (dot(c_s,c_s) − 2·dot(x,c_s), s) — the dot(x,x) term is
+    * constant per row and dropped; ties take the LOWER index. Both dots
+    * ride the proven-parity sequential-fold kernel, so a SQL replay
+    * (list_inner_product with the same discriminant) orders identically. */
+  def pqAssignCode(sub: Column, codebook: Array[Array[Double]]): Column = {
+    val scored = codebook.zipWithIndex.map { case (c, s) =>
+      val cLit = array(c.map(lit): _*)
+      struct((dot(cLit, cLit) - lit(2.0) * dot(sub, cLit)).as("d"),
+        lit(s).as("s"))
+    }
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
+    best.getField("s")
+  }
+
+  /** Encode a corpus against PQ codebooks: (id, codes array<int> of length
+    * m). THIS is the 100 TB artifact — m small ints (m bytes at ksub ≤
+    * 256) instead of 4·D float bytes per vector, a 32× memory/bandwidth
+    * cut at the gate shape (D=64, m=8) — computed in one codegen'd
+    * projection, zero shuffles. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head.length
+    val v = asDoubleVec(col(vecCol))
+    corpus.select(col(idCol),
+      array((0 until m).map(j =>
+        pqAssignCode(slice(v, j * dsub + 1, dsub), books(j))): _*).as("codes"))
+  }
+
+  /** PQ top-k by Asymmetric Distance Computation: each query builds an
+    * m×ksub lookup table of sub-inner-products against the codebooks
+    * (ln-free analog of the decimal-sum convention: each entry rounded to
+    * 9 dp and carried as DECIMAL, so the m-term ADC sum is exact and
+    * order-independent), then every corpus CODE ROW is scored with m
+    * array lookups + m decimal adds — one codegen'd projection over the
+    * compressed table, no shuffle; ranking is the per-query window all
+    * ANN faces share. dot(q,x) ≈ Σ_j lut[j][code_j] (ADC-IP; Jégou §III).
+    *
+    * At 100 TB the scan reads ONLY the code table (32× smaller than the
+    * float corpus) and the broadcast LUTs; composes with IVF by scanning
+    * probed cells' codes only. Fully deterministic at iters=0, so the
+    * q_ann_pq oracle replays seeds → codebooks → codes → LUT → ADC → rank
+    * end to end. Self-matches excluded (the q_ann_brute contract).
+    * Output: (queryId, corpusId, adc DOUBLE, rank). */
+  /** Per-query m×ksub ADC lookup table: entry (j,s) = the query's j-th
+    * subvector · codebook[j][s], rounded to 9 dp and carried as DECIMAL
+    * so the m-term ADC sum is exact and order-independent (the decimal-
+    * sum convention). Output: (queryId, __lut array<array<decimal>>). */
+  private def pqLut(queries: DataFrame, queryId: String, queryVec: String,
+                    books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    val qv = asDoubleVec(col(queryVec))
+    queries.select(col(queryId), array((0 until m).map { j =>
+      array((0 until ksub).map { s =>
+        round(dot(slice(qv, j * dsub + 1, dsub), array(books(j)(s).map(lit): _*)), 9)
+          .cast("decimal(20,9)")
+      }: _*)
+    }: _*).as("__lut"))
+  }
+
+  /** ADC score of a `codes` row against the row's `__lut`: m array
+    * lookups + m exact decimal adds, one codegen'd expression. */
+  private def pqAdc(m: Int): Column =
+    (0 until m).map(j =>
+      element_at(element_at(col("__lut"), j + 1), col("codes")(j) + 1))
+      .reduce(_ + _)
+
+  /** Exact re-rank of a per-query shortlist: ONLY the shortlisted rows
+    * fetch their full float vectors for an exact dot — at 100 TB the
+    * float table is touched for |Q|·rerank rows, not n·|Q|. */
+  private def pqRerank(short: DataFrame,
+                       corpus: DataFrame, corpusId: String, corpusVec: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int): DataFrame = {
+    val cv = corpus.select(col(corpusId), asDoubleVec(col(corpusVec)).as("__cv"))
+    val qvv = queries.select(col(queryId), asDoubleVec(col(queryVec)).as("__qv"))
+    val wx = Window.partitionBy(col(queryId))
+      .orderBy(col("__dot").desc, col(corpusId))
+    short.join(cv, corpusId).join(broadcast(qvv), queryId)
+      .withColumn("__dot", dot(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wx))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId),
+        col("__dot").cast("double").as("adc"), col("rank"))
+  }
+
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 0,
+             rerank: Int = 0): DataFrame = {
+    val books = pqCodebooks(corpus, corpusId, corpusVec, m, ksub, iters)
+    val codes = pqEncode(corpus, corpusId, corpusVec, books)
+    val lut = pqLut(queries, queryId, queryVec, books)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("__adc").desc, col(corpusId))
+    val byAdc = codes.join(broadcast(lut), codes(corpusId) =!= lut(queryId))
+      .withColumn("__adc", pqAdc(m))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      byAdc.where(col("rank") <= k)
+        .select(col(queryId), col(corpusId),
+          col("__adc").cast("double").as("adc"), col("rank"))
+    else {
+      // ADC-shortlist + exact re-rank (Jégou §V's re-ranking stage, the
+      // production operating point).
+      require(rerank >= k, s"pqTopK: rerank ($rerank) must be >= k ($k)")
+      pqRerank(byAdc.where(col("rank") <= rerank).select(col(queryId), col(corpusId)),
+        corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+    }
+  }
+
+  /** IVF + PQ composition (Jégou §V's IVFADC): the coarse quantizer
+    * prunes the corpus to each query's `nprobe` nearest cells, and ONLY
+    * those cells' code rows feed the PQ ADC scan (+ optional exact
+    * re-rank). This is the canonical billion-scale layout — the code
+    * table is bucketed by cell, a query's scan touches ~nprobe/nCells of
+    * it (an equi-join on the cell key, never a full-table pass), and the
+    * float vectors are read for |Q|·rerank rows only. Both index
+    * structures come from the same deterministic builds as their
+    * standalone faces. */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                k: Int, nCells: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, iters: Int = 0,
+                rerank: Int = 0): DataFrame = {
+    val cents = ivfCentroids(corpus, corpusId, corpusVec, nCells)
+    val books = pqCodebooks(corpus, corpusId, corpusVec, m, ksub, iters)
+    // code table keyed by IVF cell — the persisted index layout
+    val codes = pqEncode(corpus, corpusId, corpusVec, books)
+      .join(assignCells(
+        corpus.select(col(corpusId), asDoubleVec(col(corpusVec)).as("__av")),
+        cents, "__av", "__cell").select(col(corpusId), col("__cell")), corpusId)
+    // each query expands to its nprobe nearest cells, carrying its LUT
+    val lut = pqLut(queries, queryId, queryVec, books)
+      .join(queries.select(col(queryId), asDoubleVec(col(queryVec)).as("__qvv")), queryId)
+      .withColumn("__cells", sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+        struct((-cosine(col("__qvv"), array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+      }: _*)))
+      .select(col(queryId), col("__lut"),
+        explode(transform(slice(col("__cells"), 1, nprobe), s => s.getField("i")))
+          .as("__cell"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("__adc").desc, col(corpusId))
+    val scanned = codes.join(broadcast(lut), Seq("__cell"))
+      .where(col(corpusId) =!= col(queryId))
+      .withColumn("__adc", pqAdc(m))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      scanned.where(col("rank") <= k)
+        .select(col(queryId), col(corpusId),
+          col("__adc").cast("double").as("adc"), col("rank"))
+    else {
+      require(rerank >= k, s"ivfPqTopK: rerank ($rerank) must be >= k ($k)")
+      pqRerank(scanned.where(col("rank") <= rerank).select(col(queryId), col(corpusId)),
+        corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+    }
+  }
 }

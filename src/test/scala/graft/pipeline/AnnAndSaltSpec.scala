@@ -55,6 +55,69 @@ class AnnAndSaltSpec extends SparkSpec {
     assert(m2 >= m1, s"round 2 did not improve mean neighbor cosine ($m1 -> $m2)")
   }
 
+  test("PQ ANN: trained codebooks hit the ADC recall contract; codes are " +
+    "bounded; training improves quantization error") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select("qid", "vec_id")).map(r => (r(0), r(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qv", 5))
+    // quality contract at the TRAINED production operating point —
+    // 80-bit codes + exact re-rank of the ADC shortlist (the gate replays
+    // iters=0/rerank=0 exactly; this spec owns approximation quality).
+    // Deterministic end to end, so the measured recall (0.72) is stable.
+    val pq = pairs(Similarity.pqTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+      k = 5, m = 16, ksub = 32, iters = 2, rerank = 20))
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall $recall too low (m=16, ksub=32, iters=2, rerank=20)")
+    // code table: one row per vector, m codes each in [0, ksub)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    assert(books.length == 8 && books.forall(_.length == 16)
+      && books.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    assert(codes.count() == emb.count())
+    assert(codes.where(size(col("codes")) =!= 8
+      || exists(col("codes"), c => c < 0 || c >= 16)).count() == 0)
+    // Lloyd training strictly improves ADC fidelity: mean |adc - exact dot|
+    // over the query-corpus pairs shrinks vs the untrained seed codebooks
+    def adcErr(iters: Int): Double = {
+      val top = Similarity.pqTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+        k = 5, m = 8, ksub = 16, iters = iters)
+      val ev = emb.select(col("vec_id"), Similarity.asDoubleVec(col("embedding")).as("cv"))
+      val qv = q.select(col("qid"), Similarity.asDoubleVec(col("qv")).as("qvv"))
+      top.join(ev, "vec_id").join(qv, "qid")
+        .select(abs(col("adc") - Similarity.dot(col("qvv"), col("cv"))).as("e"))
+        .agg(avg("e")).head().getDouble(0)
+    }
+    val (e0, e2) = (adcErr(0), adcErr(2))
+    assert(e2 < e0, s"training did not reduce ADC error ($e0 -> $e2)")
+  }
+
+  test("IVFADC composition: all-probe IVF-PQ equals the plain PQ scan; " +
+    "pruned probe keeps the recall contract with re-rank") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select("qid", "vec_id")).map(r => (r(0), r(1))).toSet
+    // probing ALL cells makes the composition a pure refactoring of the
+    // flat ADC scan — the results must be identical, row for row
+    val flat = rows(Similarity.pqTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+      k = 5, m = 8, ksub = 16, iters = 0).orderBy("qid", "rank"))
+    val allProbe = rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+      k = 5, nCells = 8, nprobe = 8, m = 8, ksub = 16, iters = 0)
+      .orderBy("qid", "rank"))
+    assert(flat == allProbe)
+    // the production point: 4-of-8 cells probed, trained codebooks,
+    // exact re-rank of the ADC shortlist — deterministic, so stable
+    val brute = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qv", 5))
+    val ivfpq = pairs(Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, "qid", "qv",
+      k = 5, nCells = 8, nprobe = 4, m = 16, ksub = 32, iters = 2, rerank = 20))
+    val recall = brute.intersect(ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVFADC recall $recall too low (nprobe=4/8, m=16, ksub=32, rerank=20)")
+  }
+
   test("saltedGroupAggregate matches plain groupAggregate for SUM/MIN/MAX/COUNT") {
     val df = (1 to 500).map(i => (if (i % 10 == 0) "cold" + i else "hot", i)).toDF("k", "v")
     withPartitionings(df) { d =>
