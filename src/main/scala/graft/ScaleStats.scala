@@ -59,12 +59,22 @@ object ScaleStats {
       val b1 = base.select(col("doc_id"), col("__len"),
         ((col("__len") / 8).cast("long") + 1).as("__b"))
       val buckets = b0.unionAll(b1)
+      // counts-only upper bound (≤2× over exact from the two-bucket
+      // double-count; consistent across SFs, so fitted exponents are
+      // unaffected) — computable at SFs where even the id-only pair join
+      // is itself candidate-volume-bound
+      val ub = buckets.groupBy("__b").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(comb2x2(col("c"))), lit(0L))).head().getLong(0) / 2
       // id-only candidate join — EXACT count of the pairs the length gate
-      // admits (the two-bucket trick deduped), no shingle arrays attached
-      val pairs = buckets.select(col("__b"), col("doc_id").as("id1"), col("__len").as("l1"))
-        .join(buckets.select(col("__b"), col("doc_id").as("id2"), col("__len").as("l2")), Seq("__b"))
-        .where(col("id1") < col("id2") && abs(col("l1") - col("l2")) <= 8)
-        .select("id1", "id2").distinct().count()
+      // admits (the two-bucket trick deduped), no shingle arrays attached;
+      // skipped when the bound says the join itself would be disk-scale
+      val pairs = if (ub <= 200000000L)
+        buckets.select(col("__b"), col("doc_id").as("id1"), col("__len").as("l1"))
+          .join(buckets.select(col("__b"), col("doc_id").as("id2"), col("__len").as("l2")), Seq("__b"))
+          .where(col("id1") < col("id2") && abs(col("l1") - col("l2")) <= 8)
+          .select("id1", "id2").distinct().count()
+      else -1L
+      println(s"""{"family":"length_bucket_w8_ub","sf":"$sfDir","candidate_pairs_ub":$ub}""")
       report("length_bucket_w8", pairs, sh2)
     }
 
