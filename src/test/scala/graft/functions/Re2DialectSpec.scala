@@ -88,7 +88,7 @@ class Re2DialectSpec extends AnyFunSuite {
     assert(ok("a\\vb") == "a\\x{000B}b")
     // evaluate: RE2 \v must NOT match '\n'
     assert(!"a\nb".matches(".*" + ok("\\v") + ".*"))
-    assert("ab".matches(".*" + ok("\\v") + ".*"))
+    assert("a\u000bb".matches(".*" + ok("\\v") + ".*"))
   }
 
   test("translate: $ means end-of-TEXT in RE2 (Java: also before final newline)") {
