@@ -44,9 +44,24 @@ object ScaleStats {
         .select(size(col("sh")).as("m")).agg(avg("m")).head().getDouble(0)
       val buckets = Dedup.minhashBuckets(docs, "doc_id", "text",
         numHashes = 48, bands = 24, shingleLen = 3)
-      val pairs = buckets.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      // band-collision ROWS (pre-distinct): each pair counted once per
+      // colliding band — an upper bound on the verify input, NOT the
+      // verify input itself (Dedup.minhashCandidates dedups before the
+      // Jaccard pass; exact-clique replicas collide in all 24 bands)
+      val rowsPre = buckets.groupBy("band", "bh").agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(comb2x2(col("c"))), lit(0L))).head().getLong(0) / 2
-      report("minhash_48_24", pairs, sh3)
+      println(s"""{"family":"minhash_48_24_band_rows","sf":"$sfDir","band_collision_rows_predistinct":$rowsPre,"note":"upper bound; pairs colliding in k bands counted k times"}""")
+      // DISTINCT candidate pairs — the actual verify input — via the
+      // id-only bucket join, guarded by the pre-distinct bound
+      if (rowsPre <= 2000000000L) {
+        val b = buckets.select(col("band"), col("bh"), col("doc_id"))
+        val pairs = b.toDF("band", "bh", "id1")
+          .join(b.toDF("band", "bh", "id2"), Seq("band", "bh"))
+          .where(col("id1") < col("id2"))
+          .select("id1", "id2").distinct().count()
+        report("minhash_48_24", pairs, sh3)
+      } else
+        println(s"""{"family":"minhash_48_24","sf":"$sfDir","skipped":true,"reason":"band_collision_rows_predistinct > 2e9"}""")
     }
 
     // ----- q_dedup_clusters: length-bucket blocking (W=8, 2-shingles) -----
@@ -67,15 +82,25 @@ object ScaleStats {
         .agg(coalesce(sum(comb2x2(col("c"))), lit(0L))).head().getLong(0) / 2
       // id-only candidate join — EXACT count of the pairs the length gate
       // admits (the two-bucket trick deduped), no shingle arrays attached;
-      // skipped when the bound says the join itself would be disk-scale
-      val pairs = if (ub <= 200000000L)
-        buckets.select(col("__b"), col("doc_id").as("id1"), col("__len").as("l1"))
-          .join(buckets.select(col("__b"), col("doc_id").as("id2"), col("__len").as("l2")), Seq("__b"))
-          .where(col("id1") < col("id2") && abs(col("l1") - col("l2")) <= 8)
-          .select("id1", "id2").distinct().count()
-      else -1L
+      // skipped (explicitly, never as a fake -1 measurement) when the
+      // bound says the join itself would be disk-scale
       println(s"""{"family":"length_bucket_w8_ub","sf":"$sfDir","candidate_pairs_ub":$ub}""")
-      report("length_bucket_w8", pairs, sh2)
+      if (ub <= 200000000L) {
+        val pairs =
+          buckets.select(col("__b"), col("doc_id").as("id1"), col("__len").as("l1"))
+            .join(buckets.select(col("__b"), col("doc_id").as("id2"), col("__len").as("l2")), Seq("__b"))
+            .where(col("id1") < col("id2") && abs(col("l1") - col("l2")) <= 8)
+            .select("id1", "id2").distinct().count()
+        report("length_bucket_w8", pairs, sh2)
+      } else
+        println(s"""{"family":"length_bucket_w8","sf":"$sfDir","skipped":true,"reason":"candidate_pairs_ub > 2e8; see length_bucket_w8_ub line"}""")
+      // the engine's ACTUAL scale path (prefixFilter=true above the blind
+      // gate): rare-first prefix postings + length/size/positional
+      // filters — distinct verified-input pairs, computable even where
+      // the blind join is not
+      val pfPairs = Dedup.lengthBucketJaccardCandidates(docs, "doc_id", "text",
+        threshold = 0.5, bucketWidth = 8, shingleLen = 2).count()
+      report("length_bucket_w8_prefix", pfPairs, sh2)
     }
 
     // ----- q_setsim_join: prefix-filtered token-set join (tau=0.95) -----
@@ -86,13 +111,17 @@ object ScaleStats {
       val avgM = toks.select(size(col("__t")).as("m")).agg(avg("m")).head().getDouble(0)
       val tok = toks.select(col("doc_id"), explode(col("__t")).as("__tok"))
       val dfreq = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
-      // prefix length per doc at tau: p = m - ceil(tau*m) + 1 (minOverlap)
+      // prefix length per doc at tau — Dedup.minOverlap (ceil with 1e-9
+      // slack), so the measured posting volume matches the engine's
+      // actual prefix length exactly (bare ceil(0.95·m) is one token
+      // short when τ·m is an exact integer but fl(0.95)·m rounds up)
       val lists = tok.join(dfreq, Seq("__tok"))
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__st"),
           count(lit(1)).as("__m"))
       val pre = lists
-        .withColumn("__p", (col("__m") - ceil(lit(0.95) * col("__m")) + 1).cast("int"))
+        .withColumn("__p",
+          (col("__m") - Dedup.minOverlap(lit(0.95), col("__m")) + 1).cast("int"))
         .select(col("doc_id"),
           explode(expr("transform(slice(__st, 1, __p), x -> x.__tok)")).as("__tok"))
       // upper bound the prefix-token postings blowup exactly as the join

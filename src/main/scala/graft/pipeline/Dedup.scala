@@ -39,17 +39,29 @@ object Dedup {
     * (id, cluster) where cluster = the smallest id in the component
     * (the canonical doc), one row per id that appears in any pair.
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * takes the min of its own label and its neighbors' labels — one
-    * shuffle-join + one aggregation per round over (id, label) longs —
-    * until a round changes nothing. Rounds needed = component diameter;
-    * near-dup clusters are small and dense (a handful of rounds), and the
-    * check is a distributed count, not a collect. This is the standard
-    * large-scale formulation (label propagation / repeated Small-Star);
-    * no driver-side graph ever materializes.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR rounds (the
+    * connected-components-at-scale formulation of Kiveris, Lattanzi,
+    * Mirrokni, Rastogi & Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond", SoCC'14). Each round REWRITES the edge set
+    * instead of re-joining a static one: large-star points every node's
+    * larger neighbors at the neighborhood minimum, small-star folds the
+    * smaller neighbors onto it. The decisive scale property is
+    * CONTRACTION — a duplicate clique's Θ(c²) verified pairs collapse to
+    * a Θ(c) star after the FIRST round, so only round one ever pays the
+    * full input volume (min-label propagation over a static edge list,
+    * which this replaces, shuffled all Θ(c²) clique edges EVERY round —
+    * the formulation that filled a disk at 100× scale). Convergence is
+    * O(log² n) rounds regardless of component diameter; each round is
+    * two groupBy+join passes over the current (shrinking) edge set, with
+    * map-side combine on the min aggregations so skewed star roots never
+    * funnel through one reducer. Rounds stage through
+    * [[Checkpoints.stageCheckpoint]] (flat lineage; the previous round's
+    * blocks are released deterministically). No driver-side graph ever
+    * materializes.
     *
-    * `maxIters` caps runaway chains (a path graph of n nodes needs n
-    * rounds); hitting the cap throws rather than returning a silently
+    * `maxIters` caps divergence defensively (a path of 2^k nodes
+    * converges in ~k rounds, so the default 20 covers ~10⁶-node chains);
+    * hitting the cap throws rather than returning a silently
     * half-merged clustering.
     *
     * SMALL-GRAPH FAST PATH: pair sets are tiny relative to the corpus
@@ -84,10 +96,15 @@ object Dedup {
       .select(col(id1).as("a"), col(id2).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // force the cache fill with a single-scan action BEFORE the plan fans
-    // out: lazily, the union's two branches land in one job and BOTH
-    // compute the expensive pair lineage (per-partition cache population
-    // is first-writer-wins, not shared work) — measured 8.4 s -> 4 s
-    val nPairs = p.count()
+    // out: lazily, the canonical-orientation distinct and the self-pair
+    // branch would land in one job and BOTH compute the expensive pair
+    // lineage (per-partition cache population is first-writer-wins, not
+    // shared work) — measured 8.4 s -> 4 s. Self-pairs are counted in the
+    // same action: they carry no connectivity but their nodes must still
+    // appear in the output (cluster = themselves), matching union-find.
+    val cnts = p.agg(count(lit(1)), count(when(col("a") === col("b"), 1))).head()
+    val nPairs = cnts.getLong(0)
+    val nSelf = cnts.getLong(1)
     val longIds = p.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
     if (nPairs <= smallGraphLimit && longIds) {
@@ -128,41 +145,92 @@ object Dedup {
         org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.LongType, nullable = false)))
       return spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
     }
-    // the symmetric edge list is also cached: it feeds a join every round,
-    // and its distinct is itself a shuffle worth paying once
-    val edges = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
+    val spark = pairs.sparkSession
+    import Checkpoints.DatasetCheckpointOps
+    // self-only nodes (self-pair endpoints with no real edge) re-enter at
+    // the end; the all-self / empty graphs short-circuit the loop entirely
+    if (nPairs == nSelf) {
+      val res = p.where(col("a") === col("b"))
+        .select(col("a").as("id"), col("a").as("cluster")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      p.unpersist()
+      return res
+    }
+    val baseline = Checkpoints.persistedIds(spark)
+    var knownIds = Set.empty[Int]
+    // canonical orientation (bigger id → smaller id), self-loops dropped,
+    // deduped once: both star passes preserve this invariant, so round
+    // equality below is plain set equality of canonical frames
+    var cur = p.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-    var prevCache: DataFrame = null
+      .stageCheckpoint(false)
+    var curCnt = cur.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // neighbor-min pass: each node adopts min(own, neighbors') label.
-      // The previous label rides along as __old so the convergence check
-      // is a filter over THIS cached frame — not a separate join job.
-      val next = edges.join(labels.withColumnRenamed("id", "b"), "b")
-        .groupBy(col("a").as("id"))
-        .agg(min(col("lbl")).as("nlbl"))
-        .join(labels, "id")
-        .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"),
-          col("lbl").as("__old"))
-        .cache()
-      val changed = next.where(col("lbl") =!= col("__old")).limit(1).count()
-      if (prevCache != null) prevCache.unpersist()
-      prevCache = next
-      labels = next.drop("__old")
-      converged = changed == 0
+      val next = smallStar(largeStar(cur)).stageCheckpoint(false)
+      val nextCnt = next.count() // materializes next (consumes cur's blocks)
+      // set equality ⇔ same count ∧ next ⊆ cur (both canonical+distinct);
+      // the except runs while cur is still persisted
+      converged = nextCnt == curCnt &&
+        next.except(cur).limit(1).count() == 0
+      val fresh = Checkpoints.freshIds(spark, baseline, knownIds)
+      Checkpoints.releaseIds(spark, knownIds)
+      knownIds = fresh
+      cur = next
+      curCnt = nextCnt
       iter += 1
     }
-    edges.unpersist()
     require(converged,
       s"duplicateClusters: not converged after $maxIters rounds — raise maxIters")
-    // labels is cached and fully materialized by the convergence count, so
-    // the pair cache can be released before returning
+    // fixed point = forest of stars: every edge is (member, root) with
+    // root = component min; roots appear only on the b side
+    val members = cur.select(col("a").as("id"), col("b").as("cluster"))
+    val roots = cur.select(col("b").as("id"), col("b").as("cluster")).distinct()
+    val selfOnly =
+      if (nSelf == 0) None
+      else Some(p.where(col("a") === col("b"))
+        .select(col("a").as("id"), col("a").as("cluster")).distinct()
+        .join(members.select("id").unionAll(roots.select("id")),
+          Seq("id"), "left_anti"))
+    val res = selfOnly.foldLeft(members.unionAll(roots))(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
     p.unpersist()
-    labels.select(col("id"), col("lbl").as("cluster"))
+    Checkpoints.releaseIds(spark, knownIds)
+    res
+  }
+
+  /** One LARGE-STAR round: every node points its LARGER neighbors at the
+    * minimum of its neighborhood (including itself). Input and output are
+    * canonically-oriented (a > b), distinct, self-loop-free edge frames.
+    * The min aggregation is a groupBy (map-side partial combine — a
+    * million-member star root reduces to one row per map task, never a
+    * single-reducer sort), and the join back to the symmetric edge list
+    * reuses the same hash exchange (Catalyst ReuseExchange). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val mins = sym.groupBy("a").agg(min(col("b")).as("__mn"))
+      .select(col("a"), least(col("a"), col("__mn")).as("__m"))
+    sym.join(mins, "a")
+      .where(col("b") > col("a"))
+      .select(col("b").as("a"), col("__m").as("b"))
+      .distinct()
+  }
+
+  /** One SMALL-STAR round: every node folds its SMALLER neighbors (and
+    * itself) onto the minimum of those neighbors. Same canonical-frame
+    * contract as [[largeStar]]. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("a").agg(min(col("b")).as("__m"))
+    e.join(mins, "a")
+      .select(col("b").as("a"), col("__m").as("b"))
+      .unionAll(mins.select(col("a"), col("__m").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct()
   }
 
   /** Deduplicated corpus from near-dup pairs: drop every doc that sits in
@@ -207,7 +275,7 @@ object Dedup {
     * LOOSEN candidate generation (extra candidates are re-verified),
     * never lose recall. Shared by the prefix length and the size
     * filters of [[prefixFilterJaccardPairs]] / [[containmentPairs]]. */
-  private def minOverlap(tau: Column, m: Column): Column =
+  private[graft] def minOverlap(tau: Column, m: Column): Column =
     ceil(tau * m - lit(1e-9))
 
   private def barrier(df: DataFrame, key: String): DataFrame =
@@ -561,27 +629,121 @@ object Dedup {
     * lengths differ by < W shares at least one bucket — near-dups (which
     * differ by a few tokens) are guaranteed candidates without any
     * quadratic cross-corpus join. Candidate pairs are deduped BEFORE the
-    * Jaccard verify so each pair is scored once. */
+    * Jaccard verify so each pair is scored once.
+    *
+    * SCALE PATH (`prefixFilter = true`, the default): length blocking
+    * alone is content-blind — every same-length pair is a candidate, so
+    * bucket occupancy grows linearly with corpus size and the candidate
+    * closure quadratically (the measured 100× run admitted 7.9 B pairs,
+    * nearly all with ZERO shingle overlap). The default path therefore
+    * generates candidates by PPJoin-style prefix filtering over the
+    * shingle-hash sets in global rare-first (df, hash) order — a jac ≥ τ
+    * pair must share at least one of each side's first
+    * m − ⌈τ·m⌉ + 1 shingles (prefix filtering principle; recall-exact) —
+    * and applies the length-bucket predicate, the τ size filter and the
+    * PPJoin positional filter as cheap row conditions on the posting
+    * join. The verified OUTPUT is provably identical to the plain
+    * bucket-join path (every filter is an upper-bound prune for jac ≥ τ;
+    * a spec asserts frame equality), but pairs sharing no rare shingle —
+    * the quadratic bulk — are never materialized. `prefixFilter = false`
+    * keeps the content-blind candidate join (useful as the oracle-shaped
+    * reference path and for corpora of tiny documents where the shingle
+    * df pass would dominate).
+    *
+    * COST-BASED GATE: the prefix path pays three fixed extra exchanges
+    * (shingle df, rare-first sort, posting self-join) that dominate on
+    * small corpora where the blind candidate join is already cheap — so
+    * when `prefixFilter` is on, the planner first sums the blind path's
+    * candidate bound from bucket OCCUPANCY COUNTS (a lengths-only
+    * aggregation, no text movement, same trick as the
+    * [[duplicateClusters]] small-graph gate) and keeps the blind join
+    * whenever that bound is at most `blindCandidateLimit`. Both paths
+    * produce the identical verified pair set, so the choice is pure
+    * cost, like an AQE plan switch. */
   def lengthBucketJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                                threshold: Double, bucketWidth: Int = 8,
-                               shingleLen: Int = 2): DataFrame = {
+                               shingleLen: Int = 2,
+                               prefixFilter: Boolean = true,
+                               blindCandidateLimit: Long = 200000000L): DataFrame = {
     val base = df.select(col(idCol), length(col(textCol)).as("__len"))
-    val b0 = base.select(col(idCol), col("__len"), (col("__len") / bucketWidth).cast("long").as("__b"))
-    val b1 = base.select(col(idCol), col("__len"), ((col("__len") / bucketWidth).cast("long") + 1).as("__b"))
-    val buckets = b0.unionAll(b1)
-    val pairs = buckets.select(col("__b"), col(idCol).as("id1"), col("__len").as("__l1"))
-      .join(buckets.select(col("__b"), col(idCol).as("id2"), col("__len").as("__l2")), Seq("__b"))
-      // exact length gate: the two-bucket trick admits pairs up to 2W apart;
-      // re-checking |Δlen| ≤ W here halves the pairs the Jaccard pass scores
-      .where(col("id1") < col("id2") && abs(col("__l1") - col("__l2")) <= bucketWidth)
-      .select("id1", "id2").distinct()
     val docs = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
+    val useBlind = !prefixFilter || {
+      // double-bucket occupancy bound: Σ_b C(c_b, 2) over both bucket
+      // replicas ≥ the deduped blind candidate count (≤ 2× over-count)
+      val ub = base
+        .select(explode(array((col("__len") / bucketWidth).cast("long"),
+          (col("__len") / bucketWidth).cast("long") + 1)).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
+        .head().getLong(0) / 2
+      ub <= blindCandidateLimit
+    }
+    val pairs =
+      if (useBlind) {
+        val b0 = base.select(col(idCol), col("__len"), (col("__len") / bucketWidth).cast("long").as("__b"))
+        val b1 = base.select(col(idCol), col("__len"), ((col("__len") / bucketWidth).cast("long") + 1).as("__b"))
+        val buckets = b0.unionAll(b1)
+        buckets.select(col("__b"), col(idCol).as("id1"), col("__len").as("__l1"))
+          .join(buckets.select(col("__b"), col(idCol).as("id2"), col("__len").as("__l2")), Seq("__b"))
+          // exact length gate: the two-bucket trick admits pairs up to 2W apart;
+          // re-checking |Δlen| ≤ W here halves the pairs the Jaccard pass scores
+          .where(col("id1") < col("id2") && abs(col("__l1") - col("__l2")) <= bucketWidth)
+          .select("id1", "id2").distinct()
+      } else
+        lengthBucketJaccardCandidates(df, idCol, textCol, threshold,
+          bucketWidth, shingleLen)
     pairs
       .join(docs.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(docs.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
       .where(col("jac") >= threshold)
       .select("id1", "id2", "jac")
+  }
+
+  /** The scale-path candidate generator of [[lengthBucketJaccardPairs]]
+    * (rare-first prefix postings + length-bucket / size / positional
+    * row filters), exposed so candidate-volume audits (graft.ScaleStats)
+    * measure EXACTLY the pair set the engine's verify stage consumes.
+    * Returns distinct (id1, id2), id1 < id2. */
+  private[graft] def lengthBucketJaccardCandidates(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      bucketWidth: Int = 8, shingleLen: Int = 2): DataFrame = {
+    val base = df.select(col(idCol), length(col(textCol)).as("__len"))
+    val docs = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
+    val tau = lit(threshold)
+    // global rare-first order: (document frequency, hash) — rarest
+    // shingles first, ties broken deterministically by hash value
+    val tok = docs.select(col(idCol), explode(col("sh")).as("__h"))
+    val dfreq = tok.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val lists = tok.join(dfreq, Seq("__h"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__st"),
+        count(lit(1)).as("__m"))
+    val pre = lists
+      .withColumn("__p", (col("__m") - minOverlap(tau, col("__m")) + 1).cast("int"))
+      .select(col(idCol), col("__m"),
+        posexplode(expr("transform(slice(__st, 1, __p), x -> x.__h)"))
+          .as(Seq("__pos0", "__h")))
+      .select(col(idCol), col("__m"), (col("__pos0") + 1).as("__pos"), col("__h"))
+      .join(base, idCol)
+    val l = pre.select(col("__h"), col(idCol).as("id1"), col("__m").as("m1"),
+      col("__pos").as("pos1"), col("__len").as("__l1"))
+    val r = pre.select(col("__h"), col(idCol).as("id2"), col("__m").as("m2"),
+      col("__pos").as("pos2"), col("__len").as("__l2"))
+    l.join(r, Seq("__h"))
+      .where(col("id1") < col("id2")
+        // the length-bucket SEMANTICS, as a row predicate: the pair
+        // must share one of the two buckets AND pass the |Δlen| gate
+        && abs(col("__l1") - col("__l2")) <= bucketWidth
+        && abs((col("__l1") / bucketWidth).cast("long")
+          - (col("__l2") / bucketWidth).cast("long")) <= 1
+        // τ size filter: jac ≥ τ forces ⌈τ·m1⌉ ≤ m2 (both ways)
+        && col("m2") >= minOverlap(tau, col("m1"))
+        && col("m1") >= minOverlap(tau, col("m2"))
+        // PPJoin positional filter (1e-9 slack: rounding can only KEEP)
+        && (lit(1.0) + least(col("m1") - col("pos1"), col("m2") - col("pos2")).cast("double"))
+          >= tau * (col("m1") + col("m2")).cast("double") / (lit(1.0) + tau) - lit(1e-9))
+      .select("id1", "id2").distinct()
   }
 
   // ===== Blocked n-gram Jaccard =====

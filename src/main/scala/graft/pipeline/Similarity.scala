@@ -148,12 +148,15 @@ object Similarity {
     val cell = assignCells(
       corpus.select(col(corpusId), asDoubleVec(col(corpusVec)).as("__cv")), cents, "__cv", "__cell")
     // each query expands to its nprobe closest cells
+    // probe order sorts (-cos, -i): on tied centroid scores the HIGHER
+    // index wins, matching assignCells' greatest() tie-break — a query
+    // always probes the cell its own exact duplicate was assigned to
     val qScored = queries.select(col(queryId), asDoubleVec(col(queryVec)).as("__qv"))
       .withColumn("__cells", sort_array(array(cents.zipWithIndex.map { case (c, i) =>
-        struct((-cosine(col("__qv"), array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+        struct((-cosine(col("__qv"), array(c.map(lit): _*))).as("d"), lit(-i).as("ni"))
       }: _*)))
       .withColumn("__cell", explode(slice(col("__cells"), 1, nprobe)))
-      .select(col(queryId), col("__qv"), col("__cell.i").as("__cell"))
+      .select(col(queryId), col("__qv"), (-col("__cell.ni")).as("__cell"))
     val cand = qScored.join(cell, Seq("__cell"))
       .where(col(corpusId) =!= col(queryId))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
@@ -908,11 +911,13 @@ object Similarity {
     // each query expands to its nprobe nearest cells, carrying its LUT
     val lut = pqLut(queries, queryId, queryVec, books)
       .join(queries.select(col(queryId), asDoubleVec(col(queryVec)).as("__qvv")), queryId)
+      // (-cos, -i) sort: tied centroids resolve to the HIGHER index, the
+      // same tie assignCells' greatest() makes on the corpus side
       .withColumn("__cells", sort_array(array(cents.zipWithIndex.map { case (c, i) =>
-        struct((-cosine(col("__qvv"), array(c.map(lit): _*))).as("d"), lit(i).as("i"))
+        struct((-cosine(col("__qvv"), array(c.map(lit): _*))).as("d"), lit(-i).as("ni"))
       }: _*)))
       .select(col(queryId), col("__lut"),
-        explode(transform(slice(col("__cells"), 1, nprobe), s => s.getField("i")))
+        explode(transform(slice(col("__cells"), 1, nprobe), s => -s.getField("ni")))
           .as("__cell"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("__adc").desc, col(corpusId))
     val scanned = codes.join(broadcast(lut), Seq("__cell"))

@@ -281,6 +281,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(e, smallGraphLimit = -1).count() == 0)
   }
 
+  test("duplicateClusters distributed path: cliques, chains, self-pairs match union-find") {
+    // clique of 8 (contracts to a star after one large-star round) + chain
+    // of 50 (needs ~6 alternating rounds; diameter-bound min-label
+    // propagation would have needed 49, past the default cap) + a
+    // self-pair-only node + a self-pair on an already-connected node
+    val clique = for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (100L + j, 100L + i)
+    val chain = (1L until 50L).map(i => (i, i + 1))
+    val selfs = Seq((500L, 500L), (1L, 1L))
+    val pairs = (clique ++ chain ++ selfs).toDF("id1", "id2")
+    val expect = rows(Dedup.duplicateClusters(pairs).orderBy("id")) // union-find path
+    val got = rows(Dedup.duplicateClusters(pairs, smallGraphLimit = 0).orderBy("id"))
+    assert(got == expect)
+    assert(expect.contains(Seq(50L, 1L)) && expect.contains(Seq(107L, 100L))
+      && expect.contains(Seq(500L, 500L)))
+  }
+
+  test("lengthBucketJaccardPairs: prefix-filtered and content-blind paths agree") {
+    // overlapping vocabulary + length variation: candidates exist across
+    // and within length buckets, some above and some below the threshold
+    val docs = (0L until 60L).map { i =>
+      val base = s"alpha beta gamma delta w${i % 9} w${(i * 2) % 9} epsilon zeta"
+      val text = if (i % 3 == 0) base + s" extra${i % 5}" else base
+      (i, text)
+    }.toDF("doc_id", "text")
+    val blind = rows(Dedup.lengthBucketJaccardPairs(docs, "doc_id", "text", 0.5,
+      bucketWidth = 8, shingleLen = 2, prefixFilter = false).orderBy("id1", "id2"))
+    val filtered = rows(Dedup.lengthBucketJaccardPairs(docs, "doc_id", "text", 0.5,
+      bucketWidth = 8, shingleLen = 2, prefixFilter = true,
+      blindCandidateLimit = -1L).orderBy("id1", "id2")) // force the prefix path
+    assert(blind.nonEmpty && blind == filtered)
+  }
+
   test("dropNearDuplicates keeps exactly one canonical doc per cluster") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
