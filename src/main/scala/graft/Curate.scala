@@ -2,12 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Dsir, Packing, Sampling, Shards, TextAnalysis => T}
+import graft.pipeline.{Contamination, Dedup, Dsir, Packing, Sampling, Shards, TextAnalysis => T}
 
 /** End-to-end curation pipeline record: the chain a pretraining-data run
   * actually executes — ingest → language/quality filter → exact dedup →
-  * MinHash near-dedup → DSIR target-domain selection → recipe mix +
-  * epochs → greedy sequence packing →
+  * MinHash near-dedup → benchmark decontamination → DSIR target-domain
+  * selection → recipe mix + epochs → greedy sequence packing →
   * shard manifest — with per-stage wall time and row counts, so the
   * engine has ONE reproducible artifact showing the stages composing,
   * not just each operator green in isolation.
@@ -78,18 +78,33 @@ object Curate {
       Dedup.dropNearDuplicates(exact, pairs, "doc_id")
     }
 
-    // 5. DSIR selection: hashed-bigram importance vs the src0-2 target
+    // 5. Benchmark decontamination: a deterministic 2% hash-sample of the
+    // ingested corpus stands in for the eval benchmark; any surviving
+    // training doc whose 3-gram shingles are ≥80% covered by the
+    // benchmark's shingle set (the eval docs themselves at rate 1.0, and
+    // any near-verbatim leak the dedup stages missed) is dropped. Two
+    // (8-byte hash, id) shuffles — the eval side is the small one by
+    // construction, exactly the 100 TB shape.
+    val decon = stage("decontaminate") {
+      val evalSet = Sampling.bernoulli(ingested, Seq("doc_id"), 0.02)
+      val rates = Contamination.ngramContamination(
+        evalSet, near, "doc_id", "text", 3)
+      near.join(rates.where(col("rate") >= 0.8).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    }
+
+    // 6. DSIR selection: hashed-bigram importance vs the src0-2 target
     // domain; keep the most target-like three quarters.
     val selected = stage("dsir_select") {
-      val scored = Dsir.importanceScores(near, near.where(
+      val scored = Dsir.importanceScores(decon, decon.where(
         col("source").isin("src0", "src1", "src2")), "doc_id", "text", 512)
-      near.join(
+      decon.join(
         Dsir.selectTopFraction(scored, "doc_id", num = 3, den = 4)
           .where(col("keep")).select("doc_id"),
         Seq("doc_id"), "left_semi")
     }
 
-    // 6. Recipe mix + epochs: per-language corpora with en up-weighted
+    // 7. Recipe mix + epochs: per-language corpora with en up-weighted
     // 4:1, then 1.5 deterministic epochs with per-epoch shuffle keys.
     val mixed = stage("mix_epochs") {
       val langs = Seq("en", "de", "es", "fr", "zh")
@@ -104,7 +119,7 @@ object Curate {
       Sampling.withEpochs(mix, Seq("doc_id"), epochs = 1.5)
     }
 
-    // 7. Greedy token packing into fixed budgets (512-token sequences,
+    // 8. Greedy token packing into fixed budgets (512-token sequences,
     // 64 parallel pack buckets). Row key folds the epoch so repeated
     // docs pack as distinct rows.
     val packed = stage("pack") {
@@ -114,7 +129,7 @@ object Curate {
         budget = 512, buckets = 64).toDF()
     }
 
-    // 8. Shard manifest: 16 shards, per-shard row count + order-free
+    // 9. Shard manifest: 16 shards, per-shard row count + order-free
     // content fingerprint — the handoff artifact a trainer validates.
     stage("manifest") {
       Shards.shardManifest(packed, Seq("id"),

@@ -216,6 +216,67 @@ object SparkEntry {
        |FROM r WHERE rank <= $kq ORDER BY qid, rank""".stripMargin
   }
 
+  /** q_ann_pq_trained oracle: the trained-codebook PQ path replayed in
+    * SQL INCLUDING the training itself — inputs floor-quantized to
+    * integers, seed sub-vectors from the scatter order, then each Lloyd
+    * round unrolled (integer L2 discriminant assignment with
+    * ties-to-lower-index, integer floor-divided dimension means with
+    * COALESCE keeping empty codes — the q_kmeans pattern), then the
+    * standard encode → integer LUT (exact DECIMAL) → ADC → rank chain
+    * against the FINAL trained codebooks. */
+  private def annPqTrainedOracle(m: Int, ksub: Int, iters: Int, kq: Int,
+                                 scale: Int): String = {
+    val scatter = "(id % 2147483648) * 2654435761 % 2147483648"
+    val dsub = 64 / m
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH c AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pts AS MATERIALIZED (SELECT id, CAST(i // $dsub AS INTEGER) AS j,
+         |  CAST(i % $dsub AS INTEGER) AS pos,
+         |  CAST(floor(CAST(v[i + 1] AS DOUBLE) * $scale) AS BIGINT) AS q
+         |  FROM c, (SELECT unnest(generate_series(0, 63)) AS i) gs),
+         |sd AS (SELECT id, s FROM (
+         |  SELECT id, row_number() OVER (ORDER BY $scatter, id) - 1 AS s FROM c) WHERE s < $ksub),
+         |cb0 AS MATERIALIZED (SELECT p.j, sd.s, p.pos, p.q AS cv
+         |  FROM pts p JOIN sd ON p.id = sd.id)""".stripMargin)
+    (1 to iters).foreach { r =>
+      val p = s"cb${r - 1}"
+      sb.append(",\n")
+      sb.append(
+        s"""a$r AS (SELECT id, j, s FROM (
+           |  SELECT p.id, p.j, cb.s, row_number() OVER (PARTITION BY p.id, p.j
+           |    ORDER BY SUM(cb.cv * cb.cv - 2 * p.q * cb.cv), cb.s) AS rn
+           |  FROM pts p JOIN $p cb ON p.j = cb.j AND p.pos = cb.pos
+           |  GROUP BY p.id, p.j, cb.s) WHERE rn = 1),
+           |s$r AS (SELECT a.j, a.s, p.pos, SUM(p.q) AS sm, count(*) AS n
+           |  FROM pts p JOIN a$r a ON p.id = a.id AND p.j = a.j GROUP BY 1, 2, 3),
+           |cb$r AS MATERIALIZED (SELECT cbp.j, cbp.s, cbp.pos,
+           |  CAST(COALESCE((s$r.sm - (((s$r.sm % s$r.n) + s$r.n) % s$r.n)) // s$r.n, cbp.cv) AS BIGINT) AS cv
+           |  FROM $p cbp LEFT JOIN s$r
+           |    ON cbp.j = s$r.j AND cbp.s = s$r.s AND cbp.pos = s$r.pos)""".stripMargin)
+    }
+    val fin = s"cb$iters"
+    sb.append(",\n")
+    sb.append(
+      s"""enc AS MATERIALIZED (SELECT id, j, s AS code FROM (
+         |  SELECT p.id, p.j, cb.s, row_number() OVER (PARTITION BY p.id, p.j
+         |    ORDER BY SUM(cb.cv * cb.cv - 2 * p.q * cb.cv), cb.s) AS rn
+         |  FROM pts p JOIN $fin cb ON p.j = cb.j AND p.pos = cb.pos
+         |  GROUP BY p.id, p.j, cb.s) WHERE rn = 1),
+         |lut AS MATERIALIZED (SELECT p.id AS qid, cb.j, cb.s,
+         |  CAST(SUM(p.q * cb.cv) AS DECIMAL(20,9)) AS ip
+         |  FROM pts p JOIN $fin cb ON p.j = cb.j AND p.pos = cb.pos
+         |  WHERE p.id < 10 GROUP BY 1, 2, 3),
+         |ad AS (SELECT l.qid, e.id AS vec_id, sum(l.ip) AS adc
+         |  FROM enc e JOIN lut l ON l.j = e.j AND l.s = e.code
+         |  WHERE e.id <> l.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, vec_id, adc,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM ad)
+         |SELECT qid, vec_id, CAST(adc AS DOUBLE) AS adc, rank
+         |FROM r WHERE rank <= $kq ORDER BY qid, rank""".stripMargin)
+    sb.toString
+  }
+
   /** q_ann_graph oracle: the COMPLETE NN-descent build + beam search
     * replayed round by round — ring init from the same multiplicative
     * scatter, reverse-capped adjacency, shared-neighbor candidate pairs,
@@ -1261,6 +1322,22 @@ object SparkEntry {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     Similarity.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
       k = 5, m = AnnPqM, ksub = AnnPqKsub, iters = 0)
+      .orderBy("qid", "rank")
+  }
+
+  private def qAnnPqTrained(s: SparkSession, d: String): DataFrame = {
+    // TRAINED product quantization in floor-quantized integer space: two
+    // Lloyd rounds whose assignment (integer L2 discriminant, ties to the
+    // lower code) and update (integer floor-divided dimension means) are
+    // exact arithmetic, so the oracle replays the TRAINING itself by
+    // unrolling the rounds (the q_kmeans pattern) before the encode →
+    // LUT → ADC → rank chain — closing the r13 gap where trained
+    // codebooks were spec-gated only.
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.pqTopKQuantized(emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 5, m = AnnPqM, ksub = AnnPqKsub, iters = 2)
       .orderBy("qid", "rank")
   }
 
@@ -5217,6 +5294,7 @@ object SparkEntry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_graph" -> (qAnnGraph _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_pq_trained" -> (qAnnPqTrained _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -5922,6 +6000,7 @@ object SparkEntry {
     // brute-force top-k, so the identical oracle binding applies.
     "q_ann_ivf" -> annExactTopKOracle,
     "q_ann_pq" -> annPqOracle(AnnPqM, AnnPqKsub, 5),
+    "q_ann_pq_trained" -> annPqTrainedOracle(AnnPqM, AnnPqKsub, 2, 5, 1000),
     "q_dedup_embedding" ->
       s"""$lshCandidateCtes
          |SELECT id1, id2, round(cos, 6) AS cosine FROM cand WHERE cos >= 0.25

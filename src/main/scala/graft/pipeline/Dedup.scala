@@ -692,9 +692,29 @@ object Dedup {
       } else
         lengthBucketJaccardCandidates(df, idCol, textCol, threshold,
           bucketWidth, shingleLen)
+    // verify-join shape: the candidate list is the BIG side (clique-
+    // quadratic at replica scale) and the per-doc hash-set table the
+    // small one — shuffling candidates twice with 400-byte incompressible
+    // hash arrays attached is the I/O that kills a 100× run, so when a
+    // lengths-only estimate says the doc table fits a broadcast budget,
+    // both fetch joins broadcast it and the candidates stream map-side
+    // from the distinct straight through verify with ZERO further
+    // exchanges. Past the budget (the true 100 TB regime) the joins fall
+    // back to sort-merge, where the answer is partition-batched verify,
+    // not a broadcast.
+    val bcDocs: DataFrame => DataFrame =
+      if (useBlind) identity
+      else {
+        val st = base.agg(coalesce(sum(col("__len")), lit(0L)),
+          count(lit(1))).head()
+        // ~1.4 bytes of sorted shingle-hash payload per text character
+        // (tokens ≈ chars/6, 8-byte hash per shingle) + row overhead
+        val est = st.getLong(0) * 14 / 10 + st.getLong(1) * 32
+        if (est <= (1L << 30)) d => broadcast(d) else identity
+      }
     pairs
-      .join(docs.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
-      .join(docs.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .join(bcDocs(docs.select(col(idCol).as("id1"), col("sh").as("sh1"))), "id1")
+      .join(bcDocs(docs.select(col(idCol).as("id2"), col("sh").as("sh2"))), "id2")
       .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
       .where(col("jac") >= threshold)
       .select("id1", "id2", "jac")

@@ -887,6 +887,85 @@ object Similarity {
     }
   }
 
+  /** TRAINED PQ codebooks in floor-quantized integer space — the
+    * replay-exact training face: inputs quantize to q_d = ⌊x_d·scale⌋
+    * (exact integers carried in doubles), seeds come from the same
+    * multiplicative-scatter order as [[pqCodebooks]], and each Lloyd
+    * round assigns by the integer L2 discriminant dot(c,c) − 2·dot(x,c)
+    * (exact — every product ≪ 2^53) and updates sub-centroids by
+    * INTEGER FLOOR-DIVIDED dimension sums (the [[kmeansQuantized]]
+    * convention), so the fixed point is bit-identical under any
+    * partitioning, engine, or retry, and a SQL oracle replays the full
+    * training by unrolling the rounds. Float-space training
+    * ([[pqCodebooks]] iters>0) remains the throughput face; this is the
+    * face a correctness gate can hash. Empty codes keep their previous
+    * entry. Returns integer-valued double codebooks [m][ksub][dsub]. */
+  def pqCodebooksQuantized(df: DataFrame, idCol: String, vecCol: String,
+                           m: Int, ksub: Int, iters: Int,
+                           scale: Int = 1000): Array[Array[Array[Double]]] = {
+    val vecs = df.select(col(idCol).as("id"),
+        transform(asDoubleVec(col(vecCol)),
+          x => floor(x * lit(scale.toDouble)).cast("double")).as("__v"))
+      .where(col("id").isNotNull && col("__v").isNotNull)
+    val seeds = vecs.orderBy(ringKey(col("id")), col("id")).limit(ksub)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ksub,
+      s"pqCodebooksQuantized: need >= $ksub vectors, got ${seeds.length}")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pqCodebooksQuantized: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = Array.tabulate(m, ksub)((j, s) => seeds(s).slice(j * dsub, (j + 1) * dsub))
+    (1 to iters).foreach { _ =>
+      // all m subspaces assign + sum in ONE job (explode over per-j
+      // structs), not m sequential jobs: the collect is m·ksub·dsub
+      // bounded index metadata either way
+      val perJ = (0 until m).map { j =>
+        val sub = slice(col("__v"), j * dsub + 1, dsub)
+        struct(lit(j).as("j"), pqAssignCode(sub, books(j)).as("c"),
+          sub.as("sv"))
+      }
+      val sums = vecs.select(explode(array(perJ: _*)).as("e"))
+        .select(col("e.j"), col("e.c"), posexplode(col("e.sv")).as(Seq("__pos", "__x")))
+        .groupBy("j", "c", "__pos")
+        .agg(sum(col("__x").cast("long")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          Math.floorDiv(r.getLong(3), r.getLong(4)).toDouble).toMap
+      (0 until m).foreach { j =>
+        books(j) = Array.tabulate(ksub)(s =>
+          Array.tabulate(dsub)(p => sums.getOrElse((j, s, p), books(j)(s)(p))))
+      }
+    }
+    books
+  }
+
+  /** PQ top-k over TRAINED quantized codebooks: quantize corpus and
+    * queries with the same ⌊x·scale⌋ map, train via
+    * [[pqCodebooksQuantized]], then run the standard encode → LUT → ADC
+    * → rank chain. Every LUT entry is an exact integer inner product
+    * (carried as DECIMAL), so the whole path — INCLUDING the trained
+    * codebooks — is replayable bit-for-bit by a SQL oracle that unrolls
+    * the Lloyd rounds. Same output contract as [[pqTopK]]. */
+  def pqTopKQuantized(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      queries: DataFrame, queryId: String, queryVec: String,
+                      k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                      scale: Int = 1000): DataFrame = {
+    val books = pqCodebooksQuantized(corpus, corpusId, corpusVec, m, ksub, iters, scale)
+    def qz(c: Column) =
+      transform(asDoubleVec(c), x => floor(x * lit(scale.toDouble)).cast("double"))
+    val qCorpus = corpus.select(col(corpusId), qz(col(corpusVec)).as("__pq"))
+    val qQueries = queries.select(col(queryId), qz(col(queryVec)).as("__pq"))
+    val codes = pqEncode(qCorpus, corpusId, "__pq", books)
+    val lut = pqLut(qQueries, queryId, "__pq", books)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("__adc").desc, col(corpusId))
+    codes.join(broadcast(lut), codes(corpusId) =!= lut(queryId))
+      .withColumn("__adc", pqAdc(m))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId),
+        col("__adc").cast("double").as("adc"), col("rank"))
+  }
+
   /** IVF + PQ composition (Jégou §V's IVFADC): the coarse quantizer
     * prunes the corpus to each query's `nprobe` nearest cells, and ONLY
     * those cells' code rows feed the PQ ADC scan (+ optional exact

@@ -40,14 +40,19 @@ class CurateSpec extends AnyFunSuite {
       val rows = stageRe.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toLong).toMap
       val order = Seq("ingest", "quality_filter", "dedup_exact",
-        "dedup_near", "dsir_select", "mix_epochs", "pack", "manifest")
+        "dedup_near", "decontaminate", "dsir_select", "mix_epochs", "pack",
+        "manifest")
       assert(order.forall(rows.contains), s"missing stages: got $rows")
       assert(order.forall(rows(_) > 0), s"empty stage: $rows")
       // monotone through the gates; pack keeps the mixed rows; bounded manifest
       assert(rows("quality_filter") <= rows("ingest"))
       assert(rows("dedup_exact") <= rows("quality_filter"))
       assert(rows("dedup_near") <= rows("dedup_exact"))
-      assert(rows("dsir_select") <= rows("dedup_near"))
+      // decontamination drops the eval-benchmark sample and its leaks,
+      // never everything: a strict shrink that keeps most of the corpus
+      assert(rows("decontaminate") < rows("dedup_near"))
+      assert(rows("decontaminate") > rows("dedup_near") / 2)
+      assert(rows("dsir_select") <= rows("decontaminate"))
       assert(rows("pack") == rows("mix_epochs"))
       assert(rows("manifest") <= 16)
       assert(text.contains("\"metric\":\"curate_total\""))
