@@ -678,6 +678,28 @@ object Dedup {
         .head().getLong(0) / 2
       ub <= blindCandidateLimit
     }
+    // verify-join shape: the candidate list is the BIG side (clique-
+    // quadratic at replica scale) and the per-doc hash-set table the
+    // small one — shuffling candidates twice with 400-byte incompressible
+    // hash arrays attached is the I/O that kills a 100× run, so when a
+    // lengths-only estimate says the doc table fits a broadcast budget,
+    // both fetch joins broadcast it. Under broadcast the candidate DEDUP
+    // also moves to AFTER the jac filter: candidates then stream straight
+    // from the posting join through map-side verify WITHOUT ANY exchange
+    // (a 100× run writes ~25 M verified rows to the distinct, not the
+    // multi-billion-row candidate stream — re-scoring a pair once per
+    // shared prefix hash costs ~2× CPU in a pipelined stage and zero
+    // I/O). Past the budget (the true 100 TB regime) the joins fall back
+    // to sort-merge with candidates deduped FIRST, where the answer is
+    // partition-batched verify, not a broadcast.
+    val bcVerify = !useBlind && {
+      val st = base.agg(coalesce(sum(col("__len")), lit(0L)),
+        count(lit(1))).head()
+      // ~1.4 bytes of sorted shingle-hash payload per text character
+      // (tokens ≈ chars/6, 8-byte hash per shingle) + row overhead
+      val est = st.getLong(0) * 14 / 10 + st.getLong(1) * 32
+      est <= (1L << 30)
+    }
     val pairs =
       if (useBlind) {
         val b0 = base.select(col(idCol), col("__len"), (col("__len") / bucketWidth).cast("long").as("__b"))
@@ -691,43 +713,30 @@ object Dedup {
           .select("id1", "id2").distinct()
       } else
         lengthBucketJaccardCandidates(df, idCol, textCol, threshold,
-          bucketWidth, shingleLen)
-    // verify-join shape: the candidate list is the BIG side (clique-
-    // quadratic at replica scale) and the per-doc hash-set table the
-    // small one — shuffling candidates twice with 400-byte incompressible
-    // hash arrays attached is the I/O that kills a 100× run, so when a
-    // lengths-only estimate says the doc table fits a broadcast budget,
-    // both fetch joins broadcast it and the candidates stream map-side
-    // from the distinct straight through verify with ZERO further
-    // exchanges. Past the budget (the true 100 TB regime) the joins fall
-    // back to sort-merge, where the answer is partition-batched verify,
-    // not a broadcast.
+          bucketWidth, shingleLen, dedup = !bcVerify)
     val bcDocs: DataFrame => DataFrame =
-      if (useBlind) identity
-      else {
-        val st = base.agg(coalesce(sum(col("__len")), lit(0L)),
-          count(lit(1))).head()
-        // ~1.4 bytes of sorted shingle-hash payload per text character
-        // (tokens ≈ chars/6, 8-byte hash per shingle) + row overhead
-        val est = st.getLong(0) * 14 / 10 + st.getLong(1) * 32
-        if (est <= (1L << 30)) d => broadcast(d) else identity
-      }
-    pairs
+      if (bcVerify) d => broadcast(d) else identity
+    val verified = pairs
       .join(bcDocs(docs.select(col(idCol).as("id1"), col("sh").as("sh1"))), "id1")
       .join(bcDocs(docs.select(col(idCol).as("id2"), col("sh").as("sh2"))), "id2")
       .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
       .where(col("jac") >= threshold)
       .select("id1", "id2", "jac")
+    if (bcVerify) verified.distinct() else verified
   }
 
   /** The scale-path candidate generator of [[lengthBucketJaccardPairs]]
     * (rare-first prefix postings + length-bucket / size / positional
     * row filters), exposed so candidate-volume audits (graft.ScaleStats)
     * measure EXACTLY the pair set the engine's verify stage consumes.
-    * Returns distinct (id1, id2), id1 < id2. */
+    * Returns (id1, id2), id1 < id2 — distinct when `dedup` (the audit /
+    * sort-merge-verify shape); with `dedup = false` a qualifying pair
+    * appears once per shared prefix hash (the broadcast-verify shape,
+    * where dedup runs cheaper after the jac filter). */
   private[graft] def lengthBucketJaccardCandidates(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      bucketWidth: Int = 8, shingleLen: Int = 2): DataFrame = {
+      bucketWidth: Int = 8, shingleLen: Int = 2,
+      dedup: Boolean = true): DataFrame = {
     val base = df.select(col(idCol), length(col(textCol)).as("__len"))
     val docs = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
     val tau = lit(threshold)
@@ -750,7 +759,7 @@ object Dedup {
       col("__pos").as("pos1"), col("__len").as("__l1"))
     val r = pre.select(col("__h"), col(idCol).as("id2"), col("__m").as("m2"),
       col("__pos").as("pos2"), col("__len").as("__l2"))
-    l.join(r, Seq("__h"))
+    val cand = l.join(r, Seq("__h"))
       .where(col("id1") < col("id2")
         // the length-bucket SEMANTICS, as a row predicate: the pair
         // must share one of the two buckets AND pass the |Δlen| gate
@@ -763,7 +772,8 @@ object Dedup {
         // PPJoin positional filter (1e-9 slack: rounding can only KEEP)
         && (lit(1.0) + least(col("m1") - col("pos1"), col("m2") - col("pos2")).cast("double"))
           >= tau * (col("m1") + col("m2")).cast("double") / (lit(1.0) + tau) - lit(1e-9))
-      .select("id1", "id2").distinct()
+      .select("id1", "id2")
+    if (dedup) cand.distinct() else cand
   }
 
   // ===== Blocked n-gram Jaccard =====
@@ -866,13 +876,55 @@ object Dedup {
     * rarest — their groups are the smallest by construction); verify
     * joins fetch each hashed set once per side, keyed by id. */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                               threshold: Double): DataFrame = {
+                               threshold: Double,
+                               collapseExact: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "prefixFilterJaccardPairs: threshold must be in (0, 1]")
-    val tau = lit(threshold)
-    val toks = df.select(col(idCol).as("__id"),
+    val allToks = df.select(col(idCol).as("__id"),
         array_distinct(expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')")).as("__t"))
       .where(size(col("__t")) > 0)
+    if (!collapseExact) return prefixFilterJaccardCore(allToks, threshold)
+    // EXACT-SET PRE-COLLAPSE: Jaccard and every candidate filter here
+    // depend ONLY on the distinct token set, so docs with identical sets
+    // are interchangeable — group them (64-bit set fingerprint, the
+    // library's standing hash-collision trade), run the posting join on
+    // one min-id REPRESENTATIVE per group, and expand rep pairs back to
+    // member pairs afterwards (within-group pairs are jac = 1.0 exactly:
+    // identical sorted arrays). On dup-dense corpora (boilerplate,
+    // mirrors — where exact copies dominate the dup mass) this removes
+    // the clique-quadratic term from the POSTING volume, paying it only
+    // in the output expansion, which is the answer's own size. The
+    // expansion provably reproduces the uncollapsed output pair-for-pair.
+    val grouped = allToks.withColumn("__g",
+      xxhash64(sort_array(transform(col("__t"), t => xxhash64(t)))))
+    val reps = grouped.groupBy("__g")
+      .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
+    val membership = grouped.join(reps, "__g")
+      .select(col("__g"), col("__id"), col("__rep"), col("__n"))
+    val repToks = grouped.join(
+      reps.select(col("__rep").as("__id")), Seq("__id"), "left_semi")
+      .select(col("__id"), col("__t"))
+    val repPairs = prefixFilterJaccardCore(repToks, threshold)
+    val cross = repPairs
+      .join(membership.select(col("__rep").as("id1"), col("__id").as("__a1")), "id1")
+      .join(membership.select(col("__rep").as("id2"), col("__id").as("__a2")), "id2")
+      .select(least(col("__a1"), col("__a2")).as("id1"),
+        greatest(col("__a1"), col("__a2")).as("id2"), col("jac"))
+    val mSmall = membership.where(col("__n") > 1)
+    val within = mSmall.select(col("__g"), col("__id").as("id1"))
+      .join(mSmall.select(col("__g"), col("__id").as("id2")), Seq("__g"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(1.0).as("jac"))
+    cross.unionAll(within)
+  }
+
+  /** The posting-join core of [[prefixFilterJaccardPairs]]: takes the
+    * (__id, __t distinct-token-array) frame and returns verified
+    * (id1, id2, jac). Factored out so the exact-set pre-collapse can run
+    * it over group representatives only. */
+  private def prefixFilterJaccardCore(toks: DataFrame,
+                                      threshold: Double): DataFrame = {
+    val tau = lit(threshold)
     val tok = toks.select(col("__id"), explode(col("__t")).as("__tok"))
     val dfreq = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
     val lists = tok.join(dfreq, Seq("__tok"))

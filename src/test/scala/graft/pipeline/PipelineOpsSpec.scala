@@ -696,6 +696,12 @@ class PipelineOpsSpec extends SparkSpec {
       val want = (for (a <- sets.keys; b <- sets.keys if a < b;
         j = jac(sets(a), sets(b)) if j >= tau) yield (a, b, j)).toSeq.sorted
       assert(got == want, s"tau=$tau")
+      // exact-set pre-collapse (default) ≡ the uncollapsed posting join —
+      // ids 1 and 3 share an identical token set, so the collapse path
+      // (rep join + expansion + within-group jac=1 pairs) is exercised
+      val raw = rows(Dedup.prefixFilterJaccardPairs(docs, "id", "t", tau,
+        collapseExact = false).orderBy("id1", "id2")).map(r => (r(0), r(1), r(2)))
+      assert(raw == want, s"tau=$tau (uncollapsed)")
     }
   }
 
