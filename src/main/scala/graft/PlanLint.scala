@@ -49,6 +49,12 @@ object PlanLint {
     "q_knn_classify" -> ("the broadcast side is the TEST BATCH " +
       "(vec_id < 50) — finite classification batch by contract; the " +
       "training corpus streams"),
+    "q_ann_pq" -> ("the broadcast side is the per-QUERY-BATCH LUT " +
+      "frame (vec_id < 10, one m×ksub table per query) — ADC scans " +
+      "stream the compressed code table through the loop; the " +
+      "non-equi predicate is only the self-match exclusion"),
+    "q_ann_pq_trained" -> ("same shape as q_ann_pq over the trained " +
+      "quantized codebooks — broadcast build = the query batch's LUTs"),
     "q_fisher_exact" -> ("the broadcast side is the observed-k pmf row " +
       "— exactly one row per 2x2 test by construction (k === a on the " +
       "exploded support); the walk loses boundedness at the " +
