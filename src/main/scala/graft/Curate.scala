@@ -78,15 +78,23 @@ object Curate {
       Dedup.dropNearDuplicates(exact, pairs, "doc_id")
     }
 
-    // 5. Benchmark decontamination: a deterministic 2% hash-sample of the
-    // ingested corpus stands in for the eval benchmark; any surviving
+    // 5. Benchmark decontamination: a deterministic 2% hash-sample OF THE
+    // DEDUPED corpus stands in for the eval benchmark; any surviving
     // training doc whose 3-gram shingles are ≥80% covered by the
     // benchmark's shingle set (the eval docs themselves at rate 1.0, and
     // any near-verbatim leak the dedup stages missed) is dropped. Two
     // (8-byte hash, id) shuffles — the eval side is the small one by
-    // construction, exactly the 100 TB shape.
+    // construction, exactly the 100 TB shape. Sampling AFTER dedup
+    // matters on replica-dense corpora: a raw-corpus sample is a
+    // near-copy of essentially every surviving cluster (each cluster
+    // contributed ~replica-factor docs to the pool), so decontamination
+    // would correctly-but-uselessly drop the whole corpus; a benchmark
+    // drawn from the deduped pool keeps the drop proportional to the
+    // benchmark, not the duplication (measured at the 30× replica:
+    // sample-from-ingest dropped 1835 → 0, sample-from-deduped drops
+    // the expected ~2% + leaks).
     val decon = stage("decontaminate") {
-      val evalSet = Sampling.bernoulli(ingested, Seq("doc_id"), 0.02)
+      val evalSet = Sampling.bernoulli(near, Seq("doc_id"), 0.02)
       val rates = Contamination.ngramContamination(
         evalSet, near, "doc_id", "text", 3)
       near.join(rates.where(col("rate") >= 0.8).select("doc_id"),
