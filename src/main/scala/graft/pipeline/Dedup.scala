@@ -664,7 +664,8 @@ object Dedup {
                                threshold: Double, bucketWidth: Int = 8,
                                shingleLen: Int = 2,
                                prefixFilter: Boolean = true,
-                               blindCandidateLimit: Long = 200000000L): DataFrame = {
+                               blindCandidateLimit: Long = 200000000L,
+                               broadcastBudgetBytes: Long = 1L << 30): DataFrame = {
     val base = df.select(col(idCol), length(col(textCol)).as("__len"))
     val docs = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
     val useBlind = !prefixFilter || {
@@ -698,7 +699,7 @@ object Dedup {
       // ~1.4 bytes of sorted shingle-hash payload per text character
       // (tokens ≈ chars/6, 8-byte hash per shingle) + row overhead
       val est = st.getLong(0) * 14 / 10 + st.getLong(1) * 32
-      est <= (1L << 30)
+      est <= broadcastBudgetBytes
     }
     val pairs =
       if (useBlind) {

@@ -311,6 +311,14 @@ class PipelineOpsSpec extends SparkSpec {
       bucketWidth = 8, shingleLen = 2, prefixFilter = true,
       blindCandidateLimit = -1L).orderBy("id1", "id2")) // force the prefix path
     assert(blind.nonEmpty && blind == filtered)
+    // prefix path with the broadcast budget forced to zero: the
+    // sort-merge verify with dedup-before-verify (the true-100 TB
+    // fallback shape) must produce the same frame as broadcast verify
+    // with dedup deferred past the jac filter
+    val sortMerge = rows(Dedup.lengthBucketJaccardPairs(docs, "doc_id", "text", 0.5,
+      bucketWidth = 8, shingleLen = 2, prefixFilter = true,
+      blindCandidateLimit = -1L, broadcastBudgetBytes = 0L).orderBy("id1", "id2"))
+    assert(sortMerge == filtered)
   }
 
   test("dropNearDuplicates keeps exactly one canonical doc per cluster") {
