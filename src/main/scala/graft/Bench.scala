@@ -94,8 +94,12 @@ object Bench {
     // shared-JVM neighbors — the r4 and r13 false-alarm classes), so each
     // suspect gets ONE more isolated attempt at the END of the suite,
     // after the churn. Both numbers are recorded ("reruns" in the
-    // artifacts); the headline per-query value takes the min, exactly
-    // what a hand re-run would have concluded.
+    // artifacts); the headline per-query value is the ISOLATED RERUN
+    // alone (not min(first, rerun)): min() conditioned on gate failure
+    // would bias the gate toward pass at the boundary, while the
+    // uncontended end-of-suite measurement is the defensible one. A
+    // rerun that comes out SLOWER than the contended first pass is kept
+    // as-is — that is evidence, not noise.
     val rerunInfo: Map[String, (Double, Double)] =
       if (only.nonEmpty || !sfDir.stripSuffix("/").endsWith("sf0.1")) Map.empty
       else {
@@ -129,7 +133,7 @@ object Bench {
     jsonl.foreach(_.close())
     val finalResults = results.map { case (n, v) =>
       rerunInfo.get(n) match {
-        case Some((f, r)) if r >= 0 => n -> math.min(f, r)
+        case Some((_, r)) if r >= 0 => n -> r
         case _ => n -> v
       }
     }

@@ -17,8 +17,12 @@ import graft.pipeline.{Contamination, Dedup, Dsir, Packing, Sampling, Shards, Te
   * lineage stays flat, and each stage's wall includes its write, which
   * is what a scheduler sees).
   *
-  * Usage: graft.Curate <sfDir> <outDir>
-  * Env: SPARK_GRAFT_CPUS (default 32).
+  * Usage: graft.Curate <sfDir> <outDir> [evalParquetDir]
+  * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_EVAL_DIR (same as
+  * the third arg: a parquet of (doc_id, text) benchmark/eval docs for
+  * the decontamination stage — a REAL run passes its held-out eval set
+  * here; absent, the stage falls back to a deterministic 2% self-sample
+  * so the demo record stays reproducible with no external input).
   * Prints one JSONL line per stage and a final one-line JSON summary
   * (same last-line contract as graft.Bench).
   */
@@ -33,6 +37,12 @@ object Curate {
       shufflePartitions = cpus, appName = "graft-curate")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // External benchmark for stage 5 (decontaminate): a real run passes
+    // the eval set it must not train on; the self-sample below is only
+    // the zero-input demo default.
+    val externalEval: Option[DataFrame] =
+      args.lift(2).orElse(sys.env.get("SPARK_GRAFT_EVAL_DIR"))
+        .map(p => spark.read.parquet(p).select("doc_id", "text"))
 
     val stages = Seq.newBuilder[(String, Long, Double)]
     def stage(name: String)(build: => DataFrame): DataFrame = {
@@ -78,7 +88,9 @@ object Curate {
       Dedup.dropNearDuplicates(exact, pairs, "doc_id")
     }
 
-    // 5. Benchmark decontamination: a deterministic 2% hash-sample OF THE
+    // 5. Benchmark decontamination: the externally-supplied eval set
+    // (arg 3 / SPARK_GRAFT_EVAL_DIR) when given — the production shape —
+    // else a deterministic 2% hash-sample OF THE
     // DEDUPED corpus stands in for the eval benchmark; any surviving
     // training doc whose 3-gram shingles are ≥80% covered by the
     // benchmark's shingle set (the eval docs themselves at rate 1.0, and
@@ -94,7 +106,8 @@ object Curate {
     // sample-from-ingest dropped 1835 → 0, sample-from-deduped drops
     // the expected ~2% + leaks).
     val decon = stage("decontaminate") {
-      val evalSet = Sampling.bernoulli(near, Seq("doc_id"), 0.02)
+      val evalSet = externalEval.getOrElse(
+        Sampling.bernoulli(near, Seq("doc_id"), 0.02))
       val rates = Contamination.ngramContamination(
         evalSet, near, "doc_id", "text", 3)
       near.join(rates.where(col("rate") >= 0.8).select("doc_id"),

@@ -188,7 +188,7 @@ object SparkEntry {
     * and the (adc desc, id) ranking. Gate shape is iters=0 (codebook
     * entries are exact data subvectors), so every arithmetic step is
     * bit-replayable. */
-  private def annPqOracle(m: Int, ksub: Int, kq: Int): String = {
+  private def annPqOracle(m: Int, ksub: Int, kq: Int, rerank: Int = 0): String = {
     val scatter = "(id % 2147483648) * 2654435761 % 2147483648"
     s"""WITH c AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sd AS MATERIALIZED (SELECT s, v FROM (
@@ -212,8 +212,23 @@ object SparkEntry {
        |  WHERE e.id <> l.qid GROUP BY 1, 2),
        |r AS (SELECT qid, vec_id, adc,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank FROM a)
-       |SELECT qid, vec_id, CAST(adc AS DOUBLE) AS adc, rank
-       |FROM r WHERE rank <= $kq ORDER BY qid, rank""".stripMargin
+       |${
+        if (rerank <= 0)
+          s"""SELECT qid, vec_id, CAST(adc AS DOUBLE) AS adc, rank
+             |FROM r WHERE rank <= $kq ORDER BY qid, rank""".stripMargin
+        else
+          // exact-dot re-rank of the ADC shortlist (q_ann_ivfadc): the
+          // shortlist membership is the decimal-exact ADC rank, the final
+          // order the bit-parity list_inner_product over raw vectors.
+          s""",sh AS (SELECT qid, vec_id FROM r WHERE rank <= $rerank),
+             |rr AS (SELECT sh.qid, sh.vec_id,
+             |  list_inner_product(q.qv, c.v) AS dot,
+             |  row_number() OVER (PARTITION BY sh.qid
+             |    ORDER BY list_inner_product(q.qv, c.v) DESC, sh.vec_id) AS rk
+             |  FROM sh JOIN q ON sh.qid = q.qid JOIN c ON sh.vec_id = c.id)
+             |SELECT qid, vec_id, CAST(dot AS DOUBLE) AS adc, rk AS rank
+             |FROM rr WHERE rk <= $kq ORDER BY qid, rank""".stripMargin
+      }""".stripMargin
   }
 
   /** q_ann_pq_trained oracle: the trained-codebook PQ path replayed in
@@ -1341,6 +1356,27 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  private def qAnnIvfAdc(s: SparkSession, d: String): DataFrame = {
+    // IVFADC composition (Similarity.ivfPqTopK): coarse IVF cell probe →
+    // PQ ADC scan of the probed cells' code rows → exact-dot re-rank of
+    // the ADC shortlist. Gate config probes ALL cells (nprobe = nCells),
+    // so the cell partition is recall-lossless and every pair is scanned
+    // exactly once — the full composed machinery runs (centroid build,
+    // cell-keyed code table, per-query cell ranking, LUT/ADC arithmetic,
+    // re-rank join) while staying bit-replayable: the oracle is the
+    // q_ann_pq decimal ADC chain extended with a list_inner_product
+    // re-rank of the ADC top-`rerank`. Approximate-nprobe recall (the
+    // billion-scale operating point) stays gated in AnnAndSaltSpec.
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 5, nCells = 16, nprobe = 16, m = AnnPqM, ksub = AnnPqKsub,
+      iters = 0, rerank = AnnIvfAdcRerank)
+      .orderBy("qid", "rank")
+  }
+  private val AnnIvfAdcRerank = 20
+
   private def qTextStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       T.tokenCount(col("text")).as("n_tokens"),
@@ -1621,6 +1657,24 @@ object SparkEntry {
     Contamination.ngramContamination(
       docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
       "doc_id", "text", n = 5)
+      .withColumn("rate", round(col("rate"), 6))
+      .orderBy("doc_id")
+  }
+
+  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    // Curate stage-5 decontamination rule in isolation (Curate.scala):
+    // the deterministic 2% portable-bucket sample of the corpus stands in
+    // for the eval benchmark (the zero-input demo default; a real run
+    // passes its eval set), every doc is scored by 3-gram shingle
+    // coverage against the benchmark's distinct shingle set, and kept iff
+    // coverage < 0.8 — sampled docs themselves score 1.0 and drop, plus
+    // any near-verbatim leak. The oracle replays the bucket arithmetic
+    // (the q_sample_bernoulli formula) and the coverage join (the
+    // q_contamination pattern at n = 3), INCLUDING the threshold.
+    val docs = Tables.documents(s, d)
+    val evalSet = Sampling.bernoulli(docs, Seq("doc_id"), 0.02)
+    Contamination.ngramContamination(evalSet, docs, "doc_id", "text", n = 3)
+      .withColumn("kept", col("rate") < 0.8)
       .withColumn("rate", round(col("rate"), 6))
       .orderBy("doc_id")
   }
@@ -5257,6 +5311,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_contamination" -> (qContamination _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_bmp" -> (qMultimodalBmp _),
     "q_multimodal_ppm" -> (qMultimodalPpm _),
@@ -5295,6 +5350,7 @@ object SparkEntry {
     "q_ann_graph" -> (qAnnGraph _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_pq_trained" -> (qAnnPqTrained _),
+    "q_ann_ivfadc" -> (qAnnIvfAdc _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -6001,6 +6057,9 @@ object SparkEntry {
     "q_ann_ivf" -> annExactTopKOracle,
     "q_ann_pq" -> annPqOracle(AnnPqM, AnnPqKsub, 5),
     "q_ann_pq_trained" -> annPqTrainedOracle(AnnPqM, AnnPqKsub, 2, 5, 1000),
+    // IVFADC all-probe: cell partition is lossless, so the oracle is the
+    // q_ann_pq ADC chain + exact-dot re-rank of the ADC top-20.
+    "q_ann_ivfadc" -> annPqOracle(AnnPqM, AnnPqKsub, 5, rerank = AnnIvfAdcRerank),
     "q_dedup_embedding" ->
       s"""$lshCandidateCtes
          |SELECT id1, id2, round(cos, 6) AS cosine FROM cand WHERE cos >= 0.25
@@ -6392,6 +6451,24 @@ object SparkEntry {
         |  FROM te LEFT JOIN tr ON te.s = tr.s GROUP BY te.doc_id)
         |SELECT doc_id, n_shingles, n_hit,
         |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS rate
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // Curate stage-5 rule: 2% portable-bucket eval sample (the
+    // q_sample_bernoulli hash formula), 3-gram coverage vs its distinct
+    // shingle set, keep iff coverage < 0.8.
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id, (CASE WHEN len(w) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))
+        |  ELSE [array_to_string(w, ' ')] END) AS shs FROM tok),
+        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |ev AS (SELECT DISTINCT s FROM ex
+        |  WHERE (((doc_id % 2147483648) * 2654435761) % 2147483648) % 1000000 < 20000),
+        |agg AS (SELECT ex.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM ex LEFT JOIN ev ON ex.s = ev.s GROUP BY ex.doc_id)
+        |SELECT doc_id, n_shingles, n_hit,
+        |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS rate,
+        |  (CAST(n_hit AS DOUBLE) / n_shingles) < 0.8 AS kept
         |FROM agg ORDER BY doc_id""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id, 'fake/raw' AS media_format,

@@ -666,6 +666,11 @@ object Dedup {
                                prefixFilter: Boolean = true,
                                blindCandidateLimit: Long = 200000000L,
                                broadcastBudgetBytes: Long = 1L << 30): DataFrame = {
+    // τ = 0 would break the documented blind ≡ prefix output-equality
+    // contract: the blind join verifies jac = 0 pairs (disjoint or empty
+    // shingle sets) that prefix postings can never generate.
+    require(threshold > 0 && threshold <= 1,
+      "lengthBucketJaccardPairs: threshold must be in (0, 1]")
     val base = df.select(col(idCol), length(col(textCol)).as("__len"))
     val docs = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
     val useBlind = !prefixFilter || {
@@ -887,8 +892,11 @@ object Dedup {
     if (!collapseExact) return prefixFilterJaccardCore(allToks, threshold)
     // EXACT-SET PRE-COLLAPSE: Jaccard and every candidate filter here
     // depend ONLY on the distinct token set, so docs with identical sets
-    // are interchangeable — group them (64-bit set fingerprint, the
-    // library's standing hash-collision trade), run the posting join on
+    // are interchangeable — group them BY THE SORTED TOKEN-HASH ARRAY
+    // ITSELF (not a second xxhash64 of it: that would stack an extra
+    // 64-bit collision layer on top of the standing per-token trade,
+    // silently merging distinct sets; the array is the same shuffle-key
+    // size class), run the posting join on
     // one min-id REPRESENTATIVE per group, and expand rep pairs back to
     // member pairs afterwards (within-group pairs are jac = 1.0 exactly:
     // identical sorted arrays). On dup-dense corpora (boilerplate,
@@ -897,7 +905,7 @@ object Dedup {
     // in the output expansion, which is the answer's own size. The
     // expansion provably reproduces the uncollapsed output pair-for-pair.
     val grouped = allToks.withColumn("__g",
-      xxhash64(sort_array(transform(col("__t"), t => xxhash64(t)))))
+      sort_array(transform(col("__t"), t => xxhash64(t))))
     val reps = grouped.groupBy("__g")
       .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
     val membership = grouped.join(reps, "__g")
