@@ -89,6 +89,54 @@ object SparkEntry {
       |CAST(i AS DOUBLE) / greatest(n1 + n2 - i, 1) AS jac FROM inter
       |WHERE CAST(i AS DOUBLE) / greatest(n1 + n2 - i, 1) >= 0.5)""".stripMargin
 
+  /** Shared pair CTEs of q_setsim_join / q_setsim_clusters: exact
+    * distinct-token-set Jaccard ≥ 0.95 via the τ = 0.95 set-logic
+    * identity (J ≥ 0.95 forces |A∆B| ≤ 1 at these set sizes): `ident`
+    * are equal-set pairs, `sub1` single-deletion containments for sets
+    * ≥ 20 tokens, `guard` poison rows if any doc exceeds 37 distinct
+    * tokens (where the identity would need |A∆B| = 2 — a break fails the
+    * compare loudly). Θ(docs × setSize + output), not Θ(docs²). */
+  private val SetsimPairsCte: String =
+    """t AS (SELECT doc_id, list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS tk
+      |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0),
+      |ident AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, 1.0 AS jac
+      |  FROM t a JOIN t b ON a.tk = b.tk AND a.doc_id < b.doc_id),
+      |del1 AS (
+      |  SELECT b.doc_id AS bid, list_sort(list_filter(b.tk, x -> x <> d.x)) AS key, len(b.tk) AS blen
+      |  FROM (SELECT doc_id, tk FROM t) b, unnest(b.tk) AS d(x)
+      |  WHERE len(b.tk) >= 20),
+      |sub1 AS (
+      |  SELECT least(a.doc_id, d.bid) AS id1, greatest(a.doc_id, d.bid) AS id2,
+      |    CAST(len(a.tk) AS DOUBLE) / d.blen AS jac
+      |  FROM del1 d JOIN t a ON a.tk = d.key AND a.doc_id <> d.bid
+      |  WHERE CAST(len(a.tk) AS DOUBLE) / d.blen >= 0.95),
+      |guard AS (
+      |  SELECT CAST(-1 AS BIGINT) AS id1, CAST(-2 AS BIGINT) AS id2, -CAST(count(*) AS DOUBLE) AS jac
+      |  FROM t WHERE len(tk) > 37 HAVING count(*) > 0),
+      |sp AS MATERIALIZED (SELECT * FROM ident UNION ALL SELECT * FROM sub1 UNION ALL SELECT * FROM guard)""".stripMargin
+
+  /** Connected components of a (id1, id2) pair CTE as iterative
+    * min-label propagation (12 unrolled doubling rounds with an explicit
+    * convergence check — unconverged ⇒ empty result ⇒ loud row-count
+    * mismatch). Shared tail of q_dedup_clusters, q_dedup_clusters_rep
+    * and q_setsim_clusters. */
+  private def minLabelClustersSql(pairs: String): String =
+    s"""edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM $pairs
+       |UNION SELECT id2, id1 FROM $pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM edges),
+       |${(1 to 12).map(i =>
+           s"""m$i AS MATERIALIZED (SELECT l.id, least(l.lbl, min(ln.lbl)) AS lbl
+              |  FROM l${i - 1} l JOIN edges e ON e.a = l.id
+              |  JOIN l${i - 1} ln ON ln.id = e.b GROUP BY l.id, l.lbl),
+              |l$i AS MATERIALIZED (SELECT m.id, l2.lbl
+              |  FROM m$i m JOIN m$i l2 ON l2.id = m.lbl)""".stripMargin)
+         .mkString(",\n")},
+       |conv AS (SELECT count(*) AS bad FROM l12 n JOIN l11 p USING (id)
+       |  WHERE n.lbl <> p.lbl)
+       |SELECT id, lbl AS cluster FROM l12 CROSS JOIN conv
+       |WHERE conv.bad = 0 ORDER BY id""".stripMargin
+
   /** Shared dHash-pair CTE (q_image_phash + q_image_dedup): the full
     * perceptual-hash replay — six-part image corpus, 9x8 grayscale
     * grid from the seed-cycling pixel arithmetic (per-pixel cycling for
@@ -1172,6 +1220,16 @@ object SparkEntry {
     Dedup.duplicateClusters(
       Dedup.lengthBucketJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5, bucketWidth = 8, shingleLen = 2))
+      .orderBy("id")
+
+  private def qDedupClustersRep(s: SparkSession, d: String): DataFrame =
+    // Same clustering through the collapsed-representative path: the
+    // (shingle set, exact length) groups are pair-machinery-
+    // interchangeable, so only one rep per group enters the posting
+    // join and member pairs are never expanded — the identical oracle
+    // proves output equality with q_dedup_clusters.
+    Dedup.lengthBucketJaccardClusters(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.5, bucketWidth = 8, shingleLen = 2)
       .orderBy("id")
 
   private def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
@@ -3422,6 +3480,17 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.95))
   }
 
+  private def qSetsimClusters(s: SparkSession, d: String): DataFrame =
+    // Output-linear mode of the same τ=0.95 set-similarity join: member
+    // pairs are never materialized — connectivity is decided on the
+    // exact-set-collapsed representative graph, output is (id, cluster)
+    // per clustered doc. The oracle is the pair CTEs + min-label
+    // components, so equality proves the rep-graph shortcut loses
+    // nothing vs pairs-then-cluster.
+    Relational.sort(col("id"))(
+      graft.pipeline.Dedup.prefixFilterJaccardClusters(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.95))
+
   private def qTriangles(s: SparkSession, d: String): DataFrame = {
     // Single-space co-occurrence graph from orders (custkey and orderkey
     // folded into one 97-id space) — per-node triangle participation.
@@ -5279,6 +5348,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_clusters_rep" -> (qDedupClustersRep _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -5384,6 +5454,7 @@ object SparkEntry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_setsim_join" -> (qSetsimJoin _),
+    "q_setsim_clusters" -> (qSetsimClusters _),
     "q_triangles" -> (qTriangles _),
     "q_funnel_windowed" -> (qFunnelWindowed _),
     "q_inverted_index" -> (qInvertedIndex _),
@@ -6013,21 +6084,12 @@ object SparkEntry {
     // if round 12 differs from round 11, so non-convergence fails the
     // row-count gate loudly instead of passing a wrong fixpoint.
     "q_dedup_clusters" ->
-      s"""WITH $NgramPairsCte,
-         |edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM jp
-         |UNION SELECT id2, id1 FROM jp),
-         |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM edges),
-         |${(1 to 12).map(i =>
-             s"""m$i AS MATERIALIZED (SELECT l.id, least(l.lbl, min(ln.lbl)) AS lbl
-                |  FROM l${i - 1} l JOIN edges e ON e.a = l.id
-                |  JOIN l${i - 1} ln ON ln.id = e.b GROUP BY l.id, l.lbl),
-                |l$i AS MATERIALIZED (SELECT m.id, l2.lbl
-                |  FROM m$i m JOIN m$i l2 ON l2.id = m.lbl)""".stripMargin)
-           .mkString(",\n")},
-         |conv AS (SELECT count(*) AS bad FROM l12 n JOIN l11 p USING (id)
-         |  WHERE n.lbl <> p.lbl)
-         |SELECT id, lbl AS cluster FROM l12 CROSS JOIN conv
-         |WHERE conv.bad = 0 ORDER BY id""".stripMargin,
+      s"WITH $NgramPairsCte,\n${minLabelClustersSql("jp")}",
+    // Collapsed-representative clustering path: identical answer to
+    // q_dedup_clusters by the (shingle set, length) interchangeability
+    // argument, so the identical oracle gates it.
+    "q_dedup_clusters_rep" ->
+      s"WITH $NgramPairsCte,\n${minLabelClustersSql("jp")}",
     // ALL-pairs exact 3-shingle Jaccard >= 0.7 — a hard LSH recall gate:
     // the Spark side only scores LSH candidate pairs, so any banding miss
     // shows up as a missing row here.
@@ -7164,25 +7226,12 @@ object SparkEntry {
     // sf0.01 (1,887 rows) and sf0.1 (190,925 rows); replays sf1 (867,302
     // rows) in ~6 s where the all-pairs form needed hours.
     "q_setsim_join" ->
-      """WITH t AS (SELECT doc_id, list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS tk
-        |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0),
-        |ident AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, 1.0 AS jac
-        |  FROM t a JOIN t b ON a.tk = b.tk AND a.doc_id < b.doc_id),
-        |del1 AS (
-        |  SELECT b.doc_id AS bid, list_sort(list_filter(b.tk, x -> x <> d.x)) AS key, len(b.tk) AS blen
-        |  FROM (SELECT doc_id, tk FROM t) b, unnest(b.tk) AS d(x)
-        |  WHERE len(b.tk) >= 20),
-        |sub1 AS (
-        |  SELECT least(a.doc_id, d.bid) AS id1, greatest(a.doc_id, d.bid) AS id2,
-        |    CAST(len(a.tk) AS DOUBLE) / d.blen AS jac
-        |  FROM del1 d JOIN t a ON a.tk = d.key AND a.doc_id <> d.bid
-        |  WHERE CAST(len(a.tk) AS DOUBLE) / d.blen >= 0.95),
-        |guard AS (
-        |  SELECT CAST(-1 AS BIGINT) AS id1, CAST(-2 AS BIGINT) AS id2, -CAST(count(*) AS DOUBLE) AS jac
-        |  FROM t WHERE len(tk) > 37 HAVING count(*) > 0)
-        |SELECT * FROM (SELECT * FROM ident UNION ALL SELECT * FROM sub1 UNION ALL SELECT * FROM guard)
-        |ORDER BY id1, id2""".stripMargin,
+      s"WITH $SetsimPairsCte\nSELECT id1, id2, jac FROM sp ORDER BY id1, id2",
+    // Output-linear face of the same join: pairs → components → (id,
+    // min-member cluster), computed by the engine WITHOUT materializing
+    // member pairs (exact-set-collapsed representative graph).
+    "q_setsim_clusters" ->
+      s"WITH $SetsimPairsCte,\n${minLabelClustersSql("sp")}",
     // oriented wedge-close triangle enumeration, credited to all corners
     "q_triangles" ->
       """WITH raw AS (SELECT o_custkey % 97 AS x, o_orderkey % 97 AS y FROM orders),

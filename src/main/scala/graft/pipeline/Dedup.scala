@@ -927,6 +927,95 @@ object Dedup {
     cross.unionAll(within)
   }
 
+  /** OUTPUT-LINEAR cluster-representative mode of
+    * [[prefixFilterJaccardPairs]]: returns (id, cluster) — one row per
+    * document that belongs to some jac ≥ τ pair, cluster = the smallest
+    * member id of its connected component — EXACTLY
+    * `duplicateClusters(prefixFilterJaccardPairs(df, …))` (a spec pins
+    * frame equality), computed WITHOUT ever materializing member pairs.
+    *
+    * Why this is the 100 TB shape: the pair OUTPUT contract is
+    * inherently Θ(clique²) on dup-dense corpora (boilerplate, mirrors —
+    * q_setsim_join at the 100× replica is ~all output mass), while the
+    * cluster answer is Θ(docs). Here connectivity is decided on the
+    * exact-set-collapsed REPRESENTATIVE graph: an n-member identical-set
+    * group is one node of the posting join and one cluster seed, member
+    * pairs are never expanded (a group is connected by construction;
+    * cross-group reachability of any member equals its rep's), so both
+    * the posting volume AND the output stay linear in the corpus where
+    * pairs mode pays quadratic twice.
+    *
+    * Node-set contract (= pairs-mode clustering): a doc appears iff its
+    * exact-set group has ≥ 2 members (within-group jac = 1.0 pairs) OR
+    * its rep has a verified cross-group pair; the component minimum over
+    * members equals the minimum over reps (each rep IS its group's min),
+    * so cluster labels match pairs-mode bit-for-bit. */
+  def prefixFilterJaccardClusters(df: DataFrame, idCol: String, textCol: String,
+                                  threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "prefixFilterJaccardClusters: threshold must be in (0, 1]")
+    val allToks = df.select(col(idCol).as("__id"),
+        array_distinct(expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')")).as("__t"))
+      .where(size(col("__t")) > 0)
+    val grouped = allToks.withColumn("__g",
+      sort_array(transform(col("__t"), t => xxhash64(t))))
+    val reps = grouped.groupBy("__g")
+      .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
+    val membership = grouped.join(reps, "__g")
+      .select(col("__id"), col("__rep"), col("__n"))
+    val repToks = grouped.join(
+      reps.select(col("__rep").as("__id")), Seq("__id"), "left_semi")
+      .select(col("__id"), col("__t"))
+    val repPairs = prefixFilterJaccardCore(repToks, threshold).select("id1", "id2")
+    val repClusters = duplicateClusters(repPairs)
+    membership
+      .join(repClusters.select(col("id").as("__rep"), col("cluster")),
+        Seq("__rep"), "left")
+      .where(col("cluster").isNotNull || col("__n") > 1)
+      .select(col("__id").as("id"),
+        coalesce(col("cluster"), col("__rep")).as("cluster"))
+  }
+
+  /** OUTPUT-LINEAR cluster-representative mode of
+    * [[lengthBucketJaccardPairs]] — same contract and construction as
+    * [[prefixFilterJaccardClusters]] (provably equal to
+    * `duplicateClusters(lengthBucketJaccardPairs(df, …))`), with one
+    * difference forced by the pair semantics: the candidate predicate
+    * reads the raw TEXT LENGTH (length bucket, |Δlen| gate) as well as
+    * the shingle set, so interchangeability — and hence the collapse
+    * key — is the PAIR (sorted shingle-hash set, exact text length).
+    * Docs agreeing on both are indistinguishable to every filter and to
+    * the verify, so running the pair machinery on one min-id rep per
+    * group loses nothing. */
+  def lengthBucketJaccardClusters(df: DataFrame, idCol: String, textCol: String,
+                                  threshold: Double, bucketWidth: Int = 8,
+                                  shingleLen: Int = 2,
+                                  prefixFilter: Boolean = true,
+                                  blindCandidateLimit: Long = 200000000L,
+                                  broadcastBudgetBytes: Long = 1L << 30): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "lengthBucketJaccardClusters: threshold must be in (0, 1]")
+    val keyed = df.select(col(idCol).as("__id"),
+      graft.functions.ShingleHashExpression.shingle_hash_sorted(
+        TextAnalysis.tokens(col(textCol)), shingleLen).as("__sh"),
+      length(col(textCol)).as("__len"))
+    val reps = keyed.groupBy("__sh", "__len")
+      .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
+    val membership = keyed.join(reps, Seq("__sh", "__len"))
+      .select(col("__id"), col("__rep"), col("__n"))
+    val repDf = df.join(reps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val repPairs = lengthBucketJaccardPairs(repDf, idCol, textCol, threshold,
+      bucketWidth, shingleLen, prefixFilter, blindCandidateLimit,
+      broadcastBudgetBytes).select("id1", "id2")
+    val repClusters = duplicateClusters(repPairs)
+    membership
+      .join(repClusters.select(col("id").as("__rep"), col("cluster")),
+        Seq("__rep"), "left")
+      .where(col("cluster").isNotNull || col("__n") > 1)
+      .select(col("__id").as("id"),
+        coalesce(col("cluster"), col("__rep")).as("cluster"))
+  }
+
   /** The posting-join core of [[prefixFilterJaccardPairs]]: takes the
     * (__id, __t distinct-token-array) frame and returns verified
     * (id1, id2, jac). Factored out so the exact-set pre-collapse can run

@@ -321,6 +321,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sortMerge == filtered)
   }
 
+  test("cluster-rep modes equal pairs-then-duplicateClusters frame-for-frame") {
+    // corpus engineered to hit every node-set case: exact-duplicate
+    // groups (n>1, both with and without cross-group edges), near-dup
+    // chains across groups, singletons with a pair, and isolated docs
+    // that must NOT appear in the output
+    val docs = (0L until 40L).map { i =>
+      val text =
+        if (i < 6) "alpha beta gamma delta epsilon zeta eta theta"  // exact group A (n=6)
+        else if (i < 10) "alpha beta gamma delta epsilon zeta eta iota" // group B, near A
+        else if (i < 12) s"solo${i} unique${i} words${i} here${i}"  // isolated
+        else if (i % 2 == 0) s"common core tokens shared w${i % 3} x y z"
+        else s"common core tokens shared w${i % 3} x y q"
+      (i, text)
+    }.toDF("doc_id", "text")
+    // prefixFilter family (distinct-token-set Jaccard)
+    for (tau <- Seq(0.5, 0.9)) {
+      val viaPairs = rows(Dedup.duplicateClusters(
+        Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", tau)).orderBy("id"))
+      val direct = rows(Dedup.prefixFilterJaccardClusters(
+        docs, "doc_id", "text", tau).orderBy("id"))
+      assert(viaPairs.nonEmpty && direct == viaPairs, s"tau=$tau")
+    }
+    // lengthBucket family (shingle Jaccard, length-gated candidates) —
+    // collapse key must be (shingle set, exact length): add same-shingle-
+    // set different-length twins (duplicated window, extra whitespace)
+    val tricky = docs.unionAll(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta alpha beta"),
+      (101L, "alpha  beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text"))
+    val viaPairsLb = rows(Dedup.duplicateClusters(
+      Dedup.lengthBucketJaccardPairs(tricky, "doc_id", "text", 0.5)).orderBy("id"))
+    val directLb = rows(Dedup.lengthBucketJaccardClusters(
+      tricky, "doc_id", "text", 0.5).orderBy("id"))
+    assert(viaPairsLb.nonEmpty && directLb == viaPairsLb)
+    // isolated docs are absent from both
+    assert(!viaPairsLb.exists(r => r.head.asInstanceOf[Long] >= 10 &&
+      r.head.asInstanceOf[Long] < 12))
+  }
+
   test("dropNearDuplicates keeps exactly one canonical doc per cluster") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
