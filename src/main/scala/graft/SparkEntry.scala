@@ -468,6 +468,97 @@ object SparkEntry {
       asDouble("sum_qty", "sum_base_price", "sum_disc_price")(agg))
   }
 
+  private def qCompositeQ3(s: SparkSession, d: String): DataFrame = {
+    // TPC-H Q3 shape composed through the operator API (reference join
+    // tree: test/guide/join.cc): selective dim filter → broadcast
+    // hashJoin → shuffle hashJoin against the filtered fact →
+    // groupAggregate → extendedSort top-k. Pins operator COMPOSITION —
+    // joins feeding aggregates feeding top-k — not just each operator
+    // alone. Filters sit on each scan (pushdown), the one-column
+    // customer side broadcasts, the lineitem side is projected to
+    // (key, decimal revenue) before its exchange.
+    val cust = Relational.filter(col("c_mktsegment") === "BUILDING",
+      proj = Seq(col("c_custkey")))(Tables.customer(s, d))
+    val ord = Relational.filter(
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"),
+      proj = Seq(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority")))(Tables.orders(s, d))
+    val li = Relational.filter(
+      col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"),
+      proj = Seq(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)")
+          - dec(col("l_discount")))).as("disc_price")))(Tables.lineitem(s, d))
+    val co = Relational.hashJoin(ord, cust,
+      col("o_custkey") === col("c_custkey"), broadcastRight = true)
+    val j = Relational.hashJoin(li, co, col("l_orderkey") === col("o_orderkey"))
+    val agg = Aggregates.groupAggregate(
+      Seq("l_orderkey", "o_orderdate", "o_orderpriority"),
+      Seq(Agg(SUM, Some("disc_price"), "revenue")))(j)
+    // top-k on the EXACT decimal (ties broken by date, then key — fully
+    // deterministic), double cast only on the 10 surviving rows
+    asDouble("revenue")(Relational.extendedSort(
+      Seq(col("revenue").desc, col("o_orderdate"), col("l_orderkey")),
+      limit = Some(10))(agg))
+      .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+  }
+
+  private def qCompositeQ10(s: SparkSession, d: String): DataFrame = {
+    // TPC-H Q10 shape: 4-table join (fact → time-windowed orders →
+    // customer → broadcast nation) → groupAggregate → top-20.
+    val ord = Relational.filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+        && col("o_orderdate") < lit("1996-07-01").cast("timestamp_ntz"),
+      proj = Seq(col("o_orderkey"), col("o_custkey")))(Tables.orders(s, d))
+    val li = Relational.filter(col("l_returnflag") === "R",
+      proj = Seq(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)")
+          - dec(col("l_discount")))).as("disc_price")))(Tables.lineitem(s, d))
+    val lo = Relational.hashJoin(li, ord, col("l_orderkey") === col("o_orderkey"))
+    val loc = Relational.hashJoin(lo, Tables.customer(s, d),
+      col("o_custkey") === col("c_custkey"))
+    val locn = Relational.hashJoin(loc, Tables.nation(s, d),
+      col("c_nationkey") === col("n_nationkey"), broadcastRight = true)
+    val agg = Aggregates.groupAggregate(
+      Seq("c_custkey", "c_name", "c_acctbal", "n_name"),
+      Seq(Agg(SUM, Some("disc_price"), "revenue")))(locn)
+    asDouble("revenue")(Relational.extendedSort(
+      Seq(col("revenue").desc, col("c_custkey")), limit = Some(20))(agg))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+  }
+
+  private def qCompositeQ5(s: SparkSession, d: String): DataFrame = {
+    // TPC-H Q5 shape: 6-table join with the region→nation→supplier dim
+    // chain pre-reduced and broadcast, the two-key (suppkey, nationkey)
+    // final join enforcing the customer-nation = supplier-nation
+    // correlation, then a per-nation revenue aggregate. The dim chain
+    // collapses to a tiny broadcast BEFORE touching fact data.
+    val asia = Relational.filter(col("r_name") === "ASIA",
+      proj = Seq(col("r_regionkey")))(Tables.region(s, d))
+    val nat = Relational.hashJoin(Tables.nation(s, d), asia,
+      col("n_regionkey") === col("r_regionkey"), broadcastRight = true,
+      proj = Seq(col("n_nationkey"), col("n_name")))
+    val sup = Relational.hashJoin(Tables.supplier(s, d), nat,
+      col("s_nationkey") === col("n_nationkey"), broadcastRight = true,
+      proj = Seq(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+    val ord = Relational.filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"),
+      proj = Seq(col("o_orderkey"), col("o_custkey")))(Tables.orders(s, d))
+    val li = Relational.project(col("l_orderkey"), col("l_suppkey"),
+      (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)")
+        - dec(col("l_discount")))).as("disc_price"))(Tables.lineitem(s, d))
+    val lo = Relational.hashJoin(li, ord, col("l_orderkey") === col("o_orderkey"))
+    val loc = Relational.hashJoin(lo,
+      Relational.project(col("c_custkey"), col("c_nationkey"))(Tables.customer(s, d)),
+      col("o_custkey") === col("c_custkey"))
+    val j = Relational.hashJoin(loc, sup,
+      col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"), broadcastRight = true)
+    val agg = Aggregates.groupAggregate(Seq("n_name"),
+      Seq(Agg(SUM, Some("disc_price"), "revenue")))(j)
+    Relational.sort(col("n_name"))(asDouble("revenue")(agg))
+  }
+
   private def qFilterProject(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val f = Relational.filter(col("l_quantity") >= 45 && col("l_returnflag") === "A")(li)
@@ -5296,6 +5387,9 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "q_composite_q3" -> (qCompositeQ3 _),
+    "q_composite_q10" -> (qCompositeQ10 _),
+    "q_composite_q5" -> (qCompositeQ5 _),
     "q_filter_project" -> (qFilterProject _),
     "q_limit_offset" -> (qLimitOffset _),
     "q_sort_topk" -> (qSortTopK _),
@@ -5779,6 +5873,42 @@ object SparkEntry {
         |COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // TPC-H-shaped composites: multi-operator join trees feeding
+    // aggregates feeding top-k, exact decimal revenue throughout, ties
+    // broken deterministically so LIMIT is well-defined.
+    "q_composite_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |AND l_orderkey = o_orderkey
+        |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_composite_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_composite_q5" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |AND r_name = 'ASIA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
