@@ -1501,9 +1501,13 @@ object SparkEntry {
     val queries = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     Similarity.pqTopKQuantized(emb, "vec_id", "embedding", queries, "qid", "qv",
-      k = 5, m = AnnPqM, ksub = AnnPqKsub, iters = 2)
+      k = 5, m = AnnPqM, ksub = AnnPqKsub, iters = AnnPqTrainedIters)
       .orderBy("qid", "rank")
   }
+  // 4 unrolled Lloyd rounds (r15, was 2): deep enough that codebooks
+  // move, settle, and empty-code COALESCE carries across rounds — the
+  // oracle pins convergence BEHAVIOR, not just two steps.
+  private val AnnPqTrainedIters = 4
 
   private def qAnnIvfAdc(s: SparkSession, d: String): DataFrame = {
     // IVFADC composition (Similarity.ivfPqTopK): coarse IVF cell probe →
@@ -6248,7 +6252,7 @@ object SparkEntry {
     // brute-force top-k, so the identical oracle binding applies.
     "q_ann_ivf" -> annExactTopKOracle,
     "q_ann_pq" -> annPqOracle(AnnPqM, AnnPqKsub, 5),
-    "q_ann_pq_trained" -> annPqTrainedOracle(AnnPqM, AnnPqKsub, 2, 5, 1000),
+    "q_ann_pq_trained" -> annPqTrainedOracle(AnnPqM, AnnPqKsub, AnnPqTrainedIters, 5, 1000),
     // IVFADC all-probe: cell partition is lossless, so the oracle is the
     // q_ann_pq ADC chain + exact-dot re-rank of the ADC top-20.
     "q_ann_ivfadc" -> annPqOracle(AnnPqM, AnnPqKsub, 5, rerank = AnnIvfAdcRerank),
