@@ -665,7 +665,8 @@ object Dedup {
                                shingleLen: Int = 2,
                                prefixFilter: Boolean = true,
                                blindCandidateLimit: Long = 200000000L,
-                               broadcastBudgetBytes: Long = 1L << 30): DataFrame = {
+                               broadcastBudgetBytes: Long = 1L << 30,
+                               blockFloorBytes: Long = 64L << 20): DataFrame = {
     // τ = 0 would break the documented blind ≡ prefix output-equality
     // contract: the blind join verifies jac = 0 pairs (disjoint or empty
     // shingle sets) that prefix postings can never generate.
@@ -695,40 +696,82 @@ object Dedup {
     // (a 100× run writes ~25 M verified rows to the distinct, not the
     // multi-billion-row candidate stream — re-scoring a pair once per
     // shared prefix hash costs ~2× CPU in a pipelined stage and zero
-    // I/O). Past the budget (the true 100 TB regime) the joins fall back
-    // to sort-merge with candidates deduped FIRST, where the answer is
-    // partition-batched verify, not a broadcast.
-    val bcVerify = !useBlind && {
+    // I/O). Past the budget (the true 100 TB regime) the verify runs
+    // BUDGET-BATCHED: candidates deduped FIRST (an ids-only exchange),
+    // sh1 fetched through ONE ids-plus-doc-table sort-merge join, and
+    // sh2 through budget-sized BROADCAST BLOCKS of the doc table in
+    // sequential passes — the array-carrying candidate stream never
+    // crosses an exchange. The r15 sf10 measurement forced the naive
+    // alternative (attach both arrays via two sort-merge joins) and it
+    // exceeded one box's disk at >70 GB of exchange before the verify:
+    // candidates × 400-byte incompressible hash arrays is the I/O wall
+    // the batching exists to remove. Exchange volume here is ids + the
+    // doc table itself, independent of candidate count; CPU adds one
+    // cheap candidate re-scan per pass.
+    val docBytesEst = {
       val st = base.agg(coalesce(sum(col("__len")), lit(0L)),
         count(lit(1))).head()
       // ~1.4 bytes of sorted shingle-hash payload per text character
       // (tokens ≈ chars/6, 8-byte hash per shingle) + row overhead
-      val est = st.getLong(0) * 14 / 10 + st.getLong(1) * 32
-      est <= broadcastBudgetBytes
+      st.getLong(0) * 14 / 10 + st.getLong(1) * 32
     }
-    val pairs =
-      if (useBlind) {
-        val b0 = base.select(col(idCol), col("__len"), (col("__len") / bucketWidth).cast("long").as("__b"))
-        val b1 = base.select(col(idCol), col("__len"), ((col("__len") / bucketWidth).cast("long") + 1).as("__b"))
-        val buckets = b0.unionAll(b1)
-        buckets.select(col("__b"), col(idCol).as("id1"), col("__len").as("__l1"))
-          .join(buckets.select(col("__b"), col(idCol).as("id2"), col("__len").as("__l2")), Seq("__b"))
-          // exact length gate: the two-bucket trick admits pairs up to 2W apart;
-          // re-checking |Δlen| ≤ W here halves the pairs the Jaccard pass scores
-          .where(col("id1") < col("id2") && abs(col("__l1") - col("__l2")) <= bucketWidth)
-          .select("id1", "id2").distinct()
-      } else
-        lengthBucketJaccardCandidates(df, idCol, textCol, threshold,
-          bucketWidth, shingleLen, dedup = !bcVerify)
-    val bcDocs: DataFrame => DataFrame =
-      if (bcVerify) d => broadcast(d) else identity
-    val verified = pairs
-      .join(bcDocs(docs.select(col(idCol).as("id1"), col("sh").as("sh1"))), "id1")
-      .join(bcDocs(docs.select(col(idCol).as("id2"), col("sh").as("sh2"))), "id2")
-      .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
-      .where(col("jac") >= threshold)
-      .select("id1", "id2", "jac")
-    if (bcVerify) verified.distinct() else verified
+    val bcVerify = !useBlind && docBytesEst <= broadcastBudgetBytes
+    if (useBlind) {
+      val b0 = base.select(col(idCol), col("__len"), (col("__len") / bucketWidth).cast("long").as("__b"))
+      val b1 = base.select(col(idCol), col("__len"), ((col("__len") / bucketWidth).cast("long") + 1).as("__b"))
+      val buckets = b0.unionAll(b1)
+      val pairs = buckets.select(col("__b"), col(idCol).as("id1"), col("__len").as("__l1"))
+        .join(buckets.select(col("__b"), col(idCol).as("id2"), col("__len").as("__l2")), Seq("__b"))
+        // exact length gate: the two-bucket trick admits pairs up to 2W apart;
+        // re-checking |Δlen| ≤ W here halves the pairs the Jaccard pass scores
+        .where(col("id1") < col("id2") && abs(col("__l1") - col("__l2")) <= bucketWidth)
+        .select("id1", "id2").distinct()
+      pairs
+        .join(docs.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+        .join(docs.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+        .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
+        .where(col("jac") >= threshold)
+        .select("id1", "id2", "jac")
+    } else if (bcVerify) {
+      val pairs = lengthBucketJaccardCandidates(df, idCol, textCol, threshold,
+        bucketWidth, shingleLen, dedup = false)
+      pairs
+        .join(broadcast(docs.select(col(idCol).as("id1"), col("sh").as("sh1"))), "id1")
+        .join(broadcast(docs.select(col(idCol).as("id2"), col("sh").as("sh2"))), "id2")
+        .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
+        .where(col("jac") >= threshold)
+        .select("id1", "id2", "jac")
+        .distinct()
+    } else {
+      // ABOVE-BUDGET batched verify. Block size = max(budget, 64 MiB)
+      // (the spec's budget = 0 forcing value still gets positive
+      // blocks); block key = xxhash64(id2) mod passes, so each pass's
+      // broadcast is ~docBytes/passes. Passes run as SEQUENTIAL jobs —
+      // exactly one block broadcast is live at a time, which is the
+      // memory contract that lets the doc table exceed every executor.
+      val cand = lengthBucketJaccardCandidates(df, idCol, textCol, threshold,
+        bucketWidth, shingleLen, dedup = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val blockBytes = math.max(broadcastBudgetBytes, blockFloorBytes)
+      val passes = math.max(1L, math.min(1024L,
+        (docBytesEst + blockBytes - 1) / blockBytes)).toInt
+      val docs1 = docs.select(col(idCol).as("id1"), col("sh").as("sh1"))
+      val docs2 = docs.select(col(idCol).as("id2"), col("sh").as("sh2"))
+      val parts = (0 until passes).map { j =>
+        val v = cand.where(pmod(xxhash64(col("id2")), lit(passes)) === lit(j))
+          .join(docs1, "id1") // ids-only left side: sort-merge exchange of longs
+          .join(broadcast(docs2.where(
+            pmod(xxhash64(col("id2")), lit(passes)) === lit(j))), "id2")
+          .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
+          .where(col("jac") >= threshold)
+          .select("id1", "id2", "jac")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        v.count() // materialize THIS pass before the next block broadcasts
+        v
+      }
+      cand.unpersist()
+      parts.reduce(_ unionAll _)
+    }
   }
 
   /** The scale-path candidate generator of [[lengthBucketJaccardPairs]]

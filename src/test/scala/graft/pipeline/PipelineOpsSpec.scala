@@ -319,6 +319,14 @@ class PipelineOpsSpec extends SparkSpec {
       bucketWidth = 8, shingleLen = 2, prefixFilter = true,
       blindCandidateLimit = -1L, broadcastBudgetBytes = 0L).orderBy("id1", "id2"))
     assert(sortMerge == filtered)
+    // batched verify with a 200-byte block floor: the doc table splits
+    // into MANY broadcast blocks (genuinely multi-pass — the single-pass
+    // degenerate above can't catch a block-key or pass-union bug)
+    val batched = rows(Dedup.lengthBucketJaccardPairs(docs, "doc_id", "text", 0.5,
+      bucketWidth = 8, shingleLen = 2, prefixFilter = true,
+      blindCandidateLimit = -1L, broadcastBudgetBytes = 0L,
+      blockFloorBytes = 200L).orderBy("id1", "id2"))
+    assert(batched == filtered)
   }
 
   test("cluster-rep modes equal pairs-then-duplicateClusters frame-for-frame") {
