@@ -279,6 +279,60 @@ object SparkEntry {
       }""".stripMargin
   }
 
+  /** q_ann_ivf_trained oracle: trained-centroid IVF replayed end to end —
+    * floor-quantized points, first-k-ids seeds, each Lloyd round
+    * unrolled (exact integer d² argmin with ties to the lower cid,
+    * floor-divided dimension means, empty cells keep their centroid —
+    * the q_kmeans chain verbatim), then corpus assignment + the query's
+    * nprobe nearest cells by the SAME argmin, and exact-cosine ranking
+    * within the probed cells (the q_ann_brute arithmetic). */
+  private def annIvfTrainedOracle(nCells: Int, iters: Int, nprobe: Int,
+                                  kq: Int, scale: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH c AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pts AS MATERIALIZED (SELECT id, CAST(i AS INTEGER) AS dim,
+         |  CAST(floor(CAST(v[i + 1] AS DOUBLE) * $scale) AS BIGINT) AS q
+         |  FROM c, (SELECT unnest(generate_series(0, 63)) AS i) gs),
+         |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cid
+         |  FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT $nCells)),
+         |c0 AS (SELECT init.cid, p.dim, p.q AS v FROM pts p JOIN init ON p.id = init.id)""".stripMargin)
+    (1 to iters).foreach { r =>
+      val prev = s"c${r - 1}"
+      sb.append(",\n")
+      sb.append(
+        s"""a$r AS (SELECT id, cid FROM (
+           |  SELECT p.id, c.cid,
+           |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY SUM((p.q - c.v) * (p.q - c.v)) ASC, c.cid ASC) AS rn
+           |  FROM pts p JOIN $prev c ON p.dim = c.dim GROUP BY p.id, c.cid) WHERE rn = 1),
+           |s$r AS (SELECT a.cid, p.dim, SUM(p.q) AS s, count(*) AS n FROM pts p JOIN a$r a ON p.id = a.id GROUP BY 1, 2),
+           |c$r AS MATERIALIZED (SELECT $prev.cid, $prev.dim,
+           |  CAST(COALESCE((s$r.s - (((s$r.s % s$r.n) + s$r.n) % s$r.n)) // s$r.n, $prev.v) AS BIGINT) AS v
+           |  FROM $prev LEFT JOIN s$r ON $prev.cid = s$r.cid AND $prev.dim = s$r.dim)""".stripMargin)
+    }
+    val fin = s"c$iters"
+    sb.append(",\n")
+    sb.append(
+      s"""asg AS (SELECT id, cid FROM (
+         |  SELECT p.id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY SUM((p.q - c.v) * (p.q - c.v)) ASC, c.cid ASC) AS rn
+         |  FROM pts p JOIN $fin c ON p.dim = c.dim GROUP BY p.id, c.cid) WHERE rn = 1),
+         |qp AS (SELECT id AS qid, cid FROM (
+         |  SELECT p.id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY SUM((p.q - c.v) * (p.q - c.v)) ASC, c.cid ASC) AS rn
+         |  FROM pts p JOIN $fin c ON p.dim = c.dim WHERE p.id < 10 GROUP BY p.id, c.cid) WHERE rn <= $nprobe),
+         |cand AS (SELECT qp.qid, a.id AS vec_id FROM qp JOIN asg a ON a.cid = qp.cid WHERE a.id <> qp.qid),
+         |sc AS (SELECT cand.qid, cand.vec_id,
+         |  list_inner_product(q.v, x.v) /
+         |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(x.v, x.v))) AS cos
+         |  FROM cand JOIN c q ON q.id = cand.qid JOIN c x ON x.id = cand.vec_id),
+         |r AS (SELECT qid, vec_id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc)
+         |SELECT qid, vec_id, round(cos, 6) AS cosine, rank
+         |FROM r WHERE rank <= $kq ORDER BY qid, rank""".stripMargin)
+    sb.toString
+  }
+
   /** q_ann_pq_trained oracle: the trained-codebook PQ path replayed in
     * SQL INCLUDING the training itself — inputs floor-quantized to
     * integers, seed sub-vectors from the scatter order, then each Lloyd
@@ -1508,6 +1562,27 @@ object SparkEntry {
   // move, settle, and empty-code COALESCE carries across rounds — the
   // oracle pins convergence BEHAVIOR, not just two steps.
   private val AnnPqTrainedIters = 4
+
+  private def qAnnIvfTrained(s: SparkSession, d: String): DataFrame = {
+    // TRAINED-centroid IVF with a genuine approximation (nprobe 2 of 8
+    // cells): centroids from 2 integer Lloyd rounds (kmeansQuantized —
+    // the q_kmeans arithmetic), cell assignment and probing by exact
+    // integer L2 argmin (ties to the lower cid), exact-cosine ranking
+    // within probed cells. The oracle unrolls the TRAINING and replays
+    // the approximation itself — the trained index layout is pinned,
+    // not a degenerate all-probe rewrite of brute force.
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.ivfTopKQuantized(emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 5, nCells = AnnIvfTrainedCells, nprobe = AnnIvfTrainedProbe,
+      iters = AnnIvfTrainedIters)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("qid", "rank")
+  }
+  private val AnnIvfTrainedCells = 8
+  private val AnnIvfTrainedProbe = 2
+  private val AnnIvfTrainedIters = 2
 
   private def qAnnIvfAdc(s: SparkSession, d: String): DataFrame = {
     // IVFADC composition (Similarity.ivfPqTopK): coarse IVF cell probe →
@@ -5519,6 +5594,7 @@ object SparkEntry {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_pq_trained" -> (qAnnPqTrained _),
     "q_ann_ivfadc" -> (qAnnIvfAdc _),
+    "q_ann_ivf_trained" -> (qAnnIvfTrained _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -6256,6 +6332,10 @@ object SparkEntry {
     // IVFADC all-probe: cell partition is lossless, so the oracle is the
     // q_ann_pq ADC chain + exact-dot re-rank of the ADC top-20.
     "q_ann_ivfadc" -> annPqOracle(AnnPqM, AnnPqKsub, 5, rerank = AnnIvfAdcRerank),
+    // Trained-centroid IVF, nprobe 2 of 8: the training AND the
+    // approximation replayed (Lloyd unroll + argmin probe + cosine).
+    "q_ann_ivf_trained" -> annIvfTrainedOracle(AnnIvfTrainedCells,
+      AnnIvfTrainedIters, AnnIvfTrainedProbe, 5, 1000),
     "q_dedup_embedding" ->
       s"""$lshCandidateCtes
          |SELECT id1, id2, round(cos, 6) AS cosine FROM cand WHERE cos >= 0.25

@@ -165,6 +165,66 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
   }
 
+  /** IVF top-k over TRAINED quantized centroids — the trained sibling of
+    * [[ivfTopK]] whose whole index build is SQL-replayable: centroids
+    * come from [[kmeansQuantized]] (floor-quantized integer Lloyd
+    * rounds — exact integer assignment with ties to the lower cid,
+    * integer floor-division mean updates, empty cells keep their
+    * centroid), corpus cell assignment and query cell PROBING use the
+    * same exact integer L2 argmin (the discriminant Σc² − 2·x·c differs
+    * from Σ(x−c)² by a per-point constant, so argmin and tie order are
+    * identical — every value stays below 2^53 so double arithmetic is
+    * exact), and the within-cell ranking is the exact cosine over RAW
+    * vectors (bit-parity with DuckDB's list_inner_product, the
+    * q_ann_brute contract). With nprobe < nCells this is a GENUINE
+    * approximation whose oracle replays the approximation itself —
+    * training unrolled round by round — not a degenerate exact config:
+    * the trained-centroid layout, not just two update steps, is pinned. */
+  def ivfTopKQuantized(corpus: DataFrame, corpusId: String, corpusVec: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int, nCells: Int, nprobe: Int, iters: Int,
+                       scale: Int = 1000): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells, "ivfTopKQuantized: need 1 <= nprobe <= nCells")
+    val cb = kmeansQuantized(corpus, corpusId, corpusVec, nCells, iters, scale)
+    // k × dim integer centroids — bounded index metadata (the
+    // ivfCentroids precedent), broadcast as literals into codegen
+    val cents: Array[Array[Long]] = {
+      val byCid = cb.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2))).groupBy(_._1)
+      (0 until nCells).map(i => byCid(i).sortBy(_._2).map(_._3)).toArray
+    }
+    def qz(v: Column) =
+      transform(v, x => floor(x * lit(scale.toDouble)).cast("double"))
+    def disc(q: Column, c: Array[Long]): Column =
+      lit(c.map(v => v.toDouble * v).sum) -
+        lit(2.0) * dot(q, array(c.map(v => lit(v.toDouble)): _*))
+    def cellStructs(q: Column) = cents.zipWithIndex.map { case (c, i) =>
+      struct(disc(q, c).as("s"), lit(i).as("i"))
+    }
+    val corp = corpus.select(col(corpusId), asDoubleVec(col(corpusVec)).as("__cv"))
+      .withColumn("__q", qz(col("__cv")))
+    val corpScored = cellStructs(col("__q"))
+    val corpBest = if (corpScored.length == 1) corpScored.head else least(corpScored: _*)
+    val corpCell = corp.withColumn("__cell", corpBest.getField("i"))
+      .select(col(corpusId), col("__cv"), col("__cell"))
+    val qr = queries.select(col(queryId), asDoubleVec(col(queryVec)).as("__qv"))
+      .withColumn("__q", qz(col("__qv")))
+      // ascending (disc, cid): nearest cells first, ties to the LOWER
+      // cid — the same tie kmeansQuantized's least() makes, so a query
+      // always probes the cell its own exact duplicate landed in
+      .withColumn("__cells", sort_array(array(cellStructs(col("__q")): _*)))
+      .select(col(queryId), col("__qv"),
+        explode(transform(slice(col("__cells"), 1, nprobe), s => s.getField("i")))
+          .as("__cell"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    qr.join(corpCell, Seq("__cell"))
+      .where(col(corpusId) =!= col(queryId))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
   /** SemDeDup — semantic near-duplicate pruning over an embedding column
     * (the k-means-cluster-then-compare-within-cluster recipe from the
     * SemDeDup paper, arXiv:2303.09540): assign each vector to its nearest

@@ -20,6 +20,16 @@ class AnnAndSaltSpec extends SparkSpec {
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall $recall too low (nprobe=4 of 8 cells)")
     assert(ivf.size <= brute.size)
+    // trained-centroid sibling (q_ann_ivf_trained constants: 2 Lloyd
+    // rounds, nprobe 2 of 8) — this spec owns its QUALITY contract; the
+    // gate owns the exact replay. All-probe must be exact top-k.
+    val ivfT = pairs(Similarity.ivfTopKQuantized(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 5, nCells = 8, nprobe = 2, iters = 2))
+    val recallT = brute.intersect(ivfT).size.toDouble / brute.size
+    assert(recallT >= 0.3, s"trained-IVF recall $recallT too low (nprobe=2 of 8 trained cells)")
+    val ivfTAll = pairs(Similarity.ivfTopKQuantized(emb, "vec_id", "embedding",
+      q, "qid", "qv", k = 5, nCells = 8, nprobe = 8, iters = 2))
+    assert(ivfTAll == brute, "all-probe trained IVF must equal exact top-k")
   }
 
   test("graph ANN: NN-descent graph + beam search recall vs brute force; " +
