@@ -749,13 +749,42 @@ object Dedup {
       // broadcast is ~docBytes/passes. Passes run as SEQUENTIAL jobs —
       // exactly one block broadcast is live at a time, which is the
       // memory contract that lets the doc table exceed every executor.
+      //
+      // EAGER EXECUTION: unlike every other branch of this function,
+      // this path RUNS ITS JOBS AT CALL TIME (one per pass, plus one
+      // materialization of the combined result) — sequential passes are
+      // the one-block-live contract, and Spark has no lazy "run these
+      // jobs in order" plan node. The returned frame reads the persisted
+      // verified-pair result (output-sized, jac >= tau survivors only);
+      // all per-pass intermediates are unpersisted before returning.
+      val rawPasses = (docBytesEst + blockFloorBytes - 1) /
+        math.max(blockFloorBytes, 1L)
+      // NO SILENT CAP: 1024 sequential broadcast passes is already past
+      // any practical job count — beyond it each block would silently
+      // exceed broadcastBudgetBytes, breaking the stated memory
+      // contract in exactly the 100 TB regime this path serves.
+      require(rawPasses <= 1024L,
+        s"lengthBucketJaccardPairs: batched verify needs $rawPasses passes " +
+        s"(docBytesEst=$docBytesEst, blockFloorBytes=$blockFloorBytes) — " +
+        "more than the 1024-sequential-job bound; raise broadcastBudgetBytes/" +
+        "blockFloorBytes (bigger blocks) or pre-partition the corpus")
+      val blockBytes = math.max(broadcastBudgetBytes, blockFloorBytes)
+      val passes = math.max(1L,
+        (docBytesEst + blockBytes - 1) / blockBytes).toInt
+      if (passes > 1) org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"lengthBucketJaccardPairs batched verify: $passes passes, " +
+        s"~${docBytesEst / passes} bytes/block (docBytesEst=$docBytesEst)")
       val cand = lengthBucketJaccardCandidates(df, idCol, textCol, threshold,
         bucketWidth, shingleLen, dedup = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val blockBytes = math.max(broadcastBudgetBytes, blockFloorBytes)
-      val passes = math.max(1L, math.min(1024L,
-        (docBytesEst + blockBytes - 1) / blockBytes)).toInt
+      // sh1 fetch side: shuffled+sorted by id1 ONCE and cached — the r15
+      // shape re-exchanged the full docs1 side in every pass (total
+      // exchange = passes x docBytes); each pass's sort-merge join now
+      // reads the cached partitioning (cache reports its child's
+      // partitioning/ordering, so only the pass's candidate ids shuffle)
       val docs1 = docs.select(col(idCol).as("id1"), col("sh").as("sh1"))
+        .repartition(col("id1")).sortWithinPartitions("id1")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val docs2 = docs.select(col(idCol).as("id2"), col("sh").as("sh2"))
       val parts = (0 until passes).map { j =>
         val v = cand.where(pmod(xxhash64(col("id2")), lit(passes)) === lit(j))
@@ -769,8 +798,13 @@ object Dedup {
         v.count() // materialize THIS pass before the next block broadcasts
         v
       }
+      val out = parts.reduce(_ unionAll _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize so every intermediate below can release
+      parts.foreach(_.unpersist())
+      docs1.unpersist()
       cand.unpersist()
-      parts.reduce(_ unionAll _)
+      out
     }
   }
 
@@ -780,8 +814,11 @@ object Dedup {
     * measure EXACTLY the pair set the engine's verify stage consumes.
     * Returns (id1, id2), id1 < id2 — distinct when `dedup` (the audit /
     * sort-merge-verify shape); with `dedup = false` a qualifying pair
-    * appears once per shared prefix hash (the broadcast-verify shape,
-    * where dedup runs cheaper after the jac filter). */
+    * appears once per shared prefix hash whose profile pair survives
+    * the filters (twice when the two docs share the full posting
+    * profile — the self-pair expansion emits both orderings) — the
+    * broadcast-verify shape, where dedup runs cheaper after the jac
+    * filter. */
   private[graft] def lengthBucketJaccardCandidates(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       bucketWidth: Int = 8, shingleLen: Int = 2,
@@ -804,12 +841,33 @@ object Dedup {
           .as(Seq("__pos0", "__h")))
       .select(col(idCol), col("__m"), (col("__pos0") + 1).as("__pos"), col("__h"))
       .join(base, idCol)
-    val l = pre.select(col("__h"), col(idCol).as("id1"), col("__m").as("m1"),
-      col("__pos").as("pos1"), col("__len").as("__l1"))
-    val r = pre.select(col("__h"), col(idCol).as("id2"), col("__m").as("m2"),
-      col("__pos").as("pos2"), col("__len").as("__l2"))
-    val cand = l.join(r, Seq("__h"))
-      .where(col("id1") < col("id2")
+    // POSTING-PROFILE COLLAPSE (see prefixFilterJaccardCore): every
+    // candidate predicate below reads only (m, pos, len) of the two
+    // sides, so the join runs over distinct (hash, m, pos, len)
+    // profiles and expands surviving profile pairs to document pairs —
+    // the near-dup replica clique (identical shingle sets, lengths and
+    // prefixes, distinct ids) collapses from C(k,2) emitted join rows
+    // per prefix hash to ONE evaluated self-pair row. One posting-sized
+    // exchange + in-task chunk expansion, as in the core.
+    val preP = pre.repartition(col("__h"), col("__m"), col("__pos"), col("__len"))
+    val prof = preP.groupBy("__h", "__m", "__pos", "__len")
+      .agg(count(lit(1)).as("__n"))
+    val chunks = preP.groupBy(col("__h"), col("__m"), col("__pos"), col("__len"),
+        pmod(xxhash64(col(idCol)), lit(4096)).as("__c"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+    val l = prof.select(col("__h"), col("__m").as("m1"),
+      col("__pos").as("pos1"), col("__len").as("__l1"), col("__n").as("n1"))
+    val r = prof.select(col("__h"), col("__m").as("m2"),
+      col("__pos").as("pos2"), col("__len").as("__l2"), col("__n").as("n2"))
+    val profPairs = l.join(r, Seq("__h"))
+      // unordered profile pairs: lexicographic (m, pos, len); equality
+      // on all three is the SELF pair, kept only with >= 2 members
+      .where((col("m1") < col("m2")
+          || (col("m1") === col("m2") && col("pos1") < col("pos2"))
+          || (col("m1") === col("m2") && col("pos1") === col("pos2")
+              && col("__l1") < col("__l2"))
+          || (col("m1") === col("m2") && col("pos1") === col("pos2")
+              && col("__l1") === col("__l2") && col("n1") >= 2))
         // the length-bucket SEMANTICS, as a row predicate: the pair
         // must share one of the two buckets AND pass the |Δlen| gate
         && abs(col("__l1") - col("__l2")) <= bucketWidth
@@ -821,7 +879,20 @@ object Dedup {
         // PPJoin positional filter (1e-9 slack: rounding can only KEEP)
         && (lit(1.0) + least(col("m1") - col("pos1"), col("m2") - col("pos2")).cast("double"))
           >= tau * (col("m1") + col("m2")).cast("double") / (lit(1.0) + tau) - lit(1e-9))
-      .select("id1", "id2")
+      .select(col("__h"), col("m1"), col("pos1"), col("__l1"),
+        col("m2"), col("pos2"), col("__l2"))
+    val cand = profPairs
+      .join(chunks.select(col("__h"), col("__m").as("m1"), col("__pos").as("pos1"),
+        col("__len").as("__l1"), col("__ids").as("__ids1")),
+        Seq("__h", "m1", "pos1", "__l1"))
+      .join(chunks.select(col("__h"), col("__m").as("m2"), col("__pos").as("pos2"),
+        col("__len").as("__l2"), col("__ids").as("__ids2")),
+        Seq("__h", "m2", "pos2", "__l2"))
+      .select(explode(col("__ids1")).as("__a"), col("__ids2"))
+      .select(col("__a"), explode(col("__ids2")).as("__b"))
+      .where(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"))
     if (dedup) cand.distinct() else cand
   }
 
@@ -935,24 +1006,33 @@ object Dedup {
     if (!collapseExact) return prefixFilterJaccardCore(allToks, threshold)
     // EXACT-SET PRE-COLLAPSE: Jaccard and every candidate filter here
     // depend ONLY on the distinct token set, so docs with identical sets
-    // are interchangeable — group them BY THE SORTED TOKEN-HASH ARRAY
-    // ITSELF (not a second xxhash64 of it: that would stack an extra
-    // 64-bit collision layer on top of the standing per-token trade,
-    // silently merging distinct sets; the array is the same shuffle-key
-    // size class), run the posting join on
-    // one min-id REPRESENTATIVE per group, and expand rep pairs back to
-    // member pairs afterwards (within-group pairs are jac = 1.0 exactly:
-    // identical sorted arrays). On dup-dense corpora (boilerplate,
+    // are interchangeable — group them by the COMPOSITE NARROW KEY
+    // (xxhash64(sorted hash array), set size, xxhash64(reversed array)):
+    // 24 bytes per shuffle key instead of the full 8·m-byte array the
+    // r15 code carried. The r15 concern (a single second-layer xxhash64
+    // stacks a fresh 64-bit collision on the standing per-token trade)
+    // is answered by the triple: merging two DISTINCT sets needs equal
+    // sizes plus simultaneous collision of two independent hash streams
+    // (forward and reversed element order) — ~2^-128 per pair, far
+    // below the per-token xxhash64 trade every verify already accepts.
+    // The posting join runs on one min-id REPRESENTATIVE per group, and
+    // rep pairs expand back to member pairs afterwards (within-group
+    // pairs are jac = 1.0 exactly). On dup-dense corpora (boilerplate,
     // mirrors — where exact copies dominate the dup mass) this removes
     // the clique-quadratic term from the POSTING volume, paying it only
     // in the output expansion, which is the answer's own size. The
     // expansion provably reproduces the uncollapsed output pair-for-pair.
-    val grouped = allToks.withColumn("__g",
-      sort_array(transform(col("__t"), t => xxhash64(t))))
-    val reps = grouped.groupBy("__g")
+    val gk = Seq("__g1", "__g2", "__g3")
+    val grouped = allToks
+      .withColumn("__arr", sort_array(transform(col("__t"), t => xxhash64(t))))
+      .select(col("__id"), col("__t"), xxhash64(col("__arr")).as("__g1"),
+        size(col("__arr")).as("__g2"), xxhash64(reverse(col("__arr"))).as("__g3"))
+    val narrow = grouped.select((gk.map(col) :+ col("__id")): _*)
+    val reps = narrow.groupBy(gk.map(col): _*)
       .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
-    val membership = grouped.join(reps, "__g")
-      .select(col("__g"), col("__id"), col("__rep"), col("__n"))
+    val membership = narrow.join(reps, gk)
+      .select(col("__g1"), col("__g2"), col("__g3"),
+        col("__id"), col("__rep"), col("__n"))
     val repToks = grouped.join(
       reps.select(col("__rep").as("__id")), Seq("__id"), "left_semi")
       .select(col("__id"), col("__t"))
@@ -963,8 +1043,8 @@ object Dedup {
       .select(least(col("__a1"), col("__a2")).as("id1"),
         greatest(col("__a1"), col("__a2")).as("id2"), col("jac"))
     val mSmall = membership.where(col("__n") > 1)
-    val within = mSmall.select(col("__g"), col("__id").as("id1"))
-      .join(mSmall.select(col("__g"), col("__id").as("id2")), Seq("__g"))
+    val within = mSmall.select((gk.map(col) :+ col("__id").as("id1")): _*)
+      .join(mSmall.select((gk.map(col) :+ col("__id").as("id2")): _*), gk)
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), lit(1.0).as("jac"))
     cross.unionAll(within)
@@ -1000,11 +1080,16 @@ object Dedup {
     val allToks = df.select(col(idCol).as("__id"),
         array_distinct(expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')")).as("__t"))
       .where(size(col("__t")) > 0)
-    val grouped = allToks.withColumn("__g",
-      sort_array(transform(col("__t"), t => xxhash64(t))))
-    val reps = grouped.groupBy("__g")
+    // composite narrow collapse key — see prefixFilterJaccardPairs
+    val gk = Seq("__g1", "__g2", "__g3")
+    val grouped = allToks
+      .withColumn("__arr", sort_array(transform(col("__t"), t => xxhash64(t))))
+      .select(col("__id"), col("__t"), xxhash64(col("__arr")).as("__g1"),
+        size(col("__arr")).as("__g2"), xxhash64(reverse(col("__arr"))).as("__g3"))
+    val narrow = grouped.select((gk.map(col) :+ col("__id")): _*)
+    val reps = narrow.groupBy(gk.map(col): _*)
       .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
-    val membership = grouped.join(reps, "__g")
+    val membership = narrow.join(reps, gk)
       .select(col("__id"), col("__rep"), col("__n"))
     val repToks = grouped.join(
       reps.select(col("__rep").as("__id")), Seq("__id"), "left_semi")
@@ -1038,13 +1123,21 @@ object Dedup {
                                   broadcastBudgetBytes: Long = 1L << 30): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "lengthBucketJaccardClusters: threshold must be in (0, 1]")
+    // composite narrow collapse key over the (sorted shingle-hash set,
+    // exact text length) pair — see prefixFilterJaccardPairs for the
+    // 24-byte triple's collision arithmetic; __len rides along as a
+    // fourth 8-byte key column because the pair contract is length-gated
+    val gk = Seq("__g1", "__g2", "__g3", "__len")
     val keyed = df.select(col(idCol).as("__id"),
-      graft.functions.ShingleHashExpression.shingle_hash_sorted(
-        TextAnalysis.tokens(col(textCol)), shingleLen).as("__sh"),
-      length(col(textCol)).as("__len"))
-    val reps = keyed.groupBy("__sh", "__len")
+        graft.functions.ShingleHashExpression.shingle_hash_sorted(
+          TextAnalysis.tokens(col(textCol)), shingleLen).as("__sh"),
+        length(col(textCol)).as("__len"))
+      .select(col("__id"), xxhash64(col("__sh")).as("__g1"),
+        size(col("__sh")).as("__g2"), xxhash64(reverse(col("__sh"))).as("__g3"),
+        col("__len"))
+    val reps = keyed.groupBy(gk.map(col): _*)
       .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
-    val membership = keyed.join(reps, Seq("__sh", "__len"))
+    val membership = keyed.join(reps, gk)
       .select(col("__id"), col("__rep"), col("__n"))
     val repDf = df.join(reps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
     val repPairs = lengthBucketJaccardPairs(repDf, idCol, textCol, threshold,
@@ -1062,7 +1155,36 @@ object Dedup {
   /** The posting-join core of [[prefixFilterJaccardPairs]]: takes the
     * (__id, __t distinct-token-array) frame and returns verified
     * (id1, id2, jac). Factored out so the exact-set pre-collapse can run
-    * it over group representatives only. */
+    * it over group representatives only.
+    *
+    * POSTING-PROFILE COLLAPSE (r16, the PPJoin+-class prune adapted to
+    * the shuffle cost model): every candidate filter here — size and
+    * positional — is a function of ONLY (set size m, prefix position
+    * pos) of the two sides, so posting rows agreeing on
+    * (token, m, pos) are interchangeable to the candidate join. The
+    * join therefore runs over DISTINCT PROFILES (one row per
+    * (token, m, pos), however many documents share it) and expands only
+    * the SURVIVING profile pairs back to document pairs. On the
+    * adversarial near-dup clique (k replicas of one document, each a
+    * distinct token set so the exact-set collapse never fires) all k
+    * members post the IDENTICAL profile for every shared prefix token:
+    * the old join emitted C(k,2) rows per token and filtered them
+    * after emission — the measured 4.77 B-row posting quadratic at the
+    * sf3 replica, wall ∝ postings — while the profile join emits ONE
+    * self-pair row, evaluates the filter once, and expands nothing when
+    * it fails. Emission is now Θ(distinct profiles² per token) +
+    * Θ(surviving candidate pairs) — the second term is bounded below by
+    * the verify's own input, so no recall-safe generator can beat it.
+    * Recall-exact: a document pair sharing a prefix token passes the old
+    * per-row filter iff its profile pair passes the same predicate, and
+    * the membership expansion reproduces exactly those pairs.
+    *
+    * Why not PPJoin+'s recursive suffix filter instead: it prunes
+    * per-CANDIDATE verify CPU via O(log m) suffix probes, but needs
+    * suffix tokens attached to every posting row (a width regression on
+    * the posting exchange) and runs AFTER the quadratic emission the
+    * profile collapse removes; on this engine's measured walls the
+    * emission, not the verify arithmetic, is the superlinear term. */
   private def prefixFilterJaccardCore(toks: DataFrame,
                                       threshold: Double): DataFrame = {
     val tau = lit(threshold)
@@ -1079,17 +1201,58 @@ object Dedup {
         posexplode(expr("transform(slice(__st, 1, __p), x -> x.__tok)"))
           .as(Seq("__pos0", "__tok")))
       .select(col("__id"), col("__m"), (col("__pos0") + 1).as("__pos"), col("__tok"))
-    val l = pre.select(col("__tok"), col("__id").as("id1"),
-      col("__m").as("m1"), col("__pos").as("pos1"))
-    val r = pre.select(col("__tok"), col("__id").as("id2"),
-      col("__m").as("m2"), col("__pos").as("pos2"))
-    val cand = l.join(r, Seq("__tok"))
-      .where(col("id1") < col("id2")
+    // ONE posting-sized exchange: both the profile census and the
+    // chunked member lists aggregate over the same repartition (a
+    // subset-key hash partitioning satisfies both groupings, and the
+    // expansion joins below read the aggregated side's alias-propagated
+    // partitioning), so postings cross the wire once where the r15
+    // shape crossed twice.
+    val preP = pre.repartition(col("__tok"), col("__m"), col("__pos"))
+    // one row per (token, m, pos) profile; __n = member count so a
+    // singleton self-pair (which cannot yield a document pair) is
+    // dropped before the join, not after expansion
+    val prof = preP.groupBy("__tok", "__m", "__pos")
+      .agg(count(lit(1)).as("__n"))
+    // member ids per profile in FIXED 4096-way hash chunks: the
+    // expansion explodes chunk-pair id arrays IN-TASK, so the expanded
+    // candidate stream never crosses an exchange (the wire carries
+    // postings + surviving profile/chunk keys only). 4096 buckets bound
+    // a chunk at ~n/4096 members — a single profile would need ~10^10
+    // interchangeable near-identical docs (exact dups collapse
+    // upstream) before chunk rows got heavy.
+    val chunks = preP.groupBy(col("__tok"), col("__m"), col("__pos"),
+        pmod(xxhash64(col("__id")), lit(4096)).as("__c"))
+      .agg(collect_list(col("__id")).as("__ids"))
+    val l = prof.select(col("__tok"), col("__m").as("m1"),
+      col("__pos").as("pos1"), col("__n").as("n1"))
+    val r = prof.select(col("__tok"), col("__m").as("m2"),
+      col("__pos").as("pos2"), col("__n").as("n2"))
+    // unordered profile pairs: lexicographic (m, pos) — equality means
+    // the SAME profile row (the key is (token, m, pos)), i.e. the
+    // self-pair, kept only when the profile has >= 2 members
+    val profPairs = l.join(r, Seq("__tok"))
+      .where((col("m1") < col("m2")
+          || (col("m1") === col("m2") && col("pos1") < col("pos2"))
+          || (col("m1") === col("m2") && col("pos1") === col("pos2")
+              && col("n1") >= 2))
         && col("m2") >= minOverlap(tau, col("m1"))
         && col("m1") >= minOverlap(tau, col("m2"))
         && (lit(1.0) + least(col("m1") - col("pos1"), col("m2") - col("pos2")).cast("double"))
           >= tau * (col("m1") + col("m2")).cast("double") / (lit(1.0) + tau) - lit(1e-9))
-      .select("id1", "id2").distinct()
+      .select(col("__tok"), col("m1"), col("pos1"), col("m2"), col("pos2"))
+    val cand = profPairs
+      .join(chunks.select(col("__tok"), col("__m").as("m1"),
+        col("__pos").as("pos1"), col("__ids").as("__ids1")),
+        Seq("__tok", "m1", "pos1"))
+      .join(chunks.select(col("__tok"), col("__m").as("m2"),
+        col("__pos").as("pos2"), col("__ids").as("__ids2")),
+        Seq("__tok", "m2", "pos2"))
+      .select(explode(col("__ids1")).as("__a"), col("__ids2"))
+      .select(col("__a"), explode(col("__ids2")).as("__b"))
+      .where(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"))
+      .distinct()
     val hashed = toks.select(col("__id"),
       sort_array(transform(col("__t"), t => xxhash64(t))).as("__sh"))
     cand

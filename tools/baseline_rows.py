@@ -15,10 +15,17 @@ sf1_s comes from the scaling tables; --sf1 FILE merges a full-suite sf1
 bench JSONL into sf1_s for every query (recorded_at kept per-field).
 
 Usage: python tools/baseline_rows.py [--fill bench.jsonl] [--sf1 bench.jsonl]
-       [--round r8]
+       [--round r8] [--exponents]
+--exponents (r16, verdict item #8): instead of writing the ledger, print a
+markdown table of the per-query scaling exponent alpha(0.1->1) =
+ln(sf1_s/sf0.1_s)/ln(10) for every ledger row that has both walls, flagging
+everything above 1.3 — superlinear movers surface automatically instead of
+by hand-picked headline queries. Sub-second sf0.1 walls are noted (their
+exponent is floor-dominated and reads LOW, never high — a flag there is
+real).
 Driver-side tooling only; the Scala library reads the JSON in tests.
 """
-import re, json, sys, os
+import re, json, sys, os, math
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MD = os.path.join(ROOT, "BASELINE.md")
@@ -30,6 +37,31 @@ def opt(name):
 fill = opt("--fill")
 sf1f = opt("--sf1")
 rnd = opt("--round") or "r8"
+
+if "--exponents" in args:
+    ledger = json.load(open(OUT))
+    rows = []
+    for q, e in sorted(ledger.items()):
+        a, b = e.get("sf0.1_s"), e.get("sf1_s")
+        if a and b and a > 0 and b > 0:
+            rows.append((q, a, b, math.log(b / a) / math.log(10)))
+    rows.sort(key=lambda r: -r[3])
+    print("| query | sf0.1_s | sf1_s | alpha(0.1->1) | note |")
+    print("|---|---|---|---|---|")
+    flagged = []
+    for q, a, b, al in rows:
+        notes = []
+        if al > 1.3:
+            notes.append("**FLAG > 1.3**")
+            flagged.append(q)
+        if a < 1.0:
+            notes.append("sub-second sf0.1 (floor-dominated)")
+        print(f"| {q} | {a:.2f} | {b:.2f} | {al:.2f} | {'; '.join(notes)} |")
+    n_miss = sum(1 for e in ledger.values()
+                 if not (e.get("sf0.1_s") and e.get("sf1_s")))
+    print(f"\n{len(rows)} queries with both walls; {n_miss} missing a wall; "
+          f"{len(flagged)} flagged > 1.3: {' '.join(flagged) or '(none)'}")
+    sys.exit(0)
 
 lines = open(MD).read().splitlines()
 # canonical zone: after the round-6 CURRENT header, before the superseded
