@@ -418,6 +418,51 @@ object Streams {
     * exactly the production contract: a blocklist refresh is not
     * retroactive over committed output). No state store is involved:
     * the anti-join re-executes per micro-batch. */
+  /** Total bytes of regular files under `p` (0 if absent) — sizes the
+    * state-partition derivation below. */
+  private[graft] def dirBytes(p: java.nio.file.Path): Long = {
+    import java.nio.file.Files
+    if (!Files.exists(p)) 0L
+    else {
+      val walk = Files.walk(p)
+      try walk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
+      finally walk.close()
+    }
+  }
+
+  /** Run `body` (which starts + awaits one streaming query) with
+    * `spark.sql.shuffle.partitions` — the STATE partition count for every
+    * stateful streaming operator — derived from the input size instead of
+    * inherited from the session's core-count constant.
+    *
+    * Why (optimization guide §2, measured r16): a stateful micro-batch
+    * pays one state-store load + commit PER PARTITION PER STORE PER BATCH
+    * (a stream-stream join holds 4 stores per partition), so with the
+    * session's 32 partitions a ZERO-row batch measured 2.6 s of pure
+    * store-file protocol on a 2 MB input. State partitions should scale
+    * with STATE VOLUME, not with the local core count: the derivation
+    * targets ~32 MB of input per state partition and NEVER EXCEEDS the
+    * session's own setting — at 100 TB the derivation saturates and the
+    * cluster's configured shuffle parallelism wins; on small inputs the
+    * per-partition protocol floor stops multiplying. Override with
+    * SPARK_GRAFT_STREAM_STATE_PARTITIONS for cluster deployments that
+    * want an explicit value.
+    *
+    * Restart safety: Spark pins the value in the checkpoint's offset-log
+    * metadata and reuses it on resume, so a gate's two runs cannot
+    * diverge; the conf is restored for the surrounding batch work. */
+  private[graft] def withStatePartitions[A](spark: SparkSession,
+                                            inputBytes: Long)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val cap = try prev.toLong catch { case _: NumberFormatException => 200L }
+    val derived = math.max(1L, math.min(cap, inputBytes / (32L << 20) + 1))
+    val chosen = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS",
+      derived.toString)
+    spark.conf.set(key, chosen)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Recursively delete a directory tree if present — shared by the gate
     * harnesses so a fix to the walk applies everywhere at once. */
   private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit = {
@@ -485,6 +530,9 @@ object Streams {
       block, "block_v1")
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
+    // no state-partition override: the stream-static anti-join holds no
+    // state store (re-executed per batch), so there is no per-partition
+    // store protocol to amortize — see cdcStreamGate's note.
     val blockSchema = StructType(Seq(StructField("user_id", LongType)))
     def runToCompletion(): Unit = {
       val stream = readEvents(spark, in.toString, glob = "events*.parquet")
@@ -548,7 +596,8 @@ object Streams {
     }
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
-    def runToCompletion(): Unit = {
+    val inBytes = dirBytes(in)
+    def runToCompletion(): Unit = withStatePartitions(spark, inBytes) {
       val q = parquetSink(
         pipeline(() => readEvents(spark, in.toString, glob = "events*.parquet")),
         outDir, ckpt, trigger = Some(Trigger.AvailableNow()))
@@ -613,6 +662,10 @@ object Streams {
       "cdcStreamGate: phase schemas must match")
     stageParquetParts(phase1, work, in, "changes_a")
     val ckpt = work.resolve("ckpt").toString
+    // no state-partition override here: foreachBatch holds no state
+    // store (the versioned parquet image IS the state), and the inner
+    // applyChangeLog join is plain batch compute where AQE sizes the
+    // exchanges — shrinking its parallelism only serializes the join.
     def runToCompletion(): Unit = {
       val stream = spark.readStream.schema(changeSchema)
         .option("pathGlobFilter", "changes*.parquet").parquet(in.toString)
@@ -673,6 +726,8 @@ object Streams {
       "incrementalAggStreamGate: phase schemas must match")
     stageParquetParts(phase1, work, in, "changes_a")
     val ckpt = work.resolve("ckpt").toString
+    // no state-partition override: foreachBatch, stateless — see
+    // cdcStreamGate's note.
     def runToCompletion(): Unit = {
       val stream = spark.readStream.schema(changeSchema)
         .option("pathGlobFilter", "changes*.parquet").parquet(in.toString)
@@ -792,7 +847,8 @@ object Streams {
     stageParquetParts(docs.where(col("doc_id") % 2 === 0), work, in, "docs_a")
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
-    def runToCompletion(): Unit = {
+    val inBytes = dirBytes(in)
+    def runToCompletion(): Unit = withStatePartitions(spark, inBytes) {
       val stream = spark.readStream.schema(docSchema)
         .option("pathGlobFilter", "docs*.parquet").parquet(in.toString)
       val q = streamingNearDupCandidates(stream, "doc_id", "text",
