@@ -1000,9 +1000,15 @@ object Dedup {
                                collapseExact: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "prefixFilterJaccardPairs: threshold must be in (0, 1]")
+    // one native tokenize+hash+sort pass per doc (n=1 shingles = unigram
+    // token hashes, values identical to xxhash64(token)); everything
+    // downstream — collapse keys, postings, verify — reads this 8-byte
+    // signature array, never token text
     val allToks = df.select(col(idCol).as("__id"),
-        array_distinct(expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')")).as("__t"))
-      .where(size(col("__t")) > 0)
+        expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w0"))
+      .where(size(col("__w0")) > 0)
+      .select(col("__id"), graft.functions.ShingleHashExpression
+        .shingle_hash_sorted(col("__w0"), 1).as("__sh"))
     if (!collapseExact) return prefixFilterJaccardCore(allToks, threshold)
     // EXACT-SET PRE-COLLAPSE: Jaccard and every candidate filter here
     // depend ONLY on the distinct token set, so docs with identical sets
@@ -1024,9 +1030,8 @@ object Dedup {
     // expansion provably reproduces the uncollapsed output pair-for-pair.
     val gk = Seq("__g1", "__g2", "__g3")
     val grouped = allToks
-      .withColumn("__arr", sort_array(transform(col("__t"), t => xxhash64(t))))
-      .select(col("__id"), col("__t"), xxhash64(col("__arr")).as("__g1"),
-        size(col("__arr")).as("__g2"), xxhash64(reverse(col("__arr"))).as("__g3"))
+      .select(col("__id"), col("__sh"), xxhash64(col("__sh")).as("__g1"),
+        size(col("__sh")).as("__g2"), xxhash64(reverse(col("__sh"))).as("__g3"))
     val narrow = grouped.select((gk.map(col) :+ col("__id")): _*)
     val reps = narrow.groupBy(gk.map(col): _*)
       .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
@@ -1035,7 +1040,7 @@ object Dedup {
         col("__id"), col("__rep"), col("__n"))
     val repToks = grouped.join(
       reps.select(col("__rep").as("__id")), Seq("__id"), "left_semi")
-      .select(col("__id"), col("__t"))
+      .select(col("__id"), col("__sh"))
     val repPairs = prefixFilterJaccardCore(repToks, threshold)
     val cross = repPairs
       .join(membership.select(col("__rep").as("id1"), col("__id").as("__a1")), "id1")
@@ -1077,15 +1082,17 @@ object Dedup {
                                   threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "prefixFilterJaccardClusters: threshold must be in (0, 1]")
+    // one native tokenize+hash+sort pass — see prefixFilterJaccardPairs
     val allToks = df.select(col(idCol).as("__id"),
-        array_distinct(expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')")).as("__t"))
-      .where(size(col("__t")) > 0)
+        expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w0"))
+      .where(size(col("__w0")) > 0)
+      .select(col("__id"), graft.functions.ShingleHashExpression
+        .shingle_hash_sorted(col("__w0"), 1).as("__sh"))
     // composite narrow collapse key — see prefixFilterJaccardPairs
     val gk = Seq("__g1", "__g2", "__g3")
     val grouped = allToks
-      .withColumn("__arr", sort_array(transform(col("__t"), t => xxhash64(t))))
-      .select(col("__id"), col("__t"), xxhash64(col("__arr")).as("__g1"),
-        size(col("__arr")).as("__g2"), xxhash64(reverse(col("__arr"))).as("__g3"))
+      .select(col("__id"), col("__sh"), xxhash64(col("__sh")).as("__g1"),
+        size(col("__sh")).as("__g2"), xxhash64(reverse(col("__sh"))).as("__g3"))
     val narrow = grouped.select((gk.map(col) :+ col("__id")): _*)
     val reps = narrow.groupBy(gk.map(col): _*)
       .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__n"))
@@ -1093,7 +1100,7 @@ object Dedup {
       .select(col("__id"), col("__rep"), col("__n"))
     val repToks = grouped.join(
       reps.select(col("__rep").as("__id")), Seq("__id"), "left_semi")
-      .select(col("__id"), col("__t"))
+      .select(col("__id"), col("__sh"))
     val repPairs = prefixFilterJaccardCore(repToks, threshold).select("id1", "id2")
     val repClusters = duplicateClusters(repPairs)
     membership
@@ -1188,30 +1195,42 @@ object Dedup {
   private def prefixFilterJaccardCore(toks: DataFrame,
                                       threshold: Double): DataFrame = {
     val tau = lit(threshold)
-    val tok = toks.select(col("__id"), explode(col("__t")).as("__tok"))
-    val dfreq = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val lists = tok.join(dfreq, Seq("__tok"))
+    // r16 input contract: toks = (__id, __sh) with __sh the SORTED
+    // distinct 64-bit token-hash array (xxhash64 values — bit-identical
+    // to hashing the token strings). Postings, profiles and chunk keys
+    // all carry 8-byte hashes instead of token text — the verify already
+    // ran on exactly these hash arrays, so no new collision class is
+    // introduced, and the rare-first prefix order simply ties by hash
+    // instead of by string (any consistent total order is recall-safe).
+    // The per-doc signature table is persisted once: it feeds the
+    // posting build and BOTH verify probes, which previously re-derived
+    // the tokenize+hash lineage per consumer.
+    val sig = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count() // materialize once — cache fills are first-writer-wins
+    val tok = sig.select(col("__id"), explode(col("__sh")).as("__h"))
+    val dfreq = tok.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val lists = tok.join(dfreq, Seq("__h"))
       .groupBy("__id")
-      .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__st"),
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__st"),
         count(lit(1)).as("__m"))
     val pre = lists
       .withColumn("__p",
         (col("__m") - minOverlap(tau, col("__m")) + 1).cast("int"))
       .select(col("__id"), col("__m"),
-        posexplode(expr("transform(slice(__st, 1, __p), x -> x.__tok)"))
-          .as(Seq("__pos0", "__tok")))
-      .select(col("__id"), col("__m"), (col("__pos0") + 1).as("__pos"), col("__tok"))
+        posexplode(expr("transform(slice(__st, 1, __p), x -> x.__h)"))
+          .as(Seq("__pos0", "__h")))
+      .select(col("__id"), col("__m"), (col("__pos0") + 1).as("__pos"), col("__h"))
     // ONE posting-sized exchange: both the profile census and the
     // chunked member lists aggregate over the same repartition (a
     // subset-key hash partitioning satisfies both groupings, and the
     // expansion joins below read the aggregated side's alias-propagated
     // partitioning), so postings cross the wire once where the r15
     // shape crossed twice.
-    val preP = pre.repartition(col("__tok"), col("__m"), col("__pos"))
+    val preP = pre.repartition(col("__h"), col("__m"), col("__pos"))
     // one row per (token, m, pos) profile; __n = member count so a
     // singleton self-pair (which cannot yield a document pair) is
     // dropped before the join, not after expansion
-    val prof = preP.groupBy("__tok", "__m", "__pos")
+    val prof = preP.groupBy("__h", "__m", "__pos")
       .agg(count(lit(1)).as("__n"))
     // member ids per profile in FIXED 4096-way hash chunks: the
     // expansion explodes chunk-pair id arrays IN-TASK, so the expanded
@@ -1220,17 +1239,17 @@ object Dedup {
     // a chunk at ~n/4096 members — a single profile would need ~10^10
     // interchangeable near-identical docs (exact dups collapse
     // upstream) before chunk rows got heavy.
-    val chunks = preP.groupBy(col("__tok"), col("__m"), col("__pos"),
+    val chunks = preP.groupBy(col("__h"), col("__m"), col("__pos"),
         pmod(xxhash64(col("__id")), lit(4096)).as("__c"))
       .agg(collect_list(col("__id")).as("__ids"))
-    val l = prof.select(col("__tok"), col("__m").as("m1"),
+    val l = prof.select(col("__h"), col("__m").as("m1"),
       col("__pos").as("pos1"), col("__n").as("n1"))
-    val r = prof.select(col("__tok"), col("__m").as("m2"),
+    val r = prof.select(col("__h"), col("__m").as("m2"),
       col("__pos").as("pos2"), col("__n").as("n2"))
     // unordered profile pairs: lexicographic (m, pos) — equality means
     // the SAME profile row (the key is (token, m, pos)), i.e. the
     // self-pair, kept only when the profile has >= 2 members
-    val profPairs = l.join(r, Seq("__tok"))
+    val profPairs = l.join(r, Seq("__h"))
       .where((col("m1") < col("m2")
           || (col("m1") === col("m2") && col("pos1") < col("pos2"))
           || (col("m1") === col("m2") && col("pos1") === col("pos2")
@@ -1239,25 +1258,23 @@ object Dedup {
         && col("m1") >= minOverlap(tau, col("m2"))
         && (lit(1.0) + least(col("m1") - col("pos1"), col("m2") - col("pos2")).cast("double"))
           >= tau * (col("m1") + col("m2")).cast("double") / (lit(1.0) + tau) - lit(1e-9))
-      .select(col("__tok"), col("m1"), col("pos1"), col("m2"), col("pos2"))
+      .select(col("__h"), col("m1"), col("pos1"), col("m2"), col("pos2"))
     val cand = profPairs
-      .join(chunks.select(col("__tok"), col("__m").as("m1"),
+      .join(chunks.select(col("__h"), col("__m").as("m1"),
         col("__pos").as("pos1"), col("__ids").as("__ids1")),
-        Seq("__tok", "m1", "pos1"))
-      .join(chunks.select(col("__tok"), col("__m").as("m2"),
+        Seq("__h", "m1", "pos1"))
+      .join(chunks.select(col("__h"), col("__m").as("m2"),
         col("__pos").as("pos2"), col("__ids").as("__ids2")),
-        Seq("__tok", "m2", "pos2"))
+        Seq("__h", "m2", "pos2"))
       .select(explode(col("__ids1")).as("__a"), col("__ids2"))
       .select(col("__a"), explode(col("__ids2")).as("__b"))
       .where(col("__a") =!= col("__b"))
       .select(least(col("__a"), col("__b")).as("id1"),
         greatest(col("__a"), col("__b")).as("id2"))
       .distinct()
-    val hashed = toks.select(col("__id"),
-      sort_array(transform(col("__t"), t => xxhash64(t))).as("__sh"))
     cand
-      .join(hashed.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
-      .join(hashed.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))
+      .join(sig.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
+      .join(sig.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))
       .withColumn("jac", jaccardSortedLong(col("sh1"), col("sh2")))
       .where(col("jac") >= threshold)
       .select("id1", "id2", "jac")
@@ -1311,38 +1328,61 @@ object Dedup {
     // over a small shared vocabulary saturate: nearly every doc is
     // "contained" in every other). Docs shorter than the width have no
     // shingle set and are excluded.
-    val shingled =
+    //
+    // r16 shape: ONE native shingle pass. The r15 form materialized
+    // shingle STRINGS via an interpreted slice/array_join HOF chain and
+    // re-derived that lineage in every consumer (prefix postings, full
+    // postings, both verify sides, dfreq twice) — the measured sf0.1
+    // wall was ~6 shingle passes of ~2 s each while the candidate join
+    // emitted only 363k rows. Now [[graft.functions.ShingleHashSorted]]
+    // (codegen, hash values bit-identical to xxhash64(shingle string))
+    // produces each doc's sorted distinct 64-bit shingle set once; the
+    // (df, hash)-sorted posting table is persisted and EAGERLY
+    // materialized so prefix side, full side and both verify probes all
+    // read the same 1-row-per-doc cache instead of re-tokenizing. The
+    // rare-first prefix order ties by hash instead of by string — any
+    // consistent total order is recall-safe (pigeonhole over the
+    // contained side's prefix; the container side posts every token) —
+    // and the verify arithmetic is unchanged, so the all-pairs oracle
+    // still pins exactness. Postings and joins now carry 8-byte hashes,
+    // never shingle text — the 100 TB wire shape.
+    val toksAll =
       if (shingleWidth == 1)
         df.select(col(idCol).as("__id"),
-          expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w"))
+            expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w0"))
+          .where(size(col("__w0")) > 0)
+          .select(col("__id"), sort_array(array_distinct(
+            transform(col("__w0"), t => xxhash64(t)))).as("__sh"))
       else
         df.select(col(idCol).as("__id"),
             expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w0"))
-          .select(col("__id"), expr(
-            s"transform(sequence(1, size(__w0) - ${shingleWidth - 1}), " +
-              s"i -> array_join(slice(__w0, i, $shingleWidth), ' '))").as("__w"))
-    val toks = shingled
-      .select(col("__id"), array_distinct(col("__w")).as("__t"))
-      .where(size(col("__t")) > 0)
-    val tok = toks.select(col("__id"), explode(col("__t")).as("__tok"))
-    val dfreq = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val lists = tok.join(dfreq, Seq("__tok"))
+          .where(size(col("__w0")) >= shingleWidth)
+          .select(col("__id"), graft.functions.ShingleHashExpression
+            .shingle_hash_sorted(col("__w0"), shingleWidth).as("__sh"))
+    val tok = toksAll.select(col("__id"), explode(col("__sh")).as("__h"))
+    val dfreq = tok.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val lists = tok.join(dfreq, Seq("__h"))
       .groupBy("__id")
-      .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__st"),
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__st"),
         count(lit(1)).as("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lists.count() // materialize ONCE — cache fills are first-writer-wins
     val pre = lists
       .withColumn("__p",
         (col("__m") - minOverlap(tau, col("__m")) + 1).cast("int"))
       .select(col("__id").as("id1"), col("__m").as("m1"),
-        explode(expr("transform(slice(__st, 1, __p), x -> x.__tok)")).as("__tok"))
+        explode(expr("transform(slice(__st, 1, __p), x -> x.__h)")).as("__h"))
     val all = lists.select(col("__id").as("id2"), col("__m").as("m2"),
-      explode(expr("transform(__st, x -> x.__tok)")).as("__tok"))
-    val cand = pre.join(all, Seq("__tok"))
+      explode(expr("transform(__st, x -> x.__h)")).as("__h"))
+    val cand = pre.join(all, Seq("__h"))
       .where(col("id1") =!= col("id2") &&
         col("m2") >= minOverlap(tau, col("m1")))
       .select("id1", "id2").distinct()
-    val hashed = toks.select(col("__id"),
-      sort_array(transform(col("__t"), t => xxhash64(t))).as("__sh"))
+    // per-doc sorted hash array for the exact verify — derived from the
+    // SAME persisted postings (the struct array is (df, h)-sorted, so
+    // re-sorting its hashes yields the sorted shingle-hash set)
+    val hashed = lists.select(col("__id"),
+      sort_array(expr("transform(__st, x -> x.__h)")).as("__sh"))
     cand
       .join(hashed.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
       .join(hashed.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))
