@@ -93,8 +93,73 @@ object ShingleHashSorted {
   }
 }
 
+/** Per-occurrence variant of [[ShingleHashSorted]]: the xxhash64 of every
+  * n-token window IN ORDER, duplicates kept — for consumers that count
+  * occurrences (duplicated-span probes) rather than compare sets. Hash
+  * values are identical to `xxhash64(array_join(slice(tokens, i, n), ' '))`
+  * (same window-concat + XXH64 seed-42 kernel), so swapping the
+  * interpreted HOF chain for this expression cannot change any count.
+  * Documents shorter than n tokens emit an empty array (callers filter
+  * them; the sorted variant's hash-the-whole-array convention would
+  * surprise an occurrence counter). */
+case class ShingleHashAll(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, "shingle_hash_all: n must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash_all requires array<string> tokens, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new GenericArrayData(ShingleHashAll.hashAll(arr, n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ShingleHashAll.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.hashAll($a, $n));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashAll {
+  private val Space = UTF8String.fromString(" ")
+
+  def hashAll(arr: ArrayData, n: Int): Array[Long] = {
+    val len = arr.numElements()
+    if (len < n) return Array.emptyLongArray
+    val windows = len - n + 1
+    val hashes = new Array[Long](windows)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < windows) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      val s = UTF8String.concatWs(Space, parts: _*)
+      hashes(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    hashes
+  }
+}
+
 object ShingleHashExpression {
   /** Column API: sorted distinct xxhash64 shingle hashes of a token array. */
   def shingle_hash_sorted(tokens: Column, n: Int): Column =
     ColumnBridge.toColumn(ShingleHashSorted(ColumnBridge.toExpr(tokens), n))
+
+  /** Column API: per-occurrence window hashes, in order, duplicates kept. */
+  def shingle_hash_all(tokens: Column, n: Int): Column =
+    ColumnBridge.toColumn(ShingleHashAll(ColumnBridge.toExpr(tokens), n))
 }

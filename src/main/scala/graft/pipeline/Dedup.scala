@@ -608,10 +608,19 @@ object Dedup {
                      maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"hammingPairs64: 4x16-bit banding guarantees recall only for Hamming <= 3, got $maxHamming")
-    val banded = sigs.select(col(idCol), col(sigCol).as("__sig"),
+    // materialize the (id, 64-bit signature) table once: the banded
+    // self-join below consumes it twice, and callers typically feed it
+    // from an expensive lineage (image decode + dHash), which would
+    // otherwise run once PER SIDE (r16 measurement: the image gates'
+    // codec pass ran twice). 9 bytes/row — the standard signature
+    // materialization at any scale.
+    val sig0 = sigs.select(col(idCol), col(sigCol).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig0.count()
+    val banded = sig0.select(col(idCol), col("__sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
-          call_function("shiftright", col(sigCol), b * 16).bitwiseAND(0xFFFF).as("bh")))).as("bk"))
+          call_function("shiftright", col("__sig"), b * 16).bitwiseAND(0xFFFF).as("bh")))).as("bk"))
       .select(col(idCol), col("__sig"), col("bk.band"), col("bk.bh"))
     val l = banded.select(col("band"), col("bh"), col(idCol).as("id1"), col("__sig").as("sig1"))
     val r = banded.select(col("band"), col("bh"), col(idCol).as("id2"), col("__sig").as("sig2"))
@@ -1510,8 +1519,12 @@ object Dedup {
       if (maxLenRow.isNullAt(0)) return 0L // empty corpus
       val maxLen = maxLenRow.getInt(0)
       def existsDup(l: Int): Boolean = l <= maxLen && {
-        val spanHash = expr(
-          s"transform(sequence(1, size(__w) - ${l - 1}), i -> xxhash64(array_join(slice(__w, i, $l), ' ')))")
+        // native window-hash kernel (values identical to
+        // xxhash64(array_join(slice(__w, i, l), ' '))): one generated
+        // loop per doc instead of an interpreted HOF lambda per span —
+        // each probe was ~0.4 s of lambda/concat overhead at sf0.1
+        val spanHash = graft.functions.ShingleHashExpression
+          .shingle_hash_all(col("__w"), l)
         toks.filter(size(col("__w")) >= l)
           .select(explode(spanHash).as("__h"))
           .groupBy("__h").agg(count(lit(1)).as("__cnt"))
