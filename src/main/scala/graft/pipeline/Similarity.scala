@@ -839,15 +839,14 @@ object Similarity {
     * constant per row and dropped; ties take the LOWER index. Both dots
     * ride the proven-parity sequential-fold kernel, so a SQL replay
     * (list_inner_product with the same discriminant) orders identically. */
-  def pqAssignCode(sub: Column, codebook: Array[Array[Double]]): Column = {
-    val scored = codebook.zipWithIndex.map { case (c, s) =>
-      val cLit = array(c.map(lit): _*)
-      struct((dot(cLit, cLit) - lit(2.0) * dot(sub, cLit)).as("d"),
-        lit(s).as("s"))
-    }
-    val best = if (scored.length == 1) scored.head else least(scored: _*)
-    best.getField("s")
-  }
+  def pqAssignCode(sub: Column, codebook: Array[Array[Double]]): Column =
+    // native argmin (graft.functions.PqAssignCodeExpr) — bit-identical
+    // to the least(struct(dot(cLit,cLit) − 2·dot(sub,cLit), s)) tree it
+    // replaces (same sequential-fold dots, same comparison semantics),
+    // but the codebook rides as a referenced object instead of ksub
+    // inlined literal arrays, so trained-PQ's per-Lloyd-round plans stop
+    // re-compiling a giant codegen unit every round
+    graft.functions.PqAssignCodeExpr.pq_assign_code(sub, codebook)
 
   /** Encode a corpus against PQ codebooks: (id, codes array<int> of length
     * m). THIS is the 100 TB artifact — m small ints (m bytes at ksub ≤
