@@ -83,16 +83,24 @@ object Unigram {
       var pieces = substrOccurrences(words, maxPieceLen)
         .groupBy("piece").agg(sum(col("cnt")).as("score"))
       var r = 0
+      var prev: Option[DataFrame] = None
       while (r < rounds) {
         val usage = segmentUsage(words, pieces, maxPieceLen)
         // prune unused pieces; keep all single chars (score 0 if unused)
         pieces = usage.unionByName(
           chars.join(usage, Seq("piece"), "left_anti")
             .select(col("piece"), lit(0L).as("score")))
+        // materialize each round: `usage` is referenced twice above and
+        // the rounds chain, so an unmaterialized round r re-runs every
+        // earlier round 2^(depth) times inside the final job (the kCore
+        // lineage lesson; measured ~2x on q_unigram_train at rounds=3).
+        // Vocabulary-sized — tens of KB at any corpus scale.
+        pieces = pieces.cache()
+        pieces.count()
+        prev.foreach(_.unpersist(false))
+        prev = Some(pieces)
         r += 1
       }
-      // force materialization while `words` is still cached
-      pieces.cache().count()
       pieces
     } finally { words.unpersist(); () }
   }
