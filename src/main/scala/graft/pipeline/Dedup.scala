@@ -1211,11 +1211,11 @@ object Dedup {
     // ran on exactly these hash arrays, so no new collision class is
     // introduced, and the rare-first prefix order simply ties by hash
     // instead of by string (any consistent total order is recall-safe).
-    // The per-doc signature table is persisted once: it feeds the
-    // posting build and BOTH verify probes, which previously re-derived
-    // the tokenize+hash lineage per consumer.
-    val sig = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig.count() // materialize once — cache fills are first-writer-wins
+    // NOT persisted: the signature lineage is one native tokenize+hash
+    // pass — cheap columnar recompute beats the cache round-trip (the
+    // madOutliers A/B lesson); contrast containmentPairs, whose persisted
+    // table embeds the dfreq join + collect and DOES pay off.
+    val sig = toks
     val tok = sig.select(col("__id"), explode(col("__sh")).as("__h"))
     val dfreq = tok.groupBy("__h").agg(count(lit(1)).as("__df"))
     val lists = tok.join(dfreq, Seq("__h"))
