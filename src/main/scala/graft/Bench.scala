@@ -54,19 +54,8 @@ object Bench {
     }
     // Untimed inter-attempt reset: drop cached frames (no cross-rep cache
     // reuse) and pay accumulated GC debt here instead of inside the next
-    // timed window. r16: ALSO unpersist leaked RDD blocks —
-    // clearCache only drops the catalog cache, but iterative operators'
-    // final-round localCheckpoint blocks (which back each returned frame
-    // and are left to GC by design) otherwise pile up in the block
-    // manager across ~354 shared-JVM queries, and that memory pressure
-    // was a measured variance source for checkpoint-heavy neighbors.
-    // Methodology (best-of-K, noop sink) is unchanged; this tightens the
-    // documented intent of the untimed reset.
-    def reset(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc()
-    }
+    // timed window.
+    def reset(): Unit = { spark.catalog.clearCache(); System.gc() }
 
     // Per-query JSONL record, streamed AS EACH QUERY COMPLETES (flushed
     // line-by-line): the one-line suite JSON outgrew the driver's captured
