@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   * unit (the q_ann_pq_trained wall was dominated by per-round planning/
   * compilation, not arithmetic). Here the codebook rides along as a
   * referenced object and the generated code is one small static call. */
-case class PqAssignCodeExpr(child: Expression, books: Array[Array[Double]])
+case class PqAssignCodeExpr(child: Expression, books: IndexedSeq[IndexedSeq[Double]])
     extends UnaryExpression {
 
   require(books.nonEmpty, "pq_assign_code: need at least one codebook entry")
@@ -38,16 +38,23 @@ case class PqAssignCodeExpr(child: Expression, books: Array[Array[Double]])
       s"pq_assign_code requires array<double>, got ${other.sql}")
   }
 
+  // The codebook field is an immutable IndexedSeq so case-class equality
+  // (and thus Catalyst semanticEquals / canonicalization) is structural,
+  // and no caller can mutate a shared array after planning; the eval /
+  // codegen kernels read this derived primitive form.
+  @transient private lazy val booksArr: Array[Array[Double]] =
+    books.map(_.toArray).toArray
+
   // dot(c_s, c_s) precomputed with the SAME ascending fold the literal
   // expression's constant folding used — bit-identical
-  @transient private lazy val cc: Array[Double] = PqAssignCodeExpr.selfDots(books)
+  @transient private lazy val cc: Array[Double] = PqAssignCodeExpr.selfDots(booksArr)
 
   override def nullSafeEval(input: Any): Any =
-    PqAssignCodeExpr.assign(input.asInstanceOf[ArrayData], books, cc)
+    PqAssignCodeExpr.assign(input.asInstanceOf[ArrayData], booksArr, cc)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = PqAssignCodeExpr.getClass.getName.stripSuffix("$")
-    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][]")
+    val booksRef = ctx.addReferenceObj("pqBooks", booksArr, "double[][]")
     val ccRef = ctx.addReferenceObj("pqCc", cc, "double[]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = $cls.assign($a, $booksRef, $ccRef);")
@@ -84,7 +91,10 @@ object PqAssignCodeExpr {
     cc - 2.0 * dp
   }
 
-  /** Column API: nearest codebook index for an array<double> subvector. */
+  /** Column API: nearest codebook index for an array<double> subvector.
+    * The rows are copied into immutable IndexedSeqs at construction so the
+    * expression owns its codebook (see the field note above). */
   def pq_assign_code(sub: Column, books: Array[Array[Double]]): Column =
-    ColumnBridge.toColumn(PqAssignCodeExpr(ColumnBridge.toExpr(sub), books))
+    ColumnBridge.toColumn(PqAssignCodeExpr(ColumnBridge.toExpr(sub),
+      books.map(_.toIndexedSeq).toIndexedSeq))
 }

@@ -384,9 +384,21 @@ object TimeSeries {
     // pairwise form's three-valued sgn scored them (every NULL pair
     // contributed 0). The unchanged pairwise DuckDB oracle pins the
     // equivalence.
+    // Scaled-long kernel input with a LOUD overflow guard: __v is the
+    // widened decimal(22,2) sum, so |__v| > Long.MaxValue/100 would make
+    // the non-ANSI cast NULL and silently drop the day from the S series
+    // while still counting it in n_days and the tie/variance term (the
+    // old pairwise form compared decimals directly and had no such
+    // window). assert_true raises instead; NULL sums pass through NULL
+    // (they score 0 downstream, as the pairwise three-valued sgn did).
+    val svBound = lit("92233720368547758.07").cast("decimal(22,2)")
+    val sv = when(assert_true(col("__v").isNull || abs(col("__v")) <= svBound,
+        concat(lit("mannKendall: |daily sum| "), col("__v").cast("string"),
+          lit(" overflows the scaled-long kernel input"))).isNull,
+      (col("__v") * 100).cast("long"))
     val s = daily.groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("__day"),
-        (col("__v") * 100).cast("long").as("__sv")))).as("__ord"))
+        sv.as("__sv")))).as("__ord"))
       .select(col(keyCol), graft.functions.MannKendallS.mann_kendall_s(
         expr("filter(transform(__ord, x -> x.__sv), x -> x is not null)")).as("s"))
     val nAndTies = daily.groupBy(col(keyCol), col("__v"))
@@ -400,6 +412,11 @@ object TimeSeries {
       col("__tieTerm").cast("double")) / lit(18.0)
     val sd = col("s").cast("double")
     s.join(nAndTies, Seq(keyCol))
+      // single-day keys produced NO pair rows in the pairwise form (the
+      // inner self-join dropped them from the output entirely); preserve
+      // that output set — collect_list would otherwise emit a synthetic
+      // (s=0, z=0, trend=none) row for them.
+      .where(col("n_days") >= 2)
       .select(col(keyCol), col("n_days"), col("s"),
         round(when(col("s") > 0, (sd - lit(1.0)) / sqrt(varS))
           .when(col("s") < 0, (sd + lit(1.0)) / sqrt(varS))
