@@ -127,22 +127,28 @@ object Graph {
       col("d"), col("done")).persist(mem)
     var remaining = state.where(!col("done")).count()
     var rounds = 0
-    while (remaining > 0) {
-      rounds += 1
-      require(rounds <= maxRounds,
-        s"treeRootDepth: $remaining pointers unresolved after $maxRounds rounds — cycle in parent data?")
-      val ptr = state.select(col("id").as("anc"), col("anc").as("__aanc"),
-        col("d").as("__ad"), col("done").as("__adone"))
-      val next = state.join(ptr, Seq("anc"))
-        .select(col("id"),
-          when(col("done"), col("anc")).otherwise(col("__aanc")).as("anc"),
-          when(col("done"), col("d")).otherwise(col("d") + col("__ad")).as("d"),
-          (col("done") || col("__adone")).as("done"))
-        .persist(mem)
-      next.count()
-      state.unpersist()
-      state = next
-      remaining = state.where(!col("done")).count()
+    // loop exchanges sized by the unresolved-pointer count (the self-join
+    // fan-in) — see Checkpoints.withLoopShufflePartitions
+    Checkpoints.withLoopShufflePartitions(nodes.sparkSession, remaining) {
+      while (remaining > 0) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"treeRootDepth: $remaining pointers unresolved after $maxRounds rounds — cycle in parent data?")
+        val ptr = state.select(col("id").as("anc"), col("anc").as("__aanc"),
+          col("d").as("__ad"), col("done").as("__adone"))
+        val next = state.join(ptr, Seq("anc"))
+          .select(col("id"),
+            when(col("done"), col("anc")).otherwise(col("__aanc")).as("anc"),
+            when(col("done"), col("d")).otherwise(col("d") + col("__ad")).as("d"),
+            (col("done") || col("__adone")).as("done"))
+          .persist(mem)
+        // one action per round: the filtered count both fills the persist
+        // (first action over the cached frame) and yields the loop
+        // condition — the r16 shape paid a separate count() job first.
+        remaining = next.where(!col("done")).count()
+        state.unpersist()
+        state = next
+      }
     }
     val out = state.select(col("id"), col("anc").as("root"), col("d").as("depth"))
     out
@@ -225,25 +231,30 @@ object Graph {
     var liveIds = Checkpoints.freshIds(spark, baseline)
     var rounds = 0
     var converged = eCount == 0
-    while (!converged) {
-      rounds += 1
-      require(rounds <= maxRounds,
-        s"kCore: not converged after $maxRounds rounds ($eCount edges live)")
-      val deg = e.select(col("a").as("node"))
-        .unionAll(e.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("__deg"))
-      val keep = deg.where(col("__deg") >= k).select(col("node"))
-      val next = e
-        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .stageCheckpoint(true)
-      val nextCount = next.count()
-      val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
-      Checkpoints.releaseIds(spark, liveIds)
-      liveIds = fresh
-      e = next
-      converged = nextCount == eCount || nextCount == 0
-      eCount = nextCount
+    // loop exchanges sized by the measured live-edge count — see
+    // Checkpoints.withLoopShufflePartitions (peeling only shrinks e, so
+    // the initial count is the loop's upper bound)
+    Checkpoints.withLoopShufflePartitions(spark, eCount) {
+      while (!converged) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"kCore: not converged after $maxRounds rounds ($eCount edges live)")
+        val deg = e.select(col("a").as("node"))
+          .unionAll(e.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("__deg"))
+        val keep = deg.where(col("__deg") >= k).select(col("node"))
+        val next = e
+          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .stageCheckpoint(true)
+        val nextCount = next.count()
+        val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
+        Checkpoints.releaseIds(spark, liveIds)
+        liveIds = fresh
+        e = next
+        converged = nextCount == eCount || nextCount == 0
+        eCount = nextCount
+      }
     }
     val out = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
@@ -274,7 +285,7 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist(mem)
-    e.count()
+    val eRows = e.count()
     // localCheckpoint the per-round state: settled is referenced TWICE
     // per round (anti-join + union), so plain persist would still grow
     // the LOGICAL plan 2^rounds — the kCore lineage lesson. Previous
@@ -282,29 +293,41 @@ object Graph {
     // materialize; the final settled's blocks are the return value's.
     val spark = edges.sparkSession
     val baseline = Checkpoints.persistedIds(spark)
-    var frontier = sources.select(col(idCol).cast("long").as("id"))
-      .where(col("id").isNotNull).distinct().stageCheckpoint(true)
-    var settled = frontier.withColumn("hops", lit(0L)).stageCheckpoint(true)
-    var liveIds = Checkpoints.freshIds(spark, baseline)
-    var hop = 0L
-    var frontierSize = frontier.count()
-    while (frontierSize > 0 && hop < maxHops) {
-      hop += 1
-      val next = e.join(frontier.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id")).distinct()
-        .join(settled, Seq("id"), "left_anti")
-        .stageCheckpoint(true)
-      frontierSize = next.count()
-      settled = settled
-        .unionByName(next.withColumn("hops", lit(hop)))
-        .stageCheckpoint(true)
-      val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
-      Checkpoints.releaseIds(spark, liveIds)
-      liveIds = fresh
-      frontier = next
+    // loop exchanges sized by the measured edge count, capped at the
+    // session setting — see Checkpoints.withLoopShufflePartitions
+    val out = Checkpoints.withLoopShufflePartitions(spark, eRows) {
+      var frontier = sources.select(col(idCol).cast("long").as("id"))
+        .where(col("id").isNotNull).distinct().stageCheckpoint(true)
+      var settled = frontier.withColumn("hops", lit(0L)).stageCheckpoint(true)
+      var liveIds = Checkpoints.freshIds(spark, baseline)
+      var hop = 0L
+      var frontierSize = frontier.count()
+      while (frontierSize > 0 && hop < maxHops) {
+        hop += 1
+        // FUSED round state — see topoLayers: one checkpointed frame holds
+        // settled ∪ (newly reached at this hop) plus the __new flag,
+        // replacing the r16 two-checkpoint (next, then union) round. The
+        // full outer join against the reached set marks exactly the rows
+        // the old anti-join produced (reached ids not yet settled).
+        val reach = e.join(frontier.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id")).distinct()
+          .withColumn("__r", lit(true))
+        val merged = settled.join(reach, Seq("id"), "full")
+          .select(col("id"),
+            coalesce(col("hops"), lit(hop)).as("hops"),
+            (col("hops").isNull && col("__r")).as("__new"))
+          .stageCheckpoint(true)
+        frontierSize = merged.where(col("__new")).count() // reads the checkpoint
+        settled = merged.select(col("id"), col("hops"))
+        frontier = merged.where(col("__new")).select(col("id"))
+        val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
+        Checkpoints.releaseIds(spark, liveIds)
+        liveIds = fresh
+      }
+      settled
     }
     e.unpersist()
-    settled
+    out
   }
 
   /** Bounded-hop WEIGHTED shortest path from a source set over a directed
@@ -338,42 +361,49 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull)
       .distinct().persist(mem)
-    e.count()
+    val eRows = e.count()
     val spark = edges.sparkSession
     val baseline = Checkpoints.persistedIds(spark)
-    var best = sources.select(col(idCol).cast("long").as("id"))
-      .where(col("id").isNotNull).distinct()
-      .withColumn("dist", lit(0L)).stageCheckpoint(true)
-    var frontier = best
-    var liveIds = Checkpoints.freshIds(spark, baseline)
-    var hop = 0
-    var frontierSize = frontier.count()
-    while (frontierSize > 0 && hop < maxHops) {
-      hop += 1
-      val cand = e.join(frontier.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("__c"))
-        .groupBy("id").agg(min(col("__c")).as("__c"))
-      val improved = cand.join(best, Seq("id"), "left")
-        .where(col("dist").isNull || col("__c") < col("dist"))
-        .select(col("id"), col("__c").as("dist"))
-        .stageCheckpoint(true)
-      frontierSize = improved.count()
-      if (frontierSize > 0) {
-        // both successors (improved + new best) are materialized — the
-        // previous round's blocks can go; on the empty-frontier exit the
-        // current best STILL backs the return value, so nothing is
-        // released then.
-        best = best.join(improved.select(col("id")), Seq("id"), "left_anti")
-          .unionByName(improved)
+    // loop exchanges sized by the measured edge count — see
+    // Checkpoints.withLoopShufflePartitions
+    val out = Checkpoints.withLoopShufflePartitions(spark, eRows) {
+      var best = sources.select(col(idCol).cast("long").as("id"))
+        .where(col("id").isNotNull).distinct()
+        .withColumn("dist", lit(0L)).stageCheckpoint(true)
+      var frontier = best
+      var liveIds = Checkpoints.freshIds(spark, baseline)
+      var hop = 0
+      var frontierSize = frontier.count()
+      while (frontierSize > 0 && hop < maxHops) {
+        hop += 1
+        val cand = e.join(frontier.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("__c"))
+          .groupBy("id").agg(min(col("__c")).as("__c"))
+        // FUSED round state — see topoLayers: one checkpointed frame holds
+        // the updated best table and the improved flag, replacing the r16
+        // two-checkpoint (improved, then anti-join+union) round. The FULL
+        // outer join keeps newly-reached ids (in cand only) and untouched
+        // settled ids (in best only); __imp marks exactly the rows the old
+        // `improved` frame contained (strict `<` keeps termination on
+        // cycles).
+        val merged = best.join(cand, Seq("id"), "full")
+          .select(col("id"),
+            when(col("dist").isNull || col("__c") < col("dist"), col("__c"))
+              .otherwise(col("dist")).as("dist"),
+            coalesce(col("dist").isNull || col("__c") < col("dist"),
+              lit(false)).as("__imp"))
           .stageCheckpoint(true)
+        frontierSize = merged.where(col("__imp")).count() // reads the checkpoint
+        best = merged.select(col("id"), col("dist"))
+        frontier = merged.where(col("__imp")).select(col("id"), col("dist"))
         val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
         Checkpoints.releaseIds(spark, liveIds)
         liveIds = fresh
       }
-      frontier = improved
+      best
     }
     e.unpersist()
-    best
+    out
   }
 
   /** Topological layering of a DAG: layer(v) = length of the LONGEST
@@ -392,42 +422,51 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist(mem)
-    e.count()
+    val eRows = e.count()
     val spark = edges.sparkSession
     val baseline = Checkpoints.persistedIds(spark)
-    var layer = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .withColumn("layer", lit(0L)).stageCheckpoint(true)
-    var frontier = layer
-    var liveIds = Checkpoints.freshIds(spark, baseline)
-    var rounds = 0
-    var frontierSize = frontier.count()
-    while (frontierSize > 0) {
-      rounds += 1
-      require(rounds <= maxRounds,
-        s"topoLayers: not converged after $maxRounds rounds — cycle in edge data?")
-      val cand = e.join(frontier.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), (col("layer") + 1L).as("__c"))
-        .groupBy("id").agg(max(col("__c")).as("__c"))
-      val improved = cand.join(layer, Seq("id"))
-        .where(col("__c") > col("layer"))
-        .select(col("id"), col("__c").as("layer"))
-        .stageCheckpoint(true)
-      frontierSize = improved.count()
-      if (frontierSize > 0) {
-        // release the previous round only once both successors exist —
-        // see ssspHops; the final layer's blocks back the return value.
-        layer = layer.join(improved.select(col("id")), Seq("id"), "left_anti")
-          .unionByName(improved)
+    // loop exchanges sized by the measured edge count — see
+    // Checkpoints.withLoopShufflePartitions
+    val out = Checkpoints.withLoopShufflePartitions(spark, eRows) {
+      var layer = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .withColumn("layer", lit(0L)).stageCheckpoint(true)
+      var frontier = layer
+      var liveIds = Checkpoints.freshIds(spark, baseline)
+      var rounds = 0
+      var frontierSize = frontier.count()
+      while (frontierSize > 0) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"topoLayers: not converged after $maxRounds rounds — cycle in edge data?")
+        val cand = e.join(frontier.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("layer") + 1L).as("__c"))
+          .groupBy("id").agg(max(col("__c")).as("__c"))
+        // FUSED round state (r17, guide §1/§5): ONE checkpointed frame per
+        // round carrying both the updated layer table and the improved flag.
+        // The r16 shape ran TWO eager-checkpoint jobs per round (improved,
+        // then anti-join+union layer update); on KB-sized frontiers the wall
+        // is per-job fixed latency, so merging them halves the round cost.
+        // Equivalence: cand ids are always node ids (dst of some edge), so
+        // the left join reaches every candidate; layer' = max(layer, cand)
+        // and the __imp rows are exactly the old `improved` set.
+        val merged = layer.join(cand, Seq("id"), "left")
+          .select(col("id"),
+            when(col("__c") > col("layer"), col("__c"))
+              .otherwise(col("layer")).as("layer"),
+            coalesce(col("__c") > col("layer"), lit(false)).as("__imp"))
           .stageCheckpoint(true)
+        frontierSize = merged.where(col("__imp")).count() // reads the checkpoint
+        layer = merged.select(col("id"), col("layer"))
+        frontier = merged.where(col("__imp")).select(col("id"), col("layer"))
         val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
         Checkpoints.releaseIds(spark, liveIds)
         liveIds = fresh
       }
-      frontier = improved
+      layer
     }
     e.unpersist()
-    layer
+    out
   }
 
   /** Full ancestor closure of a parent-pointer FOREST by relation
@@ -453,10 +492,16 @@ object Graph {
       rounds += 1
       require(rounds <= maxRounds,
         s"ancestorClosure: still growing after $maxRounds rounds — cycle in parent data?")
-      val next = pairs.unionByName(
-          pairs.as("x").join(pairs.as("y"), col("y.id") === col("x.anc"))
-            .select(col("x.id").as("id"), col("y.anc").as("anc")))
-        .distinct().stageCheckpoint(true)
+      // per-round partition sizing from the CURRENT pair count (the
+      // closure grows round over round, so the derivation is re-taken
+      // each round rather than once) — see withLoopShufflePartitions
+      val next = Checkpoints.withLoopShufflePartitions(spark, n) {
+        // the eager checkpoint materializes INSIDE the sized scope
+        pairs.unionByName(
+            pairs.as("x").join(pairs.as("y"), col("y.id") === col("x.anc"))
+              .select(col("x.id").as("id"), col("y.anc").as("anc")))
+          .distinct().stageCheckpoint(true)
+      }
       val nn = next.count()
       val fresh = Checkpoints.freshIds(spark, baseline, liveIds)
       Checkpoints.releaseIds(spark, liveIds)
