@@ -617,6 +617,12 @@ object Dedup {
     val sig0 = sigs.select(col(idCol), col(sigCol).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig0.count()
+    // The returned frame is lazy, so there is no in-function point where
+    // sig0 can be unpersisted; register it with the bounded lease queue so
+    // a long-lived session has a defined release point (releaseCachedPairs
+    // / eviction at MaxLeasedPairFrames) instead of leaking one cached
+    // frame per call. An evicted-then-re-executed plan just recomputes.
+    leasePairFrame(sig0)
     val banded = sig0.select(col(idCol), col("__sig"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
@@ -632,6 +638,25 @@ object Dedup {
   }
 
   // ===== Length-bucket blocked n-gram Jaccard =====
+
+  /** Cost-gate default for the blind (content-blind bucket-join) candidate
+    * path of [[lengthBucketJaccardPairs]]: the blind path is kept only
+    * while its occupancy-bound candidate count stays below this. r16's
+    * 200 M default kept the O(n²) blind join alive far past where the
+    * prefix-posting path wins — the measured α(sf0.1→sf1) ≈ 1.4 on the
+    * q_dedup_ngram family was EXACTLY the blind candidate quadratic (the
+    * bound sat under 200 M at every measured SF while candidates grew
+    * ~100× per 10× corpus: ub = 789k at sf0.1, 79.3M at sf1). The r17
+    * default sits just below the MEASURED blind/prefix cost crossover
+    * (≈ 18-22 M bound candidates on gate-shaped corpora: blind ≈
+    * 1.4 s + 0.45 µs/candidate, prefix ≈ 4.9 s · (n/5000)^0.43 — see
+    * OPTIMIZATION_r17.md), erring toward the prefix path because past
+    * the crossover blind grows QUADRATICALLY while prefix near it costs
+    * ≤ 1.5× — the asymmetric risk at 100 TB. Env override for
+    * deployment tuning, same pattern as
+    * SPARK_GRAFT_STREAM_STATE_PARTITIONS. */
+  val DefaultBlindCandidateLimit: Long =
+    sys.env.get("SPARK_GRAFT_BLIND_LIMIT").map(_.toLong).getOrElse(16000000L)
 
   /** Pairwise n-gram Jaccard with double length-bucket blocking: each doc
     * lands in buckets floor(len/W) and floor(len/W)+1, so any pair whose
@@ -673,7 +698,7 @@ object Dedup {
                                threshold: Double, bucketWidth: Int = 8,
                                shingleLen: Int = 2,
                                prefixFilter: Boolean = true,
-                               blindCandidateLimit: Long = 200000000L,
+                               blindCandidateLimit: Long = DefaultBlindCandidateLimit,
                                broadcastBudgetBytes: Long = 1L << 30,
                                blockFloorBytes: Long = 64L << 20): DataFrame = {
     // τ = 0 would break the documented blind ≡ prefix output-equality
@@ -682,7 +707,7 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       "lengthBucketJaccardPairs: threshold must be in (0, 1]")
     val base = df.select(col(idCol), length(col(textCol)).as("__len"))
-    val docs = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
+    val docs0 = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
     val useBlind = !prefixFilter || {
       // double-bucket occupancy bound: Σ_b C(c_b, 2) over both bucket
       // replicas ≥ the deduped blind candidate count (≤ 2× over-count)
@@ -725,6 +750,23 @@ object Dedup {
       st.getLong(0) * 14 / 10 + st.getLong(1) * 32
     }
     val bcVerify = !useBlind && docBytesEst <= broadcastBudgetBytes
+    // PREFIX-path doc table, materialized ONCE (r17, guide §5): the
+    // (id, sorted shingle-hash set) frame is read by the posting build
+    // (tok → dfreq → lists) AND by both verify fetch sides — the r16
+    // shape recomputed the scan→tokenize→hash pass once per reference
+    // (~4-5 passes per query, each a serialized broadcast-build task at
+    // gate scale). One cache fill + cheap columnar reads wins here
+    // because the table is consumed FIVE times; contrast the setsim
+    // core's signature table (2 reads — recompute won the A/B there).
+    // Registered with the bounded lease queue — see hammingPairs64.
+    // The blind path keeps lazy docs0: it reads the table twice via
+    // shuffle joins and its corpora are small by the cost gate.
+    val docs = if (useBlind) docs0 else {
+      val d = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      leasePairFrame(d)
+      d
+    }
     if (useBlind) {
       val b0 = base.select(col(idCol), col("__len"), (col("__len") / bucketWidth).cast("long").as("__b"))
       val b1 = base.select(col(idCol), col("__len"), ((col("__len") / bucketWidth).cast("long") + 1).as("__b"))
@@ -743,7 +785,7 @@ object Dedup {
         .select("id1", "id2", "jac")
     } else if (bcVerify) {
       val pairs = lengthBucketJaccardCandidates(df, idCol, textCol, threshold,
-        bucketWidth, shingleLen, dedup = false)
+        bucketWidth, shingleLen, dedup = false, prebuiltDocs = Some(docs))
       pairs
         .join(broadcast(docs.select(col(idCol).as("id1"), col("sh").as("sh1"))), "id1")
         .join(broadcast(docs.select(col(idCol).as("id2"), col("sh").as("sh2"))), "id2")
@@ -784,7 +826,7 @@ object Dedup {
         s"lengthBucketJaccardPairs batched verify: $passes passes, " +
         s"~${docBytesEst / passes} bytes/block (docBytesEst=$docBytesEst)")
       val cand = lengthBucketJaccardCandidates(df, idCol, textCol, threshold,
-        bucketWidth, shingleLen, dedup = true)
+        bucketWidth, shingleLen, dedup = true, prebuiltDocs = Some(docs))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // sh1 fetch side: shuffled+sorted by id1 ONCE and cached — the r15
       // shape re-exchanged the full docs1 side in every pass (total
@@ -831,9 +873,13 @@ object Dedup {
   private[graft] def lengthBucketJaccardCandidates(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       bucketWidth: Int = 8, shingleLen: Int = 2,
-      dedup: Boolean = true): DataFrame = {
+      dedup: Boolean = true,
+      prebuiltDocs: Option[DataFrame] = None): DataFrame = {
     val base = df.select(col(idCol), length(col(textCol)).as("__len"))
-    val docs = withShingleHashSet(df, idCol, textCol, shingleLen, "sh")
+    // callers inside lengthBucketJaccardPairs hand in their persisted
+    // (id, sh) table so the shingle pass is not re-derived here
+    val docs = prebuiltDocs.getOrElse(
+      withShingleHashSet(df, idCol, textCol, shingleLen, "sh"))
     val tau = lit(threshold)
     // global rare-first order: (document frequency, hash) — rarest
     // shingles first, ties broken deterministically by hash value
@@ -1135,7 +1181,7 @@ object Dedup {
                                   threshold: Double, bucketWidth: Int = 8,
                                   shingleLen: Int = 2,
                                   prefixFilter: Boolean = true,
-                                  blindCandidateLimit: Long = 200000000L,
+                                  blindCandidateLimit: Long = DefaultBlindCandidateLimit,
                                   broadcastBudgetBytes: Long = 1L << 30): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "lengthBucketJaccardClusters: threshold must be in (0, 1]")
@@ -1376,6 +1422,7 @@ object Dedup {
         count(lit(1)).as("__m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lists.count() // materialize ONCE — cache fills are first-writer-wins
+    leasePairFrame(lists) // bounded release point — see hammingPairs64
     val pre = lists
       .withColumn("__p",
         (col("__m") - minOverlap(tau, col("__m")) + 1).cast("int"))
@@ -1426,13 +1473,20 @@ object Dedup {
     require(n >= 2, "duplicatedSpans: span width must be >= 2 tokens")
     val toks = df.select(col(idCol).as("__id"),
       expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w"))
-    val spanText = expr(
-      s"transform(sequence(1, size(__w) - ${n - 1}), i -> array_join(slice(__w, i, $n), ' '))")
+    // r17: BOTH modes key spans by their 8-byte window hash through the
+    // native ShingleHashAll kernel (values bit-identical to
+    // xxhash64(array_join(slice(__w, i, n), ' '))). The former raw-text
+    // mode built every span string via an interpreted transform/slice/
+    // array_join chain and shuffled ~6n bytes of text per span where the
+    // hash is 8 — pure shuffle width and expression CPU at any scale; the
+    // duplicate COUNTS are identical up to 64-bit hash collisions (the
+    // usual MinHash-grade trade, and the raw-text DuckDB oracle still
+    // gates the outputs). The `fingerprint` flag is retained for API
+    // compatibility; both paths are now the fingerprint path.
+    val _ = fingerprint
     val sh = toks.select(col("__id"),
-      explode(when(size(col("__w")) >= n, spanText)
-        .otherwise(expr("array()").cast("array<string>"))).as("__s"))
-      .select(col("__id"),
-        (if (fingerprint) xxhash64(col("__s")).as("__s") else col("__s")))
+      explode(graft.functions.ShingleHashExpression
+        .shingle_hash_all(col("__w"), n)).as("__s"))
     val counts = sh.groupBy("__s").agg(count(lit(1)).as("__cnt"))
     val perDoc = sh.join(counts, Seq("__s"))
       .groupBy("__id")
@@ -1472,14 +1526,16 @@ object Dedup {
     require(k >= 2, "duplicatedSpansMaximal: window width must be >= 2 tokens")
     val toks = df.select(col(idCol).as("__id"),
       expr(s"filter(split($textCol, '\\\\s+'), t -> t <> '')").as("__w"))
-    val spanText = expr(
-      s"transform(sequence(1, size(__w) - ${k - 1}), i -> array_join(slice(__w, i, $k), ' '))")
+    // r17: window keys are ALWAYS the native 8-byte window hashes — see
+    // duplicatedSpans (same kernel, bit-identical to xxhash64 of the
+    // joined span text; the flag is retained for API compatibility).
     // posexplode: window start = pos + 1 (1-based token index)
+    val _ = fingerprint
     val sh = toks.select(col("__id"),
-      posexplode(when(size(col("__w")) >= k, spanText)
-        .otherwise(expr("array()").cast("array<string>"))))
+      posexplode(graft.functions.ShingleHashExpression
+        .shingle_hash_all(col("__w"), k)))
       .select(col("__id"), (col("pos") + 1).as("__start"),
-        (if (fingerprint) xxhash64(col("col")) else col("col")).as("__s"))
+        col("col").as("__s"))
     val dupKeys = sh.groupBy("__s").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1).select("__s")
     val dupStarts = sh.join(dupKeys, Seq("__s")).select("__id", "__start")
