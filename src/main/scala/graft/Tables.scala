@@ -23,8 +23,37 @@ object Tables {
     * 15 gates returned different rows on any non-UTC session. Epoch
     * extraction on these columns must use Exprs.epochMicrosCivil (civil
     * timestamp_diff), never unix_micros. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Session-scoped table-HANDLE memo (r17, guide §6 file listing):
+    * `spark.read.parquet` builds a fresh InMemoryFileIndex and runs a
+    * footer-reading schema-inference job on EVERY call, so each query
+    * construction re-paid listing + inference for every table it touches
+    * — pure per-query fixed floor at gate scale, and at 100 TB exactly
+    * the repeated-listing cost the guide tells you to cache (a catalog
+    * table caches its resolved relation the same way; file-source tables
+    * get `filesourcePartitionFileCacheSize` for the same reason). The
+    * memo holds the LAZY DataFrame (logical plan + resolved schema +
+    * file index) per (session, path) — METADATA only: every execution
+    * still scans the parquet bytes, so nothing about query results or
+    * the computed-from-inputs contract changes; new sessions (tests,
+    * cluster jobs) build their own entries, and a replaced input
+    * directory is a new path key. */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop entries whose session has stopped (multi-session test runs /
+    * long-lived services must not pin dead sessions through the memo). */
+  private def sweepStopped(): Unit = {
+    val it = handles.keySet.iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (handles.size > 64) sweepStopped()
+    handles.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
