@@ -689,6 +689,10 @@ object Similarity {
     var knownIds = Set.empty[Int]
     val vecsL = base.select(col("id"), col("__v"))
     val vecsR = base.select(col("id").as("nbr"), col("__v").as("__nv"))
+    // round exchanges sized by the materialized edge-table rows (n·k —
+    // the top-k cap fixes it per round); at cluster scale this saturates
+    // at the session setting — see Checkpoints.withLoopShufflePartitions
+    Checkpoints.withLoopShufflePartitions(spark, n * k) {
     (1 to rounds).foreach { _ =>
       val wR = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("nbr"))
       val revCapped = edges
@@ -716,6 +720,7 @@ object Similarity {
       val fresh = Checkpoints.freshIds(spark, baseline, knownIds)
       Checkpoints.releaseIds(spark, knownIds)
       knownIds = fresh
+    }
     }
     (init, edges)
   }
@@ -769,6 +774,11 @@ object Similarity {
     val baseline = Checkpoints.persistedIds(spark)
     var knownIds = Set.empty[Int]
     val wB = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nbr"))
+    // hop exchanges sized by the beam state (queries are broadcast-small
+    // by this operator's contract, so the count is a cheap tiny-side
+    // action) — see Checkpoints.withLoopShufflePartitions
+    val beamRows = q.count() * beamWidth
+    Checkpoints.withLoopShufflePartitions(spark, beamRows) {
     (1 to hops).foreach { _ =>
       val expand = beam.select("qid", "nbr").join(out, "nbr")
         .select(col("qid"), col("__next").as("nbr"))
@@ -781,6 +791,7 @@ object Similarity {
       val fresh = Checkpoints.freshIds(spark, baseline, knownIds)
       Checkpoints.releaseIds(spark, knownIds)
       knownIds = fresh
+    }
     }
     beam.where(col("qid") =!= col("nbr"))
       .withColumn("rank", row_number().over(wB))

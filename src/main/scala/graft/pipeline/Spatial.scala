@@ -198,6 +198,13 @@ object Spatial {
       .where(col("__nbrs") + lit(1L) >= lit(minPts.toLong))
       .select("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r17 A/B kept these persists (1.97 s with vs 3.11 s without — the
+    // neighbor join is expensive lineage, the opposite of the madOutliers
+    // cheap-agg case) and registered them with the bounded lease queue so
+    // a long-lived session has a defined release point — see
+    // Dedup.hammingPairs64.
+    Dedup.leasePairFrame(sym)
+    Dedup.leasePairFrame(core)
     val coreEdges = sym
       .join(core, Seq("id"))
       .join(core.select(col("id").as("nb")), Seq("nb"))
