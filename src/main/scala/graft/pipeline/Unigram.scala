@@ -78,8 +78,14 @@ object Unigram {
     require(rounds >= 1, "unigram train: rounds must be >= 1")
     val words = wordTable(docs, textCol).persist()
     try {
+      // fill the persist and take the loop's sizing row count in one
+      // action; EM-round exchanges are sized by the distinct-word table
+      // (every round's aggregates key on its substrings) and capped at
+      // the session setting — see Checkpoints.withLoopShufflePartitions
+      val wordRows = words.count()
       val chars = words.select(explode(split(col("word"), "")).as("piece"))
         .where(col("piece") =!= "").distinct()
+      Checkpoints.withLoopShufflePartitions(words.sparkSession, wordRows) {
       var pieces = substrOccurrences(words, maxPieceLen)
         .groupBy("piece").agg(sum(col("cnt")).as("score"))
       var r = 0
@@ -102,6 +108,7 @@ object Unigram {
         r += 1
       }
       pieces
+      }
     } finally { words.unpersist(); () }
   }
 
