@@ -793,8 +793,21 @@ object Events {
       .select(col("__k"),
         greatest(lit(0L), least(col("__ea"), col("__eb")) -
           greatest(col("__sa"), col("__sb"))).as("__ov"))
-    paired.groupBy(col("__k").as("key"))
+    val agg = paired.groupBy(col("__k"))
       .agg(sum(when(col("__ov") > 0, 1L).otherwise(0L)).as("n_pairs"),
         sum(col("__ov")).as("total_overlap"))
+    // OUTPUT-SET fix (r17, pre-existing, surfaced by the sf0.001 sweep):
+    // the quadratic oracle emits a (key, 0, 0) row for every key present
+    // on BOTH sides even when no pair overlaps, but the bucketized join
+    // drops keys whose cross pairs never share a bucket — invisible on
+    // dense data (every key has a bucket-sharing pair at sf0.01+), a
+    // 14-row deficit at sf0.001. Emit the co-present key set explicitly;
+    // two key-distinct aggregates, scale-trivial.
+    val keys = a.select(col("__k")).distinct()
+      .join(b.select(col("__k")).distinct(), Seq("__k"))
+    keys.join(agg, Seq("__k"), "left")
+      .select(col("__k").as("key"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("total_overlap"), lit(0L)).as("total_overlap"))
   }
 }
